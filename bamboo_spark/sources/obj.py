@@ -56,9 +56,18 @@ def _is_listish(obj: Any, dict_as_record: bool) -> bool:
     return False
 
 
+class _KeyValue:
+    """Record view of one dict entry (dict_as_record=False mode), like the
+    reference's KeyValuePair (converters/obj.py:25-28)."""
+
+    def __init__(self, key, value):
+        self.key = key
+        self.value = value
+
+
 def _as_list(obj: Any, dict_as_record: bool) -> list:
     if isinstance(obj, dict) and not dict_as_record:
-        return [{"key": k, "value": v} for k, v in obj.items()]
+        return [_KeyValue(k, v) for k, v in obj.items()]
     if np is not None and isinstance(obj, np.ndarray):
         return obj.tolist()
     return list(obj)

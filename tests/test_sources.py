@@ -1,0 +1,328 @@
+"""Source ingestion tests — JSON (json_tests.py), Arrow shapes
+(arrow_tests.py:113-252), Avro primitives/enum/fixed/union
+(avro_tests.py:145-197), object edge cases."""
+
+import io
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from bamboo_spark import NameStrategy, from_arrow, from_avro, from_json, from_object
+from tests.conftest import assert_frame
+
+NAN = float("nan")
+
+
+# ---------------------------------------------------------------- JSON
+
+
+def test_json_readme_example(spark):
+    doc = json.dumps(
+        [{"a": None, "b": [1, 2], "c": [5, 6]}, {"a": -1.0, "b": [3, 4], "c": [7, 8]}]
+    )
+    ds = from_json(doc)
+    pdf = ds.flatten(include=["a", "b"]).to_pandas()
+    assert_frame({"a": [NAN, NAN, -1.0, -1.0], "b": [1, 2, 3, 4]}, pdf)
+
+
+def test_json_nested_record(spark):
+    doc = '{"a": {"b": [1, 2]}, "c": "x"}'
+    pdf = from_json(doc).flatten(name_strategy=NameStrategy.CONCATENATE_ALWAYS).to_pandas()
+    assert_frame({"a_b": [1, 2], "c": ["x", "x"]}, pdf)
+
+
+def test_json_type_mismatch_error(spark):
+    with pytest.raises(ValueError):
+        from_json('[{"a": 1}, {"a": "x"}]')
+
+
+def test_json_stream_input(spark):
+    pdf = from_json(io.BytesIO(b'{"a": [1, 2]}')).flatten().to_pandas()
+    assert_frame({"a": [1, 2]}, pdf)
+
+
+# ---------------------------------------------------------------- Arrow
+
+
+def _ipc_bytes(table: pa.Table) -> bytes:
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, table.schema) as writer:
+        writer.write_table(table)
+    return sink.getvalue().to_pybytes()
+
+
+def test_arrow_list_struct(spark):
+    # F8 t1: x broadcast over exploded y (arrow_tests.py:247-252)
+    t = pa.table(
+        {
+            "x": [1, 2],
+            "y": [[{"a": 3, "b": 6}], [{"a": 4, "b": 7}, {"a": 5, "b": 8}]],
+        }
+    )
+    pdf = from_arrow(_ipc_bytes(t)).flatten().to_pandas()
+    assert_frame({"x": [1, 2, 2], "a": [3, 4, 5], "b": [6, 7, 8]}, pdf)
+
+
+def test_arrow_list_of_list(spark):
+    t = pa.table({"v": [[[1, 2, None]], None, [[3]]]})
+    pdf = from_arrow(t).flatten().to_pandas()
+    # null outer list contributes nothing (inner join); null element kept
+    assert list(pdf.columns) == ["v"]
+    got = [None if x is None or x != x else int(x) for x in pdf["v"]]
+    assert got == [1, 2, None, 3]
+
+
+def test_arrow_dictionary_decoded(spark):
+    # F8 t3 (arrow_tests.py:224-229): dictionary → decoded values w/ nulls
+    arr = pa.array(["foo", "bar", "foo", None, "baz"]).dictionary_encode()
+    t = pa.table({"d": arr})
+    pdf = from_arrow(t).flatten().to_pandas()
+    assert list(pdf["d"]) == ["foo", "bar", "foo", None, "baz"]
+
+
+def test_arrow_type_widening(spark):
+    t = pa.table(
+        {
+            "u8": pa.array([1, 255], pa.uint8()),
+            "u16": pa.array([1, 65535], pa.uint16()),
+            "u32": pa.array([1, 2**32 - 1], pa.uint32()),
+            "u64": pa.array([1, 2**64 - 1], pa.uint64()),
+            "f16": pa.array(np.array([1.5, 2.5], dtype=np.float16), pa.float16()),
+        }
+    )
+    ds = from_arrow(t)
+    schema = dict((f.name, f.dataType.simpleString()) for f in ds.df.schema.fields)
+    assert schema == {
+        "u8": "smallint",
+        "u16": "int",
+        "u32": "bigint",
+        "u64": "decimal(20,0)",
+        "f16": "float",
+    }
+    pdf = ds.flatten().to_pandas()
+    assert int(pdf["u64"][1]) == 2**64 - 1
+
+
+def test_arrow_ints_floats_nulls(spark):
+    t = pa.table(
+        {
+            "i8": pa.array([1, None], pa.int8()),
+            "i64": pa.array([2**40, None], pa.int64()),
+            "f64": pa.array([1.5, None], pa.float64()),
+            "b": pa.array([True, None], pa.bool_()),
+        }
+    )
+    pdf = from_arrow(t).flatten().to_pandas()
+    assert pdf["i8"][0] == 1 and pdf["i64"][0] == 2**40
+    assert pdf["f64"][0] == 1.5 and bool(pdf["b"][0]) is True
+
+
+# ---------------------------------------------------------------- Avro
+
+
+def _avro_bytes(schema: dict, records: list) -> bytes:
+    """Hand-roll a tiny Avro container (null codec) so tests don't need an
+    avro writer library."""
+    import random
+    import struct
+
+    def zigzag(n: int) -> bytes:
+        n = (n << 1) ^ (n >> 63)
+        out = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+        return bytes(out)
+
+    def enc_bytes(b: bytes) -> bytes:
+        return zigzag(len(b)) + b
+
+    def enc(value, sch):
+        if isinstance(sch, list):
+            for i, branch in enumerate(sch):
+                if value is None and branch == "null":
+                    return zigzag(i)
+                if value is not None and branch != "null":
+                    return zigzag(i) + enc(value, branch)
+            raise AssertionError
+        if isinstance(sch, dict):
+            st = sch["type"]
+            if st == "record":
+                return b"".join(enc(value.get(f["name"]), f["type"]) for f in sch["fields"])
+            if st == "enum":
+                return zigzag(sch["symbols"].index(value))
+            if st == "fixed":
+                return value
+            if st == "array":
+                if not value:
+                    return zigzag(0)
+                return (
+                    zigzag(len(value))
+                    + b"".join(enc(v, sch["items"]) for v in value)
+                    + zigzag(0)
+                )
+            if st == "map":
+                if not value:
+                    return zigzag(0)
+                return (
+                    zigzag(len(value))
+                    + b"".join(enc_bytes(k.encode()) + enc(v, sch["values"]) for k, v in value.items())
+                    + zigzag(0)
+                )
+            return enc(value, st)
+        if sch == "null":
+            return b""
+        if sch == "boolean":
+            return b"\x01" if value else b"\x00"
+        if sch in ("int", "long"):
+            return zigzag(value)
+        if sch == "float":
+            return struct.pack("<f", value)
+        if sch == "double":
+            return struct.pack("<d", value)
+        if sch == "bytes":
+            return enc_bytes(value)
+        if sch == "string":
+            return enc_bytes(value.encode())
+        raise AssertionError(sch)
+
+    payload = b"".join(enc(r, schema) for r in records)
+    sync = bytes(random.Random(0).randrange(256) for _ in range(16))
+    meta = (
+        zigzag(2)
+        + enc_bytes(b"avro.schema")
+        + enc_bytes(json.dumps(schema).encode())
+        + enc_bytes(b"avro.codec")
+        + enc_bytes(b"null")
+        + zigzag(0)
+    )
+    return (
+        b"Obj\x01"
+        + meta
+        + sync
+        + zigzag(len(records))
+        + zigzag(len(payload))
+        + payload
+        + sync
+    )
+
+
+def _rec_schema(field_type) -> dict:
+    return {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "a", "type": field_type}],
+    }
+
+
+@pytest.mark.parametrize(
+    "ftype,values",
+    [
+        ("int", [1, -2]),
+        ("long", [2**40, -1]),
+        ("boolean", [True, False]),
+        ("float", [1.5, -2.5]),
+        ("double", [1.5, -2.5]),
+        ("string", ["x", "yz"]),
+    ],
+)
+def test_avro_primitives(spark, ftype, values):
+    data = _avro_bytes(_rec_schema(ftype), [{"a": v} for v in values])
+    pdf = from_avro(data).flatten().to_pandas()
+    got = list(pdf["a"])
+    if ftype == "float":
+        assert all(abs(g - v) < 1e-6 for g, v in zip(got, values))
+    else:
+        assert got == values
+
+
+def test_avro_bytes_fixed_enum_union(spark):
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "by", "type": "bytes"},
+            {"name": "fx", "type": {"type": "fixed", "name": "f3", "size": 3}},
+            {"name": "en", "type": {"type": "enum", "name": "e", "symbols": ["a", "b"]}},
+            {"name": "un", "type": ["int", "null"]},
+        ],
+    }
+    records = [
+        {"by": b"\x01\x02", "fx": b"abc", "en": "b", "un": 1},
+        {"by": b"", "fx": b"xyz", "en": "a", "un": None},
+    ]
+    pdf = from_avro(_avro_bytes(schema, records)).flatten().to_pandas()
+    assert list(pdf["by"]) == [bytearray(b"\x01\x02"), bytearray(b"")]
+    assert list(pdf["fx"]) == [bytearray(b"abc"), bytearray(b"xyz")]
+    assert list(pdf["en"]) == ["b", "a"]
+    assert pdf["un"][0] == 1 and pdf["un"][1] != pdf["un"][1]  # NaN
+
+
+def test_avro_read_time_clusions(spark):
+    # F5 read-time include/exclude with deep re-include (avro_tests.py:242-250)
+    schema = {
+        "type": "record",
+        "name": "outer",
+        "fields": [
+            {
+                "name": "oa",
+                "type": {
+                    "type": "record",
+                    "name": "ra",
+                    "fields": [{"name": "ia", "type": "int"}, {"name": "ib", "type": "int"}],
+                },
+            },
+            {
+                "name": "ob",
+                "type": {
+                    "type": "record",
+                    "name": "rb",
+                    "fields": [{"name": "ia", "type": "int"}, {"name": "ib", "type": "int"}],
+                },
+            },
+        ],
+    }
+    records = [{"oa": {"ia": 1, "ib": 2}, "ob": {"ia": 3, "ib": 4}}]
+    data = _avro_bytes(schema, records)
+    pdf = from_avro(data).flatten().to_pandas()
+    assert_frame({"oa_ia": [1], "oa_ib": [2], "ob_ia": [3], "ob_ib": [4]}, pdf)
+    pdf = from_avro(data, exclude="oa").flatten().to_pandas()
+    assert_frame({"ia": [3], "ib": [4]}, pdf)
+    pdf = from_avro(data, exclude="oa", include=[{}, "oa.ia"]).flatten().to_pandas()
+    assert_frame({"oa_ia": [1], "ob_ia": [3], "ib": [4]}, pdf)
+
+
+def test_avro_list_flatten(spark):
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "s", "type": "int"},
+            {"name": "xs", "type": {"type": "array", "items": "double"}},
+        ],
+    }
+    records = [{"s": 1, "xs": [1.0, 2.0]}, {"s": 2, "xs": [3.0]}]
+    pdf = from_avro(_avro_bytes(schema, records)).flatten().to_pandas()
+    assert_frame({"s": [1, 1, 2], "xs": [1.0, 2.0, 3.0]}, pdf)
+
+
+# ---------------------------------------------------------------- objects
+
+
+def test_dict_as_list(spark):
+    # F11: dict_as_record=False → list of key/value records
+    ds = from_object({"k1": 1, "k2": 2}, dict_as_record=False)
+    pdf = ds.flatten().to_pandas()
+    assert_frame({"key": ["k1", "k2"], "value": [1, 2]}, pdf)
+
+
+def test_object_map_column(spark):
+    # MapType flatten support (extension): map explodes to key/value
+    pass
