@@ -1,0 +1,202 @@
+"""Embedding similarity: exact cosine join / top-k, LSH-bucketed ANN.
+
+The embedding column is ``array<float>``; all arithmetic casts to double
+*before* multiplying and sums left-to-right in array order, which makes
+the result bit-identical to the DuckDB oracle's ``list_dot_product`` on
+``::DOUBLE[]`` lists (same order, same precision); a final round(6)
+absorbs any platform ulp noise.
+
+Scale paths:
+* ``cosine_pairs`` / ``topk_neighbors``: exact. The pairwise join is
+  O(n²) — right for modest candidate sets (post-LSH verify, dedup within
+  a bucket) or a broadcast-able query side. For the all-pairs case at
+  scale use ``hyperplane_buckets`` first.
+* ``hyperplane_buckets``: random-hyperplane LSH — deterministic seeded
+  planes broadcast to executors; bucket-local exact verify. Candidate
+  recall is probabilistic (ANN), so it is benched, not oracle-gated.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def _norm_expr(col: str) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.col(col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def _dot_expr(a: str, b: str) -> F.Column:
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm", _norm_expr(vec))
+
+
+def cosine_pairs(
+    df: DataFrame, threshold: float = 0.4, id_col: str = "vec_id", vec: str = "embedding"
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold (doc_a < doc_b)."""
+    e = with_norm(df.select(id_col, vec))
+    a = e.select(
+        F.col(id_col).alias("id_a"), F.col(vec).alias("va"), F.col("_norm").alias("na")
+    )
+    b = e.select(
+        F.col(id_col).alias("id_b"), F.col(vec).alias("vb"), F.col("_norm").alias("nb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = F.round(_dot_expr("va", "vb") / (F.col("na") * F.col("nb")), 6)
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
+        F.col("cosine") >= threshold
+    )
+
+
+def cosine_pairs_duck(threshold: float = 0.4) -> str:
+    return """
+with e as (
+  select vec_id, [x::DOUBLE for x in embedding] v,
+         sqrt(list_dot_product([x::DOUBLE for x in embedding],
+                               [x::DOUBLE for x in embedding])) n
+  from embeddings
+)
+select a.vec_id id_a, b.vec_id id_b,
+       round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) cosine
+from e a join e b on a.vec_id < b.vec_id
+where round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= {t}
+""".format(t=threshold)
+
+
+def topk_neighbors(
+    df: DataFrame,
+    query_ids_below: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k cosine neighbors for a small query set.
+
+    The query side is broadcast (small dim table pattern); ties break on
+    neighbor id for determinism.
+    """
+    from pyspark.sql import Window
+
+    e = with_norm(df.select(id_col, vec))
+    q = e.where(F.col(id_col) < query_ids_below).select(
+        F.col(id_col).alias("query_id"), F.col(vec).alias("qv"), F.col("_norm").alias("qn")
+    )
+    c = e.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec).alias("cv"), F.col("_norm").alias("cn")
+    )
+    joined = F.broadcast(q).crossJoin(c).where(F.col("query_id") != F.col("neighbor_id"))
+    cos = F.round(_dot_expr("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
+    scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def topk_neighbors_duck(query_ids_below: int = 10, k: int = 5) -> str:
+    return """
+with e as (
+  select vec_id, [x::DOUBLE for x in embedding] v,
+         sqrt(list_dot_product([x::DOUBLE for x in embedding],
+                               [x::DOUBLE for x in embedding])) n
+  from embeddings
+),
+scored as (
+  select q.vec_id query_id, c.vec_id neighbor_id,
+         round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) cosine
+  from e q join e c on q.vec_id < {qb} and q.vec_id != c.vec_id
+),
+ranked as (
+  select *, row_number() over (partition by query_id
+                               order by cosine desc, neighbor_id asc) rank
+  from scored
+)
+select query_id, rank::BIGINT rank, neighbor_id, cosine
+from ranked where rank <= {k}
+""".format(qb=query_ids_below, k=k)
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (the ANN scale path).
+
+    n_planes sign bits → one integer bucket; near-duplicate search then
+    joins within buckets (optionally multi-probe across Hamming-1
+    neighbors). Planes are seeded & generated on the driver, shipped as
+    literals — no UDF, stays in codegen.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    bucket = F.lit(0).cast("bigint")
+    for i in range(n_planes):
+        coeffs = F.array(*[F.lit(float(c)) for c in planes[i]])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec), coeffs, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return df.select(id_col, bucket.alias("bucket"))
+
+
+def ann_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Bucketed approximate near-dup pairs: hyperplane bucket join +
+    exact cosine verify inside buckets. Recall < 1 by construction."""
+    e = with_norm(df.select(id_col, vec)).join(
+        hyperplane_buckets(df, dim, n_planes), id_col
+    )
+    a = e.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec).alias("va"),
+        F.col("_norm").alias("na"),
+        "bucket",
+    )
+    b = e.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec).alias("vb"),
+        F.col("_norm").alias("nb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    pairs = a.join(
+        b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    cos = F.round(_dot_expr("va", "vb") / (F.col("na") * F.col("nb")), 6)
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
+        F.col("cosine") >= threshold
+    )

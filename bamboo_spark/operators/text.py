@@ -1,0 +1,174 @@
+"""Text-analysis operators: tokenization, shingles, language ID,
+quality scoring, fingerprinting.
+
+All expressions are built-in SQL functions (whole-stage codegen; no
+Python in the hot path). Cross-engine determinism: the only hash used is
+``md5`` (bit-identical in Spark and DuckDB); its leading 15 hex chars
+convert to a 60-bit integer (fits BIGINT) via ``conv`` (Spark) /
+``::BIGINT`` hex cast (DuckDB).
+
+Scale notes: everything here is a narrow per-row projection — no
+shuffle, fully pipelined into the scan; at 100 TB these run at reader
+throughput with column pruning (only ``text`` is read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# languages and tiny stopword lists for the heuristic language ID.
+# Deliberately small so the oracle SQL stays readable; real pipelines
+# would use a model — the *operator shape* (vector of per-language
+# scores → argmax) is what matters here.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "de": ["der", "die", "das", "und", "zu"],
+    "fr": ["le", "la", "de", "et", "que"],
+    "zh": ["de", "le", "shi", "he", "zai"],
+}
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokens. Matches DuckDB ``string_split(text, ' ')``."""
+    return F.split(F.col(col), " ")
+
+
+def md5_int60_sql(expr: str) -> str:
+    """Spark SQL: 60-bit integer from the md5 of ``expr``."""
+    return "cast(conv(substr(md5(%s), 1, 15), 16, 10) as bigint)" % expr
+
+
+def md5_int60_duck(expr: str) -> str:
+    """DuckDB SQL: same 60-bit integer (identical md5 → identical value)."""
+    return "(('0x' || substr(md5(%s), 1, 15))::BIGINT)" % expr
+
+
+def word_shingles_sql(tok_expr: str, k: int = 3) -> str:
+    """Spark SQL: array of k-word shingles over a token array (0-based)."""
+    parts = ", ".join("%s[i + %d]" % (tok_expr, j) for j in range(k))
+    return (
+        "case when size({t}) >= {k} then "
+        "transform(sequence(0, size({t}) - {k}), i -> concat_ws(' ', {parts})) "
+        "else array() end"
+    ).format(t=tok_expr, k=k, parts=parts)
+
+
+def word_shingles_duck(tok_expr: str, k: int = 3) -> str:
+    """DuckDB SQL: same shingles (1-based lists)."""
+    parts = " || ' ' || ".join("%s[i + %d]" % (tok_expr, j) for j in range(k))
+    return (
+        "case when len({t}) >= {k} then "
+        "[{parts} for i in generate_series(1, len({t}) - {k} + 1)] "
+        "else [] end"
+    ).format(t=tok_expr, k=k, parts=parts)
+
+
+def token_count(col: str = "text") -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def distinct_token_ratio(col: str = "text") -> Column:
+    t = tokens(col)
+    return F.round(
+        F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double"), 6
+    )
+
+
+def stopword_count(lang: str, col: str = "text") -> Column:
+    words = STOPWORDS[lang]
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(arr, t))).cast(
+        "bigint"
+    )
+
+
+def lang_scores(col: str = "text") -> dict:
+    return {lang: stopword_count(lang, col) for lang in STOPWORDS}
+
+
+def lang_id(col: str = "text") -> Column:
+    """argmax over per-language stopword hit counts; ties break by the
+    fixed language order (en, es, de, fr, zh)."""
+    scores = lang_scores(col)
+    langs = list(STOPWORDS)
+    best = scores[langs[0]]
+    best_lang = F.lit(langs[0])
+    for lang in langs[1:]:
+        cond = scores[lang] > best
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best = F.when(cond, scores[lang]).otherwise(best)
+    return best_lang
+
+
+def lang_id_duck(col: str = "text") -> str:
+    """DuckDB expression computing the identical argmax."""
+    def score(lang):
+        lst = ", ".join("'%s'" % w for w in STOPWORDS[lang])
+        return (
+            "len(list_filter(string_split(%s, ' '), t -> list_contains([%s], t)))"
+            % (col, lst)
+        )
+
+    langs = list(STOPWORDS)
+    expr = "'%s'" % langs[0]
+    best = score(langs[0])
+    for lang in langs[1:]:
+        s = score(lang)
+        expr = "case when %s > %s then '%s' else %s end" % (s, best, lang, expr)
+        best = "case when %s > %s then %s else %s end" % (s, best, s, best)
+    return expr
+
+
+def quality_score(col: str = "text") -> Column:
+    """Composite [0,1] quality heuristic: length saturation, stopword
+    presence, vocabulary diversity. Pure arithmetic — bit-identical in
+    the oracle."""
+    t = tokens(col)
+    n = F.size(t).cast("double")
+    length_part = F.least(F.lit(1.0), n / F.lit(50.0))
+    sw = stopword_count("en", col).cast("double")
+    stop_part = F.least(F.lit(1.0), sw / F.lit(5.0))
+    diversity = F.size(F.array_distinct(t)).cast("double") / n
+    return F.round(
+        F.lit(0.4) * length_part + F.lit(0.3) * stop_part + F.lit(0.3) * diversity, 6
+    )
+
+
+def quality_score_duck(col: str = "text") -> str:
+    t = "string_split(%s, ' ')" % col
+    n = "len(%s)::DOUBLE" % t
+    sw = (
+        "len(list_filter(%s, t -> list_contains([%s], t)))::DOUBLE"
+        % (t, ", ".join("'%s'" % w for w in STOPWORDS["en"]))
+    )
+    return (
+        "round(0.4 * least(1.0, {n} / 50.0) + 0.3 * least(1.0, {sw} / 5.0) "
+        "+ 0.3 * (len(list_distinct({t}))::DOUBLE / {n}), 6)"
+    ).format(n=n, sw=sw, t=t)
+
+
+def fingerprint_expr() -> Column:
+    """Document fingerprint: min 60-bit md5 hash over word 3-shingles —
+    a winnowing-style content signature, stable across engines."""
+    sh = word_shingles_sql("split(text, ' ')")
+    return F.expr(
+        "array_min(transform(%s, s -> %s))" % (sh, md5_int60_sql("s"))
+    ).alias("fingerprint")
+
+
+def fingerprint_duck() -> str:
+    sh = word_shingles_duck("string_split(text, ' ')")
+    return "list_min(list_transform(%s, s -> %s))" % (sh, md5_int60_duck("s"))
+
+
+def add_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """Per-document stats block (the text-analysis operator surface)."""
+    return df.select(
+        "doc_id",
+        token_count(col).alias("n_tokens"),
+        F.length(F.col(col)).cast("bigint").alias("n_chars"),
+        distinct_token_ratio(col).alias("distinct_ratio"),
+        lang_id(col).alias("lang_pred"),
+        quality_score(col).alias("quality"),
+    )

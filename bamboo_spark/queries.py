@@ -1,0 +1,551 @@
+"""The query registry — every operator surfaced as a (Spark fn, oracle
+SQL) pair for the driver's DuckDB hash-equality gate.
+
+Conventions (driver contract, __spark_entry__.py):
+* each Spark query takes (spark, sf_dir) and returns a DataFrame;
+* the oracle is ANSI-ish SQL DuckDB runs over the same parquet views;
+* column NAMES and TYPES match exactly (aggregates aliased on both
+  sides; counts cast to BIGINT; float results rounded identically so
+  cross-engine ulp noise can't flip the value hash);
+* ORDER doesn't matter (driver compare is order-insensitive) but
+  deterministic queries order anyway for humans.
+
+Scale annotations sit on each query: broadcast hints on dimension
+tables, single-shuffle aggregations, skew notes. These run unchanged on
+a real cluster — nothing here depends on local[*].
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from bamboo_spark.operators import dedup, multimodal, similarity, text
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet; Spark can only read it
+        # as a nano-count long — convert to a µs timestamp (floor), the
+        # same truncation DuckDB's epoch_us applies.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:  # noqa: BLE001 — conf may be fixed; read will tell
+            pass
+        df = spark.read.parquet("%s/%s.parquet" % (sf_dir, name))
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
+    return spark.read.parquet("%s/%s.parquet" % (sf_dir, name))
+
+
+# ============================================================ relational
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter + single hash aggregate (map-side
+    partial agg; no join). Filter + pruning push into the parquet scan."""
+    l = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.where(F.col("l_shipdate") <= "2000-12-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+select l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) sum_qty,
+       round(sum(l_extendedprice), 2) sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) sum_charge,
+       round(avg(l_quantity), 6) avg_qty,
+       round(avg(l_extendedprice), 6) avg_price,
+       round(avg(l_discount), 6) avg_disc,
+       count(*) count_order
+from lineitem
+where l_shipdate <= TIMESTAMP '2000-12-01'
+group by l_returnflag, l_linestatus
+order by l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join narrowing to an aggregate + top-k.
+    customer is filtered before the join (selectivity ~1/5); at scale
+    orders⋈lineitem is the big sort-merge pair, customer side hash-joins
+    after filter. AQE picks broadcast when the filtered side is small."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "MACHINERY")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-06-01")
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-06-01")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+select o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+where c_mktsegment = 'MACHINERY'
+  and o_orderdate < TIMESTAMP '1998-06-01'
+  and l_shipdate > TIMESTAMP '1998-06-01'
+group by o_orderkey, o_orderdate
+order by revenue desc, o_orderkey
+limit 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join. region/nation are broadcast (tiny
+    dims); customer/orders/lineitem/supplier shuffle on their keys.
+    The co-membership predicate c_nationkey = s_nationkey rides on the
+    joins."""
+    r = F.broadcast(load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+Q5_SQL = """
+select n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+join nation on s_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+where r_name = 'ASIA'
+  and o_orderdate >= TIMESTAMP '1996-01-01'
+  and o_orderdate < TIMESTAMP '1999-01-01'
+group by n_name
+order by revenue desc
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate; every predicate is
+    parquet-pushable (min/max row-group skipping at scale)."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = """
+select round(sum(l_extendedprice * l_discount), 2) revenue,
+       count(*) n_items
+from lineitem
+where l_shipdate >= TIMESTAMP '1997-01-01' and l_shipdate < TIMESTAMP '1998-01-01'
+  and l_discount >= 0.05 and l_discount <= 0.07
+  and l_quantity < 24
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function shape: per-nation top-3 by balance. Single
+    shuffle on the partition key; rank ties broken by key for
+    determinism."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 3)
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("nationkey"),
+            "rank",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy("nationkey", "rank")
+    )
+
+
+Q_TOP_CUSTOMERS_SQL = """
+select c_nationkey::BIGINT nationkey, rank::BIGINT rank, c_custkey,
+       round(c_acctbal, 2) acctbal
+from (
+  select *, row_number() over (partition by c_nationkey
+                               order by c_acctbal desc, c_custkey asc) rank
+  from customer
+)
+where rank <= 3
+order by nationkey, rank
+"""
+
+
+def q_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_ORDERS_PRIORITY_SQL = """
+select o_orderpriority,
+       count(*) n_orders,
+       round(avg(o_totalprice), 4) avg_price,
+       count(distinct o_custkey) n_customers
+from orders
+group by o_orderpriority
+order by o_orderpriority
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the event stream table (the
+    batch twin of the streaming windowed agg in streaming/)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("event_hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_hour", "event_type")
+    )
+
+
+Q_EVENTS_HOURLY_SQL = """
+select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') event_hour,
+       event_type,
+       count(*) n_events,
+       round(sum(value), 2) total_value
+from events
+group by 1, 2
+order by event_hour, event_type
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + running sum
+    over a per-user window — one shuffle on user_id. Epoch-µs integer
+    arithmetic keeps it bit-identical to the oracle."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    gap = F.col("us") - F.lag("us").over(w)
+    sessions = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1000000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q_SESSIONIZE_SQL = """
+with t as (
+  select user_id, epoch_us(ts) us from events
+),
+m as (
+  select user_id, us,
+         case when lag(us) over (partition by user_id order by us) is null
+               or us - lag(us) over (partition by user_id order by us) > 1800000000
+              then 1 else 0 end new_session
+  from t
+)
+select user_id, sum(new_session)::BIGINT n_sessions, count(*) n_events
+from m group by user_id order by user_id
+"""
+
+
+def q_setops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation surface: purchasers who never hit an error."""
+    e = load(spark, sf_dir, "events")
+    purchasers = e.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = e.where(F.col("event_type") == "error").select("user_id").distinct()
+    return purchasers.subtract(erroring).orderBy("user_id")
+
+
+Q_SETOPS_SQL = """
+select distinct user_id from events where event_type = 'purchase'
+except
+select distinct user_id from events where event_type = 'error'
+order by user_id
+"""
+
+
+def q_flatten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flatten operator over real array data: posexplode ≈
+    bamboo's list flatten with position (GenerateExec, no Python)."""
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 5)
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.round(F.col("val").cast("double"), 6).alias("val"),
+    )
+
+
+Q_FLATTEN_EMB_SQL = """
+select vec_id, (i - 1)::BIGINT pos, round(embedding[i]::DOUBLE, 6) val
+from (
+  select vec_id, embedding, unnest(generate_series(1, len(embedding))) i
+  from embeddings where vec_id < 5
+)
+"""
+
+
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column: parse the JSON props payload, bucket by
+    the extracted field — the from_json ingestion path applied to a
+    column instead of a document."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select((k % 10).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k_bucket")
+    )
+
+
+Q_EVENTS_PROPS_SQL = """
+select (json_extract_string(props, '$.k')::BIGINT) % 10 k_bucket, count(*) n
+from events group by 1 order by k_bucket
+"""
+
+
+# ============================================================ LLM ops
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.dedup_exact(d, "text", "doc_id").orderBy("keep_id")
+
+
+Q_DEDUP_EXACT_SQL = """
+select min(doc_id) keep_id, count(*) n_dups
+from documents group by text order by keep_id
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(d, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, threshold=0.7).orderBy("doc_a", "doc_b")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, max_hamming=2).orderBy("doc_a", "doc_b")
+
+
+def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(e, threshold=0.4).orderBy("id_a", "id_b")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.topk_neighbors(e, query_ids_below=10, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return text.add_text_stats(d).orderBy("doc_id")
+
+
+Q_TEXT_STATS_SQL = """
+select doc_id,
+       len(string_split(text, ' '))::BIGINT n_tokens,
+       length(text)::BIGINT n_chars,
+       round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+             / len(string_split(text, ' '))::DOUBLE, 6) distinct_ratio,
+       {lang} lang_pred,
+       {quality} quality
+from documents order by doc_id
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint_expr()).orderBy("doc_id")
+
+
+Q_FINGERPRINT_SQL = """
+select doc_id, {fp} fingerprint from documents order by doc_id
+"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media plumbing end-to-end: text → binary payload → media struct →
+    Arrow-batched mapInPandas decode (stubbed codec, real pipeline)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    media = multimodal.as_media(d, "payload", mime="text/plain")
+    decoded = multimodal.decode_media(
+        media.select("doc_id", F.col("media.data").alias("data"))
+    )
+    return decoded.orderBy("doc_id")
+
+
+Q_MULTIMODAL_SQL = """
+select doc_id,
+       octet_length(encode(text))::BIGINT byte_size,
+       md5(text) md5,
+       (('0x' || substr(md5(text), 1, 4))::BIGINT % 1024)::BIGINT fake_width,
+       (('0x' || substr(md5(text), 5, 4))::BIGINT % 1024)::BIGINT fake_height
+from documents order by doc_id
+"""
+
+
+# ============================================================ registry
+
+
+def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q_top_customers": q_top_customers,
+        "q_orders_priority": q_orders_priority,
+        "q_events_hourly": q_events_hourly,
+        "q_sessionize": q_sessionize,
+        "q_setops_users": q_setops_users,
+        "q_flatten_embeddings": q_flatten_embeddings,
+        "q_events_props_json": q_events_props_json,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "near_dup_embeddings": q_near_dup_embeddings,
+        "ann_topk": q_ann_topk,
+        "text_stats": q_text_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_decode": q_multimodal_decode,
+    }
+
+
+def oracle_sql() -> Dict[str, str]:
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "q3_shipping_priority": Q3_SQL,
+        "q5_region_revenue": Q5_SQL,
+        "q6_forecast_revenue": Q6_SQL,
+        "q_top_customers": Q_TOP_CUSTOMERS_SQL,
+        "q_orders_priority": Q_ORDERS_PRIORITY_SQL,
+        "q_events_hourly": Q_EVENTS_HOURLY_SQL,
+        "q_sessionize": Q_SESSIONIZE_SQL,
+        "q_setops_users": Q_SETOPS_SQL,
+        "q_flatten_embeddings": Q_FLATTEN_EMB_SQL,
+        "q_events_props_json": Q_EVENTS_PROPS_SQL,
+        "dedup_exact": Q_DEDUP_EXACT_SQL,
+        "dedup_jaccard": dedup.jaccard_pairs_duck(threshold=0.8),
+        # minhash-LSH verifies candidates with the exact jaccard, so the
+        # oracle is the exact pairwise join at the same threshold
+        "dedup_minhash": dedup.jaccard_pairs_duck(threshold=0.7),
+        "dedup_simhash": dedup.simhash_pairs_duck(max_hamming=2),
+        "near_dup_embeddings": similarity.cosine_pairs_duck(threshold=0.4),
+        "ann_topk": similarity.topk_neighbors_duck(query_ids_below=10, k=5),
+        "text_stats": Q_TEXT_STATS_SQL.format(
+            lang=text.lang_id_duck("text"), quality=text.quality_score_duck("text")
+        ),
+        "doc_fingerprint": Q_FINGERPRINT_SQL.format(fp=text.fingerprint_duck()),
+        "multimodal_decode": Q_MULTIMODAL_SQL,
+    }

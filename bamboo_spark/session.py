@@ -28,6 +28,9 @@ def get_spark(app_name: str = "bamboo_spark", master: str | None = None) -> Spar
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # testdata events.ts is TIMESTAMP(NANOS) parquet, which Spark
+        # rejects by default; read as long and convert at load time
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("BAMBOO_DRIVER_MEM", "8g"))
     )
