@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced to full materialization with a noop-format write
+(counts can short-circuit column reads; noop cannot). A warmup run of a
+trivial query absorbs JVM/codegen startup so per-query numbers measure
+the plan, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bamboo_spark import queries as _q
+from bamboo_spark.session import get_spark
+
+# headline set: scan+agg, joins, window, explode, dedup family,
+# similarity, text analysis — the SURVEY §2 + north-star surface
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q_top_customers",
+    "q_events_hourly",
+    "q_sessionize",
+    "q_flatten_embeddings",
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_minhash",
+    "dedup_simhash",
+    "near_dup_embeddings",
+    "ann_topk",
+    "text_stats",
+    "doc_fingerprint",
+    "multimodal_decode",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bamboo_spark_bench")
+
+    registry = _q.queries()
+
+    # warmup: JVM + parquet footer caches
+    materialize(_q.load(spark, sf_dir, "region"))
+
+    timings = {}
+    for name in BENCH_QUERIES:
+        start = time.perf_counter()
+        materialize(registry[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
