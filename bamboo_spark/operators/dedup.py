@@ -77,6 +77,8 @@ def jaccard_pairs(
     if max_shingle_df is not None:
         freq = inv.groupBy("sh").count().where(F.col("count") <= max_shingle_df)
         inv = inv.join(F.broadcast(freq.select("sh")), "sh")
+    # both sides of the self-join read this; persist so shingling runs once
+    inv = inv.persist()
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (
@@ -154,7 +156,13 @@ def minhash_lsh_pairs(
     the true Jaccard for every candidate pair.
     """
     num_bands = num_hashes // rows_per_band
-    sig = minhash_signatures(df, num_hashes, k)
+    sets = _shingle_sets(df, k).persist()  # reused: signatures + verify
+    ex = sets.select("doc_id", F.explode("shingles").alias("sh"))
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias("mh%d" % i)
+        for i in range(num_hashes)
+    ]
+    sig = ex.groupBy("doc_id").agg(*aggs)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -173,7 +181,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bh"),
-    ).select("doc_id", "bh.band", "bh.h")
+    ).select("doc_id", "bh.band", "bh.h").persist()
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -186,7 +194,6 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sets = _shingle_sets(df, k)
     verified = (
         candidates.join(sets.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("shingles", "sa")
@@ -259,7 +266,7 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 2) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    ).select("doc_id", "simhash", "bk.band", "bk.key").persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -434,7 +434,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs(e, threshold=0.4).orderBy("id_a", "id_b")
+    return similarity.cosine_pairs_gemm(e, threshold=0.4).orderBy("id_a", "id_b")
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

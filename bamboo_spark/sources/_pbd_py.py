@@ -1,0 +1,444 @@
+"""Pure-Python PBD (protobuf-data) decoder.
+
+Container layout (inferred from the public PBD format used by the
+reference, cpp/src/pbd.cpp:152-168 + the golden file
+python/bamboo_tests/data/example.pbd):
+
+    magic ``00 00 10 BD`` · version byte · varint n_files ·
+    n_files × (varint len + FileDescriptorProto wire bytes) ·
+    varint len + root message full name (string) ·
+    repeated (varint len + message wire bytes) until EOF
+
+The descriptor parsing below implements the *public* protobuf
+``descriptor.proto`` wire schema (field numbers from
+protobuf/src/google/protobuf/descriptor.proto) and the standard
+protobuf wire format: varint / zigzag / fixed32 / fixed64 /
+length-delimited, packed & unpacked repeated fields, unknown-field
+skipping, and proto2/proto3 default-value fill for missing scalar
+fields (reference behavior: pbd.cpp:233-278; pbd_tests.py:62-67 expects
+sd='' and de='DE1' for absent fields). Groups raise, matching
+pbd.hpp:195-199.
+
+Driver-side decode (correctness path). The 100 TB path is
+``spark.read.format("protobuf")`` once a connector jar is present.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Dict, List, Optional, Tuple
+
+from pyspark.sql import types as T
+
+MAGIC = b"\x00\x00\x10\xbd"
+
+# FieldDescriptorProto.Type values (public protobuf enum)
+TYPE_DOUBLE = 1
+TYPE_FLOAT = 2
+TYPE_INT64 = 3
+TYPE_UINT64 = 4
+TYPE_INT32 = 5
+TYPE_FIXED64 = 6
+TYPE_FIXED32 = 7
+TYPE_BOOL = 8
+TYPE_STRING = 9
+TYPE_GROUP = 10
+TYPE_MESSAGE = 11
+TYPE_BYTES = 12
+TYPE_UINT32 = 13
+TYPE_ENUM = 14
+TYPE_SFIXED32 = 15
+TYPE_SFIXED64 = 16
+TYPE_SINT32 = 17
+TYPE_SINT64 = 18
+
+LABEL_REPEATED = 3
+
+_VARINT_TYPES = {
+    TYPE_INT64,
+    TYPE_UINT64,
+    TYPE_INT32,
+    TYPE_BOOL,
+    TYPE_UINT32,
+    TYPE_ENUM,
+    TYPE_SINT32,
+    TYPE_SINT64,
+}
+_FIXED64_TYPES = {TYPE_DOUBLE, TYPE_FIXED64, TYPE_SFIXED64}
+_FIXED32_TYPES = {TYPE_FLOAT, TYPE_FIXED32, TYPE_SFIXED32}
+
+
+class PbdDecodeError(ValueError):
+    pass
+
+
+def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return acc, pos
+        shift += 7
+        if shift > 70:
+            raise PbdDecodeError("Malformed varint")
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _signed32(v: int) -> int:
+    v &= 0xFFFFFFFF
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+def _zigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+# ------------------------------------------------------------ descriptors
+
+
+@dataclass
+class FieldDesc:
+    name: str = ""
+    number: int = 0
+    label: int = 1
+    type: int = 0
+    type_name: str = ""
+    default_value: Optional[str] = None
+    message: Optional["MessageDesc"] = None
+    enum: Optional["EnumDesc"] = None
+
+
+@dataclass
+class MessageDesc:
+    full_name: str = ""
+    fields: List[FieldDesc] = dc_field(default_factory=list)
+
+    def by_number(self) -> Dict[int, FieldDesc]:
+        return {f.number: f for f in self.fields}
+
+
+@dataclass
+class EnumDesc:
+    full_name: str = ""
+    values: Dict[int, str] = dc_field(default_factory=dict)
+
+    def first_symbol(self) -> str:
+        return self.values.get(min(self.values)) if self.values else ""
+
+
+def _iter_fields(buf: bytes):
+    """Yield (field_number, wire_type, value) over a message payload.
+    value: int for varint/fixed, bytes for length-delimited."""
+    pos = 0
+    end = len(buf)
+    while pos < end:
+        tag, pos = _read_varint(buf, pos)
+        number, wire = tag >> 3, tag & 7
+        if wire == 0:
+            value, pos = _read_varint(buf, pos)
+        elif wire == 1:
+            value = struct.unpack_from("<Q", buf, pos)[0]
+            pos += 8
+        elif wire == 2:
+            size, pos = _read_varint(buf, pos)
+            value = buf[pos : pos + size]
+            pos += size
+        elif wire == 5:
+            value = struct.unpack_from("<I", buf, pos)[0]
+            pos += 4
+        else:
+            raise PbdDecodeError("Unsupported wire type %d (group?)" % wire)
+        yield number, wire, value
+
+
+def _parse_enum_desc(buf: bytes, prefix: str) -> EnumDesc:
+    out = EnumDesc()
+    name = ""
+    for number, _wire, value in _iter_fields(buf):
+        if number == 1:
+            name = value.decode()
+        elif number == 2:  # EnumValueDescriptorProto
+            vname, vnum = "", 0
+            for n2, _w2, v2 in _iter_fields(value):
+                if n2 == 1:
+                    vname = v2.decode()
+                elif n2 == 2:
+                    vnum = v2
+            out.values[vnum] = vname
+    out.full_name = prefix + name
+    return out
+
+
+def _parse_field_desc(buf: bytes) -> FieldDesc:
+    f = FieldDesc()
+    for number, _wire, value in _iter_fields(buf):
+        if number == 1:
+            f.name = value.decode()
+        elif number == 3:
+            f.number = value
+        elif number == 4:
+            f.label = value
+        elif number == 5:
+            f.type = value
+        elif number == 6:
+            f.type_name = value.decode()
+        elif number == 7:
+            f.default_value = value.decode()
+    return f
+
+
+def _parse_message_desc(buf: bytes, prefix: str, pool: dict) -> MessageDesc:
+    m = MessageDesc()
+    name = ""
+    fields = []
+    nested = []
+    enums = []
+    for number, _wire, value in _iter_fields(buf):
+        if number == 1:
+            name = value.decode()
+        elif number == 2:
+            fields.append(value)
+        elif number == 3:
+            nested.append(value)
+        elif number == 4:
+            enums.append(value)
+    m.full_name = prefix + name
+    m.fields = [_parse_field_desc(fb) for fb in fields]
+    pool[m.full_name] = m
+    for nb in nested:
+        _parse_message_desc(nb, m.full_name + ".", pool)
+    for eb in enums:
+        e = _parse_enum_desc(eb, m.full_name + ".")
+        pool[e.full_name] = e
+    return m
+
+
+def _parse_file_desc(buf: bytes, pool: dict) -> None:
+    package = ""
+    messages = []
+    enums = []
+    for number, _wire, value in _iter_fields(buf):
+        if number == 2:
+            package = value.decode()
+        elif number == 4:
+            messages.append(value)
+        elif number == 5:
+            enums.append(value)
+    prefix = package + "." if package else ""
+    for mb in messages:
+        _parse_message_desc(mb, prefix, pool)
+    for eb in enums:
+        e = _parse_enum_desc(eb, prefix)
+        pool[e.full_name] = e
+
+
+def _link(pool: dict) -> None:
+    for desc in list(pool.values()):
+        if not isinstance(desc, MessageDesc):
+            continue
+        for f in desc.fields:
+            if f.type in (TYPE_MESSAGE, TYPE_ENUM):
+                ref = f.type_name.lstrip(".")
+                target = pool.get(ref)
+                if target is None:
+                    raise PbdDecodeError("Unresolved type reference %s" % f.type_name)
+                if f.type == TYPE_MESSAGE:
+                    f.message = target
+                else:
+                    f.enum = target
+            elif f.type == TYPE_GROUP:
+                raise PbdDecodeError("Protobuf groups are not supported")
+
+
+# ------------------------------------------------------------- decoding
+
+
+def _scalar_from_varint(f: FieldDesc, v: int) -> Any:
+    t = f.type
+    if t in (TYPE_INT64, TYPE_INT32):
+        return _signed64(v) if t == TYPE_INT64 else _signed32(v)
+    if t in (TYPE_UINT64, TYPE_UINT32):
+        return v
+    if t == TYPE_BOOL:
+        return bool(v)
+    if t == TYPE_ENUM:
+        return f.enum.values.get(v, str(v))
+    if t == TYPE_SINT32 or t == TYPE_SINT64:
+        return _zigzag(v)
+    raise PbdDecodeError("Not a varint type: %d" % t)
+
+
+def _scalar_from_fixed(f: FieldDesc, v: int) -> Any:
+    t = f.type
+    if t == TYPE_DOUBLE:
+        return struct.unpack("<d", struct.pack("<Q", v))[0]
+    if t == TYPE_FLOAT:
+        return struct.unpack("<f", struct.pack("<I", v))[0]
+    if t == TYPE_FIXED64:
+        return v
+    if t == TYPE_SFIXED64:
+        return _signed64(v)
+    if t == TYPE_FIXED32:
+        return v
+    if t == TYPE_SFIXED32:
+        return _signed32(v)
+    raise PbdDecodeError("Not a fixed type: %d" % t)
+
+
+def _unpack_packed(f: FieldDesc, buf: bytes) -> List[Any]:
+    out = []
+    pos = 0
+    while pos < len(buf):
+        if f.type in _VARINT_TYPES:
+            v, pos = _read_varint(buf, pos)
+            out.append(_scalar_from_varint(f, v))
+        elif f.type in _FIXED64_TYPES:
+            v = struct.unpack_from("<Q", buf, pos)[0]
+            pos += 8
+            out.append(_scalar_from_fixed(f, v))
+        elif f.type in _FIXED32_TYPES:
+            v = struct.unpack_from("<I", buf, pos)[0]
+            pos += 4
+            out.append(_scalar_from_fixed(f, v))
+        else:
+            raise PbdDecodeError("Packed encoding on non-numeric field %s" % f.name)
+    return out
+
+
+def _default_value(f: FieldDesc) -> Any:
+    """proto2/proto3 default fill for absent singular fields
+    (reference pbd.cpp:233-278)."""
+    if f.default_value is not None:
+        d = f.default_value
+        if f.type in (TYPE_STRING,):
+            return d
+        if f.type == TYPE_BYTES:
+            return d.encode("latin-1")
+        if f.type == TYPE_BOOL:
+            return d == "true"
+        if f.type in (TYPE_DOUBLE, TYPE_FLOAT):
+            return float(d)
+        if f.type == TYPE_ENUM:
+            return d
+        return int(d)
+    if f.type in (TYPE_DOUBLE, TYPE_FLOAT):
+        return 0.0
+    if f.type == TYPE_STRING:
+        return ""
+    if f.type == TYPE_BYTES:
+        return b""
+    if f.type == TYPE_BOOL:
+        return False
+    if f.type == TYPE_ENUM:
+        return f.enum.first_symbol() if f.enum else ""
+    if f.type == TYPE_MESSAGE:
+        return None
+    return 0
+
+
+def decode_message(buf: bytes, desc: MessageDesc) -> Dict[str, Any]:
+    values: Dict[str, Any] = {}
+    by_number = desc.by_number()
+    for number, wire, raw in _iter_fields(buf):
+        f = by_number.get(number)
+        if f is None:
+            continue  # unknown-field skip (pbd.hpp:176-207)
+        repeated = f.label == LABEL_REPEATED
+        if f.type == TYPE_MESSAGE:
+            item = decode_message(raw, f.message)
+        elif wire == 2 and f.type in (TYPE_STRING, TYPE_BYTES):
+            item = raw.decode("utf-8") if f.type == TYPE_STRING else bytes(raw)
+        elif wire == 2 and repeated:
+            values.setdefault(f.name, []).extend(_unpack_packed(f, raw))
+            continue
+        elif wire == 0:
+            item = _scalar_from_varint(f, raw)
+        else:
+            item = _scalar_from_fixed(f, raw)
+        if repeated:
+            values.setdefault(f.name, []).append(item)
+        else:
+            values[f.name] = item
+    # default fill for absent fields
+    for f in desc.fields:
+        if f.name not in values:
+            values[f.name] = [] if f.label == LABEL_REPEATED else _default_value(f)
+    return values
+
+
+# ------------------------------------------------------------ container
+
+
+def parse_container(data: bytes) -> Tuple[MessageDesc, List[bytes]]:
+    if data[:4] != MAGIC:
+        raise PbdDecodeError("Not a PBD file (bad magic)")
+    pos = 5  # magic + version byte
+    n_files, pos = _read_varint(data, pos)
+    pool: dict = {}
+    for _ in range(n_files):
+        size, pos = _read_varint(data, pos)
+        _parse_file_desc(data[pos : pos + size], pool)
+        pos += size
+    _link(pool)
+    size, pos = _read_varint(data, pos)
+    root_name = data[pos : pos + size].decode()
+    pos += size
+    root = pool.get(root_name)
+    if not isinstance(root, MessageDesc):
+        raise PbdDecodeError("Root message %s not found in descriptors" % root_name)
+    messages = []
+    while pos < len(data):
+        size, pos = _read_varint(data, pos)
+        messages.append(data[pos : pos + size])
+        pos += size
+    return root, messages
+
+
+# ---------------------------------------------------------- spark schema
+
+_SPARK_TYPES = {
+    TYPE_DOUBLE: T.DoubleType(),
+    TYPE_FLOAT: T.FloatType(),
+    TYPE_INT64: T.LongType(),
+    TYPE_UINT64: T.DecimalType(20, 0),
+    TYPE_INT32: T.IntegerType(),
+    TYPE_FIXED64: T.DecimalType(20, 0),
+    TYPE_FIXED32: T.LongType(),
+    TYPE_BOOL: T.BooleanType(),
+    TYPE_STRING: T.StringType(),
+    TYPE_BYTES: T.BinaryType(),
+    TYPE_UINT32: T.LongType(),
+    TYPE_ENUM: T.StringType(),
+    TYPE_SFIXED32: T.IntegerType(),
+    TYPE_SFIXED64: T.LongType(),
+    TYPE_SINT32: T.IntegerType(),
+    TYPE_SINT64: T.LongType(),
+}
+
+
+def pbd_to_spark(desc: MessageDesc) -> T.StructType:
+    """Descriptor → Spark schema; unsigned types widen per SURVEY §1.3."""
+    fields = []
+    for f in desc.fields:
+        if f.type == TYPE_MESSAGE:
+            inner: T.DataType = pbd_to_spark(f.message)
+        else:
+            inner = _SPARK_TYPES[f.type]
+        if f.label == LABEL_REPEATED:
+            inner = T.ArrayType(inner, True)
+        fields.append(T.StructField(f.name, inner, True))
+    return T.StructType(fields)
+
+
+def decode_pbd(data: bytes) -> Tuple[List[Dict[str, Any]], T.StructType]:
+    root, payloads = parse_container(data)
+    schema = pbd_to_spark(root)
+    records = [decode_message(p, root) for p in payloads]
+    return records, schema

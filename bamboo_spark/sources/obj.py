@@ -173,6 +173,12 @@ def _normalize(obj: Any, dtype: T.DataType, dict_as_record: bool) -> Any:
         obj = obj.item()
     if isinstance(dtype, T.DoubleType) and isinstance(obj, int) and not isinstance(obj, bool):
         return float(obj)
+    if isinstance(dtype, T.DecimalType) and isinstance(obj, int):
+        import decimal
+
+        return decimal.Decimal(obj)
+    if isinstance(dtype, T.FloatType) and isinstance(obj, (int, float)):
+        return float(obj)
     if isinstance(dtype, T.BinaryType) and isinstance(obj, bytearray):
         return bytes(obj)
     return obj

@@ -1,0 +1,14 @@
+"""Structured Streaming surface (capability extension; the reference is
+batch-only — SURVEY.md §1.3 end).
+
+The flatten planner emits only stateless ``select``/``explode`` chains,
+so it applies to streaming DataFrames unmodified (`flatten_stream`).
+Windowed aggregation with watermarks covers the late-data rollup shape;
+`sessionize_stream` shows the stateful custom-operator escape hatch
+(applyInPandasWithState) the engine reserves for semantics Spark's
+built-ins can't express.
+"""
+
+from bamboo_spark.streaming.core import flatten_stream, windowed_counts
+
+__all__ = ["flatten_stream", "windowed_counts"]
