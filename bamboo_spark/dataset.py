@@ -129,6 +129,63 @@ class Dataset:
         )
         return FlatFrame(sdf, labels)
 
+    # -- relational surface (SURVEY §7.5) ----------------------------------
+    # The reference has no relational operators (SURVEY §2 end); Spark's
+    # are the ceiling. Exposed as thin Dataset-preserving delegations so a
+    # pipeline can stay in one handle: each is pure Catalyst, nothing added.
+
+    def _wrap(self, df: DataFrame) -> "Dataset":
+        return Dataset(df)
+
+    def select(self, *cols) -> "Dataset":
+        return self._wrap(self._df.select(*cols))
+
+    def where(self, condition) -> "Dataset":
+        return self._wrap(self._df.where(condition))
+
+    filter = where
+
+    def join(self, other: "Dataset", on=None, how: str = "inner") -> "Dataset":
+        other_df = other.df if isinstance(other, Dataset) else other
+        return self._wrap(self._df.join(other_df, on, how))
+
+    def group_by(self, *cols):
+        return self._df.groupBy(*cols)
+
+    def agg(self, *exprs) -> "Dataset":
+        return self._wrap(self._df.agg(*exprs))
+
+    def order_by(self, *cols) -> "Dataset":
+        return self._wrap(self._df.orderBy(*cols))
+
+    def limit(self, n: int) -> "Dataset":
+        return self._wrap(self._df.limit(n))
+
+    def distinct(self) -> "Dataset":
+        return self._wrap(self._df.distinct())
+
+    def union(self, other: "Dataset") -> "Dataset":
+        other_df = other.df if isinstance(other, Dataset) else other
+        return self._wrap(self._df.unionByName(other_df))
+
+    def subtract(self, other: "Dataset") -> "Dataset":
+        other_df = other.df if isinstance(other, Dataset) else other
+        return self._wrap(self._df.subtract(other_df))
+
+    def intersect(self, other: "Dataset") -> "Dataset":
+        other_df = other.df if isinstance(other, Dataset) else other
+        return self._wrap(self._df.intersect(other_df))
+
+    def with_column(self, name: str, col) -> "Dataset":
+        return self._wrap(self._df.withColumn(name, col))
+
+    def drop(self, *cols) -> "Dataset":
+        return self._wrap(self._df.drop(*cols))
+
+    def explode_outer_all(self) -> "FlatFrame":
+        """Convenience: flatten with OUTER join semantics."""
+        return self.flatten(join=JoinType.OUTER)
+
     # -- convenience -------------------------------------------------------
     def to_pandas(self, **kwargs) -> pd.DataFrame:
         return self.flatten(**kwargs).to_pandas()
