@@ -102,16 +102,24 @@ def lang_scores(col: str = "text") -> dict:
 
 def lang_id(col: str = "text") -> Column:
     """argmax over per-language stopword hit counts; ties break by the
-    fixed language order (en, es, de, fr, zh)."""
-    scores = lang_scores(col)
+    fixed language order (en, es, de, fr, zh).
+
+    Built as array_max over (score, -index) structs — a CASE-chain argmax
+    would repeat every score expression ~2L times (no CSE through CASE);
+    this evaluates each score once. Tie semantics identical: max on
+    (score, -idx) prefers the earliest language on equal scores.
+    """
     langs = list(STOPWORDS)
-    best = scores[langs[0]]
-    best_lang = F.lit(langs[0])
-    for lang in langs[1:]:
-        cond = scores[lang] > best
-        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-        best = F.when(cond, scores[lang]).otherwise(best)
-    return best_lang
+    entries = [
+        F.struct(
+            stopword_count(lang, col).alias("s"), F.lit(-i).alias("ni")
+        )
+        for i, lang in enumerate(langs)
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.element_at(
+        F.array(*[F.lit(lang) for lang in langs]), (-best.getField("ni") + 1).cast("int")
+    )
 
 
 def lang_id_duck(col: str = "text") -> str:

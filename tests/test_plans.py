@@ -1,0 +1,81 @@
+"""Physical-plan audits: the properties that make the engine scale must
+not regress — filter/projection pushdown to the scan, broadcast joins on
+dims, Generate (explode) inside codegen, nested-schema pruning."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bamboo_spark import queries as q
+from bamboo_spark.dataset import Dataset
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def simple_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_and_projection_pushdown(spark):
+    df = q.q1_pricing_summary(spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # projection pruning: unused lineitem columns don't reach the scan
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_orderkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = plan_of(q.q5_region_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q6_all_predicates_pushed(spark):
+    plan = plan_of(q.q6_forecast_revenue(spark, SF))
+    pushed = plan.split("PushedFilters")[1][:300]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+
+
+def test_flatten_is_generate_with_nested_pruning(spark, tmp_path):
+    # nested parquet: struct with an array of structs + an unused sibling
+    src = spark.createDataFrame(
+        [(1, ([(10, 100), (20, 200)], "unused")), (2, ([(30, 300)], "x"))],
+        "id long, payload struct<items: array<struct<a: long, b: long>>, junk: string>",
+    )
+    path = str(tmp_path / "nested.parquet")
+    src.write.parquet(path)
+    ds = Dataset(spark.read.parquet(path))
+    flat = ds.flatten(include=["id", "payload.items.a"])
+    plan = plan_of(flat.df)
+    assert "Generate" in plan  # explode planned as GenerateExec
+    read_schema = plan.split("ReadSchema")[1][:400]
+    # nested schema pruning: junk and b are never read
+    assert "junk" not in read_schema
+    assert "b:bigint" not in read_schema and "a:bigint" in read_schema
+    rows = flat.df.collect()
+    assert [r.a for r in rows] == [10, 20, 30]
+
+
+def test_topk_broadcasts_queries(spark):
+    plan = plan_of(q.q_ann_topk(spark, SF)) if hasattr(q, "q_ann_topk") else plan_of(
+        q.queries()["ann_topk"](spark, SF)
+    )
+    assert "Broadcast" in plan
+
+
+def test_text_stats_is_single_project_over_scan(spark):
+    # narrow per-row projection: no shuffle except the cosmetic sort, and
+    # only (doc_id, text) read from the scan
+    plan = plan_of(q.q_text_stats(spark, SF))
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema  # unused columns pruned
+    # formatted explain prints each node twice (tree + detail); count the
+    # tree section only — one Exchange (the cosmetic output sort), no more
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 1
