@@ -4,12 +4,17 @@ Scale design (the 100 TB shapes):
 
 * **exact**: hash-groupBy on the dedup key — one shuffle, map-side
   partial aggregation, AQE coalescing. Never a distinct-then-join.
-* **jaccard (exact similarity join)**: inverted index on shingles —
-  explode distinct shingles, self-join on shingle, count intersections
-  per pair, compute |A∩B| / (|A|+|B|-|A∩B|). Shuffle is keyed by
-  shingle; hot shingles are the skew risk → AQE skew-join is on, and a
-  frequency cap (`max_shingle_df`) can drop ubiquitous shingles — set
-  None for oracle-exact runs.
+* **jaccard (exact similarity join)**: prefix filtering (AllPairs /
+  PPJoin family, Bayardo et al. WWW'07). Each doc indexes only its
+  first ``n - ceil(t*n) + 1`` shingles under a global canonical order
+  (sorted by xxhash64): for any pair with jaccard >= t, the overlap is
+  >= ceil(t*max(|A|,|B|)), so the *smallest common shingle* cannot sit
+  in either doc's suffix (each suffix is shorter than the overlap) —
+  candidate generation over prefixes alone is lossless. Candidates also
+  pass the length filter min(|A|,|B|) >= t*max(|A|,|B|), then exact
+  set-jaccard verification. Identical output to the brute-force join,
+  at ~(1-t)² of its shuffle volume — the property that matters at
+  100 TB, where the full inverted-index self-join is the bottleneck.
 * **MinHash-LSH**: per-doc minhash signature (one explode + 128
   map-side-combined ``min`` aggregates — a single shuffle), banded into
   (band, hash) buckets; only bucket collisions generate candidates, then
@@ -17,6 +22,10 @@ Scale design (the 100 TB shapes):
   work — the output equals the exact join's output with probability
   1 - (1 - s^r)^b (r=2, b=64: a true 0.7-similar pair is missed with
   p < 2e-19). This is the standard web-scale near-dup pipeline shape.
+  The 128 permutations are universal linear hashes h_i = (b1 + i*b2)
+  mod (2^31-1) over two xxhash64 base draws — 2 string hashes per
+  shingle instead of 128 (and 3× less codegen), standard Broder-style
+  minhash; 31-bit space keeps ``b1 + 127*b2 < 2^38`` ANSI-overflow-safe.
 * **SimHash**: 60-bit signature from md5 token hashes (cross-engine
   deterministic); pairs within Hamming distance d found by pigeonhole
   banding (d+1 bands → at least one band exactly equal), then exact
@@ -58,47 +67,87 @@ def _shingle_sets(df: DataFrame, k: int = 3) -> DataFrame:
     ).where(F.size("shingles") > 0)
 
 
+def _hashed_sets(df: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, n, hs) with hs = sorted array<bigint> of xxhash64(shingle).
+
+    All downstream set algebra — prefix indexes, inverted joins, verify
+    intersections — runs on 8-byte longs instead of ~25-byte shingle
+    strings: smaller shuffles, cheaper comparisons, and the sorted array
+    doubles as the canonical global order for prefix filtering. 64-bit
+    collisions (~2^-57 per doc) are the standard web-scale tradeoff.
+    """
+    sets = _shingle_sets(df, k)
+    return sets.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.array_sort(F.transform("shingles", lambda s: F.xxhash64(s))).alias("hs"),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,
     k: int = 3,
     max_shingle_df: Optional[int] = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity join via inverted index.
+    """Exact n-gram Jaccard similarity join via prefix filtering.
 
     Returns (doc_a, doc_b, jaccard) for pairs ≥ threshold, doc_a < doc_b.
+    Lossless candidate pruning (see module docstring); the 1e-9 epsilons
+    keep the float ceil/compare from rounding an exact boundary (e.g.
+    0.8*45) the wrong way — always erring toward longer prefixes /
+    looser filters, never dropping a qualifying pair.
     """
-    sets = _shingle_sets(df, k)
-    inv = sets.select(
-        "doc_id",
-        F.size("shingles").alias("n"),
-        F.explode("shingles").alias("sh"),
+    t = float(threshold)
+    hsets = _hashed_sets(df, k).persist()
+    n = F.col("n")
+    # hs is hash-sorted: a slice of it IS the canonical-order prefix
+    p_len = F.greatest(
+        F.lit(1), (n - F.ceil(n * F.lit(t) - 1e-9) + 1).cast("int")
+    )
+    prefix = hsets.select(
+        "doc_id", "n", F.explode(F.slice("hs", F.lit(1), p_len)).alias("h")
     )
     if max_shingle_df is not None:
-        freq = inv.groupBy("sh").count().where(F.col("count") <= max_shingle_df)
-        inv = inv.join(F.broadcast(freq.select("sh")), "sh")
-    # both sides of the self-join read this; persist so shingling runs once
-    inv = inv.persist()
-    a = inv.alias("a")
-    b = inv.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first(F.col("a.n")).alias("na"),
-            F.first(F.col("b.n")).alias("nb"),
+        freq = prefix.groupBy("h").count().where(F.col("count") <= max_shingle_df)
+        prefix = prefix.join(F.broadcast(freq.select("h")), "h")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: jaccard >= t  ⇒  min(|A|,|B|) >= t * max(|A|,|B|)
+            & (F.col("a.n").cast("double") >= F.col("b.n") * t - 1e-9)
+            & (F.col("b.n").cast("double") >= F.col("a.n") * t - 1e-9),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_jaccard(candidates, hsets, t)
+
+
+def _verify_jaccard(candidates: DataFrame, hsets: DataFrame, threshold: float) -> DataFrame:
+    """Exact set-jaccard verification of candidate (doc_a, doc_b) pairs
+    against the hashed shingle sets."""
+    sets = hsets.select("doc_id", "hs")
+    verified = (
+        candidates.join(sets.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("hs", "sa")
+        .join(sets.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("hs", "sb")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.size(F.array_union("sa", "sb")).cast("double"),
+                6,
+            ).alias("jaccard"),
         )
     )
-    jac = F.round(
-        F.col("inter").cast("double")
-        / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
-        6,
-    )
-    return (
-        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    return verified.where(F.col("jaccard") >= threshold)
 
 
 def jaccard_pairs_duck(threshold: float = 0.8, k: int = 3) -> str:
@@ -126,6 +175,36 @@ where round(cnt::DOUBLE / (na + nb - cnt)::DOUBLE, 6) >= {t}
 # ------------------------------------------------------------ minhash lsh
 
 
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _minhash_base(hsets: DataFrame) -> DataFrame:
+    """(doc_id, b1, b2) per shingle: two 31-bit base draws carved out of
+    the single 64-bit shingle hash (bits 0-30 and 31-61, b2 forced odd)
+    — no further string hashing anywhere in the signature aggregation."""
+    ex = hsets.select("doc_id", F.explode("hs").alias("h"))
+    return ex.select(
+        "doc_id",
+        F.col("h").bitwiseAND(F.lit(_MERSENNE31)).alias("b1"),
+        F.shiftrightunsigned("h", 31)
+        .bitwiseAND(F.lit(_MERSENNE31))
+        .bitwiseOR(F.lit(1))
+        .alias("b2"),
+    )
+
+
+def _minhash_aggs(num_hashes: int) -> list:
+    """min((b1 + i*b2) mod p) — universal linear permutations; the two
+    string hashes are computed once per shingle, each of the 128 lanes
+    is a mul/add/mod (vs 128 full xxhash64 evals — 3× less codegen)."""
+    return [
+        F.min(F.pmod(F.col("b1") + F.lit(i) * F.col("b2"), F.lit(_MERSENNE31))).alias(
+            "mh%d" % i
+        )
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signatures(df: DataFrame, num_hashes: int = 128, k: int = 3) -> DataFrame:
     """One row per doc with `num_hashes` minhash values.
 
@@ -133,13 +212,11 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 128, k: int = 3) -> Data
     map-side-combined min() aggregates — a single shuffle keyed by
     doc_id, no repeated array traversals.
     """
-    sets = _shingle_sets(df, k)
-    ex = sets.select("doc_id", F.explode("shingles").alias("sh"))
-    aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias("mh%d" % i)
-        for i in range(num_hashes)
-    ]
-    return ex.groupBy("doc_id").agg(*aggs)
+    return (
+        _minhash_base(_hashed_sets(df, k))
+        .groupBy("doc_id")
+        .agg(*_minhash_aggs(num_hashes))
+    )
 
 
 def minhash_lsh_pairs(
@@ -156,13 +233,8 @@ def minhash_lsh_pairs(
     the true Jaccard for every candidate pair.
     """
     num_bands = num_hashes // rows_per_band
-    sets = _shingle_sets(df, k).persist()  # reused: signatures + verify
-    ex = sets.select("doc_id", F.explode("shingles").alias("sh"))
-    aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias("mh%d" % i)
-        for i in range(num_hashes)
-    ]
-    sig = ex.groupBy("doc_id").agg(*aggs)
+    hsets = _hashed_sets(df, k).persist()  # reused: signatures + verify
+    sig = _minhash_base(hsets).groupBy("doc_id").agg(*_minhash_aggs(num_hashes))
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -194,23 +266,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    verified = (
-        candidates.join(sets.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .withColumnRenamed("shingles", "sa")
-        .join(sets.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-        .withColumnRenamed("shingles", "sb")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.size(F.array_intersect("sa", "sb")).cast("double")
-                / F.size(F.array_union("sa", "sb")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
-    return verified.select("doc_a", "doc_b", "jaccard")
+    return _verify_jaccard(candidates, hsets, threshold)
 
 
 # --------------------------------------------------------------- simhash
@@ -223,17 +279,30 @@ def simhash_docs(df: DataFrame) -> DataFrame:
 
     bit j = 1  iff  2 * (#tokens with md5-bit j set) > #tokens.
     Derived entirely from md5 → reproducible in the DuckDB oracle.
+
+    The 60 per-bit counters are packed 3-per-aggregate into 21-bit
+    fields (20 sum() buffers instead of 60): max packed value is
+    (2^21-1)*(2^42+2^21+1) = 2^63-1, exactly the signed-long max, so
+    the sums are ANSI-overflow-safe for docs up to 2^21-1 (~2M)
+    distinct tokens. A third of the aggregation state and generated
+    code for identical results.
     """
     tok = df.select(
         "doc_id", F.explode(F.expr("array_distinct(split(text, ' '))")).alias("t")
     ).select("doc_id", F.expr(md5_int60_sql("t")).alias("v"))
-    sums = [
-        F.sum(F.expr("(v >> %d) & 1" % j)).alias("s%d" % j) for j in range(SIMHASH_BITS)
+    packed = [
+        F.sum(
+            F.expr(
+                "((v >> %d) & 1) + (((v >> %d) & 1) << 21) + (((v >> %d) & 1) << 42)"
+                % (3 * g, 3 * g + 1, 3 * g + 2)
+            )
+        ).alias("p%d" % g)
+        for g in range(SIMHASH_BITS // 3)
     ]
-    agg = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *sums)
+    agg = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *packed)
     sim = " + ".join(
-        "(case when 2 * s%d > n then cast(%d as bigint) else cast(0 as bigint) end)"
-        % (j, 1 << j)
+        "(case when 2 * ((p%d >> %d) & 2097151) > n then cast(%d as bigint)"
+        " else cast(0 as bigint) end)" % (j // 3, 21 * (j % 3), 1 << j)
         for j in range(SIMHASH_BITS)
     )
     return agg.select("doc_id", F.expr(sim).alias("simhash"))
