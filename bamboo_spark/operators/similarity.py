@@ -80,29 +80,90 @@ where round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= {t}
 """.format(t=threshold)
 
 
+def _round6_half_away(x: "np.ndarray") -> "np.ndarray":
+    """SQL ROUND(x, 6): half away from zero (both Spark and DuckDB)."""
+    return np.where(x >= 0, np.floor(x * 1e6 + 0.5), np.ceil(x * 1e6 - 0.5)) / 1e6
+
+
+def cosine_pairs_bcast_gemm(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine with the *whole normalized matrix
+    broadcast*: one mapInPandas pass, each Arrow batch runs a single
+    BLAS matmul against the broadcast side, a pair is emitted exactly
+    once by the partition owning its smaller id. Zero shuffle (the only
+    exchange is the tiny result); the right plan whenever n·dim·8B fits
+    executor memory (≈1M vectors at dim 64). Beyond that, use
+    ``cosine_pairs_gemm``'s blocked path.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = df.select(id_col, vec).collect()
+    ids = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+    mat = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    bc = df.sparkSession.sparkContext.broadcast((ids, mat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
+    )
+
+    def gen(batches):
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a_mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
+            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+            sims = _round6_half_away(a_mat @ b_mat.T)
+            ia, ib = np.nonzero((sims >= threshold) & (a_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame(
+                {"id_a": a_ids[ia], "id_b": b_ids[ib], "cosine": sims[ia, ib]}
+            )
+
+    return df.select(id_col, vec).mapInPandas(gen, out_schema)
+
+
 def cosine_pairs_gemm(
     df: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec: str = "embedding",
     block_size: int = 2048,
+    broadcast_limit_bytes: int = 256 << 20,
 ) -> DataFrame:
-    """Exact all-pairs cosine via *blocked GEMM*: rows are bucketed into
-    √-blocks, every block-pair becomes one applyInPandas group, and each
-    group runs a single numpy float64 matmul (BLAS) instead of per-pair
-    array lambdas. Identical output to ``cosine_pairs`` (round-half-up
-    at 6 decimals applied in the kernel to match SQL ROUND).
+    """Exact all-pairs cosine via GEMM. Two physical strategies:
 
-    This is also the right *verify kernel* at 100 TB: ANN bucketing
-    (``hyperplane_buckets``/IVF) bounds each bucket, and the bucket-local
-    exact pass is this GEMM — data parallel across groups, BLAS within.
-    Replication cost: each row is shipped to n_blocks groups; pick
-    block_size so a block-pair (~2·bs·dim·8 bytes) fits executor memory.
+    * the dataset's normalized matrix fits ``broadcast_limit_bytes`` →
+      ``cosine_pairs_bcast_gemm`` (no replication, no shuffle);
+    * otherwise *blocked GEMM*: rows bucketed into √-blocks, every
+      block-pair one applyInPandas group, one float64 matmul per group.
+      Replication cost: each row ships to n_blocks groups; pick
+      block_size so a block-pair (~2·bs·dim·8 B) fits executor memory.
+
+    Identical output either way (round-half-away at 6 decimals in the
+    kernel to match SQL ROUND). This is also the right *verify kernel*
+    at 100 TB: ANN bucketing (``hyperplane_buckets``/IVF) bounds each
+    bucket, and the bucket-local exact pass is this GEMM.
     """
     import pandas as pd
     from pyspark.sql import types as T
 
     n = df.count()
+    dim = len(df.select(vec).first()[0])
+    if n * dim * 8 <= broadcast_limit_bytes:
+        return cosine_pairs_bcast_gemm(df, threshold, id_col, vec)
     n_blocks = max(1, -(-n // block_size))
 
     base = df.select(
@@ -172,23 +233,59 @@ def topk_neighbors(
     id_col: str = "vec_id",
     vec: str = "embedding",
 ) -> DataFrame:
-    """Brute-force top-k cosine neighbors for a small query set.
-
-    The query side is broadcast (small dim table pattern); ties break on
-    neighbor id for determinism.
+    """Brute-force top-k cosine neighbors for a small query set — the
+    canonical distributed kNN shape: broadcast the query matrix, one
+    BLAS matmul per Arrow batch, *per-partition partial top-k* (only
+    n_partitions·|Q|·k rows survive the kernel), then a global window
+    merge. The candidate side streams — no replication, no shuffle of
+    the vectors themselves. Ties break on neighbor id, applied to the
+    ROUNDed cosine in both the kernel and the merge, matching the
+    oracle's rank-after-round.
     """
-    from pyspark.sql import Window
+    import pandas as pd
+    from pyspark.sql import Window, types as T
 
-    e = with_norm(df.select(id_col, vec))
-    q = e.where(F.col(id_col) < query_ids_below).select(
-        F.col(id_col).alias("query_id"), F.col(vec).alias("qv"), F.col("_norm").alias("qn")
+    q_rows = df.where(F.col(id_col) < query_ids_below).select(id_col, vec).collect()
+    q_ids = np.fromiter((r[0] for r in q_rows), dtype=np.int64, count=len(q_rows))
+    q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = df.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
     )
-    c = e.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec).alias("cv"), F.col("_norm").alias("cn")
-    )
-    joined = F.broadcast(q).crossJoin(c).where(F.col("query_id") != F.col("neighbor_id"))
-    cos = F.round(_dot_expr("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
-    scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+
+    def gen(batches):
+        qi, qm = bc.value
+        for pdf in batches:
+            if not len(pdf) or not len(qi):
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = _round6_half_away(qm @ c_mat.T)  # |Q| × batch
+            out_q, out_n, out_c = [], [], []
+            for row, qid in enumerate(qi):
+                s = sims[row]
+                valid = c_ids != qid
+                # partial top-k by (cosine desc, neighbor_id asc)
+                order = np.lexsort((c_ids[valid], -s[valid]))[:k]
+                out_q.append(np.full(len(order), qid))
+                out_n.append(c_ids[valid][order])
+                out_c.append(s[valid][order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    scored = df.select(id_col, vec).mapInPandas(gen, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
