@@ -84,3 +84,136 @@ def decode_media(df: DataFrame, id_col: str = "doc_id", data_col: str = "data") 
             yield pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
 
     return df.select(id_col, data_col).mapInPandas(run, DECODED_SCHEMA)
+
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType(), False), False),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame, id_col: str = "doc_id", data_col: str = "data"
+) -> DataFrame:
+    """Feature extraction over binary payloads: Arrow-batched
+    mapInPandas producing a FEATURE_DIM-dim double vector per payload.
+
+    The "model" is a deterministic md5-derived embedding (byte i of the
+    digest scaled to [0,1], rounded half-away at 6 decimals) so the
+    whole pipeline — binary column in, fixed-width vector column out,
+    ready for the similarity operators — is exercised end-to-end AND
+    byte-reproducible in the DuckDB oracle. Swap the digest for a real
+    encoder (CLIP etc.) without touching the Spark plumbing.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[data_col]):
+                h = hashlib.md5(bytes(payload)).digest()
+                vec = [
+                    # floor(x*1e6+0.5)/1e6 == SQL ROUND(x, 6) for x >= 0,
+                    # applied to the same double (h/255.0) the oracle rounds
+                    int((h[i] / 255.0) * 1e6 + 0.5) / 1e6
+                    for i in range(FEATURE_DIM)
+                ]
+                ids.append(int(doc_id))
+                feats.append(vec)
+            yield pd.DataFrame({"doc_id": ids, "features": feats})
+
+    return df.select(id_col, data_col).mapInPandas(run, FEATURES_SCHEMA)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+    real_codec: bool = False,
+) -> DataFrame:
+    """Resize plumbing: mapInPandas with (id, resized binary, meta)
+    output. The pixel transform needs an image library that doesn't
+    ship in this container — ``real_codec=True`` raises
+    NotImplementedError at the first batch; the default deterministic
+    fake emits the payload's md5 tiled to the target byte size so batch
+    shapes, schema, and partition behavior are testable.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("data", T.BinaryType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+        ]
+    )
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_codec:
+                raise NotImplementedError(
+                    "no image codec in this environment; install PIL and "
+                    "replace the fake branch with Image.open(...).resize(...)"
+                )
+            ids, blobs = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[data_col]):
+                digest = hashlib.md5(bytes(payload)).digest()
+                blobs.append((digest * (target // len(digest) + 1))[:target])
+                ids.append(int(doc_id))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "data": blobs,
+                    "width": [width] * len(ids),
+                    "height": [height] * len(ids),
+                }
+            )
+
+    return df.select(id_col, data_col).mapInPandas(run, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """Frame sampling plumbing for video payloads: one output row per
+    (doc, frame_idx) with the frame's byte offset — evenly spaced over
+    the payload, the same contract a real demuxer would fill. The frame
+    *decode* is the stubbed step; offsets/slicing are real so the
+    explode shape, schema, and ordering are testable.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("byte_offset", T.LongType(), False),
+            T.StructField("frame", T.BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[data_col]):
+                raw = bytes(payload)
+                step = max(1, len(raw) // max(1, n_frames))
+                for i in range(n_frames):
+                    off = min(i * step, max(0, len(raw) - 1))
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": i,
+                            "byte_offset": off,
+                            "frame": raw[off : off + 16],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.select(id_col, data_col).mapInPandas(run, out_schema)

@@ -350,6 +350,129 @@ def hyperplane_buckets(
     return df.select(id_col, bucket.alias("bucket"))
 
 
+def ivf_assign(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: assign each vector to its nearest centroid
+    by cosine (rounded at 6 decimals; ties → lower centroid id).
+
+    Centroids are the ``n_centroids`` lowest-id vectors — a
+    deterministic stand-in for k-means so the assignment is
+    oracle-reproducible; the operator shape (broadcast centroid matrix,
+    one GEMM per Arrow batch, argmax) is exactly what a trained
+    quantizer uses. Rounding before the argmax keeps cross-engine ulp
+    noise from flipping near-ties.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    c_rows = df.where(F.col(id_col) < n_centroids).select(id_col, vec).collect()
+    c_ids = np.fromiter((r[0] for r in c_rows), dtype=np.int64, count=len(c_rows))
+    c_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in c_rows])
+    c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+    bc = df.sparkSession.sparkContext.broadcast((c_ids, c_mat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("centroid", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches):
+        ci, cm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = _round6_half_away(mat @ cm.T)  # batch × C
+            # argmax by (sim desc, centroid id asc)
+            order = np.lexsort((np.broadcast_to(ci, sims.shape), -sims), axis=1)
+            yield pd.DataFrame({id_col: ids, "centroid": ci[order[:, 0]]})
+
+    return df.select(id_col, vec).mapInPandas(gen, out_schema)
+
+
+def ivf_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF-bucketed ANN near-dup pairs: coarse-assign every vector to a
+    centroid, then run the exact GEMM verify *inside each bucket* (one
+    applyInPandas group per centroid). Pairs whose members land in
+    different buckets are missed — that's the IVF recall tradeoff
+    (probe more centroids to trade compute for recall); pairs emitted
+    are exact cosines. At scale this is the standard shape: the
+    quadratic verify is bounded per-bucket and buckets are data-parallel.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    assigned = df.select(id_col, vec).join(
+        ivf_assign(df, n_centroids, id_col, vec), id_col
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = _round6_half_away(mat @ mat.T)
+        ia, ib = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "cosine": sims[ia, ib]})
+
+    return assigned.groupBy("centroid").applyInPandas(kernel, out_schema)
+
+
+def ivf_pairs_duck(threshold: float = 0.4, n_centroids: int = 16) -> str:
+    """DuckDB oracle for ``ivf_pairs`` (same deterministic quantizer)."""
+    return """
+with e as (
+  select vec_id, [x::DOUBLE for x in embedding] v,
+         sqrt(list_dot_product([x::DOUBLE for x in embedding],
+                               [x::DOUBLE for x in embedding])) n
+  from embeddings
+),
+c as (select vec_id cid, v cv, n cn from e where vec_id < {nc}),
+scored as (
+  select e.vec_id, c.cid,
+         round(list_dot_product(e.v, c.cv) / (e.n * c.cn), 6) s
+  from e cross join c
+),
+assign as (
+  select vec_id, cid from (
+    select *, row_number() over (partition by vec_id
+                                 order by s desc, cid asc) r
+    from scored
+  ) where r = 1
+),
+j as (
+  select a.vec_id id_a, b.vec_id id_b,
+         round(list_dot_product(ea.v, eb.v) / (ea.n * eb.n), 6) cosine
+  from assign a
+  join assign b on a.cid = b.cid and a.vec_id < b.vec_id
+  join e ea on ea.vec_id = a.vec_id
+  join e eb on eb.vec_id = b.vec_id
+)
+select id_a, id_b, cosine from j where cosine >= {t}
+""".format(nc=n_centroids, t=threshold)
+
+
 def ann_pairs(
     df: DataFrame,
     threshold: float = 0.4,

@@ -193,3 +193,18 @@ def add_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
         lang_id(col).alias("lang_pred"),
         quality_score(col).alias("quality"),
     )
+
+
+# BPE-ish pre-tokenizer: letter runs, single digits, single punctuation
+# marks — the GPT-2-style split shape, restricted to ASCII classes so
+# Java (Spark) and RE2-ish (DuckDB) regex engines agree byte-for-byte.
+BPE_SPLIT_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count(col: str = "text") -> Column:
+    """Number of BPE-style pre-tokens (JVM regexp_count, codegen'd)."""
+    return F.expr("regexp_count(%s, '%s')" % (col, BPE_SPLIT_RE)).cast("bigint")
+
+
+def bpe_token_count_duck(col: str = "text") -> str:
+    return "len(regexp_extract_all(%s, '%s'))::BIGINT" % (col, BPE_SPLIT_RE)

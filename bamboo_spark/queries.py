@@ -500,6 +500,64 @@ from documents order by doc_id
 """
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → fixed-width feature vector via Arrow-batched
+    mapInPandas (deterministic md5 'model'; see
+    multimodal.extract_features). Exploded to scalars for the driver's
+    value-hash (array cells hash engine-specifically)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("data")
+    )
+    feats = multimodal.extract_features(d)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("idx", "feature")
+    ).select(
+        "doc_id", F.col("idx").cast("bigint").alias("idx"), "feature"
+    ).orderBy("doc_id", "idx")
+
+
+Q_MULTIMODAL_FEATURES_SQL = """
+select doc_id, i::BIGINT idx,
+       round((('0x' || substr(md5(text), 2*i + 1, 2))::BIGINT)::DOUBLE / 255.0, 6) feature
+from documents, generate_series(0, {dmax}) t(i)
+order by doc_id, idx
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_pairs(e, threshold=0.4, n_centroids=16).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words and BPE-style
+    pre-tokens (letter runs / digits / punctuation) — the
+    tokens-per-doc accounting a training-data pipeline budgets with."""
+    d = load(spark, sf_dir, "documents")
+    ws = text.token_count("text")
+    bpe = text.bpe_token_count("text")
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(
+            F.length("text").cast("double") / F.greatest(bpe, F.lit(1)).cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
+Q_TOKEN_COUNTS_SQL = """
+select doc_id,
+       len(string_split(text, ' '))::BIGINT ws_tokens,
+       {bpe} bpe_tokens,
+       round(length(text)::DOUBLE / greatest({bpe}, 1)::DOUBLE, 6) chars_per_token
+from documents order by doc_id
+"""
+
+
 # ============================================================ registry
 
 
@@ -522,9 +580,12 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "near_dup_embeddings": q_near_dup_embeddings,
         "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
         "text_stats": q_text_stats,
+        "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -549,9 +610,14 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_simhash": dedup.simhash_pairs_duck(max_hamming=2),
         "near_dup_embeddings": similarity.cosine_pairs_duck(threshold=0.4),
         "ann_topk": similarity.topk_neighbors_duck(query_ids_below=10, k=5),
+        "ann_ivf": similarity.ivf_pairs_duck(threshold=0.4, n_centroids=16),
         "text_stats": Q_TEXT_STATS_SQL.format(
             lang=text.lang_id_duck("text"), quality=text.quality_score_duck("text")
         ),
+        "token_counts": Q_TOKEN_COUNTS_SQL.format(bpe=text.bpe_token_count_duck("text")),
         "doc_fingerprint": Q_FINGERPRINT_SQL.format(fp=text.fingerprint_duck()),
         "multimodal_decode": Q_MULTIMODAL_SQL,
+        "multimodal_features": Q_MULTIMODAL_FEATURES_SQL.format(
+            dmax=multimodal.FEATURE_DIM - 1
+        ),
     }

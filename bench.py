@@ -38,9 +38,12 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "near_dup_embeddings",
     "ann_topk",
+    "ann_ivf",
     "text_stats",
+    "token_counts",
     "doc_fingerprint",
     "multimodal_decode",
+    "multimodal_features",
 ]
 
 

@@ -61,11 +61,13 @@ def test_flatten_is_generate_with_nested_pruning(spark, tmp_path):
     assert [r.a for r in rows] == [10, 20, 30]
 
 
-def test_topk_broadcasts_queries(spark):
-    plan = plan_of(q.q_ann_topk(spark, SF)) if hasattr(q, "q_ann_topk") else plan_of(
-        q.queries()["ann_topk"](spark, SF)
-    )
-    assert "Broadcast" in plan
+def test_topk_streams_candidates_no_join(spark):
+    # the query matrix rides a broadcast *variable* into mapInPandas;
+    # the candidate side must stream through one Python kernel — no
+    # cartesian/broadcast join of the vectors, no shuffle of embeddings
+    plan = plan_of(q.q_ann_topk(spark, SF))
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
 def test_text_stats_is_single_project_over_scan(spark):
