@@ -9,6 +9,10 @@ Windowed aggregation with watermarks covers the late-data rollup shape;
 built-ins can't express.
 """
 
-from bamboo_spark.streaming.core import flatten_stream, windowed_counts
+from bamboo_spark.streaming.core import (
+    flatten_stream,
+    sessionize_stream,
+    windowed_counts,
+)
 
-__all__ = ["flatten_stream", "windowed_counts"]
+__all__ = ["flatten_stream", "sessionize_stream", "windowed_counts"]

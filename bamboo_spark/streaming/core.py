@@ -43,6 +43,88 @@ def flatten_stream(
     return out
 
 
+def sessionize_stream(
+    sdf: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_ms: int = 30 * 60 * 1000,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization with
+    ``applyInPandasWithState`` — the streaming twin of the batch
+    ``q_sessionize`` (lag/gap/cumsum window chain).
+
+    State per user = the open session (start_ms, last_ms, n_events),
+    kept in the state store as three longs. Each micro-batch sorts its
+    events, splits on > ``gap_ms`` silences (closing intra-batch
+    sessions immediately), and arms an *event-time timeout* at
+    ``last_ts + gap``: when the watermark passes it, the open session
+    closes and is appended — so results are driven by event time, not
+    wall clock.
+
+    Scale notes: state is O(active users) × 24 bytes; the shuffle is
+    the groupBy(user) hash partitioning that any per-key stateful op
+    needs, and the watermark bounds both state retention and late-data
+    reprocessing.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "%s bigint, session_start timestamp, session_end timestamp, n_events bigint"
+        % user_col
+    )
+    state_schema = "start_ms long, last_ms long, n long"
+
+    def to_row(uid: int, start_ms: int, end_ms: int, n: int) -> dict:
+        return {
+            user_col: uid,
+            "session_start": pd.Timestamp(start_ms, unit="ms"),
+            "session_end": pd.Timestamp(end_ms, unit="ms"),
+            "n_events": n,
+        }
+
+    def fn(key, pdfs, state):
+        uid = key[0]
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame([to_row(uid, start_ms, last_ms, n)])
+            return
+        ts = []
+        for pdf in pdfs:
+            ts.append(pdf[ts_col].astype("int64") // 1_000_000)  # ns→ms
+        ts = pd.concat(ts).sort_values().to_numpy()
+        if state.exists:
+            start_ms, last_ms, n = state.get
+        else:
+            start_ms, last_ms, n = int(ts[0]), int(ts[0]) - 1, 0
+        closed = []
+        for t in ts:
+            t = int(t)
+            if n and t - last_ms > gap_ms:
+                closed.append(to_row(uid, start_ms, last_ms, n))
+                start_ms, n = t, 0
+            last_ms = max(last_ms, t)
+            n += 1
+        state.update((start_ms, last_ms, n))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def windowed_counts(
     sdf: DataFrame,
     ts_col: str = "ts",

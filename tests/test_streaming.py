@@ -41,6 +41,47 @@ def test_flatten_stream_plan(spark):
         q.stop()
 
 
+def test_sessionize_stream_closes_sessions(spark):
+    from bamboo_spark.streaming import sessionize_stream
+
+    # synthetic event time: 2 minutes per tick, alternating users →
+    # per-user events are 4 min apart, far beyond the 1-min gap, so
+    # every event closes the previous session once the watermark
+    # (0 s delay, driven by later ticks) passes its timeout.
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "20").load()
+        .select(
+            F.timestamp_millis(F.col("value") * 120_000).alias("ts"),
+            (F.col("value") % 2).alias("user_id"),
+        )
+    )
+    sess = sessionize_stream(stream, gap_ms=60_000, watermark="0 seconds")
+    assert sess.isStreaming
+    assert set(sess.columns) == {"user_id", "session_start", "session_end", "n_events"}
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        while time.time() < deadline:
+            if spark.sql("select count(*) c from sess_t").collect()[0].c >= 2:
+                break
+            time.sleep(0.5)
+        rows = spark.sql(
+            "select user_id, n_events, session_start, session_end from sess_t"
+        ).collect()
+        assert len(rows) >= 2, "no sessions closed"
+        assert {r.user_id for r in rows} <= {0, 1}
+        for r in rows:
+            assert r.n_events == 1  # 4-min spacing > 1-min gap
+            assert r.session_start == r.session_end
+    finally:
+        q.stop()
+
+
 def test_windowed_counts_stream(spark):
     stream = (
         spark.readStream.format("rate").option("rowsPerSecond", "50").load()
