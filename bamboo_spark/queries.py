@@ -417,6 +417,116 @@ from documents group by text order by keep_id
 """
 
 
+def q_semi_anti_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti-join surface: per-brand counts of parts that DO ship
+    (left semi against lineitem) and parts that never shipped (left
+    anti). Both plan as one shuffle each on partkey with the join
+    reduced map-side; no row explosion — the semi/anti forms never
+    duplicate the left side, which is the point at 100 TB (an inner
+    join + distinct would shuffle the full match multiplicity).
+    """
+    p = load(spark, sf_dir, "part")
+    l = load(spark, sf_dir, "lineitem").select("l_partkey")
+    shipped = p.join(l, p.p_partkey == l.l_partkey, "left_semi")
+    never = p.join(l, p.p_partkey == l.l_partkey, "left_anti")
+    agg = lambda df, name: df.groupBy("p_brand").agg(  # noqa: E731
+        F.count(F.lit(1)).alias(name)
+    )
+    return (
+        agg(shipped, "n_shipped")
+        .join(agg(never, "n_never"), "p_brand", "full_outer")
+        .select(
+            "p_brand",
+            F.coalesce("n_shipped", F.lit(0)).alias("n_shipped"),
+            F.coalesce("n_never", F.lit(0)).alias("n_never"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+Q_SEMI_ANTI_SQL = """
+with shipped as (
+  select p_brand, count(*) n_shipped from part
+  where p_partkey in (select l_partkey from lineitem)
+  group by p_brand
+),
+never as (
+  select p_brand, count(*) n_never from part
+  where p_partkey not in (select l_partkey from lineitem)
+  group by p_brand
+)
+select coalesce(s.p_brand, n.p_brand) p_brand,
+       coalesce(n_shipped, 0) n_shipped,
+       coalesce(n_never, 0) n_never
+from shipped s full outer join never n on s.p_brand = n.p_brand
+order by p_brand
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregate surface: ROLLUP over (returnflag,
+    linestatus) — subtotals and a grand total in one pass. Spark plans
+    this as Expand (one row per grouping set) + a single hash
+    aggregate: one shuffle regardless of hierarchy depth.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_rows",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+Q_ROLLUP_SQL = """
+select coalesce(l_returnflag, 'ALL') returnflag,
+       coalesce(l_linestatus, 'ALL') linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) revenue,
+       count(*) n_rows
+from lineitem
+group by rollup (l_returnflag, l_linestatus)
+order by returnflag, linestatus
+"""
+
+
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantile surface: per-brand median/p90 of part retail
+    price via ``percentile`` (exact, interpolated — matches DuckDB's
+    ``quantile_cont``). At 100 TB switch to ``approx_percentile``
+    (t-digest sketch, single pass, mergeable) — kept exact here so the
+    oracle hash can gate it.
+    """
+    p = load(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.round(F.expr("percentile(p_retailprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(p_retailprice, 0.9)"), 4).alias("p90_price"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+Q_QUANTILES_SQL = """
+select p_brand,
+       round(quantile_cont(p_retailprice, 0.5), 4) median_price,
+       round(quantile_cont(p_retailprice, 0.9), 4) p90_price,
+       count(*) n_parts
+from part group by p_brand order by p_brand
+"""
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return dedup.jaccard_pairs(d, threshold=0.8).orderBy("doc_a", "doc_b")
@@ -574,6 +684,9 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_setops_users": q_setops_users,
         "q_flatten_embeddings": q_flatten_embeddings,
         "q_events_props_json": q_events_props_json,
+        "q_semi_anti_parts": q_semi_anti_parts,
+        "q_rollup_revenue": q_rollup_revenue,
+        "q_price_quantiles": q_price_quantiles,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -602,6 +715,9 @@ def oracle_sql() -> Dict[str, str]:
         "q_setops_users": Q_SETOPS_SQL,
         "q_flatten_embeddings": Q_FLATTEN_EMB_SQL,
         "q_events_props_json": Q_EVENTS_PROPS_SQL,
+        "q_semi_anti_parts": Q_SEMI_ANTI_SQL,
+        "q_rollup_revenue": Q_ROLLUP_SQL,
+        "q_price_quantiles": Q_QUANTILES_SQL,
         "dedup_exact": Q_DEDUP_EXACT_SQL,
         "dedup_jaccard": dedup.jaccard_pairs_duck(threshold=0.8),
         # minhash-LSH verifies candidates with the exact jaccard, so the

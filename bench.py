@@ -32,6 +32,9 @@ BENCH_QUERIES = [
     "q_events_hourly",
     "q_sessionize",
     "q_flatten_embeddings",
+    "q_semi_anti_parts",
+    "q_rollup_revenue",
+    "q_price_quantiles",
     "dedup_exact",
     "dedup_jaccard",
     "dedup_minhash",
