@@ -1,0 +1,56 @@
+"""Scale utilities: salted join correctness (vs plain join) and
+partitioned sink layout/round-trip."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from bamboo_spark.operators.scale import salted_join, write_partitioned
+
+
+def test_salted_join_matches_plain_join(spark):
+    # heavy skew: 90% of left rows share key 7
+    left = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("rv")
+    )
+    plain = left.join(right, "k").select("k", "lv", "rv")
+    salted = salted_join(left, right, "k", salt=8).select("k", "lv", "rv")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (99, "c")], "k long, v string")
+    right = spark.createDataFrame([(1, 10), (2, 20)], "k long, w long")
+    out = salted_join(left, right, "k", salt=4, how="left").collect()
+    by_k = {r.k: r.w for r in out}
+    assert by_k == {1: 10, 2: 20, 99: None}
+    assert len(out) == 3  # replication must not duplicate unmatched rows
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    df = spark.range(1).select(F.col("id").alias("k"))
+    try:
+        salted_join(df, df, "k", how="full_outer")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "full_outer" in str(e)
+
+
+def test_write_partitioned_layout_and_roundtrip(spark, tmp_path):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 4).alias("part"), F.col("id").alias("v")
+    )
+    path = str(tmp_path / "out")
+    write_partitioned(df, path, partition_by=["part"])
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("part="))
+    assert dirs == ["part=0", "part=1", "part=2", "part=3"]
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)  # small-file control
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.groupBy("part").count().where(F.col("count") != 250).count() == 0
