@@ -208,3 +208,22 @@ def bpe_token_count(col: str = "text") -> Column:
 
 def bpe_token_count_duck(col: str = "text") -> str:
     return "len(regexp_extract_all(%s, '%s'))::BIGINT" % (col, BPE_SPLIT_RE)
+
+
+def stable_sample_pct(id_col: str = "doc_id") -> Column:
+    """Deterministic sampling bucket in [0, 100) from the row id's md5.
+
+    Hash-stable sampling is the reproducible alternative to rand():
+    the same row lands in the same bucket on every run, cluster, and
+    engine — so samples are re-creatable, diffable, and can be joined
+    back to their source. Filter ``stable_sample_pct() < rate`` to keep
+    ``rate``% of rows.
+    """
+    return F.expr(
+        "pmod(cast(conv(substr(md5(cast(%s as string)), 1, 8), 16, 10) as bigint), 100)"
+        % id_col
+    )
+
+
+def stable_sample_pct_duck(id_col: str = "doc_id") -> str:
+    return "(('0x' || substr(md5(%s::VARCHAR), 1, 8))::BIGINT %% 100)" % id_col

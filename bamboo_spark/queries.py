@@ -527,6 +527,39 @@ from part group by p_brand order by p_brand
 """
 
 
+STRATA_RATES = {"src0": 80, "src1": 50, "src2": 20}  # keep-% per source stratum
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the corpus-mixing operator of
+    a training-data pipeline: keep N% per source stratum, hash-stable
+    (md5 of doc_id) so the sample is reproducible across runs/engines
+    and can be diffed or joined back. Narrow projection + filter: no
+    shuffle except the cosmetic sort; at 100 TB this runs at scan speed.
+    Unknown strata default to keep-10%."""
+    d = load(spark, sf_dir, "documents")
+    bucket = text.stable_sample_pct("doc_id")
+    rate = F.lit(10)
+    for src, pct in STRATA_RATES.items():
+        rate = F.when(F.col("source") == src, F.lit(pct)).otherwise(rate)
+    return (
+        d.where(bucket < rate)
+        .select("doc_id", "source", bucket.alias("bucket"))
+        .orderBy("doc_id")
+    )
+
+
+def _stratified_sql() -> str:
+    cases = " ".join(
+        "when source = '%s' then %d" % (s, p) for s, p in STRATA_RATES.items()
+    )
+    b = text.stable_sample_pct_duck("doc_id")
+    return (
+        "select doc_id, source, %s bucket from documents "
+        "where %s < (case %s else 10 end) order by doc_id" % (b, b, cases)
+    )
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return dedup.jaccard_pairs(d, threshold=0.8).orderBy("doc_a", "doc_b")
@@ -687,6 +720,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semi_anti_parts": q_semi_anti_parts,
         "q_rollup_revenue": q_rollup_revenue,
         "q_price_quantiles": q_price_quantiles,
+        "q_stratified_sample": q_stratified_sample,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -718,6 +752,7 @@ def oracle_sql() -> Dict[str, str]:
         "q_semi_anti_parts": Q_SEMI_ANTI_SQL,
         "q_rollup_revenue": Q_ROLLUP_SQL,
         "q_price_quantiles": Q_QUANTILES_SQL,
+        "q_stratified_sample": _stratified_sql(),
         "dedup_exact": Q_DEDUP_EXACT_SQL,
         "dedup_jaccard": dedup.jaccard_pairs_duck(threshold=0.8),
         # minhash-LSH verifies candidates with the exact jaccard, so the

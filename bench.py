@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "q_semi_anti_parts",
     "q_rollup_revenue",
     "q_price_quantiles",
+    "q_stratified_sample",
     "dedup_exact",
     "dedup_jaccard",
     "dedup_minhash",
