@@ -417,6 +417,35 @@ from documents group by text order by keep_id
 """
 
 
+def q_flatten_lineitem_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten throughput at table scale: explode a 4-wide measure
+    array over every lineitem row (sf0.1 → 2.4M output rows). This is
+    the engine twin of the reference's F10 flatten perf gate
+    (pbd_tests.py:58-60, 1M rows < 1 s): GenerateExec inside
+    whole-stage codegen, no shuffle — output rows stream straight from
+    the scan."""
+    l = load(spark, sf_dir, "lineitem")
+    measures = F.array("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.posexplode(measures).alias("pos", "val"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.round(F.col("val").cast("double"), 4).alias("val"),
+    )
+
+
+Q_FLATTEN_WIDE_SQL = """
+select l_orderkey, l_linenumber,
+       unnest([0, 1, 2, 3])::BIGINT pos,
+       round(unnest([l_quantity, l_extendedprice, l_discount, l_tax])::DOUBLE, 4) val
+from lineitem
+"""
+
+
 def q_semi_anti_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti-join surface: per-brand counts of parts that DO ship
     (left semi against lineitem) and parts that never shipped (left
@@ -716,6 +745,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_setops_users": q_setops_users,
         "q_flatten_embeddings": q_flatten_embeddings,
+        "q_flatten_lineitem_wide": q_flatten_lineitem_wide,
         "q_events_props_json": q_events_props_json,
         "q_semi_anti_parts": q_semi_anti_parts,
         "q_rollup_revenue": q_rollup_revenue,
@@ -748,6 +778,7 @@ def oracle_sql() -> Dict[str, str]:
         "q_sessionize": Q_SESSIONIZE_SQL,
         "q_setops_users": Q_SETOPS_SQL,
         "q_flatten_embeddings": Q_FLATTEN_EMB_SQL,
+        "q_flatten_lineitem_wide": Q_FLATTEN_WIDE_SQL,
         "q_events_props_json": Q_EVENTS_PROPS_SQL,
         "q_semi_anti_parts": Q_SEMI_ANTI_SQL,
         "q_rollup_revenue": Q_ROLLUP_SQL,

@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "q_events_hourly",
     "q_sessionize",
     "q_flatten_embeddings",
+    "q_flatten_lineitem_wide",
     "q_semi_anti_parts",
     "q_rollup_revenue",
     "q_price_quantiles",

@@ -1,0 +1,57 @@
+"""Engine twins of the reference's CI perf assertions (BASELINE.md
+derived gates; reference avro_tests.py:252-277, pbd_tests.py:42-60).
+
+Budgets carry ~4× headroom over observed local[32] times so shared-box
+contention can't flake them — they gate order-of-magnitude regressions
+(a lost codegen span, an accidental shuffle), not ±20% noise.
+"""
+
+import time
+
+from pyspark.sql import functions as F
+
+from bamboo_spark.flatten import JoinType
+from bamboo_spark.dataset import Dataset
+
+N = 1_000_000
+
+
+def test_flatten_throughput_1m_rows(spark, tmp_path):
+    # F10 twin: 1M rows with a 2-element list of structs → 2M output
+    # rows through the flatten planner. Reference gate: 1M rows/s.
+    path = str(tmp_path / "nested1m.parquet")
+    spark.range(N).select(
+        F.col("id"),
+        F.array(
+            F.struct((F.col("id") * 2).alias("v")),
+            F.struct((F.col("id") * 2 + 1).alias("v")),
+        ).alias("items"),
+    ).write.parquet(path)
+
+    ds = Dataset(spark.read.parquet(path))
+    flat = ds.flatten()
+    start = time.perf_counter()
+    flat.df.write.format("noop").mode("overwrite").save()
+    elapsed = time.perf_counter() - start
+    out_rows = 2 * N
+    assert elapsed < 8.0, "flatten of %d rows took %.2fs" % (out_rows, elapsed)
+    assert flat.df.count() == out_rows
+
+
+def test_scan_throughput_1m_records_json(spark, tmp_path):
+    # F9 twin (schema STRUCT<a:int>, 1M records): the reference gates
+    # its avro decode at >10× fastavro ≈ >1M rec/s. JSON is our
+    # worst-case text source; gate well above 200k rec/s aggregate.
+    path = str(tmp_path / "json1m")
+    spark.range(N).select(
+        F.concat(F.lit('{"a": '), (F.col("id") % 100).cast("string"), F.lit("}")).alias(
+            "value"
+        )
+    ).write.text(path)
+
+    start = time.perf_counter()
+    df = spark.read.schema("a int").json(path)
+    got = df.count()
+    elapsed = time.perf_counter() - start
+    assert got == N
+    assert elapsed < 5.0, "1M-record JSON scan took %.2fs (< 200k rec/s)" % elapsed
