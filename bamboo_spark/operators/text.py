@@ -88,19 +88,21 @@ def distinct_token_ratio(col: str = "text") -> Column:
     )
 
 
-def stopword_count(lang: str, col: str = "text") -> Column:
+def stopword_count_arr(lang: str, toks: Column) -> Column:
     words = STOPWORDS[lang]
     arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(tokens(col), lambda t: F.array_contains(arr, t))).cast(
-        "bigint"
-    )
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("bigint")
+
+
+def stopword_count(lang: str, col: str = "text") -> Column:
+    return stopword_count_arr(lang, tokens(col))
 
 
 def lang_scores(col: str = "text") -> dict:
     return {lang: stopword_count(lang, col) for lang in STOPWORDS}
 
 
-def lang_id(col: str = "text") -> Column:
+def lang_id_arr(toks: Column) -> Column:
     """argmax over per-language stopword hit counts; ties break by the
     fixed language order (en, es, de, fr, zh).
 
@@ -112,7 +114,7 @@ def lang_id(col: str = "text") -> Column:
     langs = list(STOPWORDS)
     entries = [
         F.struct(
-            stopword_count(lang, col).alias("s"), F.lit(-i).alias("ni")
+            stopword_count_arr(lang, toks).alias("s"), F.lit(-i).alias("ni")
         )
         for i, lang in enumerate(langs)
     ]
@@ -120,6 +122,10 @@ def lang_id(col: str = "text") -> Column:
     return F.element_at(
         F.array(*[F.lit(lang) for lang in langs]), (-best.getField("ni") + 1).cast("int")
     )
+
+
+def lang_id(col: str = "text") -> Column:
+    return lang_id_arr(tokens(col))
 
 
 def lang_id_duck(col: str = "text") -> str:
@@ -141,19 +147,22 @@ def lang_id_duck(col: str = "text") -> str:
     return expr
 
 
-def quality_score(col: str = "text") -> Column:
+def quality_score_arr(toks: Column) -> Column:
     """Composite [0,1] quality heuristic: length saturation, stopword
     presence, vocabulary diversity. Pure arithmetic — bit-identical in
     the oracle."""
-    t = tokens(col)
-    n = F.size(t).cast("double")
+    n = F.size(toks).cast("double")
     length_part = F.least(F.lit(1.0), n / F.lit(50.0))
-    sw = stopword_count("en", col).cast("double")
+    sw = stopword_count_arr("en", toks).cast("double")
     stop_part = F.least(F.lit(1.0), sw / F.lit(5.0))
-    diversity = F.size(F.array_distinct(t)).cast("double") / n
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n
     return F.round(
         F.lit(0.4) * length_part + F.lit(0.3) * stop_part + F.lit(0.3) * diversity, 6
     )
+
+
+def quality_score(col: str = "text") -> Column:
+    return quality_score_arr(tokens(col))
 
 
 def quality_score_duck(col: str = "text") -> str:
@@ -183,15 +192,53 @@ def fingerprint_duck() -> str:
     return "list_min(list_transform(%s, s -> %s))" % (sh, md5_int60_duck("s"))
 
 
+def _stopword_sql(lang: str, toks: str) -> str:
+    words = ", ".join("'%s'" % w for w in STOPWORDS[lang])
+    return "size(filter(%s, t -> array_contains(array(%s), t)))" % (toks, words)
+
+
+def lang_id_sql(toks: str) -> str:
+    """Spark SQL string for the language-ID argmax (same construction
+    as ``lang_id_arr``: array_max over (score, -index) structs)."""
+    langs = list(STOPWORDS)
+    entries = ", ".join(
+        "named_struct('s', %s, 'ni', %d)" % (_stopword_sql(lang, toks), -i)
+        for i, lang in enumerate(langs)
+    )
+    names = ", ".join("'%s'" % lang for lang in langs)
+    return (
+        "element_at(array(%s), cast(-(array_max(array(%s)).ni) + 1 as int))"
+        % (names, entries)
+    )
+
+
+def quality_score_sql(toks: str) -> str:
+    """Spark SQL string twin of ``quality_score_arr``."""
+    n = "cast(size(%s) as double)" % toks
+    sw = "cast(%s as double)" % _stopword_sql("en", toks)
+    return (
+        "round(0.4 * least(1.0d, {n} / 50.0d) + 0.3 * least(1.0d, {sw} / 5.0d)"
+        " + 0.3 * (cast(size(array_distinct({t})) as double) / {n}), 6)"
+    ).format(n=n, sw=sw, t=toks)
+
+
 def add_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
-    """Per-document stats block (the text-analysis operator surface)."""
-    return df.select(
+    """Per-document stats block (the text-analysis operator surface).
+
+    Two deliberate shapes: the token array is projected ONCE into an
+    intermediate column (every stat derives from it), and the stats are
+    whole SQL strings — a Column-by-Column construction makes hundreds
+    of py4j round-trips, which measured 3.5 s of pure DataFrame-build
+    time in a cold JVM; ``selectExpr`` makes it a handful."""
+    staged = df.selectExpr("doc_id", col, "split(%s, ' ') as __toks" % col)
+    return staged.selectExpr(
         "doc_id",
-        token_count(col).alias("n_tokens"),
-        F.length(F.col(col)).cast("bigint").alias("n_chars"),
-        distinct_token_ratio(col).alias("distinct_ratio"),
-        lang_id(col).alias("lang_pred"),
-        quality_score(col).alias("quality"),
+        "cast(size(__toks) as bigint) as n_tokens",
+        "cast(length(%s) as bigint) as n_chars" % col,
+        "round(cast(size(array_distinct(__toks)) as double)"
+        " / cast(size(__toks) as double), 6) as distinct_ratio",
+        "%s as lang_pred" % lang_id_sql("__toks"),
+        "%s as quality" % quality_score_sql("__toks"),
     )
 
 
