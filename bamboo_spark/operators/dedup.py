@@ -101,18 +101,31 @@ def jaccard_pairs(
     t = float(threshold)
     hsets = _hashed_sets(df, k).persist()
     n = F.col("n")
-    # hs is hash-sorted: a slice of it IS the canonical-order prefix
+    # hs is hash-sorted: a slice of it IS the canonical-order prefix,
+    # and posexplode positions are positions in the full sorted set
     p_len = F.greatest(
         F.lit(1), (n - F.ceil(n * F.lit(t) - 1e-9) + 1).cast("int")
     )
     prefix = hsets.select(
-        "doc_id", "n", F.explode(F.slice("hs", F.lit(1), p_len)).alias("h")
+        "doc_id",
+        "n",
+        F.posexplode(F.slice("hs", F.lit(1), p_len)).alias("pos", "h"),
     )
     if max_shingle_df is not None:
         freq = prefix.groupBy("h").count().where(F.col("count") <= max_shingle_df)
         prefix = prefix.join(F.broadcast(freq.select("h")), "h")
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # positional filter (PPJoin): a shared element at positions (pa, pb)
+    # caps the overlap at 1 + min(remaining_a, remaining_b); the pair's
+    # FIRST shared element (which always joins, prefixes are order
+    # prefixes) gives the loosest cap, so keeping pairs where any match
+    # passes is lossless. Required overlap: jaccard >= t ⇒
+    # |A∩B| >= t/(1+t) * (|A|+|B|).
+    overlap_cap = F.lit(1) + F.least(
+        F.col("a.n") - 1 - F.col("a.pos"), F.col("b.n") - 1 - F.col("b.pos")
+    )
+    overlap_req = (F.col("a.n") + F.col("b.n")) * F.lit(t / (1.0 + t)) - 1e-9
     candidates = (
         a.join(
             b,
@@ -120,7 +133,8 @@ def jaccard_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # length filter: jaccard >= t  ⇒  min(|A|,|B|) >= t * max(|A|,|B|)
             & (F.col("a.n").cast("double") >= F.col("b.n") * t - 1e-9)
-            & (F.col("b.n").cast("double") >= F.col("a.n") * t - 1e-9),
+            & (F.col("b.n").cast("double") >= F.col("a.n") * t - 1e-9)
+            & (overlap_cap.cast("double") >= overlap_req),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()

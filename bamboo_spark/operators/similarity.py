@@ -350,6 +350,67 @@ def hyperplane_buckets(
     return df.select(id_col, bucket.alias("bucket"))
 
 
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the storage transform
+    for embedding tables at scale (4× smaller than float32, 8× than
+    float64; brute-force/IVF scoring on int8 with one dequant scale per
+    vector). Pure built-in expressions (codegen; no UDF):
+
+        scale = max(|x|) / 127        (per vector)
+        q_i   = round(x_i / scale)    ∈ [-127, 127]
+
+    Output is exploded to scalars — (id, pos, q, err) with
+    err = |q·scale − x| rounded at 6 — so the quantization error is
+    directly queryable and the result is oracle-hashable.
+    """
+    maxabs = F.aggregate(
+        F.col(vec),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = F.greatest(maxabs, F.lit(1e-30)) / F.lit(127.0)
+    staged = df.select(id_col, vec, scale.alias("scale"))
+    q = F.round(F.col("val").cast("double") / F.col("scale"), 0).cast("bigint")
+    return (
+        staged.select(
+            id_col, "scale", F.posexplode(vec).alias("pos", "val")
+        )
+        .select(
+            id_col,
+            F.col("pos").cast("bigint").alias("pos"),
+            q.alias("q"),
+            F.round(
+                F.abs(q.cast("double") * F.col("scale") - F.col("val").cast("double")),
+                6,
+            ).alias("err"),
+        )
+    )
+
+
+def quantize_embeddings_duck() -> str:
+    return """
+with e as (
+  select vec_id,
+         greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))),
+                  1e-30) / 127.0 scale,
+         embedding
+  from embeddings
+),
+ex as (
+  select vec_id, scale,
+         generate_subscripts(embedding, 1) - 1 pos,
+         unnest(embedding) val
+  from e
+)
+select vec_id, pos::BIGINT pos,
+       round(val::DOUBLE / scale, 0)::BIGINT q,
+       round(abs(round(val::DOUBLE / scale, 0) * scale - val::DOUBLE), 6) err
+from ex
+"""
+
+
 def ivf_assign(
     df: DataFrame,
     n_centroids: int = 16,

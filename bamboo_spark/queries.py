@@ -696,6 +696,11 @@ order by doc_id, idx
 """
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.quantize_embeddings(e).orderBy("vec_id", "pos")
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return similarity.ivf_pairs(e, threshold=0.4, n_centroids=16).orderBy(
@@ -758,6 +763,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_embeddings": q_near_dup_embeddings,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "embedding_quantize": q_embedding_quantize,
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -793,6 +799,7 @@ def oracle_sql() -> Dict[str, str]:
         "near_dup_embeddings": similarity.cosine_pairs_duck(threshold=0.4),
         "ann_topk": similarity.topk_neighbors_duck(query_ids_below=10, k=5),
         "ann_ivf": similarity.ivf_pairs_duck(threshold=0.4, n_centroids=16),
+        "embedding_quantize": similarity.quantize_embeddings_duck(),
         "text_stats": Q_TEXT_STATS_SQL.format(
             lang=text.lang_id_duck("text"), quality=text.quality_score_duck("text")
         ),

@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "near_dup_embeddings",
     "ann_topk",
     "ann_ivf",
+    "embedding_quantize",
     "text_stats",
     "token_counts",
     "doc_fingerprint",
