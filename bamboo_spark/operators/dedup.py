@@ -283,6 +283,94 @@ def minhash_lsh_pairs(
     return _verify_jaccard(candidates, hsets, threshold)
 
 
+# ------------------------------------------------- duplicate clustering
+
+
+def connected_components(
+    pairs: DataFrame,
+    iterations: int = 8,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Label duplicate clusters: synchronous min-label propagation over
+    the (undirected) near-dup pair graph for a FIXED number of
+    supersteps. Returns (doc_id, component) for every doc that appears
+    in a pair; component = min doc_id reachable in ``iterations`` hops
+    — the canonical representative once converged (diameter ≤
+    iterations, true for near-dup clusters, which are near-cliques).
+
+    Fixed iteration count (not run-to-convergence) keeps the result a
+    pure deterministic function of the input — the DuckDB oracle
+    unrolls the same K steps, so parity is exact even on a
+    pathological long-chain graph. Each superstep is one shuffle join
+    + min-aggregate (the Pregel shape); at 100 TB use K ≈ log(max
+    component size) with large-star/small-star if components can be
+    deep.
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    # eager materialization: the union's two branches would otherwise
+    # each re-run the (expensive) pair-generation pipeline
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    for _ in range(iterations):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("nl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nbr_min"))
+            .withColumnRenamed("src", "id")
+        )
+        labels = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # iterative joins double the logical plan per superstep —
+        # truncate lineage or the task binary grows exponentially
+        labels = labels.localCheckpoint(eager=True)
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
+
+
+def components_duck(pairs_cte: str, iterations: int = 8) -> str:
+    """DuckDB oracle: the same K min-propagation steps, unrolled.
+
+    ``pairs_cte`` is a complete CTE body producing (doc_a, doc_b).
+    """
+    steps = []
+    prev = "l0"
+    for k in range(1, iterations + 1):
+        cur = "l%d" % k
+        # MATERIALIZED is load-bearing: each step references its
+        # predecessor twice; inlined CTEs re-evaluate the whole chain
+        # per reference (2^K expansions of the pairs join)
+        steps.append(
+            "{cur} as materialized (select l.id, least(l.lbl, coalesce(min(n.lbl), l.lbl)) as lbl "
+            "from {prev} l left join edges e on e.src = l.id "
+            "left join {prev} n on n.id = e.dst group by l.id, l.lbl)".format(
+                cur=cur, prev=prev
+            )
+        )
+        prev = cur
+    return """
+with pairs as materialized ({pairs}),
+edges as materialized (
+  select doc_a src, doc_b dst from pairs
+  union
+  select doc_b src, doc_a dst from pairs
+),
+l0 as (select id, id as lbl from (select distinct src id from edges)),
+{steps}
+select id doc_id, lbl component from {last} order by doc_id
+""".format(pairs=pairs_cte, steps=",\n".join(steps), last=prev)
+
+
 # --------------------------------------------------------------- simhash
 
 SIMHASH_BITS = 60

@@ -610,6 +610,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(d, max_hamming=2).orderBy("doc_a", "doc_b")
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline composed: MinHash-LSH candidates →
+    exact-jaccard verify (0.7) → duplicate-cluster labeling via 4
+    supersteps of min-label propagation (near-dup clusters are
+    near-cliques; diameter > 4 is pathological, and the oracle unrolls
+    the same 4 steps so parity holds regardless). Output: every doc in
+    a near-dup pair with its cluster's canonical (minimum) doc_id."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.7, num_hashes=64)
+    return dedup.connected_components(pairs, iterations=4).orderBy("doc_id")
+
+
 def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return similarity.cosine_pairs_gemm(e, threshold=0.4).orderBy("id_a", "id_b")
@@ -760,6 +772,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_components": q_dedup_components,
         "near_dup_embeddings": q_near_dup_embeddings,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -796,6 +809,9 @@ def oracle_sql() -> Dict[str, str]:
         # oracle is the exact pairwise join at the same threshold
         "dedup_minhash": dedup.jaccard_pairs_duck(threshold=0.7),
         "dedup_simhash": dedup.simhash_pairs_duck(max_hamming=2),
+        "dedup_components": dedup.components_duck(
+            dedup.jaccard_pairs_duck(threshold=0.7), iterations=4
+        ),
         "near_dup_embeddings": similarity.cosine_pairs_duck(threshold=0.4),
         "ann_topk": similarity.topk_neighbors_duck(query_ids_below=10, k=5),
         "ann_ivf": similarity.ivf_pairs_duck(threshold=0.4, n_centroids=16),

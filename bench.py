@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "dedup_jaccard",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_components",
     "near_dup_embeddings",
     "ann_topk",
     "ann_ivf",
