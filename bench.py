@@ -31,6 +31,9 @@ BENCH_QUERIES = [
     "q_top_customers",
     "q_events_hourly",
     "q_sessionize",
+    "q_orders_priority",
+    "q_setops_users",
+    "q_events_props_json",
     "q_flatten_embeddings",
     "q_flatten_lineitem_wide",
     "q_semi_anti_parts",
