@@ -278,6 +278,68 @@ order by o_orderpriority
 """
 
 
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based window aggregate: 7-event trailing moving average of
+    value per event_type, ordered by (ts, event_id). Single shuffle on
+    the partition key; the frame is evaluated streaming within each
+    sorted partition (no per-row re-scan)."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-6, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            F.round(F.avg("value").over(w), 6).alias("avg7"),
+        )
+        .orderBy("event_id")
+    )
+
+
+Q_EVENTS_MOVING_AVG_SQL = """
+select event_id, event_type,
+       round(avg(value) over (partition by event_type
+                              order by ts asc, event_id asc
+                              rows between 6 preceding and current row), 6) avg7
+from events order by event_id
+"""
+
+
+def q_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: per-type stddev, correlation of
+    value with time-of-day, and covariance — one map-side-combinable
+    shuffle (all are algebraic sketches: sums of powers/cross-terms)."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "second_of_day",
+        (F.unix_timestamp("ts") % 86400).cast("double"),
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+            F.round(F.corr("value", "second_of_day"), 4).alias("corr_time"),
+            F.round(F.covar_samp("value", "second_of_day"), 2).alias("covar_time"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_EVENTS_STATS_SQL = """
+select event_type,
+       count(*) n,
+       round(stddev_samp(value), 4) sd_value,
+       round(corr(value, ((epoch_us(ts) // 1000000) % 86400)::DOUBLE), 4) corr_time,
+       round(covar_samp(value, ((epoch_us(ts) // 1000000) % 86400)::DOUBLE), 2) covar_time
+from events group by event_type order by event_type
+"""
+# NB: epoch(ts)::BIGINT would ROUND the fractional second while Spark's
+# unix_timestamp FLOORS it — integer µs division floors on both engines.
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation over the event stream table (the
     batch twin of the streaming windowed agg in streaming/)."""
@@ -759,6 +821,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_customers": q_top_customers,
         "q_orders_priority": q_orders_priority,
         "q_events_hourly": q_events_hourly,
+        "q_events_moving_avg": q_events_moving_avg,
+        "q_events_stats": q_events_stats,
         "q_sessionize": q_sessionize,
         "q_setops_users": q_setops_users,
         "q_flatten_embeddings": q_flatten_embeddings,
@@ -794,6 +858,8 @@ def oracle_sql() -> Dict[str, str]:
         "q_top_customers": Q_TOP_CUSTOMERS_SQL,
         "q_orders_priority": Q_ORDERS_PRIORITY_SQL,
         "q_events_hourly": Q_EVENTS_HOURLY_SQL,
+        "q_events_moving_avg": Q_EVENTS_MOVING_AVG_SQL,
+        "q_events_stats": Q_EVENTS_STATS_SQL,
         "q_sessionize": Q_SESSIONIZE_SQL,
         "q_setops_users": Q_SETOPS_SQL,
         "q_flatten_embeddings": Q_FLATTEN_EMB_SQL,

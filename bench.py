@@ -30,6 +30,8 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "q_top_customers",
     "q_events_hourly",
+    "q_events_moving_avg",
+    "q_events_stats",
     "q_sessionize",
     "q_orders_priority",
     "q_setops_users",
