@@ -368,6 +368,37 @@ order by event_hour, event_type
 """
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface: day-of-week × event_type matrix of summed value.
+    The pivot value list is explicit — at scale an implicit pivot first
+    runs a distinct over the pivot column (an extra full pass); with
+    fixed values the whole thing is one conditional aggregate, single
+    shuffle on the grouping key."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.withColumn("dow", F.dayofweek("ts").cast("bigint"))
+        .groupBy("dow")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 2))
+        .orderBy("dow")
+    )
+
+
+Q_PIVOT_SQL = """
+select dayofweek(ts) + 1 as dow,
+       {cols}
+from events group by 1 order by dow
+""".format(
+    cols=",\n       ".join(
+        "round(sum(value) filter (event_type = '%s'), 2) as %s" % (t, t)
+        for t in EVENT_TYPES
+    )
+)
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag + running sum
     over a per-user window — one shuffle on user_id. Epoch-µs integer
@@ -823,6 +854,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_hourly": q_events_hourly,
         "q_events_moving_avg": q_events_moving_avg,
         "q_events_stats": q_events_stats,
+        "q_pivot_event_values": q_pivot_event_values,
         "q_sessionize": q_sessionize,
         "q_setops_users": q_setops_users,
         "q_flatten_embeddings": q_flatten_embeddings,
@@ -860,6 +892,7 @@ def oracle_sql() -> Dict[str, str]:
         "q_events_hourly": Q_EVENTS_HOURLY_SQL,
         "q_events_moving_avg": Q_EVENTS_MOVING_AVG_SQL,
         "q_events_stats": Q_EVENTS_STATS_SQL,
+        "q_pivot_event_values": Q_PIVOT_SQL,
         "q_sessionize": Q_SESSIONIZE_SQL,
         "q_setops_users": Q_SETOPS_SQL,
         "q_flatten_embeddings": Q_FLATTEN_EMB_SQL,

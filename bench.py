@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "q_events_hourly",
     "q_events_moving_avg",
     "q_events_stats",
+    "q_pivot_event_values",
     "q_sessionize",
     "q_orders_priority",
     "q_setops_users",
