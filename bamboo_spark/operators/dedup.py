@@ -316,7 +316,7 @@ def connected_components(
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     )
-    for _ in range(iterations):
+    for i in range(iterations):
         nbr = (
             edges.join(
                 labels.select(F.col("id").alias("dst"), F.col("label").alias("nl")),
@@ -333,8 +333,10 @@ def connected_components(
             ),
         )
         # iterative joins double the logical plan per superstep —
-        # truncate lineage or the task binary grows exponentially
-        labels = labels.localCheckpoint(eager=True)
+        # truncate lineage (every other step bounds depth at 2 while
+        # halving the blocking-materialization jobs)
+        if i % 2 == 1 or i == iterations - 1:
+            labels = labels.localCheckpoint(eager=True)
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
 
 

@@ -142,6 +142,41 @@ def test_components_match_unionfind(spark, edges):
     assert got == union_find(edges)
 
 
+flatten_rows_strategy = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.floats(-10, 10, allow_nan=False)),
+        st.lists(st.integers(0, 99), min_size=0, max_size=4),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(**SETTINGS)
+@given(rows=flatten_rows_strategy)
+def test_flatten_broadcast_invariants(spark, rows):
+    """The core flatten contract on randomized rows: output cardinality
+    is Σ|b| (inner join drops empty lists), scalars broadcast in order,
+    and include=['a'] suppresses all multiplication."""
+    from bamboo_spark.dataset import Dataset
+
+    df = spark.createDataFrame(rows, "a double, b array<bigint>")
+    ds = Dataset(df)
+    flat = ds.flatten().to_pandas()
+    want_rows = sum(len(b) for _, b in rows)
+    assert len(flat) == want_rows
+    want_a, want_b = [], []
+    for a, b in rows:
+        want_a.extend([a] * len(b))
+        want_b.extend(b)
+    got_a = [None if v != v else v for v in flat["a"]]  # NaN→None
+    assert got_a == want_a and list(flat["b"]) == want_b
+
+    only_a = ds.flatten(include=["a"]).to_pandas()
+    assert len(only_a) == len(rows)  # no multiplication from b
+    assert list(only_a.columns) == ["a"]
+
+
 vectors_strategy = st.lists(
     st.lists(
         st.floats(-100, 100, allow_nan=False, width=32), min_size=4, max_size=4
