@@ -416,16 +416,21 @@ def ivf_assign(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec: str = "embedding",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """IVF coarse quantizer: assign each vector to its nearest centroid
-    by cosine (rounded at 6 decimals; ties → lower centroid id).
+    """IVF coarse quantizer: assign each vector to its ``n_probe``
+    nearest centroids by cosine (rounded at 6 decimals; ties → lower
+    centroid id) — one output row per (vector, probed centroid).
 
     Centroids are the ``n_centroids`` lowest-id vectors — a
     deterministic stand-in for k-means so the assignment is
     oracle-reproducible; the operator shape (broadcast centroid matrix,
-    one GEMM per Arrow batch, argmax) is exactly what a trained
-    quantizer uses. Rounding before the argmax keeps cross-engine ulp
-    noise from flipping near-ties.
+    one GEMM per Arrow batch, top-n_probe) is exactly what a trained
+    quantizer uses. ``n_probe`` is THE recall/compute knob: each extra
+    probe multiplies a vector's bucket memberships (and so candidate
+    pairs) while closing the boundary-split misses of single-probe.
+    Rounding before the argmax keeps cross-engine ulp noise from
+    flipping near-ties.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -435,6 +440,7 @@ def ivf_assign(
     c_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in c_rows])
     c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
     bc = df.sparkSession.sparkContext.broadcast((c_ids, c_mat))
+    probes = min(n_probe, len(c_rows))
 
     out_schema = T.StructType(
         [
@@ -452,9 +458,15 @@ def ivf_assign(
             mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
             mat /= np.linalg.norm(mat, axis=1, keepdims=True)
             sims = _round6_half_away(mat @ cm.T)  # batch × C
-            # argmax by (sim desc, centroid id asc)
+            # rank by (sim desc, centroid id asc), take top n_probe
             order = np.lexsort((np.broadcast_to(ci, sims.shape), -sims), axis=1)
-            yield pd.DataFrame({id_col: ids, "centroid": ci[order[:, 0]]})
+            top = order[:, :probes]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, probes),
+                    "centroid": ci[top].ravel(),
+                }
+            )
 
     return df.select(id_col, vec).mapInPandas(gen, out_schema)
 
@@ -465,20 +477,23 @@ def ivf_pairs(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec: str = "embedding",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """IVF-bucketed ANN near-dup pairs: coarse-assign every vector to a
-    centroid, then run the exact GEMM verify *inside each bucket* (one
-    applyInPandas group per centroid). Pairs whose members land in
-    different buckets are missed — that's the IVF recall tradeoff
-    (probe more centroids to trade compute for recall); pairs emitted
-    are exact cosines. At scale this is the standard shape: the
-    quadratic verify is bounded per-bucket and buckets are data-parallel.
+    """IVF-bucketed ANN near-dup pairs: coarse-assign every vector to
+    its ``n_probe`` nearest centroids, then run the exact GEMM verify
+    *inside each bucket* (one applyInPandas group per centroid). Pairs
+    whose members share no probed bucket are missed — that's the IVF
+    recall tradeoff, and raising ``n_probe`` buys recall with compute;
+    pairs emitted are exact cosines (a pair found in several buckets
+    dedupes to one row — identical cosine everywhere). At scale this
+    is the standard shape: the quadratic verify is bounded per-bucket
+    and buckets are data-parallel.
     """
     import pandas as pd
     from pyspark.sql import types as T
 
     assigned = df.select(id_col, vec).join(
-        ivf_assign(df, n_centroids, id_col, vec), id_col
+        ivf_assign(df, n_centroids, id_col, vec, n_probe=n_probe), id_col
     )
 
     out_schema = T.StructType(
@@ -497,10 +512,15 @@ def ivf_pairs(
         ia, ib = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "cosine": sims[ia, ib]})
 
-    return assigned.groupBy("centroid").applyInPandas(kernel, out_schema)
+    out = assigned.groupBy("centroid").applyInPandas(kernel, out_schema)
+    if n_probe > 1:
+        out = out.distinct()  # a pair can surface in several probed buckets
+    return out
 
 
-def ivf_pairs_duck(threshold: float = 0.4, n_centroids: int = 16) -> str:
+def ivf_pairs_duck(
+    threshold: float = 0.4, n_centroids: int = 16, n_probe: int = 1
+) -> str:
     """DuckDB oracle for ``ivf_pairs`` (same deterministic quantizer)."""
     return """
 with e as (
@@ -520,7 +540,7 @@ assign as (
     select *, row_number() over (partition by vec_id
                                  order by s desc, cid asc) r
     from scored
-  ) where r = 1
+  ) where r <= {np}
 ),
 j as (
   select a.vec_id id_a, b.vec_id id_b,
@@ -530,8 +550,8 @@ j as (
   join e ea on ea.vec_id = a.vec_id
   join e eb on eb.vec_id = b.vec_id
 )
-select id_a, id_b, cosine from j where cosine >= {t}
-""".format(nc=n_centroids, t=threshold)
+select distinct id_a, id_b, cosine from j where cosine >= {t}
+""".format(nc=n_centroids, t=threshold, np=n_probe)
 
 
 def ann_pairs(

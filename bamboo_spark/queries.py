@@ -801,6 +801,16 @@ order by doc_id, idx
 """
 
 
+def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with n_probe=2: each vector probes its two nearest
+    centroids, recovering the boundary-split pairs single-probe misses
+    — the standard recall/compute dial, at ~2× bucket volume."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_pairs(
+        e, threshold=0.4, n_centroids=16, n_probe=2
+    ).orderBy("id_a", "id_b")
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return similarity.quantize_embeddings(e).orderBy("vec_id", "pos")
@@ -872,6 +882,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_embeddings": q_near_dup_embeddings,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "embedding_quantize": q_embedding_quantize,
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
@@ -914,6 +925,9 @@ def oracle_sql() -> Dict[str, str]:
         "near_dup_embeddings": similarity.cosine_pairs_duck(threshold=0.4),
         "ann_topk": similarity.topk_neighbors_duck(query_ids_below=10, k=5),
         "ann_ivf": similarity.ivf_pairs_duck(threshold=0.4, n_centroids=16),
+        "ann_ivf_multiprobe": similarity.ivf_pairs_duck(
+            threshold=0.4, n_centroids=16, n_probe=2
+        ),
         "embedding_quantize": similarity.quantize_embeddings_duck(),
         "text_stats": Q_TEXT_STATS_SQL.format(
             lang=text.lang_id_duck("text"), quality=text.quality_score_duck("text")

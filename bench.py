@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "near_dup_embeddings",
     "ann_topk",
     "ann_ivf",
+    "ann_ivf_multiprobe",
     "embedding_quantize",
     "text_stats",
     "token_counts",
