@@ -257,7 +257,23 @@ def bpe_token_count_duck(col: str = "text") -> str:
     return "len(regexp_extract_all(%s, '%s'))::BIGINT" % (col, BPE_SPLIT_RE)
 
 
-def stable_sample_pct(id_col: str = "doc_id") -> Column:
+def normalize_text(col: str = "text") -> Column:
+    """Canonical text normalization for dedup/fingerprinting: lowercase,
+    strip ASCII punctuation, collapse whitespace runs, trim. Running
+    dedup on normalized text catches case/punctuation-only duplicates
+    that byte-exact hashing misses. ASCII-class regexes keep Spark and
+    DuckDB byte-identical."""
+    out = F.lower(F.col(col))
+    out = F.regexp_replace(out, "[^a-z0-9 ]", " ")
+    out = F.regexp_replace(out, " +", " ")
+    return F.trim(out)
+
+
+def normalize_text_duck(col: str = "text") -> str:
+    return (
+        "trim(regexp_replace(regexp_replace(lower(%s),"
+        " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))" % col
+    )
     """Deterministic sampling bucket in [0, 100) from the row id's md5.
 
     Hash-stable sampling is the reproducible alternative to rand():

@@ -703,6 +703,26 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(d, max_hamming=2).orderBy("doc_a", "doc_b")
 
 
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after canonical normalization (lowercase, strip
+    punctuation, collapse whitespace) — catches case/punct-only
+    duplicates byte-exact hashing misses. Same single hash-aggregate
+    shuffle as dedup_exact, keyed on the normalized form."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(text.normalize_text("text").alias("norm"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("keep_id", "n_dups")
+        .orderBy("keep_id")
+    )
+
+
+Q_DEDUP_NORM_SQL = """
+select min(doc_id) keep_id, count(*) n_dups
+from documents group by {norm} order by keep_id
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dedup pipeline composed: MinHash-LSH candidates →
     exact-jaccard verify (0.7) → duplicate-cluster labeling via 4
@@ -878,6 +898,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_normalized": q_dedup_normalized,
         "dedup_components": q_dedup_components,
         "near_dup_embeddings": q_near_dup_embeddings,
         "ann_topk": q_ann_topk,
@@ -919,6 +940,9 @@ def oracle_sql() -> Dict[str, str]:
         # oracle is the exact pairwise join at the same threshold
         "dedup_minhash": dedup.jaccard_pairs_duck(threshold=0.7),
         "dedup_simhash": dedup.simhash_pairs_duck(max_hamming=2),
+        "dedup_normalized": Q_DEDUP_NORM_SQL.format(
+            norm=text.normalize_text_duck("text")
+        ),
         "dedup_components": dedup.components_duck(
             dedup.jaccard_pairs_duck(threshold=0.7), iterations=4
         ),

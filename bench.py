@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "dedup_jaccard",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_normalized",
     "dedup_components",
     "near_dup_embeddings",
     "ann_topk",
