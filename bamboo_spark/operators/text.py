@@ -274,6 +274,9 @@ def normalize_text_duck(col: str = "text") -> str:
         "trim(regexp_replace(regexp_replace(lower(%s),"
         " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))" % col
     )
+
+
+def stable_sample_pct(id_col: str = "doc_id") -> Column:
     """Deterministic sampling bucket in [0, 100) from the row id's md5.
 
     Hash-stable sampling is the reproducible alternative to rand():
