@@ -190,6 +190,23 @@ class Dataset:
     def to_pandas(self, **kwargs) -> pd.DataFrame:
         return self.flatten(**kwargs).to_pandas()
 
+    def write_parquet(
+        self,
+        path: str,
+        partition_by=None,
+        mode: str = "overwrite",
+        **kwargs,
+    ) -> None:
+        """Columnar sink with small-file control — the scale-path
+        counterpart of the reference's pandas-only sink (SURVEY §2 K1):
+        at 100 TB results land in partitioned parquet, not a driver
+        DataFrame. Delegates to operators.scale.write_partitioned."""
+        from bamboo_spark.operators.scale import write_partitioned
+
+        write_partitioned(
+            self._df, path, partition_by=partition_by, mode=mode, **kwargs
+        )
+
     def select_columns(self, include: Any = None, exclude: Any = None) -> "Dataset":
         """Read-time column pruning (the reference's from_* include/exclude
         pushdown) as a nested projection — Catalyst pushes it into the

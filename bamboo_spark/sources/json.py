@@ -27,6 +27,11 @@ from bamboo_spark.sources.obj import from_object
 def from_json(
     s: Union[str, bytes, io.IOBase, Any], spark: Optional[SparkSession] = None
 ) -> Dataset:
+    if isinstance(s, SparkSession):
+        raise TypeError(
+            "from_json(document, spark=...) — the JSON document comes first "
+            "(reference-parity signature, core.py:49-54)"
+        )
     if hasattr(s, "read"):
         s = s.read()
     if isinstance(s, (bytes, bytearray)):

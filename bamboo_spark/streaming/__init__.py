@@ -10,9 +10,10 @@ built-ins can't express.
 """
 
 from bamboo_spark.streaming.core import (
+    dedup_stream,
     flatten_stream,
     sessionize_stream,
     windowed_counts,
 )
 
-__all__ = ["flatten_stream", "sessionize_stream", "windowed_counts"]
+__all__ = ["dedup_stream", "flatten_stream", "sessionize_stream", "windowed_counts"]

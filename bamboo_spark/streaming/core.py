@@ -125,6 +125,23 @@ def sessionize_stream(
     )
 
 
+def dedup_stream(
+    sdf: DataFrame,
+    key_cols,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose key already appeared
+    within the watermark horizon (``dropDuplicatesWithinWatermark``) —
+    the streaming twin of the batch ``dedup_exact``. State is one entry
+    per distinct key seen inside the horizon; the watermark bounds it,
+    which is what makes exact dedup feasible on an unbounded stream (a
+    global-history dedup would grow state forever — route that case
+    through a batch backfill join instead)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def windowed_counts(
     sdf: DataFrame,
     ts_col: str = "ts",

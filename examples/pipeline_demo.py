@@ -1,0 +1,71 @@
+"""End-to-end demo: the full bamboo_spark surface in one pipeline.
+
+    python examples/pipeline_demo.py [sf_dir]
+
+1. Ingest nested JSON (reference-style from_json → Dataset).
+2. Flatten with bamboo semantics (broadcast-repeat, inner join).
+3. Run the training-data pipeline over the documents table:
+   normalize → stable-sample → near-dup detection (MinHash-LSH)
+   → duplicate-cluster labeling → keep cluster canonicals.
+4. Write the cleaned corpus as partitioned parquet.
+
+Every step is declarative DataFrame API — Catalyst plans it; nothing
+here depends on local[*] and the same code runs on a cluster.
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from bamboo_spark import Dataset, from_json, get_spark
+from bamboo_spark.operators import dedup, text
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("pipeline_demo")
+
+    # -- 1+2: nested ingestion + flatten (the reference's core workflow)
+    doc = '[{"a": null, "b": [1, 2]}, {"a": -1.0, "b": [3, 4]}]'
+    flat = from_json(doc, spark=spark).flatten().to_pandas()
+    print("flatten (README example):")
+    print(flat.to_string(index=False))
+
+    # -- 3: training-data pipeline over the documents table
+    docs = spark.read.parquet("%s/documents.parquet" % sf_dir)
+
+    sampled = docs.where(text.stable_sample_pct("doc_id") < 80)  # 80% stable sample
+    normed = sampled.withColumn("norm", text.normalize_text("text"))
+
+    pairs = dedup.minhash_lsh_pairs(
+        normed.select("doc_id", F.col("norm").alias("text")),
+        threshold=0.7,
+        num_hashes=64,
+    )
+    clusters = dedup.connected_components(pairs, iterations=4)
+    canonical = clusters.where(F.col("doc_id") == F.col("component"))
+    dropped = clusters.where(F.col("doc_id") != F.col("component"))
+
+    keep = normed.join(dropped.select("doc_id"), "doc_id", "left_anti")
+    n_in, n_out = docs.count(), keep.count()
+    print(
+        "\ndocs: %d -> sampled: %d -> kept after near-dup removal: %d "
+        "(%d dup clusters, %d docs dropped)"
+        % (n_in, sampled.count(), n_out, canonical.count(), dropped.count())
+    )
+
+    # -- 4: partitioned sink
+    out = os.path.join(tempfile.mkdtemp(), "corpus")
+    Dataset(keep.withColumn("stratum", F.col("source"))).write_parquet(
+        out, partition_by=["stratum"]
+    )
+    parts = sorted(p for p in os.listdir(out) if p.startswith("stratum="))
+    print("wrote %s (%d partitions)" % (out, len(parts)))
+
+
+if __name__ == "__main__":
+    main()

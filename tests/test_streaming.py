@@ -82,6 +82,47 @@ def test_sessionize_stream_closes_sessions(spark):
         q.stop()
 
 
+def test_dedup_stream_drops_repeats(spark, tmp_path):
+    import json, os
+    from bamboo_spark.streaming import dedup_stream
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    B = 100000  # clear of the epoch-0 initial watermark
+
+    def emit(name, rows):
+        with open(os.path.join(d, name), "w") as f:
+            for ts_s, k in rows:
+                f.write(json.dumps({"ts": B + ts_s, "k": k}) + "\n")
+
+    # duplicate keys within one batch AND across batches inside the horizon
+    emit("b1.json", [(1, "a"), (2, "a"), (3, "b")])
+    stream = (
+        spark.readStream.schema("ts long, k string").json(d)
+        .select(F.timestamp_seconds("ts").alias("ts"), "k")
+    )
+    out = dedup_stream(stream, "k", watermark="10 minutes")
+    assert out.isStreaming
+    q = out.writeStream.format("memory").queryName("dd_t").outputMode("append").start()
+    try:
+        deadline = time.time() + 40
+        while time.time() < deadline:
+            if spark.sql("select count(*) c from dd_t").collect()[0].c >= 2:
+                break
+            time.sleep(0.5)
+        emit("b2.json", [(5, "a"), (6, "c")])  # 'a' is a repeat within horizon
+        deadline = time.time() + 40
+        while time.time() < deadline:
+            if spark.sql("select count(*) c from dd_t").collect()[0].c >= 3:
+                break
+            time.sleep(0.5)
+        rows = spark.sql("select k, count(*) n from dd_t group by k").collect()
+        got = {r.k: r.n for r in rows}
+        assert got == {"a": 1, "b": 1, "c": 1}, got
+    finally:
+        q.stop()
+
+
 def test_windowed_counts_stream(spark):
     stream = (
         spark.readStream.format("rate").option("rowsPerSecond", "50").load()
