@@ -278,6 +278,60 @@ order by o_orderpriority
 """
 
 
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join + two-level aggregation — the
+    distribution of orders-per-customer including zero-order customers
+    (the left outer join is the point; an inner join silently drops
+    them). Two shuffles: custkey, then the count histogram."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count(col) skips nulls
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q_ORDER_DIST_SQL = """
+select c_count, count(*) custdist
+from (
+  select c_custkey, count(o_orderkey) c_count
+  from customer left outer join orders on c_custkey = o_custkey
+  group by c_custkey
+)
+group by c_count
+order by custdist desc, c_count desc
+"""
+
+
+def q_big_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING shape (TPC-H Q18 core): orders whose total
+    quantity exceeds a threshold. HAVING is a post-aggregate filter —
+    it cannot push below the aggregation, but the aggregate itself is
+    map-side combinable so the filter sees one row per group."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+        .orderBy(F.col("total_qty").desc(), F.col("l_orderkey"))
+    )
+
+
+Q_BIG_ORDERS_SQL = """
+select l_orderkey, round(sum(l_quantity), 2) total_qty
+from lineitem
+group by l_orderkey
+having round(sum(l_quantity), 2) > 150
+order by total_qty desc, l_orderkey
+"""
+
+
 def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-based window aggregate: 7-event trailing moving average of
     value per event_type, ordered by (ts, event_id). Single shuffle on
@@ -880,6 +934,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_revenue": q5_region_revenue,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q_top_customers": q_top_customers,
+        "q_order_count_distribution": q_order_count_distribution,
+        "q_big_orders_having": q_big_orders_having,
         "q_orders_priority": q_orders_priority,
         "q_events_hourly": q_events_hourly,
         "q_events_moving_avg": q_events_moving_avg,
@@ -920,6 +976,8 @@ def oracle_sql() -> Dict[str, str]:
         "q5_region_revenue": Q5_SQL,
         "q6_forecast_revenue": Q6_SQL,
         "q_top_customers": Q_TOP_CUSTOMERS_SQL,
+        "q_order_count_distribution": Q_ORDER_DIST_SQL,
+        "q_big_orders_having": Q_BIG_ORDERS_SQL,
         "q_orders_priority": Q_ORDERS_PRIORITY_SQL,
         "q_events_hourly": Q_EVENTS_HOURLY_SQL,
         "q_events_moving_avg": Q_EVENTS_MOVING_AVG_SQL,

@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "q5_region_revenue",
     "q6_forecast_revenue",
     "q_top_customers",
+    "q_order_count_distribution",
+    "q_big_orders_having",
     "q_events_hourly",
     "q_events_moving_avg",
     "q_events_stats",
