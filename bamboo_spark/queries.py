@@ -332,6 +332,38 @@ order by total_qty desc, l_orderkey
 """
 
 
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional aggregation (CASE inside
+    SUM) — per line status, how many high- vs low-priority order lines
+    shipped. The CASE rides inside the map-side partial aggregate, so
+    both counters come out of one shuffle."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).cast("bigint").alias("high_line_count"),
+            F.sum(1 - high).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q_SHIPMODE_SQL = """
+select l_linestatus,
+       sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                then 1 else 0 end)::BIGINT high_line_count,
+       sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                then 0 else 1 end)::BIGINT low_line_count
+from lineitem join orders on l_orderkey = o_orderkey
+group by l_linestatus order by l_linestatus
+"""
+
+
 def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-based window aggregate: 7-event trailing moving average of
     value per event_type, ordered by (ts, event_id). Single shuffle on
@@ -885,6 +917,42 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids: posexplode the vectors and average
+    per (label, position) — one map-side-combinable shuffle regardless
+    of dimensionality, no UDF. The output centroid table is what a
+    nearest-class-mean classifier or an IVF trainer consumes."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            F.col("pos").cast("bigint").alias("pos"),
+            "centroid_val",
+            "n_vectors",
+        )
+        .orderBy("label", "pos")
+    )
+
+
+Q_LABEL_CENTROIDS_SQL = """
+with ex as (
+  select label, generate_subscripts(embedding, 1) - 1 pos,
+         unnest(embedding) val
+  from embeddings
+)
+select label::BIGINT as label, pos::BIGINT as pos,
+       round(avg(val::DOUBLE), 6) centroid_val,
+       count(*) n_vectors
+from ex group by 1, 2 order by label, pos
+"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return similarity.quantize_embeddings(e).orderBy("vec_id", "pos")
@@ -936,6 +1004,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_customers": q_top_customers,
         "q_order_count_distribution": q_order_count_distribution,
         "q_big_orders_having": q_big_orders_having,
+        "q_shipmode_priority": q_shipmode_priority,
         "q_orders_priority": q_orders_priority,
         "q_events_hourly": q_events_hourly,
         "q_events_moving_avg": q_events_moving_avg,
@@ -961,6 +1030,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "embedding_quantize": q_embedding_quantize,
+        "label_centroids": q_label_centroids,
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -978,6 +1048,7 @@ def oracle_sql() -> Dict[str, str]:
         "q_top_customers": Q_TOP_CUSTOMERS_SQL,
         "q_order_count_distribution": Q_ORDER_DIST_SQL,
         "q_big_orders_having": Q_BIG_ORDERS_SQL,
+        "q_shipmode_priority": Q_SHIPMODE_SQL,
         "q_orders_priority": Q_ORDERS_PRIORITY_SQL,
         "q_events_hourly": Q_EVENTS_HOURLY_SQL,
         "q_events_moving_avg": Q_EVENTS_MOVING_AVG_SQL,
@@ -1011,6 +1082,7 @@ def oracle_sql() -> Dict[str, str]:
             threshold=0.4, n_centroids=16, n_probe=2
         ),
         "embedding_quantize": similarity.quantize_embeddings_duck(),
+        "label_centroids": Q_LABEL_CENTROIDS_SQL,
         "text_stats": Q_TEXT_STATS_SQL.format(
             lang=text.lang_id_duck("text"), quality=text.quality_score_duck("text")
         ),

@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "q_top_customers",
     "q_order_count_distribution",
     "q_big_orders_having",
+    "q_shipmode_priority",
     "q_events_hourly",
     "q_events_moving_avg",
     "q_events_stats",
@@ -56,6 +57,7 @@ BENCH_QUERIES = [
     "ann_ivf",
     "ann_ivf_multiprobe",
     "embedding_quantize",
+    "label_centroids",
     "text_stats",
     "token_counts",
     "doc_fingerprint",
