@@ -992,6 +992,592 @@ from documents order by doc_id
 """
 
 
+# ============================================= relational shapes II
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: ratio of a conditional aggregate to the total
+    over a fact⋈dim join. part is broadcast (tiny vs lineitem at any
+    scale); both sums come out of one map-side-combinable aggregate, so
+    the whole query is scan → broadcast-hash-join → single shuffle of
+    one partial-agg row per task."""
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = load(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(disc), 6).alias("promo_pct"),
+            F.round(F.sum(disc), 2).alias("total_revenue"),
+        )
+    )
+
+
+Q_PROMO_SQL = """
+select round(100.0 * sum(case when p_type = 'PROMO'
+                              then l_extendedprice * (1 - l_discount)
+                              else 0.0 end)
+             / sum(l_extendedprice * (1 - l_discount)), 6) promo_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) total_revenue
+from lineitem join part on l_partkey = p_partkey
+where l_shipdate >= TIMESTAMP '1997-01-01'
+  and l_shipdate < TIMESTAMP '1998-01-01'
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate → global-max scalar → equality filter.
+    The per-supplier revenue table is tiny relative to the fact table,
+    so the max is computed on the aggregate and broadcast back — no
+    second pass over lineitem, no single-partition window over the full
+    aggregate (which would serialize at scale)."""
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-07-01")
+    )
+    s = load(spark, sf_dir, "supplier")
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q_TOP_SUPPLIER_SQL = """
+with rev as (
+  select l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) total_revenue
+  from lineitem
+  where l_shipdate >= TIMESTAMP '1997-01-01'
+    and l_shipdate < TIMESTAMP '1997-07-01'
+  group by l_suppkey
+)
+select s_suppkey, s_name, total_revenue
+from supplier join rev on s_suppkey = l_suppkey
+where total_revenue = (select max(total_revenue) from rev)
+order by s_suppkey
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-group average consumed by a
+    row-level filter. Expressed as a window avg over the join result —
+    one shuffle on l_partkey serves both the avg and the filter (the
+    classic self-join formulation scans lineitem twice). The per-part
+    avg is computed over exact integers (quantities are integral) so
+    the 0.2× threshold is bit-identical across engines regardless of
+    summation order."""
+    p = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#12")
+    l = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    joined = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast("long")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w).cast("double")
+    )
+    return (
+        joined.withColumn("avg_qty", avg_qty)
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+Q_SMALL_QTY_SQL = """
+select round(sum(l_extendedprice) / 7.0, 2) avg_yearly
+from (
+  select l_extendedprice, l_quantity,
+         sum(l_quantity::BIGINT) over (partition by l_partkey)::DOUBLE
+           / count(*) over (partition by l_partkey)::DOUBLE avg_qty
+  from lineitem join part on p_partkey = l_partkey
+  where p_brand = 'Brand#12'
+)
+where l_quantity < 0.2 * avg_qty
+"""
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: the HAVING aggregate feeds a join back to the
+    order/customer detail. The big-order key set is small after the
+    HAVING filter, so it broadcasts into orders; customer is broadcast
+    outright. lineitem is shuffled once (on l_orderkey) for the
+    aggregate — the detail join reuses the broadcast, not a second
+    shuffle of the fact table."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 180)
+    )
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+    )
+
+
+Q_LARGE_VOLUME_SQL = """
+select c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') orderdate,
+       round(o_totalprice, 2) totalprice, total_qty
+from orders
+join (
+  select l_orderkey, round(sum(l_quantity), 2) total_qty
+  from lineitem group by l_orderkey
+  having round(sum(l_quantity), 2) > 180
+) big on o_orderkey = big.l_orderkey
+join customer on o_custkey = c_custkey
+order by totalprice desc, o_orderkey
+"""
+
+
+def q_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+    The per-side conjuncts (brand/size on part, quantity on lineitem)
+    are pulled out of the disjunction by Catalyst and pushed to the
+    scans; the residual cross-side disjunction evaluates inside the
+    broadcast hash join."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 40)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q_DISJUNCTIVE_SQL = """
+select round(sum(l_extendedprice * (1 - l_discount)), 2) revenue,
+       count(*) n_lines
+from lineitem join part on l_partkey = p_partkey
+where (p_brand = 'Brand#12' and p_size between 1 and 15
+       and l_quantity between 1 and 11)
+   or (p_brand = 'Brand#23' and p_size between 1 and 25
+       and l_quantity between 10 and 20)
+   or (p_brand = 'Brand#3' and p_size between 1 and 40
+       and l_quantity between 20 and 30)
+"""
+
+
+def q_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery threshold + anti join. The
+    positive-balance average is one scalar broadcast into the filter;
+    above-average customers with no URGENT orders survive a left-anti
+    join against the filtered orders key set (shuffle on custkey; at
+    scale the anti join's right side is the deduped key column only,
+    not whole orders rows — every customer has *some* order in this
+    data, so the unfiltered Q22 form would be vacuously empty)."""
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal")
+    )
+    rich = (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        rich.groupBy(F.col("c_nationkey").cast("bigint").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+Q_RICH_IDLE_SQL = """
+select c_nationkey::BIGINT nationkey,
+       count(*) n_custs,
+       round(sum(c_acctbal), 2) total_bal
+from customer
+where c_acctbal > (select round(avg(c_acctbal), 4) from customer where c_acctbal > 0)
+  and not exists (select 1 from orders
+                  where o_custkey = c_custkey
+                    and o_orderpriority = '1-URGENT')
+group by 1 order by 1
+"""
+
+
+def q_part_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function surface: dense_rank + ntile quartile per brand
+    over retail price, top-5 rows kept. One shuffle on the partition
+    key; ntile is computed over the full partition before the row_number
+    filter (quartiles describe the whole brand, not the top-5)."""
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("price"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.dense_rank().over(w).cast("bigint").alias("drank"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        )
+        .where(F.col("rn") <= 5)
+        .orderBy("p_brand", "rn")
+    )
+
+
+Q_PART_RANK_SQL = """
+select p_brand, p_partkey, price, rn, drank, quartile
+from (
+  select p_brand, p_partkey, round(p_retailprice, 2) price,
+         row_number() over w::BIGINT rn,
+         dense_rank() over w::BIGINT drank,
+         ntile(4) over w::BIGINT quartile
+  from part
+  window w as (partition by p_brand order by p_retailprice desc, p_partkey asc)
+)
+where rn <= 5 order by p_brand, rn
+"""
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate: all 4 grouping sets of (returnflag, linestatus)
+    in one pass with grouping_id() disambiguating subtotal rows from
+    data rows. Spark expands the cube map-side, so it is still a single
+    shuffle — the expansion multiplies partial-agg rows, not scan rows."""
+    l = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.round(F.sum(disc), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+Q_CUBE_SQL = """
+select l_returnflag, l_linestatus,
+       grouping(l_returnflag, l_linestatus)::BIGINT gid,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) revenue,
+       count(*) n_lines
+from lineitem
+group by cube(l_returnflag, l_linestatus)
+order by gid, l_returnflag, l_linestatus
+"""
+
+
+# ============================================= scale operators II
+
+
+def q_events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase paired with the latest click at-or-
+    before it by the same user. Implemented as a tagged union + one
+    window pass — both sides shuffle ONCE on user_id and the as-of
+    semantics come from sort order (clicks sort before purchases at
+    equal ts, matching the oracle's ts >= ts inequality), instead of a
+    per-row range probe. This is the scalable plan: no range join, no
+    broadcast, state is one running value per user.
+
+    Clicks are deduped to (user_id, ts) first so ties can't make the
+    answer engine-dependent."""
+    e = load(spark, sf_dir, "events")
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .select("user_id", "ts")
+        .distinct()
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("tag"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("tag"), F.col("event_id").cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = clicks.unionByName(purchases).withColumn(
+        "last_click_us",
+        F.last(
+            F.when(F.col("tag") == 0, F.unix_micros("ts")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        tagged.where(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("purchase_us"),
+            "last_click_us",
+            ((F.unix_micros("ts") - F.col("last_click_us")) / F.lit(1000000))
+            .cast("long")
+            .alias("gap_sec"),
+        )
+        .orderBy("event_id")
+    )
+
+
+Q_ASOF_SQL = """
+with clicks as (
+  select distinct user_id, ts from events where event_type = 'click'
+),
+p as (
+  select event_id, user_id, ts from events where event_type = 'purchase'
+)
+select p.event_id, p.user_id,
+       epoch_us(p.ts) purchase_us,
+       epoch_us(c.ts) last_click_us,
+       ((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000)::BIGINT gap_sec
+from p asof left join clicks c
+  on p.user_id = c.user_id and p.ts >= c.ts
+order by event_id
+"""
+
+
+BUCKET_DIM = [
+    ("low", 0.0, 10.0),
+    ("mid", 10.0, 25.0),
+    ("high", 25.0, 40.0),
+    ("bulk", 40.0, 51.0),
+]
+
+
+def q_quantity_range_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join: fact rows land in [lo, hi) buckets of a
+    broadcast dimension. Spark plans this as BroadcastNestedLoopJoin —
+    each task streams its lineitem partition against the 4-row bucket
+    table, so cost is scan-linear and there is no shuffle before the
+    final 4-group aggregate. (With thousands of buckets you'd binary-
+    search via a sorted-array UDF or width_bucket instead; the point
+    here is the non-equi join surface.)"""
+    l = load(spark, sf_dir, "lineitem")
+    b = spark.createDataFrame(BUCKET_DIM, "label string, lo double, hi double")
+    return (
+        l.join(
+            F.broadcast(b),
+            (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+Q_RANGE_BUCKETS_SQL = """
+select label, count(*) n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) revenue
+from lineitem
+join (values {rows}) b(label, lo, hi)
+  on l_quantity >= lo and l_quantity < hi
+group by label order by label
+""".format(
+    rows=", ".join("('%s', %s, %s)" % t for t in BUCKET_DIM)
+)
+
+
+# ============================================= text corpus analytics
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: per-document top-3 terms by tf·ln(N/df). Three shuffles,
+    each on a small key domain: (doc_id, token) for tf, token for df,
+    doc_id for the top-k window. df is joined back via broadcast (the
+    vocabulary is tiny relative to the corpus — at 100 TB you'd still
+    broadcast the df table or store it as a dict sketch). N rides along
+    as a broadcast scalar, not a driver-side collect."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("nd"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("nd").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.where(F.col("doc_id") < 100)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "rn", "token", "tf", "df", "tfidf")
+        .orderBy("doc_id", "rn")
+    )
+
+
+Q_TFIDF_SQL = """
+with tok as (
+  select doc_id, unnest(string_split(text, ' ')) token from documents
+),
+tf as (select doc_id, token, count(*) tf from tok group by 1, 2),
+df as (select token, count(*) df from tf group by 1),
+n as (select count(*) nd from documents)
+select doc_id, rn, token, tf, df, tfidf
+from (
+  select doc_id, token, tf, df,
+         round(tf::DOUBLE * ln(nd::DOUBLE / df::DOUBLE), 6) tfidf,
+         row_number() over (partition by doc_id
+                            order by round(tf::DOUBLE * ln(nd::DOUBLE / df::DOUBLE), 6) desc,
+                                     token asc)::BIGINT rn
+  from tf join df using (token) cross join n
+  where doc_id < 100
+)
+where rn <= 3
+order by doc_id, rn
+"""
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: token → document frequency + the
+    head of its postings list (10 smallest doc_ids, comma-joined so the
+    value hash is engine-neutral). The postings head is taken with a
+    per-token window BEFORE the list aggregation, so no executor ever
+    materializes a full posting list — the pattern that survives tokens
+    appearing in billions of documents."""
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    df_ = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("token").orderBy(F.col("doc_id").asc())
+    head = (
+        tok.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .groupBy("token")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias(
+                "postings_head"
+            )
+        )
+    )
+    return (
+        df_.join(head, "token")
+        .select("token", "df", "postings_head")
+        .orderBy("token")
+    )
+
+
+Q_INVERTED_INDEX_SQL = """
+with tok as (
+  select distinct doc_id, unnest(string_split(text, ' ')) token from documents
+),
+df as (select token, count(*) df from tok group by 1),
+head as (
+  select token, string_agg(doc_id::VARCHAR, ',' order by doc_id) postings_head
+  from (
+    select token, doc_id,
+           row_number() over (partition by token order by doc_id asc) rn
+    from tok
+  )
+  where rn <= 10
+  group by token
+)
+select token, df, postings_head
+from df join head using (token)
+order by token
+"""
+
+
+def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language heavy hitters: top-10 tokens by corpus frequency.
+    Exact counts via one (lang, token) shuffle — the key domain is
+    |langs|×|vocab|, tiny regardless of corpus size, which is why exact
+    beats a sketch here; swap in a count-min merge only if the vocab
+    itself stops fitting."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= 10)
+        .select("lang", "rn", "token", "n")
+        .orderBy("lang", "rn")
+    )
+
+
+Q_HEAVY_HITTERS_SQL = """
+select lang, rn, token, n
+from (
+  select lang, token, count(*) n,
+         row_number() over (partition by lang
+                            order by count(*) desc, token asc)::BIGINT rn
+  from (select lang, unnest(string_split(text, ' ')) token from documents)
+  group by lang, token
+)
+where rn <= 10
+order by lang, rn
+"""
+
+
 # ============================================================ registry
 
 
@@ -1019,6 +1605,19 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_revenue": q_rollup_revenue,
         "q_price_quantiles": q_price_quantiles,
         "q_stratified_sample": q_stratified_sample,
+        "q_promo_revenue": q_promo_revenue,
+        "q_top_supplier": q_top_supplier,
+        "q_small_qty_revenue": q_small_qty_revenue,
+        "q_large_volume_customers": q_large_volume_customers,
+        "q_disjunctive_join": q_disjunctive_join,
+        "q_rich_idle_customers": q_rich_idle_customers,
+        "q_part_rank_ntile": q_part_rank_ntile,
+        "q_cube_revenue": q_cube_revenue,
+        "q_events_asof_click": q_events_asof_click,
+        "q_quantity_range_buckets": q_quantity_range_buckets,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "inverted_index": q_inverted_index,
+        "token_heavy_hitters": q_token_heavy_hitters,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -1063,6 +1662,19 @@ def oracle_sql() -> Dict[str, str]:
         "q_rollup_revenue": Q_ROLLUP_SQL,
         "q_price_quantiles": Q_QUANTILES_SQL,
         "q_stratified_sample": _stratified_sql(),
+        "q_promo_revenue": Q_PROMO_SQL,
+        "q_top_supplier": Q_TOP_SUPPLIER_SQL,
+        "q_small_qty_revenue": Q_SMALL_QTY_SQL,
+        "q_large_volume_customers": Q_LARGE_VOLUME_SQL,
+        "q_disjunctive_join": Q_DISJUNCTIVE_SQL,
+        "q_rich_idle_customers": Q_RICH_IDLE_SQL,
+        "q_part_rank_ntile": Q_PART_RANK_SQL,
+        "q_cube_revenue": Q_CUBE_SQL,
+        "q_events_asof_click": Q_ASOF_SQL,
+        "q_quantity_range_buckets": Q_RANGE_BUCKETS_SQL,
+        "tfidf_top_terms": Q_TFIDF_SQL,
+        "inverted_index": Q_INVERTED_INDEX_SQL,
+        "token_heavy_hitters": Q_HEAVY_HITTERS_SQL,
         "dedup_exact": Q_DEDUP_EXACT_SQL,
         "dedup_jaccard": dedup.jaccard_pairs_duck(threshold=0.8),
         # minhash-LSH verifies candidates with the exact jaccard, so the
