@@ -28,6 +28,7 @@ from bamboo_spark.naming import NameStrategy, column_names
 from bamboo_spark.session import get_spark
 from bamboo_spark.sources.arrow import from_arrow
 from bamboo_spark.sources.avro import from_avro
+from bamboo_spark.sources.flat import read_csv, read_orc, read_parquet, read_text
 from bamboo_spark.sources.json import from_json, read_json
 from bamboo_spark.sources.obj import from_object
 from bamboo_spark.sources.pbd import from_pbd
@@ -47,7 +48,11 @@ __all__ = [
     "from_pbd",
     "get_spark",
     "parse_clusions",
+    "read_csv",
     "read_json",
+    "read_orc",
+    "read_parquet",
+    "read_text",
 ]
 
 __version__ = "0.1.0"

@@ -63,6 +63,19 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "multimodal_decode",
     "multimodal_features",
+    "q_promo_revenue",
+    "q_top_supplier",
+    "q_small_qty_revenue",
+    "q_large_volume_customers",
+    "q_disjunctive_join",
+    "q_rich_idle_customers",
+    "q_part_rank_ntile",
+    "q_cube_revenue",
+    "q_events_asof_click",
+    "q_quantity_range_buckets",
+    "tfidf_top_terms",
+    "inverted_index",
+    "token_heavy_hitters",
 ]
 
 

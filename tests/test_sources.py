@@ -326,3 +326,41 @@ def test_dict_as_list(spark):
 def test_object_map_column(spark):
     # MapType flatten support (extension): map explodes to key/value
     pass
+
+
+# ---------------------------------------------------------------- Flat files
+
+
+def test_flat_csv_roundtrip(spark, tmp_path):
+    from bamboo_spark import read_csv
+
+    p = str(tmp_path / "t.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n1,x\n2,y\n")
+    pdf = read_csv(p, spark).to_pandas().sort_values("a").reset_index(drop=True)
+    assert_frame({"a": [1, 2], "b": ["x", "y"]}, pdf)
+    # explicit DDL schema skips inference
+    pdf2 = read_csv(p, spark, schema="a LONG, b STRING").to_pandas()
+    assert list(pdf2.columns) == ["a", "b"]
+
+
+def test_flat_parquet_orc_roundtrip(spark, tmp_path):
+    from bamboo_spark import read_orc, read_parquet
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "a LONG, b STRING")
+    pq, orc = str(tmp_path / "pq"), str(tmp_path / "orc")
+    df.write.parquet(pq)
+    df.write.orc(orc)
+    for reader, path in ((read_parquet, pq), (read_orc, orc)):
+        pdf = reader(path, spark).to_pandas().sort_values("a").reset_index(drop=True)
+        assert_frame({"a": [1, 2], "b": ["x", "y"]}, pdf)
+
+
+def test_flat_text_lines(spark, tmp_path):
+    from bamboo_spark import read_text
+
+    p = str(tmp_path / "t.txt")
+    with open(p, "w") as f:
+        f.write("hello\nworld\n")
+    pdf = read_text(p, spark, line_name="line").to_pandas()
+    assert sorted(pdf["line"]) == ["hello", "world"]
