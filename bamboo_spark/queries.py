@@ -1581,6 +1581,217 @@ order by lang, rn
 # ============================================================ registry
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join. Testdata
+    has no commit/receipt dates, so "late" = a lineitem shipped more
+    than 60 days after the order date — same shape (equi key + non-equi
+    residual on the semi join). The semi join shuffles on orderkey only;
+    no row multiplication from multi-line orders."""
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    l = load(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+select o_orderpriority, count(*) order_count
+from orders
+where o_orderdate >= TIMESTAMP '1997-01-01'
+  and o_orderdate < TIMESTAMP '1998-01-01'
+  and exists (
+    select 1 from lineitem
+    where l_orderkey = o_orderkey
+      and l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+group by o_orderpriority
+order by o_orderpriority
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: volume shipping between two nations. Both nation
+    lookups broadcast (25 rows); the disjunctive nation-pair predicate
+    is applied AFTER the equi joins so Catalyst keeps every join an
+    equi hash join. lineitem⋈orders is the only big shuffle pair."""
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    s = load(spark, sf_dir, "supplier").join(
+        n.select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+        ),
+        F.col("s_nationkey") == F.col("s_nkey"),
+    )
+    c = load(spark, sf_dir, "customer").join(
+        n.select(
+            F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+        ),
+        F.col("c_nationkey") == F.col("c_nkey"),
+    )
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+select supp_nation, cust_nation, l_year, round(sum(volume), 2) revenue
+from (
+  select n1.n_name supp_nation, n2.n_name cust_nation,
+         year(l_shipdate) l_year,
+         l_extendedprice * (1 - l_discount) volume
+  from lineitem
+  join orders on l_orderkey = o_orderkey
+  join supplier on l_suppkey = s_suppkey
+  join customer on o_custkey = c_custkey
+  join nation n1 on s_nationkey = n1.n_nationkey
+  join nation n2 on c_nationkey = n2.n_nationkey
+  where (n1.n_name = 'NATION_1' and n2.n_name = 'NATION_2')
+     or (n1.n_name = 'NATION_2' and n2.n_name = 'NATION_1')
+) shipping
+group by supp_nation, cust_nation, l_year
+order by supp_nation, cust_nation, l_year
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    Aggregate on c_custkey FIRST (shrinks to ≤|customer| rows), then
+    join the customer/nation attributes onto the small aggregate —
+    at 100 TB the attribute join moves the post-agg rows, not
+    lineitem×customer-width rows."""
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-07-01") & (F.col("o_orderdate") < "1997-10-01")
+    )
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    return (
+        rev.join(c, "c_custkey")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+select c_custkey, c_name, revenue, c_acctbal, n_name
+from (
+  select o_custkey c_custkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) revenue
+  from lineitem
+  join orders on l_orderkey = o_orderkey
+  where l_returnflag = 'R'
+    and o_orderdate >= TIMESTAMP '1997-07-01'
+    and o_orderdate < TIMESTAMP '1997-10-01'
+  group by o_custkey
+) r
+join customer using (c_custkey)
+join nation on c_nationkey = n_nationkey
+order by revenue desc, c_custkey
+limit 20
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone shipped late on a
+    multi-supplier order. EXISTS(other supplier on order) → LEFT SEMI;
+    NOT EXISTS(other LATE supplier on order) → LEFT ANTI. "Late" =
+    shipped >60 days after order date (no receipt/commit columns).
+    All three lineitem-derived sides shuffle on l_orderkey, so the
+    semi/anti joins co-partition with no extra exchange; the self-join
+    inequality (l_suppkey <> other) rides as a residual."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    late = l.join(
+        o,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)),
+    ).select("l_orderkey", "l_suppkey")
+    others = l.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    waiting = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    ).join(
+        late_others,
+        (F.col("l_orderkey") == F.col("o3_orderkey"))
+        & (F.col("l_suppkey") != F.col("o3_suppkey")),
+        "left_anti",
+    )
+    s = F.broadcast(load(spark, sf_dir, "supplier"))
+    return (
+        waiting.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(25)
+    )
+
+
+Q21_SQL = """
+select s_name, count(*) numwait
+from lineitem l1
+join orders on l_orderkey = o_orderkey
+join supplier on l1.l_suppkey = s_suppkey
+where o_orderstatus = 'F'
+  and l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  and exists (
+    select 1 from lineitem l2
+    where l2.l_orderkey = l1.l_orderkey and l2.l_suppkey <> l1.l_suppkey
+  )
+  and not exists (
+    select 1 from lineitem l3
+    join orders o3 on l3.l_orderkey = o3.o_orderkey
+    where l3.l_orderkey = l1.l_orderkey and l3.l_suppkey <> l1.l_suppkey
+      and o3.o_orderstatus = 'F'
+      and l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+  )
+group by s_name
+order by numwait desc, s_name
+limit 25
+"""
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1614,6 +1825,10 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_part_rank_ntile": q_part_rank_ntile,
         "q_cube_revenue": q_cube_revenue,
         "q_events_asof_click": q_events_asof_click,
+        "q4_order_priority": q4_order_priority,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q10_returned_items": q10_returned_items,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         "q_quantity_range_buckets": q_quantity_range_buckets,
         "tfidf_top_terms": q_tfidf_top_terms,
         "inverted_index": q_inverted_index,
@@ -1671,6 +1886,10 @@ def oracle_sql() -> Dict[str, str]:
         "q_part_rank_ntile": Q_PART_RANK_SQL,
         "q_cube_revenue": Q_CUBE_SQL,
         "q_events_asof_click": Q_ASOF_SQL,
+        "q4_order_priority": Q4_SQL,
+        "q7_volume_shipping": Q7_SQL,
+        "q10_returned_items": Q10_SQL,
+        "q21_waiting_suppliers": Q21_SQL,
         "q_quantity_range_buckets": Q_RANGE_BUCKETS_SQL,
         "tfidf_top_terms": Q_TFIDF_SQL,
         "inverted_index": Q_INVERTED_INDEX_SQL,

@@ -76,6 +76,10 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "inverted_index",
     "token_heavy_hitters",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q21_waiting_suppliers",
 ]
 
 
