@@ -1726,6 +1726,76 @@ limit 20
 """
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional volume per year —
+    a ratio of conditional sum over total sum in a single aggregate
+    (no second pass over the joined data). part filter (p_type) cuts
+    lineitem via the join before the wide orders join; part/supplier/
+    customer-side dims broadcast after their filters at this SF, and
+    at 100 TB AQE picks broadcast vs shuffle per side from runtime
+    stats. Ratio rounded to 6dp on both engines."""
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    cn = F.broadcast(
+        n.join(r, F.col("n_regionkey") == F.col("r_regionkey")).select(
+            F.col("n_nationkey").alias("c_nkey")
+        )
+    )
+    sn = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    p = load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    c = load(spark, sf_dir, "customer").join(
+        cn, F.col("c_nationkey") == F.col("c_nkey"), "left_semi"
+    )
+    s = load(spark, sf_dir, "supplier").join(
+        sn, F.col("s_nationkey") == F.col("s_nkey")
+    )
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+select o_year,
+       round(sum(case when supp_nation = 'NATION_3' then volume else 0 end)
+             / sum(volume), 6) mkt_share
+from (
+  select year(o_orderdate) o_year,
+         l_extendedprice * (1 - l_discount) volume,
+         n2.n_name supp_nation
+  from lineitem
+  join part on l_partkey = p_partkey
+  join orders on l_orderkey = o_orderkey
+  join customer on o_custkey = c_custkey
+  join supplier on l_suppkey = s_suppkey
+  join nation n1 on c_nationkey = n1.n_nationkey
+  join nation n2 on s_nationkey = n2.n_nationkey
+  join region on n1.n_regionkey = r_regionkey
+  where r_name = 'ASIA' and p_type = 'PROMO'
+) all_nations
+group by o_year
+order by o_year
+"""
+
+
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who alone shipped late on a
     multi-supplier order. EXISTS(other supplier on order) → LEFT SEMI;
@@ -1827,6 +1897,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_asof_click": q_events_asof_click,
         "q4_order_priority": q4_order_priority,
         "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
         "q10_returned_items": q10_returned_items,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q_quantity_range_buckets": q_quantity_range_buckets,
@@ -1888,6 +1959,7 @@ def oracle_sql() -> Dict[str, str]:
         "q_events_asof_click": Q_ASOF_SQL,
         "q4_order_priority": Q4_SQL,
         "q7_volume_shipping": Q7_SQL,
+        "q8_market_share": Q8_SQL,
         "q10_returned_items": Q10_SQL,
         "q21_waiting_suppliers": Q21_SQL,
         "q_quantity_range_buckets": Q_RANGE_BUCKETS_SQL,

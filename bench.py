@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "token_heavy_hitters",
     "q4_order_priority",
     "q7_volume_shipping",
+    "q8_market_share",
     "q10_returned_items",
     "q21_waiting_suppliers",
 ]
