@@ -58,6 +58,31 @@ def _keeps(dtype: T.DataType, fltr: ColumnFilter, parent_included: bool) -> bool
     return included
 
 
+def prune_schema(
+    dtype: T.DataType, fltr: ColumnFilter, parent_included: bool
+) -> T.DataType:
+    """Type-level twin of ``_project``: the schema ``apply_column_filter``
+    would produce, without a DataFrame. Used by decoders that prune at
+    decode time (Avro/PBD pushdown) so their output schema matches what
+    the Catalyst nested projection would have selected."""
+    if isinstance(dtype, T.ArrayType):
+        return T.ArrayType(prune_schema(dtype.elementType, fltr, parent_included), True)
+    if isinstance(dtype, T.StructType):
+        included = _included(fltr, parent_included)
+        return T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    prune_schema(f.dataType, fltr.child(f.name), included),
+                    True,
+                )
+                for f in dtype.fields
+                if _keeps(f.dataType, fltr.child(f.name), included)
+            ]
+        )
+    return dtype
+
+
 def _project(
     expr: Column, dtype: T.DataType, fltr: ColumnFilter, parent_included: bool
 ) -> Column:

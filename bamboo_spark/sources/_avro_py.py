@@ -9,8 +9,15 @@ little-endian IEEE floats, length-prefixed bytes/strings, index-coded
 enums/unions, count-block arrays/maps, records as field concatenation.
 
 This is the *fallback* path used when the spark-avro connector jar is not
-on the classpath (see avro.py). It decodes on the driver — correctness
-parity only; the distributed connector path is the scale path.
+on the classpath (see avro.py). Execution model: the driver scans only
+block headers (count/size varints — payloads skipped), then the value
+decode runs on executors inside ``mapInArrow`` over block ranges; Avro
+blocks are the natural split unit (spec: each block is independently
+decodable after the header). Clusion pushdown happens at decode time:
+excluded fields are *walked but never materialized* (``_skip_value`` —
+Avro's data-dependent sizes force the walk, but skipped strings/bytes/
+subtrees allocate nothing), mirroring the reference's reader-schema
+pruning (avro_direct.cpp:107-166).
 
 Reference behaviors matched (decoder-level): enum → symbol string,
 fixed/bytes → bytes, nullable union → None/value
@@ -53,16 +60,29 @@ class _Reader:
         return self.pos >= len(self.buf)
 
     def read_long(self) -> int:
+        buf = self.buf
+        pos = self.pos
+        n = len(buf)
         shift = 0
         acc = 0
         while True:
-            b = self.buf[self.pos]
-            self.pos += 1
+            if pos >= n:
+                raise AvroDecodeError("Unexpected end of Avro data")
+            b = buf[pos]
+            pos += 1
             acc |= (b & 0x7F) << shift
             if not (b & 0x80):
                 break
             shift += 7
+            if shift > 70:
+                raise AvroDecodeError("Malformed varint in Avro data")
+        self.pos = pos
         return (acc >> 1) ^ -(acc & 1)  # zigzag
+
+    def skip(self, n: int) -> None:
+        if self.pos + n > len(self.buf):
+            raise AvroDecodeError("Unexpected end of Avro data")
+        self.pos += n
 
     def read_bytes(self) -> bytes:
         return self.read(self.read_long())
@@ -78,20 +98,131 @@ def _resolve_named(schema: Any, names: Dict[str, Any]) -> Any:
     return schema
 
 
-def _decode_value(r: _Reader, schema: Any, names: Dict[str, Any]) -> Any:
+def _keeps_avro(schema: Any, fltr: Any, parent_included: bool, names: Dict[str, Any]) -> bool:
+    """Mirror of projection._keeps on the Avro schema JSON: a subtree is
+    kept iff it contains at least one included leaf. Decode-time pruning
+    and the Catalyst nested projection therefore select the same columns."""
+    schema = _resolve_named(schema, names)
+    included = fltr.include.explicit or (parent_included and not fltr.exclude.explicit)
+    if isinstance(schema, list):
+        non_null = [s for s in schema if s != "null"]
+        return _keeps_avro(non_null[0], fltr, parent_included, names) if len(non_null) == 1 else included
+    if isinstance(schema, dict):
+        stype = schema["type"]
+        if stype == "record":
+            return any(
+                _keeps_avro(f["type"], fltr.child(f["name"]), included, names)
+                for f in schema["fields"]
+            )
+        if stype == "array":
+            return _keeps_avro(schema["items"], fltr, parent_included, names)
+        if stype in ("enum", "fixed", "map"):
+            return included
+        return _keeps_avro(stype, fltr, parent_included, names)
+    return included
+
+
+def _skip_value(r: _Reader, schema: Any, names: Dict[str, Any]) -> None:
+    """Advance the reader past one value without materializing anything —
+    the decode-time half of clusion pushdown (the walk is forced by
+    Avro's data-dependent sizes; allocation is not)."""
     schema = _resolve_named(schema, names)
     if isinstance(schema, list):  # union
         idx = r.read_long()
-        return _decode_value(r, schema[idx], names)
+        _skip_value(r, schema[idx], names)
+        return
     if isinstance(schema, dict):
         stype = schema["type"]
         if stype == "record":
             if "name" in schema:
                 names[schema["name"]] = schema
-            return {
-                f["name"]: _decode_value(r, f["type"], names)
-                for f in schema["fields"]
-            }
+            for f in schema["fields"]:
+                _skip_value(r, f["type"], names)
+            return
+        if stype == "enum":
+            names.setdefault(schema.get("name", ""), schema)
+            r.read_long()
+            return
+        if stype == "fixed":
+            names.setdefault(schema.get("name", ""), schema)
+            r.skip(schema["size"])
+            return
+        if stype == "array":
+            while True:
+                count = r.read_long()
+                if count == 0:
+                    return
+                if count < 0:
+                    # negative count: block byte size follows — jump it
+                    r.skip(r.read_long())
+                    continue
+                for _ in range(count):
+                    _skip_value(r, schema["items"], names)
+        if stype == "map":
+            while True:
+                count = r.read_long()
+                if count == 0:
+                    return
+                if count < 0:
+                    r.skip(r.read_long())
+                    continue
+                for _ in range(count):
+                    r.skip(r.read_long())  # key
+                    _skip_value(r, schema["values"], names)
+        _skip_value(r, stype, names)
+        return
+    if schema == "null":
+        return
+    if schema == "boolean":
+        r.skip(1)
+        return
+    if schema in ("int", "long"):
+        r.read_long()
+        return
+    if schema == "float":
+        r.skip(4)
+        return
+    if schema == "double":
+        r.skip(8)
+        return
+    if schema in ("bytes", "string"):
+        r.skip(r.read_long())
+        return
+    raise AvroDecodeError("Unsupported Avro schema: %r" % (schema,))
+
+
+def _decode_value(
+    r: _Reader,
+    schema: Any,
+    names: Dict[str, Any],
+    fltr: Any = None,
+    parent_included: bool = True,
+) -> Any:
+    schema = _resolve_named(schema, names)
+    if isinstance(schema, list):  # union
+        idx = r.read_long()
+        return _decode_value(r, schema[idx], names, fltr, parent_included)
+    if isinstance(schema, dict):
+        stype = schema["type"]
+        if stype == "record":
+            if "name" in schema:
+                names[schema["name"]] = schema
+            if fltr is None:
+                return {
+                    f["name"]: _decode_value(r, f["type"], names)
+                    for f in schema["fields"]
+                }
+            included = fltr.include.explicit or (
+                parent_included and not fltr.exclude.explicit
+            )
+            out = {}
+            for f in schema["fields"]:
+                child = fltr.child(f["name"])
+                if _keeps_avro(f["type"], child, included, names):
+                    out[f["name"]] = _decode_value(r, f["type"], names, child, included)
+                else:
+                    _skip_value(r, f["type"], names)
+            return out
         if stype == "enum":
             names.setdefault(schema.get("name", ""), schema)
             return schema["symbols"][r.read_long()]
@@ -108,7 +239,9 @@ def _decode_value(r: _Reader, schema: Any, names: Dict[str, Any]) -> Any:
                     r.read_long()  # block byte size; unused
                     count = -count
                 for _ in range(count):
-                    out.append(_decode_value(r, schema["items"], names))
+                    out.append(
+                        _decode_value(r, schema["items"], names, fltr, parent_included)
+                    )
             return out
         if stype == "map":
             out = {}
@@ -123,7 +256,7 @@ def _decode_value(r: _Reader, schema: Any, names: Dict[str, Any]) -> Any:
                     key = r.read_utf8()
                     out[key] = _decode_value(r, schema["values"], names)
             return out
-        return _decode_value(r, stype, names)
+        return _decode_value(r, stype, names, fltr, parent_included)
     if schema == "null":
         return None
     if schema == "boolean":
@@ -141,8 +274,9 @@ def _decode_value(r: _Reader, schema: Any, names: Dict[str, Any]) -> Any:
     raise AvroDecodeError("Unsupported Avro schema: %r" % (schema,))
 
 
-def decode_container(data: bytes) -> Tuple[List[Any], Any]:
-    """Decode a whole container file → (records, parsed schema JSON)."""
+def scan_header(data: bytes) -> Tuple[Any, str, bytes, int]:
+    """Parse container magic + metadata map → (schema JSON, codec, sync
+    marker, first-block offset). Block payloads are not touched."""
     r = _Reader(data)
     if r.read(4) != MAGIC:
         raise AvroDecodeError("Not an Avro container file (bad magic)")
@@ -159,22 +293,57 @@ def decode_container(data: bytes) -> Tuple[List[Any], Any]:
             meta[key] = r.read_bytes()
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise AvroDecodeError("Unsupported Avro codec: %s" % codec)
     sync = r.read(16)
-    records: List[Any] = []
-    names: Dict[str, Any] = {}
+    return schema, codec, sync, r.pos
+
+
+def scan_blocks(data: bytes, pos: int, sync: bytes) -> List[Tuple[int, int, int]]:
+    """Walk block headers collecting (payload offset, payload size,
+    record count) — the metadata pass. Payload bytes are skipped, not
+    read; each block is then independently decodable on an executor."""
+    r = _Reader(data)
+    r.pos = pos
+    blocks: List[Tuple[int, int, int]] = []
     while not r.at_end():
         n = r.read_long()
         size = r.read_long()
-        payload = r.read(size)
-        if codec == "deflate":
-            payload = zlib.decompress(payload, -15)
-        elif codec != "null":
-            raise AvroDecodeError("Unsupported Avro codec: %s" % codec)
-        block = _Reader(payload)
-        for _ in range(n):
-            records.append(_decode_value(block, schema, names))
+        blocks.append((r.pos, size, n))
+        r.skip(size)
         if r.read(16) != sync:
             raise AvroDecodeError("Sync marker mismatch")
+    return blocks
+
+
+def decode_block(
+    payload: bytes,
+    n: int,
+    codec: str,
+    schema: Any,
+    fltr: Any = None,
+    implicit_root: bool = True,
+) -> List[Any]:
+    """Decode one block's records — the executor-side kernel."""
+    if codec == "deflate":
+        payload = zlib.decompress(payload, -15)
+    block = _Reader(payload)
+    names: Dict[str, Any] = {}
+    if fltr is None:
+        return [_decode_value(block, schema, names) for _ in range(n)]
+    return [
+        _decode_value(block, schema, names, fltr, implicit_root) for _ in range(n)
+    ]
+
+
+def decode_container(data: bytes, fltr: Any = None, implicit_root: bool = True) -> Tuple[List[Any], Any]:
+    """Decode a whole container file → (records, parsed schema JSON)."""
+    schema, codec, sync, pos = scan_header(data)
+    records: List[Any] = []
+    for off, size, n in scan_blocks(data, pos, sync):
+        records.extend(
+            decode_block(data[off : off + size], n, codec, schema, fltr, implicit_root)
+        )
     return records, schema
 
 

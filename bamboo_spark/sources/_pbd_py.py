@@ -19,8 +19,13 @@ fields (reference behavior: pbd.cpp:233-278; pbd_tests.py:62-67 expects
 sd='' and de='DE1' for absent fields). Groups raise, matching
 pbd.hpp:195-199.
 
-Driver-side decode (correctness path). The 100 TB path is
-``spark.read.format("protobuf")`` once a connector jar is present.
+Execution model: the driver parses only the descriptor header and scans
+record *boundaries* (varint length prefixes — no field decode); the wire
+decode itself runs on executors inside ``mapInPandas`` (see pbd.py).
+Clusion pushdown happens at decode time: the descriptor tree is pruned
+*before* the wire walk, so excluded fields take the unknown-field fast
+path — their bytes are skipped positionally, never sliced, never parsed
+(reference wire-skip: pbd.hpp:176-207, pbd.cpp:50-83).
 """
 
 from __future__ import annotations
@@ -119,9 +124,15 @@ class FieldDesc:
 class MessageDesc:
     full_name: str = ""
     fields: List[FieldDesc] = dc_field(default_factory=list)
+    _number_map: Optional[Dict[int, FieldDesc]] = dc_field(
+        default=None, repr=False, compare=False
+    )
 
     def by_number(self) -> Dict[int, FieldDesc]:
-        return {f.number: f for f in self.fields}
+        """Cached field-number lookup (hot: consulted once per wire tag)."""
+        if self._number_map is None:
+            self._number_map = {f.number: f for f in self.fields}
+        return self._number_map
 
 
 @dataclass
@@ -344,28 +355,126 @@ def _default_value(f: FieldDesc) -> Any:
 
 
 def decode_message(buf: bytes, desc: MessageDesc) -> Dict[str, Any]:
+    """Positional wire walk. Fields absent from ``desc`` (unknown, or
+    pruned away by a clusion — see prune_message_desc) are *skipped*:
+    their payload bytes are jumped over without slicing or parsing
+    (reference wire-skip: pbd.hpp:176-207). Repeated wire occurrences of
+    a singular message field are byte-concatenated before decoding, the
+    protobuf-mandated merge semantics."""
     values: Dict[str, Any] = {}
+    merged_msgs: Dict[str, Any] = {}  # name -> (FieldDesc, bytes) for singular messages
     by_number = desc.by_number()
-    for number, wire, raw in _iter_fields(buf):
-        f = by_number.get(number)
+    pos = 0
+    end = len(buf)
+    while pos < end:
+        tag = buf[pos]
+        pos += 1
+        if tag & 0x80:  # multi-byte tag varint (field number > 15)
+            shift = 7
+            tag &= 0x7F
+            while True:
+                b = buf[pos]
+                pos += 1
+                tag |= (b & 0x7F) << shift
+                if not (b & 0x80):
+                    break
+                shift += 7
+                if shift > 70:
+                    raise PbdDecodeError("Malformed varint")
+        f = by_number.get(tag >> 3)
+        wire = tag & 7
         if f is None:
-            continue  # unknown-field skip (pbd.hpp:176-207)
-        repeated = f.label == LABEL_REPEATED
-        if f.type == TYPE_MESSAGE:
-            item = decode_message(raw, f.message)
-        elif wire == 2 and f.type in (TYPE_STRING, TYPE_BYTES):
-            item = raw.decode("utf-8") if f.type == TYPE_STRING else bytes(raw)
-        elif wire == 2 and repeated:
-            values.setdefault(f.name, []).extend(_unpack_packed(f, raw))
+            # unknown/pruned field: positional skip, no materialization
+            if wire == 0:
+                _, pos = _read_varint(buf, pos)
+            elif wire == 1:
+                pos += 8
+            elif wire == 2:
+                size, pos = _read_varint(buf, pos)
+                pos += size
+            elif wire == 5:
+                pos += 4
+            else:
+                raise PbdDecodeError("Unsupported wire type %d (group?)" % wire)
             continue
-        elif wire == 0:
-            item = _scalar_from_varint(f, raw)
-        else:
+        repeated = f.label == LABEL_REPEATED
+        if wire == 0:
+            raw = buf[pos]
+            pos += 1
+            if raw & 0x80:
+                shift = 7
+                raw &= 0x7F
+                while True:
+                    b = buf[pos]
+                    pos += 1
+                    raw |= (b & 0x7F) << shift
+                    if not (b & 0x80):
+                        break
+                    shift += 7
+                    if shift > 70:
+                        raise PbdDecodeError("Malformed varint")
+            ftype = f.type
+            # inline fast path for the overwhelmingly common varint types
+            if ftype == TYPE_INT64:
+                item = raw - (1 << 64) if raw >= (1 << 63) else raw
+            elif ftype == TYPE_INT32:
+                item = _signed32(raw)
+            else:
+                item = _scalar_from_varint(f, raw)
+        elif wire == 1:
+            raw = struct.unpack_from("<Q", buf, pos)[0]
+            pos += 8
             item = _scalar_from_fixed(f, raw)
+        elif wire == 2:
+            size = buf[pos]
+            pos += 1
+            if size & 0x80:
+                shift = 7
+                size &= 0x7F
+                while True:
+                    b = buf[pos]
+                    pos += 1
+                    size |= (b & 0x7F) << shift
+                    if not (b & 0x80):
+                        break
+                    shift += 7
+                    if shift > 70:
+                        raise PbdDecodeError("Malformed varint")
+            raw = buf[pos : pos + size]
+            pos += size
+            if f.type == TYPE_STRING:
+                item = raw.decode("utf-8")
+            elif f.type == TYPE_MESSAGE:
+                if repeated:
+                    item = decode_message(raw, f.message)
+                else:
+                    # singular message: merge split occurrences (spec)
+                    prev = merged_msgs.get(f.name)
+                    merged_msgs[f.name] = (
+                        (f, raw) if prev is None else (f, prev[1] + raw)
+                    )
+                    continue
+            elif f.type == TYPE_BYTES:
+                item = bytes(raw)
+            elif repeated:
+                values.setdefault(f.name, []).extend(_unpack_packed(f, raw))
+                continue
+            else:
+                raise PbdDecodeError(
+                    "Length-delimited payload for scalar field %s" % f.name
+                )
+        elif wire == 5:
+            raw = struct.unpack_from("<I", buf, pos)[0]
+            pos += 4
+            item = _scalar_from_fixed(f, raw)
+        else:
+            raise PbdDecodeError("Unsupported wire type %d (group?)" % wire)
         if repeated:
             values.setdefault(f.name, []).append(item)
         else:
             values[f.name] = item
+    for name, (f, raw) in merged_msgs.items():
+        values[name] = decode_message(raw, f.message)
     # default fill for absent fields
     for f in desc.fields:
         if f.name not in values:
@@ -373,10 +482,50 @@ def decode_message(buf: bytes, desc: MessageDesc) -> Dict[str, Any]:
     return values
 
 
+# --------------------------------------------------- clusion pushdown
+
+
+def prune_message_desc(desc: MessageDesc, fltr: Any, parent_included: bool) -> MessageDesc:
+    """Drop excluded fields from the descriptor tree *before* decoding.
+
+    ``fltr`` is a clusions.ColumnFilter; the inclusion rule is identical
+    to projection._keeps (a subtree is kept iff it contains at least one
+    included leaf), so decode-time pushdown and the Catalyst nested
+    projection select the same columns. Pruned fields hit decode_message's
+    unknown-field fast path: their bytes are skipped, never parsed —
+    the reference's decoder-level pushdown (pbd.cpp:50-83)."""
+    kept: List[FieldDesc] = []
+    for f in desc.fields:
+        child = fltr.child(f.name)
+        included = child.include.explicit or (
+            parent_included and not child.exclude.explicit
+        )
+        if f.type == TYPE_MESSAGE:
+            sub = prune_message_desc(f.message, child, included)
+            if sub.fields:
+                kept.append(
+                    FieldDesc(
+                        name=f.name,
+                        number=f.number,
+                        label=f.label,
+                        type=f.type,
+                        type_name=f.type_name,
+                        default_value=f.default_value,
+                        message=sub,
+                        enum=f.enum,
+                    )
+                )
+        elif included:
+            kept.append(f)
+    return MessageDesc(full_name=desc.full_name, fields=kept)
+
+
 # ------------------------------------------------------------ container
 
 
-def parse_container(data: bytes) -> Tuple[MessageDesc, List[bytes]]:
+def parse_header(data: bytes) -> Tuple[MessageDesc, int]:
+    """Parse magic + descriptors + root name; return (root, body offset).
+    Cheap: descriptor bytes only — record payloads are not touched."""
     if data[:4] != MAGIC:
         raise PbdDecodeError("Not a PBD file (bad magic)")
     pos = 5  # magic + version byte
@@ -393,6 +542,52 @@ def parse_container(data: bytes) -> Tuple[MessageDesc, List[bytes]]:
     root = pool.get(root_name)
     if not isinstance(root, MessageDesc):
         raise PbdDecodeError("Root message %s not found in descriptors" % root_name)
+    return root, pos
+
+
+def scan_record_boundaries(data: bytes, pos: int) -> List[int]:
+    """Walk the length-prefixed record stream collecting byte boundaries
+    (including the final end offset). Metadata pass only — reads the
+    varint prefixes and jumps; no record bytes are sliced or decoded.
+    This is what lets the decode itself run on executors over byte
+    ranges: [b[i], b[i+1]) spans are independently decodable."""
+    bounds = [pos]
+    n = len(data)
+    append = bounds.append
+    while pos < n:
+        size = 0
+        shift = 0
+        while True:
+            b = data[pos]
+            pos += 1
+            size |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+            if shift > 70:
+                raise PbdDecodeError("Malformed varint")
+        pos += size
+        if pos > n:
+            raise PbdDecodeError("Truncated PBD record")
+        append(pos)
+    return bounds
+
+
+def decode_range(data: bytes, start: int, end: int, desc: MessageDesc) -> List[Dict[str, Any]]:
+    """Decode every length-prefixed record in data[start:end) — the
+    executor-side kernel (each mapInPandas task gets one byte range)."""
+    out = []
+    pos = start
+    append = out.append
+    while pos < end:
+        size, pos = _read_varint(data, pos)
+        append(decode_message(data[pos : pos + size], desc))
+        pos += size
+    return out
+
+
+def parse_container(data: bytes) -> Tuple[MessageDesc, List[bytes]]:
+    root, pos = parse_header(data)
     messages = []
     while pos < len(data):
         size, pos = _read_varint(data, pos)

@@ -6,41 +6,41 @@ Two paths:
   when the spark-avro module is on the classpath — distributed decode,
   nullable unions → nullable fields, enum → string, pushdown via the
   read-time clusion projection.
-* **Pure-Python fallback**: a minimal Avro container decoder (null/deflate
-  codecs) feeding the object-inference path — correctness parity for the
-  reference's semantics (enum → symbol, fixed/bytes → bytes, nullable
-  union → nulls; reference avro_tests.py:145-197) when no connector jar
-  is available. Fine for tests; not the 100 TB path.
+* **Pure-Python fallback** (this module's ``from_avro``): a minimal Avro
+  container decoder (null/deflate codecs) with the same execution shape
+  as the connector — the driver scans only block *headers*, and the
+  value decode runs on executors inside ``mapInArrow`` over block
+  ranges (Avro blocks are the spec's independent decode unit).
 
 Read-time ``include``/``exclude`` follow the reference's pushdown
-semantics (avro_direct.cpp:107-166): applied as a nested projection that
-Catalyst pushes into the scan on the connector path, and applied after
-decode on the fallback path.
+semantics (avro_direct.cpp:107-166): pruned at decode time — excluded
+fields are walked but never materialized (``_avro_py._skip_value``) and
+the output schema is pruned with the exact rule the Catalyst nested
+projection uses (projection.prune_schema), so both paths select the
+same columns.
 """
 
 from __future__ import annotations
 
 import io
-from typing import Any, Optional, Union
+import os
+from typing import Any, Callable, Iterator, List, Optional, Tuple, Union
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, types as T
 
-from pyspark.sql import types as T
-
+from bamboo_spark.clusions import ColumnFilter
 from bamboo_spark.dataset import Dataset
-from bamboo_spark.projection import apply_column_filter
-from bamboo_spark.sources._avro_py import avro_to_spark, decode_container
-from bamboo_spark.sources.obj import DEFAULT_COLUMN, _normalize
+from bamboo_spark.projection import apply_column_filter, prune_schema
+from bamboo_spark.sources._avro_py import (
+    avro_to_spark,
+    decode_block,
+    scan_blocks,
+    scan_header,
+)
+from bamboo_spark.sources.obj import DEFAULT_COLUMN
 
-
-def _connector_available(spark: SparkSession) -> bool:
-    try:
-        spark.read.format("avro").schema("x int").load("/nonexistent___probe")
-    except Exception as exc:  # noqa: BLE001
-        message = str(exc)
-        if "Failed to find the data source: avro" in message or "AVRO" in message and "find" in message:
-            return False
-    return True
+# Records per decode task, upper bound (see pbd.py for rationale).
+_TARGET_RECORDS_PER_SPLIT = 2048
 
 
 def read_avro(
@@ -58,6 +58,52 @@ def read_avro(
     return Dataset(apply_column_filter(df, include, exclude))
 
 
+def _make_decoder(
+    avro_schema: Any,
+    codec: str,
+    out_schema: T.StructType,
+    record_root: bool,
+    fltr: Optional[ColumnFilter],
+    implicit_root: bool,
+    path: Optional[str],
+    bc: Any,
+) -> Callable[[Iterator[Any]], Iterator[Any]]:
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(out_schema)
+    names = [f.name for f in out_schema.fields]
+
+    def fn(batches: Iterator[Any]) -> Iterator[Any]:
+        import pyarrow as pa
+
+        for batch in batches:
+            offs = batch.column(0).to_pylist()
+            sizes = batch.column(1).to_pylist()
+            counts = batch.column(2).to_pylist()
+            for off, size, n in zip(offs, sizes, counts):
+                if path is not None:
+                    with open(path, "rb") as fh:
+                        fh.seek(off)
+                        payload = fh.read(size)
+                else:
+                    payload = bc.value[off : off + size]
+                records = decode_block(
+                    payload, n, codec, avro_schema, fltr, implicit_root
+                )
+                if record_root:
+                    arrays = [
+                        pa.array(
+                            [r[nm] for r in records], type=arrow_schema.field(i).type
+                        )
+                        for i, nm in enumerate(names)
+                    ]
+                else:
+                    arrays = [pa.array(records, type=arrow_schema.field(0).type)]
+                yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+    return fn
+
+
 def from_avro(
     source: Union[bytes, io.IOBase, str, Any],
     include: Any = None,
@@ -69,24 +115,68 @@ def from_avro(
         from bamboo_spark.session import get_spark
 
         spark = get_spark()
+
+    path: Optional[str] = None
     if isinstance(source, str):
-        with open(source, "rb") as fh:
+        path = os.path.abspath(source)
+        with open(path, "rb") as fh:
             data = fh.read()
     elif hasattr(source, "read"):
         data = source.read()
     else:
         data = bytes(source)
-    records, avro_schema = decode_container(data)
+
+    # conflict validation first (raises ClusionError before any Spark job)
+    fltr = ColumnFilter.parse(include, exclude)
+    has_filter = include is not None or exclude is not None
+    implicit_root = fltr.include.explicit or fltr.include.is_nothing()
+
+    avro_schema, codec, sync, pos = scan_header(data)
     dtype = avro_to_spark(avro_schema)
-    # schema-first, like the reference's pre-typed tree
-    # (avro_direct.cpp:81-105): all-null typed columns stay typed
-    if isinstance(dtype, T.StructType):
-        schema = dtype
-        rows = [_normalize(rec, dtype, True) for rec in records]
+    record_root = isinstance(dtype, T.StructType)
+    if record_root:
+        out_schema = (
+            prune_schema(dtype, fltr, implicit_root) if has_filter else dtype
+        )
+        assert isinstance(out_schema, T.StructType)
     else:
-        schema = T.StructType([T.StructField(DEFAULT_COLUMN, dtype, True)])
-        rows = [(_normalize(rec, dtype, True),) for rec in records]
-    ds = Dataset(spark.createDataFrame(rows, schema))
-    if include is not None or exclude is not None:
+        out_schema = T.StructType([T.StructField(DEFAULT_COLUMN, dtype, True)])
+
+    blocks = [b for b in scan_blocks(data, pos, sync) if b[2] > 0]
+    total = sum(n for _, _, n in blocks)
+    if total == 0:
+        return Dataset(spark.createDataFrame([], out_schema))
+
+    n_splits = min(
+        max(spark.sparkContext.defaultParallelism, 1),
+        max(1, -(-total // _TARGET_RECORDS_PER_SPLIT)),
+        len(blocks),
+    )
+    bc = None if path is not None else spark.sparkContext.broadcast(data)
+    block_df = spark.createDataFrame(
+        blocks,
+        T.StructType(
+            [
+                T.StructField("off", T.LongType()),
+                T.StructField("size", T.LongType()),
+                T.StructField("n", T.LongType()),
+            ]
+        ),
+    ).repartition(n_splits)
+    decoded = block_df.mapInArrow(
+        _make_decoder(
+            avro_schema,
+            codec,
+            out_schema,
+            record_root,
+            fltr if (record_root and has_filter) else None,
+            implicit_root,
+            path,
+            bc,
+        ),
+        out_schema,
+    )
+    ds = Dataset(decoded)
+    if has_filter and not record_root:
         ds = ds.select_columns(include, exclude)
     return ds

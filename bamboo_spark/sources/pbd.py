@@ -5,21 +5,99 @@ The PBD container (reference cpp/src/pbd.cpp, pbd.hpp) is: an embedded
 The Spark-native scale path is ``spark.read.format("protobuf")`` /
 ``F.from_protobuf`` (Spark 3.4+), which honors proto2 default-value
 semantics. Neither the spark-protobuf module nor a protobuf runtime is
-available in this container, so this source ships as a pure-Python
+available in this container, so this source ships a pure-Python
 wire-format decoder (see _pbd_py) covering the subset the reference
 exercises: varint/zigzag/fixed scalars, length-delimited fields, packed
 and unpacked repeated fields, nested messages, enums, and proto2
 default-value fill for missing fields (pbd.cpp:233-278).
+
+Execution model (the 100 TB shape, reference parity at pbd_tests.py:42-58):
+
+1. Driver parses the descriptor header and walks the varint length
+   prefixes to find record *boundaries* — a metadata pass that slices and
+   decodes nothing.
+2. include/exclude clusions prune the descriptor tree BEFORE decode
+   (prune_message_desc): excluded fields hit the wire-skip fast path on
+   executors, their bytes never parsed (reference pbd.cpp:50-83,
+   pbd.hpp:176-207).
+3. Record byte-ranges are distributed and the wire decode runs inside
+   ``mapInPandas`` on executors — Arrow-batched, parallel across cores /
+   a cluster. A path source is re-read range-wise by each task (DFS-
+   friendly); a bytes/stream source is broadcast once.
 """
 
 from __future__ import annotations
 
 import io
-from typing import Any, Optional, Union
+import os
+from typing import Any, Callable, Iterator, List, Optional, Tuple, Union
 
-from pyspark.sql import SparkSession, types as T
+from pyspark.sql import DataFrame, SparkSession, types as T
 
+from bamboo_spark.clusions import ColumnFilter
 from bamboo_spark.dataset import Dataset
+from bamboo_spark.sources._pbd_py import (
+    MessageDesc,
+    decode_range,
+    parse_header,
+    pbd_to_spark,
+    prune_message_desc,
+    scan_record_boundaries,
+)
+
+# Records per decode task, upper bound — keeps tiny files on one task and
+# big files spread across the parallelism without over-splitting.
+_TARGET_RECORDS_PER_SPLIT = 2048
+
+
+def _make_decoder(
+    desc: MessageDesc,
+    schema: T.StructType,
+    path: Optional[str],
+    bc: Any,
+) -> Callable[[Iterator[Any]], Iterator[Any]]:
+    """mapInArrow kernel: decode a byte range, emit one Arrow RecordBatch
+    per split. Columnar pa.array construction from the decoded row dicts
+    is C-speed and skips pandas object inference entirely; pyarrow
+    converts int → decimal128 (uint64/fixed64 widening) and dict →
+    struct directly."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(schema)
+    names = [f.name for f in schema.fields]
+
+    def fn(batches: Iterator[Any]) -> Iterator[Any]:
+        import pyarrow as pa
+
+        for batch in batches:
+            starts = batch.column(0).to_pylist()
+            ends = batch.column(1).to_pylist()
+            for start, end in zip(starts, ends):
+                if path is not None:
+                    with open(path, "rb") as fh:
+                        fh.seek(start)
+                        buf = fh.read(end - start)
+                    records = decode_range(buf, 0, len(buf), desc)
+                else:
+                    records = decode_range(bc.value, start, end, desc)
+                arrays = [
+                    pa.array([r[nm] for r in records], type=arrow_schema.field(i).type)
+                    for i, nm in enumerate(names)
+                ]
+                yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+    return fn
+
+
+def _split_ranges(bounds: List[int], n_splits: int) -> List[Tuple[int, int]]:
+    n_records = len(bounds) - 1
+    splits = []
+    for i in range(n_splits):
+        lo = bounds[i * n_records // n_splits]
+        hi = bounds[(i + 1) * n_records // n_splits]
+        if hi > lo:
+            splits.append((lo, hi))
+    return splits
 
 
 def from_pbd(
@@ -32,26 +110,40 @@ def from_pbd(
         from bamboo_spark.session import get_spark
 
         spark = get_spark()
+
+    path: Optional[str] = None
     if isinstance(source, str):
-        with open(source, "rb") as fh:
+        path = os.path.abspath(source)
+        with open(path, "rb") as fh:
             data = fh.read()
     elif hasattr(source, "read"):
         data = source.read()
     else:
         data = bytes(source)
 
-    from bamboo_spark.sources._pbd_py import decode_pbd
-    from bamboo_spark.sources.obj import DEFAULT_COLUMN, _normalize
+    # conflict validation first (raises ClusionError before any Spark job)
+    fltr = ColumnFilter.parse(include, exclude)
 
-    records, dtype = decode_pbd(data)
-    if isinstance(dtype, T.StructType):
-        rows = [_normalize(rec, dtype, True) for rec in records]
-        ds = Dataset(spark.createDataFrame(rows, dtype))
-    else:
-        schema = T.StructType([T.StructField(DEFAULT_COLUMN, dtype, True)])
-        ds = Dataset(
-            spark.createDataFrame([(_normalize(r, dtype, True),) for r in records], schema)
-        )
+    root, body = parse_header(data)
     if include is not None or exclude is not None:
-        ds = ds.select_columns(include, exclude)
-    return ds
+        implicit_root = fltr.include.explicit or fltr.include.is_nothing()
+        root = prune_message_desc(root, fltr, implicit_root)
+    schema = pbd_to_spark(root)
+
+    bounds = scan_record_boundaries(data, body)
+    n_records = len(bounds) - 1
+    if n_records == 0:
+        return Dataset(spark.createDataFrame([], schema))
+
+    n_splits = min(
+        max(spark.sparkContext.defaultParallelism, 1),
+        max(1, -(-n_records // _TARGET_RECORDS_PER_SPLIT)),
+    )
+    splits = _split_ranges(bounds, n_splits)
+
+    bc = None if path is not None else spark.sparkContext.broadcast(data)
+    split_df: DataFrame = spark.createDataFrame(
+        splits, T.StructType([T.StructField("start", T.LongType()), T.StructField("end", T.LongType())])
+    ).repartition(len(splits))
+    decoded = split_df.mapInArrow(_make_decoder(root, schema, path, bc), schema)
+    return Dataset(decoded)

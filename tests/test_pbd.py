@@ -1,8 +1,11 @@
 """PBD source tests against the reference's golden file
 (reference python/bamboo_tests/data/example.pbd; expectations from
-pbd_tests.py:62-92 / FIXTURES.md F7)."""
+pbd_tests.py:62-92 / FIXTURES.md F7), plus executor-decode perf and
+decode-time clusion pushdown gates (pbd_tests.py:42-58)."""
 
 import math
+import struct
+import time
 
 import pytest
 
@@ -11,6 +14,150 @@ from bamboo_spark.clusions import ClusionError
 from tests.conftest import assert_frame
 
 GOLDEN = "/root/reference/python/bamboo_tests/data/example.pbd"
+
+
+# ---------------------------------------------------------------- encoder
+# Minimal test-side PBD writer: public protobuf wire format + the
+# container layout _pbd_py documents (magic, version, descriptors, root
+# name, length-prefixed messages). Used to synthesize corpora the golden
+# file can't express (1M records, malformed excluded fields).
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(number: int, wire: int) -> bytes:
+    return _varint((number << 3) | wire)
+
+
+def _ld(number: int, payload: bytes) -> bytes:
+    return _tag(number, 2) + _varint(len(payload)) + payload
+
+
+def _field_desc(name: str, number: int, ftype: int, label: int = 1, type_name: str = "") -> bytes:
+    out = _ld(1, name.encode()) + _tag(3, 0) + _varint(number)
+    out += _tag(4, 0) + _varint(label) + _tag(5, 0) + _varint(ftype)
+    if type_name:
+        out += _ld(6, type_name.encode())
+    return out
+
+
+def _message_desc(name: str, fields: list, nested: list = ()) -> bytes:
+    out = _ld(1, name.encode())
+    for f in fields:
+        out += _ld(2, f)
+    for n in nested:
+        out += _ld(3, n)
+    return out
+
+
+def _container(message_descs: list, root: str, records: list) -> bytes:
+    fdp = _ld(2, b"t")  # package "t"
+    for m in message_descs:
+        fdp += _ld(4, m)
+    out = bytearray(b"\x00\x00\x10\xbd\x01")
+    out += _varint(1) + _varint(len(fdp)) + fdp
+    out += _varint(len(root)) + root.encode()
+    for r in records:
+        out += _varint(len(r)) + r
+    return bytes(out)
+
+
+def test_pbd_perf_gate_1m_records(spark, tmp_path):
+    # Reference gate: 1M PBD records decode in < 5 s (pbd_tests.py:42-58,
+    # C++ decoder). Same budget here via executor-parallel mapInPandas
+    # decode — an order-of-magnitude gate (≥ 200k rec/s), not a ±20% one.
+    desc = _message_desc(
+        "Rec",
+        [
+            _field_desc("a", 1, 3),   # int64
+            _field_desc("s", 2, 9),   # string
+            _field_desc("d", 3, 1),   # double
+        ],
+    )
+    n = 1_000_000
+    d_payload = _tag(3, 1) + struct.pack("<d", 1.25)
+    strs = [_ld(2, ("doc%d" % i).encode()) for i in range(1000)]
+    records = [
+        _tag(1, 0) + _varint(i) + strs[i % 1000] + d_payload for i in range(n)
+    ]
+    path = tmp_path / "perf1m.pbd"
+    path.write_bytes(_container([desc], "t.Rec", records))
+    del records
+
+    # one warmup pass: JVM JIT + python worker spawn + Arrow init are
+    # session one-time costs, not decode throughput; gate steady state.
+    assert from_pbd(str(path), spark=spark).df.count() == n
+
+    start = time.perf_counter()
+    ds = from_pbd(str(path), spark=spark)
+    got = ds.df.count()
+    elapsed = time.perf_counter() - start
+    assert got == n
+    assert elapsed < 5.0, "1M-record PBD decode took %.2fs (< 200k rec/s)" % elapsed
+
+
+def test_pbd_clusion_pushdown_skips_excluded_bytes(spark):
+    # Excluded fields must never be parsed (reference pbd.cpp:50-83):
+    # plant invalid UTF-8 in an excluded string field and structurally
+    # bogus bytes in an excluded nested message. Wire-skip decode
+    # succeeds; materializing decode would raise.
+    inner = _message_desc("Inner", [_field_desc("x", 1, 3)])
+    desc = _message_desc(
+        "Rec",
+        [
+            _field_desc("keep", 1, 3),
+            _field_desc("bad_s", 2, 9),
+            _field_desc("bad_m", 3, 11, type_name=".t.Rec.Inner"),
+        ],
+        nested=[inner],
+    )
+    rec = (
+        _tag(1, 0)
+        + _varint(7)
+        + _ld(2, b"\xff\xfe\xff")          # invalid UTF-8
+        + _ld(3, b"\xff\xff\xff\xff\xff")  # malformed nested message
+    )
+    data = _container([desc], "t.Rec", [rec])
+
+    pdf = from_pbd(data, include=["keep"], spark=spark).flatten().to_pandas()
+    assert list(pdf.columns) == ["keep"]
+    assert list(pdf["keep"]) == [7]
+
+    pdf = from_pbd(data, exclude=["bad_s", "bad_m"], spark=spark).flatten().to_pandas()
+    assert list(pdf["keep"]) == [7]
+
+    # sanity: actually decoding the planted fields raises
+    with pytest.raises(Exception):
+        from_pbd(data, spark=spark).flatten().to_pandas()
+
+
+def test_pbd_split_singular_message_merges(spark):
+    # Protobuf spec: repeated wire occurrences of a singular message
+    # field merge (concatenation of their payloads), not last-wins.
+    inner = _message_desc(
+        "Inner", [_field_desc("x", 1, 3), _field_desc("y", 2, 3)]
+    )
+    desc = _message_desc(
+        "Rec",
+        [_field_desc("m", 1, 11, type_name=".t.Rec.Inner")],
+        nested=[inner],
+    )
+    part1 = _ld(1, _tag(1, 0) + _varint(5))            # m.x = 5
+    part2 = _ld(1, _tag(2, 0) + _varint(9))            # m.y = 9
+    data = _container([desc], "t.Rec", [part1 + part2])
+    pdf = from_pbd(data, spark=spark).flatten().to_pandas()
+    assert list(pdf["x"]) == [5]
+    assert list(pdf["y"]) == [9]
 
 
 def test_pbd_flatten_defaults(spark):
