@@ -140,17 +140,21 @@ def cosine_pairs_gemm(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec: str = "embedding",
-    block_size: int = 2048,
-    broadcast_limit_bytes: int = 256 << 20,
+    strategy: str = "broadcast",
+    n_blocks: int = 32,
 ) -> DataFrame:
-    """Exact all-pairs cosine via GEMM. Two physical strategies:
+    """Exact all-pairs cosine via GEMM — by contract O(n²); the right
+    tool for modest n or as the bucket-local verify kernel. Two physical
+    strategies, chosen by the CALLER (from catalog knowledge of n·dim —
+    no count()/first() probe jobs):
 
-    * the dataset's normalized matrix fits ``broadcast_limit_bytes`` →
-      ``cosine_pairs_bcast_gemm`` (no replication, no shuffle);
-    * otherwise *blocked GEMM*: rows bucketed into √-blocks, every
-      block-pair one applyInPandas group, one float64 matmul per group.
-      Replication cost: each row ships to n_blocks groups; pick
-      block_size so a block-pair (~2·bs·dim·8 B) fits executor memory.
+    * ``strategy="broadcast"`` (default): whole normalized matrix
+      broadcast, zero shuffle — right while n·dim·8B fits executor
+      memory (≈1M vectors at dim 64);
+    * ``strategy="blocked"``: rows bucketed into ``n_blocks`` blocks,
+      every block-pair one applyInPandas group, one float64 matmul per
+      group. Replication cost: each row ships to n_blocks groups; pick
+      n_blocks ≈ n·dim·8B / (executor-memory budget).
 
     Identical output either way (round-half-away at 6 decimals in the
     kernel to match SQL ROUND). This is also the right *verify kernel*
@@ -160,11 +164,10 @@ def cosine_pairs_gemm(
     import pandas as pd
     from pyspark.sql import types as T
 
-    n = df.count()
-    dim = len(df.select(vec).first()[0])
-    if n * dim * 8 <= broadcast_limit_bytes:
+    if strategy == "broadcast":
         return cosine_pairs_bcast_gemm(df, threshold, id_col, vec)
-    n_blocks = max(1, -(-n // block_size))
+    if strategy != "blocked":
+        raise ValueError("strategy must be 'broadcast' or 'blocked', got %r" % strategy)
 
     base = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec).alias("v")
@@ -216,12 +219,17 @@ def cosine_pairs_gemm(
         # SQL ROUND is half-up; emitted cosines are >= threshold > 0
         sims = np.floor(sims * 1e6 + 0.5) / 1e6
         ia, ib = np.nonzero(sims >= threshold)
-        id_a = ids_l[ia]
-        id_b = ids_r[ib]
-        keep = id_a < id_b
-        return pd.DataFrame(
-            {"id_a": id_a[keep], "id_b": id_b[keep], "cosine": sims[ia, ib][keep]}
-        )
+        if bi == bj:
+            # same block: symmetric matrix — keep the upper triangle
+            keep = ids_l[ia] < ids_r[ib]
+            id_a, id_b = ids_l[ia][keep], ids_r[ib][keep]
+            cos = sims[ia, ib][keep]
+        else:
+            # distinct blocks: every hit is one unordered pair; orient it
+            id_a = np.minimum(ids_l[ia], ids_r[ib])
+            id_b = np.maximum(ids_l[ia], ids_r[ib])
+            cos = sims[ia, ib]
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": cos})
 
     return exploded.groupBy("bi", "bj").applyInPandas(kernel, out_schema)
 
@@ -332,10 +340,12 @@ def hyperplane_buckets(
     n_planes sign bits → one integer bucket; near-duplicate search then
     joins within buckets (optionally multi-probe across Hamming-1
     neighbors). Planes are seeded & generated on the driver, shipped as
-    literals — no UDF, stays in codegen.
+    literals — no UDF, stays in codegen. The sign test rounds the dot
+    at 6 decimals first so a cross-engine ulp on a near-zero projection
+    can't flip a bucket bit (the oracle interpolates the same plane
+    literals — see hyperplane_buckets_duck).
     """
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(n_planes, dim))
+    planes = _hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0).cast("bigint")
     for i in range(n_planes):
         coeffs = F.array(*[F.lit(float(c)) for c in planes[i]])
@@ -344,10 +354,30 @@ def hyperplane_buckets(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+        bucket = bucket + F.when(
+            F.round(dot, 6) > 0, F.lit(1 << i).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
     return df.select(id_col, bucket.alias("bucket"))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> "np.ndarray":
+    """Seeded random hyperplanes — shared by the Spark operator and the
+    DuckDB oracle, which interpolates the same floats as literals."""
+    return np.random.RandomState(seed).normal(size=(n_planes, dim))
+
+
+def hyperplane_bucket_sql(dim: int, n_planes: int, seed: int, vec_expr: str) -> str:
+    """DuckDB expression computing the same bucket id as
+    hyperplane_buckets over ``vec_expr`` (a DOUBLE[] list). Python float
+    repr round-trips, so the literals parse to bit-identical doubles."""
+    terms = []
+    for i in range(n_planes):
+        coeffs = ", ".join(repr(float(c)) for c in _hyperplanes(dim, n_planes, seed)[i])
+        terms.append(
+            "(case when round(list_dot_product(%s, [%s]), 6) > 0 then %d else 0 end)"
+            % (vec_expr, coeffs, 1 << i)
+        )
+    return "(" + " + ".join(terms) + ")"
 
 
 def quantize_embeddings(
@@ -411,36 +441,92 @@ from ex
 """
 
 
+def kmeans_train(
+    df: DataFrame,
+    n_centroids: Optional[int] = None,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> "np.ndarray":
+    """Distributed spherical k-means quantizer training — Lloyd
+    iterations as joins + aggregates, the MLlib shape at any scale:
+
+    * init: the ``k`` lowest-id vectors (deterministic, seed-free);
+      ``k = ceil(sqrt(n))`` when ``n_centroids`` is None — the standard
+      IVF sizing, so per-bucket verify stays ~linear in n overall.
+    * assign: broadcast the (tiny) centroid matrix, one BLAS GEMM per
+      Arrow batch, argmax of round-6 cosine (ties → lower centroid id).
+    * update: per-(centroid, dimension) mean via one map-side-combinable
+      shuffle of exploded positions. Summed in DECIMAL over round-6
+      inputs, so the mean is *order-independent and exact* — the DuckDB
+      oracle reproduces training bit-for-bit with no float-accumulation
+      drift. Empty clusters carry their previous centroid forward.
+
+    Per iteration: one assignment job + one k×dim collect (the centroid
+    matrix is driver-sized by construction; the data never is). Returns
+    the final centroid matrix (k × dim, round-6 values).
+    """
+    k = n_centroids or int(math.ceil(math.sqrt(df.count())))
+    init_rows = df.select(id_col, vec).orderBy(id_col).limit(k).collect()
+    c_mat = _round6_half_away(
+        np.array([np.asarray(r[1], dtype=np.float64) for r in init_rows])
+    )
+    dim = c_mat.shape[1]
+
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(vec).alias("pos", "val"),
+    ).select(
+        id_col,
+        "pos",
+        F.round(F.col("val").cast("double"), 6).cast("decimal(27,6)").alias("val6"),
+    )
+
+    for _ in range(iterations):
+        assign = ivf_assign(df, c_mat, id_col=id_col, vec=vec, n_probe=1)
+        means = (
+            assign.join(exploded, id_col)
+            .groupBy("centroid", "pos")
+            .agg(F.sum("val6").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .select(
+                "centroid",
+                "pos",
+                F.round(F.col("s").cast("double") / F.col("cnt"), 6).alias("mv"),
+            )
+            .collect()
+        )
+        # rows never assigned keep their previous centroid (the copy)
+        new_mat = c_mat.copy()
+        for r in means:
+            new_mat[r["centroid"], r["pos"]] = r["mv"]
+        c_mat = new_mat
+    return c_mat
+
+
 def ivf_assign(
     df: DataFrame,
-    n_centroids: int = 16,
+    centroids: "np.ndarray",
     id_col: str = "vec_id",
     vec: str = "embedding",
     n_probe: int = 1,
 ) -> DataFrame:
-    """IVF coarse quantizer: assign each vector to its ``n_probe``
-    nearest centroids by cosine (rounded at 6 decimals; ties → lower
-    centroid id) — one output row per (vector, probed centroid).
-
-    Centroids are the ``n_centroids`` lowest-id vectors — a
-    deterministic stand-in for k-means so the assignment is
-    oracle-reproducible; the operator shape (broadcast centroid matrix,
-    one GEMM per Arrow batch, top-n_probe) is exactly what a trained
-    quantizer uses. ``n_probe`` is THE recall/compute knob: each extra
-    probe multiplies a vector's bucket memberships (and so candidate
+    """IVF coarse assignment against a trained centroid matrix: each
+    vector → its ``n_probe`` nearest centroids by cosine (rounded at 6
+    decimals; ties → lower centroid index) — one output row per
+    (vector, probed centroid). Broadcast centroid matrix, one GEMM per
+    Arrow batch, top-n_probe. ``n_probe`` is THE recall/compute knob:
+    each extra probe multiplies bucket memberships (and so candidate
     pairs) while closing the boundary-split misses of single-probe.
     Rounding before the argmax keeps cross-engine ulp noise from
-    flipping near-ties.
-    """
+    flipping near-ties."""
     import pandas as pd
     from pyspark.sql import types as T
 
-    c_rows = df.where(F.col(id_col) < n_centroids).select(id_col, vec).collect()
-    c_ids = np.fromiter((r[0] for r in c_rows), dtype=np.int64, count=len(c_rows))
-    c_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in c_rows])
-    c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
-    bc = df.sparkSession.sparkContext.broadcast((c_ids, c_mat))
-    probes = min(n_probe, len(c_rows))
+    cm = np.asarray(centroids, dtype=np.float64)
+    cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-30)
+    ci = np.arange(len(cm), dtype=np.int64)
+    bc = df.sparkSession.sparkContext.broadcast((ci, cm))
+    probes = min(n_probe, len(cm))
 
     out_schema = T.StructType(
         [
@@ -450,21 +536,21 @@ def ivf_assign(
     )
 
     def gen(batches):
-        ci, cm = bc.value
+        b_ci, b_cm = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
             mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-            sims = _round6_half_away(mat @ cm.T)  # batch × C
+            sims = _round6_half_away(mat @ b_cm.T)  # batch × C
             # rank by (sim desc, centroid id asc), take top n_probe
-            order = np.lexsort((np.broadcast_to(ci, sims.shape), -sims), axis=1)
+            order = np.lexsort((np.broadcast_to(b_ci, sims.shape), -sims), axis=1)
             top = order[:, :probes]
             yield pd.DataFrame(
                 {
                     id_col: np.repeat(ids, probes),
-                    "centroid": ci[top].ravel(),
+                    "centroid": b_ci[top].ravel(),
                 }
             )
 
@@ -474,27 +560,43 @@ def ivf_assign(
 def ivf_pairs(
     df: DataFrame,
     threshold: float = 0.4,
-    n_centroids: int = 16,
+    n_centroids: Optional[int] = None,
+    iterations: int = 2,
     id_col: str = "vec_id",
     vec: str = "embedding",
     n_probe: int = 1,
+    bucket_cap: Optional[int] = None,
 ) -> DataFrame:
-    """IVF-bucketed ANN near-dup pairs: coarse-assign every vector to
-    its ``n_probe`` nearest centroids, then run the exact GEMM verify
-    *inside each bucket* (one applyInPandas group per centroid). Pairs
-    whose members share no probed bucket are missed — that's the IVF
-    recall tradeoff, and raising ``n_probe`` buys recall with compute;
-    pairs emitted are exact cosines (a pair found in several buckets
-    dedupes to one row — identical cosine everywhere). At scale this
-    is the standard shape: the quadratic verify is bounded per-bucket
+    """IVF-bucketed ANN near-dup pairs: train a √n-sized k-means coarse
+    quantizer (kmeans_train), assign every vector to its ``n_probe``
+    nearest centroids, then run the exact GEMM verify *inside each
+    bucket* (one applyInPandas group per centroid). Pairs whose members
+    share no probed bucket are missed — that's the IVF recall tradeoff,
+    and raising ``n_probe`` buys recall with compute; pairs emitted are
+    exact cosines (a pair found in several buckets dedupes to one row —
+    identical cosine everywhere). At scale this is the standard shape:
+    √n buckets bound the per-bucket quadratic verify at ~n overall work
     and buckets are data-parallel.
+
+    ``bucket_cap`` hard-bounds any one bucket (members ranked by id;
+    overflow is dropped from candidate generation — an *approximation*,
+    documented, for adversarially skewed bucket distributions).
     """
     import pandas as pd
     from pyspark.sql import types as T
 
-    assigned = df.select(id_col, vec).join(
-        ivf_assign(df, n_centroids, id_col, vec, n_probe=n_probe), id_col
-    )
+    centroids = kmeans_train(df, n_centroids, iterations, id_col, vec)
+    assign = ivf_assign(df, centroids, id_col, vec, n_probe=n_probe)
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("centroid").orderBy(F.col(id_col).asc())
+        assign = (
+            assign.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= bucket_cap)
+            .drop("_r")
+        )
+    assigned = df.select(id_col, vec).join(assign, id_col)
 
     out_schema = T.StructType(
         [
@@ -518,22 +620,92 @@ def ivf_pairs(
     return out
 
 
-def ivf_pairs_duck(
-    threshold: float = 0.4, n_centroids: int = 16, n_probe: int = 1
-) -> str:
-    """DuckDB oracle for ``ivf_pairs`` (same deterministic quantizer)."""
-    return """
-with e as (
+def _kmeans_duck_ctes(n_centroids: Optional[int], iterations: int) -> str:
+    """CTE prefix reproducing kmeans_train exactly: MATERIALIZED per
+    step (DuckDB inlines doubly-referenced CTEs otherwise — exponential
+    for iterative unrolls). Produces ``cf`` = final (cid, cv, cn)."""
+    k_expr = (
+        str(n_centroids)
+        if n_centroids is not None
+        else "(select cast(ceil(sqrt(count(*))) as int) from embeddings)"
+    )
+    sql = """
+with e as materialized (
   select vec_id, [x::DOUBLE for x in embedding] v,
          sqrt(list_dot_product([x::DOUBLE for x in embedding],
-                               [x::DOUBLE for x in embedding])) n
+                               [x::DOUBLE for x in embedding])) n,
+         row_number() over (order by vec_id) - 1 rid
   from embeddings
 ),
-c as (select vec_id cid, v cv, n cn from e where vec_id < {nc}),
+ex as materialized (
+  select vec_id, generate_subscripts(v, 1) - 1 pos,
+         cast(round(unnest(v), 6) as decimal(27,6)) val6
+  from e
+),
+c0 as materialized (
+  select rid cid, [round(x, 6) for x in v] cv from e where rid < {k}
+)""".format(k=k_expr)
+    prev = "c0"
+    for i in range(1, iterations + 1):
+        sql += """,
+a{i} as materialized (
+  select vec_id, cid from (
+    select e.vec_id, c.cid,
+           row_number() over (
+             partition by e.vec_id
+             order by round(list_dot_product(e.v, c.cv)
+                            / (e.n * sqrt(list_dot_product(c.cv, c.cv))), 6) desc,
+                      c.cid asc) r
+    from e cross join {prev} c
+  ) where r = 1
+),
+m{i} as materialized (
+  select cid, list(mv order by pos) cv from (
+    select a.cid, x.pos, round(sum(x.val6)::DOUBLE / count(*), 6) mv
+    from a{i} a join ex x using (vec_id)
+    group by a.cid, x.pos
+  ) group by cid
+),
+c{i} as materialized (
+  select p.cid, coalesce(m{i}.cv, p.cv) cv
+  from {prev} p left join m{i} using (cid)
+)""".format(i=i, prev=prev)
+        prev = "c%d" % i
+    sql += """,
+cf as materialized (
+  select cid, cv, sqrt(list_dot_product(cv, cv)) cn from {prev}
+)""".format(prev=prev)
+    return sql
+
+
+def ivf_pairs_duck(
+    threshold: float = 0.4,
+    n_centroids: Optional[int] = None,
+    iterations: int = 2,
+    n_probe: int = 1,
+    bucket_cap: Optional[int] = None,
+) -> str:
+    """DuckDB oracle for ``ivf_pairs``: replays the k-means training
+    (decimal-exact means make it reproducible), then the same assign /
+    cap / bucket-join / verify."""
+    cap_clause = (
+        ""
+        if bucket_cap is None
+        else """,
+capped as (
+  select vec_id, cid from (
+    select *, row_number() over (partition by cid order by vec_id asc) cr
+    from assign
+  ) where cr <= %d
+)"""
+        % bucket_cap
+    )
+    assign_src = "assign" if bucket_cap is None else "capped"
+    return _kmeans_duck_ctes(n_centroids, iterations) + """,
 scored as (
   select e.vec_id, c.cid,
          round(list_dot_product(e.v, c.cv) / (e.n * c.cn), 6) s
-  from e cross join c
+  from e cross join cf c
 ),
 assign as (
   select vec_id, cid from (
@@ -541,17 +713,17 @@ assign as (
                                  order by s desc, cid asc) r
     from scored
   ) where r <= {np}
-),
+){cap},
 j as (
   select a.vec_id id_a, b.vec_id id_b,
          round(list_dot_product(ea.v, eb.v) / (ea.n * eb.n), 6) cosine
-  from assign a
-  join assign b on a.cid = b.cid and a.vec_id < b.vec_id
+  from {src} a
+  join {src} b on a.cid = b.cid and a.vec_id < b.vec_id
   join e ea on ea.vec_id = a.vec_id
   join e eb on eb.vec_id = b.vec_id
 )
 select distinct id_a, id_b, cosine from j where cosine >= {t}
-""".format(nc=n_centroids, t=threshold, np=n_probe)
+""".format(np=n_probe, t=threshold, cap=cap_clause, src=assign_src)
 
 
 def ann_pairs(
@@ -585,4 +757,65 @@ def ann_pairs(
     cos = F.round(_dot_expr("va", "vb") / (F.col("na") * F.col("nb")), 6)
     return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
         F.col("cosine") >= threshold
+    )
+
+
+def ann_pairs_duck(
+    threshold: float = 0.4, dim: int = 64, n_planes: int = 12, seed: int = 42
+) -> str:
+    """DuckDB oracle for ``ann_pairs``: the same seeded hyperplane
+    literals (bit-identical doubles via repr round-trip), same round-6
+    sign test, same bucket-equality join + exact verify — so the
+    LSH candidate set itself is deterministic and oracle-checkable,
+    not just benched."""
+    bucket = hyperplane_bucket_sql(dim, n_planes, seed, "v")
+    return """
+with e as materialized (
+  select vec_id, [x::DOUBLE for x in embedding] v,
+         sqrt(list_dot_product([x::DOUBLE for x in embedding],
+                               [x::DOUBLE for x in embedding])) n
+  from embeddings
+),
+bkt as materialized (
+  select vec_id, {bucket} bucket from e
+)
+select a.vec_id id_a, b.vec_id id_b,
+       round(list_dot_product(ea.v, eb.v) / (ea.n * eb.n), 6) cosine
+from bkt a
+join bkt b on a.bucket = b.bucket and a.vec_id < b.vec_id
+join e ea on ea.vec_id = a.vec_id
+join e eb on eb.vec_id = b.vec_id
+where round(list_dot_product(ea.v, eb.v) / (ea.n * eb.n), 6) >= {t}
+""".format(bucket=bucket, t=threshold)
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    exact: bool = False,
+    n_probe: int = 2,
+    n_centroids: Optional[int] = None,
+    iterations: int = 2,
+    bucket_cap: Optional[int] = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs. DEFAULT is the bucketed scale
+    path: √n-centroid trained IVF with multi-probe assignment and exact
+    GEMM verify inside buckets — per-bucket work is bounded, buckets are
+    data-parallel, and nothing data-sized ever reaches the driver.
+    ``exact=True`` is the escape hatch for the all-pairs O(n²) kernel
+    (broadcast GEMM) — the right tool only for modest n or as a
+    post-candidate verify."""
+    if exact:
+        return cosine_pairs_gemm(df, threshold, id_col, vec)
+    return ivf_pairs(
+        df,
+        threshold,
+        n_centroids=n_centroids,
+        iterations=iterations,
+        id_col=id_col,
+        vec=vec,
+        n_probe=n_probe,
+        bucket_cap=bucket_cap,
     )

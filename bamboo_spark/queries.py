@@ -822,8 +822,33 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via the DEFAULT scale path: trained √n-centroid
+    IVF + multiprobe + bucket-local exact GEMM verify. Nothing
+    data-sized reaches the driver; per-bucket verify is bounded."""
     e = load(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs_gemm(e, threshold=0.4).orderBy("id_a", "id_b")
+    return similarity.near_dup_pairs(e, threshold=0.4, bucket_cap=256).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact=True escape hatch: all-pairs broadcast-GEMM — O(n²) by
+    contract, kept for modest n / post-ANN verification."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.near_dup_pairs(e, threshold=0.4, exact=True).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed near-dup pairs: seeded plane literals in
+    codegen, bucket-equality join, exact cosine verify. The oracle
+    interpolates the same plane literals, so the (recall<1) candidate
+    set itself is deterministic and value-checked, not just benched."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.ann_pairs(e, threshold=0.4, dim=64, n_planes=12).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -912,9 +937,9 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, recovering the boundary-split pairs single-probe misses
     — the standard recall/compute dial, at ~2× bucket volume."""
     e = load(spark, sf_dir, "embeddings")
-    return similarity.ivf_pairs(
-        e, threshold=0.4, n_centroids=16, n_probe=2
-    ).orderBy("id_a", "id_b")
+    return similarity.ivf_pairs(e, threshold=0.4, n_probe=2).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -959,10 +984,11 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF (distributed spherical k-means, √n centroids, 2
+    Lloyd iterations; decimal-exact means keep the oracle replay
+    bit-identical) + single-probe assignment + bucket-local verify."""
     e = load(spark, sf_dir, "embeddings")
-    return similarity.ivf_pairs(e, threshold=0.4, n_centroids=16).orderBy(
-        "id_a", "id_b"
-    )
+    return similarity.ivf_pairs(e, threshold=0.4).orderBy("id_a", "id_b")
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1911,6 +1937,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_normalized": q_dedup_normalized,
         "dedup_components": q_dedup_components,
         "near_dup_embeddings": q_near_dup_embeddings,
+        "near_dup_exact": q_near_dup_exact,
+        "ann_pairs": q_ann_pairs,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
@@ -1978,12 +2006,16 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_components": dedup.components_duck(
             dedup.jaccard_pairs_duck(threshold=0.7), iterations=4
         ),
-        "near_dup_embeddings": similarity.cosine_pairs_duck(threshold=0.4),
-        "ann_topk": similarity.topk_neighbors_duck(query_ids_below=10, k=5),
-        "ann_ivf": similarity.ivf_pairs_duck(threshold=0.4, n_centroids=16),
-        "ann_ivf_multiprobe": similarity.ivf_pairs_duck(
-            threshold=0.4, n_centroids=16, n_probe=2
+        # the default near-dup path is trained IVF + multiprobe; the
+        # oracle replays the k-means training (decimal-exact means)
+        "near_dup_embeddings": similarity.ivf_pairs_duck(
+            threshold=0.4, n_probe=2, bucket_cap=256
         ),
+        "near_dup_exact": similarity.cosine_pairs_duck(threshold=0.4),
+        "ann_pairs": similarity.ann_pairs_duck(threshold=0.4, dim=64, n_planes=12),
+        "ann_topk": similarity.topk_neighbors_duck(query_ids_below=10, k=5),
+        "ann_ivf": similarity.ivf_pairs_duck(threshold=0.4),
+        "ann_ivf_multiprobe": similarity.ivf_pairs_duck(threshold=0.4, n_probe=2),
         "embedding_quantize": similarity.quantize_embeddings_duck(),
         "label_centroids": Q_LABEL_CENTROIDS_SQL,
         "text_stats": Q_TEXT_STATS_SQL.format(

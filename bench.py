@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "dedup_normalized",
     "dedup_components",
     "near_dup_embeddings",
+    "near_dup_exact",
+    "ann_pairs",
     "ann_topk",
     "ann_ivf",
     "ann_ivf_multiprobe",

@@ -1,0 +1,75 @@
+"""Operator-level tests for the trained-IVF similarity path (the
+oracle-gated registry queries cover end-to-end parity; these pin the
+training/capping semantics on tiny controlled inputs)."""
+
+import numpy as np
+import pytest
+
+from bamboo_spark.operators import similarity
+
+
+def _vec_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_kmeans_centroids_converge_to_cluster_means(spark):
+    # two tight clusters on orthogonal axes; init = 2 lowest-id vectors,
+    # one from each cluster → Lloyd must land on the per-cluster means
+    a = [[1.0, 0.0, 0.0, 0.0], [0.9, 0.1, 0.0, 0.0], [1.1, -0.1, 0.0, 0.0]]
+    b = [[0.0, 1.0, 0.0, 0.0], [0.0, 0.9, 0.1, 0.0], [0.0, 1.1, -0.1, 0.0]]
+    df = _vec_df(spark, [a[0], b[0], a[1], a[2], b[1], b[2]])
+    cm = similarity.kmeans_train(df, n_centroids=2, iterations=2)
+    assert cm.shape == (2, 4)
+    np.testing.assert_allclose(cm[0], np.mean(a, axis=0), atol=1e-6)
+    np.testing.assert_allclose(cm[1], np.mean(b, axis=0), atol=1e-6)
+
+
+def test_kmeans_sqrt_n_default(spark):
+    df = _vec_df(spark, [[1.0, float(i % 3)] for i in range(26)])
+    cm = similarity.kmeans_train(df, iterations=1)
+    assert cm.shape[0] == 6  # ceil(sqrt(26))
+
+
+def test_kmeans_empty_cluster_carries_forward(spark):
+    # 3 centroids over 2 real clusters: one centroid loses all members
+    # after reassignment and must keep its previous position, not NaN out
+    vecs = [[1.0, 0.0], [1.0, 0.01], [0.0, 1.0], [0.0, 1.01], [1.0, 0.02], [0.0, 0.99]]
+    df = _vec_df(spark, vecs)
+    cm = similarity.kmeans_train(df, n_centroids=3, iterations=2)
+    assert cm.shape == (3, 2)
+    assert not np.isnan(cm).any()
+
+
+def test_bucket_cap_bounds_candidate_pairs(spark):
+    # 6 identical vectors in one bucket; cap=3 keeps the 3 lowest ids →
+    # exactly C(3,2)=3 pairs instead of C(6,2)=15
+    df = _vec_df(spark, [[1.0, 0.0]] * 6)
+    uncapped = similarity.ivf_pairs(df, threshold=0.9, n_centroids=1, iterations=1)
+    capped = similarity.ivf_pairs(
+        df, threshold=0.9, n_centroids=1, iterations=1, bucket_cap=3
+    )
+    assert uncapped.count() == 15
+    rows = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert rows == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_cosine_pairs_gemm_rejects_unknown_strategy(spark):
+    df = _vec_df(spark, [[1.0, 0.0]] * 2)
+    with pytest.raises(ValueError):
+        similarity.cosine_pairs_gemm(df, strategy="magic")
+
+
+def test_blocked_gemm_matches_broadcast(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(40, 8))
+    df = _vec_df(spark, vecs.tolist())
+    bcast = similarity.cosine_pairs_gemm(df, threshold=0.2).collect()
+    blocked = similarity.cosine_pairs_gemm(
+        df, threshold=0.2, strategy="blocked", n_blocks=4
+    ).collect()
+    key = lambda r: (r["id_a"], r["id_b"])
+    assert sorted(map(key, bcast)) == sorted(map(key, blocked))
+    assert {key(r): r["cosine"] for r in bcast} == {key(r): r["cosine"] for r in blocked}
