@@ -157,10 +157,20 @@ def _ref(
     return None, logical
 
 
+def quote_col(name: str) -> str:
+    """Backtick-quote a column name for F.col: embedded backticks double
+    (Spark's escape), and anything beyond a plain identifier is quoted
+    so dots/spaces/operators can't be misparsed as field access."""
+    import re
+
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        return name
+    return "`%s`" % name.replace("`", "``")
+
+
 def _col_expr(base: Optional[int], rel: LogicalPath) -> Column:
     if base is None:
-        first = rel[0]
-        expr = F.col("`%s`" % first if "." in first else first)
+        expr = F.col(quote_col(rel[0]))
         rel = rel[1:]
     else:
         expr = F.col(_ALIAS % base)

@@ -12,3 +12,7 @@ DuckDB oracle derive all hashing from ``md5`` (identical in both
 engines) or produce outputs verified by exact arithmetic, so LSH-style
 candidate pruning never changes the result set — it only prunes work.
 """
+
+from bamboo_spark.operators._cache import release_caches, tracked_persist
+
+__all__ = ["release_caches", "tracked_persist"]

@@ -38,6 +38,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
+from bamboo_spark.operators._cache import tracked_persist
 from bamboo_spark.operators.text import (
     md5_int60_duck,
     md5_int60_sql,
@@ -88,7 +89,7 @@ def jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,
     k: int = 3,
-    max_shingle_df: Optional[int] = None,
+    max_shingle_df: Optional[int] = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join via prefix filtering.
 
@@ -97,9 +98,20 @@ def jaccard_pairs(
     keep the float ceil/compare from rounding an exact boundary (e.g.
     0.8*45) the wrong way — always erring toward longer prefixes /
     looser filters, never dropping a qualifying pair.
+
+    ``max_shingle_df`` bounds per-key skew: a prefix shingle shared by D
+    docs contributes O(D²) candidate pairs from that one join key, so a
+    stop-phrase shingle in millions of docs would make the self-join
+    quadratic. Keys above the cutoff are dropped from the *index* (not
+    from verification sets). NOTE this makes the join APPROXIMATE for
+    pairs whose every common prefix shingle is hotter than the cutoff —
+    dropping a prefix element breaks the losslessness proof; pairs found
+    are still exact-verified (no false positives, possible false
+    negatives). Default 10 000 bounds any key to ~5·10⁷ candidate pairs;
+    set None for the lossless join when the corpus is known skew-free.
     """
     t = float(threshold)
-    hsets = _hashed_sets(df, k).persist()
+    hsets = tracked_persist(_hashed_sets(df, k))
     n = F.col("n")
     # hs is hash-sorted: a slice of it IS the canonical-order prefix,
     # and posexplode positions are positions in the full sorted set
@@ -247,7 +259,7 @@ def minhash_lsh_pairs(
     the true Jaccard for every candidate pair.
     """
     num_bands = num_hashes // rows_per_band
-    hsets = _hashed_sets(df, k).persist()  # reused: signatures + verify
+    hsets = tracked_persist(_hashed_sets(df, k))  # reused: signatures + verify
     sig = _minhash_base(hsets).groupBy("doc_id").agg(*_minhash_aggs(num_hashes))
     bands = sig.select(
         "doc_id",
@@ -267,7 +279,8 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bh"),
-    ).select("doc_id", "bh.band", "bh.h").persist()
+    ).select("doc_id", "bh.band", "bh.h")
+    bands = tracked_persist(bands)
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -439,7 +452,8 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 2) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "simhash", "bk.band", "bk.key").persist()
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    bands = tracked_persist(bands)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

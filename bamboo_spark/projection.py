@@ -35,9 +35,12 @@ def apply_column_filter(df: DataFrame, include: Any, exclude: Any) -> DataFrame:
         child = fltr.child(field.name)
         if not _keeps(field.dataType, child, implicit_root):
             continue
-        name = "`%s`" % field.name if "." in field.name else field.name
+        from bamboo_spark.flatten import quote_col
+
         out.append(
-            _project(F.col(name), field.dataType, child, implicit_root).alias(field.name)
+            _project(
+                F.col(quote_col(field.name)), field.dataType, child, implicit_root
+            ).alias(field.name)
         )
     return df.select(*out)
 

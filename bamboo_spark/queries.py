@@ -79,7 +79,6 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -168,7 +167,6 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue"
             )
         )
-        .orderBy(F.col("revenue").desc())
     )
 
 
@@ -237,7 +235,6 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             F.round("c_acctbal", 2).alias("acctbal"),
         )
-        .orderBy("nationkey", "rank")
     )
 
 
@@ -263,7 +260,6 @@ def q_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
             F.countDistinct("o_custkey").alias("n_customers"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -293,7 +289,6 @@ def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
 
 
@@ -319,7 +314,6 @@ def q_big_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy("l_orderkey")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .where(F.col("total_qty") > 150)
-        .orderBy(F.col("total_qty").desc(), F.col("l_orderkey"))
     )
 
 
@@ -349,7 +343,6 @@ def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(high).cast("bigint").alias("high_line_count"),
             F.sum(1 - high).cast("bigint").alias("low_line_count"),
         )
-        .orderBy("l_linestatus")
     )
 
 
@@ -381,7 +374,6 @@ def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.round(F.avg("value").over(w), 6).alias("avg7"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -410,7 +402,6 @@ def q_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr("value", "second_of_day"), 4).alias("corr_time"),
             F.round(F.covar_samp("value", "second_of_day"), 2).alias("covar_time"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -439,7 +430,6 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
-        .orderBy("event_hour", "event_type")
     )
 
 
@@ -469,7 +459,6 @@ def q_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dow")
         .pivot("event_type", EVENT_TYPES)
         .agg(F.round(F.sum("value"), 2))
-        .orderBy("dow")
     )
 
 
@@ -504,7 +493,6 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_session").cast("bigint").alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -529,7 +517,7 @@ def q_setops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     purchasers = e.where(F.col("event_type") == "purchase").select("user_id").distinct()
     erroring = e.where(F.col("event_type") == "error").select("user_id").distinct()
-    return purchasers.subtract(erroring).orderBy("user_id")
+    return purchasers.subtract(erroring)
 
 
 Q_SETOPS_SQL = """
@@ -572,7 +560,6 @@ def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select((k % 10).alias("k_bucket"))
         .groupBy("k_bucket")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("k_bucket")
     )
 
 
@@ -587,7 +574,7 @@ from events group by 1 order by k_bucket
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return dedup.dedup_exact(d, "text", "doc_id").orderBy("keep_id")
+    return dedup.dedup_exact(d, "text", "doc_id")
 
 
 Q_DEDUP_EXACT_SQL = """
@@ -648,7 +635,6 @@ def q_semi_anti_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_shipped", F.lit(0)).alias("n_shipped"),
             F.coalesce("n_never", F.lit(0)).alias("n_never"),
         )
-        .orderBy("p_brand")
     )
 
 
@@ -692,7 +678,6 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
             "n_rows",
         )
-        .orderBy("returnflag", "linestatus")
     )
 
 
@@ -722,7 +707,6 @@ def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(p_retailprice, 0.9)"), 4).alias("p90_price"),
             F.count(F.lit(1)).alias("n_parts"),
         )
-        .orderBy("p_brand")
     )
 
 
@@ -753,7 +737,6 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.where(bucket < rate)
         .select("doc_id", "source", bucket.alias("bucket"))
-        .orderBy("doc_id")
     )
 
 
@@ -770,7 +753,7 @@ def _stratified_sql() -> str:
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(d, threshold=0.8).orderBy("doc_a", "doc_b")
+    return dedup.jaccard_pairs(d, threshold=0.8)
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -779,14 +762,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact join at any test scale, at half the signature width of the
     # datasketch-style 128 default.
     d = load(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(d, threshold=0.7, num_hashes=64).orderBy(
-        "doc_a", "doc_b"
-    )
+    return dedup.minhash_lsh_pairs(d, threshold=0.7, num_hashes=64)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(d, max_hamming=2).orderBy("doc_a", "doc_b")
+    return dedup.simhash_pairs(d, max_hamming=2)
 
 
 def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -799,7 +780,6 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy(text.normalize_text("text").alias("norm"))
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
         .select("keep_id", "n_dups")
-        .orderBy("keep_id")
     )
 
 
@@ -818,7 +798,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     a near-dup pair with its cluster's canonical (minimum) doc_id."""
     d = load(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(d, threshold=0.7, num_hashes=64)
-    return dedup.connected_components(pairs, iterations=4).orderBy("doc_id")
+    return dedup.connected_components(pairs, iterations=4)
 
 
 def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -826,18 +806,14 @@ def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF + multiprobe + bucket-local exact GEMM verify. Nothing
     data-sized reaches the driver; per-bucket verify is bounded."""
     e = load(spark, sf_dir, "embeddings")
-    return similarity.near_dup_pairs(e, threshold=0.4, bucket_cap=256).orderBy(
-        "id_a", "id_b"
-    )
+    return similarity.near_dup_pairs(e, threshold=0.4, bucket_cap=256)
 
 
 def q_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact=True escape hatch: all-pairs broadcast-GEMM — O(n²) by
     contract, kept for modest n / post-ANN verification."""
     e = load(spark, sf_dir, "embeddings")
-    return similarity.near_dup_pairs(e, threshold=0.4, exact=True).orderBy(
-        "id_a", "id_b"
-    )
+    return similarity.near_dup_pairs(e, threshold=0.4, exact=True)
 
 
 def q_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -846,21 +822,17 @@ def q_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolates the same plane literals, so the (recall<1) candidate
     set itself is deterministic and value-checked, not just benched."""
     e = load(spark, sf_dir, "embeddings")
-    return similarity.ann_pairs(e, threshold=0.4, dim=64, n_planes=12).orderBy(
-        "id_a", "id_b"
-    )
+    return similarity.ann_pairs(e, threshold=0.4, dim=64, n_planes=12)
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    return similarity.topk_neighbors(e, query_ids_below=10, k=5).orderBy(
-        "query_id", "rank"
-    )
+    return similarity.topk_neighbors(e, query_ids_below=10, k=5)
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return text.add_text_stats(d).orderBy("doc_id")
+    return text.add_text_stats(d)
 
 
 Q_TEXT_STATS_SQL = """
@@ -877,7 +849,7 @@ from documents order by doc_id
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", text.fingerprint_expr()).orderBy("doc_id")
+    return d.select("doc_id", text.fingerprint_expr())
 
 
 Q_FINGERPRINT_SQL = """
@@ -895,7 +867,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = multimodal.decode_media(
         media.select("doc_id", F.col("media.data").alias("data"))
     )
-    return decoded.orderBy("doc_id")
+    return decoded
 
 
 Q_MULTIMODAL_SQL = """
@@ -921,7 +893,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode("features").alias("idx", "feature")
     ).select(
         "doc_id", F.col("idx").cast("bigint").alias("idx"), "feature"
-    ).orderBy("doc_id", "idx")
+    )
 
 
 Q_MULTIMODAL_FEATURES_SQL = """
@@ -937,9 +909,7 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, recovering the boundary-split pairs single-probe misses
     — the standard recall/compute dial, at ~2× bucket volume."""
     e = load(spark, sf_dir, "embeddings")
-    return similarity.ivf_pairs(e, threshold=0.4, n_probe=2).orderBy(
-        "id_a", "id_b"
-    )
+    return similarity.ivf_pairs(e, threshold=0.4, n_probe=2)
 
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -961,7 +931,6 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_val",
             "n_vectors",
         )
-        .orderBy("label", "pos")
     )
 
 
@@ -980,7 +949,7 @@ from ex group by 1, 2 order by label, pos
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    return similarity.quantize_embeddings(e).orderBy("vec_id", "pos")
+    return similarity.quantize_embeddings(e)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -988,7 +957,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd iterations; decimal-exact means keep the oracle replay
     bit-identical) + single-probe assignment + bucket-local verify."""
     e = load(spark, sf_dir, "embeddings")
-    return similarity.ivf_pairs(e, threshold=0.4).orderBy("id_a", "id_b")
+    return similarity.ivf_pairs(e, threshold=0.4)
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1006,7 +975,7 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text").cast("double") / F.greatest(bpe, F.lit(1)).cast("double"),
             6,
         ).alias("chars_per_token"),
-    ).orderBy("doc_id")
+    )
 
 
 Q_TOKEN_COUNTS_SQL = """
@@ -1077,7 +1046,6 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
-        .orderBy("s_suppkey")
     )
 
 
@@ -1158,7 +1126,6 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 2).alias("totalprice"),
             "total_qty",
         )
-        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
     )
 
 
@@ -1255,7 +1222,6 @@ def q_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_custs"),
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
-        .orderBy("nationkey")
     )
 
 
@@ -1291,7 +1257,6 @@ def q_part_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ntile(4).over(w).cast("bigint").alias("quartile"),
         )
         .where(F.col("rn") <= 5)
-        .orderBy("p_brand", "rn")
     )
 
 
@@ -1323,7 +1288,6 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(disc), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
-        .orderBy("gid", "l_returnflag", "l_linestatus")
     )
 
 
@@ -1389,7 +1353,6 @@ def q_events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("gap_sec"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -1440,7 +1403,6 @@ def q_quantity_range_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue"
             ),
         )
-        .orderBy("label")
     )
 
 
@@ -1491,7 +1453,6 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .where(F.col("rn") <= 3)
         .select("doc_id", "rn", "token", "tf", "df", "tfidf")
-        .orderBy("doc_id", "rn")
     )
 
 
@@ -1544,7 +1505,6 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         df_.join(head, "token")
         .select("token", "df", "postings_head")
-        .orderBy("token")
     )
 
 
@@ -1586,7 +1546,6 @@ def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .where(F.col("rn") <= 10)
         .select("lang", "rn", "token", "n")
-        .orderBy("lang", "rn")
     )
 
 
@@ -1626,7 +1585,6 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         late.groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
     )
 
 
@@ -1679,7 +1637,6 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
-        .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
@@ -1795,7 +1752,6 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("mkt_share")
         )
-        .orderBy("o_year")
     )
 
 

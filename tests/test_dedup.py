@@ -1,0 +1,72 @@
+"""Operator-level dedup tests: skew capping, cache discipline,
+odd column names. (End-to-end result parity is oracle-gated via
+tests/test_oracle_parity.py.)"""
+
+from pyspark.sql import functions as F
+
+from bamboo_spark.operators import dedup, release_caches
+from bamboo_spark.dataset import Dataset
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_jaccard_default_cap_is_non_binding_on_normal_corpus(spark):
+    # default max_shingle_df must not change results on an unskewed corpus
+    texts = ["alpha beta gamma delta %d" % i for i in range(20)]
+    texts += ["alpha beta gamma delta 0"]  # one near-dup of doc 0
+    df = _docs(spark, texts)
+    capped = dedup.jaccard_pairs(df, threshold=0.8).collect()
+    lossless = dedup.jaccard_pairs(df, threshold=0.8, max_shingle_df=None).collect()
+    key = lambda r: (r["doc_a"], r["doc_b"])
+    assert sorted(map(key, capped)) == sorted(map(key, lossless))
+    assert len(capped) >= 1
+
+
+def test_jaccard_hot_shingle_cap_bounds_candidates(spark):
+    # pathological skew: every doc shares one stop-phrase trigram. With
+    # the cap binding, the hot shingle is dropped from the prefix index:
+    # candidate generation is bounded and pairs whose ONLY common prefix
+    # shingle was the hot one are (documented) false negatives, while
+    # genuinely similar pairs still surface through their other shingles.
+    n = 40
+    texts = ["the quick fox doc%d unique%d tail%d" % (i, i, i) for i in range(n)]
+    texts += ["the quick fox doc0 unique0 tail0 extra"]  # true near-dup of doc 0
+    df = _docs(spark, texts)
+
+    lossless = dedup.jaccard_pairs(df, threshold=0.6, max_shingle_df=None).collect()
+    capped = dedup.jaccard_pairs(df, threshold=0.6, max_shingle_df=5).collect()
+
+    key = lambda r: (r["doc_a"], r["doc_b"])
+    # the true near-dup pair survives capping (shares non-hot shingles)
+    assert (0, n) in set(map(key, capped))
+    # capping only removes pairs, never invents them
+    assert set(map(key, capped)) <= set(map(key, lossless))
+
+
+def test_dedup_caches_released_after_sweep(spark):
+    df = _docs(spark, ["a b c d %d" % i for i in range(10)])
+    dedup.jaccard_pairs(df, threshold=0.8).count()
+    dedup.minhash_lsh_pairs(df, threshold=0.7, num_hashes=16).count()
+    dedup.simhash_pairs(df, max_hamming=2).count()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0
+    release_caches()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_backtick_column_names_flatten(spark):
+    # ADVICE: a top-level name containing a backtick (or dots/spaces)
+    # must round-trip through flatten's column references
+    df = spark.range(2).select(
+        F.col("id").alias("weird`name"),
+        F.struct(F.col("id").alias("x")).alias("a.b c"),
+    )
+    pdf = Dataset(df).flatten().to_pandas()
+    assert list(pdf.columns) == ["weird`name", "x"]
+    assert sorted(pdf["weird`name"]) == [0, 1]
+
+    pdf = Dataset(df).select_columns(include=["weird`name"]).flatten().to_pandas()
+    assert list(pdf.columns) == ["weird`name"]
