@@ -54,13 +54,17 @@ def sessionize_stream(
     ``applyInPandasWithState`` — the streaming twin of the batch
     ``q_sessionize`` (lag/gap/cumsum window chain).
 
-    State per user = the open session (start_ms, last_ms, n_events),
+    State per user = the open session (start_us, last_us, n_events),
     kept in the state store as three longs. Each micro-batch sorts its
     events, splits on > ``gap_ms`` silences (closing intra-batch
     sessions immediately), and arms an *event-time timeout* at
     ``last_ts + gap``: when the watermark passes it, the open session
     closes and is appended — so results are driven by event time, not
-    wall clock.
+    wall clock. Session arithmetic runs at MICROsecond precision — the
+    same integer µs math as the batch twin ``q_sessionize``, so a gap a
+    few hundred µs past the threshold splits identically in both (ms
+    flooring here would merge it; the timeout clock alone is ms-grained,
+    per the state API).
 
     Scale notes: state is O(active users) × 24 bytes; the shuffle is
     the groupBy(user) hash partitioning that any per-key stateful op
@@ -70,45 +74,48 @@ def sessionize_stream(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    gap_us = gap_ms * 1000
     out_schema = (
         "%s bigint, session_start timestamp, session_end timestamp, n_events bigint"
         % user_col
     )
-    state_schema = "start_ms long, last_ms long, n long"
+    state_schema = "start_us long, last_us long, n long"
 
-    def to_row(uid: int, start_ms: int, end_ms: int, n: int) -> dict:
+    def to_row(uid: int, start_us: int, end_us: int, n: int) -> dict:
         return {
             user_col: uid,
-            "session_start": pd.Timestamp(start_ms, unit="ms"),
-            "session_end": pd.Timestamp(end_ms, unit="ms"),
+            "session_start": pd.Timestamp(start_us, unit="us"),
+            "session_end": pd.Timestamp(end_us, unit="us"),
             "n_events": n,
         }
 
     def fn(key, pdfs, state):
         uid = key[0]
         if state.hasTimedOut:
-            start_ms, last_ms, n = state.get
+            start_us, last_us, n = state.get
             state.remove()
-            yield pd.DataFrame([to_row(uid, start_ms, last_ms, n)])
+            yield pd.DataFrame([to_row(uid, start_us, last_us, n)])
             return
         ts = []
         for pdf in pdfs:
-            ts.append(pdf[ts_col].astype("int64") // 1_000_000)  # ns→ms
+            ts.append(pdf[ts_col].astype("int64") // 1_000)  # ns→µs
         ts = pd.concat(ts).sort_values().to_numpy()
         if state.exists:
-            start_ms, last_ms, n = state.get
+            start_us, last_us, n = state.get
         else:
-            start_ms, last_ms, n = int(ts[0]), int(ts[0]) - 1, 0
+            start_us, last_us, n = int(ts[0]), int(ts[0]) - 1, 0
         closed = []
         for t in ts:
             t = int(t)
-            if n and t - last_ms > gap_ms:
-                closed.append(to_row(uid, start_ms, last_ms, n))
-                start_ms, n = t, 0
-            last_ms = max(last_ms, t)
+            if n and t - last_us > gap_us:
+                closed.append(to_row(uid, start_us, last_us, n))
+                start_us, n = t, 0
+            last_us = max(last_us, t)
             n += 1
-        state.update((start_ms, last_ms, n))
-        state.setTimeoutTimestamp(last_ms + gap_ms)
+        state.update((start_us, last_us, n))
+        # timeout clock is ms-grained: round UP so it strictly exceeds
+        # last event + gap (firing early would close a live session)
+        state.setTimeoutTimestamp(-(-(last_us + gap_us) // 1000) + 1)
         if closed:
             yield pd.DataFrame(closed)
 
@@ -148,16 +155,23 @@ def windowed_counts(
     key_col: str = "event_type",
     window: str = "1 hour",
     watermark: str = "2 hours",
+    value_col: str = None,
 ) -> DataFrame:
     """Tumbling-window counts with late-data watermark — the streaming
-    twin of queries.q_events_hourly."""
+    twin of queries.q_events_hourly (pass ``value_col`` to also emit the
+    batch twin's round-2 value sum; tests/test_streaming.py proves
+    stream-replay output equals the batch aggregate row-for-row)."""
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 2).alias("total_value"))
+    out = [
+        F.col("w.start").alias("window_start"),
+        F.col(key_col),
+        "n_events",
+    ] + (["total_value"] if value_col is not None else [])
     return (
         sdf.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col(key_col),
-            "n_events",
-        )
+        .agg(*aggs)
+        .select(*out)
     )

@@ -123,6 +123,132 @@ def test_dedup_stream_drops_repeats(spark, tmp_path):
         q.stop()
 
 
+# ----------------------------------------------- stream/batch parity
+#
+# Replay the REAL events table through a file stream and assert the
+# streaming operators emit row-for-row what their batch twins compute.
+# Mechanics: all real events ship in one file (one micro-batch, so the
+# 0-delay watermark can't drop anything as late); a far-future sentinel
+# event then advances the watermark past every real window/session, and
+# (for the stateful sessionizer) one more sentinel batch makes the
+# event-time timeouts actually fire (they fire on the batch AFTER the
+# watermark passes).
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _events_batch(spark):
+    from bamboo_spark import queries as q
+
+    return q.load(spark, SF_DIR, "events").select("user_id", "ts", "event_type", "value")
+
+
+def _replay_dir(spark, tmp_path):
+    d = str(tmp_path / "replay")
+    _events_batch(spark).coalesce(1).write.parquet(d)
+    return d
+
+
+def _emit_sentinel(spark, d, name, user_id, ts):
+    spark.createDataFrame(
+        [(user_id, ts, "sentinel", 0.0)], "user_id long, ts timestamp, event_type string, value double"
+    ).coalesce(1).write.mode("append").parquet(d)
+
+
+def test_stream_batch_parity_events_hourly(spark, tmp_path):
+    import datetime as dt
+
+    from bamboo_spark import queries as q
+
+    batch = q.q_events_hourly(spark, SF_DIR).collect()
+    expected = {
+        (r["event_hour"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch
+    }
+    max_ts = _events_batch(spark).agg(F.max("ts")).collect()[0][0]
+
+    d = _replay_dir(spark, tmp_path)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string, value double"
+    ).option("maxFilesPerTrigger", "1").parquet(d)
+    agg = windowed_counts(
+        stream, window="1 hour", watermark="0 seconds", value_col="value"
+    ).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:00:00").alias("event_hour"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+    qy = agg.writeStream.format("memory").queryName("par_hourly").outputMode("append").start()
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and not qy.recentProgress:
+            time.sleep(0.5)
+        _emit_sentinel(spark, d, "s1", 10**6, max_ts + dt.timedelta(days=10))
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("select count(*) c from par_hourly").collect()[0].c >= len(expected):
+                break
+            time.sleep(0.5)
+        got = {
+            (r["event_hour"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in spark.sql(
+                "select * from par_hourly where event_type != 'sentinel'"
+            ).collect()
+        }
+        assert got == expected
+    finally:
+        qy.stop()
+
+
+def test_stream_batch_parity_sessionize(spark, tmp_path):
+    import datetime as dt
+
+    from bamboo_spark import queries as q
+    from bamboo_spark.streaming import sessionize_stream
+
+    batch = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in q.q_sessionize(spark, SF_DIR).collect()
+    }
+    max_ts = _events_batch(spark).agg(F.max("ts")).collect()[0][0]
+
+    d = _replay_dir(spark, tmp_path)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string, value double"
+    ).option("maxFilesPerTrigger", "1").parquet(d)
+    sess = sessionize_stream(stream, gap_ms=30 * 60 * 1000, watermark="0 seconds")
+    qy = sess.writeStream.format("memory").queryName("par_sess").outputMode("append").start()
+    try:
+        total_sessions = sum(n for n, _ in batch.values())
+        sentinel_uid = 10**6
+        for i in range(1, 4):
+            # each sentinel batch advances the watermark AND gives the
+            # state store a later batch in which timeouts can fire
+            deadline = time.time() + 30
+            while time.time() < deadline and len(qy.recentProgress) < i:
+                time.sleep(0.5)
+            _emit_sentinel(
+                spark, d, "s%d" % i, sentinel_uid + i, max_ts + dt.timedelta(days=10 * i)
+            )
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            c = spark.sql(
+                "select count(*) c from par_sess where user_id < 1000000"
+            ).collect()[0].c
+            if c >= total_sessions:
+                break
+            time.sleep(0.5)
+        got_rows = spark.sql(
+            "select user_id, count(*) n_sessions, sum(n_events) n_events "
+            "from par_sess where user_id < 1000000 group by user_id"
+        ).collect()
+        got = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in got_rows}
+        assert got == batch
+    finally:
+        qy.stop()
+
+
 def test_windowed_counts_stream(spark):
     stream = (
         spark.readStream.format("rate").option("rowsPerSecond", "50").load()
