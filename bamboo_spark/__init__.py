@@ -27,11 +27,11 @@ from bamboo_spark.flatten import FlattenStrategy, JoinType
 from bamboo_spark.naming import NameStrategy, column_names
 from bamboo_spark.session import get_spark
 from bamboo_spark.sources.arrow import from_arrow
-from bamboo_spark.sources.avro import from_avro
+from bamboo_spark.sources.avro import from_avro, read_avro_py
 from bamboo_spark.sources.flat import read_csv, read_orc, read_parquet, read_text
 from bamboo_spark.sources.json import from_json, read_json
 from bamboo_spark.sources.obj import from_object
-from bamboo_spark.sources.pbd import from_pbd
+from bamboo_spark.sources.pbd import from_pbd, read_pbd
 
 __all__ = [
     "Clusion",
@@ -48,10 +48,12 @@ __all__ = [
     "from_pbd",
     "get_spark",
     "parse_clusions",
+    "read_avro_py",
     "read_csv",
     "read_json",
     "read_orc",
     "read_parquet",
+    "read_pbd",
     "read_text",
 ]
 

@@ -180,3 +180,97 @@ def from_avro(
     if has_filter and not record_root:
         ds = ds.select_columns(include, exclude)
     return ds
+
+
+def read_avro_py(
+    paths: Union[str, list],
+    include: Any = None,
+    exclude: Any = None,
+    spark: Optional[SparkSession] = None,
+) -> Dataset:
+    """Distributed MULTI-FILE Avro read without the connector jar — the
+    many-files scale path for the pure-Python decoder. One decode task
+    per file; each task parses its own header and block index and
+    decodes with the clusion-pruned reader — no file bytes pass through
+    the driver (it reads only the first file's header for the schema).
+    For one huge file use ``from_avro``, which splits by blocks."""
+    import glob as _glob
+    import json as _json
+
+    if spark is None:
+        from bamboo_spark.session import get_spark
+
+        spark = get_spark()
+    if isinstance(paths, str):
+        files = sorted(_glob.glob(paths)) or [paths]
+    else:
+        files = [os.path.abspath(p) for p in paths]
+    if not files:
+        raise ValueError("read_avro_py: no input files")
+
+    fltr = ColumnFilter.parse(include, exclude)
+    has_filter = include is not None or exclude is not None
+    implicit_root = fltr.include.explicit or fltr.include.is_nothing()
+
+    with open(files[0], "rb") as fh:
+        head = fh.read()
+    avro_schema, _codec0, _sync0, _pos0 = scan_header(head)
+    dtype = avro_to_spark(avro_schema)
+    record_root = isinstance(dtype, T.StructType)
+    if record_root:
+        out_schema = prune_schema(dtype, fltr, implicit_root) if has_filter else dtype
+    else:
+        out_schema = T.StructType([T.StructField(DEFAULT_COLUMN, dtype, True)])
+    schema_key = _json.dumps(avro_schema, sort_keys=True)
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema_ref = to_arrow_schema(out_schema)
+    names = [f.name for f in out_schema.fields]
+    use_filter = record_root and has_filter
+
+    def fn(batches):
+        import pyarrow as pa
+
+        from bamboo_spark.sources._avro_py import AvroDecodeError
+
+        for batch in batches:
+            for p in batch.column(0).to_pylist():
+                with open(p, "rb") as fh:
+                    data = fh.read()
+                f_schema, f_codec, f_sync, f_pos = scan_header(data)
+                if _json.dumps(f_schema, sort_keys=True) != schema_key:
+                    raise AvroDecodeError(
+                        "Avro file %s schema differs from %s" % (p, files[0])
+                    )
+                records = []
+                for off, size, n in scan_blocks(data, f_pos, f_sync):
+                    records.extend(
+                        decode_block(
+                            data[off : off + size],
+                            n,
+                            f_codec,
+                            f_schema,
+                            fltr if use_filter else None,
+                            implicit_root,
+                        )
+                    )
+                if record_root:
+                    arrays = [
+                        pa.array(
+                            [r[nm] for r in records],
+                            type=arrow_schema_ref.field(i).type,
+                        )
+                        for i, nm in enumerate(names)
+                    ]
+                else:
+                    arrays = [pa.array(records, type=arrow_schema_ref.field(0).type)]
+                yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema_ref)
+
+    path_df = spark.createDataFrame(
+        [(f,) for f in files], T.StructType([T.StructField("path", T.StringType())])
+    ).repartition(len(files))
+    ds = Dataset(path_df.mapInArrow(fn, out_schema))
+    if has_filter and not record_root:
+        ds = ds.select_columns(include, exclude)
+    return ds

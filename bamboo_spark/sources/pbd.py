@@ -147,3 +147,84 @@ def from_pbd(
     ).repartition(len(splits))
     decoded = split_df.mapInArrow(_make_decoder(root, schema, path, bc), schema)
     return Dataset(decoded)
+
+
+def read_pbd(
+    paths: Union[str, list],
+    include: Any = None,
+    exclude: Any = None,
+    spark: Optional[SparkSession] = None,
+) -> Dataset:
+    """Distributed MULTI-FILE PBD read — the many-files scale path.
+
+    One decode task per file; each task opens its file, parses the
+    descriptor header, prunes it with the clusions, and wire-decodes —
+    NO file bytes ever pass through the driver (it reads only the first
+    file's header to fix the output schema; every task re-derives and
+    validates its own). This is how a 100 TB PBD dataset (thousands of
+    container files on a DFS) parallelizes; for one huge file use
+    ``from_pbd``, which splits a single record stream by byte ranges.
+    """
+    import glob as _glob
+
+    if spark is None:
+        from bamboo_spark.session import get_spark
+
+        spark = get_spark()
+    if isinstance(paths, str):
+        files = sorted(_glob.glob(paths)) or [paths]
+    else:
+        files = [os.path.abspath(p) for p in paths]
+    if not files:
+        raise ValueError("read_pbd: no input files")
+
+    fltr = ColumnFilter.parse(include, exclude)
+    implicit_root = fltr.include.explicit or fltr.include.is_nothing()
+    has_filter = include is not None or exclude is not None
+
+    with open(files[0], "rb") as fh:
+        head = fh.read()
+    root, _ = parse_header(head)
+    if has_filter:
+        root = prune_message_desc(root, fltr, implicit_root)
+    schema = pbd_to_spark(root)
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema_ref = to_arrow_schema(schema)
+    names = [f.name for f in schema.fields]
+
+    def fn(batches: Iterator[Any]) -> Iterator[Any]:
+        import pyarrow as pa
+
+        from bamboo_spark.sources._pbd_py import (
+            PbdDecodeError,
+            parse_header as _ph,
+            prune_message_desc as _prune,
+            pbd_to_spark as _to_spark,
+        )
+
+        for batch in batches:
+            for p in batch.column(0).to_pylist():
+                with open(p, "rb") as fh:
+                    data = fh.read()
+                file_root, body = _ph(data)
+                if has_filter:
+                    file_root = _prune(file_root, fltr, implicit_root)
+                if _to_spark(file_root) != schema:
+                    raise PbdDecodeError(
+                        "PBD file %s schema differs from %s" % (p, files[0])
+                    )
+                records = decode_range(data, body, len(data), file_root)
+                arrays = [
+                    pa.array(
+                        [r[nm] for r in records], type=arrow_schema_ref.field(i).type
+                    )
+                    for i, nm in enumerate(names)
+                ]
+                yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema_ref)
+
+    path_df = spark.createDataFrame(
+        [(f,) for f in files], T.StructType([T.StructField("path", T.StringType())])
+    ).repartition(len(files))
+    return Dataset(path_df.mapInArrow(fn, schema))

@@ -141,6 +141,34 @@ def test_pbd_clusion_pushdown_skips_excluded_bytes(spark):
         from_pbd(data, spark=spark).flatten().to_pandas()
 
 
+def test_read_pbd_multifile(spark, tmp_path):
+    # many-files scale path: one decode task per file, executor-side
+    # header parse, clusion pushdown applied per task
+    desc = _message_desc(
+        "Rec", [_field_desc("a", 1, 3), _field_desc("s", 2, 9)]
+    )
+    for fi in range(3):
+        recs = [
+            _tag(1, 0) + _varint(fi * 10 + i) + _ld(2, b"x%d" % i) for i in range(5)
+        ]
+        (tmp_path / ("part%d.pbd" % fi)).write_bytes(_container([desc], "t.Rec", recs))
+
+    from bamboo_spark import read_pbd
+
+    ds = read_pbd(str(tmp_path / "*.pbd"), spark=spark)
+    pdf = ds.flatten().to_pandas()
+    assert sorted(pdf["a"]) == sorted([f * 10 + i for f in range(3) for i in range(5)])
+
+    pdf = read_pbd(str(tmp_path / "*.pbd"), include=["a"], spark=spark).flatten().to_pandas()
+    assert list(pdf.columns) == ["a"]
+
+    # mismatched schema in one file → error surfaces
+    desc2 = _message_desc("Rec", [_field_desc("z", 1, 3)])
+    (tmp_path / "bad.pbd").write_bytes(_container([desc2], "t.Rec", []))
+    with pytest.raises(Exception):
+        read_pbd(str(tmp_path / "*.pbd"), spark=spark).flatten().to_pandas()
+
+
 def test_pbd_split_singular_message_merges(spark):
     # Protobuf spec: repeated wire occurrences of a singular message
     # field merge (concatenation of their payloads), not last-wins.

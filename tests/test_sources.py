@@ -377,6 +377,26 @@ def test_avro_truncated_raises_decode_error(spark):
         decode_container(data[:-20])
 
 
+def test_read_avro_py_multifile(spark, tmp_path):
+    from bamboo_spark import read_avro_py
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "a", "type": "long"}, {"name": "s", "type": "string"}],
+    }
+    for fi in range(3):
+        recs = [{"a": fi * 10 + i, "s": "v%d" % i} for i in range(5)]
+        (tmp_path / ("part%d.avro" % fi)).write_bytes(
+            _avro_bytes(schema, recs, block_size=2)
+        )
+    pdf = read_avro_py(str(tmp_path / "*.avro")).flatten().to_pandas()
+    assert sorted(pdf["a"]) == sorted([f * 10 + i for f in range(3) for i in range(5)])
+
+    pdf = read_avro_py(str(tmp_path / "*.avro"), include=["s"]).flatten().to_pandas()
+    assert list(pdf.columns) == ["s"]
+
+
 def test_avro_perf_gate_1m_records(spark, tmp_path):
     # Engine twin of the reference's Avro decode perf assertion
     # (avro_tests.py:252-277): 1M records ≥ 200k rec/s steady-state via
