@@ -71,13 +71,58 @@ def test_topk_streams_candidates_no_join(spark):
 
 
 def test_text_stats_is_single_project_over_scan(spark):
-    # narrow per-row projection: no shuffle except the cosmetic sort, and
-    # only (doc_id, text) read from the scan
+    # narrow per-row projection: no shuffle at all, and only
+    # (doc_id, text) read from the scan
     plan = plan_of(q.q_text_stats(spark, SF))
     read_schema = plan.split("ReadSchema")[1][:200]
     assert "doc_id" in read_schema and "text" in read_schema
     assert "lang" not in read_schema  # unused columns pruned
     # formatted explain prints each node twice (tree + detail); count the
-    # tree section only — one Exchange (the cosmetic output sort), no more
+    # tree section only
     tree = plan.split("\n\n")[0]
-    assert tree.count("Exchange") <= 1
+    assert tree.count("Exchange") == 0
+
+
+def test_ivf_pairs_no_cartesian_bounded_buckets(spark):
+    # trained IVF: assignment is MapInPandas (broadcast centroid matrix,
+    # no join), verify is bucket-local FlatMapGroups — never a cartesian
+    # or nested-loop join of the vector table with itself
+    df = q.q_ann_ivf(spark, SF)
+    plan = plan_of(df)
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    # and the buckets the verify runs over are √n-bounded in count:
+    # every vector lands in exactly one bucket (n_probe=1)
+    from bamboo_spark.operators import similarity
+
+    e = q.load(spark, SF, "embeddings")
+    cm = similarity.kmeans_train(e)
+    n = e.count()
+    assert cm.shape[0] == int(__import__("math").ceil(n ** 0.5))
+    sizes = (
+        similarity.ivf_assign(e, cm).groupBy("centroid").count().agg(
+            F.max("count"), F.sum("count")
+        ).collect()[0]
+    )
+    assert sizes[1] == n  # single-probe: each vector exactly once
+
+
+def test_ann_pairs_planes_stay_in_codegen(spark):
+    # hyperplane bucket ids are literal expressions — no UDF, no
+    # Python round-trip for candidate generation; the only Python stage
+    # would be absent entirely (pure join + HOF verify)
+    plan = plan_of(q.q_ann_pairs(spark, SF))
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_near_dup_default_collects_nothing_data_sized(spark):
+    # the default near-dup path must not pull the embedding table to the
+    # driver: its plan is assignment (MapInPandas) + bucket verify
+    # (FlatMapGroupsInPandas); the exact GEMM's table-wide broadcast
+    # appears only under exact=True
+    plan = plan_of(q.q_near_dup_embeddings(spark, SF))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
