@@ -1,0 +1,121 @@
+"""Sequence packing: global token offsets + concat-then-chunk assignment.
+
+The training-data shape: documents are concatenated in a canonical
+order (doc_id) and split into fixed-size context windows. The core
+primitive is a GLOBAL prefix sum of token counts — the textbook
+single-partition window is a scale dead-end (one task sorts the world),
+so this implements the canonical distributed two-phase scan:
+
+1. shard by id range (order-respecting partitioning),
+2. per-shard local cumulative sums (parallel windows),
+3. per-shard totals — P rows — prefix-summed on the driver and joined
+   back as broadcast shard bases.
+
+The only global state that ever leaves the executors is one row per
+shard. Same output as the single-window plan, bit-for-bit (integer
+arithmetic), verified against the DuckDB oracle's global window.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def token_offsets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    count_expr: Optional[F.Column] = None,
+    shards: int = 32,
+) -> DataFrame:
+    """(id, n_tokens, start_offset) with start_offset = total tokens in
+    all lower-id documents — the distributed prefix scan described in
+    the module docstring. ``count_expr`` defaults to whitespace token
+    count of ``text``."""
+    n_tokens = (
+        count_expr if count_expr is not None else F.size(F.split(F.col("text"), " "))
+    ).cast("bigint")
+    counts = df.select(F.col(id_col).alias("id"), n_tokens.alias("n_tokens"))
+
+    # order-respecting range sharding; max(id) is a metadata-sized agg
+    max_id = counts.agg(F.max("id")).collect()[0][0]
+    if max_id is None:
+        return counts.select(
+            F.col("id").alias(id_col), "n_tokens", F.lit(0).cast("bigint").alias("start_offset")
+        )
+    width = max(1, (int(max_id) + shards) // shards)
+    sharded = counts.withColumn("shard", (F.col("id") / width).cast("int"))
+
+    w = Window.partitionBy("shard").orderBy("id")
+    local = sharded.withColumn(
+        "local_end", F.sum("n_tokens").over(w)
+    )  # inclusive cumsum within shard
+
+    totals = (
+        sharded.groupBy("shard").agg(F.sum("n_tokens").alias("t")).orderBy("shard").collect()
+    )
+    base = 0
+    bases = []
+    for r in totals:
+        bases.append((r["shard"], base))
+        base += r["t"]
+    base_df = df.sparkSession.createDataFrame(bases, "shard int, shard_base long")
+
+    return (
+        local.join(F.broadcast(base_df), "shard")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            (F.col("shard_base") + F.col("local_end") - F.col("n_tokens")).alias(
+                "start_offset"
+            ),
+        )
+    )
+
+
+def pack_chunks(
+    df: DataFrame,
+    context_len: int = 2048,
+    id_col: str = "doc_id",
+    count_expr: Optional[F.Column] = None,
+    shards: int = 32,
+) -> DataFrame:
+    """Concat-then-chunk packing: documents laid end-to-end in id order
+    and cut into ``context_len``-token windows. Emits per document its
+    first chunk, the chunk its last token lands in, and whether it
+    straddles a boundary — the bookkeeping a sequence-packing data
+    loader needs to slice documents into training windows."""
+    off = token_offsets(df, id_col, count_expr, shards)
+    # integer `div`, not float division: offsets must stay exact past 2^53
+    first = F.expr("start_offset div %d" % context_len)
+    last = F.expr("(start_offset + n_tokens - 1) div %d" % context_len)
+    return off.select(
+        id_col,
+        "n_tokens",
+        "start_offset",
+        first.alias("chunk_id"),
+        last.alias("last_chunk_id"),
+        (first != last).cast("bigint").alias("straddles"),
+    )
+
+
+def pack_chunks_duck(context_len: int = 2048) -> str:
+    """Oracle: the same offsets via one global window (fine at oracle
+    scale; the Spark side exists precisely because this plan isn't)."""
+    return """
+with c as (
+  select doc_id, len(string_split(text, ' '))::BIGINT n_tokens from documents
+),
+o as (
+  select doc_id, n_tokens,
+         coalesce(sum(n_tokens) over (order by doc_id
+             rows between unbounded preceding and 1 preceding), 0)::BIGINT start_offset
+  from c
+)
+select doc_id, n_tokens, start_offset,
+       (start_offset // {L})::BIGINT chunk_id,
+       ((start_offset + n_tokens - 1) // {L})::BIGINT last_chunk_id,
+       ((start_offset // {L}) != ((start_offset + n_tokens - 1) // {L}))::BIGINT straddles
+from o
+""".format(L=context_len)

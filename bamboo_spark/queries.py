@@ -21,7 +21,7 @@ from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from bamboo_spark.operators import dedup, multimodal, similarity, text
+from bamboo_spark.operators import dedup, multimodal, pack, similarity, text
 
 TABLES = [
     "region",
@@ -958,6 +958,88 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical) + single-probe assignment + bucket-local verify."""
     e = load(spark, sf_dir, "embeddings")
     return similarity.ivf_pairs(e, threshold=0.4)
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-chunk): global token offsets via a
+    distributed two-phase prefix scan — per-shard windows + P-row shard
+    bases — never a single-partition global window. The oracle computes
+    the same offsets with one global window; outputs match bit-for-bit
+    (integer arithmetic)."""
+    d = load(spark, sf_dir, "documents")
+    return pack.pack_chunks(d, context_len=2048)
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pass: quality scoring → threshold filter →
+    normalized-text dedup (keep lowest id) — the cleaning pipeline a
+    training corpus runs before tokenization, as ONE plan: a single
+    scan-side projection computes all stats, one shuffle deduplicates."""
+    d = load(spark, sf_dir, "documents")
+    staged = d.selectExpr("doc_id", "text", "split(text, ' ') as __toks")
+    scored = staged.select(
+        "doc_id",
+        "text",
+        F.expr("cast(size(__toks) as bigint)").alias("n_tokens"),
+        F.expr(text.lang_id_sql("__toks")).alias("lang_pred"),
+        F.expr(text.quality_score_sql("__toks")).alias("quality"),
+    ).where(F.col("quality") >= 0.4)
+    w = Window.partitionBy(text.normalize_text("text")).orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "n_tokens", "lang_pred", "quality")
+    )
+
+
+Q_CURATION_SQL = """
+with s as (
+  select doc_id, text,
+         len(string_split(text, ' '))::BIGINT n_tokens,
+         {lang} lang_pred,
+         {quality} quality
+  from documents
+),
+f as (select * from s where quality >= 0.4),
+d as (
+  select *, row_number() over (partition by {norm} order by doc_id) rn from f
+)
+select doc_id, n_tokens, lang_pred, quality from d where rn = 1
+"""
+
+
+def q_near_dup_text_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dup pairs joined back to document metadata — the pair set
+    (small by construction) joins the doc table twice; AQE picks the
+    broadcast side at runtime, so the same plan works when docs are
+    100 TB and pairs are thousands."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.7, num_hashes=64)
+    meta = d.select("doc_id", F.length("text").cast("bigint").alias("n_chars"))
+    return (
+        pairs.join(
+            meta.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("chars_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            meta.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("chars_b")
+            ),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", "jaccard", "chars_a", "chars_b")
+    )
+
+
+Q_NEAR_DUP_TEXT_JOIN_SQL = """
+select p.doc_a, p.doc_b, p.jaccard,
+       length(a.text)::BIGINT chars_a, length(b.text)::BIGINT chars_b
+from ({pairs}) p
+join documents a on a.doc_id = p.doc_a
+join documents b on b.doc_id = p.doc_b
+"""
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1900,6 +1982,9 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "embedding_quantize": q_embedding_quantize,
         "label_centroids": q_label_centroids,
+        "pack_chunks": q_pack_chunks,
+        "curation_pipeline": q_curation_pipeline,
+        "near_dup_text_join": q_near_dup_text_join,
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1974,6 +2059,15 @@ def oracle_sql() -> Dict[str, str]:
         "ann_ivf_multiprobe": similarity.ivf_pairs_duck(threshold=0.4, n_probe=2),
         "embedding_quantize": similarity.quantize_embeddings_duck(),
         "label_centroids": Q_LABEL_CENTROIDS_SQL,
+        "pack_chunks": pack.pack_chunks_duck(context_len=2048),
+        "curation_pipeline": Q_CURATION_SQL.format(
+            lang=text.lang_id_duck("text"),
+            quality=text.quality_score_duck("text"),
+            norm=text.normalize_text_duck("text"),
+        ),
+        "near_dup_text_join": Q_NEAR_DUP_TEXT_JOIN_SQL.format(
+            pairs=dedup.jaccard_pairs_duck(threshold=0.7)
+        ),
         "text_stats": Q_TEXT_STATS_SQL.format(
             lang=text.lang_id_duck("text"), quality=text.quality_score_duck("text")
         ),

@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "ann_ivf_multiprobe",
     "embedding_quantize",
     "label_centroids",
+    "pack_chunks",
+    "curation_pipeline",
+    "near_dup_text_join",
     "text_stats",
     "token_counts",
     "doc_fingerprint",

@@ -118,6 +118,16 @@ def test_ann_pairs_planes_stay_in_codegen(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
+def test_pack_chunks_no_global_window(spark):
+    # the distributed prefix scan must never plan a single-partition
+    # window (the naive global cumsum) — shard-partitioned windows plus
+    # a broadcast of P shard bases only
+    plan = plan_of(q.q_pack_chunks(spark, SF))
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(shard" in plan
+    assert "BroadcastHashJoin" in plan  # P-row shard bases ride a broadcast
+
+
 def test_near_dup_default_collects_nothing_data_sized(spark):
     # the default near-dup path must not pull the embedding table to the
     # driver: its plan is assignment (MapInPandas) + bucket verify
