@@ -10,10 +10,17 @@ built-ins can't express.
 """
 
 from bamboo_spark.streaming.core import (
+    sessionize_stream_tws,
     dedup_stream,
     flatten_stream,
     sessionize_stream,
     windowed_counts,
 )
 
-__all__ = ["dedup_stream", "flatten_stream", "sessionize_stream", "windowed_counts"]
+__all__ = [
+    "dedup_stream",
+    "flatten_stream",
+    "sessionize_stream",
+    "sessionize_stream_tws",
+    "windowed_counts",
+]

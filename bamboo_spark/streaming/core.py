@@ -132,6 +132,94 @@ def sessionize_stream(
     )
 
 
+def sessionize_stream_tws(
+    sdf: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_ms: int = 30 * 60 * 1000,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap sessionization on ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-stateful API (typed value state + named timers in
+    the RocksDB state store) — same semantics as ``sessionize_stream``
+    (µs gap math, event-time close; the parity test drives both against
+    the batch twin). Differences from applyInPandasWithState: state is
+    schema-typed and composable (value/list/map), timers are explicit
+    and per-key cancelable, and the state store must be RocksDB
+    (``spark.sql.streaming.stateStore.providerClass``). Runtime
+    requirement: the Python worker serializes state over protobuf, so a
+    real ``google.protobuf`` install is needed (the parity test skips
+    where only a namespace stub exists)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_ms * 1000
+    out_schema = (
+        "%s bigint, session_start timestamp, session_end timestamp, n_events bigint"
+        % user_col
+    )
+
+    def to_row(uid: int, start_us: int, end_us: int, n: int) -> dict:
+        return {
+            user_col: uid,
+            "session_start": pd.Timestamp(start_us, unit="us"),
+            "session_end": pd.Timestamp(end_us, unit="us"),
+            "n_events": n,
+        }
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.session = handle.getValueState(
+                "session", "start_us long, last_us long, n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            uid = key[0]
+            ts = pd.concat(
+                [pdf[ts_col].astype("int64") // 1_000 for pdf in rows]
+            ).sort_values().to_numpy()
+            if self.session.exists():
+                start_us, last_us, n = self.session.get()
+            else:
+                start_us, last_us, n = int(ts[0]), int(ts[0]) - 1, 0
+            closed = []
+            for t in ts:
+                t = int(t)
+                if n and t - last_us > gap_us:
+                    closed.append(to_row(uid, start_us, last_us, n))
+                    start_us, n = t, 0
+                last_us = max(last_us, t)
+                n += 1
+            self.session.update((start_us, last_us, n))
+            # one live timer per key: cancel the stale one, arm the new
+            for old in self.handle.listTimers():
+                self.handle.deleteTimer(old)
+            self.handle.registerTimer(-(-(last_us + gap_us) // 1000) + 1)
+            if closed:
+                yield pd.DataFrame(closed)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self.session.exists():
+                start_us, last_us, n = self.session.get()
+                self.session.clear()
+                yield pd.DataFrame([to_row(key[0], start_us, last_us, n)])
+
+        def close(self) -> None:
+            pass
+
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .transformWithStateInPandas(
+            SessionProcessor(), out_schema, "append", "eventTime"
+        )
+    )
+
+
 def dedup_stream(
     sdf: DataFrame,
     key_cols,

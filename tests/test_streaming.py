@@ -201,11 +201,10 @@ def test_stream_batch_parity_events_hourly(spark, tmp_path):
         qy.stop()
 
 
-def test_stream_batch_parity_sessionize(spark, tmp_path):
+def _run_sessionize_parity(spark, tmp_path, op, sink):
     import datetime as dt
 
     from bamboo_spark import queries as q
-    from bamboo_spark.streaming import sessionize_stream
 
     batch = {
         r["user_id"]: (r["n_sessions"], r["n_events"])
@@ -217,8 +216,8 @@ def test_stream_batch_parity_sessionize(spark, tmp_path):
     stream = spark.readStream.schema(
         "user_id long, ts timestamp, event_type string, value double"
     ).option("maxFilesPerTrigger", "1").parquet(d)
-    sess = sessionize_stream(stream, gap_ms=30 * 60 * 1000, watermark="0 seconds")
-    qy = sess.writeStream.format("memory").queryName("par_sess").outputMode("append").start()
+    sess = op(stream, gap_ms=30 * 60 * 1000, watermark="0 seconds")
+    qy = sess.writeStream.format("memory").queryName(sink).outputMode("append").start()
     try:
         total_sessions = sum(n for n, _ in batch.values())
         sentinel_uid = 10**6
@@ -234,19 +233,47 @@ def test_stream_batch_parity_sessionize(spark, tmp_path):
         deadline = time.time() + 90
         while time.time() < deadline:
             c = spark.sql(
-                "select count(*) c from par_sess where user_id < 1000000"
+                "select count(*) c from %s where user_id < 1000000" % sink
             ).collect()[0].c
             if c >= total_sessions:
                 break
             time.sleep(0.5)
         got_rows = spark.sql(
             "select user_id, count(*) n_sessions, sum(n_events) n_events "
-            "from par_sess where user_id < 1000000 group by user_id"
+            "from %s where user_id < 1000000 group by user_id" % sink
         ).collect()
         got = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in got_rows}
         assert got == batch
     finally:
         qy.stop()
+
+
+def test_stream_batch_parity_sessionize(spark, tmp_path):
+    from bamboo_spark.streaming import sessionize_stream
+
+    _run_sessionize_parity(spark, tmp_path, sessionize_stream, "par_sess")
+
+
+def test_stream_batch_parity_sessionize_tws(spark, tmp_path):
+    # same parity through the Spark 4 transformWithStateInPandas API —
+    # requires the RocksDB state store provider AND a working protobuf
+    # runtime (the worker serializes state over protobuf; this container
+    # ships only a broken namespace stub, so skip rather than fake it)
+    pytest.importorskip("google.protobuf.descriptor")
+    from bamboo_spark.streaming import sessionize_stream_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _run_sessionize_parity(spark, tmp_path, sessionize_stream_tws, "par_sess_tws")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
 def test_windowed_counts_stream(spark):
