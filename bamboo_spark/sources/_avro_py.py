@@ -204,6 +204,30 @@ def _decode_value(
         return _decode_value(r, schema[idx], names, fltr, parent_included)
     if isinstance(schema, dict):
         stype = schema["type"]
+        logical = schema.get("logicalType")
+        if logical is not None:
+            # logical types decode to Arrow-ready representations with
+            # the SAME semantics spark-avro applies (so the fallback and
+            # connector paths agree): date → epoch days, timestamps →
+            # epoch µs, decimal → two's-complement unscaled → Decimal
+            if logical == "date" and stype == "int":
+                return r.read_long()
+            if logical == "timestamp-micros" and stype == "long":
+                return r.read_long()
+            if logical == "timestamp-millis" and stype == "long":
+                return r.read_long() * 1000
+            if logical == "decimal" and stype in ("bytes", "fixed"):
+                import decimal as _dec
+
+                raw = (
+                    r.read_bytes()
+                    if stype == "bytes"
+                    else r.read(schema["size"])
+                )
+                unscaled = int.from_bytes(raw, "big", signed=True)
+                return _dec.Decimal(unscaled).scaleb(-schema.get("scale", 0))
+            # unknown/unsupported logical annotations fall through to
+            # the underlying type (spark-avro behavior)
         if stype == "record":
             if "name" in schema:
                 names[schema["name"]] = schema
@@ -374,6 +398,17 @@ def avro_to_spark(schema: Any, names: Dict[str, Any] | None = None) -> T.DataTyp
         return avro_to_spark(non_null[0], names)
     if isinstance(schema, dict):
         stype = schema["type"]
+        logical = schema.get("logicalType")
+        if logical is not None:
+            # spark-avro's logical-type mapping
+            if logical == "date" and stype == "int":
+                return T.DateType()
+            if logical in ("timestamp-micros", "timestamp-millis") and stype == "long":
+                return T.TimestampType()
+            if logical == "decimal" and stype in ("bytes", "fixed"):
+                return T.DecimalType(schema.get("precision", 38), schema.get("scale", 0))
+            # uuid annotates string → string; time-* fall through to the
+            # underlying type (matching spark-avro)
         if stype == "record":
             if "name" in schema:
                 names[schema["name"]] = schema

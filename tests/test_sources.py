@@ -377,6 +377,55 @@ def test_avro_truncated_raises_decode_error(spark):
         decode_container(data[:-20])
 
 
+def test_avro_logical_types(spark):
+    # spark-avro's logical-type mapping on the fallback path: date →
+    # DateType, timestamp-millis/micros → TimestampType (UTC), decimal
+    # (bytes, two's-complement unscaled) → DecimalType(p, s)
+    import datetime
+    import decimal
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "tus", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "tms", "type": {"type": "long", "logicalType": "timestamp-millis"}},
+            {
+                "name": "dec",
+                "type": {
+                    "type": "bytes",
+                    "logicalType": "decimal",
+                    "precision": 10,
+                    "scale": 2,
+                },
+            },
+        ],
+    }
+    unscaled = -12345  # -123.45 at scale 2
+    records = [
+        {
+            "d": 19000,  # days since epoch → 2022-01-08
+            "tus": 1_600_000_000_000_000,
+            "tms": 1_600_000_000_123,
+            "dec": unscaled.to_bytes(3, "big", signed=True),
+        }
+    ]
+    ds = from_avro(_avro_bytes(schema, records))
+    types = {f.name: f.dataType.simpleString() for f in ds.df.schema.fields}
+    assert types == {
+        "d": "date",
+        "tus": "timestamp",
+        "tms": "timestamp",
+        "dec": "decimal(10,2)",
+    }
+    row = ds.df.collect()[0]
+    assert row["d"] == datetime.date(1970, 1, 1) + datetime.timedelta(days=19000)
+    assert row["tus"] == datetime.datetime(2020, 9, 13, 12, 26, 40)
+    assert row["tms"].microsecond == 123000
+    assert row["dec"] == decimal.Decimal("-123.45")
+
+
 def test_read_avro_py_multifile(spark, tmp_path):
     from bamboo_spark import read_avro_py
 
