@@ -353,6 +353,93 @@ def connected_components(
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
 
 
+def connected_components_converged(
+    pairs: DataFrame,
+    max_supersteps: int = 20,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Exact connected components with POINTER JUMPING and convergence
+    detection — the deep-graph scale path ``connected_components``'s
+    fixed-K propagation lacks.
+
+    Each superstep takes label'(v) = min(label(v), label(label(v)),
+    min over neighbors' labels): the label-of-label hop doubles the
+    propagation distance per step, so a diameter-D chain converges in
+    O(log D) supersteps instead of D (this is the min-label variant of
+    the alternating-star contraction family). Convergence is detected
+    (a changed-labels count per superstep — one metadata-sized action)
+    and the loop exits early, so the result is the true fixpoint:
+    component = min reachable id, independent of iteration budget —
+    which is what makes it oracle-checkable (the DuckDB oracle computes
+    the same fixpoint with a recursive CTE, components_fixpoint_duck).
+
+    Per superstep: two shuffle joins + a min-aggregate, lineage
+    truncated with an eager localCheckpoint. State is one (id, label)
+    row per node — never neighborhood sets.
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_supersteps):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("nl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nbr_min"))
+            .withColumnRenamed("src", "id")
+        )
+        hop = labels.select(
+            F.col("id").alias("label"), F.col("label").alias("ll")
+        )  # label-of-label lookup table
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .join(hop, "label", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nbr_min", F.col("label")),
+                    F.coalesce("ll", F.col("label")),
+                ).alias("label"),
+                F.col("label").alias("_old"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.where(F.col("label") != F.col("_old")).limit(1).count()
+        labels = new_labels.drop("_old")
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
+
+
+def components_fixpoint_duck(pairs_cte: str) -> str:
+    """DuckDB oracle for the converged components: transitive closure
+    via a recursive CTE, then min reachable id per node — the same
+    fixpoint pointer jumping reaches, with no iteration parameter."""
+    return """
+with recursive pairs as materialized ({pairs}),
+edges as materialized (
+  select doc_a src, doc_b dst from pairs
+  union
+  select doc_b src, doc_a dst from pairs
+),
+reach(id, lbl) as (
+    select src, src from (select distinct src from edges)
+  union
+    select e.src, r.lbl from edges e join reach r on e.dst = r.id
+)
+select id doc_id, min(lbl) component from reach group by id
+""".format(pairs=pairs_cte)
+
+
 def components_duck(pairs_cte: str, iterations: int = 8) -> str:
     """DuckDB oracle: the same K min-propagation steps, unrolled.
 

@@ -801,6 +801,17 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs, iterations=4)
 
 
+def q_dedup_components_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters via POINTER-JUMPING components: log-diameter
+    supersteps with convergence detection — the deep-graph scale path
+    (the fixed-K propagation twin assumes near-clique clusters). The
+    oracle computes the same fixpoint with a recursive CTE, so the
+    result is iteration-budget-independent."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.7, num_hashes=64)
+    return dedup.connected_components_converged(pairs)
+
+
 def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via the DEFAULT scale path: trained √n-centroid
     IVF + multiprobe + bucket-local exact GEMM verify. Nothing
@@ -1974,6 +1985,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_normalized": q_dedup_normalized,
         "dedup_components": q_dedup_components,
+        "dedup_components_converged": q_dedup_components_converged,
         "near_dup_embeddings": q_near_dup_embeddings,
         "near_dup_exact": q_near_dup_exact,
         "ann_pairs": q_ann_pairs,
@@ -2046,6 +2058,9 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "dedup_components": dedup.components_duck(
             dedup.jaccard_pairs_duck(threshold=0.7), iterations=4
+        ),
+        "dedup_components_converged": dedup.components_fixpoint_duck(
+            dedup.jaccard_pairs_duck(threshold=0.7)
         ),
         # the default near-dup path is trained IVF + multiprobe; the
         # oracle replays the k-means training (decimal-exact means)

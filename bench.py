@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_normalized",
     "dedup_components",
+    "dedup_components_converged",
     "near_dup_embeddings",
     "near_dup_exact",
     "ann_pairs",

@@ -57,6 +57,21 @@ def test_dedup_caches_released_after_sweep(spark):
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
 
 
+def test_pointer_jumping_converges_on_deep_chain(spark):
+    # a 100-edge chain (diameter 100): plain min-label propagation needs
+    # ~100 supersteps; pointer jumping must converge within 8 (2^7=128
+    # hops of reach). Success under the tight budget proves the
+    # label-of-label doubling works, and components are exact.
+    n = 101
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(500, 501)], "doc_a long, doc_b long"
+    )
+    rows = dedup.connected_components_converged(pairs, max_supersteps=8).collect()
+    got = {r["doc_id"]: r["component"] for r in rows}
+    assert all(got[i] == 0 for i in range(n))
+    assert got[500] == 500 and got[501] == 500
+
+
 def test_backtick_column_names_flatten(spark):
     # ADVICE: a top-level name containing a backtick (or dots/spaces)
     # must round-trip through flatten's column references
