@@ -971,6 +971,87 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_pairs(e, threshold=0.4)
 
 
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function sweep over each customer's order history in one
+    window pass: lag/lead navigation, running first/last in frame, and
+    the two normalized ranks. One shuffle on the partition key; every
+    function shares the same sort so no second Exchange appears."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    price = F.round("o_totalprice", 2)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        price.alias("price"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(F.first("o_totalprice").over(wf), 2).alias("first_price"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+Q_WINDOW_ANALYTICS_SQL = """
+select o_custkey, o_orderkey,
+       round(o_totalprice, 2) price,
+       round(lag(o_totalprice) over w, 2) prev_price,
+       round(lead(o_totalprice) over w, 2) next_price,
+       round(first_value(o_totalprice) over
+             (w rows between unbounded preceding and current row), 2) first_price,
+       round(percent_rank() over w, 6) pct_rank,
+       round(cume_dist() over w, 6) cume
+from orders
+window w as (partition by o_custkey order by o_orderdate, o_orderkey)
+"""
+
+
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — HyperLogLog++ distinct counts and quantile
+    sketches per group. Mergeable partial state is the point at scale:
+    partitions build small sketches, the shuffle merges them, and
+    nothing data-sized crosses the wire. NO DuckDB oracle by design:
+    sketch implementations differ across engines, so the driver records
+    the weaker rows-only check and tests/test_relational.py bounds the
+    error against exact answers instead."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: per-language sampling rates applied
+    with the hash-stable bucket (md5 of doc_id), the reproducible way a
+    training mix is rebalanced — same docs selected on every run,
+    cluster, and engine; no rand(). One scan, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    staged = d.selectExpr("doc_id", "split(text, ' ') as __toks")
+    lang = F.expr(text.lang_id_sql("__toks"))
+    rate = F.when(lang == "en", F.lit(80)).otherwise(F.lit(40))
+    return (
+        staged.select("doc_id", lang.alias("lang_pred"), rate.alias("rate"))
+        .where(text.stable_sample_pct("doc_id") < F.col("rate"))
+        .select("doc_id", "lang_pred", F.col("rate").cast("bigint").alias("rate"))
+    )
+
+
+Q_CORPUS_MIX_SQL = """
+with s as (
+  select doc_id, {lang} lang_pred from documents
+),
+r as (
+  select doc_id, lang_pred,
+         (case when lang_pred = 'en' then 80 else 40 end)::BIGINT rate
+  from s
+)
+select doc_id, lang_pred, rate from r
+where {bucket} < rate
+"""
+
+
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (concat-then-chunk): global token offsets via a
     distributed two-phase prefix scan — per-shard windows + P-row shard
@@ -1997,6 +2078,9 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "curation_pipeline": q_curation_pipeline,
         "near_dup_text_join": q_near_dup_text_join,
+        "q_window_analytics": q_window_analytics,
+        "q_approx_sketches": q_approx_sketches,
+        "q_corpus_mix": q_corpus_mix,
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2082,6 +2166,13 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "near_dup_text_join": Q_NEAR_DUP_TEXT_JOIN_SQL.format(
             pairs=dedup.jaccard_pairs_duck(threshold=0.7)
+        ),
+        "q_window_analytics": Q_WINDOW_ANALYTICS_SQL,
+        # q_approx_sketches: deliberately NO oracle — sketches are
+        # engine-specific; error-bounded against exact answers in pytest
+        "q_corpus_mix": Q_CORPUS_MIX_SQL.format(
+            lang=text.lang_id_duck("text"),
+            bucket=text.stable_sample_pct_duck("doc_id"),
         ),
         "text_stats": Q_TEXT_STATS_SQL.format(
             lang=text.lang_id_duck("text"), quality=text.quality_score_duck("text")

@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "pack_chunks",
     "curation_pipeline",
     "near_dup_text_join",
+    "q_window_analytics",
+    "q_approx_sketches",
+    "q_corpus_mix",
     "text_stats",
     "token_counts",
     "doc_fingerprint",

@@ -41,3 +41,30 @@ def test_navigation_still_works_with_getitem(spark):
     ds = from_object({"select": {"inner": 1}})
     pdf = ds["select"].flatten().to_pandas()
     assert list(pdf["inner"]) == [1]
+
+
+def test_approx_sketches_error_bounds(spark):
+    # q_approx_sketches has no DuckDB oracle by design (sketches are
+    # engine-specific); bound HLL++ and quantile-sketch error against
+    # the exact answers instead
+    from pyspark.sql import functions as F
+
+    from bamboo_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    approx = {r["o_orderpriority"]: r for r in q.q_approx_sketches(spark, sf).collect()}
+    o = q.load(spark, sf, "orders")
+    exact = {
+        r["o_orderpriority"]: r
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("customers"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, a in approx.items():
+        e = exact[k]
+        assert abs(a["approx_customers"] - e["customers"]) <= 0.1 * e["customers"] + 2
+        assert abs(a["approx_median_price"] - e["median_price"]) <= 0.05 * e["median_price"]
