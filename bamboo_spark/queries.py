@@ -971,6 +971,63 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_pairs(e, threshold=0.4)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a NEW batch (doc_id >= 250) deduplicates
+    against the already-ingested corpus (doc_id < 250) by normalized
+    text — a broadcast/shuffle ANTI-join on the dedup key, the shape an
+    append-only ingestion pipeline runs every batch (never re-dedups
+    the whole corpus; at scale the seen-keys side is a bucketed table
+    keyed by the same hash). Also drops in-batch repeats (keep lowest
+    id)."""
+    d = load(spark, sf_dir, "documents")
+    key = text.normalize_text("text")
+    new = d.where(F.col("doc_id") >= 250).select("doc_id", key.alias("k"))
+    seen = d.where(F.col("doc_id") < 250).select(key.alias("k")).distinct()
+    w = Window.partitionBy("k").orderBy("doc_id")
+    return (
+        new.join(seen, "k", "left_anti")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id")
+    )
+
+
+Q_DEDUP_INCREMENTAL_SQL = """
+with kd as (select doc_id, {norm} k from documents),
+new as (select * from kd where doc_id >= 250),
+seen as (select distinct k from kd where doc_id < 250),
+unseen as (
+  select n.doc_id, n.k from new n where not exists
+    (select 1 from seen s where s.k = n.k)
+)
+select doc_id from (
+  select doc_id, row_number() over (partition by k order by doc_id) rn from unseen
+) where rn = 1
+"""
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment from the hash-stable md5
+    bucket (90/5/5): reproducible across runs/engines, no rand(), and a
+    document can never migrate between splits when the corpus grows —
+    the property leakage-free eval requires. One scan, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    b = text.stable_sample_pct("doc_id")
+    split = (
+        F.when(b < 90, F.lit("train")).when(b < 95, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", split.alias("split"))
+
+
+Q_SPLIT_ASSIGN_SQL = """
+select doc_id,
+       case when {bucket} < 90 then 'train'
+            when {bucket} < 95 then 'val'
+            else 'test' end split
+from documents
+"""
+
+
 def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic-function sweep over each customer's order history in one
     window pass: lag/lead navigation, running first/last in frame, and
@@ -2081,6 +2138,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_analytics": q_window_analytics,
         "q_approx_sketches": q_approx_sketches,
         "q_corpus_mix": q_corpus_mix,
+        "dedup_incremental": q_dedup_incremental,
+        "q_split_assign": q_split_assign,
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2173,6 +2232,12 @@ def oracle_sql() -> Dict[str, str]:
         "q_corpus_mix": Q_CORPUS_MIX_SQL.format(
             lang=text.lang_id_duck("text"),
             bucket=text.stable_sample_pct_duck("doc_id"),
+        ),
+        "dedup_incremental": Q_DEDUP_INCREMENTAL_SQL.format(
+            norm=text.normalize_text_duck("text")
+        ),
+        "q_split_assign": Q_SPLIT_ASSIGN_SQL.format(
+            bucket=text.stable_sample_pct_duck("doc_id")
         ),
         "text_stats": Q_TEXT_STATS_SQL.format(
             lang=text.lang_id_duck("text"), quality=text.quality_score_duck("text")

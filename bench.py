@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "q_window_analytics",
     "q_approx_sketches",
     "q_corpus_mix",
+    "dedup_incremental",
+    "q_split_assign",
     "text_stats",
     "token_counts",
     "doc_fingerprint",
