@@ -141,6 +141,103 @@ def test_pbd_clusion_pushdown_skips_excluded_bytes(spark):
         from_pbd(data, spark=spark).flatten().to_pandas()
 
 
+def _encode_value(ftype: int, number: int, value) -> bytes:
+    if ftype == 3:  # int64 (two's-complement varint)
+        return _tag(number, 0) + _varint(value & ((1 << 64) - 1))
+    if ftype == 18:  # sint64 zigzag
+        return _tag(number, 0) + _varint((value << 1) ^ (value >> 63))
+    if ftype == 16:  # sfixed64
+        return _tag(number, 1) + struct.pack("<q", value)
+    if ftype == 1:  # double
+        return _tag(number, 1) + struct.pack("<d", value)
+    if ftype == 2:  # float
+        return _tag(number, 5) + struct.pack("<f", value)
+    if ftype == 8:  # bool
+        return _tag(number, 0) + _varint(1 if value else 0)
+    if ftype == 9:  # string
+        return _ld(number, value.encode("utf-8"))
+    if ftype == 12:  # bytes
+        return _ld(number, value)
+    raise AssertionError(ftype)
+
+
+def test_pbd_wire_roundtrip_fuzz(spark):
+    # hypothesis round-trip over the wire format: random values for each
+    # scalar family (plus an unpacked repeated int64 and a nested
+    # message) encode → executor decode → exact value equality. Pins
+    # zigzag/two's-complement/fixed endianness and repeated/nested walks.
+    import struct as _s
+
+    from hypothesis import given, settings, strategies as st
+
+    i64 = st.integers(-(2**63), 2**63 - 1)
+    f32 = st.floats(allow_nan=False, width=32)
+    f64 = st.floats(allow_nan=False)
+    txt = st.text(max_size=20)
+    blob = st.binary(max_size=20)
+
+    desc = _message_desc(
+        "Rec",
+        [
+            _field_desc("a", 1, 3),    # int64
+            _field_desc("z", 2, 18),   # sint64
+            _field_desc("x", 3, 16),   # sfixed64
+            _field_desc("d", 4, 1),    # double
+            _field_desc("f", 5, 2),    # float
+            _field_desc("b", 6, 8),    # bool
+            _field_desc("s", 7, 9),    # string
+            _field_desc("by", 8, 12),  # bytes
+            _field_desc("r", 9, 3, label=3),  # repeated int64
+            _field_desc("m", 10, 11, type_name=".t.Rec.Inner"),
+        ],
+        nested=[_message_desc("Inner", [_field_desc("v", 1, 3)])],
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(i64, i64, i64, f64, f32, st.booleans(), txt, blob,
+                      st.lists(i64, max_size=4), i64),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def run(rows):
+        # row index rides in the string field so got/want pair uniquely
+        rows = [
+            (a, z, x, d, f, b, "%d:%s" % (i, s), by, r, mv)
+            for i, (a, z, x, d, f, b, s, by, r, mv) in enumerate(rows)
+        ]
+        records = []
+        for a, z, x, d, f, b, s, by, r, mv in rows:
+            rec = (
+                _encode_value(3, 1, a)
+                + _encode_value(18, 2, z)
+                + _encode_value(16, 3, x)
+                + _encode_value(1, 4, d)
+                + _encode_value(2, 5, f)
+                + _encode_value(8, 6, b)
+                + _encode_value(9, 7, s)
+                + _encode_value(12, 8, by)
+                + b"".join(_encode_value(3, 9, ri) for ri in r)
+                + _ld(10, _encode_value(3, 1, mv))
+            )
+            records.append(rec)
+        got = sorted(
+            from_pbd(_container([desc], "t.Rec", records), spark=spark).df.collect(),
+            key=lambda row: int(row["s"].split(":", 1)[0]),
+        )
+        for row, (a, z, x, d, f, b, s, by, r, mv) in zip(got, rows):
+            assert row["a"] == a and row["z"] == z and row["x"] == x
+            assert row["d"] == d
+            assert row["f"] == _s.unpack("<f", _s.pack("<f", f))[0]
+            assert row["b"] == b and row["s"] == s and row["by"] == by
+            assert list(row["r"]) == r
+            assert row["m"]["v"] == mv
+
+    run()
+
+
 def test_read_pbd_multifile(spark, tmp_path):
     # many-files scale path: one decode task per file, executor-side
     # header parse, clusion pushdown applied per task
