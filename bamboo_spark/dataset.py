@@ -39,6 +39,13 @@ class FlatFrame:
             )
         return pdf
 
+    def to_arrow(self):
+        """Flattened result as a pyarrow Table — the zero-copy exchange
+        the reference exposes via its pybind buffer protocol (SURVEY §2
+        M3); Spark's Arrow collect is the native equivalent. MULTI_INDEX
+        tuple labels are a pandas-only concept and are not applied."""
+        return self.df.toArrow()
+
     def __getattr__(self, item: str) -> Any:
         return getattr(self.df, item)
 
@@ -189,6 +196,10 @@ class Dataset:
     # -- convenience -------------------------------------------------------
     def to_pandas(self, **kwargs) -> pd.DataFrame:
         return self.flatten(**kwargs).to_pandas()
+
+    def to_arrow(self, **kwargs):
+        """Flatten and export as a pyarrow Table (Arrow-native sink)."""
+        return self.flatten(**kwargs).to_arrow()
 
     def write_parquet(
         self,

@@ -236,3 +236,17 @@ def test_mismatched_primitive_types(spark):
 def test_inconsistent_schema(spark):
     with pytest.raises(ValueError, match="Inconsistent schema"):
         from_object([{"a": [1]}, {"a": {"b": 1}}])
+
+
+def test_to_arrow_sink(spark):
+    import pyarrow as pa
+
+    from bamboo_spark import from_object
+
+    tbl = from_object([{"a": 1, "xs": [1, 2]}, {"a": 2, "xs": [3]}]).to_arrow()
+    assert isinstance(tbl, pa.Table)
+    assert tbl.column_names == ["a", "xs"]
+    assert sorted(tbl.column("a").to_pylist()) == [1, 1, 2]
+    assert tbl.column("xs").to_pylist() == [1, 2, 3] or sorted(
+        tbl.column("xs").to_pylist()
+    ) == [1, 2, 3]
