@@ -454,18 +454,27 @@ def kmeans_train(
     * init: the ``k`` lowest-id vectors (deterministic, seed-free);
       ``k = ceil(sqrt(n))`` when ``n_centroids`` is None — the standard
       IVF sizing, so per-bucket verify stays ~linear in n overall.
-    * assign: broadcast the (tiny) centroid matrix, one BLAS GEMM per
-      Arrow batch, argmax of round-6 cosine (ties → lower centroid id).
-    * update: per-(centroid, dimension) mean via one map-side-combinable
-      shuffle of exploded positions. Summed in DECIMAL over round-6
-      inputs, so the mean is *order-independent and exact* — the DuckDB
-      oracle reproduces training bit-for-bit with no float-accumulation
-      drift. Empty clusters carry their previous centroid forward.
+    * assign + partial update in ONE kernel: broadcast the (tiny)
+      centroid matrix, one BLAS GEMM per Arrow batch, argmax of round-6
+      cosine (ties → lower centroid id) — and the same batch immediately
+      accumulates per-(centroid, dimension) INTEGER partial sums
+      (vector values scaled ×10⁶, rounded half-away). Each batch emits
+      at most k×dim partial rows; the reduce is a metadata-sized
+      shuffle. Nothing data-sized is ever exploded or re-shuffled —
+      at 1B × 1024-dim, the old explode-and-join update would shuffle
+      10¹² rows per Lloyd step; this ships k·dim·partitions.
+    * integer partial sums are *order-independent and exact*, so the
+      DuckDB oracle reproduces training bit-for-bit with no
+      float-accumulation drift. Empty clusters carry their previous
+      centroid forward.
 
-    Per iteration: one assignment job + one k×dim collect (the centroid
-    matrix is driver-sized by construction; the data never is). Returns
-    the final centroid matrix (k × dim, round-6 values).
+    Per iteration: one job + one k×dim collect (the centroid matrix is
+    driver-sized by construction; the data never is). Returns the final
+    centroid matrix (k × dim, round-6 values).
     """
+    import pandas as pd
+    from pyspark.sql import types as T
+
     k = n_centroids or int(math.ceil(math.sqrt(df.count())))
     init_rows = df.select(id_col, vec).orderBy(id_col).limit(k).collect()
     c_mat = _round6_half_away(
@@ -473,32 +482,69 @@ def kmeans_train(
     )
     dim = c_mat.shape[1]
 
-    exploded = df.select(
-        F.col(id_col),
-        F.posexplode(vec).alias("pos", "val"),
-    ).select(
-        id_col,
-        "pos",
-        F.round(F.col("val").cast("double"), 6).cast("decimal(27,6)").alias("val6"),
+    partial_schema = T.StructType(
+        [
+            T.StructField("centroid", T.IntegerType(), False),
+            T.StructField("pos", T.IntegerType(), False),
+            T.StructField("s", T.LongType(), False),
+            T.StructField("cnt", T.LongType(), False),
+        ]
     )
 
     for _ in range(iterations):
-        assign = ivf_assign(df, c_mat, id_col=id_col, vec=vec, n_probe=1)
-        means = (
-            assign.join(exploded, id_col)
+        cm = c_mat / np.maximum(np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-30)
+        bc = df.sparkSession.sparkContext.broadcast(cm)
+
+        def gen(batches):
+            b_cm = bc.value
+            kk = len(b_cm)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                raw = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
+                mat = raw / np.linalg.norm(raw, axis=1, keepdims=True)
+                sims = _round6_half_away(mat @ b_cm.T)
+                # argmax with ties → lower centroid id (lexsort on -sim)
+                order = np.lexsort(
+                    (np.broadcast_to(np.arange(kk), sims.shape), -sims), axis=1
+                )
+                a = order[:, 0]
+                # exact integer partials of the ×1e6 half-away-rounded values
+                scaled = np.where(
+                    raw >= 0,
+                    np.floor(raw * 1e6 + 0.5),
+                    np.ceil(raw * 1e6 - 0.5),
+                ).astype(np.int64)
+                acc = np.zeros((kk, scaled.shape[1]), dtype=np.int64)
+                np.add.at(acc, a, scaled)
+                counts = np.bincount(a, minlength=kk).astype(np.int64)
+                present = np.nonzero(counts)[0]
+                cid = np.repeat(present, scaled.shape[1])
+                pos = np.tile(np.arange(scaled.shape[1]), len(present))
+                yield pd.DataFrame(
+                    {
+                        "centroid": cid.astype(np.int32),
+                        "pos": pos.astype(np.int32),
+                        "s": acc[present].ravel(),
+                        "cnt": np.repeat(counts[present], scaled.shape[1]),
+                    }
+                )
+
+        partials = (
+            df.select(vec)
+            .mapInPandas(gen, partial_schema)
             .groupBy("centroid", "pos")
-            .agg(F.sum("val6").alias("s"), F.count(F.lit(1)).alias("cnt"))
-            .select(
-                "centroid",
-                "pos",
-                F.round(F.col("s").cast("double") / F.col("cnt"), 6).alias("mv"),
-            )
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
             .collect()
         )
-        # rows never assigned keep their previous centroid (the copy)
+        # rows never assigned keep their previous centroid (the copy);
+        # driver-side mean arithmetic mirrors the oracle exactly:
+        # round6_half_away((s / 1e6) / cnt)
         new_mat = c_mat.copy()
-        for r in means:
-            new_mat[r["centroid"], r["pos"]] = r["mv"]
+        for r in partials:
+            new_mat[r["centroid"], r["pos"]] = float(
+                _round6_half_away(np.float64(r["s"]) / 1e6 / r["cnt"])
+            )
         c_mat = new_mat
     return c_mat
 
@@ -639,7 +685,7 @@ with e as materialized (
 ),
 ex as materialized (
   select vec_id, generate_subscripts(v, 1) - 1 pos,
-         cast(round(unnest(v), 6) as decimal(27,6)) val6
+         cast(round(unnest(v) * 1000000, 0) as bigint) sv
   from e
 ),
 c0 as materialized (
@@ -661,7 +707,8 @@ a{i} as materialized (
 ),
 m{i} as materialized (
   select cid, list(mv order by pos) cv from (
-    select a.cid, x.pos, round(sum(x.val6)::DOUBLE / count(*), 6) mv
+    select a.cid, x.pos,
+           round((sum(x.sv)::DOUBLE / 1000000) / count(*), 6) mv
     from a{i} a join ex x using (vec_id)
     group by a.cid, x.pos
   ) group by cid
