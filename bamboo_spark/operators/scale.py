@@ -50,6 +50,38 @@ def salted_join(
     return out.drop(SALT)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: Union[str, Sequence[str]],
+    num_buckets: int = 32,
+    sort_by: Optional[Union[str, Sequence[str]]] = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Bucketed managed-table sink — the co-located-join primitive.
+
+    Both sides of a recurring big join written with the SAME
+    (bucket_by, num_buckets) hash-partition their data at WRITE time;
+    a later join on the bucket keys then reads bucket i against bucket
+    i directly — NO Exchange on either side at read time (the shuffle
+    was paid once, at ingest). ``sort_by`` additionally orders rows
+    within each bucket so the join can sort-merge without sorting.
+    tests/test_scale.py pins the exchange-free plan.
+
+    Bucketing goes through the catalog (``saveAsTable``): bucket
+    metadata lives in the table definition, which is what lets the
+    planner trust the layout. Pick num_buckets so one bucket of the
+    BIGGER table fits an executor core's working set (~100-500 MB).
+    """
+    keys: List[str] = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    w = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *keys)
+    if sort_by is not None:
+        sorts: List[str] = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        w = w.sortBy(*sorts)
+    w.saveAsTable(table)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -54,3 +54,44 @@ def test_write_partitioned_layout_and_roundtrip(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 1000
     assert back.groupBy("part").count().where(F.col("count") != 250).count() == 0
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    # both sides bucketed on the join key with the same bucket count →
+    # the join plan must contain NO Exchange (shuffle was paid at write
+    # time); with sortBy, no Sort either. This is the co-located join
+    # the 100 TB recurring-join pipeline relies on.
+    from pyspark.sql import functions as F
+
+    from bamboo_spark.operators.scale import write_bucketed
+
+    spark.sql("drop table if exists bkt_orders")
+    spark.sql("drop table if exists bkt_cust")
+    orders = spark.range(1000).select(
+        F.col("id").alias("o_id"),
+        (F.col("id") % 100).alias("custkey"),
+        (F.col("id") * 2).alias("amount"),
+    )
+    cust = spark.range(100).select(
+        F.col("id").alias("custkey"), F.concat(F.lit("c"), F.col("id")).alias("name")
+    )
+    write_bucketed(orders, "bkt_orders", "custkey", num_buckets=8, sort_by="custkey")
+    write_bucketed(cust, "bkt_cust", "custkey", num_buckets=8, sort_by="custkey")
+    try:
+        a = spark.table("bkt_orders")
+        b = spark.table("bkt_cust")
+        # disable auto-broadcast so the test exercises the bucketed path
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, "custkey")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 1000
+            total = joined.agg(F.sum("amount")).collect()[0][0]
+            assert total == sum(i * 2 for i in range(1000))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("drop table if exists bkt_orders")
+        spark.sql("drop table if exists bkt_cust")

@@ -377,6 +377,75 @@ def test_avro_truncated_raises_decode_error(spark):
         decode_container(data[:-20])
 
 
+def test_avro_roundtrip_fuzz(spark):
+    # hypothesis round-trip over the container format: random values for
+    # zigzag longs, IEEE floats, strings, bytes, booleans, nullable
+    # unions, and arrays — encode (multi-block) → executor decode →
+    # exact equality. Pins the block walk and every primitive codec.
+    import struct as _s
+
+    from hypothesis import given, settings, strategies as st
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "b", "type": "boolean"},
+            {"name": "n", "type": ["null", "long"]},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+        ],
+    }
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(-(2**63), 2**63 - 1),
+                st.floats(allow_nan=False, width=32),
+                st.floats(allow_nan=False),
+                st.text(max_size=15),
+                st.binary(max_size=15),
+                st.booleans(),
+                st.one_of(st.none(), st.integers(-(2**40), 2**40)),
+                st.lists(st.integers(-(2**40), 2**40), max_size=4),
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def run(rows):
+        records = [
+            {
+                "i": i,
+                "f": f,
+                "d": d,
+                "s": "%d:%s" % (idx, s),
+                "by": by,
+                "b": b,
+                "n": n,
+                "arr": arr,
+            }
+            for idx, (i, f, d, s, by, b, n, arr) in enumerate(rows)
+        ]
+        got = sorted(
+            from_avro(_avro_bytes(schema, records, block_size=2)).df.collect(),
+            key=lambda r: int(r["s"].split(":", 1)[0]),
+        )
+        for row, rec in zip(got, records):
+            assert row["i"] == rec["i"] and row["s"] == rec["s"]
+            assert row["f"] == _s.unpack("<f", _s.pack("<f", rec["f"]))[0]
+            assert row["d"] == rec["d"] and row["by"] == rec["by"]
+            assert row["b"] == rec["b"] and row["n"] == rec["n"]
+            assert list(row["arr"]) == rec["arr"]
+
+    run()
+
+
 def test_avro_logical_types(spark):
     # spark-avro's logical-type mapping on the fallback path: date →
     # DateType, timestamp-millis/micros → TimestampType (UTC), decimal
