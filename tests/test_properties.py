@@ -207,3 +207,186 @@ def test_quantize_bounds_and_reconstruction(spark, vecs):
         for pos, r in by_vec[i].items():
             # reconstruction error bounded by half a quantization step
             assert r.err <= scale / 2 + 1e-6, (i, pos, r.err, scale)
+
+
+# ------------------------------------------------------ flatten core
+#
+# Differential test of the one relational operator the reference is
+# built around: random nested schemas (respecting the one-repetition-
+# path rule) and random values — from_object().flatten() must equal an
+# independent pure-Python flattener implementing the documented
+# semantics: scalars broadcast over the exploded list, null records
+# yield null leaves (or drop the row when the repetition path runs
+# through them), engine drops all-null columns.
+
+
+@st.composite
+def _nested_schema(draw, depth=0, allow_list=True, path=()):
+    kinds = ["int", "str", "bool"]
+    if depth < 3:
+        kinds = kinds + ["record"]
+        if allow_list:
+            kinds = kinds + ["list", "list"]
+    kind = draw(st.sampled_from(kinds))
+    if kind == "record":
+        n = draw(st.integers(1, 3))
+        listful = draw(st.integers(0, n - 1)) if allow_list else -1
+        fields = []
+        for i in range(n):
+            fields.append(
+                (
+                    "f%d" % i,
+                    draw(
+                        _nested_schema(
+                            depth=depth + 1,
+                            allow_list=(i == listful),
+                            path=path + ("f%d" % i,),
+                        )
+                    ),
+                )
+            )
+        return ("record", fields)
+    if kind == "list":
+        return ("list", draw(_nested_schema(depth=depth + 1, allow_list=True, path=path)))
+    return (kind,)
+
+
+def _value_of(draw, schema, nullable=True):
+    kind = schema[0]
+    if kind == "record":
+        if nullable and not _has_list(schema) and draw(st.integers(0, 5)) == 0:
+            return None
+        return {name: _value_of(draw, sub, nullable=True) for name, sub in schema[1]}
+    if kind == "list":
+        return [
+            _value_of(draw, schema[1], nullable=True)
+            for _ in range(draw(st.integers(1, 3)))
+        ]
+    if nullable and draw(st.integers(0, 5)) == 0:
+        return None
+    if kind == "int":
+        return draw(st.integers(-100, 100))
+    if kind == "str":
+        return draw(st.sampled_from(["x", "y", "zz"]))
+    return draw(st.booleans())
+
+
+def _has_list(schema):
+    if schema[0] == "list":
+        return True
+    if schema[0] == "record":
+        return any(_has_list(sub) for _, sub in schema[1])
+    return False
+
+
+@st.composite
+def _schema_and_rows(draw):
+    fields = draw(_nested_schema(depth=1, allow_list=True, path=()))
+    if fields[0] != "record":
+        fields = ("record", [("f0", fields)])
+    rows = [
+        _value_of(draw, fields, nullable=False) for _ in range(draw(st.integers(1, 4)))
+    ]
+    return fields, rows
+
+
+def _ref_flatten(value, schema, path=()):
+    """Independent flattener: list of {col_name: scalar} rows (INNER)."""
+    kind = schema[0]
+    if kind == "record":
+        if value is None:
+            if _has_list(schema):
+                return []  # repetition path runs through a null record
+            return [dict(_null_leaves(schema, path))]
+        parts = [
+            _ref_flatten(value.get(name), sub, path + (name,))
+            for name, sub in schema[1]
+        ]
+        # exactly one part may have != 1 rows (the list-bearing child)
+        out = [{}]
+        for rows in parts:
+            if not rows:
+                return []
+            if len(rows) == 1:
+                out = [dict(o, **rows[0]) for o in out]
+            else:
+                out = [dict(o, **r) for o in out for r in rows]
+        return out
+    if kind == "list":
+        if value is None:
+            return []
+        out = []
+        for item in value:
+            out.extend(_ref_flatten(item, schema[1], path))
+        return out
+    return [{"_".join(path): value}]
+
+
+def _null_leaves(schema, path):
+    kind = schema[0]
+    if kind == "record":
+        for name, sub in schema[1]:
+            yield from _null_leaves(sub, path + (name,))
+    elif kind == "list":
+        yield from _null_leaves(schema[1], path)
+    else:
+        yield ("_".join(path), None)
+
+
+@settings(**SETTINGS)
+@given(data=_schema_and_rows())
+def test_flatten_matches_reference_semantics(spark, data):
+    from collections import Counter
+
+    from bamboo_spark import NameStrategy, from_object
+
+    schema, rows = data
+    expected_rows = []
+    for row in rows:
+        expected_rows.extend(_ref_flatten(row, schema))
+    # engine drops all-null columns (NullType from inference): mirror it
+    all_cols = sorted({c for r in expected_rows for c in r})
+    live = [c for c in all_cols if any(r.get(c) is not None for r in expected_rows)]
+    # zero live columns → the engine's zero-column frame has zero rows
+    want = (
+        Counter(tuple((c, repr(r.get(c))) for c in live) for r in expected_rows)
+        if live
+        else Counter()
+    )
+
+    pdf = (
+        from_object(rows, spark=spark)
+        .flatten(name_strategy=NameStrategy.CONCATENATE_ALWAYS)
+        .to_pandas()
+    )
+    assert sorted(pdf.columns) == live, (sorted(pdf.columns), live)
+    got = Counter(
+        tuple(
+            (c, repr(None if pd_isna(v) else _canon(v)))
+            for c, v in sorted(row.items())
+        )
+        for row in pdf.to_dict("records")
+    )
+    assert got == want
+
+
+def pd_isna(v):
+    import pandas as pd
+
+    try:
+        return v is None or pd.isna(v)
+    except (TypeError, ValueError):
+        return False
+
+
+def _canon(v):
+    # pandas widens nullable int columns to float; undo for comparison
+    if isinstance(v, float) and v.is_integer():
+        return int(v)
+    import numpy as np
+
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.bool_,)):
+        return bool(v)
+    return v
