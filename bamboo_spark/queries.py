@@ -801,6 +801,114 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs, iterations=4)
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: per user, first view → first click AFTER that
+    view → first purchase AFTER that click, then stage counts. One
+    conditional-min aggregate per user (single shuffle) — never a
+    3-way self-join of the event table, which is the naive funnel plan
+    that dies at scale. Epoch-µs integer arithmetic keeps every
+    comparison engine-exact."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("v"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "click", F.col("us")))
+        ).alias("clicks"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("us")))
+        ).alias("purchases"),
+    )
+    first_after = lambda arr, lo: F.array_min(F.filter(arr, lambda x: x > lo))
+    staged = per_user.select(
+        "user_id",
+        "v",
+        first_after(F.col("clicks"), F.col("v")).alias("c"),
+    ).select(
+        "user_id", "v", "c"
+    )
+    staged = staged.join(
+        per_user.select("user_id", "purchases"), "user_id"
+    ).select(
+        "user_id",
+        "v",
+        "c",
+        first_after(F.col("purchases"), F.col("c")).alias("p"),
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("v").alias("viewed"),
+        F.count("c").alias("clicked_after_view"),
+        F.count("p").alias("purchased_after_click"),
+    )
+
+
+Q_EVENTS_FUNNEL_SQL = """
+with e as (
+  select user_id, event_type, epoch_us(ts) us from events
+),
+per_user as (
+  select user_id,
+         min(us) filter (event_type = 'view') v,
+         list_sort(list(us) filter (event_type = 'click')) clicks,
+         list_sort(list(us) filter (event_type = 'purchase')) purchases
+  from e group by user_id
+),
+staged as (
+  select user_id, v,
+         list_min(list_filter(clicks, x -> x > v)) c,
+         purchases
+  from per_user
+),
+staged2 as (
+  select user_id, v, c,
+         list_min(list_filter(purchases, x -> x > c)) p
+  from staged
+)
+select count(*) n_users,
+       count(v) viewed,
+       count(c) clicked_after_view,
+       count(p) purchased_after_click
+from staged2
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active week,
+    counted in each later week they return. Week = epoch-days div 7 —
+    pure integer arithmetic, so cohort boundaries are engine-exact
+    (date_trunc('week') differs across engines/locales). Two shuffles:
+    the per-(user, week) distinct and the cohort-join aggregate; the
+    first-week table rides a broadcast at runtime."""
+    e = load(spark, sf_dir, "events")
+    weeks = (
+        e.select("user_id", F.unix_micros(F.col("ts")).alias("us"))
+        .select("user_id", F.expr("(us div 86400000000) div 7").alias("week"))
+        .distinct()
+    )
+    first = weeks.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        weeks.join(first, "user_id")
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("weeks_later"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+Q_RETENTION_SQL = """
+with weeks as (
+  select distinct user_id, (epoch_us(ts) // 86400000000) // 7 as wk
+  from events
+),
+fw as (
+  select user_id, min(wk) as cohort from weeks group by user_id
+)
+select cohort, (wk - cohort) as weeks_later, count(distinct w.user_id) n_users
+from weeks w join fw using (user_id)
+group by 1, 2
+"""
+
+
 def q_dedup_components_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters via POINTER-JUMPING components: log-diameter
     supersteps with convergence detection — the deep-graph scale path
@@ -2140,6 +2248,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_mix": q_corpus_mix,
         "dedup_incremental": q_dedup_incremental,
         "q_split_assign": q_split_assign,
+        "q_events_funnel": q_events_funnel,
+        "q_retention_cohorts": q_retention_cohorts,
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2239,6 +2349,8 @@ def oracle_sql() -> Dict[str, str]:
         "q_split_assign": Q_SPLIT_ASSIGN_SQL.format(
             bucket=text.stable_sample_pct_duck("doc_id")
         ),
+        "q_events_funnel": Q_EVENTS_FUNNEL_SQL,
+        "q_retention_cohorts": Q_RETENTION_SQL,
         "text_stats": Q_TEXT_STATS_SQL.format(
             lang=text.lang_id_duck("text"), quality=text.quality_score_duck("text")
         ),

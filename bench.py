@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "q_corpus_mix",
     "dedup_incremental",
     "q_split_assign",
+    "q_events_funnel",
+    "q_retention_cohorts",
     "text_stats",
     "token_counts",
     "doc_fingerprint",
