@@ -821,15 +821,13 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("purchases"),
     )
     first_after = lambda arr, lo: F.array_min(F.filter(arr, lambda x: x > lo))
+    # chained projections (collapsed by Catalyst) — never a self-join
+    # that would recompute the aggregate
     staged = per_user.select(
         "user_id",
         "v",
         first_after(F.col("clicks"), F.col("v")).alias("c"),
-    ).select(
-        "user_id", "v", "c"
-    )
-    staged = staged.join(
-        per_user.select("user_id", "purchases"), "user_id"
+        "purchases",
     ).select(
         "user_id",
         "v",
