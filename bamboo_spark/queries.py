@@ -801,6 +801,68 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs, iterations=4)
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level rollup on top of the gap sessionizer: the running
+    sum of new-session flags becomes the per-user session id, then one
+    aggregate per (user, session) and a global rollup — duration and
+    event-count distributions of 30-min-gap sessions. Same two-window
+    chain as q_sessionize (one shuffle on user_id), second tiny shuffle
+    for the global stats."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    gap = F.col("us") - F.lag("us").over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1000000), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn("session_id", F.sum("new_session").over(w))
+    sessions = flagged.groupBy("user_id", "session_id").agg(
+        ((F.max("us") - F.min("us")) / F.lit(1_000_000.0)).alias("duration_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return sessions.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("duration_s"), 4).alias("avg_duration_s"),
+        F.round(F.max("duration_s"), 4).alias("max_duration_s"),
+        F.round(F.avg(F.col("n_events").cast("double")), 6).alias("avg_events"),
+        F.max("n_events").alias("max_events"),
+    )
+
+
+Q_SESSION_STATS_SQL = """
+with t as (
+  select user_id, epoch_us(ts) us from events
+),
+flagged as (
+  select user_id, us,
+         case when lag(us) over w is null
+                   or us - lag(us) over w > 30 * 60 * 1000000
+              then 1 else 0 end new_session
+  from t
+  window w as (partition by user_id order by us)
+),
+sess as (
+  select user_id, us,
+         sum(new_session) over (partition by user_id order by us
+             rows between unbounded preceding and current row) session_id
+  from flagged
+),
+per as (
+  select user_id, session_id,
+         (max(us) - min(us)) / 1000000.0 duration_s,
+         count(*) n_events
+  from sess group by 1, 2
+)
+select count(*) n_sessions,
+       round(avg(duration_s), 4) avg_duration_s,
+       round(max(duration_s), 4) max_duration_s,
+       round(avg(n_events::DOUBLE), 6) avg_events,
+       max(n_events) max_events
+from per
+"""
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel: per user, first view → first click AFTER that
     view → first purchase AFTER that click, then stage counts. One
@@ -2248,6 +2310,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_split_assign": q_split_assign,
         "q_events_funnel": q_events_funnel,
         "q_retention_cohorts": q_retention_cohorts,
+        "q_session_stats": q_session_stats,
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2349,6 +2412,7 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "q_events_funnel": Q_EVENTS_FUNNEL_SQL,
         "q_retention_cohorts": Q_RETENTION_SQL,
+        "q_session_stats": Q_SESSION_STATS_SQL,
         "text_stats": Q_TEXT_STATS_SQL.format(
             lang=text.lang_id_duck("text"), quality=text.quality_score_duck("text")
         ),

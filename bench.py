@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "q_split_assign",
     "q_events_funnel",
     "q_retention_cohorts",
+    "q_session_stats",
     "text_stats",
     "token_counts",
     "doc_fingerprint",

@@ -301,3 +301,39 @@ def test_windowed_counts_stream(spark):
         assert spark.sql("select sum(n_events) s from win_t").collect()[0].s >= 1
     finally:
         q.stop()
+
+
+def test_flatten_stream_to_parquet_sink(spark, tmp_path):
+    # end-to-end file pipeline: nested JSON stream → flatten planner →
+    # parquet sink with checkpoint (exactly-once file commit protocol) —
+    # the ingest shape a continuous corpus builder runs
+    import json
+    import os
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for i in range(10):
+            f.write(json.dumps({"id": i, "xs": [{"v": i * 10}, {"v": i * 10 + 1}]}) + "\n")
+
+    stream = spark.readStream.schema(
+        "id long, xs array<struct<v: long>>"
+    ).json(src)
+    flat = flatten_stream(stream)
+    q = (
+        flat.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    back = spark.read.parquet(out)
+    assert back.count() == 20
+    assert set(back.columns) == {"id", "v"}
+    assert back.where(F.col("v") == 91).count() == 1
