@@ -801,6 +801,67 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs, iterations=4)
 
 
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beside the rollup/cube twins): per-flag,
+    per-status, and grand-total aggregates in ONE pass over lineitem —
+    the planner expands the sets without re-scanning, vs three separate
+    scans+unions. grouping_id disambiguates the null produced by set
+    expansion from a genuine null key."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )
+
+
+Q_GROUPING_SETS_SQL = """
+select l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) revenue,
+       count(*) n_rows,
+       grouping(l_returnflag, l_linestatus)::BIGINT gid
+from lineitem
+group by grouping sets ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via Spark 4's VARIANT type: parse the
+    JSON payload once into a variant (binary-encoded, no re-parse per
+    field access), extract typed fields with try_variant_get. The
+    shredded-access pattern is the at-scale JSON story — one parse, many
+    cheap typed extractions. Oracle uses DuckDB's JSON extraction on
+    the same payload."""
+    e = load(spark, sf_dir, "events")
+    v = e.select(F.parse_json(F.col("props")).alias("v"))
+    k = F.try_variant_get("v", "$.k", "bigint")
+    return (
+        v.select(F.pmod(k, F.lit(10)).alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.col("k").cast("double")), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+Q_EVENTS_PROPS_VARIANT_SQL = """
+with x as (
+  select cast(json_extract(props, '$.k') as bigint) k from events
+)
+select k % 10 k_bucket, count(*) n,
+       round(avg(k::DOUBLE), 6) avg_k, max(k) max_k
+from x group by 1
+"""
+
+
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-level rollup on top of the gap sessionizer: the running
     sum of new-session flags becomes the per-user session id, then one
@@ -2311,6 +2372,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_funnel": q_events_funnel,
         "q_retention_cohorts": q_retention_cohorts,
         "q_session_stats": q_session_stats,
+        "q_grouping_sets_revenue": q_grouping_sets_revenue,
+        "q_events_props_variant": q_events_props_variant,
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2413,6 +2476,8 @@ def oracle_sql() -> Dict[str, str]:
         "q_events_funnel": Q_EVENTS_FUNNEL_SQL,
         "q_retention_cohorts": Q_RETENTION_SQL,
         "q_session_stats": Q_SESSION_STATS_SQL,
+        "q_grouping_sets_revenue": Q_GROUPING_SETS_SQL,
+        "q_events_props_variant": Q_EVENTS_PROPS_VARIANT_SQL,
         "text_stats": Q_TEXT_STATS_SQL.format(
             lang=text.lang_id_duck("text"), quality=text.quality_score_duck("text")
         ),

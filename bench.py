@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "q_events_funnel",
     "q_retention_cohorts",
     "q_session_stats",
+    "q_grouping_sets_revenue",
+    "q_events_props_variant",
     "text_stats",
     "token_counts",
     "doc_fingerprint",
