@@ -316,3 +316,20 @@ def test_pbd_include_scalar_no_explosion(spark):
 def test_pbd_conflicting_clusions(spark):
     with pytest.raises(ClusionError):
         from_pbd(GOLDEN, include=["a"], exclude=["a"])
+
+
+def test_pbd_error_paths(spark):
+    from bamboo_spark.sources._pbd_py import PbdDecodeError, parse_header
+
+    with pytest.raises(PbdDecodeError):
+        parse_header(b"NOPE" + b"\x00" * 10)  # bad magic
+    # truncated record stream: length prefix points past EOF
+    desc = _message_desc("Rec", [_field_desc("a", 1, 3)])
+    data = _container([desc], "t.Rec", [_tag(1, 0) + _varint(7)])
+    with pytest.raises(Exception):
+        from_pbd(data[:-2], spark=spark).df.collect()
+    # malformed varint (11 continuation bytes) raises, not hangs
+    from bamboo_spark.sources._pbd_py import _read_varint
+
+    with pytest.raises(PbdDecodeError):
+        _read_varint(b"\xff" * 11 + b"\x00", 0)
