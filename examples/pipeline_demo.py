@@ -58,9 +58,38 @@ def main() -> None:
         % (n_in, sampled.count(), n_out, canonical.count(), dropped.count())
     )
 
-    # -- 4: partitioned sink
+    # -- 4: mix, split, pack (the tokenization-facing tail of the pipeline)
+    from bamboo_spark.operators import pack
+
+    lang = F.expr(text.lang_id_sql("split(text, ' ')"))
+    mixed = keep.withColumn("lang", lang).where(
+        text.stable_sample_pct("doc_id")
+        < F.when(F.col("lang") == "en", 90).otherwise(60)
+    )
+    # distinct hash input for the split so it decorrelates from the
+    # sampling buckets above (same md5 machinery, salted id)
+    split = mixed.withColumn(
+        "split",
+        F.when(
+            text.stable_sample_pct("concat(doc_id, '-split')") < 90, "train"
+        ).otherwise("eval"),
+    )
+    packed = pack.pack_chunks(split.where(F.col("split") == "train"), context_len=2048)
+    n_chunks = packed.agg(F.max("last_chunk_id")).collect()[0][0]
+    straddlers = packed.where(F.col("straddles") == 1).count()
+    print(
+        "mixed: %d -> train: %d docs -> %s context windows (%d boundary-straddling docs)"
+        % (
+            mixed.count(),
+            split.where(F.col("split") == "train").count(),
+            (n_chunks + 1) if n_chunks is not None else 0,
+            straddlers,
+        )
+    )
+
+    # -- 5: partitioned sink
     out = os.path.join(tempfile.mkdtemp(), "corpus")
-    Dataset(keep.withColumn("stratum", F.col("source"))).write_parquet(
+    Dataset(split.withColumn("stratum", F.col("source"))).write_parquet(
         out, partition_by=["stratum"]
     )
     parts = sorted(p for p in os.listdir(out) if p.startswith("stratum="))
