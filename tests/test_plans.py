@@ -128,6 +128,24 @@ def test_pack_chunks_no_global_window(spark):
     assert "BroadcastHashJoin" in plan  # P-row shard bases ride a broadcast
 
 
+def test_funnel_single_aggregate_no_self_join(spark):
+    # the ordered funnel must be ONE per-user aggregate — the naive plan
+    # (3-way self-join of events) would show multiple joins/exchanges
+    plan = plan_of(q.q_events_funnel(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree, tree
+    # one shuffle for the per-user agg + one for the global single-row agg
+    assert tree.count("Exchange") <= 2, tree
+
+
+def test_session_stats_single_user_shuffle(spark):
+    # the two-window chain + per-session agg must reuse ONE user_id
+    # partitioning; only the final global stats add a second exchange
+    plan = plan_of(q.q_session_stats(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 2, tree
+
+
 def test_near_dup_default_collects_nothing_data_sized(spark):
     # the default near-dup path must not pull the embedding table to the
     # driver: its plan is assignment (MapInPandas) + bucket verify
