@@ -549,6 +549,32 @@ def kmeans_train(
     return c_mat
 
 
+def save_centroids(spark, centroids: "np.ndarray", path: str) -> None:
+    """Persist a trained quantizer as a (cid, pos, val) parquet table —
+    the build-once-probe-many deployment shape: train on one corpus
+    snapshot, then every ingest/query job loads the frozen index and
+    assigns against it (no retrain, stable bucket ids across runs)."""
+    cm = np.asarray(centroids, dtype=np.float64)
+    rows = [
+        (int(c), int(p), float(cm[c, p]))
+        for c in range(cm.shape[0])
+        for p in range(cm.shape[1])
+    ]
+    spark.createDataFrame(rows, "cid int, pos int, val double").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_centroids(spark, path: str) -> "np.ndarray":
+    rows = spark.read.parquet(path).collect()
+    k = max(r["cid"] for r in rows) + 1
+    dim = max(r["pos"] for r in rows) + 1
+    cm = np.zeros((k, dim), dtype=np.float64)
+    for r in rows:
+        cm[r["cid"], r["pos"]] = r["val"]
+    return cm
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: "np.ndarray",

@@ -73,3 +73,18 @@ def test_blocked_gemm_matches_broadcast(spark):
     key = lambda r: (r["id_a"], r["id_b"])
     assert sorted(map(key, bcast)) == sorted(map(key, blocked))
     assert {key(r): r["cosine"] for r in bcast} == {key(r): r["cosine"] for r in blocked}
+
+
+def test_centroid_save_load_roundtrip(spark, tmp_path):
+    # build-once-probe-many: a frozen quantizer must assign identically
+    # after a parquet round-trip
+    rng = np.random.RandomState(3)
+    df = _vec_df(spark, rng.normal(size=(40, 8)).tolist())
+    cm = similarity.kmeans_train(df, n_centroids=4, iterations=2)
+    path = str(tmp_path / "ivf_index")
+    similarity.save_centroids(spark, cm, path)
+    cm2 = similarity.load_centroids(spark, path)
+    np.testing.assert_array_equal(cm, cm2)
+    a1 = {(r["vec_id"], r["centroid"]) for r in similarity.ivf_assign(df, cm).collect()}
+    a2 = {(r["vec_id"], r["centroid"]) for r in similarity.ivf_assign(df, cm2).collect()}
+    assert a1 == a2 and len(a1) == 40
