@@ -512,6 +512,42 @@ def simhash_docs(df: DataFrame) -> DataFrame:
     return agg.select("doc_id", F.expr(sim).alias("simhash"))
 
 
+def simhash_expr_cols(df: DataFrame, col: str = "text") -> DataFrame:
+    """Per-ROW SimHash — the same 60-bit signature as ``simhash_docs``
+    computed as a pure projection (one packed HOF aggregate over the
+    token array; no explode, no shuffle). This is the STREAMING form: a
+    stateless expression applies per micro-batch row, where the batch
+    twin's explode+groupBy would be a stateful repartition. The packed
+    3-bits-per-long accumulator keeps the expression at 20 struct
+    fields instead of 60 counters (same codegen-width discipline as the
+    batch twin). Adds ``simhash`` to ``df``; equality with
+    ``simhash_docs`` is pinned in tests."""
+    from bamboo_spark.operators.text import md5_int60_sql
+
+    vals = "transform(array_distinct(split(%s, ' ')), t -> %s)" % (
+        col,
+        md5_int60_sql("t"),
+    )
+    init = "named_struct(%s)" % ", ".join(
+        "'p%d', cast(0 as bigint)" % g for g in range(SIMHASH_BITS // 3)
+    )
+    merge = ", ".join(
+        "'p%d', acc.p%d + ((v >> %d) & 1) + (((v >> %d) & 1) << 21)"
+        " + (((v >> %d) & 1) << 42)" % (g, g, 3 * g, 3 * g + 1, 3 * g + 2)
+        for g in range(SIMHASH_BITS // 3)
+    )
+    staged = df.withColumn(
+        "__sh_acc", F.expr("aggregate(%s, %s, (acc, v) -> named_struct(%s))" % (vals, init, merge))
+    ).withColumn("__sh_n", F.expr("size(array_distinct(split(%s, ' ')))" % col))
+    sim = " + ".join(
+        "(case when 2 * ((__sh_acc.p%d >> %d) & 2097151) > __sh_n"
+        " then cast(%d as bigint) else cast(0 as bigint) end)"
+        % (j // 3, 21 * (j % 3), 1 << j)
+        for j in range(SIMHASH_BITS)
+    )
+    return staged.withColumn("simhash", F.expr(sim)).drop("__sh_acc", "__sh_n")
+
+
 def simhash_pairs(df: DataFrame, max_hamming: int = 2) -> DataFrame:
     """Pairs within `max_hamming` via pigeonhole banding (exact).
 

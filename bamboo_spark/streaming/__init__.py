@@ -10,6 +10,7 @@ built-ins can't express.
 """
 
 from bamboo_spark.streaming.core import (
+    dedup_stream_simhash,
     sessionize_stream_tws,
     dedup_stream,
     flatten_stream,
@@ -19,6 +20,7 @@ from bamboo_spark.streaming.core import (
 
 __all__ = [
     "dedup_stream",
+    "dedup_stream_simhash",
     "flatten_stream",
     "sessionize_stream",
     "sessionize_stream_tws",

@@ -237,6 +237,28 @@ def dedup_stream(
     return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def dedup_stream_simhash(
+    sdf: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming near-exact dedup: per-row SimHash (a stateless
+    projection — see dedup.simhash_expr_cols) + drop rows whose 60-bit
+    signature already appeared inside the watermark horizon. Catches
+    token-majority-identical documents (reorderings, small
+    insertions) that byte-exact streaming dedup misses; state is one
+    entry per distinct signature in the horizon. Hamming-distance > 0
+    matching needs banded candidate generation + verify — a chained
+    multi-stateful pipeline, deliberately left to the batch operators."""
+    from bamboo_spark.operators.dedup import simhash_expr_cols
+
+    hashed = simhash_expr_cols(sdf, text_col)
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["simhash"]
+    )
+
+
 def windowed_counts(
     sdf: DataFrame,
     ts_col: str = "ts",

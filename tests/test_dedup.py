@@ -85,3 +85,17 @@ def test_backtick_column_names_flatten(spark):
 
     pdf = Dataset(df).select_columns(include=["weird`name"]).flatten().to_pandas()
     assert list(pdf.columns) == ["weird`name"]
+
+
+def test_simhash_row_expression_matches_batch(spark):
+    # the stateless per-row SimHash projection must equal the
+    # explode+groupBy batch twin bit-for-bit on the real documents table
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch = {r["doc_id"]: r["simhash"] for r in dedup.simhash_docs(docs).collect()}
+    rowed = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_expr_cols(docs).select("doc_id", "simhash").collect()
+    }
+    assert rowed == batch

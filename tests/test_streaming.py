@@ -337,3 +337,42 @@ def test_flatten_stream_to_parquet_sink(spark, tmp_path):
     assert back.count() == 20
     assert set(back.columns) == {"id", "v"}
     assert back.where(F.col("v") == 91).count() == 1
+
+
+def test_dedup_stream_simhash_drops_token_reordering(spark, tmp_path):
+    # streaming near-exact dedup: a reordered-token copy has the same
+    # SimHash and is dropped within the horizon; a genuinely different
+    # doc survives
+    import json
+    import os
+
+    from bamboo_spark.streaming import dedup_stream_simhash
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    B = 100000
+    with open(os.path.join(d, "b1.json"), "w") as f:
+        f.write(json.dumps({"ts": B + 1, "text": "the quick brown fox jumps"}) + "\n")
+        f.write(json.dumps({"ts": B + 2, "text": "fox quick the jumps brown"}) + "\n")
+        f.write(json.dumps({"ts": B + 3, "text": "completely different words here now"}) + "\n")
+    stream = (
+        spark.readStream.schema("ts long, text string").json(d)
+        .select(F.timestamp_seconds("ts").alias("ts"), "text")
+    )
+    out = dedup_stream_simhash(stream, watermark="10 minutes")
+    assert out.isStreaming
+    q = out.writeStream.format("memory").queryName("shdd_t").outputMode("append").start()
+    try:
+        deadline = time.time() + 40
+        while time.time() < deadline:
+            if spark.sql("select count(*) c from shdd_t").collect()[0].c >= 2:
+                break
+            time.sleep(0.5)
+        rows = spark.sql("select text from shdd_t").collect()
+        texts = {r["text"] for r in rows}
+        assert len(texts) == 2, texts
+        assert "completely different words here now" in texts
+        # exactly one of the two reorderings survived
+        assert len(texts & {"the quick brown fox jumps", "fox quick the jumps brown"}) == 1
+    finally:
+        q.stop()
