@@ -1030,6 +1030,39 @@ group by 1, 2
 """
 
 
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-ROW SimHash projection (streaming form, no shuffle)
+    value-gated directly: every 60-bit signature must match the
+    oracle's recomputation bit-for-bit."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.simhash_expr_cols(d).select("doc_id", "simhash")
+
+
+Q_SIMHASH_SIGNATURES_SQL_TEMPLATE = """
+with tok as (
+  select doc_id, unnest(list_distinct(string_split(text, ' '))) t from documents
+),
+tv as (select doc_id, {v} v from tok),
+agg as (select doc_id, count(*) n, {sums} from tv group by doc_id)
+select doc_id, {sim} as simhash from agg
+"""
+
+
+def _simhash_signatures_duck() -> str:
+    sums = ", ".join(
+        "sum((v >> %d) & 1) s%d" % (j, j) for j in range(dedup.SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        "(case when 2 * s%d > n then %d::BIGINT else 0::BIGINT end)" % (j, 1 << j)
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    from bamboo_spark.operators.text import md5_int60_duck
+
+    return Q_SIMHASH_SIGNATURES_SQL_TEMPLATE.format(
+        v=md5_int60_duck("t"), sums=sums, sim=sim
+    )
+
+
 def q_dedup_components_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters via POINTER-JUMPING components: log-diameter
     supersteps with convergence detection — the deep-graph scale path
@@ -2353,6 +2386,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_normalized": q_dedup_normalized,
         "dedup_components": q_dedup_components,
         "dedup_components_converged": q_dedup_components_converged,
+        "simhash_signatures": q_simhash_signatures,
         "near_dup_embeddings": q_near_dup_embeddings,
         "near_dup_exact": q_near_dup_exact,
         "ann_pairs": q_ann_pairs,
@@ -2439,6 +2473,7 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_components_converged": dedup.components_fixpoint_duck(
             dedup.jaccard_pairs_duck(threshold=0.7)
         ),
+        "simhash_signatures": _simhash_signatures_duck(),
         # the default near-dup path is trained IVF + multiprobe; the
         # oracle replays the k-means training (decimal-exact means)
         "near_dup_embeddings": similarity.ivf_pairs_duck(
