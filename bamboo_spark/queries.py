@@ -926,38 +926,47 @@ from per
 
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel: per user, first view → first click AFTER that
-    view → first purchase AFTER that click, then stage counts. One
-    conditional-min aggregate per user (single shuffle) — never a
-    3-way self-join of the event table, which is the naive funnel plan
-    that dies at scale. Epoch-µs integer arithmetic keeps every
-    comparison engine-exact."""
+    view → first purchase AFTER that click, then stage counts.
+
+    Plan shape: ONE sorted pass per user — two stacked running-min
+    windows over the same (user, time) sort mark each event with the
+    earliest view / qualifying click seen so far, then one aggregate
+    takes the stage minima. Never a 3-way self-join (the naive funnel
+    plan) and never per-user collected arrays (unbounded under
+    power-law users): one shuffle + sort, O(1) state per row. Strict
+    ``<`` comparisons make same-microsecond ties deterministic
+    regardless of intra-timestamp sort order, and epoch-µs integer
+    arithmetic keeps every comparison engine-exact."""
     e = load(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
     )
-    per_user = e.groupBy("user_id").agg(
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = e.withColumn(
+        "first_view", F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w)
+    )
+    c_qual = (
+        (F.col("event_type") == "click")
+        & F.col("first_view").isNotNull()
+        & (F.col("first_view") < F.col("us"))
+    )
+    staged = staged.withColumn(
+        "first_click", F.min(F.when(c_qual, F.col("us"))).over(w)
+    )
+    p_qual = (
+        (F.col("event_type") == "purchase")
+        & F.col("first_click").isNotNull()
+        & (F.col("first_click") < F.col("us"))
+    )
+    per_user = staged.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("v"),
-        F.sort_array(
-            F.collect_list(F.when(F.col("event_type") == "click", F.col("us")))
-        ).alias("clicks"),
-        F.sort_array(
-            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("us")))
-        ).alias("purchases"),
+        F.min(F.when(c_qual, F.col("us"))).alias("c"),
+        F.min(F.when(p_qual, F.col("us"))).alias("p"),
     )
-    first_after = lambda arr, lo: F.array_min(F.filter(arr, lambda x: x > lo))
-    # chained projections (collapsed by Catalyst) — never a self-join
-    # that would recompute the aggregate
-    staged = per_user.select(
-        "user_id",
-        "v",
-        first_after(F.col("clicks"), F.col("v")).alias("c"),
-        "purchases",
-    ).select(
-        "user_id",
-        "v",
-        "c",
-        first_after(F.col("purchases"), F.col("c")).alias("p"),
-    )
-    return staged.agg(
+    return per_user.agg(
         F.count(F.lit(1)).alias("n_users"),
         F.count("v").alias("viewed"),
         F.count("c").alias("clicked_after_view"),
