@@ -380,6 +380,59 @@ def hyperplane_bucket_sql(dim: int, n_planes: int, seed: int, vec_expr: str) -> 
     return "(" + " + ".join(terms) + ")"
 
 
+def random_projection(
+    df: DataFrame,
+    dim: int,
+    out_dim: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: reduce ``dim`` → the
+    ``out_dim`` that preserves pairwise distances within ~ε for the JL
+    bound — the standard cheap pre-ANN compression (project, bucket in
+    the small space, verify in the original). The seeded Gaussian
+    matrix (scaled 1/√out_dim) ships as codegen literals — no UDF, no
+    shuffle, scan-speed projection; the oracle interpolates the same
+    floats (repr round-trips bit-exact). Output exploded to
+    (id, out_pos, val round-6) scalars so the driver's value hash is
+    engine-neutral."""
+    rng = np.random.RandomState(seed)
+    proj = rng.normal(size=(out_dim, dim)) / math.sqrt(out_dim)
+    rows = []
+    for j in range(out_dim):
+        coeffs = F.array(*[F.lit(float(c)) for c in proj[j]])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec), coeffs, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        rows.append(
+            F.struct(
+                F.lit(j).cast("bigint").alias("out_pos"),
+                F.round(dot, 6).alias("val"),
+            )
+        )
+    return df.select(id_col, F.explode(F.array(*rows)).alias("r")).select(
+        id_col, "r.out_pos", "r.val"
+    )
+
+
+def random_projection_duck(dim: int, out_dim: int = 16, seed: int = 7) -> str:
+    """DuckDB oracle: the same projection literals, same per-row dots."""
+    rng = np.random.RandomState(seed)
+    proj = rng.normal(size=(out_dim, dim)) / math.sqrt(out_dim)
+    rows = []
+    for j in range(out_dim):
+        coeffs = ", ".join(repr(float(c)) for c in proj[j])
+        rows.append(
+            "select vec_id, %d::BIGINT out_pos,"
+            " round(list_dot_product([x::DOUBLE for x in embedding], [%s]), 6) val"
+            " from embeddings" % (j, coeffs)
+        )
+    return "\nunion all\n".join(rows)
+
+
 def quantize_embeddings(
     df: DataFrame, id_col: str = "vec_id", vec: str = "embedding"
 ) -> DataFrame:

@@ -1229,6 +1229,14 @@ from ex group by 1, 2 order by label, pos
 """
 
 
+def q_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss projection 64 → 16 dims as codegen
+    literals: the cheap pre-ANN compression (project, bucket small,
+    verify in the original space). Scan-speed; no UDF, no shuffle."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.random_projection(e, dim=64, out_dim=16)
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return similarity.quantize_embeddings(e)
@@ -2403,6 +2411,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "embedding_quantize": q_embedding_quantize,
+        "embedding_projection": q_embedding_projection,
         "label_centroids": q_label_centroids,
         "pack_chunks": q_pack_chunks,
         "curation_pipeline": q_curation_pipeline,
@@ -2494,6 +2503,7 @@ def oracle_sql() -> Dict[str, str]:
         "ann_ivf": similarity.ivf_pairs_duck(threshold=0.4),
         "ann_ivf_multiprobe": similarity.ivf_pairs_duck(threshold=0.4, n_probe=2),
         "embedding_quantize": similarity.quantize_embeddings_duck(),
+        "embedding_projection": similarity.random_projection_duck(dim=64, out_dim=16),
         "label_centroids": Q_LABEL_CENTROIDS_SQL,
         "pack_chunks": pack.pack_chunks_duck(context_len=2048),
         "curation_pipeline": Q_CURATION_SQL.format(

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "ann_ivf",
     "ann_ivf_multiprobe",
     "embedding_quantize",
+    "embedding_projection",
     "label_centroids",
     "pack_chunks",
     "curation_pipeline",
