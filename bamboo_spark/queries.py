@@ -1186,6 +1186,63 @@ order by doc_id, idx
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing, value-gated: the deterministic fake emits the
+    payload's md5 digest tiled to the target byte size, so the full
+    resized payload is oracle-reproducible (hex-string space — DuckDB
+    has no blob substr). Proves batch shape + schema + payload bytes,
+    not just row counts."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("data")
+    )
+    resized = multimodal.resize_media(d, width=8, height=8)
+    return resized.select(
+        "doc_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.lower(F.hex("data")).alias("data_hex"),
+    )
+
+
+Q_MULTIMODAL_RESIZE_SQL = """
+select doc_id, 8::BIGINT width, 8::BIGINT height,
+       substr(repeat(md5(text), 5), 1, 128) data_hex
+from documents
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing, value-gated: evenly spaced byte offsets
+    over the payload plus the 16-byte frame slice at each — the demuxer
+    contract with the decode step stubbed. Frames compared as hex."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("data")
+    )
+    frames = multimodal.sample_frames(d, n_frames=4)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        "byte_offset",
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
+
+
+Q_MULTIMODAL_FRAMES_SQL = """
+with p as (
+  select doc_id, octet_length(encode(text)) n, lower(hex(encode(text))) hx
+  from documents
+),
+f as (
+  select doc_id, i frame_idx,
+         least(i * greatest(1, n // 4), greatest(0, n - 1)) as bo, hx
+  from p, generate_series(0, 3) t(i)
+)
+select doc_id, frame_idx::BIGINT frame_idx, bo::BIGINT byte_offset,
+       substr(hx, 2 * bo + 1, 32) frame_hex
+from f
+"""
+
+
 def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with n_probe=2: each vector probes its two nearest
     centroids, recovering the boundary-split pairs single-probe misses
@@ -2431,6 +2488,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -2541,4 +2600,6 @@ def oracle_sql() -> Dict[str, str]:
         "multimodal_features": Q_MULTIMODAL_FEATURES_SQL.format(
             dmax=multimodal.FEATURE_DIM - 1
         ),
+        "multimodal_resize": Q_MULTIMODAL_RESIZE_SQL,
+        "multimodal_frames": Q_MULTIMODAL_FRAMES_SQL,
     }

@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "multimodal_decode",
     "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frames",
     "q_promo_revenue",
     "q_top_supplier",
     "q_small_qty_revenue",
