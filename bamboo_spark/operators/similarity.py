@@ -555,7 +555,9 @@ def kmeans_train(
                 if not len(pdf):
                     continue
                 raw = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
-                mat = raw / np.linalg.norm(raw, axis=1, keepdims=True)
+                mat = raw / np.maximum(
+                    np.linalg.norm(raw, axis=1, keepdims=True), 1e-30
+                )
                 sims = _round6_half_away(mat @ b_cm.T)
                 # argmax with ties → lower centroid id (lexsort on -sim)
                 order = np.lexsort(
@@ -667,7 +669,7 @@ def ivf_assign(
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
             sims = _round6_half_away(mat @ b_cm.T)  # batch × C
             # rank by (sim desc, centroid id asc), take top n_probe
             order = np.lexsort((np.broadcast_to(b_ci, sims.shape), -sims), axis=1)

@@ -17,11 +17,14 @@ a real cluster — nothing here depends on local[*].
 
 from __future__ import annotations
 
+import functools as _functools
+
 from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from bamboo_spark.operators import dedup, multimodal, pack, similarity, text
+from bamboo_spark.operators._cache import release_caches as _release_caches
 
 TABLES = [
     "region",
@@ -753,7 +756,11 @@ def _stratified_sql() -> str:
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(d, threshold=0.8)
+    # oracle-gated against the lossless brute-force DuckDB twin, so the
+    # skew cap must be off here (the capped default is documented-approx:
+    # it drops pairs whose every prefix shingle is hot, which would break
+    # the gate at an SF where any shingle's doc-frequency crosses the cap)
+    return dedup.jaccard_pairs(d, threshold=0.8, max_shingle_df=None)
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -842,7 +849,7 @@ def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = e.select(F.parse_json(F.col("props")).alias("v"))
     k = F.try_variant_get("v", "$.k", "bigint")
     return (
-        v.select(F.pmod(k, F.lit(10)).alias("k_bucket"), k.alias("k"))
+        v.select((k % F.lit(10)).alias("k_bucket"), k.alias("k"))
         .groupBy("k_bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -2411,7 +2418,35 @@ limit 25
 """
 
 
+def _with_cache_discipline(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Drain operator-internal persists left by PREVIOUS registry queries
+    before building the next one. A query's own caches are load-bearing
+    until its caller materializes the returned (lazy) DataFrame, so they
+    can't be dropped here — but with this wrapper a sequential sweep of
+    the whole registry (the driver's correctness gate, a long-lived
+    session) keeps at most ONE query's caches live at a time instead of
+    accumulating all of them. Callers that want zero residue call
+    ``bamboo_spark.operators._cache.release_caches()`` after their last
+    materialization, as bench.py does."""
+
+    @_functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _release_caches()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        name: _with_cache_discipline(fn)
+        for name, fn in _queries_raw().items()
+    }
+
+
+def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,

@@ -88,7 +88,10 @@ class _Reader:
         return self.read(self.read_long())
 
     def read_utf8(self) -> str:
-        return self.read_bytes().decode("utf-8")
+        try:
+            return self.read_bytes().decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise AvroDecodeError("Invalid UTF-8 in Avro string: %s" % e) from e
 
 
 def _resolve_named(schema: Any, names: Dict[str, Any]) -> Any:
@@ -129,6 +132,8 @@ def _skip_value(r: _Reader, schema: Any, names: Dict[str, Any]) -> None:
     schema = _resolve_named(schema, names)
     if isinstance(schema, list):  # union
         idx = r.read_long()
+        if not 0 <= idx < len(schema):
+            raise AvroDecodeError("Union branch index %d out of range" % idx)
         _skip_value(r, schema[idx], names)
         return
     if isinstance(schema, dict):
@@ -201,6 +206,8 @@ def _decode_value(
     schema = _resolve_named(schema, names)
     if isinstance(schema, list):  # union
         idx = r.read_long()
+        if not 0 <= idx < len(schema):
+            raise AvroDecodeError("Union branch index %d out of range" % idx)
         return _decode_value(r, schema[idx], names, fltr, parent_included)
     if isinstance(schema, dict):
         stype = schema["type"]
@@ -249,7 +256,10 @@ def _decode_value(
             return out
         if stype == "enum":
             names.setdefault(schema.get("name", ""), schema)
-            return schema["symbols"][r.read_long()]
+            idx = r.read_long()
+            if not 0 <= idx < len(schema["symbols"]):
+                raise AvroDecodeError("Enum index %d out of range" % idx)
+            return schema["symbols"][idx]
         if stype == "fixed":
             names.setdefault(schema.get("name", ""), schema)
             return r.read(schema["size"])
@@ -336,6 +346,51 @@ def scan_blocks(data: bytes, pos: int, sync: bytes) -> List[Tuple[int, int, int]
         blocks.append((r.pos, size, n))
         r.skip(size)
         if r.read(16) != sync:
+            raise AvroDecodeError("Sync marker mismatch")
+    return blocks
+
+
+def scan_header_stream(reader) -> Tuple[Any, str, bytes, int]:
+    """Streaming twin of ``scan_header`` over a ChunkedReader: reads
+    magic + metadata map + sync marker in bounded chunks. Returns
+    (schema JSON, codec, sync, first-block offset)."""
+    if reader.read(4) != MAGIC:
+        raise AvroDecodeError("Not an Avro container file (bad magic)")
+    meta: Dict[str, bytes] = {}
+    while True:
+        count = reader.read_zigzag()
+        if count == 0:
+            break
+        if count < 0:
+            reader.read_zigzag()  # block byte size; unused
+            count = -count
+        for _ in range(count):
+            klen = reader.read_zigzag()
+            key = reader.read(klen).decode("utf-8")
+            vlen = reader.read_zigzag()
+            meta[key] = reader.read(vlen)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise AvroDecodeError("Unsupported Avro codec: %s" % codec)
+    sync = reader.read(16)
+    return schema, codec, sync, reader.tell()
+
+
+def scan_blocks_stream(reader, sync: bytes) -> List[Tuple[int, int, int]]:
+    """Streaming twin of ``scan_blocks``: hop block headers, seeking past
+    payloads (only the count/size varints and the 16-byte sync marker
+    are ever read). Driver memory is O(n_blocks) header tuples plus one
+    read buffer — never O(file)."""
+    blocks: List[Tuple[int, int, int]] = []
+    while not reader.eof():
+        n = reader.read_zigzag()
+        size = reader.read_zigzag()
+        if size < 0:
+            raise AvroDecodeError("Negative Avro block size")
+        blocks.append((reader.tell(), size, n))
+        reader.skip(size)
+        if reader.read(16) != sync:
             raise AvroDecodeError("Sync marker mismatch")
     return blocks
 

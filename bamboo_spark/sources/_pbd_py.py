@@ -360,7 +360,22 @@ def decode_message(buf: bytes, desc: MessageDesc) -> Dict[str, Any]:
     their payload bytes are jumped over without slicing or parsing
     (reference wire-skip: pbd.hpp:176-207). Repeated wire occurrences of
     a singular message field are byte-concatenated before decoding, the
-    protobuf-mandated merge semantics."""
+    protobuf-mandated merge semantics.
+
+    Truncated/corrupt payloads always surface as PbdDecodeError — the
+    reference's truncation error (pbd.hpp:195-199) — never a silent
+    short value or a bare IndexError/struct.error."""
+    try:
+        return _decode_message_walk(buf, desc)
+    except PbdDecodeError:
+        raise
+    except (IndexError, struct.error) as e:
+        raise PbdDecodeError("Truncated or corrupt record: %s" % e) from e
+    except UnicodeDecodeError as e:
+        raise PbdDecodeError("Invalid UTF-8 in string field: %s" % e) from e
+
+
+def _decode_message_walk(buf: bytes, desc: MessageDesc) -> Dict[str, Any]:
     values: Dict[str, Any] = {}
     merged_msgs: Dict[str, Any] = {}  # name -> (FieldDesc, bytes) for singular messages
     by_number = desc.by_number()
@@ -391,6 +406,8 @@ def decode_message(buf: bytes, desc: MessageDesc) -> Dict[str, Any]:
                 pos += 8
             elif wire == 2:
                 size, pos = _read_varint(buf, pos)
+                if pos + size > end:
+                    raise PbdDecodeError("Truncated length-delimited field")
                 pos += size
             elif wire == 5:
                 pos += 4
@@ -440,6 +457,8 @@ def decode_message(buf: bytes, desc: MessageDesc) -> Dict[str, Any]:
                     shift += 7
                     if shift > 70:
                         raise PbdDecodeError("Malformed varint")
+            if pos + size > end:
+                raise PbdDecodeError("Truncated length-delimited field")
             raw = buf[pos : pos + size]
             pos += size
             if f.type == TYPE_STRING:
@@ -473,6 +492,8 @@ def decode_message(buf: bytes, desc: MessageDesc) -> Dict[str, Any]:
             values.setdefault(f.name, []).append(item)
         else:
             values[f.name] = item
+    if pos > end:
+        raise PbdDecodeError("Record overruns its length prefix")
     for name, (f, raw) in merged_msgs.items():
         values[name] = decode_message(raw, f.message)
     # default fill for absent fields
@@ -543,6 +564,101 @@ def parse_header(data: bytes) -> Tuple[MessageDesc, int]:
     if not isinstance(root, MessageDesc):
         raise PbdDecodeError("Root message %s not found in descriptors" % root_name)
     return root, pos
+
+
+def parse_header_stream(reader) -> Tuple[MessageDesc, int]:
+    """Streaming twin of ``parse_header`` over a ChunkedReader: reads
+    magic + descriptors + root name in bounded chunks — the descriptor
+    bytes themselves are materialized (they are KB-scale), record
+    payloads never are. Returns (root desc, body offset)."""
+    if reader.read(4) != MAGIC:
+        raise PbdDecodeError("Not a PBD file (bad magic)")
+    reader.read(1)  # version byte
+    n_files = reader.read_varint()
+    pool: dict = {}
+    for _ in range(n_files):
+        size = reader.read_varint()
+        _parse_file_desc(reader.read(size), pool)
+    _link(pool)
+    size = reader.read_varint()
+    root_name = reader.read(size).decode()
+    root = pool.get(root_name)
+    if not isinstance(root, MessageDesc):
+        raise PbdDecodeError("Root message %s not found in descriptors" % root_name)
+    return root, reader.tell()
+
+
+def scan_record_splits(reader, records_per_split: int) -> List[Tuple[int, int, int]]:
+    """Bounded-memory boundary scan: walk the varint length prefixes
+    (payloads skipped via seek, never read) and emit (start, end,
+    n_records) splits of ~records_per_split records each. Driver memory
+    is O(n_records / records_per_split) split tuples plus one read
+    buffer — never O(file). Each [start, end) span is independently
+    decodable on an executor (see decode_range)."""
+    splits: List[Tuple[int, int, int]] = []
+    start = reader.tell()
+    count = 0
+    while not reader.eof():
+        size = reader.read_varint()
+        reader.skip(size)  # raises PbdDecodeError on truncation
+        count += 1
+        if count >= records_per_split:
+            splits.append((start, reader.tell(), count))
+            start = reader.tell()
+            count = 0
+    if count:
+        splits.append((start, reader.tell(), count))
+    return splits
+
+
+def check_wire_compat(
+    reader: MessageDesc, writer: MessageDesc, _path: str = ""
+) -> None:
+    """Multi-file schema-evolution guard: protobuf resolution is
+    *by field number*, so a file written under an evolved descriptor
+    decodes correctly with the reader descriptor as long as every field
+    number the two share sits in the same wire class (varint / fixed64 /
+    fixed32 / length-delimited). Writer-only numbers are wire-skipped,
+    reader-only numbers default-fill — both already native to
+    decode_message. This check rejects the one unsafe case — a shared
+    number whose wire class changed (e.g. float→double) — with a field
+    path instead of a garbled decode. Reference resolves reader-vs-writer
+    schemas analogously for Avro (avro_direct.cpp:107-166)."""
+
+    def wire_class(t: int) -> int:
+        if t in _VARINT_TYPES:
+            return 0
+        if t in _FIXED64_TYPES:
+            return 1
+        if t in _FIXED32_TYPES:
+            return 5
+        return 2  # string/bytes/message (+ packed repeated scalars)
+
+    w_by_num = writer.by_number()
+    for rf in reader.fields:
+        wf = w_by_num.get(rf.number)
+        if wf is None:
+            continue
+        here = "%s.%s" % (_path, rf.name) if _path else rf.name
+        # packed repeated scalars arrive length-delimited; decode_message
+        # accepts both packed and unpacked for repeated fields, so only
+        # singular-vs-singular class changes are unsafe
+        if (
+            rf.label != LABEL_REPEATED
+            and wf.label != LABEL_REPEATED
+            and wire_class(rf.type) != wire_class(wf.type)
+        ):
+            raise PbdDecodeError(
+                "Incompatible schema evolution at field %s: "
+                "wire class changed (%d -> %d)" % (here, wf.type, rf.type)
+            )
+        if (
+            rf.type == TYPE_MESSAGE
+            and wf.type == TYPE_MESSAGE
+            and rf.message is not None
+            and wf.message is not None
+        ):
+            check_wire_compat(rf.message, wf.message, here)
 
 
 def scan_record_boundaries(data: bytes, pos: int) -> List[int]:

@@ -1,0 +1,194 @@
+"""Bounded-memory forward reader over a binary stream.
+
+The driver-side metadata passes of ``from_pbd`` / ``from_avro`` (varint
+record-boundary walk, Avro block-header hops) must never materialize a
+whole container file: one 1 TB file would OOM the driver even though
+the decode itself is executor-side. ``ChunkedReader`` holds at most one
+``bufsize`` chunk at a time and skips payload bytes with ``seek`` —
+the same bounded-buffer discipline as the reference's 64 KiB buffered
+input stream (reference cpp/src/bind.cpp:131-168), sized larger here
+because a metadata pass over a remote FS wants fewer, bigger reads.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Type
+
+DEFAULT_BUFSIZE = 1 << 20  # 1 MiB
+
+
+class ChunkedReader:
+    """Forward-only reader: ``read``/``skip``/varints, O(bufsize) memory.
+
+    ``error_cls`` lets each container format surface its own typed decode
+    error (PbdDecodeError / AvroDecodeError) on truncation or malformed
+    varints, so callers never see bare IndexError/ValueError.
+    """
+
+    __slots__ = (
+        "fh",
+        "abs",
+        "size",
+        "buf",
+        "off",
+        "bufsize",
+        "error_cls",
+        "fill_hint",
+    )
+
+    # first refill after a seek-skip: the caller is almost always about
+    # to read a few header/varint bytes and then skip again, so a full
+    # bufsize read would be pure amplification on huge-record files
+    SEEK_FILL = 4096
+
+    def __init__(
+        self,
+        fh: io.IOBase,
+        start: int = 0,
+        bufsize: int = DEFAULT_BUFSIZE,
+        error_cls: Type[Exception] = ValueError,
+    ):
+        self.fh = fh
+        fh.seek(0, 2)
+        self.size = fh.tell()
+        fh.seek(start)
+        self.abs = start
+        self.buf = b""
+        self.off = 0
+        self.bufsize = bufsize
+        self.error_cls = error_cls
+        self.fill_hint = 0
+
+    def tell(self) -> int:
+        return self.abs
+
+    def eof(self) -> bool:
+        return self.abs >= self.size
+
+    def _fill(self) -> None:
+        # invariant: fh's position == self.abs whenever the buffer is empty
+        n = self.fill_hint or self.bufsize
+        self.fill_hint = 0
+        self.buf = self.fh.read(n)
+        self.off = 0
+        if not self.buf:
+            raise self.error_cls("Unexpected end of stream")
+
+    def read_byte(self) -> int:
+        if self.off >= len(self.buf):
+            self._fill()
+        b = self.buf[self.off]
+        self.off += 1
+        self.abs += 1
+        return b
+
+    def read_varint(self) -> int:
+        """Unsigned LEB128 varint (protobuf flavor)."""
+        acc = 0
+        shift = 0
+        while True:
+            b = self.read_byte()
+            acc |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                return acc
+            shift += 7
+            if shift > 70:
+                raise self.error_cls("Malformed varint")
+
+    def read_zigzag(self) -> int:
+        """Zigzag-encoded varint (Avro long flavor)."""
+        v = self.read_varint()
+        return (v >> 1) ^ -(v & 1)
+
+    def read(self, n: int) -> bytes:
+        avail = len(self.buf) - self.off
+        if n <= avail:
+            out = self.buf[self.off : self.off + n]
+            self.off += n
+            self.abs += n
+            return out
+        parts = [self.buf[self.off :]]
+        self.abs += avail
+        self.buf = b""
+        self.off = 0
+        rest = self.fh.read(n - avail)
+        self.abs += len(rest)
+        parts.append(rest)
+        out = b"".join(parts)
+        if len(out) != n:
+            raise self.error_cls("Unexpected end of stream")
+        return out
+
+    def skip(self, n: int) -> None:
+        """Jump forward without reading payload bytes (seek past them)."""
+        if n < 0:
+            raise self.error_cls("Negative skip")
+        avail = len(self.buf) - self.off
+        if n <= avail:
+            self.off += n
+            self.abs += n
+            return
+        target = self.abs + n
+        if target > self.size:
+            raise self.error_cls("Unexpected end of stream")
+        self.buf = b""
+        self.off = 0
+        self.fh.seek(target)
+        self.abs = target
+        self.fill_hint = self.SEEK_FILL
+
+
+def spill_to_temp(
+    source: io.IOBase,
+    spill_dir: str = "",
+    bufsize: int = DEFAULT_BUFSIZE,
+    prefix_chunks: tuple = (),
+) -> str:
+    """Copy a stream to a temp file in bounded chunks; return its path.
+
+    Used when a bytes/stream source is too large to broadcast: the file
+    becomes a path source (executors open it range-wise). NOTE: on a
+    real multi-node cluster ``spill_dir`` must be a shared/DFS-mounted
+    path so executor tasks can open it; set it via the
+    ``BAMBOO_SPARK_SPILL_DIR`` env var.
+    """
+    import os
+    import tempfile
+
+    fd, path = tempfile.mkstemp(suffix=".spill", dir=spill_dir or None)
+    try:
+        with os.fdopen(fd, "wb") as out:
+            for chunk in prefix_chunks:
+                out.write(chunk)
+            while True:
+                chunk = source.read(bufsize)
+                if not chunk:
+                    break
+                out.write(chunk)
+    except BaseException:
+        os.unlink(path)
+        raise
+    import atexit
+
+    atexit.register(lambda p=path: os.path.exists(p) and os.unlink(p))
+    return path
+
+
+def drain_or_spill(source: io.IOBase, threshold: int, spill_dir: str = ""):
+    """Read a stream holding at most ``threshold`` bytes in memory.
+
+    Returns ``(data, None)`` if the stream fit (small source → safe to
+    broadcast, which works on any cluster), else ``(None, path)`` with
+    the stream spilled to a temp file in bounded chunks — the driver
+    never holds more than threshold + one buffer.
+    """
+    chunks = []
+    total = 0
+    while total <= threshold:
+        c = source.read(DEFAULT_BUFSIZE)
+        if not c:
+            return b"".join(chunks), None
+        chunks.append(c)
+        total += len(c)
+    return None, spill_to_temp(source, spill_dir, prefix_chunks=tuple(chunks))

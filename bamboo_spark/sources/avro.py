@@ -32,15 +32,24 @@ from bamboo_spark.clusions import ColumnFilter
 from bamboo_spark.dataset import Dataset
 from bamboo_spark.projection import apply_column_filter, prune_schema
 from bamboo_spark.sources._avro_py import (
+    AvroDecodeError,
     avro_to_spark,
     decode_block,
     scan_blocks,
+    scan_blocks_stream,
     scan_header,
+    scan_header_stream,
 )
+from bamboo_spark.sources._stream import ChunkedReader, drain_or_spill
 from bamboo_spark.sources.obj import DEFAULT_COLUMN
 
 # Records per decode task, upper bound (see pbd.py for rationale).
 _TARGET_RECORDS_PER_SPLIT = 2048
+
+# bytes/stream sources at or under this are broadcast; larger ones are
+# spilled to $BAMBOO_SPARK_SPILL_DIR (see pbd.py for the rationale and
+# the cluster-visibility caveat).
+_BROADCAST_MAX = 64 << 20
 
 
 def read_avro(
@@ -116,22 +125,33 @@ def from_avro(
 
         spark = get_spark()
 
-    path: Optional[str] = None
-    if isinstance(source, str):
-        path = os.path.abspath(source)
-        with open(path, "rb") as fh:
-            data = fh.read()
-    elif hasattr(source, "read"):
-        data = source.read()
-    else:
-        data = bytes(source)
-
     # conflict validation first (raises ClusionError before any Spark job)
     fltr = ColumnFilter.parse(include, exclude)
     has_filter = include is not None or exclude is not None
     implicit_root = fltr.include.explicit or fltr.include.is_nothing()
 
-    avro_schema, codec, sync, pos = scan_header(data)
+    spill_dir = os.environ.get("BAMBOO_SPARK_SPILL_DIR", "")
+    path: Optional[str] = None
+    data: Optional[bytes] = None
+    if isinstance(source, str):
+        path = os.path.abspath(source)
+    elif hasattr(source, "read"):
+        data, path = drain_or_spill(source, _BROADCAST_MAX, spill_dir)
+    else:
+        data = bytes(source)
+        if len(data) > _BROADCAST_MAX:
+            data, path = drain_or_spill(io.BytesIO(data), _BROADCAST_MAX, spill_dir)
+
+    if path is not None:
+        # bounded-memory metadata pass: header + block-header hops in
+        # O(buffer) chunks, payloads seek-skipped (see pbd.py)
+        with open(path, "rb") as fh:
+            reader = ChunkedReader(fh, error_cls=AvroDecodeError)
+            avro_schema, codec, sync, pos = scan_header_stream(reader)
+            all_blocks = scan_blocks_stream(reader, sync)
+    else:
+        avro_schema, codec, sync, pos = scan_header(data)
+        all_blocks = scan_blocks(data, pos, sync)
     dtype = avro_to_spark(avro_schema)
     record_root = isinstance(dtype, T.StructType)
     if record_root:
@@ -142,7 +162,7 @@ def from_avro(
     else:
         out_schema = T.StructType([T.StructField(DEFAULT_COLUMN, dtype, True)])
 
-    blocks = [b for b in scan_blocks(data, pos, sync) if b[2] > 0]
+    blocks = [b for b in all_blocks if b[2] > 0]
     total = sum(n for _, _, n in blocks)
     if total == 0:
         return Dataset(spark.createDataFrame([], out_schema))
@@ -202,7 +222,9 @@ def read_avro_py(
 
         spark = get_spark()
     if isinstance(paths, str):
-        files = sorted(_glob.glob(paths)) or [paths]
+        files = sorted(os.path.abspath(p) for p in _glob.glob(paths)) or [
+            os.path.abspath(paths)
+        ]
     else:
         files = [os.path.abspath(p) for p in paths]
     if not files:

@@ -38,16 +38,26 @@ from bamboo_spark.clusions import ColumnFilter
 from bamboo_spark.dataset import Dataset
 from bamboo_spark.sources._pbd_py import (
     MessageDesc,
+    PbdDecodeError,
     decode_range,
     parse_header,
+    parse_header_stream,
     pbd_to_spark,
     prune_message_desc,
     scan_record_boundaries,
+    scan_record_splits,
 )
+from bamboo_spark.sources._stream import ChunkedReader, drain_or_spill
 
 # Records per decode task, upper bound — keeps tiny files on one task and
 # big files spread across the parallelism without over-splitting.
 _TARGET_RECORDS_PER_SPLIT = 2048
+
+# bytes/stream sources at or under this are broadcast (works on any
+# cluster); larger ones are spilled to $BAMBOO_SPARK_SPILL_DIR (must be
+# cluster-visible on a real deployment) so the driver never holds a
+# whole huge container in memory.
+_BROADCAST_MAX = 64 << 20
 
 
 def _make_decoder(
@@ -89,6 +99,22 @@ def _make_decoder(
     return fn
 
 
+def _coalesce_splits(
+    raw: List[Tuple[int, int, int]], n_groups: int
+) -> List[Tuple[int, int]]:
+    """Merge adjacent (start, end, n) scan splits into n_groups balanced
+    byte ranges (raw splits carry ~equal record counts, so index-even
+    grouping is record-even)."""
+    m = len(raw)
+    out = []
+    for i in range(n_groups):
+        lo = i * m // n_groups
+        hi = (i + 1) * m // n_groups
+        if hi > lo:
+            out.append((raw[lo][0], raw[hi - 1][1]))
+    return out
+
+
 def _split_ranges(bounds: List[int], n_splits: int) -> List[Tuple[int, int]]:
     n_records = len(bounds) - 1
     splits = []
@@ -111,35 +137,57 @@ def from_pbd(
 
         spark = get_spark()
 
-    path: Optional[str] = None
-    if isinstance(source, str):
-        path = os.path.abspath(source)
-        with open(path, "rb") as fh:
-            data = fh.read()
-    elif hasattr(source, "read"):
-        data = source.read()
-    else:
-        data = bytes(source)
-
     # conflict validation first (raises ClusionError before any Spark job)
     fltr = ColumnFilter.parse(include, exclude)
 
-    root, body = parse_header(data)
-    if include is not None or exclude is not None:
-        implicit_root = fltr.include.explicit or fltr.include.is_nothing()
-        root = prune_message_desc(root, fltr, implicit_root)
-    schema = pbd_to_spark(root)
+    spill_dir = os.environ.get("BAMBOO_SPARK_SPILL_DIR", "")
+    path: Optional[str] = None
+    data: Optional[bytes] = None
+    if isinstance(source, str):
+        path = os.path.abspath(source)
+    elif hasattr(source, "read"):
+        data, path = drain_or_spill(source, _BROADCAST_MAX, spill_dir)
+    else:
+        data = bytes(source)
+        if len(data) > _BROADCAST_MAX:
+            data, path = drain_or_spill(io.BytesIO(data), _BROADCAST_MAX, spill_dir)
 
-    bounds = scan_record_boundaries(data, body)
-    n_records = len(bounds) - 1
-    if n_records == 0:
-        return Dataset(spark.createDataFrame([], schema))
+    if path is not None:
+        # bounded-memory metadata pass: header + varint boundary walk in
+        # O(buffer) chunks, record payloads seek-skipped (reference
+        # analogue: the 64 KiB buffered stream, bind.cpp:131-168)
+        with open(path, "rb") as fh:
+            reader = ChunkedReader(fh, error_cls=PbdDecodeError)
+            root, _body = parse_header_stream(reader)
+            if include is not None or exclude is not None:
+                implicit_root = fltr.include.explicit or fltr.include.is_nothing()
+                root = prune_message_desc(root, fltr, implicit_root)
+            schema = pbd_to_spark(root)
+            raw_splits = scan_record_splits(reader, _TARGET_RECORDS_PER_SPLIT)
+        n_records = sum(s[2] for s in raw_splits)
+        if n_records == 0:
+            return Dataset(spark.createDataFrame([], schema))
+        n_splits = min(
+            max(spark.sparkContext.defaultParallelism, 1), len(raw_splits)
+        )
+        splits = _coalesce_splits(raw_splits, n_splits)
+    else:
+        root, body = parse_header(data)
+        if include is not None or exclude is not None:
+            implicit_root = fltr.include.explicit or fltr.include.is_nothing()
+            root = prune_message_desc(root, fltr, implicit_root)
+        schema = pbd_to_spark(root)
 
-    n_splits = min(
-        max(spark.sparkContext.defaultParallelism, 1),
-        max(1, -(-n_records // _TARGET_RECORDS_PER_SPLIT)),
-    )
-    splits = _split_ranges(bounds, n_splits)
+        bounds = scan_record_boundaries(data, body)
+        n_records = len(bounds) - 1
+        if n_records == 0:
+            return Dataset(spark.createDataFrame([], schema))
+
+        n_splits = min(
+            max(spark.sparkContext.defaultParallelism, 1),
+            max(1, -(-n_records // _TARGET_RECORDS_PER_SPLIT)),
+        )
+        splits = _split_ranges(bounds, n_splits)
 
     bc = None if path is not None else spark.sparkContext.broadcast(data)
     split_df: DataFrame = spark.createDataFrame(
@@ -172,7 +220,9 @@ def read_pbd(
 
         spark = get_spark()
     if isinstance(paths, str):
-        files = sorted(_glob.glob(paths)) or [paths]
+        files = sorted(os.path.abspath(p) for p in _glob.glob(paths)) or [
+            os.path.abspath(paths)
+        ]
     else:
         files = [os.path.abspath(p) for p in paths]
     if not files:
@@ -183,8 +233,9 @@ def read_pbd(
     has_filter = include is not None or exclude is not None
 
     with open(files[0], "rb") as fh:
-        head = fh.read()
-    root, _ = parse_header(head)
+        root, _ = parse_header_stream(
+            ChunkedReader(fh, error_cls=PbdDecodeError)
+        )
     if has_filter:
         root = prune_message_desc(root, fltr, implicit_root)
     schema = pbd_to_spark(root)
@@ -199,23 +250,26 @@ def read_pbd(
 
         from bamboo_spark.sources._pbd_py import (
             PbdDecodeError,
+            check_wire_compat as _compat,
             parse_header as _ph,
-            prune_message_desc as _prune,
-            pbd_to_spark as _to_spark,
         )
 
         for batch in batches:
             for p in batch.column(0).to_pylist():
                 with open(p, "rb") as fh:
                     data = fh.read()
+                # schema evolution: decode with the READER descriptor.
+                # Protobuf resolution is by field number — writer-only
+                # fields wire-skip, reader-only fields default-fill,
+                # varint widenings (int32→int64) decode natively; the
+                # per-file descriptor is parsed only to reject wire-class
+                # changes up front (check_wire_compat docstring).
                 file_root, body = _ph(data)
-                if has_filter:
-                    file_root = _prune(file_root, fltr, implicit_root)
-                if _to_spark(file_root) != schema:
-                    raise PbdDecodeError(
-                        "PBD file %s schema differs from %s" % (p, files[0])
-                    )
-                records = decode_range(data, body, len(data), file_root)
+                try:
+                    _compat(root, file_root)
+                except PbdDecodeError as e:
+                    raise PbdDecodeError("PBD file %s vs %s: %s" % (p, files[0], e))
+                records = decode_range(data, body, len(data), root)
                 arrays = [
                     pa.array(
                         [r[nm] for r in records], type=arrow_schema_ref.field(i).type

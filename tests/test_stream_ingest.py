@@ -1,0 +1,293 @@
+"""Bounded-memory single-file ingest + decoder error hygiene.
+
+The reference streams container files through a 64 KiB buffered input
+stream and never materializes them (reference cpp/src/bind.cpp:131-168);
+these tests pin the same discipline on our driver-side metadata passes
+(`ChunkedReader` + the *_stream scan twins) and pin the contract that
+corrupt bytes always surface as the typed decode error
+(PbdDecodeError / AvroDecodeError; reference truncation error
+pbd.hpp:195-199), never a bare IndexError/struct.error/UnicodeDecodeError
+or a silently truncated value.
+"""
+
+import io
+import json
+import os
+import struct
+import tracemalloc
+
+import pytest
+
+from bamboo_spark.sources._avro_py import (
+    AvroDecodeError,
+    decode_container,
+    scan_blocks_stream,
+    scan_header_stream,
+)
+from bamboo_spark.sources._pbd_py import (
+    PbdDecodeError,
+    decode_message,
+    parse_header,
+    parse_header_stream,
+    scan_record_boundaries,
+    scan_record_splits,
+)
+from bamboo_spark.sources._stream import ChunkedReader, drain_or_spill
+
+from tests.test_pbd import _container, _ld, _message_desc, _field_desc, _tag, _varint
+
+BUF = 1 << 16  # 64 KiB, the reference's buffer size
+
+
+class TrackingFile(io.RawIOBase):
+    """File wrapper recording total bytes read and the largest single
+    read — the proof that a metadata pass holds O(buffer), not O(file)."""
+
+    def __init__(self, path):
+        self.fh = open(path, "rb")
+        self.total = 0
+        self.max_read = 0
+
+    def read(self, n=-1):
+        out = self.fh.read(n)
+        self.total += len(out)
+        self.max_read = max(self.max_read, len(out))
+        return out
+
+    def seek(self, *a):
+        return self.fh.seek(*a)
+
+    def tell(self):
+        return self.fh.tell()
+
+    def close(self):
+        self.fh.close()
+
+
+def _big_pbd(tmp_path, n_records=160, payload=256 * 1024):
+    """~40 MB PBD: records big enough that the boundary walk must
+    seek-skip payloads rather than buffer through them."""
+    desc = _message_desc(
+        "Rec",
+        [
+            _field_desc("id", 1, 3),  # int64
+            _field_desc("blob", 2, 12),  # bytes
+        ],
+    )
+    records = [
+        _tag(1, 0) + _varint(i) + _ld(2, bytes([i & 0xFF]) * payload)
+        for i in range(n_records)
+    ]
+    data = _container([desc], "t.Rec", records)
+    p = tmp_path / "big.pbd"
+    p.write_bytes(data)
+    return str(p), len(data), n_records
+
+
+def test_pbd_metadata_pass_is_bounded(tmp_path):
+    path, size, n = _big_pbd(tmp_path)
+    fh = TrackingFile(path)
+    try:
+        reader = ChunkedReader(fh, bufsize=BUF, error_cls=PbdDecodeError)
+        root, _ = parse_header_stream(reader)
+        splits = scan_record_splits(reader, records_per_split=32)
+    finally:
+        fh.close()
+    assert sum(s[2] for s in splits) == n
+    assert splits[-1][1] == size  # walk reached exactly EOF
+    # payloads were seek-skipped: the whole pass touched <5% of the file
+    assert fh.total < size * 0.05
+    assert fh.max_read <= BUF
+    assert root.fields[1].name == "blob"
+
+
+def _big_avro(tmp_path, n_blocks=160, payload=256 * 1024):
+    """~40 MB Avro container with junk block payloads — the block-header
+    hop never decodes payloads, so their contents don't matter."""
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "a", "type": "bytes"}],
+    }
+
+    def zz(v):
+        v = (v << 1) ^ (v >> 63)
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            out.append(b | 0x80 if v else b)
+            if not v:
+                return bytes(out)
+
+    sync = b"S" * 16
+    meta = json.dumps(schema).encode()
+    head = bytearray(b"Obj\x01")
+    head += zz(1)  # one metadata map block
+    head += zz(len(b"avro.schema")) + b"avro.schema" + zz(len(meta)) + meta
+    head += zz(0) + sync
+    body = b"".join(zz(7) + zz(payload) + b"\xab" * payload + sync for _ in range(n_blocks))
+    p = tmp_path / "big.avro"
+    p.write_bytes(bytes(head) + body)
+    return str(p), len(head) + len(body), n_blocks
+
+
+def test_avro_metadata_pass_is_bounded(tmp_path):
+    path, size, n_blocks = _big_avro(tmp_path)
+    fh = TrackingFile(path)
+    try:
+        reader = ChunkedReader(fh, bufsize=BUF, error_cls=AvroDecodeError)
+        schema, codec, sync, pos = scan_header_stream(reader)
+        blocks = scan_blocks_stream(reader, sync)
+    finally:
+        fh.close()
+    assert len(blocks) == n_blocks
+    assert all(b[2] == 7 for b in blocks)
+    assert fh.total < size * 0.05
+    assert fh.max_read <= BUF
+
+
+def test_from_pbd_large_file_never_materializes_on_driver(spark, tmp_path):
+    # end-to-end: driver-side construction of a ~40 MB file's plan must
+    # allocate O(buffer), not O(file); decode happens executor-side.
+    from bamboo_spark import from_pbd
+    import pyspark.sql.functions as F
+
+    path, size, n = _big_pbd(tmp_path)
+    tracemalloc.start()
+    ds = from_pbd(path)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 16 * 1024 * 1024, "driver held %d bytes for a %d-byte file" % (
+        peak,
+        size,
+    )
+    row = ds.df.select(
+        F.count("*").alias("n"),
+        F.sum(F.length("blob")).alias("bytes"),
+        F.sum("id").alias("ids"),
+    ).collect()[0]
+    assert row["n"] == n
+    assert row["bytes"] == n * 256 * 1024
+    assert row["ids"] == n * (n - 1) // 2
+
+
+def test_drain_or_spill_roundtrip(tmp_path):
+    small = io.BytesIO(b"x" * 1000)
+    data, path = drain_or_spill(small, threshold=10_000)
+    assert data == b"x" * 1000 and path is None
+
+    big = io.BytesIO(b"y" * 50_000)
+    data, path = drain_or_spill(big, threshold=10_000)
+    assert data is None
+    assert os.path.getsize(path) == 50_000
+    with open(path, "rb") as fh:
+        assert fh.read(5) == b"yyyyy"
+    os.unlink(path)
+
+
+def test_chunked_reader_truncation_is_typed(tmp_path):
+    p = tmp_path / "t.bin"
+    p.write_bytes(b"\x80\x80")  # unterminated varint, then EOF
+    with open(p, "rb") as fh:
+        r = ChunkedReader(fh, error_cls=PbdDecodeError)
+        with pytest.raises(PbdDecodeError):
+            r.read_varint()
+    with open(p, "rb") as fh:
+        r = ChunkedReader(fh, error_cls=PbdDecodeError)
+        with pytest.raises(PbdDecodeError):
+            r.read(10)
+    with open(p, "rb") as fh:
+        r = ChunkedReader(fh, error_cls=PbdDecodeError)
+        with pytest.raises(PbdDecodeError):
+            r.skip(10)
+
+
+# ------------------------------------------------- corrupt-byte hygiene
+
+
+def _pbd_hygiene_container():
+    desc = _message_desc(
+        "Rec",
+        [
+            _field_desc("id", 1, 3),
+            _field_desc("name", 2, 9),  # string
+            _field_desc("val", 3, 1),  # double
+            _field_desc("tags", 4, 3, label=3),  # repeated int64
+        ],
+    )
+    records = [
+        _tag(1, 0)
+        + _varint(i)
+        + _ld(2, ("name-%d" % i).encode())
+        + _tag(3, 1)
+        + struct.pack("<d", i * 1.5)
+        + _ld(4, b"".join(_varint(j) for j in range(i % 4)))
+        for i in range(8)
+    ]
+    return _container([desc], "t.Rec", records)
+
+
+def test_pbd_corrupt_bytes_raise_only_pbd_decode_error():
+    from hypothesis import given, settings, strategies as st
+
+    base = _pbd_hygiene_container()
+    root, body = parse_header(base)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(0, len(base) - 1),
+        st.integers(0, 255),
+    )
+    def run(pos, val):
+        if pos < body:
+            return  # header mutations exercise parse_header, tested below
+        data = bytearray(base)
+        data[pos] = val
+        data = bytes(data)
+        try:
+            bounds = scan_record_boundaries(data, body)
+            for lo, hi in zip(bounds, bounds[1:]):
+                decode_message(data[lo:hi], root)
+        except PbdDecodeError:
+            pass  # the only exception allowed to escape
+
+    run()
+
+
+def test_avro_corrupt_bytes_raise_only_avro_decode_error():
+    from hypothesis import given, settings, strategies as st
+    from tests.test_sources import _avro_bytes
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "d", "type": "double"},
+        ],
+    }
+    base = _avro_bytes(
+        schema,
+        [{"i": i, "s": "s%d" % i, "d": i / 3.0} for i in range(8)],
+        block_size=3,
+    )
+    # body starts after the header (first sync marker ends it)
+    from bamboo_spark.sources._avro_py import scan_header
+
+    _, _, _, body = scan_header(base)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(0, len(base) - 1), st.integers(0, 255))
+    def run(pos, val):
+        if pos < body:
+            return
+        data = bytearray(base)
+        data[pos] = val
+        try:
+            decode_container(bytes(data))
+        except AvroDecodeError:
+            pass  # the only exception allowed to escape
+
+    run()
