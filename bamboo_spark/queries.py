@@ -56,6 +56,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # parquet timestamp[us] with isAdjustedToUTC=false reads as
+            # TIMESTAMP_NTZ under Spark 4's NTZ inference; DuckDB treats
+            # the same naive value as epoch-UTC (epoch_us). Diff against
+            # the NTZ epoch literal (no session-timezone dependence
+            # anywhere) and rebuild the LTZ timestamp every downstream
+            # query expects — unix_micros(ts) then equals epoch_us(ts).
+            us = F.timestamp_diff(
+                "MICROSECOND",
+                F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00")),
+                F.col("ts"),
+            )
+            df = df.withColumn("ts", F.timestamp_micros(us))
         return df
     return spark.read.parquet("%s/%s.parquet" % (sf_dir, name))
 
