@@ -308,6 +308,372 @@ def _decode_value(
     raise AvroDecodeError("Unsupported Avro schema: %r" % (schema,))
 
 
+# -- schema resolution (reader vs writer) -----------------------------------
+#
+# Multi-file Avro corpora evolve: files written under an old schema must
+# decode under the evolved reader schema and vice versa. These are the
+# Avro-spec resolution rules (spec "Schema Resolution" section), the
+# pure-Python twin of the reference's reader-vs-writer resolution
+# (reference cpp/src/avro_direct.cpp:107-166): records match fields BY
+# NAME (writer-only fields are wire-skipped, reader-only fields fill
+# from their defaults), numeric promotions widen (int→long→float→double,
+# float→double), string↔bytes interconvert, enums fall back to the
+# reader's enum default for unknown symbols, unions resolve the written
+# branch against the first matching reader branch.
+
+# (writer type, reader type) pairs the spec allows beyond identity
+_PROMOTABLE = {
+    ("int", "long"),
+    ("int", "float"),
+    ("int", "double"),
+    ("long", "float"),
+    ("long", "double"),
+    ("float", "double"),
+    ("string", "bytes"),
+    ("bytes", "string"),
+}
+
+
+def _type_name(schema: Any) -> Any:
+    """The schema's type tag: primitive name, complex kind, or list for
+    unions (after named-reference resolution by the caller)."""
+    if isinstance(schema, dict):
+        return schema["type"]
+    return schema
+
+
+def _default_value(schema: Any, default: Any, names: Dict[str, Any]) -> Any:
+    """Convert a JSON default from the reader schema into the decoded
+    representation (spec: bytes/fixed defaults are strings of latin-1
+    codepoints; a union's default conforms to its FIRST branch)."""
+    schema = _resolve_named(schema, names)
+    if isinstance(schema, list):
+        return _default_value(schema[0], default, names)
+    if isinstance(schema, dict):
+        stype = schema["type"]
+        if stype == "record":
+            if "name" in schema:
+                names[schema["name"]] = schema
+            out = {}
+            for f in schema["fields"]:
+                if default is not None and f["name"] in default:
+                    out[f["name"]] = _default_value(f["type"], default[f["name"]], names)
+                elif "default" in f:
+                    out[f["name"]] = _default_value(f["type"], f["default"], names)
+                else:
+                    raise AvroDecodeError(
+                        "No default for record field %s" % f["name"]
+                    )
+            return out
+        if stype == "array":
+            return [_default_value(schema["items"], d, names) for d in (default or [])]
+        if stype == "map":
+            return {
+                k: _default_value(schema["values"], v, names)
+                for k, v in (default or {}).items()
+            }
+        if stype == "fixed":
+            return default.encode("latin-1") if isinstance(default, str) else default
+        if stype == "enum":
+            return default
+        return _default_value(stype, default, names)
+    if schema == "null":
+        return None
+    if schema in ("float", "double"):
+        return float(default)
+    if schema == "bytes":
+        return default.encode("latin-1") if isinstance(default, str) else default
+    return default
+
+
+def _branch_matches(w: Any, cand: Any, w_names: Dict[str, Any], r_names: Dict[str, Any]) -> bool:
+    w = _resolve_named(w, w_names)
+    cand = _resolve_named(cand, r_names)
+    wt, ct = _type_name(w), _type_name(cand)
+    if isinstance(wt, list) or isinstance(ct, list):
+        return False
+    return wt == ct or (wt, ct) in _PROMOTABLE
+
+
+def _pick_branch(w: Any, rd_union: list, w_names: Dict[str, Any], r_names: Dict[str, Any]) -> Any:
+    """First reader-union branch the written value resolves against
+    (spec: 'the first schema in the reader's union that matches')."""
+    for cand in rd_union:
+        if _branch_matches(w, cand, w_names, r_names):
+            return cand
+    raise AvroDecodeError(
+        "No reader union branch matches writer schema %r" % (_type_name(w),)
+    )
+
+
+def _decode_resolved(
+    r: _Reader,
+    w: Any,
+    rd: Any,
+    w_names: Dict[str, Any],
+    r_names: Dict[str, Any],
+    fltr: Any = None,
+    parent_included: bool = True,
+) -> Any:
+    """Decode one value laid out per the WRITER schema, producing the
+    READER schema's representation."""
+    w = _resolve_named(w, w_names)
+    rd = _resolve_named(rd, r_names)
+    if isinstance(w, list):  # writer union: index picks the written branch
+        idx = r.read_long()
+        if not 0 <= idx < len(w):
+            raise AvroDecodeError("Union branch index %d out of range" % idx)
+        return _decode_resolved(r, w[idx], rd, w_names, r_names, fltr, parent_included)
+    if isinstance(rd, list):  # writer non-union vs reader union
+        branch = _pick_branch(w, rd, w_names, r_names)
+        return _decode_resolved(r, w, branch, w_names, r_names, fltr, parent_included)
+
+    wt, rt = _type_name(w), _type_name(rd)
+    if wt == "record" and rt == "record":
+        if isinstance(w, dict) and "name" in w:
+            w_names[w["name"]] = w
+        if isinstance(rd, dict) and "name" in rd:
+            r_names[rd["name"]] = rd
+        r_by_name = {f["name"]: f for f in rd["fields"]}
+        if fltr is None:
+            included = True
+        else:
+            included = fltr.include.explicit or (
+                parent_included and not fltr.exclude.explicit
+            )
+        out: Dict[str, Any] = {}
+        present = set()
+        for wf in w["fields"]:
+            rf = r_by_name.get(wf["name"])
+            if rf is None:  # writer-only field: wire-skip
+                _skip_value(r, wf["type"], w_names)
+                continue
+            present.add(wf["name"])
+            child = fltr.child(rf["name"]) if fltr is not None else None
+            if fltr is not None and not _keeps_avro(rf["type"], child, included, r_names):
+                _skip_value(r, wf["type"], w_names)
+                continue
+            out[rf["name"]] = _decode_resolved(
+                r, wf["type"], rf["type"], w_names, r_names, child, included
+            )
+        # reader-only fields: default-fill (error if the schema has none)
+        for rf in rd["fields"]:
+            if rf["name"] in present:
+                continue
+            child = fltr.child(rf["name"]) if fltr is not None else None
+            if fltr is not None and not _keeps_avro(rf["type"], child, included, r_names):
+                continue
+            if "default" not in rf:
+                raise AvroDecodeError(
+                    "Field %s missing in writer schema and has no default"
+                    % rf["name"]
+                )
+            out[rf["name"]] = _default_value(rf["type"], rf["default"], r_names)
+        # emit in reader field order (dict order feeds the Arrow arrays)
+        return {
+            f["name"]: out[f["name"]] for f in rd["fields"] if f["name"] in out
+        }
+    if wt == "enum" and rt == "enum":
+        idx = r.read_long()
+        if not 0 <= idx < len(w["symbols"]):
+            raise AvroDecodeError("Enum index %d out of range" % idx)
+        sym = w["symbols"][idx]
+        if sym in rd["symbols"]:
+            return sym
+        if "default" in rd:
+            return rd["default"]
+        raise AvroDecodeError(
+            "Writer enum symbol %s not in reader enum and no default" % sym
+        )
+    if wt == "fixed" and rt == "fixed":
+        if w["size"] != rd["size"]:
+            raise AvroDecodeError(
+                "Fixed size mismatch: writer %d vs reader %d"
+                % (w["size"], rd["size"])
+            )
+        return r.read(rd["size"])
+    if wt == "array" and rt == "array":
+        out_l: List[Any] = []
+        while True:
+            count = r.read_long()
+            if count == 0:
+                return out_l
+            if count < 0:
+                r.read_long()
+                count = -count
+            for _ in range(count):
+                out_l.append(
+                    _decode_resolved(
+                        r, w["items"], rd["items"], w_names, r_names, fltr, parent_included
+                    )
+                )
+    if wt == "map" and rt == "map":
+        out_m: Dict[str, Any] = {}
+        while True:
+            count = r.read_long()
+            if count == 0:
+                return out_m
+            if count < 0:
+                r.read_long()
+                count = -count
+            for _ in range(count):
+                key = r.read_utf8()
+                out_m[key] = _decode_resolved(
+                    r, w["values"], rd["values"], w_names, r_names
+                )
+    if wt == rt:
+        # identical underlying type — reader's logical annotation (if any)
+        # drives the representation
+        return _decode_value(r, rd, r_names)
+    # numeric / string-bytes promotions (resolution acts on raw types)
+    if wt == "int" and rt == "long":
+        return r.read_long()
+    if wt in ("int", "long") and rt in ("float", "double"):
+        return float(r.read_long())
+    if wt == "float" and rt == "double":
+        return struct.unpack("<f", r.read(4))[0]
+    if wt == "string" and rt == "bytes":
+        return r.read_bytes()
+    if wt == "bytes" and rt == "string":
+        return r.read_utf8()
+    raise AvroDecodeError(
+        "Cannot resolve writer schema %r against reader schema %r" % (wt, rt)
+    )
+
+
+def decode_block_resolved(
+    payload: bytes,
+    n: int,
+    codec: str,
+    writer_schema: Any,
+    reader_schema: Any,
+    fltr: Any = None,
+    implicit_root: bool = True,
+) -> List[Any]:
+    """Executor-side kernel for a block written under an evolved schema."""
+    payload = decompress_block(payload, codec)
+    block = _Reader(payload)
+    w_names: Dict[str, Any] = {}
+    r_names: Dict[str, Any] = {}
+    return [
+        _decode_resolved(
+            block,
+            writer_schema,
+            reader_schema,
+            w_names,
+            r_names,
+            fltr,
+            implicit_root,
+        )
+        for _ in range(n)
+    ]
+
+
+def _nullable(schema: Any) -> Any:
+    if isinstance(schema, list):
+        return schema if "null" in schema else ["null"] + schema
+    return ["null", schema]
+
+
+def merge_avro_schemas(a: Any, b: Any, path: str = "root") -> Any:
+    """Union-merge two file schemas into one reader schema every file
+    resolves against (the multi-file analogue of Spark's parquet
+    ``mergeSchema``): records take the union of fields (one-side-only
+    fields keep their default, or become nullable-with-null-default so
+    old files still decode), numerics widen along the promotion lattice,
+    string/bytes keep the first file's flavor (mutually promotable)."""
+    if isinstance(a, list) or isinstance(b, list):
+
+        def inner(s: Any) -> Any:
+            if not isinstance(s, list):
+                return s
+            non_null = [x for x in s if x != "null"]
+            if len(non_null) != 1:
+                raise AvroDecodeError(
+                    "General (non-nullable) unions are not supported at %s" % path
+                )
+            return non_null[0]
+
+        return ["null", merge_avro_schemas(inner(a), inner(b), path)]
+    ta, tb = _type_name(a), _type_name(b)
+    if ta == "record" and tb == "record":
+        b_by = {f["name"]: f for f in b["fields"]}
+        a_names = {f["name"] for f in a["fields"]}
+        fields: List[Dict[str, Any]] = []
+
+        def solo(f: Dict[str, Any]) -> Dict[str, Any]:
+            # present in only one file: must default-fill for the others
+            if "default" in f:
+                return dict(f)
+            return {"name": f["name"], "type": _nullable(f["type"]), "default": None}
+
+        for fa in a["fields"]:
+            fb = b_by.get(fa["name"])
+            if fb is None:
+                fields.append(solo(fa))
+                continue
+            merged_t = merge_avro_schemas(
+                fa["type"], fb["type"], "%s.%s" % (path, fa["name"])
+            )
+            f: Dict[str, Any] = {"name": fa["name"], "type": merged_t}
+            if "default" in fa:
+                f["default"] = fa["default"]
+            elif "default" in fb and not isinstance(merged_t, list):
+                f["default"] = fb["default"]
+            elif isinstance(merged_t, list) and (
+                isinstance(fa["type"], list) or isinstance(fb["type"], list)
+            ):
+                # became nullable through the merge: null default keeps
+                # every file decodable even under field reordering
+                if fa.get("default", "\x00") is None or fb.get("default", "\x00") is None:
+                    f["default"] = None
+            fields.append(f)
+        for fb in b["fields"]:
+            if fb["name"] not in a_names:
+                fields.append(solo(fb))
+        out = {"type": "record", "name": a.get("name", "merged"), "fields": fields}
+        return out
+    if ta == "enum" and tb == "enum":
+        extra = [s for s in b["symbols"] if s not in a["symbols"]]
+        out = dict(a)
+        out["symbols"] = list(a["symbols"]) + extra
+        return out
+    if ta == "fixed" and tb == "fixed":
+        if a["size"] != b["size"]:
+            raise AvroDecodeError(
+                "Cannot merge fixed sizes %d and %d at %s"
+                % (a["size"], b["size"], path)
+            )
+        return a
+    if ta == "array" and tb == "array":
+        return {
+            "type": "array",
+            "items": merge_avro_schemas(a["items"], b["items"], path + "[]"),
+        }
+    if ta == "map" and tb == "map":
+        return {
+            "type": "map",
+            "values": merge_avro_schemas(a["values"], b["values"], path + "{}"),
+        }
+    if a == b:
+        return a
+    _NUM = ("int", "long", "float", "double")
+    if ta in _NUM and tb in _NUM and isinstance(a, str) and isinstance(b, str):
+        return _NUM[max(_NUM.index(ta), _NUM.index(tb))]
+    if {ta, tb} == {"string", "bytes"} and isinstance(a, str) and isinstance(b, str):
+        return ta  # mutually promotable; first file wins
+    if ta == tb:
+        # same underlying type, differing annotations (logical types) —
+        # no safe common representation
+        raise AvroDecodeError(
+            "Cannot merge differing schema annotations at %s: %r vs %r"
+            % (path, a, b)
+        )
+    raise AvroDecodeError(
+        "Cannot merge Avro schemas at %s: %r vs %r" % (path, ta, tb)
+    )
+
+
 def scan_header(data: bytes) -> Tuple[Any, str, bytes, int]:
     """Parse container magic + metadata map → (schema JSON, codec, sync
     marker, first-block offset). Block payloads are not touched."""
@@ -327,7 +693,7 @@ def scan_header(data: bytes) -> Tuple[Any, str, bytes, int]:
             meta[key] = r.read_bytes()
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise AvroDecodeError("Unsupported Avro codec: %s" % codec)
     sync = r.read(16)
     return schema, codec, sync, r.pos
@@ -371,7 +737,7 @@ def scan_header_stream(reader) -> Tuple[Any, str, bytes, int]:
             meta[key] = reader.read(vlen)
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise AvroDecodeError("Unsupported Avro codec: %s" % codec)
     sync = reader.read(16)
     return schema, codec, sync, reader.tell()
@@ -395,6 +761,24 @@ def scan_blocks_stream(reader, sync: bytes) -> List[Tuple[int, int, int]]:
     return blocks
 
 
+def decompress_block(payload: bytes, codec: str) -> bytes:
+    if codec == "deflate":
+        return zlib.decompress(payload, -15)
+    if codec == "snappy":
+        from bamboo_spark.sources._snappy import snappy_uncompress
+
+        if len(payload) < 4:
+            raise AvroDecodeError("Snappy block too short for CRC suffix")
+        # Avro snappy framing: raw snappy block + big-endian CRC32 of the
+        # UNCOMPRESSED data (Avro spec, "snappy" codec)
+        crc = int.from_bytes(payload[-4:], "big")
+        out = snappy_uncompress(payload[:-4])
+        if zlib.crc32(out) & 0xFFFFFFFF != crc:
+            raise AvroDecodeError("Snappy block CRC mismatch")
+        return out
+    return payload
+
+
 def decode_block(
     payload: bytes,
     n: int,
@@ -404,8 +788,7 @@ def decode_block(
     implicit_root: bool = True,
 ) -> List[Any]:
     """Decode one block's records — the executor-side kernel."""
-    if codec == "deflate":
-        payload = zlib.decompress(payload, -15)
+    payload = decompress_block(payload, codec)
     block = _Reader(payload)
     names: Dict[str, Any] = {}
     if fltr is None:

@@ -202,20 +202,51 @@ def from_avro(
     return ds
 
 
+# above this many files the driver-side header sweep for schema merging
+# moves into a Spark job (headers are metadata-sized; payloads untouched)
+_MERGE_DRIVER_MAX_FILES = 64
+
+
+def _scan_file_header(path: str):
+    """Header-only metadata read: magic + meta map + sync, via bounded
+    chunked reads — block payloads are never touched."""
+    with open(path, "rb") as fh:
+        reader = ChunkedReader(fh, error_cls=AvroDecodeError)
+        return scan_header_stream(reader)
+
+
 def read_avro_py(
     paths: Union[str, list],
     include: Any = None,
     exclude: Any = None,
     spark: Optional[SparkSession] = None,
+    merge_schemas: bool = True,
 ) -> Dataset:
     """Distributed MULTI-FILE Avro read without the connector jar — the
     many-files scale path for the pure-Python decoder. One decode task
     per file; each task parses its own header and block index and
     decodes with the clusion-pruned reader — no file bytes pass through
-    the driver (it reads only the first file's header for the schema).
-    For one huge file use ``from_avro``, which splits by blocks."""
+    the driver (the driver reads only per-file *headers*, and only their
+    metadata maps at that). For one huge file use ``from_avro``, which
+    splits by blocks.
+
+    Schema evolution (Avro spec "Schema Resolution"; reference analogue
+    avro_direct.cpp:107-166): with ``merge_schemas=True`` (default) the
+    per-file writer schemas are union-merged into one reader schema
+    (added fields default-fill or become nullable, numerics widen along
+    int→long→float→double, enum symbol sets union) and every file's
+    blocks decode against it — old files fill defaults for new fields,
+    new files wire-skip nothing the reader wants. With
+    ``merge_schemas=False`` the first file's schema is the reader schema
+    and other files resolve against it (writer-only fields wire-skip).
+    The header sweep runs on the driver below %d files and as a Spark
+    metadata job above (schema JSONs, not file bytes, are collected).
+    """ % _MERGE_DRIVER_MAX_FILES
     import glob as _glob
     import json as _json
+    from functools import reduce
+
+    from bamboo_spark.sources._avro_py import merge_avro_schemas
 
     if spark is None:
         from bamboo_spark.session import get_spark
@@ -234,9 +265,39 @@ def read_avro_py(
     has_filter = include is not None or exclude is not None
     implicit_root = fltr.include.explicit or fltr.include.is_nothing()
 
-    with open(files[0], "rb") as fh:
-        head = fh.read()
-    avro_schema, _codec0, _sync0, _pos0 = scan_header(head)
+    avro_schema, _codec0, _sync0, _pos0 = _scan_file_header(files[0])
+    if merge_schemas and len(files) > 1:
+        if len(files) <= _MERGE_DRIVER_MAX_FILES:
+            uniq = {}
+            for p in files:
+                s = _scan_file_header(p)[0]
+                uniq.setdefault(_json.dumps(s, sort_keys=True), s)
+        else:
+            schema_df = spark.createDataFrame(
+                [(f,) for f in files],
+                T.StructType([T.StructField("path", T.StringType())]),
+            ).repartition(min(len(files), 256))
+
+            def _headers(batches):
+                import pyarrow as pa
+
+                for batch in batches:
+                    out = []
+                    for p in batch.column(0).to_pylist():
+                        s = _scan_file_header(p)[0]
+                        out.append(_json.dumps(s, sort_keys=True))
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(out)], names=["schema_json"]
+                    )
+
+            keys = set(
+                r.schema_json
+                for r in schema_df.mapInArrow(
+                    _headers, "schema_json string"
+                ).collect()
+            )
+            uniq = {k: _json.loads(k) for k in sorted(keys)}
+        avro_schema = reduce(merge_avro_schemas, uniq.values())
     dtype = avro_to_spark(avro_schema)
     record_root = isinstance(dtype, T.StructType)
     if record_root:
@@ -251,32 +312,47 @@ def read_avro_py(
     names = [f.name for f in out_schema.fields]
     use_filter = record_root and has_filter
 
+    reader_schema = avro_schema
+
     def fn(batches):
         import pyarrow as pa
 
-        from bamboo_spark.sources._avro_py import AvroDecodeError
+        from bamboo_spark.sources._avro_py import decode_block_resolved
 
         for batch in batches:
             for p in batch.column(0).to_pylist():
                 with open(p, "rb") as fh:
                     data = fh.read()
                 f_schema, f_codec, f_sync, f_pos = scan_header(data)
-                if _json.dumps(f_schema, sort_keys=True) != schema_key:
-                    raise AvroDecodeError(
-                        "Avro file %s schema differs from %s" % (p, files[0])
-                    )
+                same = _json.dumps(f_schema, sort_keys=True) == schema_key
                 records = []
                 for off, size, n in scan_blocks(data, f_pos, f_sync):
-                    records.extend(
-                        decode_block(
-                            data[off : off + size],
-                            n,
-                            f_codec,
-                            f_schema,
-                            fltr if use_filter else None,
-                            implicit_root,
+                    if same:
+                        records.extend(
+                            decode_block(
+                                data[off : off + size],
+                                n,
+                                f_codec,
+                                f_schema,
+                                fltr if use_filter else None,
+                                implicit_root,
+                            )
                         )
-                    )
+                    else:
+                        # evolved file: resolve writer layout against the
+                        # merged reader schema (promotions, default fill,
+                        # writer-only wire-skip)
+                        records.extend(
+                            decode_block_resolved(
+                                data[off : off + size],
+                                n,
+                                f_codec,
+                                f_schema,
+                                reader_schema,
+                                fltr if use_filter else None,
+                                implicit_root,
+                            )
+                        )
                 if record_root:
                     arrays = [
                         pa.array(

@@ -127,14 +127,17 @@ def _avro_bytes(
     records: list,
     block_size: int | None = None,
     write_schema: dict | None = None,
+    codec: str = "null",
 ) -> bytes:
-    """Hand-roll a tiny Avro container (null codec) so tests don't need an
-    avro writer library. ``block_size`` splits the records across multiple
-    container blocks (the executor-decode split unit). ``write_schema``
-    encodes the payload under a different schema than the metadata claims
-    (for planting wire-compatible-but-invalid values)."""
+    """Hand-roll a tiny Avro container so tests don't need an avro writer
+    library. ``block_size`` splits the records across multiple container
+    blocks (the executor-decode split unit). ``write_schema`` encodes the
+    payload under a different schema than the metadata claims (for
+    planting wire-compatible-but-invalid values). ``codec`` frames block
+    payloads per the spec: deflate (raw zlib) or snappy (+CRC32)."""
     import random
     import struct
+    import zlib
 
     enc_schema = write_schema or schema
 
@@ -203,13 +206,24 @@ def _avro_bytes(
             return enc_bytes(value.encode())
         raise AssertionError(sch)
 
+    def frame(payload: bytes) -> bytes:
+        if codec == "deflate":
+            c = zlib.compressobj(wbits=-15)
+            return c.compress(payload) + c.flush()
+        if codec == "snappy":
+            from bamboo_spark.sources._snappy import snappy_compress
+
+            crc = zlib.crc32(payload) & 0xFFFFFFFF
+            return snappy_compress(payload) + crc.to_bytes(4, "big")
+        return payload
+
     sync = bytes(random.Random(0).randrange(256) for _ in range(16))
     meta = (
         zigzag(2)
         + enc_bytes(b"avro.schema")
         + enc_bytes(json.dumps(schema).encode())
         + enc_bytes(b"avro.codec")
-        + enc_bytes(b"null")
+        + enc_bytes(codec.encode())
         + zigzag(0)
     )
     out = bytearray(b"Obj\x01" + meta + sync)
@@ -218,7 +232,7 @@ def _avro_bytes(
         chunk = records[i : i + step]
         if not chunk and records:
             break
-        payload = b"".join(enc(r, enc_schema) for r in chunk)
+        payload = frame(b"".join(enc(r, enc_schema) for r in chunk))
         out += zigzag(len(chunk)) + zigzag(len(payload)) + payload + sync
     return bytes(out)
 
@@ -513,6 +527,204 @@ def test_read_avro_py_multifile(spark, tmp_path):
 
     pdf = read_avro_py(str(tmp_path / "*.avro"), include=["s"]).flatten().to_pandas()
     assert list(pdf.columns) == ["s"]
+
+
+def test_read_avro_py_schema_evolution(spark, tmp_path):
+    # Avro-spec schema resolution across an evolved multi-file corpus
+    # (reference analogue: avro_direct.cpp:107-166 reader-vs-writer
+    # resolution): old files default-fill added fields, int widens to
+    # long, enum symbol sets union.
+    from bamboo_spark import read_avro_py
+
+    old = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "s", "type": "string"},
+            {"name": "e", "type": {"type": "enum", "name": "E", "symbols": ["A", "B"]}},
+        ],
+    }
+    new = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "s", "type": "string"},
+            {
+                "name": "e",
+                "type": {"type": "enum", "name": "E", "symbols": ["A", "B", "C"]},
+            },
+            {"name": "score", "type": "double", "default": 1.5},
+            {"name": "tag", "type": "string"},  # no default → nullable in merge
+        ],
+    }
+    (tmp_path / "a.avro").write_bytes(
+        _avro_bytes(old, [{"id": 1, "s": "x", "e": "A"}, {"id": 2, "s": "y", "e": "B"}])
+    )
+    (tmp_path / "b.avro").write_bytes(
+        _avro_bytes(
+            new,
+            [{"id": 3_000_000_000, "s": "z", "e": "C", "score": 2.5, "tag": "t3"}],
+        )
+    )
+    pdf = (
+        read_avro_py(str(tmp_path / "*.avro"))
+        .flatten()
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert list(pdf["id"]) == [1, 2, 3_000_000_000]  # int widened to long
+    assert list(pdf["e"]) == ["A", "B", "C"]  # union of enum symbols
+    assert list(pdf["score"]) == [1.5, 1.5, 2.5]  # default fill for old file
+    assert list(pdf["tag"]) == [None, None, "t3"]  # no default → null fill
+
+    # clusions prune across the evolved read too
+    pdf = (
+        read_avro_py(str(tmp_path / "*.avro"), include=["id", "score"])
+        .flatten()
+        .to_pandas()
+    )
+    assert sorted(pdf.columns) == ["id", "score"]
+    assert sorted(pdf["score"]) == [1.5, 1.5, 2.5]
+
+
+def test_read_avro_py_first_schema_reader(spark, tmp_path):
+    # merge_schemas=False: the first file's schema IS the reader schema;
+    # evolved files resolve against it (writer-only fields wire-skip).
+    from bamboo_spark import read_avro_py
+
+    old = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "id", "type": "int"}, {"name": "s", "type": "string"}],
+    }
+    new = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "extra", "type": "string"},
+            {"name": "id", "type": "int"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    (tmp_path / "a.avro").write_bytes(_avro_bytes(old, [{"id": 1, "s": "x"}]))
+    (tmp_path / "b.avro").write_bytes(
+        _avro_bytes(new, [{"extra": "dropme", "id": 2, "s": "y"}])
+    )
+    pdf = (
+        read_avro_py(
+            [str(tmp_path / "a.avro"), str(tmp_path / "b.avro")],
+            merge_schemas=False,
+        )
+        .flatten()
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert sorted(pdf.columns) == ["id", "s"]
+    assert list(pdf["s"]) == ["x", "y"]
+
+
+def test_merge_avro_schemas_rules():
+    from bamboo_spark.sources._avro_py import AvroDecodeError, merge_avro_schemas
+
+    a = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "x", "type": "int"},
+            {"name": "only_a", "type": "long"},
+        ],
+    }
+    b = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "x", "type": "double"},
+            {"name": "only_b", "type": "string", "default": "d"},
+        ],
+    }
+    m = merge_avro_schemas(a, b)
+    by = {f["name"]: f for f in m["fields"]}
+    assert by["x"]["type"] == "double"  # int ∨ double widens
+    # one-side-only without default → nullable with null default
+    assert by["only_a"]["type"] == ["null", "long"]
+    assert by["only_a"]["default"] is None
+    # one-side-only WITH default keeps it
+    assert by["only_b"]["default"] == "d"
+
+    with pytest.raises(AvroDecodeError):
+        merge_avro_schemas(
+            {"type": "fixed", "name": "f", "size": 4},
+            {"type": "fixed", "name": "f", "size": 8},
+        )
+
+
+def test_avro_snappy_codec(spark, tmp_path):
+    # Avro snappy framing: raw snappy block + big-endian CRC32 of the
+    # uncompressed payload (Avro spec "snappy" codec), via the
+    # pure-Python block decoder.
+    from bamboo_spark import from_avro, read_avro_py
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "a", "type": "long"}, {"name": "s", "type": "string"}],
+    }
+    recs = [{"a": i, "s": "v%d" % i} for i in range(100)]
+    data = _avro_bytes(schema, recs, block_size=16, codec="snappy")
+    p = tmp_path / "s.avro"
+    p.write_bytes(data)
+    pdf = from_avro(str(p)).flatten().to_pandas()
+    assert sorted(pdf["a"]) == list(range(100))
+    pdf = read_avro_py(str(p)).flatten().to_pandas()
+    assert sorted(pdf["a"]) == list(range(100))
+
+    # corrupt one payload byte → CRC mismatch surfaces as AvroDecodeError
+    from bamboo_spark.sources._avro_py import AvroDecodeError, decompress_block
+
+    blk = _avro_bytes(schema, recs[:4], codec="snappy")
+    # find the block payload: after header(sync) — decode via scanners
+    from bamboo_spark.sources._avro_py import scan_blocks, scan_header
+
+    _, codec, sync, pos = scan_header(blk)
+    (off, size, n), = scan_blocks(blk, pos, sync)
+    payload = bytearray(blk[off : off + size])
+    payload[-1] ^= 0xFF  # flip CRC byte
+    with pytest.raises(AvroDecodeError):
+        decompress_block(bytes(payload), "snappy")
+
+
+def test_snappy_pure_python_codec():
+    # Decode elements straight from the public format description:
+    # literals, 1/2-byte-offset copies, overlapping (run) copies.
+    from bamboo_spark.sources._snappy import (
+        SnappyError,
+        snappy_compress,
+        snappy_uncompress,
+    )
+
+    # hand-built: varint(11), literal "ab", copy offset=2 len=9 (run)
+    block = bytes([11]) + bytes([(2 - 1) << 2]) + b"ab" + bytes(
+        [((9 - 4) << 2) | 0x01, 2]
+    )
+    assert snappy_uncompress(block) == b"ababababab" + b"a"
+
+    # round-trip through the literal-only compressor at several sizes
+    import random as _r
+
+    rnd = _r.Random(7)
+    for size in (0, 1, 59, 60, 61, 1000, 70000, 200000):
+        raw = bytes(rnd.randrange(256) for _ in range(size))
+        assert snappy_uncompress(snappy_compress(raw)) == raw
+
+    for bad in (b"", bytes([200, 200, 200, 200, 200, 200]), bytes([4, 0xFC])):
+        with pytest.raises(SnappyError):
+            snappy_uncompress(bad)
+    # declared length ≠ decoded length
+    with pytest.raises(SnappyError):
+        snappy_uncompress(bytes([5]) + bytes([(2 - 1) << 2]) + b"ab")
 
 
 def test_avro_perf_gate_1m_records(spark, tmp_path):
