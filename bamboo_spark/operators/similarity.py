@@ -504,9 +504,16 @@ def kmeans_train(
     """Distributed spherical k-means quantizer training — Lloyd
     iterations as joins + aggregates, the MLlib shape at any scale:
 
-    * init: the ``k`` lowest-id vectors (deterministic, seed-free);
-      ``k = ceil(sqrt(n))`` when ``n_centroids`` is None — the standard
-      IVF sizing, so per-bucket verify stays ~linear in n overall.
+    * init: the ``k`` vectors with the smallest ``md5(id)`` — a
+      deterministic, seed-free *hash-ranked sample* (k-means‖ flavor:
+      uniform over the corpus regardless of how ids correlate with
+      shards or insertion order, unlike lowest-id init which can seed
+      all centroids from one shard's near-identical vectors).
+      Replayable in ANSI SQL (``order by md5(cast(id as varchar))``),
+      and distributed: rank-by-hash + limit is a per-partition partial
+      top-k (TakeOrdered), not a global sort. ``k = ceil(sqrt(n))``
+      when ``n_centroids`` is None — the standard IVF sizing, so
+      per-bucket verify stays ~linear in n overall.
     * assign + partial update in ONE kernel: broadcast the (tiny)
       centroid matrix, one BLAS GEMM per Arrow batch, argmax of round-6
       cosine (ties → lower centroid id) — and the same batch immediately
@@ -529,7 +536,12 @@ def kmeans_train(
     from pyspark.sql import types as T
 
     k = n_centroids or int(math.ceil(math.sqrt(df.count())))
-    init_rows = df.select(id_col, vec).orderBy(id_col).limit(k).collect()
+    init_rows = (
+        df.select(id_col, vec)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
     c_mat = _round6_half_away(
         np.array([np.asarray(r[1], dtype=np.float64) for r in init_rows])
     )
@@ -761,7 +773,7 @@ with e as materialized (
   select vec_id, [x::DOUBLE for x in embedding] v,
          sqrt(list_dot_product([x::DOUBLE for x in embedding],
                                [x::DOUBLE for x in embedding])) n,
-         row_number() over (order by vec_id) - 1 rid
+         row_number() over (order by md5(vec_id::VARCHAR), vec_id) - 1 rid
   from embeddings
 ),
 ex as materialized (
