@@ -705,6 +705,7 @@ def ivf_pairs(
     vec: str = "embedding",
     n_probe: int = 1,
     bucket_cap: Optional[int] = None,
+    int8_verify: bool = False,
 ) -> DataFrame:
     """IVF-bucketed ANN near-dup pairs: train a √n-sized k-means coarse
     quantizer (kmeans_train), assign every vector to its ``n_probe``
@@ -720,6 +721,17 @@ def ivf_pairs(
     ``bucket_cap`` hard-bounds any one bucket (members ranked by id;
     overflow is dropped from candidate generation — an *approximation*,
     documented, for adversarially skewed bucket distributions).
+
+    ``int8_verify`` scores the bucket-local verify on the symmetric
+    int8 quantization of each vector (``quantize_embeddings``'s
+    transform) instead of the float64 values: q = round_half_away(x /
+    (max|x|/127)). The per-vector dequant scale cancels in the cosine,
+    so the score is dot_int(q_a, q_b) / (|q_a|·|q_b|) — the integer dot
+    is EXACT (no float accumulation), which keeps the DuckDB oracle
+    bit-identical, while the verify matrix holds int8-range values: 8×
+    less memory/bandwidth than float64 buckets at 100 TB (and on real
+    executors the GEMM runs int8/VNNI). Emitted cosines are the
+    quantized approximation, round-6.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -748,8 +760,16 @@ def ivf_pairs(
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = _round6_half_away(mat @ mat.T)
+        if int8_verify:
+            scale = np.maximum(np.abs(mat).max(axis=1, keepdims=True), 1e-30) / 127.0
+            y = mat / scale
+            q = np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)).astype(np.int64)
+            dots = q @ q.T  # exact integer dot products
+            norm = np.maximum(np.sqrt(np.diag(dots).astype(np.float64)), 1e-30)
+            sims = _round6_half_away(dots / (norm[:, None] * norm[None, :]))
+        else:
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = _round6_half_away(mat @ mat.T)
         ia, ib = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "cosine": sims[ia, ib]})
 
@@ -824,10 +844,13 @@ def ivf_pairs_duck(
     iterations: int = 2,
     n_probe: int = 1,
     bucket_cap: Optional[int] = None,
+    int8_verify: bool = False,
 ) -> str:
     """DuckDB oracle for ``ivf_pairs``: replays the k-means training
     (decimal-exact means make it reproducible), then the same assign /
-    cap / bucket-join / verify."""
+    cap / bucket-join / verify. With ``int8_verify`` the verify replays
+    the symmetric int8 quantization and scores on integer dot products
+    (exact — no accumulation drift), dividing by the quantized norms."""
     cap_clause = (
         ""
         if bucket_cap is None
@@ -841,7 +864,41 @@ capped as (
         % bucket_cap
     )
     assign_src = "assign" if bucket_cap is None else "capped"
-    return _kmeans_duck_ctes(n_centroids, iterations) + """,
+    if int8_verify:
+        verify = """,
+q8 as materialized (
+  select vec_id,
+         [cast(round(x / s, 0) as double) for x in v] qv
+  from (
+    select vec_id, v,
+           greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 s
+    from e
+  )
+),
+q8n as materialized (
+  select vec_id, qv, greatest(sqrt(list_dot_product(qv, qv)), 1e-30) qn from q8
+),
+j as (
+  select a.vec_id id_a, b.vec_id id_b,
+         round(list_dot_product(qa.qv, qb.qv) / (qa.qn * qb.qn), 6) cosine
+  from {src} a
+  join {src} b on a.cid = b.cid and a.vec_id < b.vec_id
+  join q8n qa on qa.vec_id = a.vec_id
+  join q8n qb on qb.vec_id = b.vec_id
+)"""
+    else:
+        verify = """,
+j as (
+  select a.vec_id id_a, b.vec_id id_b,
+         round(list_dot_product(ea.v, eb.v) / (ea.n * eb.n), 6) cosine
+  from {src} a
+  join {src} b on a.cid = b.cid and a.vec_id < b.vec_id
+  join e ea on ea.vec_id = a.vec_id
+  join e eb on eb.vec_id = b.vec_id
+)"""
+    return (
+        _kmeans_duck_ctes(n_centroids, iterations)
+        + """,
 scored as (
   select e.vec_id, c.cid,
          round(list_dot_product(e.v, c.cv) / (e.n * c.cn), 6) s
@@ -853,17 +910,12 @@ assign as (
                                  order by s desc, cid asc) r
     from scored
   ) where r <= {np}
-){cap},
-j as (
-  select a.vec_id id_a, b.vec_id id_b,
-         round(list_dot_product(ea.v, eb.v) / (ea.n * eb.n), 6) cosine
-  from {src} a
-  join {src} b on a.cid = b.cid and a.vec_id < b.vec_id
-  join e ea on ea.vec_id = a.vec_id
-  join e eb on eb.vec_id = b.vec_id
-)
+){cap}"""
+        + verify
+        + """
 select distinct id_a, id_b, cosine from j where cosine >= {t}
-""".format(np=n_probe, t=threshold, cap=cap_clause, src=assign_src)
+"""
+    ).format(np=n_probe, t=threshold, cap=cap_clause, src=assign_src)
 
 
 def ann_pairs(

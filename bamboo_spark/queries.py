@@ -1327,6 +1327,16 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_pairs(e, threshold=0.4)
 
 
+def q_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the bucket-local verify scored on symmetric int8
+    quantized vectors (per-vector dequant scale cancels in the cosine):
+    integer dot products are exact, so the oracle replays bit-for-bit,
+    and the verify working set is 8x smaller than float64 — the memory/
+    bandwidth shape you want when buckets hold millions of vectors."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_pairs(e, threshold=0.4, int8_verify=True)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: a NEW batch (doc_id >= 250) deduplicates
     against the already-ingested corpus (doc_id < 250) by normalized
@@ -2515,6 +2525,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
+        "ann_ivf_int8": q_ann_ivf_int8,
         "embedding_quantize": q_embedding_quantize,
         "embedding_projection": q_embedding_projection,
         "label_centroids": q_label_centroids,
@@ -2609,6 +2620,7 @@ def oracle_sql() -> Dict[str, str]:
         "ann_topk": similarity.topk_neighbors_duck(query_ids_below=10, k=5),
         "ann_ivf": similarity.ivf_pairs_duck(threshold=0.4),
         "ann_ivf_multiprobe": similarity.ivf_pairs_duck(threshold=0.4, n_probe=2),
+        "ann_ivf_int8": similarity.ivf_pairs_duck(threshold=0.4, int8_verify=True),
         "embedding_quantize": similarity.quantize_embeddings_duck(),
         "embedding_projection": similarity.random_projection_duck(dim=64, out_dim=16),
         "label_centroids": Q_LABEL_CENTROIDS_SQL,
