@@ -14,6 +14,7 @@ from bamboo_spark.streaming.core import (
     sessionize_stream_tws,
     dedup_stream,
     flatten_stream,
+    minhash_pairs_stream,
     sessionize_stream,
     windowed_counts,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "dedup_stream",
     "dedup_stream_simhash",
     "flatten_stream",
+    "minhash_pairs_stream",
     "sessionize_stream",
     "sessionize_stream_tws",
     "windowed_counts",

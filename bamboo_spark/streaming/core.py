@@ -259,6 +259,136 @@ def dedup_stream_simhash(
     )
 
 
+def minhash_pairs_stream(
+    sdf: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    threshold: float = 0.7,
+    num_hashes: int = 128,
+    rows_per_band: int = 2,
+    k: int = 3,
+    horizon: str = "10 minutes",
+) -> DataFrame:
+    """Streaming near-dup PAIRS: banded MinHash candidate generation
+    within the watermark horizon + exact Jaccard verify — the streaming
+    twin of ``dedup.minhash_lsh_pairs`` (same shingling, same two-base
+    linear signature lanes, same band hashing, same round-6 verify, so
+    stream replay matches the batch operator row-for-row when every
+    pair is horizon-co-resident).
+
+    Shape: the signature is a stateless per-row projection (the batch
+    explode+groupBy-min becomes ``array_min`` over the shingle-hash
+    array — a doc arrives whole, so no aggregation state); bands explode
+    to (band, band_hash) rows; candidates come from a stream-stream
+    self-join on (band, band_hash) with a ±horizon event-time
+    constraint; verify recomputes exact Jaccard from the carried
+    shingle-hash arrays; band-collision repeats collapse via
+    ``dropDuplicatesWithinWatermark`` on (doc_a, doc_b).
+
+    Scale: join state = band rows inside the horizon per side, bounded
+    by the watermark and hash-partitioned by (band, band_hash) —
+    uniform by LSH construction, no hot keys. Carrying the hs array
+    through the band explode multiplies state by num_bands; that is the
+    price of verify-without-a-third-join on a stream — size the horizon
+    to what near-dup ingestion actually needs (minutes-hours), not the
+    corpus lifetime (that's the batch operator's job).
+    """
+    from bamboo_spark.operators.dedup import _MERSENNE31
+    from bamboo_spark.operators.text import word_shingles_sql
+
+    num_bands = num_hashes // rows_per_band
+    p = F.lit(_MERSENNE31)
+    sh = word_shingles_sql("split(%s, ' ')" % text_col, k)
+    base = sdf.select(
+        F.col(doc_col).alias("doc"),
+        F.col(ts_col).alias("ts_ev"),
+        F.expr("array_distinct(%s)" % sh).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    hset = base.select(
+        "doc",
+        "ts_ev",
+        F.array_sort(F.transform("shingles", lambda s: F.xxhash64(s))).alias("hs"),
+    )
+    # two 31-bit base draws per shingle hash, computed ONCE (not per
+    # lane — the HOF lambda re-evaluates its body per element, so
+    # factoring b1/b2 out is a 2×num_hashes → 2 expression saving)
+    bs = F.transform(
+        "hs",
+        lambda h: F.struct(
+            h.bitwiseAND(p).alias("b1"),
+            F.shiftrightunsigned(h, 31).bitwiseAND(p).bitwiseOR(F.lit(1)).alias("b2"),
+        ),
+    )
+    lanes = [
+        F.array_min(
+            F.transform("bs", lambda x: F.pmod(x.b1 + F.lit(i) * x.b2, p))
+        ).alias("mh%d" % i)
+        for i in range(num_hashes)
+    ]
+    sig = hset.withColumn("bs", bs).select("doc", "ts_ev", "hs", *lanes)
+    bands = sig.select(
+        "doc",
+        "ts_ev",
+        "hs",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("mh%d" % (b * rows_per_band + r))
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("h"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc", "ts_ev", "hs", "bh.band", "bh.h")
+
+    a = bands.select(
+        F.col("doc").alias("doc_a"),
+        F.col("ts_ev").alias("ts_a"),
+        F.col("hs").alias("sa"),
+        "band",
+        "h",
+    ).withWatermark("ts_a", horizon)
+    b = bands.select(
+        F.col("doc").alias("doc_b"),
+        F.col("ts_ev").alias("ts_b"),
+        F.col("hs").alias("sb"),
+        F.col("band").alias("band_b"),
+        F.col("h").alias("h_b"),
+    ).withWatermark("ts_b", horizon)
+    joined = a.join(
+        b,
+        (F.col("band") == F.col("band_b"))
+        & (F.col("h") == F.col("h_b"))
+        & (F.col("doc_a") < F.col("doc_b"))
+        & F.expr(
+            "ts_b BETWEEN ts_a - INTERVAL {h} AND ts_a + INTERVAL {h}".format(
+                h=horizon
+            )
+        ),
+    )
+    jac = F.round(
+        F.size(F.array_intersect("sa", "sb")).cast("double")
+        / F.size(F.array_union("sa", "sb")).cast("double"),
+        6,
+    )
+    return (
+        joined.select(
+            "doc_a", "doc_b", F.col("ts_a").alias("ts"), jac.alias("jaccard")
+        )
+        .where(F.col("jaccard") >= threshold)
+        .withWatermark("ts", horizon)
+        .dropDuplicatesWithinWatermark(["doc_a", "doc_b"])
+    )
+
+
 def windowed_counts(
     sdf: DataFrame,
     ts_col: str = "ts",

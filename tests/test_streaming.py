@@ -7,7 +7,11 @@ import time
 import pytest
 from pyspark.sql import functions as F
 
-from bamboo_spark.streaming import flatten_stream, windowed_counts
+from bamboo_spark.streaming import (
+    flatten_stream,
+    minhash_pairs_stream,
+    windowed_counts,
+)
 
 
 def test_flatten_stream_plan(spark):
@@ -337,6 +341,53 @@ def test_flatten_stream_to_parquet_sink(spark, tmp_path):
     assert back.count() == 20
     assert set(back.columns) == {"id", "v"}
     assert back.where(F.col("v") == 91).count() == 1
+
+
+def test_stream_batch_parity_minhash_pairs(spark, tmp_path):
+    # Streaming banded-MinHash near-dup pairs must reproduce the batch
+    # operator row-for-row when all docs are horizon-co-resident:
+    # replay the REAL documents table through a file stream with a
+    # synthetic event time, horizon >> ts spread.
+    from bamboo_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet").select("doc_id", "text")
+    batch = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.7).collect()
+    }
+    assert batch, "batch twin found no pairs — corpus unsuitable"
+
+    B = 1_000_000
+    d = str(tmp_path / "replay")
+    docs.select(
+        "doc_id", F.timestamp_seconds(F.lit(B) + F.col("doc_id")).alias("ts"), "text"
+    ).coalesce(1).write.parquet(d)
+
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(d)
+    pairs = minhash_pairs_stream(stream, horizon="30 days", threshold=0.7)
+    assert pairs.isStreaming
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("mh_pairs_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if (
+                spark.sql("select count(*) c from mh_pairs_t").collect()[0].c
+                >= len(batch)
+            ):
+                break
+            time.sleep(0.5)
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in spark.sql("select * from mh_pairs_t").collect()
+        }
+        assert got == batch
+    finally:
+        q.stop()
 
 
 def test_dedup_stream_simhash_drops_token_reordering(spark, tmp_path):
