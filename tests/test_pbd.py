@@ -259,9 +259,26 @@ def test_read_pbd_multifile(spark, tmp_path):
     pdf = read_pbd(str(tmp_path / "*.pbd"), include=["a"], spark=spark).flatten().to_pandas()
     assert list(pdf.columns) == ["a"]
 
-    # mismatched schema in one file → error surfaces
-    desc2 = _message_desc("Rec", [_field_desc("z", 1, 3)])
-    (tmp_path / "bad.pbd").write_bytes(_container([desc2], "t.Rec", []))
+    # schema evolution: same field number in the same wire class (here
+    # renamed + a writer-only extra field) decodes under the READER
+    # descriptor — resolution is by field number
+    desc2 = _message_desc(
+        "Rec", [_field_desc("z", 1, 3), _field_desc("extra", 3, 3)]
+    )
+    (tmp_path / "evolved.pbd").write_bytes(
+        _container([desc2], "t.Rec", [_tag(1, 0) + _varint(99) + _tag(3, 0) + _varint(7)])
+    )
+    # reader descriptor = first file's → field 1 surfaces as "a"
+    files = [str(tmp_path / ("part%d.pbd" % fi)) for fi in range(3)] + [
+        str(tmp_path / "evolved.pbd")
+    ]
+    pdf = read_pbd(files, spark=spark).flatten().to_pandas()
+    assert 99 in set(pdf["a"]) and "extra" not in pdf.columns
+
+    # wire-class change on a shared number (varint → length-delimited)
+    # is the one unsafe case — must surface, not garble
+    desc3 = _message_desc("Rec", [_field_desc("a", 1, 9)])
+    (tmp_path / "bad.pbd").write_bytes(_container([desc3], "t.Rec", []))
     with pytest.raises(Exception):
         read_pbd(str(tmp_path / "*.pbd"), spark=spark).flatten().to_pandas()
 
