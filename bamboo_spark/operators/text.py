@@ -293,3 +293,47 @@ def stable_sample_pct(id_col: str = "doc_id") -> Column:
 
 def stable_sample_pct_duck(id_col: str = "doc_id") -> str:
     return "(('0x' || substr(md5(%s::VARCHAR), 1, 8))::BIGINT %% 100)" % id_col
+
+
+# ------------------------------------------------------- PII scrubbing
+#
+# Patterns are backslash-free on purpose: Spark SQL string literals
+# process escapes ('\b' -> backspace) while DuckDB's don't, so the same
+# literal means different regexes in the two engines. Character classes
+# ([.], [0-9]) express the same match in both and keep the oracle SQL
+# byte-identical to the Spark expression.
+
+PII_URL_RE = "https?://[A-Za-z0-9./_-]+"
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def scrub_pii_sql(expr: str) -> str:
+    """Spark SQL: redact URLs, then emails, then phone numbers (order
+    matters — emails can embed in URLs). Spark regexp_replace replaces
+    every match."""
+    out = "regexp_replace({e}, '{p}', '<URL>')".format(e=expr, p=PII_URL_RE)
+    out = "regexp_replace({e}, '{p}', '<EMAIL>')".format(e=out, p=PII_EMAIL_RE)
+    return "regexp_replace({e}, '{p}', '<PHONE>')".format(e=out, p=PII_PHONE_RE)
+
+
+def scrub_pii_duck(expr: str) -> str:
+    """DuckDB twin ('g' flag: DuckDB defaults to first-match-only)."""
+    out = "regexp_replace({e}, '{p}', '<URL>', 'g')".format(e=expr, p=PII_URL_RE)
+    out = "regexp_replace({e}, '{p}', '<EMAIL>', 'g')".format(e=out, p=PII_EMAIL_RE)
+    return "regexp_replace({e}, '{p}', '<PHONE>', 'g')".format(e=out, p=PII_PHONE_RE)
+
+
+def pii_count_sql(expr: str) -> str:
+    """Total PII hits (Spark regexp_count; codegen, no UDF)."""
+    return " + ".join(
+        "regexp_count({e}, '{p}')".format(e=expr, p=p)
+        for p in (PII_URL_RE, PII_EMAIL_RE, PII_PHONE_RE)
+    )
+
+
+def pii_count_duck(expr: str) -> str:
+    return " + ".join(
+        "len(regexp_extract_all({e}, '{p}'))".format(e=expr, p=p)
+        for p in (PII_URL_RE, PII_EMAIL_RE, PII_PHONE_RE)
+    )

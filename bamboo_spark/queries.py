@@ -1159,6 +1159,157 @@ select doc_id, {fp} fingerprint from documents order by doc_id
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: URLs, emails, phone numbers →
+    typed placeholders, plus a per-doc hit count — pure regexp_replace/
+    regexp_count (codegen, scan-speed; backslash-free patterns so the
+    Spark and DuckDB regex literals are byte-identical). The synthetic
+    corpus carries no PII, so the query plants a deterministic
+    id-derived contact line first — the redaction itself is what's
+    value-checked."""
+    d = load(spark, sf_dir, "documents")
+    raw = (
+        "concat('contact user', cast(doc_id as string), "
+        "'@mail.example.com or visit https://example.org/d/', "
+        "cast(doc_id as string), ' call 555-', "
+        "lpad(cast(doc_id % 1000 as string), 3, '0'), '-0199 ', text)"
+    )
+    return d.selectExpr(
+        "doc_id",
+        "%s as scrubbed" % text.scrub_pii_sql(raw),
+        "cast(%s as bigint) as n_pii" % text.pii_count_sql(raw),
+    )
+
+
+Q_PII_SCRUB_SQL = """
+with raw as (
+  select doc_id,
+         'contact user' || doc_id::VARCHAR ||
+         '@mail.example.com or visit https://example.org/d/' ||
+         doc_id::VARCHAR || ' call 555-' ||
+         lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-0199 ' || text r
+  from documents
+)
+select doc_id, {scrub} scrubbed, ({cnt})::BIGINT n_pii
+from raw order by doc_id
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 4-gram overlap between every training
+    document and a (deterministic) held-out eval slice — the standard
+    n-gram contamination check run before training. The eval side is
+    benchmark-sized, so its exploded n-gram index BROADCASTS: the 100 TB
+    corpus streams past it map-side with no shuffle of the training
+    data; the only shuffle is the per-(train, eval) overlap count,
+    map-combined. Output: overlap count + contamination ratio
+    (overlap / train doc's distinct n-grams)."""
+    d = load(spark, sf_dir, "documents")
+    sh = text.word_shingles_sql("split(text, ' ')", 4)
+    ev = (
+        d.where("doc_id % 97 = 0")
+        .selectExpr("doc_id as eval_id", "array_distinct(%s) as sh" % sh)
+        .select("eval_id", F.explode("sh").alias("s"))
+    )
+    tr = (
+        d.where("doc_id % 97 != 0")
+        .selectExpr("doc_id", "array_distinct(%s) as sh" % sh)
+        .select("doc_id", F.size("sh").alias("nt"), F.explode("sh").alias("s"))
+    )
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("doc_id", "eval_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
+            F.first("nt").alias("nt"),
+        )
+        .selectExpr(
+            "doc_id",
+            "eval_id",
+            "n_overlap",
+            "round(cast(n_overlap as double) / cast(nt as double), 6)"
+            " as contamination",
+        )
+    )
+
+
+Q_CONTAMINATION_SQL = """
+with ev as (
+  select eval_id, unnest(sh) s from (
+    select doc_id eval_id, list_distinct({sh}) sh
+    from documents where doc_id % 97 = 0
+  )
+),
+tr as (
+  select doc_id, nt, unnest(sh) s from (
+    select doc_id, list_distinct({sh}) sh, len(list_distinct({sh})) nt
+    from documents where doc_id % 97 != 0
+  )
+)
+select doc_id, eval_id, count(*)::BIGINT n_overlap,
+       round(count(*)::DOUBLE / any_value(nt)::DOUBLE, 6) contamination
+from tr join ev using (s)
+group by doc_id, eval_id
+order by doc_id, eval_id
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher-style repetition filters):
+    duplicate bigram/trigram fraction + the hottest trigram's
+    multiplicity. Bigram stats are pure array expressions (scan-speed);
+    the trigram multiplicity needs a per-(doc, gram) count — both aggs
+    key on doc_id first, so the shuffle is map-combined and
+    skew-free."""
+    d = load(spark, sf_dir, "documents")
+    sh2 = text.word_shingles_sql("toks", 2)
+    sh3 = text.word_shingles_sql("toks", 3)
+    staged = d.selectExpr("doc_id", "split(text, ' ') as toks")
+    big = staged.selectExpr(
+        "doc_id",
+        "size(%s) as n2" % sh2,
+        "size(array_distinct(%s)) as d2" % sh2,
+    )
+    tri = staged.selectExpr("doc_id", "explode(%s) as t" % sh3)
+    s3 = (
+        tri.groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n3"),
+            F.count(F.lit(1)).alias("d3"),
+            F.max("c").alias("max_rep"),
+        )
+    )
+    return big.join(s3, "doc_id").selectExpr(
+        "doc_id",
+        "round(1.0 - cast(d2 as double) / cast(n2 as double), 6)"
+        " as dup_bigram_frac",
+        "round(1.0 - cast(d3 as double) / cast(n3 as double), 6)"
+        " as dup_trigram_frac",
+        "cast(max_rep as bigint) as max_trigram_reps",
+    )
+
+
+Q_REPETITION_SQL = """
+with toks as (select doc_id, string_split(text, ' ') toks from documents),
+b as (
+  select doc_id, len({sh2}) n2, len(list_distinct({sh2})) d2 from toks
+),
+t3 as (select doc_id, unnest({sh3}) t from toks),
+per as (select doc_id, t, count(*) c from t3 group by doc_id, t),
+s3 as (
+  select doc_id, sum(c) n3, count(*) d3, max(c) max_rep from per group by doc_id
+)
+select b.doc_id,
+       round(1.0 - d2::DOUBLE / n2::DOUBLE, 6) dup_bigram_frac,
+       round(1.0 - d3::DOUBLE / n3::DOUBLE, 6) dup_trigram_frac,
+       max_rep::BIGINT max_trigram_reps
+from b join s3 using (doc_id)
+order by doc_id
+"""
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media plumbing end-to-end: text → binary payload → media struct →
     Arrow-batched mapInPandas decode (stubbed codec, real pipeline)."""
@@ -2545,6 +2696,9 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
+        "pii_scrub": q_pii_scrub,
+        "contamination": q_contamination,
+        "repetition_stats": q_repetition_stats,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -2656,6 +2810,16 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "token_counts": Q_TOKEN_COUNTS_SQL.format(bpe=text.bpe_token_count_duck("text")),
         "doc_fingerprint": Q_FINGERPRINT_SQL.format(fp=text.fingerprint_duck()),
+        "pii_scrub": Q_PII_SCRUB_SQL.format(
+            scrub=text.scrub_pii_duck("r"), cnt=text.pii_count_duck("r")
+        ),
+        "contamination": Q_CONTAMINATION_SQL.format(
+            sh=text.word_shingles_duck("string_split(text, ' ')", 4)
+        ),
+        "repetition_stats": Q_REPETITION_SQL.format(
+            sh2=text.word_shingles_duck("toks", 2),
+            sh3=text.word_shingles_duck("toks", 3),
+        ),
         "multimodal_decode": Q_MULTIMODAL_SQL,
         "multimodal_features": Q_MULTIMODAL_FEATURES_SQL.format(
             dmax=multimodal.FEATURE_DIM - 1
