@@ -154,3 +154,28 @@ def test_near_dup_default_collects_nothing_data_sized(spark):
     plan = plan_of(q.q_near_dup_embeddings(spark, SF))
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_broadcasts_eval_ngrams(spark):
+    # the eval-side n-gram index must broadcast (benchmark-sized); the
+    # corpus side must NOT shuffle for the join — only the final
+    # per-(train, eval) count agg exchanges, map-combined
+    plan = plan_of(q.q_contamination(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") <= 4  # agg exchange + broadcast exchange
+
+
+def test_repetition_stats_aggs_are_doc_keyed(spark):
+    # both aggregation levels key on doc_id first → map-side combine,
+    # no skew; no extra shuffle beyond the two agg levels + join
+    plan = plan_of(q.q_repetition_stats(spark, SF))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_scrub_is_scan_speed_projection(spark):
+    # pure regexp projection: no exchange, no join, no aggregate
+    plan = plan_of(q.q_pii_scrub(spark, SF))
+    for op in ("Exchange", "Join", "HashAggregate", "Sort"):
+        assert op not in plan, op
