@@ -304,6 +304,150 @@ def topk_neighbors(
     )
 
 
+def topk_neighbors_ivf(
+    df: DataFrame,
+    query_ids_below: int = 10,
+    k: int = 5,
+    n_centroids: Optional[int] = None,
+    iterations: int = 2,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF-accelerated top-k neighbors — the scale path brute-force
+    ``topk_neighbors`` can't take: instead of scoring |Q|×n pairs, each
+    query probes its ``n_probe`` nearest coarse centroids and scores
+    ONLY those buckets (≈ n·n_probe/√n of the corpus per query).
+    Corpus assignment and query probing both reuse ``ivf_assign``, so
+    the bucket structure is the oracle-replayable one. Per-bucket
+    kernels emit partial top-k per querying query; a |result|-sized
+    window merge finishes. Recall < 1 by construction (the IVF
+    tradeoff); emitted cosines are exact round-6.
+
+    Scale: queries and centroids broadcast (both driver-sized by
+    contract); the corpus shuffles ONCE on centroid id; each bucket
+    kernel is a dense GEMM against the probing queries only. Nothing
+    data-sized is collected.
+    """
+    import pandas as pd
+    from pyspark.sql import Window, types as T
+
+    centroids = kmeans_train(df, n_centroids, iterations, id_col, vec)
+    assign = ivf_assign(df, centroids, id_col, vec, n_probe=1)
+    probes = ivf_assign(
+        df.where(F.col(id_col) < query_ids_below), centroids, id_col, vec,
+        n_probe=n_probe,
+    )
+    q_rows = (
+        df.where(F.col(id_col) < query_ids_below).select(id_col, vec).collect()
+    )
+    q_ids = np.fromiter((r[0] for r in q_rows), dtype=np.int64, count=len(q_rows))
+    q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # (cid -> row indices into q_mat); probe table is |Q|·n_probe rows
+    probe_map: dict = {}
+    for r in probes.collect():
+        probe_map.setdefault(r["centroid"], []).append(
+            int(np.nonzero(q_ids == r[id_col])[0][0])
+        )
+    bc = df.sparkSession.sparkContext.broadcast((q_ids, q_mat, probe_map))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
+    )
+
+    def kernel(key, pdf):
+        qi, qm, pm = bc.value
+        rows = pm.get(key[0], [])
+        if not rows or not len(pdf):
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+        c_mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
+        c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+        sims = _round6_half_away(qm[rows] @ c_mat.T)
+        out_q, out_n, out_c = [], [], []
+        for i, qrow in enumerate(rows):
+            qid = qi[qrow]
+            valid = c_ids != qid
+            order = np.lexsort((c_ids[valid], -sims[i][valid]))[:k]
+            out_q.append(np.full(len(order), qid))
+            out_n.append(c_ids[valid][order])
+            out_c.append(sims[i][valid][order])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q) if out_q else [],
+                "neighbor_id": np.concatenate(out_n) if out_n else [],
+                "cosine": np.concatenate(out_c) if out_c else [],
+            }
+        )
+
+    assigned = df.select(id_col, vec).join(assign, id_col)
+    scored = assigned.groupBy("centroid").applyInPandas(kernel, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def topk_neighbors_ivf_duck(
+    query_ids_below: int = 10,
+    k: int = 5,
+    n_centroids: Optional[int] = None,
+    iterations: int = 2,
+    n_probe: int = 2,
+) -> str:
+    """DuckDB oracle for ``topk_neighbors_ivf``: replays training,
+    corpus assignment (r=1), query probing (r<=n_probe), then ranks
+    only bucket-co-resident pairs."""
+    return (
+        _kmeans_duck_ctes(n_centroids, iterations)
+        + """,
+scored_c as (
+  select e.vec_id, c.cid,
+         round(list_dot_product(e.v, c.cv) / (e.n * c.cn), 6) s
+  from e cross join cf c
+),
+assign as (
+  select vec_id, cid from (
+    select *, row_number() over (partition by vec_id
+                                 order by s desc, cid asc) r
+    from scored_c
+  ) where r = 1
+),
+probes as (
+  select vec_id query_id, cid from (
+    select *, row_number() over (partition by vec_id
+                                 order by s desc, cid asc) r
+    from scored_c where vec_id < {qb}
+  ) where r <= {np}
+),
+scored as (
+  select p.query_id, a.vec_id neighbor_id,
+         round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) cosine
+  from probes p
+  join assign a on a.cid = p.cid and a.vec_id != p.query_id
+  join e q on q.vec_id = p.query_id
+  join e c on c.vec_id = a.vec_id
+),
+ranked as (
+  select *, row_number() over (partition by query_id
+                               order by cosine desc, neighbor_id asc) rank
+  from scored
+)
+select query_id, rank::BIGINT rank, neighbor_id, cosine
+from ranked where rank <= {k}
+"""
+    ).format(qb=query_ids_below, np=n_probe, k=k)
+
+
 def topk_neighbors_duck(query_ids_below: int = 10, k: int = 5) -> str:
     return """
 with e as (

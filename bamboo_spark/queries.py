@@ -1478,6 +1478,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_pairs(e, threshold=0.4)
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-accelerated kNN: queries probe their 2 nearest trained
+    centroids and score only those buckets - the top-k shape that
+    survives a corpus where brute force (|Q| x n GEMM) no longer does.
+    Recall < 1 by construction; the oracle replays the same buckets."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.topk_neighbors_ivf(e, query_ids_below=10, k=5, n_probe=2)
+
+
 def q_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with the bucket-local verify scored on symmetric int8
     quantized vectors (per-vector dequant scale cancels in the cosine):
@@ -2677,6 +2686,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "ann_ivf_int8": q_ann_ivf_int8,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_quantize": q_embedding_quantize,
         "embedding_projection": q_embedding_projection,
         "label_centroids": q_label_centroids,
@@ -2775,6 +2785,9 @@ def oracle_sql() -> Dict[str, str]:
         "ann_ivf": similarity.ivf_pairs_duck(threshold=0.4),
         "ann_ivf_multiprobe": similarity.ivf_pairs_duck(threshold=0.4, n_probe=2),
         "ann_ivf_int8": similarity.ivf_pairs_duck(threshold=0.4, int8_verify=True),
+        "ann_topk_ivf": similarity.topk_neighbors_ivf_duck(
+            query_ids_below=10, k=5, n_probe=2
+        ),
         "embedding_quantize": similarity.quantize_embeddings_duck(),
         "embedding_projection": similarity.random_projection_duck(dim=64, out_dim=16),
         "label_centroids": Q_LABEL_CENTROIDS_SQL,
