@@ -76,6 +76,7 @@ def _make_decoder(
     implicit_root: bool,
     path: Optional[str],
     bc: Any,
+    writer_schema: Any = None,
 ) -> Callable[[Iterator[Any]], Iterator[Any]]:
     from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -84,6 +85,8 @@ def _make_decoder(
 
     def fn(batches: Iterator[Any]) -> Iterator[Any]:
         import pyarrow as pa
+
+        from bamboo_spark.sources._avro_py import decode_block_resolved
 
         for batch in batches:
             offs = batch.column(0).to_pylist()
@@ -96,9 +99,15 @@ def _make_decoder(
                         payload = fh.read(size)
                 else:
                     payload = bc.value[off : off + size]
-                records = decode_block(
-                    payload, n, codec, avro_schema, fltr, implicit_root
-                )
+                if writer_schema is not None:
+                    records = decode_block_resolved(
+                        payload, n, codec, writer_schema, avro_schema,
+                        fltr, implicit_root,
+                    )
+                else:
+                    records = decode_block(
+                        payload, n, codec, avro_schema, fltr, implicit_root
+                    )
                 if record_root:
                     arrays = [
                         pa.array(
@@ -118,8 +127,16 @@ def from_avro(
     include: Any = None,
     exclude: Any = None,
     spark: Optional[SparkSession] = None,
+    reader_schema: Any = None,
 ) -> Dataset:
-    """Decode one Avro container stream (reference core.py:36-38)."""
+    """Decode one Avro container stream (reference core.py:36-38).
+
+    ``reader_schema`` (Avro schema JSON) decodes the file under an
+    explicit READER schema instead of the file's writer schema, with
+    spec resolution rules (field matching by name, default fill,
+    numeric promotions, enum fallback) — the reference's reader-vs-
+    writer resolution surface (avro_direct.cpp:107-166) for one file.
+    """
     if spark is None:
         from bamboo_spark.session import get_spark
 
@@ -152,6 +169,15 @@ def from_avro(
     else:
         avro_schema, codec, sync, pos = scan_header(data)
         all_blocks = scan_blocks(data, pos, sync)
+    writer_schema = None
+    if reader_schema is not None:
+        import json as _json
+
+        if _json.dumps(reader_schema, sort_keys=True) != _json.dumps(
+            avro_schema, sort_keys=True
+        ):
+            writer_schema = avro_schema
+            avro_schema = reader_schema
     dtype = avro_to_spark(avro_schema)
     record_root = isinstance(dtype, T.StructType)
     if record_root:
@@ -193,6 +219,7 @@ def from_avro(
             implicit_root,
             path,
             bc,
+            writer_schema,
         ),
         out_schema,
     )

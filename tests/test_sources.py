@@ -626,6 +626,41 @@ def test_read_avro_py_first_schema_reader(spark, tmp_path):
     assert list(pdf["s"]) == ["x", "y"]
 
 
+def test_from_avro_explicit_reader_schema(spark, tmp_path):
+    # single-file resolution under a caller-supplied reader schema:
+    # promotion, default fill, and writer-only drop all in one read
+    from bamboo_spark import from_avro
+
+    writer = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "drop_me", "type": "string"},
+        ],
+    }
+    reader = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "added", "type": "string", "default": "dflt"},
+        ],
+    }
+    p = tmp_path / "r.avro"
+    p.write_bytes(
+        _avro_bytes(writer, [{"id": 7, "drop_me": "x"}, {"id": 8, "drop_me": "y"}])
+    )
+    pdf = from_avro(str(p), reader_schema=reader).flatten().to_pandas()
+    assert sorted(pdf.columns) == ["added", "id"]
+    assert sorted(pdf["id"]) == [7, 8]
+    assert set(pdf["added"]) == {"dflt"}
+
+    # clusions compose with the resolution
+    pdf = from_avro(str(p), reader_schema=reader, include=["id"]).flatten().to_pandas()
+    assert list(pdf.columns) == ["id"]
+
+
 def test_merge_avro_schemas_rules():
     from bamboo_spark.sources._avro_py import AvroDecodeError, merge_avro_schemas
 
