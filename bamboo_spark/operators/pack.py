@@ -119,3 +119,64 @@ select doc_id, n_tokens, start_offset,
        ((start_offset // {L}) != ((start_offset + n_tokens - 1) // {L}))::BIGINT straddles
 from o
 """.format(L=context_len)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    context-window preparation step ahead of tokenization (stride <
+    chunk_tokens gives fixed overlap so no span is lost at a boundary).
+
+    Pure array expressions: one split, a ``sequence`` of chunk starts,
+    one explode — scan-speed, embarrassingly parallel, no shuffle at
+    any corpus size. Emits (doc_id, chunk_id, n_chunk_tokens,
+    chunk_text); the final partial window is kept (a trailing remnant
+    shorter than the overlap would duplicate the previous chunk's tail
+    and is dropped by construction of the start sequence).
+    """
+    starts = (
+        "case when size(__toks) <= {c} then array(0) else "
+        "sequence(0, size(__toks) - {o} - 1, {s}) end"
+    ).format(c=chunk_tokens, o=chunk_tokens - stride, s=stride)
+    return (
+        df.selectExpr(id_col, "split(%s, ' ') as __toks" % text_col)
+        .selectExpr(id_col, "__toks", "posexplode(%s) as (chunk_id, start)" % starts)
+        .selectExpr(
+            id_col,
+            "cast(chunk_id as bigint) as chunk_id",
+            "slice(__toks, start + 1, %d) as __chunk" % chunk_tokens,
+        )
+        .selectExpr(
+            id_col,
+            "chunk_id",
+            "cast(size(__chunk) as bigint) as n_chunk_tokens",
+            "array_join(__chunk, ' ') as chunk_text",
+        )
+    )
+
+
+def chunk_documents_duck(chunk_tokens: int = 64, stride: int = 48) -> str:
+    """Oracle: same chunk starts via generate_series (1-based lists)."""
+    return """
+with toks as (select doc_id, string_split(text, ' ') t from documents),
+starts as (
+  select doc_id, t,
+         case when len(t) <= {c} then [0]
+              else generate_series(0, len(t) - {o} - 1, {s}) end ss
+  from toks
+),
+ex as (
+  select doc_id, t, generate_subscripts(ss, 1) - 1 chunk_id, unnest(ss) st
+  from starts
+)
+select doc_id, chunk_id::BIGINT chunk_id,
+       len(t[st + 1 : st + {c}])::BIGINT n_chunk_tokens,
+       array_to_string(t[st + 1 : st + {c}], ' ') chunk_text
+from ex
+order by doc_id, chunk_id
+""".format(c=chunk_tokens, o=chunk_tokens - stride, s=stride)

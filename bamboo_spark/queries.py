@@ -1254,6 +1254,14 @@ order by doc_id, eval_id
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (context-window prep ahead of
+    tokenization): pure split + sequence + posexplode + slice - one
+    scan, no shuffle, parallel at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    return pack.chunk_documents(d, chunk_tokens=64, stride=48)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition (Gopher-style repetition filters):
     duplicate bigram/trigram fraction + the hottest trigram's
@@ -2709,6 +2717,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "contamination": q_contamination,
         "repetition_stats": q_repetition_stats,
+        "chunk_documents": q_chunk_documents,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -2829,6 +2838,7 @@ def oracle_sql() -> Dict[str, str]:
         "contamination": Q_CONTAMINATION_SQL.format(
             sh=text.word_shingles_duck("string_split(text, ' ')", 4)
         ),
+        "chunk_documents": pack.chunk_documents_duck(chunk_tokens=64, stride=48),
         "repetition_stats": Q_REPETITION_SQL.format(
             sh2=text.word_shingles_duck("toks", 2),
             sh3=text.word_shingles_duck("toks", 3),
