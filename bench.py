@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "ann_ivf",
     "ann_ivf_multiprobe",
     "ann_ivf_int8",
+    "ann_topk_ivf",
     "embedding_quantize",
     "embedding_projection",
     "label_centroids",
@@ -83,6 +84,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "contamination",
     "repetition_stats",
+    "chunk_documents",
     "multimodal_decode",
     "multimodal_features",
     "multimodal_resize",

@@ -179,3 +179,37 @@ def test_pii_scrub_is_scan_speed_projection(spark):
     plan = plan_of(q.q_pii_scrub(spark, SF))
     for op in ("Exchange", "Join", "HashAggregate", "Sort"):
         assert op not in plan, op
+
+
+def test_topk_ivf_collects_nothing_data_sized(spark):
+    # driver-side collects are bounded by sqrt(n)*dim (k-means partial
+    # sums, the documented metadata-sized reduce), the query set (|Q|),
+    # and |Q|*n_probe probes — never corpus-sized; and the per-bucket
+    # verify runs as FlatMapGroupsInPandas, no cartesian anywhere
+    import math
+    from unittest.mock import patch
+
+    try:  # Spark 4 puts the concrete class under sql.classic
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:
+        from pyspark.sql import DataFrame
+
+    sizes = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    with patch.object(DataFrame, "collect", spy):
+        out = q.queries()["ann_topk_ivf"](spark, SF)
+        plan = plan_of(out)
+        n = out.count()
+    n_vecs = spark.read.parquet(SF + "/embeddings.parquet").count()
+    dim = 64
+    bound = (math.isqrt(n_vecs) + 1) * dim + 64
+    assert n > 0
+    assert sizes and max(sizes) <= bound, (sizes, bound)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan

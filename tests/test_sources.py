@@ -696,6 +696,42 @@ def test_merge_avro_schemas_rules():
         )
 
 
+def test_avro_resolution_error_paths(spark, tmp_path):
+    # resolution must fail loudly, not garble: reader-only field with
+    # no default; unresolvable type change
+    from bamboo_spark import from_avro
+    from bamboo_spark.sources._avro_py import AvroDecodeError
+
+    writer = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "id", "type": "int"}],
+    }
+    p = tmp_path / "w.avro"
+    p.write_bytes(_avro_bytes(writer, [{"id": 1}]))
+
+    no_default = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "req", "type": "string"},  # missing in writer, no default
+        ],
+    }
+    with pytest.raises(Exception) as ei:
+        from_avro(str(p), reader_schema=no_default).flatten().to_pandas()
+    assert "default" in str(ei.value)
+
+    narrowing = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "id", "type": "boolean"}],  # int !-> boolean
+    }
+    with pytest.raises(Exception) as ei:
+        from_avro(str(p), reader_schema=narrowing).flatten().to_pandas()
+    assert "resolve" in str(ei.value).lower()
+
+
 def test_avro_snappy_codec(spark, tmp_path):
     # Avro snappy framing: raw snappy block + big-endian CRC32 of the
     # uncompressed payload (Avro spec "snappy" codec), via the
