@@ -10,6 +10,7 @@ built-ins can't express.
 """
 
 from bamboo_spark.streaming.core import (
+    asof_attribute_stream,
     dedup_stream_simhash,
     sessionize_stream_tws,
     dedup_stream,
@@ -20,6 +21,7 @@ from bamboo_spark.streaming.core import (
 )
 
 __all__ = [
+    "asof_attribute_stream",
     "dedup_stream",
     "dedup_stream_simhash",
     "flatten_stream",

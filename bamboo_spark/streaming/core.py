@@ -259,6 +259,95 @@ def dedup_stream_simhash(
     )
 
 
+def asof_attribute_stream(
+    sdf: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    click_type: str = "click",
+    purchase_type: str = "purchase",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming as-of attribution — the streaming twin of the batch
+    ``q_events_asof_click``: each purchase pairs with the latest click
+    at-or-before it by the same user, emitted as the purchase arrives.
+
+    State per user is ONE long (latest click µs) — bounded by user
+    cardinality, not event volume, so no timeout/eviction is needed.
+    Each micro-batch sorts its rows by (ts, clicks-before-purchases) —
+    the batch twin's tag ordering — so intra-batch as-of semantics are
+    exact; across batches the state carries the best-known click, the
+    standard streaming-attribution tradeoff for out-of-order arrivals
+    (a click that arrives after a purchase already emitted does not
+    retract it). In-order replay reproduces the batch result
+    row-for-row (tests/test_streaming.py).
+
+    Scale: the one shuffle is the per-key hash partitioning any
+    stateful op needs; state is O(users)×8 bytes.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "{id} bigint, {u} bigint, purchase_us bigint, "
+        "last_click_us bigint, gap_sec bigint"
+    ).format(id=id_col, u=user_col)
+    state_schema = "click_us long"
+
+    def fn(key, pdfs, state):
+        uid = key[0]
+        frames = [
+            pdf[[ts_col, type_col, id_col]]
+            for pdf in pdfs
+            if len(pdf)
+        ]
+        if not frames:
+            return
+        batch = pd.concat(frames)
+        us = batch[ts_col].astype("int64") // 1_000  # ns→µs
+        tag = (batch[type_col] != click_type).astype("int64")
+        batch = pd.DataFrame(
+            {"us": us, "tag": tag, "eid": batch[id_col]}
+        ).sort_values(["us", "tag"], kind="mergesort")
+        last = state.get[0] if state.exists else None
+        out = []
+        for r_us, r_tag, r_eid in batch.itertuples(index=False):
+            if r_tag == 0:
+                last = int(r_us) if last is None else max(last, int(r_us))
+            else:
+                out.append(
+                    {
+                        id_col: int(r_eid),
+                        user_col: uid,
+                        "purchase_us": int(r_us),
+                        "last_click_us": last,
+                        "gap_sec": None
+                        if last is None
+                        else (int(r_us) - last) // 1_000_000,
+                    }
+                )
+        if last is not None:
+            state.update((last,))
+        if out:
+            yield pd.DataFrame(out)
+
+    filtered = sdf.where(
+        (F.col(type_col) == click_type) | (F.col(type_col) == purchase_type)
+    )
+    return (
+        filtered.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def minhash_pairs_stream(
     sdf: DataFrame,
     doc_col: str = "doc_id",

@@ -343,6 +343,51 @@ def test_flatten_stream_to_parquet_sink(spark, tmp_path):
     assert back.where(F.col("v") == 91).count() == 1
 
 
+def test_stream_batch_parity_asof_attribution(spark, tmp_path):
+    # in-order replay of the real events table must reproduce the batch
+    # as-of join row-for-row (same columns, same nullable gap)
+    from bamboo_spark import queries as q
+    from bamboo_spark.streaming import asof_attribute_stream
+
+    batch = {
+        r["event_id"]: (r["user_id"], r["purchase_us"], r["last_click_us"], r["gap_sec"])
+        for r in q.q_events_asof_click(spark, SF_DIR).collect()
+    }
+    assert batch
+
+    d = str(tmp_path / "replay")
+    (
+        q.load(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_type", "event_id")
+        .coalesce(1)
+        .write.parquet(d)
+    )
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string, event_id long"
+    ).parquet(d)
+    out = asof_attribute_stream(stream, watermark="0 seconds")
+    assert out.isStreaming
+    qy = (
+        out.writeStream.format("memory")
+        .queryName("asof_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.sql("select count(*) c from asof_t").collect()[0].c >= len(batch):
+                break
+            time.sleep(0.5)
+        got = {
+            r["event_id"]: (r["user_id"], r["purchase_us"], r["last_click_us"], r["gap_sec"])
+            for r in spark.sql("select * from asof_t").collect()
+        }
+        assert got == batch
+    finally:
+        qy.stop()
+
+
 def test_stream_batch_parity_minhash_pairs(spark, tmp_path):
     # Streaming banded-MinHash near-dup pairs must reproduce the batch
     # operator row-for-row when all docs are horizon-co-resident:
