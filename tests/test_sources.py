@@ -798,6 +798,64 @@ def test_snappy_pure_python_codec():
         snappy_uncompress(bytes([5]) + bytes([(2 - 1) << 2]) + b"ab")
 
 
+def test_snappy_copy_fuzz():
+    # random literal/copy programs: encode each element by hand, track
+    # the expected output independently, assert the decoder agrees —
+    # exercises 1/2/4-byte offsets, overlapping runs, and 60-63 literal
+    # length encodings the literal-only compressor never emits
+    import random as _r
+
+    from bamboo_spark.sources._snappy import snappy_uncompress
+
+    rnd = _r.Random(42)
+    for _ in range(300):
+        out = bytearray()
+        block = bytearray()
+        for _op in range(rnd.randrange(1, 12)):
+            if not out or rnd.random() < 0.5:  # literal
+                length = rnd.randrange(1, 90)
+                data = bytes(rnd.randrange(256) for _ in range(length))
+                if length - 1 < 60:
+                    block.append((length - 1) << 2)
+                else:  # 1-byte length form (tag 60)
+                    block.append(60 << 2)
+                    block.append(length - 1)
+                block += data
+                out += data
+            else:  # copy
+                offset = rnd.randrange(1, len(out) + 1)
+                form = rnd.choice((1, 2, 3))
+                if form == 1:
+                    length = rnd.randrange(4, 12)
+                    if offset >= 2048:
+                        form = 2
+                if form == 1:
+                    block.append(((length - 4) << 2) | ((offset >> 8) << 5) | 0x01)
+                    block.append(offset & 0xFF)
+                else:
+                    length = rnd.randrange(1, 65)
+                    if form == 2:
+                        block.append(((length - 1) << 2) | 0x02)
+                        block += offset.to_bytes(2, "little")
+                    else:
+                        block.append(((length - 1) << 2) | 0x03)
+                        block += offset.to_bytes(4, "little")
+                start = len(out) - offset
+                for i in range(length):  # overlapping-safe expected value
+                    out.append(out[start + i])
+        ulen = len(out)
+        header = bytearray()
+        v = ulen
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            header.append(b | (0x80 if v else 0))
+            if not v:
+                break
+        got = snappy_uncompress(bytes(header) + bytes(block))
+        assert got == bytes(out)
+
+
 def test_avro_perf_gate_1m_records(spark, tmp_path):
     # Engine twin of the reference's Avro decode perf assertion
     # (avro_tests.py:252-277): 1M records ≥ 200k rec/s steady-state via
