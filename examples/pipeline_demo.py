@@ -39,7 +39,36 @@ def main() -> None:
     docs = spark.read.parquet("%s/documents.parquet" % sf_dir)
 
     sampled = docs.where(text.stable_sample_pct("doc_id") < 80)  # 80% stable sample
-    normed = sampled.withColumn("norm", text.normalize_text("text"))
+
+    # curation pre-passes, all scan-speed or broadcast-shaped:
+    # PII scrub (regexp redaction), repetition filter (Gopher-style),
+    # benchmark decontamination (broadcast 4-gram overlap vs eval slice)
+    scrubbed = sampled.selectExpr(
+        "doc_id", "source", "%s as text" % text.scrub_pii_sql("text")
+    )
+    sh2 = text.word_shingles_sql("split(text, ' ')", 2)
+    non_repetitive = scrubbed.where(
+        "size(array_distinct(%s)) / size(%s) > 0.5" % (sh2, sh2)
+    )
+    sh4 = text.word_shingles_sql("split(text, ' ')", 4)
+    eval_grams = (
+        docs.where(F.col("doc_id") % 97 == 0)
+        .selectExpr("explode(array_distinct(%s)) as s" % sh4)
+        .distinct()
+    )
+    contaminated = (
+        non_repetitive.selectExpr("doc_id", "explode(array_distinct(%s)) as s" % sh4)
+        .join(F.broadcast(eval_grams), "s")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = non_repetitive.join(contaminated, "doc_id", "left_anti")
+    print(
+        "curation: %d sampled -> %d after repetition filter -> %d after decontamination"
+        % (sampled.count(), non_repetitive.count(), clean.count())
+    )
+
+    normed = clean.withColumn("norm", text.normalize_text("text"))
 
     pairs = dedup.minhash_lsh_pairs(
         normed.select("doc_id", F.col("norm").alias("text")),
