@@ -245,23 +245,11 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 128, k: int = 3) -> Data
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    threshold: float = 0.7,
-    num_hashes: int = 128,
-    rows_per_band: int = 2,
-    k: int = 3,
-) -> DataFrame:
-    """Candidate generation by banded minhash + exact Jaccard verify.
-
-    Output is identical to ``jaccard_pairs(df, threshold)`` (up to the
-    negligible LSH miss probability) — the verification step recomputes
-    the true Jaccard for every candidate pair.
-    """
+def _band_rows(sig: DataFrame, num_hashes: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, band, h): one row per (doc, band) with the band's lane
+    values hashed together — the LSH bucket key."""
     num_bands = num_hashes // rows_per_band
-    hsets = tracked_persist(_hashed_sets(df, k))  # reused: signatures + verify
-    sig = _minhash_base(hsets).groupBy("doc_id").agg(*_minhash_aggs(num_hashes))
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -280,7 +268,112 @@ def minhash_lsh_pairs(
             )
         ).alias("bh"),
     ).select("doc_id", "bh.band", "bh.h")
-    bands = tracked_persist(bands)
+
+
+def minhash_incremental(
+    df: DataFrame,
+    split_id: int = 250,
+    threshold: float = 0.7,
+    num_hashes: int = 128,
+    rows_per_band: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Incremental NEAR-dup ingestion: a new batch (``doc_id >=
+    split_id``) checked against the already-ingested corpus's MinHash
+    band index (``doc_id < split_id``) — the append-only twin of
+    ``minhash_lsh_pairs`` (which re-pairs the whole corpus). In
+    production the old side IS the stored band table (bucketed by
+    (band, h)); every ingest batch computes signatures for its own docs
+    only, joins the index for candidates, exact-verifies, and appends
+    its bands back. Cost per batch: O(batch) signatures + an index
+    probe — never a corpus re-scan.
+
+    Output: one row per flagged new doc — (doc_id, dup_of, jaccard),
+    ``dup_of`` = the best-matching ingested doc (highest verified
+    Jaccard, ties → lowest id).
+    """
+    from pyspark.sql import Window
+
+    hsets = tracked_persist(_hashed_sets(df, k))
+    sig = _minhash_base(hsets).groupBy("doc_id").agg(*_minhash_aggs(num_hashes))
+    bands = _band_rows(sig, num_hashes, rows_per_band)
+    old_b = bands.where(F.col("doc_id") < split_id)
+    new_b = bands.where(F.col("doc_id") >= split_id)
+    candidates = (
+        new_b.alias("a")
+        .join(
+            old_b.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.h") == F.col("b.h")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = _verify_jaccard(candidates, hsets, threshold)
+    w = Window.partitionBy("doc_a").orderBy(
+        F.col("jaccard").desc(), F.col("doc_b").asc()
+    )
+    return (
+        verified.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("dup_of"),
+            "jaccard",
+        )
+    )
+
+
+def minhash_incremental_duck(
+    split_id: int = 250, threshold: float = 0.7, k: int = 3
+) -> str:
+    """Oracle: brute-force asymmetric Jaccard (new × ingested) + best
+    match — identical to the LSH path up to its negligible miss
+    probability (p < 5e-10 at t=0.7, r=2, b=64)."""
+    sh = word_shingles_duck("string_split(text, ' ')", k)
+    return """
+with sets as (
+  select doc_id, list_distinct({sh}) shingles from documents
+  where len(list_distinct({sh})) > 0
+),
+ex as (select doc_id, len(shingles) n, unnest(shingles) sh from sets),
+inter as (
+  select a.doc_id doc_id, b.doc_id dup_of, count(*) cnt,
+         any_value(a.n) na, any_value(b.n) nb
+  from ex a join ex b on a.sh = b.sh
+       and a.doc_id >= {s} and b.doc_id < {s}
+  group by 1, 2
+),
+j as (
+  select doc_id, dup_of,
+         round(cnt::DOUBLE / (na + nb - cnt)::DOUBLE, 6) jaccard
+  from inter
+  where round(cnt::DOUBLE / (na + nb - cnt)::DOUBLE, 6) >= {t}
+)
+select doc_id, dup_of, jaccard from (
+  select *, row_number() over (partition by doc_id
+                               order by jaccard desc, dup_of asc) rn
+  from j
+) where rn = 1
+order by doc_id
+""".format(sh=sh, s=split_id, t=threshold)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 128,
+    rows_per_band: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate generation by banded minhash + exact Jaccard verify.
+
+    Output is identical to ``jaccard_pairs(df, threshold)`` (up to the
+    negligible LSH miss probability) — the verification step recomputes
+    the true Jaccard for every candidate pair.
+    """
+    hsets = tracked_persist(_hashed_sets(df, k))  # reused: signatures + verify
+    sig = _minhash_base(hsets).groupBy("doc_id").agg(*_minhash_aggs(num_hashes))
+    bands = tracked_persist(_band_rows(sig, num_hashes, rows_per_band))
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (

@@ -1254,12 +1254,54 @@ order by doc_id, eval_id
 """
 
 
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only near-dup ingestion: the new batch (doc_id >= 250)
+    probes the ingested corpus's MinHash band index for candidates,
+    exact-verifies, and reports each flagged doc's best match - O(batch)
+    work per ingest, never a corpus re-pair."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.minhash_incremental(d, split_id=250, threshold=0.7)
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (context-window prep ahead of
     tokenization): pure split + sequence + posexplode + slice - one
     scan, no shuffle, parallel at any corpus size."""
     d = load(spark, sf_dir, "documents")
     return pack.chunk_documents(d, chunk_tokens=64, stride=48)
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution (bits) - the
+    low-entropy signal quality filters use to drop templated/repetitive
+    docs. One doc_id-keyed two-level aggregate, map-combined:
+    H = log2(n) - sum(c*log2(c))/n over per-token counts c."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.selectExpr("doc_id", "explode(split(text, ' ')) as t")
+    per = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(
+                F.log2(F.sum("c"))
+                - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
+                6,
+            ).alias("entropy"),
+        )
+        .select("doc_id", "n_tokens", "n_distinct", "entropy")
+    )
+
+
+Q_TOKEN_ENTROPY_SQL = """
+with tok as (select doc_id, unnest(string_split(text, ' ')) t from documents),
+per as (select doc_id, t, count(*) c from tok group by doc_id, t)
+select doc_id, sum(c)::BIGINT n_tokens, count(*)::BIGINT n_distinct,
+       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) entropy
+from per group by doc_id
+order by doc_id
+"""
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2718,6 +2760,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "repetition_stats": q_repetition_stats,
         "chunk_documents": q_chunk_documents,
+        "minhash_incremental": q_minhash_incremental,
+        "token_entropy": q_token_entropy,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -2839,6 +2883,10 @@ def oracle_sql() -> Dict[str, str]:
             sh=text.word_shingles_duck("string_split(text, ' ')", 4)
         ),
         "chunk_documents": pack.chunk_documents_duck(chunk_tokens=64, stride=48),
+        "minhash_incremental": dedup.minhash_incremental_duck(
+            split_id=250, threshold=0.7
+        ),
+        "token_entropy": Q_TOKEN_ENTROPY_SQL,
         "repetition_stats": Q_REPETITION_SQL.format(
             sh2=text.word_shingles_duck("toks", 2),
             sh3=text.word_shingles_duck("toks", 3),

@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "contamination",
     "repetition_stats",
     "chunk_documents",
+    "minhash_incremental",
+    "token_entropy",
     "multimodal_decode",
     "multimodal_features",
     "multimodal_resize",
