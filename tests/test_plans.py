@@ -213,3 +213,23 @@ def test_topk_ivf_collects_nothing_data_sized(spark):
     assert sizes and max(sizes) <= bound, (sizes, bound)
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_minhash_incremental_no_corpus_rescan_shape(spark):
+    # band-index probe: equi hash joins only (broadcast at tiny SF,
+    # shuffled-hash at scale — both fine); never a cartesian or
+    # nested-loop join of document sets
+    plan = plan_of(q.queries()["minhash_incremental"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan  # Broadcast- or Shuffled-
+
+
+def test_token_entropy_single_doc_keyed_shuffle(spark):
+    # two agg levels, both keyed by doc_id first: exactly the two agg
+    # exchanges, no join, map-side combine at each level
+    plan = plan_of(q.queries()["token_entropy"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree
+    assert tree.count("Exchange") <= 2
+    assert tree.count("HashAggregate") >= 4  # partial+final at both levels
