@@ -180,3 +180,51 @@ select doc_id, chunk_id::BIGINT chunk_id,
 from ex
 order by doc_id, chunk_id
 """.format(c=chunk_tokens, o=chunk_tokens - stride, s=stride)
+
+
+def shard_manifest(
+    df: DataFrame,
+    shard_tokens: int = 4096,
+    id_col: str = "doc_id",
+    count_expr: Optional[F.Column] = None,
+    shards: int = 32,
+) -> DataFrame:
+    """Export manifest: assign documents (in canonical id order) to
+    fixed-token-budget output shards — the writer-side plan for "emit
+    the corpus as N-token files". Built on the same distributed prefix
+    scan as ``pack_chunks``: shard id = start_offset div budget, plus
+    the in-shard offset a writer needs to lay the doc down without
+    re-scanning its predecessors. A document longer than the budget
+    still gets one shard id (its start's); ``spans_shards`` flags it
+    for the writer's continuation logic.
+    """
+    off = token_offsets(df, id_col, count_expr, shards)
+    first = F.expr("start_offset div %d" % shard_tokens)
+    last = F.expr("(start_offset + n_tokens - 1) div %d" % shard_tokens)
+    return off.select(
+        id_col,
+        "n_tokens",
+        first.alias("shard_id"),
+        (F.col("start_offset") - first * shard_tokens).alias("shard_offset"),
+        (last != first).cast("bigint").alias("spans_shards"),
+    )
+
+
+def shard_manifest_duck(shard_tokens: int = 4096) -> str:
+    """Oracle: the same assignment via one global window."""
+    return """
+with c as (
+  select doc_id, len(string_split(text, ' '))::BIGINT n_tokens from documents
+),
+o as (
+  select doc_id, n_tokens,
+         coalesce(sum(n_tokens) over (order by doc_id
+             rows between unbounded preceding and 1 preceding), 0)::BIGINT so
+  from c
+)
+select doc_id, n_tokens,
+       (so // {s})::BIGINT shard_id,
+       (so - (so // {s}) * {s})::BIGINT shard_offset,
+       (((so + n_tokens - 1) // {s}) != (so // {s}))::BIGINT spans_shards
+from o order by doc_id
+""".format(s=shard_tokens)

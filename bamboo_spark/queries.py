@@ -1254,6 +1254,15 @@ order by doc_id, eval_id
 """
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export manifest: docs -> fixed-token-budget output shards via the
+    distributed two-phase prefix scan (no global window; only P shard
+    totals reach the driver) - the writer-side plan for emitting the
+    corpus as N-token files."""
+    d = load(spark, sf_dir, "documents")
+    return pack.shard_manifest(d, shard_tokens=4096)
+
+
 def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-only near-dup ingestion: the new batch (doc_id >= 250)
     probes the ingested corpus's MinHash band index for candidates,
@@ -2762,6 +2771,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
         "token_entropy": q_token_entropy,
+        "shard_manifest": q_shard_manifest,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -2887,6 +2897,7 @@ def oracle_sql() -> Dict[str, str]:
             split_id=250, threshold=0.7
         ),
         "token_entropy": Q_TOKEN_ENTROPY_SQL,
+        "shard_manifest": pack.shard_manifest_duck(shard_tokens=4096),
         "repetition_stats": Q_REPETITION_SQL.format(
             sh2=text.word_shingles_duck("toks", 2),
             sh3=text.word_shingles_duck("toks", 3),

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "chunk_documents",
     "minhash_incremental",
     "token_entropy",
+    "shard_manifest",
     "multimodal_decode",
     "multimodal_features",
     "multimodal_resize",
