@@ -259,6 +259,41 @@ def dedup_stream_simhash(
     )
 
 
+def contamination_stream(
+    sdf: DataFrame,
+    eval_grams: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+) -> DataFrame:
+    """Streaming ingestion guard: flag documents that share any k-gram
+    with a benchmark/eval set — the STREAM-STATIC join shape. The eval
+    n-gram index is a static (benchmark-sized) frame that broadcasts
+    into every micro-batch; the stream never shuffles for the join and
+    needs no state at all, so this runs at scan speed on an unbounded
+    ingest. Emits one row per contaminated (doc, distinct overlapping
+    grams) with the overlap count — append-safe (per-doc aggregation
+    within a micro-batch only; a doc split across batches would need a
+    watermark agg, which ingestion pipelines avoid by batching whole
+    docs).
+
+    ``eval_grams``: one column ``s`` of distinct eval-set k-grams
+    (build once with the batch ``q_contamination`` machinery). Output
+    is one row per (doc, overlapping gram) — fully stateless, so it
+    stays append-mode-safe; per-doc overlap counts are a trivial
+    downstream rollup (update-mode agg or ``foreachBatch``), and any
+    row at all is the "quarantine this doc" signal an ingest guard
+    acts on.
+    """
+    from bamboo_spark.operators.text import word_shingles_sql
+
+    sh = word_shingles_sql("split(%s, ' ')" % text_col, k)
+    exploded = sdf.selectExpr(
+        doc_col, "explode(array_distinct(%s)) as s" % sh
+    )
+    return exploded.join(F.broadcast(eval_grams), "s")
+
+
 def asof_attribute_stream(
     sdf: DataFrame,
     ts_col: str = "ts",

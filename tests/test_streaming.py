@@ -472,3 +472,67 @@ def test_dedup_stream_simhash_drops_token_reordering(spark, tmp_path):
         assert len(texts & {"the quick brown fox jumps", "fox quick the jumps brown"}) == 1
     finally:
         q.stop()
+
+
+def test_stream_batch_parity_contamination(spark, tmp_path):
+    # stream-static broadcast join: streaming the documents table past
+    # the static eval-gram index must flag exactly the (doc, gram)
+    # pairs the batch contamination query counts
+    from bamboo_spark import queries as q
+    from bamboo_spark.operators.text import word_shingles_sql
+    from bamboo_spark.streaming import contamination_stream
+
+    batch = {
+        (r["doc_id"], r["eval_id"]): r["n_overlap"]
+        for r in q.q_contamination(spark, SF_DIR).collect()
+    }
+    assert batch
+    expected_counts = {}
+    for (doc, _ev), n in batch.items():
+        expected_counts[doc] = expected_counts.get(doc, 0) + n
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    sh = word_shingles_sql("split(text, ' ')", 4)
+    eval_grams = (
+        docs.where("doc_id % 97 = 0")
+        .selectExpr("explode(array_distinct(%s)) as s" % sh)
+        .distinct()
+    )
+
+    d = str(tmp_path / "replay")
+    docs.where("doc_id % 97 != 0").select("doc_id", "text").coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+    out = contamination_stream(stream, eval_grams)
+    assert out.isStreaming
+    qy = (
+        out.writeStream.format("memory")
+        .queryName("contam_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        want_rows = sum(expected_counts.values())
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("select count(*) c from contam_t").collect()[0].c >= want_rows:
+                break
+            time.sleep(0.5)
+        got = {
+            r["doc_id"]: r["n"]
+            for r in spark.sql(
+                "select doc_id, count(*) n from contam_t group by doc_id"
+            ).collect()
+        }
+        # a gram shared with multiple eval docs appears once per doc in
+        # the stream output but once per (doc, eval) pair in the batch
+        # count — compare against distinct grams per doc instead
+        distinct_grams = {
+            r["doc_id"]: r["n"]
+            for r in spark.sql(
+                "select doc_id, count(distinct s) n from contam_t group by doc_id"
+            ).collect()
+        }
+        assert set(got) == set(expected_counts)
+        assert got == distinct_grams  # stream emits each (doc, gram) once
+    finally:
+        qy.stop()
