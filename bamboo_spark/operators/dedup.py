@@ -270,6 +270,21 @@ def _band_rows(sig: DataFrame, num_hashes: int, rows_per_band: int) -> DataFrame
     ).select("doc_id", "bh.band", "bh.h")
 
 
+def build_band_index(
+    df: DataFrame,
+    num_hashes: int = 128,
+    rows_per_band: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """(doc_id, band, h) MinHash band index for a corpus — the stored
+    side of incremental near-dup ingestion. Persist it bucketed by
+    (band, h) (``scale.write_bucketed``) so every ingest batch's
+    candidate probe is a bucket-local join with no index shuffle."""
+    hsets = _hashed_sets(df, k)
+    sig = _minhash_base(hsets).groupBy("doc_id").agg(*_minhash_aggs(num_hashes))
+    return _band_rows(sig, num_hashes, rows_per_band)
+
+
 def minhash_incremental(
     df: DataFrame,
     split_id: int = 250,
@@ -277,6 +292,7 @@ def minhash_incremental(
     num_hashes: int = 128,
     rows_per_band: int = 2,
     k: int = 3,
+    index: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Incremental NEAR-dup ingestion: a new batch (``doc_id >=
     split_id``) checked against the already-ingested corpus's MinHash
@@ -291,14 +307,28 @@ def minhash_incremental(
     Output: one row per flagged new doc — (doc_id, dup_of, jaccard),
     ``dup_of`` = the best-matching ingested doc (highest verified
     Jaccard, ties → lowest id).
+
+    ``index``: a pre-built/loaded band index for the ingested side
+    (``build_band_index``, persisted bucketed by (band, h)); when
+    given, only the NEW batch's signatures are computed and the old
+    side is the stored table — the true production shape. Exact verify
+    still reads both sides' shingle sets from ``df``.
     """
     from pyspark.sql import Window
 
     hsets = tracked_persist(_hashed_sets(df, k))
-    sig = _minhash_base(hsets).groupBy("doc_id").agg(*_minhash_aggs(num_hashes))
-    bands = _band_rows(sig, num_hashes, rows_per_band)
-    old_b = bands.where(F.col("doc_id") < split_id)
-    new_b = bands.where(F.col("doc_id") >= split_id)
+    if index is not None:
+        old_b = index
+        new_b = build_band_index(
+            df.where(F.col("doc_id") >= split_id), num_hashes, rows_per_band, k
+        )
+    else:
+        sig = (
+            _minhash_base(hsets).groupBy("doc_id").agg(*_minhash_aggs(num_hashes))
+        )
+        bands = _band_rows(sig, num_hashes, rows_per_band)
+        old_b = bands.where(F.col("doc_id") < split_id)
+        new_b = bands.where(F.col("doc_id") >= split_id)
     candidates = (
         new_b.alias("a")
         .join(

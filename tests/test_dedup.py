@@ -115,3 +115,31 @@ def test_registry_cache_discipline(spark):
     # building dedup_exact drained minhash's caches; dedup_exact itself
     # persists nothing, so the registry sweep ends clean
     assert not _cache._LIVE
+
+
+def test_minhash_incremental_with_stored_index(spark, tmp_path):
+    # the production shape: the ingested side is a persisted band index
+    # (built once, reloaded per batch); results must equal the
+    # self-computed path exactly
+    from bamboo_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    inline = {
+        (r["doc_id"], r["dup_of"]): r["jaccard"]
+        for r in dedup.minhash_incremental(docs, split_id=250).collect()
+    }
+    assert inline  # corpus has planted near-dups across the split
+
+    idx_path = str(tmp_path / "band_index")
+    dedup.build_band_index(
+        docs.where("doc_id < 250")
+    ).write.parquet(idx_path)
+    stored = {
+        (r["doc_id"], r["dup_of"]): r["jaccard"]
+        for r in dedup.minhash_incremental(
+            docs, split_id=250, index=spark.read.parquet(idx_path)
+        ).collect()
+    }
+    assert stored == inline
