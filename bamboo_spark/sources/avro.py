@@ -317,11 +317,13 @@ def read_avro_py(
                         [pa.array(out)], names=["schema_json"]
                     )
 
+            # distinct() BEFORE collect: 100k files usually hold a
+            # handful of schema versions — only those reach the driver
             keys = set(
                 r.schema_json
-                for r in schema_df.mapInArrow(
-                    _headers, "schema_json string"
-                ).collect()
+                for r in schema_df.mapInArrow(_headers, "schema_json string")
+                .distinct()
+                .collect()
             )
             uniq = {k: _json.loads(k) for k in sorted(keys)}
         avro_schema = reduce(merge_avro_schemas, uniq.values())
