@@ -390,3 +390,73 @@ def _canon(v):
     if isinstance(v, (np.bool_,)):
         return bool(v)
     return v
+
+
+@settings(**SETTINGS)
+@given(
+    n_toks=st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=6),
+    chunk=st.sampled_from([8, 16]),
+    stride=st.sampled_from([4, 8, 12]),
+)
+def test_chunk_documents_covers_every_token(spark, n_toks, chunk, stride):
+    # every token of every doc appears in at least one chunk; chunks
+    # except the first start exactly stride tokens after their
+    # predecessor; reassembling chunk[overlap:] tails reconstructs the doc
+    if stride >= chunk:
+        stride = chunk // 2
+    from bamboo_spark.operators.pack import chunk_documents
+
+    rows = [
+        (i, " ".join("t%d_%d" % (i, j) for j in range(n)))
+        for i, n in enumerate(n_toks)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=chunk, stride=stride)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_text"].split(" ")
+    overlap = chunk - stride
+    for i, n in enumerate(n_toks):
+        toks = ["t%d_%d" % (i, j) for j in range(n)]
+        chunks = [got[i][c] for c in sorted(got[i])]
+        # reconstruction: first chunk + stride-tails of the rest
+        rebuilt = list(chunks[0])
+        for c in chunks[1:]:
+            assert c[:overlap] == rebuilt[-overlap:]  # exact overlap
+            rebuilt.extend(c[overlap:])
+        assert rebuilt == toks
+        for c in chunks:
+            assert len(c) <= chunk
+
+
+def test_scrub_pii_idempotent_and_complete():
+    # scrubbing twice changes nothing; scrubbed text holds no PII hits
+    import duckdb
+
+    from bamboo_spark.operators.text import pii_count_duck, scrub_pii_duck
+
+    con = duckdb.connect()
+    samples = [
+        "mail me at a.b+c%d@ex-ample.co.uk now",
+        "http://x.org/a_b-c/d and https://y.io/z?not=matched",
+        "call 555-123-4567 or 011-222-3333 ext 9",
+        "mixed: u1@a.bc https://h.st/p 999-888-7777 tail",
+        "no pii here at all",
+    ]
+    for s in samples:
+        once, n = con.execute(
+            "select {sc}, {ct} from (select ? r)".format(
+                sc=scrub_pii_duck("r"), ct=pii_count_duck("r")
+            ),
+            [s],
+        ).fetchone()
+        twice = con.execute(
+            "select {sc} from (select ? r)".format(sc=scrub_pii_duck("r")), [once]
+        ).fetchone()[0]
+        assert twice == once
+        n_after = con.execute(
+            "select {ct} from (select ? r)".format(ct=pii_count_duck("r")), [once]
+        ).fetchone()[0]
+        assert n_after == 0
+        if "no pii" not in s:
+            assert n > 0
