@@ -543,6 +543,105 @@ def connected_components_converged(
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
 
 
+def connected_components_contraction(
+    pairs: DataFrame,
+    max_rounds: int = 30,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Exact connected components by alternating LARGE-STAR /
+    SMALL-STAR edge contraction (the Kiveris et al. "Connected
+    Components in MapReduce and Beyond" family) — the third CC variant,
+    for graphs where even the (id, label) table of the propagation
+    variants is dwarfed by the EDGE list: every round rewires edges
+    toward component minima and the edge set itself contracts toward a
+    star forest, so late rounds touch far fewer rows than early ones
+    (min-propagation re-joins the full edge list every superstep).
+
+    * large-star: per node u over the symmetric adjacency, connect
+      every larger neighbor v > u to m(u) = min(N(u) ∪ {u}).
+    * small-star: per node u over the big→small directed edges,
+      connect u and its smaller neighbors to m(u).
+
+    Both steps preserve connectivity and never create edges outside a
+    component; at the fixpoint every node points straight at its
+    component's minimum id, which is the same fixpoint the recursive-
+    CTE oracle computes (components_fixpoint_duck) — so the result is
+    budget-independent and oracle-checkable. Convergence is detected
+    with a metadata-sized (count, hash-sum) aggregate per round.
+
+    Per round: two groupBy-min + two joins on the current (shrinking)
+    edge set, lineage truncated with eager localCheckpoints.
+    """
+    # normalize to directed big→small (u > v), self-loops dropped
+    raw = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y")).where(
+        F.col(a_col) != F.col(b_col)
+    )
+    e = (
+        raw.select(
+            F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def signature(df: DataFrame):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold: order-independent, ANSI-overflow-free
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+
+    sig = signature(e)
+    for _ in range(max_rounds):
+        # ---- large-star over the symmetric adjacency
+        sym = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("mn", F.col("u")).alias("m"))
+        ls = (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star over directed big→small edges
+        m2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        attach = ls.join(m2, "u")
+        ss = (
+            attach.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(attach.select("u", "m"))
+            .where(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = signature(ss)
+        e = ss
+        if (new_sig["n"], new_sig["h"]) == (sig["n"], sig["h"]):
+            break
+        sig = new_sig
+    # fixpoint: a star forest — every non-root has exactly one edge to
+    # its component min; roots have no outgoing (u-side) edge
+    return (
+        nodes.join(e.withColumnRenamed("u", "id"), "id", "left")
+        .groupBy("id")
+        .agg(F.min("v").alias("root"))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("root", F.col("id")).alias("component"),
+        )
+    )
+
+
 def components_fixpoint_duck(pairs_cte: str) -> str:
     """DuckDB oracle for the converged components: transitive closure
     via a recursive CTE, then min reachable id per node — the same

@@ -1103,6 +1103,17 @@ def q_dedup_components_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components_converged(pairs)
 
 
+def q_dedup_components_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters via LARGE-STAR/SMALL-STAR edge contraction -
+    the edge-list-scale CC variant (the edge set itself shrinks toward
+    a star forest each round, unlike min-propagation which re-joins the
+    full edge list every superstep). Same fixpoint as the recursive-CTE
+    oracle, independent of the round budget."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.7, num_hashes=64)
+    return dedup.connected_components_contraction(pairs)
+
+
 def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via the DEFAULT scale path: trained √n-centroid
     IVF + multiprobe + bucket-local exact GEMM verify. Nothing
@@ -2737,6 +2748,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_normalized": q_dedup_normalized,
         "dedup_components": q_dedup_components,
         "dedup_components_converged": q_dedup_components_converged,
+        "dedup_components_contraction": q_dedup_components_contraction,
         "simhash_signatures": q_simhash_signatures,
         "near_dup_embeddings": q_near_dup_embeddings,
         "near_dup_exact": q_near_dup_exact,
@@ -2834,6 +2846,9 @@ def oracle_sql() -> Dict[str, str]:
             dedup.jaccard_pairs_duck(threshold=0.7), iterations=4
         ),
         "dedup_components_converged": dedup.components_fixpoint_duck(
+            dedup.jaccard_pairs_duck(threshold=0.7)
+        ),
+        "dedup_components_contraction": dedup.components_fixpoint_duck(
             dedup.jaccard_pairs_duck(threshold=0.7)
         ),
         "simhash_signatures": _simhash_signatures_duck(),

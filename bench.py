@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "dedup_normalized",
     "dedup_components",
     "dedup_components_converged",
+    "dedup_components_contraction",
     "simhash_signatures",
     "near_dup_embeddings",
     "near_dup_exact",

@@ -460,3 +460,43 @@ def test_scrub_pii_idempotent_and_complete():
         assert n_after == 0
         if "no pii" not in s:
             assert n > 0
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_contraction_components_match_union_find(spark, edges):
+    # large-star/small-star contraction vs a pure-Python union-find on
+    # random multigraphs (self-loops included — must be ignored)
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in dedup.connected_components_contraction(pairs).collect()
+    }
+    assert got == want
