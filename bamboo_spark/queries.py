@@ -1283,6 +1283,47 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_incremental(d, split_id=250, threshold=0.7)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement per stratum
+    (Efraimidis-Spirakis A-ES): key = ln(u)/w with u derived from
+    md5(doc_id) - longer documents (w = n_chars) are proportionally
+    likelier to survive, the sample is reproducible across runs and
+    engines, and selection is one scan-speed projection + a per-stratum
+    top-k window (no rand(), no global sort). The standard
+    quality/length-weighted subsampling shape."""
+    d = load(spark, sf_dir, "documents")
+    u = (
+        "(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) + 1)"
+        " / 4294967297.0"
+    )
+    key = "round(ln(%s) / cast(n_chars as double), 9)" % u
+    staged = d.selectExpr("doc_id", "source", "n_chars", "%s as es_key" % key)
+    w = Window.partitionBy("source").orderBy(
+        F.col("es_key").desc(), F.col("doc_id").asc()
+    )
+    return (
+        staged.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 5)
+        .select("source", "rank", "doc_id", "n_chars", "es_key")
+    )
+
+
+Q_WEIGHTED_SAMPLE_SQL = """
+with staged as (
+  select doc_id, source, n_chars,
+         round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+                  / 4294967297.0) / n_chars::DOUBLE, 9) es_key
+  from documents
+)
+select source, rank, doc_id, n_chars, es_key from (
+  select *, row_number() over (partition by source
+                               order by es_key desc, doc_id asc) rank
+  from staged
+) where rank <= 5
+order by source, rank
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (context-window prep ahead of
     tokenization): pure split + sequence + posexplode + slice - one
@@ -2784,6 +2825,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": q_minhash_incremental,
         "token_entropy": q_token_entropy,
         "shard_manifest": q_shard_manifest,
+        "weighted_sample": q_weighted_sample,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -2913,6 +2955,7 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "token_entropy": Q_TOKEN_ENTROPY_SQL,
         "shard_manifest": pack.shard_manifest_duck(shard_tokens=4096),
+        "weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
         "repetition_stats": Q_REPETITION_SQL.format(
             sh2=text.word_shingles_duck("toks", 2),
             sh3=text.word_shingles_duck("toks", 3),

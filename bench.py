@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "minhash_incremental",
     "token_entropy",
     "shard_manifest",
+    "weighted_sample",
     "multimodal_decode",
     "multimodal_features",
     "multimodal_resize",
