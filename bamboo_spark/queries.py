@@ -1283,6 +1283,34 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_incremental(d, split_id=250, threshold=0.7)
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the events table: per-column null count
+    and exact distinct count, plus row total - the monitoring scan a
+    pipeline runs on every ingest batch. ONE pass: count(col) and
+    count(distinct col) fold into a single aggregate (Spark plans
+    multi-distinct via expand, still one scan), emitted long so the
+    driver can diff profiles across batches."""
+    e = load(spark, sf_dir, "events")
+    cols = ["user_id", "event_type", "value"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).cast("bigint").alias("%s_nulls" % c))
+        aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias("%s_distinct" % c))
+    return e.agg(*aggs)
+
+
+Q_TABLE_PROFILE_SQL = """
+select count(*)::BIGINT n_rows,
+       (count(*) - count(user_id))::BIGINT user_id_nulls,
+       count(distinct user_id)::BIGINT user_id_distinct,
+       (count(*) - count(event_type))::BIGINT event_type_nulls,
+       count(distinct event_type)::BIGINT event_type_distinct,
+       (count(*) - count(value))::BIGINT value_nulls,
+       count(distinct value)::BIGINT value_distinct
+from events
+"""
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling WITHOUT replacement per stratum
     (Efraimidis-Spirakis A-ES): key = ln(u)/w with u derived from
@@ -2826,6 +2854,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "shard_manifest": q_shard_manifest,
         "weighted_sample": q_weighted_sample,
+        "table_profile": q_table_profile,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -2956,6 +2985,7 @@ def oracle_sql() -> Dict[str, str]:
         "token_entropy": Q_TOKEN_ENTROPY_SQL,
         "shard_manifest": pack.shard_manifest_duck(shard_tokens=4096),
         "weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
+        "table_profile": Q_TABLE_PROFILE_SQL,
         "repetition_stats": Q_REPETITION_SQL.format(
             sh2=text.word_shingles_duck("toks", 2),
             sh3=text.word_shingles_duck("toks", 3),

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "token_entropy",
     "shard_manifest",
     "weighted_sample",
+    "table_profile",
     "multimodal_decode",
     "multimodal_features",
     "multimodal_resize",
