@@ -525,17 +525,29 @@ def _decode_resolved(
         # identical underlying type — reader's logical annotation (if any)
         # drives the representation
         return _decode_value(r, rd, r_names)
-    # numeric / string-bytes promotions (resolution acts on raw types)
+    # numeric / string-bytes promotions (resolution acts on raw types;
+    # the reader's logical annotation applies AFTER, spec order)
+    def _logicalize(val):
+        if isinstance(rd, dict):
+            logical = rd.get("logicalType")
+            if logical == "timestamp-millis":
+                return val * 1000
+            if logical == "decimal":
+                raise AvroDecodeError(
+                    "Cannot promote writer %r into a decimal reader type" % (wt,)
+                )
+        return val
+
     if wt == "int" and rt == "long":
-        return r.read_long()
+        return _logicalize(r.read_long())
     if wt in ("int", "long") and rt in ("float", "double"):
-        return float(r.read_long())
+        return _logicalize(float(r.read_long()))
     if wt == "float" and rt == "double":
-        return struct.unpack("<f", r.read(4))[0]
+        return _logicalize(struct.unpack("<f", r.read(4))[0])
     if wt == "string" and rt == "bytes":
-        return r.read_bytes()
+        return _logicalize(r.read_bytes())
     if wt == "bytes" and rt == "string":
-        return r.read_utf8()
+        return _logicalize(r.read_utf8())
     raise AvroDecodeError(
         "Cannot resolve writer schema %r against reader schema %r" % (wt, rt)
     )

@@ -933,3 +933,31 @@ def test_flat_text_lines(spark, tmp_path):
         f.write("hello\nworld\n")
     pdf = read_text(p, spark, line_name="line").to_pandas()
     assert sorted(pdf["line"]) == ["hello", "world"]
+
+
+def test_avro_resolution_applies_reader_logical_type(spark, tmp_path):
+    # spec order: resolve the raw promotion (int -> long) FIRST, then
+    # apply the reader's logical annotation (timestamp-millis -> us)
+    from bamboo_spark import from_avro
+
+    writer = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "ts", "type": "int"}],
+    }
+    reader = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-millis"},
+            }
+        ],
+    }
+    p = tmp_path / "lt.avro"
+    p.write_bytes(_avro_bytes(writer, [{"ts": 1500}]))
+    row = from_avro(str(p), reader_schema=reader).df.collect()[0]
+    import datetime
+
+    assert row["ts"] == datetime.datetime(1970, 1, 1, 0, 0, 1, 500000)
