@@ -56,3 +56,60 @@ def test_pack_chunks_straddle_bookkeeping(spark):
     assert rows[2]["chunk_id"] == 0 and rows[2]["last_chunk_id"] == 1
     assert rows[2]["straddles"] == 1
     assert rows[5]["chunk_id"] == 2 and rows[5]["straddles"] == 0
+
+
+def test_shard_manifest_agrees_with_pack_chunks(spark):
+    # same prefix-scan machinery, two consumers: with equal budgets the
+    # manifest's shard assignment must equal pack_chunks' chunk spans
+    from bamboo_spark.operators import pack
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chunks = {
+        r["doc_id"]: (r["chunk_id"], r["last_chunk_id"], r["straddles"])
+        for r in pack.pack_chunks(docs, context_len=4096).collect()
+    }
+    manifest = {
+        r["doc_id"]: (r["shard_id"], r["spans_shards"], r["shard_offset"], r["n_tokens"])
+        for r in pack.shard_manifest(docs, shard_tokens=4096).collect()
+    }
+    assert set(chunks) == set(manifest)
+    for d, (first, last, straddles) in chunks.items():
+        shard, spans, off, n = manifest[d]
+        assert shard == first
+        assert spans == straddles == (1 if last != first else 0)
+        assert 0 <= off < 4096
+
+
+def test_chunk_documents_is_streaming_safe(spark, tmp_path):
+    # pure projection + explode: applies to a stream unmodified and
+    # emits the same rows the batch computes
+    import time as _t
+
+    from bamboo_spark.operators.pack import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch = {
+        (r["doc_id"], r["chunk_id"]): r["n_chunk_tokens"]
+        for r in chunk_documents(docs, chunk_tokens=64, stride=48).collect()
+    }
+    d = str(tmp_path / "replay")
+    docs.coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+    out = chunk_documents(stream, chunk_tokens=64, stride=48)
+    assert out.isStreaming
+    q = out.writeStream.format("memory").queryName("chunk_t").outputMode("append").start()
+    try:
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            if spark.sql("select count(*) c from chunk_t").collect()[0].c >= len(batch):
+                break
+            _t.sleep(0.5)
+        got = {
+            (r["doc_id"], r["chunk_id"]): r["n_chunk_tokens"]
+            for r in spark.sql("select * from chunk_t").collect()
+        }
+        assert got == batch
+    finally:
+        q.stop()
