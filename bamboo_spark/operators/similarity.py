@@ -85,6 +85,15 @@ def _round6_half_away(x: "np.ndarray") -> "np.ndarray":
     return np.where(x >= 0, np.floor(x * 1e6 + 0.5), np.ceil(x * 1e6 - 0.5)) / 1e6
 
 
+def _quantize_rows(mat: "np.ndarray") -> "np.ndarray":
+    """Symmetric per-row int8 quantization (quantize_embeddings' math:
+    scale = max|x|/127, q = round-half-away(x/scale)) as int64 — the
+    verify-side kernel twin, bit-replayable in SQL."""
+    scale = np.maximum(np.abs(mat).max(axis=1, keepdims=True), 1e-30) / 127.0
+    y = mat / scale
+    return np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)).astype(np.int64)
+
+
 def cosine_pairs_bcast_gemm(
     df: DataFrame,
     threshold: float = 0.4,
@@ -313,6 +322,7 @@ def topk_neighbors_ivf(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec: str = "embedding",
+    int8_verify: bool = False,
 ) -> DataFrame:
     """IVF-accelerated top-k neighbors — the scale path brute-force
     ``topk_neighbors`` can't take: instead of scoring |Q|×n pairs, each
@@ -327,7 +337,10 @@ def topk_neighbors_ivf(
     Scale: queries and centroids broadcast (both driver-sized by
     contract); the corpus shuffles ONCE on centroid id; each bucket
     kernel is a dense GEMM against the probing queries only. Nothing
-    data-sized is collected.
+    data-sized is collected. ``int8_verify`` scores buckets on the
+    symmetric int8 quantization (scales cancel in the cosine; integer
+    dots are exact, so the oracle stays bit-identical) — 8× smaller
+    bucket working set, same as ``ivf_pairs``.
     """
     import pandas as pd
     from pyspark.sql import Window, types as T
@@ -342,8 +355,11 @@ def topk_neighbors_ivf(
         df.where(F.col(id_col) < query_ids_below).select(id_col, vec).collect()
     )
     q_ids = np.fromiter((r[0] for r in q_rows), dtype=np.int64, count=len(q_rows))
-    q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_raw = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    if int8_verify:
+        q_mat = _quantize_rows(q_raw)
+    else:
+        q_mat = q_raw / np.linalg.norm(q_raw, axis=1, keepdims=True)
     # (cid -> row indices into q_mat); probe table is |Q|·n_probe rows
     probe_map: dict = {}
     for r in probes.collect():
@@ -367,8 +383,16 @@ def topk_neighbors_ivf(
             return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
         c_ids = pdf[id_col].to_numpy(dtype=np.int64)
         c_mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
-        c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
-        sims = _round6_half_away(qm[rows] @ c_mat.T)
+        if int8_verify:
+            cq = _quantize_rows(c_mat)
+            qq = qm[rows]
+            dots = (qq @ cq.T).astype(np.float64)
+            qn = np.maximum(np.sqrt((qq * qq).sum(axis=1, keepdims=True)), 1e-30)
+            cn = np.maximum(np.sqrt((cq * cq).sum(axis=1)), 1e-30)
+            sims = _round6_half_away(dots / (qn * cn[None, :]))
+        else:
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = _round6_half_away(qm[rows] @ c_mat.T)
         out_q, out_n, out_c = [], [], []
         for i, qrow in enumerate(rows):
             qid = qi[qrow]
@@ -403,10 +427,44 @@ def topk_neighbors_ivf_duck(
     n_centroids: Optional[int] = None,
     iterations: int = 2,
     n_probe: int = 2,
+    int8_verify: bool = False,
 ) -> str:
     """DuckDB oracle for ``topk_neighbors_ivf``: replays training,
     corpus assignment (r=1), query probing (r<=n_probe), then ranks
-    only bucket-co-resident pairs."""
+    only bucket-co-resident pairs (on int8-quantized vectors when
+    ``int8_verify`` — exact integer dots over quantized norms)."""
+    if int8_verify:
+        scored = """,
+q8 as materialized (
+  select vec_id,
+         [cast(round(x / s, 0) as double) for x in v] qv
+  from (
+    select vec_id, v,
+           greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 s
+    from e
+  )
+),
+q8n as materialized (
+  select vec_id, qv, greatest(sqrt(list_dot_product(qv, qv)), 1e-30) qn from q8
+),
+scored as (
+  select p.query_id, a.vec_id neighbor_id,
+         round(list_dot_product(qa.qv, qb.qv) / (qa.qn * qb.qn), 6) cosine
+  from probes p
+  join assign a on a.cid = p.cid and a.vec_id != p.query_id
+  join q8n qa on qa.vec_id = p.query_id
+  join q8n qb on qb.vec_id = a.vec_id
+),"""
+    else:
+        scored = """,
+scored as (
+  select p.query_id, a.vec_id neighbor_id,
+         round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) cosine
+  from probes p
+  join assign a on a.cid = p.cid and a.vec_id != p.query_id
+  join e q on q.vec_id = p.query_id
+  join e c on c.vec_id = a.vec_id
+),"""
     return (
         _kmeans_duck_ctes(n_centroids, iterations)
         + """,
@@ -428,15 +486,9 @@ probes as (
                                  order by s desc, cid asc) r
     from scored_c where vec_id < {qb}
   ) where r <= {np}
-),
-scored as (
-  select p.query_id, a.vec_id neighbor_id,
-         round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) cosine
-  from probes p
-  join assign a on a.cid = p.cid and a.vec_id != p.query_id
-  join e q on q.vec_id = p.query_id
-  join e c on c.vec_id = a.vec_id
-),
+)"""
+        + scored
+        + """
 ranked as (
   select *, row_number() over (partition by query_id
                                order by cosine desc, neighbor_id asc) rank
@@ -905,9 +957,7 @@ def ivf_pairs(
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
         if int8_verify:
-            scale = np.maximum(np.abs(mat).max(axis=1, keepdims=True), 1e-30) / 127.0
-            y = mat / scale
-            q = np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)).astype(np.int64)
+            q = _quantize_rows(mat)
             dots = q @ q.T  # exact integer dot products
             norm = np.maximum(np.sqrt(np.diag(dots).astype(np.float64)), 1e-30)
             sims = _round6_half_away(dots / (norm[:, None] * norm[None, :]))

@@ -1626,6 +1626,16 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_neighbors_ivf(e, query_ids_below=10, k=5, n_probe=2)
 
 
+def q_ann_topk_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with the bucket GEMM on int8-quantized vectors - the
+    8x-smaller-working-set variant of ann_topk_ivf (scales cancel in
+    the cosine; integer dots keep the oracle bit-exact)."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.topk_neighbors_ivf(
+        e, query_ids_below=10, k=5, n_probe=2, int8_verify=True
+    )
+
+
 def q_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with the bucket-local verify scored on symmetric int8
     quantized vectors (per-vector dequant scale cancels in the cosine):
@@ -2827,6 +2837,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "ann_ivf_int8": q_ann_ivf_int8,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_ivf_int8": q_ann_topk_ivf_int8,
         "embedding_quantize": q_embedding_quantize,
         "embedding_projection": q_embedding_projection,
         "label_centroids": q_label_centroids,
@@ -2936,6 +2947,9 @@ def oracle_sql() -> Dict[str, str]:
         "ann_ivf_int8": similarity.ivf_pairs_duck(threshold=0.4, int8_verify=True),
         "ann_topk_ivf": similarity.topk_neighbors_ivf_duck(
             query_ids_below=10, k=5, n_probe=2
+        ),
+        "ann_topk_ivf_int8": similarity.topk_neighbors_ivf_duck(
+            query_ids_below=10, k=5, n_probe=2, int8_verify=True
         ),
         "embedding_quantize": similarity.quantize_embeddings_duck(),
         "embedding_projection": similarity.random_projection_duck(dim=64, out_dim=16),

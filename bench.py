@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "ann_ivf_multiprobe",
     "ann_ivf_int8",
     "ann_topk_ivf",
+    "ann_topk_ivf_int8",
     "embedding_quantize",
     "embedding_projection",
     "label_centroids",
