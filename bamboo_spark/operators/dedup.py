@@ -838,3 +838,179 @@ select a.doc_id doc_a, b.doc_id doc_b,
 from sh a join sh b on a.doc_id < b.doc_id
 where bit_count(xor(a.simhash, b.simhash)) <= {d}
 """.format(v=md5_int60_duck("t"), sums=sums, sim=sim, d=max_hamming)
+
+
+# ------------------------------------------- bloom-filter incremental ingest
+#
+# The canonical exact-key ingest guard at corpus scale: build a Bloom
+# filter over the already-ingested corpus's keys ONCE, broadcast the
+# (fixed-size) bitmap, and let every new batch filter itself map-side —
+# the clean majority of new documents never shuffles at all; only
+# Bloom-positive rows (true dups + the engineered false-positive
+# fraction) reach the exact verify join, which removes every false
+# positive. Bloom filters have no false negatives, so the final result
+# is EXACT — the filter only prunes work, identically to the LSH/prefix
+# candidate generators above.
+#
+# Distribution shape: the key is hashed JVM-side (xxhash64, codegen);
+# each scan partition sets bits into a local num_bits/8-byte bitmap
+# (`mapInArrow`, one output row per partition); partition bitmaps are
+# OR-folded in a bounded-fan-in executor stage so the driver collects
+# at most `merge_fanout` bitmaps regardless of partition count. Driver
+# holds O(num_bits), never O(rows). Size num_bits ~ 10 bits/key for
+# ~1% FP (1 GiB bitmap covers ~860M keys; shard the keyspace into
+# multiple filters beyond that).
+
+_BLOOM_MIX = 0x9E3779B97F4A7C15  # 64-bit golden-ratio multiplier
+
+
+def _bloom_hits(h, bitmap_or_none, num_bits: int, num_hashes: int):
+    """Vectorized double-hashing core (Kirsch–Mitzenmacher: position_i =
+    h1 + i*h2 suffices for k independent probes). With a bitmap: returns
+    the boolean might-contain mask. Without: sets the bits in-place into
+    a fresh bitmap and returns it."""
+    import numpy as np
+
+    h = h.astype(np.int64).view(np.uint64)
+    h1 = h
+    # mix for the stride draw; force odd so every stride generates the
+    # full group when num_bits is a power of two
+    h2 = ((h ^ (h >> np.uint64(33))) * np.uint64(_BLOOM_MIX)) | np.uint64(1)
+    mask = np.uint64(num_bits - 1)
+    if bitmap_or_none is None:
+        bitmap = np.zeros(num_bits >> 3, dtype=np.uint8)
+        for i in range(num_hashes):
+            pos = (h1 + np.uint64(i) * h2) & mask
+            np.bitwise_or.at(bitmap, pos >> np.uint64(3),
+                             np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        return bitmap
+    bitmap = bitmap_or_none
+    ok = np.ones(len(h), dtype=bool)
+    for i in range(num_hashes):
+        pos = (h1 + np.uint64(i) * h2) & mask
+        bits = (bitmap[(pos >> np.uint64(3)).astype(np.int64)]
+                >> (pos & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+        ok &= bits.astype(bool)
+    return ok
+
+
+def bloom_build(
+    hashes: DataFrame,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 7,
+    merge_fanout: int = 64,
+) -> bytes:
+    """OR-fold a Bloom bitmap over ``hashes`` (single bigint column of
+    xxhash64 key hashes). Returns the final bitmap bytes (driver-side,
+    broadcast-sized by construction)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if num_bits & (num_bits - 1):
+        raise ValueError("num_bits must be a power of two")
+    col = hashes.columns[0]
+    out_schema = "bitmap binary"
+
+    def per_partition(batches):
+        bm = None
+        for batch in batches:
+            h = batch.column(0).to_numpy(zero_copy_only=False)
+            part = _bloom_hits(h, None, num_bits, num_hashes)
+            bm = part if bm is None else (bm | part)
+        if bm is not None:
+            yield pa.RecordBatch.from_pydict({"bitmap": [bm.tobytes()]})
+
+    part_maps = hashes.select(F.col(col).cast("long")).mapInArrow(
+        per_partition, out_schema
+    )
+
+    def or_group(_key, pdf):
+        import pandas as pd
+
+        acc = None
+        for raw in pdf["bitmap"]:
+            arr = np.frombuffer(raw, dtype=np.uint8)
+            acc = arr.copy() if acc is None else (acc | arr)
+        return pd.DataFrame({"bitmap": [acc.tobytes()]})
+
+    merged = (
+        part_maps.groupBy(
+            (F.xxhash64(F.monotonically_increasing_id()) % merge_fanout).alias("g")
+        )
+        .applyInPandas(or_group, "bitmap binary")
+        .collect()
+    )
+    acc = np.zeros(num_bits >> 3, dtype=np.uint8)
+    for row in merged:
+        acc |= np.frombuffer(row[0], dtype=np.uint8)
+    return acc.tobytes()
+
+
+def bloom_might_contain(
+    spark, bitmap: bytes, num_bits: int = 1 << 20, num_hashes: int = 7
+):
+    """Boolean pandas UDF over an xxhash64 column: vectorized probe of a
+    broadcast Bloom bitmap. Apply BEFORE any shuffle so clean rows die in
+    the scan stage."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(np.frombuffer(bitmap, dtype=np.uint8))
+
+    @pandas_udf("boolean")
+    def probe(h):
+        import pandas as pd
+
+        res = _bloom_hits(h.to_numpy(), bc.value, num_bits, num_hashes)
+        return pd.Series(res)
+
+    return probe
+
+
+def bloom_dedup_incremental(
+    df: DataFrame,
+    key: "F.Column",
+    split_id: int = 250,
+    id_col: str = "doc_id",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 7,
+) -> DataFrame:
+    """Exact-key incremental dedup through a Bloom pre-filter: new batch
+    (``id >= split_id``) vs ingested corpus (``id < split_id``) on an
+    arbitrary key expression (exact hash, normalized text, or a content
+    fingerprint). Output (doc_id, dup_of): each new doc whose key
+    already exists in the corpus, with the lowest matching ingested id.
+
+    Exactness: the Bloom filter admits all true dups (no false
+    negatives); the verify join's equality predicate drops every false
+    positive — so the result equals the plain old⋈new key join, at a
+    fraction of its shuffle (only Bloom survivors are joined, and at
+    real dup rates the survivor side is small enough for a broadcast
+    join that never shuffles the corpus side either).
+    """
+    spark = df.sparkSession
+    keyed = tracked_persist(
+        df.select(F.col(id_col), key.alias("k")).withColumn("h", F.xxhash64("k"))
+    )
+    old = keyed.where(F.col(id_col) < split_id)
+    new = keyed.where(F.col(id_col) >= split_id)
+    bitmap = bloom_build(old.select("h"), num_bits, num_hashes)
+    probe = bloom_might_contain(spark, bitmap, num_bits, num_hashes)
+    cand = new.where(probe(F.col("h")))
+    return (
+        cand.alias("n")
+        .join(old.alias("o"), F.col("n.k") == F.col("o.k"))
+        .groupBy(F.col("n." + id_col).alias(id_col))
+        .agg(F.min(F.col("o." + id_col)).alias("dup_of"))
+    )
+
+
+def bloom_dedup_incremental_duck(key_duck: str, split_id: int = 250) -> str:
+    """DuckDB oracle: the exact old⋈new key join the Bloom path equals."""
+    return """
+with keyed as (select doc_id, {k} as k from documents)
+select n.doc_id as doc_id, min(o.doc_id) as dup_of
+from keyed n join keyed o on n.k = o.k and o.doc_id < {s}
+where n.doc_id >= {s}
+group by n.doc_id
+""".format(k=key_duck, s=split_id)

@@ -1352,6 +1352,47 @@ order by source, rank
 """
 
 
+def q_dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-key incremental dedup through a broadcast Bloom filter,
+    keyed on the winnowing content fingerprint: the ingested corpus
+    (doc_id < 250) publishes a fixed-size bitmap; the new batch filters
+    itself MAP-SIDE (the clean majority never shuffles) and only Bloom
+    survivors reach the exact verify join, which removes every false
+    positive - result identical to the full key join at a fraction of
+    its shuffle. The standard guard in front of the (costlier) MinHash
+    ingest path."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.bloom_dedup_incremental(d, text.fingerprint_expr(), split_id=250)
+
+
+def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source head-capping (C4/RefinedWeb-style domain capping): keep
+    a deterministic hash-ordered sample of at most 10 docs per source so
+    head domains cannot dominate the training mix. One hash-partitioned
+    window; rank order is md5-derived, so the kept set is unbiased,
+    reproducible, and engine-independent. At 100 TB scale hot keys are
+    handled by a count + hash-threshold pre-filter before the window
+    (only ~cap survivors per key reach the sort)."""
+    d = load(spark, sf_dir, "documents")
+    rk = text.md5_int60_sql("cast(doc_id as string)")
+    w = Window.partitionBy("source").orderBy(F.expr(rk).asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 10)
+        .select("source", "rank", "doc_id")
+    )
+
+
+Q_CAP_PER_DOMAIN_SQL = """
+select source, rank, doc_id from (
+  select source, doc_id,
+         row_number() over (partition by source
+                            order by {rk} asc, doc_id asc)::BIGINT rank
+  from documents
+) where rank <= 10
+""".format(rk="(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT)")
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (context-window prep ahead of
     tokenization): pure split + sequence + posexplode + slice - one
@@ -2862,6 +2903,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
+        "dedup_bloom_incremental": q_dedup_bloom_incremental,
+        "cap_per_domain": q_cap_per_domain,
         "token_entropy": q_token_entropy,
         "shard_manifest": q_shard_manifest,
         "weighted_sample": q_weighted_sample,
@@ -2996,6 +3039,10 @@ def oracle_sql() -> Dict[str, str]:
         "minhash_incremental": dedup.minhash_incremental_duck(
             split_id=250, threshold=0.7
         ),
+        "dedup_bloom_incremental": dedup.bloom_dedup_incremental_duck(
+            text.fingerprint_duck(), split_id=250
+        ),
+        "cap_per_domain": Q_CAP_PER_DOMAIN_SQL,
         "token_entropy": Q_TOKEN_ENTROPY_SQL,
         "shard_manifest": pack.shard_manifest_duck(shard_tokens=4096),
         "weighted_sample": Q_WEIGHTED_SAMPLE_SQL,

@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "repetition_stats",
     "chunk_documents",
     "minhash_incremental",
+    "dedup_bloom_incremental",
+    "cap_per_domain",
     "token_entropy",
     "shard_manifest",
     "weighted_sample",

@@ -143,3 +143,59 @@ def test_minhash_incremental_with_stored_index(spark, tmp_path):
         ).collect()
     }
     assert stored == inline
+
+
+# ------------------------------------------- bloom-filter incremental ingest
+
+
+def test_bloom_no_false_negatives_and_fp_pruning(spark):
+    # 200 ingested keys + 200 disjoint new keys: every true dup must
+    # bloom-positive (no false negatives ever), and at 2^20 bits / 400
+    # keys the false-positive rate is ~0 -> clean new keys are pruned
+    # map-side, never reaching the verify join.
+    texts = ["ingested doc %d" % i for i in range(200)]
+    texts += ["ingested doc %d" % i for i in range(100)]  # 100 true dups
+    texts += ["brand new doc %d" % i for i in range(100)]
+    df = _docs(spark, texts)
+    out = {
+        r["doc_id"]: r["dup_of"]
+        for r in dedup.bloom_dedup_incremental(
+            df, F.col("text"), split_id=200
+        ).collect()
+    }
+    release_caches()
+    # exactly the 100 true dups, each matched to its original
+    assert out == {200 + i: i for i in range(100)}
+
+
+def test_bloom_equals_plain_join_even_with_tiny_bitmap(spark):
+    # with a deliberately tiny bitmap (64 bits for 60 keys) the FP rate
+    # is large - the verify join must still reduce to the exact result
+    texts = ["doc %d" % i for i in range(40)]
+    texts += ["doc %d" % (i % 10) for i in range(20)]
+    df = _docs(spark, texts)
+    out = sorted(
+        (r["doc_id"], r["dup_of"])
+        for r in dedup.bloom_dedup_incremental(
+            df, F.col("text"), split_id=40, num_bits=64, num_hashes=2
+        ).collect()
+    )
+    release_caches()
+    assert out == [(40 + i, i % 10) for i in range(20)]
+
+
+def test_bloom_build_driver_bytes_bounded(spark):
+    # the driver artifact is the bitmap alone: num_bits/8 bytes,
+    # independent of row count and partition count
+    df = spark.range(0, 5000, 1, 16).select(F.xxhash64("id").alias("h"))
+    bm = dedup.bloom_build(df, num_bits=1 << 16, num_hashes=5, merge_fanout=4)
+    assert len(bm) == (1 << 16) >> 3
+    # and it answers membership: all inserted ids hit
+    probe = dedup.bloom_might_contain(spark, bm, 1 << 16, 5)
+    hits = (
+        spark.range(0, 5000, 1, 4)
+        .select(F.xxhash64("id").alias("h"))
+        .where(probe(F.col("h")))
+        .count()
+    )
+    assert hits == 5000

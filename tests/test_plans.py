@@ -233,3 +233,29 @@ def test_token_entropy_single_doc_keyed_shuffle(spark):
     assert "Join" not in tree
     assert tree.count("Exchange") <= 2
     assert tree.count("HashAggregate") >= 4  # partial+final at both levels
+
+
+def test_bloom_probe_filters_before_the_verify_join(spark):
+    # the new batch must be Bloom-filtered in its scan stage: the probe
+    # (ArrowEvalPython) and its Filter sit BELOW the verify join, and
+    # the join itself is an equi hash join — never nested-loop
+    plan = plan_of(q.queries()["dedup_bloom_incremental"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "ArrowEvalPython" in tree
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
+    # probe runs below the join: the eval node appears after (deeper
+    # than) the join node in the formatted tree's operator list
+    join_pos = min(tree.find("SortMergeJoin") % 10**9, tree.find("HashJoin") % 10**9)
+    assert tree.find("ArrowEvalPython") > join_pos
+
+
+def test_cap_per_domain_single_window_exchange(spark):
+    # one hash-partitioned exchange feeding the per-key window; rank
+    # filter applied right above it, no join anywhere
+    plan = plan_of(q.queries()["cap_per_domain"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree
+    assert tree.count("Exchange") == 1
+    assert "Window" in tree
