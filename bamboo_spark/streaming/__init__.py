@@ -11,6 +11,7 @@ built-ins can't express.
 
 from bamboo_spark.streaming.core import (
     asof_attribute_stream,
+    bloom_guard_stream,
     contamination_stream,
     dedup_stream_simhash,
     sessionize_stream_tws,
@@ -23,6 +24,7 @@ from bamboo_spark.streaming.core import (
 
 __all__ = [
     "asof_attribute_stream",
+    "bloom_guard_stream",
     "contamination_stream",
     "dedup_stream",
     "dedup_stream_simhash",

@@ -539,3 +539,39 @@ def windowed_counts(
         .agg(*aggs)
         .select(*out)
     )
+
+
+def bloom_guard_stream(
+    sdf: DataFrame,
+    corpus_keys: DataFrame,
+    key,
+    bitmap: bytes,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 7,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming exact-key ingest guard — the stream twin of the batch
+    ``dedup.bloom_dedup_incremental``. The stored corpus publishes a
+    fixed-size Bloom bitmap ONCE (``dedup.bloom_build`` at index-build
+    time); every micro-batch hashes its key JVM-side and filters itself
+    MAP-SIDE with the broadcast bitmap (stateless vectorized probe, no
+    state store, no shuffle), so the clean majority of the stream dies
+    in the scan stage. Only Bloom survivors reach the stream-static
+    verify join against ``corpus_keys`` (columns ``k``, ``dup_of``),
+    which removes every false positive — emitted rows are EXACTLY the
+    stream docs whose key exists in the corpus.
+
+    At 100 TB the corpus key table is far too big to broadcast into
+    each micro-batch — without the Bloom pre-filter the stream-static
+    join would shuffle every micro-batch in full; with it, only the
+    ~dup-rate fraction is joined. Append-safe: fully stateless, one
+    output row per flagged doc.
+    """
+    from bamboo_spark.operators.dedup import bloom_might_contain
+
+    probe = bloom_might_contain(sdf.sparkSession, bitmap, num_bits, num_hashes)
+    keyed = sdf.select(F.col(id_col), key.alias("k")).withColumn(
+        "h", F.xxhash64("k")
+    )
+    cand = keyed.where(probe(F.col("h")))
+    return cand.join(corpus_keys, "k").select(id_col, "dup_of")

@@ -536,3 +536,60 @@ def test_stream_batch_parity_contamination(spark, tmp_path):
         assert got == distinct_grams  # stream emits each (doc, gram) once
     finally:
         qy.stop()
+
+
+def test_stream_batch_parity_bloom_guard(spark, tmp_path):
+    # replay the real documents "new batch" (doc_id >= 250) through a
+    # file stream guarded by the stored corpus's Bloom bitmap; flagged
+    # (doc_id, dup_of) rows must match the batch twin exactly
+    from bamboo_spark import queries as q
+    from bamboo_spark.operators import dedup, release_caches, text
+    from bamboo_spark.streaming import bloom_guard_stream
+
+    docs = q.load(spark, SF_DIR, "documents")
+    batch = {
+        (r["doc_id"], r["dup_of"])
+        for r in dedup.bloom_dedup_incremental(
+            docs, text.fingerprint_expr(), split_id=250
+        ).collect()
+    }
+    release_caches()
+
+    # index-build time (batch side): bitmap + exact key table
+    old = docs.where(F.col("doc_id") < 250).select(
+        "doc_id", text.fingerprint_expr().alias("k")
+    )
+    bitmap = dedup.bloom_build(old.select(F.xxhash64("k").alias("h")))
+    corpus_keys = old.groupBy("k").agg(F.min("doc_id").alias("dup_of"))
+
+    d = str(tmp_path / "doc_replay")
+    docs.where(F.col("doc_id") >= 250).select("doc_id", "text").coalesce(
+        1
+    ).write.parquet(d)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+    guarded = bloom_guard_stream(
+        stream, corpus_keys, text.fingerprint_expr(), bitmap
+    )
+    qy = (
+        guarded.writeStream.format("memory")
+        .queryName("bloom_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if (
+                qy.recentProgress
+                and spark.sql("select count(*) c from bloom_t").collect()[0].c
+                >= len(batch)
+            ):
+                break
+            time.sleep(0.5)
+        got = {
+            (r["doc_id"], r["dup_of"])
+            for r in spark.sql("select * from bloom_t").collect()
+        }
+        assert got == batch and len(got) > 0
+    finally:
+        qy.stop()
