@@ -40,10 +40,20 @@ def main() -> None:
 
     sampled = docs.where(text.stable_sample_pct("doc_id") < 80)  # 80% stable sample
 
+    # Bloom ingest guard: treat doc_id < 250 as the previously-ingested
+    # corpus; new docs whose content fingerprint it already contains are
+    # dropped before any expensive curation work. The batch filters
+    # itself map-side against the corpus's broadcast bitmap; only Bloom
+    # survivors reach the exact verify join.
+    already = dedup.bloom_dedup_incremental(
+        docs, text.fingerprint_expr(), split_id=250
+    )
+    fresh = sampled.join(already.select("doc_id"), "doc_id", "left_anti")
+
     # curation pre-passes, all scan-speed or broadcast-shaped:
     # PII scrub (regexp redaction), repetition filter (Gopher-style),
     # benchmark decontamination (broadcast 4-gram overlap vs eval slice)
-    scrubbed = sampled.selectExpr(
+    scrubbed = fresh.selectExpr(
         "doc_id", "source", "%s as text" % text.scrub_pii_sql("text")
     )
     sh2 = text.word_shingles_sql("split(text, ' ')", 2)
@@ -64,8 +74,9 @@ def main() -> None:
     )
     clean = non_repetitive.join(contaminated, "doc_id", "left_anti")
     print(
-        "curation: %d sampled -> %d after repetition filter -> %d after decontamination"
-        % (sampled.count(), non_repetitive.count(), clean.count())
+        "curation: %d sampled -> %d past bloom guard -> %d after repetition"
+        " filter -> %d after decontamination"
+        % (sampled.count(), fresh.count(), non_repetitive.count(), clean.count())
     )
 
     normed = clean.withColumn("norm", text.normalize_text("text"))
