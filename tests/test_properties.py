@@ -500,3 +500,27 @@ def test_contraction_components_match_union_find(spark, edges):
         for r in dedup.connected_components_contraction(pairs).collect()
     }
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    keys=st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=200),
+    probes=st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=50),
+    log_bits=st.integers(min_value=3, max_value=16),
+    num_hashes=st.integers(min_value=1, max_value=8),
+)
+def test_bloom_core_never_false_negative(keys, probes, log_bits, num_hashes):
+    # pure-numpy invariant behind bloom_dedup_incremental's exactness:
+    # an inserted key ALWAYS probes positive, for any filter geometry
+    # (false positives are allowed — the verify join removes them)
+    import numpy as np
+
+    num_bits = 1 << log_bits
+    h = np.array(keys, dtype=np.int64)
+    bitmap = dedup._bloom_hits(h, None, num_bits, num_hashes)
+    if len(keys):
+        assert dedup._bloom_hits(h, bitmap, num_bits, num_hashes).all()
+    # and probing never crashes / returns the right shape on arbitrary keys
+    q = np.array(probes, dtype=np.int64)
+    res = dedup._bloom_hits(q, bitmap, num_bits, num_hashes)
+    assert res.shape == (len(probes),) and res.dtype == bool
