@@ -1434,6 +1434,52 @@ order by doc_id
 """
 
 
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality score: train a unigram model on
+    the corpus itself (token -> ln(count/total)), then score each doc
+    by its mean token log-probability. Low |lp_mean| = common/templated
+    text, high = rare-token-heavy - the standard perplexity-filter
+    signal, reduced to its shuffle-friendly unigram core. Two aggs (one
+    token-keyed, one doc-keyed) + a vocab lookup join; the vocab table
+    is far smaller than the token stream, so Catalyst broadcasts it. At
+    100 TB cap the vocab to top-V with an OOV floor so the broadcast
+    stays bounded; self-trained full vocab here keeps the oracle
+    closed-form. Per-token lp rounds to 9 (same value both engines),
+    the doc mean to 6 (absorbs float sum-order differences)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.selectExpr("doc_id", "explode(split(text, ' ')) as t")
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    lp = counts.select(
+        "t",
+        F.round(
+            F.log(
+                F.col("c").cast("double")
+                / F.sum("c").over(Window.partitionBy()).cast("double")
+            ),
+            9,
+        ).alias("lp"),
+    )
+    return (
+        tok.join(lp, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("lp_mean"),
+        )
+        .select("doc_id", "n_tokens", "lp_mean")
+    )
+
+
+Q_UNIGRAM_SURPRISAL_SQL = """
+with tok as (select doc_id, unnest(string_split(text, ' ')) as t from documents),
+counts as (select t, count(*) c from tok group by t),
+lp as (select t, round(ln(c::DOUBLE / (sum(c) over ())::DOUBLE), 9) lp from counts)
+select doc_id, count(*)::BIGINT n_tokens, round(avg(lp), 6) lp_mean
+from tok join lp using (t)
+group by doc_id
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition (Gopher-style repetition filters):
     duplicate bigram/trigram fraction + the hottest trigram's
@@ -2906,6 +2952,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bloom_incremental": q_dedup_bloom_incremental,
         "cap_per_domain": q_cap_per_domain,
         "token_entropy": q_token_entropy,
+        "unigram_surprisal": q_unigram_surprisal,
         "shard_manifest": q_shard_manifest,
         "weighted_sample": q_weighted_sample,
         "table_profile": q_table_profile,
@@ -3044,6 +3091,7 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "cap_per_domain": Q_CAP_PER_DOMAIN_SQL,
         "token_entropy": Q_TOKEN_ENTROPY_SQL,
+        "unigram_surprisal": Q_UNIGRAM_SURPRISAL_SQL,
         "shard_manifest": pack.shard_manifest_duck(shard_tokens=4096),
         "weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
         "table_profile": Q_TABLE_PROFILE_SQL,

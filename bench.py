@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "dedup_bloom_incremental",
     "cap_per_domain",
     "token_entropy",
+    "unigram_surprisal",
     "shard_manifest",
     "weighted_sample",
     "table_profile",

@@ -259,3 +259,12 @@ def test_cap_per_domain_single_window_exchange(spark):
     assert "Join" not in tree
     assert tree.count("Exchange") == 1
     assert "Window" in tree
+
+
+def test_unigram_surprisal_vocab_broadcasts(spark):
+    # the vocab lookup must be a broadcast join (token stream never
+    # shuffles for it); token- and doc-keyed aggs both map-combined
+    plan = plan_of(q.queries()["unigram_surprisal"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final at both levels
