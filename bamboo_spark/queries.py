@@ -1434,34 +1434,59 @@ order by doc_id
 """
 
 
-def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_unigram_surprisal(
+    spark: SparkSession, sf_dir: str, top_v: int | None = None
+) -> DataFrame:
     """CCNet-style unigram LM quality score: train a unigram model on
     the corpus itself (token -> ln(count/total)), then score each doc
     by its mean token log-probability. Low |lp_mean| = common/templated
     text, high = rare-token-heavy - the standard perplexity-filter
     signal, reduced to its shuffle-friendly unigram core. Two aggs (one
     token-keyed, one doc-keyed) + a vocab lookup join; the vocab table
-    is far smaller than the token stream, so Catalyst broadcasts it. At
-    100 TB cap the vocab to top-V with an OOV floor so the broadcast
-    stays bounded; self-trained full vocab here keeps the oracle
-    closed-form. Per-token lp rounds to 9 (same value both engines),
-    the doc mean to 6 (absorbs float sum-order differences)."""
+    is far smaller than the token stream, so Catalyst broadcasts it.
+
+    The corpus total is a SCALAR AGGREGATE joined back via a broadcast
+    cross join (one row) - never a global window, so no stage is ever
+    single-partition. With ``top_v`` set, the vocab is capped to the V
+    most frequent tokens (deterministic count-desc/token-asc order) and
+    every other token scores at the OOV floor ln(1/total): that bounds
+    the broadcast at 100 TB where the distinct-token table is billions
+    of rows. Default (gate form) is the full self-trained vocab, which
+    keeps the oracle closed-form. Per-token lp rounds to 9 (same value
+    both engines), the doc mean to 6 (absorbs float sum-order
+    differences)."""
     d = load(spark, sf_dir, "documents")
     tok = d.selectExpr("doc_id", "explode(split(text, ' ')) as t")
     counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    lp = counts.select(
-        "t",
-        F.round(
-            F.log(
-                F.col("c").cast("double")
-                / F.sum("c").over(Window.partitionBy()).cast("double")
-            ),
-            9,
-        ).alias("lp"),
-    )
+    total = counts.agg(F.sum("c").cast("double").alias("_corpus_total"))
+    if top_v is None:
+        lp = counts.crossJoin(F.broadcast(total)).select(
+            "t",
+            F.round(
+                F.log(F.col("c").cast("double") / F.col("_corpus_total")), 9
+            ).alias("lp"),
+        )
+        # full-vocab path: leave the lookup-join strategy to Catalyst/AQE
+        # (a self-trained vocab can outgrow a forced broadcast)
+        scored = tok.join(lp, "t")
+    else:
+        kept = counts.orderBy(F.col("c").desc(), F.col("t").asc()).limit(top_v)
+        lp = kept.crossJoin(F.broadcast(total)).select(
+            "t",
+            F.round(
+                F.log(F.col("c").cast("double") / F.col("_corpus_total")), 9
+            ).alias("lp"),
+        )
+        floor = total.select(
+            F.round(F.log(F.lit(1.0) / F.col("_corpus_total")), 9).alias("_oov_lp")
+        )
+        scored = (
+            tok.join(F.broadcast(lp), "t", "left")
+            .crossJoin(F.broadcast(floor))
+            .withColumn("lp", F.coalesce("lp", "_oov_lp"))
+        )
     return (
-        tok.join(lp, "t")
-        .groupBy("doc_id")
+        scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
             F.round(F.avg("lp"), 6).alias("lp_mean"),

@@ -263,8 +263,20 @@ def test_cap_per_domain_single_window_exchange(spark):
 
 def test_unigram_surprisal_vocab_broadcasts(spark):
     # the vocab lookup must be a broadcast join (token stream never
-    # shuffles for it); token- and doc-keyed aggs both map-combined
+    # shuffles for it); token- and doc-keyed aggs both map-combined;
+    # the corpus total is a scalar agg rejoined by broadcast — there is
+    # NO window (a global window would single-partition the vocab)
     plan = plan_of(q.queries()["unigram_surprisal"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    assert "Window" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final at both levels
+
+
+def test_unigram_surprisal_top_v_no_window(spark):
+    # capped-vocab mode: still window-free, OOV floor joined as a
+    # 1-row broadcast; the vocab cap is a TakeOrdered, not a sort
+    df = q.q_unigram_surprisal(spark, SF, top_v=50)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan

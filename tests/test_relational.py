@@ -68,3 +68,49 @@ def test_approx_sketches_error_bounds(spark):
         e = exact[k]
         assert abs(a["approx_customers"] - e["customers"]) <= 0.1 * e["customers"] + 2
         assert abs(a["approx_median_price"] - e["median_price"]) <= 0.05 * e["median_price"]
+
+
+def test_unigram_surprisal_top_v_semantics(spark):
+    # capped-vocab mode: with top_v >= |vocab| the result equals the
+    # full-vocab gate form; with a small cap, docs made of out-of-vocab
+    # tokens score exactly the OOV floor ln(1/total)
+    import math
+
+    from bamboo_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    full = {r["doc_id"]: r for r in q.q_unigram_surprisal(spark, sf).collect()}
+    wide = {
+        r["doc_id"]: r
+        for r in q.q_unigram_surprisal(spark, sf, top_v=10**9).collect()
+    }
+    assert set(full) == set(wide)
+    for k in full:
+        assert full[k]["n_tokens"] == wide[k]["n_tokens"]
+        assert abs(full[k]["lp_mean"] - wide[k]["lp_mean"]) < 1e-9
+
+    capped = q.q_unigram_surprisal(spark, sf, top_v=5)
+    tok = q.load(spark, sf, "documents").selectExpr(
+        "doc_id", "explode(split(text, ' ')) as t"
+    )
+    total = tok.count()
+    top5 = {
+        r["t"]
+        for r in tok.groupBy("t")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("t").asc())
+        .limit(5)
+        .collect()
+    }
+    floor = round(math.log(1.0 / total), 9)
+    # a doc with zero in-vocab tokens must sit exactly at the floor
+    oov_docs = {
+        r["doc_id"]
+        for r in tok.groupBy("doc_id")
+        .agg(F.max(F.col("t").isin(top5).cast("int")).alias("any_iv"))
+        .where("any_iv = 0")
+        .collect()
+    }
+    got = {r["doc_id"]: r["lp_mean"] for r in capped.collect()}
+    for d in oov_docs:
+        assert abs(got[d] - round(floor, 6)) < 1e-6, (d, got[d], floor)
