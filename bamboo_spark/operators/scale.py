@@ -9,11 +9,155 @@ lands every row on one reducer — salting spreads one key across
 
 from __future__ import annotations
 
+import warnings
+
 from typing import List, Optional, Sequence, Union
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 SALT = "__bamboo_salt"
+
+
+def ranked_head(
+    df: DataFrame,
+    key_cols: Union[str, Sequence[str]],
+    order_cols: Sequence[Column],
+    cap: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Keep the first ``cap`` rows per key under ``order_cols`` (with a
+    1-based ``rank_col``) — the per-stratum head-capping primitive
+    behind domain capping and weighted sampling.
+
+    Scale shape: the ``row_number() <= cap`` filter is planned by Spark
+    (>= 3.5, ``InferWindowGroupLimit``) as a PAIR of WindowGroupLimit
+    nodes — Partial BELOW the exchange, Final above — i.e. per-partition
+    partial top-k: every map task locally keeps at most ``cap`` rows per
+    key before anything shuffles, so a hot key's reducer receives at
+    most cap x map_partitions rows, never its raw row count. That is
+    exactly the "count + pre-filter" bound, obtained in ONE scan with
+    zero extra passes. tests/test_plans.py pins the Partial node below
+    the Exchange; tests/test_scale.py measures the shuffle bound on a
+    skewed fixture. For the extreme regime (billions of rows on one key
+    AND a uniform-hash rank order) see :func:`hash_ranked_head`, which
+    adds an exact two-pass hash-range pre-filter.
+
+    The optimization only fires while ``cap`` <=
+    ``spark.sql.optimizer.windowGroupLimitThreshold`` (default 1000);
+    beyond that this function warns — the window still computes
+    correctly, but full per-key row sets shuffle.
+    """
+    keys: List[str] = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if cap < 1:
+        raise ValueError("cap must be >= 1; got %d" % cap)
+    try:
+        thr = int(
+            df.sparkSession.conf.get(
+                "spark.sql.optimizer.windowGroupLimitThreshold", "1000"
+            )
+        )
+    except Exception:
+        thr = 1000
+    if thr >= 0 and cap > thr:
+        warnings.warn(
+            "ranked_head cap=%d exceeds windowGroupLimitThreshold=%d: the "
+            "partial top-k below the shuffle will not fire; raise the conf "
+            "or lower the cap" % (cap, thr)
+        )
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return df.withColumn(
+        rank_col, F.row_number().over(w).cast("bigint")
+    ).where(F.col(rank_col) <= cap)
+
+
+def hash_ranked_head(
+    df: DataFrame,
+    key_cols: Union[str, Sequence[str]],
+    hash_col: str,
+    hash_max: int,
+    cap: int,
+    hot_min: Optional[int] = None,
+    buckets: int = 4096,
+    tiebreak_cols: Sequence[str] = (),
+    rank_col: str = "rank",
+) -> DataFrame:
+    """:func:`ranked_head` ordered by a uniform integer hash column,
+    with an EXACT two-pass hot-key pre-filter.
+
+    ``hash_col`` must hold a uniform hash in ``[0, hash_max)`` and rank
+    order is that hash ascending (ties broken by ``tiebreak_cols``).
+    With ``hot_min`` set, keys whose row count exceeds it take a
+    pre-filter pass before the window:
+
+    1. per-key counts -> the (few, by definition) hot keys broadcast;
+    2. a (key, hash-range-bucket) histogram over hot-key rows only;
+    3. per hot key, the minimal bucket prefix whose cumulative count
+       reaches ``cap`` becomes its cutoff — every row of a hot key in a
+       later bucket is dropped BEFORE the rank window.
+
+    This is exact, not probabilistic: the cap smallest hashes of a key
+    all lie inside that minimal prefix (bucket order IS hash order), so
+    the kept superset always contains the true head; the final window
+    re-ranks it. Survivors per hot key ~ cap + n_k/buckets — for a
+    billion-row key at the default 4096 buckets that's ~244k rows into
+    the sort instead of 1e9; raise ``buckets`` to tighten (the
+    histogram is hot_keys x buckets rows, driver-safe). With
+    ``hot_min=None`` this is plain :func:`ranked_head`, whose partial
+    top-k already bounds shuffle volume at cap x map_partitions — use
+    the pre-filter when map-partition counts themselves are huge.
+    """
+    keys: List[str] = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = [F.col(hash_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    if hot_min is None:
+        return ranked_head(df, keys, order, cap, rank_col)
+    filtered = hash_head_prefilter(df, keys, hash_col, hash_max, cap, hot_min, buckets)
+    return ranked_head(filtered, keys, order, cap, rank_col)
+
+
+def hash_head_prefilter(
+    df: DataFrame,
+    key_cols: Union[str, Sequence[str]],
+    hash_col: str,
+    hash_max: int,
+    cap: int,
+    hot_min: int,
+    buckets: int = 4096,
+) -> DataFrame:
+    """The exact hot-key pre-filter stage of :func:`hash_ranked_head`,
+    exposed so its bound is testable: returns ``df`` minus hot-key rows
+    that provably cannot be in the per-key head of size ``cap`` (hash
+    ascending). Guaranteed a superset of the true head for every key;
+    hot-key survivors ~ cap + n_k/buckets."""
+    keys: List[str] = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if hash_max < 1 or buckets < 1:
+        raise ValueError("hash_max and buckets must be >= 1")
+    width = max(1, hash_max // buckets)
+    staged = df.withColumn("_bkt", F.floor(F.col(hash_col) / F.lit(width)))
+    hot = (
+        staged.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > hot_min)
+        .select(*keys)
+    )
+    hist = (
+        staged.join(F.broadcast(hot), keys)
+        .groupBy(*(keys + ["_bkt"]))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wcum = Window.partitionBy(*keys).orderBy(F.col("_bkt").asc())
+    cut = (
+        hist.withColumn("_cum", F.sum("_c").over(wcum))
+        # buckets whose preceding cumulative count is still short of cap
+        # are needed; the largest of them is the per-key cutoff
+        .where(F.col("_cum") - F.col("_c") < cap)
+        .groupBy(*keys)
+        .agg(F.max("_bkt").alias("_cut"))
+    )
+    return (
+        staged.join(F.broadcast(cut), keys, "left")
+        .where(F.col("_cut").isNull() | (F.col("_bkt") <= F.col("_cut")))
+        .drop("_bkt", "_cut")
+    )
 
 
 def salted_join(

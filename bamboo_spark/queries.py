@@ -23,7 +23,7 @@ from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from bamboo_spark.operators import dedup, multimodal, pack, similarity, text
+from bamboo_spark.operators import dedup, multimodal, pack, scale, similarity, text
 from bamboo_spark.operators._cache import release_caches as _release_caches
 
 TABLES = [
@@ -1326,14 +1326,12 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     key = "round(ln(%s) / cast(n_chars as double), 9)" % u
     staged = d.selectExpr("doc_id", "source", "n_chars", "%s as es_key" % key)
-    w = Window.partitionBy("source").orderBy(
-        F.col("es_key").desc(), F.col("doc_id").asc()
-    )
-    return (
-        staged.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= 5)
-        .select("source", "rank", "doc_id", "n_chars", "es_key")
-    )
+    return scale.ranked_head(
+        staged,
+        "source",
+        [F.col("es_key").desc(), F.col("doc_id").asc()],
+        cap=5,
+    ).select("source", "rank", "doc_id", "n_chars", "es_key")
 
 
 Q_WEIGHTED_SAMPLE_SQL = """
@@ -1365,22 +1363,34 @@ def q_dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.bloom_dedup_incremental(d, text.fingerprint_expr(), split_id=250)
 
 
-def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cap_per_domain(
+    spark: SparkSession, sf_dir: str, hot_min: int | None = None
+) -> DataFrame:
     """Per-source head-capping (C4/RefinedWeb-style domain capping): keep
     a deterministic hash-ordered sample of at most 10 docs per source so
-    head domains cannot dominate the training mix. One hash-partitioned
-    window; rank order is md5-derived, so the kept set is unbiased,
-    reproducible, and engine-independent. At 100 TB scale hot keys are
-    handled by a count + hash-threshold pre-filter before the window
-    (only ~cap survivors per key reach the sort)."""
+    head domains cannot dominate the training mix. Rank order is
+    md5-derived, so the kept set is unbiased, reproducible, and
+    engine-independent.
+
+    Scale: ``scale.ranked_head`` — the rank filter plans as a Partial
+    WindowGroupLimit BELOW the shuffle (per-partition partial top-k),
+    so a hot source ships at most cap x map_partitions rows to its
+    reducer, never its raw count (plan-pinned, tests/test_plans.py).
+    ``hot_min`` additionally engages the exact two-pass hash-range
+    pre-filter (``scale.hash_ranked_head``) for keys beyond it — same
+    output, proven on a skewed fixture in tests/test_scale.py."""
     d = load(spark, sf_dir, "documents")
     rk = text.md5_int60_sql("cast(doc_id as string)")
-    w = Window.partitionBy("source").orderBy(F.expr(rk).asc(), F.col("doc_id").asc())
-    return (
-        d.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= 10)
-        .select("source", "rank", "doc_id")
-    )
+    staged = d.select("source", "doc_id").withColumn("_rk", F.expr(rk))
+    return scale.hash_ranked_head(
+        staged,
+        "source",
+        "_rk",
+        hash_max=2**60,
+        cap=10,
+        hot_min=hot_min,
+        tiebreak_cols=["doc_id"],
+    ).select("source", "rank", "doc_id")
 
 
 Q_CAP_PER_DOMAIN_SQL = """

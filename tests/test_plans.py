@@ -261,6 +261,20 @@ def test_cap_per_domain_single_window_exchange(spark):
     assert "Window" in tree
 
 
+def test_ranked_head_partial_topk_below_shuffle(spark):
+    # the per-stratum head queries must plan InferWindowGroupLimit's
+    # PARTIAL WindowGroupLimit BELOW the exchange: each map task keeps
+    # only its local top-cap per key, so a hot key's reducer receives
+    # <= cap x map_partitions rows — never the raw per-key count
+    for name in ("cap_per_domain", "weighted_sample"):
+        s = simple_plan(q.queries()[name](spark, SF))
+        assert s.count("WindowGroupLimit") == 2, (name, s)
+        assert "Partial" in s and "Final" in s, name
+        ex = s.index("Exchange")
+        assert s.index("WindowGroupLimit") < ex, name  # Final above
+        assert s.rindex("WindowGroupLimit") > ex, name  # Partial below
+
+
 def test_unigram_surprisal_vocab_broadcasts(spark):
     # the vocab lookup must be a broadcast join (token stream never
     # shuffles for it); token- and doc-keyed aggs both map-combined;

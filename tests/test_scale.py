@@ -95,3 +95,68 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
     finally:
         spark.sql("drop table if exists bkt_orders")
         spark.sql("drop table if exists bkt_cust")
+
+
+def _skewed_hashed(spark):
+    # one pathological key with 20k rows + 20 tail keys with 10 each;
+    # rank hash is the production md5-derived int60
+    from bamboo_spark.operators.text import md5_int60_sql
+
+    hot = spark.range(20000).selectExpr("'hot' as k", "id")
+    tail = spark.range(200).selectExpr("concat('t', id % 20) as k", "id + 100000 as id")
+    return (
+        hot.unionByName(tail)
+        .withColumn("_rk", F.expr(md5_int60_sql("cast(id as string)")))
+    )
+
+
+def test_hash_ranked_head_prefilter_exact_on_skew(spark):
+    # the two-pass hash-range pre-filter must return EXACTLY the plain
+    # windowed head — same keys, same ranks, same ids
+    from bamboo_spark.operators.scale import hash_ranked_head
+
+    df = _skewed_hashed(spark)
+    plain = hash_ranked_head(
+        df, "k", "_rk", hash_max=2**60, cap=7, tiebreak_cols=["id"]
+    )
+    pre = hash_ranked_head(
+        df, "k", "_rk", hash_max=2**60, cap=7, hot_min=1000,
+        buckets=256, tiebreak_cols=["id"],
+    )
+    a = {(r["k"], r["rank"], r["id"]) for r in plain.collect()}
+    b = {(r["k"], r["rank"], r["id"]) for r in pre.collect()}
+    assert a == b and len(a) == 7 + 20 * 7  # hot capped, tails have 10>7 rows
+
+
+def test_hash_head_prefilter_bounds_hot_key(spark):
+    # the pre-filter must cut the hot key's window input from 20k rows
+    # to ~cap + n/buckets, and leave sub-threshold keys untouched
+    from bamboo_spark.operators.scale import hash_head_prefilter
+
+    df = _skewed_hashed(spark)
+    surv = {
+        r["k"]: r["n"]
+        for r in hash_head_prefilter(
+            df, ["k"], "_rk", hash_max=2**60, cap=7, hot_min=1000, buckets=256
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert surv["hot"] >= 7                     # superset of the true head
+    assert surv["hot"] <= 600                   # ~78 expected; 20k without
+    for k, n in surv.items():
+        if k != "hot":
+            assert n == 10                      # cold keys pass through whole
+
+
+def test_ranked_head_warns_past_group_limit_threshold(spark):
+    import warnings as _w
+
+    from bamboo_spark.operators.scale import ranked_head
+
+    df = spark.range(10).selectExpr("'a' as k", "id")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        ranked_head(df, "k", [F.col("id").asc()], cap=5000)
+    assert any("windowGroupLimitThreshold" in str(r.message) for r in rec)
