@@ -34,6 +34,8 @@ Scale design (the 100 TB shapes):
 
 from __future__ import annotations
 
+import warnings
+
 from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
@@ -599,6 +601,7 @@ def connected_components_contraction(
         ).collect()[0]
 
     sig = signature(e)
+    converged = False
     for _ in range(max_rounds):
         # ---- large-star over the symmetric adjacency
         sym = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -627,8 +630,16 @@ def connected_components_contraction(
         new_sig = signature(ss)
         e = ss
         if (new_sig["n"], new_sig["h"]) == (sig["n"], sig["h"]):
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        warnings.warn(
+            "connected_components_contraction exhausted max_rounds=%d before "
+            "the edge-set fixpoint: labels may not be component minima — "
+            "raise max_rounds (contraction converges in O(log^2 n) rounds)"
+            % max_rounds
+        )
     # fixpoint: a star forest — every non-root has exactly one edge to
     # its component min; roots have no outgoing (u-side) edge
     return (

@@ -138,7 +138,16 @@ def chunk_documents(
     chunk_text); the final partial window is kept (a trailing remnant
     shorter than the overlap would duplicate the previous chunk's tail
     and is dropped by construction of the start sequence).
+
+    Requires ``0 < stride <= chunk_tokens``: a larger stride would leave
+    gaps between windows (spans silently lost), zero would never
+    advance.
     """
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError(
+            "chunk_documents requires 0 < stride <= chunk_tokens; got "
+            "stride=%d, chunk_tokens=%d" % (stride, chunk_tokens)
+        )
     starts = (
         "case when size(__toks) <= {c} then array(0) else "
         "sequence(0, size(__toks) - {o} - 1, {s}) end"

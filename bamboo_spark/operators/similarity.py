@@ -345,14 +345,25 @@ def topk_neighbors_ivf(
     import pandas as pd
     from pyspark.sql import Window, types as T
 
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
+    )
+    q_rows = (
+        df.where(F.col(id_col) < query_ids_below).select(id_col, vec).collect()
+    )
+    if not q_rows:
+        # empty query slice: 0-row result with the contract schema (a
+        # bare np.array([]) is 1-D and would crash the axis=1 math)
+        return df.sparkSession.createDataFrame([], out_schema)
     centroids = kmeans_train(df, n_centroids, iterations, id_col, vec)
     assign = ivf_assign(df, centroids, id_col, vec, n_probe=1)
     probes = ivf_assign(
         df.where(F.col(id_col) < query_ids_below), centroids, id_col, vec,
         n_probe=n_probe,
-    )
-    q_rows = (
-        df.where(F.col(id_col) < query_ids_below).select(id_col, vec).collect()
     )
     q_ids = np.fromiter((r[0] for r in q_rows), dtype=np.int64, count=len(q_rows))
     q_raw = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
@@ -367,14 +378,6 @@ def topk_neighbors_ivf(
             int(np.nonzero(q_ids == r[id_col])[0][0])
         )
     bc = df.sparkSession.sparkContext.broadcast((q_ids, q_mat, probe_map))
-
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType(), False),
-            T.StructField("neighbor_id", T.LongType(), False),
-            T.StructField("cosine", T.DoubleType(), False),
-        ]
-    )
 
     def kernel(key, pdf):
         qi, qm, pm = bc.value

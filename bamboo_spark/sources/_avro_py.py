@@ -628,17 +628,23 @@ def merge_avro_schemas(a: Any, b: Any, path: str = "root") -> Any:
                 fa["type"], fb["type"], "%s.%s" % (path, fa["name"])
             )
             f: Dict[str, Any] = {"name": fa["name"], "type": merged_t}
-            if "default" in fa:
-                f["default"] = fa["default"]
-            elif "default" in fb and not isinstance(merged_t, list):
-                f["default"] = fb["default"]
+            src = fa if "default" in fa else (fb if "default" in fb else None)
+            if src is not None:
+                d = src["default"]
+                if isinstance(merged_t, list) and d is not None:
+                    # spec: a union default conforms to the FIRST branch.
+                    # The merge built a null-first union; reorder so the
+                    # value branch leads and the non-null default stays
+                    # both valid Avro and the value actually filled when
+                    # a later file lacks the field (not a silent None)
+                    f["type"] = [x for x in merged_t if x != "null"] + ["null"]
+                f["default"] = d
             elif isinstance(merged_t, list) and (
                 isinstance(fa["type"], list) or isinstance(fb["type"], list)
             ):
                 # became nullable through the merge: null default keeps
                 # every file decodable even under field reordering
-                if fa.get("default", "\x00") is None or fb.get("default", "\x00") is None:
-                    f["default"] = None
+                f["default"] = None
             fields.append(f)
         for fb in b["fields"]:
             if fb["name"] not in a_names:

@@ -565,13 +565,18 @@ def bloom_guard_stream(
     each micro-batch — without the Bloom pre-filter the stream-static
     join would shuffle every micro-batch in full; with it, only the
     ~dup-rate fraction is joined. Append-safe: fully stateless, one
-    output row per flagged doc.
+    output row per flagged doc: ``corpus_keys`` is pre-aggregated to
+    one ``dup_of`` per key (min, matching the batch twin's
+    groupBy(doc_id).min) — the dedupe is static and one-time, so a
+    caller passing a raw multi-row key table still gets exactly one
+    row per flagged doc.
     """
     from bamboo_spark.operators.dedup import bloom_might_contain
 
     probe = bloom_might_contain(sdf.sparkSession, bitmap, num_bits, num_hashes)
+    corpus = corpus_keys.groupBy("k").agg(F.min("dup_of").alias("dup_of"))
     keyed = sdf.select(F.col(id_col), key.alias("k")).withColumn(
         "h", F.xxhash64("k")
     )
     cand = keyed.where(probe(F.col("h")))
-    return cand.join(corpus_keys, "k").select(id_col, "dup_of")
+    return cand.join(corpus, "k").select(id_col, "dup_of")

@@ -199,3 +199,17 @@ def test_bloom_build_driver_bytes_bounded(spark):
         .count()
     )
     assert hits == 5000
+
+
+def test_contraction_warns_when_rounds_exhausted(spark):
+    import warnings
+
+    from bamboo_spark.operators.dedup import connected_components_contraction
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        connected_components_contraction(pairs, max_rounds=0).collect()
+    assert any("max_rounds" in str(r.message) for r in rec)

@@ -113,3 +113,15 @@ def test_chunk_documents_is_streaming_safe(spark, tmp_path):
         assert got == batch
     finally:
         q.stop()
+
+
+def test_chunk_documents_rejects_bad_stride(spark):
+    import pytest as _pytest
+
+    from bamboo_spark.operators.pack import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, chunk_tokens=4, stride=5)
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, chunk_tokens=4, stride=0)

@@ -88,3 +88,14 @@ def test_centroid_save_load_roundtrip(spark, tmp_path):
     a1 = {(r["vec_id"], r["centroid"]) for r in similarity.ivf_assign(df, cm).collect()}
     a2 = {(r["vec_id"], r["centroid"]) for r in similarity.ivf_assign(df, cm2).collect()}
     assert a1 == a2 and len(a1) == 40
+
+
+def test_topk_ivf_empty_query_slice(spark):
+    from bamboo_spark.operators.similarity import topk_neighbors_ivf
+
+    df = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    out = topk_neighbors_ivf(df, query_ids_below=-1, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["query_id", "neighbor_id", "cosine"]

@@ -961,3 +961,42 @@ def test_avro_resolution_applies_reader_logical_type(spark, tmp_path):
     import datetime
 
     assert row["ts"] == datetime.datetime(1970, 1, 1, 0, 0, 1, 500000)
+
+
+def test_merge_default_survives_nullable_union():
+    # a non-null default merged against a nullable union must stay the
+    # FILLED value (spec: union default conforms to branch 0) — the
+    # merge reorders the union so the value branch leads, instead of
+    # leaving an invalid null-first union that silently fills None
+    from bamboo_spark.sources._avro_py import _default_value, merge_avro_schemas
+
+    a = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "x", "type": "long", "default": 5}],
+    }
+    b = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "x", "type": ["null", "long"]}],
+    }
+    for lhs, rhs in ((a, b), (b, a)):
+        m = merge_avro_schemas(lhs, rhs)
+        f = {f["name"]: f for f in m["fields"]}["x"]
+        assert f["type"][0] != "null" and "null" in f["type"]
+        assert f["default"] == 5
+        assert _default_value(f["type"], f["default"], {}) == 5
+    # explicit None default keeps a VALID null-first union
+    a2 = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "x", "type": ["null", "long"], "default": None}],
+    }
+    b2 = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    m2 = merge_avro_schemas(a2, b2)
+    f2 = {f["name"]: f for f in m2["fields"]}["x"]
+    assert f2["type"][0] == "null" and f2["default"] is None

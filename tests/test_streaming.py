@@ -593,3 +593,24 @@ def test_stream_batch_parity_bloom_guard(spark, tmp_path):
         assert got == batch and len(got) > 0
     finally:
         qy.stop()
+
+
+def test_bloom_guard_dedupes_corpus_keys(spark):
+    # a raw multi-row corpus key table must still yield ONE output row
+    # per flagged doc (min dup_of), matching the batch twin's contract
+    from bamboo_spark.operators import dedup
+    from bamboo_spark.streaming import bloom_guard_stream
+
+    corpus = spark.createDataFrame(
+        [("ka", 1), ("ka", 7), ("kb", 3)], "k string, dup_of long"
+    )
+    bitmap = dedup.bloom_build(
+        corpus.select(F.xxhash64("k").alias("h")), num_bits=1 << 12
+    )
+    batch = spark.createDataFrame(
+        [(100, "ka"), (101, "kb"), (102, "kc")], "doc_id long, text string"
+    )
+    out = bloom_guard_stream(batch, corpus, F.col("text"), bitmap, num_bits=1 << 12)
+    rows = {(r["doc_id"], r["dup_of"]) for r in out.collect()}
+    assert rows == {(100, 1), (101, 3)}
+    assert out.count() == 2  # no row multiplication from dup corpus keys
