@@ -957,6 +957,118 @@ def bloom_build(
     return acc.tobytes()
 
 
+def bloom_shard_expr(h_col, num_shards: int):
+    """Shard id of an xxhash64 value: high 32 bits mod ``num_shards``.
+    Bit positions inside a shard's filter use the LOW bits of the hash
+    (``_bloom_hits``), so shard choice and bit positions are drawn from
+    disjoint hash bits — sharding costs no independence."""
+    return F.pmod(F.shiftrightunsigned(h_col, 32), F.lit(num_shards)).cast("long")
+
+
+def bloom_build_sharded(
+    hashes: DataFrame,
+    num_shards: int,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 7,
+) -> DataFrame:
+    """Hash-range-sharded Bloom build: returns a ``(shard int, bitmap
+    binary)`` DataFrame with one independent ``num_bits``-bit filter per
+    shard — the >860M-key regime a single broadcast bitmap can't reach
+    (~1.2 GiB of bits at 1% fpp; Spark caps broadcasts well below
+    that). The keyspace is range-partitioned on the hash's high 32 bits
+    (:func:`bloom_shard_expr`), each shard OR-folds exactly like
+    :func:`bloom_build`, and the result stays DISTRIBUTED: no single
+    node — driver included — ever materializes more than one shard,
+    so total filter capacity scales linearly with ``num_shards``.
+    Persist or write the returned frame at index-build time; probe with
+    :func:`bloom_filter_sharded`."""
+    import numpy as np
+    import pyarrow as pa
+
+    if num_bits & (num_bits - 1):
+        raise ValueError("num_bits must be a power of two")
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    col = hashes.columns[0]
+
+    def per_partition(batches):
+        maps: dict = {}
+        for batch in batches:
+            h = batch.column(0).to_numpy(zero_copy_only=False)
+            hu = h.astype(np.int64).view(np.uint64)
+            shards = (hu >> np.uint64(32)) % np.uint64(num_shards)
+            for s in np.unique(shards):
+                part = _bloom_hits(h[shards == s], None, num_bits, num_hashes)
+                prev = maps.get(int(s))
+                maps[int(s)] = part if prev is None else (prev | part)
+        if maps:
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "shard": [int(s) for s in maps],
+                    "bitmap": [bm.tobytes() for bm in maps.values()],
+                }
+            )
+
+    part_maps = hashes.select(F.col(col).cast("long")).mapInArrow(
+        per_partition, "shard long, bitmap binary"
+    )
+
+    def or_group(_key, pdf):
+        import pandas as pd
+
+        acc = None
+        for raw in pdf["bitmap"]:
+            arr = np.frombuffer(raw, dtype=np.uint8)
+            acc = arr.copy() if acc is None else (acc | arr)
+        return pd.DataFrame({"shard": [pdf["shard"].iloc[0]], "bitmap": [acc.tobytes()]})
+
+    return part_maps.groupBy("shard").applyInPandas(or_group, "shard long, bitmap binary")
+
+
+def bloom_filter_sharded(
+    df: DataFrame,
+    shard_maps: DataFrame,
+    num_shards: int,
+    h_col: str = "h",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 7,
+) -> DataFrame:
+    """Probe a :func:`bloom_build_sharded` index: keep only rows of
+    ``df`` whose ``h_col`` hash MIGHT be in the sharded corpus filter
+    (no false negatives, same fpp math as the single-bitmap probe).
+
+    Shape: the batch shuffles ONCE on shard id and cogroups with the
+    shard table, so each task pairs one batch slice with exactly ONE
+    shard's bitmap — nothing is broadcast, no executor holds two
+    shards. That trades the single-bitmap probe's shuffle-free scan for
+    unbounded index capacity; the batch side is the small side by
+    contract (the corpus is what outgrew the broadcast)."""
+    out_schema = df.schema
+    cols = list(df.columns)
+    staged = df.withColumn("_shard", bloom_shard_expr(F.col(h_col), num_shards))
+    keyed_maps = shard_maps.withColumnRenamed("shard", "_shard")
+
+    def probe_group(left, right):
+        import numpy as np
+        import pandas as pd
+
+        if not len(left):
+            return pd.DataFrame({c: [] for c in cols})
+        if not len(right):
+            # no corpus key hashed into this shard: nothing can match
+            return left[cols].iloc[0:0]
+        bitmap = np.frombuffer(right["bitmap"].iloc[0], dtype=np.uint8)
+        h = left[h_col].to_numpy(dtype=np.int64)
+        ok = _bloom_hits(h, bitmap, num_bits, num_hashes)
+        return left.loc[ok, cols]
+
+    return (
+        staged.groupBy("_shard")
+        .cogroup(keyed_maps.groupBy("_shard"))
+        .applyInPandas(probe_group, out_schema)
+    )
+
+
 def bloom_might_contain(
     spark, bitmap: bytes, num_bits: int = 1 << 20, num_hashes: int = 7
 ):
@@ -985,6 +1097,7 @@ def bloom_dedup_incremental(
     id_col: str = "doc_id",
     num_bits: int = 1 << 20,
     num_hashes: int = 7,
+    num_shards: int = 1,
 ) -> DataFrame:
     """Exact-key incremental dedup through a Bloom pre-filter: new batch
     (``id >= split_id``) vs ingested corpus (``id < split_id``) on an
@@ -998,6 +1111,13 @@ def bloom_dedup_incremental(
     fraction of its shuffle (only Bloom survivors are joined, and at
     real dup rates the survivor side is small enough for a broadcast
     join that never shuffles the corpus side either).
+
+    ``num_shards`` > 1 switches to the hash-range-sharded filter
+    (:func:`bloom_build_sharded` + :func:`bloom_filter_sharded`) for
+    corpora whose bitmap outgrows one broadcast (~860M keys at 1% fpp):
+    total capacity num_shards x num_bits, identical output — sharding
+    changes the probe topology (one batch shuffle on shard id), never
+    the result.
     """
     spark = df.sparkSession
     keyed = tracked_persist(
@@ -1005,9 +1125,17 @@ def bloom_dedup_incremental(
     )
     old = keyed.where(F.col(id_col) < split_id)
     new = keyed.where(F.col(id_col) >= split_id)
-    bitmap = bloom_build(old.select("h"), num_bits, num_hashes)
-    probe = bloom_might_contain(spark, bitmap, num_bits, num_hashes)
-    cand = new.where(probe(F.col("h")))
+    if num_shards > 1:
+        shard_maps = bloom_build_sharded(
+            old.select("h"), num_shards, num_bits, num_hashes
+        )
+        cand = bloom_filter_sharded(
+            new, shard_maps, num_shards, "h", num_bits, num_hashes
+        )
+    else:
+        bitmap = bloom_build(old.select("h"), num_bits, num_hashes)
+        probe = bloom_might_contain(spark, bitmap, num_bits, num_hashes)
+        cand = new.where(probe(F.col("h")))
     return (
         cand.alias("n")
         .join(old.alias("o"), F.col("n.k") == F.col("o.k"))

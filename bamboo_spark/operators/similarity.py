@@ -323,6 +323,7 @@ def topk_neighbors_ivf(
     id_col: str = "vec_id",
     vec: str = "embedding",
     int8_verify: bool = False,
+    centroids: Optional["np.ndarray"] = None,
 ) -> DataFrame:
     """IVF-accelerated top-k neighbors — the scale path brute-force
     ``topk_neighbors`` can't take: instead of scoring |Q|×n pairs, each
@@ -359,7 +360,10 @@ def topk_neighbors_ivf(
         # empty query slice: 0-row result with the contract schema (a
         # bare np.array([]) is 1-D and would crash the axis=1 math)
         return df.sparkSession.createDataFrame([], out_schema)
-    centroids = kmeans_train(df, n_centroids, iterations, id_col, vec)
+    if centroids is None:
+        # pass a persisted quantizer to skip retraining (deterministic
+        # training — identical output either way)
+        centroids = kmeans_train(df, n_centroids, iterations, id_col, vec)
     assign = ivf_assign(df, centroids, id_col, vec, n_probe=1)
     probes = ivf_assign(
         df.where(F.col(id_col) < query_ids_below), centroids, id_col, vec,
@@ -905,6 +909,7 @@ def ivf_pairs(
     n_probe: int = 1,
     bucket_cap: Optional[int] = None,
     int8_verify: bool = False,
+    centroids: Optional["np.ndarray"] = None,
 ) -> DataFrame:
     """IVF-bucketed ANN near-dup pairs: train a √n-sized k-means coarse
     quantizer (kmeans_train), assign every vector to its ``n_probe``
@@ -935,7 +940,11 @@ def ivf_pairs(
     import pandas as pd
     from pyspark.sql import types as T
 
-    centroids = kmeans_train(df, n_centroids, iterations, id_col, vec)
+    if centroids is None:
+        # build-once-probe-many: pass a persisted quantizer
+        # (save_centroids/load_centroids) to skip the Lloyd jobs;
+        # training is deterministic, so the output is identical
+        centroids = kmeans_train(df, n_centroids, iterations, id_col, vec)
     assign = ivf_assign(df, centroids, id_col, vec, n_probe=n_probe)
     if bucket_cap is not None:
         from pyspark.sql import Window
@@ -1188,6 +1197,7 @@ def near_dup_pairs(
     n_centroids: Optional[int] = None,
     iterations: int = 2,
     bucket_cap: Optional[int] = None,
+    centroids: Optional["np.ndarray"] = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs. DEFAULT is the bucketed scale
     path: √n-centroid trained IVF with multi-probe assignment and exact
@@ -1195,7 +1205,9 @@ def near_dup_pairs(
     data-parallel, and nothing data-sized ever reaches the driver.
     ``exact=True`` is the escape hatch for the all-pairs O(n²) kernel
     (broadcast GEMM) — the right tool only for modest n or as a
-    post-candidate verify."""
+    post-candidate verify. ``centroids`` takes a pre-trained quantizer
+    (see :func:`save_centroids`/:func:`load_centroids`) instead of
+    retraining."""
     if exact:
         return cosine_pairs_gemm(df, threshold, id_col, vec)
     return ivf_pairs(
@@ -1207,4 +1219,5 @@ def near_dup_pairs(
         vec=vec,
         n_probe=n_probe,
         bucket_cap=bucket_cap,
+        centroids=centroids,
     )

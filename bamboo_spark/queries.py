@@ -1114,12 +1114,34 @@ def q_dedup_components_contraction(spark: SparkSession, sf_dir: str) -> DataFram
     return dedup.connected_components_contraction(pairs)
 
 
+_QUANTIZER_CACHE: Dict[str, "object"] = {}
+
+
+def ivf_quantizer(spark: SparkSession, sf_dir: str):
+    """The shared IVF coarse quantizer for the ANN registry queries
+    (default geometry: √n centroids, 2 Lloyd iterations), trained ONCE
+    per embeddings table and memoized — the in-session analogue of the
+    production build-once-probe-many shape (``save_centroids`` /
+    ``load_centroids`` is the cross-job version). ``kmeans_train`` is
+    fully deterministic (hash-ranked init, integer partial sums), so
+    reuse is result-invisible: every consumer gets bit-identical
+    centroids to a fresh retrain, and the DuckDB oracle's Lloyd replay
+    still matches."""
+    key = sf_dir.rstrip("/")
+    if key not in _QUANTIZER_CACHE:
+        e = load(spark, sf_dir, "embeddings")
+        _QUANTIZER_CACHE[key] = similarity.kmeans_train(e)
+    return _QUANTIZER_CACHE[key]
+
+
 def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via the DEFAULT scale path: trained √n-centroid
     IVF + multiprobe + bucket-local exact GEMM verify. Nothing
     data-sized reaches the driver; per-bucket verify is bounded."""
     e = load(spark, sf_dir, "embeddings")
-    return similarity.near_dup_pairs(e, threshold=0.4, bucket_cap=256)
+    return similarity.near_dup_pairs(
+        e, threshold=0.4, bucket_cap=256, centroids=ivf_quantizer(spark, sf_dir)
+    )
 
 
 def q_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1361,6 +1383,21 @@ def q_dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest path."""
     d = load(spark, sf_dir, "documents")
     return dedup.bloom_dedup_incremental(d, text.fingerprint_expr(), split_id=250)
+
+
+def q_dedup_bloom_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sharded-index twin of ``dedup_bloom_incremental``: the corpus
+    keyspace is hash-range partitioned over 4 independent Bloom filters
+    (shard = high hash bits, bit positions = low bits), the batch
+    cogroups with its shard's bitmap, survivors exact-verify. Identical
+    output to the single-bitmap path — same oracle — but the index is
+    DISTRIBUTED (no node holds more than one shard), which is the only
+    shape that works past ~860M corpus keys where one bitmap outgrows a
+    broadcast."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.bloom_dedup_incremental(
+        d, text.fingerprint_expr(), split_id=250, num_shards=4
+    )
 
 
 def q_cap_per_domain(
@@ -1680,7 +1717,9 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, recovering the boundary-split pairs single-probe misses
     — the standard recall/compute dial, at ~2× bucket volume."""
     e = load(spark, sf_dir, "embeddings")
-    return similarity.ivf_pairs(e, threshold=0.4, n_probe=2)
+    return similarity.ivf_pairs(
+        e, threshold=0.4, n_probe=2, centroids=ivf_quantizer(spark, sf_dir)
+    )
 
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1736,7 +1775,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd iterations; decimal-exact means keep the oracle replay
     bit-identical) + single-probe assignment + bucket-local verify."""
     e = load(spark, sf_dir, "embeddings")
-    return similarity.ivf_pairs(e, threshold=0.4)
+    return similarity.ivf_pairs(
+        e, threshold=0.4, centroids=ivf_quantizer(spark, sf_dir)
+    )
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1745,7 +1786,10 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives a corpus where brute force (|Q| x n GEMM) no longer does.
     Recall < 1 by construction; the oracle replays the same buckets."""
     e = load(spark, sf_dir, "embeddings")
-    return similarity.topk_neighbors_ivf(e, query_ids_below=10, k=5, n_probe=2)
+    return similarity.topk_neighbors_ivf(
+        e, query_ids_below=10, k=5, n_probe=2,
+        centroids=ivf_quantizer(spark, sf_dir),
+    )
 
 
 def q_ann_topk_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1754,7 +1798,8 @@ def q_ann_topk_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cosine; integer dots keep the oracle bit-exact)."""
     e = load(spark, sf_dir, "embeddings")
     return similarity.topk_neighbors_ivf(
-        e, query_ids_below=10, k=5, n_probe=2, int8_verify=True
+        e, query_ids_below=10, k=5, n_probe=2, int8_verify=True,
+        centroids=ivf_quantizer(spark, sf_dir),
     )
 
 
@@ -1765,7 +1810,9 @@ def q_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the verify working set is 8x smaller than float64 — the memory/
     bandwidth shape you want when buckets hold millions of vectors."""
     e = load(spark, sf_dir, "embeddings")
-    return similarity.ivf_pairs(e, threshold=0.4, int8_verify=True)
+    return similarity.ivf_pairs(
+        e, threshold=0.4, int8_verify=True, centroids=ivf_quantizer(spark, sf_dir)
+    )
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2985,6 +3032,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
         "dedup_bloom_incremental": q_dedup_bloom_incremental,
+        "dedup_bloom_sharded": q_dedup_bloom_sharded,
         "cap_per_domain": q_cap_per_domain,
         "token_entropy": q_token_entropy,
         "unigram_surprisal": q_unigram_surprisal,
@@ -3122,6 +3170,9 @@ def oracle_sql() -> Dict[str, str]:
             split_id=250, threshold=0.7
         ),
         "dedup_bloom_incremental": dedup.bloom_dedup_incremental_duck(
+            text.fingerprint_duck(), split_id=250
+        ),
+        "dedup_bloom_sharded": dedup.bloom_dedup_incremental_duck(
             text.fingerprint_duck(), split_id=250
         ),
         "cap_per_domain": Q_CAP_PER_DOMAIN_SQL,

@@ -129,7 +129,16 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bamboo_spark_bench")
 
-    registry = _q.queries()
+    # Bench the RAW registry (no per-query cache drain): within one
+    # sweep, Spark's CacheManager substitutes an already-persisted
+    # identical subplan into later queries (the dedup family shares its
+    # hashed shingle sets this way) — that intra-sweep reuse is a real
+    # pipeline win and is what this benchmark measures. The driver's
+    # correctness gate uses the wrapped `queries()`, which drains caches
+    # between queries so a full-registry sweep holds at most one
+    # query's caches; bench records its mode in the payload so the two
+    # numbers are never silently compared.
+    registry = _q._queries_raw()
 
     # Warmup at the smallest SF: load the JVM machinery every timed
     # query shares — parser/analyzer/codegen classes, the Arrow +
@@ -160,11 +169,9 @@ def main() -> None:
         start = time.perf_counter()
         materialize(registry[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - start, 3)
-    # after the sweep, not per-query: Spark's CacheManager substitutes an
-    # already-persisted identical subplan into later queries (the dedup
-    # family shares its hashed shingle sets this way), so intra-sweep
-    # reuse is a real pipeline win; releasing here still leaves no
-    # lingering cached RDDs in a long-lived session
+    # release after the sweep, not per-query (see registry note above):
+    # no lingering cached RDDs in a long-lived session, intra-sweep
+    # CacheManager reuse preserved
     release_caches()
 
     total = round(sum(timings.values()), 3)
@@ -196,6 +203,7 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf_val,
         "n_queries": len(timings),
+        "cache_mode": "intra-sweep-reuse",
     }
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1700:

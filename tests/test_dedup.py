@@ -213,3 +213,26 @@ def test_contraction_warns_when_rounds_exhausted(spark):
         warnings.simplefilter("always")
         connected_components_contraction(pairs, max_rounds=0).collect()
     assert any("max_rounds" in str(r.message) for r in rec)
+
+
+def test_bloom_sharded_matches_single_bitmap(spark):
+    # the sharded index path must return EXACTLY the single-bitmap
+    # (= exact join) result, and empty shards must drop cleanly
+    from bamboo_spark import queries as q
+    from bamboo_spark.operators import dedup, text
+
+    d = q.load(spark, "/root/testdata/sf0.001", "documents")
+    one = {
+        (r["doc_id"], r["dup_of"])
+        for r in dedup.bloom_dedup_incremental(
+            d, text.fingerprint_expr(), split_id=250
+        ).collect()
+    }
+    for shards in (3, 8):
+        got = {
+            (r["doc_id"], r["dup_of"])
+            for r in dedup.bloom_dedup_incremental(
+                d, text.fingerprint_expr(), split_id=250, num_shards=shards
+            ).collect()
+        }
+        assert got == one, shards

@@ -524,3 +524,28 @@ def test_bloom_core_never_false_negative(keys, probes, log_bits, num_hashes):
     q = np.array(probes, dtype=np.int64)
     res = dedup._bloom_hits(q, bitmap, num_bits, num_hashes)
     assert res.shape == (len(probes),) and res.dtype == bool
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1, max_size=60, unique=True,
+    ),
+    num_shards=st.integers(min_value=1, max_value=5),
+)
+def test_sharded_bloom_never_false_negative(spark, keys, num_shards):
+    # every inserted key must survive the sharded build+probe round
+    # trip, for any shard count — shard routing (high hash bits) and
+    # bit positions (low bits) must agree between build and probe
+    from pyspark.sql import functions as F
+
+    from bamboo_spark.operators.dedup import bloom_build_sharded, bloom_filter_sharded
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long").withColumn(
+        "h", F.xxhash64("k")
+    )
+    maps = bloom_build_sharded(df.select("h"), num_shards, num_bits=1 << 10)
+    kept = bloom_filter_sharded(df, maps, num_shards, num_bits=1 << 10)
+    assert {r["k"] for r in kept.collect()} == set(keys)

@@ -99,3 +99,24 @@ def test_topk_ivf_empty_query_slice(spark):
     out = topk_neighbors_ivf(df, query_ids_below=-1, k=3)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["query_id", "neighbor_id", "cosine"]
+
+
+def test_persisted_quantizer_identical_results(spark, tmp_path):
+    # save/load round-trip of the trained quantizer, then ivf_pairs with
+    # the persisted centroids must equal a fresh retrain bit-for-bit
+    from bamboo_spark import queries as q
+    from bamboo_spark.operators.similarity import (
+        ivf_pairs, kmeans_train, load_centroids, save_centroids,
+    )
+
+    e = q.load(spark, "/root/testdata/sf0.001", "embeddings")
+    cm = kmeans_train(e)
+    path = str(tmp_path / "quantizer")
+    save_centroids(spark, cm, path)
+    loaded = load_centroids(spark, path)
+    import numpy as np
+
+    assert np.array_equal(cm, loaded)
+    fresh = {tuple(r) for r in ivf_pairs(e, threshold=0.4).collect()}
+    persisted = {tuple(r) for r in ivf_pairs(e, threshold=0.4, centroids=loaded).collect()}
+    assert fresh == persisted and len(fresh) > 0
