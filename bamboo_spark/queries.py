@@ -1305,19 +1305,38 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_incremental(d, split_id=250, threshold=0.7)
 
 
-def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_table_profile(
+    spark: SparkSession, sf_dir: str, approx: bool = False, rsd: float = 0.05
+) -> DataFrame:
     """Data-quality profile of the events table: per-column null count
-    and exact distinct count, plus row total - the monitoring scan a
-    pipeline runs on every ingest batch. ONE pass: count(col) and
+    and distinct count, plus row total - the monitoring scan a pipeline
+    runs on every ingest batch. ONE pass: count(col) and
     count(distinct col) fold into a single aggregate (Spark plans
     multi-distinct via expand, still one scan), emitted long so the
-    driver can diff profiles across batches."""
+    driver can diff profiles across batches.
+
+    ``approx=True`` is the 100 TB mode: HLL++
+    ``approx_count_distinct(rsd)`` replaces each exact distinct, so the
+    plan loses the Expand (row x N_cols blowup) entirely — one plain
+    map-combined aggregate whose state is N_cols sketches, constant
+    regardless of cardinality. The exact default stays the oracle-gated
+    form; the approx twin is error-bound-tested in pytest (like
+    q_approx_sketches)."""
     e = load(spark, sf_dir, "events")
     cols = ["user_id", "event_type", "value"]
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs.append((F.count(F.lit(1)) - F.count(c)).cast("bigint").alias("%s_nulls" % c))
-        aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias("%s_distinct" % c))
+        if approx:
+            aggs.append(
+                F.approx_count_distinct(F.col(c), rsd).cast("bigint").alias(
+                    "%s_distinct" % c
+                )
+            )
+        else:
+            aggs.append(
+                F.count_distinct(F.col(c)).cast("bigint").alias("%s_distinct" % c)
+            )
     return e.agg(*aggs)
 
 

@@ -175,13 +175,42 @@ def spill_to_temp(
     return path
 
 
-def drain_or_spill(source: io.IOBase, threshold: int, spill_dir: str = ""):
+class SpillDirError(ValueError):
+    """A too-big bytes/stream source needs a spill path executors can
+    read, and none is configured for this cluster topology."""
+
+
+def require_spill_dir(spill_dir: str, master: str) -> str:
+    """Submit-time guard for the spill path (VERDICT r3 #7): a spill
+    file written to driver-local temp is only readable by executor
+    tasks when they share the driver's filesystem — i.e. a ``local[*]``
+    master. On any other master an unset ``BAMBOO_SPARK_SPILL_DIR``
+    must fail HERE, with an actionable message, not later as an
+    executor-side ``FileNotFoundError`` mid-job."""
+    if spill_dir or master.startswith("local"):
+        return spill_dir
+    raise SpillDirError(
+        "source exceeds the broadcast threshold and must spill to disk, "
+        "but BAMBOO_SPARK_SPILL_DIR is unset and the Spark master is %r: "
+        "executors on a multi-node cluster cannot read the driver's local "
+        "temp dir. Set BAMBOO_SPARK_SPILL_DIR to a shared/DFS-mounted path "
+        "readable by every executor, or pass the source as a path/glob on "
+        "shared storage instead of bytes/stream." % master
+    )
+
+
+def drain_or_spill(
+    source: io.IOBase, threshold: int, spill_dir: str = "", master: str = "local"
+):
     """Read a stream holding at most ``threshold`` bytes in memory.
 
     Returns ``(data, None)`` if the stream fit (small source → safe to
     broadcast, which works on any cluster), else ``(None, path)`` with
     the stream spilled to a temp file in bounded chunks — the driver
-    never holds more than threshold + one buffer.
+    never holds more than threshold + one buffer. ``master`` (the
+    session's ``sparkContext.master``) gates the spill: a non-local
+    master with no ``spill_dir`` raises :class:`SpillDirError` at
+    submit time (see :func:`require_spill_dir`).
     """
     chunks = []
     total = 0
@@ -191,4 +220,5 @@ def drain_or_spill(source: io.IOBase, threshold: int, spill_dir: str = ""):
             return b"".join(chunks), None
         chunks.append(c)
         total += len(c)
+    spill_dir = require_spill_dir(spill_dir, master)
     return None, spill_to_temp(source, spill_dir, prefix_chunks=tuple(chunks))

@@ -141,16 +141,19 @@ def from_pbd(
     fltr = ColumnFilter.parse(include, exclude)
 
     spill_dir = os.environ.get("BAMBOO_SPARK_SPILL_DIR", "")
+    master = spark.sparkContext.master or "local"
     path: Optional[str] = None
     data: Optional[bytes] = None
     if isinstance(source, str):
         path = os.path.abspath(source)
     elif hasattr(source, "read"):
-        data, path = drain_or_spill(source, _BROADCAST_MAX, spill_dir)
+        data, path = drain_or_spill(source, _BROADCAST_MAX, spill_dir, master)
     else:
         data = bytes(source)
         if len(data) > _BROADCAST_MAX:
-            data, path = drain_or_spill(io.BytesIO(data), _BROADCAST_MAX, spill_dir)
+            data, path = drain_or_spill(
+                io.BytesIO(data), _BROADCAST_MAX, spill_dir, master
+            )
 
     if path is not None:
         # bounded-memory metadata pass: header + varint boundary walk in

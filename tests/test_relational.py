@@ -114,3 +114,23 @@ def test_unigram_surprisal_top_v_semantics(spark):
     got = {r["doc_id"]: r["lp_mean"] for r in capped.collect()}
     for d in oov_docs:
         assert abs(got[d] - round(floor, 6)) < 1e-6, (d, got[d], floor)
+
+
+def test_table_profile_approx_mode(spark):
+    # the 100 TB monitoring twin: HLL distinct counts within rsd-bound
+    # error of the exact profile, same schema, and a plan with no
+    # Expand node (the exact multi-distinct's row x N_cols blowup)
+    from bamboo_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    exact = q.q_table_profile(spark, sf).collect()[0]
+    approx_df = q.q_table_profile(spark, sf, approx=True, rsd=0.02)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    a = approx_df.collect()[0]
+    assert set(a.asDict()) == set(exact.asDict())
+    assert a["n_rows"] == exact["n_rows"]
+    for c in ("user_id", "event_type", "value"):
+        assert a["%s_nulls" % c] == exact["%s_nulls" % c]
+        err = abs(a["%s_distinct" % c] - exact["%s_distinct" % c])
+        assert err <= 0.1 * exact["%s_distinct" % c] + 2

@@ -1000,3 +1000,148 @@ def test_merge_default_survives_nullable_union():
     m2 = merge_avro_schemas(a2, b2)
     f2 = {f["name"]: f for f in m2["fields"]}["x"]
     assert f2["type"][0] == "null" and f2["default"] is None
+
+
+# ------------------------------------- schema-resolution property fuzz
+
+
+def test_avro_schema_resolution_fuzz(spark):
+    """Hypothesis sweep of the reader-vs-writer resolution matrix
+    (promotions, field reorder, writer-only skip, reader-only defaults,
+    enum fallback, nullable unions) against an independent pure-Python
+    expectation model — the Avro twin of the PBD wire fuzz."""
+    import struct
+
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    PROMO = {
+        "int": ["int", "long", "float", "double"],
+        "long": ["long", "float", "double"],
+        "float": ["float", "double"],
+        "double": ["double"],
+        "string": ["string", "bytes"],
+        "bytes": ["bytes", "string"],
+        "boolean": ["boolean"],
+    }
+
+    def value_for(prim, draw, i):
+        if prim in ("int", "long"):
+            return draw(st.integers(-1000, 1000), label="v%d" % i)
+        if prim in ("float", "double"):
+            return draw(st.integers(-64, 64), label="v%d" % i) / 4.0
+        if prim == "boolean":
+            return draw(st.booleans(), label="v%d" % i)
+        if prim == "string":
+            return draw(st.text(alphabet="abcXYZ", max_size=5), label="v%d" % i)
+        return draw(
+            st.text(alphabet="mnpq", max_size=5), label="v%d" % i
+        ).encode()
+
+    def conv(v, wprim, rprim):
+        if v is None:
+            return None
+        if wprim in ("int", "long") and rprim in ("float", "double"):
+            return float(v)
+        if wprim == "float" and rprim in ("float", "double"):
+            return struct.unpack("<f", struct.pack("<f", v))[0]
+        if wprim == "string" and rprim == "bytes":
+            return v.encode()
+        if wprim == "bytes" and rprim == "string":
+            return v.decode()
+        return v
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(data=st.data())
+    def run(data):
+        draw = data.draw
+        n_fields = draw(st.integers(1, 4), label="n_fields")
+        specs = []
+        for i in range(n_fields):
+            name = "f%d" % i
+            kind = draw(
+                st.sampled_from(["prim", "nullable", "enum"]), label="kind%d" % i
+            )
+            dropped = draw(st.booleans(), label="drop%d" % i)
+            if kind == "enum":
+                wt = {"type": "enum", "name": "E%d" % i, "symbols": ["A", "B", "C"]}
+                narrow = draw(st.booleans(), label="narrow%d" % i)
+                rt = (
+                    {
+                        "type": "enum",
+                        "name": "E%d" % i,
+                        "symbols": ["A", "B"],
+                        "default": "A",
+                    }
+                    if narrow
+                    else wt
+                )
+                specs.append((name, kind, wt, rt, None, None, dropped))
+            else:
+                wprim = draw(st.sampled_from(list(PROMO)), label="wp%d" % i)
+                rprim = draw(st.sampled_from(PROMO[wprim]), label="rp%d" % i)
+                wt = ["null", wprim] if kind == "nullable" else wprim
+                rt = ["null", rprim] if kind == "nullable" else rprim
+                specs.append((name, kind, wt, rt, wprim, rprim, dropped))
+        # never drop EVERY field from the reader
+        if all(s[6] for s in specs):
+            specs[0] = specs[0][:6] + (False,)
+
+        writer = {
+            "type": "record",
+            "name": "t",
+            "fields": [{"name": s[0], "type": s[2]} for s in specs],
+        }
+        reader_fields = [
+            {"name": s[0], "type": s[3]} for s in specs if not s[6]
+        ]
+        extra = draw(st.booleans(), label="extra")
+        if extra:
+            reader_fields.append({"name": "extra", "type": "long", "default": 7})
+        perm = draw(st.permutations(reader_fields), label="perm")
+        reader = {"type": "record", "name": "t", "fields": list(perm)}
+
+        n_rec = draw(st.integers(0, 4), label="n_rec")
+        records, expected = [], []
+        for ri in range(n_rec):
+            rec, exp = {}, {}
+            for (name, kind, wt, rt, wprim, rprim, dropped) in specs:
+                if kind == "enum":
+                    sym = draw(
+                        st.sampled_from(["A", "B", "C"]), label="e%s_%d" % (name, ri)
+                    )
+                    rec[name] = sym
+                    if not dropped:
+                        exp[name] = sym if sym in rt["symbols"] else "A"
+                    continue
+                if kind == "nullable" and draw(
+                    st.booleans(), label="null%s_%d" % (name, ri)
+                ):
+                    rec[name] = None
+                    if not dropped:
+                        exp[name] = None
+                    continue
+                v = value_for(wprim, draw, ri * 10 + int(name[1:]))
+                if wprim == "float":
+                    v = struct.unpack("<f", struct.pack("<f", v))[0]
+                rec[name] = v
+                if not dropped:
+                    exp[name] = conv(v, wprim, rprim)
+            if extra:
+                exp["extra"] = 7
+            records.append(rec)
+            expected.append(exp)
+
+        raw = _avro_bytes(writer, records)
+        got = from_avro(raw, reader_schema=reader).to_arrow().to_pylist()
+        norm = [
+            {k: (bytes(v) if isinstance(v, (bytes, bytearray)) else v)
+             for k, v in row.items()}
+            for row in got
+        ]
+        assert norm == expected, (writer, reader, records)
+
+    run()

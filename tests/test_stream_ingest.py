@@ -291,3 +291,36 @@ def test_avro_corrupt_bytes_raise_only_avro_decode_error():
             pass  # the only exception allowed to escape
 
     run()
+
+
+def test_spill_requires_shared_dir_on_cluster_master():
+    # submit-time failure, not an executor FileNotFoundError mid-job:
+    # a big stream with no BAMBOO_SPARK_SPILL_DIR must refuse to spill
+    # when the master is a real cluster, and still work in local mode
+    # or with an explicit (shared) spill dir
+    import io
+    import os
+
+    from bamboo_spark.sources._stream import SpillDirError, drain_or_spill
+
+    big = io.BytesIO(b"x" * (1 << 16))
+    with pytest.raises(SpillDirError, match="BAMBOO_SPARK_SPILL_DIR"):
+        drain_or_spill(big, threshold=1024, spill_dir="", master="spark://h:7077")
+
+    big.seek(0)
+    data, path = drain_or_spill(big, threshold=1024, spill_dir="", master="local[8]")
+    assert data is None and path is not None and os.path.getsize(path) == 1 << 16
+
+    big.seek(0)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        data, path = drain_or_spill(
+            big, threshold=1024, spill_dir=d, master="spark://h:7077"
+        )
+        assert data is None and path is not None and path.startswith(d)
+
+    # small stream never spills, any master
+    small = io.BytesIO(b"y" * 100)
+    data, path = drain_or_spill(small, threshold=1024, spill_dir="", master="yarn")
+    assert data == b"y" * 100 and path is None
