@@ -1153,3 +1153,91 @@ from keyed n join keyed o on n.k = o.k and o.doc_id < {s}
 where n.doc_id >= {s}
 group by n.doc_id
 """.format(k=key_duck, s=split_id)
+
+
+# --------------------------------------- exact duplicated-substring spans
+
+
+def duplicate_spans(
+    df: DataFrame,
+    ngram: int = 5,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated substring spans — the exact-substring
+    dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), reduced from suffix arrays to its
+    shuffle-friendly n-gram core: a token position is covered when some
+    ``ngram``-token window starting at it occurs in >= ``min_df``
+    DISTINCT documents, and maximal runs of covered windows merge into
+    spans (gaps-and-islands: a new island starts when the next flagged
+    start is more than ``ngram`` past the previous one). Emits
+    (doc_id, span_start, span_end, span_tokens) in token offsets,
+    span = [span_start, span_end). Downstream, spans are what you cut
+    (or down-weight) before training.
+
+    Scale: one posexplode of the shingle array; document frequency is
+    one gram-keyed aggregate (map-combined count_distinct over doc_id);
+    only the duplicated grams — tiny vs the corpus — join back
+    (broadcast); the island merge is a per-doc window, skew-free by
+    construction (a doc's flagged positions are bounded by its length).
+    No suffix array, no global sort, nothing driver-sized."""
+    from pyspark.sql import Window
+
+    sh = word_shingles_sql("split(%s, ' ')" % text_col, ngram)
+    grams = df.selectExpr(id_col, "posexplode(%s) as (pos, g)" % sh)
+    hot = (
+        grams.groupBy("g")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .where(F.col("_df") >= min_df)
+        .select("g")
+    )
+    flagged = grams.join(F.broadcast(hot), "g").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= ngram, F.lit(0)
+    ).otherwise(F.lit(1))
+    islands = flagged.withColumn("_brk", brk).withColumn(
+        "_gid", F.sum("_brk").over(w)
+    )
+    return (
+        islands.groupBy(id_col, "_gid")
+        .agg(F.min("pos").alias("_s"), F.max("pos").alias("_e"))
+        .select(
+            id_col,
+            F.col("_s").cast("bigint").alias("span_start"),
+            (F.col("_e") + ngram).cast("bigint").alias("span_end"),
+            (F.col("_e") + ngram - F.col("_s")).cast("bigint").alias("span_tokens"),
+        )
+    )
+
+
+def duplicate_spans_duck(ngram: int = 5, min_df: int = 2) -> str:
+    """DuckDB oracle: same shingle starts, same DF cutoff, same island
+    merge."""
+    sh = word_shingles_duck("t", ngram)
+    return """
+with toks as (select doc_id, string_split(text, ' ') t from documents),
+grams as (
+  select doc_id, generate_subscripts({sh}, 1) - 1 as pos, unnest({sh}) as g
+  from toks
+),
+hot as (select g from grams group by g having count(distinct doc_id) >= {mdf}),
+fl as (select doc_id, pos from grams join hot using (g)),
+isl as (
+  select doc_id, pos,
+         case when pos - lag(pos) over (partition by doc_id order by pos)
+                   <= {n} then 0 else 1 end brk
+  from fl
+),
+grp as (
+  select doc_id, pos,
+         sum(brk) over (partition by doc_id order by pos) gid
+  from isl
+)
+select doc_id, min(pos)::BIGINT span_start, (max(pos) + {n})::BIGINT span_end,
+       (max(pos) + {n} - min(pos))::BIGINT span_tokens
+from grp group by doc_id, gid
+order by doc_id, span_start
+""".format(sh=sh, mdf=min_df, n=ngram)

@@ -1124,6 +1124,74 @@ select distinct id_a, id_b, cosine from j where cosine >= {t}
     ).format(np=n_probe, t=threshold, cap=cap_clause, src=assign_src)
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.4,
+    n_probe: int = 1,
+    n_centroids: Optional[int] = None,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    centroids: Optional["np.ndarray"] = None,
+) -> DataFrame:
+    """SemDeDup-style semantic corpus pruning (Abbas et al. 2023):
+    cluster the embedding space with the IVF coarse quantizer, then
+    inside each cluster drop every vector that is ≥ ``threshold``
+    cosine-similar to a LOWER-id vector — the deterministic version of
+    "keep one representative per semantic duplicate group". Returns one
+    row per input vector: (id, is_kept, dup_of) with ``dup_of`` the
+    lowest qualifying lower id (null when kept), so the caller can
+    either filter (is_kept) or audit what was dropped and why.
+
+    Scale: candidate generation + verify is :func:`ivf_pairs` (bucketed
+    GEMM, nothing data-sized collected); the drop table is a doc-keyed
+    min-aggregate of the pair list; the final left join is
+    corpus ⋈ (dup docs only) — at real dup rates the right side is the
+    small side and broadcasts. Pass a shared/persisted ``centroids``
+    quantizer to skip retraining (build-once-probe-many)."""
+    pairs = ivf_pairs(
+        df,
+        threshold,
+        n_centroids=n_centroids,
+        iterations=iterations,
+        id_col=id_col,
+        vec=vec,
+        n_probe=n_probe,
+        centroids=centroids,
+    )
+    drops = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.min("id_a").alias("dup_of")
+    )
+    return (
+        df.select(id_col)
+        .join(F.broadcast(drops), id_col, "left")
+        .select(
+            id_col,
+            F.col("dup_of").isNull().alias("is_kept"),
+            "dup_of",
+        )
+    )
+
+
+def semantic_dedup_duck(
+    threshold: float = 0.4,
+    n_centroids: Optional[int] = None,
+    iterations: int = 2,
+    n_probe: int = 1,
+) -> str:
+    """DuckDB oracle for ``semantic_dedup``: the ivf_pairs replay as a
+    nested CTE, then the same min-lower-id drop rule."""
+    inner = ivf_pairs_duck(threshold, n_centroids, iterations, n_probe)
+    return """
+with pairs as ({inner})
+select e.vec_id as vec_id, d.dup_of is null as is_kept, d.dup_of as dup_of
+from embeddings e left join (
+  select id_b as vec_id, min(id_a) as dup_of from pairs group by id_b
+) d using (vec_id)
+order by vec_id
+""".format(inner=inner.strip().rstrip(";"))
+
+
 def ann_pairs(
     df: DataFrame,
     threshold: float = 0.4,

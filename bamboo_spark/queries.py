@@ -1834,6 +1834,27 @@ def q_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning: IVF-cluster the embeddings
+    (shared quantizer), drop any vector >= 0.4 cosine to a lower-id
+    cluster-mate, audit via (vec_id, is_kept, dup_of). The standard
+    embedding-level companion to the text near-dup passes."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        e, threshold=0.4, centroids=ivf_quantizer(spark, sf_dir)
+    )
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. exact-substring
+    dedup, n-gram core): token positions covered by a 5-gram occurring
+    in >= 2 distinct docs merge into maximal spans — what you cut from
+    training text. One explode + one gram-keyed DF agg + a per-doc
+    island window; the hot-gram table broadcasts."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(d, ngram=5, min_df=2)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: a NEW batch (doc_id >= 250) deduplicates
     against the already-ingested corpus (doc_id < 250) by normalized
@@ -3052,6 +3073,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": q_minhash_incremental,
         "dedup_bloom_incremental": q_dedup_bloom_incremental,
         "dedup_bloom_sharded": q_dedup_bloom_sharded,
+        "semantic_dedup": q_semantic_dedup,
+        "duplicate_spans": q_duplicate_spans,
         "cap_per_domain": q_cap_per_domain,
         "token_entropy": q_token_entropy,
         "unigram_surprisal": q_unigram_surprisal,
@@ -3194,6 +3217,8 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_bloom_sharded": dedup.bloom_dedup_incremental_duck(
             text.fingerprint_duck(), split_id=250
         ),
+        "semantic_dedup": similarity.semantic_dedup_duck(threshold=0.4),
+        "duplicate_spans": dedup.duplicate_spans_duck(ngram=5, min_df=2),
         "cap_per_domain": Q_CAP_PER_DOMAIN_SQL,
         "token_entropy": Q_TOKEN_ENTROPY_SQL,
         "unigram_surprisal": Q_UNIGRAM_SURPRISAL_SQL,

@@ -89,6 +89,9 @@ BENCH_QUERIES = [
     "chunk_documents",
     "minhash_incremental",
     "dedup_bloom_incremental",
+    "dedup_bloom_sharded",
+    "semantic_dedup",
+    "duplicate_spans",
     "cap_per_domain",
     "token_entropy",
     "unigram_surprisal",

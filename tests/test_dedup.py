@@ -236,3 +236,53 @@ def test_bloom_sharded_matches_single_bitmap(spark):
             ).collect()
         }
         assert got == one, shards
+
+
+def test_duplicate_spans_planted_fixture(spark):
+    # two docs share an exact 6-token run; a third is unrelated — the
+    # span must surface in both sharers at the right token offsets,
+    # with nothing flagged in the outsider
+    from bamboo_spark.operators.dedup import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    d = spark.createDataFrame(
+        [
+            (1, "one two " + shared + " tail1 tailx"),
+            (2, shared + " other words here"),
+            (3, "completely different tokens nothing repeats at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(d, ngram=4, min_df=2).collect()
+    }
+    # doc 1: shared run occupies tokens [2, 8); doc 2: [0, 6)
+    assert (1, 2, 8) in rows and (2, 0, 6) in rows
+    assert not any(doc == 3 for doc, *_ in rows)
+
+
+def test_duplicate_spans_invariants(spark):
+    # spans are disjoint per doc, each at least ngram tokens, and
+    # within the doc's token count
+    from bamboo_spark import queries as q
+    from bamboo_spark.operators.dedup import duplicate_spans
+
+    d = q.load(spark, "/root/testdata/sf0.001", "documents")
+    n = 5
+    spans = duplicate_spans(d, ngram=n, min_df=2).collect()
+    lens = {
+        r["doc_id"]: r["n"]
+        for r in d.selectExpr(
+            "doc_id", "size(split(text, ' ')) as n"
+        ).collect()
+    }
+    by_doc = {}
+    for r in spans:
+        assert r["span_tokens"] == r["span_end"] - r["span_start"] >= n
+        assert 0 <= r["span_start"] and r["span_end"] <= lens[r["doc_id"]]
+        by_doc.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    for doc, ss in by_doc.items():
+        ss.sort()
+        for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
+            assert s2 > e1, (doc, ss)  # maximal: no mergeable adjacency

@@ -294,3 +294,21 @@ def test_unigram_surprisal_top_v_no_window(spark):
     plan = plan_of(df)
     assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_duplicate_spans_hot_grams_broadcast(spark):
+    # the duplicated-gram table joins back by BROADCAST (the corpus
+    # token stream never shuffles for the flag join); the island merge
+    # is the only per-doc window
+    plan = plan_of(q.queries()["duplicate_spans"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_drop_table_broadcasts(spark):
+    # corpus ⋈ dropped-docs is a broadcast left join; candidate
+    # generation stays the bucketed applyInPandas kernel
+    plan = plan_of(q.queries()["semantic_dedup"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan

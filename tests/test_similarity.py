@@ -120,3 +120,24 @@ def test_persisted_quantizer_identical_results(spark, tmp_path):
     fresh = {tuple(r) for r in ivf_pairs(e, threshold=0.4).collect()}
     persisted = {tuple(r) for r in ivf_pairs(e, threshold=0.4, centroids=loaded).collect()}
     assert fresh == persisted and len(fresh) > 0
+
+
+def test_semantic_dedup_consistent_with_pairs(spark):
+    # is_kept == no lower-id >= t cluster-mate; dup_of == min such id
+    from bamboo_spark import queries as q
+    from bamboo_spark.operators.similarity import ivf_pairs, semantic_dedup
+
+    e = q.load(spark, "/root/testdata/sf0.001", "embeddings")
+    pairs = ivf_pairs(e, threshold=0.4).collect()
+    expect = {}
+    for r in pairs:
+        cur = expect.get(r["id_b"])
+        expect[r["id_b"]] = r["id_a"] if cur is None else min(cur, r["id_a"])
+    got = semantic_dedup(e, threshold=0.4).collect()
+    assert len(got) == e.count()
+    for r in got:
+        if r["vec_id"] in expect:
+            assert not r["is_kept"] and r["dup_of"] == expect[r["vec_id"]]
+        else:
+            assert r["is_kept"] and r["dup_of"] is None
+    assert any(not r["is_kept"] for r in got)  # fixture has semantic dups
