@@ -653,6 +653,69 @@ def connected_components_contraction(
     )
 
 
+def canonical_docs(
+    labels: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Pick each duplicate cluster's surviving representative: the
+    highest-``quality`` member, ties broken by the smallest id — the
+    "keep the best copy" step that turns a components labeling into an
+    actionable delete list.
+
+    Deliberately an aggregate, NOT a row_number window: ``max`` over a
+    (quality, -id) struct partial-combines map-side, so a pathological
+    million-member cluster costs one combiner cell per task instead of
+    a full per-cluster sort on one reducer. Output: (component,
+    keep_id, keep_quality, n_members).
+    """
+    member = labels.join(scored.select(id_col, quality_col), id_col)
+    best = F.max(
+        F.struct(
+            F.col(quality_col).alias("q"), (-F.col(id_col)).alias("nid")
+        )
+    ).alias("best")
+    return (
+        member.groupBy("component")
+        .agg(best, F.count(F.lit(1)).alias("n_members"))
+        .select(
+            "component",
+            (-F.col("best.nid")).alias("keep_id"),
+            F.col("best.q").alias("keep_quality"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )
+
+
+def canonical_docs_duck(pairs_cte: str, quality_duck: str) -> str:
+    """DuckDB oracle for ``canonical_docs`` over the converged-components
+    labeling: recursive-CTE fixpoint + per-cluster argmax (row_number
+    is fine at oracle scale; the engine side uses the combiner-friendly
+    max-struct form)."""
+    return """
+with labels as materialized (
+  select * from ({fixpoint}) fixpoint_labels
+),
+scored as (select doc_id, {quality} quality from documents),
+m as (
+  select l.component, l.doc_id, s.quality
+  from labels l join scored s using (doc_id)
+),
+r as (
+  select *,
+         row_number() over (
+           partition by component order by quality desc, doc_id
+         ) rn,
+         count(*) over (partition by component) n_members
+  from m
+)
+select component, doc_id keep_id, quality keep_quality,
+       n_members::BIGINT n_members
+from r where rn = 1 order by component
+""".format(fixpoint=components_fixpoint_duck(pairs_cte), quality=quality_duck)
+
+
 def components_fixpoint_duck(pairs_cte: str) -> str:
     """DuckDB oracle for the converged components: transitive closure
     via a recursive CTE, then min reachable id per node — the same

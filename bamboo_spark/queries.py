@@ -1627,6 +1627,28 @@ order by doc_id
 """
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules composite quality filter: every doc with its stats,
+    a keep flag, and a drop_reasons audit trail. Pure scan-speed
+    per-row arithmetic — zero shuffles, column-pruned to
+    (doc_id, text); at 100 TB this runs at parquet-read throughput."""
+    d = load(spark, sf_dir, "documents")
+    return text.gopher_filter(d)
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end 'keep the best copy': MinHash-LSH candidates → exact
+    verify → converged components → per-cluster argmax-quality
+    representative. The argmax is a map-combinable max-struct
+    aggregate, not a window sort, so giant clusters never serialize
+    through one reducer."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.7, num_hashes=64)
+    labels = dedup.connected_components_converged(pairs)
+    scored = d.select("doc_id", text.quality_score("text").alias("quality"))
+    return dedup.canonical_docs(labels, scored)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media plumbing end-to-end: text → binary payload → media struct →
     Arrow-batched mapInPandas decode (stubbed codec, real pipeline)."""
@@ -3069,6 +3091,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "contamination": q_contamination,
         "repetition_stats": q_repetition_stats,
+        "quality_filter": q_quality_filter,
+        "dedup_canonical": q_dedup_canonical,
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
         "dedup_bloom_incremental": q_dedup_bloom_incremental,
@@ -3228,6 +3252,11 @@ def oracle_sql() -> Dict[str, str]:
         "repetition_stats": Q_REPETITION_SQL.format(
             sh2=text.word_shingles_duck("toks", 2),
             sh3=text.word_shingles_duck("toks", 3),
+        ),
+        "quality_filter": text.gopher_filter_duck(),
+        "dedup_canonical": dedup.canonical_docs_duck(
+            dedup.jaccard_pairs_duck(threshold=0.7),
+            text.quality_score_duck("text"),
         ),
         "multimodal_decode": Q_MULTIMODAL_SQL,
         "multimodal_features": Q_MULTIMODAL_FEATURES_SQL.format(

@@ -286,3 +286,22 @@ def test_duplicate_spans_invariants(spark):
         ss.sort()
         for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
             assert s2 > e1, (doc, ss)  # maximal: no mergeable adjacency
+
+
+def test_canonical_docs_argmax_and_tiebreak(spark):
+    from bamboo_spark.operators.dedup import canonical_docs
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, component long",
+    )
+    scored = spark.createDataFrame(
+        # cluster 1: doc 2 wins on quality; cluster 10: tie -> min id
+        [(1, 0.5), (2, 0.9), (3, 0.7), (10, 0.8), (11, 0.8)],
+        "doc_id long, quality double",
+    )
+    got = {
+        r["component"]: (r["keep_id"], r["keep_quality"], r["n_members"])
+        for r in canonical_docs(labels, scored).collect()
+    }
+    assert got == {1: (2, 0.9, 3), 10: (10, 0.8, 2)}

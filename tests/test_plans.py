@@ -312,3 +312,23 @@ def test_semantic_dedup_drop_table_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quality_filter_is_scan_speed_projection(spark):
+    # Gopher filter is pure per-row arithmetic: no exchange/join/agg,
+    # and the scan is pruned to (doc_id, text)
+    plan = plan_of(q.q_quality_filter(spark, SF))
+    for op in ("Exchange", "Join", "HashAggregate", "Sort", "Window"):
+        assert op not in plan, op
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_dedup_canonical_argmax_is_aggregate_not_window(spark):
+    # the per-cluster representative comes from a map-combinable
+    # max(struct) aggregate — a giant cluster never funnels through a
+    # single-reducer window sort
+    plan = plan_of(q.q_dedup_canonical(spark, SF))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

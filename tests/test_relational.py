@@ -134,3 +134,26 @@ def test_table_profile_approx_mode(spark):
         assert a["%s_nulls" % c] == exact["%s_nulls" % c]
         err = abs(a["%s_distinct" % c] - exact["%s_distinct" % c])
         assert err <= 0.1 * exact["%s_distinct" % c] + 2
+
+
+def test_gopher_filter_reasons(spark):
+    from bamboo_spark.operators.text import gopher_filter
+
+    docs = spark.createDataFrame(
+        [
+            # 2 words -> too_few_words; also low diversity is NOT
+            # triggered (distinct ratio 1.0); quality low (short, no
+            # stopwords) -> low_quality too
+            (1, "alpha beta"),
+            # 40 distinct-ish words incl stopwords, mean len in range
+            (2, "the and for with that " + " ".join("w%d" % i for i in range(35))),
+            # heavy repetition -> low_diversity
+            (3, " ".join(["dup"] * 60)),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_filter(docs).collect()}
+    assert "too_few_words" in out[1]["drop_reasons"]
+    assert out[1]["keep"] == 0
+    assert out[2]["keep"] == 1 and out[2]["drop_reasons"] == ""
+    assert "low_diversity" in out[3]["drop_reasons"]
