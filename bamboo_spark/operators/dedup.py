@@ -653,6 +653,101 @@ def connected_components_contraction(
     )
 
 
+def segment_dedup(
+    df: DataFrame,
+    block_tokens: int = 20,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-level exact dedup (RefinedWeb-style "remove duplicated
+    spans, keep the document"): split each doc into fixed
+    ``block_tokens`` segments, drop every segment whose exact content
+    already occurred earlier in the corpus (first occurrence by
+    (doc_id, position) survives), and reassemble the surviving text.
+
+    Scale shape: the corpus-wide first-occurrence pass shuffles md5
+    DIGESTS (32 bytes), never segment text, and is a groupBy +
+    min(struct) aggregate — map-side combined, so a boilerplate segment
+    repeated a billion times costs one combiner cell per task instead
+    of a single-reducer window sort. The flag join keys on the digest
+    (distinct-segment sized; AQE broadcasts when small) and reassembly
+    is one doc-keyed aggregate. Output: (doc_id, n_blocks, n_kept,
+    dedup_text).
+    """
+    if block_tokens < 1:
+        raise ValueError("block_tokens must be >= 1, got %d" % block_tokens)
+    blocks = df.selectExpr(
+        id_col,
+        "posexplode(transform(sequence(0, cast(ceil(size(split({c}, ' ')) / {b}.0)"
+        " as int) - 1), i -> array_join(slice(split({c}, ' '), i * {b} + 1, {b}),"
+        " ' '))) as (blk_idx, block)".format(c=col, b=block_tokens),
+    ).selectExpr(id_col, "blk_idx", "block", "md5(block) as bh")
+    keepers = blocks.groupBy("bh").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("blk_idx").alias("i"))).alias(
+            "first_occ"
+        )
+    )
+    flagged = blocks.join(keepers, "bh").withColumn(
+        "keep",
+        (F.col("first_occ.d") == F.col(id_col))
+        & (F.col("first_occ.i") == F.col("blk_idx")),
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct(F.col("blk_idx"), F.col("block")),
+                            )
+                        )
+                    ),
+                    lambda s: s["block"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+    )
+
+
+def segment_dedup_duck(block_tokens: int = 20) -> str:
+    """DuckDB oracle twin of ``segment_dedup`` (window rank at oracle
+    scale; the engine side is the combiner-friendly min-struct form)."""
+    return """
+with t as (
+  select doc_id, string_split(text, ' ') toks from documents
+),
+b as (
+  select doc_id, unnest(range(ceil(len(toks) / {b}.0)::int)) blk_idx, toks
+  from t
+),
+seg as (
+  select doc_id, blk_idx,
+         array_to_string(
+           list_slice(toks, blk_idx * {b} + 1,
+                      least((blk_idx + 1) * {b}, len(toks))), ' ') block
+  from b
+),
+r as (
+  select *, row_number() over (
+    partition by md5(block) order by doc_id, blk_idx) rn
+  from seg
+)
+select doc_id,
+       count(*)::BIGINT n_blocks,
+       sum((rn = 1)::int)::BIGINT n_kept,
+       coalesce(array_to_string(
+         list(block order by blk_idx) filter (where rn = 1), ' '), '')
+         dedup_text
+from r group by doc_id order by doc_id
+""".format(b=block_tokens)
+
+
 def canonical_docs(
     labels: DataFrame,
     scored: DataFrame,

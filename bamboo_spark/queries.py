@@ -1649,6 +1649,16 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.canonical_docs(labels, scored)
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style paragraph-level dedup: drop exact-duplicate
+    20-token segments corpus-wide (first occurrence survives) and
+    reassemble each document. Shuffles digests, not text; the
+    first-occurrence pass is a map-combined aggregate, so boilerplate
+    repeated a billion times never serializes through one reducer."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.segment_dedup(d, block_tokens=20)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media plumbing end-to-end: text → binary payload → media struct →
     Arrow-batched mapInPandas decode (stubbed codec, real pipeline)."""
@@ -3093,6 +3103,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
         "dedup_canonical": q_dedup_canonical,
+        "paragraph_dedup": q_paragraph_dedup,
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
         "dedup_bloom_incremental": q_dedup_bloom_incremental,
@@ -3254,6 +3265,7 @@ def oracle_sql() -> Dict[str, str]:
             sh3=text.word_shingles_duck("toks", 3),
         ),
         "quality_filter": text.gopher_filter_duck(),
+        "paragraph_dedup": dedup.segment_dedup_duck(block_tokens=20),
         "dedup_canonical": dedup.canonical_docs_duck(
             dedup.jaccard_pairs_duck(threshold=0.7),
             text.quality_score_duck("text"),

@@ -305,3 +305,33 @@ def test_canonical_docs_argmax_and_tiebreak(spark):
         for r in canonical_docs(labels, scored).collect()
     }
     assert got == {1: (2, 0.9, 3), 10: (10, 0.8, 2)}
+
+
+def test_segment_dedup_planted_duplicates(spark):
+    from bamboo_spark.operators.dedup import segment_dedup
+
+    blk = lambda w: " ".join([w] * 4)  # noqa: E731 one 4-token block
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join([blk("a"), blk("b")])),
+            (2, " ".join([blk("b"), blk("c")])),  # b dup of doc 1 blk 1
+            (3, blk("a")),                        # whole doc is a dup
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(docs, block_tokens=4).collect()}
+    assert out[1]["n_blocks"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["n_kept"] == 1 and out[2]["dedup_text"] == blk("c")
+    assert out[3]["n_kept"] == 0 and out[3]["dedup_text"] == ""
+    # kept blocks reassemble in original order
+    assert out[1]["dedup_text"] == " ".join([blk("a"), blk("b")])
+
+
+def test_segment_dedup_rejects_bad_block(spark):
+    import pytest as _pytest
+
+    from bamboo_spark.operators.dedup import segment_dedup
+
+    d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        segment_dedup(d, block_tokens=0)

@@ -332,3 +332,12 @@ def test_dedup_canonical_argmax_is_aggregate_not_window(spark):
     plan = plan_of(q.q_dedup_canonical(spark, SF))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_paragraph_dedup_no_window_digest_shuffle(spark):
+    # first-occurrence is a map-combinable min(struct) aggregate keyed
+    # on the md5 digest — no per-segment window sort, no cartesian
+    plan = plan_of(q.q_paragraph_dedup(spark, SF))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "md5" in plan  # digest, not raw text, is the shuffle key
