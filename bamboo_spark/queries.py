@@ -1571,6 +1571,118 @@ group by doc_id
 """
 
 
+def q_dsir_weights(
+    spark: SparkSession, sf_dir: str, top_v: int | None = None, alpha: float = 0.5
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, reduced to its
+    unigram core): treat the lang='en' slice as the target domain,
+    estimate smoothed unigram distributions for target and raw corpus,
+    and score every doc by its summed token log-likelihood ratio
+    ln p_T(t) - ln p_R(t). High dsir_logw = looks like the target
+    domain — the importance-resampling signal for data selection.
+
+    One token-keyed aggregate computes BOTH distributions (c_raw =
+    count, c_target = conditional sum — no second pass over the token
+    stream), the three totals are a scalar aggregate broadcast back via
+    cross join (never a global window), and the per-doc score is one
+    doc-keyed agg. With ``top_v`` the vocab caps at the V most frequent
+    tokens and everything else scores at the closed-form OOV floor
+    ln((R+aV)/(T+aV)) — the bounded-broadcast shape for a
+    billions-of-tokens vocab at 100 TB. Laplace-style ``alpha``
+    smoothing keeps target-absent tokens finite."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.selectExpr(
+        "doc_id",
+        "cast(lang = 'en' as long) as is_t",
+        "explode(split(text, ' ')) as t",
+    )
+    counts = tok.groupBy("t").agg(
+        F.count(F.lit(1)).cast("double").alias("c_r"),
+        F.sum("is_t").cast("double").alias("c_t"),
+    )
+    tot = counts.agg(
+        F.sum("c_r").alias("_r_tot"),
+        F.sum("c_t").alias("_t_tot"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    a = F.lit(float(alpha))
+    # per-token LLR in integer NANO-units: round-9 absorbs last-ulp libm
+    # differences, and summing longs (not doubles) makes the per-doc
+    # reduction exact and order-independent — bit-identical on any
+    # partitioning and in the oracle
+    llr_expr = (
+        F.round(
+            F.round(
+                F.log((F.col("c_t") + a) / (F.col("_t_tot") + a * F.col("_v")))
+                - F.log((F.col("c_r") + a) / (F.col("_r_tot") + a * F.col("_v"))),
+                9,
+            )
+            * F.lit(1e9),
+            0,
+        )
+        .cast("long")
+        .alias("llr")
+    )
+    if top_v is None:
+        llr = counts.crossJoin(F.broadcast(tot)).select("t", llr_expr)
+        scored = tok.join(llr, "t")
+    else:
+        kept = counts.orderBy(F.col("c_r").desc(), F.col("t").asc()).limit(top_v)
+        llr = kept.crossJoin(F.broadcast(tot)).select("t", llr_expr)
+        floor = tot.select(
+            F.round(
+                F.round(
+                    F.log(
+                        (F.col("_r_tot") + a * F.col("_v"))
+                        / (F.col("_t_tot") + a * F.col("_v"))
+                    ),
+                    9,
+                )
+                * F.lit(1e9),
+                0,
+            )
+            .cast("long")
+            .alias("_oov_llr")
+        )
+        scored = (
+            tok.join(F.broadcast(llr), "t", "left")
+            .crossJoin(F.broadcast(floor))
+            .withColumn("llr", F.coalesce("llr", "_oov_llr"))
+        )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.sum("llr").cast("double") / F.lit(1e9), 6).alias("dsir_logw"),
+        )
+        .select("doc_id", "n_tokens", "dsir_logw")
+    )
+
+
+Q_DSIR_SQL = """
+with tok as (
+  select doc_id, (lang = 'en')::int is_t, unnest(string_split(text, ' ')) t
+  from documents
+),
+counts as (
+  select t, count(*)::DOUBLE c_r, sum(is_t)::DOUBLE c_t from tok group by t
+),
+tot as (
+  select sum(c_r) r_tot, sum(c_t) t_tot, count(*)::DOUBLE v from counts
+),
+llr as (
+  select t, round(round(ln((c_t + 0.5) / (t_tot + 0.5 * v))
+                      - ln((c_r + 0.5) / (r_tot + 0.5 * v)), 9)
+                  * 1e9, 0)::BIGINT llr
+  from counts, tot
+)
+select doc_id, count(*)::BIGINT n_tokens,
+       round(sum(llr)::DOUBLE / 1e9, 6) dsir_logw
+from tok join llr using (t)
+group by doc_id order by doc_id
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition (Gopher-style repetition filters):
     duplicate bigram/trigram fraction + the hottest trigram's
@@ -3104,6 +3216,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "dedup_canonical": q_dedup_canonical,
         "paragraph_dedup": q_paragraph_dedup,
+        "dsir_weights": q_dsir_weights,
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
         "dedup_bloom_incremental": q_dedup_bloom_incremental,
@@ -3266,6 +3379,7 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "quality_filter": text.gopher_filter_duck(),
         "paragraph_dedup": dedup.segment_dedup_duck(block_tokens=20),
+        "dsir_weights": Q_DSIR_SQL,
         "dedup_canonical": dedup.canonical_docs_duck(
             dedup.jaccard_pairs_duck(threshold=0.7),
             text.quality_score_duck("text"),

@@ -341,3 +341,20 @@ def test_paragraph_dedup_no_window_digest_shuffle(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "md5" in plan  # digest, not raw text, is the shuffle key
+
+
+def test_dsir_weights_no_window_scalar_broadcast(spark):
+    # both distributions come out of ONE token-keyed agg; totals are a
+    # scalar agg rejoined by broadcast — never a global window
+    plan = plan_of(q.queries()["dsir_weights"](spark, SF))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_dsir_weights_top_v_is_take_ordered(spark):
+    # capped-vocab mode bounds the broadcast with a TakeOrdered (no
+    # full sort) and stays window-free
+    plan = plan_of(q.q_dsir_weights(spark, SF, top_v=50))
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -157,3 +157,38 @@ def test_gopher_filter_reasons(spark):
     assert out[1]["keep"] == 0
     assert out[2]["keep"] == 1 and out[2]["drop_reasons"] == ""
     assert "low_diversity" in out[3]["drop_reasons"]
+
+
+def test_dsir_top_v_full_vocab_equals_exact(spark):
+    # with top_v >= |vocab| the capped path must equal the closed form
+    from bamboo_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in q.q_dsir_weights(spark, sf).collect()
+    }
+    capped = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in q.q_dsir_weights(spark, sf, top_v=10**6).collect()
+    }
+    assert exact == capped
+
+
+def test_dsir_target_docs_score_higher(spark):
+    # sanity: the target-domain (en) docs should average a higher
+    # importance weight than non-target docs
+    from pyspark.sql import functions as F
+
+    from bamboo_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    d = q.load(spark, sf, "documents").select("doc_id", "lang")
+    w = q.q_dsir_weights(spark, sf).join(d, "doc_id")
+    rows = (
+        w.groupBy(F.col("lang") == "en")
+        .agg(F.avg(F.col("dsir_logw") / F.col("n_tokens")).alias("m"))
+        .collect()
+    )
+    m = {r[0]: r["m"] for r in rows}
+    assert m[True] > m[False]
