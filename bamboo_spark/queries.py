@@ -1683,6 +1683,95 @@ group by doc_id order by doc_id
 """
 
 
+def q_bigram_surprisal(
+    spark: SparkSession, sf_dir: str, lam: float = 0.75
+) -> DataFrame:
+    """KenLM-lite perplexity filter: an interpolated bigram LM trained
+    on the corpus itself — p(w|u) = lam * c(uw)/c(u) + (1-lam) *
+    c(w)/N — scoring each doc by mean bigram log-probability. The
+    stronger cousin of ``unigram_surprisal``: templated text scores
+    near 0, incoherent token salad scores very negative.
+
+    Shape: bigrams come from array expressions (no window, no
+    self-join for adjacency), both count tables are map-combined aggs,
+    the model joins are token-/bigram-keyed hash joins (AQE broadcasts
+    the vocab side while it fits; at 100 TB cap both tables top-V like
+    ``q_dsir_weights``), and the per-doc reduction sums exact integer
+    nano-units so the result is partitioning-independent."""
+    d = load(spark, sf_dir, "documents")
+    sh2 = text.word_shingles_sql("split(text, ' ')", 2)
+    big = d.selectExpr("doc_id", "explode(%s) as bg" % sh2)
+    uni = (
+        d.selectExpr("explode(split(text, ' ')) as t")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    )
+    n_tot = uni.agg(F.sum("c1").alias("_n")).select(
+        F.col("_n").cast("double").alias("_n")
+    )
+    c2 = big.groupBy("bg").agg(F.count(F.lit(1)).cast("double").alias("c2"))
+    lm = (
+        c2.selectExpr("bg", "c2", "split(bg, ' ')[0] as prev", "split(bg, ' ')[1] as cur")
+        .join(uni.select(F.col("t").alias("prev"), F.col("c1").alias("c_prev")), "prev")
+        .join(uni.select(F.col("t").alias("cur"), F.col("c1").alias("c_cur")), "cur")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "bg",
+            F.round(
+                F.round(
+                    F.log(
+                        F.lit(float(lam)) * F.col("c2") / F.col("c_prev")
+                        + F.lit(1.0 - float(lam)) * F.col("c_cur") / F.col("_n")
+                    ),
+                    9,
+                )
+                * F.lit(1e9),
+                0,
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    return (
+        big.join(lm, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum("lp").cast("double") / F.lit(1e9) / F.count(F.lit(1)), 6
+            ).alias("lp_mean"),
+        )
+        .select("doc_id", "n_bigrams", "lp_mean")
+    )
+
+
+Q_BIGRAM_SURPRISAL_SQL = """
+with docs_t as (select doc_id, string_split(text, ' ') toks from documents),
+big as (
+  select doc_id, unnest({sh2}) bg from docs_t
+),
+uni as (
+  select t, count(*)::DOUBLE c1
+  from (select unnest(toks) t from docs_t) group by t
+),
+tot as (select sum(c1) n from uni),
+c2 as (select bg, count(*)::DOUBLE c2 from big group by bg),
+lm as (
+  select c2.bg,
+         round(round(ln({lam} * c2.c2 / pu.c1 + {one_m_lam} * cu.c1 / tot.n), 9)
+               * 1e9, 0)::BIGINT lp
+  from c2
+  join uni pu on pu.t = string_split(c2.bg, ' ')[1]
+  join uni cu on cu.t = string_split(c2.bg, ' ')[2]
+  cross join tot
+)
+select doc_id, count(*)::BIGINT n_bigrams,
+       round(sum(lp)::DOUBLE / 1e9 / count(*), 6) lp_mean
+from big join lm using (bg)
+group by doc_id order by doc_id
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition (Gopher-style repetition filters):
     duplicate bigram/trigram fraction + the hottest trigram's
@@ -3217,6 +3306,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": q_dedup_canonical,
         "paragraph_dedup": q_paragraph_dedup,
         "dsir_weights": q_dsir_weights,
+        "bigram_surprisal": q_bigram_surprisal,
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
         "dedup_bloom_incremental": q_dedup_bloom_incremental,
@@ -3380,6 +3470,11 @@ def oracle_sql() -> Dict[str, str]:
         "quality_filter": text.gopher_filter_duck(),
         "paragraph_dedup": dedup.segment_dedup_duck(block_tokens=20),
         "dsir_weights": Q_DSIR_SQL,
+        "bigram_surprisal": Q_BIGRAM_SURPRISAL_SQL.format(
+            sh2=text.word_shingles_duck("toks", 2),
+            lam=0.75,
+            one_m_lam=0.25,
+        ),
         "dedup_canonical": dedup.canonical_docs_duck(
             dedup.jaccard_pairs_duck(threshold=0.7),
             text.quality_score_duck("text"),

@@ -358,3 +358,12 @@ def test_dsir_weights_top_v_is_take_ordered(spark):
     plan = plan_of(q.q_dsir_weights(spark, SF, top_v=50))
     assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bigram_surprisal_no_window_array_adjacency(spark):
+    # adjacency comes from array shingles (no window/self-join); all
+    # count tables are map-combined aggs; totals broadcast
+    plan = plan_of(q.queries()["bigram_surprisal"](spark, SF))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4
