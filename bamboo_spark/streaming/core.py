@@ -580,3 +580,70 @@ def bloom_guard_stream(
     )
     cand = keyed.where(probe(F.col("h")))
     return cand.join(corpus, "k").select(id_col, "dup_of")
+
+
+def pack_stream(
+    sdf: DataFrame,
+    context_len: int = 2048,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming sequence packer — the stateful twin of the batch
+    ``pack.pack_chunks``, for append-only ingestion where documents
+    keep arriving and each stream (keyed by ``key_col``) maintains its
+    own running token offset. Every arriving doc is assigned its
+    start_offset / chunk_id / last_chunk_id / straddles bookkeeping
+    exactly as the batch packer would, but incrementally: state per key
+    is ONE long (the cumulative token count), so a billion-doc stream
+    costs 8 bytes of state store per source.
+
+    Within a micro-batch, docs are processed in ``id_col`` order, so a
+    replay of a batch corpus in id order reproduces the batch
+    per-source packing bit-for-bit (pinned by the parity test). The
+    only shuffle is the per-key hash partitioning every stateful op
+    needs; the per-doc arithmetic is integer-exact past 2^53.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "{k} string, {i} long, n_tokens bigint, start_offset bigint, "
+        "chunk_id bigint, last_chunk_id bigint, straddles bigint"
+    ).format(k=key_col, i=id_col)
+    state_schema = "off long"
+
+    def fn(key, pdfs, state):
+        src = key[0]
+        off = state.get[0] if state.exists else 0
+        frames = [pdf[[id_col, text_col]] for pdf in pdfs if len(pdf)]
+        if frames:
+            pdf = pd.concat(frames).sort_values(id_col)
+            n = (
+                pdf[text_col].str.split(" ").str.len().astype("int64").to_numpy()
+            )
+            ends = n.cumsum() + off
+            starts = ends - n
+            lasts = ends - 1
+            state.update((int(ends[-1]),))
+            yield pd.DataFrame(
+                {
+                    key_col: src,
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_tokens": n,
+                    "start_offset": starts,
+                    "chunk_id": starts // context_len,
+                    "last_chunk_id": lasts // context_len,
+                    "straddles": (
+                        starts // context_len != lasts // context_len
+                    ).astype("int64"),
+                }
+            )
+
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

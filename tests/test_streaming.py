@@ -614,3 +614,72 @@ def test_bloom_guard_dedupes_corpus_keys(spark):
     rows = {(r["doc_id"], r["dup_of"]) for r in out.collect()}
     assert rows == {(100, 1), (101, 3)}
     assert out.count() == 2  # no row multiplication from dup corpus keys
+
+
+def test_stream_batch_parity_pack_stream(spark, tmp_path):
+    """Replay the documents corpus in doc_id order through the
+    streaming packer; output must equal per-source batch packing."""
+    from pyspark.sql import Window
+
+    from bamboo_spark import queries as q
+    from bamboo_spark.streaming.core import pack_stream
+
+    docs = q.load(spark, SF_DIR, "documents").select("source", "doc_id", "text")
+    # batch reference: per-source running offsets in doc_id order
+    L = 128
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ref = (
+        docs.withColumn("n_tokens", F.size(F.split("text", " ")).cast("bigint"))
+        .withColumn(
+            "start_offset",
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint"),
+        )
+        .selectExpr(
+            "source",
+            "doc_id",
+            "n_tokens",
+            "start_offset",
+            "start_offset div %d as chunk_id" % L,
+            "(start_offset + n_tokens - 1) div %d as last_chunk_id" % L,
+            "cast(start_offset div %d != (start_offset + n_tokens - 1) div %d as bigint) as straddles"
+            % (L, L),
+        )
+    )
+    expected = {r["doc_id"]: r.asDict() for r in ref.collect()}
+
+    # id-ordered replay in 3 micro-batch files
+    d = str(tmp_path / "docs_replay")
+    ids = sorted(expected)
+    import os
+
+    os.makedirs(d)
+    thirds = [ids[: len(ids) // 3], ids[len(ids) // 3 : 2 * len(ids) // 3], ids[2 * len(ids) // 3 :]]
+    stream = spark.readStream.schema("source string, doc_id long, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(d)
+    out = pack_stream(stream, context_len=L)
+    qy = (
+        out.writeStream.format("memory")
+        .queryName("pack_par")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        for i, chunk in enumerate(thirds):
+            docs.where(F.col("doc_id").isin(chunk)).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+            deadline = time.time() + 60
+            want = sum(len(c) for c in thirds[: i + 1])
+            while time.time() < deadline:
+                qy.processAllAvailable()
+                if spark.sql("select count(*) c from pack_par").collect()[0].c >= want:
+                    break
+                time.sleep(0.5)
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in spark.sql("select * from pack_par").collect()
+        }
+        assert got == expected
+    finally:
+        qy.stop()
