@@ -845,6 +845,361 @@ def load_centroids(spark, path: str) -> "np.ndarray":
     return cm
 
 
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    dim: Optional[int] = None,
+) -> list:
+    """Product-quantization codebook training (Jégou et al. 2011): the
+    ``dim``-dim space splits into ``m`` contiguous subspaces and each
+    trains its own ``n_codes``-word quantizer with the SAME distributed
+    Lloyd kernel as the IVF coarse quantizer (``kmeans_train`` on the
+    sliced column) — hash-ranked init, integer partial sums, round-6
+    means, so every codebook is oracle-replayable. Returns a list of m
+    (n_codes × dim/m) matrices.
+
+    Scale: each subspace training touches only its slice (Catalyst
+    pushes the slice into the scan projection); driver holds m·k·d/m =
+    k·d doubles — same footprint as one coarse quantizer."""
+    if dim is None:
+        dim = len(df.select(vec).first()[0])
+    if dim % m:
+        raise ValueError("dim %d not divisible by m=%d subspaces" % (dim, m))
+    d_sub = dim // m
+    books = []
+    for s in range(m):
+        sub = df.select(
+            id_col, F.slice(F.col(vec), s * d_sub + 1, d_sub).alias("sub")
+        )
+        books.append(kmeans_train(sub, n_codes, iterations, id_col, "sub"))
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its m-byte PQ code: per subspace, the
+    round-6-cosine-nearest codeword (ties → lower code id — the same
+    deterministic assignment rule as training, so codes are
+    oracle-replayable). One Arrow-batched kernel, m small GEMMs per
+    batch; output is (id, codes array<int>) — n·m bytes instead of
+    n·dim floats, the 32× compression that lets a 100 TB embedding
+    corpus fit scoring-resident."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    norm_books = [
+        cb / np.maximum(np.linalg.norm(cb, axis=1, keepdims=True), 1e-30)
+        for cb in codebooks
+    ]
+    d_sub = codebooks[0].shape[1]
+    bc = df.sparkSession.sparkContext.broadcast(norm_books)
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("codes", T.ArrayType(T.IntegerType(), False), False),
+        ]
+    )
+
+    def gen(batches):
+        books = bc.value
+        mm = len(books)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
+            codes = np.empty((len(raw), mm), dtype=np.int32)
+            for s, cbn in enumerate(books):
+                sub = raw[:, s * d_sub : (s + 1) * d_sub]
+                subn = sub / np.maximum(
+                    np.linalg.norm(sub, axis=1, keepdims=True), 1e-30
+                )
+                sims = _round6_half_away(subn @ cbn.T)
+                order = np.lexsort(
+                    (np.broadcast_to(np.arange(cbn.shape[0]), sims.shape), -sims),
+                    axis=1,
+                )
+                codes[:, s] = order[:, 0]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    return df.select(id_col, vec).mapInPandas(gen, out_schema)
+
+
+def topk_neighbors_pq(
+    df: DataFrame,
+    query_ids_below: int = 10,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    iterations: int = 2,
+    rerank: int = 30,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    codebooks: Optional[list] = None,
+) -> DataFrame:
+    """PQ-compressed top-k neighbors with asymmetric distance
+    computation (ADC) + exact re-rank — the memory-scale ANN path:
+    the corpus is scored from its m-byte codes (lookup-table adds, no
+    raw vectors touched), the top ``rerank`` ADC candidates per query
+    are re-scored on the true embeddings, and the final top-k is
+    EXACT round-6 cosine over that candidate set.
+
+    Per Arrow batch the kernel does |Q|·m table lookups per candidate
+    (the classic ADC inner loop, vectorized via fancy indexing) and
+    emits only a per-partition partial top-``rerank`` — so the scoring
+    pass streams the code table (n·m bytes, 32× smaller than the
+    vectors) and shuffles |partitions|·|Q|·rerank rows. The re-rank
+    join touches just |Q|·rerank raw vectors. Recall < 1 by
+    construction (quantization error); ADC ranking is deterministic
+    (round-6, ties → lower neighbor id) and the whole path — training,
+    encoding, ADC, re-rank — replays in the DuckDB oracle."""
+    import pandas as pd
+    from pyspark.sql import Window, types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("adc", T.DoubleType(), False),
+        ]
+    )
+    q_rows = (
+        df.where(F.col(id_col) < query_ids_below).select(id_col, vec).collect()
+    )
+    if not q_rows:
+        return df.sparkSession.createDataFrame(
+            [],
+            "query_id long, rank long, neighbor_id long, cosine double",
+        )
+    if codebooks is None:
+        codebooks = pq_train(
+            df, m, n_codes, iterations, id_col, vec,
+            dim=len(np.asarray(q_rows[0][1])),
+        )
+    d_sub = codebooks[0].shape[1]
+    codes = pq_encode(df, codebooks, id_col, vec)
+
+    q_ids = np.fromiter((r[0] for r in q_rows), dtype=np.int64, count=len(q_rows))
+    q_raw = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_norm = np.maximum(np.linalg.norm(q_raw, axis=1), 1e-30)
+    # ADC lookup tables: ip_lut[s] = <q_sub, codeword> (|Q| × K);
+    # n2_lut[s][K] = |codeword|^2 — driver-sized (m·K·(|Q|+1) doubles)
+    ip_lut = [
+        q_raw[:, s * d_sub : (s + 1) * d_sub] @ codebooks[s].T
+        for s in range(len(codebooks))
+    ]
+    n2_lut = [(cb * cb).sum(axis=1) for cb in codebooks]
+    bc = df.sparkSession.sparkContext.broadcast((q_ids, q_norm, ip_lut, n2_lut))
+
+    def adc_gen(batches):
+        qi, qn, ipl, n2l = bc.value
+        mm = len(ipl)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cm = np.stack(pdf["codes"].to_numpy())  # B × m
+            ip = np.zeros((len(qi), len(c_ids)))
+            n2 = np.zeros(len(c_ids))
+            for s in range(mm):
+                ip += ipl[s][:, cm[:, s]]
+                n2 += n2l[s][cm[:, s]]
+            cn = np.maximum(np.sqrt(n2), 1e-30)
+            sims = _round6_half_away(ip / (qn[:, None] * cn[None, :]))
+            out_q, out_n, out_c = [], [], []
+            for row, qid in enumerate(qi):
+                s = sims[row]
+                valid = c_ids != qid
+                order = np.lexsort((c_ids[valid], -s[valid]))[:rerank]
+                out_q.append(np.full(len(order), qid))
+                out_n.append(c_ids[valid][order])
+                out_c.append(s[valid][order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc": np.concatenate(out_c),
+                }
+            )
+
+    scored = codes.mapInPandas(adc_gen, out_schema)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        scored.withColumn("r", F.row_number().over(w_adc))
+        .where(F.col("r") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank: only the |Q|·rerank candidate vectors are touched;
+    # the candidate list broadcasts (driver-sized by construction)
+    emb = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec).alias("_nv")
+    )
+    pairs = emb.join(F.broadcast(cand), "neighbor_id")
+    qv = df.sparkSession.sparkContext.broadcast(
+        {int(i): q_raw[row] / q_norm[row] for row, i in enumerate(q_ids)}
+    )
+
+    def rerank_gen(batches):
+        qmap = qv.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nv = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_nv"]])
+            nv /= np.maximum(np.linalg.norm(nv, axis=1, keepdims=True), 1e-30)
+            qm = np.array([qmap[int(q)] for q in pdf["query_id"]])
+            cos = _round6_half_away((qm * nv).sum(axis=1))
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(dtype=np.int64),
+                    "cosine": cos,
+                }
+            )
+
+    exact = pairs.mapInPandas(
+        rerank_gen,
+        "query_id long, neighbor_id long, cosine double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def topk_neighbors_pq_duck(
+    query_ids_below: int = 10,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    iterations: int = 2,
+    rerank: int = 30,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for ``topk_neighbors_pq``: replays all m subspace
+    codebook trainings (suffixed k-means CTE chains), the deterministic
+    encoding, the ADC scoring with the identical left-to-right subspace
+    summation, the top-``rerank`` candidate cut, and the exact re-rank."""
+    d_sub = dim // m
+    chains = []
+    for s in range(m):
+        vexpr = "list_slice([x::DOUBLE for x in embedding], %d, %d)" % (
+            s * d_sub + 1,
+            (s + 1) * d_sub,
+        )
+        chains.append(
+            _kmeans_duck_ctes(
+                n_codes,
+                iterations,
+                vec_expr=vexpr,
+                suffix="_s%d" % s,
+                with_prefix=(s == 0),
+            )
+        )
+    enc = ",".join(
+        """
+enc_s{s} as materialized (
+  select vec_id, cid code from (
+    select e_s{s}.vec_id, c.cid,
+           row_number() over (
+             partition by e_s{s}.vec_id
+             order by round(list_dot_product(e_s{s}.v, c.cv)
+                            / (e_s{s}.n * c.cn), 6) desc,
+                      c.cid asc) r
+    from e_s{s} cross join cf_s{s} c
+  ) where r = 1
+)""".format(s=s)
+        for s in range(m)
+    )
+    code_cols = ", ".join("s%d.code code%d" % (s, s) for s in range(m))
+    code_joins = " ".join(
+        "join enc_s%d s%d using (vec_id)" % (s, s) for s in range(1, m)
+    )
+    w_joins = " ".join(
+        "join cf_s{s} w{s} on w{s}.cid = c.code{s}".format(s=s) for s in range(m)
+    )
+    ip_expr = " + ".join(
+        "list_dot_product(list_slice(q.v, %d, %d), w%d.cv)"
+        % (s * d_sub + 1, (s + 1) * d_sub, s)
+        for s in range(m)
+    )
+    n2_expr = " + ".join(
+        "list_dot_product(w{s}.cv, w{s}.cv)".format(s=s) for s in range(m)
+    )
+    return (
+        ",".join(chains)
+        + ","
+        + enc
+        + """,
+ef as materialized (
+  select vec_id, [x::DOUBLE for x in embedding] v,
+         sqrt(list_dot_product([x::DOUBLE for x in embedding],
+                               [x::DOUBLE for x in embedding])) n
+  from embeddings
+),
+codes as materialized (
+  select s0.vec_id, {code_cols} from enc_s0 s0 {code_joins}
+),
+adc as (
+  select q.vec_id query_id, c.vec_id neighbor_id,
+         round(({ip}) / (q.n * greatest(sqrt({n2}), 1e-30)), 6) adc
+  from ef q
+  join codes c on c.vec_id != q.vec_id
+  {w_joins}
+  where q.vec_id < {Q}
+),
+cand as (
+  select query_id, neighbor_id from (
+    select *, row_number() over (
+      partition by query_id order by adc desc, neighbor_id asc) r
+    from adc
+  ) where r <= {R}
+),
+rr as (
+  select cand.query_id, cand.neighbor_id,
+         round(list_dot_product(q.v, x.v) / (q.n * x.n), 6) cosine
+  from cand
+  join ef q on q.vec_id = cand.query_id
+  join ef x on x.vec_id = cand.neighbor_id
+)
+select query_id,
+       row_number() over (
+         partition by query_id order by cosine desc, neighbor_id asc
+       )::BIGINT rank,
+       neighbor_id, cosine
+from rr
+qualify rank <= {k}
+order by query_id, rank
+""".format(
+            code_cols=code_cols,
+            code_joins=code_joins,
+            ip=ip_expr,
+            n2=n2_expr,
+            w_joins=w_joins,
+            Q=query_ids_below,
+            R=rerank,
+            k=k,
+        )
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: "np.ndarray",
@@ -985,62 +1340,71 @@ def ivf_pairs(
     return out
 
 
-def _kmeans_duck_ctes(n_centroids: Optional[int], iterations: int) -> str:
+def _kmeans_duck_ctes(
+    n_centroids: Optional[int],
+    iterations: int,
+    vec_expr: str = "[x::DOUBLE for x in embedding]",
+    suffix: str = "",
+    with_prefix: bool = True,
+) -> str:
     """CTE prefix reproducing kmeans_train exactly: MATERIALIZED per
     step (DuckDB inlines doubly-referenced CTEs otherwise — exponential
-    for iterative unrolls). Produces ``cf`` = final (cid, cv, cn)."""
+    for iterative unrolls). Produces ``cf{suffix}`` = final (cid, cv,
+    cn). ``vec_expr``/``suffix`` let a caller replay several quantizers
+    over different vector slices in ONE statement (the PQ oracle trains
+    one per subspace)."""
     k_expr = (
         str(n_centroids)
         if n_centroids is not None
         else "(select cast(ceil(sqrt(count(*))) as int) from embeddings)"
     )
+    x = suffix
     sql = """
-with e as materialized (
-  select vec_id, [x::DOUBLE for x in embedding] v,
-         sqrt(list_dot_product([x::DOUBLE for x in embedding],
-                               [x::DOUBLE for x in embedding])) n,
+{w}e{x} as materialized (
+  select vec_id, {v} v,
+         sqrt(list_dot_product({v}, {v})) n,
          row_number() over (order by md5(vec_id::VARCHAR), vec_id) - 1 rid
   from embeddings
 ),
-ex as materialized (
+ex{x} as materialized (
   select vec_id, generate_subscripts(v, 1) - 1 pos,
          cast(round(unnest(v) * 1000000, 0) as bigint) sv
-  from e
+  from e{x}
 ),
-c0 as materialized (
-  select rid cid, [round(x, 6) for x in v] cv from e where rid < {k}
-)""".format(k=k_expr)
-    prev = "c0"
+c0{x} as materialized (
+  select rid cid, [round(y, 6) for y in v] cv from e{x} where rid < {k}
+)""".format(k=k_expr, v=vec_expr, x=x, w="with " if with_prefix else "")
+    prev = "c0%s" % x
     for i in range(1, iterations + 1):
         sql += """,
-a{i} as materialized (
+a{i}{x} as materialized (
   select vec_id, cid from (
-    select e.vec_id, c.cid,
+    select e{x}.vec_id, c.cid,
            row_number() over (
-             partition by e.vec_id
-             order by round(list_dot_product(e.v, c.cv)
-                            / (e.n * sqrt(list_dot_product(c.cv, c.cv))), 6) desc,
+             partition by e{x}.vec_id
+             order by round(list_dot_product(e{x}.v, c.cv)
+                            / (e{x}.n * sqrt(list_dot_product(c.cv, c.cv))), 6) desc,
                       c.cid asc) r
-    from e cross join {prev} c
+    from e{x} cross join {prev} c
   ) where r = 1
 ),
-m{i} as materialized (
+m{i}{x} as materialized (
   select cid, list(mv order by pos) cv from (
-    select a.cid, x.pos,
-           round((sum(x.sv)::DOUBLE / 1000000) / count(*), 6) mv
-    from a{i} a join ex x using (vec_id)
-    group by a.cid, x.pos
+    select a.cid, p.pos,
+           round((sum(p.sv)::DOUBLE / 1000000) / count(*), 6) mv
+    from a{i}{x} a join ex{x} p using (vec_id)
+    group by a.cid, p.pos
   ) group by cid
 ),
-c{i} as materialized (
-  select p.cid, coalesce(m{i}.cv, p.cv) cv
-  from {prev} p left join m{i} using (cid)
-)""".format(i=i, prev=prev)
-        prev = "c%d" % i
+c{i}{x} as materialized (
+  select p.cid, coalesce(m{i}{x}.cv, p.cv) cv
+  from {prev} p left join m{i}{x} using (cid)
+)""".format(i=i, prev=prev, x=x)
+        prev = "c%d%s" % (i, x)
     sql += """,
-cf as materialized (
+cf{x} as materialized (
   select cid, cv, sqrt(list_dot_product(cv, cv)) cn from {prev}
-)""".format(prev=prev)
+)""".format(prev=prev, x=x)
     return sql
 
 

@@ -1134,6 +1134,34 @@ def ivf_quantizer(spark: SparkSession, sf_dir: str):
     return _QUANTIZER_CACHE[key]
 
 
+_PQ_CACHE: Dict[str, "object"] = {}
+
+
+def pq_codebooks(spark: SparkSession, sf_dir: str):
+    """Shared PQ codebooks (8 subspaces × 16 codes, 2 Lloyd
+    iterations) for the registry, trained once per embeddings table
+    and memoized — same build-once-probe-many reuse discipline as
+    ``ivf_quantizer``; training is deterministic so reuse is
+    result-invisible."""
+    key = sf_dir.rstrip("/")
+    if key not in _PQ_CACHE:
+        e = load(spark, sf_dir, "embeddings")
+        _PQ_CACHE[key] = similarity.pq_train(e, m=8, n_codes=16, iterations=2)
+    return _PQ_CACHE[key]
+
+
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed kNN: ADC scoring over m-byte codes (32× smaller
+    scoring working set than the raw vectors) + exact re-rank of the
+    top candidates. The memory-scale ANN path for corpora whose
+    embeddings don't fit scoring-resident."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.topk_neighbors_pq(
+        e, query_ids_below=10, k=5, m=8, n_codes=16, rerank=30,
+        codebooks=pq_codebooks(spark, sf_dir),
+    )
+
+
 def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via the DEFAULT scale path: trained √n-centroid
     IVF + multiprobe + bucket-local exact GEMM verify. Nothing
@@ -3307,6 +3335,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "dsir_weights": q_dsir_weights,
         "bigram_surprisal": q_bigram_surprisal,
+        "ann_topk_pq": q_ann_topk_pq,
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
         "dedup_bloom_incremental": q_dedup_bloom_incremental,
@@ -3400,6 +3429,9 @@ def oracle_sql() -> Dict[str, str]:
         "ann_ivf_int8": similarity.ivf_pairs_duck(threshold=0.4, int8_verify=True),
         "ann_topk_ivf": similarity.topk_neighbors_ivf_duck(
             query_ids_below=10, k=5, n_probe=2
+        ),
+        "ann_topk_pq": similarity.topk_neighbors_pq_duck(
+            query_ids_below=10, k=5, m=8, n_codes=16, rerank=30
         ),
         "ann_topk_ivf_int8": similarity.topk_neighbors_ivf_duck(
             query_ids_below=10, k=5, n_probe=2, int8_verify=True

@@ -367,3 +367,53 @@ def test_bigram_surprisal_no_window_array_adjacency(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_ann_topk_pq_collects_nothing_data_sized(spark):
+    # PQ driver collects are bounded: per-subspace k-means partials
+    # (n_codes*d_sub per iteration), the |Q| query rows, and the final
+    # result — never corpus-sized. The ADC pass streams the code table
+    # (mapInPandas), candidates broadcast into the re-rank join.
+    from unittest.mock import patch
+
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:
+        from pyspark.sql import DataFrame
+
+    q._PQ_CACHE.clear()  # force retraining so the collects are audited
+    sizes = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    with patch.object(DataFrame, "collect", spy):
+        out = q.queries()["ann_topk_pq"](spark, SF)
+        plan = plan_of(out)
+        n = out.count()
+    # largest legitimate collect: k-means partials = n_codes * d_sub
+    # (= 16*8) rows per reduce, or the 10-query slice
+    assert n > 0
+    assert sizes and max(sizes) <= 16 * 8 + 16, sizes
+    assert "BroadcastHashJoin" in plan  # candidate set broadcasts
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_topk_pq_recall_against_brute_force(spark):
+    # quantization loses recall but not wholesale: over the 10 queries,
+    # PQ+rerank top-5 must recover a clear majority of the exact top-5
+    from bamboo_spark.operators.similarity import topk_neighbors
+
+    e = spark.read.parquet(SF + "/embeddings.parquet")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_neighbors(e, query_ids_below=10, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q.queries()["ann_topk_pq"](spark, SF).collect()
+    }
+    assert len(got & exact) >= 0.6 * len(exact), (len(got & exact), len(exact))
