@@ -2749,6 +2749,76 @@ order by event_id
 """
 
 
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: for every click, the count and value of
+    the same user's purchases inside the following 10 minutes — the
+    attribution-window query. A plain user-keyed join with a range
+    filter degenerates to a per-user cross product (a bot user with
+    millions of events goes quadratic on one task); this is the
+    BUCKETIZED range join instead: purchases hash into fixed 10-min
+    epoch buckets, each click probes exactly its 2 candidate buckets
+    (explode of a 2-element array — the window spans at most 2), and
+    the equi-join on (user, bucket) lets Catalyst hash-partition both
+    sides. Per-pair work is bounded by bucket occupancy, not user
+    history length. Window arithmetic is integer µs — engine-exact."""
+    win_us = 600 * 1_000_000
+    e = load(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("c_us")
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("p_us"), "value")
+        .withColumn("bucket", F.expr("p_us div %d" % win_us))
+    )
+    # integer `div`, not float division: a click exactly on a bucket
+    # boundary must probe the same bucket the purchase hashed into
+    probes = clicks.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr("c_us div %d" % win_us),
+                F.expr("c_us div %d + 1" % win_us),
+            )
+        ),
+    )
+    hits = probes.join(purchases, ["user_id", "bucket"]).where(
+        (F.col("p_us") >= F.col("c_us")) & (F.col("p_us") < F.col("c_us") + win_us)
+    )
+    agg = hits.groupBy("event_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("purchase_value"),
+    )
+    return (
+        clicks.select("event_id")
+        .join(agg, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce("n_purchases", F.lit(0).cast("bigint")).alias("n_purchases"),
+            F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+        )
+    )
+
+
+Q_INTERVAL_JOIN_SQL = """
+with c as (
+  select event_id, user_id, epoch_us(ts) c_us from events
+  where event_type = 'click'
+),
+p as (
+  select user_id, epoch_us(ts) p_us, value from events
+  where event_type = 'purchase'
+)
+select c.event_id,
+       count(p.p_us)::BIGINT n_purchases,
+       coalesce(round(sum(p.value), 2), 0.0) purchase_value
+from c left join p
+  on p.user_id = c.user_id
+ and p.p_us >= c.c_us and p.p_us < c.c_us + 600000000
+group by c.event_id order by c.event_id
+"""
+
+
 BUCKET_DIM = [
     ("low", 0.0, 10.0),
     ("mid", 10.0, 25.0),
@@ -3336,6 +3406,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "bigram_surprisal": q_bigram_surprisal,
         "ann_topk_pq": q_ann_topk_pq,
+        "events_interval_join": q_events_interval_join,
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
         "dedup_bloom_incremental": q_dedup_bloom_incremental,
@@ -3502,6 +3573,7 @@ def oracle_sql() -> Dict[str, str]:
         "quality_filter": text.gopher_filter_duck(),
         "paragraph_dedup": dedup.segment_dedup_duck(block_tokens=20),
         "dsir_weights": Q_DSIR_SQL,
+        "events_interval_join": Q_INTERVAL_JOIN_SQL,
         "bigram_surprisal": Q_BIGRAM_SURPRISAL_SQL.format(
             sh2=text.word_shingles_duck("toks", 2),
             lam=0.75,

@@ -120,6 +120,12 @@ BENCH_QUERIES = [
     "q8_market_share",
     "q10_returned_items",
     "q21_waiting_suppliers",
+    "quality_filter",
+    "dedup_canonical",
+    "paragraph_dedup",
+    "dsir_weights",
+    "bigram_surprisal",
+    "ann_topk_pq",
 ]
 
 

@@ -417,3 +417,16 @@ def test_ann_topk_pq_recall_against_brute_force(spark):
         for r in q.queries()["ann_topk_pq"](spark, SF).collect()
     }
     assert len(got & exact) >= 0.6 * len(exact), (len(got & exact), len(exact))
+
+
+def test_events_interval_join_is_bucketed_equi_join(spark):
+    # the range join must plan as an EQUI join on (user, bucket) —
+    # never a broadcast-nested-loop/cartesian over the range predicate
+    plan = plan_of(q.queries()["events_interval_join"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
