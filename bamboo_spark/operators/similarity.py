@@ -862,20 +862,107 @@ def pq_train(
     means, so every codebook is oracle-replayable. Returns a list of m
     (n_codes × dim/m) matrices.
 
-    Scale: each subspace training touches only its slice (Catalyst
-    pushes the slice into the scan projection); driver holds m·k·d/m =
-    k·d doubles — same footprint as one coarse quantizer."""
+    Training is FUSED across subspaces: the hash-ranked init is one
+    collect (the ranking is id-based, so every subspace samples the
+    same rows), and each Lloyd iteration is ONE scan whose kernel
+    assigns and partial-sums all m subspaces per Arrow batch — 3 jobs
+    total instead of 3·m, and each quantizer is bit-identical to
+    training ``kmeans_train`` on the slice alone (same rounding, same
+    integer partials; pinned by test and by the per-slice oracle
+    replay). Driver holds m·k·d/m = k·d doubles — same footprint as
+    one coarse quantizer.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
     if dim is None:
         dim = len(df.select(vec).first()[0])
     if dim % m:
         raise ValueError("dim %d not divisible by m=%d subspaces" % (dim, m))
     d_sub = dim // m
-    books = []
-    for s in range(m):
-        sub = df.select(
-            id_col, F.slice(F.col(vec), s * d_sub + 1, d_sub).alias("sub")
+    init_rows = (
+        df.select(id_col, vec)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_codes)
+        .collect()
+    )
+    full = np.array([np.asarray(r[1], dtype=np.float64) for r in init_rows])
+    books = [
+        _round6_half_away(full[:, s * d_sub : (s + 1) * d_sub]) for s in range(m)
+    ]
+
+    partial_schema = T.StructType(
+        [
+            T.StructField("sub", T.IntegerType(), False),
+            T.StructField("centroid", T.IntegerType(), False),
+            T.StructField("pos", T.IntegerType(), False),
+            T.StructField("s", T.LongType(), False),
+            T.StructField("cnt", T.LongType(), False),
+        ]
+    )
+
+    for _ in range(iterations):
+        norm_books = [
+            cb / np.maximum(np.linalg.norm(cb, axis=1, keepdims=True), 1e-30)
+            for cb in books
+        ]
+        bc = df.sparkSession.sparkContext.broadcast(norm_books)
+
+        def gen(batches):
+            nb = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                raw = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
+                out = {"sub": [], "centroid": [], "pos": [], "s": [], "cnt": []}
+                for si, cbn in enumerate(nb):
+                    kk = cbn.shape[0]
+                    sub = raw[:, si * d_sub : (si + 1) * d_sub]
+                    mat = sub / np.maximum(
+                        np.linalg.norm(sub, axis=1, keepdims=True), 1e-30
+                    )
+                    sims = _round6_half_away(mat @ cbn.T)
+                    order = np.lexsort(
+                        (np.broadcast_to(np.arange(kk), sims.shape), -sims), axis=1
+                    )
+                    a = order[:, 0]
+                    scaled = np.where(
+                        sub >= 0,
+                        np.floor(sub * 1e6 + 0.5),
+                        np.ceil(sub * 1e6 - 0.5),
+                    ).astype(np.int64)
+                    acc = np.zeros((kk, d_sub), dtype=np.int64)
+                    np.add.at(acc, a, scaled)
+                    counts = np.bincount(a, minlength=kk).astype(np.int64)
+                    present = np.nonzero(counts)[0]
+                    out["sub"].append(
+                        np.full(len(present) * d_sub, si, dtype=np.int32)
+                    )
+                    out["centroid"].append(
+                        np.repeat(present, d_sub).astype(np.int32)
+                    )
+                    out["pos"].append(
+                        np.tile(np.arange(d_sub), len(present)).astype(np.int32)
+                    )
+                    out["s"].append(acc[present].ravel())
+                    out["cnt"].append(np.repeat(counts[present], d_sub))
+                yield pd.DataFrame(
+                    {k: np.concatenate(v) for k, v in out.items()}
+                )
+
+        partials = (
+            df.select(vec)
+            .mapInPandas(gen, partial_schema)
+            .groupBy("sub", "centroid", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+            .collect()
         )
-        books.append(kmeans_train(sub, n_codes, iterations, id_col, "sub"))
+        new_books = [cb.copy() for cb in books]
+        for r in partials:
+            new_books[r["sub"]][r["centroid"], r["pos"]] = float(
+                _round6_half_away(np.float64(r["s"]) / 1e6 / r["cnt"])
+            )
+        books = new_books
     return books
 
 

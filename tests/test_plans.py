@@ -394,10 +394,11 @@ def test_ann_topk_pq_collects_nothing_data_sized(spark):
         out = q.queries()["ann_topk_pq"](spark, SF)
         plan = plan_of(out)
         n = out.count()
-    # largest legitimate collect: k-means partials = n_codes * d_sub
-    # (= 16*8) rows per reduce, or the 10-query slice
+    # largest legitimate collect: the fused trainer's partials =
+    # n_codes * dim (= 16*64) rows per Lloyd reduce, or the 10-query
+    # slice — never corpus-sized
     assert n > 0
-    assert sizes and max(sizes) <= 16 * 8 + 16, sizes
+    assert sizes and max(sizes) <= 16 * 64 + 16, sizes
     assert "BroadcastHashJoin" in plan  # candidate set broadcasts
     assert "CartesianProduct" not in plan
 

@@ -141,3 +141,23 @@ def test_semantic_dedup_consistent_with_pairs(spark):
         else:
             assert r["is_kept"] and r["dup_of"] is None
     assert any(not r["is_kept"] for r in got)  # fixture has semantic dups
+
+
+def test_pq_train_fused_equals_per_slice_kmeans(spark):
+    # the fused multi-subspace trainer must be bit-identical to running
+    # kmeans_train on each slice independently (the form the DuckDB
+    # oracle replays)
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bamboo_spark.operators.similarity import kmeans_train, pq_train
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    m, k, d_sub = 4, 8, 16
+    fused = pq_train(e, m=m, n_codes=k, iterations=2)
+    for s in range(m):
+        sub = e.select(
+            "vec_id", F.slice(F.col("embedding"), s * d_sub + 1, d_sub).alias("sub")
+        )
+        solo = kmeans_train(sub, n_centroids=k, iterations=2, vec="sub")
+        assert np.array_equal(fused[s], solo), s
