@@ -56,9 +56,11 @@ def main() -> None:
     scrubbed = fresh.selectExpr(
         "doc_id", "source", "%s as text" % text.scrub_pii_sql("text")
     )
-    sh2 = text.word_shingles_sql("split(text, ' ')", 2)
-    non_repetitive = scrubbed.where(
-        "size(array_distinct(%s)) / size(%s) > 0.5" % (sh2, sh2)
+    # Gopher-rules composite filter (scan-speed; keeps an audit trail
+    # of drop reasons so thresholds can be tuned before committing)
+    flags = text.gopher_filter(scrubbed)
+    non_repetitive = scrubbed.join(
+        flags.where(F.col("keep") == 1).select("doc_id"), "doc_id"
     )
     sh4 = text.word_shingles_sql("split(text, ' ')", 4)
     eval_grams = (
@@ -79,6 +81,16 @@ def main() -> None:
         % (sampled.count(), fresh.count(), non_repetitive.count(), clean.count())
     )
 
+    # paragraph-level dedup: drop exact-duplicate 20-token segments
+    # corpus-wide and reassemble the surviving text (digests shuffle,
+    # text never does)
+    seg = dedup.segment_dedup(clean, block_tokens=20)
+    clean = (
+        clean.drop("text")
+        .join(seg.where(F.col("n_kept") > 0), "doc_id")
+        .selectExpr("doc_id", "source", "dedup_text as text")
+    )
+
     normed = clean.withColumn("norm", text.normalize_text("text"))
 
     pairs = dedup.minhash_lsh_pairs(
@@ -87,8 +99,14 @@ def main() -> None:
         num_hashes=64,
     )
     clusters = dedup.connected_components(pairs, iterations=4)
-    canonical = clusters.where(F.col("doc_id") == F.col("component"))
-    dropped = clusters.where(F.col("doc_id") != F.col("component"))
+    # keep the BEST copy per duplicate cluster (argmax quality, not
+    # min id): canonical_docs is a map-combinable aggregate
+    scored = normed.select("doc_id", text.quality_score("text").alias("quality"))
+    reps = dedup.canonical_docs(clusters, scored)
+    canonical = reps.select(F.col("keep_id").alias("doc_id"))
+    dropped = clusters.join(
+        reps.select("component", "keep_id"), "component"
+    ).where(F.col("doc_id") != F.col("keep_id")).select("doc_id")
 
     keep = normed.join(dropped.select("doc_id"), "doc_id", "left_anti")
     n_in, n_out = docs.count(), keep.count()
