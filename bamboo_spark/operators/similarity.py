@@ -1171,19 +1171,10 @@ def topk_neighbors_pq(
     )
 
 
-def topk_neighbors_pq_duck(
-    query_ids_below: int = 10,
-    k: int = 5,
-    m: int = 8,
-    n_codes: int = 16,
-    iterations: int = 2,
-    rerank: int = 30,
-    dim: int = 64,
-) -> str:
-    """DuckDB oracle for ``topk_neighbors_pq``: replays all m subspace
-    codebook trainings (suffixed k-means CTE chains), the deterministic
-    encoding, the ADC scoring with the identical left-to-right subspace
-    summation, the top-``rerank`` candidate cut, and the exact re-rank."""
+def _pq_enc_ctes(m: int, n_codes: int, iterations: int, dim: int) -> str:
+    """Shared oracle CTE prefix: m suffixed k-means chains (one per
+    subspace slice) + the deterministic per-subspace encoding tables
+    ``enc_s{i}`` (vec_id, code)."""
     d_sub = dim // m
     chains = []
     for s in range(m):
@@ -1215,6 +1206,41 @@ enc_s{s} as materialized (
 )""".format(s=s)
         for s in range(m)
     )
+    return ",".join(chains) + "," + enc
+
+
+def pq_codes_duck(
+    m: int = 8, n_codes: int = 16, iterations: int = 2, dim: int = 64
+) -> str:
+    """DuckDB oracle for the exploded PQ code table (vec_id, sub,
+    code): replays training + deterministic encoding per subspace."""
+    union = "\nunion all\n".join(
+        "select vec_id, %d sub, code from enc_s%d" % (s, s) for s in range(m)
+    )
+    return (
+        _pq_enc_ctes(m, n_codes, iterations, dim)
+        + """
+select vec_id, sub::BIGINT sub, code::BIGINT code from (
+{u}
+) order by vec_id, sub
+""".format(u=union)
+    )
+
+
+def topk_neighbors_pq_duck(
+    query_ids_below: int = 10,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    iterations: int = 2,
+    rerank: int = 30,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for ``topk_neighbors_pq``: replays all m subspace
+    codebook trainings (suffixed k-means CTE chains), the deterministic
+    encoding, the ADC scoring with the identical left-to-right subspace
+    summation, the top-``rerank`` candidate cut, and the exact re-rank."""
+    d_sub = dim // m
     code_cols = ", ".join("s%d.code code%d" % (s, s) for s in range(m))
     code_joins = " ".join(
         "join enc_s%d s%d using (vec_id)" % (s, s) for s in range(1, m)
@@ -1231,9 +1257,7 @@ enc_s{s} as materialized (
         "list_dot_product(w{s}.cv, w{s}.cv)".format(s=s) for s in range(m)
     )
     return (
-        ",".join(chains)
-        + ","
-        + enc
+        _pq_enc_ctes(m, n_codes, iterations, dim)
         + """,
 ef as materialized (
   select vec_id, [x::DOUBLE for x in embedding] v,

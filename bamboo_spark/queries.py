@@ -1162,6 +1162,20 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ code table itself (exploded to (vec_id, sub, code) for
+    the gate): the n·m-byte compressed representation every ADC
+    consumer scores against — encode once, store bucketed, probe
+    forever. One Arrow-batched kernel; nothing data-sized collected."""
+    e = load(spark, sf_dir, "embeddings")
+    codes = similarity.pq_encode(e, pq_codebooks(spark, sf_dir))
+    return codes.selectExpr(
+        "vec_id", "posexplode(codes) as (sub, code)"
+    ).selectExpr(
+        "vec_id", "cast(sub as bigint) as sub", "cast(code as bigint) as code"
+    )
+
+
 def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via the DEFAULT scale path: trained √n-centroid
     IVF + multiprobe + bucket-local exact GEMM verify. Nothing
@@ -3407,6 +3421,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_surprisal": q_bigram_surprisal,
         "ann_topk_pq": q_ann_topk_pq,
         "events_interval_join": q_events_interval_join,
+        "pq_codes": q_pq_codes,
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
         "dedup_bloom_incremental": q_dedup_bloom_incremental,
@@ -3501,6 +3516,7 @@ def oracle_sql() -> Dict[str, str]:
         "ann_topk_ivf": similarity.topk_neighbors_ivf_duck(
             query_ids_below=10, k=5, n_probe=2
         ),
+        "pq_codes": similarity.pq_codes_duck(m=8, n_codes=16, iterations=2),
         "ann_topk_pq": similarity.topk_neighbors_pq_duck(
             query_ids_below=10, k=5, m=8, n_codes=16, rerank=30
         ),

@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "dsir_weights",
     "bigram_surprisal",
     "ann_topk_pq",
+    "pq_codes",
+    "events_interval_join",
 ]
 
 
