@@ -18,6 +18,7 @@ a real cluster — nothing here depends on local[*].
 from __future__ import annotations
 
 import functools as _functools
+import math
 
 from typing import Callable, Dict
 
@@ -1814,6 +1815,86 @@ group by doc_id order by doc_id
 """
 
 
+def q_key_skew_profile(spark: SparkSession, sf_dir: str, top_n: int = 10) -> DataFrame:
+    """Join-key skew diagnostic: the ``top_n`` hottest user_ids with
+    their event counts and corpus share — the pre-flight check before
+    any user-keyed join/window at scale (a 5% hot key means salting,
+    AQE skew-join, or a key blacklist BEFORE the shuffle, not after it
+    times out). One map-combined count agg + a partial top-k
+    (TakeOrdered, never a global sort) + a 1-row total broadcast."""
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("_total"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("user_id").asc()).limit(top_n)
+    return top.crossJoin(F.broadcast(total)).select(
+        "user_id",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
+    )
+
+
+Q_KEY_SKEW_SQL = """
+with c as (select user_id, count(*) cnt from events group by user_id),
+t as (select sum(cnt)::DOUBLE total from c)
+select user_id, cnt::BIGINT cnt, round(cnt / total, 6) as "share"
+from c cross join t
+order by cnt desc, user_id asc limit {n}
+"""
+
+
+def q_token_zipf(spark: SparkSession, sf_dir: str, top_n: int = 50) -> DataFrame:
+    """Corpus token-frequency (Zipf) curve: the ``top_n`` most frequent
+    tokens with rank, count, share, and cumulative share — the vocab
+    health monitor (a too-flat head = templated corpus; a cum_share
+    that saturates early = low diversity). The distributed part is one
+    map-combined token count + a partial top-k; the cumulative sum runs
+    driver-side over exactly ``top_n`` collected rows (metadata-sized —
+    never a single-partition window over the full vocab)."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.selectExpr("explode(split(text, ' ')) as t")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = counts.agg(F.sum("c")).collect()[0][0]
+    top = counts.orderBy(F.col("c").desc(), F.col("t").asc()).limit(top_n).collect()
+
+    def r6(x: float) -> float:  # half-AWAY rounding (SQL round), not banker's
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    rows, cum = [], 0
+    for i, r in enumerate(top):
+        cum += r["c"]
+        rows.append(
+            (
+                i + 1,
+                r["t"],
+                int(r["c"]),
+                r6(r["c"] / float(total)),
+                r6(cum / float(total)),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "rank long, token string, c long, share double, cum_share double"
+    )
+
+
+Q_TOKEN_ZIPF_SQL = """
+with tok as (select unnest(string_split(text, ' ')) t from documents),
+c as (select t, count(*) c from tok group by t),
+tot as (select sum(c)::DOUBLE total from c),
+top as (
+  select t, c, row_number() over (order by c desc, t asc) rank
+  from c order by c desc, t asc limit {n}
+)
+select rank::BIGINT rank, t token, c::BIGINT c,
+       round(c / total, 6) as "share",
+       round((sum(c) over (order by rank))::DOUBLE / total, 6) cum_share
+from top cross join tot
+order by rank
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition (Gopher-style repetition filters):
     duplicate bigram/trigram fraction + the hottest trigram's
@@ -3422,6 +3503,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_pq": q_ann_topk_pq,
         "events_interval_join": q_events_interval_join,
         "pq_codes": q_pq_codes,
+        "key_skew_profile": q_key_skew_profile,
+        "token_zipf": q_token_zipf,
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
         "dedup_bloom_incremental": q_dedup_bloom_incremental,
@@ -3590,6 +3673,8 @@ def oracle_sql() -> Dict[str, str]:
         "paragraph_dedup": dedup.segment_dedup_duck(block_tokens=20),
         "dsir_weights": Q_DSIR_SQL,
         "events_interval_join": Q_INTERVAL_JOIN_SQL,
+        "key_skew_profile": Q_KEY_SKEW_SQL.format(n=10),
+        "token_zipf": Q_TOKEN_ZIPF_SQL.format(n=50),
         "bigram_surprisal": Q_BIGRAM_SURPRISAL_SQL.format(
             sh2=text.word_shingles_duck("toks", 2),
             lam=0.75,

@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "ann_topk_pq",
     "pq_codes",
     "events_interval_join",
+    "key_skew_profile",
+    "token_zipf",
 ]
 
 

@@ -431,3 +431,11 @@ def test_events_interval_join_is_bucketed_equi_join(spark):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     )
+
+
+def test_key_skew_profile_partial_topk(spark):
+    # hot-key scan: TakeOrdered (per-partition partial top-k), never a
+    # global sort; total is a scalar broadcast, no window
+    plan = plan_of(q.queries()["key_skew_profile"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan

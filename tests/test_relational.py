@@ -82,7 +82,7 @@ def test_unigram_surprisal_top_v_semantics(spark):
     full = {r["doc_id"]: r for r in q.q_unigram_surprisal(spark, sf).collect()}
     wide = {
         r["doc_id"]: r
-        for r in q.q_unigram_surprisal(spark, sf, top_v=10**9).collect()
+        for r in q.q_unigram_surprisal(spark, sf, top_v=10**6).collect()
     }
     assert set(full) == set(wide)
     for k in full:
