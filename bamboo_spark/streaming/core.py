@@ -647,3 +647,125 @@ def pack_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def interval_attribution_stream(
+    sdf: DataFrame,
+    window_ms: int = 600_000,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    click_type: str = "click",
+    purchase_type: str = "purchase",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming interval-window attribution — the stateful twin of the
+    batch ``q_events_interval_join``: every click is held open for
+    ``window_ms`` of EVENT time, accumulates the same user's purchases
+    that land inside [click, click + window), and is emitted exactly
+    once when the watermark passes its window end (append-safe: the
+    count is final at emission).
+
+    State per user = the open clicks only (ids, starts, running count,
+    running value — four parallel arrays), bounded by window length ×
+    click rate, NOT by history. Purchases attribute in event-time order
+    within a micro-batch; a purchase that arrives in an *earlier*
+    micro-batch than its click (cross-batch inversion beyond the
+    source's ordering) is not retro-attributed — the batch operator is
+    the backfill path for that, the stream is the low-latency path.
+    Window arithmetic is integer µs, identical to the batch twin.
+    """
+    import math as _math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    win_us = window_ms * 1000
+    out_schema = (
+        "{i} long, {u} long, n_purchases bigint, purchase_value double"
+    ).format(i=id_col, u=user_col)
+    state_schema = (
+        "ids array<long>, cs array<long>, ns array<long>, vs array<double>"
+    )
+
+    def _round2(x: float) -> float:  # half-away (SQL round), not banker's
+        return _math.floor(x * 100 + 0.5) / 100 if x >= 0 else -_math.floor(
+            -x * 100 + 0.5
+        ) / 100
+
+    def close_expired(uid, opens, wm_us):
+        ids, cs, ns, vs = opens
+        closed, keep = [], ([], [], [], [])
+        for i in range(len(ids)):
+            if cs[i] + win_us <= wm_us:
+                closed.append(
+                    {
+                        id_col: ids[i],
+                        user_col: uid,
+                        "n_purchases": ns[i],
+                        "purchase_value": _round2(vs[i]),
+                    }
+                )
+            else:
+                keep[0].append(ids[i])
+                keep[1].append(cs[i])
+                keep[2].append(ns[i])
+                keep[3].append(vs[i])
+        return closed, keep
+
+    def fn(key, pdfs, state):
+        uid = key[0]
+        opens = (
+            tuple(list(x) for x in state.get) if state.exists else ([], [], [], [])
+        )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if not state.hasTimedOut:
+            frames = [pdf for pdf in pdfs if len(pdf)]
+            if frames:
+                pdf = pd.concat(frames)
+                import numpy as np
+
+                us = (pdf[ts_col].astype("int64") // 1_000).to_numpy()
+                types = pdf[type_col].to_numpy()
+                # event-time order; clicks before purchases at equal ts
+                # (the batch twin's p_us >= c_us counts the tie)
+                order = np.lexsort(((types != click_type).astype(int), us))
+                evids = pdf[id_col].to_numpy()
+                vals = pdf[value_col].to_numpy()
+                ids, cs, ns, vs = opens
+                for j in order:
+                    t = int(us[j])
+                    if types[j] == click_type:
+                        ids.append(int(evids[j]))
+                        cs.append(t)
+                        ns.append(0)
+                        vs.append(0.0)
+                    elif types[j] == purchase_type:
+                        for i in range(len(cs)):
+                            if cs[i] <= t < cs[i] + win_us:
+                                ns[i] += 1
+                                vs[i] += float(vals[j])
+        closed, keep = close_expired(uid, opens, wm_us)
+        if keep[0]:
+            state.update(tuple(keep))
+            # earliest remaining window end, ms-ceiled strictly past it
+            end_us = min(keep[1]) + win_us
+            state.setTimeoutTimestamp(-(-end_us // 1000) + 1)
+        elif state.exists:
+            state.remove()
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

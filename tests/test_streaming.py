@@ -683,3 +683,59 @@ def test_stream_batch_parity_pack_stream(spark, tmp_path):
         assert got == expected
     finally:
         qy.stop()
+
+
+def test_stream_batch_parity_interval_attribution(spark, tmp_path):
+    """Replay events in ts order through the stateful attribution
+    operator; after the watermark passes every window, the emitted
+    (click -> n_purchases, value) set must equal the batch range join."""
+    import datetime as dt
+
+    from bamboo_spark import queries as q
+    from bamboo_spark.streaming.core import interval_attribution_stream
+
+    batch = {
+        r["event_id"]: (r["n_purchases"], r["purchase_value"])
+        for r in q.q_events_interval_join(spark, SF_DIR).collect()
+    }
+    ev = q.load(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    d = str(tmp_path / "ev_replay")
+    ev.orderBy("ts").coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, event_type string, value double"
+    ).option("maxFilesPerTrigger", "1").parquet(d)
+    out = interval_attribution_stream(stream, window_ms=600_000)
+    qy = (
+        out.writeStream.format("memory")
+        .queryName("attr_par")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and not qy.recentProgress:
+            qy.processAllAvailable()
+            time.sleep(0.5)
+        # sentinel far past every window end -> watermark closes all
+        spark.createDataFrame(
+            [(10**9, 10**6, max_ts + dt.timedelta(days=30), "sentinel", 0.0)],
+            "event_id long, user_id long, ts timestamp, event_type string, value double",
+        ).coalesce(1).write.mode("append").parquet(d)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            qy.processAllAvailable()
+            n = spark.sql("select count(*) c from attr_par").collect()[0].c
+            if n >= len(batch):
+                break
+            time.sleep(0.5)
+        got = {
+            r["event_id"]: (r["n_purchases"], r["purchase_value"])
+            for r in spark.sql("select * from attr_par").collect()
+        }
+        assert got == batch
+    finally:
+        qy.stop()
