@@ -715,12 +715,13 @@ def segment_dedup(
     )
 
 
-def segment_dedup_duck(block_tokens: int = 20) -> str:
+def segment_dedup_duck(block_tokens: int = 20, src: str = "documents") -> str:
     """DuckDB oracle twin of ``segment_dedup`` (window rank at oracle
-    scale; the engine side is the combiner-friendly min-struct form)."""
+    scale; the engine side is the combiner-friendly min-struct form).
+    ``src`` lets a composed pipeline oracle run it over a CTE."""
     return """
 with t as (
-  select doc_id, string_split(text, ' ') toks from documents
+  select doc_id, string_split(text, ' ') toks from {src}
 ),
 b as (
   select doc_id, unnest(range(ceil(len(toks) / {b}.0)::int)) blk_idx, toks
@@ -745,7 +746,7 @@ select doc_id,
          list(block order by blk_idx) filter (where rn = 1), ' '), '')
          dedup_text
 from r group by doc_id order by doc_id
-""".format(b=block_tokens)
+""".format(b=block_tokens, src=src)
 
 
 def canonical_docs(

@@ -2397,6 +2397,58 @@ select doc_id, n_tokens, lang_pred, quality from d where rn = 1
 """
 
 
+def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 curation pipeline, composed end-to-end as ONE plan:
+    Gopher-rules quality filter (scan-speed, zero shuffle) →
+    paragraph-level exact dedup with reassembly (digest-keyed,
+    map-combined) → normalized-text exact dedup over the REASSEMBLED
+    text (catches docs that became identical once their boilerplate
+    segments were stripped). Output per surviving doc: token count of
+    the cleaned text, how many segments survived, and the re-scored
+    quality. Every stage is the registry operator itself, so the oracle
+    is the same three stages composed in SQL."""
+    d = load(spark, sf_dir, "documents")
+    flags = text.gopher_filter(d)
+    kept = d.join(flags.where(F.col("keep") == 1).select("doc_id"), "doc_id").select(
+        "doc_id", "text"
+    )
+    sd = dedup.segment_dedup(kept, block_tokens=20)
+    surv = sd.where(F.col("n_kept") > 0).selectExpr(
+        "doc_id", "dedup_text as text", "n_kept"
+    )
+    w = Window.partitionBy(text.normalize_text("text")).orderBy("doc_id")
+    return (
+        surv.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.expr("cast(size(split(text, ' ')) as bigint)").alias("n_tokens"),
+            "n_kept",
+            text.quality_score("text").alias("quality"),
+        )
+    )
+
+
+Q_CURATION_V2_SQL = """
+with g as ({gopher}),
+kept as (
+  select d.doc_id, d.text from documents d join g using (doc_id)
+  where g.keep = 1
+),
+sd as ({segment}),
+surv as (
+  select doc_id, dedup_text as "text", n_kept from sd where n_kept > 0
+),
+n as (
+  select *, row_number() over (partition by {norm} order by doc_id) rn
+  from surv
+)
+select doc_id, len(string_split(text, ' '))::BIGINT n_tokens, n_kept,
+       {quality} quality
+from n where rn = 1 order by doc_id
+"""
+
+
 def q_near_dup_text_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-dup pairs joined back to document metadata — the pair set
     (small by construction) joins the doc table twice; AQE picks the
@@ -3505,6 +3557,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "key_skew_profile": q_key_skew_profile,
         "token_zipf": q_token_zipf,
+        "curation_pipeline_v2": q_curation_pipeline_v2,
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
         "dedup_bloom_incremental": q_dedup_bloom_incremental,
@@ -3675,6 +3728,12 @@ def oracle_sql() -> Dict[str, str]:
         "events_interval_join": Q_INTERVAL_JOIN_SQL,
         "key_skew_profile": Q_KEY_SKEW_SQL.format(n=10),
         "token_zipf": Q_TOKEN_ZIPF_SQL.format(n=50),
+        "curation_pipeline_v2": Q_CURATION_V2_SQL.format(
+            gopher=text.gopher_filter_duck(),
+            segment=dedup.segment_dedup_duck(block_tokens=20, src="kept"),
+            norm=text.normalize_text_duck("text"),
+            quality=text.quality_score_duck("text"),
+        ),
         "bigram_surprisal": Q_BIGRAM_SURPRISAL_SQL.format(
             sh2=text.word_shingles_duck("toks", 2),
             lam=0.75,

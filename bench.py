@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "events_interval_join",
     "key_skew_profile",
     "token_zipf",
+    "curation_pipeline_v2",
 ]
 
 

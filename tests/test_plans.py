@@ -439,3 +439,11 @@ def test_key_skew_profile_partial_topk(spark):
     plan = plan_of(q.queries()["key_skew_profile"](spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_curation_pipeline_v2_no_text_shuffle_for_segments(spark):
+    # the composed pipeline keeps the segment first-occurrence pass on
+    # digests (md5 in plan) and has no cartesian anywhere
+    plan = plan_of(q.queries()["curation_pipeline_v2"](spark, SF))
+    assert "md5" in plan
+    assert "CartesianProduct" not in plan
