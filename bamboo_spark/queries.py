@@ -2397,6 +2397,73 @@ select doc_id, n_tokens, lang_pred, quality from d where rn = 1
 """
 
 
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA monitor: per-vector L2 norm, corpus z-score, and an
+    outlier flag (|z| > 2) — the pre-flight check before cosine-based
+    dedup/ANN (a batch of near-zero or exploding norms usually means an
+    upstream encoder bug, and it silently poisons every normalized
+    dot product downstream).
+
+    The norm is a JVM-side array fold (no UDF); the corpus moments ride
+    ONE map-combined aggregate over integer micro-units (exact,
+    order-independent — so the z-scores are bit-identical in the
+    oracle) and come back as a 1-row broadcast. Nothing is ever
+    single-partition."""
+    e = load(spark, sf_dir, "embeddings")
+    nrm = e.select(
+        "vec_id",
+        F.round(similarity._norm_expr("embedding"), 6).alias("nrm"),
+    ).withColumn("m", F.round(F.col("nrm") * 1e6, 0).cast("long"))
+    tot = nrm.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("m").alias("_s"),
+        F.sum(F.col("m") * F.col("m")).alias("_ss"),
+    )
+    mean = (F.col("_s") / 1e6) / F.col("_n")
+    # exact integer sums make the variance identical in both engines;
+    # clamp at 0 (tiny negative from float subtraction) and define
+    # z = 0 on a degenerate (all-equal-norm) corpus instead of erroring
+    std = F.sqrt(
+        F.greatest((F.col("_ss") / 1e12) / F.col("_n") - mean * mean, F.lit(0.0))
+    )
+    z = F.when(std <= 0.0, F.lit(0.0)).otherwise(
+        F.round((F.col("nrm") - mean) / std, 6)
+    )
+    return nrm.crossJoin(F.broadcast(tot)).select(
+        "vec_id",
+        "nrm",
+        z.alias("z"),
+        (F.abs(z) > 2.0).cast("int").alias("is_outlier"),
+    )
+
+
+Q_EMBEDDING_NORMS_SQL = """
+with e as (
+  select vec_id,
+         round(sqrt(list_dot_product([x::DOUBLE for x in embedding],
+                                     [x::DOUBLE for x in embedding])), 6) nrm
+  from embeddings
+),
+m as (select vec_id, nrm, round(nrm * 1e6, 0)::BIGINT mm from e),
+tot as (
+  select count(*)::DOUBLE n, sum(mm) s, sum(mm * mm) ss from m
+),
+z as (
+  select vec_id, nrm,
+         case when sqrt(greatest((ss / 1e12) / n
+                                 - ((s / 1e6) / n) * ((s / 1e6) / n), 0.0)) <= 0
+              then 0.0
+              else round((nrm - (s / 1e6) / n)
+                         / sqrt(greatest((ss / 1e12) / n
+                                - ((s / 1e6) / n) * ((s / 1e6) / n), 0.0)), 6)
+         end z
+  from m cross join tot
+)
+select vec_id, nrm, z, (abs(z) > 2.0)::INT is_outlier
+from z order by vec_id
+"""
+
+
 def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-4 curation pipeline, composed end-to-end as ONE plan:
     Gopher-rules quality filter (scan-speed, zero shuffle) →
@@ -3558,6 +3625,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_profile": q_key_skew_profile,
         "token_zipf": q_token_zipf,
         "curation_pipeline_v2": q_curation_pipeline_v2,
+        "embedding_norms": q_embedding_norms,
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
         "dedup_bloom_incremental": q_dedup_bloom_incremental,
@@ -3728,6 +3796,7 @@ def oracle_sql() -> Dict[str, str]:
         "events_interval_join": Q_INTERVAL_JOIN_SQL,
         "key_skew_profile": Q_KEY_SKEW_SQL.format(n=10),
         "token_zipf": Q_TOKEN_ZIPF_SQL.format(n=50),
+        "embedding_norms": Q_EMBEDDING_NORMS_SQL,
         "curation_pipeline_v2": Q_CURATION_V2_SQL.format(
             gopher=text.gopher_filter_duck(),
             segment=dedup.segment_dedup_duck(block_tokens=20, src="kept"),

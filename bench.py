@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "key_skew_profile",
     "token_zipf",
     "curation_pipeline_v2",
+    "embedding_norms",
 ]
 
 

@@ -161,3 +161,21 @@ def test_pq_train_fused_equals_per_slice_kmeans(spark):
         )
         solo = kmeans_train(sub, n_centroids=k, iterations=2, vec="sub")
         assert np.array_equal(fused[s], solo), s
+
+
+def test_embedding_norms_flags_outliers(spark, tmp_path):
+    # non-degenerate corpus: one exploding norm among unit vectors must
+    # be the only outlier; unit rows score negative sub-threshold z
+    from bamboo_spark import queries as q
+
+    dim = 64
+    rows = [(int(i), [1.0] + [0.0] * (dim - 1), "a") for i in range(9)]
+    rows.append((9, [100.0] + [0.0] * (dim - 1), "a"))
+    d = str(tmp_path / "emb")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    ).write.parquet(d + "/embeddings.parquet")
+    out = {r["vec_id"]: r for r in q.q_embedding_norms(spark, d).collect()}
+    assert out[9]["is_outlier"] == 1 and out[9]["z"] > 2
+    for i in range(9):
+        assert out[i]["is_outlier"] == 0 and out[i]["z"] < 0
