@@ -845,6 +845,33 @@ def load_centroids(spark, path: str) -> "np.ndarray":
     return cm
 
 
+def save_codebooks(spark, codebooks: list, path: str) -> None:
+    """Persist trained PQ codebooks as one (sub, cid, pos, val) parquet
+    table — same build-once-probe-many deployment shape as
+    ``save_centroids``: encode/ADC jobs load the frozen codebooks, so
+    codes stay stable across runs and engines."""
+    rows = [
+        (int(s), int(c), int(p), float(cb[c, p]))
+        for s, cb in enumerate(codebooks)
+        for c in range(cb.shape[0])
+        for p in range(cb.shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "sub int, cid int, pos int, val double"
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_codebooks(spark, path: str) -> list:
+    rows = spark.read.parquet(path).collect()
+    m = max(r["sub"] for r in rows) + 1
+    k = max(r["cid"] for r in rows) + 1
+    d = max(r["pos"] for r in rows) + 1
+    books = [np.zeros((k, d), dtype=np.float64) for _ in range(m)]
+    for r in rows:
+        books[r["sub"]][r["cid"], r["pos"]] = r["val"]
+    return books
+
+
 def pq_train(
     df: DataFrame,
     m: int = 8,

@@ -179,3 +179,29 @@ def test_embedding_norms_flags_outliers(spark, tmp_path):
     assert out[9]["is_outlier"] == 1 and out[9]["z"] > 2
     for i in range(9):
         assert out[i]["is_outlier"] == 0 and out[i]["z"] < 0
+
+
+def test_pq_codebooks_roundtrip_and_stable_codes(spark, tmp_path):
+    # frozen-codebook deployment: save -> load must reproduce the
+    # matrices exactly, and encoding against the loaded books must give
+    # identical codes to the fresh-trained ones
+    import numpy as np
+
+    from bamboo_spark.operators.similarity import (
+        load_codebooks,
+        pq_encode,
+        pq_train,
+        save_codebooks,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_train(e, m=4, n_codes=8, iterations=1)
+    p = str(tmp_path / "books")
+    save_codebooks(spark, books, p)
+    loaded = load_codebooks(spark, p)
+    assert len(loaded) == len(books)
+    for a, b in zip(books, loaded):
+        assert np.array_equal(a, b)
+    fresh = {r["vec_id"]: list(r["codes"]) for r in pq_encode(e, books).collect()}
+    frozen = {r["vec_id"]: list(r["codes"]) for r in pq_encode(e, loaded).collect()}
+    assert fresh == frozen
