@@ -653,45 +653,25 @@ def connected_components_contraction(
     )
 
 
-def segment_dedup(
-    df: DataFrame,
-    block_tokens: int = 20,
-    col: str = "text",
-    id_col: str = "doc_id",
+def _segment_blocks(
+    df: DataFrame, block_tokens: int, col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Paragraph-level exact dedup (RefinedWeb-style "remove duplicated
-    spans, keep the document"): split each doc into fixed
-    ``block_tokens`` segments, drop every segment whose exact content
-    already occurred earlier in the corpus (first occurrence by
-    (doc_id, position) survives), and reassemble the surviving text.
-
-    Scale shape: the corpus-wide first-occurrence pass shuffles md5
-    DIGESTS (32 bytes), never segment text, and is a groupBy +
-    min(struct) aggregate — map-side combined, so a boilerplate segment
-    repeated a billion times costs one combiner cell per task instead
-    of a single-reducer window sort. The flag join keys on the digest
-    (distinct-segment sized; AQE broadcasts when small) and reassembly
-    is one doc-keyed aggregate. Output: (doc_id, n_blocks, n_kept,
-    dedup_text).
-    """
+    """(id, blk_idx, block, bh): fixed token-window segments + md5
+    digest — the shared splitter for all segment-dedup variants."""
     if block_tokens < 1:
         raise ValueError("block_tokens must be >= 1, got %d" % block_tokens)
-    blocks = df.selectExpr(
+    return df.selectExpr(
         id_col,
         "posexplode(transform(sequence(0, cast(ceil(size(split({c}, ' ')) / {b}.0)"
         " as int) - 1), i -> array_join(slice(split({c}, ' '), i * {b} + 1, {b}),"
         " ' '))) as (blk_idx, block)".format(c=col, b=block_tokens),
     ).selectExpr(id_col, "blk_idx", "block", "md5(block) as bh")
-    keepers = blocks.groupBy("bh").agg(
-        F.min(F.struct(F.col(id_col).alias("d"), F.col("blk_idx").alias("i"))).alias(
-            "first_occ"
-        )
-    )
-    flagged = blocks.join(keepers, "bh").withColumn(
-        "keep",
-        (F.col("first_occ.d") == F.col(id_col))
-        & (F.col("first_occ.i") == F.col("blk_idx")),
-    )
+
+
+def _reassemble(flagged: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, n_blocks, n_kept, dedup_text) from flagged segment rows —
+    one doc-keyed aggregate; collect_list skips the nulled (dropped)
+    blocks, array_sort restores document order."""
     return (
         flagged.groupBy(id_col)
         .agg(
@@ -713,6 +693,112 @@ def segment_dedup(
             ).alias("dedup_text"),
         )
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    block_tokens: int = 20,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-level exact dedup (RefinedWeb-style "remove duplicated
+    spans, keep the document"): split each doc into fixed
+    ``block_tokens`` segments, drop every segment whose exact content
+    already occurred earlier in the corpus (first occurrence by
+    (doc_id, position) survives), and reassemble the surviving text.
+
+    Scale shape: the corpus-wide first-occurrence pass shuffles md5
+    DIGESTS (32 bytes), never segment text, and is a groupBy +
+    min(struct) aggregate — map-side combined, so a boilerplate segment
+    repeated a billion times costs one combiner cell per task instead
+    of a single-reducer window sort. The flag join keys on the digest
+    (distinct-segment sized; AQE broadcasts when small) and reassembly
+    is one doc-keyed aggregate. Output: (doc_id, n_blocks, n_kept,
+    dedup_text).
+    """
+    blocks = _segment_blocks(df, block_tokens, col, id_col)
+    keepers = blocks.groupBy("bh").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("blk_idx").alias("i"))).alias(
+            "first_occ"
+        )
+    )
+    flagged = blocks.join(keepers, "bh").withColumn(
+        "keep",
+        (F.col("first_occ.d") == F.col(id_col))
+        & (F.col("first_occ.i") == F.col("blk_idx")),
+    )
+    return _reassemble(flagged, id_col)
+
+
+def segment_dedup_incremental(
+    df: DataFrame,
+    split_id: int = 250,
+    block_tokens: int = 20,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental paragraph dedup — the append-only ingestion shape of
+    ``segment_dedup``: new docs (id ≥ ``split_id``) drop every segment
+    whose exact content ALREADY EXISTS in the stored corpus (id <
+    ``split_id``) and are reassembled; the corpus itself is never
+    rewritten. The corpus side reduces to a distinct digest table
+    (store it once at index-build time); the batch side joins on
+    digests only. The streaming twin
+    (``streaming.core.segment_bloom_guard_stream``) puts a broadcast
+    Bloom of the same digests in front of this join so micro-batches
+    pre-filter map-side."""
+    corpus = df.where(F.col(id_col) < split_id)
+    batch = df.where(F.col(id_col) >= split_id)
+    corpus_digests = (
+        _segment_blocks(corpus, block_tokens, col, id_col)
+        .select("bh")
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    flagged = (
+        _segment_blocks(batch, block_tokens, col, id_col)
+        .join(corpus_digests, "bh", "left")
+        .withColumn("keep", F.col("_dup").isNull())
+    )
+    return _reassemble(flagged, id_col)
+
+
+def segment_dedup_incremental_duck(
+    split_id: int = 250, block_tokens: int = 20
+) -> str:
+    """DuckDB oracle twin of ``segment_dedup_incremental``."""
+    return """
+with t as (
+  select doc_id, string_split(text, ' ') toks from documents
+),
+b as (
+  select doc_id, unnest(range(ceil(len(toks) / {b}.0)::int)) blk_idx, toks
+  from t
+),
+seg as (
+  select doc_id, blk_idx,
+         array_to_string(
+           list_slice(toks, blk_idx * {b} + 1,
+                      least((blk_idx + 1) * {b}, len(toks))), ' ') block
+  from b
+),
+cd as (
+  select distinct md5(block) bh from seg where doc_id < {s}
+),
+f as (
+  select seg.doc_id, seg.blk_idx, seg.block,
+         (cd.bh is not null) dup
+  from seg left join cd on cd.bh = md5(seg.block)
+  where seg.doc_id >= {s}
+)
+select doc_id,
+       count(*)::BIGINT n_blocks,
+       sum((not dup)::int)::BIGINT n_kept,
+       coalesce(array_to_string(
+         list(block order by blk_idx) filter (where not dup), ' '), '')
+         dedup_text
+from f group by doc_id order by doc_id
+""".format(b=block_tokens, s=split_id)
 
 
 def segment_dedup_duck(block_tokens: int = 20, src: str = "documents") -> str:

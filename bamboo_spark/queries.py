@@ -1983,6 +1983,15 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.segment_dedup(d, block_tokens=20)
 
 
+def q_paragraph_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only paragraph dedup: new docs drop segments already in
+    the stored corpus and reassemble — the incremental ingestion shape
+    (corpus reduces to a stored digest table; the streaming twin
+    Bloom-prefilters against the same digests)."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.segment_dedup_incremental(d, split_id=250, block_tokens=20)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media plumbing end-to-end: text → binary payload → media struct →
     Arrow-batched mapInPandas decode (stubbed codec, real pipeline)."""
@@ -3626,6 +3635,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_zipf": q_token_zipf,
         "curation_pipeline_v2": q_curation_pipeline_v2,
         "embedding_norms": q_embedding_norms,
+        "paragraph_dedup_incremental": q_paragraph_dedup_incremental,
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
         "dedup_bloom_incremental": q_dedup_bloom_incremental,
@@ -3792,6 +3802,9 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "quality_filter": text.gopher_filter_duck(),
         "paragraph_dedup": dedup.segment_dedup_duck(block_tokens=20),
+        "paragraph_dedup_incremental": dedup.segment_dedup_incremental_duck(
+            split_id=250, block_tokens=20
+        ),
         "dsir_weights": Q_DSIR_SQL,
         "events_interval_join": Q_INTERVAL_JOIN_SQL,
         "key_skew_profile": Q_KEY_SKEW_SQL.format(n=10),

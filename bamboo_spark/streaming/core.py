@@ -769,3 +769,41 @@ def interval_attribution_stream(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def segment_bloom_guard_stream(
+    sdf: DataFrame,
+    bitmap: bytes,
+    num_bits: int,
+    num_hashes: int,
+    corpus_digests: DataFrame,
+    block_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming paragraph-level ingest guard — the stream twin of the
+    batch ``dedup.segment_dedup_incremental``: each arriving doc splits
+    into fixed token segments (stateless array expressions — a doc
+    arrives whole, so no aggregation state), every segment probes a
+    broadcast Bloom of the stored corpus's segment digests MAP-SIDE
+    (clean segments die in the scan stage), and only Bloom survivors
+    reach the stream-static verify join against ``corpus_digests``
+    (column ``bh``), which removes every false positive.
+
+    Emits one row per segment that ALREADY EXISTS in the corpus:
+    (doc_id, blk_idx) — exactly the segments the batch operator drops
+    (parity-pinned). Fully stateless and append-safe; the consumer
+    strips flagged indexes (or routes heavily-flagged docs to review).
+    At 100 TB the corpus digest table is far too big to broadcast every
+    micro-batch; the Bloom pre-filter keeps the verify join traffic at
+    the true-duplicate rate.
+    """
+    from bamboo_spark.operators.dedup import _segment_blocks, bloom_might_contain
+
+    probe = bloom_might_contain(sdf.sparkSession, bitmap, num_bits, num_hashes)
+    blocks = _segment_blocks(
+        sdf.select(id_col, text_col), block_tokens, text_col, id_col
+    )
+    cand = blocks.withColumn("h", F.xxhash64("bh")).where(probe(F.col("h")))
+    corpus = corpus_digests.select("bh").distinct()
+    return cand.join(corpus, "bh").select(id_col, "blk_idx")

@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "token_zipf",
     "curation_pipeline_v2",
     "embedding_norms",
+    "paragraph_dedup_incremental",
 ]
 
 

@@ -739,3 +739,64 @@ def test_stream_batch_parity_interval_attribution(spark, tmp_path):
         assert got == batch
     finally:
         qy.stop()
+
+
+def test_stream_batch_parity_segment_bloom_guard(spark, tmp_path):
+    # the flagged (doc_id, blk_idx) segments from the stream guard must
+    # be EXACTLY the segments the batch incremental dedup drops
+    from bamboo_spark import queries as q
+    from bamboo_spark.operators import dedup
+    from bamboo_spark.operators.dedup import _segment_blocks
+    from bamboo_spark.streaming.core import segment_bloom_guard_stream
+
+    docs = q.load(spark, SF_DIR, "documents")
+    batch = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"])
+        for r in dedup.segment_dedup_incremental(
+            docs, split_id=250, block_tokens=20
+        ).collect()
+    }
+    dropped_per_doc = {k: nb - nk for k, (nb, nk) in batch.items()}
+    assert sum(dropped_per_doc.values()) > 0  # fixture has real overlap
+
+    corpus_blocks = _segment_blocks(
+        docs.where(F.col("doc_id") < 250), 20
+    )
+    bitmap = dedup.bloom_build(
+        corpus_blocks.select(F.xxhash64("bh").alias("h"))
+    )
+    corpus_digests = corpus_blocks.select("bh").distinct()
+
+    d = str(tmp_path / "seg_replay")
+    docs.where(F.col("doc_id") >= 250).select("doc_id", "text").coalesce(
+        1
+    ).write.parquet(d)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+    flagged = segment_bloom_guard_stream(
+        stream, bitmap, 1 << 20, 7, corpus_digests, block_tokens=20
+    )
+    qy = (
+        flagged.writeStream.format("memory")
+        .queryName("seg_bloom_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        want = sum(dropped_per_doc.values())
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            qy.processAllAvailable()
+            if spark.sql("select count(*) c from seg_bloom_t").collect()[0].c >= want:
+                break
+            time.sleep(0.5)
+        rows = spark.sql("select * from seg_bloom_t").collect()
+        got_per_doc = {}
+        for r in rows:
+            got_per_doc[r["doc_id"]] = got_per_doc.get(r["doc_id"], 0) + 1
+        assert got_per_doc == {
+            k: v for k, v in dropped_per_doc.items() if v > 0
+        }
+        # and flagged indexes are unique per doc
+        assert len(rows) == len({(r["doc_id"], r["blk_idx"]) for r in rows})
+    finally:
+        qy.stop()
