@@ -200,6 +200,76 @@ where round(cnt::DOUBLE / (na + nb - cnt)::DOUBLE, 6) >= {t}
 """.format(sh=sh, t=threshold)
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    max_shingle_df: Optional[int] = 10_000,
+) -> DataFrame:
+    """ASYMMETRIC near-containment join: directed pairs (doc_a, doc_b)
+    with C(A→B) = |S_A ∩ S_B| / |S_A| ≥ threshold — the
+    partial-duplicate detector Jaccard misses (a tweet quoted inside a
+    long article has tiny Jaccard but containment ≈ 1, so
+    MinHash/Jaccard pipelines never see it; a containment pass catches
+    quote-expansion and wrapper-boilerplate relations).
+
+    Shape: one inverted-index self-join on 8-byte shingle hashes
+    (shuffle keyed on the hash — uniform by construction), one
+    map-combined pair-count aggregate, per-row division. Both
+    directions emit (C(A→B) ≠ C(B→A)). ``max_shingle_df`` drops
+    stop-phrase keys from the index (same skew bound and the same
+    documented approximation as ``jaccard_pairs``); pass ``None`` for
+    the lossless oracle-gated form."""
+    hsets = _hashed_sets(df, k)
+    ex = hsets.select("doc_id", "n", F.explode("hs").alias("h"))
+    if max_shingle_df is not None:
+        hot = (
+            ex.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("dfreq"))
+            .where(F.col("dfreq") > max_shingle_df)
+            .select("h")
+        )
+        ex = ex.join(hot, "h", "left_anti")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), F.first(F.col("a.n")).alias("na"))
+    )
+    c = F.round(F.col("cnt").cast("double") / F.col("na").cast("double"), 6)
+    return inter.select("doc_a", "doc_b", c.alias("containment")).where(
+        F.col("containment") >= threshold
+    )
+
+
+def containment_pairs_duck(threshold: float = 0.5, k: int = 3) -> str:
+    """DuckDB oracle: brute-force directed containment (same result as
+    the lossless ``max_shingle_df=None`` engine form)."""
+    sh = word_shingles_duck("string_split(text, ' ')", k)
+    return """
+with sets as (
+  select doc_id, list_distinct({sh}) shingles from documents
+  where len(list_distinct({sh})) > 0
+),
+ex as (select doc_id, len(shingles) n, unnest(shingles) sh from sets),
+inter as (
+  select a.doc_id doc_a, b.doc_id doc_b, count(*) cnt, any_value(a.n) na
+  from ex a join ex b on a.sh = b.sh and a.doc_id != b.doc_id
+  group by 1, 2
+)
+select doc_a, doc_b, round(cnt::DOUBLE / na::DOUBLE, 6) containment
+from inter
+where round(cnt::DOUBLE / na::DOUBLE, 6) >= {t}
+""".format(sh=sh, t=threshold)
+
+
 # ------------------------------------------------------------ minhash lsh
 
 

@@ -1983,6 +1983,15 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.segment_dedup(d, block_tokens=20)
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment pairs (quote/wrapper detection):
+    C(A→B) = |S_A∩S_B|/|S_A| ≥ 0.5, both directions. Gate form runs the
+    lossless index (max_shingle_df=None) so it matches the brute-force
+    oracle; the pipeline default caps hot shingles."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.containment_pairs(d, threshold=0.5, max_shingle_df=None)
+
+
 def q_paragraph_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-only paragraph dedup: new docs drop segments already in
     the stored corpus and reassemble — the incremental ingestion shape
@@ -2403,6 +2412,54 @@ d as (
   select *, row_number() over (partition by {norm} order by doc_id) rn from f
 )
 select doc_id, n_tokens, lang_pred, quality from d where rn = 1
+"""
+
+
+def q_adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ADAPTIVE length filter: each doc is judged against
+    its own source's p05/p95 token-count band instead of one global
+    threshold (a fixed cut that suits web text amputates code or chat
+    transcripts; per-stratum quantiles track each distribution). Exact
+    interpolated percentiles (matches quantile_cont) per source — a
+    map-combined agg over sources — then a broadcast join back; flags,
+    not deletion, so thresholds stay auditable. At 100 TB switch the
+    percentile to the mergeable t-digest sketch, same plan shape."""
+    d = load(spark, sf_dir, "documents")
+    lens = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    bounds = lens.groupBy("source").agg(
+        F.round(F.expr("percentile(n_tokens, 0.05)"), 4).alias("lo"),
+        F.round(F.expr("percentile(n_tokens, 0.95)"), 4).alias("hi"),
+    )
+    return lens.join(F.broadcast(bounds), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "lo",
+        "hi",
+        ((F.col("n_tokens") >= F.col("lo")) & (F.col("n_tokens") <= F.col("hi")))
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+Q_ADAPTIVE_LENGTH_SQL = """
+with l as (
+  select doc_id, source, len(string_split(text, ' '))::BIGINT n_tokens
+  from documents
+),
+b as (
+  select source,
+         round(quantile_cont(n_tokens, 0.05), 4) lo,
+         round(quantile_cont(n_tokens, 0.95), 4) hi
+  from l group by source
+)
+select doc_id, l.source, n_tokens, lo, hi,
+       (n_tokens >= lo and n_tokens <= hi)::INT keep
+from l join b using (source) order by doc_id
 """
 
 
@@ -3636,6 +3693,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline_v2": q_curation_pipeline_v2,
         "embedding_norms": q_embedding_norms,
         "paragraph_dedup_incremental": q_paragraph_dedup_incremental,
+        "adaptive_length_filter": q_adaptive_length_filter,
+        "dedup_containment": q_dedup_containment,
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
         "dedup_bloom_incremental": q_dedup_bloom_incremental,
@@ -3810,6 +3869,8 @@ def oracle_sql() -> Dict[str, str]:
         "key_skew_profile": Q_KEY_SKEW_SQL.format(n=10),
         "token_zipf": Q_TOKEN_ZIPF_SQL.format(n=50),
         "embedding_norms": Q_EMBEDDING_NORMS_SQL,
+        "adaptive_length_filter": Q_ADAPTIVE_LENGTH_SQL,
+        "dedup_containment": dedup.containment_pairs_duck(threshold=0.5),
         "curation_pipeline_v2": Q_CURATION_V2_SQL.format(
             gopher=text.gopher_filter_duck(),
             segment=dedup.segment_dedup_duck(block_tokens=20, src="kept"),

@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "curation_pipeline_v2",
     "embedding_norms",
     "paragraph_dedup_incremental",
+    "adaptive_length_filter",
+    "dedup_containment",
 ]
 
 

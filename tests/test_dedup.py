@@ -335,3 +335,25 @@ def test_segment_dedup_rejects_bad_block(spark):
     d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         segment_dedup(d, block_tokens=0)
+
+
+def test_containment_asymmetric_quote_detection(spark):
+    # a short doc quoted verbatim inside a long doc: containment
+    # (short -> long) ~ 1 while Jaccard is small — the relation this
+    # operator exists to catch, and it must be DIRECTED
+    from bamboo_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    quote = " ".join("q%d" % i for i in range(12))
+    filler = " ".join("f%d" % i for i in range(80))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(docs, threshold=0.5, max_shingle_df=None).collect()
+    }
+    assert got[(1, 2)] == 1.0        # every shingle of the quote is in doc 2
+    assert (2, 1) not in got         # reverse direction far below 0.5
+    jac = jaccard_pairs(docs, threshold=0.5, max_shingle_df=None).collect()
+    assert jac == []                 # Jaccard never sees this pair

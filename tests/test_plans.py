@@ -447,3 +447,19 @@ def test_curation_pipeline_v2_no_text_shuffle_for_segments(spark):
     plan = plan_of(q.queries()["curation_pipeline_v2"](spark, SF))
     assert "md5" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_adaptive_length_filter_broadcasts_bounds(spark):
+    # the per-source quantile table is source-sized -> must broadcast;
+    # the doc stream never shuffles for the flag join
+    plan = plan_of(q.queries()["adaptive_length_filter"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_containment_hashes_not_strings(spark):
+    # the inverted-index self-join must key on xxhash64 longs, never
+    # raw shingle strings; pair counting is one map-combined agg
+    plan = plan_of(q.queries()["dedup_containment"](spark, SF))
+    assert "xxhash64" in plan
+    assert "CartesianProduct" not in plan
