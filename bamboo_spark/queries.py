@@ -1983,6 +1983,53 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.segment_dedup(d, block_tokens=20)
 
 
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the dedup health report:
+    (cluster_size → how many clusters), from the converged components
+    labeling. A heavy tail here means boilerplate families the
+    near-dup threshold is merging; a spike at 2 means mostly true
+    pairs. Two map-combined aggregates on top of the components
+    fixpoint; nothing new shuffles at data scale."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.7, num_hashes=64)
+    labels = dedup.connected_components_converged(pairs)
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(F.col("cluster_size").cast("bigint").alias("cluster_size"), "n_clusters")
+    )
+
+
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup over the binary payload column — the media
+    twin of exact text dedup (identical images/audio dedupe by payload
+    digest regardless of filename/metadata). One hash-keyed
+    map-combined aggregate; digests, not payloads, shuffle."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return (
+        d.groupBy(F.md5("payload").alias("digest"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            F.sum(F.length("payload")).cast("bigint").alias("total_bytes"),
+        )
+        .select("keep_id", "n_dups", "total_bytes")
+    )
+
+
+Q_MULTIMODAL_DEDUP_SQL = """
+select min(doc_id) keep_id, count(*)::BIGINT n_dups,
+       sum(octet_length(encode(text)))::BIGINT total_bytes
+from documents
+group by md5(text) order by keep_id
+"""
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-containment pairs (quote/wrapper detection):
     C(A→B) = |S_A∩S_B|/|S_A| ≥ 0.5, both directions. Gate form runs the
@@ -3695,6 +3742,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup_incremental": q_paragraph_dedup_incremental,
         "adaptive_length_filter": q_adaptive_length_filter,
         "dedup_containment": q_dedup_containment,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "multimodal_dedup": q_multimodal_dedup,
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
         "dedup_bloom_incremental": q_dedup_bloom_incremental,
@@ -3871,6 +3920,13 @@ def oracle_sql() -> Dict[str, str]:
         "embedding_norms": Q_EMBEDDING_NORMS_SQL,
         "adaptive_length_filter": Q_ADAPTIVE_LENGTH_SQL,
         "dedup_containment": dedup.containment_pairs_duck(threshold=0.5),
+        "dedup_cluster_sizes": """
+with labels as (select * from ({fix}) f),
+s as (select component, count(*) cluster_size from labels group by component)
+select cluster_size::BIGINT cluster_size, count(*)::BIGINT n_clusters
+from s group by cluster_size order by cluster_size
+""".format(fix=dedup.components_fixpoint_duck(dedup.jaccard_pairs_duck(threshold=0.7))),
+        "multimodal_dedup": Q_MULTIMODAL_DEDUP_SQL,
         "curation_pipeline_v2": Q_CURATION_V2_SQL.format(
             gopher=text.gopher_filter_duck(),
             segment=dedup.segment_dedup_duck(block_tokens=20, src="kept"),

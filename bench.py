@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "paragraph_dedup_incremental",
     "adaptive_length_filter",
     "dedup_containment",
+    "dedup_cluster_sizes",
+    "multimodal_dedup",
 ]
 
 
