@@ -221,7 +221,9 @@ def containment_pairs(
     documented approximation as ``jaccard_pairs``); pass ``None`` for
     the lossless oracle-gated form."""
     hsets = _hashed_sets(df, k)
-    ex = hsets.select("doc_id", "n", F.explode("hs").alias("h"))
+    # persisted: ex feeds the hot-key aggregate AND both self-join
+    # sides — without it the shingle/hash pipeline re-executes 3x
+    ex = tracked_persist(hsets.select("doc_id", "n", F.explode("hs").alias("h")))
     if max_shingle_df is not None:
         hot = (
             ex.groupBy("h")

@@ -245,6 +245,7 @@ def add_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
 def gopher_filter(
     df: DataFrame,
     col: str = "text",
+    id_col: str = "doc_id",
     min_words: int = 30,
     max_words: int = 500,
     min_mean_word_len: float = 2.0,
@@ -266,12 +267,12 @@ def gopher_filter(
     (doc_id, text).
     """
     staged = df.selectExpr(
-        "doc_id",
+        id_col,
         "split(%s, ' ') as __toks" % col,
         "cast(length(%s) as double) as __chars" % col,
     )
     stats = staged.selectExpr(
-        "doc_id",
+        id_col,
         "cast(size(__toks) as bigint) as word_count",
         # text is single-space joined, so chars - (n-1) = sum of word lengths
         "round((__chars - (size(__toks) - 1)) / size(__toks), 6) as mean_word_len",
@@ -297,7 +298,7 @@ def gopher_filter(
         minq=min_quality,
     )
     return stats.selectExpr(
-        "doc_id",
+        id_col,
         "word_count",
         "mean_word_len",
         "distinct_ratio",

@@ -25,7 +25,10 @@ from typing import Callable, Dict
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from bamboo_spark.operators import dedup, multimodal, pack, scale, similarity, text
-from bamboo_spark.operators._cache import release_caches as _release_caches
+from bamboo_spark.operators._cache import (
+    release_caches as _release_caches,
+    tracked_persist as _tracked_persist,
+)
 
 TABLES = [
     "region",
@@ -1137,17 +1140,25 @@ def ivf_quantizer(spark: SparkSession, sf_dir: str):
 
 _PQ_CACHE: Dict[str, "object"] = {}
 
+# ONE source of truth for the registry's PQ geometry: the cache, both
+# consumers, and the oracle registrations all read these — retuning in
+# one place can't silently desync cached codebooks from the oracle's
+# replayed training
+PQ_M, PQ_CODES, PQ_ITERS = 8, 16, 2
+
 
 def pq_codebooks(spark: SparkSession, sf_dir: str):
-    """Shared PQ codebooks (8 subspaces × 16 codes, 2 Lloyd
-    iterations) for the registry, trained once per embeddings table
-    and memoized — same build-once-probe-many reuse discipline as
+    """Shared PQ codebooks (PQ_M subspaces × PQ_CODES codes, PQ_ITERS
+    Lloyd iterations) for the registry, trained once per embeddings
+    table and memoized — same build-once-probe-many reuse discipline as
     ``ivf_quantizer``; training is deterministic so reuse is
     result-invisible."""
-    key = sf_dir.rstrip("/")
+    key = "%s@%dx%dx%d" % (sf_dir.rstrip("/"), PQ_M, PQ_CODES, PQ_ITERS)
     if key not in _PQ_CACHE:
         e = load(spark, sf_dir, "embeddings")
-        _PQ_CACHE[key] = similarity.pq_train(e, m=8, n_codes=16, iterations=2)
+        _PQ_CACHE[key] = similarity.pq_train(
+            e, m=PQ_M, n_codes=PQ_CODES, iterations=PQ_ITERS
+        )
     return _PQ_CACHE[key]
 
 
@@ -1158,7 +1169,7 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings don't fit scoring-resident."""
     e = load(spark, sf_dir, "embeddings")
     return similarity.topk_neighbors_pq(
-        e, query_ids_below=10, k=5, m=8, n_codes=16, rerank=30,
+        e, query_ids_below=10, k=5, rerank=30,
         codebooks=pq_codebooks(spark, sf_dir),
     )
 
@@ -1851,7 +1862,9 @@ def q_token_zipf(spark: SparkSession, sf_dir: str, top_n: int = 50) -> DataFrame
     driver-side over exactly ``top_n`` collected rows (metadata-sized —
     never a single-partition window over the full vocab)."""
     d = load(spark, sf_dir, "documents")
-    counts = (
+    # persisted: the token-count shuffle feeds two actions (total +
+    # top-N) — without it the corpus explode/agg executes twice
+    counts = _tracked_persist(
         d.selectExpr("explode(split(text, ' ')) as t")
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -2527,10 +2540,16 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(similarity._norm_expr("embedding"), 6).alias("nrm"),
     ).withColumn("m", F.round(F.col("nrm") * 1e6, 0).cast("long"))
+    # sum of squares in DECIMAL(38,0): a long sum of m*m (~1e12 per
+    # unit-norm row) wraps negative past ~9M rows and would silently
+    # zero every z-score at exactly the scale the monitor exists for;
+    # per-element m*m stays in long range for norms < ~3000
     tot = nrm.agg(
         F.count(F.lit(1)).cast("double").alias("_n"),
-        F.sum("m").alias("_s"),
-        F.sum(F.col("m") * F.col("m")).alias("_ss"),
+        F.sum("m").cast("double").alias("_s"),
+        F.sum((F.col("m") * F.col("m")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("_ss"),
     )
     mean = (F.col("_s") / 1e6) / F.col("_n")
     # exact integer sums make the variance identical in both engines;
@@ -3838,9 +3857,12 @@ def oracle_sql() -> Dict[str, str]:
         "ann_topk_ivf": similarity.topk_neighbors_ivf_duck(
             query_ids_below=10, k=5, n_probe=2
         ),
-        "pq_codes": similarity.pq_codes_duck(m=8, n_codes=16, iterations=2),
+        "pq_codes": similarity.pq_codes_duck(
+            m=PQ_M, n_codes=PQ_CODES, iterations=PQ_ITERS
+        ),
         "ann_topk_pq": similarity.topk_neighbors_pq_duck(
-            query_ids_below=10, k=5, m=8, n_codes=16, rerank=30
+            query_ids_below=10, k=5, m=PQ_M, n_codes=PQ_CODES,
+            iterations=PQ_ITERS, rerank=30
         ),
         "ann_topk_ivf_int8": similarity.topk_neighbors_ivf_duck(
             query_ids_below=10, k=5, n_probe=2, int8_verify=True

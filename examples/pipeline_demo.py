@@ -76,7 +76,7 @@ def main() -> None:
     )
     clean = non_repetitive.join(contaminated, "doc_id", "left_anti")
     print(
-        "curation: %d sampled -> %d past bloom guard -> %d after repetition"
+        "curation: %d sampled -> %d past bloom guard -> %d past quality"
         " filter -> %d after decontamination"
         % (sampled.count(), fresh.count(), non_repetitive.count(), clean.count())
     )
