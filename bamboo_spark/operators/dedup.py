@@ -213,42 +213,78 @@ def containment_pairs(
     MinHash/Jaccard pipelines never see it; a containment pass catches
     quote-expansion and wrapper-boilerplate relations).
 
-    Shape: one inverted-index self-join on 8-byte shingle hashes
-    (shuffle keyed on the hash — uniform by construction), one
-    map-combined pair-count aggregate, per-row division. Both
-    directions emit (C(A→B) ≠ C(B→A)). ``max_shingle_df`` drops
-    stop-phrase keys from the index (same skew bound and the same
+    Shape — the PPJoin machinery of ``jaccard_pairs``, asymmetric:
+    |A∩B| ≥ t·|A| means at least one shared element falls in A's first
+    |A| − ⌈t·|A|⌉ + 1 canonical-order elements, so only the A-side
+    PREFIX explodes into the index; the containing side must index every
+    element (a qualifying hash can sit anywhere in B). Candidates are
+    length-filtered (|B| ≥ t·|A|) and position-filtered (remaining-
+    element cap ≥ t·|A| via the pair's first shared element — the
+    loosest cap, so the prune is lossless), then exact-verified with an
+    array intersect against the full hashed sets. ``max_shingle_df``
+    drops stop-phrase keys from the index (same skew bound and the same
     documented approximation as ``jaccard_pairs``); pass ``None`` for
     the lossless oracle-gated form."""
-    hsets = _hashed_sets(df, k)
-    # persisted: ex feeds the hot-key aggregate AND both self-join
-    # sides — without it the shingle/hash pipeline re-executes 3x
-    ex = tracked_persist(hsets.select("doc_id", "n", F.explode("hs").alias("h")))
+    t = float(threshold)
+    hsets = tracked_persist(_hashed_sets(df, k))
+    n = F.col("n")
+    p_len = F.greatest(
+        F.lit(1), (n - F.ceil(n * F.lit(t) - 1e-9) + 1).cast("int")
+    )
+    prefix = hsets.select(
+        "doc_id",
+        "n",
+        F.posexplode(F.slice("hs", F.lit(1), p_len)).alias("pos", "h"),
+    )
+    full = hsets.select("doc_id", "n", F.posexplode("hs").alias("pos", "h"))
     if max_shingle_df is not None:
-        hot = (
-            ex.groupBy("h")
-            .agg(F.count(F.lit(1)).alias("dfreq"))
-            .where(F.col("dfreq") > max_shingle_df)
-            .select("h")
+        freq = (
+            full.groupBy("h").count().where(F.col("count") <= max_shingle_df)
         )
-        ex = ex.join(hot, "h", "left_anti")
-    a = ex.alias("a")
-    b = ex.alias("b")
-    inter = (
+        prefix = prefix.join(F.broadcast(freq.select("h")), "h")
+        full = full.join(F.broadcast(freq.select("h")), "h")
+    a = prefix.alias("a")
+    b = full.alias("b")
+    overlap_cap = F.lit(1) + F.least(
+        F.col("a.n") - 1 - F.col("a.pos"), F.col("b.n") - 1 - F.col("b.pos")
+    )
+    req = F.col("a.n") * F.lit(t) - 1e-9
+    candidates = (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("b.n").cast("double") >= req)
+            & (overlap_cap.cast("double") >= req),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = hsets.select("doc_id", "hs", "n")
+    verified = (
+        candidates.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("hs").alias("sa"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
         )
-        .agg(F.count(F.lit(1)).alias("cnt"), F.first(F.col("a.n")).alias("na"))
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.col("na").cast("double"),
+                6,
+            ).alias("containment"),
+        )
     )
-    c = F.round(F.col("cnt").cast("double") / F.col("na").cast("double"), 6)
-    return inter.select("doc_a", "doc_b", c.alias("containment")).where(
-        F.col("containment") >= threshold
-    )
+    return verified.where(F.col("containment") >= threshold)
 
 
 def containment_pairs_duck(threshold: float = 0.5, k: int = 3) -> str:
