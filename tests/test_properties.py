@@ -549,3 +549,83 @@ def test_sharded_bloom_never_false_negative(spark, keys, num_shards):
     maps = bloom_build_sharded(df.select("h"), num_shards, num_bits=1 << 10)
     kept = bloom_filter_sharded(df, maps, num_shards, num_bits=1 << 10)
     assert {r["k"] for r in kept.collect()} == set(keys)
+
+
+def _py_segment_dedup(docs, B):
+    """Pure-Python reference for segment_dedup: first occurrence by
+    (doc_id, blk_idx) over exact block content."""
+    blocks = []
+    for doc_id in sorted(docs):
+        toks = docs[doc_id].split(" ")
+        for i in range(0, (len(toks) + B - 1) // B):
+            blocks.append((doc_id, i, " ".join(toks[i * B : (i + 1) * B])))
+    first = {}
+    for doc_id, i, blk in blocks:
+        first.setdefault(blk, (doc_id, i))
+    out = {}
+    for doc_id in sorted(docs):
+        mine = [(i, b) for d, i, b in blocks if d == doc_id]
+        kept = [b for i, b in mine if first[b] == (doc_id, i)]
+        out[doc_id] = (len(mine), len(kept), " ".join(kept))
+    return out
+
+
+def test_segment_dedup_matches_python_reference(spark):
+    import random
+
+    from bamboo_spark.operators.dedup import segment_dedup
+
+    rng = random.Random(7)
+    vocab = ["w%d" % i for i in range(12)]
+    for trial in range(3):
+        docs = {
+            i: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+            for i in range(1, 16)
+        }
+        B = rng.choice([3, 5, 8])
+        sdf = spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_blocks"], r["n_kept"], r["dedup_text"])
+            for r in segment_dedup(sdf, block_tokens=B).collect()
+        }
+        assert got == _py_segment_dedup(docs, B), (trial, B)
+
+
+def test_containment_matches_python_reference(spark):
+    import random
+
+    from bamboo_spark.operators.dedup import containment_pairs
+
+    rng = random.Random(11)
+    vocab = ["t%d" % i for i in range(10)]
+    docs = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40)))
+        for i in range(1, 14)
+    }
+    k, t = 3, 0.5
+
+    def shingles(txt):
+        toks = txt.split(" ")
+        return {
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        }
+
+    want = {}
+    for a, ta in docs.items():
+        for b, tb in docs.items():
+            if a == b:
+                continue
+            sa, sb = shingles(ta), shingles(tb)
+            if not sa:
+                continue
+            c = round(len(sa & sb) / len(sa), 6)
+            if c >= t:
+                want[(a, b)] = c
+    sdf = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(sdf, threshold=t, max_shingle_df=None).collect()
+    }
+    assert got == want
