@@ -1996,6 +1996,83 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.segment_dedup(d, block_tokens=20)
 
 
+def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation audit: keep rate, mean quality, and the
+    drop-reason histogram (exploded from the Gopher filter's audit
+    string) — the report a data lead reads before committing
+    thresholds. One scan-speed flag projection + two map-combined
+    aggregates keyed on (source[, reason]); mean quality sums exact
+    micro-units so the report is partitioning-independent."""
+    d = load(spark, sf_dir, "documents")
+    flags = text.gopher_filter(d).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    base = flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("keep").cast("bigint").alias("n_kept"),
+        F.round(
+            F.sum(F.round(F.col("quality") * 1e6, 0).cast("long")).cast("double")
+            / 1e6
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality"),
+    )
+    reasons = (
+        flags.where(F.col("keep") == 0)
+        .select("source", F.explode(F.split("drop_reasons", ",")).alias("reason"))
+        .groupBy("source", "reason")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("reason", "cnt"))
+                    ),
+                    lambda s: F.concat_ws(":", s["reason"], s["cnt"].cast("string")),
+                ),
+                " ",
+            ).alias("drop_histogram")
+        )
+    )
+    return base.join(reasons, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_kept",
+        "mean_quality",
+        F.coalesce("drop_histogram", F.lit("")).alias("drop_histogram"),
+    )
+
+
+Q_SOURCE_QUALITY_SQL = """
+with g as ({gopher}),
+f as (
+  select g.*, d.source from g join documents d using (doc_id)
+),
+base as (
+  select source, count(*)::BIGINT n_docs, sum(keep)::BIGINT n_kept,
+         round(sum(round(quality * 1e6, 0)::BIGINT)::DOUBLE / 1e6 / count(*), 6)
+           mean_quality
+  from f group by source
+),
+r as (
+  select source, unnest(string_split(drop_reasons, ',')) reason
+  from f where keep = 0
+),
+rc as (select source, reason, count(*)::BIGINT cnt from r group by 1, 2),
+hist as (
+  select source,
+         array_to_string(
+           list(reason || ':' || cnt order by reason, cnt), ' ') drop_histogram
+  from rc group by source
+)
+select base.source, n_docs, n_kept, mean_quality,
+       coalesce(drop_histogram, '') drop_histogram
+from base left join hist using (source)
+order by source
+"""
+
+
 def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster size histogram — the dedup health report:
     (cluster_size → how many clusters), from the converged components
@@ -3762,6 +3839,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_length_filter": q_adaptive_length_filter,
         "dedup_containment": q_dedup_containment,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "source_quality_report": q_source_quality_report,
         "multimodal_dedup": q_multimodal_dedup,
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
@@ -3949,6 +4027,9 @@ select cluster_size::BIGINT cluster_size, count(*)::BIGINT n_clusters
 from s group by cluster_size order by cluster_size
 """.format(fix=dedup.components_fixpoint_duck(dedup.jaccard_pairs_duck(threshold=0.7))),
         "multimodal_dedup": Q_MULTIMODAL_DEDUP_SQL,
+        "source_quality_report": Q_SOURCE_QUALITY_SQL.format(
+            gopher=text.gopher_filter_duck()
+        ),
         "curation_pipeline_v2": Q_CURATION_V2_SQL.format(
             gopher=text.gopher_filter_duck(),
             segment=dedup.segment_dedup_duck(block_tokens=20, src="kept"),

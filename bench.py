@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "dedup_containment",
     "dedup_cluster_sizes",
     "multimodal_dedup",
+    "source_quality_report",
 ]
 
 
