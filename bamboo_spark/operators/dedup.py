@@ -1330,9 +1330,12 @@ def bloom_build_sharded(
     (~1.2 GiB of bits at 1% fpp; Spark caps broadcasts well below
     that). The keyspace is range-partitioned on the hash's high 32 bits
     (:func:`bloom_shard_expr`), each shard OR-folds exactly like
-    :func:`bloom_build`, and the result stays DISTRIBUTED: no single
-    node — driver included — ever materializes more than one shard,
-    so total filter capacity scales linearly with ``num_shards``.
+    :func:`bloom_build`, and the result stays DISTRIBUTED: the hashes
+    shuffle ONCE on shard id (8 bytes/row) so each build task holds
+    only the shards that land in its partition (expected one — never
+    the whole index) and each shard's fold output is a single bitmap
+    row; total filter capacity scales linearly with ``num_shards`` at
+    O(num_bits/8) per-task memory.
     Persist or write the returned frame at index-build time; probe with
     :func:`bloom_filter_sharded`."""
     import numpy as np
@@ -1362,8 +1365,16 @@ def bloom_build_sharded(
                 }
             )
 
-    part_maps = hashes.select(F.col(col).cast("long")).mapInArrow(
-        per_partition, "shard long, bitmap binary"
+    # co-locate each shard before the fold: without this every input
+    # partition touches every shard and each map task accumulates the
+    # ENTIRE index (num_shards bitmaps) instead of ~one
+    keyed = hashes.select(F.col(col).cast("long").alias("_h")).withColumn(
+        "_shard", bloom_shard_expr(F.col("_h"), num_shards)
+    )
+    part_maps = (
+        keyed.repartition(num_shards, "_shard")
+        .select("_h")
+        .mapInArrow(per_partition, "shard long, bitmap binary")
     )
 
     def or_group(_key, pdf):
@@ -1385,21 +1396,33 @@ def bloom_filter_sharded(
     h_col: str = "h",
     num_bits: int = 1 << 20,
     num_hashes: int = 7,
+    probe_subsplits: int = 8,
 ) -> DataFrame:
     """Probe a :func:`bloom_build_sharded` index: keep only rows of
     ``df`` whose ``h_col`` hash MIGHT be in the sharded corpus filter
     (no false negatives, same fpp math as the single-bitmap probe).
 
-    Shape: the batch shuffles ONCE on shard id and cogroups with the
-    shard table, so each task pairs one batch slice with exactly ONE
-    shard's bitmap — nothing is broadcast, no executor holds two
-    shards. That trades the single-bitmap probe's shuffle-free scan for
-    unbounded index capacity; the batch side is the small side by
-    contract (the corpus is what outgrew the broadcast)."""
+    Shape: the batch shuffles ONCE on (shard, subsplit) and cogroups
+    with the shard table — each task pairs ~1/(num_shards ·
+    probe_subsplits) of the batch with ONE shard bitmap copy, so probe
+    parallelism is NOT capped at num_shards and no task materializes
+    more than its slice + one bitmap. The subsplit key is mid-range
+    hash bits (partitioning only — correctness never depends on it),
+    and the bitmap side replicates probe_subsplits ways
+    (num_shards · probe_subsplits rows — metadata-sized). Nothing is
+    broadcast; the batch side is the small side by contract (the corpus
+    is what outgrew the broadcast)."""
     out_schema = df.schema
     cols = list(df.columns)
-    staged = df.withColumn("_shard", bloom_shard_expr(F.col(h_col), num_shards))
-    keyed_maps = shard_maps.withColumnRenamed("shard", "_shard")
+    staged = df.withColumn(
+        "_shard", bloom_shard_expr(F.col(h_col), num_shards)
+    ).withColumn(
+        "_sub",
+        F.pmod(F.shiftrightunsigned(F.col(h_col), 16), F.lit(probe_subsplits)),
+    )
+    keyed_maps = shard_maps.withColumnRenamed("shard", "_shard").withColumn(
+        "_sub", F.explode(F.sequence(F.lit(0), F.lit(probe_subsplits - 1)))
+    )
 
     def probe_group(left, right):
         import numpy as np
@@ -1416,8 +1439,8 @@ def bloom_filter_sharded(
         return left.loc[ok, cols]
 
     return (
-        staged.groupBy("_shard")
-        .cogroup(keyed_maps.groupBy("_shard"))
+        staged.groupBy("_shard", "_sub")
+        .cogroup(keyed_maps.groupBy("_shard", "_sub"))
         .applyInPandas(probe_group, out_schema)
     )
 
@@ -1539,7 +1562,12 @@ def duplicate_spans(
     from pyspark.sql import Window
 
     sh = word_shingles_sql("split(%s, ' ')" % text_col, ngram)
-    grams = df.selectExpr(id_col, "posexplode(%s) as (pos, g)" % sh)
+    # persisted: grams feeds both the duplicated-gram aggregate and the
+    # flag join — unpersisted, the corpus-wide tokenize+shingle+explode
+    # would execute twice
+    grams = tracked_persist(
+        df.selectExpr(id_col, "posexplode(%s) as (pos, g)" % sh)
+    )
     hot = (
         grams.groupBy("g")
         .agg(F.count_distinct(F.col(id_col)).alias("_df"))

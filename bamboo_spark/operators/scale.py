@@ -58,7 +58,15 @@ def ranked_head(
         )
     except Exception:
         thr = 1000
-    if thr >= 0 and cap > thr:
+    if thr < 0:
+        # -1 disables InferWindowGroupLimit entirely — the partial
+        # top-k this function's scale guarantee rests on never plans
+        warnings.warn(
+            "ranked_head: spark.sql.optimizer.windowGroupLimitThreshold=%d "
+            "disables the partial top-k below the shuffle; hot keys ship "
+            "their full row sets to one reducer" % thr
+        )
+    elif cap > thr:
         warnings.warn(
             "ranked_head cap=%d exceeds windowGroupLimitThreshold=%d: the "
             "partial top-k below the shuffle will not fire; raise the conf "
@@ -131,8 +139,15 @@ def hash_head_prefilter(
     keys: List[str] = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if hash_max < 1 or buckets < 1:
         raise ValueError("hash_max and buckets must be >= 1")
+    from bamboo_spark.operators._cache import tracked_persist
+
     width = max(1, hash_max // buckets)
-    staged = df.withColumn("_bkt", F.floor(F.col(hash_col) / F.lit(width)))
+    # persisted: staged feeds three subtrees (hot-key counts, the
+    # hot-row histogram, and the final filter) — unpersisted, the
+    # source scan + hash projection would execute three times
+    staged = tracked_persist(
+        df.withColumn("_bkt", F.floor(F.col(hash_col) / F.lit(width)))
+    )
     hot = (
         staged.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_n"))
