@@ -274,3 +274,47 @@ def write_partitioned(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff: per-id status between two table versions —
+    'added' (id only in new), 'removed' (only in old), 'changed' (both,
+    different content digest), 'unchanged'. The audit a data-versioned
+    pipeline runs before promoting a snapshot: an unexpected 'removed'
+    spike means an upstream source silently vanished; a 'changed' spike
+    means a transform drifted.
+
+    Both sides reduce to (id, digest, carry-cols) BEFORE the full outer
+    join, so only 32-byte digests shuffle — never document content; the
+    join is a plain hash join on the id. Output columns: id, every
+    non-content column coalesced from the surviving side, and status.
+    """
+    carry = [c for c in new.columns if c not in (id_col, content_col)]
+    o = old.select(
+        F.col(id_col),
+        F.md5(F.col(content_col)).alias("_oh"),
+        *[F.col(c).alias("_o_%s" % c) for c in carry],
+    )
+    n = new.select(
+        F.col(id_col),
+        F.md5(F.col(content_col)).alias("_nh"),
+        *[F.col(c).alias("_n_%s" % c) for c in carry],
+    )
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("_oh").isNull(), F.lit("added"))
+        .when(F.col("_nh").isNull(), F.lit("removed"))
+        .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out_cols = [F.col(id_col)]
+    for c in carry:
+        out_cols.append(
+            F.coalesce(F.col("_n_%s" % c), F.col("_o_%s" % c)).alias(c)
+        )
+    return j.select(*out_cols, status.alias("status"))

@@ -1996,6 +1996,53 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.segment_dedup(d, block_tokens=20)
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot promotion audit: diff two table versions
+    (simulated here: v1 = docs with id < 250, every 7th doc carrying a
+    'v1 ' edit marker, v2 = raw docs with id >= 100) and count per
+    (source, status) — added / removed / changed / unchanged. Only
+    32-byte digests shuffle into the full outer join; content never
+    does."""
+    d = load(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") < 250).select(
+        "doc_id",
+        "source",
+        F.expr(
+            "case when doc_id % 7 = 0 then concat('v1 ', text) else text end"
+        ).alias("text"),
+    )
+    new = d.where(F.col("doc_id") >= 100).select("doc_id", "source", "text")
+    diff = scale.snapshot_diff(old, new)
+    return (
+        diff.groupBy("source", "status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select("source", "status", "n")
+    )
+
+
+Q_SNAPSHOT_DIFF_SQL = """
+with old as (
+  select doc_id, source,
+         case when doc_id % 7 = 0 then 'v1 ' || text else text end as "text"
+  from documents where doc_id < 250
+),
+new as (
+  select doc_id, source, text from documents where doc_id >= 100
+),
+j as (
+  select coalesce(n.doc_id, o.doc_id) doc_id,
+         coalesce(n.source, o.source) source,
+         case when o.doc_id is null then 'added'
+              when n.doc_id is null then 'removed'
+              when md5(o.text) != md5(n.text) then 'changed'
+              else 'unchanged' end status
+  from old o full outer join new n on o.doc_id = n.doc_id
+)
+select source, status, count(*)::BIGINT n
+from j group by source, status order by source, status
+"""
+
+
 def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source curation audit: keep rate, mean quality, and the
     drop-reason histogram (exploded from the Gopher filter's audit
@@ -3840,6 +3887,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "source_quality_report": q_source_quality_report,
+        "snapshot_diff": q_snapshot_diff,
         "multimodal_dedup": q_multimodal_dedup,
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
@@ -4030,6 +4078,7 @@ from s group by cluster_size order by cluster_size
         "source_quality_report": Q_SOURCE_QUALITY_SQL.format(
             gopher=text.gopher_filter_duck()
         ),
+        "snapshot_diff": Q_SNAPSHOT_DIFF_SQL,
         "curation_pipeline_v2": Q_CURATION_V2_SQL.format(
             gopher=text.gopher_filter_duck(),
             segment=dedup.segment_dedup_duck(block_tokens=20, src="kept"),

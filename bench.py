@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "dedup_cluster_sizes",
     "multimodal_dedup",
     "source_quality_report",
+    "snapshot_diff",
 ]
 
 

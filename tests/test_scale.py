@@ -160,3 +160,23 @@ def test_ranked_head_warns_past_group_limit_threshold(spark):
         _w.simplefilter("always")
         ranked_head(df, "k", [F.col("id").asc()], cap=5000)
     assert any("windowGroupLimitThreshold" in str(r.message) for r in rec)
+
+
+def test_snapshot_diff_statuses(spark):
+    from bamboo_spark.operators.scale import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "keep"), (2, "a", "will-change"), (3, "b", "will-remove")],
+        "doc_id long, source string, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "keep"), (2, "a", "changed!"), (4, "b", "brand-new")],
+        "doc_id long, source string, text string",
+    )
+    got = {r["doc_id"]: (r["status"], r["source"]) for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        1: ("unchanged", "a"),
+        2: ("changed", "a"),
+        3: ("removed", "b"),
+        4: ("added", "b"),
+    }
