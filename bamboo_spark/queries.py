@@ -1996,6 +1996,78 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.segment_dedup(d, block_tokens=20)
 
 
+def q_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2-style interval build: collapse each user's event stream
+    into validity intervals of consecutive same-type runs — (user,
+    event_type, valid_from_us, valid_to_us, n_events), half-open, with
+    the current run's valid_to_us NULL. The dimension-history shape
+    (track attribute changes over time) built from an append-only fact
+    stream.
+
+    All windows partition on user_id (one hash shuffle, reused across
+    the lag/run-id/lead chain — Catalyst plans them in one Window
+    stage); ordering is (ts, event_id) so ties are deterministic;
+    interval arithmetic is integer µs."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    runs = e.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("run_id", F.sum("chg").over(w))
+    ivals = runs.groupBy("user_id", "run_id").agg(
+        F.first("event_type").alias("event_type"),
+        F.min("us").alias("valid_from_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    return ivals.select(
+        "user_id",
+        F.col("run_id").cast("bigint").alias("run_id"),
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+        "n_events",
+    )
+
+
+Q_USER_STATE_SQL = """
+with e as (
+  select user_id, event_id, event_type, epoch_us(ts) us from events
+),
+r as (
+  select *,
+         case when lag(event_type) over w is null
+                   or lag(event_type) over w != event_type
+              then 1 else 0 end chg
+  from e window w as (partition by user_id order by us, event_id)
+),
+rr as (
+  select *, sum(chg) over (partition by user_id order by us, event_id
+                           rows unbounded preceding) run_id
+  from r
+),
+iv as (
+  select user_id, run_id, any_value(event_type) event_type,
+         min(us) valid_from_us, count(*)::BIGINT n_events
+  from rr group by user_id, run_id
+)
+select user_id, run_id::BIGINT run_id, event_type, valid_from_us,
+       lead(valid_from_us) over (partition by user_id order by run_id)
+         valid_to_us,
+       n_events
+from iv order by user_id, run_id
+"""
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot promotion audit: diff two table versions
     (simulated here: v1 = docs with id < 250, every 7th doc carrying a
@@ -3888,6 +3960,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "source_quality_report": q_source_quality_report,
         "snapshot_diff": q_snapshot_diff,
+        "user_state_intervals": q_user_state_intervals,
         "multimodal_dedup": q_multimodal_dedup,
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
@@ -4079,6 +4152,7 @@ from s group by cluster_size order by cluster_size
             gopher=text.gopher_filter_duck()
         ),
         "snapshot_diff": Q_SNAPSHOT_DIFF_SQL,
+        "user_state_intervals": Q_USER_STATE_SQL,
         "curation_pipeline_v2": Q_CURATION_V2_SQL.format(
             gopher=text.gopher_filter_duck(),
             segment=dedup.segment_dedup_duck(block_tokens=20, src="kept"),

@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "multimodal_dedup",
     "source_quality_report",
     "snapshot_diff",
+    "user_state_intervals",
 ]
 
 

@@ -463,3 +463,12 @@ def test_dedup_containment_hashes_not_strings(spark):
     plan = plan_of(q.queries()["dedup_containment"](spark, SF))
     assert "xxhash64" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_user_state_intervals_single_user_shuffle(spark):
+    # the lag/run-id/lead window chain must reuse ONE user_id hash
+    # partitioning — no second data-sized exchange for the lead stage
+    plan = plan_of(q.queries()["user_state_intervals"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 2, tree
+    assert "CartesianProduct" not in plan
