@@ -1157,8 +1157,26 @@ def topk_neighbors_pq(
         .where(F.col("r") <= rerank)
         .select("query_id", "neighbor_id")
     )
-    # exact re-rank: only the |Q|·rerank candidate vectors are touched;
-    # the candidate list broadcasts (driver-sized by construction)
+    return _exact_rerank_topk(df, cand, q_ids, q_raw, q_norm, k, id_col, vec)
+
+
+def _exact_rerank_topk(
+    df: DataFrame,
+    cand: DataFrame,
+    q_ids: "np.ndarray",
+    q_raw: "np.ndarray",
+    q_norm: "np.ndarray",
+    k: int,
+    id_col: str,
+    vec: str,
+) -> DataFrame:
+    """Exact re-rank of (query_id, neighbor_id) candidates: only the
+    |Q|·rerank candidate vectors are touched — the candidate list
+    broadcasts (driver-sized by construction), the corpus streams, and
+    the final top-k is round-6 cosine with neighbor-id tie-break."""
+    import pandas as pd
+    from pyspark.sql import Window
+
     emb = df.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec).alias("_nv")
     )
@@ -1198,10 +1216,134 @@ def topk_neighbors_pq(
     )
 
 
-def _pq_enc_ctes(m: int, n_codes: int, iterations: int, dim: int) -> str:
+def topk_neighbors_ivfpq(
+    df: DataFrame,
+    query_ids_below: int = 10,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    iterations: int = 2,
+    n_probe: int = 2,
+    rerank: int = 30,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    centroids: Optional["np.ndarray"] = None,
+    codebooks: Optional[list] = None,
+) -> DataFrame:
+    """IVF-PQ top-k — the faiss-style composition of both index tiers:
+    the coarse IVF quantizer restricts each query to its ``n_probe``
+    buckets, and INSIDE a bucket candidates are scored from their
+    m-byte PQ codes via ADC lookup tables; the global top-``rerank``
+    ADC candidates re-rank on exact round-6 cosine. Per query this
+    touches ~n·n_probe/√n code rows (of m bytes each) instead of n·dim
+    floats — the two compressions multiply.
+
+    Everything reuses the oracle-replayable structures: ``kmeans_train``
+    coarse centroids, ``ivf_assign`` bucket membership (corpus 1-probe,
+    queries n_probe), ``pq_train``/``pq_encode`` codes — so the full
+    composition replays in DuckDB. Recall < 1 twice over (bucket misses
+    + quantization error); the exact re-rank repairs ordering within
+    the surviving candidate set."""
+    import pandas as pd
+    from pyspark.sql import Window, types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("adc", T.DoubleType(), False),
+        ]
+    )
+    q_rows = (
+        df.where(F.col(id_col) < query_ids_below).select(id_col, vec).collect()
+    )
+    if not q_rows:
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, rank long, neighbor_id long, cosine double"
+        )
+    if centroids is None:
+        centroids = kmeans_train(df, None, iterations, id_col, vec)
+    if codebooks is None:
+        codebooks = pq_train(
+            df, m, n_codes, iterations, id_col, vec,
+            dim=len(np.asarray(q_rows[0][1])),
+        )
+    d_sub = codebooks[0].shape[1]
+    assign = ivf_assign(df, centroids, id_col, vec, n_probe=1)
+    probes = ivf_assign(
+        df.where(F.col(id_col) < query_ids_below), centroids, id_col, vec,
+        n_probe=n_probe,
+    )
+    codes = pq_encode(df, codebooks, id_col, vec).join(
+        assign.withColumnRenamed(id_col, "vec_id"), "vec_id"
+    )
+
+    q_ids = np.fromiter((r[0] for r in q_rows), dtype=np.int64, count=len(q_rows))
+    q_raw = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_norm = np.maximum(np.linalg.norm(q_raw, axis=1), 1e-30)
+    ip_lut = [
+        q_raw[:, s * d_sub : (s + 1) * d_sub] @ codebooks[s].T
+        for s in range(len(codebooks))
+    ]
+    n2_lut = [(cb * cb).sum(axis=1) for cb in codebooks]
+    probe_map: dict = {}
+    for r in probes.collect():
+        probe_map.setdefault(int(r["centroid"]), []).append(
+            int(np.nonzero(q_ids == r[id_col])[0][0])
+        )
+    bc = df.sparkSession.sparkContext.broadcast(
+        (q_ids, q_norm, ip_lut, n2_lut, probe_map)
+    )
+
+    def kernel(key, pdf):
+        qi, qn, ipl, n2l, pm = bc.value
+        rows = pm.get(int(key[0]), [])
+        if not rows or not len(pdf):
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "adc": []})
+        c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        cm = np.stack(pdf["codes"].to_numpy())
+        ip = np.zeros((len(rows), len(c_ids)))
+        n2 = np.zeros(len(c_ids))
+        for s in range(len(ipl)):
+            ip += ipl[s][rows][:, cm[:, s]]
+            n2 += n2l[s][cm[:, s]]
+        cn = np.maximum(np.sqrt(n2), 1e-30)
+        sims = _round6_half_away(ip / (qn[rows][:, None] * cn[None, :]))
+        out_q, out_n, out_c = [], [], []
+        for i, qrow in enumerate(rows):
+            qid = qi[qrow]
+            valid = c_ids != qid
+            order = np.lexsort((c_ids[valid], -sims[i][valid]))[:rerank]
+            out_q.append(np.full(len(order), qid))
+            out_n.append(c_ids[valid][order])
+            out_c.append(sims[i][valid][order])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q) if out_q else [],
+                "neighbor_id": np.concatenate(out_n) if out_n else [],
+                "adc": np.concatenate(out_c) if out_c else [],
+            }
+        )
+
+    scored = codes.groupBy("centroid").applyInPandas(kernel, out_schema)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        scored.withColumn("r", F.row_number().over(w_adc))
+        .where(F.col("r") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank_topk(df, cand, q_ids, q_raw, q_norm, k, id_col, vec)
+
+
+def _pq_enc_ctes(
+    m: int, n_codes: int, iterations: int, dim: int, lead_with: bool = True
+) -> str:
     """Shared oracle CTE prefix: m suffixed k-means chains (one per
     subspace slice) + the deterministic per-subspace encoding tables
-    ``enc_s{i}`` (vec_id, code)."""
+    ``enc_s{i}`` (vec_id, code). ``lead_with=False`` lets the block
+    append to an existing WITH chain (the IVF-PQ composition)."""
     d_sub = dim // m
     chains = []
     for s in range(m):
@@ -1215,7 +1357,7 @@ def _pq_enc_ctes(m: int, n_codes: int, iterations: int, dim: int) -> str:
                 iterations,
                 vec_expr=vexpr,
                 suffix="_s%d" % s,
-                with_prefix=(s == 0),
+                with_prefix=(s == 0 and lead_with),
             )
         )
     enc = ",".join(
@@ -1251,6 +1393,108 @@ select vec_id, sub::BIGINT sub, code::BIGINT code from (
 {u}
 ) order by vec_id, sub
 """.format(u=union)
+    )
+
+
+def topk_neighbors_ivfpq_duck(
+    query_ids_below: int = 10,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    iterations: int = 2,
+    n_probe: int = 2,
+    rerank: int = 30,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for ``topk_neighbors_ivfpq``: coarse k-means +
+    assignment/probing + m subspace codebook replays + bucket-restricted
+    ADC + candidate cut + exact re-rank, all in one statement."""
+    d_sub = dim // m
+    code_cols = ", ".join("s%d.code code%d" % (s, s) for s in range(m))
+    code_joins = " ".join(
+        "join enc_s%d s%d using (vec_id)" % (s, s) for s in range(1, m)
+    )
+    w_joins = " ".join(
+        "join cf_s{s} w{s} on w{s}.cid = x.code{s}".format(s=s) for s in range(m)
+    )
+    ip_expr = " + ".join(
+        "list_dot_product(list_slice(q.v, %d, %d), w%d.cv)"
+        % (s * d_sub + 1, (s + 1) * d_sub, s)
+        for s in range(m)
+    )
+    n2_expr = " + ".join(
+        "list_dot_product(w{s}.cv, w{s}.cv)".format(s=s) for s in range(m)
+    )
+    return (
+        _kmeans_duck_ctes(None, iterations)
+        + ","
+        + _pq_enc_ctes(m, n_codes, iterations, dim, lead_with=False)
+        + """,
+cscored as materialized (
+  select e.vec_id, c.cid,
+         round(list_dot_product(e.v, c.cv) / (e.n * c.cn), 6) s
+  from e cross join cf c
+),
+assign as materialized (
+  select vec_id, cid from (
+    select *, row_number() over (partition by vec_id
+                                 order by s desc, cid asc) r
+    from cscored
+  ) where r = 1
+),
+probes as (
+  select vec_id, cid from (
+    select *, row_number() over (partition by vec_id
+                                 order by s desc, cid asc) r
+    from cscored where vec_id < {Q}
+  ) where r <= {np}
+),
+codes as materialized (
+  select s0.vec_id, {code_cols} from enc_s0 s0 {code_joins}
+),
+adc as (
+  select q.vec_id query_id, x.vec_id neighbor_id,
+         round(({ip}) / (q.n * greatest(sqrt({n2}), 1e-30)), 6) adc
+  from e q
+  join probes p on p.vec_id = q.vec_id
+  join assign a on a.cid = p.cid and a.vec_id != q.vec_id
+  join codes x on x.vec_id = a.vec_id
+  {w_joins}
+  where q.vec_id < {Q}
+),
+cand as (
+  select query_id, neighbor_id from (
+    select *, row_number() over (
+      partition by query_id order by adc desc, neighbor_id asc) r
+    from adc
+  ) where r <= {R}
+),
+rr as (
+  select cand.query_id, cand.neighbor_id,
+         round(list_dot_product(q.v, x.v) / (q.n * x.n), 6) cosine
+  from cand
+  join e q on q.vec_id = cand.query_id
+  join e x on x.vec_id = cand.neighbor_id
+)
+select query_id,
+       row_number() over (
+         partition by query_id order by cosine desc, neighbor_id asc
+       )::BIGINT rank,
+       neighbor_id, cosine
+from rr
+qualify rank <= {k}
+order by query_id, rank
+""".format(
+            code_cols=code_cols,
+            code_joins=code_joins,
+            ip=ip_expr,
+            n2=n2_expr,
+            w_joins=w_joins,
+            Q=query_ids_below,
+            np=n_probe,
+            R=rerank,
+            k=k,
+        )
     )
 
 

@@ -1174,6 +1174,20 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ kNN: coarse buckets restrict the search, PQ codes shrink
+    the per-bucket scoring working set 32×, exact re-rank repairs the
+    head — the two index tiers composed, both from the shared memoized
+    trained structures."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.topk_neighbors_ivfpq(
+        e, query_ids_below=10, k=5, m=PQ_M, n_codes=PQ_CODES,
+        iterations=PQ_ITERS, n_probe=2, rerank=30,
+        centroids=ivf_quantizer(spark, sf_dir),
+        codebooks=pq_codebooks(spark, sf_dir),
+    )
+
+
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PQ code table itself (exploded to (vec_id, sub, code) for
     the gate): the n·m-byte compressed representation every ADC
@@ -3950,6 +3964,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_pq": q_ann_topk_pq,
         "events_interval_join": q_events_interval_join,
         "pq_codes": q_pq_codes,
+        "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "key_skew_profile": q_key_skew_profile,
         "token_zipf": q_token_zipf,
         "curation_pipeline_v2": q_curation_pipeline_v2,
@@ -4058,6 +4073,10 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "pq_codes": similarity.pq_codes_duck(
             m=PQ_M, n_codes=PQ_CODES, iterations=PQ_ITERS
+        ),
+        "ann_topk_ivfpq": similarity.topk_neighbors_ivfpq_duck(
+            query_ids_below=10, k=5, m=PQ_M, n_codes=PQ_CODES,
+            iterations=PQ_ITERS, n_probe=2, rerank=30,
         ),
         "ann_topk_pq": similarity.topk_neighbors_pq_duck(
             query_ids_below=10, k=5, m=PQ_M, n_codes=PQ_CODES,

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "source_quality_report",
     "snapshot_diff",
     "user_state_intervals",
+    "ann_topk_ivfpq",
 ]
 
 

@@ -472,3 +472,14 @@ def test_user_state_intervals_single_user_shuffle(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") <= 2, tree
     assert "CartesianProduct" not in plan
+
+
+def test_ann_topk_ivfpq_bucket_kernel_no_cartesian(spark):
+    # the composed index: bucket-grouped ADC kernel
+    # (FlatMapGroupsInPandas), candidate broadcast into the re-rank —
+    # never a cartesian of the vector table
+    q._PQ_CACHE.clear()
+    plan = plan_of(q.queries()["ann_topk_ivfpq"](spark, SF))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
