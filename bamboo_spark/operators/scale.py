@@ -318,3 +318,95 @@ def snapshot_diff(
             F.coalesce(F.col("_n_%s" % c), F.col("_o_%s" % c)).alias(c)
         )
     return j.select(*out_cols, status.alias("status"))
+
+
+def hash_budget_prefilter(
+    df: DataFrame,
+    key_cols: Union[str, Sequence[str]],
+    hash_col: str,
+    hash_max: int,
+    weight_col: str,
+    budget: int,
+    hot_min: int,
+    buckets: int = 4096,
+) -> DataFrame:
+    """Weighted twin of :func:`hash_head_prefilter`: drop hot-key rows
+    that provably cannot be inside the per-key hash-ordered WEIGHT
+    budget. Exact: a row kept by the budget rule has exclusive running
+    weight < budget, which is >= the total weight of all earlier
+    buckets, so it lies at or before the cutoff bucket (the last bucket
+    whose preceding cumulative weight is still < budget). Hot-key
+    survivors ~ budget/mean_weight + n_k/buckets rows."""
+    keys: List[str] = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if hash_max < 1 or buckets < 1:
+        raise ValueError("hash_max and buckets must be >= 1")
+    from bamboo_spark.operators._cache import tracked_persist
+
+    width = max(1, hash_max // buckets)
+    staged = tracked_persist(
+        df.withColumn("_bkt", F.floor(F.col(hash_col) / F.lit(width)))
+    )
+    hot = (
+        staged.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > hot_min)
+        .select(*keys)
+    )
+    hist = (
+        staged.join(F.broadcast(hot), keys)
+        .groupBy(*(keys + ["_bkt"]))
+        .agg(F.sum(weight_col).alias("_w"))
+    )
+    wcum = Window.partitionBy(*keys).orderBy(F.col("_bkt").asc())
+    cut = (
+        hist.withColumn("_cumw", F.sum("_w").over(wcum))
+        .where(F.col("_cumw") - F.col("_w") < budget)
+        .groupBy(*keys)
+        .agg(F.max("_bkt").alias("_cut"))
+    )
+    return (
+        staged.join(F.broadcast(cut), keys, "left")
+        .where(F.col("_cut").isNull() | (F.col("_bkt") <= F.col("_cut")))
+        .drop("_bkt", "_cut")
+    )
+
+
+def budget_head(
+    df: DataFrame,
+    key_cols: Union[str, Sequence[str]],
+    hash_col: str,
+    weight_col: str,
+    budget: int,
+    hot_min: Optional[int] = None,
+    hash_max: Optional[int] = None,
+    buckets: int = 4096,
+    tiebreak_cols: Sequence[str] = (),
+    cum_col: str = "cum_weight",
+) -> DataFrame:
+    """Keep rows per key in hash-ascending order while the EXCLUSIVE
+    running ``weight_col`` stays under ``budget`` — the token-budget
+    variant of head capping: "at most ~B training tokens per source",
+    deterministic and engine-replayable (hash order), first row always
+    kept. Emits ``cum_col`` = inclusive running weight.
+
+    Scale: a running-sum window has NO partial-top-k rewrite (unlike
+    row_number, which InferWindowGroupLimit bounds), so a hot key's
+    full row set sorts on one reducer unless ``hot_min`` engages the
+    exact weighted hash-range pre-filter
+    (:func:`hash_budget_prefilter`, requires ``hash_max``) — then only
+    ~budget-worth + n_k/buckets rows per hot key reach the sort."""
+    keys: List[str] = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if budget < 1:
+        raise ValueError("budget must be >= 1; got %d" % budget)
+    if hot_min is not None:
+        if hash_max is None:
+            raise ValueError("hot_min requires hash_max")
+        df = hash_budget_prefilter(
+            df, keys, hash_col, hash_max, weight_col, budget, hot_min, buckets
+        )
+    w = Window.partitionBy(*keys).orderBy(
+        *([F.col(hash_col).asc()] + [F.col(c).asc() for c in tiebreak_cols])
+    )
+    return df.withColumn(
+        cum_col, F.sum(weight_col).over(w).cast("long")
+    ).where(F.col(cum_col) - F.col(weight_col) < budget)

@@ -1527,6 +1527,51 @@ select source, rank, doc_id from (
 """.format(rk="(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT)")
 
 
+def q_token_budget_cap(
+    spark: SparkSession, sf_dir: str, hot_min: int | None = None
+) -> DataFrame:
+    """Token-BUDGET domain capping: keep a deterministic hash-ordered
+    slice of each source worth ≤ ~3000 training tokens (first doc past
+    the line still kept — budget is on the exclusive prefix). The mix
+    knob that actually matters downstream is tokens, not doc counts.
+    ``hot_min`` engages the exact weighted hash-range pre-filter so a
+    billion-doc source never funnels through one window sort."""
+    d = load(spark, sf_dir, "documents")
+    rk = text.md5_int60_sql("cast(doc_id as string)")
+    staged = d.selectExpr(
+        "source",
+        "doc_id",
+        "cast(size(split(text, ' ')) as bigint) as n_tokens",
+    ).withColumn("_rk", F.expr(rk))
+    return scale.budget_head(
+        staged,
+        "source",
+        "_rk",
+        "n_tokens",
+        budget=3000,
+        hot_min=hot_min,
+        hash_max=2**60,
+        tiebreak_cols=["doc_id"],
+        cum_col="cum_tokens",
+    ).select("source", "doc_id", "n_tokens", "cum_tokens")
+
+
+Q_TOKEN_BUDGET_SQL = """
+select source, doc_id, n_tokens, cum_tokens from (
+  select source, doc_id, n_tokens,
+         sum(n_tokens) over (partition by source
+                             order by {rk} asc, doc_id asc
+                             rows unbounded preceding)::BIGINT cum_tokens
+  from (
+    select source, doc_id,
+           len(string_split(text, ' '))::BIGINT n_tokens
+    from documents
+  )
+) where cum_tokens - n_tokens < 3000
+order by source, doc_id
+""".format(rk="(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT)")
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (context-window prep ahead of
     tokenization): pure split + sequence + posexplode + slice - one
@@ -3976,6 +4021,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_report": q_source_quality_report,
         "snapshot_diff": q_snapshot_diff,
         "user_state_intervals": q_user_state_intervals,
+        "token_budget_cap": q_token_budget_cap,
         "multimodal_dedup": q_multimodal_dedup,
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
@@ -4172,6 +4218,7 @@ from s group by cluster_size order by cluster_size
         ),
         "snapshot_diff": Q_SNAPSHOT_DIFF_SQL,
         "user_state_intervals": Q_USER_STATE_SQL,
+        "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "curation_pipeline_v2": Q_CURATION_V2_SQL.format(
             gopher=text.gopher_filter_duck(),
             segment=dedup.segment_dedup_duck(block_tokens=20, src="kept"),

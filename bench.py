@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "user_state_intervals",
     "ann_topk_ivfpq",
+    "token_budget_cap",
 ]
 
 

@@ -180,3 +180,30 @@ def test_snapshot_diff_statuses(spark):
         3: ("removed", "b"),
         4: ("added", "b"),
     }
+
+
+def test_budget_head_prefilter_exact_on_skew(spark):
+    # the weighted pre-filter must return EXACTLY the plain windowed
+    # budget slice, and bound the hot key's window input
+    from bamboo_spark.operators.scale import budget_head, hash_budget_prefilter
+
+    df = _skewed_hashed(spark).withColumn(
+        "w", (F.pmod(F.col("id"), F.lit(5)) + 1).cast("long")
+    )
+    kw = dict(
+        key_cols="k", hash_col="_rk", weight_col="w", budget=40,
+        tiebreak_cols=["id"],
+    )
+    plain = budget_head(df, **kw)
+    pre = budget_head(df, hot_min=1000, hash_max=2**60, buckets=256, **kw)
+    a = {(r["k"], r["id"], r["cum_weight"]) for r in plain.collect()}
+    b = {(r["k"], r["id"], r["cum_weight"]) for r in pre.collect()}
+    assert a == b and len(a) > 0
+    # every key's kept slice stays within budget on the exclusive prefix
+    for k, _id, cum in a:
+        assert cum - 5 < 40 + 5
+    surv = hash_budget_prefilter(
+        df, ["k"], "_rk", 2**60, "w", 40, hot_min=1000, buckets=256
+    ).groupBy("k").count().collect()
+    surv = {r["k"]: r["count"] for r in surv}
+    assert surv["hot"] <= 600  # ~budget/mean_w + n/buckets, not 20k
