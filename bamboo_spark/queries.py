@@ -464,6 +464,70 @@ order by event_hour, event_type
 """
 
 
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume anomaly scores: each (event_type, hour) count
+    z-scored against that type's own hourly distribution — the
+    ingestion-monitoring query that catches a dead producer (z « 0) or
+    a bot storm (z » 0) per stream. Counts are integers, so the
+    per-type moments are exact sums (partition-order-independent) and
+    the z-scores replay bit-for-bit in the oracle; the moments table is
+    #types rows and broadcasts back. Degenerate (constant-rate) types
+    score 0 instead of dividing by zero."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
+            "event_hour"
+        ),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    mom = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("_h"),
+        F.sum("n").cast("double").alias("_s"),
+        F.sum((F.col("n") * F.col("n")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("_ss"),
+    )
+    mean = F.col("_s") / F.col("_h")
+    std = F.sqrt(
+        F.greatest(F.col("_ss") / F.col("_h") - mean * mean, F.lit(0.0))
+    )
+    z = F.when(std <= 0.0, F.lit(0.0)).otherwise(
+        F.round((F.col("n") - mean) / std, 6)
+    )
+    return hourly.join(F.broadcast(mom), "event_type").select(
+        "event_hour",
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        z.alias("z"),
+        (F.abs(z) > 3.0).cast("int").alias("is_anomaly"),
+    )
+
+
+Q_EVENTS_ANOMALY_SQL = """
+with hourly as (
+  select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') event_hour,
+         event_type, count(*) n
+  from events group by 1, 2
+),
+mom as (
+  select event_type, count(*)::DOUBLE h, sum(n)::DOUBLE s,
+         sum(n::HUGEINT * n::HUGEINT)::DOUBLE ss
+  from hourly group by event_type
+),
+z as (
+  select event_hour, hourly.event_type, n::BIGINT n,
+         case when sqrt(greatest(ss / h - (s / h) * (s / h), 0.0)) <= 0
+              then 0.0
+              else round((n - s / h)
+                         / sqrt(greatest(ss / h - (s / h) * (s / h), 0.0)), 6)
+         end z
+  from hourly join mom using (event_type)
+)
+select event_hour, event_type, n, z, (abs(z) > 3.0)::INT is_anomaly
+from z order by event_hour, event_type
+"""
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -4022,6 +4086,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "user_state_intervals": q_user_state_intervals,
         "token_budget_cap": q_token_budget_cap,
+        "events_anomaly": q_events_anomaly,
         "multimodal_dedup": q_multimodal_dedup,
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
@@ -4219,6 +4284,7 @@ from s group by cluster_size order by cluster_size
         "snapshot_diff": Q_SNAPSHOT_DIFF_SQL,
         "user_state_intervals": Q_USER_STATE_SQL,
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
+        "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "curation_pipeline_v2": Q_CURATION_V2_SQL.format(
             gopher=text.gopher_filter_duck(),
             segment=dedup.segment_dedup_duck(block_tokens=20, src="kept"),

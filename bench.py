@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "user_state_intervals",
     "ann_topk_ivfpq",
     "token_budget_cap",
+    "events_anomaly",
 ]
 
 
