@@ -1,0 +1,106 @@
+"""Streaming surface demo: ingest-guarded, stateful event processing.
+
+    python examples/streaming_demo.py [sf_dir]
+
+Replays the events table as a file stream and runs three operators:
+
+1. windowed_counts          — watermarked tumbling-window aggregation
+2. sessionize_stream        — stateful gap sessionization
+                              (applyInPandasWithState, event-time close)
+3. interval_attribution_stream — click windows accumulate purchases,
+                              emitted exactly once at watermark
+
+Then replays the documents table through the Bloom segment guard:
+segments already in the stored corpus are flagged map-side before any
+shuffle. Everything is the same operator code the batch registry uses.
+"""
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from bamboo_spark import get_spark
+from bamboo_spark.operators import dedup
+from bamboo_spark.operators.dedup import _segment_blocks
+from bamboo_spark.streaming.core import (
+    interval_attribution_stream,
+    segment_bloom_guard_stream,
+    sessionize_stream,
+    windowed_counts,
+)
+
+
+def drain(spark, query, name, min_rows=1, timeout_s=60):
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        query.processAllAvailable()
+        n = spark.sql("select count(*) c from %s" % name).collect()[0].c
+        if n >= min_rows:
+            return n
+        time.sleep(0.5)
+    return n
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("streaming_demo")
+    replay = os.path.join(tempfile.mkdtemp(), "events")
+    spark.read.parquet("%s/events.parquet" % sf_dir).orderBy("ts").coalesce(
+        1
+    ).write.parquet(replay)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).parquet(replay)
+
+    counts = windowed_counts(stream, window="1 hour", watermark="0 seconds")
+    q1 = counts.writeStream.format("memory").queryName("demo_counts").outputMode(
+        "append"
+    ).start()
+    sess = sessionize_stream(stream, gap_ms=30 * 60 * 1000, watermark="0 seconds")
+    q2 = sess.writeStream.format("memory").queryName("demo_sessions").outputMode(
+        "append"
+    ).start()
+    attr = interval_attribution_stream(stream, window_ms=600_000, watermark="0 seconds")
+    q3 = attr.writeStream.format("memory").queryName("demo_attr").outputMode(
+        "append"
+    ).start()
+    try:
+        print("windowed counts rows:", drain(spark, q1, "demo_counts"))
+        print("closed sessions:", drain(spark, q2, "demo_sessions"))
+        print("closed click windows:", drain(spark, q3, "demo_attr"))
+    finally:
+        for q in (q1, q2, q3):
+            q.stop()
+
+    # Bloom paragraph guard on a doc stream: corpus = doc_id < 250
+    docs = spark.read.parquet("%s/documents.parquet" % sf_dir)
+    corpus_blocks = _segment_blocks(docs.where(F.col("doc_id") < 250), 20)
+    bitmap = dedup.bloom_build(corpus_blocks.select(F.xxhash64("bh").alias("h")))
+    corpus_digests = corpus_blocks.select("bh").distinct()
+    doc_replay = os.path.join(tempfile.mkdtemp(), "docs")
+    docs.where(F.col("doc_id") >= 250).select("doc_id", "text").coalesce(
+        1
+    ).write.parquet(doc_replay)
+    doc_stream = spark.readStream.schema("doc_id long, text string").parquet(doc_replay)
+    flagged = segment_bloom_guard_stream(
+        doc_stream, bitmap, 1 << 20, 7, corpus_digests, block_tokens=20
+    )
+    q4 = flagged.writeStream.format("memory").queryName("demo_seg").outputMode(
+        "append"
+    ).start()
+    try:
+        q4.processAllAvailable()
+        n = spark.sql("select count(*) c from demo_seg").collect()[0].c
+        print("duplicate segments flagged in the incoming doc stream:", n)
+    finally:
+        q4.stop()
+
+
+if __name__ == "__main__":
+    main()
