@@ -800,3 +800,62 @@ def test_stream_batch_parity_segment_bloom_guard(spark, tmp_path):
         assert len(rows) == len({(r["doc_id"], r["blk_idx"]) for r in rows})
     finally:
         qy.stop()
+
+
+def test_stream_batch_parity_ann_ingest(spark, tmp_path):
+    """The ANN ingest path (coarse IVF assignment + PQ encoding) is
+    stateless Arrow-batched kernels, so it runs unchanged on a stream:
+    replayed embeddings must get the SAME buckets and codes as batch."""
+    from bamboo_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_train,
+        pq_encode,
+        pq_train,
+    )
+
+    e = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    centroids = kmeans_train(e)
+    books = pq_train(e, m=4, n_codes=8, iterations=1)
+    want_bucket = {
+        r["vec_id"]: r["centroid"] for r in ivf_assign(e, centroids).collect()
+    }
+    want_codes = {
+        r["vec_id"]: list(r["codes"]) for r in pq_encode(e, books).collect()
+    }
+
+    d = str(tmp_path / "emb_replay")
+    e.coalesce(2).write.parquet(d)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>, label string"
+    ).option("maxFilesPerTrigger", "1").parquet(d)
+    assigned = ivf_assign(stream, centroids)
+    coded = pq_encode(stream, books)
+    q1 = assigned.writeStream.format("memory").queryName("ann_b").outputMode(
+        "append"
+    ).start()
+    q2 = coded.writeStream.format("memory").queryName("ann_c").outputMode(
+        "append"
+    ).start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q1.processAllAvailable()
+            q2.processAllAvailable()
+            nb = spark.sql("select count(*) c from ann_b").collect()[0].c
+            nc = spark.sql("select count(*) c from ann_c").collect()[0].c
+            if nb >= len(want_bucket) and nc >= len(want_codes):
+                break
+            time.sleep(0.5)
+        got_bucket = {
+            r["vec_id"]: r["centroid"]
+            for r in spark.sql("select * from ann_b").collect()
+        }
+        got_codes = {
+            r["vec_id"]: list(r["codes"])
+            for r in spark.sql("select * from ann_c").collect()
+        }
+        assert got_bucket == want_bucket
+        assert got_codes == want_codes
+    finally:
+        q1.stop()
+        q2.stop()
