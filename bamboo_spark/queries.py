@@ -2238,6 +2238,77 @@ from j group by source, status order by source, status
 """
 
 
+def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health card: doc/token totals, token-count
+    median/p95, exact mean quality, and language-mix entropy — the
+    number a pipeline dashboard plots per snapshot. Everything reduces
+    map-side; the entropy sums per-language nano-unit terms (exact
+    longs, order-independent) so the single row is bit-stable across
+    partitionings and engines."""
+    d = load(spark, sf_dir, "documents")
+    staged = d.selectExpr(
+        "lang",
+        "cast(size(split(text, ' ')) as bigint) as n_tokens",
+        "%s as quality" % text.quality_score_sql("split(text, ' ')"),
+    )
+    base = staged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.95)"), 4).alias("p95_tokens"),
+        F.round(
+            F.sum(F.round(F.col("quality") * 1e6, 0).cast("long")).cast("double")
+            / 1e6
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality"),
+    )
+    lang_terms = (
+        staged.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .crossJoin(F.broadcast(staged.agg(F.count(F.lit(1)).cast("double").alias("_n"))))
+        .select(
+            F.round(
+                F.round(
+                    -(F.col("c") / F.col("_n")) * F.log(F.col("c") / F.col("_n")), 9
+                )
+                * F.lit(1e9),
+                0,
+            )
+            .cast("long")
+            .alias("t")
+        )
+    )
+    entropy = lang_terms.agg(
+        F.round(F.sum("t").cast("double") / 1e9, 6).alias("lang_entropy")
+    )
+    return base.crossJoin(F.broadcast(entropy))
+
+
+Q_CORPUS_SUMMARY_SQL = """
+with s as (
+  select lang, len(string_split(text, ' '))::BIGINT n_tokens, {quality} quality
+  from documents
+),
+base as (
+  select count(*)::BIGINT n_docs, sum(n_tokens)::BIGINT total_tokens,
+         round(quantile_cont(n_tokens, 0.5), 4) p50_tokens,
+         round(quantile_cont(n_tokens, 0.95), 4) p95_tokens,
+         round(sum(round(quality * 1e6, 0)::BIGINT)::DOUBLE / 1e6 / count(*), 6)
+           mean_quality
+  from s
+),
+lc as (select lang, count(*)::DOUBLE c from s group by lang),
+tot as (select count(*)::DOUBLE n from s),
+terms as (
+  select round(round(-(c / n) * ln(c / n), 9) * 1e9, 0)::BIGINT t
+  from lc cross join tot
+),
+ent as (select round(sum(t)::DOUBLE / 1e9, 6) lang_entropy from terms)
+select base.*, ent.lang_entropy from base cross join ent
+"""
+
+
 def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source curation audit: keep rate, mean quality, and the
     drop-reason histogram (exploded from the Gopher filter's audit
@@ -4087,6 +4158,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_state_intervals": q_user_state_intervals,
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
+        "corpus_summary": q_corpus_summary,
         "multimodal_dedup": q_multimodal_dedup,
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
@@ -4285,6 +4357,9 @@ from s group by cluster_size order by cluster_size
         "user_state_intervals": Q_USER_STATE_SQL,
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
+        "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(
+            quality=text.quality_score_duck("text")
+        ),
         "curation_pipeline_v2": Q_CURATION_V2_SQL.format(
             gopher=text.gopher_filter_duck(),
             segment=dedup.segment_dedup_duck(block_tokens=20, src="kept"),

@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "ann_topk_ivfpq",
     "token_budget_cap",
     "events_anomaly",
+    "corpus_summary",
 ]
 
 
