@@ -2238,6 +2238,59 @@ from j group by source, status order by source, status
 """
 
 
+def q_near_dup_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pair counts and mean
+    similarity per unordered (source, source) cell — the provenance
+    report that shows WHICH feeds copy from each other (mirror sites,
+    syndication) vs merely self-duplicate. Pairs come from the standard
+    MinHash-LSH + exact-verify path; the doc→source lookup joins
+    broadcast-small against the (tiny by construction) pair set; the
+    mean similarity sums exact micro-units of the round-6 jaccard, so
+    the cell values are partitioning-independent."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.7, num_hashes=64)
+    src = d.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            F.round(F.col("jaccard") * 1e6, 0).cast("long").alias("jm"),
+        )
+    )
+    return j.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum("jm").cast("double") / 1e6 / F.count(F.lit(1)), 6
+        ).alias("mean_jaccard"),
+    )
+
+
+Q_NEAR_DUP_SOURCES_SQL = """
+with p as ({pairs})
+select least(a.source, b.source) source_a,
+       greatest(a.source, b.source) source_b,
+       count(*)::BIGINT n_pairs,
+       round(sum(round(p.jaccard * 1e6, 0)::BIGINT)::DOUBLE / 1e6 / count(*), 6)
+         mean_jaccard
+from p
+join documents a on a.doc_id = p.doc_a
+join documents b on b.doc_id = p.doc_b
+group by 1, 2 order by 1, 2
+"""
+
+
 def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus health card: doc/token totals, token-count
     median/p95, exact mean quality, and language-mix entropy — the
@@ -4159,6 +4212,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
+        "near_dup_sources": q_near_dup_sources,
         "multimodal_dedup": q_multimodal_dedup,
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
@@ -4359,6 +4413,9 @@ from s group by cluster_size order by cluster_size
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(
             quality=text.quality_score_duck("text")
+        ),
+        "near_dup_sources": Q_NEAR_DUP_SOURCES_SQL.format(
+            pairs=dedup.jaccard_pairs_duck(threshold=0.7)
         ),
         "curation_pipeline_v2": Q_CURATION_V2_SQL.format(
             gopher=text.gopher_filter_duck(),

@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "token_budget_cap",
     "events_anomaly",
     "corpus_summary",
+    "near_dup_sources",
 ]
 
 
