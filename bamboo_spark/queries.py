@@ -2238,6 +2238,60 @@ from j group by source, status order by source, status
 """
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-split leakage audit: near-dup pairs that CROSS the
+    deterministic train/val/test boundary — each held-out doc paired
+    with its training-set near-duplicate and the similarity. A non-empty
+    result means the benchmark leaks: the held-out doc's content is
+    effectively in the training mix and its eval number is
+    memorization, not generalization. Composes the hash-stable split
+    (no rand(), docs never migrate) with the MinHash-LSH + exact-verify
+    pair path; the split labels are a scan-speed projection joined onto
+    the (small by construction) pair set."""
+    d = load(spark, sf_dir, "documents")
+    b = text.stable_sample_pct("doc_id")
+    labeled = d.select(
+        "doc_id",
+        F.when(b < 90, F.lit("train")).otherwise(F.lit("heldout")).alias("split"),
+    )
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.7, num_hashes=64)
+    j = pairs.join(
+        labeled.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")),
+        "doc_a",
+    ).join(
+        labeled.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")),
+        "doc_b",
+    )
+    leaked = j.where(F.col("split_a") != F.col("split_b"))
+    return leaked.select(
+        F.when(F.col("split_a") == "heldout", F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("heldout_doc"),
+        F.when(F.col("split_a") == "heldout", F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("train_doc"),
+        "jaccard",
+    )
+
+
+Q_SPLIT_LEAKAGE_SQL = """
+with p as ({pairs}),
+lab as (
+  select doc_id,
+         case when {bucket} < 90 then 'train' else 'heldout' end split
+  from documents
+)
+select case when a.split = 'heldout' then p.doc_a else p.doc_b end heldout_doc,
+       case when a.split = 'heldout' then p.doc_b else p.doc_a end train_doc,
+       p.jaccard
+from p
+join lab a on a.doc_id = p.doc_a
+join lab b on b.doc_id = p.doc_b
+where a.split != b.split
+order by heldout_doc, train_doc
+"""
+
+
 def q_near_dup_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication matrix: near-dup pair counts and mean
     similarity per unordered (source, source) cell — the provenance
@@ -4213,6 +4267,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
         "near_dup_sources": q_near_dup_sources,
+        "split_leakage": q_split_leakage,
         "multimodal_dedup": q_multimodal_dedup,
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
@@ -4416,6 +4471,10 @@ from s group by cluster_size order by cluster_size
         ),
         "near_dup_sources": Q_NEAR_DUP_SOURCES_SQL.format(
             pairs=dedup.jaccard_pairs_duck(threshold=0.7)
+        ),
+        "split_leakage": Q_SPLIT_LEAKAGE_SQL.format(
+            pairs=dedup.jaccard_pairs_duck(threshold=0.7),
+            bucket=text.stable_sample_pct_duck("doc_id"),
         ),
         "curation_pipeline_v2": Q_CURATION_V2_SQL.format(
             gopher=text.gopher_filter_duck(),

@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "events_anomaly",
     "corpus_summary",
     "near_dup_sources",
+    "split_leakage",
 ]
 
 
