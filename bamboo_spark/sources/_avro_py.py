@@ -886,3 +886,141 @@ def avro_to_spark(schema: Any, names: Dict[str, Any] | None = None) -> T.DataTyp
     if schema in _PRIMITIVES:
         return _PRIMITIVES[schema]
     raise AvroDecodeError("Unsupported Avro schema: %r" % (schema,))
+
+
+# --------------------------------------------------------------- writer
+#
+# Pure-Python Avro container ENCODER — the symmetric twin of the reader
+# above, from the same public format description. Primary use: golden
+# files, test fixtures, and round-trip verification of the decoder; a
+# distributed sink would shard records and call write_container per
+# partition file.
+
+
+def _write_long(out: bytearray, n: int) -> None:
+    z = (n << 1) ^ (n >> 63)  # zigzag (arbitrary-precision >> is arithmetic)
+    z &= (1 << 64) - 1
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            break
+
+
+def _write_bytes(out: bytearray, b: bytes) -> None:
+    _write_long(out, len(b))
+    out.extend(b)
+
+
+def encode_value(out: bytearray, schema: Any, value: Any, names: Dict[str, Any]) -> None:
+    """Encode one value against ``schema`` (writer side of
+    ``_decode_value`` — same type model, same names registry)."""
+    import struct
+
+    schema = _resolve_named(schema, names)
+    if isinstance(schema, list):  # union: first matching branch
+        for i, branch in enumerate(schema):
+            b = _resolve_named(branch, names)
+            t = b.get("type") if isinstance(b, dict) else b
+            if value is None and t == "null":
+                _write_long(out, i)
+                return
+            if value is not None and t != "null":
+                _write_long(out, i)
+                encode_value(out, branch, value, names)
+                return
+        raise AvroDecodeError("No union branch matches %r" % (value,))
+    t = schema.get("type") if isinstance(schema, dict) else schema
+    if t == "null":
+        return
+    if t == "boolean":
+        out.append(1 if value else 0)
+    elif t in ("int", "long"):
+        _write_long(out, int(value))
+    elif t == "float":
+        out.extend(struct.pack("<f", float(value)))
+    elif t == "double":
+        out.extend(struct.pack("<d", float(value)))
+    elif t == "string":
+        _write_bytes(out, str(value).encode("utf-8"))
+    elif t == "bytes":
+        _write_bytes(out, bytes(value))
+    elif t == "fixed":
+        b = bytes(value)
+        if len(b) != schema["size"]:
+            raise AvroDecodeError("fixed size mismatch")
+        out.extend(b)
+    elif t == "enum":
+        _write_long(out, schema["symbols"].index(value))
+    elif t == "record":
+        if isinstance(schema, dict) and schema.get("name"):
+            names[schema["name"]] = schema
+        for f in schema["fields"]:
+            encode_value(out, f["type"], value[f["name"]], names)
+    elif t == "array":
+        items = list(value)
+        if items:
+            _write_long(out, len(items))
+            for it in items:
+                encode_value(out, schema["items"], it, names)
+        _write_long(out, 0)
+    elif t == "map":
+        entries = dict(value)
+        if entries:
+            _write_long(out, len(entries))
+            for k, v in entries.items():
+                _write_bytes(out, str(k).encode("utf-8"))
+                encode_value(out, schema["values"], v, names)
+        _write_long(out, 0)
+    else:
+        raise AvroDecodeError("Unsupported writer type: %r" % (t,))
+
+
+def write_container(
+    path: str,
+    schema: Any,
+    records: list,
+    codec: str = "null",
+    records_per_block: int = 1000,
+    sync: bytes = b"bamboo-spark-sync",
+) -> None:
+    """Write an Avro object container file: magic, metadata map
+    (avro.schema + avro.codec), 16-byte sync, then record blocks.
+    Deterministic output (fixed sync marker) so golden files diff
+    cleanly. Codecs: null, deflate (zlib)."""
+    import json as _json
+    import zlib
+
+    if codec not in ("null", "deflate"):
+        raise AvroDecodeError("Unsupported writer codec: %s" % codec)
+    sync = (sync + b"\x00" * 16)[:16]
+    out = bytearray()
+    out.extend(MAGIC)
+    meta = {
+        "avro.schema": _json.dumps(schema).encode("utf-8"),
+        "avro.codec": codec.encode(),
+    }
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        _write_bytes(out, k.encode("utf-8"))
+        _write_bytes(out, v)
+    _write_long(out, 0)
+    out.extend(sync)
+    names: Dict[str, Any] = {}
+    for i in range(0, len(records), records_per_block):
+        chunk = records[i : i + records_per_block]
+        payload = bytearray()
+        for rec in chunk:
+            encode_value(payload, schema, rec, names)
+        body = bytes(payload)
+        if codec == "deflate":
+            body = zlib.compress(body)[2:-4]  # raw deflate, per spec
+        _write_long(out, len(chunk))
+        _write_long(out, len(body))
+        out.extend(body)
+        out.extend(sync)
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))

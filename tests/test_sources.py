@@ -1145,3 +1145,61 @@ def test_avro_schema_resolution_fuzz(spark):
         assert norm == expected, (writer, reader, records)
 
     run()
+
+
+def test_avro_writer_roundtrip_all_types(spark, tmp_path):
+    # the pure-Python container writer must round-trip every supported
+    # type family through our own decoder (null + deflate codecs)
+    from bamboo_spark.sources.avro import read_avro_py
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "raw", "type": "bytes"},
+            {"name": "opt", "type": ["null", "long"]},
+            {"name": "e", "type": {"type": "enum", "name": "E", "symbols": ["A", "B"]}},
+            {"name": "xs", "type": {"type": "array", "items": "long"}},
+            {
+                "name": "nested",
+                "type": {
+                    "type": "record",
+                    "name": "N",
+                    "fields": [{"name": "v", "type": "double"}],
+                },
+            },
+        ],
+    }
+    records = [
+        {
+            "i": k,
+            "s": "row-%d" % k,
+            "d": k * 1.5,
+            "b": k % 2 == 0,
+            "raw": b"\x00\x01" * k,
+            "opt": None if k % 3 == 0 else k * 10,
+            "e": "A" if k % 2 == 0 else "B",
+            "xs": list(range(k % 4)),
+            "nested": {"v": -k / 2.0},
+        }
+        for k in range(200)
+    ]
+    from bamboo_spark.sources._avro_py import write_container
+
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / ("rt_%s.avro" % codec))
+        write_container(p, schema, records, codec=codec, records_per_block=64)
+        back = read_avro_py(p, spark=spark).df.orderBy("i").collect()
+        assert len(back) == 200
+        for k, r in enumerate(back):
+            assert r["i"] == k and r["s"] == "row-%d" % k
+            assert r["d"] == k * 1.5 and r["b"] == (k % 2 == 0)
+            assert bytes(r["raw"]) == b"\x00\x01" * k
+            assert r["opt"] == (None if k % 3 == 0 else k * 10)
+            assert r["e"] == ("A" if k % 2 == 0 else "B")
+            assert list(r["xs"]) == list(range(k % 4))
+            assert r["nested"]["v"] == -k / 2.0
