@@ -753,3 +753,113 @@ def decode_pbd(data: bytes) -> Tuple[List[Dict[str, Any]], T.StructType]:
     schema = pbd_to_spark(root)
     records = [decode_message(p, root) for p in payloads]
     return records, schema
+
+
+# --------------------------------------------------------------- writer
+#
+# PBD record ENCODER against a parsed MessageDesc — the fixture/golden
+# side of the decoder: reuse an existing container's descriptor block
+# verbatim and append newly encoded records. Exercises the same wire
+# families the decoder reads (varint/zigzag/fixed/length-delimited,
+# packed repeated, nested messages, enums by symbol).
+
+
+def _emit_varint(out: bytearray, v: int) -> None:
+    v &= (1 << 64) - 1
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            break
+
+
+def _emit_tag(out: bytearray, number: int, wire: int) -> None:
+    _emit_varint(out, (number << 3) | wire)
+
+
+def _scalar_to_wire(f: FieldDesc, v: Any) -> Tuple[int, bytes]:
+    """(wire_type, payload bytes) for one scalar value of field f."""
+    out = bytearray()
+    t = f.type
+    if t in _VARINT_TYPES:
+        if t in (TYPE_SINT32, TYPE_SINT64):
+            v = (v << 1) ^ (v >> 63)
+        elif t == TYPE_BOOL:
+            v = 1 if v else 0
+        elif t == TYPE_ENUM and isinstance(v, str):
+            rev = {s: n for n, s in f.enum.values.items()}
+            v = rev[v]
+        _emit_varint(out, int(v))
+        return 0, bytes(out)
+    if t in _FIXED64_TYPES:
+        if t == TYPE_DOUBLE:
+            return 1, struct.pack("<d", float(v))
+        return 1, struct.pack("<q" if t == TYPE_SFIXED64 else "<Q", int(v))
+    if t in _FIXED32_TYPES:
+        if t == TYPE_FLOAT:
+            return 5, struct.pack("<f", float(v))
+        return 5, struct.pack("<i" if t == TYPE_SFIXED32 else "<I", int(v))
+    if t in (TYPE_STRING, TYPE_BYTES):
+        b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+        _emit_varint(out, len(b))
+        out.extend(b)
+        return 2, bytes(out)
+    raise PbdDecodeError("Unsupported writer scalar type: %d" % t)
+
+
+def encode_message(desc: MessageDesc, value: Dict[str, Any]) -> bytes:
+    """Encode a dict against ``desc``. Omitted fields are simply not
+    written (the proto2 default-fill happens on DECODE — so a
+    round-trip of a sparse dict proves the default semantics).
+    Repeated scalar fields with ``packed=True``-style encoding use one
+    length-delimited blob when the wire type allows it."""
+    out = bytearray()
+    for f in desc.fields:
+        if f.name not in value or value[f.name] is None:
+            continue
+        v = value[f.name]
+        if f.type == TYPE_MESSAGE:
+            subs = v if isinstance(v, list) else [v]
+            for sub in subs:
+                body = encode_message(f.message, sub)
+                _emit_tag(out, f.number, 2)
+                _emit_varint(out, len(body))
+                out.extend(body)
+            continue
+        items = v if isinstance(v, list) else [v]
+        if (
+            isinstance(v, list)
+            and f.type in _VARINT_TYPES | _FIXED64_TYPES | _FIXED32_TYPES
+        ):
+            # packed: one blob of back-to-back scalar payloads
+            blob = bytearray()
+            for it in items:
+                _, payload = _scalar_to_wire(f, it)
+                blob.extend(payload)
+            _emit_tag(out, f.number, 2)
+            _emit_varint(out, len(blob))
+            out.extend(blob)
+            continue
+        for it in items:
+            wire, payload = _scalar_to_wire(f, it)
+            _emit_tag(out, f.number, wire)
+            out.extend(payload)
+    return bytes(out)
+
+
+def write_pbd_records(
+    path: str, header_bytes: bytes, desc: MessageDesc, records: list
+) -> None:
+    """Write a PBD container: an existing header block (magic +
+    descriptors + root name, copied verbatim — e.g. the reference
+    golden file's) followed by varint-length-prefixed encoded records."""
+    out = bytearray(header_bytes)
+    for rec in records:
+        body = encode_message(desc, rec)
+        _emit_varint(out, len(body))
+        out.extend(body)
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))

@@ -350,3 +350,44 @@ def test_pbd_error_paths(spark):
 
     with pytest.raises(PbdDecodeError):
         _read_varint(b"\xff" * 11 + b"\x00", 0)
+
+
+def test_pbd_writer_roundtrip_with_golden_descriptor(spark, tmp_path):
+    # encode fresh records against the GOLDEN file's own descriptor
+    # block, then decode through the full read path: values round-trip,
+    # omitted proto2 fields come back as DEFAULTS (not nulls), packed
+    # repeated doubles and nested/repeated messages survive
+    from bamboo_spark.sources._pbd_py import parse_header, write_pbd_records
+    from bamboo_spark.sources.pbd import read_pbd
+
+    data = open(GOLDEN, "rb").read()
+    root, body_at = parse_header(data)
+    records = [
+        {
+            "a": 7,
+            "e": "E2" if "E2" in _enum_symbols(root, "e") else None,
+            "f": [1.5, -2.25, 0.0],
+            "s": "written-row",
+            "rm": [{"b": 1.0}, {"b": 2.0}],
+        },
+        {"a": -3},  # everything else omitted -> proto2 defaults on decode
+    ]
+    # drop None-valued keys (enum symbol availability guard)
+    records = [{k: v for k, v in r.items() if v is not None} for r in records]
+    p = str(tmp_path / "written.pbd")
+    write_pbd_records(p, data[:body_at], root, records)
+    rows = read_pbd(p, spark=spark).df.orderBy("a").collect()
+    assert len(rows) == 2
+    sparse = rows[0] if rows[0]["a"] == -3 else rows[1]
+    full = rows[1] if sparse is rows[0] else rows[0]
+    assert full["a"] == 7 and full["s"] == "written-row"
+    assert list(full["f"]) == [1.5, -2.25, 0.0]
+    assert [m["b"] for m in full["rm"]] == [1.0, 2.0]
+    # proto2 semantics: omitted scalar string decodes as '' not null
+    assert sparse["s"] == "" and sparse["sd"] is not None
+    assert sparse["f"] == []
+
+
+def _enum_symbols(root, field_name):
+    f = next(f for f in root.fields if f.name == field_name)
+    return set(f.enum.values.values())
