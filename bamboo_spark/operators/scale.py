@@ -295,20 +295,27 @@ def snapshot_diff(
     non-content column coalesced from the surviving side, and status.
     """
     carry = [c for c in new.columns if c not in (id_col, content_col)]
+    # presence is tracked with explicit markers, NOT digest nullness: a
+    # row with NULL content must still count as present (md5(NULL) is
+    # NULL and would misreport it as added/removed); a NULL-vs-value
+    # digest comparison is null → falls through to 'unchanged', the
+    # same contract as the SQL oracle's CASE
     o = old.select(
         F.col(id_col),
+        F.lit(1).alias("_o_present"),
         F.md5(F.col(content_col)).alias("_oh"),
         *[F.col(c).alias("_o_%s" % c) for c in carry],
     )
     n = new.select(
         F.col(id_col),
+        F.lit(1).alias("_n_present"),
         F.md5(F.col(content_col)).alias("_nh"),
         *[F.col(c).alias("_n_%s" % c) for c in carry],
     )
     j = o.join(n, id_col, "full_outer")
     status = (
-        F.when(F.col("_oh").isNull(), F.lit("added"))
-        .when(F.col("_nh").isNull(), F.lit("removed"))
+        F.when(F.col("_o_present").isNull(), F.lit("added"))
+        .when(F.col("_n_present").isNull(), F.lit("removed"))
         .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
@@ -336,7 +343,13 @@ def hash_budget_prefilter(
     weight < budget, which is >= the total weight of all earlier
     buckets, so it lies at or before the cutoff bucket (the last bucket
     whose preceding cumulative weight is still < budget). Hot-key
-    survivors ~ budget/mean_weight + n_k/buckets rows."""
+    survivors ~ budget/mean_weight + n_k/buckets rows.
+
+    REQUIRES nonnegative weights: the cutoff proof rests on per-bucket
+    cumulative weight being monotone; a negative weight would let a
+    row past the cut bucket still qualify, silently diverging from the
+    plain windowed path — validated on the hot rows (one extra column
+    in the histogram aggregate, no extra pass)."""
     keys: List[str] = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if hash_max < 1 or buckets < 1:
         raise ValueError("hash_max and buckets must be >= 1")
@@ -355,8 +368,15 @@ def hash_budget_prefilter(
     hist = (
         staged.join(F.broadcast(hot), keys)
         .groupBy(*(keys + ["_bkt"]))
-        .agg(F.sum(weight_col).alias("_w"))
+        .agg(F.sum(weight_col).alias("_w"), F.min(weight_col).alias("_minw"))
     )
+    neg = hist.where(F.col("_minw") < 0).limit(1).collect()
+    if neg:
+        raise ValueError(
+            "hash_budget_prefilter requires nonnegative weights; found "
+            "negative %s in a hot key's rows" % weight_col
+        )
+    hist = hist.drop("_minw")
     wcum = Window.partitionBy(*keys).orderBy(F.col("_bkt").asc())
     cut = (
         hist.withColumn("_cumw", F.sum("_w").over(wcum))

@@ -1223,6 +1223,7 @@ def topk_neighbors_ivfpq(
     m: int = 8,
     n_codes: int = 16,
     iterations: int = 2,
+    coarse_iterations: Optional[int] = None,
     n_probe: int = 2,
     rerank: int = 30,
     id_col: str = "vec_id",
@@ -1262,7 +1263,11 @@ def topk_neighbors_ivfpq(
             [], "query_id long, rank long, neighbor_id long, cosine double"
         )
     if centroids is None:
-        centroids = kmeans_train(df, None, iterations, id_col, vec)
+        centroids = kmeans_train(
+            df, None,
+            iterations if coarse_iterations is None else coarse_iterations,
+            id_col, vec,
+        )
     if codebooks is None:
         codebooks = pq_train(
             df, m, n_codes, iterations, id_col, vec,
@@ -1402,6 +1407,7 @@ def topk_neighbors_ivfpq_duck(
     m: int = 8,
     n_codes: int = 16,
     iterations: int = 2,
+    coarse_iterations: Optional[int] = None,
     n_probe: int = 2,
     rerank: int = 30,
     dim: int = 64,
@@ -1426,7 +1432,9 @@ def topk_neighbors_ivfpq_duck(
         "list_dot_product(w{s}.cv, w{s}.cv)".format(s=s) for s in range(m)
     )
     return (
-        _kmeans_duck_ctes(None, iterations)
+        _kmeans_duck_ctes(
+            None, iterations if coarse_iterations is None else coarse_iterations
+        )
         + ","
         + _pq_enc_ctes(m, n_codes, iterations, dim, lead_with=False)
         + """,

@@ -18,7 +18,9 @@ a real cluster — nothing here depends on local[*].
 from __future__ import annotations
 
 import functools as _functools
-import math
+import math  # noqa: F401 — used by registry helpers
+
+from bamboo_spark.operators._num import round_half_away as _round_half_away
 
 from typing import Callable, Dict
 
@@ -483,7 +485,12 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("_h"),
         F.sum("n").cast("double").alias("_s"),
-        F.sum((F.col("n") * F.col("n")).cast("decimal(38,0)"))
+        # cast BEFORE the multiply: an (type, hour) count is unbounded,
+        # and long*long wraps silently past ~3e9 (the oracle multiplies
+        # in HUGEINT)
+        F.sum(
+            F.col("n").cast("decimal(19,0)") * F.col("n").cast("decimal(19,0)")
+        )
         .cast("double")
         .alias("_ss"),
     )
@@ -1184,6 +1191,12 @@ def q_dedup_components_contraction(spark: SparkSession, sf_dir: str) -> DataFram
 
 _QUANTIZER_CACHE: Dict[str, "object"] = {}
 
+# Lloyd iterations of the shared COARSE quantizer — every IVF/IVF-PQ
+# registry query and every oracle replay must read this one constant
+# (a retune that touches only one side silently desyncs bucket
+# assignments between engine and oracle)
+COARSE_ITERS = 2
+
 
 def ivf_quantizer(spark: SparkSession, sf_dir: str):
     """The shared IVF coarse quantizer for the ANN registry queries
@@ -1198,7 +1211,9 @@ def ivf_quantizer(spark: SparkSession, sf_dir: str):
     key = sf_dir.rstrip("/")
     if key not in _QUANTIZER_CACHE:
         e = load(spark, sf_dir, "embeddings")
-        _QUANTIZER_CACHE[key] = similarity.kmeans_train(e)
+        _QUANTIZER_CACHE[key] = similarity.kmeans_train(
+            e, iterations=COARSE_ITERS
+        )
     return _QUANTIZER_CACHE[key]
 
 
@@ -1246,7 +1261,8 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return similarity.topk_neighbors_ivfpq(
         e, query_ids_below=10, k=5, m=PQ_M, n_codes=PQ_CODES,
-        iterations=PQ_ITERS, n_probe=2, rerank=30,
+        iterations=PQ_ITERS, coarse_iterations=COARSE_ITERS,
+        n_probe=2, rerank=30,
         centroids=ivf_quantizer(spark, sf_dir),
         codebooks=pq_codebooks(spark, sf_dir),
     )
@@ -1957,7 +1973,10 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str, top_n: int = 10) -> Dat
     times out). One map-combined count agg + a partial top-k
     (TakeOrdered, never a global sort) + a 1-row total broadcast."""
     e = load(spark, sf_dir, "events")
-    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    # persisted: counts feeds both the scalar total and the top-k
+    counts = _tracked_persist(
+        e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    )
     total = counts.agg(F.sum("cnt").cast("double").alias("_total"))
     top = counts.orderBy(F.col("cnt").desc(), F.col("user_id").asc()).limit(top_n)
     return top.crossJoin(F.broadcast(total)).select(
@@ -1995,8 +2014,8 @@ def q_token_zipf(spark: SparkSession, sf_dir: str, top_n: int = 50) -> DataFrame
     total = counts.agg(F.sum("c")).collect()[0][0]
     top = counts.orderBy(F.col("c").desc(), F.col("t").asc()).limit(top_n).collect()
 
-    def r6(x: float) -> float:  # half-AWAY rounding (SQL round), not banker's
-        return math.floor(x * 1e6 + 0.5) / 1e6
+    def r6(x: float) -> float:
+        return _round_half_away(x, 6)
 
     rows, cum = [], 0
     for i, r in enumerate(top):
@@ -2353,10 +2372,14 @@ def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     longs, order-independent) so the single row is bit-stable across
     partitionings and engines."""
     d = load(spark, sf_dir, "documents")
-    staged = d.selectExpr(
-        "lang",
-        "cast(size(split(text, ' ')) as bigint) as n_tokens",
-        "%s as quality" % text.quality_score_sql("split(text, ' ')"),
+    # persisted: staged feeds the base agg, the lang histogram, AND the
+    # lang total — unpersisted, the scan + quality projection runs 3x
+    staged = _tracked_persist(
+        d.selectExpr(
+            "lang",
+            "cast(size(split(text, ' ')) as bigint) as n_tokens",
+            "%s as quality" % text.quality_score_sql("split(text, ' ')"),
+        )
     )
     base = staged.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -2424,8 +2447,10 @@ def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates keyed on (source[, reason]); mean quality sums exact
     micro-units so the report is partitioning-independent."""
     d = load(spark, sf_dir, "documents")
-    flags = text.gopher_filter(d).join(
-        d.select("doc_id", "source"), "doc_id"
+    # persisted: flags feeds the per-source base agg AND the reason
+    # histogram — unpersisted, the whole gopher projection runs twice
+    flags = _tracked_persist(
+        text.gopher_filter(d).join(d.select("doc_id", "source"), "doc_id")
     )
     base = flags.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -4368,7 +4393,8 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "ann_topk_ivfpq": similarity.topk_neighbors_ivfpq_duck(
             query_ids_below=10, k=5, m=PQ_M, n_codes=PQ_CODES,
-            iterations=PQ_ITERS, n_probe=2, rerank=30,
+            iterations=PQ_ITERS, coarse_iterations=COARSE_ITERS,
+            n_probe=2, rerank=30,
         ),
         "ann_topk_pq": similarity.topk_neighbors_pq_duck(
             query_ids_below=10, k=5, m=PQ_M, n_codes=PQ_CODES,

@@ -875,8 +875,12 @@ def avro_to_spark(schema: Any, names: Dict[str, Any] | None = None) -> T.DataTyp
                 ]
             )
         if stype == "enum":
+            if "name" in schema:
+                names.setdefault(schema["name"], schema)
             return T.StringType()
         if stype == "fixed":
+            if "name" in schema:
+                names.setdefault(schema["name"], schema)
             return T.BinaryType()
         if stype == "array":
             return T.ArrayType(avro_to_spark(schema["items"], names), True)
@@ -915,25 +919,58 @@ def _write_bytes(out: bytearray, b: bytes) -> None:
     out.extend(b)
 
 
+def _value_matches(schema: Any, value: Any, names: Dict[str, Any]) -> bool:
+    """Python-value ↔ Avro-type compatibility for union branch choice
+    (the writer-side mirror of the decoder's multi-branch support)."""
+    t = schema.get("type") if isinstance(schema, dict) else schema
+    if t == "null":
+        return value is None
+    if value is None:
+        return False
+    if t == "boolean":
+        return isinstance(value, bool)
+    if t in ("int", "long"):
+        return isinstance(value, int) and not isinstance(value, bool)
+    if t in ("float", "double"):
+        return isinstance(value, float)
+    if t == "string":
+        return isinstance(value, str)
+    if t in ("bytes", "fixed"):
+        return isinstance(value, (bytes, bytearray))
+    if t == "enum":
+        return isinstance(value, str) and value in schema["symbols"]
+    if t == "record":
+        return isinstance(value, dict)
+    if t == "map":
+        return isinstance(value, dict)
+    if t == "array":
+        return isinstance(value, (list, tuple))
+    return False
+
+
 def encode_value(out: bytearray, schema: Any, value: Any, names: Dict[str, Any]) -> None:
     """Encode one value against ``schema`` (writer side of
     ``_decode_value`` — same type model, same names registry)."""
     import struct
 
     schema = _resolve_named(schema, names)
-    if isinstance(schema, list):  # union: first matching branch
+    if isinstance(schema, list):  # union: first TYPE-matching branch
         for i, branch in enumerate(schema):
             b = _resolve_named(branch, names)
-            t = b.get("type") if isinstance(b, dict) else b
-            if value is None and t == "null":
-                _write_long(out, i)
-                return
-            if value is not None and t != "null":
+            if _value_matches(b, value, names):
                 _write_long(out, i)
                 encode_value(out, branch, value, names)
                 return
         raise AvroDecodeError("No union branch matches %r" % (value,))
     t = schema.get("type") if isinstance(schema, dict) else schema
+    # register named types on first sight so later by-name references
+    # resolve (the decoder does the same via names.setdefault)
+    if isinstance(schema, dict) and schema.get("name") and t in (
+        "record",
+        "enum",
+        "fixed",
+    ):
+        names.setdefault(schema["name"], schema)
     if t == "null":
         return
     if t == "boolean":
@@ -956,8 +993,6 @@ def encode_value(out: bytearray, schema: Any, value: Any, names: Dict[str, Any])
     elif t == "enum":
         _write_long(out, schema["symbols"].index(value))
     elif t == "record":
-        if isinstance(schema, dict) and schema.get("name"):
-            names[schema["name"]] = schema
         for f in schema["fields"]:
             encode_value(out, f["type"], value[f["name"]], names)
     elif t == "array":

@@ -677,10 +677,10 @@ def interval_attribution_stream(
     the backfill path for that, the stream is the low-latency path.
     Window arithmetic is integer µs, identical to the batch twin.
     """
-    import math as _math
-
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bamboo_spark.operators._num import round_half_away
 
     win_us = window_ms * 1000
     out_schema = (
@@ -690,10 +690,8 @@ def interval_attribution_stream(
         "ids array<long>, cs array<long>, ns array<long>, vs array<double>"
     )
 
-    def _round2(x: float) -> float:  # half-away (SQL round), not banker's
-        return _math.floor(x * 100 + 0.5) / 100 if x >= 0 else -_math.floor(
-            -x * 100 + 0.5
-        ) / 100
+    def _round2(x: float) -> float:
+        return round_half_away(x, 2)
 
     def close_expired(uid, opens, wm_us):
         ids, cs, ns, vs = opens

@@ -166,11 +166,13 @@ def test_snapshot_diff_statuses(spark):
     from bamboo_spark.operators.scale import snapshot_diff
 
     old = spark.createDataFrame(
-        [(1, "a", "keep"), (2, "a", "will-change"), (3, "b", "will-remove")],
+        [(1, "a", "keep"), (2, "a", "will-change"), (3, "b", "will-remove"),
+         (5, "c", None)],
         "doc_id long, source string, text string",
     )
     new = spark.createDataFrame(
-        [(1, "a", "keep"), (2, "a", "changed!"), (4, "b", "brand-new")],
+        [(1, "a", "keep"), (2, "a", "changed!"), (4, "b", "brand-new"),
+         (5, "c", "was-null")],
         "doc_id long, source string, text string",
     )
     got = {r["doc_id"]: (r["status"], r["source"]) for r in snapshot_diff(old, new).collect()}
@@ -179,6 +181,9 @@ def test_snapshot_diff_statuses(spark):
         2: ("changed", "a"),
         3: ("removed", "b"),
         4: ("added", "b"),
+        # NULL content must not fake an add/remove; NULL-vs-value digest
+        # comparison is indeterminate -> 'unchanged' (oracle CASE parity)
+        5: ("unchanged", "c"),
     }
 
 

@@ -1203,3 +1203,58 @@ def test_avro_writer_roundtrip_all_types(spark, tmp_path):
             assert r["e"] == ("A" if k % 2 == 0 else "B")
             assert list(r["xs"]) == list(range(k % 4))
             assert r["nested"]["v"] == -k / 2.0
+
+
+def test_avro_writer_multibranch_union_and_named_reuse(spark, tmp_path):
+    # the writer must pick union branches by VALUE TYPE (a long through
+    # ["string","long"] must encode as long, not str(long)); general
+    # unions stay un-readable as Spark schemas (reference parity), so
+    # verify at the container-decode level; named-enum reuse by
+    # reference must encode and round-trip through the full read path
+    from bamboo_spark.sources._avro_py import (
+        decode_block,
+        scan_blocks,
+        scan_header,
+        write_container,
+    )
+    from bamboo_spark.sources.avro import read_avro_py
+
+    gen_schema = {
+        "type": "record",
+        "name": "U",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "sl", "type": ["string", "long"]},
+            {"name": "ls", "type": ["null", "long", "string"]},
+        ],
+    }
+    records = [
+        {"k": 0, "sl": "txt", "ls": None},
+        {"k": 1, "sl": 42, "ls": 7},
+        {"k": 2, "sl": "x", "ls": "y"},
+    ]
+    p = str(tmp_path / "union.avro")
+    write_container(p, gen_schema, records)
+    data = open(p, "rb").read()
+    schema, codec, sync, pos = scan_header(data)
+    vals = []
+    for off, size, n in scan_blocks(data, pos, sync):
+        vals.extend(decode_block(data[off : off + size], n, codec, schema))
+    by_k = {v["k"]: v for v in vals}
+    assert by_k[0]["sl"] == "txt" and by_k[0]["ls"] is None
+    assert by_k[1]["sl"] == 42 and by_k[1]["ls"] == 7      # NOT "42"
+    assert by_k[2]["sl"] == "x" and by_k[2]["ls"] == "y"
+
+    named_schema = {
+        "type": "record",
+        "name": "N",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "e1", "type": {"type": "enum", "name": "E", "symbols": ["A", "B"]}},
+            {"name": "e2", "type": "E"},  # reuse by reference
+        ],
+    }
+    p2 = str(tmp_path / "named.avro")
+    write_container(p2, named_schema, [{"k": 1, "e1": "A", "e2": "B"}])
+    back = read_avro_py(p2, spark=spark).df.collect()
+    assert back[0]["e1"] == "A" and back[0]["e2"] == "B"
