@@ -629,3 +629,42 @@ def test_containment_matches_python_reference(spark):
         for r in containment_pairs(sdf, threshold=t, max_shingle_df=None).collect()
     }
     assert got == want
+
+
+def test_budget_head_prefilter_randomized_equivalence(spark):
+    # random keys/weights/hashes: the weighted pre-filter path must
+    # equal the plain windowed budget slice on every draw
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bamboo_spark.operators.scale import budget_head
+
+    rng = random.Random(23)
+    for trial in range(3):
+        rows = [
+            (
+                "k%d" % rng.randint(0, 4),
+                rng.randint(0, 2**40),
+                rng.randint(0, 9),
+                i,
+            )
+            for i in range(800)
+        ]
+        df = spark.createDataFrame(rows, "k string, h long, w long, id long")
+        budget = rng.choice([5, 17, 40])
+        kw = dict(
+            key_cols="k", hash_col="h", weight_col="w", budget=budget,
+            tiebreak_cols=["id"],
+        )
+        plain = {
+            (r["k"], r["id"], r["cum_weight"])
+            for r in budget_head(df, **kw).collect()
+        }
+        pre = {
+            (r["k"], r["id"], r["cum_weight"])
+            for r in budget_head(
+                df, hot_min=50, hash_max=2**40, buckets=64, **kw
+            ).collect()
+        }
+        assert plain == pre, (trial, budget)
