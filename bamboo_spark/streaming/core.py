@@ -805,3 +805,80 @@ def segment_bloom_guard_stream(
     cand = blocks.withColumn("h", F.xxhash64("bh")).where(probe(F.col("h")))
     corpus = corpus_digests.select("bh").distinct()
     return cand.join(corpus, "bh").select(id_col, "blk_idx")
+
+
+def funnel_stream(
+    sdf: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    stages: tuple = ("view", "click", "purchase"),
+    horizon_ms: int = 60 * 60 * 1000,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming ordered funnel — the stateful twin of the batch
+    ``q_events_funnel``: per user, first ``stages[0]``, first
+    ``stages[1]`` strictly after it, first ``stages[2]`` strictly after
+    that. State per user is three longs (µs timestamps, 0 = not yet
+    reached); a user's funnel row is emitted exactly once when the
+    watermark passes ``horizon_ms`` of event-time inactivity, with
+    NULLs for unreached stages.
+
+    Exact under per-user event-time-ordered arrival (the µs comparisons
+    are the batch twin's strict ``<``); cross-batch inversions resolve
+    best-effort on arrival order — the batch operator is the backfill
+    for disordered history, the stream is the live dashboard.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    horizon_us = horizon_ms * 1000
+    out_schema = "{u} long, v_us long, c_us long, p_us long".format(u=user_col)
+    state_schema = "v long, c long, p long, last long"
+
+    def fn(key, pdfs, state):
+        uid = key[0]
+        v, c, p, last = state.get if state.exists else (0, 0, 0, 0)
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        user_col: uid,
+                        "v_us": v or None,
+                        "c_us": c or None,
+                        "p_us": p or None,
+                    }
+                ]
+            )
+            return
+        import numpy as np
+
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            pdf = pd.concat(frames)
+            us = (pdf[ts_col].astype("int64") // 1_000).to_numpy()
+            types = pdf[type_col].to_numpy()
+            for j in us.argsort(kind="stable"):
+                t, ev = int(us[j]), types[j]
+                last = max(last, t)
+                if ev == stages[0] and v == 0:
+                    v = t
+                elif ev == stages[1] and c == 0 and v and t > v:
+                    c = t
+                elif ev == stages[2] and p == 0 and c and t > c:
+                    p = t
+        state.update((v, c, p, last))
+        state.setTimeoutTimestamp(-(-(last + horizon_us) // 1000) + 1)
+
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

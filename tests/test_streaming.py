@@ -859,3 +859,85 @@ def test_stream_batch_parity_ann_ingest(spark, tmp_path):
     finally:
         q1.stop()
         q2.stop()
+
+
+def test_stream_batch_parity_funnel(spark, tmp_path):
+    """Replay events in ts order; once every user times out, the
+    per-user funnel stages must equal the batch window computation."""
+    import datetime as dt
+
+    from bamboo_spark import queries as q
+    from bamboo_spark.streaming.core import funnel_stream
+
+    e = q.load(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts", F.unix_micros("ts").alias("us")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = e.withColumn(
+        "fv", F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w)
+    )
+    c_qual = (
+        (F.col("event_type") == "click")
+        & F.col("fv").isNotNull()
+        & (F.col("fv") < F.col("us"))
+    )
+    staged = staged.withColumn("fc", F.min(F.when(c_qual, F.col("us"))).over(w))
+    p_qual = (
+        (F.col("event_type") == "purchase")
+        & F.col("fc").isNotNull()
+        & (F.col("fc") < F.col("us"))
+    )
+    ref = {
+        r["user_id"]: (r["v"], r["c"], r["p"])
+        for r in staged.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("v"),
+            F.min(F.when(c_qual, F.col("us"))).alias("c"),
+            F.min(F.when(p_qual, F.col("us"))).alias("p"),
+        )
+        .collect()
+    }
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+
+    d = str(tmp_path / "funnel_replay")
+    e.select("user_id", "event_type", "ts").orderBy("ts").coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, ts timestamp"
+    ).parquet(d)
+    out = funnel_stream(stream)
+    qy = (
+        out.writeStream.format("memory")
+        .queryName("funnel_par")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and not qy.recentProgress:
+            qy.processAllAvailable()
+            time.sleep(0.5)
+        spark.createDataFrame(
+            [(10**6, "sentinel", max_ts + dt.timedelta(days=30))],
+            "user_id long, event_type string, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(d)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            qy.processAllAvailable()
+            if spark.sql("select count(*) c from funnel_par").collect()[0].c >= len(ref):
+                break
+            time.sleep(0.5)
+        got = {
+            r["user_id"]: (r["v_us"], r["c_us"], r["p_us"])
+            for r in spark.sql(
+                "select * from funnel_par where user_id < 1000000"
+            ).collect()
+        }
+        assert got == ref
+    finally:
+        qy.stop()
