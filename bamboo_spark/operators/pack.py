@@ -237,3 +237,87 @@ select doc_id, n_tokens,
        (((so + n_tokens - 1) // {s}) != (so // {s}))::BIGINT spans_shards
 from o order by doc_id
 """.format(s=shard_tokens)
+
+
+def token_offsets_per_key(
+    df: DataFrame,
+    key_cols,
+    id_col: str = "doc_id",
+    count_expr: Optional[F.Column] = None,
+    shards: int = 32,
+) -> DataFrame:
+    """Per-key token offsets: ``start_offset`` = tokens in all lower-id
+    documents OF THE SAME KEY — the per-dataset packing shape (each
+    source/split packs its own context windows independently).
+
+    Unlike the global :func:`token_offsets` (whose P shard totals
+    prefix-sum on the driver), this variant is FULLY distributed: the
+    per-(key, shard) totals prefix-sum inside a window partitioned by
+    key over at most ``shards`` rows per key — thousands of keys never
+    funnel anything to the driver, and no window partition ever holds
+    more than ``shards`` rows or one (key, shard) slice of documents."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    n_tokens = (
+        count_expr if count_expr is not None else F.size(F.split(F.col("text"), " "))
+    ).cast("bigint")
+    counts = df.select(
+        *keys, F.col(id_col).alias("id"), n_tokens.alias("n_tokens")
+    )
+    max_id = counts.agg(F.max("id")).collect()[0][0]
+    if max_id is None:
+        return counts.select(
+            *keys,
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.lit(0).cast("bigint").alias("start_offset"),
+        )
+    width = max(1, (int(max_id) + shards) // shards)
+    sharded = counts.withColumn("shard", (F.col("id") / width).cast("int"))
+    w_local = Window.partitionBy(*(keys + ["shard"])).orderBy("id")
+    local = sharded.withColumn("local_end", F.sum("n_tokens").over(w_local))
+    totals = sharded.groupBy(*(keys + ["shard"])).agg(
+        F.sum("n_tokens").alias("t")
+    )
+    w_base = (
+        Window.partitionBy(*keys)
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = totals.withColumn(
+        "shard_base", F.coalesce(F.sum("t").over(w_base), F.lit(0))
+    ).drop("t")
+    return local.join(bases, keys + ["shard"]).select(
+        *keys,
+        F.col("id").alias(id_col),
+        "n_tokens",
+        (F.col("shard_base") + F.col("local_end") - F.col("n_tokens")).alias(
+            "start_offset"
+        ),
+    )
+
+
+def pack_chunks_per_key(
+    df: DataFrame,
+    key_cols,
+    context_len: int = 2048,
+    id_col: str = "doc_id",
+    count_expr: Optional[F.Column] = None,
+    shards: int = 32,
+) -> DataFrame:
+    """Per-key concat-then-chunk packing: every key (source, split, …)
+    lays its documents end-to-end in id order and cuts its own
+    ``context_len`` windows — chunk ids restart per key. Same exact
+    integer bookkeeping as the global :func:`pack_chunks`."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    off = token_offsets_per_key(df, keys, id_col, count_expr, shards)
+    first = F.expr("start_offset div %d" % context_len)
+    last = F.expr("(start_offset + n_tokens - 1) div %d" % context_len)
+    return off.select(
+        *keys,
+        id_col,
+        "n_tokens",
+        "start_offset",
+        first.alias("chunk_id"),
+        last.alias("last_chunk_id"),
+        (first != last).cast("bigint").alias("straddles"),
+    )

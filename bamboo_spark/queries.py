@@ -1652,6 +1652,38 @@ order by source, doc_id
 """.format(rk="(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT)")
 
 
+def q_pack_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sequence packing: each source lays out its own docs
+    and cuts its own 512-token context windows (chunk ids restart per
+    source) — the per-dataset shard-building shape. Fully distributed:
+    the per-(source, shard) totals prefix-sum in a ≤``shards``-row
+    window per source; NOTHING reaches the driver (the global packer's
+    P-row driver fold disappears)."""
+    d = load(spark, sf_dir, "documents")
+    return pack.pack_chunks_per_key(d, "source", context_len=512)
+
+
+Q_PACK_PER_SOURCE_SQL = """
+with c as (
+  select source, doc_id, len(string_split(text, ' '))::BIGINT n_tokens
+  from documents
+),
+o as (
+  select source, doc_id, n_tokens,
+         coalesce(sum(n_tokens) over (partition by source order by doc_id
+             rows between unbounded preceding and 1 preceding), 0)::BIGINT
+           start_offset
+  from c
+)
+select source, doc_id, n_tokens, start_offset,
+       (start_offset // 512)::BIGINT chunk_id,
+       ((start_offset + n_tokens - 1) // 512)::BIGINT last_chunk_id,
+       ((start_offset // 512) != ((start_offset + n_tokens - 1) // 512))::BIGINT
+         straddles
+from o order by source, doc_id
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (context-window prep ahead of
     tokenization): pure split + sequence + posexplode + slice - one
@@ -4291,6 +4323,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
+        "pack_per_source": q_pack_per_source,
         "near_dup_sources": q_near_dup_sources,
         "split_leakage": q_split_leakage,
         "multimodal_dedup": q_multimodal_dedup,
@@ -4495,6 +4528,7 @@ from s group by cluster_size order by cluster_size
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(
             quality=text.quality_score_duck("text")
         ),
+        "pack_per_source": Q_PACK_PER_SOURCE_SQL,
         "near_dup_sources": Q_NEAR_DUP_SOURCES_SQL.format(
             pairs=dedup.jaccard_pairs_duck(threshold=0.7)
         ),

@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "corpus_summary",
     "near_dup_sources",
     "split_leakage",
+    "pack_per_source",
 ]
 
 

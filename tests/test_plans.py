@@ -483,3 +483,29 @@ def test_ann_topk_ivfpq_bucket_kernel_no_cartesian(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pack_per_source_no_driver_fold_no_single_partition(spark):
+    # the per-key packer must be fully distributed: no SinglePartition
+    # window anywhere, and no data-sized collect (only the max-id scalar)
+    from unittest.mock import patch
+
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:
+        from pyspark.sql import DataFrame
+
+    sizes = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    with patch.object(DataFrame, "collect", spy):
+        out = q.queries()["pack_per_source"](spark, SF)
+        plan = plan_of(out)
+        assert out.count() > 0
+    assert "SinglePartition" not in plan, plan
+    assert sizes and max(sizes) <= 1, sizes  # only the max-id scalar
