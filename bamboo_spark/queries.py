@@ -1909,7 +1909,7 @@ group by doc_id order by doc_id
 
 
 def q_bigram_surprisal(
-    spark: SparkSession, sf_dir: str, lam: float = 0.75
+    spark: SparkSession, sf_dir: str, lam: float = 0.75, top_v: int | None = None
 ) -> DataFrame:
     """KenLM-lite perplexity filter: an interpolated bigram LM trained
     on the corpus itself — p(w|u) = lam * c(uw)/c(u) + (1-lam) *
@@ -1920,9 +1920,15 @@ def q_bigram_surprisal(
     Shape: bigrams come from array expressions (no window, no
     self-join for adjacency), both count tables are map-combined aggs,
     the model joins are token-/bigram-keyed hash joins (AQE broadcasts
-    the vocab side while it fits; at 100 TB cap both tables top-V like
-    ``q_dsir_weights``), and the per-doc reduction sums exact integer
-    nano-units so the result is partitioning-independent."""
+    the vocab side while it fits), and the per-doc reduction sums exact
+    integer nano-units so the result is partitioning-independent.
+
+    ``top_v`` caps the BIGRAM table at the V most frequent bigrams
+    (deterministic count-desc/bigram-asc TakeOrdered); an out-of-vocab
+    bigram backs off to the unigram half of the interpolation,
+    ln((1-lam)·c(w)/N) — the bounded-broadcast shape at 100 TB where
+    the distinct-bigram table is far larger than the token vocab.
+    Default (gate form) is the full closed-form model."""
     d = load(spark, sf_dir, "documents")
     sh2 = text.word_shingles_sql("split(text, ' ')", 2)
     big = d.selectExpr("doc_id", "explode(%s) as bg" % sh2)
@@ -1935,6 +1941,8 @@ def q_bigram_surprisal(
         F.col("_n").cast("double").alias("_n")
     )
     c2 = big.groupBy("bg").agg(F.count(F.lit(1)).cast("double").alias("c2"))
+    if top_v is not None:
+        c2 = c2.orderBy(F.col("c2").desc(), F.col("bg").asc()).limit(top_v)
     lm = (
         c2.selectExpr("bg", "c2", "split(bg, ' ')[0] as prev", "split(bg, ' ')[1] as cur")
         .join(uni.select(F.col("t").alias("prev"), F.col("c1").alias("c_prev")), "prev")
@@ -1957,9 +1965,38 @@ def q_bigram_surprisal(
             .alias("lp"),
         )
     )
+    if top_v is None:
+        scored = big.join(lm, "bg")
+    else:
+        # OOV bigram → unigram backoff ln((1-lam)·c(cur)/N); the uni
+        # table is token-vocab-sized (broadcastable long after the
+        # bigram table isn't)
+        floor = (
+            uni.crossJoin(F.broadcast(n_tot))
+            .select(
+                F.col("t").alias("cur"),
+                F.round(
+                    F.round(
+                        F.log(
+                            F.lit(1.0 - float(lam)) * F.col("c1") / F.col("_n")
+                        ),
+                        9,
+                    )
+                    * F.lit(1e9),
+                    0,
+                )
+                .cast("long")
+                .alias("_oov_lp"),
+            )
+        )
+        scored = (
+            big.join(F.broadcast(lm), "bg", "left")
+            .withColumn("cur", F.expr("split(bg, ' ')[1]"))
+            .join(F.broadcast(floor), "cur")
+            .withColumn("lp", F.coalesce("lp", "_oov_lp"))
+        )
     return (
-        big.join(lm, "bg")
-        .groupBy("doc_id")
+        scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
             F.round(

@@ -192,3 +192,31 @@ def test_dsir_target_docs_score_higher(spark):
     )
     m = {r[0]: r["m"] for r in rows}
     assert m[True] > m[False]
+
+
+def test_bigram_surprisal_top_v_semantics(spark):
+    # with top_v >= |bigram vocab| the capped path equals the closed
+    # form; with a tiny cap, OOV bigrams score the unigram backoff
+    from bamboo_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    full = {r["doc_id"]: r for r in q.q_bigram_surprisal(spark, sf).collect()}
+    wide = {
+        r["doc_id"]: r
+        for r in q.q_bigram_surprisal(spark, sf, top_v=10**6).collect()
+    }
+    assert set(full) == set(wide)
+    for k in full:
+        assert full[k]["n_bigrams"] == wide[k]["n_bigrams"]
+        assert abs(full[k]["lp_mean"] - wide[k]["lp_mean"]) < 1e-9
+
+    capped = {
+        r["doc_id"]: r
+        for r in q.q_bigram_surprisal(spark, sf, top_v=10).collect()
+    }
+    # same docs, generally lower (more surprising) scores under backoff
+    assert set(capped) == set(full)
+    worse = sum(
+        1 for k in full if capped[k]["lp_mean"] <= full[k]["lp_mean"] + 1e-9
+    )
+    assert worse >= 0.9 * len(full)
