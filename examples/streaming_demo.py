@@ -28,6 +28,7 @@ from bamboo_spark import get_spark
 from bamboo_spark.operators import dedup
 from bamboo_spark.operators.dedup import _segment_blocks
 from bamboo_spark.streaming.core import (
+    funnel_stream,
     interval_attribution_stream,
     segment_bloom_guard_stream,
     sessionize_stream,
@@ -70,12 +71,17 @@ def main() -> None:
     q3 = attr.writeStream.format("memory").queryName("demo_attr").outputMode(
         "append"
     ).start()
+    fun = funnel_stream(stream, watermark="0 seconds")
+    q4 = fun.writeStream.format("memory").queryName("demo_funnel").outputMode(
+        "append"
+    ).start()
     try:
         print("windowed counts rows:", drain(spark, q1, "demo_counts"))
         print("closed sessions:", drain(spark, q2, "demo_sessions"))
         print("closed click windows:", drain(spark, q3, "demo_attr"))
+        print("closed user funnels:", drain(spark, q4, "demo_funnel"))
     finally:
-        for q in (q1, q2, q3):
+        for q in (q1, q2, q3, q4):
             q.stop()
 
     # Bloom paragraph guard on a doc stream: corpus = doc_id < 250
@@ -91,15 +97,15 @@ def main() -> None:
     flagged = segment_bloom_guard_stream(
         doc_stream, bitmap, 1 << 20, 7, corpus_digests, block_tokens=20
     )
-    q4 = flagged.writeStream.format("memory").queryName("demo_seg").outputMode(
+    q5 = flagged.writeStream.format("memory").queryName("demo_seg").outputMode(
         "append"
     ).start()
     try:
-        q4.processAllAvailable()
+        q5.processAllAvailable()
         n = spark.sql("select count(*) c from demo_seg").collect()[0].c
         print("duplicate segments flagged in the incoming doc stream:", n)
     finally:
-        q4.stop()
+        q5.stop()
 
 
 if __name__ == "__main__":
