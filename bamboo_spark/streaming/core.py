@@ -882,3 +882,33 @@ def funnel_stream(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def profile_stream(
+    sdf: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    distinct_col: str = "user_id",
+    value_col: str = "value",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Windowed data-quality monitor on a stream: per tumbling window,
+    row count, APPROX distinct keys (HLL++ — the sketch registers are
+    max-merged, so the result is insertion-order-independent and a
+    stream replay matches the batch aggregate EXACTLY, not just
+    approximately), and null counts for the value column — the
+    streaming twin of the batch ``table_profile``'s monitoring role.
+
+    State per window is one HLL sketch + two longs, watermark-bounded;
+    the agg is map-combined like any windowed count."""
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.approx_count_distinct(distinct_col, rsd).alias("approx_keys"),
+            F.sum(F.col(value_col).isNull().cast("long")).alias("value_nulls"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_rows", "approx_keys", "value_nulls")
+    )

@@ -941,3 +941,61 @@ def test_stream_batch_parity_funnel(spark, tmp_path):
         assert got == ref
     finally:
         qy.stop()
+
+
+def test_stream_batch_parity_profile_stream(spark, tmp_path):
+    """HLL registers are max-merged (order-independent), so the stream
+    profiler must equal the batch windowed profile EXACTLY."""
+    import datetime as dt
+
+    from bamboo_spark import queries as q
+    from bamboo_spark.streaming.core import profile_stream
+
+    ev = q.load(spark, SF_DIR, "events").select("user_id", "ts", "value")
+    batch = {
+        r["window_start"]: (r["n_rows"], r["approx_keys"], r["value_nulls"])
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx_keys"),
+            F.sum(F.col("value").isNull().cast("long")).alias("value_nulls"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_rows", "approx_keys", "value_nulls")
+        .collect()
+    }
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    d = str(tmp_path / "profile_replay")
+    ev.coalesce(2).write.parquet(d)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).option("maxFilesPerTrigger", "1").parquet(d)
+    out = profile_stream(stream, watermark="0 seconds")
+    qy = (
+        out.writeStream.format("memory")
+        .queryName("profile_par")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and not qy.recentProgress:
+            qy.processAllAvailable()
+            time.sleep(0.5)
+        spark.createDataFrame(
+            [(10**6, max_ts + dt.timedelta(days=10), 0.0)],
+            "user_id long, ts timestamp, value double",
+        ).coalesce(1).write.mode("append").parquet(d)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            qy.processAllAvailable()
+            if spark.sql("select count(*) c from profile_par").collect()[0].c >= len(batch):
+                break
+            time.sleep(0.5)
+        got = {
+            r["window_start"]: (r["n_rows"], r["approx_keys"], r["value_nulls"])
+            for r in spark.sql("select * from profile_par").collect()
+        }
+        assert got == batch
+    finally:
+        qy.stop()
