@@ -2433,6 +2433,41 @@ group by 1, 2 order by 1, 2
 """
 
 
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source log2-bucketed token-length histogram — the length
+    distribution a curation dashboard plots (truncation spikes show as
+    a bucket wall; boilerplate shows as one dominant bucket). Pure
+    integer bucket math (floor(log2) via bit length is engine-exact on
+    positive counts) and one map-combined aggregate."""
+    d = load(spark, sf_dir, "documents")
+    lens = d.selectExpr(
+        "source",
+        "cast(size(split(text, ' ')) as bigint) as n",
+    ).selectExpr(
+        "source",
+        # floor(log2(n)) as the bucket; n >= 1 always (split of any
+        # string yields at least one token)
+        "cast(floor(log2(n)) as bigint) as bucket",
+        "n",
+    )
+    return lens.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("n").cast("bigint").alias("min_tokens"),
+        F.max("n").cast("bigint").alias("max_tokens"),
+    )
+
+
+Q_LENGTH_HISTOGRAM_SQL = """
+with l as (
+  select source, len(string_split(text, ' '))::BIGINT n from documents
+)
+select source, floor(log2(n))::BIGINT bucket,
+       count(*)::BIGINT n_docs,
+       min(n)::BIGINT min_tokens, max(n)::BIGINT max_tokens
+from l group by source, bucket order by source, bucket
+"""
+
+
 def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus health card: doc/token totals, token-count
     median/p95, exact mean quality, and language-mix entropy — the
@@ -4361,6 +4396,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
         "pack_per_source": q_pack_per_source,
+        "length_histogram": q_length_histogram,
         "near_dup_sources": q_near_dup_sources,
         "split_leakage": q_split_leakage,
         "multimodal_dedup": q_multimodal_dedup,
@@ -4566,6 +4602,7 @@ from s group by cluster_size order by cluster_size
             quality=text.quality_score_duck("text")
         ),
         "pack_per_source": Q_PACK_PER_SOURCE_SQL,
+        "length_histogram": Q_LENGTH_HISTOGRAM_SQL,
         "near_dup_sources": Q_NEAR_DUP_SOURCES_SQL.format(
             pairs=dedup.jaccard_pairs_duck(threshold=0.7)
         ),

@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "near_dup_sources",
     "split_leakage",
     "pack_per_source",
+    "length_histogram",
 ]
 
 
