@@ -4262,6 +4262,169 @@ limit 25
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral Markov chain: per-user event sequences collapsed into
+    a first-order transition matrix — (prev_type, event_type, n, prob).
+    The sequence-modeling primitive for session analytics (what do
+    users do AFTER an error?) and for generating synthetic behavioral
+    data at the observed transition frequencies.
+
+    One user-keyed window (lag over (ts, event_id) — bounded per key,
+    no global sort), one map-combined count aggregate over the ~T²
+    type-pair grid, and the per-prev totals come back as a broadcast of
+    at most T rows. At 100 TB the only shuffle is the user-keyed
+    exchange; the transition grid itself is KB-sized no matter the
+    corpus."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("_tot"))
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("_tot"), 6).alias("prob"),
+        )
+        .orderBy("prev_type", "event_type")
+    )
+
+
+Q_EVENT_TRANSITIONS_SQL = """
+with e as (
+  select user_id, event_id, event_type, epoch_us(ts) us from events
+),
+p as (
+  select lag(event_type) over (partition by user_id
+                               order by us, event_id) prev_type,
+         event_type
+  from e
+),
+c as (
+  select prev_type, event_type, count(*)::BIGINT n
+  from p where prev_type is not null
+  group by prev_type, event_type
+)
+select prev_type, event_type, n,
+       round(n::DOUBLE / sum(n) over (partition by prev_type), 6) prob
+from c order by prev_type, event_type
+"""
+
+
+def q_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) lookup against a dimension history: every
+    'purchase' event is enriched with the state that was valid AT its
+    timestamp — the state being the user's current run of non-purchase
+    activity (an SCD-2 interval table built exactly like
+    ``user_state_intervals``, half-open [from, to)). The
+    training-data shape for feature stores: join facts to the
+    slowly-changing feature value as-of the fact time, never leaking
+    future state.
+
+    Scale shape: the interval table is user-keyed and small per user
+    (run-length compressed), so the PIT lookup is a plain user-keyed
+    equi-join plus a containment filter — one co-partitioned shuffle
+    pair, no range explosion, no window over the fact table. Facts
+    before the user's first observed state keep a NULL state (left
+    join), exactly like a feature-store backfill."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    states = e.where(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    runs = states.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("run_id", F.sum("chg").over(w))
+    ivals = runs.groupBy("user_id", "run_id").agg(
+        F.first("event_type").alias("state_type"),
+        F.min("us").alias("valid_from_us"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    ivals = ivals.select(
+        "user_id",
+        "state_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+    )
+    facts = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.col("us").alias("fact_us")
+    )
+    return (
+        facts.join(
+            ivals,
+            (facts.user_id == ivals.user_id)
+            & (ivals.valid_from_us <= facts.fact_us)
+            & (
+                ivals.valid_to_us.isNull()
+                | (facts.fact_us < ivals.valid_to_us)
+            ),
+            "left",
+        )
+        .select(
+            facts.user_id,
+            "event_id",
+            "fact_us",
+            "state_type",
+            F.col("valid_from_us").alias("state_since_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+Q_PIT_ENRICH_SQL = """
+with e as (
+  select user_id, event_id, event_type, epoch_us(ts) us from events
+),
+s as (select * from e where event_type != 'purchase'),
+r as (
+  select *,
+         case when lag(event_type) over w is null
+                   or lag(event_type) over w != event_type
+              then 1 else 0 end chg
+  from s window w as (partition by user_id order by us, event_id)
+),
+rr as (
+  select *, sum(chg) over (partition by user_id order by us, event_id
+                           rows unbounded preceding) run_id
+  from r
+),
+iv0 as (
+  select user_id, run_id, any_value(event_type) state_type,
+         min(us) valid_from_us
+  from rr group by user_id, run_id
+),
+iv as (
+  select user_id, state_type, valid_from_us,
+         lead(valid_from_us) over (partition by user_id order by run_id)
+           valid_to_us
+  from iv0
+),
+f as (
+  select user_id, event_id, us fact_us from e where event_type = 'purchase'
+)
+select f.user_id, f.event_id, f.fact_us, iv.state_type,
+       iv.valid_from_us state_since_us
+from f left join iv
+  on f.user_id = iv.user_id
+ and iv.valid_from_us <= f.fact_us
+ and (iv.valid_to_us is null or f.fact_us < iv.valid_to_us)
+order by f.event_id
+"""
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -4392,6 +4555,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_report": q_source_quality_report,
         "snapshot_diff": q_snapshot_diff,
         "user_state_intervals": q_user_state_intervals,
+        "event_transitions": q_event_transitions,
+        "pit_enrich": q_pit_enrich,
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
@@ -4596,6 +4761,8 @@ from s group by cluster_size order by cluster_size
         ),
         "snapshot_diff": Q_SNAPSHOT_DIFF_SQL,
         "user_state_intervals": Q_USER_STATE_SQL,
+        "event_transitions": Q_EVENT_TRANSITIONS_SQL,
+        "pit_enrich": Q_PIT_ENRICH_SQL,
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(
