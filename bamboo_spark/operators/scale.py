@@ -430,3 +430,75 @@ def budget_head(
     return df.withColumn(
         cum_col, F.sum(weight_col).over(w).cast("long")
     ).where(F.col(cum_col) - F.col(weight_col) < budget)
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Union[str, Sequence[str]],
+    version_cols: Sequence[str],
+    op_col: Optional[str] = None,
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Apply a CDC change batch onto a base snapshot — the MERGE INTO /
+    table-maintenance primitive: per key, the highest-versioned change
+    wins (last-writer-wins); a winning ``delete_op`` removes the key;
+    keys untouched by the change batch pass through; keys only in the
+    change batch are inserts. Snapshot rows rank below EVERY change for
+    the same key (a snapshot precedes its deltas by construction), so
+    ``version_cols`` only need to order the changes among themselves.
+
+    Contract: ``key_cols`` unique in ``base``; (key, version) unique in
+    ``changes`` (at-least-once delivery should be deduped upstream —
+    duplicate identical versions are harmless, conflicting payloads at
+    one version are undefined in any CDC semantics). ``op_col`` (only
+    consulted on ``changes``) holds ``delete_op`` for tombstones;
+    anything else — or ``op_col=None`` — means upsert.
+
+    Scale shape: ONE map-combined max-struct aggregate on the key — no
+    window sort, no join. The struct compares (is_change, versions...,
+    op, payload...) lexicographically, so partial aggregation on the
+    map side already discards superseded versions; a hot key costs one
+    struct per mapper, not a reducer-side sort of its history. This is
+    the shape that compacts a 100 TB table with a 1 TB daily delta:
+    shuffle carries at most one surviving struct per (mapper, key).
+    """
+    keys: List[str] = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    vers = list(version_cols)
+    payload = [
+        c
+        for c in base.columns
+        if c not in keys and c not in vers and c != op_col
+    ]
+    for c in keys + vers + payload:
+        if c not in changes.columns:
+            raise ValueError("changes is missing column %r" % c)
+    op_b = F.lit("upsert")
+    op_c = (
+        F.coalesce(F.col(op_col).cast("string"), F.lit("upsert"))
+        if op_col is not None
+        else F.lit("upsert")
+    )
+    def tagged(df: DataFrame, is_change: int, op: Column) -> DataFrame:
+        return df.select(
+            *[F.col(k) for k in keys],
+            F.struct(
+                F.lit(is_change).alias("_chg"),
+                *[F.col(v).alias("_v_%d" % i) for i, v in enumerate(vers)],
+                op.alias("_op"),
+                *[F.col(p).alias("_p_%d" % i) for i, p in enumerate(payload)],
+            ).alias("_row"),
+        )
+
+    merged = (
+        tagged(base, 0, op_b)
+        .unionByName(tagged(changes, 1, op_c))
+        .groupBy(*keys)
+        .agg(F.max("_row").alias("_w"))
+        .where(F.col("_w._op") != F.lit(delete_op))
+    )
+    return merged.select(
+        *keys,
+        *[F.col("_w._v_%d" % i).alias(v) for i, v in enumerate(vers)],
+        *[F.col("_w._p_%d" % i).alias(p) for i, p in enumerate(payload)],
+    )

@@ -4425,6 +4425,87 @@ order by f.event_id
 """
 
 
+def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE: maintain a per-user profile table from a change
+    stream. Simulated split: events with ``event_id % 3 == 0`` build
+    the base snapshot (each user's latest such event), the rest are the
+    CDC batch — ``event_type='error'`` rows are tombstones, everything
+    else upserts (event_type, value). Last writer per user wins,
+    ordered by (ts, event_id); a winning tombstone deletes the user.
+
+    The merge is :func:`bamboo_spark.operators.scale.cdc_apply`: one
+    map-combined max-struct aggregate — no window sort, no join — so a
+    hot key ships one struct per mapper. The compaction shape for
+    maintaining a 100 TB table against a daily delta."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    base_events = e.where(F.col("event_id") % 3 == 0)
+    base = (
+        base_events.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("us", "event_id", "event_type", "value")
+            ).alias("_w")
+        )
+        .select(
+            "user_id",
+            F.col("_w.us").alias("us"),
+            F.col("_w.event_id").alias("event_id"),
+            F.col("_w.event_type").alias("event_type"),
+            F.col("_w.value").alias("value"),
+        )
+    )
+    changes = e.where(F.col("event_id") % 3 != 0).withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", F.lit("delete")).otherwise(
+            F.lit("upsert")
+        ),
+    )
+    out = scale.cdc_apply(
+        base,
+        changes,
+        key_cols="user_id",
+        version_cols=["us", "event_id"],
+        op_col="op",
+    )
+    return out.select(
+        "user_id", "us", "event_id", "event_type", "value"
+    ).orderBy("user_id")
+
+
+Q_CDC_UPSERT_SQL = """
+with e as (
+  select user_id, event_id, event_type, value, epoch_us(ts) us from events
+),
+base as (
+  select user_id, us, event_id, event_type, value, 0 as is_change,
+         'upsert' as op
+  from e where event_id % 3 = 0
+  qualify row_number() over (partition by user_id
+                             order by us desc, event_id desc) = 1
+),
+chg as (
+  select user_id, us, event_id, event_type, value, 1 as is_change,
+         case when event_type = 'error' then 'delete' else 'upsert' end op
+  from e where event_id % 3 != 0
+),
+u as (select * from base union all select * from chg),
+w as (
+  select * from u
+  qualify row_number() over (partition by user_id
+                             order by is_change desc, us desc,
+                                      event_id desc) = 1
+)
+select user_id, us, event_id, event_type, value
+from w where op != 'delete' order by user_id
+"""
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -4557,6 +4638,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_state_intervals": q_user_state_intervals,
         "event_transitions": q_event_transitions,
         "pit_enrich": q_pit_enrich,
+        "cdc_upsert": q_cdc_upsert,
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
@@ -4763,6 +4845,7 @@ from s group by cluster_size order by cluster_size
         "user_state_intervals": Q_USER_STATE_SQL,
         "event_transitions": Q_EVENT_TRANSITIONS_SQL,
         "pit_enrich": Q_PIT_ENRICH_SQL,
+        "cdc_upsert": Q_CDC_UPSERT_SQL,
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

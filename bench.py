@@ -148,6 +148,9 @@ BENCH_QUERIES = [
     "split_leakage",
     "pack_per_source",
     "length_histogram",
+    "event_transitions",
+    "pit_enrich",
+    "cdc_upsert",
 ]
 
 

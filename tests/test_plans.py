@@ -509,3 +509,33 @@ def test_pack_per_source_no_driver_fold_no_single_partition(spark):
         assert out.count() > 0
     assert "SinglePartition" not in plan, plan
     assert sizes and max(sizes) <= 1, sizes  # only the max-id scalar
+
+
+def test_cdc_upsert_is_one_agg_no_window_sort(spark):
+    # the merge is a single map-combined max-struct aggregate: no
+    # WindowExec (a window-sorted LWW would serialize hot keys through
+    # one reducer's sort) and no join in the merge stage
+    plan = plan_of(q.queries()["cdc_upsert"](spark, SF))
+    assert "Window" not in plan, plan
+    tree = plan.split("\n\n")[0]
+    # events scan feeds base-agg + change side, then one merge agg:
+    # nothing here justifies more than 3 exchanges (base agg, union agg,
+    # final orderBy sampling)
+    assert tree.count("Exchange") <= 3, tree
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_event_transitions_broadcasts_totals(spark):
+    # the per-prev totals (≤ T rows) come back via broadcast — the
+    # transition grid never shuffles against itself
+    plan = plan_of(q.queries()["event_transitions"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pit_enrich_user_keyed_no_range_explosion(spark):
+    # PIT lookup = user-keyed equi-join + containment filter: no
+    # cartesian/NLJ fallback, no broadcast of the fact table
+    plan = plan_of(q.queries()["pit_enrich"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -212,3 +212,57 @@ def test_budget_head_prefilter_exact_on_skew(spark):
     ).groupBy("k").count().collect()
     surv = {r["k"]: r["count"] for r in surv}
     assert surv["hot"] <= 600  # ~budget/mean_w + n/buckets, not 20k
+
+
+def test_cdc_apply_merge_semantics(spark):
+    from bamboo_spark.operators.scale import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, 0, "alice", 1.0), (2, 0, "bob", 2.0), (3, 0, "carol", 3.0)],
+        "k long, ver long, name string, score double",
+    )
+    changes = spark.createDataFrame(
+        [
+            # k=1: update then delete -> gone
+            (1, 5, "alice2", 1.5, "upsert"),
+            (1, 9, "alice2", 1.5, "delete"),
+            # k=2: delete then re-insert -> latest wins
+            (2, 4, "bob", 2.0, "delete"),
+            (2, 8, "bob3", 9.0, "upsert"),
+            # k=3 untouched; k=4 pure insert
+            (4, 2, "dave", 4.0, "upsert"),
+        ],
+        "k long, ver long, name string, score double, op string",
+    )
+    out = cdc_apply(base, changes, "k", ["ver"], op_col="op")
+    rows = {r.k: (r.ver, r.name, r.score) for r in out.collect()}
+    assert rows == {
+        2: (8, "bob3", 9.0),
+        3: (0, "carol", 3.0),
+        4: (2, "dave", 4.0),
+    }
+
+
+def test_cdc_apply_change_beats_base_regardless_of_version(spark):
+    from bamboo_spark.operators.scale import cdc_apply
+
+    # base carries a HIGHER version number than the change; the change
+    # must still win (snapshot precedes its deltas by construction)
+    base = spark.createDataFrame([(1, 100, "old")], "k long, ver long, v string")
+    changes = spark.createDataFrame([(1, 1, "new")], "k long, ver long, v string")
+    out = cdc_apply(base, changes, "k", ["ver"]).collect()
+    assert [(r.k, r.ver, r.v) for r in out] == [(1, 1, "new")]
+
+
+def test_cdc_apply_no_op_col_means_upsert_and_validates_columns(spark):
+    import pytest as _pytest
+
+    from bamboo_spark.operators.scale import cdc_apply
+
+    base = spark.createDataFrame([(1, 0, "a")], "k long, ver long, v string")
+    changes = spark.createDataFrame([(1, 3, "b")], "k long, ver long, v string")
+    out = cdc_apply(base, changes, "k", ["ver"]).collect()
+    assert [(r.k, r.ver, r.v) for r in out] == [(1, 3, "b")]
+    bad = spark.createDataFrame([(1, 3)], "k long, ver long")
+    with _pytest.raises(ValueError, match="missing column"):
+        cdc_apply(base, bad, "k", ["ver"])
