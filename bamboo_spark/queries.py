@@ -4506,6 +4506,46 @@ from w where op != 'delete' order by user_id
 """
 
 
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over fuzzy keys: all document pairs whose
+    normalized 32-char title keys are within 3 Levenshtein edits —
+    typo-tolerant record linkage (the dedup family catches rewrites;
+    this catches TYPOS: OCR noise, fat-fingered titles, mojibake).
+
+    Candidates come from PassJoin segment pigeonholing
+    (:func:`bamboo_spark.operators.linkage.edit_distance_pairs`): each
+    key is cut into d+1 segments, and a pair within d edits must share
+    one segment VERBATIM at a ±d-shifted position — an exact-match
+    equi-join that stays selective even on low-entropy corpora where
+    q-gram prefixes collapse. Every candidate is verified with the
+    banded O(d·n) ``levenshtein(a, b, 3)``. The oracle is the
+    brute-force n² join — pruning is provably lossless, so they must
+    agree exactly."""
+    from bamboo_spark.operators import linkage
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 32)).alias("title_key"),
+    )
+    return linkage.edit_distance_pairs(
+        d, "doc_id", "title_key", max_dist=3
+    ).orderBy("id_a", "id_b")
+
+
+Q_RECORD_LINKAGE_SQL = """
+with k as (
+  select doc_id as id, lower(substring(text, 1, 32)) as tk,
+         length(lower(substring(text, 1, 32))) as ln
+  from documents where text is not null
+)
+select a.id id_a, b.id id_b, levenshtein(a.tk, b.tk)::INT dist
+from k a join k b
+  on a.id < b.id and abs(a.ln - b.ln) <= 3
+where levenshtein(a.tk, b.tk) <= 3
+order by id_a, id_b
+"""
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -4639,6 +4679,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "pit_enrich": q_pit_enrich,
         "cdc_upsert": q_cdc_upsert,
+        "record_linkage": q_record_linkage,
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
@@ -4846,6 +4887,7 @@ from s group by cluster_size order by cluster_size
         "event_transitions": Q_EVENT_TRANSITIONS_SQL,
         "pit_enrich": Q_PIT_ENRICH_SQL,
         "cdc_upsert": Q_CDC_UPSERT_SQL,
+        "record_linkage": Q_RECORD_LINKAGE_SQL,
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "pit_enrich",
     "cdc_upsert",
+    "record_linkage",
 ]
 
 

@@ -1,0 +1,113 @@
+"""Edit-distance similarity join: differential test vs a brute-force
+pure-Python DP on randomized corpora (planted typos, exact dups, short
+and empty keys), plus edge/validation cases and a plan audit."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from bamboo_spark.operators.linkage import edit_distance_pairs
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _brute(rows, d):
+    out = set()
+    for i, (ia, ka) in enumerate(rows):
+        for ib, kb in rows[i + 1 :]:
+            if ka is None or kb is None:
+                continue
+            if abs(len(ka) - len(kb)) > d:
+                continue
+            dist = _lev(ka, kb)
+            if dist <= d:
+                lo, hi = (ia, ib) if ia < ib else (ib, ia)
+                out.add((lo, hi, dist))
+    return out
+
+
+def _mutate(rng, s, n_edits):
+    s = list(s)
+    for _ in range(n_edits):
+        op = rng.choice("ids") if s else "i"
+        pos = rng.randrange(len(s) + (op == "i"))
+        if op == "i":
+            s.insert(pos, rng.choice("abcdef "))
+        elif op == "d":
+            del s[pos]
+        else:
+            s[pos] = rng.choice("abcdef ")
+    return "".join(s)
+
+
+@pytest.mark.parametrize("seed,d", [(7, 2), (11, 3), (13, 1), (17, 4)])
+def test_edit_pairs_match_bruteforce_random(spark, seed, d):
+    rng = random.Random(seed)
+    base = [
+        "".join(rng.choice("abcdef ") for _ in range(rng.randrange(0, 40)))
+        for _ in range(30)
+    ]
+    rows = []
+    rid = 0
+    for s in base:
+        rows.append((rid, s))
+        rid += 1
+        # planted near-dup within d edits, and one just past d
+        rows.append((rid, _mutate(rng, s, rng.randrange(0, d + 1))))
+        rid += 1
+        rows.append((rid, _mutate(rng, s, d + 1 + rng.randrange(3))))
+        rid += 1
+    df = spark.createDataFrame(rows, "id long, k string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs(df, "id", "k", max_dist=d).collect()
+    }
+    assert got == _brute(rows, d)
+
+
+def test_edit_pairs_null_and_exact_and_short(spark):
+    rows = [
+        (1, "hello world"),
+        (2, "hello world"),  # exact dup -> dist 0
+        (3, None),  # never matches
+        (4, "ab"),  # shorter than q
+        (5, "abc"),
+        (6, ""),  # empty matches short keys within d
+    ]
+    df = spark.createDataFrame(rows, "id long, k string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs(df, "id", "k", max_dist=2).collect()
+    }
+    assert got == _brute(rows, 2)
+    assert (1, 2, 0) in got and (4, 5, 1) in got and (4, 6, 2) in got
+
+
+def test_edit_pairs_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, k string")
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_distance_pairs(df, "id", "k", max_dist=0)
+
+
+def test_record_linkage_plan_no_cartesian(spark):
+    from bamboo_spark import queries as q
+
+    df = q.queries()["record_linkage"](spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
