@@ -4546,6 +4546,205 @@ order by id_a, id_b
 """
 
 
+_BM25_TERMS = ["hash", "join", "scan", "filter", "merge", "broadcast"]
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed search query —
+    the retrieval scorer for corpus curation (rank training docs by
+    closeness to a target domain) and for eval-set mining. Okapi
+    parameters k1=1.2, b=0.75.
+
+    Scale shape: the query's term list is a literal broadcast (an IN
+    filter pushed into the token explode, so only matching-term rows
+    survive the first aggregate); df comes off the tiny per-term table;
+    N and avgdl ride one scalar aggregate broadcast back. Per-term
+    scores round to 9 decimals and sum in integer nano-units, so the
+    result is partitioning-independent and the oracle replays it
+    bit-for-bit. Nothing doc-sized is ever collected or broadcast."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(F.size(F.split("text", " "))).cast("double").alias("_sdl"),
+    )
+    tf = (
+        toks.where(F.col("token").isin(_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ),
+        9,
+    )
+    denom = F.col("tf") + 1.2 * (
+        1.0 - 0.75 + 0.75 * F.col("dl") / (F.col("_sdl") / F.col("_n"))
+    )
+    term_score = F.round(idf * (F.col("tf") * 2.2) / denom, 9)
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "token",
+            F.round(term_score * 1e9, 0).cast("long").alias("_nano"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.round(F.sum("_nano").cast("double") / 1e9, 6).alias("bm25"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_BM25_SQL = """
+with toks as (
+  select doc_id, unnest(string_split(text, ' ')) token from documents
+),
+dl as (select doc_id, len(string_split(text, ' ')) dl from documents),
+stats as (
+  select count(*)::DOUBLE n, sum(len(string_split(text, ' ')))::DOUBLE sdl
+  from documents
+),
+tf as (
+  select doc_id, token, count(*)::DOUBLE tf from toks
+  where token in ({terms}) group by doc_id, token
+),
+dfreq as (select token, count(*)::DOUBLE df from tf group by token),
+t as (
+  select tf.doc_id,
+         round(round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)), 9)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (s.sdl / s.n))),
+               9) w
+  from tf
+  join dfreq d using (token)
+  join dl on tf.doc_id = dl.doc_id
+  cross join stats s
+)
+select doc_id, count(*)::BIGINT n_terms,
+       round(sum(round(w * 1e9, 0)::BIGINT)::DOUBLE / 1e9, 6) bm25
+from t group by doc_id order by doc_id
+""".format(terms=", ".join("'%s'" % t for t in _BM25_TERMS))
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: per-DIMENSION Welch
+    z-score between two corpus snapshots (simulated: even vs odd
+    vec_ids) — the encoder-regression alarm. A re-trained or silently
+    re-versioned encoder shifts per-dimension means long before any
+    downstream metric moves; this catches it at ingest.
+
+    Per-dimension moments ride ONE map-combined aggregate over integer
+    micro-units (exact, order-independent — sums of m and m² in
+    decimal(38,0) so 100 TB of rows can't wrap a long), and the two
+    snapshot profiles join on the tiny dim domain. Nothing data-sized
+    shuffles beyond the (snapshot, dim)-keyed partials."""
+    e = load(spark, sf_dir, "embeddings")
+    exp = e.select(
+        (F.col("vec_id") % 2).cast("int").alias("snap"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "snap",
+        "dim",
+        F.round(F.col("v").cast("double") * 1e6, 0).cast("long").alias("m"),
+    )
+    prof = exp.groupBy("snap", "dim").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("m").cast("decimal(38,0)").cast("double").alias("s"),
+        F.sum(F.col("m").cast("decimal(38,0)") * F.col("m"))
+        .cast("double")
+        .alias("ss"),
+    )
+    a = prof.where(F.col("snap") == 0).select(
+        "dim",
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+        F.col("ss").alias("ssa"),
+    )
+    b = prof.where(F.col("snap") == 1).select(
+        "dim",
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+        F.col("ss").alias("ssb"),
+    )
+    mean_a = F.col("sa") / 1e6 / F.col("na")
+    mean_b = F.col("sb") / 1e6 / F.col("nb")
+    var_a = F.greatest(
+        F.col("ssa") / 1e12 / F.col("na") - mean_a * mean_a, F.lit(0.0)
+    )
+    var_b = F.greatest(
+        F.col("ssb") / 1e12 / F.col("nb") - mean_b * mean_b, F.lit(0.0)
+    )
+    se = F.sqrt(var_a / F.col("na") + var_b / F.col("nb"))
+    z = F.when(se <= 0.0, F.lit(0.0)).otherwise(
+        F.round((mean_b - mean_a) / se, 6)
+    )
+    return (
+        a.join(b, "dim")
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.round(mean_a, 6).alias("mean_a"),
+            F.round(mean_b, 6).alias("mean_b"),
+            F.round(mean_b - mean_a, 6).alias("shift"),
+            z.alias("z"),
+            (F.abs(z) > 3.0).cast("int").alias("is_drifted"),
+        )
+        .orderBy("dim")
+    )
+
+
+Q_EMBEDDING_DRIFT_SQL = """
+with exp as (
+  select (vec_id % 2)::INT snap, (i - 1) dim,
+         round(embedding[i]::DOUBLE * 1e6, 0)::BIGINT m
+  from (
+    select vec_id, embedding,
+           unnest(generate_series(1, len(embedding))) i
+    from embeddings
+  )
+),
+prof as (
+  select snap, dim, count(*)::DOUBLE n, sum(m)::DOUBLE s,
+         sum(m::HUGEINT * m)::DOUBLE ss
+  from exp group by snap, dim
+),
+j as (
+  select a.dim,
+         a.s / 1e6 / a.n mean_a, b.s / 1e6 / b.n mean_b,
+         greatest(a.ss / 1e12 / a.n - (a.s / 1e6 / a.n) * (a.s / 1e6 / a.n), 0.0) var_a,
+         greatest(b.ss / 1e12 / b.n - (b.s / 1e6 / b.n) * (b.s / 1e6 / b.n), 0.0) var_b,
+         a.n na, b.n nb
+  from (select * from prof where snap = 0) a
+  join (select * from prof where snap = 1) b using (dim)
+),
+zz as (
+  select dim, mean_a, mean_b,
+         case when sqrt(var_a / na + var_b / nb) <= 0.0 then 0.0
+              else round((mean_b - mean_a) / sqrt(var_a / na + var_b / nb), 6)
+         end z
+  from j
+)
+select dim::INT dim, round(mean_a, 6) mean_a, round(mean_b, 6) mean_b,
+       round(mean_b - mean_a, 6) shift, z,
+       (abs(z) > 3.0)::INT is_drifted
+from zz order by dim
+"""
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -4680,6 +4879,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_enrich": q_pit_enrich,
         "cdc_upsert": q_cdc_upsert,
         "record_linkage": q_record_linkage,
+        "bm25_scores": q_bm25_scores,
+        "embedding_drift": q_embedding_drift,
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
@@ -4888,6 +5089,8 @@ from s group by cluster_size order by cluster_size
         "pit_enrich": Q_PIT_ENRICH_SQL,
         "cdc_upsert": Q_CDC_UPSERT_SQL,
         "record_linkage": Q_RECORD_LINKAGE_SQL,
+        "bm25_scores": Q_BM25_SQL,
+        "embedding_drift": Q_EMBEDDING_DRIFT_SQL,
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

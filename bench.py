@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "pit_enrich",
     "cdc_upsert",
     "record_linkage",
+    "bm25_scores",
+    "embedding_drift",
 ]
 
 
