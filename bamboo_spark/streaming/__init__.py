@@ -12,6 +12,7 @@ built-ins can't express.
 from bamboo_spark.streaming.core import (
     asof_attribute_stream,
     bloom_guard_stream,
+    cdc_upsert_stream,
     contamination_stream,
     dedup_stream_simhash,
     sessionize_stream_tws,
@@ -25,6 +26,7 @@ from bamboo_spark.streaming.core import (
 __all__ = [
     "asof_attribute_stream",
     "bloom_guard_stream",
+    "cdc_upsert_stream",
     "contamination_stream",
     "dedup_stream",
     "dedup_stream_simhash",

@@ -912,3 +912,91 @@ def profile_stream(
         )
         .select(F.col("w.start").alias("window_start"), "n_rows", "approx_keys", "value_nulls")
     )
+
+
+def cdc_upsert_stream(
+    sdf: DataFrame,
+    key_col: str,
+    ver_cols,
+    payload_cols,
+    op_col: str = None,
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Streaming CDC materializer — the streaming twin of the batch
+    :func:`bamboo_spark.operators.scale.cdc_apply`: per key, keep the
+    highest-versioned change seen so far (last-writer-wins) and emit
+    the refreshed winner every micro-batch it changes, with
+    ``is_delete=1`` when the winner is a tombstone (downstream sinks
+    apply it as a DELETE; the key's state is kept so a stale late
+    upsert cannot resurrect the row).
+
+    Contract matches the batch twin: ``ver_cols`` are NUMERIC columns
+    whose tuple orders the changes totally per key (at-least-once
+    duplicates are harmless; conflicting payloads at one version are
+    undefined). State per key is one (version, op, payload) tuple — no
+    timeout needed, state is bounded by key cardinality like any
+    materialized table. In-order replay of a change log reproduces
+    ``cdc_apply`` on the same changes exactly
+    (tests/test_streaming.py).
+
+    Scale: the single shuffle is the key-hash exchange every stateful
+    op needs; per batch each key does an O(rows) argmax in Arrow-batch
+    pandas, not a sort of its full history.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    vers = [ver_cols] if isinstance(ver_cols, str) else list(ver_cols)
+    pays = [payload_cols] if isinstance(payload_cols, str) else list(payload_cols)
+    fields = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    out_schema = ", ".join(
+        ["%s %s" % (key_col, fields[key_col])]
+        + ["%s %s" % (c, fields[c]) for c in vers + pays]
+        + ["is_delete int"]
+    )
+    state_schema = ", ".join(
+        ["%s %s" % (c, fields[c]) for c in vers + pays] + ["_op string"]
+    )
+    n_vers = len(vers)
+
+    def fn(key, pdfs, state):
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        batch = pd.concat(frames)
+        batch = batch.sort_values(vers, kind="mergesort")
+        top = batch.iloc[-1]
+        new_ver = tuple(float(top[c]) for c in vers)
+        if state.exists:
+            cur = state.get
+            cur_ver = tuple(float(v) for v in cur[:n_vers])
+            if new_ver <= cur_ver:
+                return  # batch is entirely stale; winner unchanged
+        op = (
+            str(top[op_col])
+            if op_col is not None and top[op_col] is not None
+            else "upsert"
+        )
+        vals = [top[c].item() if hasattr(top[c], "item") else top[c] for c in vers]
+        pay = [
+            None
+            if pd.isna(top[c])
+            else (top[c].item() if hasattr(top[c], "item") else top[c])
+            for c in pays
+        ]
+        state.update(tuple(vals + pay + [op]))
+        row = {key_col: key[0]}
+        for c, v in zip(vers, vals):
+            row[c] = v
+        for c, v in zip(pays, pay):
+            row[c] = v
+        row["is_delete"] = 1 if op == delete_op else 0
+        yield pd.DataFrame([row])
+
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -999,3 +999,89 @@ def test_stream_batch_parity_profile_stream(spark, tmp_path):
         assert got == batch
     finally:
         qy.stop()
+
+
+def test_stream_batch_parity_cdc_upsert(spark, tmp_path):
+    # in-order replay of the change log must converge to the batch LWW
+    # winner per key (cdc_apply over the same changes), tombstones
+    # flagged is_delete=1
+    from pyspark.sql import Window
+
+    from bamboo_spark import queries as q
+    from bamboo_spark.streaming.core import cdc_upsert_stream
+
+    changes = (
+        q.load(spark, SF_DIR, "events")
+        .where(F.col("event_id") % 3 != 0)
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            "event_type",
+            "value",
+            F.when(F.col("event_type") == "error", F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    expected = {
+        r.user_id: (
+            r.us,
+            r.event_id,
+            r.event_type,
+            r.value,
+            1 if r.op == "delete" else 0,
+        )
+        for r in changes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    assert expected
+
+    d = str(tmp_path / "cdc_replay")
+    changes.coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(
+        "user_id long, us long, event_id long, event_type string, "
+        "value double, op string"
+    ).parquet(d)
+    out = cdc_upsert_stream(
+        stream,
+        key_col="user_id",
+        ver_cols=["us", "event_id"],
+        payload_cols=["event_type", "value"],
+        op_col="op",
+    )
+    assert out.isStreaming
+    qy = (
+        out.writeStream.format("memory")
+        .queryName("cdc_t")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            n = spark.sql(
+                "select count(distinct user_id) c from cdc_t"
+            ).collect()[0].c
+            if n >= len(expected):
+                break
+            time.sleep(0.5)
+        # final winner per key = max-version emission
+        got = {}
+        for r in spark.sql("select * from cdc_t").collect():
+            cur = got.get(r.user_id)
+            if cur is None or (r.us, r.event_id) > (cur[0], cur[1]):
+                got[r.user_id] = (
+                    r.us,
+                    r.event_id,
+                    r.event_type,
+                    r.value,
+                    r.is_delete,
+                )
+        assert got == expected
+    finally:
+        qy.stop()
