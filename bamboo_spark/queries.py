@@ -4745,6 +4745,98 @@ from zz order by dim
 """
 
 
+def q_events_rolling_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing time-RANGE window (not row-count): per user, the count
+    and value-sum of their events in the sliding 1-hour interval ending
+    at each event — rate-limiter / velocity-check analytics, where "7
+    preceding rows" is wrong and "3600 seconds preceding" is the spec.
+
+    The window partitions on user_id (bounded per key, one hash
+    exchange) and orders by integer µs with a RANGE frame — Spark
+    evaluates it with a sliding two-pointer pass per key, never
+    re-scanning the frame per row."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        # exact integer cents: frame sums are order-independent, so the
+        # oracle's segment-tree and Spark's sliding accumulator agree
+        # bit-for-bit
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    hour_us = 3_600_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-hour_us, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "us",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+        (F.sum("cents").over(w).cast("double") / 100.0).alias("sum_1h"),
+    ).orderBy("event_id")
+
+
+Q_EVENTS_ROLLING_RATE_SQL = """
+with e as (
+  select user_id, event_id, epoch_us(ts) us,
+         round(value * 100, 0)::BIGINT cents
+  from events
+)
+select user_id, event_id, us,
+       count(*) over w::BIGINT n_1h,
+       (sum(cents) over w)::DOUBLE / 100.0 sum_1h
+from e
+window w as (partition by user_id order by us
+             range between 3600000000 preceding and current row)
+order by event_id
+"""
+
+
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the top-20 3-step event-type paths
+    (trigrams of consecutive events per user), with counts — "view →
+    click → purchase happens 412×" is the output a funnel designer
+    starts from.
+
+    One user-keyed window chain (two lags share the single hash
+    exchange), a map-combined trigram count over the ≤ T³ path grid,
+    and a global top-k that Spark plans as TakeOrderedAndProject —
+    partial top-k per partition, only k rows to the driver-side merge,
+    never a full sort."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    tri = (
+        e.withColumn("t1", F.lag("event_type", 2).over(w))
+        .withColumn("t2", F.lag("event_type", 1).over(w))
+        .where(F.col("t1").isNotNull())
+        .groupBy("t1", "t2", F.col("event_type").alias("t3"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return tri.orderBy(F.col("n").desc(), "t1", "t2", "t3").limit(20)
+
+
+Q_EVENT_PATHS_SQL = """
+with e as (
+  select user_id, event_id, event_type, epoch_us(ts) us from events
+),
+l as (
+  select lag(event_type, 2) over w t1, lag(event_type, 1) over w t2,
+         event_type t3
+  from e window w as (partition by user_id order by us, event_id)
+)
+select t1, t2, t3, count(*)::BIGINT n
+from l where t1 is not null
+group by t1, t2, t3
+order by n desc, t1, t2, t3
+limit 20
+"""
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -4881,6 +4973,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_linkage": q_record_linkage,
         "bm25_scores": q_bm25_scores,
         "embedding_drift": q_embedding_drift,
+        "events_rolling_rate": q_events_rolling_rate,
+        "event_paths": q_event_paths,
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
@@ -5091,6 +5185,8 @@ from s group by cluster_size order by cluster_size
         "record_linkage": Q_RECORD_LINKAGE_SQL,
         "bm25_scores": Q_BM25_SQL,
         "embedding_drift": Q_EMBEDDING_DRIFT_SQL,
+        "events_rolling_rate": Q_EVENTS_ROLLING_RATE_SQL,
+        "event_paths": Q_EVENT_PATHS_SQL,
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "record_linkage",
     "bm25_scores",
     "embedding_drift",
+    "events_rolling_rate",
+    "event_paths",
 ]
 
 
