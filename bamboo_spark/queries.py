@@ -4837,6 +4837,69 @@ limit 20
 """
 
 
+def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus subsampling: IVF-cluster the embedding
+    space (shared quantizer) and keep a deterministic hash-ordered head
+    of ≤ 4 vectors per cluster — the semantic-diversity counterpart of
+    per-domain capping (a uniform sample over-represents dense modes;
+    this caps every semantic neighborhood equally, the SemDeDup-paper
+    sampling companion).
+
+    Scale: assignment is a broadcast-centroid GEMM (no shuffle beyond
+    the agg), and the per-cluster head is ``scale.hash_ranked_head`` —
+    partial top-k below the shuffle, so a megacluster ships cap ×
+    map_partitions rows, never its raw size."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = ivf_quantizer(spark, sf_dir)
+    assign = similarity.ivf_assign(e, cents, n_probe=1)
+    rk = text.md5_int60_sql("cast(vec_id as string)")
+    staged = assign.withColumn("_rk", F.expr(rk))
+    return (
+        scale.hash_ranked_head(
+            staged,
+            "centroid",
+            "_rk",
+            hash_max=2**60,
+            cap=4,
+            tiebreak_cols=["vec_id"],
+        )
+        .select(
+            F.col("centroid").cast("bigint").alias("centroid"),
+            "rank",
+            "vec_id",
+        )
+        .orderBy("centroid", "rank")
+    )
+
+
+def _diversity_sample_duck() -> str:
+    return (
+        similarity._kmeans_duck_ctes(None, COARSE_ITERS)
+        + """,
+scored as (
+  select e.vec_id, c.cid,
+         round(list_dot_product(e.v, c.cv) / (e.n * c.cn), 6) s
+  from e cross join cf c
+),
+assign as (
+  select vec_id, cid from (
+    select *, row_number() over (partition by vec_id
+                                 order by s desc, cid asc) r
+    from scored
+  ) where r <= 1
+)
+select cid::BIGINT centroid, rank, vec_id from (
+  select cid, vec_id,
+         row_number() over (
+           partition by cid
+           order by (('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT) asc,
+                    vec_id asc)::BIGINT rank
+  from assign
+) where rank <= 4 order by centroid, rank
+"""
+    )
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -4975,6 +5038,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "events_rolling_rate": q_events_rolling_rate,
         "event_paths": q_event_paths,
+        "diversity_sample": q_diversity_sample,
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
@@ -5187,6 +5251,7 @@ from s group by cluster_size order by cluster_size
         "embedding_drift": Q_EMBEDDING_DRIFT_SQL,
         "events_rolling_rate": Q_EVENTS_ROLLING_RATE_SQL,
         "event_paths": Q_EVENT_PATHS_SQL,
+        "diversity_sample": _diversity_sample_duck(),
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "embedding_drift",
     "events_rolling_rate",
     "event_paths",
+    "diversity_sample",
 ]
 
 
