@@ -26,7 +26,7 @@ from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from bamboo_spark.operators import dedup, multimodal, pack, scale, similarity, text
+from bamboo_spark.operators import bpe, dedup, multimodal, pack, scale, similarity, text
 from bamboo_spark.operators._cache import (
     release_caches as _release_caches,
     tracked_persist as _tracked_persist,
@@ -4900,6 +4900,19 @@ select cid::BIGINT centroid, rank, vec_id from (
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training on-engine: the first 6 BPE merges over the
+    corpus (Sennrich-style), trained on the vocabulary-bounded
+    word-count table — see :mod:`bamboo_spark.operators.bpe`. Each
+    round is one map-combined pair-count aggregate plus a 1-row argmax
+    collect; merge application is a literal ``replace`` inside codegen.
+    The oracle replays every round (same argmax tiebreak, same greedy
+    left-to-right merge), so the learned merge table is value-checked,
+    not just shape-checked."""
+    d = load(spark, sf_dir, "documents")
+    return bpe.bpe_train(d, "text", n_merges=6)
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -5039,6 +5052,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_rate": q_events_rolling_rate,
         "event_paths": q_event_paths,
         "diversity_sample": q_diversity_sample,
+        "bpe_merges": q_bpe_merges,
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
@@ -5252,6 +5266,7 @@ from s group by cluster_size order by cluster_size
         "events_rolling_rate": Q_EVENTS_ROLLING_RATE_SQL,
         "event_paths": Q_EVENT_PATHS_SQL,
         "diversity_sample": _diversity_sample_duck(),
+        "bpe_merges": bpe.bpe_duck(6),
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "events_rolling_rate",
     "event_paths",
     "diversity_sample",
+    "bpe_merges",
 ]
 
 
