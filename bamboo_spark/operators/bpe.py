@@ -66,18 +66,15 @@ def _apply_merge_spark(lhs: str, rhs: str) -> str:
     )
 
 
-def bpe_train(
-    df: DataFrame,
-    text_col: str = "text",
-    n_merges: int = 6,
-) -> DataFrame:
-    """Train the first ``n_merges`` BPE merges over whitespace words of
-    ``text_col``. Returns one row per merge: (rank, lhs, rhs, merged,
-    pair_count), rank 1-based in merge order. Stops early if no
-    adjacent pair remains."""
+def _train(
+    df: DataFrame, text_col: str, n_merges: int
+) -> Tuple[List[Tuple[int, str, str, str, int]], DataFrame]:
+    """Run the merge loop; returns (merges, final vocab state) where
+    the state is one row per distinct word: (w, syms, n) with ``syms``
+    the word's segmentation under all learned merges — i.e. the
+    trained ENCODER for every seen word."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1; got %d" % n_merges)
-    spark = df.sparkSession
     words = (
         df.select(F.explode(F.split(text_col, " ")).alias("w"))
         .where(F.length("w") > 0)
@@ -85,7 +82,7 @@ def bpe_train(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
     state = tracked_persist(
-        words.select(F.split("w", "").alias("syms"), "n")
+        words.select("w", F.split("w", "").alias("syms"), "n")
     )
     merges: List[Tuple[int, str, str, str, int]] = []
     for r in range(1, n_merges + 1):
@@ -112,11 +109,57 @@ def bpe_train(
         out_expr, sel_expr = _apply_merge_spark(lhs, rhs)
         state = tracked_persist(
             state.withColumn("_sel", F.expr(sel_expr))
-            .select(F.expr(out_expr).alias("syms"), "n")
+            .select("w", F.expr(out_expr).alias("syms"), "n")
         )
-    return spark.createDataFrame(
+    return merges, state
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+) -> DataFrame:
+    """Train the first ``n_merges`` BPE merges over whitespace words of
+    ``text_col``. Returns one row per merge: (rank, lhs, rhs, merged,
+    pair_count), rank 1-based in merge order. Stops early if no
+    adjacent pair remains."""
+    merges, _ = _train(df, text_col, n_merges)
+    return df.sparkSession.createDataFrame(
         merges,
         "rank bigint, lhs string, rhs string, merged string, pair_count bigint",
+    )
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train-and-encode: per document, the whitespace word count and
+    the BPE token count under the learned merges — the real
+    "how many training tokens is this corpus" measure (whitespace
+    counts overestimate by the subword split factor).
+
+    Encoding rides the TRAINED VOCAB TABLE: training already reduced
+    every distinct word to its final segmentation, so encoding is a
+    word→segment-count broadcast join, not a re-application of merges
+    over the corpus — the same amortization a production tokenizer
+    service gets from its word cache. One explode + one broadcast join
+    + one doc-keyed aggregate."""
+    _, vocab = _train(df, text_col, n_merges)
+    enc = vocab.select("w", F.size("syms").cast("bigint").alias("n_sub"))
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(text_col, " ")).alias("w")
+    ).where(F.length("w") > 0)
+    return (
+        toks.join(F.broadcast(enc), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .orderBy(id_col)
     )
 
 
@@ -153,7 +196,7 @@ def bpe_duck(n_merges: int, table: str = "documents", text_col: str = "text") ->
     # referenced as correlated scalars inside the lambdas.
     sql = """
 with w0 as materialized (
-  select string_split(w, '') s, count(*)::BIGINT n
+  select w, string_split(w, '') s, count(*)::BIGINT n
   from (select unnest(string_split({c}, ' ')) w from {t})
   where length(w) > 0
   group by w
@@ -185,15 +228,42 @@ m{r} as materialized (
   from p{r} order by cnt desc, lhs, rhs limit 1
 ),
 ws{r} as materialized (
-  select {sel} sel, s, n, m.lhs, m.rhs
+  select w.w, {sel} sel, s, n, m.lhs, m.rhs
   from w{p} w left join m{r} m on true
 ),
 w{r} as materialized (
-  select case when m.lhs is null then s else {out} end s, n
-  from (select sel, s, n, struct_pack(lhs := lhs, rhs := rhs) m from ws{r})
+  select w, case when m.lhs is null then s else {out} end s, n
+  from (select w, sel, s, n, struct_pack(lhs := lhs, rhs := rhs) m
+        from ws{r})
 )""".format(r=r, p=r - 1, sel=sel, out=out)
     unions = " union all ".join(
         "select * from m%d" % r for r in range(1, n_merges + 1)
     )
     sql += '\nselect * from (%s) order by "rank"\n' % unions
     return sql
+
+
+def bpe_encode_duck(
+    n_merges: int,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for ``bpe_encode_counts``: the same training
+    replay, then words joined to their final segmentation lengths."""
+    train = bpe_duck(n_merges, table, text_col)
+    # strip the merge-table tail; keep the CTE chain
+    ctes = train.rsplit("\nselect * from", 1)[0]
+    return (
+        ctes
+        + """
+, enc as (select w, len(s)::BIGINT n_sub from w{R})
+select {id}, count(*)::BIGINT n_words, sum(n_sub)::BIGINT n_bpe_tokens
+from (
+  select {id}, unnest(string_split({c}, ' ')) w from {t}
+)
+join enc using (w)
+where length(w) > 0
+group by {id} order by {id}
+""".format(R=n_merges, t=table, c=text_col, id=id_col)
+    )

@@ -4913,6 +4913,17 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_train(d, "text", n_merges=6)
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-and-encode composition: per doc, whitespace words vs BPE
+    tokens under the 6 learned merges — the honest corpus token budget
+    (see :func:`bamboo_spark.operators.bpe.bpe_encode_counts`).
+    Encoding is a broadcast join against the trained vocab table — the
+    word-cache amortization a tokenizer service relies on; the corpus
+    is scanned once."""
+    d = load(spark, sf_dir, "documents")
+    return bpe.bpe_encode_counts(d, "text", n_merges=6)
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -5053,6 +5064,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_paths": q_event_paths,
         "diversity_sample": q_diversity_sample,
         "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
@@ -5267,6 +5279,7 @@ from s group by cluster_size order by cluster_size
         "event_paths": Q_EVENT_PATHS_SQL,
         "diversity_sample": _diversity_sample_duck(),
         "bpe_merges": bpe.bpe_duck(6),
+        "bpe_token_counts": bpe.bpe_encode_duck(6),
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "event_paths",
     "diversity_sample",
     "bpe_merges",
+    "bpe_token_counts",
 ]
 
 
