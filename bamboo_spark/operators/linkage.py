@@ -1,4 +1,4 @@
-"""Record linkage: scalable edit-distance similarity self-join.
+"""Record linkage: scalable edit-distance similarity joins.
 
 Entity resolution's core primitive — find all id pairs whose (normalized)
 string keys are within ``max_dist`` Levenshtein edits — WITHOUT the n²
@@ -13,26 +13,33 @@ no counterpart surface):
   budget, its occurrence in the partner starts within ``±d`` of its home
   position;
 * so the index holds only ``k`` segments per string, probes enumerate the
-  ``(partner_length, segment, ±d start)`` grid (≤ (d+1)²·(2d+1) short
-  substrings per string), and candidates require an EXACT segment==
-  substring match — far more selective than any q-gram scheme on
-  low-entropy corpora, where 3-gram signatures collapse (measured on the
-  synthetic docs: 375 distinct 3-grams across 150k instances turned an
-  Ed-Join prefix filter into a 4.2M-pair candidate set; segments give
+  ``(partner_length, segment, ±d start)`` grid (a constant ≤ (2d+1)²·
+  (d+1) short substrings per string), and candidates require an EXACT
+  segment==substring match — far more selective than any q-gram scheme
+  on low-entropy corpora, where 3-gram signatures collapse (measured on
+  the synthetic docs: 375 distinct 3-grams across 150k instances turned
+  an Ed-Join prefix filter into a 4.2M-pair candidate set; segments give
   ~110k);
-* pairs whose SHORTER side has fewer than ``k`` characters can't be
+* pairs whose INDEXED side has fewer than ``k`` characters can't be
   segmented — both sides of such a pair are ≤ 2d chars, and they fall
   back to a length-bucket block (short keys are inherently dense; the
   block is still an equi-join);
 * every candidate is verified EXACTLY with ``levenshtein(a, b, d)`` (the
   banded O(d·n) form), so pruning can never change the answer.
 
+Two shapes share the machinery:
+
+* :func:`edit_distance_pairs` — self-join (corpus-wide linkage);
+* :func:`edit_distance_join` — asymmetric NEW-batch × stored-corpus
+  probe, the append-only ingest shape: the corpus's segment index is
+  the persistable side (store it bucketed by (len, seg_no, content)
+  and each ingest probes O(batch), never re-pairing the corpus).
+
 Scale shape: the index/probe tables are short substrings keyed by
 (partner_len, segment_no, content) — an equi-join with no windows, no
-sort, and the only per-string fan-out a constant ≤ (d+1)²·(2d+1). The
-full keys are touched exactly twice: once to cut segments/probes (all
-inside codegen — substring over a position sequence, no indexed array
-access) and once at the final verify join.
+sort. The full keys are touched exactly twice: once to cut
+segments/probes (all inside codegen — substring over a position
+sequence, no indexed array access) and once at the final verify join.
 """
 
 from __future__ import annotations
@@ -40,6 +47,137 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from bamboo_spark.operators._cache import tracked_persist
+
+
+def _keys(df: DataFrame, id_col: str, key_col: str) -> DataFrame:
+    return tracked_persist(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(key_col).cast("string").alias("_key"),
+            F.length(key_col).cast("int").alias("_len"),
+        ).where(F.col(key_col).isNotNull())
+    )
+
+
+def _seg_len(l: str, i: str, k: int) -> str:
+    # even partition scheme: len_i(l) = l div k + (1 if i <= l mod k)
+    return "((%s) div %d) + if((%s) <= (%s) %% %d, 1, 0)" % (l, k, i, l, k)
+
+
+def _seg_pos(l: str, i: str, k: int) -> str:
+    # p_i(l) = (i-1)*(l div k) + least(i-1, l mod k) + 1
+    return "((%s) - 1) * ((%s) div %d) + least((%s) - 1, (%s) %% %d) + 1" % (
+        i,
+        l,
+        k,
+        i,
+        l,
+        k,
+    )
+
+
+def _segments(keys: DataFrame, d: int) -> DataFrame:
+    """Index side: k segments per string (strings with >= k chars).
+    This is the persistable corpus index for the incremental shape."""
+    k = d + 1
+    idx_expr = (
+        "filter(transform(sequence(1, %(k)d), i -> named_struct("
+        "'_l', _len, '_i', i, "
+        "'_seg', substring(_key, %(pos)s, %(slen)s)"
+        ")), x -> length(x._seg) >= 1)"
+    ) % {
+        "k": k,
+        "pos": _seg_pos("_len", "i", k),
+        "slen": _seg_len("_len", "i", k),
+    }
+    return (
+        keys.where(F.col("_len") >= k)
+        .select(
+            F.col("_id").alias("_idg"),
+            F.explode(F.expr(idx_expr)).alias("_e"),
+        )
+        .select("_idg", "_e._l", "_e._i", F.col("_e._seg").alias("_sub"))
+    )
+
+
+def _probes(keys: DataFrame, d: int, lo_off: int, hi_off: int) -> DataFrame:
+    """Probe side: for partner lengths l in [len+lo_off, len+hi_off]
+    (l >= k), every segment's ±d start window; clipped windows filtered
+    out. The self-join orients probes at shorter-or-equal partners
+    (lo=-d, hi=0); the asymmetric join must cover both directions
+    (lo=-d, hi=+d)."""
+    k = d + 1
+    probe_expr = (
+        "filter(flatten(flatten("
+        "transform(sequence(_len + %(lo)d, _len + %(hi)d), l -> "
+        " transform(sequence(1, %(k)d), i -> "
+        "  transform(sequence((%(pos)s) - %(d)d, (%(pos)s) + %(d)d), st -> "
+        "   named_struct('_l', l, '_i', i, '_st', st, '_sl', %(slen)s)"
+        "))))), "
+        "x -> x._l >= %(k)d and x._st >= 1 and x._sl >= 1 "
+        "and x._st + x._sl - 1 <= _len)"
+    ) % {
+        "d": d,
+        "k": k,
+        "lo": lo_off,
+        "hi": hi_off,
+        "pos": _seg_pos("l", "i", k),
+        "slen": _seg_len("l", "i", k),
+    }
+    # NOTE: no probe-side length floor — a key shorter than k can still
+    # contain a segment of a LONGER partner (the pigeonhole only needs
+    # the INDEXED side segmentable); the lambda's `x._l >= k` filter
+    # already drops partner lengths that aren't in the index
+    return keys.select(
+        F.col("_id").alias("_idp"),
+        F.col("_key").alias("_kp"),
+        F.explode(F.expr(probe_expr)).alias("_e"),
+    ).select(
+        "_idp",
+        "_e._l",
+        "_e._i",
+        F.expr("substring(_kp, _e._st, _e._sl)").alias("_sub"),
+    )
+
+
+def _short_block(
+    shorts_a: DataFrame, shorts_b: DataFrame, d: int
+) -> DataFrame:
+    """Length-bucket block between two short-key tables: equi-join on
+    the b-side length against a's exploded [len-d, len+d] range."""
+    sa = shorts_a.select(
+        F.col("_id").alias("_ida"),
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("_len") - d, F.lit(0)), F.col("_len") + d
+            )
+        ).alias("_lv"),
+    )
+    sb = shorts_b.select(F.col("_id").alias("_idb"), F.col("_len").alias("_lv"))
+    return sa.join(sb, "_lv").select("_ida", "_idb")
+
+
+def _verify(
+    cands: DataFrame,
+    keys_a: DataFrame,
+    keys_b: DataFrame,
+    d: int,
+    out_a: str,
+    out_b: str,
+) -> DataFrame:
+    ka = keys_a.select(F.col("_id").alias("_ida"), F.col("_key").alias("_ka"))
+    kb = keys_b.select(F.col("_id").alias("_idb"), F.col("_key").alias("_kb"))
+    return (
+        cands.join(ka, "_ida")
+        .join(kb, "_idb")
+        .withColumn("_dist", F.levenshtein("_ka", "_kb", d))
+        .where(F.col("_dist") >= 0)
+        .select(
+            F.col("_ida").alias(out_a),
+            F.col("_idb").alias(out_b),
+            F.col("_dist").cast("int").alias("dist"),
+        )
+    )
 
 
 def edit_distance_pairs(
@@ -58,117 +196,63 @@ def edit_distance_pairs(
     if max_dist < 1:
         raise ValueError("max_dist must be >= 1; got %d" % max_dist)
     d = max_dist
-    k = d + 1
-
-    keys = tracked_persist(
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.col(key_col).cast("string").alias("_key"),
-            F.length(key_col).cast("int").alias("_len"),
-        ).where(F.col(key_col).isNotNull())
-    )
-
-    # Even partition scheme, shared by index and probe: for a string of
-    # length l, segment i (1-based, i <= k) has
-    #   len_i(l) = l div k + (1 if i <= l mod k else 0)
-    #   p_i(l)   = (i-1)*(l div k) + least(i-1, l mod k) + 1
-    def seg_len(l: str, i: str) -> str:
-        return "((%s) div %d) + if((%s) <= (%s) %% %d, 1, 0)" % (l, k, i, l, k)
-
-    def seg_pos(l: str, i: str) -> str:
-        return "((%s) - 1) * ((%s) div %d) + least((%s) - 1, (%s) %% %d) + 1" % (
-            i,
-            l,
-            k,
-            i,
-            l,
-            k,
-        )
-
-    # --- index: k segments per string (strings long enough to segment)
-    idx_expr = (
-        "filter(transform(sequence(1, %(k)d), i -> named_struct("
-        "'_l', _len, '_i', i, "
-        "'_seg', substring(_key, %(pos)s, %(slen)s)"
-        ")), x -> length(x._seg) >= 1)"
-    ) % {
-        "k": k,
-        "pos": seg_pos("_len", "i"),
-        "slen": seg_len("_len", "i"),
-    }
-    segs = keys.where(F.col("_len") >= k).select(
-        F.col("_id").alias("_idg"),
-        F.explode(F.expr(idx_expr)).alias("_e"),
-    ).select("_idg", "_e._l", "_e._i", F.col("_e._seg").alias("_sub"))
-
-    # --- probe: for partner lengths l in [len-d, len] (l >= k), every
-    # segment's ±d start window; empty/clipped windows filtered out
-    probe_expr = (
-        "filter(flatten(flatten("
-        "transform(sequence(_len - %(d)d, _len), l -> "
-        " transform(sequence(1, %(k)d), i -> "
-        "  transform(sequence((%(pos)s) - %(d)d, (%(pos)s) + %(d)d), st -> "
-        "   named_struct('_l', l, '_i', i, '_st', st, '_sl', %(slen)s)"
-        "))))), "
-        "x -> x._l >= %(k)d and x._st >= 1 and x._sl >= 1 "
-        "and x._st + x._sl - 1 <= _len)"
-    ) % {
-        "d": d,
-        "k": k,
-        "pos": seg_pos("l", "i"),
-        "slen": seg_len("l", "i"),
-    }
-    probes = keys.where(F.col("_len") >= k).select(
-        F.col("_id").alias("_idp"),
-        F.col("_key").alias("_kp"),
-        F.explode(F.expr(probe_expr)).alias("_e"),
-    ).select(
-        "_idp",
-        "_e._l",
-        "_e._i",
-        F.expr("substring(_kp, _e._st, _e._sl)").alias("_sub"),
-    )
+    keys = _keys(df, id_col, key_col)
 
     seg_cands = (
-        probes.join(segs, ["_l", "_i", "_sub"])
+        _probes(keys, d, -d, 0)
+        .join(_segments(keys, d), ["_l", "_i", "_sub"])
         .where(F.col("_idp") != F.col("_idg"))
         .select(
             F.least("_idp", "_idg").alias("_ida"),
             F.greatest("_idp", "_idg").alias("_idb"),
         )
     )
-
-    # --- short pool: pairs whose shorter side is < k chars; both sides
-    # of such a pair are <= 2d chars (length filter), block on length
     shorts = keys.where(F.col("_len") <= 2 * d)
-    sa = shorts.select(
-        F.col("_id").alias("_ida"),
-        F.explode(
-            F.sequence(
-                F.greatest(F.col("_len") - d, F.lit(0)), F.col("_len") + d
-            )
-        ).alias("_lv"),
+    short_cands = _short_block(shorts, shorts, d).where(
+        F.col("_ida") < F.col("_idb")
     )
-    sb = shorts.select(F.col("_id").alias("_idb"), F.col("_len").alias("_lv"))
-    short_cands = (
-        sa.join(sb, "_lv")
-        .where(F.col("_ida") < F.col("_idb"))
-        .select("_ida", "_idb")
-    )
-
     cands = seg_cands.unionByName(short_cands).distinct()
+    return _verify(cands, keys, keys, d, "id_a", "id_b")
 
-    # --- exact verify ---------------------------------------------------
-    ka = keys.select(F.col("_id").alias("_ida"), F.col("_key").alias("_ka"))
-    kb = keys.select(F.col("_id").alias("_idb"), F.col("_key").alias("_kb"))
-    verified = (
-        cands.join(ka, "_ida")
-        .join(kb, "_idb")
-        .withColumn("_dist", F.levenshtein("_ka", "_kb", d))
-        .where(F.col("_dist") >= 0)
+
+def edit_distance_join(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    key_col: str,
+    max_dist: int,
+) -> DataFrame:
+    """Asymmetric fuzzy-match: every (new, corpus) id pair within
+    ``max_dist`` edits — the INCREMENTAL ingest shape. The corpus side
+    contributes only its segment index (persist it bucketed by
+    (_l, _i, _sub) in production); each new batch cuts O(batch) probes
+    and equi-joins the index, so ingest cost is O(batch), never a
+    corpus re-pair.
+
+    Output: (id_new, id_corpus, dist), one row per matching pair. Ids
+    may coincide across the two tables (they are independent keyspaces).
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1; got %d" % max_dist)
+    d = max_dist
+    new_keys = _keys(new_df, id_col, key_col)
+    corpus_keys = _keys(corpus_df, id_col, key_col)
+
+    # probe must cover longer AND shorter corpus partners
+    seg_cands = (
+        _probes(new_keys, d, -d, d)
+        .join(_segments(corpus_keys, d), ["_l", "_i", "_sub"])
+        .select(
+            F.col("_idp").alias("_ida"),
+            F.col("_idg").alias("_idb"),
+        )
     )
-    return verified.select(
-        F.col("_ida").alias("id_a"),
-        F.col("_idb").alias("id_b"),
-        F.col("_dist").cast("int").alias("dist"),
+    # pairs whose corpus side is < k chars: corpus len <= d, so new len
+    # <= 2d — both short tables are tiny by construction
+    short_cands = _short_block(
+        new_keys.where(F.col("_len") <= 2 * d),
+        corpus_keys.where(F.col("_len") < d + 1),
+        d,
     )
+    cands = seg_cands.unionByName(short_cands).distinct()
+    return _verify(cands, new_keys, corpus_keys, d, "id_new", "id_corpus")

@@ -4532,6 +4532,42 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_record_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fuzzy-key ingest: a NEW batch (doc_id >= 250) is
+    linked against the stored corpus (doc_id < 250) by 32-char title
+    key within 3 edits — the append-only twin of ``record_linkage``.
+    Only the corpus's SEGMENT INDEX participates (persist it bucketed
+    by (len, seg_no, content) in production); each ingest cuts O(batch)
+    probes and equi-joins the index — the corpus is never re-paired.
+    Oracle = brute-force new × corpus join; pruning is lossless."""
+    from bamboo_spark.operators import linkage
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 32)).alias("title_key"),
+    )
+    new = d.where(F.col("doc_id") >= 250)
+    corpus = d.where(F.col("doc_id") < 250)
+    return linkage.edit_distance_join(
+        new, corpus, "doc_id", "title_key", max_dist=3
+    ).orderBy("id_new", "id_corpus")
+
+
+Q_RECORD_LINKAGE_INC_SQL = """
+with k as (
+  select doc_id as id, lower(substring(text, 1, 32)) as tk,
+         length(lower(substring(text, 1, 32))) as ln
+  from documents where text is not null
+)
+select n.id id_new, c.id id_corpus, levenshtein(n.tk, c.tk)::INT dist
+from (select * from k where id >= 250) n
+join (select * from k where id < 250) c
+  on abs(n.ln - c.ln) <= 3
+where levenshtein(n.tk, c.tk) <= 3
+order by id_new, id_corpus
+"""
+
+
 Q_RECORD_LINKAGE_SQL = """
 with k as (
   select doc_id as id, lower(substring(text, 1, 32)) as tk,
@@ -5065,6 +5101,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversity_sample": q_diversity_sample,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
+        "record_linkage_incremental": q_record_linkage_incremental,
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
@@ -5280,6 +5317,7 @@ from s group by cluster_size order by cluster_size
         "diversity_sample": _diversity_sample_duck(),
         "bpe_merges": bpe.bpe_duck(6),
         "bpe_token_counts": bpe.bpe_encode_duck(6),
+        "record_linkage_incremental": Q_RECORD_LINKAGE_INC_SQL,
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

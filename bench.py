@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "diversity_sample",
     "bpe_merges",
     "bpe_token_counts",
+    "record_linkage_incremental",
 ]
 
 

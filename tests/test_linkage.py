@@ -111,3 +111,40 @@ def test_record_linkage_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _brute_cross(new_rows, corpus_rows, d):
+    out = set()
+    for ia, ka in new_rows:
+        for ib, kb in corpus_rows:
+            if ka is None or kb is None:
+                continue
+            if abs(len(ka) - len(kb)) > d:
+                continue
+            dist = _lev(ka, kb)
+            if dist <= d:
+                out.add((ia, ib, dist))
+    return out
+
+
+@pytest.mark.parametrize("seed,d", [(21, 2), (23, 3)])
+def test_edit_join_matches_bruteforce_random(spark, seed, d):
+    rng = random.Random(seed)
+    corpus = []
+    for i in range(50):
+        corpus.append(
+            (i, "".join(rng.choice("abcde ") for _ in range(rng.randrange(0, 30))))
+        )
+    new_rows = []
+    for j in range(40):
+        base = rng.choice(corpus)[1]
+        new_rows.append((j, _mutate(rng, base, rng.randrange(0, d + 3))))
+    ndf = spark.createDataFrame(new_rows, "id long, k string")
+    cdf = spark.createDataFrame(corpus, "id long, k string")
+    from bamboo_spark.operators.linkage import edit_distance_join
+
+    got = {
+        (r.id_new, r.id_corpus, r.dist)
+        for r in edit_distance_join(ndf, cdf, "id", "k", max_dist=d).collect()
+    }
+    assert got == _brute_cross(new_rows, corpus, d)
