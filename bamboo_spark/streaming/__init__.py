@@ -16,6 +16,7 @@ from bamboo_spark.streaming.core import (
     contamination_stream,
     dedup_stream_simhash,
     sessionize_stream_tws,
+    transitions_stream,
     dedup_stream,
     flatten_stream,
     minhash_pairs_stream,
@@ -34,5 +35,6 @@ __all__ = [
     "minhash_pairs_stream",
     "sessionize_stream",
     "sessionize_stream_tws",
+    "transitions_stream",
     "windowed_counts",
 ]

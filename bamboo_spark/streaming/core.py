@@ -1000,3 +1000,74 @@ def cdc_upsert_stream(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def transitions_stream(
+    sdf: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming Markov-transition feed — the streaming twin of the
+    batch ``q_event_transitions``: every event emits its (prev_type,
+    event_type) edge as it arrives, with the previous event carried in
+    per-user state across micro-batches. Downstream, a windowed count
+    over the emitted edges IS the live transition matrix.
+
+    State per user is one (µs, event_id, type) triple — bounded by user
+    cardinality. Each micro-batch sorts its rows by (ts, event_id) (the
+    batch twin's lag ordering), so in-order replay reproduces the batch
+    window's edge list row-for-row (tests/test_streaming.py); a
+    late-arriving event contributes its edge against the best-known
+    predecessor, the standard streaming tradeoff.
+
+    Scale: one key-hash shuffle (any stateful op's floor); per batch
+    each user does an O(rows) linear pass in Arrow-batch pandas."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "{u} bigint, {i} bigint, prev_type string, {t} string".format(
+            u=user_col, i=id_col, t=type_col
+        )
+    )
+    state_schema = "us long, eid long, etype string"
+
+    def fn(key, pdfs, state):
+        uid = key[0]
+        frames = [p[[ts_col, id_col, type_col]] for p in pdfs if len(p)]
+        if not frames:
+            return
+        batch = pd.concat(frames)
+        us = batch[ts_col].astype("int64") // 1_000  # ns -> µs
+        batch = pd.DataFrame(
+            {"us": us, "eid": batch[id_col], "etype": batch[type_col]}
+        ).sort_values(["us", "eid"], kind="mergesort")
+        prev = state.get[2] if state.exists else None
+        out = []
+        last = None
+        for r_us, r_eid, r_et in batch.itertuples(index=False):
+            if prev is not None:
+                out.append(
+                    {
+                        user_col: uid,
+                        id_col: int(r_eid),
+                        "prev_type": prev,
+                        type_col: r_et,
+                    }
+                )
+            prev = r_et
+            last = (int(r_us), int(r_eid), r_et)
+        if last is not None:
+            state.update(last)
+        if out:
+            yield pd.DataFrame(out)
+
+    return sdf.groupBy(user_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

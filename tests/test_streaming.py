@@ -1085,3 +1085,52 @@ def test_stream_batch_parity_cdc_upsert(spark, tmp_path):
         assert got == expected
     finally:
         qy.stop()
+
+
+def test_stream_batch_parity_transitions(spark, tmp_path):
+    # in-order replay must reproduce the batch lag-window's edge
+    # aggregate exactly
+    from bamboo_spark import queries as q
+    from bamboo_spark.streaming import transitions_stream
+
+    batch = {
+        (r.prev_type, r.event_type): r.n
+        for r in q.q_event_transitions(spark, SF_DIR).collect()
+    }
+    assert batch
+
+    d = str(tmp_path / "trans_replay")
+    (
+        q.load(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_type", "event_id")
+        .coalesce(1)
+        .write.parquet(d)
+    )
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string, event_id long"
+    ).parquet(d)
+    out = transitions_stream(stream)
+    assert out.isStreaming
+    qy = (
+        out.writeStream.format("memory")
+        .queryName("trans_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        total = sum(batch.values())
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.sql("select count(*) c from trans_t").collect()[0].c >= total:
+                break
+            time.sleep(0.5)
+        got = {
+            (r.prev_type, r.event_type): r.n
+            for r in spark.sql(
+                "select prev_type, event_type, count(*)::long n "
+                "from trans_t group by 1, 2"
+            ).collect()
+        }
+        assert got == batch
+    finally:
+        qy.stop()
