@@ -4960,6 +4960,153 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_encode_counts(d, "text", n_merges=6)
 
 
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the warehouse: for each FK
+    edge (orders→customer, lineitem→orders, customer→nation,
+    supplier→nation, nation→region), the row count, orphan count
+    (child keys with no parent), and null-key count — the pre-flight
+    check before any join-heavy pipeline trusts its dimensions.
+
+    Each edge is one LEFT ANTI join on the key; parents are dimension
+    tables and broadcast (orders→customer's parent is the largest at
+    1.5M rows per TPC-H SF — still broadcastable; at bigger parents the
+    anti join shuffles on the key, which is the right plan anyway).
+    Output is one row per edge — the grid a data-quality dashboard
+    polls."""
+    specs = [
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for edge, child, ck, parent, pk in specs:
+        c = load(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = load(spark, sf_dir, parent).select(F.col(pk).alias("k")).distinct()
+        orphans = (
+            c.where(F.col("k").isNotNull())
+            .join(F.broadcast(p), "k", "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("orphans"))
+        )
+        stats = c.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("k").isNull().cast("bigint"))
+            .cast("bigint")
+            .alias("null_keys"),
+        )
+        row = (
+            stats.crossJoin(orphans)
+            .select(
+                F.lit(edge).alias("fk_edge"),
+                "n_rows",
+                "orphans",
+                "null_keys",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk_edge")
+
+
+Q_FK_INTEGRITY_SQL = """
+select 'customer->nation' fk_edge, count(*)::BIGINT n_rows,
+       count(*) filter (c_nationkey is not null and c_nationkey not in
+         (select n_nationkey from nation))::BIGINT orphans,
+       count(*) filter (c_nationkey is null)::BIGINT null_keys
+from customer
+union all
+select 'lineitem->orders', count(*)::BIGINT,
+       count(*) filter (l_orderkey is not null and l_orderkey not in
+         (select o_orderkey from orders))::BIGINT,
+       count(*) filter (l_orderkey is null)::BIGINT
+from lineitem
+union all
+select 'nation->region', count(*)::BIGINT,
+       count(*) filter (n_regionkey is not null and n_regionkey not in
+         (select r_regionkey from region))::BIGINT,
+       count(*) filter (n_regionkey is null)::BIGINT
+from nation
+union all
+select 'orders->customer', count(*)::BIGINT,
+       count(*) filter (o_custkey is not null and o_custkey not in
+         (select c_custkey from customer))::BIGINT,
+       count(*) filter (o_custkey is null)::BIGINT
+from orders
+union all
+select 'supplier->nation', count(*)::BIGINT,
+       count(*) filter (s_nationkey is not null and s_nationkey not in
+         (select n_nationkey from nation))::BIGINT,
+       count(*) filter (s_nationkey is null)::BIGINT
+from supplier
+order by fk_edge
+"""
+
+
+def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: fuzzy-key pairs (PassJoin edit
+    join, d ≤ 3 on 32-char title keys) → converged connected components
+    → per-entity golden-record pick (lowest id = the component label).
+    The composition a master-data pipeline runs: block, match, cluster,
+    survivorship — each stage one of this engine's operators, the whole
+    chain one Catalyst plan per superstep.
+
+    Output: one row per doc that matched anything — (doc_id, entity_id,
+    cluster_size, is_canonical). The oracle replays the brute-force
+    pair join + a recursive-CTE transitive closure — candidate pruning
+    AND the iterative clustering both land on the provable fixpoint."""
+    from bamboo_spark.operators import linkage
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 32)).alias("title_key"),
+    )
+    pairs = linkage.edit_distance_pairs(
+        d, "doc_id", "title_key", max_dist=3
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    comp = dedup.connected_components_converged(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        comp.join(F.broadcast(sizes), "component")
+        .select(
+            "doc_id",
+            F.col("component").alias("entity_id"),
+            "cluster_size",
+            (F.col("doc_id") == F.col("component")).cast("int").alias(
+                "is_canonical"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _entity_clusters_duck() -> str:
+    pairs_cte = """
+select a.id doc_a, b.id doc_b
+from (select doc_id as id, lower(substring(text, 1, 32)) tk,
+             length(lower(substring(text, 1, 32))) ln
+      from documents where text is not null) a
+join (select doc_id as id, lower(substring(text, 1, 32)) tk,
+             length(lower(substring(text, 1, 32))) ln
+      from documents where text is not null) b
+  on a.id < b.id and abs(a.ln - b.ln) <= 3
+where levenshtein(a.tk, b.tk) <= 3
+"""
+    fix = dedup.components_fixpoint_duck(pairs_cte).strip()
+    # a CTE body may carry its own WITH RECURSIVE — nest the fixpoint
+    # statement whole
+    return """
+with comp as materialized (
+%s
+)
+select doc_id, component entity_id,
+       (count(*) over (partition by component))::BIGINT cluster_size,
+       (doc_id = component)::INT is_canonical
+from comp order by doc_id
+""" % fix
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -5102,6 +5249,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
         "record_linkage_incremental": q_record_linkage_incremental,
+        "fk_integrity": q_fk_integrity,
+        "entity_clusters": q_entity_clusters,
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
@@ -5318,6 +5467,8 @@ from s group by cluster_size order by cluster_size
         "bpe_merges": bpe.bpe_duck(6),
         "bpe_token_counts": bpe.bpe_encode_duck(6),
         "record_linkage_incremental": Q_RECORD_LINKAGE_INC_SQL,
+        "fk_integrity": Q_FK_INTEGRITY_SQL,
+        "entity_clusters": _entity_clusters_duck(),
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "bpe_merges",
     "bpe_token_counts",
     "record_linkage_incremental",
+    "fk_integrity",
+    "entity_clusters",
 ]
 
 
