@@ -539,3 +539,24 @@ def test_pit_enrich_user_keyed_no_range_explosion(spark):
     plan = plan_of(q.queries()["pit_enrich"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_record_linkage_incremental_no_cartesian(spark):
+    plan = plan_of(q.queries()["record_linkage_incremental"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_entity_clusters_no_cartesian_sizes_broadcast(spark):
+    plan = plan_of(q.queries()["entity_clusters"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # per-entity sizes join rides a broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fk_integrity_broadcasts_parents(spark):
+    plan = plan_of(q.queries()["fk_integrity"](spark, SF))
+    # every orphan check is a broadcast anti join; the 1-row stat
+    # combines are nested-loop on purpose (both sides single-row)
+    assert "BroadcastHashJoin" in plan
