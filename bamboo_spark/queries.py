@@ -5107,6 +5107,61 @@ from comp order by doc_id
 """ % fix
 
 
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier audit (Tukey fences): per event type,
+    exact quartiles of ``value``, the 1.5·IQR fences, and how many
+    events fall outside them — the monitoring grid that catches a
+    misbehaving emitter (a client suddenly logging milliseconds instead
+    of seconds) without being blinded by the outliers themselves, the
+    way mean/std z-scores are.
+
+    One exact-percentile aggregate over the tiny type domain, broadcast
+    back, one map-side fence count — two scans, no window, nothing
+    data-sized collected. At 100 TB the quartiles switch to
+    ``approx_percentile`` (mergeable t-digest) with the same plan."""
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    g = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("q1"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median"),
+        F.round(F.expr("percentile(value, 0.75)"), 4).alias("q3"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        e.join(F.broadcast(g), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("q1").alias("q1"),
+            F.first("median").alias("median"),
+            F.first("q3").alias("q3"),
+            F.first("n").alias("n"),
+            F.sum(((F.col("value") < lo) | (F.col("value") > hi)).cast("bigint"))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_VALUE_OUTLIERS_SQL = """
+with g as (
+  select event_type,
+         round(quantile_cont(value, 0.25), 4) q1,
+         round(quantile_cont(value, 0.5), 4) median,
+         round(quantile_cont(value, 0.75), 4) q3,
+         count(*)::BIGINT n
+  from events group by event_type
+)
+select e.event_type, any_value(q1) q1, any_value(median) median,
+       any_value(q3) q3, any_value(n) n,
+       sum((e.value < q1 - 1.5 * (q3 - q1)
+            or e.value > q3 + 1.5 * (q3 - q1))::BIGINT)::BIGINT n_outliers
+from events e join g using (event_type)
+group by e.event_type order by e.event_type
+"""
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -5251,6 +5306,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_linkage_incremental": q_record_linkage_incremental,
         "fk_integrity": q_fk_integrity,
         "entity_clusters": q_entity_clusters,
+        "value_outliers": q_value_outliers,
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
@@ -5469,6 +5525,7 @@ from s group by cluster_size order by cluster_size
         "record_linkage_incremental": Q_RECORD_LINKAGE_INC_SQL,
         "fk_integrity": Q_FK_INTEGRITY_SQL,
         "entity_clusters": _entity_clusters_duck(),
+        "value_outliers": Q_VALUE_OUTLIERS_SQL,
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

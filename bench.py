@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "record_linkage_incremental",
     "fk_integrity",
     "entity_clusters",
+    "value_outliers",
 ]
 
 
