@@ -19,6 +19,7 @@ from bamboo_spark.streaming.core import (
     transitions_stream,
     dedup_stream,
     flatten_stream,
+    linkage_stream,
     minhash_pairs_stream,
     sessionize_stream,
     windowed_counts,
@@ -32,6 +33,7 @@ __all__ = [
     "dedup_stream",
     "dedup_stream_simhash",
     "flatten_stream",
+    "linkage_stream",
     "minhash_pairs_stream",
     "sessionize_stream",
     "sessionize_stream_tws",

@@ -1071,3 +1071,136 @@ def transitions_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def linkage_stream(
+    sdf: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    key_col: str = "title_key",
+    max_dist: int = 3,
+    ts_col: str = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming fuzzy-key ingest guard — the streaming twin of the
+    batch :func:`bamboo_spark.operators.linkage.edit_distance_join`:
+    each arriving record probes the STATIC corpus segment index
+    (PassJoin pigeonholing) and emits (id_new, id_corpus, dist) for
+    every stored record within ``max_dist`` edits.
+
+    Stream-static shape: the corpus contributes only its segment index
+    and its key table, both broadcast into every micro-batch; the
+    stream never shuffles for the join and needs NO state, so this runs
+    at scan speed on an unbounded ingest. A pair sharing several
+    matching segments emits once per shared segment (candidate
+    multiplicity); pass ``ts_col`` to collapse to exactly one row per
+    pair inside the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — the only stateful piece,
+    bounded by the horizon). Corpus keys shorter than d+1 chars are
+    probed through the same length-bucket block the batch operator
+    uses, also stream-static.
+
+    In-order replay matches the batch join's pair set exactly
+    (tests/test_streaming.py)."""
+    from bamboo_spark.operators.linkage import _keys, _probes, _segments
+
+    d = max_dist
+    corpus_keys = corpus_df.select(
+        F.col(id_col).alias("_id"),
+        F.col(key_col).cast("string").alias("_key"),
+        F.length(key_col).cast("int").alias("_len"),
+    ).where(F.col(key_col).isNotNull())
+    segs = _segments(corpus_keys, d)
+    kb = corpus_keys.select(
+        F.col("_id").alias("_idb"), F.col("_key").alias("_kb")
+    )
+
+    carry = [ts_col] if ts_col is not None else []
+    new_keys = sdf.select(
+        *carry,
+        F.col(id_col).alias("_id"),
+        F.col(key_col).cast("string").alias("_key"),
+        F.length(key_col).cast("int").alias("_len"),
+    ).where(F.col(key_col).isNotNull())
+    # inline probe build (same exprs as the batch operator) with the
+    # optional event-time column carried through
+    probes = _probes_with_carry(new_keys, d, carry)
+
+    seg_cands = probes.join(F.broadcast(segs), ["_l", "_i", "_sub"]).select(
+        *carry,
+        F.col("_idp").alias("id_new"),
+        F.col("_idg").alias("_idb"),
+        F.col("_kp").alias("_ka"),
+    )
+    corpus_shorts = corpus_keys.where(F.col("_len") < d + 1).select(
+        F.col("_id").alias("_idb"), F.col("_len").alias("_lv")
+    )
+    short_cands = (
+        new_keys.where(F.col("_len") <= 2 * d)
+        .select(
+            *carry,
+            F.col("_id").alias("id_new"),
+            F.col("_key").alias("_ka"),
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("_len") - d, F.lit(0)),
+                    F.col("_len") + d,
+                )
+            ).alias("_lv"),
+        )
+        .join(F.broadcast(corpus_shorts), "_lv")
+        .select(*carry, "id_new", "_idb", "_ka")
+    )
+    out = (
+        seg_cands.unionByName(short_cands)
+        .join(F.broadcast(kb), "_idb")
+        .withColumn("_dist", F.levenshtein("_ka", "_kb", d))
+        .where(F.col("_dist") >= 0)
+        .select(
+            *carry,
+            "id_new",
+            F.col("_idb").alias("id_corpus"),
+            F.col("_dist").cast("int").alias("dist"),
+        )
+    )
+    if ts_col is not None:
+        out = out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["id_new", "id_corpus"]
+        )
+    return out
+
+
+def _probes_with_carry(keys: DataFrame, d: int, carry) -> DataFrame:
+    """The batch probe grid (linkage._probes) with extra carried
+    columns and the probe key retained for the verify step."""
+    from bamboo_spark.operators.linkage import _seg_len, _seg_pos
+
+    k = d + 1
+    probe_expr = (
+        "filter(flatten(flatten("
+        "transform(sequence(_len - %(d)d, _len + %(d)d), l -> "
+        " transform(sequence(1, %(k)d), i -> "
+        "  transform(sequence((%(pos)s) - %(d)d, (%(pos)s) + %(d)d), st -> "
+        "   named_struct('_l', l, '_i', i, '_st', st, '_sl', %(slen)s)"
+        "))))), "
+        "x -> x._l >= %(k)d and x._st >= 1 and x._sl >= 1 "
+        "and x._st + x._sl - 1 <= _len)"
+    ) % {
+        "d": d,
+        "k": k,
+        "pos": _seg_pos("l", "i", k),
+        "slen": _seg_len("l", "i", k),
+    }
+    return keys.select(
+        *carry,
+        F.col("_id").alias("_idp"),
+        F.col("_key").alias("_kp"),
+        F.explode(F.expr(probe_expr)).alias("_e"),
+    ).select(
+        *carry,
+        "_idp",
+        "_kp",
+        "_e._l",
+        "_e._i",
+        F.expr("substring(_kp, _e._st, _e._sl)").alias("_sub"),
+    )

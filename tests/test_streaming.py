@@ -1134,3 +1134,53 @@ def test_stream_batch_parity_transitions(spark, tmp_path):
         assert got == batch
     finally:
         qy.stop()
+
+
+def test_stream_batch_parity_linkage(spark, tmp_path):
+    # stream-static probe of the corpus segment index must find exactly
+    # the batch edit_distance_join pairs (dedup'd per pair in the test;
+    # candidate multiplicity is documented)
+    from bamboo_spark import queries as q
+    from bamboo_spark.operators.linkage import edit_distance_join
+    from bamboo_spark.streaming import linkage_stream
+
+    docs = q.load(spark, SF_DIR, "documents").select(
+        "doc_id", F.lower(F.substring("text", 1, 32)).alias("title_key")
+    )
+    new = docs.where(F.col("doc_id") >= 250)
+    corpus = docs.where(F.col("doc_id") < 250)
+    batch = {
+        (r.id_new, r.id_corpus, r.dist)
+        for r in edit_distance_join(
+            new, corpus, "doc_id", "title_key", max_dist=3
+        ).collect()
+    }
+    assert batch
+
+    d = str(tmp_path / "linkage_replay")
+    new.coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema("doc_id long, title_key string").parquet(d)
+    out = linkage_stream(stream, corpus, "doc_id", "title_key", max_dist=3)
+    assert out.isStreaming
+    qy = (
+        out.writeStream.format("memory")
+        .queryName("lk_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        got = set()
+        while time.time() < deadline:
+            got = {
+                (r.id_new, r.id_corpus, r.dist)
+                for r in spark.sql(
+                    "select distinct id_new, id_corpus, dist from lk_t"
+                ).collect()
+            }
+            if got >= batch:
+                break
+            time.sleep(0.5)
+        assert got == batch
+    finally:
+        qy.stop()
