@@ -5162,6 +5162,133 @@ group by e.event_type order by e.event_type
 """
 
 
+def q_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent corpus identity: per source, a commutative
+    content fingerprint (sum of 60-bit md5 slices of doc_id∥digest,
+    mod 2⁶⁰), row count, and byte total — the cheap equality check two
+    clusters (or two snapshot versions) run before trusting they hold
+    the SAME corpus, without moving any content. Commutative sum ⇒
+    partitioning/order can't change it; doc_id is folded in so a swap
+    of two docs' texts can't cancel out.
+
+    One scan, one map-combined aggregate — at 100 TB this is the
+    cheapest possible full-corpus integrity pass."""
+    d = load(spark, sf_dir, "documents")
+    h = F.expr(
+        "conv(substring(md5(concat(cast(doc_id as string), ':', md5(text))), 1, 15), 16, 10)"
+    ).cast("long")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+            # sum in decimal(38,0): the 60-bit addends overflow a long
+            # within ~16 rows (Spark ANSI would raise; DuckDB promotes
+            # to HUGEINT — decimal keeps both engines exact)
+            F.pmod(
+                F.sum(h.cast("decimal(38,0)")),
+                F.lit(2**60).cast("decimal(38,0)"),
+            )
+            .cast("bigint")
+            .alias("fingerprint"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_CORPUS_FINGERPRINT_SQL = """
+select source, count(*)::BIGINT n_docs,
+       sum(length(text))::BIGINT n_chars,
+       (sum(('0x' || substr(md5(doc_id::VARCHAR || ':' || md5(text)), 1, 15))::BIGINT)
+        % (1::BIGINT << 60))::BIGINT fingerprint
+from documents
+group by source order by source
+"""
+
+
+_PMI_TOP_V = 40
+
+
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence PMI over the top-V vocabulary: for every
+    pair of top-40 tokens co-occurring in ≥ 5 documents,
+    ln(N·c(a,b) / (c(a)·c(b))) on document-level presence — the
+    collocation/phrase-mining signal (high PMI = the pair is a unit:
+    "merge join", "hash join") and a redundancy feature for corpus
+    analysis.
+
+    Scale: the vocabulary is capped to top-V BEFORE any pairing (V
+    broadcast as a literal-sized table), docs project to their ≤ V
+    distinct top tokens, and pairs explode per doc as C(V,2)-bounded
+    combinations — never token² over the corpus. Counts are exact
+    integers; the log lands on round-9 so the oracle hash can gate
+    it."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    ).where(F.col("t") != "")
+    topv = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "t")
+        .limit(_PMI_TOP_V)
+    )
+    ft = toks.join(F.broadcast(topv), "t")
+    a = ft.select("doc_id", F.col("t").alias("ta"), F.col("df").alias("dfa"))
+    b = ft.select("doc_id", F.col("t").alias("tb"), F.col("df").alias("dfb"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ab"),
+            F.first("dfa").alias("dfa"),
+            F.first("dfb").alias("dfb"),
+        )
+        .where(F.col("n_ab") >= 5)
+    )
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    pmi = F.round(
+        F.log(
+            F.col("_n")
+            * F.col("n_ab").cast("double")
+            / (F.col("dfa").cast("double") * F.col("dfb").cast("double"))
+        ),
+        9,
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .select("ta", "tb", "n_ab", pmi.alias("pmi"))
+        .orderBy("ta", "tb")
+    )
+
+
+Q_TOKEN_PMI_SQL = """
+with toks as (
+  select distinct doc_id, t from (
+    select doc_id, unnest(string_split(text, ' ')) t from documents
+  ) where t != ''
+),
+topv as (
+  select t, count(*)::BIGINT df from toks group by t
+  order by df desc, t limit {v}
+),
+ft as (select toks.doc_id, toks.t, topv.df from toks join topv using (t)),
+pairs as (
+  select a.t ta, b.t tb, count(*)::BIGINT n_ab,
+         any_value(a.df) dfa, any_value(b.df) dfb
+  from ft a join ft b on a.doc_id = b.doc_id and a.t < b.t
+  group by a.t, b.t
+  having count(*) >= 5
+),
+n as (select count(*)::DOUBLE nn from documents)
+select ta, tb, n_ab,
+       round(ln(nn * n_ab::DOUBLE / (dfa::DOUBLE * dfb::DOUBLE)), 9) pmi
+from pairs cross join n
+order by ta, tb
+""".format(v=_PMI_TOP_V)
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -5307,6 +5434,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_integrity": q_fk_integrity,
         "entity_clusters": q_entity_clusters,
         "value_outliers": q_value_outliers,
+        "corpus_fingerprint": q_corpus_fingerprint,
+        "token_pmi": q_token_pmi,
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
@@ -5526,6 +5655,8 @@ from s group by cluster_size order by cluster_size
         "fk_integrity": Q_FK_INTEGRITY_SQL,
         "entity_clusters": _entity_clusters_duck(),
         "value_outliers": Q_VALUE_OUTLIERS_SQL,
+        "corpus_fingerprint": Q_CORPUS_FINGERPRINT_SQL,
+        "token_pmi": Q_TOKEN_PMI_SQL,
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

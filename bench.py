@@ -163,6 +163,8 @@ BENCH_QUERIES = [
     "fk_integrity",
     "entity_clusters",
     "value_outliers",
+    "corpus_fingerprint",
+    "token_pmi",
 ]
 
 
