@@ -5289,6 +5289,75 @@ order by ta, tb
 """.format(v=_PMI_TOP_V)
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality monitor: per-query recall@5 of the IVF top-k against
+    the exact brute-force top-k — the eval harness an index deployment
+    runs before trusting an approximate path (and after every
+    re-train). Composes two existing operators over the SAME shared
+    quantizer; the oracle replays both sides and the join, so recall
+    itself is value-gated, not just eyeballed.
+
+    Cost is the two top-k runs (brute force bounded to the small query
+    slice) + a k-row-per-query join — the monitor is as scalable as its
+    inputs."""
+    e = load(spark, sf_dir, "embeddings")
+    exact = similarity.topk_neighbors(e, query_ids_below=10, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.topk_neighbors_ivf(
+        e,
+        query_ids_below=10,
+        k=5,
+        n_probe=2,
+        centroids=ivf_quantizer(spark, sf_dir),
+    ).select("query_id", F.col("neighbor_id").alias("_hit"))
+    return (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id)
+            & (exact.neighbor_id == approx._hit),
+            "left",
+        )
+        .groupBy(exact.query_id)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum(F.col("_hit").isNotNull().cast("bigint"))
+            .cast("bigint")
+            .alias("hits"),
+            F.round(
+                F.sum(F.col("_hit").isNotNull().cast("bigint")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ann_recall_duck() -> str:
+    exact = similarity.topk_neighbors_duck(query_ids_below=10, k=5).strip()
+    approx = similarity.topk_neighbors_ivf_duck(
+        query_ids_below=10, k=5, n_centroids=None, iterations=COARSE_ITERS,
+        n_probe=2,
+    ).strip()
+    return """
+with exact as materialized (
+{exact}
+),
+approx as materialized (
+{approx}
+)
+select e.query_id, count(*)::BIGINT k,
+       sum((a.neighbor_id is not null)::BIGINT)::BIGINT hits,
+       round(sum((a.neighbor_id is not null)::BIGINT)::DOUBLE
+             / count(*), 6) recall
+from exact e
+left join approx a
+  on a.query_id = e.query_id and a.neighbor_id = e.neighbor_id
+group by e.query_id order by e.query_id
+""".format(exact=exact, approx=approx)
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -5436,6 +5505,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_outliers": q_value_outliers,
         "corpus_fingerprint": q_corpus_fingerprint,
         "token_pmi": q_token_pmi,
+        "ann_recall": q_ann_recall,
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
@@ -5657,6 +5727,7 @@ from s group by cluster_size order by cluster_size
         "value_outliers": Q_VALUE_OUTLIERS_SQL,
         "corpus_fingerprint": Q_CORPUS_FINGERPRINT_SQL,
         "token_pmi": Q_TOKEN_PMI_SQL,
+        "ann_recall": _ann_recall_duck(),
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "value_outliers",
     "corpus_fingerprint",
     "token_pmi",
+    "ann_recall",
 ]
 
 
