@@ -5358,6 +5358,119 @@ group by e.query_id order by e.query_id
 """.format(exact=exact, approx=approx)
 
 
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, the lag from their FIRST
+    click to their FIRST subsequent purchase, rolled into exact lag
+    quantiles + conversion counts — the product-analytics number a
+    growth team tracks ("median time from first touch to first order").
+
+    Per-user firsts are two map-combined min-aggregates on the user key
+    (conditional min, no window); the lag grid is one global exact
+    percentile over the converted users (switch to approx_percentile at
+    100 TB, same plan otherwise)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("us"))).alias(
+            "first_click_us"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).alias(
+            "first_purchase_us"
+        ),
+    )
+    lag = firsts.select(
+        "user_id",
+        "first_click_us",
+        (F.col("first_purchase_us") - F.col("first_click_us")).alias("lag_us"),
+    ).where(
+        F.col("first_click_us").isNotNull()
+        & F.col("first_purchase_us").isNotNull()
+        & (F.col("first_purchase_us") >= F.col("first_click_us"))
+    )
+    return lag.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.round(F.expr("percentile(lag_us, 0.5)") / 1e6, 3).alias("p50_sec"),
+        F.round(F.expr("percentile(lag_us, 0.9)") / 1e6, 3).alias("p90_sec"),
+        F.round(F.expr("percentile(lag_us, 0.99)") / 1e6, 3).alias("p99_sec"),
+    )
+
+
+Q_CONVERSION_LAG_SQL = """
+with e as (
+  select user_id, event_type, epoch_us(ts) us from events
+),
+firsts as (
+  select user_id,
+         min(us) filter (event_type = 'click') first_click_us,
+         min(us) filter (event_type = 'purchase') first_purchase_us
+  from e group by user_id
+),
+lag_t as (
+  select first_purchase_us - first_click_us lag_us
+  from firsts
+  where first_click_us is not null and first_purchase_us is not null
+    and first_purchase_us >= first_click_us
+)
+select count(*)::BIGINT n_converted,
+       round(quantile_cont(lag_us, 0.5) / 1e6, 3) p50_sec,
+       round(quantile_cont(lag_us, 0.9) / 1e6, 3) p90_sec,
+       round(quantile_cont(lag_us, 0.99) / 1e6, 3) p99_sec
+from lag_t
+"""
+
+
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global quality-score decile bucketing: exact decile thresholds
+    of the Gopher-style quality score broadcast back over the corpus,
+    then per (source, decile) counts — the "where does each source sit
+    in the global quality distribution" grid that decides per-source
+    sampling temperature.
+
+    One global exact-percentile aggregate (a 9-number broadcast), one
+    scan-speed bucket assignment, one map-combined count. At 100 TB the
+    thresholds switch to approx_percentile; the assignment pass is
+    unchanged."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "source", text.quality_score("text").alias("q"))
+    ths = scored.agg(
+        *[
+            F.round(F.expr("percentile(q, %s)" % (i / 10.0)), 6).alias(
+                "t%d" % i
+            )
+            for i in range(1, 10)
+        ]
+    )
+    dec = F.lit(1)
+    for i in range(1, 10):
+        dec = dec + (F.col("q") >= F.col("t%d" % i)).cast("int")
+    return (
+        scored.crossJoin(F.broadcast(ths))
+        .select("source", dec.cast("bigint").alias("decile"))
+        .groupBy("source", "decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("source", "decile")
+    )
+
+
+def _quality_deciles_duck() -> str:
+    qd = text.quality_score_duck("text")
+    ths = ", ".join(
+        "round(quantile_cont(q, %s), 6) t%d" % (i / 10.0, i)
+        for i in range(1, 10)
+    )
+    dec = " + ".join("(q >= t%d)::INT" % i for i in range(1, 10))
+    return """
+with scored as (
+  select doc_id, source, {qd} q from documents
+),
+ths as (select {ths} from scored)
+select source, (1 + {dec})::BIGINT decile, count(*)::BIGINT n
+from scored cross join ths
+group by source, decile order by source, decile
+""".format(qd=qd, ths=ths, dec=dec)
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -5506,6 +5619,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_fingerprint": q_corpus_fingerprint,
         "token_pmi": q_token_pmi,
         "ann_recall": q_ann_recall,
+        "conversion_lag": q_conversion_lag,
+        "quality_deciles": q_quality_deciles,
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
@@ -5728,6 +5843,8 @@ from s group by cluster_size order by cluster_size
         "corpus_fingerprint": Q_CORPUS_FINGERPRINT_SQL,
         "token_pmi": Q_TOKEN_PMI_SQL,
         "ann_recall": _ann_recall_duck(),
+        "conversion_lag": Q_CONVERSION_LAG_SQL,
+        "quality_deciles": _quality_deciles_duck(),
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "corpus_fingerprint",
     "token_pmi",
     "ann_recall",
+    "conversion_lag",
+    "quality_deciles",
 ]
 
 
