@@ -2043,3 +2043,24 @@ def near_dup_pairs(
         bucket_cap=bucket_cap,
         centroids=centroids,
     )
+
+
+def embedding_moments(
+    df: DataFrame, vec: str = "embedding"
+) -> DataFrame:
+    """Per-dimension exact moments of an embedding column: (dim, n, s,
+    ss) over integer micro-units (s, ss carried as double AFTER exact
+    decimal summation — order-independent, overflow-proof). This is the
+    broadcastable baseline profile the drift monitors compare against
+    (batch: q_embedding_drift; streaming: drift_stream)."""
+    exp = df.select(F.posexplode(vec).alias("dim", "v")).select(
+        "dim",
+        F.round(F.col("v").cast("double") * 1e6, 0).cast("long").alias("m"),
+    )
+    return exp.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("m").cast("decimal(38,0)")).cast("double").alias("s"),
+        F.sum(F.col("m").cast("decimal(38,0)") * F.col("m"))
+        .cast("double")
+        .alias("ss"),
+    )

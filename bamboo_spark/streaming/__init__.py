@@ -15,6 +15,7 @@ from bamboo_spark.streaming.core import (
     cdc_upsert_stream,
     contamination_stream,
     dedup_stream_simhash,
+    drift_stream,
     sessionize_stream_tws,
     transitions_stream,
     dedup_stream,
@@ -32,6 +33,7 @@ __all__ = [
     "contamination_stream",
     "dedup_stream",
     "dedup_stream_simhash",
+    "drift_stream",
     "flatten_stream",
     "linkage_stream",
     "minhash_pairs_stream",

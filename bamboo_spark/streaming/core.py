@@ -1204,3 +1204,74 @@ def _probes_with_carry(keys: DataFrame, d: int, carry) -> DataFrame:
         "_e._i",
         F.expr("substring(_kp, _e._st, _e._sl)").alias("_sub"),
     )
+
+
+def drift_stream(
+    sdf: DataFrame,
+    baseline: DataFrame,
+    ts_col: str = "ts",
+    vec_col: str = "embedding",
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+    z_alert: float = 3.0,
+) -> DataFrame:
+    """Streaming embedding-drift monitor — the streaming twin of the
+    batch ``q_embedding_drift``: per event-time window and embedding
+    DIMENSION, a Welch z of the window's mean against a static baseline
+    profile (built once with
+    :func:`bamboo_spark.operators.similarity.embedding_moments`).
+    The encoder-regression alarm, live at ingest: a silently
+    re-versioned encoder trips ``is_drifted`` dimensions within one
+    window of arriving.
+
+    The window aggregate carries the SAME exact integer-µ moments as
+    the batch twin (decimal sums — order/partitioning independent), so
+    a replayed window reproduces the batch z bit-for-bit
+    (tests/test_streaming.py). The baseline is a dim-sized broadcast;
+    state is one moment triple per open (window, dim) — watermark
+    bounded."""
+    exp = sdf.select(
+        F.col(ts_col),
+        F.posexplode(vec_col).alias("dim", "v"),
+    ).select(
+        ts_col,
+        "dim",
+        F.round(F.col("v").cast("double") * 1e6, 0).cast("long").alias("m"),
+    )
+    prof = (
+        exp.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "dim")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("nb"),
+            F.sum(F.col("m").cast("decimal(38,0)")).cast("double").alias("sb"),
+            F.sum(F.col("m").cast("decimal(38,0)") * F.col("m"))
+            .cast("double")
+            .alias("ssb"),
+        )
+    )
+    base = baseline.select(
+        "dim",
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+        F.col("ss").alias("ssa"),
+    )
+    mean_a = F.col("sa") / 1e6 / F.col("na")
+    mean_b = F.col("sb") / 1e6 / F.col("nb")
+    var_a = F.greatest(
+        F.col("ssa") / 1e12 / F.col("na") - mean_a * mean_a, F.lit(0.0)
+    )
+    var_b = F.greatest(
+        F.col("ssb") / 1e12 / F.col("nb") - mean_b * mean_b, F.lit(0.0)
+    )
+    se = F.sqrt(var_a / F.col("na") + var_b / F.col("nb"))
+    z = F.when(se <= 0.0, F.lit(0.0)).otherwise(
+        F.round((mean_b - mean_a) / se, 6)
+    )
+    return prof.join(F.broadcast(base), "dim").select(
+        F.col("w.start").alias("window_start"),
+        F.col("dim").cast("int").alias("dim"),
+        F.round(mean_a, 6).alias("mean_base"),
+        F.round(mean_b, 6).alias("mean_window"),
+        z.alias("z"),
+        (F.abs(z) > z_alert).cast("int").alias("is_drifted"),
+    )

@@ -1184,3 +1184,56 @@ def test_stream_batch_parity_linkage(spark, tmp_path):
         assert got == batch
     finally:
         qy.stop()
+
+
+def test_stream_batch_parity_drift(spark, tmp_path):
+    # one replayed window must reproduce the batch Welch z bit-for-bit:
+    # baseline = even vec_ids, stream = odd vec_ids (the batch
+    # q_embedding_drift split)
+    from bamboo_spark import queries as q
+    from bamboo_spark.operators.similarity import embedding_moments
+    from bamboo_spark.streaming import drift_stream
+
+    batch = {
+        r.dim: (r.z, r.is_drifted)
+        for r in q.q_embedding_drift(spark, SF_DIR).collect()
+    }
+    assert batch
+
+    e = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    baseline = embedding_moments(e.where(F.col("vec_id") % 2 == 0))
+    d = str(tmp_path / "drift_replay")
+    (
+        e.where(F.col("vec_id") % 2 == 1)
+        .select(F.lit("2024-01-01 00:05:00").cast("timestamp").alias("ts"), "embedding")
+        .coalesce(1)
+        .write.parquet(d)
+    )
+    stream = spark.readStream.schema(
+        "ts timestamp, embedding array<double>"
+    ).parquet(d)
+    out = drift_stream(stream, baseline, window="10 minutes", z_alert=3.0)
+    assert out.isStreaming
+    # update mode: the single replayed batch holds the whole window, so
+    # the first emission IS the complete aggregate (append would wait
+    # for a watermark push past window end)
+    qy = (
+        out.writeStream.format("memory")
+        .queryName("drift_t")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            qy.processAllAvailable()
+            if spark.sql("select count(*) c from drift_t").collect()[0].c >= len(batch):
+                break
+            time.sleep(0.5)
+        got = {
+            r.dim: (r.z, r.is_drifted)
+            for r in spark.sql("select * from drift_t").collect()
+        }
+        assert got == batch
+    finally:
+        qy.stop()
