@@ -2064,3 +2064,126 @@ def embedding_moments(
         .cast("double")
         .alias("ss"),
     )
+
+
+def embedding_covariance(
+    df: DataFrame, vec: str = "embedding"
+) -> DataFrame:
+    """Exact per-dimension-pair covariance of the embedding cloud — the
+    PCA/whitening precursor (and the correlation audit that catches a
+    collapsed encoder: blocks of ~1.0 off-diagonal correlation).
+    Output: one row per (dim_i <= dim_j) with the covariance at 6
+    decimals.
+
+    Scale shape: each Arrow batch computes ONE integer GEMM (µ-unit
+    int64 MᵀM — exact; |v| < 30 keeps a 10k-row batch under int64) and
+    emits a dim²/2-sized partial — so the shuffle carries
+    O(partitions · dim²) rows, never O(rows · dim²). Global partials
+    sum in decimal(38,0) (order-independent, overflow-proof), and the
+    final covariance is closed-form over exact integers — the DuckDB
+    oracle replays it bit-for-bit from an unnest self-join."""
+    import pyarrow as pa
+
+    spark = df.sparkSession
+    dim_probe = df.select(F.size(vec).alias("d")).first()
+    if dim_probe is None:
+        raise ValueError("embedding_covariance: empty input")
+    dim = dim_probe.d
+    iu, ju = np.triu_indices(dim)
+
+    def gemm(batches):
+        for b in batches:
+            tb = pa.Table.from_batches([b])
+            col = tb.column(0).to_pylist()
+            if not col:
+                continue
+            m = np.rint(np.asarray(col, dtype=np.float64) * 1e6).astype(
+                np.int64
+            )
+            g = m.T @ m  # exact: µ-unit int64 GEMM
+            s = m.sum(axis=0, dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        np.concatenate([iu, np.arange(dim), [-1]]).astype(
+                            "int32"
+                        )
+                    ),
+                    pa.array(
+                        np.concatenate(
+                            [ju, np.full(dim, -1), [-1]]
+                        ).astype("int32")
+                    ),
+                    pa.array(
+                        np.concatenate(
+                            [g[iu, ju], s, [np.int64(len(col))]]
+                        ).astype("int64")
+                    ),
+                ],
+                names=["i", "j", "p"],
+            )
+
+    partials = df.select(F.col(vec).cast("array<double>").alias(vec)).mapInArrow(
+        gemm, "i int, j int, p long"
+    )
+    sums = partials.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast("decimal(38,0)")).cast("double").alias("s")
+    )
+    n = sums.where((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("s").alias("_n")
+    )
+    col = sums.where((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("_ci"), F.col("s").alias("_cs")
+    )
+    pairs = sums.where(F.col("j") >= 0)
+    a = col.select(F.col("_ci").alias("i"), F.col("_cs").alias("si"))
+    b = col.select(F.col("_ci").alias("j"), F.col("_cs").alias("sj"))
+    cov = F.round(
+        (
+            F.col("s") / F.col("_n")
+            - (F.col("si") / F.col("_n")) * (F.col("sj") / F.col("_n"))
+        )
+        / 1e12,
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(a), "i")
+        .join(F.broadcast(b), "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("i").cast("int").alias("dim_i"),
+            F.col("j").cast("int").alias("dim_j"),
+            cov.alias("cov"),
+        )
+        .orderBy("dim_i", "dim_j")
+    )
+
+
+def embedding_covariance_duck() -> str:
+    """DuckDB oracle for ``embedding_covariance``: the same µ-unit
+    integer moments from an unnest self-join."""
+    return """
+with exp as materialized (
+  select vec_id, (i - 1) i,
+         round(embedding[i]::DOUBLE * 1e6, 0)::BIGINT m
+  from (
+    select vec_id, embedding,
+           unnest(generate_series(1, len(embedding))) i
+    from embeddings
+  )
+),
+n as (select count(distinct vec_id)::DOUBLE nn from exp),
+cs as (select i, sum(m)::DOUBLE s from exp group by i),
+pp as (
+  select a.i i, b.i j, sum(a.m::HUGEINT * b.m)::DOUBLE p
+  from exp a join exp b on a.vec_id = b.vec_id and a.i <= b.i
+  group by a.i, b.i
+)
+select pp.i::INT dim_i, pp.j::INT dim_j,
+       round((pp.p / nn - (ca.s / nn) * (cb.s / nn)) / 1e12, 6) cov
+from pp
+join cs ca on ca.i = pp.i
+join cs cb on cb.i = pp.j
+cross join n
+order by dim_i, dim_j
+"""

@@ -5471,6 +5471,15 @@ group by source, decile order by source, decile
 """.format(qd=qd, ths=ths, dec=dec)
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding covariance matrix (upper triangle) — see
+    :func:`bamboo_spark.operators.similarity.embedding_covariance`.
+    One integer GEMM per Arrow batch, O(partitions·dim²) shuffle,
+    decimal-exact reduction, closed-form oracle."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.embedding_covariance(e)
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -5621,6 +5630,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "conversion_lag": q_conversion_lag,
         "quality_deciles": q_quality_deciles,
+        "embedding_covariance": q_embedding_covariance,
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
@@ -5845,6 +5855,7 @@ from s group by cluster_size order by cluster_size
         "ann_recall": _ann_recall_duck(),
         "conversion_lag": Q_CONVERSION_LAG_SQL,
         "quality_deciles": _quality_deciles_duck(),
+        "embedding_covariance": similarity.embedding_covariance_duck(),
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "ann_recall",
     "conversion_lag",
     "quality_deciles",
+    "embedding_covariance",
 ]
 
 
