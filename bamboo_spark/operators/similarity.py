@@ -2187,3 +2187,62 @@ join cs cb on cb.i = pp.j
 cross join n
 order by dim_i, dim_j
 """
+
+
+def pca_train(
+    df: DataFrame, n_components: int = 4, vec: str = "embedding"
+) -> "np.ndarray":
+    """Distributed PCA fit: the exact covariance reduce
+    (:func:`embedding_covariance` — integer GEMM partials, nothing
+    data-sized collected) followed by a driver-side eigendecomposition
+    of the dim×dim matrix (metadata-sized, like a k-means centroid
+    pull). Returns the top ``n_components`` eigenvectors (rows),
+    deterministic sign convention: each component's
+    largest-|coefficient| entry is positive.
+
+    No SQL oracle exists for eig — the operator is gated in pytest
+    against numpy PCA on the collected table instead (rows-only check
+    in the driver gate, like q_approx_sketches)."""
+    cov_rows = embedding_covariance(df, vec).collect()
+    dim = max(r.dim_j for r in cov_rows) + 1
+    c = np.zeros((dim, dim))
+    for r in cov_rows:
+        c[r.dim_i, r.dim_j] = r.cov
+        c[r.dim_j, r.dim_i] = r.cov
+    w, v = np.linalg.eigh(c)
+    order = np.argsort(w)[::-1][:n_components]
+    comps = v[:, order].T.copy()
+    for k in range(comps.shape[0]):
+        j = np.argmax(np.abs(comps[k]))
+        if comps[k, j] < 0:
+            comps[k] = -comps[k]
+    return comps
+
+
+def pca_project(
+    df: DataFrame,
+    components: "np.ndarray",
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Project embeddings onto trained PCA components — the components
+    ship as codegen literals exactly like the JL projection (no UDF, no
+    shuffle, scan speed). Output: (id, pc, val round-6) scalars."""
+    comps = np.asarray(components, dtype=np.float64)
+    rows = []
+    for k in range(comps.shape[0]):
+        coeffs = F.array(*[F.lit(float(c)) for c in comps[k]])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec), coeffs, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        rows.append(
+            F.struct(
+                F.lit(k).cast("bigint").alias("pc"),
+                F.round(dot, 6).alias("val"),
+            )
+        )
+    return df.select(id_col, F.explode(F.array(*rows)).alias("r")).select(
+        id_col, "r.pc", "r.val"
+    )

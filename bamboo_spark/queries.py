@@ -5480,6 +5480,23 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_covariance(e)
 
 
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA: exact covariance reduce (integer GEMM partials)
+    → driver-side eig of the dim×dim matrix (metadata-sized, the same
+    driver hop as a centroid pull) → scan-speed projection with the
+    components as codegen literals. Top-4 components over the
+    embeddings table.
+
+    No SQL oracle can replay eig, so this entry is rows-only in the
+    driver gate (like q_approx_sketches); pytest gates it against
+    numpy PCA on the collected table instead (orthonormality, explained
+    variance ordering, projection equality —
+    tests/test_similarity.py)."""
+    e = load(spark, sf_dir, "embeddings")
+    comps = similarity.pca_train(e, n_components=4)
+    return similarity.pca_project(e, comps).orderBy("vec_id", "pc")
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -5631,6 +5648,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_lag": q_conversion_lag,
         "quality_deciles": q_quality_deciles,
         "embedding_covariance": q_embedding_covariance,
+        "embedding_pca": q_embedding_pca,
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,

@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "conversion_lag",
     "quality_deciles",
     "embedding_covariance",
+    "embedding_pca",
 ]
 
 

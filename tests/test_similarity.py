@@ -205,3 +205,47 @@ def test_pq_codebooks_roundtrip_and_stable_codes(spark, tmp_path):
     fresh = {r["vec_id"]: list(r["codes"]) for r in pq_encode(e, books).collect()}
     frozen = {r["vec_id"]: list(r["codes"]) for r in pq_encode(e, loaded).collect()}
     assert fresh == frozen
+
+
+def test_pca_matches_numpy_reference(spark):
+    import numpy as np
+
+    from bamboo_spark.operators.similarity import pca_project, pca_train
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    comps = pca_train(e, n_components=4)
+
+    # reference: numpy PCA on the collected matrix
+    rows = e.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    x = np.array([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    # the engine's covariance is over round-6'd µ-unit moments; numpy
+    # on the raw floats agrees to ~1e-6 on the covariance, so compare
+    # eigen-structure with a tolerance
+    c = np.cov(x, rowvar=False, bias=True)
+    w, v = np.linalg.eigh(c)
+    order = np.argsort(w)[::-1][:4]
+    ref = v[:, order].T.copy()
+    for k in range(4):
+        j = np.argmax(np.abs(ref[k]))
+        if ref[k, j] < 0:
+            ref[k] = -ref[k]
+
+    # orthonormal components
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-9)
+    # same principal directions (up to tiny covariance rounding)
+    assert np.allclose(np.abs(np.sum(comps * ref, axis=1)), 1.0, atol=1e-4)
+
+    # projection equals the literal dot products
+    proj = {
+        (r.vec_id, r.pc): r.val
+        for r in pca_project(e, comps).collect()
+    }
+    expect = x @ comps.T
+    for i, r in enumerate(rows):
+        for k in range(4):
+            assert abs(proj[(r.vec_id, k)] - round(expect[i, k], 6)) <= 2e-6
+
+    # explained variance is in decreasing order
+    var = ((x - x.mean(axis=0)) @ comps.T).var(axis=0)
+    assert all(var[k] >= var[k + 1] - 1e-9 for k in range(3))
