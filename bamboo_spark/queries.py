@@ -5497,6 +5497,54 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pca_project(e, comps).orderBy("vec_id", "pc")
 
 
+def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-duplicate graph: per connected
+    triple-of-mutual-near-dups, one row (a < b < c) — the transitivity
+    audit for a dedup pipeline (near-dup similarity is not transitive;
+    a triangle-poor pair graph means chains, and cluster labels will
+    over-merge under pointer jumping, while a triangle-rich one means
+    tight cliques where keep-lowest-id is safe).
+
+    The classic ordered-edge join: edges oriented low→high, triangles =
+    (a,b)⋈(b,c)⋈(a,c) — two equi-joins over the (small) pair list, no
+    cartesian anywhere. Pairs come from the exact Jaccard join
+    (lossless), so the oracle replays everything."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, threshold=0.7, max_shingle_df=None).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    return (
+        pairs.alias("e1")
+        .join(pairs.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            pairs.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+        .orderBy("a", "b", "c")
+    )
+
+
+def _dup_triangles_duck() -> str:
+    pairs = dedup.jaccard_pairs_duck(threshold=0.7)
+    return """
+with pr as materialized (
+{pairs}
+),
+e as (select doc_a a, doc_b b from pr)
+select e1.a a, e1.b b, e2.b c
+from e e1
+join e e2 on e2.a = e1.b
+join e e3 on e3.a = e1.a and e3.b = e2.b
+order by e1.a, e1.b, e2.b
+""".format(pairs=pairs.strip().rstrip(";"))
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -5649,6 +5697,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_deciles": q_quality_deciles,
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
+        "dup_triangles": q_dup_triangles,
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
@@ -5874,6 +5923,7 @@ from s group by cluster_size order by cluster_size
         "conversion_lag": Q_CONVERSION_LAG_SQL,
         "quality_deciles": _quality_deciles_duck(),
         "embedding_covariance": similarity.embedding_covariance_duck(),
+        "dup_triangles": _dup_triangles_duck(),
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

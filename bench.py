@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "quality_deciles",
     "embedding_covariance",
     "embedding_pca",
+    "dup_triangles",
 ]
 
 
