@@ -148,3 +148,22 @@ def test_edit_join_matches_bruteforce_random(spark, seed, d):
         for r in edit_distance_join(ndf, cdf, "id", "k", max_dist=d).collect()
     }
     assert got == _brute_cross(new_rows, corpus, d)
+
+
+def test_edit_pairs_unicode_codepoint_semantics(spark):
+    # levenshtein must count CODEPOINTS (matching the pure-Python DP),
+    # not bytes — multibyte keys exercise the whole pipeline
+    rows = [
+        (1, "héllo wörld"),
+        (2, "hèllo wörld"),   # 1 substitution
+        (3, "héllo wörld!!"), # 2 insertions
+        (4, "naïve café"),
+        (5, "naive cafe"),    # 2 substitutions
+    ]
+    df = spark.createDataFrame(rows, "id long, k string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs(df, "id", "k", max_dist=2).collect()
+    }
+    assert got == _brute(rows, 2)
+    assert (1, 2, 1) in got and (1, 3, 2) in got and (4, 5, 2) in got

@@ -266,3 +266,44 @@ def test_cdc_apply_no_op_col_means_upsert_and_validates_columns(spark):
     bad = spark.createDataFrame([(1, 3)], "k long, ver long")
     with _pytest.raises(ValueError, match="missing column"):
         cdc_apply(base, bad, "k", ["ver"])
+
+
+def test_cdc_apply_matches_dict_replay_random(spark):
+    import random
+
+    from bamboo_spark.operators.scale import cdc_apply
+
+    rng = random.Random(42)
+    keys = list(range(12))
+    base_rows = [
+        (k, 0, "b%d" % k, float(k)) for k in keys if rng.random() < 0.7
+    ]
+    changes_rows = []
+    ver = 1
+    for _ in range(120):
+        k = rng.choice(keys)
+        op = "delete" if rng.random() < 0.25 else "upsert"
+        changes_rows.append((k, ver, "v%d" % ver, rng.random(), op))
+        ver += 1
+    # reference: dict replay in version order over the base snapshot
+    # (plain replay IS last-writer-wins because versions are globally
+    # increasing)
+    state = {k: (v, n, s) for k, v, n, s in base_rows}
+    for k, v, n, s, op in sorted(changes_rows, key=lambda r: r[1]):
+        if op == "delete":
+            state.pop(k, None)
+        else:
+            state[k] = (v, n, s)
+    expected = dict(state)
+
+    base = spark.createDataFrame(
+        base_rows, "k long, ver long, name string, score double"
+    )
+    changes = spark.createDataFrame(
+        changes_rows, "k long, ver long, name string, score double, op string"
+    )
+    got = {
+        r.k: (r.ver, r.name, r.score)
+        for r in cdc_apply(base, changes, "k", ["ver"], op_col="op").collect()
+    }
+    assert got == expected
