@@ -5545,6 +5545,99 @@ order by e1.a, e1.b, e2.b
 """.format(pairs=pairs.strip().rstrip(";"))
 
 
+def q_label_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-boundary audit: for each query vector (vec_id < 20), its
+    nearest neighbor in a DIFFERENT label class vs its nearest
+    same-label neighbor — ``is_boundary=1`` when the cross-label
+    neighbor is at least as close, the classic mislabeled-or-ambiguous
+    flag for curated classification data.
+
+    Scale shape: the bounded query slice joins the corpus as a
+    broadcast (|Q|·n rows, |Q| fixed), cosines run in codegen
+    (zip_with/aggregate fold — no UDF), and each query reduces through
+    ONE map-combined max-struct per side (no window over the corpus).
+    The argmax is deterministic: round-6 cosine, ties to the lower
+    neighbor id via the negated-id struct field."""
+    e = load(spark, sf_dir, "embeddings")
+    nrm = e.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+        similarity._norm_expr("embedding").alias("nn"),
+    )
+    q = nrm.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("nn").alias("qn"),
+    )
+    joined = nrm.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("qn") * F.col("nn")), 6)
+    scored = joined.select(
+        "query_id",
+        "qlabel",
+        "label",
+        "vec_id",
+        cos.alias("cos"),
+    )
+    best = scored.groupBy("query_id", "qlabel").agg(
+        F.max(
+            F.when(
+                F.col("label") != F.col("qlabel"),
+                F.struct(F.col("cos"), (-F.col("vec_id")).alias("negid")),
+            )
+        ).alias("_x"),
+        F.max(
+            F.when(
+                F.col("label") == F.col("qlabel"),
+                F.struct(F.col("cos"), (-F.col("vec_id")).alias("negid")),
+            )
+        ).alias("_s"),
+    )
+    return best.select(
+        "query_id",
+        F.col("qlabel").alias("label"),
+        (-F.col("_x.negid")).cast("bigint").alias("nn_other"),
+        F.col("_x.cos").alias("cos_other"),
+        F.col("_s.cos").alias("cos_same"),
+        (F.col("_x.cos") >= F.col("_s.cos")).cast("int").alias("is_boundary"),
+    ).orderBy("query_id")
+
+
+Q_LABEL_BRIDGES_SQL = """
+with e as (
+  select vec_id, label, [x::DOUBLE for x in embedding] v,
+         sqrt(list_dot_product([x::DOUBLE for x in embedding],
+                               [x::DOUBLE for x in embedding])) nn
+  from embeddings
+),
+q as (select vec_id query_id, label qlabel, v qv, nn qn from e
+      where vec_id < 20),
+scored as (
+  select q.query_id, q.qlabel, e.label, e.vec_id,
+         round(list_dot_product(q.qv, e.v) / (q.qn * e.nn), 6) cos
+  from q join e on e.vec_id != q.query_id
+),
+best as (
+  select query_id, qlabel,
+         max(case when label != qlabel
+                  then struct_pack(cos := cos, negid := -vec_id) end) x,
+         max(case when label = qlabel
+                  then struct_pack(cos := cos, negid := -vec_id) end) s
+  from scored group by query_id, qlabel
+)
+select query_id, qlabel as "label",
+       (-(x.negid))::BIGINT nn_other, x.cos cos_other, s.cos cos_same,
+       (x.cos >= s.cos)::INT is_boundary
+from best order by query_id
+"""
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -5698,6 +5791,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
         "dup_triangles": q_dup_triangles,
+        "label_bridges": q_label_bridges,
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
@@ -5924,6 +6018,7 @@ from s group by cluster_size order by cluster_size
         "quality_deciles": _quality_deciles_duck(),
         "embedding_covariance": similarity.embedding_covariance_duck(),
         "dup_triangles": _dup_triangles_duck(),
+        "label_bridges": Q_LABEL_BRIDGES_SQL,
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

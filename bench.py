@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "embedding_covariance",
     "embedding_pca",
     "dup_triangles",
+    "label_bridges",
 ]
 
 
