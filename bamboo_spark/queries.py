@@ -5510,8 +5510,12 @@ def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian anywhere. Pairs come from the exact Jaccard join
     (lossless), so the oracle replays everything."""
     d = load(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(d, threshold=0.7, max_shingle_df=None).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    # the edge list feeds all three legs of the triangle join — persist
+    # once instead of re-running the similarity join per leg
+    pairs = _tracked_persist(
+        dedup.jaccard_pairs(d, threshold=0.7, max_shingle_df=None).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
     )
     return (
         pairs.alias("e1")
