@@ -5107,7 +5107,9 @@ from comp order by doc_id
 """ % fix
 
 
-def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_value_outliers(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
     """Robust per-group outlier audit (Tukey fences): per event type,
     exact quartiles of ``value``, the 1.5·IQR fences, and how many
     events fall outside them — the monitoring grid that catches a
@@ -5115,15 +5117,19 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     of seconds) without being blinded by the outliers themselves, the
     way mean/std z-scores are.
 
-    One exact-percentile aggregate over the tiny type domain, broadcast
+    One percentile aggregate over the tiny type domain, broadcast
     back, one map-side fence count — two scans, no window, nothing
-    data-sized collected. At 100 TB the quartiles switch to
-    ``approx_percentile`` (mergeable t-digest) with the same plan."""
+    data-sized collected. ``approx=True`` is the 100 TB mode: exact
+    ``percentile`` holds every group value in one aggregation buffer,
+    ``approx_percentile`` is a mergeable sketch with map-side partials
+    (same plan otherwise; error-bound-tested in pytest, the exact mode
+    stays the oracle-gated one)."""
     e = load(spark, sf_dir, "events").select("event_type", "value")
+    pf = "approx_percentile(value, %s, 10000)" if approx else "percentile(value, %s)"
     g = e.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.25)"), 4).alias("q1"),
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median"),
-        F.round(F.expr("percentile(value, 0.75)"), 4).alias("q3"),
+        F.round(F.expr(pf % "0.25"), 4).alias("q1"),
+        F.round(F.expr(pf % "0.5"), 4).alias("median"),
+        F.round(F.expr(pf % "0.75"), 4).alias("q3"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
     lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
@@ -5358,16 +5364,20 @@ group by e.query_id order by e.query_id
 """.format(exact=exact, approx=approx)
 
 
-def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_conversion_lag(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
     """Time-to-convert distribution: per user, the lag from their FIRST
     click to their FIRST subsequent purchase, rolled into exact lag
     quantiles + conversion counts — the product-analytics number a
     growth team tracks ("median time from first touch to first order").
 
     Per-user firsts are two map-combined min-aggregates on the user key
-    (conditional min, no window); the lag grid is one global exact
-    percentile over the converted users (switch to approx_percentile at
-    100 TB, same plan otherwise)."""
+    (conditional min, no window); the lag grid is one global percentile
+    over the converted users. ``approx=True`` is the 100 TB mode
+    (mergeable ``approx_percentile`` sketch instead of the exact
+    buffer-everything percentile; error-bound-tested in pytest, exact
+    mode stays oracle-gated)."""
     e = load(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
@@ -5388,11 +5398,16 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("first_purchase_us").isNotNull()
         & (F.col("first_purchase_us") >= F.col("first_click_us"))
     )
+    pf = (
+        "approx_percentile(lag_us, %s, 10000)"
+        if approx
+        else "percentile(lag_us, %s)"
+    )
     return lag.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_converted"),
-        F.round(F.expr("percentile(lag_us, 0.5)") / 1e6, 3).alias("p50_sec"),
-        F.round(F.expr("percentile(lag_us, 0.9)") / 1e6, 3).alias("p90_sec"),
-        F.round(F.expr("percentile(lag_us, 0.99)") / 1e6, 3).alias("p99_sec"),
+        F.round(F.expr(pf % "0.5") / 1e6, 3).alias("p50_sec"),
+        F.round(F.expr(pf % "0.9") / 1e6, 3).alias("p90_sec"),
+        F.round(F.expr(pf % "0.99") / 1e6, 3).alias("p99_sec"),
     )
 
 
@@ -5420,24 +5435,27 @@ from lag_t
 """
 
 
-def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_quality_deciles(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
     """Global quality-score decile bucketing: exact decile thresholds
     of the Gopher-style quality score broadcast back over the corpus,
     then per (source, decile) counts — the "where does each source sit
     in the global quality distribution" grid that decides per-source
     sampling temperature.
 
-    One global exact-percentile aggregate (a 9-number broadcast), one
-    scan-speed bucket assignment, one map-combined count. At 100 TB the
-    thresholds switch to approx_percentile; the assignment pass is
-    unchanged."""
+    One global percentile aggregate (a 9-number broadcast), one
+    scan-speed bucket assignment, one map-combined count. ``approx=
+    True`` is the 100 TB mode: the exact ``percentile`` buffers every
+    score in one reducer, ``approx_percentile`` is a mergeable sketch
+    with map-side partials — the assignment pass is unchanged
+    (error-bound-tested in pytest; exact mode stays oracle-gated)."""
     d = load(spark, sf_dir, "documents")
     scored = d.select("doc_id", "source", text.quality_score("text").alias("q"))
+    pf = "approx_percentile(q, %s, 10000)" if approx else "percentile(q, %s)"
     ths = scored.agg(
         *[
-            F.round(F.expr("percentile(q, %s)" % (i / 10.0)), 6).alias(
-                "t%d" % i
-            )
+            F.round(F.expr(pf % (i / 10.0)), 6).alias("t%d" % i)
             for i in range(1, 10)
         ]
     )

@@ -220,3 +220,49 @@ def test_bigram_surprisal_top_v_semantics(spark):
         1 for k in full if capped[k]["lp_mean"] <= full[k]["lp_mean"] + 1e-9
     )
     assert worse >= 0.9 * len(full)
+
+
+def test_approx_modes_within_error_bounds(spark):
+    # the 100 TB approx modes (mergeable sketches instead of
+    # buffer-everything exact percentiles) must land near their exact
+    # twins: quantile values within the t-digest accuracy at 10k, and
+    # decile assignment counts shifting only at bucket boundaries
+    from bamboo_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+
+    ex = q.q_conversion_lag(spark, sf).collect()[0]
+    ap = q.q_conversion_lag(spark, sf, approx=True).collect()[0]
+    assert ap.n_converted == ex.n_converted
+    # approx_percentile is nearest-rank (an actual element), exact is
+    # interpolated — with few converted users the values differ, but
+    # the RANKS must sandwich: each approx quantile sits between the
+    # exact quantiles one step below/above its target
+    assert ap.p50_sec <= ap.p90_sec <= ap.p99_sec
+    assert 0 <= ap.p50_sec <= ex.p90_sec
+    assert ex.p50_sec <= ap.p90_sec <= ex.p99_sec * 1.5
+    assert ap.p99_sec >= ex.p90_sec
+
+    exo = {r.event_type: r for r in q.q_value_outliers(spark, sf).collect()}
+    apo = {
+        r.event_type: r
+        for r in q.q_value_outliers(spark, sf, approx=True).collect()
+    }
+    assert set(exo) == set(apo)
+    for t in exo:
+        assert apo[t].n == exo[t].n
+        for c in ("q1", "median", "q3"):
+            assert abs(apo[t][c] - exo[t][c]) <= max(
+                0.1 * abs(exo[t][c]), 0.5
+            ), (t, c)
+
+    exd = {(r.source, r.decile): r.n for r in q.q_quality_deciles(spark, sf).collect()}
+    apd = {
+        (r.source, r.decile): r.n
+        for r in q.q_quality_deciles(spark, sf, approx=True).collect()
+    }
+    # total docs preserved; per-cell drift bounded (boundary shifts only)
+    assert sum(exd.values()) == sum(apd.values())
+    n_total = sum(exd.values())
+    drift = sum(abs(apd.get(k, 0) - exd.get(k, 0)) for k in set(exd) | set(apd))
+    assert drift <= max(0.2 * n_total, 8), drift
