@@ -560,3 +560,34 @@ def test_fk_integrity_broadcasts_parents(spark):
     # every orphan check is a broadcast anti join; the 1-row stat
     # combines are nested-loop on purpose (both sides single-row)
     assert "BroadcastHashJoin" in plan
+
+
+def test_diversity_sample_partial_topk_below_shuffle(spark):
+    # per-cluster head must plan the Partial WindowGroupLimit below the
+    # exchange (megacluster ships cap x map_partitions rows)
+    s = simple_plan(q.queries()["diversity_sample"](spark, SF))
+    assert s.count("WindowGroupLimit") == 2, s
+    # the KEY-HASH exchange (not the cosmetic orderBy range exchange)
+    # must sit between Final (above) and Partial (below)
+    ex = s.index("Exchange hashpartitioning")
+    assert s.index("WindowGroupLimit") < ex and s.rindex("WindowGroupLimit") > ex
+
+
+def test_bm25_and_pmi_broadcast_small_sides(spark):
+    for name in ("bm25_scores", "token_pmi"):
+        plan = plan_of(q.queries()[name](spark, SF))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_value_outliers_broadcasts_fences(spark):
+    plan = plan_of(q.queries()["value_outliers"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_event_paths_take_ordered(spark):
+    # global top-20 must be TakeOrderedAndProject (partial top-k per
+    # partition), never a full sort
+    s = simple_plan(q.queries()["event_paths"](spark, SF))
+    assert "TakeOrderedAndProject" in s, s
