@@ -5660,6 +5660,101 @@ from best order by query_id
 """
 
 
+_PAGERANK_ITERS = 6
+
+
+def q_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-duplicate graph (6 power iterations,
+    damping 0.85): the centrality ranking of "template" documents — a
+    high-PR node is near-duplicated by many already-duplicated
+    neighbors, i.e. the boilerplate source the cleanup should target
+    first.
+
+    All arithmetic is INTEGER nano-units with a deterministic
+    per-edge quantization (floor(0.85 · pr div deg)), so the sum over
+    in-neighbors is exact and order-independent — both engines land on
+    identical longs every iteration (float PR would ulp-drift apart
+    under different add orders and compound across iterations). Each
+    superstep is one edge join + one map-combined sum, the same scale
+    shape as the CC operators; lineage is truncated per step."""
+    d = load(spark, sf_dir, "documents")
+    pairs = _tracked_persist(
+        dedup.jaccard_pairs(d, threshold=0.7, max_shingle_df=None).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
+    )
+    edges = _tracked_persist(
+        pairs.unionByName(
+            pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+    )
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    pr = deg.select("a", F.lit(10**9).cast("long").alias("pr"), "deg")
+    base = int(round(0.15 * 1e9))
+    for _ in range(_PAGERANK_ITERS):
+        contrib = (
+            pr.join(edges, "a")
+            .select(
+                F.col("b").alias("dst"),
+                F.floor(F.lit(0.85) * F.expr("pr div deg"))
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        pr = (
+            deg.join(
+                contrib, deg.a == contrib.dst, "left"
+            )
+            .select(
+                "a",
+                (F.lit(base) + F.coalesce(F.col("in_sum"), F.lit(0)))
+                .cast("long")
+                .alias("pr"),
+                "deg",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select(
+        F.col("a").alias("doc_id"), "pr", "deg"
+    ).orderBy(F.col("pr").desc(), "doc_id")
+
+
+def _dup_pagerank_duck() -> str:
+    pairs = dedup.jaccard_pairs_duck(threshold=0.7)
+    base = int(round(0.15 * 1e9))
+    sql = """
+with pr_pairs as materialized (
+{pairs}
+),
+e as materialized (
+  select doc_a a, doc_b b from pr_pairs
+  union all
+  select doc_b a, doc_a b from pr_pairs
+),
+deg as materialized (select a, count(*)::BIGINT deg from e group by a),
+p0 as materialized (select a, 1000000000::BIGINT pr, deg from deg)
+""".format(pairs=pairs.strip().rstrip(";"))
+    prev = "p0"
+    for i in range(1, _PAGERANK_ITERS + 1):
+        sql += """,
+c{i} as materialized (
+  select e.b dst, sum(floor(0.85 * (p.pr // p.deg))::BIGINT) in_sum
+  from {prev} p join e on e.a = p.a
+  group by e.b
+),
+p{i} as materialized (
+  select deg.a, ({base} + coalesce(c{i}.in_sum, 0))::BIGINT pr, deg.deg
+  from deg left join c{i} on c{i}.dst = deg.a
+)""".format(i=i, prev=prev, base=base)
+        prev = "p%d" % i
+    sql += """
+select a doc_id, pr, deg from {last} order by pr desc, doc_id
+""".format(last=prev)
+    return sql
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -5814,6 +5909,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": q_embedding_pca,
         "dup_triangles": q_dup_triangles,
         "label_bridges": q_label_bridges,
+        "dup_pagerank": q_dup_pagerank,
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
@@ -6041,6 +6137,7 @@ from s group by cluster_size order by cluster_size
         "embedding_covariance": similarity.embedding_covariance_duck(),
         "dup_triangles": _dup_triangles_duck(),
         "label_bridges": Q_LABEL_BRIDGES_SQL,
+        "dup_pagerank": _dup_pagerank_duck(),
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "embedding_pca",
     "dup_triangles",
     "label_bridges",
+    "dup_pagerank",
 ]
 
 
