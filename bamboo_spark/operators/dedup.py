@@ -1622,3 +1622,72 @@ select doc_id, min(pos)::BIGINT span_start, (max(pos) + {n})::BIGINT span_end,
 from grp group by doc_id, gid
 order by doc_id, span_start
 """.format(sh=sh, mdf=min_df, n=ngram)
+
+
+def components_incremental(
+    old_labels: DataFrame,
+    new_pairs: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "component",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_supersteps: int = 20,
+) -> DataFrame:
+    """Incremental connected components: merge a NEW batch of edges
+    into a STORED labeling without touching the old edge list — the
+    append-only ingest shape for duplicate-cluster maintenance.
+
+    Old components are contracted to SUPER-NODES (their stored label):
+    each new edge maps its endpoints through the stored labeling
+    (unlabeled endpoints stay themselves), and the converged CC runs on
+    this contracted graph — whose size is O(new edges), not O(corpus).
+    Because contracting a connected set preserves connectivity, and the
+    stored label is the component's min id, the result equals a full
+    recompute over (old ∪ new) edges exactly (the oracle proves it per
+    run). Output: (id, component) for every doc in the stored labeling
+    or incident to a new edge.
+
+    Contract: ``old_labels`` is a converged min-id labeling of the old
+    edge set (what ``connected_components_converged`` emits); new edges
+    must involve at least one unlabeled (new) doc OR may connect old
+    components — both merge correctly.
+    """
+    lab_a = old_labels.select(
+        F.col(id_col).alias(a_col), F.col(label_col).alias("_la")
+    )
+    lab_b = old_labels.select(
+        F.col(id_col).alias(b_col), F.col(label_col).alias("_lb")
+    )
+    contracted = (
+        new_pairs.join(lab_a, a_col, "left")
+        .join(lab_b, b_col, "left")
+        .select(
+            F.coalesce(F.col("_la"), F.col(a_col)).alias("_ca"),
+            F.coalesce(F.col("_lb"), F.col(b_col)).alias("_cb"),
+        )
+        .where(F.col("_ca") != F.col("_cb"))
+        .select(
+            F.least("_ca", "_cb").alias(a_col),
+            F.greatest("_ca", "_cb").alias(b_col),
+        )
+        .distinct()
+    )
+    comp = connected_components_converged(
+        contracted, max_supersteps=max_supersteps, a_col=a_col, b_col=b_col
+    ).select(F.col(id_col).alias("_sup"), F.col(label_col).alias("_final"))
+
+    # every doc's super-node: its stored label, or itself if new
+    new_docs = (
+        new_pairs.select(F.col(a_col).alias(id_col))
+        .unionByName(new_pairs.select(F.col(b_col).alias(id_col)))
+        .distinct()
+        .join(old_labels.select(id_col), id_col, "left_anti")
+        .select(id_col, F.col(id_col).alias("_sup"))
+    )
+    supers = old_labels.select(
+        id_col, F.col(label_col).alias("_sup")
+    ).unionByName(new_docs)
+    return supers.join(comp, "_sup", "left").select(
+        id_col,
+        F.coalesce(F.col("_final"), F.col("_sup")).alias(label_col),
+    )

@@ -5755,6 +5755,49 @@ select a doc_id, pr, deg from {last} order by pr desc, doc_id
     return sql
 
 
+def q_dedup_components_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental duplicate-cluster maintenance: the stored labeling
+    (converged CC over the OLD corpus's near-dup pairs, doc_id < 250)
+    absorbs a new batch's edges (any pair touching a doc_id >= 250)
+    by running converged CC on the CONTRACTED graph — old components
+    become super-nodes, so the superstep work is O(new edges), never a
+    corpus re-cluster. The oracle is the full recompute over all pairs
+    (recursive-CTE fixpoint): contraction provably preserves
+    connectivity, so they must agree row-for-row."""
+    d = load(spark, sf_dir, "documents")
+    all_pairs = _tracked_persist(
+        dedup.jaccard_pairs(d, threshold=0.7, max_shingle_df=None).select(
+            "doc_a", "doc_b"
+        )
+    )
+    old_pairs = all_pairs.where(
+        (F.col("doc_a") < 250) & (F.col("doc_b") < 250)
+    )
+    new_pairs = all_pairs.where(
+        (F.col("doc_a") >= 250) | (F.col("doc_b") >= 250)
+    )
+    stored = dedup.connected_components_converged(old_pairs)
+    return dedup.components_incremental(stored, new_pairs).orderBy("doc_id")
+
+
+def _dedup_components_inc_duck() -> str:
+    pairs = dedup.jaccard_pairs_duck(threshold=0.7)
+    fix = dedup.components_fixpoint_duck(
+        "select doc_a, doc_b from all_pairs"
+    ).strip()
+    assert fix.startswith("with recursive")
+    body = fix[len("with recursive"):]
+    return """
+with recursive all_pairs as materialized (
+{pairs}
+),
+{body}
+order by doc_id
+""".format(pairs=pairs.strip().rstrip(";"), body=body.lstrip())
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -5910,6 +5953,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_triangles": q_dup_triangles,
         "label_bridges": q_label_bridges,
         "dup_pagerank": q_dup_pagerank,
+        "dedup_components_incremental": q_dedup_components_incremental,
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
@@ -6138,6 +6182,7 @@ from s group by cluster_size order by cluster_size
         "dup_triangles": _dup_triangles_duck(),
         "label_bridges": Q_LABEL_BRIDGES_SQL,
         "dup_pagerank": _dup_pagerank_duck(),
+        "dedup_components_incremental": _dedup_components_inc_duck(),
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

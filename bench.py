@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "dup_triangles",
     "label_bridges",
     "dup_pagerank",
+    "dedup_components_incremental",
 ]
 
 

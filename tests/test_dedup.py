@@ -357,3 +357,39 @@ def test_containment_asymmetric_quote_detection(spark):
     assert (2, 1) not in got         # reverse direction far below 0.5
     jac = jaccard_pairs(docs, threshold=0.5, max_shingle_df=None).collect()
     assert jac == []                 # Jaccard never sees this pair
+
+
+def test_components_incremental_merges_old_components(spark):
+    from bamboo_spark.operators.dedup import (
+        components_incremental,
+        connected_components_converged,
+    )
+
+    # stored corpus: two separate components {1,2} and {5,6}, plus an
+    # isolated labeled doc 9
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (5, 6)], "doc_a long, doc_b long"
+    )
+    stored = connected_components_converged(old_pairs).unionByName(
+        spark.createDataFrame([(9, 9)], "doc_id long, component long")
+    )
+    # new batch: doc 20 bridges BOTH old components; doc 30 pairs with
+    # the isolated 9; doc 40-41 form a brand-new component
+    new_pairs = spark.createDataFrame(
+        [(2, 20), (20, 6), (9, 30), (40, 41)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.component
+        for r in components_incremental(stored, new_pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 5: 1, 6: 1, 20: 1, 9: 9, 30: 9, 40: 40, 41: 40}
+
+    # must equal the full recompute over old+new edges for shared docs
+    full = {
+        r.doc_id: r.component
+        for r in connected_components_converged(
+            old_pairs.unionByName(new_pairs)
+        ).collect()
+    }
+    for k, v in full.items():
+        assert got[k] == v, (k, v, got[k])
