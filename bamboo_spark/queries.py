@@ -783,19 +783,26 @@ order by returnflag, linestatus
 """
 
 
-def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_price_quantiles(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
     """Exact quantile surface: per-brand median/p90 of part retail
     price via ``percentile`` (exact, interpolated — matches DuckDB's
-    ``quantile_cont``). At 100 TB switch to ``approx_percentile``
-    (t-digest sketch, single pass, mergeable) — kept exact here so the
-    oracle hash can gate it.
-    """
+    ``quantile_cont``). ``approx=True`` is the 100 TB mode
+    (``approx_percentile``: mergeable sketch, map-side partials —
+    error-bound-tested in pytest; exact mode stays the oracle-gated
+    one)."""
     p = load(spark, sf_dir, "part")
+    pf = (
+        "approx_percentile(p_retailprice, %s, 10000)"
+        if approx
+        else "percentile(p_retailprice, %s)"
+    )
     return (
         p.groupBy("p_brand")
         .agg(
-            F.round(F.expr("percentile(p_retailprice, 0.5)"), 4).alias("median_price"),
-            F.round(F.expr("percentile(p_retailprice, 0.9)"), 4).alias("p90_price"),
+            F.round(F.expr(pf % "0.5"), 4).alias("median_price"),
+            F.round(F.expr(pf % "0.9"), 4).alias("p90_price"),
             F.count(F.lit(1)).alias("n_parts"),
         )
     )

@@ -256,6 +256,19 @@ def test_approx_modes_within_error_bounds(spark):
                 0.1 * abs(exo[t][c]), 0.5
             ), (t, c)
 
+    exp = {r.p_brand: r for r in q.q_price_quantiles(spark, sf).collect()}
+    app = {
+        r.p_brand: r
+        for r in q.q_price_quantiles(spark, sf, approx=True).collect()
+    }
+    assert set(exp) == set(app)
+    for b in exp:
+        assert app[b].n_parts == exp[b].n_parts
+        for c in ("median_price", "p90_price"):
+            assert abs(app[b][c] - exp[b][c]) <= max(
+                0.1 * abs(exp[b][c]), 50.0
+            ), (b, c, app[b][c], exp[b][c])
+
     exd = {(r.source, r.decile): r.n for r in q.q_quality_deciles(spark, sf).collect()}
     apd = {
         (r.source, r.decile): r.n
