@@ -5805,6 +5805,97 @@ order by doc_id
 """.format(pairs=pairs.strip().rstrip(";"), body=body.lstrip())
 
 
+def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full master pipeline, composed end-to-end: Gopher quality
+    filter → paragraph dedup with reassembly → normalized exact dedup →
+    fuzzy-title ENTITY RESOLUTION over the cleaned text (PassJoin
+    edit-distance pairs d≤2 on 32-char keys → converged components →
+    keep the min-id golden record per entity) → per-source corpus
+    report (docs kept, total tokens). Six engine operators as ONE
+    lazily-composed program; the oracle replays every stage (brute
+    pairs + recursive-CTE fixpoint for the ER stage), so the
+    composition — not just the parts — is value-gated."""
+    from bamboo_spark.operators import linkage
+
+    d = load(spark, sf_dir, "documents")
+    flags = text.gopher_filter(d)
+    kept = d.join(
+        flags.where(F.col("keep") == 1).select("doc_id"), "doc_id"
+    ).select("doc_id", "text")
+    sd = dedup.segment_dedup(kept, block_tokens=20)
+    surv = sd.where(F.col("n_kept") > 0).selectExpr(
+        "doc_id", "dedup_text as text"
+    )
+    w = Window.partitionBy(text.normalize_text("text")).orderBy("doc_id")
+    cleaned = _tracked_persist(
+        surv.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    keyed = cleaned.select(
+        "doc_id", F.lower(F.substring("text", 1, 32)).alias("tk")
+    )
+    pairs = linkage.edit_distance_pairs(keyed, "doc_id", "tk", max_dist=2).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    comp = dedup.connected_components_converged(pairs)
+    drop = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
+    final = cleaned.join(drop, "doc_id", "left_anti")
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        final.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.expr("size(split(text, ' '))"))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_CURATION_V3_SQL = """
+with g as ({gopher}),
+kept as (
+  select d.doc_id, d.text from documents d join g using (doc_id)
+  where g.keep = 1
+),
+sd as ({segment}),
+surv as (
+  select doc_id, dedup_text as "text" from sd where n_kept > 0
+),
+nrm as (
+  select *, row_number() over (partition by {norm} order by doc_id) rn
+  from surv
+),
+cleaned as (select doc_id, text from nrm where rn = 1),
+keyed as (
+  select doc_id, lower(substring(text, 1, 32)) tk,
+         length(lower(substring(text, 1, 32))) ln
+  from cleaned
+),
+lk_pairs as (
+  select a.doc_id doc_a, b.doc_id doc_b
+  from keyed a join keyed b
+    on a.doc_id < b.doc_id and abs(a.ln - b.ln) <= 2
+  where levenshtein(a.tk, b.tk) <= 2
+),
+comp as materialized (
+{fixpoint}
+),
+dropd as (select doc_id from comp where doc_id != component),
+final as (
+  select c.doc_id, c.text from cleaned c
+  where c.doc_id not in (select doc_id from dropd)
+)
+select d.source, count(*)::BIGINT n_docs,
+       sum(len(string_split(f.text, ' ')))::BIGINT n_tokens
+from final f join documents d using (doc_id)
+group by d.source order by d.source
+"""
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -5961,6 +6052,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_bridges": q_label_bridges,
         "dup_pagerank": q_dup_pagerank,
         "dedup_components_incremental": q_dedup_components_incremental,
+        "curation_pipeline_v3": q_curation_pipeline_v3,
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
@@ -6190,6 +6282,14 @@ from s group by cluster_size order by cluster_size
         "label_bridges": Q_LABEL_BRIDGES_SQL,
         "dup_pagerank": _dup_pagerank_duck(),
         "dedup_components_incremental": _dedup_components_inc_duck(),
+        "curation_pipeline_v3": Q_CURATION_V3_SQL.format(
+            gopher=text.gopher_filter_duck(),
+            segment=dedup.segment_dedup_duck(block_tokens=20, src="kept"),
+            norm=text.normalize_text_duck("text"),
+            fixpoint=dedup.components_fixpoint_duck(
+                "select doc_a, doc_b from lk_pairs"
+            ).strip(),
+        ),
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "label_bridges",
     "dup_pagerank",
     "dedup_components_incremental",
+    "curation_pipeline_v3",
 ]
 
 
