@@ -5896,6 +5896,62 @@ group by d.source order by d.source
 """
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof train/val/test assignment: the split hash is taken
+    on the DUPLICATE-CLUSTER representative, not the doc — every member
+    of a near-dup cluster (MinHash pairs → converged components) lands
+    in the same split, so the leakage ``split_leakage`` audits is
+    structurally impossible. Singletons hash on themselves; the 90/5/5
+    bucketing is the same md5-stable rule as ``q_split_assign``, so
+    growing the corpus never migrates an existing cluster.
+
+    Scale: pairs + components are the existing operators; the split
+    itself is a scan-speed projection over coalesce(component,
+    doc_id)."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.7).select(
+        "doc_a", "doc_b"
+    )
+    comp = dedup.connected_components_converged(pairs)
+    anchored = (
+        d.select("doc_id")
+        .join(F.broadcast(comp), "doc_id", "left")
+        .withColumn(
+            "split_key",
+            F.coalesce(F.col("component"), F.col("doc_id")),
+        )
+        .withColumn("_b", text.stable_sample_pct("split_key"))
+    )
+    split = (
+        F.when(F.col("_b") < 90, F.lit("train"))
+        .when(F.col("_b") < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return anchored.select(
+        "doc_id", "split_key", split.alias("split")
+    ).orderBy("doc_id")
+
+
+def _leakage_safe_split_duck() -> str:
+    fix = dedup.components_fixpoint_duck(
+        dedup.jaccard_pairs_duck(threshold=0.7).strip().rstrip(";")
+    ).strip()
+    b = text.stable_sample_pct_duck("split_key")
+    return """
+with comp as materialized (
+{fix}
+),
+anch as (
+  select d.doc_id, coalesce(c.component, d.doc_id) split_key
+  from documents d left join comp c using (doc_id)
+)
+select doc_id, split_key,
+       case when {b} < 90 then 'train'
+            when {b} < 95 then 'val' else 'test' end split
+from anch order by doc_id
+""".format(fix=fix, b=b)
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -6053,6 +6109,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_pagerank": q_dup_pagerank,
         "dedup_components_incremental": q_dedup_components_incremental,
         "curation_pipeline_v3": q_curation_pipeline_v3,
+        "leakage_safe_split": q_leakage_safe_split,
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
@@ -6282,6 +6339,7 @@ from s group by cluster_size order by cluster_size
         "label_bridges": Q_LABEL_BRIDGES_SQL,
         "dup_pagerank": _dup_pagerank_duck(),
         "dedup_components_incremental": _dedup_components_inc_duck(),
+        "leakage_safe_split": _leakage_safe_split_duck(),
         "curation_pipeline_v3": Q_CURATION_V3_SQL.format(
             gopher=text.gopher_filter_duck(),
             segment=dedup.segment_dedup_duck(block_tokens=20, src="kept"),

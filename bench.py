@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "dup_pagerank",
     "dedup_components_incremental",
     "curation_pipeline_v3",
+    "leakage_safe_split",
 ]
 
 
