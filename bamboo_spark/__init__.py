@@ -25,6 +25,7 @@ from bamboo_spark.clusions import Clusion, ClusionError, parse_clusions
 from bamboo_spark.dataset import Dataset
 from bamboo_spark.flatten import FlattenStrategy, JoinType
 from bamboo_spark.naming import NameStrategy, column_names
+from bamboo_spark.plans import PlanViolation, audit_plan
 from bamboo_spark.session import get_spark
 from bamboo_spark.sources.arrow import from_arrow
 from bamboo_spark.sources.avro import from_avro, read_avro_py
@@ -34,6 +35,8 @@ from bamboo_spark.sources.obj import from_object
 from bamboo_spark.sources.pbd import from_pbd, read_pbd
 
 __all__ = [
+    "PlanViolation",
+    "audit_plan",
     "Clusion",
     "ClusionError",
     "Dataset",

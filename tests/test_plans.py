@@ -591,3 +591,29 @@ def test_event_paths_take_ordered(spark):
     # partition), never a full sort
     s = simple_plan(q.queries()["event_paths"](spark, SF))
     assert "TakeOrderedAndProject" in s, s
+
+
+def test_audit_plan_user_api(spark):
+    import pytest as _pytest
+
+    from bamboo_spark.plans import PlanViolation, audit_plan
+
+    clean = q.q1_pricing_summary(spark, SF)
+    assert audit_plan(clean, pushed_filter_cols=["l_shipdate"]) == []
+
+    # a deliberate cartesian must trip the default forbid list
+    a = spark.range(3)
+    b = spark.range(3)
+    cart = a.crossJoin(b)
+    with _pytest.raises(PlanViolation, match="forbidden"):
+        audit_plan(cart)
+    vio = audit_plan(cart, raise_on_violation=False)
+    assert any("forbidden" in v for v in vio)
+
+    # require + max_exchanges knobs
+    j = q.q5_region_revenue(spark, SF)
+    assert audit_plan(j, require=["BroadcastHashJoin"]) == []
+    with _pytest.raises(PlanViolation, match="required"):
+        audit_plan(j, require=["NoSuchNode"])
+    with _pytest.raises(PlanViolation, match="exchanges"):
+        audit_plan(j, max_exchanges=0)
