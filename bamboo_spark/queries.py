@@ -5952,6 +5952,73 @@ from anch order by doc_id
 """.format(fix=fix, b=b)
 
 
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality monitor — the text-dedup counterpart of
+    ``ann_recall``: the MinHash-LSH pair set measured against the
+    exact prefix-filtered Jaccard join (ground truth) — one row of
+    (n_exact, n_lsh, n_hit, recall, precision). The check a dedup
+    deployment runs after retuning bands/rows, value-gated because
+    both sides and the join replay in the oracle.
+
+    (At the registry's 32×2 banding a 0.7-pair misses with p < 5e-10,
+    so recall is expected to be exactly 1.0 — the monitor exists to
+    catch a BAD retune, and the oracle proves the monitor itself.)"""
+    d = load(spark, sf_dir, "documents")
+    exact = dedup.jaccard_pairs(
+        d, threshold=0.7, max_shingle_df=None
+    ).select("doc_a", "doc_b")
+    lsh = dedup.minhash_lsh_pairs(d, threshold=0.7, num_hashes=64).select(
+        "doc_a", "doc_b"
+    )
+    hits = exact.join(lsh, ["doc_a", "doc_b"])
+    ne = exact.agg(F.count(F.lit(1)).cast("double").alias("n_exact"))
+    nl = lsh.agg(F.count(F.lit(1)).cast("double").alias("n_lsh"))
+    nh = hits.agg(F.count(F.lit(1)).cast("double").alias("n_hit"))
+    return (
+        ne.crossJoin(nl)
+        .crossJoin(nh)
+        .select(
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.col("n_lsh").cast("bigint").alias("n_lsh"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.when(F.col("n_exact") <= 0, F.lit(1.0))
+            .otherwise(F.round(F.col("n_hit") / F.col("n_exact"), 6))
+            .alias("recall"),
+            F.when(F.col("n_lsh") <= 0, F.lit(1.0))
+            .otherwise(F.round(F.col("n_hit") / F.col("n_lsh"), 6))
+            .alias("precision"),
+        )
+    )
+
+
+def _minhash_recall_duck() -> str:
+    # the oracle encodes the banding theorem: at 32×2 bands the LSH
+    # pair set EQUALS the exact join (miss p < 5e-10), so both CTEs are
+    # the exact pairs — if a retune ever lost a pair, the Spark side's
+    # recall would drop below this oracle's 1.0 and the gate would
+    # catch it (same approach as the dedup_minhash oracle itself)
+    exact = dedup.jaccard_pairs_duck(threshold=0.7).strip().rstrip(";")
+    return """
+with exact as materialized (
+{exact}
+),
+lsh as (select doc_a, doc_b from exact),
+hits as (
+  select e.doc_a, e.doc_b from exact e join lsh l
+    on e.doc_a = l.doc_a and e.doc_b = l.doc_b
+),
+c as (
+  select (select count(*) from exact)::DOUBLE ne,
+         (select count(*) from lsh)::DOUBLE nl,
+         (select count(*) from hits)::DOUBLE nh
+)
+select ne::BIGINT n_exact, nl::BIGINT n_lsh, nh::BIGINT n_hit,
+       case when ne <= 0 then 1.0 else round(nh / ne, 6) end recall,
+       case when nl <= 0 then 1.0 else round(nh / nl, 6) end "precision"
+from c
+""".format(exact=exact)
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -6110,6 +6177,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_incremental": q_dedup_components_incremental,
         "curation_pipeline_v3": q_curation_pipeline_v3,
         "leakage_safe_split": q_leakage_safe_split,
+        "minhash_recall": q_minhash_recall,
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
@@ -6340,6 +6408,7 @@ from s group by cluster_size order by cluster_size
         "dup_pagerank": _dup_pagerank_duck(),
         "dedup_components_incremental": _dedup_components_inc_duck(),
         "leakage_safe_split": _leakage_safe_split_duck(),
+        "minhash_recall": _minhash_recall_duck(),
         "curation_pipeline_v3": Q_CURATION_V3_SQL.format(
             gopher=text.gopher_filter_duck(),
             segment=dedup.segment_dedup_duck(block_tokens=20, src="kept"),

@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "dedup_components_incremental",
     "curation_pipeline_v3",
     "leakage_safe_split",
+    "minhash_recall",
 ]
 
 
