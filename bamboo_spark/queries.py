@@ -6019,6 +6019,166 @@ from c
 """.format(exact=exact)
 
 
+def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer, Recency (days from
+    last order to the corpus max date), Frequency (order count), and
+    Monetary (total spend in exact cents), each scored into terciles
+    against global cutoffs — the classic 27-cell marketing segmentation
+    grid, emitted as per-(r,f,m)-cell customer counts.
+
+    Two map-combined aggregates (per-customer rollup, then the 6 global
+    tercile cutoffs as a broadcast row) and a scan-speed scoring pass.
+    Money sums in integer cents (order-independent; a float sum would
+    hash-diverge across engines)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    mx = o.agg(F.max("o_orderdate").alias("_mx"))
+    per = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("_mx"), F.col("o_orderdate")))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum("cents").cast("bigint").alias("monetary_cents"),
+        )
+    )
+    per = _tracked_persist(per)
+    cuts = per.agg(
+        *[
+            F.expr("percentile(%s, %s)" % (c, p)).alias("%s_%s" % (c, n))
+            for c in ("recency_days", "frequency", "monetary_cents")
+            for p, n in ((1.0 / 3, "lo"), (2.0 / 3, "hi"))
+        ]
+    )
+
+    def tercile(col, lo, hi, invert=False):
+        t = (
+            F.when(F.col(col) <= F.col(lo), 1)
+            .when(F.col(col) <= F.col(hi), 2)
+            .otherwise(3)
+        )
+        return (4 - t) if invert else t
+
+    scored = per.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        # low recency is GOOD: invert so 3 = most recent
+        tercile("recency_days", "recency_days_lo", "recency_days_hi", invert=True)
+        .cast("int")
+        .alias("r"),
+        tercile("frequency", "frequency_lo", "frequency_hi")
+        .cast("int")
+        .alias("f"),
+        tercile("monetary_cents", "monetary_cents_lo", "monetary_cents_hi")
+        .cast("int")
+        .alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("r", "f", "m")
+    )
+
+
+Q_ORDERS_RFM_SQL = """
+with o as (
+  select o_custkey, o_orderdate,
+         round(o_totalprice * 100, 0)::BIGINT cents
+  from orders
+),
+mx as (select max(o_orderdate) mxd from o),
+per as (
+  select o_custkey,
+         min(date_diff('day', o_orderdate, mxd))::BIGINT recency_days,
+         count(*)::BIGINT frequency,
+         sum(cents)::BIGINT monetary_cents
+  from o cross join mx
+  group by o_custkey
+),
+cuts as (
+  select quantile_cont(recency_days, 1.0/3) r_lo,
+         quantile_cont(recency_days, 2.0/3) r_hi,
+         quantile_cont(frequency, 1.0/3) f_lo,
+         quantile_cont(frequency, 2.0/3) f_hi,
+         quantile_cont(monetary_cents, 1.0/3) m_lo,
+         quantile_cont(monetary_cents, 2.0/3) m_hi
+  from per
+),
+scored as (
+  select o_custkey,
+         (4 - case when recency_days <= r_lo then 1
+                   when recency_days <= r_hi then 2 else 3 end)::INT r,
+         (case when frequency <= f_lo then 1
+               when frequency <= f_hi then 2 else 3 end)::INT f,
+         (case when monetary_cents <= m_lo then 1
+               when monetary_cents <= m_hi then 2 else 3 end)::INT m
+  from per cross join cuts
+)
+select r, f, m, count(*)::BIGINT n_customers
+from scored group by r, f, m order by r, f, m
+"""
+
+
+def q_events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution: per event type, log2-bucketed
+    histogram of the seconds between a user's consecutive events of
+    that type — the burstiness profile that separates human cadence
+    from bot/batch traffic and sets the sessionization gap with data
+    instead of folklore.
+
+    One (user, type)-keyed lag window (bounded per key), integer bucket
+    math (floor(log2) via bit length — engine-exact), map-combined
+    counts over the tiny (type × bucket) grid."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    gaps = (
+        e.withColumn("prev_us", F.lag("us").over(w))
+        .where(F.col("prev_us").isNotNull())
+        .select(
+            "event_type",
+            ((F.col("us") - F.col("prev_us")) / F.lit(1_000_000))
+            .cast("long")
+            .alias("gap_s"),
+        )
+    )
+    bucket = F.when(F.col("gap_s") <= 0, F.lit(-1)).otherwise(
+        F.expr("cast(floor(log2(gap_s)) as int)")
+    )
+    return (
+        gaps.select("event_type", bucket.cast("int").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+Q_EVENTS_GAP_HIST_SQL = """
+with e as (
+  select user_id, event_id, event_type, epoch_us(ts) us from events
+),
+g as (
+  select event_type,
+         ((us - lag(us) over (partition by user_id, event_type
+                              order by us, event_id)) // 1000000) gap_s
+  from e
+),
+b as (
+  select event_type,
+         case when gap_s <= 0 then -1
+              else floor(log2(gap_s))::INT end bucket
+  from g where gap_s is not null
+)
+select event_type, bucket::INT bucket, count(*)::BIGINT n
+from b group by event_type, bucket order by event_type, bucket
+"""
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -6178,6 +6338,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline_v3": q_curation_pipeline_v3,
         "leakage_safe_split": q_leakage_safe_split,
         "minhash_recall": q_minhash_recall,
+        "orders_rfm": q_orders_rfm,
+        "events_gap_histogram": q_events_gap_histogram,
         "token_budget_cap": q_token_budget_cap,
         "events_anomaly": q_events_anomaly,
         "corpus_summary": q_corpus_summary,
@@ -6409,6 +6571,8 @@ from s group by cluster_size order by cluster_size
         "dedup_components_incremental": _dedup_components_inc_duck(),
         "leakage_safe_split": _leakage_safe_split_duck(),
         "minhash_recall": _minhash_recall_duck(),
+        "orders_rfm": Q_ORDERS_RFM_SQL,
+        "events_gap_histogram": Q_EVENTS_GAP_HIST_SQL,
         "curation_pipeline_v3": Q_CURATION_V3_SQL.format(
             gopher=text.gopher_filter_duck(),
             segment=dedup.segment_dedup_duck(block_tokens=20, src="kept"),

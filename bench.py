@@ -177,6 +177,8 @@ BENCH_QUERIES = [
     "curation_pipeline_v3",
     "leakage_safe_split",
     "minhash_recall",
+    "orders_rfm",
+    "events_gap_histogram",
 ]
 
 
