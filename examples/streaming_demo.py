@@ -108,5 +108,79 @@ def main() -> None:
         q5.stop()
 
 
+    # --- CDC materializer + fuzzy-key ingest guard + drift monitor ----
+    from bamboo_spark.streaming import cdc_upsert_stream, drift_stream, linkage_stream
+    from bamboo_spark.operators.similarity import embedding_moments
+
+    from bamboo_spark import queries as _q
+
+    events = _q.load(spark, sf_dir, "events")  # ts normalized to LTZ µs
+    chg_dir = os.path.join(tempfile.mkdtemp(), "cdc")
+    (
+        events.selectExpr(
+            "user_id",
+            "unix_micros(ts) as us",
+            "event_id",
+            "event_type",
+            "value",
+            "case when event_type = 'error' then 'delete' else 'upsert' end as op",
+        )
+        .coalesce(1)
+        .write.parquet(chg_dir)
+    )
+    chg = spark.readStream.schema(
+        "user_id long, us long, event_id long, event_type string, value double, op string"
+    ).parquet(chg_dir)
+    materialized = cdc_upsert_stream(
+        chg, "user_id", ["us", "event_id"], ["event_type", "value"], op_col="op"
+    )
+    q6 = materialized.writeStream.format("memory").queryName("demo_cdc").outputMode(
+        "update"
+    ).start()
+    try:
+        q6.processAllAvailable()
+        live = spark.sql(
+            "select count(distinct user_id) c from demo_cdc where is_delete = 0"
+        ).collect()[0].c
+        print("users live in the CDC-materialized profile table:", live)
+    finally:
+        q6.stop()
+
+    keyed = docs.selectExpr("doc_id", "lower(substring(text, 1, 32)) as title_key")
+    lk = linkage_stream(
+        spark.readStream.schema("doc_id long, text string").parquet(doc_replay)
+        .selectExpr("doc_id", "lower(substring(text, 1, 32)) as title_key"),
+        keyed.where(F.col("doc_id") < 250),
+    )
+    q7 = lk.writeStream.format("memory").queryName("demo_lk").outputMode("append").start()
+    try:
+        q7.processAllAvailable()
+        n = spark.sql("select count(distinct (id_new, id_corpus)) c from demo_lk").collect()[0].c
+        print("fuzzy-title matches of streamed docs vs stored corpus:", n)
+    finally:
+        q7.stop()
+
+    emb = spark.read.parquet("%s/embeddings.parquet" % sf_dir)
+    base = embedding_moments(emb.where(F.col("vec_id") % 2 == 0))
+    emb_dir = os.path.join(tempfile.mkdtemp(), "emb")
+    (
+        emb.where(F.col("vec_id") % 2 == 1)
+        .selectExpr("timestamp '2024-01-01 00:05:00' as ts", "cast(embedding as array<double>) as embedding")
+        .coalesce(1)
+        .write.parquet(emb_dir)
+    )
+    dr = drift_stream(
+        spark.readStream.schema("ts timestamp, embedding array<double>").parquet(emb_dir),
+        base,
+    )
+    q8 = dr.writeStream.format("memory").queryName("demo_drift").outputMode("update").start()
+    try:
+        q8.processAllAvailable()
+        drifted = spark.sql("select count(*) c from demo_drift where is_drifted = 1").collect()[0].c
+        print("dimensions flagged drifted in the live window:", drifted)
+    finally:
+        q8.stop()
+
+
 if __name__ == "__main__":
     main()
