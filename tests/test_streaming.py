@@ -1237,3 +1237,68 @@ def test_stream_batch_parity_drift(spark, tmp_path):
         assert got == batch
     finally:
         qy.stop()
+
+
+def test_cdc_upsert_stream_multi_batch_state(spark, tmp_path):
+    # split the change log into 3 files replayed one per micro-batch:
+    # cross-batch LWW state must hold (a stale batch-2 change must not
+    # overwrite a newer batch-1 winner, deletes persist, re-inserts win)
+    from bamboo_spark.streaming.core import cdc_upsert_stream
+
+    d = str(tmp_path / "cdc_mb")
+    batches = [
+        # (user, us, event_id, type, value, op)
+        [(1, 100, 1, "a", 1.0, "upsert"), (2, 100, 2, "a", 1.0, "upsert")],
+        # stale update for 1 (us=50 < 100) + delete for 2
+        [(1, 50, 3, "stale", 9.0, "upsert"), (2, 200, 4, "a", 1.0, "delete")],
+        # re-insert 2 later, new user 3
+        [(2, 300, 5, "b", 2.0, "upsert"), (3, 10, 6, "c", 3.0, "upsert")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows,
+            "user_id long, us long, event_id long, event_type string, "
+            "value double, op string",
+        ).coalesce(1).write.parquet("%s/b%d" % (d, i))
+    stream = (
+        spark.readStream.schema(
+            "user_id long, us long, event_id long, event_type string, "
+            "value double, op string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d + "/b*")
+    )
+    out = cdc_upsert_stream(
+        stream, "user_id", ["us", "event_id"], ["event_type", "value"],
+        op_col="op",
+    )
+    qy = (
+        out.writeStream.format("memory")
+        .queryName("cdc_mb_t")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            qy.processAllAvailable()
+            n = spark.sql("select count(*) c from cdc_mb_t").collect()[0].c
+            if n >= 5:
+                break
+            time.sleep(0.5)
+        # final winner per user = max-version emission
+        final = {}
+        for r in spark.sql("select * from cdc_mb_t").collect():
+            cur = final.get(r.user_id)
+            if cur is None or (r.us, r.event_id) > (cur[0], cur[1]):
+                final[r.user_id] = (r.us, r.event_id, r.event_type, r.is_delete)
+        assert final[1] == (100, 1, "a", 0)  # stale change ignored
+        assert final[2] == (300, 5, "b", 0)  # delete then re-insert
+        assert final[3] == (10, 6, "c", 0)
+        # the stale batch-2 row for user 1 must have produced NO update
+        u1 = spark.sql(
+            "select count(*) c from cdc_mb_t where user_id = 1"
+        ).collect()[0].c
+        assert u1 == 1
+    finally:
+        qy.stop()
