@@ -5909,8 +5909,8 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is a scan-speed projection over coalesce(component,
     doc_id)."""
     d = load(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(d, threshold=0.7).select(
-        "doc_a", "doc_b"
+    pairs = _tracked_persist(
+        dedup.minhash_lsh_pairs(d, threshold=0.7).select("doc_a", "doc_b")
     )
     comp = dedup.connected_components_converged(pairs)
     anchored = (
@@ -5964,11 +5964,17 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     so recall is expected to be exactly 1.0 — the monitor exists to
     catch a BAD retune, and the oracle proves the monitor itself.)"""
     d = load(spark, sf_dir, "documents")
-    exact = dedup.jaccard_pairs(
-        d, threshold=0.7, max_shingle_df=None
-    ).select("doc_a", "doc_b")
-    lsh = dedup.minhash_lsh_pairs(d, threshold=0.7, num_hashes=64).select(
-        "doc_a", "doc_b"
+    # both pair sets feed TWO consumers each (the hit join + their own
+    # count) — persist so neither similarity join runs twice
+    exact = _tracked_persist(
+        dedup.jaccard_pairs(d, threshold=0.7, max_shingle_df=None).select(
+            "doc_a", "doc_b"
+        )
+    )
+    lsh = _tracked_persist(
+        dedup.minhash_lsh_pairs(d, threshold=0.7, num_hashes=64).select(
+            "doc_a", "doc_b"
+        )
     )
     hits = exact.join(lsh, ["doc_a", "doc_b"])
     ne = exact.agg(F.count(F.lit(1)).cast("double").alias("n_exact"))
