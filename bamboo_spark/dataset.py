@@ -197,6 +197,15 @@ class Dataset:
     def to_pandas(self, **kwargs) -> pd.DataFrame:
         return self.flatten(**kwargs).to_pandas()
 
+    def audit_plan(self, **kwargs):
+        """Audit this dataset's physical plan against the scale
+        contract (no cartesian/NLJ by default; require/forbid nodes,
+        pushed-filter and exchange-ceiling checks) — delegates to
+        :func:`bamboo_spark.plans.audit_plan`."""
+        from bamboo_spark.plans import audit_plan
+
+        return audit_plan(self.df, **kwargs)
+
     def to_arrow(self, **kwargs):
         """Flatten and export as a pyarrow Table (Arrow-native sink)."""
         return self.flatten(**kwargs).to_arrow()

@@ -617,3 +617,10 @@ def test_audit_plan_user_api(spark):
         audit_plan(j, require=["NoSuchNode"])
     with _pytest.raises(PlanViolation, match="exchanges"):
         audit_plan(j, max_exchanges=0)
+
+
+def test_dataset_audit_plan_method(spark):
+    from bamboo_spark.dataset import Dataset
+
+    ds = Dataset(spark.read.parquet(SF + "/documents.parquet"))
+    assert ds.audit_plan() == []
