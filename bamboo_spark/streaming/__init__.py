@@ -12,6 +12,7 @@ built-ins can't express.
 from bamboo_spark.streaming.core import (
     asof_attribute_stream,
     bloom_guard_stream,
+    bm25_stream,
     cdc_upsert_stream,
     contamination_stream,
     dedup_stream_simhash,
@@ -29,6 +30,7 @@ from bamboo_spark.streaming.core import (
 __all__ = [
     "asof_attribute_stream",
     "bloom_guard_stream",
+    "bm25_stream",
     "cdc_upsert_stream",
     "contamination_stream",
     "dedup_stream",

@@ -1275,3 +1275,69 @@ def drift_stream(
         z.alias("z"),
         (F.abs(z) > z_alert).cast("int").alias("is_drifted"),
     )
+
+
+def bm25_stream(
+    sdf: DataFrame,
+    corpus_df: DataFrame,
+    terms,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Streaming BM25 — score each arriving document against a FROZEN
+    corpus model (df/N/avgdl computed once from the static corpus):
+    the ingest-time relevance tagger ("does this doc look like the
+    target domain?") with zero state.
+
+    Per-term frequencies come from a codegen filter over the token
+    array (terms are a literal handful), so the whole operator is a
+    stateless scan-speed projection — no explode, no per-doc aggregate,
+    no watermark. The model's idf/avgdl bake in as literals (the same
+    broadcast-as-literal pattern as the LSH hyperplanes). In-order
+    replay of docs equals the batch formula with the same frozen model
+    exactly (tests/test_streaming.py)."""
+    tl = list(terms)
+    stats = corpus_df.select(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(F.size(F.split(text_col, " "))).alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = float(stats.n), float(stats.avgdl)
+    toks = corpus_df.select(
+        F.col(doc_col),
+        F.explode(F.array_distinct(F.split(text_col, " "))).alias("t"),
+    )
+    dfreq = {
+        r.t: float(r.c)
+        for r in toks.where(F.col("t").isin(tl))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    import math as _math
+
+    out = sdf.withColumn("_dl", F.size(F.split(text_col, " ")))
+    score = F.lit(0.0)
+    nmatch = F.lit(0)
+    for t in tl:
+        df_t = dfreq.get(t, 0.0)
+        idf = round(_math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)), 9)
+        tf = F.size(
+            F.filter(
+                F.split(text_col, " "), lambda x: x == F.lit(t)
+            )
+        ).cast("double")
+        w = F.round(
+            F.lit(idf)
+            * (tf * (k1 + 1.0))
+            / (tf + k1 * (1.0 - b + b * F.col("_dl") / F.lit(avgdl))),
+            9,
+        )
+        score = score + F.when(tf > 0, w).otherwise(F.lit(0.0))
+        nmatch = nmatch + (tf > 0).cast("int")
+    return out.select(
+        doc_col,
+        nmatch.cast("bigint").alias("n_terms"),
+        F.round(score, 6).alias("bm25"),
+    ).where(F.col("n_terms") > 0)

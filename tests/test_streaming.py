@@ -1302,3 +1302,76 @@ def test_cdc_upsert_stream_multi_batch_state(spark, tmp_path):
         assert u1 == 1
     finally:
         qy.stop()
+
+
+def test_stream_bm25_matches_python_reference(spark, tmp_path):
+    # stateless stream scoring vs an independent pure-Python BM25 with
+    # the same frozen corpus model (df/N/avgdl from the static half)
+    import math
+
+    from bamboo_spark import queries as q
+    from bamboo_spark.streaming import bm25_stream
+
+    terms = ["hash", "join", "scan", "filter"]
+    docs = q.load(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") < 250)
+    new = docs.where(F.col("doc_id") >= 250)
+
+    # python reference model
+    crows = [(r.doc_id, r.text.split(" ")) for r in corpus.collect()]
+    n_docs = float(len(crows))
+    avgdl = sum(len(t) for _, t in crows) / n_docs
+    dfreq = {
+        t: float(sum(1 for _, toks in crows if t in set(toks)))
+        for t in terms
+    }
+    k1, b = 1.2, 0.75
+    expected = {}
+    for r in new.collect():
+        toks = r.text.split(" ")
+        dl = len(toks)
+        score, nm = 0.0, 0
+        for t in terms:
+            tf = float(toks.count(t))
+            if tf <= 0:
+                continue
+            idf = round(
+                math.log(1.0 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5)), 9
+            )
+            score += round(
+                idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl)),
+                9,
+            )
+            nm += 1
+        if nm:
+            expected[r.doc_id] = (nm, round(score, 6))
+    assert expected
+
+    d = str(tmp_path / "bm25_replay")
+    new.coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+    out = bm25_stream(stream, corpus, terms)
+    assert out.isStreaming
+    qy = (
+        out.writeStream.format("memory")
+        .queryName("bm25_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            qy.processAllAvailable()
+            if spark.sql("select count(*) c from bm25_t").collect()[0].c >= len(expected):
+                break
+            time.sleep(0.5)
+        got = {
+            r.doc_id: (r.n_terms, r.bm25)
+            for r in spark.sql("select * from bm25_t").collect()
+        }
+        assert got.keys() == expected.keys()
+        for k in expected:
+            assert got[k][0] == expected[k][0], k
+            assert abs(got[k][1] - expected[k][1]) <= 1e-6, (k, got[k], expected[k])
+    finally:
+        qy.stop()
