@@ -219,11 +219,12 @@ def shard_manifest(
     )
 
 
-def shard_manifest_duck(shard_tokens: int = 4096) -> str:
-    """Oracle: the same assignment via one global window."""
+def shard_manifest_duck(shard_tokens: int = 4096, src: str = "documents") -> str:
+    """Oracle: the same assignment via one global window. ``src`` lets
+    a composed oracle run the manifest over an upstream CTE."""
     return """
 with c as (
-  select doc_id, len(string_split(text, ' '))::BIGINT n_tokens from documents
+  select doc_id, len(string_split(text, ' '))::BIGINT n_tokens from {src}
 ),
 o as (
   select doc_id, n_tokens,
@@ -236,7 +237,7 @@ select doc_id, n_tokens,
        (so - (so // {s}) * {s})::BIGINT shard_offset,
        (((so + n_tokens - 1) // {s}) != (so // {s}))::BIGINT spans_shards
 from o order by doc_id
-""".format(s=shard_tokens)
+""".format(s=shard_tokens, src=src)
 
 
 def token_offsets_per_key(

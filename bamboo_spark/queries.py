@@ -5805,16 +5805,11 @@ order by doc_id
 """.format(pairs=pairs.strip().rstrip(";"), body=body.lstrip())
 
 
-def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full master pipeline, composed end-to-end: Gopher quality
-    filter → paragraph dedup with reassembly → normalized exact dedup →
-    fuzzy-title ENTITY RESOLUTION over the cleaned text (PassJoin
-    edit-distance pairs d≤2 on 32-char keys → converged components →
-    keep the min-id golden record per entity) → per-source corpus
-    report (docs kept, total tokens). Six engine operators as ONE
-    lazily-composed program; the oracle replays every stage (brute
-    pairs + recursive-CTE fixpoint for the ER stage), so the
-    composition — not just the parts — is value-gated."""
+def _curated_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared master-curation chain (v3 stages through golden
+    records): Gopher filter → paragraph dedup with reassembly →
+    normalized exact dedup → fuzzy-title entity resolution → keep the
+    min-id representative per entity. Returns (doc_id, text)."""
     from bamboo_spark.operators import linkage
 
     d = load(spark, sf_dir, "documents")
@@ -5840,7 +5835,22 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = dedup.connected_components_converged(pairs)
     drop = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
-    final = cleaned.join(drop, "doc_id", "left_anti")
+    return cleaned.join(drop, "doc_id", "left_anti")
+
+
+def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full master pipeline, composed end-to-end: Gopher quality
+    filter → paragraph dedup with reassembly → normalized exact dedup →
+    fuzzy-title ENTITY RESOLUTION over the cleaned text (PassJoin
+    edit-distance pairs d≤2 on 32-char keys → converged components →
+    keep the min-id golden record per entity) → per-source corpus
+    report (docs kept, total tokens). Six engine operators as ONE
+    lazily-composed program; the oracle replays every stage (brute
+    pairs + recursive-CTE fixpoint for the ER stage), so the
+    composition — not just the parts — is value-gated."""
+    from bamboo_spark.operators import linkage
+
+    final = _curated_final(spark, sf_dir)
     src = load(spark, sf_dir, "documents").select("doc_id", "source")
     return (
         final.join(src, "doc_id")
@@ -5855,7 +5865,7 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_CURATION_V3_SQL = """
+Q_CURATED_CTES = """
 with g as ({gopher}),
 kept as (
   select d.doc_id, d.text from documents d join g using (doc_id)
@@ -5888,12 +5898,50 @@ dropd as (select doc_id from comp where doc_id != component),
 final as (
   select c.doc_id, c.text from cleaned c
   where c.doc_id not in (select doc_id from dropd)
-)
+)"""
+
+Q_CURATION_V3_TAIL = """
 select d.source, count(*)::BIGINT n_docs,
        sum(len(string_split(f.text, ' ')))::BIGINT n_tokens
 from final f join documents d using (doc_id)
 group by d.source order by d.source
 """
+
+
+def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full export program: master curation (v3 golden records) →
+    hash-stable 90% train slice → fixed-token-budget shard manifest
+    (2048-token output files) — the last mile of a training-data
+    pipeline, from raw corpus to "which file does each doc land in and
+    at what offset", as ONE lazily-composed plan. The manifest's prefix
+    scan is the distributed two-phase form (P shard totals to the
+    driver, no global window); the oracle replays every stage including
+    the ER fixpoint and the global-window manifest."""
+    final = _curated_final(spark, sf_dir)
+    train = final.where(text.stable_sample_pct("doc_id") < 90)
+    return pack.shard_manifest(train, shard_tokens=2048).orderBy("doc_id")
+
+
+def _export_manifest_duck() -> str:
+    ctes = Q_CURATED_CTES.format(
+        gopher=text.gopher_filter_duck(),
+        segment=dedup.segment_dedup_duck(block_tokens=20, src="kept"),
+        norm=text.normalize_text_duck("text"),
+        fixpoint=dedup.components_fixpoint_duck(
+            "select doc_a, doc_b from lk_pairs"
+        ).strip(),
+    )
+    mani = pack.shard_manifest_duck(shard_tokens=2048, src="train").strip()
+    assert mani.startswith("with ")
+    return (
+        ctes
+        + """,
+train as (
+  select doc_id, text from final where {b} < 90
+),
+""".format(b=text.stable_sample_pct_duck("doc_id"))
+        + mani[len("with "):]
+    )
 
 
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6343,6 +6391,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_incremental": q_dedup_components_incremental,
         "curation_pipeline_v3": q_curation_pipeline_v3,
         "leakage_safe_split": q_leakage_safe_split,
+        "export_manifest": q_export_manifest,
         "minhash_recall": q_minhash_recall,
         "orders_rfm": q_orders_rfm,
         "events_gap_histogram": q_events_gap_histogram,
@@ -6579,14 +6628,15 @@ from s group by cluster_size order by cluster_size
         "minhash_recall": _minhash_recall_duck(),
         "orders_rfm": Q_ORDERS_RFM_SQL,
         "events_gap_histogram": Q_EVENTS_GAP_HIST_SQL,
-        "curation_pipeline_v3": Q_CURATION_V3_SQL.format(
+        "curation_pipeline_v3": Q_CURATED_CTES.format(
             gopher=text.gopher_filter_duck(),
             segment=dedup.segment_dedup_duck(block_tokens=20, src="kept"),
             norm=text.normalize_text_duck("text"),
             fixpoint=dedup.components_fixpoint_duck(
                 "select doc_a, doc_b from lk_pairs"
             ).strip(),
-        ),
+        ) + Q_CURATION_V3_TAIL,
+        "export_manifest": _export_manifest_duck(),
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

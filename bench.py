@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "minhash_recall",
     "orders_rfm",
     "events_gap_histogram",
+    "export_manifest",
 ]
 
 
