@@ -6233,6 +6233,57 @@ from b group by event_type, bucket order by event_type, bucket
 """
 
 
+def q_user_trajectory_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-trajectory similarity: each user's event history
+    compresses to a 32-step action string (first letter of each event
+    type, time-ordered), and users within 3 edits of each other pair
+    up — cohort discovery / bot-ring detection by SEQUENCE shape, not
+    aggregate counts (the distributed cousin of trajectory-similarity
+    search). Reuses the PassJoin edit-distance join unchanged — the
+    operator is domain-agnostic: same segments, same banded verify,
+    same lossless-vs-brute-force oracle.
+
+    The trajectory build is one user-keyed aggregate (sort_array over
+    collected (µs, id, initial) structs — bounded per key), then the
+    linkage machinery takes over."""
+    from bamboo_spark.operators import linkage
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("us"),
+            F.col("event_id").alias("eid"),
+            F.substring("event_type", 1, 1).alias("c"),
+        ).alias("s"),
+    )
+    traj = e.groupBy("user_id").agg(
+        F.expr(
+            "substring(array_join(transform(sort_array(collect_list(s)),"
+            " x -> x.c), ''), 1, 32)"
+        ).alias("traj")
+    )
+    return linkage.edit_distance_pairs(
+        traj, "user_id", "traj", max_dist=3
+    ).orderBy("id_a", "id_b")
+
+
+Q_USER_TRAJECTORY_SQL = """
+with t as (
+  select user_id,
+         substring(string_agg(substring(event_type, 1, 1), ''
+                   order by epoch_us(ts), event_id), 1, 32) traj
+  from events group by user_id
+)
+select a.user_id id_a, b.user_id id_b,
+       levenshtein(a.traj, b.traj)::INT dist
+from t a join t b
+  on a.user_id < b.user_id
+ and abs(length(a.traj) - length(b.traj)) <= 3
+where levenshtein(a.traj, b.traj) <= 3
+order by id_a, id_b
+"""
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -6392,6 +6443,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline_v3": q_curation_pipeline_v3,
         "leakage_safe_split": q_leakage_safe_split,
         "export_manifest": q_export_manifest,
+        "user_trajectory_pairs": q_user_trajectory_pairs,
         "minhash_recall": q_minhash_recall,
         "orders_rfm": q_orders_rfm,
         "events_gap_histogram": q_events_gap_histogram,
@@ -6637,6 +6689,7 @@ from s group by cluster_size order by cluster_size
             ).strip(),
         ) + Q_CURATION_V3_TAIL,
         "export_manifest": _export_manifest_duck(),
+        "user_trajectory_pairs": Q_USER_TRAJECTORY_SQL,
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "orders_rfm",
     "events_gap_histogram",
     "export_manifest",
+    "user_trajectory_pairs",
 ]
 
 
