@@ -85,3 +85,23 @@ def test_bpe_train_real_docs_and_early_stop(spark):
 
     with pytest.raises(ValueError, match="n_merges"):
         bpe_train(tiny, "text", 0)
+
+
+def test_bpe_train_quote_and_special_chars(spark):
+    # words containing single quotes exercise the literal-escaping path
+    # in the merge expressions; punctuation exercises non-alpha symbols
+    docs = [
+        "don't don't don't can't",
+        "o'clock o'clock don't",
+        "a.b a.b a.b c,d",
+    ]
+    wc = Counter(w for t in docs for w in t.split(" ") if w)
+    expected = _py_bpe(wc, 5)
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    got = [
+        (r.rank, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in bpe_train(df, "text", 5).orderBy("rank").collect()
+    ]
+    assert got == expected
+    # the quote characters must survive into the learned merges
+    assert any("'" in m[1] or "'" in m[2] or "'" in m[3] for m in got)
