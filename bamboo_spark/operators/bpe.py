@@ -41,13 +41,22 @@ from bamboo_spark.operators._cache import tracked_persist
 
 
 def _lit(s: str) -> str:
+    """DuckDB-side literal: standard SQL quote doubling ONLY — DuckDB
+    string literals do no backslash processing."""
     return "'%s'" % s.replace("'", "''")
+
+
+def _lit_spark(s: str) -> str:
+    """Spark-side literal: backslash FIRST (Spark SQL literals treat \\
+    as an escape; a corpus symbol containing one would otherwise parse
+    differently — or not at all), then the usual quote doubling."""
+    return "'%s'" % s.replace("\\", "\\\\").replace("'", "''")
 
 
 def _apply_merge_spark(lhs: str, rhs: str) -> str:
     """SQL producing the post-merge symbol array from column ``syms``
     (0-based Spark arrays)."""
-    L, R = _lit(lhs), _lit(rhs)
+    L, R = _lit_spark(lhs), _lit_spark(rhs)
     cand = "(syms[{j}] = %s AND syms[{j} + 1] = %s)" % (L, R)
     sel = (
         "if(size(syms) < 2, cast(array() as array<boolean>), "
@@ -61,7 +70,7 @@ def _apply_merge_spark(lhs: str, rhs: str) -> str:
         "filter(transform(sequence(0, size(syms) - 1), i -> "
         "case when i < size(syms) - 1 and _sel[i] then %s "
         "when i > 0 and _sel[i - 1] then cast(null as string) "
-        "else syms[i] end), x -> x is not null)" % _lit(lhs + rhs),
+        "else syms[i] end), x -> x is not null)" % _lit_spark(lhs + rhs),
         sel,
     )
 

@@ -178,12 +178,18 @@ def _verify_jaccard(candidates: DataFrame, hsets: DataFrame, threshold: float) -
     return verified.where(F.col("jaccard") >= threshold)
 
 
-def jaccard_pairs_duck(threshold: float = 0.8, k: int = 3) -> str:
-    """DuckDB oracle: brute-force exact pairwise Jaccard (same result)."""
+def jaccard_pairs_duck(
+    threshold: float = 0.8, k: int = 3, source: str = "documents"
+) -> str:
+    """DuckDB oracle: brute-force exact pairwise Jaccard (same result).
+
+    ``source`` lets callers gate a filtered slice (e.g. the hash-stable
+    sample of ``q_minhash_recall(sample_pct=...)``) against the same
+    brute-force ground truth."""
     sh = word_shingles_duck("string_split(text, ' ')", k)
     return """
 with sets as (
-  select doc_id, list_distinct({sh}) shingles from documents
+  select doc_id, list_distinct({sh}) shingles from {src}
   where len(list_distinct({sh})) > 0
 ),
 ex as (select doc_id, len(shingles) n, unnest(shingles) sh from sets),
@@ -197,7 +203,7 @@ select doc_a, doc_b,
        round(cnt::DOUBLE / (na + nb - cnt)::DOUBLE, 6) as jaccard
 from inter
 where round(cnt::DOUBLE / (na + nb - cnt)::DOUBLE, 6) >= {t}
-""".format(sh=sh, t=threshold)
+""".format(sh=sh, t=threshold, src=source)
 
 
 def containment_pairs(
@@ -1672,9 +1678,12 @@ def components_incremental(
         )
         .distinct()
     )
+    # connected_components_converged always emits (doc_id, component)
+    # regardless of its input edge column names — select those fixed
+    # names, not the caller's id_col/label_col.
     comp = connected_components_converged(
         contracted, max_supersteps=max_supersteps, a_col=a_col, b_col=b_col
-    ).select(F.col(id_col).alias("_sup"), F.col(label_col).alias("_final"))
+    ).select(F.col("doc_id").alias("_sup"), F.col("component").alias("_final"))
 
     # every doc's super-node: its stored label, or itself if new
     new_docs = (

@@ -2097,9 +2097,13 @@ def embedding_covariance(
             col = tb.column(0).to_pylist()
             if not col:
                 continue
-            m = np.rint(np.asarray(col, dtype=np.float64) * 1e6).astype(
-                np.int64
-            )
+            # half-AWAY rounding to µ-units, matching Spark F.round /
+            # DuckDB round and the drift-baseline quantizer — np.rint
+            # (half-to-even) diverges on exact .5 µ-unit boundaries
+            x = np.asarray(col, dtype=np.float64) * 1e6
+            m = np.where(
+                x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)
+            ).astype(np.int64)
             g = m.T @ m  # exact: µ-unit int64 GEMM
             s = m.sum(axis=0, dtype=np.int64)
             yield pa.RecordBatch.from_arrays(

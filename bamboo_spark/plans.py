@@ -20,6 +20,8 @@ there), so any token visible in either is addressable.
 
 from __future__ import annotations
 
+import re
+
 from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame
@@ -83,7 +85,12 @@ def audit_plan(
         if "PushedFilters" not in text:
             violations.append("no PushedFilters section in plan")
         else:
-            pushed = text.split("PushedFilters", 1)[1].split("\n", 1)[0]
+            # a multi-scan plan has one PushedFilters section per scan —
+            # a column pushed at ANY scan satisfies the check
+            pushed = " ".join(
+                part.split("\n", 1)[0]
+                for part in text.split("PushedFilters")[1:]
+            )
             for col in pushed_filter_cols:
                 if col not in pushed:
                     violations.append(
@@ -91,10 +98,14 @@ def audit_plan(
                     )
     if max_exchanges is not None:
         tree = df._jdf.queryExecution().executedPlan().toString()
-        n = tree.count("Exchange")
+        # the documented ceiling is on SHUFFLES: broadcast exchanges
+        # move only the (small) build side and reused exchanges re-read
+        # a prior shuffle's output, so neither counts against it
+        n = len(re.findall(r"(?<![A-Za-z])Exchange(?![A-Za-z])", tree))
         if n > max_exchanges:
             violations.append(
-                "%d exchanges in executed plan (max %d)" % (n, max_exchanges)
+                "%d shuffle exchanges in executed plan (max %d)"
+                % (n, max_exchanges)
             )
     if violations and raise_on_violation:
         raise PlanViolation(violations)

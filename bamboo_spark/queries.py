@@ -22,7 +22,7 @@ import math  # noqa: F401 — used by registry helpers
 
 from bamboo_spark.operators._num import round_half_away as _round_half_away
 
-from typing import Callable, Dict
+from typing import Callable, Dict, Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -5821,11 +5821,13 @@ def _curated_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = sd.where(F.col("n_kept") > 0).selectExpr(
         "doc_id", "dedup_text as text"
     )
-    w = Window.partitionBy(text.normalize_text("text")).orderBy("doc_id")
+    # min-id representative per normalized key as a MAX-STRUCT AGGREGATE
+    # (the engine's canonical argmax shape, pinned at test_plans.py) —
+    # map-side combinable, no per-key sort, unlike a row_number window.
     cleaned = _tracked_persist(
-        surv.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "text")
+        surv.groupBy(text.normalize_text("text").alias("_nk"))
+        .agg(F.min(F.struct("doc_id", "text")).alias("_rep"))
+        .select(F.col("_rep.doc_id").alias("doc_id"), F.col("_rep.text").alias("text"))
     )
     keyed = cleaned.select(
         "doc_id", F.lower(F.substring("text", 1, 32)).alias("tk")
@@ -5954,8 +5956,11 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     growing the corpus never migrates an existing cluster.
 
     Scale: pairs + components are the existing operators; the split
-    itself is a scan-speed projection over coalesce(component,
-    doc_id)."""
+    itself is one equi-join on ``doc_id`` plus a scan-speed projection
+    over coalesce(component, doc_id). The component map has one row per
+    doc that appears in ANY near-dup pair — data-sized on a web corpus —
+    so the join strategy is deliberately left to AQE: it broadcasts only
+    when the map actually fits, and shuffles otherwise."""
     d = load(spark, sf_dir, "documents")
     pairs = _tracked_persist(
         dedup.minhash_lsh_pairs(d, threshold=0.7).select("doc_a", "doc_b")
@@ -5963,7 +5968,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = dedup.connected_components_converged(pairs)
     anchored = (
         d.select("doc_id")
-        .join(F.broadcast(comp), "doc_id", "left")
+        .join(comp, "doc_id", "left")
         .withColumn(
             "split_key",
             F.coalesce(F.col("component"), F.col("doc_id")),
@@ -6000,7 +6005,11 @@ from anch order by doc_id
 """.format(fix=fix, b=b)
 
 
-def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_minhash_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    sample_pct: Optional[int] = None,
+) -> DataFrame:
     """LSH quality monitor — the text-dedup counterpart of
     ``ann_recall``: the MinHash-LSH pair set measured against the
     exact prefix-filtered Jaccard join (ground truth) — one row of
@@ -6008,10 +6017,22 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment runs after retuning bands/rows, value-gated because
     both sides and the join replay in the oracle.
 
+    Scale contract: the exact Jaccard join is BY DEFINITION the
+    expensive side (it is the cost the LSH dedup exists to avoid), so
+    at corpus scale the retune check must run on a sample or it costs
+    more than the dedup it guards. ``sample_pct=p`` keeps the
+    hash-stable p% slice of documents (md5-bucketed — the SAME docs
+    every run and in both engines, so the sampled monitor is itself
+    oracle-checkable) and measures recall/precision within that slice;
+    recall is a per-pair Bernoulli property, so the slice estimate is
+    unbiased. Default ``None`` keeps the full exact gate.
+
     (At the registry's 32×2 banding a 0.7-pair misses with p < 5e-10,
     so recall is expected to be exactly 1.0 — the monitor exists to
     catch a BAD retune, and the oracle proves the monitor itself.)"""
     d = load(spark, sf_dir, "documents")
+    if sample_pct is not None:
+        d = d.where(text.stable_sample_pct("doc_id") < sample_pct)
     # both pair sets feed TWO consumers each (the hit join + their own
     # count) — persist so neither similarity join runs twice
     exact = _tracked_persist(
@@ -6073,7 +6094,9 @@ from c
 """.format(exact=exact)
 
 
-def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_orders_rfm(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
     """RFM customer segmentation: per customer, Recency (days from
     last order to the corpus max date), Frequency (order count), and
     Monetary (total spend in exact cents), each scored into terciles
@@ -6083,7 +6106,13 @@ def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two map-combined aggregates (per-customer rollup, then the 6 global
     tercile cutoffs as a broadcast row) and a scan-speed scoring pass.
     Money sums in integer cents (order-independent; a float sum would
-    hash-diverge across engines)."""
+    hash-diverge across engines). ``approx=True`` is the 100 TB mode:
+    exact ``percentile`` merges a counts-map of every distinct
+    per-customer value on ONE reducer, while ``approx_percentile`` is a
+    mergeable sketch with map-side partials — like its siblings
+    ``value_outliers``/``conversion_lag``/``quality_deciles``. The exact
+    form stays the oracle-gated default; the approx twin is
+    rank-sandwich error-bound-tested in pytest."""
     o = load(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderdate",
@@ -6102,9 +6131,12 @@ def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per = _tracked_persist(per)
+    pf = (
+        "approx_percentile(%s, %s, 10000)" if approx else "percentile(%s, %s)"
+    )
     cuts = per.agg(
         *[
-            F.expr("percentile(%s, %s)" % (c, p)).alias("%s_%s" % (c, n))
+            F.expr(pf % (c, p)).alias("%s_%s" % (c, n))
             for c in ("recency_days", "frequency", "monetary_cents")
             for p, n in ((1.0 / 3, "lo"), (2.0 / 3, "hi"))
         ]
@@ -6201,8 +6233,11 @@ def q_events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gap_s"),
         )
     )
+    # floor(log2(n)) for n > 0 == length of n's binary representation
+    # minus one — pure integer/string math, no float log2 whose ULP at
+    # 2^k±1 could drift across engines.
     bucket = F.when(F.col("gap_s") <= 0, F.lit(-1)).otherwise(
-        F.expr("cast(floor(log2(gap_s)) as int)")
+        F.expr("cast(length(bin(gap_s)) - 1 as int)")
     )
     return (
         gaps.select("event_type", bucket.cast("int").alias("bucket"))
@@ -6225,7 +6260,7 @@ g as (
 b as (
   select event_type,
          case when gap_s <= 0 then -1
-              else floor(log2(gap_s))::INT end bucket
+              else (length(bin(gap_s)) - 1)::INT end bucket
   from g where gap_s is not null
 )
 select event_type, bucket::INT bucket, count(*)::BIGINT n
@@ -6243,23 +6278,28 @@ def q_user_trajectory_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator is domain-agnostic: same segments, same banded verify,
     same lossless-vs-brute-force oracle.
 
-    The trajectory build is one user-keyed aggregate (sort_array over
-    collected (µs, id, initial) structs — bounded per key), then the
+    Only the 32 time-earliest events of a user can ever reach the
+    output, so the per-key state is BOUNDED before anything aggregates:
+    :func:`scale.ranked_head` (cap=32, order ``(us, event_id)``) plans
+    as a Partial WindowGroupLimit below the shuffle — a bot with
+    millions of events ships at most 32 rows per map partition, and the
+    ``collect_list`` that follows sees <= 32 structs per user. Then the
     linkage machinery takes over."""
-    from bamboo_spark.operators import linkage
+    from bamboo_spark.operators import linkage, scale
 
     e = load(spark, sf_dir, "events").select(
         "user_id",
-        F.struct(
-            F.unix_micros("ts").alias("us"),
-            F.col("event_id").alias("eid"),
-            F.substring("event_type", 1, 1).alias("c"),
-        ).alias("s"),
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("eid"),
+        F.substring("event_type", 1, 1).alias("c"),
     )
-    traj = e.groupBy("user_id").agg(
+    head = scale.ranked_head(
+        e, "user_id", [F.col("us").asc(), F.col("eid").asc()], cap=32
+    )
+    traj = head.groupBy("user_id").agg(
         F.expr(
-            "substring(array_join(transform(sort_array(collect_list(s)),"
-            " x -> x.c), ''), 1, 32)"
+            "array_join(transform(sort_array(collect_list(struct(us, eid, c))),"
+            " x -> x.c), '')"
         ).alias("traj")
     )
     return linkage.edit_distance_pairs(

@@ -21,8 +21,13 @@ from bamboo_spark.streaming.core import (
     transitions_stream,
     dedup_stream,
     flatten_stream,
+    funnel_stream,
+    interval_attribution_stream,
     linkage_stream,
     minhash_pairs_stream,
+    pack_stream,
+    profile_stream,
+    segment_bloom_guard_stream,
     sessionize_stream,
     windowed_counts,
 )
@@ -37,8 +42,13 @@ __all__ = [
     "dedup_stream_simhash",
     "drift_stream",
     "flatten_stream",
+    "funnel_stream",
+    "interval_attribution_stream",
     "linkage_stream",
     "minhash_pairs_stream",
+    "pack_stream",
+    "profile_stream",
+    "segment_bloom_guard_stream",
     "sessionize_stream",
     "sessionize_stream_tws",
     "transitions_stream",

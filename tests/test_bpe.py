@@ -105,3 +105,23 @@ def test_bpe_train_quote_and_special_chars(spark):
     assert got == expected
     # the quote characters must survive into the learned merges
     assert any("'" in m[1] or "'" in m[2] or "'" in m[3] for m in got)
+
+
+def test_bpe_train_backslash_words(spark):
+    # a corpus word containing a backslash exercises the Spark-side
+    # literal escaping (Spark SQL treats \ as an escape in string
+    # literals; DuckDB does not) — the merge expressions must still
+    # parse AND produce the same merges as the pure-Python reference
+    docs = [
+        r"a\b a\b a\b c\\d",
+        r"a\b c\\d path\to path\to",
+    ]
+    wc = Counter(w for t in docs for w in t.split(" ") if w)
+    expected = _py_bpe(wc, 4)
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    got = [
+        (r.rank, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in bpe_train(df, "text", 4).orderBy("rank").collect()
+    ]
+    assert got == expected
+    assert any("\\" in m[3] for m in got)

@@ -393,3 +393,68 @@ def test_components_incremental_merges_old_components(spark):
     }
     for k, v in full.items():
         assert got[k] == v, (k, v, got[k])
+
+
+def test_components_incremental_custom_column_names(spark):
+    # id_col/label_col other than the defaults must work: the converged
+    # CC inside always emits (doc_id, component) and the function must
+    # select those fixed names, not the caller's
+    from bamboo_spark.operators.dedup import components_incremental
+
+    stored = spark.createDataFrame(
+        [(1, 1), (2, 1)], "node long, label long"
+    )
+    new_pairs = spark.createDataFrame([(2, 3)], "left long, right long")
+    got = {
+        r.node: r.label
+        for r in components_incremental(
+            stored,
+            new_pairs,
+            id_col="node",
+            label_col="label",
+            a_col="left",
+            b_col="right",
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_minhash_recall_sampled_mode(spark):
+    # the scale contract: sample_pct runs the monitor on the hash-stable
+    # p% slice — same slice in both engines, so the sampled monitor is
+    # itself oracle-checkable against the brute-force Jaccard ground
+    # truth restricted to that slice
+    import duckdb
+
+    from bamboo_spark import queries as q
+    from bamboo_spark.operators import dedup, text
+
+    sf = "/root/testdata/sf0.001"
+    got = q.q_minhash_recall(spark, sf, sample_pct=50).collect()[0]
+
+    con = duckdb.connect()
+    con.sql(
+        "create view documents as select * from '%s/documents.parquet'" % sf
+    )
+    src = "(select * from documents where %s < 50)" % (
+        text.stable_sample_pct_duck("doc_id")
+    )
+    exact = (
+        dedup.jaccard_pairs_duck(threshold=0.7, source=src).strip().rstrip(";")
+    )
+    want = con.sql(
+        """
+with exact as materialized (
+%s
+)
+select count(*)::BIGINT n from exact
+"""
+        % exact
+    ).fetchone()[0]
+    con.close()
+    # sampled slice is non-trivial and strictly smaller than full corpus
+    full = q.q_minhash_recall(spark, sf).collect()[0]
+    assert 0 < got.n_exact < full.n_exact or full.n_exact == 0
+    assert got.n_exact == want
+    # at 32x2 banding the slice recall is exactly 1.0 (same theorem)
+    assert got.recall == 1.0 and got.n_hit == got.n_exact

@@ -167,3 +167,48 @@ def test_edit_pairs_unicode_codepoint_semantics(spark):
     }
     assert got == _brute(rows, 2)
     assert (1, 2, 1) in got and (1, 3, 2) in got and (4, 5, 2) in got
+
+
+def test_user_trajectory_hot_user_bounded_and_correct(spark, tmp_path):
+    # a pathological "bot" user with many events: only its 32
+    # time-earliest events may shape the trajectory, and the result must
+    # equal the Python reference computed on exactly that prefix
+    import datetime
+
+    from bamboo_spark import queries as q
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # bot: 500 events, event types cycle a/b/c/d -> trajectory is the
+    # first 32 by (ts, event_id)
+    for i in range(500):
+        rows.append(
+            (eid, base + datetime.timedelta(seconds=i), 1, "abcd"[i % 4] + "x", 0.0, "{}")
+        )
+        eid += 1
+    # twin bot: same first-32 cadence (pairs with user 1 at distance 0)
+    for i in range(40):
+        rows.append(
+            (eid, base + datetime.timedelta(seconds=i), 2, "abcd"[i % 4] + "y", 0.0, "{}")
+        )
+        eid += 1
+    # unrelated user: constant type (distance > 3 from the bots)
+    for i in range(40):
+        rows.append(
+            (eid, base + datetime.timedelta(seconds=i), 3, "zzz", 0.0, "{}")
+        )
+        eid += 1
+    sdf = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sdf.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = [
+        (r.id_a, r.id_b, r.dist)
+        for r in q.q_user_trajectory_pairs(spark, str(tmp_path)).collect()
+    ]
+    # both bots share the exact 32-step prefix "abcd"*8 -> distance 0;
+    # user 3's "z"*32 is 24+ edits away from either
+    assert got == [(1, 2, 0)]

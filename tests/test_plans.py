@@ -624,3 +624,50 @@ def test_dataset_audit_plan_method(spark):
 
     ds = Dataset(spark.read.parquet(SF + "/documents.parquet"))
     assert ds.audit_plan() == []
+
+
+def test_leakage_safe_split_comp_join_left_to_aqe(spark):
+    # the duplicate-cluster component map is DATA-SIZED (one row per doc
+    # in any near-dup pair) — its join must carry no forced broadcast
+    # hint; AQE picks broadcast only when the map actually fits
+    df = q.q_leakage_safe_split(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    # and nothing data-sized is collected: the split itself is one
+    # equi-join + projection (the CC fixpoint is behind a checkpoint)
+    s = simple_plan(df)
+    assert "CartesianProduct" not in s
+
+
+def test_user_trajectory_partial_topk_below_shuffle(spark):
+    # only the 32 time-earliest events per user can reach the output —
+    # the ranked_head pre-filter must plan the PAIR of WindowGroupLimit
+    # nodes (Partial below the exchange), so a bot with millions of
+    # events ships <= 32 rows per map partition into the collect_list
+    s = simple_plan(q.queries()["user_trajectory_pairs"](spark, SF))
+    assert s.count("WindowGroupLimit") >= 2, s
+    assert "Partial" in s and "Final" in s, s
+
+
+def test_curated_final_rep_is_aggregate_not_window(spark):
+    # the normalized-dedup representative inside the composed curation
+    # chain is the canonical map-combinable min(struct) aggregate, not a
+    # row_number window (same pin as dedup_canonical, extended to the
+    # composed pipeline)
+    from bamboo_spark.queries import _curated_final
+
+    s = simple_plan(_curated_final(spark, SF))
+    assert "row_number" not in s, s
+
+
+def test_audit_plan_counts_only_shuffle_exchanges(spark):
+    # max_exchanges is documented as a SHUFFLE ceiling: a pure broadcast
+    # join (BroadcastExchange only) must pass max_exchanges=0
+    from bamboo_spark.plans import audit_plan
+
+    a = spark.range(100)
+    b = spark.range(10)
+    j = a.join(F.broadcast(b), "id")
+    assert audit_plan(j, max_exchanges=0) == []
+    s = simple_plan(j)
+    assert "BroadcastExchange" in s  # the broadcast IS in the plan

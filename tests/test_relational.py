@@ -279,3 +279,60 @@ def test_approx_modes_within_error_bounds(spark):
     n_total = sum(exd.values())
     drift = sum(abs(apd.get(k, 0) - exd.get(k, 0)) for k in set(exd) | set(apd))
     assert drift <= max(0.2 * n_total, 8), drift
+
+
+def test_orders_rfm_approx_mode(spark):
+    # the 100 TB mode: mergeable approx_percentile cutoffs instead of
+    # the single-reducer exact percentile. Terciles only shift where a
+    # customer sits exactly at a cutoff, so the 27-cell counts must
+    # agree up to boundary drift and preserve the customer total
+    from bamboo_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    ex = {(r.r, r.f, r.m): r.n_customers for r in q.q_orders_rfm(spark, sf).collect()}
+    ap = {
+        (r.r, r.f, r.m): r.n_customers
+        for r in q.q_orders_rfm(spark, sf, approx=True).collect()
+    }
+    assert sum(ex.values()) == sum(ap.values())
+    n_total = sum(ex.values())
+    drift = sum(abs(ap.get(k, 0) - ex.get(k, 0)) for k in set(ex) | set(ap))
+    assert drift <= max(0.2 * n_total, 8), drift
+    # the approx plan must NOT contain the exact percentile aggregate
+    s = q.q_orders_rfm(spark, sf, approx=True)._jdf.queryExecution().executedPlan().toString()
+    assert "approx_percentile" in s or "ApproximatePercentile" in s
+
+
+def test_events_gap_histogram_integer_buckets(spark):
+    # buckets at exact powers of two and their +-1 neighbors: integer
+    # bit-length math, no float log2 — both engines must agree
+    import duckdb
+
+    rows = []
+    for k in (0, 1, 5, 20, 40):
+        p = 1 << k
+        for g in (p - 1, p, p + 1):
+            if g > 0:
+                rows.append(g)
+    sdf = spark.createDataFrame([(g,) for g in rows], "gap_s long")
+    got = {
+        r.gap_s: r.bucket
+        for r in sdf.selectExpr(
+            "gap_s",
+            "case when gap_s <= 0 then -1"
+            " else cast(length(bin(gap_s)) - 1 as int) end bucket",
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        g: con.sql(
+            "select case when %d <= 0 then -1"
+            " else (length(bin(%d)) - 1)::INT end" % (g, g)
+        ).fetchone()[0]
+        for g in rows
+    }
+    con.close()
+    assert got == want
+    # and both equal the mathematical floor(log2)
+    for g in rows:
+        assert got[g] == g.bit_length() - 1, (g, got[g])

@@ -249,3 +249,42 @@ def test_pca_matches_numpy_reference(spark):
     # explained variance is in decreasing order
     var = ((x - x.mean(axis=0)) @ comps.T).var(axis=0)
     assert all(var[k] >= var[k + 1] - 1e-9 for k in range(3))
+
+
+def test_embedding_covariance_half_boundary_rounding(spark, tmp_path):
+    # embedding values landing EXACTLY on a 0.5 µ-unit boundary (x * 1e6
+    # == k + 0.5 in float64) must quantize half-AWAY-from-zero, matching
+    # DuckDB round() and the drift-baseline quantizer — np.rint's
+    # half-to-even would diverge on 2.5 -> 2 vs 3
+    import duckdb
+
+    from bamboo_spark.operators.similarity import (
+        embedding_covariance,
+        embedding_covariance_duck,
+    )
+
+    rows = [
+        (1, [2.5e-6, 0.5e-6]),
+        (2, [-2.5e-6, 4.5e-6]),
+        (3, [1.0e-3, -4.5e-6]),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r.dim_i, r.dim_j): r.cov
+        for r in embedding_covariance(sdf).collect()
+    }
+
+    pq = str(tmp_path / "emb.parquet")
+    sdf.coalesce(1).write.parquet(pq)
+    con = duckdb.connect()
+    con.sql(
+        "create view embeddings as select * from '%s/*.parquet'" % pq
+    )
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.sql(embedding_covariance_duck()).fetchall()
+    }
+    con.close()
+    assert got == want

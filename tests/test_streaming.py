@@ -1375,3 +1375,21 @@ def test_stream_bm25_matches_python_reference(spark, tmp_path):
             assert abs(got[k][1] - expected[k][1]) <= 1e-6, (k, got[k], expected[k])
     finally:
         qy.stop()
+
+
+def test_streaming_public_surface_complete():
+    # every public operator in streaming.core is re-exported from the
+    # package and listed in __all__ — no "lives only in core" drift
+    import inspect
+
+    import bamboo_spark.streaming as pkg
+    import bamboo_spark.streaming.core as core
+
+    public = {
+        n
+        for n, f in vars(core).items()
+        if inspect.isfunction(f) and not n.startswith("_") and f.__module__ == core.__name__
+    }
+    assert public <= set(pkg.__all__), public - set(pkg.__all__)
+    for n in pkg.__all__:
+        assert getattr(pkg, n) is getattr(core, n)
