@@ -1,0 +1,148 @@
+"""Count-Min sketch: mergeable approximate frequency state.
+
+The heavy-hitters monitors in this engine are exact (hash-aggregated
+full count tables). At 100 TB the *per-token* count table itself is
+corpus-vocabulary-sized — fine as a one-off aggregate, but too big to
+keep as STANDING STATE for continuous ingest monitoring. The Count-Min
+sketch (Cormode & Muthukrishnan 2005) replaces it with a fixed
+``depth x width`` integer grid:
+
+* every update adds 1 to one bucket per hash row — the grid is built by
+  one hash-aggregate whose output is depth*width rows REGARDLESS of
+  corpus size;
+* two sketches merge by cell-wise addition (a plain ``group by`` sum) —
+  the append-only ingest shape: yesterday's sketch + today's batch
+  sketch = the sketch of the union, exactly;
+* a point estimate is min over the item's depth cells — always an
+  OVERestimate (each cell >= the true count), within eps*N with
+  probability 1-delta for width=ceil(e/eps), depth=ceil(ln(1/delta)).
+
+Everything is integer math over md5-derived bucket hashes, so the
+DuckDB oracle replays the sketch BIT-FOR-BIT — the estimates themselves
+are deterministic and value-gated, not just bounded.
+
+Design notes (Spark-first): the builder is one exploded hash-aggregate
+(depth rows per token occurrence — map-side combined, so the shuffle
+carries at most depth*width rows per map partition); the estimator
+broadcasts the candidate set, never the sketch's input. No Python UDFs;
+the bucket hash is the engine's standard md5-prefix integer trick
+(`conv(substr(md5(..), 1, 15), 16, 10)` — 60 bits, same bytes in both
+engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _bucket_expr(item_sql: str, row: str, width: int) -> str:
+    """Bucket index in [0, width) for hash row ``row`` — Spark SQL."""
+    return (
+        "pmod(cast(conv(substr(md5(concat(cast(%s as string), ':', %s)), 1, 15),"
+        " 16, 10) as bigint), %d)" % (row, item_sql, width)
+    )
+
+
+def bucket_duck(item_sql: str, row: str, width: int) -> str:
+    """The same bucket index — DuckDB SQL (same md5 bytes, same mod)."""
+    return (
+        "(('0x' || substr(md5(%s::VARCHAR || ':' || %s), 1, 15))::BIGINT %% %d)"
+        % (row, item_sql, width)
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 8192,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a Count-Min sketch over one row per item occurrence
+    (optionally ``weight_col`` counts per row). Returns the sketch as a
+    DataFrame (hash_row int, bucket int, n bigint) with at most
+    depth*width rows — the mergeable standing state.
+
+    Scale shape: explode to ``depth`` rows per occurrence, then ONE
+    hash-aggregate on (hash_row, bucket). Partial aggregation bounds
+    every map task's output at depth*width rows, so the shuffle volume
+    is O(partitions * depth * width), independent of corpus size.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("depth/width must be >= 1")
+    w = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
+    return (
+        df.select(F.col(item_col).cast("string").alias("_it"), w.alias("_w"))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("hash_row"),
+            "_it",
+            "_w",
+        )
+        .withColumn(
+            "bucket", F.expr(_bucket_expr("_it", "hash_row", width)).cast("int")
+        )
+        .groupBy("hash_row", "bucket")
+        .agg(F.sum("_w").alias("n"))
+        .select(F.col("hash_row").cast("int"), "bucket", F.col("n").cast("bigint"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the SAME (depth, width): cell-wise sum.
+    The result equals the sketch of the concatenated inputs exactly."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    acc = sketches[0]
+    for s in sketches[1:]:
+        acc = acc.unionByName(s)
+    return (
+        acc.groupBy("hash_row", "bucket")
+        .agg(F.sum("n").alias("n"))
+        .select("hash_row", "bucket", F.col("n").cast("bigint"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 8192,
+    out_col: str = "cms_n",
+) -> DataFrame:
+    """Point-estimate counts for ``items`` (a SMALL candidate frame —
+    heavy-hitter suspects, a watchlist): min over the item's ``depth``
+    cells. Adds ``out_col``; every estimate >= the true count.
+
+    The candidate set broadcasts (it is monitor-sized by contract); the
+    sketch side is depth*width rows, so the probe join is trivially
+    small on both sides. Items hashing to empty cells estimate 0.
+    """
+    probes = items.select(
+        F.col(item_col),
+        F.col(item_col).cast("string").alias("_it"),
+    ).select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("hash_row"),
+    ).withColumn(
+        "bucket", F.expr(_bucket_expr("_it", "hash_row", width)).cast("int")
+    )
+    # the sketch is depth*width rows BY CONSTRUCTION — broadcast-safe
+    hit = probes.join(F.broadcast(sketch), ["hash_row", "bucket"], "left")
+    return (
+        hit.groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("bigint").alias(out_col))
+    )
+
+
+def cms_build_duck(
+    item_sql_rows: str, depth: int = 4, width: int = 8192
+) -> str:
+    """DuckDB oracle twin of :func:`cms_build`: ``item_sql_rows`` is a
+    query producing one row per occurrence with column ``it`` (varchar).
+    Returns SQL for the (hash_row, bucket, n) grid."""
+    return """
+select r hash_row, {b} bucket, count(*)::BIGINT n
+from ({src}) occ, (select unnest(range(0, {d})) r)
+group by 1, 2
+""".format(src=item_sql_rows, b=bucket_duck("it", "r", width), d=depth)

@@ -6324,6 +6324,81 @@ order by id_a, id_b
 """
 
 
+def q_token_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency monitor: build the mergeable
+    depth×width sketch over the token stream, then point-estimate the
+    corpus-exact top-15 tokens against it — one row per heavy hitter
+    with (token, exact_n, cms_n). cms_n >= exact_n always (CMS never
+    underestimates); the gap is the collision overcount, eps*N-bounded.
+
+    This is `token_heavy_hitters`' scale escape hatch made concrete:
+    the exact count table is |vocab|-sized standing state, the sketch is
+    a FIXED 4×8192 integer grid that merges by cell-wise addition — the
+    shape a continuous-ingest monitor keeps. The sketch is
+    deterministic (md5-derived buckets), so the oracle replays the grid
+    and the estimates bit-for-bit — the estimate VALUES are gated, not
+    just bounded.
+
+    Scale: builder is one exploded hash-aggregate (map-side combined,
+    <= depth*width rows per task output); the top-15 candidates come
+    from a TakeOrderedAndProject (partial top-k); the probe broadcasts
+    both monitor-sized sides."""
+    from bamboo_spark.operators import sketch
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token")).where(
+        F.col("token") != ""
+    )
+    cms = sketch.cms_build(toks, "token", depth=4, width=8192)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("token").asc())
+        .limit(15)
+    )
+    est = sketch.cms_estimate(cms, top, "token", depth=4, width=8192)
+    return (
+        top.join(est, "token")
+        .select("token", "exact_n", "cms_n")
+        .orderBy(F.col("exact_n").desc(), F.col("token").asc())
+    )
+
+
+def _token_cms_counts_duck() -> str:
+    from bamboo_spark.operators import sketch
+
+    b = sketch.bucket_duck("t.token", "r", 8192)
+    return """
+with occ as (
+  select unnest(string_split(text, ' ')) it from documents
+),
+grid as materialized (
+  select r hash_row, {b2} bucket, count(*)::BIGINT n
+  from (select it from occ where it <> '') o,
+       (select unnest(range(0, 4)) r)
+  group by 1, 2
+),
+top as (
+  select it token, count(*)::BIGINT exact_n
+  from occ where it <> ''
+  group by it order by exact_n desc, token asc limit 15
+),
+probes as (
+  select t.token, t.exact_n, r, {b} bucket
+  from top t, (select unnest(range(0, 4)) r)
+),
+est as (
+  select token, min(coalesce(g.n, 0))::BIGINT cms_n
+  from probes p left join grid g
+    on g.hash_row = p.r and g.bucket = p.bucket
+  group by token
+)
+select t.token, t.exact_n, e.cms_n
+from top t join est e using (token)
+order by t.exact_n desc, t.token asc
+""".format(b=b, b2=sketch.bucket_duck("o.it", "r", 8192))
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -6484,6 +6559,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "export_manifest": q_export_manifest,
         "user_trajectory_pairs": q_user_trajectory_pairs,
+        "token_cms_counts": q_token_cms_counts,
         "minhash_recall": q_minhash_recall,
         "orders_rfm": q_orders_rfm,
         "events_gap_histogram": q_events_gap_histogram,
@@ -6730,6 +6806,7 @@ from s group by cluster_size order by cluster_size
         ) + Q_CURATION_V3_TAIL,
         "export_manifest": _export_manifest_duck(),
         "user_trajectory_pairs": Q_USER_TRAJECTORY_SQL,
+        "token_cms_counts": _token_cms_counts_duck(),
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(
