@@ -502,3 +502,79 @@ def cdc_apply(
         *[F.col("_w._v_%d" % i).alias(v) for i, v in enumerate(vers)],
         *[F.col("_w._p_%d" % i).alias(p) for i, p in enumerate(payload)],
     )
+
+
+def zorder_key(
+    cols: Sequence[str],
+    mins: Sequence[str],
+    maxs: Sequence[str],
+    bits: int = 16,
+) -> Column:
+    """Z-order (Morton) interleave of ``cols`` — the multi-column data
+    CLUSTERING key behind layout optimization (Delta/Iceberg's OPTIMIZE
+    ZORDER): rows close in z-key order are close in EVERY listed
+    dimension, so files written in z-key ranges carry tight min/max
+    stats on all of them at once and scans filtering on any dimension
+    skip most files. A lexicographic sort clusters only its leading
+    column; the z-curve shares its bits round-robin.
+
+    ``cols`` are integer-valued columns; ``mins``/``maxs`` are columns
+    holding each column's global min/max (broadcast-joined 1-row stats —
+    computing them is the caller's one extra aggregate). Each value
+    rank-quantizes to ``bits`` bits via EXACT integer math
+    ((x - min) * (2^bits - 1) div (max - min), in decimal(38,0) so a
+    full-range int64 column cannot overflow), then the quantized words
+    interleave bit b of column c into output bit b*n_cols + c.
+    n_cols * bits must stay <= 62 (int64 key).
+
+    Pure built-in expressions — scan-speed, codegen-friendly, no UDF,
+    and integer-exact so a DuckDB oracle replays keys bit-for-bit.
+    """
+    n = len(cols)
+    if not (n and len(mins) == n and len(maxs) == n):
+        raise ValueError("cols/mins/maxs must be equal-length and non-empty")
+    if n * bits > 62:
+        raise ValueError("n_cols * bits must be <= 62, got %d" % (n * bits))
+    top = (1 << bits) - 1
+    qs = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        qs.append(
+            "cast((cast(({c}) - ({lo}) as decimal(38,0)) * {top}) div "
+            "greatest(cast(({hi}) - ({lo}) as decimal(38,0)), 1) as bigint)".format(
+                c=c, lo=lo, hi=hi, top=top
+            )
+        )
+    terms = []
+    for ci, q in enumerate(qs):
+        terms.append(
+            "aggregate(sequence(0, {b}), 0L, (acc, i) -> "
+            "acc + shiftleft(shiftright({q}, i) & 1, i * {n} + {ci}))".format(
+                b=bits - 1, q=q, n=n, ci=ci
+            )
+        )
+    return F.expr(" + ".join(terms))
+
+
+def zorder_key_duck(
+    cols: Sequence[str],
+    mins: Sequence[str],
+    maxs: Sequence[str],
+    bits: int = 16,
+) -> str:
+    """DuckDB twin of :func:`zorder_key` — same integer math, so keys
+    match bit-for-bit."""
+    n = len(cols)
+    top = (1 << bits) - 1
+    terms = []
+    for ci, (c, lo, hi) in enumerate(zip(cols, mins, maxs)):
+        q = (
+            "((({c}) - ({lo}))::HUGEINT * {top} // "
+            "greatest((({hi}) - ({lo}))::HUGEINT, 1))::BIGINT".format(
+                c=c, lo=lo, hi=hi, top=top
+            )
+        )
+        terms.append(
+            "list_sum([(({q} >> i) & 1) * (1::BIGINT << (i * {n} + {ci})) "
+            "for i in range(0, {b})])".format(q=q, n=n, ci=ci, b=bits)
+        )
+    return "(" + " + ".join(terms) + ")"

@@ -6399,6 +6399,75 @@ order by t.exact_n desc, t.token asc
 """.format(b=b, b2=sketch.bucket_duck("o.it", "r", 8192))
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order data-layout planner: Morton-interleave (user_id, event
+    time) into a 32-bit z-key, assign each row to one of 256 files by
+    the key's top 8 bits, and emit the per-file manifest (row count +
+    min/max of BOTH dimensions). Because the z-curve shares bits
+    round-robin, every file covers a tight rectangle in (user, time) —
+    a scan filtering on EITHER column prunes most files from the
+    manifest alone. That is the OPTIMIZE ZORDER layout pass a 100 TB
+    table runs before heavy multi-dimension read traffic; a plain sort
+    clusters only its leading column.
+
+    Scale: one 1-row stats aggregate broadcast back, then scan-speed
+    integer bit math for key + file assignment (no UDF, codegen-
+    friendly), one 256-key aggregate for the manifest. The real write
+    would range-partition on zkey; the manifest here IS the proof of
+    layout quality and the oracle replays the keys bit-for-bit."""
+    from bamboo_spark.operators import scale
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    stats = e.agg(
+        F.min("user_id").alias("u_lo"),
+        F.max("user_id").alias("u_hi"),
+        F.min("us").alias("t_lo"),
+        F.max("us").alias("t_hi"),
+    )
+    keyed = e.crossJoin(F.broadcast(stats)).withColumn(
+        "zkey",
+        scale.zorder_key(
+            ["user_id", "us"], ["u_lo", "t_lo"], ["u_hi", "t_hi"], bits=16
+        ),
+    )
+    return (
+        keyed.withColumn("file_id", F.expr("cast(shiftright(zkey, 24) as int)"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("user_id").cast("bigint").alias("u_min"),
+            F.max("user_id").cast("bigint").alias("u_max"),
+            F.min("us").cast("bigint").alias("t_min"),
+            F.max("us").cast("bigint").alias("t_max"),
+        )
+        .orderBy("file_id")
+    )
+
+
+def _zorder_layout_duck() -> str:
+    from bamboo_spark.operators import scale
+
+    z = scale.zorder_key_duck(
+        ["user_id", "us"], ["u_lo", "t_lo"], ["u_hi", "t_hi"], bits=16
+    )
+    return """
+with e as (
+  select event_id, user_id, epoch_us(ts) us from events
+),
+s as (
+  select min(user_id) u_lo, max(user_id) u_hi,
+         min(us) t_lo, max(us) t_hi from e
+),
+k as (select user_id, us, {z} zkey from e cross join s)
+select (zkey >> 24)::INT file_id, count(*)::BIGINT n_rows,
+       min(user_id)::BIGINT u_min, max(user_id)::BIGINT u_max,
+       min(us)::BIGINT t_min, max(us)::BIGINT t_max
+from k group by 1 order by 1
+""".format(z=z)
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -6560,6 +6629,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_manifest": q_export_manifest,
         "user_trajectory_pairs": q_user_trajectory_pairs,
         "token_cms_counts": q_token_cms_counts,
+        "zorder_layout": q_zorder_layout,
         "minhash_recall": q_minhash_recall,
         "orders_rfm": q_orders_rfm,
         "events_gap_histogram": q_events_gap_histogram,
@@ -6807,6 +6877,7 @@ from s group by cluster_size order by cluster_size
         "export_manifest": _export_manifest_duck(),
         "user_trajectory_pairs": Q_USER_TRAJECTORY_SQL,
         "token_cms_counts": _token_cms_counts_duck(),
+        "zorder_layout": _zorder_layout_duck(),
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

@@ -307,3 +307,74 @@ def test_cdc_apply_matches_dict_replay_random(spark):
         for r in cdc_apply(base, changes, "k", ["ver"], op_col="op").collect()
     }
     assert got == expected
+
+
+def test_zorder_key_properties(spark):
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from bamboo_spark.operators.scale import zorder_key
+
+    # bad shapes
+    with _pt.raises(ValueError):
+        zorder_key([], [], [])
+    with _pt.raises(ValueError):
+        zorder_key(["a", "b", "c", "d"], ["l"] * 4, ["h"] * 4, bits=16)
+
+    # locality: on a 2^8 x 2^8 grid, identity quantization — the z-key
+    # of (x, y) is the exact Morton number, monotone in each dim slice
+    rows = [(x, y) for x in (0, 1, 2, 255) for y in (0, 3, 255)]
+    df = (
+        spark.createDataFrame(rows, "x long, y long")
+        .withColumn("lo", F.lit(0))
+        .withColumn("hi", F.lit(255))
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn(
+            "z", zorder_key(["x", "y"], ["lo", "lo"], ["hi", "hi"], bits=8)
+        ).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for b in range(8):
+            z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert got == {(x, y): morton(x, y) for x, y in rows}
+
+    # degenerate dimension (min == max) contributes zero bits, no error
+    one = (
+        spark.createDataFrame([(5, 9)], "x long, y long")
+        .withColumn("lo", F.lit(5))
+        .withColumn("hi", F.lit(5))
+        .withColumn("ylo", F.lit(0))
+        .withColumn("yhi", F.lit(255))
+    )
+    r = one.withColumn(
+        "z", zorder_key(["x", "y"], ["lo", "ylo"], ["hi", "yhi"], bits=8)
+    ).collect()[0]
+    assert r.z == morton(0, 9)
+
+
+def test_zorder_layout_files_cover_tight_rectangles(spark):
+    # the point of the layout: every output file's (user, time)
+    # bounding box is a small fraction of the global range in at least
+    # one dimension — so min/max manifest pruning works on both columns
+    from bamboo_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    rows = q.q_zorder_layout(spark, sf).collect()
+    assert rows and sum(r.n_rows for r in rows) > 0
+    u_span = max(r.u_max for r in rows) - min(r.u_min for r in rows)
+    t_span = max(r.t_max for r in rows) - min(r.t_min for r in rows)
+    if u_span and t_span and len(rows) >= 16:
+        # with >=16 of 256 tiles populated, the MEDIAN file rectangle
+        # must be far tighter than the global box in both dims (z-curve
+        # guarantees ~1/16 per dim at 256 tiles; allow generous slack)
+        import statistics
+
+        med_u = statistics.median((r.u_max - r.u_min) / u_span for r in rows)
+        med_t = statistics.median((r.t_max - r.t_min) / t_span for r in rows)
+        assert med_u <= 0.5 and med_t <= 0.5, (med_u, med_t)
