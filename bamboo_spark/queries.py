@@ -6468,6 +6468,167 @@ from k group by 1 order by 1
 """.format(z=z)
 
 
+def q_lang_nb_confusion(
+    spark: SparkSession,
+    sf_dir: str,
+    top_v: Optional[int] = None,
+) -> DataFrame:
+    """Multinomial Naive Bayes language classifier (McCallum & Nigam
+    1998), trained and resubstitution-evaluated on the corpus in ONE
+    composed plan: per-(lang, token) counts with Laplace smoothing →
+    per-token class log-likelihoods → per-doc argmax → confusion matrix
+    (true_lang, pred_lang, n_docs). The classifier-based filter stage
+    of a curation pipeline (fastText-style lang-ID/quality gates) in
+    its closed-form, oracle-checkable reduction.
+
+    Determinism: every log-probability quantizes to INTEGER micro-nats
+    (round(ln(p) * 1e6)) before any sum — per-doc scores are exact
+    integer sums (order-independent, engine-exact), and the argmax
+    tie-breaks on the class name, so the prediction is bit-stable in
+    both engines (the PageRank integer-quantization pattern).
+
+    Scale: token stream aggregates once into the (lang, token) count
+    table; the dense likelihood table is |vocab| x |classes| rows —
+    vocab-bounded state, broadcast for scoring (``top_v`` caps it with
+    an OOV floor per class, the `unigram_surprisal` pattern); scoring
+    is the token scan x |classes| (a handful of langs), all map-
+    combined aggregates; no window anywhere."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).where(F.col("t") != "")
+    labeled = tok.join(d.select("doc_id", "lang"), "doc_id")
+    ct = _tracked_persist(
+        labeled.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = ct.groupBy("t").agg(F.sum("c").alias("cn"))
+    if top_v is not None:
+        vocab = vocab.orderBy(F.col("cn").desc(), F.col("t").asc()).limit(top_v)
+    vocab = vocab.select("t")
+    cls = ct.groupBy("lang").agg(F.sum("c").alias("tot"))
+    nv = vocab.agg(F.count(F.lit(1)).alias("v"))
+    lp = "cast(round(ln((%s) / (%s)) * 1e6, 0) as bigint)"
+    dense = (
+        vocab.crossJoin(cls)
+        .join(ct, ["lang", "t"], "left")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "lang",
+            "t",
+            F.expr(
+                lp
+                % (
+                    "cast(coalesce(c, 0) + 1 as double)",
+                    "cast(tot + v as double)",
+                )
+            ).alias("lp_u"),
+        )
+    )
+    floor = cls.crossJoin(F.broadcast(nv)).select(
+        "lang",
+        F.expr(lp % ("cast(1 as double)", "cast(tot + v as double)")).alias(
+            "lp0_u"
+        ),
+    )
+    total = d.agg(F.count(F.lit(1)).alias("nd"))
+    prior = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            F.expr(
+                lp % ("cast(n as double)", "cast(nd as double)")
+            ).alias("prior_u"),
+        )
+    )
+    # score every doc against every class: token scan x |classes|,
+    # OOV tokens (outside the kept vocab) take the class floor
+    classes = floor.join(prior, "lang")  # tiny: one row per lang
+    scored = (
+        tok.crossJoin(F.broadcast(classes.select("lang", "lp0_u")))
+        .join(
+            F.broadcast(dense.withColumnRenamed("lp_u", "_lp")),
+            ["lang", "t"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("_lp"), F.col("lp0_u")).alias("lp_u"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("lp_u").alias("s"))
+        .join(F.broadcast(prior), "lang")
+        .select(
+            "doc_id", F.struct((F.col("s") + F.col("prior_u")).alias("sc"), F.col("lang").alias("cl")).alias("z")
+        )
+    )
+    pred = scored.groupBy("doc_id").agg(F.max("z").alias("b")).select(
+        "doc_id", F.col("b.cl").alias("pred_lang")
+    )
+    return (
+        d.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+Q_LANG_NB_SQL = """
+with d as (select doc_id, lang, text from documents),
+tok as (
+  select doc_id, unnest(string_split(text, ' ')) t from d
+),
+tk as (select doc_id, t from tok where t <> ''),
+labeled as (select tk.doc_id, d.lang, tk.t from tk join d using (doc_id)),
+ct as (select lang, t, count(*) c from labeled group by lang, t),
+vocab as (select t from (select t, sum(c) cn from ct group by t)),
+cls as (select lang, sum(c) tot from ct group by lang),
+nv as (select count(*) v from vocab),
+dense as (
+  select cl.lang, vo.t,
+         round(ln((coalesce(ct.c, 0) + 1)::DOUBLE / (cl.tot + nv.v)::DOUBLE)
+               * 1e6, 0)::BIGINT lp_u
+  from vocab vo cross join cls cl
+  left join ct on ct.lang = cl.lang and ct.t = vo.t
+  cross join nv
+),
+flr as (
+  select lang, round(ln(1::DOUBLE / (tot + nv.v)::DOUBLE) * 1e6, 0)::BIGINT lp0_u
+  from cls cross join nv
+),
+total as (select count(*) nd from d),
+prior as (
+  select lang, round(ln(n::DOUBLE / nd::DOUBLE) * 1e6, 0)::BIGINT prior_u
+  from (select lang, count(*) n from d group by lang) cross join total
+),
+sc as (
+  select tk.doc_id, f.lang,
+         sum(coalesce(de.lp_u, f.lp0_u)) s
+  from tk cross join flr f
+  left join dense de on de.lang = f.lang and de.t = tk.t
+  group by tk.doc_id, f.lang
+),
+scp as (
+  select sc.doc_id, sc.lang, sc.s + p.prior_u score
+  from sc join prior p using (lang)
+),
+pred as (
+  select doc_id, lang pred_lang from (
+    select doc_id, lang,
+           row_number() over (partition by doc_id
+                              order by score desc, lang desc) rn
+    from scp
+  ) where rn = 1
+)
+select d.lang true_lang, p.pred_lang, count(*)::BIGINT n_docs
+from d join pred p using (doc_id)
+group by 1, 2 order by 1, 2
+"""
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -6630,6 +6791,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_trajectory_pairs": q_user_trajectory_pairs,
         "token_cms_counts": q_token_cms_counts,
         "zorder_layout": q_zorder_layout,
+        "lang_nb_confusion": q_lang_nb_confusion,
         "minhash_recall": q_minhash_recall,
         "orders_rfm": q_orders_rfm,
         "events_gap_histogram": q_events_gap_histogram,
@@ -6878,6 +7040,7 @@ from s group by cluster_size order by cluster_size
         "user_trajectory_pairs": Q_USER_TRAJECTORY_SQL,
         "token_cms_counts": _token_cms_counts_duck(),
         "zorder_layout": _zorder_layout_duck(),
+        "lang_nb_confusion": Q_LANG_NB_SQL,
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(
