@@ -6629,6 +6629,145 @@ group by 1, 2 order by 1, 2
 """
 
 
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance via MERGEABLE partial
+    state — the lambda-architecture shape: the last 7 days of events
+    are the "new batch", everything older is the "stored rollup", and
+    each side reduces to per-(day, event_type) partial states (count,
+    integer micro-value sum, min/max event time) that MERGE by
+    sum/sum/min/min — never re-reading the historical corpus. The
+    cutoff deliberately lands mid-day, so the boundary day has partials
+    on BOTH sides and the merge is exercised, not just a union.
+
+    The oracle is the FULL recompute over all events — equality proves
+    merge soundness (partial states form a commutative monoid). Values
+    sum as integer micro-units (a float sum would be order-dependent).
+
+    Scale: at 100 TB the stored side is day-partitioned partial-state
+    parquet that never rescans; each refresh aggregates only the new
+    batch and merges |days x types| rows — this query IS that plan with
+    both sides derived from one table."""
+    e = load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.expr("cast(round(value * 1e6, 0) as bigint)").alias("v_u"),
+    )
+    mx = e.agg(F.max("us").alias("_m"))
+    tagged = e.crossJoin(F.broadcast(mx)).withColumn(
+        "_new", F.col("us") >= F.col("_m") - F.lit(7 * 86400 * 1_000_000)
+    )
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v_u").alias("sv"),
+            F.min("us").alias("lo"),
+            F.max("us").alias("hi"),
+        )
+
+    stored = partials(tagged.where(~F.col("_new")))
+    fresh = partials(tagged.where(F.col("_new")))
+    return (
+        stored.unionByName(fresh)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("sv").cast("bigint").alias("total_v_u"),
+            F.min("lo").cast("bigint").alias("first_us"),
+            F.max("hi").cast("bigint").alias("last_us"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+Q_ROLLUP_INCREMENTAL_SQL = """
+select strftime(ts, '%Y-%m-%d') as "day", event_type,
+       count(*)::BIGINT n_events,
+       sum(round(value * 1e6, 0)::BIGINT)::BIGINT total_v_u,
+       min(epoch_us(ts))::BIGINT first_us,
+       max(epoch_us(ts))::BIGINT last_us
+from events
+group by 1, 2 order by 1, 2
+"""
+
+
+def q_data_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planner: allocate a global token budget (10% of
+    the corpus here) across sources by TEMPERATURE-SCALED size
+    (weight ∝ sqrt(n_tokens), the multilingual-sampling alpha=0.5 rule
+    that up-weights small sources against head domination), capped at
+    each source's available tokens. Emits per source: docs, tokens, the
+    integer weight, the allocated token budget, and the sampling rate a
+    downstream `stable_sample_pct` filter would apply.
+
+    All integer math: weights quantize to micro-units (sqrt is IEEE
+    correctly-rounded, so identical in both engines), the allocation is
+    exact integer proportional division in decimal(38,0) — no float
+    accumulation anywhere, so the plan is bit-stable.
+
+    Scale: one map-combined per-source aggregate (sources are few by
+    definition), two 1-row scalar broadcasts. The plan's sampling rates
+    feed the existing hash-stable samplers — planner and executor stay
+    decoupled exactly like a real curation run."""
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("tk")
+    )
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tk").cast("bigint").alias("n_tokens"),
+    )
+    per = per.withColumn(
+        "weight_u",
+        F.expr("cast(round(sqrt(cast(n_tokens as double)) * 1e6, 0) as bigint)"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("_nt"), F.sum("weight_u").alias("_sw")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "weight_u",
+            F.expr(
+                "least(cast((cast(_nt div 10 as decimal(38,0)) * weight_u)"
+                " div _sw as bigint), n_tokens)"
+            ).alias("alloc_tokens"),
+        )
+        .withColumn(
+            "sample_rate",
+            F.round(
+                F.col("alloc_tokens").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+Q_DATA_MIXTURE_SQL = """
+with per as (
+  select source, count(*)::BIGINT n_docs,
+         sum(len(string_split(text, ' ')))::BIGINT n_tokens
+  from documents group by source
+),
+w as (
+  select *, round(sqrt(n_tokens::DOUBLE) * 1e6, 0)::BIGINT weight_u from per
+),
+tot as (select sum(n_tokens) _nt, sum(weight_u) _sw from w)
+select source, n_docs, n_tokens, weight_u,
+       least((((_nt // 10)::HUGEINT * weight_u) // _sw)::BIGINT,
+             n_tokens) alloc_tokens,
+       round(least((((_nt // 10)::HUGEINT * weight_u) // _sw)::BIGINT,
+                   n_tokens)::DOUBLE / n_tokens::DOUBLE, 6) sample_rate
+from w cross join tot
+order by source
+"""
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -6792,6 +6931,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_cms_counts": q_token_cms_counts,
         "zorder_layout": q_zorder_layout,
         "lang_nb_confusion": q_lang_nb_confusion,
+        "rollup_incremental": q_rollup_incremental,
+        "data_mixture_plan": q_data_mixture_plan,
         "minhash_recall": q_minhash_recall,
         "orders_rfm": q_orders_rfm,
         "events_gap_histogram": q_events_gap_histogram,
@@ -7041,6 +7182,8 @@ from s group by cluster_size order by cluster_size
         "token_cms_counts": _token_cms_counts_duck(),
         "zorder_layout": _zorder_layout_duck(),
         "lang_nb_confusion": Q_LANG_NB_SQL,
+        "rollup_incremental": Q_ROLLUP_INCREMENTAL_SQL,
+        "data_mixture_plan": Q_DATA_MIXTURE_SQL,
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

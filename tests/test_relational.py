@@ -387,3 +387,64 @@ def test_lang_nb_classifier_properties(spark):
         .toString()
     )
     assert "Window" not in s
+
+
+def test_rollup_incremental_merge_is_exercised(spark):
+    # the cutoff lands mid-day, so the boundary day must have partials
+    # on BOTH sides — the merge is a real sum, not a disjoint union
+    from pyspark.sql import functions as F
+
+    from bamboo_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    e = q.load(spark, sf, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.unix_micros("ts").alias("us"),
+    )
+    mx = e.agg(F.max("us").alias("m")).collect()[0].m
+    cut = mx - 7 * 86400 * 1_000_000
+    both = (
+        e.withColumn("new", F.col("us") >= F.lit(cut))
+        .groupBy("day")
+        .agg(F.countDistinct("new").alias("sides"))
+        .where(F.col("sides") == 2)
+        .count()
+    )
+    assert both >= 1  # at least the boundary day straddles the cut
+    # and the merged rollup equals the one-pass aggregate (also the
+    # oracle's statement, asserted here in-engine for the test suite)
+    merged = q.q_rollup_incremental(spark, sf)
+    direct = (
+        q.load(spark, sf, "events")
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.expr("cast(round(value * 1e6, 0) as bigint)"))
+            .cast("bigint")
+            .alias("total_v_u"),
+            F.min(F.unix_micros("ts")).cast("bigint").alias("first_us"),
+            F.max(F.unix_micros("ts")).cast("bigint").alias("last_us"),
+        )
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_data_mixture_plan_invariants(spark):
+    from bamboo_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    rows = q.q_data_mixture_plan(spark, sf).collect()
+    assert len(rows) >= 2
+    total_tokens = sum(r.n_tokens for r in rows)
+    budget = total_tokens // 10
+    # never allocate more than available, nor exceed the global budget
+    assert all(0 <= r.alloc_tokens <= r.n_tokens for r in rows)
+    assert sum(r.alloc_tokens for r in rows) <= budget
+    # temperature sampling: smaller sources get a HIGHER sampling rate
+    by_size = sorted(rows, key=lambda r: r.n_tokens)
+    rates = [r.sample_rate for r in by_size]
+    assert all(a >= b - 1e-9 for a, b in zip(rates, rates[1:]))
