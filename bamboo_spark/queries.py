@@ -6492,80 +6492,18 @@ def q_lang_nb_confusion(
     vocab-bounded state, broadcast for scoring (``top_v`` caps it with
     an OOV floor per class, the `unigram_surprisal` pattern); scoring
     is the token scan x |classes| (a handful of langs), all map-
-    combined aggregates; no window anywhere."""
+    combined aggregates; no window anywhere. The train/score halves are
+    the reusable :mod:`bamboo_spark.operators.classify` API."""
+    from bamboo_spark.operators import classify
+
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    tok = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("t")
-    ).where(F.col("t") != "")
-    labeled = tok.join(d.select("doc_id", "lang"), "doc_id")
-    ct = _tracked_persist(
-        labeled.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("c"))
+    likelihoods, classes = classify.nb_train(
+        d, text_col="text", label_col="lang", top_v=top_v
     )
-    vocab = ct.groupBy("t").agg(F.sum("c").alias("cn"))
-    if top_v is not None:
-        vocab = vocab.orderBy(F.col("cn").desc(), F.col("t").asc()).limit(top_v)
-    vocab = vocab.select("t")
-    cls = ct.groupBy("lang").agg(F.sum("c").alias("tot"))
-    nv = vocab.agg(F.count(F.lit(1)).alias("v"))
-    lp = "cast(round(ln((%s) / (%s)) * 1e6, 0) as bigint)"
-    dense = (
-        vocab.crossJoin(cls)
-        .join(ct, ["lang", "t"], "left")
-        .crossJoin(F.broadcast(nv))
-        .select(
-            "lang",
-            "t",
-            F.expr(
-                lp
-                % (
-                    "cast(coalesce(c, 0) + 1 as double)",
-                    "cast(tot + v as double)",
-                )
-            ).alias("lp_u"),
-        )
-    )
-    floor = cls.crossJoin(F.broadcast(nv)).select(
-        "lang",
-        F.expr(lp % ("cast(1 as double)", "cast(tot + v as double)")).alias(
-            "lp0_u"
-        ),
-    )
-    total = d.agg(F.count(F.lit(1)).alias("nd"))
-    prior = (
-        d.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .crossJoin(F.broadcast(total))
-        .select(
-            "lang",
-            F.expr(
-                lp % ("cast(n as double)", "cast(nd as double)")
-            ).alias("prior_u"),
-        )
-    )
-    # score every doc against every class: token scan x |classes|,
-    # OOV tokens (outside the kept vocab) take the class floor
-    classes = floor.join(prior, "lang")  # tiny: one row per lang
-    scored = (
-        tok.crossJoin(F.broadcast(classes.select("lang", "lp0_u")))
-        .join(
-            F.broadcast(dense.withColumnRenamed("lp_u", "_lp")),
-            ["lang", "t"],
-            "left",
-        )
-        .select(
-            "doc_id",
-            "lang",
-            F.coalesce(F.col("_lp"), F.col("lp0_u")).alias("lp_u"),
-        )
-        .groupBy("doc_id", "lang")
-        .agg(F.sum("lp_u").alias("s"))
-        .join(F.broadcast(prior), "lang")
-        .select(
-            "doc_id", F.struct((F.col("s") + F.col("prior_u")).alias("sc"), F.col("lang").alias("cl")).alias("z")
-        )
-    )
-    pred = scored.groupBy("doc_id").agg(F.max("z").alias("b")).select(
-        "doc_id", F.col("b.cl").alias("pred_lang")
+    likelihoods = _tracked_persist(likelihoods)
+    pred = classify.nb_classify(
+        d, likelihoods, classes, text_col="text", id_col="doc_id",
+        out_col="pred_lang",
     )
     return (
         d.select("doc_id", F.col("lang").alias("true_lang"))
@@ -6768,6 +6706,99 @@ order by source
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner → executor composition: take `data_mixture_plan`'s
+    per-source token allocations, convert each to a parts-per-million
+    sampling rate, apply it with the md5-stable document sampler
+    (ppm-grained twin of ``stable_sample_pct``), and report achieved
+    docs/tokens against the allocation. The whole mixture build — size
+    stats, temperature weights, integer budget split, deterministic
+    per-doc keep/drop — is ONE lazy plan, and the oracle replays every
+    stage including which exact documents survive.
+
+    Scale: the plan side is #sources rows; the executor side is a
+    scan-speed hash filter (the same rows survive on any cluster, any
+    partitioning, any run — resumable and diffable by construction).
+    Achieved tokens track the allocation only in expectation
+    (sampling is by doc, the budget is tokens), which is exactly how a
+    real mixture run behaves — the report makes the drift visible."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("tk")
+    )
+    plan = q_data_mixture_plan(spark, sf_dir).select(
+        "source", "n_tokens", "alloc_tokens"
+    )
+    rated = plan.withColumn(
+        "rate_ppm",
+        F.expr(
+            "cast((cast(alloc_tokens as decimal(38,0)) * 1000000)"
+            " div n_tokens as bigint)"
+        ),
+    )
+    bucket = F.expr(
+        "pmod(cast(conv(substr(md5(concat('mix:', cast(doc_id as string))),"
+        " 1, 8), 16, 10) as bigint), 1000000)"
+    )
+    kept = (
+        d.join(F.broadcast(rated), "source")
+        .where(bucket < F.col("rate_ppm"))
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
+            F.sum("tk").cast("bigint").alias("n_tokens_kept"),
+            F.max("alloc_tokens").cast("bigint").alias("alloc_tokens"),
+        )
+        .withColumn(
+            "utilization",
+            F.round(
+                F.col("n_tokens_kept").cast("double")
+                / F.col("alloc_tokens").cast("double"),
+                6,
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+Q_MIXTURE_SAMPLE_SQL = """
+with per as (
+  select source, sum(len(string_split(text, ' ')))::BIGINT n_tokens
+  from documents group by source
+),
+w as (
+  select *, round(sqrt(n_tokens::DOUBLE) * 1e6, 0)::BIGINT weight_u from per
+),
+tot as (select sum(n_tokens) _nt, sum(weight_u) _sw from w),
+rated as (
+  select source, n_tokens,
+         least((((_nt // 10)::HUGEINT * weight_u) // _sw)::BIGINT,
+               n_tokens) alloc_tokens
+  from w cross join tot
+),
+rp as (
+  select *, ((alloc_tokens::HUGEINT * 1000000) // n_tokens)::BIGINT rate_ppm
+  from rated
+),
+d as (
+  select doc_id, source, len(string_split(text, ' '))::BIGINT tk
+  from documents
+),
+kept as (
+  select d.*, r.alloc_tokens
+  from d join rp r using (source)
+  where (('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 8))::BIGINT
+         % 1000000) < r.rate_ppm
+)
+select source, count(*)::BIGINT n_docs_kept,
+       sum(tk)::BIGINT n_tokens_kept,
+       max(alloc_tokens)::BIGINT alloc_tokens,
+       round(sum(tk)::DOUBLE / max(alloc_tokens)::DOUBLE, 6) utilization
+from kept group by source order by source
+"""
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -6933,6 +6964,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_nb_confusion": q_lang_nb_confusion,
         "rollup_incremental": q_rollup_incremental,
         "data_mixture_plan": q_data_mixture_plan,
+        "mixture_sample": q_mixture_sample,
         "minhash_recall": q_minhash_recall,
         "orders_rfm": q_orders_rfm,
         "events_gap_histogram": q_events_gap_histogram,
@@ -7184,6 +7216,7 @@ from s group by cluster_size order by cluster_size
         "lang_nb_confusion": Q_LANG_NB_SQL,
         "rollup_incremental": Q_ROLLUP_INCREMENTAL_SQL,
         "data_mixture_plan": Q_DATA_MIXTURE_SQL,
+        "mixture_sample": Q_MIXTURE_SAMPLE_SQL,
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

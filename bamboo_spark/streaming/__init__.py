@@ -14,6 +14,7 @@ from bamboo_spark.streaming.core import (
     bloom_guard_stream,
     bm25_stream,
     cdc_upsert_stream,
+    cms_stream,
     contamination_stream,
     dedup_stream_simhash,
     drift_stream,
@@ -37,6 +38,7 @@ __all__ = [
     "bloom_guard_stream",
     "bm25_stream",
     "cdc_upsert_stream",
+    "cms_stream",
     "contamination_stream",
     "dedup_stream",
     "dedup_stream_simhash",

@@ -1341,3 +1341,40 @@ def bm25_stream(
         nmatch.cast("bigint").alias("n_terms"),
         F.round(score, 6).alias("bm25"),
     ).where(F.col("n_terms") > 0)
+
+
+def cms_stream(
+    sdf: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 8192,
+) -> DataFrame:
+    """Streaming Count-Min sketch — the canonical streaming-sketch
+    shape: an UNBOUNDED item stream folds into a BOUNDED depth×width
+    integer grid (state is at most depth*width counter cells, ever —
+    no watermark needed because the state can't grow). The grid uses
+    the exact hash family of the batch ``sketch.cms_build``, so a
+    stream replay of a corpus equals the batch sketch cell-for-cell
+    (complete/update output), and a snapshot of this stream's output
+    merges with any batch-built sketch via ``sketch.cms_merge`` — the
+    continuous-ingest frequency monitor over yesterday's stored grid.
+
+    Stateless per-row work (explode to depth rows + one md5 bucket
+    expression, JVM-side) feeding one streaming aggregate."""
+    from bamboo_spark.operators.sketch import _bucket_expr
+
+    return (
+        sdf.select(F.col(item_col).cast("string").alias("_it"))
+        .where(F.col("_it").isNotNull() & (F.col("_it") != ""))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias(
+                "hash_row"
+            ),
+            "_it",
+        )
+        .withColumn(
+            "bucket", F.expr(_bucket_expr("_it", "hash_row", width)).cast("int")
+        )
+        .groupBy("hash_row", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

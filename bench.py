@@ -181,6 +181,12 @@ BENCH_QUERIES = [
     "events_gap_histogram",
     "export_manifest",
     "user_trajectory_pairs",
+    "token_cms_counts",
+    "zorder_layout",
+    "lang_nb_confusion",
+    "rollup_incremental",
+    "data_mixture_plan",
+    "mixture_sample",
 ]
 
 

@@ -1393,3 +1393,46 @@ def test_streaming_public_surface_complete():
     assert public <= set(pkg.__all__), public - set(pkg.__all__)
     for n in pkg.__all__:
         assert getattr(pkg, n) is getattr(core, n)
+
+
+def test_cms_stream_equals_batch_sketch(spark, tmp_path):
+    # stream-replay of a token file equals the batch cms_build grid
+    # cell-for-cell (same hash family), and the streaming state is
+    # bounded at depth*width cells by construction
+    import json
+    import os
+
+    from bamboo_spark.operators.sketch import cms_build
+    from bamboo_spark.streaming import cms_stream
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    items = (["alpha"] * 7 + ["beta"] * 3 + ["gamma"] * 5) * 2
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for it in items:
+            f.write(json.dumps({"item": it}) + "\n")
+
+    stream = spark.readStream.schema("item string").json(src)
+    grid = cms_stream(stream, "item", depth=3, width=64)
+    assert grid.isStreaming
+    q = (
+        grid.writeStream.format("memory")
+        .queryName("cms_t")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.hash_row, r.bucket): r.n
+            for r in spark.sql("select * from cms_t").collect()
+        }
+    finally:
+        q.stop()
+    batch = spark.createDataFrame([(it,) for it in items], "item string")
+    want = {
+        (r.hash_row, r.bucket): r.n
+        for r in cms_build(batch, "item", depth=3, width=64).collect()
+    }
+    assert got == want
+    assert len(got) <= 3 * 64
