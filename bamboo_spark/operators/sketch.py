@@ -146,3 +146,130 @@ select r hash_row, {b} bucket, count(*)::BIGINT n
 from ({src}) occ, (select unnest(range(0, {d})) r)
 group by 1, 2
 """.format(src=item_sql_rows, b=bucket_duck("it", "r", width), d=depth)
+
+
+# ------------------------------------------------- HyperLogLog registers
+#
+# The distinct-count twin of the CMS grid (Flajolet et al. 2007,
+# "HyperLogLog: the analysis of a near-optimal cardinality estimation
+# algorithm"): standing state is 2^p integer registers; merge is
+# cell-wise MAX (the union's sketch, exactly); the estimate replays
+# deterministically from the registers because the hash is the same
+# md5-prefix integer both engines compute. Spark's own
+# approx_count_distinct covers the one-shot aggregate; THIS form exists
+# for the cross-job shapes that need the registers as data: persist
+# today's registers, merge tomorrow's batch, estimate any union of
+# slices without rescanning them.
+
+_HLL_BITS = 60  # md5-prefix hash width (15 hex digits)
+
+
+def _hll_parts(item_sql: str, p: int):
+    h = (
+        "cast(conv(substr(md5(concat('hll:', cast(%s as string))), 1, 15),"
+        " 16, 10) as bigint)" % item_sql
+    )
+    tail = _HLL_BITS - p
+    idx = "cast((%s) div %d as int)" % (h, 1 << tail)
+    w = "pmod(%s, %d)" % (h, 1 << tail)
+    # rho = leading zeros of the tail + 1 = (tail + 1) - bit_length(w);
+    # length(bin(w)) IS the bit length for w > 0
+    rho = "if((%s) = 0, %d, %d - length(bin(%s)))" % (w, tail + 1, tail + 1, w)
+    return idx, rho
+
+
+def hll_build(df: DataFrame, item_col: str, p: int = 12) -> DataFrame:
+    """Build the 2^p-register HLL state over ``item_col``: one
+    hash-aggregate, output (idx int, r int) with at most 2^p rows
+    (absent registers are implicitly 0). Map-side combined — shuffle
+    volume is O(partitions * 2^p) regardless of input size."""
+    if not 4 <= p <= 18:
+        raise ValueError("p must be in [4, 18]")
+    idx, rho = _hll_parts("_it", p)
+    return (
+        df.select(F.col(item_col).cast("string").alias("_it"))
+        .where(F.col("_it").isNotNull())
+        .select(F.expr(idx).alias("idx"), F.expr(rho).alias("rho"))
+        .groupBy("idx")
+        .agg(F.max("rho").cast("int").alias("r"))
+    )
+
+
+def hll_merge(*states: DataFrame) -> DataFrame:
+    """Merge register states (same p): cell-wise max — equals the
+    build over the concatenated inputs exactly."""
+    if not states:
+        raise ValueError("hll_merge needs at least one state")
+    acc = states[0]
+    for s in states[1:]:
+        acc = acc.unionByName(s)
+    return acc.groupBy("idx").agg(F.max("r").cast("int").alias("r"))
+
+
+def hll_estimate(state: DataFrame, p: int = 12, out_col: str = "hll_est") -> DataFrame:
+    """Cardinality estimate from the registers: the standard HLL
+    harmonic mean with the small-range (linear counting) correction.
+    One row out; deterministic given the registers, so the whole
+    pipeline (hash -> registers -> estimate) replays in the oracle."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = state.agg(
+        F.count(F.lit(1)).alias("_np"),
+        F.sum(F.expr("power(cast(2 as double), -r)")).alias("_sp"),
+    )
+    raw = "(%r * %d * %d) / ((%d - _np) + coalesce(_sp, cast(0 as double)))" % (
+        alpha,
+        m,
+        m,
+        m,
+    )
+    est = (
+        "case when (%s) <= 2.5 * %d and %d - _np > 0"
+        " then %d * ln(cast(%d as double) / (%d - _np))"
+        " else (%s) end" % (raw, m, m, m, m, m, raw)
+    )
+    return agg.select(
+        F.expr("cast(round(%s, 4) as double)" % est).alias(out_col)
+    )
+
+
+def hll_build_duck(item_sql_rows: str, p: int = 12) -> str:
+    """DuckDB twin of :func:`hll_build` over a query producing column
+    ``it`` (one row per item occurrence)."""
+    tail = _HLL_BITS - p
+    h = "(('0x' || substr(md5('hll:' || it::VARCHAR), 1, 15))::BIGINT)"
+    idx = "(%s // %d)::INT" % (h, 1 << tail)
+    w = "(%s %% %d)" % (h, 1 << tail)
+    rho = (
+        "case when %s = 0 then %d else %d - length(bin(%s)) end"
+        % (w, tail + 1, tail + 1, w)
+    )
+    return """
+select {idx} idx, max({rho})::INT r
+from ({src}) where it is not null
+group by 1
+""".format(idx=idx, rho=rho, src=item_sql_rows)
+
+
+def hll_estimate_duck(registers_cte: str, p: int = 12, out_col: str = "hll_est") -> str:
+    """DuckDB twin of :func:`hll_estimate` over a registers CTE/query
+    with columns (idx, r)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = (
+        "({a}::DOUBLE * {m} * {m}) / (({m} - _np) + coalesce(_sp, 0::DOUBLE))".format(
+            a=repr(alpha), m=m
+        )
+    )
+    est = (
+        "case when ({raw}) <= 2.5 * {m} and {m} - _np > 0"
+        " then {m} * ln({m}::DOUBLE / ({m} - _np))"
+        " else ({raw}) end".format(raw=raw, m=m)
+    )
+    return """
+select round({est}, 4)::DOUBLE {out}
+from (
+  select count(*) _np, sum(power(2::DOUBLE, -r)) _sp
+  from ({src})
+)
+""".format(est=est, out=out_col, src=registers_cte)

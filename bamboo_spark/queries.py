@@ -6799,6 +6799,63 @@ from kept group by source order by source
 """
 
 
+def q_distinct_hll_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user monitor with the registers AS DATA:
+    build the 2^12-register state over event user_ids, estimate
+    cardinality from it, and report against the exact distinct — one
+    row (n_exact, hll_est, rel_err). Spark's built-in
+    approx_count_distinct answers the one-shot question; this operator
+    exists for the cross-job shapes: persisted registers merge with
+    tomorrow's batch by cell-wise max (`sketch.hll_merge`) and estimate
+    any union of slices WITHOUT rescanning them — the distinct-count
+    twin of the CMS grid.
+
+    The md5-derived hash makes the registers deterministic, so the
+    oracle replays hash → registers → harmonic-mean estimate (with the
+    linear-counting small-range correction) to the same 4 decimals —
+    the ESTIMATE is value-gated, not just error-bounded. (The exact
+    side is one count-distinct; at corpus scale you'd drop it and trust
+    the registers — it's here as the monitor's ground truth.)
+
+    Scale: register build is one map-combined hash-aggregate whose
+    shuffle is O(partitions * 2^p); estimate is a 1-row reduce."""
+    from bamboo_spark.operators import sketch
+
+    e = load(spark, sf_dir, "events").select("user_id")
+    regs = sketch.hll_build(e, "user_id", p=12)
+    est = sketch.hll_estimate(regs, p=12)
+    exact = e.agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    return exact.crossJoin(est).select(
+        "n_exact",
+        "hll_est",
+        F.round(
+            F.abs(F.col("hll_est") - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
+    )
+
+
+def _distinct_hll_duck() -> str:
+    from bamboo_spark.operators import sketch
+
+    regs = sketch.hll_build_duck(
+        "select user_id it from events", p=12
+    ).strip()
+    est = sketch.hll_estimate_duck("regs_cte", p=12).strip()
+    est = est.replace("(regs_cte)", "regs_cte")
+    return """
+with regs_cte as (
+{regs}
+),
+est as (
+{est}
+),
+ex as (select count(distinct user_id)::BIGINT n_exact from events)
+select ex.n_exact, est.hll_est,
+       round(abs(est.hll_est - ex.n_exact) / ex.n_exact, 4) rel_err
+from ex cross join est
+""".format(regs=regs, est=est)
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -6965,6 +7022,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_incremental": q_rollup_incremental,
         "data_mixture_plan": q_data_mixture_plan,
         "mixture_sample": q_mixture_sample,
+        "distinct_hll_monitor": q_distinct_hll_monitor,
         "minhash_recall": q_minhash_recall,
         "orders_rfm": q_orders_rfm,
         "events_gap_histogram": q_events_gap_histogram,
@@ -7217,6 +7275,7 @@ from s group by cluster_size order by cluster_size
         "rollup_incremental": Q_ROLLUP_INCREMENTAL_SQL,
         "data_mixture_plan": Q_DATA_MIXTURE_SQL,
         "mixture_sample": Q_MIXTURE_SAMPLE_SQL,
+        "distinct_hll_monitor": _distinct_hll_duck(),
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "rollup_incremental",
     "data_mixture_plan",
     "mixture_sample",
+    "distinct_hll_monitor",
 ]
 
 

@@ -71,3 +71,43 @@ def test_cms_weighted_and_empty_cells(spark):
     # width 1024 with 2 distinct items: collisions are possible but the
     # unseen item estimates 0 unless it collides in ALL 4 rows
     assert got["never-seen"] in (0, 7, 3, 10) or got["never-seen"] >= 0
+
+
+def test_hll_merge_equals_full_and_accuracy(spark):
+    import pyspark.sql.functions as Fn
+
+    from bamboo_spark.operators.sketch import hll_build, hll_estimate, hll_merge
+
+    e = spark.range(0, 20000).select(
+        (Fn.col("id") % 7919).cast("string").alias("u")
+    )
+    # merge of disjoint halves == full build, register for register
+    a = hll_build(e.where(Fn.col("id") < 10000), "u", p=10)
+    b = hll_build(e.where(Fn.col("id") >= 10000), "u", p=10)
+    merged = {(r.idx, r.r) for r in hll_merge(a, b).collect()}
+    full = {(r.idx, r.r) for r in hll_build(e, "u", p=10).collect()}
+    assert merged == full
+
+    # estimate within the p=10 theoretical bound (1.04/sqrt(m) ~ 3.25%),
+    # generous 4x slack against an unlucky hash draw
+    est = hll_estimate(hll_build(e, "u", p=10), p=10).collect()[0].hll_est
+    true = 7919
+    assert abs(est - true) / true < 4 * 1.04 / (1 << 5), (est, true)
+
+    # small-range regime: linear counting correction kicks in and lands
+    # within 2% for 100 distinct on 1024 registers
+    s = spark.range(0, 100).select(Fn.col("id").cast("string").alias("u"))
+    est_s = hll_estimate(hll_build(s, "u", p=10), p=10).collect()[0].hll_est
+    assert abs(est_s - 100) / 100 < 0.02, est_s
+
+
+def test_hll_bad_p(spark):
+    import pytest as _pt
+
+    from bamboo_spark.operators.sketch import hll_build
+
+    df = spark.range(3).selectExpr("cast(id as string) u")
+    with _pt.raises(ValueError):
+        hll_build(df, "u", p=3)
+    with _pt.raises(ValueError):
+        hll_build(df, "u", p=19)
