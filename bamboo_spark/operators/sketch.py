@@ -273,3 +273,102 @@ from (
   from ({src})
 )
 """.format(est=est, out=out_col, src=registers_cte)
+
+
+# ---------------------------------------------------- KMV (bottom-k) sketch
+#
+# K-minimum-values (Beyer et al. 2007, "On synopses for distinct-value
+# estimation under multiset operations"): a set's synopsis is its k
+# smallest item hashes. Synopses MERGE (k smallest of the union of two
+# synopses = synopsis of the union) and — unlike HLL — support
+# INTERSECTION estimation: among the k smallest hashes of A ∪ B, the
+# fraction present in both A's and B's synopses is an unbiased Jaccard
+# estimate. That is the cross-source overlap question (shared users,
+# shared vocabulary, contamination surface between corpora) answered
+# from two k-row synopses instead of a distinct-join of the raw sets.
+
+
+def kmv_hash_expr(item_sql: str) -> str:
+    """The 60-bit md5-prefix item hash (Spark SQL)."""
+    return (
+        "cast(conv(substr(md5(concat('kmv:', cast(%s as string))), 1, 15),"
+        " 16, 10) as bigint)" % item_sql
+    )
+
+
+def kmv_hash_duck(item_sql: str) -> str:
+    return (
+        "(('0x' || substr(md5('kmv:' || %s::VARCHAR), 1, 15))::BIGINT)"
+        % item_sql
+    )
+
+
+def kmv_build(
+    df: DataFrame, set_col: str, item_col: str, k: int = 256
+) -> DataFrame:
+    """Per-``set_col`` bottom-k synopsis: (set_col, h) with the k
+    smallest distinct item hashes of each set.
+
+    Scale shape: hash projection at scan speed, one distinct on
+    (set, h) — 8-byte hashes shuffle, never items — then the engine's
+    :func:`~bamboo_spark.operators.scale.ranked_head` partial top-k
+    (WindowGroupLimit BELOW the exchange), so a billion-member set
+    ships at most k rows per map partition."""
+    from bamboo_spark.operators.scale import ranked_head
+
+    hashed = (
+        df.select(
+            F.col(set_col), F.expr(kmv_hash_expr(item_col)).alias("h")
+        )
+        .where(F.col(item_col).isNotNull())
+        .distinct()
+    )
+    return ranked_head(hashed, set_col, [F.col("h").asc()], cap=k).drop("rank")
+
+
+def kmv_jaccard_pairs(kmv: DataFrame, set_col: str, k: int = 256) -> DataFrame:
+    """All-pairs Jaccard estimates from the per-set synopses alone:
+    for each set pair (a < b), re-trim the union of the two synopses to
+    its k smallest hashes and count how many appear in BOTH — the
+    fraction is the estimate. Output: (set_a, set_b, n_union_k, n_both,
+    kmv_jaccard).
+
+    Everything is synopsis-sized (#sets * k rows); the pair grid is
+    #sets², which is monitor-scale by contract."""
+    from bamboo_spark.operators.scale import ranked_head
+
+    names = kmv.select(F.col(set_col).alias("_s")).distinct()
+    pairs = (
+        names.select(F.col("_s").alias("set_a"))
+        .crossJoin(names.select(F.col("_s").alias("set_b")))
+        .where(F.col("set_a") < F.col("set_b"))
+    )
+    ra = pairs.join(
+        kmv.select(F.col(set_col).alias("set_a"), "h"), "set_a"
+    ).select("set_a", "set_b", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+    rb = pairs.join(
+        kmv.select(F.col(set_col).alias("set_b"), "h"), "set_b"
+    ).select("set_a", "set_b", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+    u = (
+        ra.unionByName(rb)
+        .groupBy("set_a", "set_b", "h")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    trimmed = ranked_head(
+        u, ["set_a", "set_b"], [F.col("h").asc()], cap=k
+    ).drop("rank")
+    return (
+        trimmed.groupBy("set_a", "set_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_union_k"),
+            F.sum(F.col("ia") * F.col("ib")).cast("bigint").alias("n_both"),
+        )
+        .withColumn(
+            "kmv_jaccard",
+            F.round(
+                F.col("n_both").cast("double")
+                / F.col("n_union_k").cast("double"),
+                6,
+            ),
+        )
+    )

@@ -6856,6 +6856,140 @@ from ex cross join est
 """.format(regs=regs, est=est)
 
 
+def q_event_user_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-segment audience overlap from bottom-k synopses: per
+    event type, the KMV sketch of its user set (k=256 smallest md5
+    hashes); per type pair, the Jaccard ESTIMATE computed from the two
+    synopses alone — re-trim the union to its k smallest, count hashes
+    present in both — side by side with the exact Jaccard of the real
+    user sets. The cross-corpus overlap question (shared users, shared
+    vocab, contamination surface between sources) answered from
+    synopsis-sized state instead of a distinct-join of the raw sets.
+
+    Deterministic md5 hashing means the oracle replays the synopses and
+    the estimate exactly (value-gated, like the CMS/HLL monitors); the
+    exact side is the monitor's ground truth and would be dropped at
+    corpus scale.
+
+    Scale: hashes (8 bytes) shuffle, never user ids; both bottom-k
+    trims are the engine's partial top-k (WindowGroupLimit below the
+    exchange); the pair grid is #types² — monitor-sized."""
+    from bamboo_spark.operators import sketch
+
+    k = 256
+    e = load(spark, sf_dir, "events").select("event_type", "user_id")
+    kmv = _tracked_persist(sketch.kmv_build(e, "event_type", "user_id", k=k))
+    est = sketch.kmv_jaccard_pairs(kmv, "event_type", k=k).select(
+        F.col("set_a").alias("type_a"),
+        F.col("set_b").alias("type_b"),
+        "kmv_jaccard",
+    )
+    ua = e.distinct()
+    sizes = ua.groupBy("event_type").agg(F.count(F.lit(1)).alias("nu"))
+    inter = (
+        ua.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(
+            ua.select(F.col("event_type").alias("type_b"), "user_id"),
+            "user_id",
+        )
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    exact = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_a"), F.col("nu").alias("na"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_b"), F.col("nu").alias("nb"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.round(
+                F.col("ni").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("ni")).cast("double"),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )
+    return (
+        est.join(exact, ["type_a", "type_b"], "full")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce("kmv_jaccard", F.lit(0.0)).alias("kmv_jaccard"),
+            F.coalesce("exact_jaccard", F.lit(0.0)).alias("exact_jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def _event_user_overlap_kmv_duck() -> str:
+    from bamboo_spark.operators import sketch
+
+    h = sketch.kmv_hash_duck("user_id")
+    return """
+with hashed as (
+  select distinct event_type, {h} h from events where user_id is not null
+),
+kmv as (
+  select event_type, h from (
+    select event_type, h,
+           row_number() over (partition by event_type order by h) rn
+    from hashed
+  ) where rn <= 256
+),
+names as (select distinct event_type s from kmv),
+pairs as (
+  select a.s set_a, b.s set_b from names a join names b on a.s < b.s
+),
+u as (
+  select set_a, set_b, h, max(ia) ia, max(ib) ib from (
+    select p.set_a, p.set_b, k.h, 1 ia, 0 ib
+    from pairs p join kmv k on k.event_type = p.set_a
+    union all
+    select p.set_a, p.set_b, k.h, 0 ia, 1 ib
+    from pairs p join kmv k on k.event_type = p.set_b
+  ) group by 1, 2, 3
+),
+trimmed as (
+  select * from (
+    select *, row_number() over (partition by set_a, set_b order by h) rn
+    from u
+  ) where rn <= 256
+),
+est as (
+  select set_a type_a, set_b type_b,
+         round(sum(ia * ib)::DOUBLE / count(*)::DOUBLE, 6) kmv_jaccard
+  from trimmed group by 1, 2
+),
+ua as (select distinct event_type, user_id from events),
+sizes as (select event_type, count(*) nu from ua group by 1),
+inter as (
+  select a.event_type type_a, b.event_type type_b, count(*) ni
+  from ua a join ua b
+    on a.user_id = b.user_id and a.event_type < b.event_type
+  group by 1, 2
+),
+exact as (
+  select i.type_a, i.type_b,
+         round(i.ni::DOUBLE / (sa.nu + sb.nu - i.ni)::DOUBLE, 6) exact_jaccard
+  from inter i
+  join sizes sa on sa.event_type = i.type_a
+  join sizes sb on sb.event_type = i.type_b
+)
+select coalesce(e.type_a, x.type_a) type_a,
+       coalesce(e.type_b, x.type_b) type_b,
+       coalesce(e.kmv_jaccard, 0.0) kmv_jaccard,
+       coalesce(x.exact_jaccard, 0.0) exact_jaccard
+from est e full join exact x using (type_a, type_b)
+order by 1, 2
+""".format(h=h)
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -7023,6 +7157,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_mixture_plan": q_data_mixture_plan,
         "mixture_sample": q_mixture_sample,
         "distinct_hll_monitor": q_distinct_hll_monitor,
+        "event_user_overlap_kmv": q_event_user_overlap_kmv,
         "minhash_recall": q_minhash_recall,
         "orders_rfm": q_orders_rfm,
         "events_gap_histogram": q_events_gap_histogram,
@@ -7276,6 +7411,7 @@ from s group by cluster_size order by cluster_size
         "data_mixture_plan": Q_DATA_MIXTURE_SQL,
         "mixture_sample": Q_MIXTURE_SAMPLE_SQL,
         "distinct_hll_monitor": _distinct_hll_duck(),
+        "event_user_overlap_kmv": _event_user_overlap_kmv_duck(),
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

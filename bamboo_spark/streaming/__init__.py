@@ -23,6 +23,7 @@ from bamboo_spark.streaming.core import (
     dedup_stream,
     flatten_stream,
     funnel_stream,
+    hll_stream,
     interval_attribution_stream,
     linkage_stream,
     minhash_pairs_stream,
@@ -45,6 +46,7 @@ __all__ = [
     "drift_stream",
     "flatten_stream",
     "funnel_stream",
+    "hll_stream",
     "interval_attribution_stream",
     "linkage_stream",
     "minhash_pairs_stream",

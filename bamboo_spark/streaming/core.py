@@ -1378,3 +1378,30 @@ def cms_stream(
         .groupBy("hash_row", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+def hll_stream(
+    sdf: DataFrame,
+    item_col: str,
+    p: int = 12,
+) -> DataFrame:
+    """Streaming HyperLogLog registers — continuous distinct-count
+    state: the unbounded stream folds into at most 2^p (idx, max rho)
+    register cells (state cannot grow past that; no watermark needed).
+    Same hash family as the batch ``sketch.hll_build``, so a stream
+    replay equals the batch registers cell-for-cell and a snapshot
+    merges with stored batch registers via ``sketch.hll_merge`` —
+    "distinct users ever" maintained incrementally, without a distinct
+    over history."""
+    from bamboo_spark.operators.sketch import _hll_parts
+
+    if not 4 <= p <= 18:
+        raise ValueError("p must be in [4, 18]")
+    idx, rho = _hll_parts("_it", p)
+    return (
+        sdf.select(F.col(item_col).cast("string").alias("_it"))
+        .where(F.col("_it").isNotNull())
+        .select(F.expr(idx).alias("idx"), F.expr(rho).alias("rho"))
+        .groupBy("idx")
+        .agg(F.max("rho").cast("int").alias("r"))
+    )

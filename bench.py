@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "data_mixture_plan",
     "mixture_sample",
     "distinct_hll_monitor",
+    "event_user_overlap_kmv",
 ]
 
 

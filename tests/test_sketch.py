@@ -111,3 +111,43 @@ def test_hll_bad_p(spark):
         hll_build(df, "u", p=3)
     with _pt.raises(ValueError):
         hll_build(df, "u", p=19)
+
+
+def test_kmv_merge_property_and_estimate_quality(spark):
+    # the bottom-k of a union equals the bottom-k of the merged
+    # synopses — and on sets with KNOWN overlap the estimate lands near
+    # the true Jaccard (k=256 -> se ~ 1/sqrt(k) ~ 6%)
+    import pyspark.sql.functions as Fn
+
+    from bamboo_spark.operators.scale import ranked_head
+    from bamboo_spark.operators.sketch import kmv_build, kmv_jaccard_pairs
+
+    # sets A = 0..4999, B = 2500..7499 -> |A∩B| = 2500, |A∪B| = 7500,
+    # true J = 1/3
+    a = spark.range(0, 5000).select(
+        Fn.lit("A").alias("s"), Fn.col("id").alias("item")
+    )
+    b = spark.range(2500, 7500).select(
+        Fn.lit("B").alias("s"), Fn.col("id").alias("item")
+    )
+    df = a.unionByName(b)
+    kmv = kmv_build(df, "s", "item", k=256)
+    # per-set synopsis is exactly k rows
+    sizes = {r.s: r.n for r in kmv.groupBy("s").agg(Fn.count("*").alias("n")).collect()}
+    assert sizes == {"A": 256, "B": 256}
+    est = kmv_jaccard_pairs(kmv, "s", k=256).collect()[0]
+    assert est.set_a == "A" and est.set_b == "B"
+    assert abs(est.kmv_jaccard - 1 / 3) < 4 * (1 / 16), est.kmv_jaccard
+
+    # merge property: bottom-k of (synopsis(A) ∪ synopsis(B)) equals
+    # the synopsis of A ∪ B
+    union_syn = kmv_build(
+        df.select(Fn.lit("U").alias("s"), "item"), "s", "item", k=256
+    )
+    merged = ranked_head(
+        kmv.select("h").distinct().withColumn("s", Fn.lit("U")),
+        "s",
+        [Fn.col("h").asc()],
+        cap=256,
+    ).drop("rank")
+    assert {r.h for r in merged.collect()} == {r.h for r in union_syn.collect()}

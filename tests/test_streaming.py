@@ -1436,3 +1436,39 @@ def test_cms_stream_equals_batch_sketch(spark, tmp_path):
     }
     assert got == want
     assert len(got) <= 3 * 64
+
+
+def test_hll_stream_equals_batch_registers(spark, tmp_path):
+    import json
+    import os
+
+    from bamboo_spark.operators.sketch import hll_build
+    from bamboo_spark.streaming import hll_stream
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    items = [str(i % 400) for i in range(3000)]
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for it in items:
+            f.write(json.dumps({"item": it}) + "\n")
+
+    stream = spark.readStream.schema("item string").json(src)
+    regs = hll_stream(stream, "item", p=8)
+    assert regs.isStreaming
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_t")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.idx, r.r) for r in spark.sql("select * from hll_t").collect()
+        }
+    finally:
+        q.stop()
+    batch = spark.createDataFrame([(it,) for it in items], "item string")
+    want = {(r.idx, r.r) for r in hll_build(batch, "item", p=8).collect()}
+    assert got == want
+    assert len(got) <= 256
