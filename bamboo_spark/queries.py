@@ -6990,6 +6990,148 @@ order by 1, 2
 """.format(h=h)
 
 
+def q_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: a deterministic 2% slice of
+    customers files deletion requests (md5-stable selection — the same
+    users every run, so the audit is replayable), and the deletion
+    propagates through the foreign-key chain customer → orders →
+    lineitem. Emits per-table (tbl, n_before, n_deleted, n_after) —
+    the compliance report a deletion job publishes before the write.
+
+    Scale: each hop is a key equi-join (semi-join shape); the deletion
+    key sets are request-sized, so AQE broadcasts them; counts are
+    map-combined. The actual delete would be the same plan with
+    anti-joins feeding a rewrite — audit and executor share the plan."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    bucket = F.expr(
+        "pmod(cast(conv(substr(md5(concat('forget:', cast(c_custkey as"
+        " string))), 1, 8), 16, 10) as bigint), 100)"
+    )
+    del_c = c.where(bucket < 2).select("c_custkey")
+    del_o = o.join(del_c, o.o_custkey == del_c.c_custkey, "left_semi").select(
+        "o_orderkey"
+    )
+
+    def audit(tbl: str, df: DataFrame, deleted: DataFrame) -> DataFrame:
+        n_b = df.agg(F.count(F.lit(1)).alias("n_before"))
+        n_d = deleted.agg(F.count(F.lit(1)).alias("n_deleted"))
+        return (
+            n_b.crossJoin(n_d)
+            .select(
+                F.lit(tbl).alias("tbl"),
+                F.col("n_before").cast("bigint").alias("n_before"),
+                F.col("n_deleted").cast("bigint").alias("n_deleted"),
+                (F.col("n_before") - F.col("n_deleted"))
+                .cast("bigint")
+                .alias("n_after"),
+            )
+        )
+
+    del_l = l.join(del_o, l.l_orderkey == del_o.o_orderkey, "left_semi")
+    return (
+        audit("customer", c, del_c)
+        .unionByName(
+            audit(
+                "orders",
+                o,
+                o.join(del_c, o.o_custkey == del_c.c_custkey, "left_semi"),
+            )
+        )
+        .unionByName(audit("lineitem", l, del_l))
+        .orderBy("tbl")
+    )
+
+
+Q_FORGET_USERS_SQL = """
+with del_c as (
+  select c_custkey from customer
+  where (('0x' || substr(md5('forget:' || c_custkey::VARCHAR), 1, 8))::BIGINT
+         % 100) < 2
+),
+del_o as (
+  select o_orderkey from orders
+  where o_custkey in (select c_custkey from del_c)
+),
+a as (
+  select 'customer' tbl, (select count(*) from customer)::BIGINT n_before,
+         (select count(*) from del_c)::BIGINT n_deleted
+  union all
+  select 'orders', (select count(*) from orders)::BIGINT,
+         (select count(*) from del_o)::BIGINT
+  union all
+  select 'lineitem', (select count(*) from lineitem)::BIGINT,
+         (select count(*) from lineitem
+          where l_orderkey in (select o_orderkey from del_o))::BIGINT
+)
+select tbl, n_before, n_deleted, (n_before - n_deleted)::BIGINT n_after
+from a order by tbl
+"""
+
+
+def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce audit: an event is NOISE if the same user
+    fired the same event type less than 60 s earlier — the double-click
+    / retry-storm suppression every event pipeline runs before
+    aggregation. Emits per-type (n_events, n_kept, n_dropped,
+    drop_rate) so the throttle's bite is visible per signal.
+
+    One (user, type)-keyed lag window — bounded per key, the engine's
+    standard gap shape (same as `events_gap_histogram`) — then a
+    map-combined per-type rollup. The kept stream itself is the same
+    plan minus the rollup."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    flagged = e.withColumn("prev_us", F.lag("us").over(w)).withColumn(
+        "keep",
+        (
+            F.col("prev_us").isNull()
+            | (F.col("us") - F.col("prev_us") >= F.lit(60_000_000))
+        ).cast("int"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("keep")).cast("bigint").alias("n_dropped"),
+        )
+        .withColumn(
+            "drop_rate",
+            F.round(
+                F.col("n_dropped").cast("double")
+                / F.col("n_events").cast("double"),
+                6,
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_EVENTS_DEBOUNCE_SQL = """
+with e as (
+  select user_id, event_type, event_id, epoch_us(ts) us from events
+),
+f as (
+  select event_type,
+         case when lag(us) over (partition by user_id, event_type
+                                 order by us, event_id) is null
+                   or us - lag(us) over (partition by user_id, event_type
+                                         order by us, event_id) >= 60000000
+              then 1 else 0 end keep
+  from e
+)
+select event_type, count(*)::BIGINT n_events,
+       sum(keep)::BIGINT n_kept,
+       (count(*) - sum(keep))::BIGINT n_dropped,
+       round((count(*) - sum(keep))::DOUBLE / count(*)::DOUBLE, 6) drop_rate
+from f group by event_type order by event_type
+"""
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -7158,6 +7300,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "distinct_hll_monitor": q_distinct_hll_monitor,
         "event_user_overlap_kmv": q_event_user_overlap_kmv,
+        "forget_users": q_forget_users,
+        "events_debounce": q_events_debounce,
         "minhash_recall": q_minhash_recall,
         "orders_rfm": q_orders_rfm,
         "events_gap_histogram": q_events_gap_histogram,
@@ -7412,6 +7556,8 @@ from s group by cluster_size order by cluster_size
         "mixture_sample": Q_MIXTURE_SAMPLE_SQL,
         "distinct_hll_monitor": _distinct_hll_duck(),
         "event_user_overlap_kmv": _event_user_overlap_kmv_duck(),
+        "forget_users": Q_FORGET_USERS_SQL,
+        "events_debounce": Q_EVENTS_DEBOUNCE_SQL,
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

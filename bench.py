@@ -189,6 +189,8 @@ BENCH_QUERIES = [
     "mixture_sample",
     "distinct_hll_monitor",
     "event_user_overlap_kmv",
+    "forget_users",
+    "events_debounce",
 ]
 
 
