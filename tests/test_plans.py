@@ -671,3 +671,30 @@ def test_audit_plan_counts_only_shuffle_exchanges(spark):
     assert audit_plan(j, max_exchanges=0) == []
     s = simple_plan(j)
     assert "BroadcastExchange" in s  # the broadcast IS in the plan
+
+
+def test_sketch_queries_plan_shapes(spark):
+    # CMS: top-15 candidates come from a partial top-k
+    # (TakeOrderedAndProject), and nothing plans a cartesian
+    s = simple_plan(q.queries()["token_cms_counts"](spark, SF))
+    assert "TakeOrderedAndProject" in s, s
+    assert "CartesianProduct" not in s
+    # HLL: register build + 1-row estimate — no join of data-sized
+    # sides, no window
+    s = simple_plan(q.queries()["distinct_hll_monitor"](spark, SF))
+    assert "Window" not in s and "CartesianProduct" not in s
+    # KMV: both bottom-k trims plan the Partial WindowGroupLimit pair
+    s = simple_plan(q.queries()["event_user_overlap_kmv"](spark, SF))
+    assert s.count("WindowGroupLimit") >= 4, s.count("WindowGroupLimit")
+
+
+def test_zorder_and_forget_plan_shapes(spark):
+    # zorder: scan-speed key math — no Python eval, no window; the only
+    # aggregates are the 1-row stats and the 256-key manifest
+    s = simple_plan(q.queries()["zorder_layout"](spark, SF))
+    assert "Window" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    # forget_users: every cascade hop is a semi join, nothing cartesian
+    s = simple_plan(q.queries()["forget_users"](spark, SF))
+    assert "LeftSemi" in s, s
+    assert "CartesianProduct" not in s
