@@ -29,7 +29,7 @@ from bamboo_spark.plans import PlanViolation, audit_plan
 from bamboo_spark.session import get_spark
 from bamboo_spark.sources.arrow import from_arrow
 from bamboo_spark.sources.avro import from_avro, read_avro_py
-from bamboo_spark.sources.flat import read_csv, read_orc, read_parquet, read_text
+from bamboo_spark.sources.flat import read_csv, read_orc, read_parquet, read_text, read_union
 from bamboo_spark.sources.json import from_json, read_json
 from bamboo_spark.sources.obj import from_object
 from bamboo_spark.sources.pbd import from_pbd, read_pbd
@@ -58,6 +58,7 @@ __all__ = [
     "read_parquet",
     "read_pbd",
     "read_text",
+    "read_union",
 ]
 
 __version__ = "0.1.0"

@@ -96,3 +96,158 @@ def read_text(
     if line_name != "value":
         df = df.withColumnRenamed("value", line_name)
     return Dataset(df)
+
+
+# ------------------------------------------------ federated mixed-format read
+#
+# A real lake directory is rarely one format: historical parquet next to
+# a JSONL drop next to an Avro export of the same logical table, with
+# columns appearing/disappearing across eras. ``read_union`` reads each
+# file with its format's reader and reconciles the branches into ONE
+# DataFrame: union by COLUMN NAME (order-independent), missing columns
+# null-filled, and primitive type drift healed by widening to the least
+# common supertype (int → bigint → double; anything + string → string;
+# date → timestamp). Struct/array drift is NOT silently coerced — that
+# is schema evolution the owner must resolve, so it raises.
+
+_WIDEN_ORDER = [
+    "boolean",
+    "tinyint",
+    "smallint",
+    "int",
+    "bigint",
+    "float",
+    "double",
+    "decimal",
+    "date",
+    "timestamp_ntz",
+    "timestamp",
+    "string",
+]
+
+
+def _widen(a, b):
+    from pyspark.sql import types as T
+
+    if a == b:
+        return a
+    if isinstance(a, T.NullType):
+        return b
+    if isinstance(b, T.NullType):
+        return a
+    sa, sb = a.simpleString(), b.simpleString()
+    sa = "decimal" if sa.startswith("decimal") else sa
+    sb = "decimal" if sb.startswith("decimal") else sb
+    if sa in _WIDEN_ORDER and sb in _WIDEN_ORDER:
+        # date/timestamp only widen among themselves or to string
+        temporal = {"date", "timestamp", "timestamp_ntz"}
+        numeric_bool = set(_WIDEN_ORDER[:8])
+        if (sa in temporal) != (sb in temporal) and "string" not in (sa, sb):
+            raise TypeError(
+                "read_union: cannot reconcile %s with %s" % (sa, sb)
+            )
+        if (sa in numeric_bool) != (sb in numeric_bool) and "string" not in (
+            sa,
+            sb,
+        ):
+            raise TypeError(
+                "read_union: cannot reconcile %s with %s" % (sa, sb)
+            )
+        wide = _WIDEN_ORDER[max(_WIDEN_ORDER.index(sa), _WIDEN_ORDER.index(sb))]
+        if wide == "decimal":
+            return T.DecimalType(38, 0)
+        return getattr(
+            T,
+            {
+                "boolean": "BooleanType",
+                "tinyint": "ByteType",
+                "smallint": "ShortType",
+                "int": "IntegerType",
+                "bigint": "LongType",
+                "float": "FloatType",
+                "double": "DoubleType",
+                "date": "DateType",
+                "timestamp_ntz": "TimestampNTZType",
+                "timestamp": "TimestampType",
+                "string": "StringType",
+            }[wide],
+        )()
+    raise TypeError(
+        "read_union: cannot reconcile complex types %s and %s "
+        "(schema evolution on nested columns must be resolved upstream)"
+        % (a.simpleString(), b.simpleString())
+    )
+
+
+_EXT_READERS = {
+    ".parquet": lambda sp, p: sp.read.parquet(p),
+    ".orc": lambda sp, p: sp.read.orc(p),
+    ".json": lambda sp, p: sp.read.json(p),
+    ".jsonl": lambda sp, p: sp.read.json(p),
+    ".csv": lambda sp, p: sp.read.option("header", True)
+    .option("inferSchema", True)
+    .csv(p),
+}
+
+
+def read_union(
+    paths,
+    spark: Optional[SparkSession] = None,
+) -> Dataset:
+    """Read a MIXED-FORMAT file set as one logical table: format per
+    file by extension (.parquet/.orc/.json/.jsonl/.csv; .avro via the
+    engine's own reader), union by name with null-fill for missing
+    columns, primitive type drift widened (see module notes), complex
+    drift raised.
+
+    Scale: each branch is that format's ordinary distributed scan with
+    its own pushdown; the union is a plan-level concatenation (no
+    shuffle). Casting to the widened schema is scan-speed. At lake
+    scale, prefer grouping many same-format files into ONE branch
+    (glob) so the reader plans a single multi-file scan — this helper
+    accepts globs per entry for exactly that reason."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    spark = _session(spark)
+    if isinstance(paths, str):
+        paths = [paths]
+    branches = []
+    for p in paths:
+        ext = _os.path.splitext(p.rstrip("/"))[1].lower()
+        if ext == ".avro":
+            from bamboo_spark.sources.avro import read_avro_py
+
+            branches.append(read_avro_py(p, spark=spark).df)
+        elif ext in _EXT_READERS:
+            branches.append(_EXT_READERS[ext](spark, p))
+        else:
+            raise ValueError("read_union: unknown format for %r" % p)
+    if not branches:
+        raise ValueError("read_union: no inputs")
+    # reconcile the target schema: per column name (first-seen order),
+    # widened over every branch that has it
+    target = {}
+    order = []
+    for b in branches:
+        for f in b.schema.fields:
+            if f.name not in target:
+                target[f.name] = f.dataType
+                order.append(f.name)
+            else:
+                target[f.name] = _widen(target[f.name], f.dataType)
+    out = None
+    for b in branches:
+        have = {f.name for f in b.schema.fields}
+        cols = [
+            (
+                F.col(n).cast(target[n])
+                if n in have
+                else F.lit(None).cast(target[n])
+            ).alias(n)
+            for n in order
+        ]
+        sel = b.select(*cols)
+        out = sel if out is None else out.unionByName(sel)
+    return Dataset(out)

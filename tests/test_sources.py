@@ -1258,3 +1258,59 @@ def test_avro_writer_multibranch_union_and_named_reuse(spark, tmp_path):
     write_container(p2, named_schema, [{"k": 1, "e1": "A", "e2": "B"}])
     back = read_avro_py(p2, spark=spark).df.collect()
     assert back[0]["e1"] == "A" and back[0]["e2"] == "B"
+
+
+def test_read_union_mixed_formats_and_widening(spark, tmp_path):
+    # parquet + jsonl + csv eras of one logical table: union by name,
+    # missing columns null-filled, int/double drift widened, row-exact
+    import json
+    import os
+
+    from bamboo_spark import read_union
+
+    pq = str(tmp_path / "era1.parquet")
+    spark.createDataFrame(
+        [(1, 1.5), (2, 2.5)], "id bigint, x double"
+    ).coalesce(1).write.parquet(pq)
+
+    jl = str(tmp_path / "era2.jsonl")
+    with open(jl, "w") as f:
+        f.write(json.dumps({"id": 3, "y": "new"}) + "\n")
+        f.write(json.dumps({"id": 4, "y": "col"}) + "\n")
+
+    cs = str(tmp_path / "era3.csv")
+    os.makedirs(cs)
+    with open(os.path.join(cs, "part.csv"), "w") as f:
+        f.write("id,x\n5,7\n")  # x inferred INT here -> must widen to double
+
+    ds = read_union([pq, jl, cs], spark=spark)
+    rows = {r.id: (r.x, r.y) for r in ds.df.collect()}
+    assert rows == {
+        1: (1.5, None),
+        2: (2.5, None),
+        3: (None, "new"),
+        4: (None, "col"),
+        5: (7.0, None),
+    }
+    types = dict((f.name, f.dataType.simpleString()) for f in ds.df.schema.fields)
+    assert types == {"id": "bigint", "x": "double", "y": "string"}
+    # union is plan-level: no shuffle exchange anywhere
+    s = ds.df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in s
+
+
+def test_read_union_complex_drift_raises(spark, tmp_path):
+    import json
+
+    from bamboo_spark import read_union
+
+    a = str(tmp_path / "a.jsonl")
+    with open(a, "w") as f:
+        f.write(json.dumps({"id": 1, "p": {"q": 1}}) + "\n")
+    b = str(tmp_path / "b.jsonl")
+    with open(b, "w") as f:
+        f.write(json.dumps({"id": 2, "p": [1, 2]}) + "\n")
+    import pytest as _pt
+
+    with _pt.raises(TypeError, match="complex"):
+        read_union([a, b], spark=spark)
