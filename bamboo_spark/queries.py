@@ -7132,6 +7132,94 @@ from f group by event_type order by event_type
 """
 
 
+def q_token_drift_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift from CMS grids ALONE — what you
+    actually do with two days' stored sketches: normalize each grid's
+    cells to parts-per-million of its own mass and take the per-row L1
+    distance. Zero raw-token rescan; the comparison costs depth×width
+    cells regardless of corpus size. Here the two "days" are the
+    md5-stable halves of the documents table, so the expected drift is
+    near zero and a real shift (new source, new language mix) shows up
+    as rows of large l1_ppm.
+
+    Integer-exact: cell masses convert to ppm by integer division
+    before differencing, so both engines agree bit-for-bit (the grids
+    themselves are deterministic md5 state). Output: one row per hash
+    row (hash_row, mass_a, mass_b, l1_ppm)."""
+    from bamboo_spark.operators import sketch
+
+    d = load(spark, sf_dir, "documents")
+    half = text.stable_sample_pct("doc_id") % 2
+    toks = d.withColumn("_h", half).select(
+        "_h", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    ga = sketch.cms_build(toks.where(F.col("_h") == 0), "token", depth=4, width=2048)
+    gb = sketch.cms_build(toks.where(F.col("_h") == 1), "token", depth=4, width=2048)
+    j = ga.withColumnRenamed("n", "na").join(
+        gb.withColumnRenamed("n", "nb"), ["hash_row", "bucket"], "full"
+    ).select(
+        "hash_row",
+        F.coalesce("na", F.lit(0)).alias("na"),
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+    )
+    tot = j.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "hash_row",
+            "na",
+            "nb",
+            F.expr(
+                "abs(cast(na as decimal(38,0)) * 1000000 div ta"
+                " - cast(nb as decimal(38,0)) * 1000000 div tb)"
+            ).cast("bigint").alias("cell_l1"),
+        )
+        .groupBy("hash_row")
+        .agg(
+            F.sum("na").cast("bigint").alias("mass_a"),
+            F.sum("nb").cast("bigint").alias("mass_b"),
+            F.sum("cell_l1").cast("bigint").alias("l1_ppm"),
+        )
+        .orderBy("hash_row")
+    )
+
+
+def _token_drift_cms_duck() -> str:
+    from bamboo_spark.operators import sketch
+
+    b = sketch.bucket_duck("o.it", "r", 2048)
+    half = text.stable_sample_pct_duck("doc_id")
+    return """
+with occ as (
+  select ({half}) % 2 _h, unnest(string_split(text, ' ')) it
+  from documents
+),
+o2 as (select _h, it from occ where it <> ''),
+ga as (
+  select r hash_row, {b} bucket, count(*)::BIGINT na
+  from (select it from o2 where _h = 0) o, (select unnest(range(0, 4)) r)
+  group by 1, 2
+),
+gb as (
+  select r hash_row, {b} bucket, count(*)::BIGINT nb
+  from (select it from o2 where _h = 1) o, (select unnest(range(0, 4)) r)
+  group by 1, 2
+),
+j as (
+  select coalesce(ga.hash_row, gb.hash_row) hash_row,
+         coalesce(ga.bucket, gb.bucket) bucket,
+         coalesce(na, 0) na, coalesce(nb, 0) nb
+  from ga full join gb using (hash_row, bucket)
+),
+tot as (select sum(na) ta, sum(nb) tb from j)
+select hash_row, sum(na)::BIGINT mass_a, sum(nb)::BIGINT mass_b,
+       sum(abs(na::HUGEINT * 1000000 // ta
+               - nb::HUGEINT * 1000000 // tb))::BIGINT l1_ppm
+from j cross join tot
+group by hash_row order by hash_row
+""".format(half=half, b=b)
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -7302,6 +7390,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_user_overlap_kmv": q_event_user_overlap_kmv,
         "forget_users": q_forget_users,
         "events_debounce": q_events_debounce,
+        "token_drift_cms": q_token_drift_cms,
         "minhash_recall": q_minhash_recall,
         "orders_rfm": q_orders_rfm,
         "events_gap_histogram": q_events_gap_histogram,
@@ -7558,6 +7647,7 @@ from s group by cluster_size order by cluster_size
         "event_user_overlap_kmv": _event_user_overlap_kmv_duck(),
         "forget_users": Q_FORGET_USERS_SQL,
         "events_debounce": Q_EVENTS_DEBOUNCE_SQL,
+        "token_drift_cms": _token_drift_cms_duck(),
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "event_user_overlap_kmv",
     "forget_users",
     "events_debounce",
+    "token_drift_cms",
 ]
 
 
