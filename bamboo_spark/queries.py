@@ -7238,6 +7238,77 @@ group by hash_row order by hash_row
 """.format(half=half, b=b)
 
 
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (the Deequ/Great-Expectations
+    shape) over the orders table, compiled to minimal passes: all
+    row-level rules — not-null, range, regexp, allow-list — fold into
+    ONE map-combined aggregate over one scan (adding a rule never adds
+    a pass); `unique` adds one key hash-aggregate and `references` one
+    anti-join against the DISTINCT customer keys (AQE broadcasts).
+    Output: one row per rule with violation counts and a pass flag —
+    the contract gate a 100 TB ingest runs before publishing a batch.
+    """
+    from bamboo_spark.operators import dq
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    rules = [
+        dq.not_null("o_custkey"),
+        dq.in_range("o_totalprice", 0.0, 600000.0),
+        dq.regexp("o_orderpriority", "[1-5]-[A-Z ]+"),
+        dq.in_set("o_orderstatus", ["O", "F", "P"]),
+        dq.unique("o_orderkey"),
+        dq.references("o_custkey", c, "c_custkey"),
+    ]
+    return dq.dq_report(o, rules)
+
+
+Q_DQ_REPORT_SQL = """
+with base as (
+  select count(*) n_rows,
+         sum(case when o_custkey is null then 1 else 0 end) v_nn,
+         sum(case when o_totalprice is not null
+                   and (o_totalprice < 0.0 or o_totalprice > 600000.0)
+              then 1 else 0 end) v_rg,
+         sum(case when o_orderpriority is not null
+                   and not regexp_full_match(o_orderpriority, '([1-5]-[A-Z ]+)')
+              then 1 else 0 end) v_re,
+         sum(case when o_orderstatus is not null
+                   and o_orderstatus not in ('O', 'F', 'P')
+              then 1 else 0 end) v_in
+  from orders
+),
+uq as (
+  select coalesce(sum(c), 0) v from (
+    select count(*) c from orders group by o_orderkey having count(*) > 1
+  )
+),
+rf as (
+  select count(*) v from orders
+  where o_custkey is not null
+    and o_custkey not in (select distinct c_custkey from customer)
+),
+rep as (
+  select 'not_null(o_custkey)' as "rule", 'not_null' kind,
+         n_rows, v_nn n_violations from base
+  union all
+  select 'range(o_totalprice,[0.0,600000.0])', 'range', n_rows, v_rg from base
+  union all
+  select 'regexp(o_orderpriority)', 'regexp', n_rows, v_re from base
+  union all
+  select 'in_set(o_orderstatus)', 'in_set', n_rows, v_in from base
+  union all
+  select 'unique(o_orderkey)', 'unique', n_rows, (select v from uq) from base
+  union all
+  select 'references(o_custkey->c_custkey)', 'references', n_rows,
+         (select v from rf) from base
+)
+select "rule", kind, n_rows::BIGINT n_rows, n_violations::BIGINT n_violations,
+       (n_violations = 0)::INT pass
+from rep order by "rule"
+"""
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -7409,6 +7480,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forget_users": q_forget_users,
         "events_debounce": q_events_debounce,
         "token_drift_cms": q_token_drift_cms,
+        "dq_report": q_dq_report,
         "minhash_recall": q_minhash_recall,
         "orders_rfm": q_orders_rfm,
         "events_gap_histogram": q_events_gap_histogram,
@@ -7666,6 +7738,7 @@ from s group by cluster_size order by cluster_size
         "forget_users": Q_FORGET_USERS_SQL,
         "events_debounce": Q_EVENTS_DEBOUNCE_SQL,
         "token_drift_cms": _token_drift_cms_duck(),
+        "dq_report": Q_DQ_REPORT_SQL,
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

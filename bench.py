@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "forget_users",
     "events_debounce",
     "token_drift_cms",
+    "dq_report",
 ]
 
 

@@ -448,3 +448,45 @@ def test_data_mixture_plan_invariants(spark):
     by_size = sorted(rows, key=lambda r: r.n_tokens)
     rates = [r.sample_rate for r in by_size]
     assert all(a >= b - 1e-9 for a, b in zip(rates, rates[1:]))
+
+
+def test_dq_rules_catch_violations(spark):
+    # synthetic frame with KNOWN violations of every rule kind
+    from bamboo_spark.operators import dq
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10.0, "ok"),
+            (2, None, -5.0, "ok"),       # null key, negative value
+            (3, "B", 20.0, "bad word"),  # regexp violation
+            (3, "C", 30.0, "ok"),        # duplicate id
+            (4, "Z", 40.0, "ok"),        # Z not in allow-list, orphan ref
+        ],
+        "id long, k string, v double, s string",
+    )
+    ref = spark.createDataFrame([("A",), ("B",), ("C",)], "key string")
+    rules = [
+        dq.not_null("k"),
+        dq.in_range("v", 0.0, 100.0),
+        dq.regexp("s", "[a-z]+"),
+        dq.in_set("k", ["A", "B", "C"]),
+        dq.unique("id"),
+        dq.references("k", ref, "key"),
+    ]
+    got = {r.rule: (r.n_violations, r.pass_ if hasattr(r, "pass_") else r["pass"]) for r in dq.dq_report(df, rules).collect()}
+    assert got["not_null(k)"] == (1, 0)
+    assert got["range(v,[0.0,100.0])"] == (1, 0)
+    assert got["regexp(s)"] == (1, 0)
+    assert got["in_set(k)"] == (1, 0)
+    assert got["unique(id)"] == (2, 0)   # both rows of the dup group
+    assert got["references(k->key)"] == (1, 0)
+
+    # one-pass discipline: the row-level rules produce ONE aggregate —
+    # a single scan of the input in the plan
+    row_only = dq.dq_report(df, rules[:4])
+    s = row_only._jdf.queryExecution().executedPlan().toString()
+    assert s.count("ExistingRDD") == 1, s
+
+    # clean table passes everything
+    clean = dq.dq_report(ref, [dq.not_null("key"), dq.unique("key")])
+    assert all(r["pass"] == 1 for r in clean.collect())
