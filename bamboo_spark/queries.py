@@ -7309,6 +7309,115 @@ from rep order by "rule"
 """
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak supervision over the near-dup graph: a 10% md5-stable seed
+    slice keeps its trusted lang label, and two SYNCHRONIZED label-
+    propagation rounds push labels to unlabeled neighbors (majority
+    vote among labeled neighbors; ties break to the smallest label —
+    integer votes + a min-struct argmax, so every round is
+    deterministic and engine-exact). The snowball-labeling pattern for
+    bootstrapping classifier training sets from a small audited seed.
+
+    Output: (doc_id, label, origin) for every labeled doc, origin in
+    seed/round1/round2. Scale: per round, one edge⋈labels join + one
+    (doc, label) vote aggregate + one argmax aggregate — no windows;
+    the rounds unroll as CTEs in the oracle (the PageRank discipline).
+    """
+    d = load(spark, sf_dir, "documents")
+    pairs = _tracked_persist(
+        dedup.minhash_lsh_pairs(d, threshold=0.7).select("doc_a", "doc_b")
+    )
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    seeds = d.where(text.stable_sample_pct("doc_id") < 10).select(
+        "doc_id", F.col("lang").alias("label"), F.lit("seed").alias("origin")
+    )
+
+    def one_round(labeled: DataFrame, tag: str) -> DataFrame:
+        votes = (
+            edges.join(
+                labeled.select(
+                    F.col("doc_id").alias("doc_b"), "label"
+                ),
+                "doc_b",
+            )
+            .join(labeled.select("doc_id"), F.col("doc_a") == F.col("doc_id"), "left_anti")
+            .groupBy(F.col("doc_a").alias("doc_id"), "label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        best = (
+            votes.groupBy("doc_id")
+            .agg(
+                F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label"))).alias("b")
+            )
+            .select("doc_id", F.col("b.label").alias("label"), F.lit(tag).alias("origin"))
+        )
+        return best
+
+    r1 = _tracked_persist(seeds.unionByName(one_round(seeds, "round1")))
+    r2 = r1.unionByName(one_round(r1, "round2"))
+    return r2.orderBy("doc_id")
+
+
+def _label_propagation_duck() -> str:
+    pairs = dedup.jaccard_pairs_duck(threshold=0.7).strip().rstrip(";")
+    seed_b = text.stable_sample_pct_duck("doc_id")
+    return """
+with p as materialized (
+{pairs}
+),
+edges as (
+  select doc_a, doc_b from p
+  union all
+  select doc_b, doc_a from p
+),
+seeds as (
+  select doc_id, lang as "label", 'seed' origin from documents
+  where {b} < 10
+),
+v1 as (
+  select e.doc_a doc_id, s."label", count(*) cnt
+  from edges e join seeds s on s.doc_id = e.doc_b
+  where e.doc_a not in (select doc_id from seeds)
+  group by 1, 2
+),
+n1 as (
+  select doc_id, "label", 'round1' origin from (
+    select doc_id, "label",
+           row_number() over (partition by doc_id
+                              order by cnt desc, "label" asc) rn
+    from v1
+  ) where rn = 1
+),
+l1 as (
+  select doc_id, "label", origin from seeds
+  union all
+  select doc_id, "label", origin from n1
+),
+v2 as (
+  select e.doc_a doc_id, l."label", count(*) cnt
+  from edges e join l1 l on l.doc_id = e.doc_b
+  where e.doc_a not in (select doc_id from l1)
+  group by 1, 2
+),
+n2 as (
+  select doc_id, "label", 'round2' origin from (
+    select doc_id, "label",
+           row_number() over (partition by doc_id
+                              order by cnt desc, "label" asc) rn
+    from v2
+  ) where rn = 1
+)
+select doc_id, "label", origin from l1
+union all
+select doc_id, "label", origin from n2
+order by doc_id
+""".format(pairs=pairs, b=seed_b)
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -7481,6 +7590,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_debounce": q_events_debounce,
         "token_drift_cms": q_token_drift_cms,
         "dq_report": q_dq_report,
+        "label_propagation": q_label_propagation,
         "minhash_recall": q_minhash_recall,
         "orders_rfm": q_orders_rfm,
         "events_gap_histogram": q_events_gap_histogram,
@@ -7739,6 +7849,7 @@ from s group by cluster_size order by cluster_size
         "events_debounce": Q_EVENTS_DEBOUNCE_SQL,
         "token_drift_cms": _token_drift_cms_duck(),
         "dq_report": Q_DQ_REPORT_SQL,
+        "label_propagation": _label_propagation_duck(),
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "events_debounce",
     "token_drift_cms",
     "dq_report",
+    "label_propagation",
 ]
 
 
