@@ -7418,6 +7418,82 @@ order by doc_id
 """.format(pairs=pairs, b=seed_b)
 
 
+def q_length_bucket_efficiency(
+    spark: SparkSession, sf_dir: str, batch_size: int = 32
+) -> DataFrame:
+    """Sequence-length bucketing report: assign every document to a
+    power-of-two token-length bucket (integer bit-length math — no
+    float log2) and, per bucket, compute the padding waste of batching
+    at ``batch_size`` with the bucket's cap as the padded length,
+    versus the padding the same docs would cost in UNbucketed global
+    batches padded to the corpus max. The classic throughput lever for
+    training on variable-length sequences — this report quantifies the
+    win before any data moves.
+
+    All integer arithmetic: padded slots = ceil(n/B)*B*cap, waste =
+    slots - real tokens. One doc-keyed projection + one bucket-keyed
+    map-combined aggregate + a 1-row global broadcast; output is
+    |buckets| rows."""
+    d = load(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).cast("bigint").alias("len")
+    ).where(F.col("len") > 0)
+    b = d.withColumn(
+        "bucket", F.expr("cast(length(bin(len)) - 1 as int)")
+    ).withColumn("cap", F.expr("cast(shiftleft(1, bucket + 1) - 1 as bigint)"))
+    per = b.groupBy("bucket", "cap").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("len").cast("bigint").alias("n_tokens"),
+    )
+    g = d.agg(
+        F.max("len").alias("_gmax"), F.count(F.lit(1)).alias("_gn"),
+        F.sum("len").alias("_gtok"),
+    )
+    bs = F.lit(batch_size)
+    batches = F.expr("cast(ceil(n_docs / %d.0) as bigint)" % batch_size)
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "bucket",
+            "cap",
+            "n_docs",
+            "n_tokens",
+            (batches * bs * F.col("cap") - F.col("n_tokens"))
+            .cast("bigint")
+            .alias("bucketed_waste"),
+            # the same docs' share of the unbucketed padding bill:
+            # every doc pads to the global max
+            (F.col("n_docs") * F.col("_gmax") - F.col("n_tokens"))
+            .cast("bigint")
+            .alias("unbucketed_waste"),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q_LENGTH_BUCKET_SQL = """
+with d as (
+  select len(string_split(text, ' '))::BIGINT l from documents
+  where len(string_split(text, ' ')) > 0
+),
+b as (
+  select l, (length(bin(l)) - 1)::INT bucket,
+         ((1::BIGINT << (length(bin(l)))) - 1)::BIGINT cap
+  from d
+),
+per as (
+  select bucket, cap, count(*)::BIGINT n_docs, sum(l)::BIGINT n_tokens
+  from b group by 1, 2
+),
+g as (select max(l) _gmax from d)
+select bucket, cap, n_docs, n_tokens,
+       (ceil(n_docs / 32.0)::BIGINT * 32 * cap - n_tokens)::BIGINT
+         bucketed_waste,
+       (n_docs * _gmax - n_tokens)::BIGINT unbucketed_waste
+from per cross join g
+order by bucket
+"""
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -7591,6 +7667,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_drift_cms": q_token_drift_cms,
         "dq_report": q_dq_report,
         "label_propagation": q_label_propagation,
+        "length_bucket_efficiency": q_length_bucket_efficiency,
         "minhash_recall": q_minhash_recall,
         "orders_rfm": q_orders_rfm,
         "events_gap_histogram": q_events_gap_histogram,
@@ -7850,6 +7927,7 @@ from s group by cluster_size order by cluster_size
         "token_drift_cms": _token_drift_cms_duck(),
         "dq_report": Q_DQ_REPORT_SQL,
         "label_propagation": _label_propagation_duck(),
+        "length_bucket_efficiency": Q_LENGTH_BUCKET_SQL,
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "token_drift_cms",
     "dq_report",
     "label_propagation",
+    "length_bucket_efficiency",
 ]
 
 
