@@ -7494,6 +7494,110 @@ order by bucket
 """
 
 
+def q_contrastive_negatives(
+    spark: SparkSession, sf_dir: str, n_neg: int = 3, buckets: int = 64
+) -> DataFrame:
+    """Deterministic negative mining for contrastive training: every
+    anchor doc (a 5% md5-stable slice) gets ``n_neg`` pseudo-random
+    negatives drawn by CONSISTENT HASHING — slot k of an anchor maps to
+    a target point in hash space, and the negative is the candidate
+    whose own hash is nearest to that point within the target's hash
+    bucket. Exact-duplicate texts are excluded (digest inequality), so
+    a copy of the anchor can never be its own negative.
+
+    Hash-stable end to end: the same (anchor, k) picks the same
+    negative on every run, cluster, and engine — training pairs are
+    reproducible and diffable, the property rand() sampling destroys.
+    Composes with the dedup layer: anti-join the pair list against
+    near-dup components to harden "negative" into "not even similar".
+
+    Scale: candidates pre-bucket by hash (one scan); each (anchor, k)
+    equi-joins ONE bucket (~N/buckets candidates — size ``buckets`` ~
+    N/1000 at corpus scale), and the pick is a min-struct argmax, no
+    window. Output: (doc_id, k, neg_id)."""
+    h = (
+        "cast(conv(substr(md5(concat('neg:', cast(%s as string))), 1, 15),"
+        " 16, 10) as bigint)"
+    )
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5("text").alias("_dg"),
+        F.expr(h % "doc_id").alias("_hc"),
+    )
+    cand = d.select(
+        F.col("doc_id").alias("neg_id"),
+        F.col("_dg").alias("_cdg"),
+        "_hc",
+        F.expr("pmod(_hc, %d)" % buckets).alias("_cb"),
+    )
+    anchors = (
+        d.where(text.stable_sample_pct("doc_id") < 5)
+        .select("doc_id", "_dg")
+        .crossJoin(
+            spark.range(1, n_neg + 1).select(F.col("id").cast("int").alias("k"))
+        )
+        .withColumn(
+            "_tp",
+            F.expr(
+                h % "concat(doc_id, ':', k)"
+            ),
+        )
+        .withColumn("_tb", F.expr("pmod(_tp, %d)" % buckets))
+    )
+    scored = (
+        anchors.join(cand, anchors["_tb"] == cand["_cb"])
+        .where(
+            (F.col("neg_id") != F.col("doc_id"))
+            & (F.col("_cdg") != F.col("_dg"))
+        )
+        .select(
+            "doc_id",
+            "k",
+            F.struct(
+                F.abs(F.col("_hc") - F.col("_tp")).alias("dist"),
+                F.col("neg_id").alias("nid"),
+            ).alias("z"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "k")
+        .agg(F.min("z").alias("b"))
+        .select("doc_id", "k", F.col("b.nid").alias("neg_id"))
+        .orderBy("doc_id", "k")
+    )
+
+
+Q_CONTRASTIVE_NEG_SQL = """
+with d as (
+  select doc_id, md5(text) _dg,
+         ('0x' || substr(md5('neg:' || doc_id::VARCHAR), 1, 15))::BIGINT _hc
+  from documents
+),
+cand as (
+  select doc_id neg_id, _dg _cdg, _hc, _hc % 64 _cb from d
+),
+anch as (
+  select d.doc_id, d._dg, k,
+         ('0x' || substr(md5('neg:' || d.doc_id::VARCHAR || ':' || k),
+          1, 15))::BIGINT _tp
+  from d cross join (select unnest(range(1, 4)) k)
+  where (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 100) < 5
+),
+scored as (
+  select a.doc_id, a.k, c.neg_id, abs(c._hc - a._tp) dist
+  from anch a join cand c on c._cb = a._tp % 64
+  where c.neg_id <> a.doc_id and c._cdg <> a._dg
+)
+select doc_id, k::INT k, neg_id from (
+  select doc_id, k, neg_id,
+         row_number() over (partition by doc_id, k
+                            order by dist, neg_id) rn
+  from scored
+) where rn = 1
+order by doc_id, k
+"""
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -7668,6 +7772,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_report": q_dq_report,
         "label_propagation": q_label_propagation,
         "length_bucket_efficiency": q_length_bucket_efficiency,
+        "contrastive_negatives": q_contrastive_negatives,
         "minhash_recall": q_minhash_recall,
         "orders_rfm": q_orders_rfm,
         "events_gap_histogram": q_events_gap_histogram,
@@ -7928,6 +8033,7 @@ from s group by cluster_size order by cluster_size
         "dq_report": Q_DQ_REPORT_SQL,
         "label_propagation": _label_propagation_duck(),
         "length_bucket_efficiency": Q_LENGTH_BUCKET_SQL,
+        "contrastive_negatives": Q_CONTRASTIVE_NEG_SQL,
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

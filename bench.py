@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "dq_report",
     "label_propagation",
     "length_bucket_efficiency",
+    "contrastive_negatives",
 ]
 
 
