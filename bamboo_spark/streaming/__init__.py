@@ -21,6 +21,7 @@ from bamboo_spark.streaming.core import (
     sessionize_stream_tws,
     transitions_stream,
     dedup_stream,
+    dq_stream,
     flatten_stream,
     funnel_stream,
     hll_stream,
@@ -42,6 +43,7 @@ __all__ = [
     "cms_stream",
     "contamination_stream",
     "dedup_stream",
+    "dq_stream",
     "dedup_stream_simhash",
     "drift_stream",
     "flatten_stream",

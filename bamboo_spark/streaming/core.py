@@ -1405,3 +1405,62 @@ def hll_stream(
         .groupBy("idx")
         .agg(F.max("rho").cast("int").alias("r"))
     )
+
+
+def dq_stream(
+    sdf: DataFrame,
+    rules,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming data-quality monitor — the row-level half of the batch
+    ``dq.dq_report`` evaluated per event-time window: every rule's 0/1
+    indicator folds into ONE windowed aggregate (adding a rule never
+    adds state), and each finished window emits the per-rule violation
+    report. The contract a continuous ingest enforces instead of the
+    batch publish gate; set-level rules (unique/references) stay batch
+    -side where the full key domain lives.
+
+    State per window = one count per rule + the row count — bounded by
+    the watermark like any windowed agg."""
+    from pyspark.sql import functions as FN
+
+    row_rules = [r for r in rules if r.indicator is not None]
+    if not row_rules:
+        raise ValueError("dq_stream: needs at least one row-level rule")
+    agg = (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(FN.window(FN.col(ts_col), window).alias("w"))
+        .agg(
+            FN.count(FN.lit(1)).alias("n_rows"),
+            *[
+                FN.sum(r.indicator).alias("_v%d" % i)
+                for i, r in enumerate(row_rules)
+            ],
+        )
+    )
+    rows = FN.array(
+        *[
+            FN.struct(
+                FN.lit(r.name).alias("rule"),
+                FN.lit(r.kind).alias("kind"),
+                FN.col("n_rows").cast("bigint").alias("n_rows"),
+                FN.coalesce(FN.col("_v%d" % i), FN.lit(0))
+                .cast("bigint")
+                .alias("n_violations"),
+            )
+            for i, r in enumerate(row_rules)
+        ]
+    )
+    return (
+        agg.select(FN.col("w.start").alias("window_start"), FN.explode(rows).alias("_r"))
+        .select(
+            "window_start",
+            "_r.rule",
+            "_r.kind",
+            "_r.n_rows",
+            "_r.n_violations",
+            (FN.col("_r.n_violations") == 0).cast("int").alias("pass"),
+        )
+    )

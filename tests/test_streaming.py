@@ -1472,3 +1472,56 @@ def test_hll_stream_equals_batch_registers(spark, tmp_path):
     want = {(r.idx, r.r) for r in hll_build(batch, "item", p=8).collect()}
     assert got == want
     assert len(got) <= 256
+
+
+def test_dq_stream_matches_batch_rules(spark, tmp_path):
+    # stream-replay of a file equals the batch dq_report row-rules for
+    # the same window of data
+    import datetime
+    import json
+    import os
+
+    from bamboo_spark.operators import dq
+    from bamboo_spark.streaming import dq_stream
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    base = datetime.datetime(2024, 6, 1, 10, 0, 0)
+    rows = [
+        {"ts": (base + datetime.timedelta(minutes=i)).isoformat(),
+         "v": float(i - 2), "k": None if i == 3 else "A"}
+        for i in range(6)
+    ]
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    rules = [dq.not_null("k"), dq.in_range("v", 0.0, 100.0)]
+    stream = spark.readStream.schema("ts timestamp, v double, k string").json(src)
+    rep = dq_stream(stream, rules, window="1 hour")
+    assert rep.isStreaming
+    q = (
+        rep.writeStream.format("memory")
+        .queryName("dq_t")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.rule: (r.n_rows, r.n_violations)
+            for r in spark.sql("select * from dq_t").collect()
+        }
+    finally:
+        q.stop()
+    batch = spark.createDataFrame(
+        [(r["ts"], r["v"], r["k"]) for r in rows],
+        "ts string, v double, k string",
+    )
+    want = {
+        r.rule: (r.n_rows, r.n_violations)
+        for r in dq.dq_report(batch, rules).collect()
+    }
+    assert got == want
+    assert got["not_null(k)"] == (6, 1)
+    assert got["range(v,[0.0,100.0])"] == (6, 2)  # v = -2, -1
