@@ -74,3 +74,62 @@ def test_similarity_empty(spark):
     assert similarity.embedding_moments(e).count() == 0
     with pytest.raises(ValueError, match="empty"):
         similarity.embedding_covariance(e)
+
+
+def test_sketch_family_empty(spark):
+    from bamboo_spark.operators import sketch
+
+    e = spark.createDataFrame([], "item string")
+    cms = sketch.cms_build(e, "item", depth=3, width=64)
+    assert cms.count() == 0
+    items = spark.createDataFrame([("x",)], "item string")
+    got = sketch.cms_estimate(cms, items, "item", depth=3, width=64).collect()
+    assert got[0].cms_n == 0  # empty sketch estimates 0, not a crash
+    regs = sketch.hll_build(e, "item", p=8)
+    assert regs.count() == 0
+    est = sketch.hll_estimate(regs, p=8).collect()[0].hll_est
+    assert est == 0.0  # linear counting with V = m -> ln(1) = 0
+    kmv = sketch.kmv_build(
+        spark.createDataFrame([], "s string, item long"), "s", "item"
+    )
+    assert kmv.count() == 0
+    assert sketch.kmv_jaccard_pairs(kmv, "s").count() == 0
+
+
+def test_classify_and_dq_empty(spark, empty_docs):
+    from bamboo_spark.operators import classify, dq
+
+    lik, cls = classify.nb_train(empty_docs, "text", "lang")
+    assert lik.count() == 0 and cls.count() == 0
+    pred = classify.nb_classify(empty_docs, lik, cls)
+    assert pred.count() == 0
+
+    rep = dq.dq_report(
+        empty_docs,
+        [
+            dq.not_null("doc_id"),
+            dq.unique("doc_id"),
+            dq.references("doc_id", empty_docs, "doc_id"),
+        ],
+    ).collect()
+    assert {r.rule: (r.n_rows, r.n_violations, r["pass"]) for r in rep} == {
+        "not_null(doc_id)": (0, 0, 1),
+        "unique(doc_id)": (0, 0, 1),
+        "references(doc_id->doc_id)": (0, 0, 1),
+    }
+
+
+def test_zorder_and_read_union_empty(spark):
+    from pyspark.sql import functions as F
+
+    from bamboo_spark.operators.scale import zorder_key
+
+    e = (
+        spark.createDataFrame([], "x long, y long")
+        .withColumn("lo", F.lit(0))
+        .withColumn("hi", F.lit(10))
+    )
+    out = e.withColumn(
+        "z", zorder_key(["x", "y"], ["lo", "lo"], ["hi", "hi"], bits=8)
+    )
+    assert out.count() == 0
