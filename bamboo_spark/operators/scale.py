@@ -578,3 +578,71 @@ def zorder_key_duck(
             "for i in range(0, {b})])".format(q=q, n=n, ci=ci, b=bits)
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def suggest_shuffle_partitions(
+    df: DataFrame,
+    target_partition_bytes: int = 128 << 20,
+    sample_rows: int = 1000,
+    row_count: Optional[int] = None,
+) -> int:
+    """Estimate the shuffle-partition count that lands post-shuffle
+    partitions near ``target_partition_bytes`` — the knob
+    (`spark.sql.shuffle.partitions` / a pre-write `repartition(n)`)
+    every deployment sizes by hand today.
+
+    Method: sample ``sample_rows`` rows, measure their Tungsten-ish
+    footprint via the serialized-plan row size (here: the sum of
+    column in-memory widths from the schema plus measured
+    variable-width bytes), multiply by the row count (one `count()` if
+    not supplied), divide by the target. Driver traffic is the sample
+    only; the count is a metadata-cheap aggregate.
+
+    The estimate is a STARTING point — AQE's coalescing still adapts at
+    runtime; this sets the upper bound high enough that no partition
+    exceeds executor memory on the first attempt (the failure AQE
+    cannot fix after the fact)."""
+    from pyspark.sql import types as T
+
+    n = row_count if row_count is not None else df.count()
+    if n == 0:
+        return 1
+    sample = df.limit(sample_rows).collect()
+    if not sample:
+        return 1
+
+    fixed = 0
+    var_cols = []
+    for f in df.schema.fields:
+        t = f.dataType
+        if isinstance(t, (T.LongType, T.DoubleType, T.TimestampType,
+                          T.TimestampNTZType, T.DateType)):
+            fixed += 8
+        elif isinstance(t, (T.IntegerType, T.FloatType)):
+            fixed += 4
+        elif isinstance(t, (T.ShortType,)):
+            fixed += 2
+        elif isinstance(t, (T.BooleanType, T.ByteType)):
+            fixed += 1
+        else:
+            var_cols.append(f.name)
+    var = 0
+    if var_cols:
+        for r in sample:
+            for c in var_cols:
+                v = r[c]
+                if v is None:
+                    continue
+                if isinstance(v, str):
+                    var += len(v.encode("utf-8"))
+                elif isinstance(v, (bytes, bytearray)):
+                    var += len(v)
+                elif isinstance(v, (list, tuple)):
+                    var += 8 * len(v) + 16
+                else:
+                    var += 16
+    per_row = fixed + (var / len(sample) if sample else 0) + 8  # row overhead
+    total = per_row * n
+    import math as _math
+
+    return max(1, int(_math.ceil(total / float(target_partition_bytes))))

@@ -378,3 +378,25 @@ def test_zorder_layout_files_cover_tight_rectangles(spark):
         med_u = statistics.median((r.u_max - r.u_min) / u_span for r in rows)
         med_t = statistics.median((r.t_max - r.t_min) / t_span for r in rows)
         assert med_u <= 0.5 and med_t <= 0.5, (med_u, med_t)
+
+
+def test_suggest_shuffle_partitions(spark):
+    from bamboo_spark.operators.scale import suggest_shuffle_partitions
+
+    # empty -> 1
+    e = spark.createDataFrame([], "a long, s string")
+    assert suggest_shuffle_partitions(e) == 1
+
+    # 10k rows of ~58 bytes -> well under one 128 MiB partition
+    df = spark.range(10_000).selectExpr(
+        "id", "repeat('x', 42) as s"
+    )
+    assert suggest_shuffle_partitions(df) == 1
+
+    # force a tiny target: the estimate must scale ~linearly with rows
+    small = suggest_shuffle_partitions(df, target_partition_bytes=10_000)
+    big = suggest_shuffle_partitions(
+        df.union(df), target_partition_bytes=10_000
+    )
+    assert small >= 10
+    assert 1.5 * small <= big <= 2.5 * small
