@@ -400,3 +400,57 @@ def test_suggest_shuffle_partitions(spark):
     )
     assert small >= 10
     assert 1.5 * small <= big <= 2.5 * small
+
+
+def test_zorder_layout_improves_file_locality(spark, tmp_path):
+    # end-to-end proof of the layout win: the same events written (a)
+    # time-ordered and (b) z-ordered on (user, time); a narrow user
+    # filter must touch far fewer files in the z-ordered layout
+    from pyspark.sql import functions as F
+
+    from bamboo_spark.operators.scale import zorder_key
+
+    sf = "/root/testdata/sf0.001"
+    from bamboo_spark import queries as q
+
+    e = q.load(spark, sf, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    stats = e.agg(
+        F.min("user_id").alias("u_lo"), F.max("user_id").alias("u_hi"),
+        F.min("us").alias("t_lo"), F.max("us").alias("t_hi"),
+    )
+    keyed = e.crossJoin(F.broadcast(stats)).withColumn(
+        "zkey",
+        zorder_key(["user_id", "us"], ["u_lo", "t_lo"], ["u_hi", "t_hi"], bits=16),
+    ).select("event_id", "user_id", "us", "zkey")
+
+    t_path = str(tmp_path / "by_time")
+    z_path = str(tmp_path / "by_zkey")
+    keyed.repartitionByRange(16, "us").write.parquet(t_path)
+    keyed.repartitionByRange(16, "zkey").write.parquet(z_path)
+
+    u_lo, u_hi = [
+        (r.u_lo, r.u_hi) for r in stats.collect()
+    ][0]
+    span = max(u_hi - u_lo, 1)
+    lo, hi = u_lo + span // 3, u_lo + span // 3 + span // 16  # ~6% slice
+
+    def files_touched(path):
+        return (
+            spark.read.parquet(path)
+            .where(F.col("user_id").between(lo, hi))
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    ft, fz = files_touched(t_path), files_touched(z_path)
+    # identical rows both layouts
+    n_t = spark.read.parquet(t_path).where(F.col("user_id").between(lo, hi)).count()
+    n_z = spark.read.parquet(z_path).where(F.col("user_id").between(lo, hi)).count()
+    assert n_t == n_z > 0
+    # the time layout scatters a user slice across ~every file; the
+    # z-layout confines it to a fraction
+    assert fz < ft, (fz, ft)
+    assert fz <= ft // 2, (fz, ft)
