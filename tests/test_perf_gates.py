@@ -78,3 +78,23 @@ def test_gopher_filter_scan_speed_1m_docs(spark, tmp_path):
     df.write.format("noop").mode("overwrite").save()
     elapsed = time.perf_counter() - start
     assert elapsed < 5.0, "1M-doc gopher filter took %.2fs (< 200k docs/s)" % elapsed
+
+
+def test_sketch_build_throughput_5m_items(spark):
+    # mergeable-state builders must stay JVM-side scan-speed: 5M items
+    # through the CMS grid AND the HLL registers in well under a minute
+    # (observed ~2-4 s each on local[32]; 4x+ headroom). A regression
+    # here means the hash math fell out of codegen or a Python path
+    # crept in.
+    from bamboo_spark.operators.sketch import cms_build, hll_build
+
+    n = 5_000_000
+    items = spark.range(n).selectExpr("cast(id % 100000 as string) it")
+    t0 = time.time()
+    assert cms_build(items, "it", depth=4, width=8192).count() <= 4 * 8192
+    cms_s = time.time() - t0
+    t0 = time.time()
+    assert hll_build(items, "it", p=12).count() <= 1 << 12
+    hll_s = time.time() - t0
+    assert cms_s < 60, cms_s
+    assert hll_s < 60, hll_s
