@@ -372,3 +372,90 @@ def kmv_jaccard_pairs(kmv: DataFrame, set_col: str, k: int = 256) -> DataFrame:
             ),
         )
     )
+
+
+def hll_build_grouped(
+    df: DataFrame, group_cols, item_col: str, p: int = 12
+) -> DataFrame:
+    """Per-group HLL registers: (group_cols..., idx, r) with at most
+    2^p rows PER GROUP — the distinct-count standing state for a keyed
+    dimension (distinct users per source/day/experiment), mergeable per
+    group with :func:`hll_merge_grouped`. Same one-aggregate shape as
+    the global build; the group key simply joins the grid key."""
+    if not 4 <= p <= 18:
+        raise ValueError("p must be in [4, 18]")
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    idx, rho = _hll_parts("_it", p)
+    return (
+        df.select(*groups, F.col(item_col).cast("string").alias("_it"))
+        .where(F.col("_it").isNotNull())
+        .select(*groups, F.expr(idx).alias("idx"), F.expr(rho).alias("rho"))
+        .groupBy(*groups, "idx")
+        .agg(F.max("rho").cast("int").alias("r"))
+    )
+
+
+def hll_merge_grouped(states, group_cols) -> DataFrame:
+    """Merge per-group register states (same p): cell-wise max within
+    each group."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if not states:
+        raise ValueError("hll_merge_grouped needs at least one state")
+    acc = states[0]
+    for s in states[1:]:
+        acc = acc.unionByName(s)
+    return acc.groupBy(*groups, "idx").agg(F.max("r").cast("int").alias("r"))
+
+
+def hll_estimate_grouped(
+    state: DataFrame, group_cols, p: int = 12, out_col: str = "hll_est"
+) -> DataFrame:
+    """Per-group cardinality estimates from grouped registers — the
+    same harmonic-mean + linear-counting math as the global
+    :func:`hll_estimate`, one output row per group."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = state.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("_np"),
+        F.sum(F.expr("power(cast(2 as double), -r)")).alias("_sp"),
+    )
+    raw = "(%r * %d * %d) / ((%d - _np) + coalesce(_sp, cast(0 as double)))" % (
+        alpha, m, m, m,
+    )
+    est = (
+        "case when (%s) <= 2.5 * %d and %d - _np > 0"
+        " then %d * ln(cast(%d as double) / (%d - _np))"
+        " else (%s) end" % (raw, m, m, m, m, m, raw)
+    )
+    return agg.select(
+        *groups, F.expr("cast(round(%s, 4) as double)" % est).alias(out_col)
+    )
+
+
+def kmv_distinct_estimate(
+    kmv: DataFrame, set_col: str, k: int = 256, out_col: str = "kmv_distinct"
+) -> DataFrame:
+    """Per-set distinct-cardinality estimate from the bottom-k synopsis
+    alone: with hashes uniform on [0, 2^60), the k-th smallest hash
+    h_(k) estimates density — D ≈ (k-1) * 2^60 / h_(k) (the unbiased
+    KMV estimator). Sets whose synopsis holds fewer than k hashes are
+    EXACT (their distinct count is the synopsis size). One max + count
+    aggregate per set over the k-row synopses."""
+    agg = kmv.groupBy(set_col).agg(
+        F.count(F.lit(1)).alias("_n"), F.max("h").alias("_hk")
+    )
+    space = float(1 << _HLL_BITS)
+    return agg.select(
+        set_col,
+        F.when(F.col("_n") < k, F.col("_n").cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("_n").cast("double") - 1.0)
+                * F.lit(space)
+                / F.col("_hk").cast("double"),
+                4,
+            )
+        )
+        .alias(out_col),
+    )

@@ -7598,6 +7598,86 @@ order by doc_id, k
 """
 
 
+def q_type_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user monitoring from GROUPED HLL
+    registers — the keyed-dimension version of `distinct_hll_monitor`:
+    one register grid per event type (≤ 2^p rows each, mergeable per
+    type with tomorrow's batch), estimated side by side with the exact
+    distinct. Output: (event_type, n_exact, hll_est, rel_err).
+
+    Scale: one map-combined (type, idx) aggregate; the per-type
+    estimate is a |types|-row reduce; exact side is the monitor's
+    ground truth (drop it at corpus scale and trust the registers)."""
+    from bamboo_spark.operators import sketch
+
+    e = load(spark, sf_dir, "events").select("event_type", "user_id")
+    regs = sketch.hll_build_grouped(e, "event_type", "user_id", p=12)
+    est = sketch.hll_estimate_grouped(regs, "event_type", p=12)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "hll_est",
+            F.round(
+                F.abs(F.col("hll_est") - F.col("n_exact")) / F.col("n_exact"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _type_distinct_hll_duck() -> str:
+    from bamboo_spark.operators import sketch
+
+    tail = sketch._HLL_BITS - 12
+    h = "(('0x' || substr(md5('hll:' || it::VARCHAR), 1, 15))::BIGINT)"
+    idx = "(%s // %d)::INT" % (h, 1 << tail)
+    w = "(%s %% %d)" % (h, 1 << tail)
+    rho = (
+        "case when %s = 0 then %d else %d - length(bin(%s)) end"
+        % (w, tail + 1, tail + 1, w)
+    )
+    m = 1 << 12
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = (
+        "({a}::DOUBLE * {m} * {m}) / (({m} - _np) + coalesce(_sp, 0::DOUBLE))"
+        .format(a=repr(alpha), m=m)
+    )
+    est = (
+        "case when ({raw}) <= 2.5 * {m} and {m} - _np > 0"
+        " then {m} * ln({m}::DOUBLE / ({m} - _np))"
+        " else ({raw}) end".format(raw=raw, m=m)
+    )
+    return """
+with occ as (
+  select event_type, user_id it from events where user_id is not null
+),
+regs as (
+  select event_type, {idx} idx, max({rho})::INT r
+  from occ group by 1, 2
+),
+est as (
+  select event_type, round({est}, 4)::DOUBLE hll_est from (
+    select event_type, count(*) _np, sum(power(2::DOUBLE, -r)) _sp
+    from regs group by event_type
+  )
+),
+ex as (
+  select event_type, count(distinct user_id)::BIGINT n_exact
+  from events group by event_type
+)
+select ex.event_type, ex.n_exact, est.hll_est,
+       round(abs(est.hll_est - ex.n_exact) / ex.n_exact, 4) rel_err
+from ex join est using (event_type)
+order by event_type
+""".format(idx=idx, rho=rho, est=est)
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -7773,6 +7853,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "length_bucket_efficiency": q_length_bucket_efficiency,
         "contrastive_negatives": q_contrastive_negatives,
+        "type_distinct_hll": q_type_distinct_hll,
         "minhash_recall": q_minhash_recall,
         "orders_rfm": q_orders_rfm,
         "events_gap_histogram": q_events_gap_histogram,
@@ -8034,6 +8115,7 @@ from s group by cluster_size order by cluster_size
         "label_propagation": _label_propagation_duck(),
         "length_bucket_efficiency": Q_LENGTH_BUCKET_SQL,
         "contrastive_negatives": Q_CONTRASTIVE_NEG_SQL,
+        "type_distinct_hll": _type_distinct_hll_duck(),
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "label_propagation",
     "length_bucket_efficiency",
     "contrastive_negatives",
+    "type_distinct_hll",
 ]
 
 

@@ -151,3 +151,66 @@ def test_kmv_merge_property_and_estimate_quality(spark):
         cap=256,
     ).drop("rank")
     assert {r.h for r in merged.collect()} == {r.h for r in union_syn.collect()}
+
+
+def test_hll_grouped_and_kmv_cardinality(spark):
+    import pyspark.sql.functions as Fn
+
+    from bamboo_spark.operators.sketch import (
+        hll_build,
+        hll_build_grouped,
+        hll_estimate_grouped,
+        hll_merge_grouped,
+        kmv_build,
+        kmv_distinct_estimate,
+    )
+
+    # two groups with known distinct counts
+    df = spark.range(0, 30000).select(
+        Fn.when(Fn.col("id") % 3 == 0, "g1").otherwise("g2").alias("g"),
+        (Fn.col("id") % 5000).cast("string").alias("u"),
+    )
+    regs = hll_build_grouped(df, "g", "u", p=10)
+    # each group's registers equal a per-slice global build
+    for g in ("g1", "g2"):
+        want = {
+            (r.idx, r.r)
+            for r in hll_build(df.where(Fn.col("g") == g), "u", p=10).collect()
+        }
+        got = {
+            (r.idx, r.r)
+            for r in regs.where(Fn.col("g") == g).select("idx", "r").collect()
+        }
+        assert got == want, g
+    # merge of disjoint halves == full grouped build
+    h1 = hll_build_grouped(df.where(Fn.col("id") < 15000), "g", "u", p=10)
+    h2 = hll_build_grouped(df.where(Fn.col("id") >= 15000), "g", "u", p=10)
+    merged = {
+        (r.g, r.idx, r.r)
+        for r in hll_merge_grouped([h1, h2], "g").collect()
+    }
+    assert merged == {(r.g, r.idx, r.r) for r in regs.collect()}
+    # estimates near truth (g1: 5000 distinct? g1 sees id%3==0 ->
+    # id in {0,3,...} % 5000 covers all 5000; g2 likewise)
+    est = {
+        r.g: r.hll_est
+        for r in hll_estimate_grouped(regs, "g", p=10).collect()
+    }
+    for g in ("g1", "g2"):
+        assert abs(est[g] - 5000) / 5000 < 0.15, (g, est[g])
+
+    # KMV cardinality: k=256 on 5000 distinct -> ~1/sqrt(k) rel error
+    sets = spark.range(0, 5000).select(
+        Fn.lit("S").alias("s"), Fn.col("id").alias("item")
+    )
+    kmv = kmv_build(sets, "s", "item", k=256)
+    d = kmv_distinct_estimate(kmv, "s", k=256).collect()[0].kmv_distinct
+    assert abs(d - 5000) / 5000 < 4 / 16, d
+    # small set -> exact
+    small = kmv_build(
+        spark.range(0, 40).select(Fn.lit("T").alias("s"), Fn.col("id").alias("item")),
+        "s",
+        "item",
+        k=256,
+    )
+    assert kmv_distinct_estimate(small, "s", k=256).collect()[0].kmv_distinct == 40.0
