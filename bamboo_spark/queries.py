@@ -7678,6 +7678,90 @@ order by event_type
 """.format(idx=idx, rho=rho, est=est)
 
 
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over order baskets: for every co-ordered part
+    pair (a < b), support counts and LIFT in exact parts-per-million —
+    lift_ppm = 1e6 * N * n_ab / (n_a * n_b) — keeping the top 20 pairs
+    by (lift, pair). The co-occurrence analysis behind "frequently
+    bought together", reduced to integer-exact arithmetic so both
+    engines agree bit-for-bit.
+
+    Scale: the pair generation is an ORDER-KEYED self-join (each order
+    joins only its own lines — bounded per basket, never a global
+    cartesian); per-part supports are one map-combined aggregate
+    broadcast back; the global top-20 is TakeOrderedAndProject (partial
+    top-k per partition). A basket with L lines emits L(L-1)/2 pairs —
+    cap L upstream (ranked_head per order) if baskets are unbounded."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n_orders = l.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    part_n = l.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    a = l.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = l.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(part_n.select(F.col("l_partkey").alias("part_a"), F.col("n_p").alias("n_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(part_n.select(F.col("l_partkey").alias("part_b"), F.col("n_p").alias("n_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr(
+                "cast((cast(n_ab as decimal(38,0)) * 1000000 * _n)"
+                " div (cast(n_a as decimal(38,0)) * n_b) as bigint)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(
+            F.col("lift_ppm").desc(),
+            F.col("part_a").asc(),
+            F.col("part_b").asc(),
+        )
+        .limit(20)
+    )
+
+
+Q_MARKET_BASKET_SQL = """
+with l as (
+  select distinct l_orderkey, l_partkey from lineitem
+),
+n as (select count(distinct l_orderkey) _n from l),
+pn as (select l_partkey, count(*) n_p from l group by 1),
+pairs as (
+  select a.l_partkey part_a, b.l_partkey part_b, count(*)::BIGINT n_ab
+  from l a join l b
+    on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+  group by 1, 2
+)
+select part_a, part_b, n_ab,
+       pa.n_p::BIGINT n_a, pb.n_p::BIGINT n_b,
+       ((n_ab::HUGEINT * 1000000 * _n) //
+        (pa.n_p::HUGEINT * pb.n_p))::BIGINT lift_ppm
+from pairs
+join pn pa on pa.l_partkey = part_a
+join pn pb on pb.l_partkey = part_b
+cross join n
+order by lift_ppm desc, part_a, part_b
+limit 20
+"""
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -7854,6 +7938,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_bucket_efficiency": q_length_bucket_efficiency,
         "contrastive_negatives": q_contrastive_negatives,
         "type_distinct_hll": q_type_distinct_hll,
+        "market_basket": q_market_basket,
         "minhash_recall": q_minhash_recall,
         "orders_rfm": q_orders_rfm,
         "events_gap_histogram": q_events_gap_histogram,
@@ -8116,6 +8201,7 @@ from s group by cluster_size order by cluster_size
         "length_bucket_efficiency": Q_LENGTH_BUCKET_SQL,
         "contrastive_negatives": Q_CONTRASTIVE_NEG_SQL,
         "type_distinct_hll": _type_distinct_hll_duck(),
+        "market_basket": Q_MARKET_BASKET_SQL,
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

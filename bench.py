@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "length_bucket_efficiency",
     "contrastive_negatives",
     "type_distinct_hll",
+    "market_basket",
 ]
 
 
