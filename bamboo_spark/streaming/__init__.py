@@ -21,6 +21,7 @@ from bamboo_spark.streaming.core import (
     sessionize_stream_tws,
     transitions_stream,
     dedup_stream,
+    debounce_stream,
     dq_stream,
     flatten_stream,
     funnel_stream,
@@ -43,6 +44,7 @@ __all__ = [
     "cms_stream",
     "contamination_stream",
     "dedup_stream",
+    "debounce_stream",
     "dq_stream",
     "dedup_stream_simhash",
     "drift_stream",

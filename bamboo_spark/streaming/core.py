@@ -1464,3 +1464,74 @@ def dq_stream(
             (FN.col("_r.n_violations") == 0).cast("int").alias("pass"),
         )
     )
+
+
+def debounce_stream(
+    sdf: DataFrame,
+    key_cols,
+    ts_col: str = "ts",
+    gap_ms: int = 60_000,
+    watermark: str = "1 hour",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming telemetry debounce — the stateful twin of the batch
+    ``events_debounce``: a row is emitted only if the previous KEPT row
+    of the same key is at least ``gap_ms`` older. This is the
+    throttle-relative-to-KEPT semantics (a retry storm emits exactly
+    one row per gap window), strictly stronger than the batch monitor's
+    lag-based flagging — and inexpressible as a window function, which
+    is exactly why it gets the ``applyInPandasWithState`` escape hatch.
+
+    State per key = ONE long (last kept µs), watermark-bounded. Each
+    micro-batch sorts its rows by (µs, id) for deterministic intra-
+    batch order, replays the keep rule, and updates the single long.
+    Emits (key_cols..., id_col, ts)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    gap_us = gap_ms * 1000
+    out_schema = ", ".join(
+        ["%s string" % k for k in keys] + ["%s bigint" % id_col, "ts timestamp"]
+    )
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = []
+        for pdf in pdfs:
+            sub = pdf[[ts_col, id_col]].copy()
+            sub["_us"] = sub[ts_col].astype("int64") // 1_000
+            rows.append(sub)
+        allr = pd.concat(rows).sort_values(["_us", id_col])
+        last = state.get[0] if state.exists else None
+        kept = []
+        for _, r in allr.iterrows():
+            us = int(r["_us"])
+            if last is None or us - last >= gap_us:
+                kept.append(
+                    dict(
+                        {k: str(v) for k, v in zip(keys, key)},
+                        **{
+                            id_col: int(r[id_col]),
+                            "ts": pd.Timestamp(us, unit="us"),
+                        },
+                    )
+                )
+                last = us
+        state.update((int(last),))
+        if kept:
+            yield pd.DataFrame(kept)
+
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            "last_us long",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1525,3 +1525,51 @@ def test_dq_stream_matches_batch_rules(spark, tmp_path):
     assert got == want
     assert got["not_null(k)"] == (6, 1)
     assert got["range(v,[0.0,100.0])"] == (6, 2)  # v = -2, -1
+
+
+def test_debounce_stream_keeps_one_per_gap(spark, tmp_path):
+    # retry storm: 10 events 5s apart for one (user,type) -> with a 60s
+    # debounce only events at t0, t0+60... survive; a second user far
+    # apart keeps everything. Throttle is relative to the KEPT row.
+    import datetime
+    import json
+    import os
+
+    from bamboo_spark.streaming import debounce_stream
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    base = datetime.datetime(2024, 6, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for i in range(10):  # user 1: every 5 s
+        rows.append({"ts": (base + datetime.timedelta(seconds=5 * i)).isoformat(),
+                     "user_id": 1, "event_id": eid}); eid += 1
+    for i in range(3):   # user 2: every 2 min
+        rows.append({"ts": (base + datetime.timedelta(minutes=2 * i)).isoformat(),
+                     "user_id": 2, "event_id": eid}); eid += 1
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id long, event_id long"
+    ).json(src)
+    out = debounce_stream(stream, "user_id", gap_ms=60_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("deb_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.event_id)
+            for r in spark.sql("select * from deb_t").collect()
+        }
+    finally:
+        q.stop()
+    # user 1: t=0s kept, next kept >= 60s later -> ids 0 (t0) only
+    # among 0..45s? events at 0,5,...,45 -> only id 0. user 2: all 3.
+    assert got == {("1", 0), ("2", 10), ("2", 11), ("2", 12)}
