@@ -698,3 +698,15 @@ def test_zorder_and_forget_plan_shapes(spark):
     s = simple_plan(q.queries()["forget_users"](spark, SF))
     assert "LeftSemi" in s, s
     assert "CartesianProduct" not in s
+
+
+def test_market_basket_and_grouped_hll_plan_shapes(spark):
+    # basket pairs come from an ORDER-KEYED self-join + global top-20
+    # via partial top-k; supports broadcast
+    s = simple_plan(q.queries()["market_basket"](spark, SF))
+    assert "TakeOrderedAndProject" in s, s
+    assert "CartesianProduct" not in s
+    assert "BroadcastHashJoin" in s
+    # grouped HLL: one map-combined aggregate chain, no window
+    s = simple_plan(q.queries()["type_distinct_hll"](spark, SF))
+    assert "Window" not in s and "CartesianProduct" not in s
