@@ -646,3 +646,33 @@ def suggest_shuffle_partitions(
     import math as _math
 
     return max(1, int(_math.ceil(total / float(target_partition_bytes))))
+
+
+def suggest_salt(
+    df: DataFrame,
+    key_cols,
+    target_rows_per_task: int = 5_000_000,
+    top_n: int = 20,
+) -> "List[tuple]":
+    """Skew diagnosis for a planned join/agg key: per hot key, the row
+    count and the salt factor that would spread it to
+    ``target_rows_per_task``-sized tasks. Returns [(key..., n_rows,
+    salt)] for the ``top_n`` heaviest keys with salt > 1 — feed the max
+    into :func:`salted_join`, or keep AQE if the list comes back empty.
+
+    One map-combined count aggregate + a partial top-k; driver traffic
+    is ``top_n`` rows."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), *[F.col(k).asc() for k in keys])
+        .limit(top_n)
+    )
+    out = []
+    for r in counts.collect():
+        n = r["n"]
+        salt = -(-n // target_rows_per_task)  # ceil
+        if salt > 1:
+            out.append(tuple(r[k] for k in keys) + (n, int(salt)))
+    return out

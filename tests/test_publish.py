@@ -50,3 +50,38 @@ def test_vacuum_never_touches_committed(spark, tmp_path):
     # committed snapshot survives and still reads exactly
     assert read_published(spark, t).count() == 5
     assert not os.path.exists(os.path.join(t, "_v1"))
+
+
+def test_streaming_foreachbatch_publishes_atomic_snapshots(spark, tmp_path):
+    # the continuous-ingest recipe: a stream drains into foreachBatch,
+    # each micro-batch publishes a FULL consistent snapshot via the
+    # atomic manifest swap — a reader at ANY moment sees a committed
+    # snapshot with matching manifest row count, never partial files
+    import json
+    import os
+
+    src = str(tmp_path / "in")
+    tbl = str(tmp_path / "tbl")
+    os.makedirs(src)
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for i in range(50):
+            f.write(json.dumps({"id": i}) + "\n")
+
+    seen = []
+
+    def sink(batch_df, batch_id):
+        if batch_df.count() == 0:
+            return
+        v = atomic_publish(batch_df, tbl)
+        seen.append(v)
+
+    stream = spark.readStream.schema("id long").json(src)
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen  # at least one committed snapshot
+    # reader consistency: manifest row count == actual rows
+    assert published_rows(tbl) == read_published(spark, tbl).count() == 50
+    assert current_version(tbl) == max(seen)

@@ -454,3 +454,51 @@ def test_zorder_layout_improves_file_locality(spark, tmp_path):
     # z-layout confines it to a fraction
     assert fz < ft, (fz, ft)
     assert fz <= ft // 2, (fz, ft)
+
+
+def test_suggest_salt_flags_hot_keys(spark):
+    from pyspark.sql import functions as F
+
+    from bamboo_spark.operators.scale import suggest_salt
+
+    # one pathological key with 10k rows, the rest tiny
+    df = spark.range(11_000).select(
+        F.when(F.col("id") < 10_000, "hot").otherwise(
+            F.concat(F.lit("k"), F.col("id"))
+        ).alias("k")
+    )
+    got = suggest_salt(df, "k", target_rows_per_task=1_000)
+    assert got == [("hot", 10_000, 10)]
+    # uniform keys -> nothing to salt
+    assert suggest_salt(df.where("k <> 'hot'"), "k", 1_000) == []
+
+
+def test_zorder_key_three_columns(spark):
+    from pyspark.sql import functions as F
+
+    from bamboo_spark.operators.scale import zorder_key
+
+    df = (
+        spark.createDataFrame([(1, 2, 3), (7, 7, 7)], "x long, y long, z long")
+        .withColumn("lo", F.lit(0))
+        .withColumn("hi", F.lit(7))
+    )
+    got = [
+        r.zk
+        for r in df.withColumn(
+            "zk",
+            zorder_key(
+                ["x", "y", "z"], ["lo"] * 3, ["hi"] * 3, bits=3
+            ),
+        ).collect()
+    ]
+
+    def morton3(x, y, z):
+        out = 0
+        for b in range(3):
+            out |= ((x >> b) & 1) << (3 * b)
+            out |= ((y >> b) & 1) << (3 * b + 1)
+            out |= ((z >> b) & 1) << (3 * b + 2)
+        return out
+
+    assert got == [morton3(1, 2, 3), morton3(7, 7, 7)]
