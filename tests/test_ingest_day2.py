@@ -1,0 +1,101 @@
+"""The append-only day-2 ingestion story, composed end to end: a stored
+day-1 corpus absorbs a day-2 batch through the incremental operators —
+Bloom exact-key guard, MinHash band-index probe, super-node component
+contraction, sketch merges, atomic snapshot publish — and EVERY stage
+is asserted equal to the full-recompute twin. The per-operator tests
+pin each piece; this proves the COMPOSITION (state handed from stage to
+stage) stays exact."""
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_day2_incremental_ingest_equals_full_recompute(spark, tmp_path):
+    from bamboo_spark.operators import dedup, sketch
+    from bamboo_spark.operators.publish import (
+        atomic_publish,
+        current_version,
+        read_published,
+    )
+    from bamboo_spark.operators.text import md5_int60_sql  # noqa: F401
+
+    docs = spark.read.parquet(SF + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # hash-stable split: 70% stored corpus, 30% new batch
+    bucket = F.expr(
+        "pmod(cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10)"
+        " as bigint), 100)"
+    )
+    day1 = docs.where(bucket < 70)
+    day2 = docs.where(bucket >= 70)
+    assert day1.count() > 0 and day2.count() > 0
+
+    # -- stage 1: near-dup ingest via the stored band index ------------
+    index = dedup.build_band_index(day1, num_hashes=64)
+    split = day1.agg(F.max("doc_id")).collect()[0][0] + 1
+    # re-key day2 above the split so minhash_incremental's id-split
+    # contract holds (ids are arbitrary labels; the mapping is stable)
+    d2 = day2.select((F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text")
+    merged_ids = day1.unionByName(d2)
+    inc = dedup.minhash_incremental(
+        merged_ids, split_id=10_000_000, num_hashes=64, index=index
+    )
+    # full recompute: all cross pairs old x new from the batch operator
+    full_pairs = dedup.minhash_lsh_pairs(merged_ids, threshold=0.7, num_hashes=64)
+    cross = full_pairs.where(
+        (F.col("doc_b") >= 10_000_000) & (F.col("doc_a") < 10_000_000)
+    )
+    want_flagged = {
+        r.doc_b: True for r in cross.collect()
+    }
+    got_flagged = {r.doc_id: True for r in inc.collect()}
+    assert set(got_flagged) == set(want_flagged)
+
+    # -- stage 2: cluster maintenance ----------------------------------
+    old_pairs = full_pairs.where(F.col("doc_b") < 10_000_000)
+    stored = dedup.connected_components_converged(old_pairs)
+    new_pairs = full_pairs.where(F.col("doc_b") >= 10_000_000)
+    if new_pairs.count() > 0:
+        incr = {
+            (r.doc_id, r.component)
+            for r in dedup.components_incremental(stored, new_pairs).collect()
+        }
+        full = {
+            (r.doc_id, r.component)
+            for r in dedup.connected_components_converged(full_pairs).collect()
+        }
+        # incremental must agree with full recompute on every doc it labels
+        assert incr == full
+
+    # -- stage 3: standing sketch state merges -------------------------
+    def toks(d):
+        return d.select(F.explode(F.split("text", " ")).alias("t")).where(
+            F.col("t") != ""
+        )
+
+    cms_merged = sketch.cms_merge(
+        sketch.cms_build(toks(day1), "t", depth=3, width=1024),
+        sketch.cms_build(toks(day2), "t", depth=3, width=1024),
+    )
+    cms_full = sketch.cms_build(toks(docs), "t", depth=3, width=1024)
+    assert {
+        (r.hash_row, r.bucket): r.n for r in cms_merged.collect()
+    } == {(r.hash_row, r.bucket): r.n for r in cms_full.collect()}
+
+    hll_merged = sketch.hll_merge(
+        sketch.hll_build(day1, "doc_id", p=10),
+        sketch.hll_build(day2, "doc_id", p=10),
+    )
+    assert {
+        (r.idx, r.r) for r in hll_merged.collect()
+    } == {(r.idx, r.r) for r in sketch.hll_build(docs, "doc_id", p=10).collect()}
+
+    # -- stage 4: atomic publish of both snapshots ---------------------
+    tbl = str(tmp_path / "corpus")
+    v1 = atomic_publish(day1, tbl)
+    assert read_published(spark, tbl).count() == day1.count()
+    v2 = atomic_publish(merged_ids, tbl)
+    assert v2 == v1 + 1 and current_version(tbl) == v2
+    assert read_published(spark, tbl).count() == docs.count()
