@@ -7762,6 +7762,92 @@ limit 20
 """
 
 
+def q_audio_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed signal-feature extraction — the audio-modality
+    front-end (framing → per-frame energy → zero-crossing rate, the
+    mel-spectrogram precursors) with the document text's byte codes
+    standing in as the PCM samples (a real codec swaps in at the decode
+    step; the windowing/feature math is the part that must be right).
+    Per doc: frame count, the peak-energy frame and its exact integer
+    energy, and the total zero-crossing count over centered samples.
+
+    Every feature is EXACT integer arithmetic over ascii codes (sum of
+    squared centered samples; sign-change counts), computed with
+    higher-order array functions — JVM-side, no UDF, no float — so the
+    DuckDB oracle replays frame-for-frame. Frames: 32 samples, hop 16
+    (50% overlap).
+
+    Scale: one scan; per-row work is O(len); nothing shuffles but the
+    final per-doc rows."""
+    frame, hop = 32, 16
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("transform(split(text, ''), ch -> ascii(ch) - 96)").alias("s"),
+    ).where(F.size("s") >= frame)
+    win = (
+        "transform(sequence(0, cast((size(s) - %d) / %d as int)), w -> "
+        "named_struct("
+        " 'e', aggregate(slice(s, w * %d + 1, %d), 0L, (a, x) -> a + x * x),"
+        # Spark array indexing is 0-based: pairs (frame[i-1], frame[i])
+        # for i in 1..31 == the oracle's 1-based pairs (1,2)..(31,32)
+        " 'z', aggregate(sequence(1, %d), 0L, (a, i) ->"
+        "   a + if(sign(slice(s, w * %d + 1, %d)[i - 1])"
+        "          * sign(slice(s, w * %d + 1, %d)[i]) < 0, 1, 0))"
+        "))"
+        % (frame, hop, hop, frame, frame - 1, hop, frame, hop, frame)
+    )
+    w = d.select("doc_id", F.expr(win).alias("wins"))
+    return (
+        w.select(
+            "doc_id",
+            F.expr("size(wins)").cast("bigint").alias("n_frames"),
+            F.expr("array_max(transform(wins, x -> x.e))")
+            .cast("bigint")
+            .alias("peak_energy"),
+            F.expr(
+                "filter(transform(sequence(0, size(wins) - 1), i ->"
+                " named_struct('e', wins[i].e, 'i', i)),"
+                " x -> x.e = array_max(transform(wins, y -> y.e)))[0].i"
+            )
+            .cast("int")
+            .alias("peak_frame"),
+            F.expr("aggregate(wins, 0L, (a, x) -> a + x.z)")
+            .cast("bigint")
+            .alias("total_zcr"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_AUDIO_WINDOWS_SQL = """
+with d as (
+  select doc_id,
+         [ascii(c) - 96 for c in string_split(text, '')] s
+  from documents
+),
+k as (select doc_id, s from d where len(s) >= 32),
+w as (
+  select doc_id,
+         [struct_pack(
+            e := list_sum([x * x for x in s[wi * 16 + 1 : wi * 16 + 32]]),
+            z := list_sum([case when sign(s[wi * 16 + i - 1])
+                                     * sign(s[wi * 16 + i]) < 0
+                                then 1 else 0 end
+                           for i in range(2, 33)])
+          ) for wi in range(0, ((len(s) - 32) // 16) + 1)] wins
+  from k
+)
+select doc_id, len(wins)::BIGINT n_frames,
+       list_max([x.e for x in wins])::BIGINT peak_energy,
+       list_filter([struct_pack(e := wins[i + 1].e, i := i)
+                    for i in range(0, len(wins))],
+                   x -> x.e = list_max([y.e for y in wins]))[1].i::INT
+         peak_frame,
+       list_sum([x.z for x in wins])::BIGINT total_zcr
+from w order by doc_id
+"""
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -7939,6 +8025,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_negatives": q_contrastive_negatives,
         "type_distinct_hll": q_type_distinct_hll,
         "market_basket": q_market_basket,
+        "audio_window_features": q_audio_window_features,
         "minhash_recall": q_minhash_recall,
         "orders_rfm": q_orders_rfm,
         "events_gap_histogram": q_events_gap_histogram,
@@ -8202,6 +8289,7 @@ from s group by cluster_size order by cluster_size
         "contrastive_negatives": Q_CONTRASTIVE_NEG_SQL,
         "type_distinct_hll": _type_distinct_hll_duck(),
         "market_basket": Q_MARKET_BASKET_SQL,
+        "audio_window_features": Q_AUDIO_WINDOWS_SQL,
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "contrastive_negatives",
     "type_distinct_hll",
     "market_basket",
+    "audio_window_features",
 ]
 
 
