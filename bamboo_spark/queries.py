@@ -7848,6 +7848,90 @@ from w order by doc_id
 """
 
 
+def q_dedup_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline observability: the per-stage survivor funnel —
+    raw → byte-exact dedup → normalized dedup → MinHash near-dup
+    (cluster representatives only) — as one report with exact counts
+    and removal in basis points. The dashboard number a curation run
+    publishes so a collapsed stage (suddenly 40% near-dup removal)
+    pages a human before the corpus ships.
+
+    Each stage is the engine's own operator shape (digest aggregates,
+    min-struct representatives, LSH pairs → converged components); the
+    funnel is monotone by construction. Removal is integer bps —
+    10000 * removed div previous-stage — engine-exact."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n_raw = d.count()
+    n_exact = d.groupBy(F.md5("text")).agg(F.lit(1)).count()
+    n_norm = d.groupBy(text.normalize_text("text")).agg(F.lit(1)).count()
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.7).select("doc_a", "doc_b")
+    comp = dedup.connected_components_converged(pairs)
+    dup_members = comp.where(F.col("doc_id") != F.col("component")).count()
+    # near-dup stage keeps one representative per cluster: survivors =
+    # normalized-unique docs minus non-representative cluster members
+    # that survived normalization. Compute it exactly: representatives
+    # of norm-unique docs.
+    norm_rep = d.groupBy(text.normalize_text("text").alias("_nk")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    n_near = (
+        norm_rep.join(
+            comp.where(F.col("doc_id") != F.col("component")),
+            "doc_id",
+            "left_anti",
+        ).count()
+    )
+    rows = []
+    prev = None
+    for stage, n in (
+        ("0_raw", n_raw),
+        ("1_exact", n_exact),
+        ("2_normalized", n_norm),
+        ("3_near_dup", n_near),
+    ):
+        removed_bps = 0 if prev in (None, 0) else (10000 * (prev - n)) // prev
+        rows.append((stage, n, int(removed_bps)))
+        prev = n
+    return spark.createDataFrame(
+        rows, "stage string, n_docs long, removed_bps long"
+    ).orderBy("stage")
+
+
+def _dedup_funnel_duck() -> str:
+    pairs = dedup.jaccard_pairs_duck(threshold=0.7).strip().rstrip(";")
+    fix = dedup.components_fixpoint_duck(pairs).strip()
+    norm = text.normalize_text_duck("text")
+    return """
+with comp as materialized (
+{fix}
+),
+s0 as (select count(*) n from documents),
+s1 as (select count(distinct md5(text)) n from documents),
+s2 as (select count(distinct {norm}) n from documents),
+rep as (
+  select min(doc_id) doc_id from documents group by {norm}
+),
+s3 as (
+  select count(*) n from rep
+  where doc_id not in (
+    select doc_id from comp where doc_id <> component
+  )
+),
+f as (
+  select '0_raw' stage, (select n from s0) n_docs, null prev
+  union all
+  select '1_exact', (select n from s1), (select n from s0)
+  union all
+  select '2_normalized', (select n from s2), (select n from s1)
+  union all
+  select '3_near_dup', (select n from s3), (select n from s2)
+)
+select stage, n_docs::BIGINT n_docs,
+       coalesce((10000 * (prev - n_docs)) // prev, 0)::BIGINT removed_bps
+from f order by stage
+""".format(fix=fix, norm=norm)
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -8026,6 +8110,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_distinct_hll": q_type_distinct_hll,
         "market_basket": q_market_basket,
         "audio_window_features": q_audio_window_features,
+        "dedup_funnel_stats": q_dedup_funnel_stats,
         "minhash_recall": q_minhash_recall,
         "orders_rfm": q_orders_rfm,
         "events_gap_histogram": q_events_gap_histogram,
@@ -8290,6 +8375,7 @@ from s group by cluster_size order by cluster_size
         "type_distinct_hll": _type_distinct_hll_duck(),
         "market_basket": Q_MARKET_BASKET_SQL,
         "audio_window_features": Q_AUDIO_WINDOWS_SQL,
+        "dedup_funnel_stats": _dedup_funnel_duck(),
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

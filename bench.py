@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "type_distinct_hll",
     "market_basket",
     "audio_window_features",
+    "dedup_funnel_stats",
 ]
 
 
