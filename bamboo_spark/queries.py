@@ -7932,6 +7932,87 @@ from f order by stage
 """.format(fix=fix, norm=norm)
 
 
+def q_join_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from sketches alone — the classic
+    CMS inner-product estimator (Cormode & Muthukrishnan 2005 §4.2):
+    |A ⋈_k B| = Σ_k a_k·b_k, and the per-row inner product of A's and
+    B's count-min grids OVERestimates it, with min over rows tightest.
+    The admission-control question ("will this join explode?") answered
+    from two depth×width grids without touching either table again —
+    exactly what a planner wants before committing a shuffle.
+
+    Output: one row — exact join size, the CMS estimate, and the
+    integer overcount. Deterministic grids → the oracle replays the
+    estimate bit-for-bit; the invariant est >= exact is structural.
+
+    Scale: each grid is one map-combined hash-aggregate; the estimate
+    joins two ≤ d·w-row grids. The exact side is the ground truth the
+    monitor drops at scale."""
+    from bamboo_spark.operators import sketch
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    l = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    ga = sketch.cms_build(o, "k", depth=4, width=8192)
+    gb = sketch.cms_build(l, "k", depth=4, width=8192)
+    ip = (
+        ga.withColumnRenamed("n", "na")
+        .join(gb.withColumnRenamed("n", "nb"), ["hash_row", "bucket"])
+        .groupBy("hash_row")
+        .agg(
+            F.sum(
+                F.col("na").cast("decimal(38,0)") * F.col("nb")
+            ).alias("dot")
+        )
+        .agg(F.min("dot").cast("bigint").alias("cms_join_size"))
+    )
+    exact = o.join(l, "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_join_size")
+    )
+    return exact.crossJoin(ip).select(
+        "exact_join_size",
+        "cms_join_size",
+        (F.col("cms_join_size") - F.col("exact_join_size"))
+        .cast("bigint")
+        .alias("overcount"),
+    )
+
+
+def _join_size_cms_duck() -> str:
+    from bamboo_spark.operators import sketch
+
+    ba = sketch.bucket_duck("o.it", "r", 8192)
+    return """
+with ka as (select o_orderkey::VARCHAR it from orders),
+kb as (select l_orderkey::VARCHAR it from lineitem),
+ga as (
+  select r hash_row, {ba} bucket, count(*)::BIGINT na
+  from ka o, (select unnest(range(0, 4)) r) group by 1, 2
+),
+gb as (
+  select r hash_row, {ba} bucket, count(*)::BIGINT nb
+  from kb o, (select unnest(range(0, 4)) r) group by 1, 2
+),
+ip as (
+  select min(dot)::BIGINT cms_join_size from (
+    select ga.hash_row, sum(na::HUGEINT * nb) dot
+    from ga join gb using (hash_row, bucket)
+    group by ga.hash_row
+  )
+),
+ex as (
+  select count(*)::BIGINT exact_join_size
+  from orders o join lineitem l on o.o_orderkey = l.l_orderkey
+)
+select ex.exact_join_size, ip.cms_join_size,
+       (ip.cms_join_size - ex.exact_join_size)::BIGINT overcount
+from ex cross join ip
+""".format(ba=ba)
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -8111,6 +8192,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_basket": q_market_basket,
         "audio_window_features": q_audio_window_features,
         "dedup_funnel_stats": q_dedup_funnel_stats,
+        "join_size_cms": q_join_size_cms,
         "minhash_recall": q_minhash_recall,
         "orders_rfm": q_orders_rfm,
         "events_gap_histogram": q_events_gap_histogram,
@@ -8376,6 +8458,7 @@ from s group by cluster_size order by cluster_size
         "market_basket": Q_MARKET_BASKET_SQL,
         "audio_window_features": Q_AUDIO_WINDOWS_SQL,
         "dedup_funnel_stats": _dedup_funnel_duck(),
+        "join_size_cms": _join_size_cms_duck(),
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

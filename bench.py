@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "market_basket",
     "audio_window_features",
     "dedup_funnel_stats",
+    "join_size_cms",
 ]
 
 
