@@ -8013,6 +8013,130 @@ from ex cross join ip
 """.format(ba=ba)
 
 
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents") — corpus-level: candidate
+    phrases are maximal stopword-free token runs (the islands between
+    stopword delimiters), each word scores degree/frequency over the
+    whole corpus, a phrase scores the sum of its words' scores, and the
+    top 15 phrases by score come back with their occurrence counts.
+    The metadata-enrichment stage that tags corpora with salient
+    phrases — no model, pure counting.
+
+    Determinism: word scores quantize to integer micro-units
+    (degree*1e6 div freq) BEFORE summing, so phrase scores are exact
+    integer sums and the ranking is engine-stable. Phrase building uses
+    the classic gaps-and-islands running stopword count — a per-doc
+    window, bounded per key; word stats are one vocab-bounded aggregate
+    broadcast back; the top-15 is TakeOrderedAndProject."""
+    sw = ("the", "a", "of", "and", "to")
+    sw_list = ", ".join("'%s'" % s for s in sw)
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "w"),
+        )
+        .where(F.col("w") != "")
+        .withColumn("is_sw", F.expr("w in (%s)" % sw_list))
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    isl = tok.withColumn(
+        "isl", F.sum(F.col("is_sw").cast("int")).over(wdoc)
+    ).where(~F.col("is_sw"))
+    phr = isl.groupBy("doc_id", "isl").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(pos, w))), x -> x.w)"
+        ).alias("words")
+    )
+    phr = _tracked_persist(
+        phr.select(
+            F.array_join("words", " ").alias("phrase"),
+            F.size("words").alias("n_words"),
+            F.explode("words").alias("w"),
+        )
+    )
+    stats = (
+        phr.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("n_words").alias("degree"),
+        )
+        .select(
+            "w",
+            F.expr(
+                "cast((cast(degree as decimal(38,0)) * 1000000) div freq"
+                " as bigint)"
+            ).alias("score_u"),
+        )
+    )
+    scored = (
+        phr.join(F.broadcast(stats), "w")
+        .groupBy("phrase", "n_words")
+        .agg(
+            F.sum("score_u").alias("_tot"),
+            F.count(F.lit(1)).alias("_wocc"),
+        )
+        # _tot summed over ALL occurrences of the phrase; one
+        # occurrence's score = _tot / (occurrences); occurrences =
+        # _wocc / n_words (each occurrence contributes n_words rows)
+        .select(
+            "phrase",
+            F.col("n_words").cast("int").alias("n_words"),
+            F.expr("cast(_tot div (_wocc div n_words) as bigint)").alias(
+                "score_u"
+            ),
+            F.expr("cast(_wocc div n_words as bigint)").alias("n_occurrences"),
+        )
+        .orderBy(F.col("score_u").desc(), F.col("phrase").asc())
+        .limit(15)
+    )
+    return scored
+
+
+Q_RAKE_SQL = """
+with tok as (
+  select doc_id, w, pos,
+         (w in ('the', 'a', 'of', 'and', 'to')) is_sw
+  from (
+    select doc_id,
+           unnest(string_split(text, ' ')) w,
+           generate_subscripts(string_split(text, ' '), 1) pos
+    from documents
+  ) where w <> ''
+),
+isl as (
+  select doc_id, w, pos, is_sw,
+         sum(is_sw::INT) over (partition by doc_id order by pos) isl
+  from tok
+),
+phr0 as (
+  select doc_id, isl,
+         string_agg(w, ' ' order by pos) phrase,
+         count(*) n_words
+  from isl where not is_sw
+  group by doc_id, isl
+),
+occ as (
+  select phrase, n_words, unnest(string_split(phrase, ' ')) w from phr0
+),
+stats as (
+  select w,
+         ((sum(n_words)::HUGEINT * 1000000) // count(*))::BIGINT score_u
+  from occ group by w
+),
+scored as (
+  select o.phrase, o.n_words::INT n_words,
+         (sum(s.score_u) // (count(*) // o.n_words))::BIGINT score_u,
+         (count(*) // o.n_words)::BIGINT n_occurrences
+  from occ o join stats s using (w)
+  group by o.phrase, o.n_words
+)
+select phrase, n_words, score_u, n_occurrences
+from scored order by score_u desc, phrase asc limit 15
+"""
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -8193,6 +8317,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_window_features": q_audio_window_features,
         "dedup_funnel_stats": q_dedup_funnel_stats,
         "join_size_cms": q_join_size_cms,
+        "rake_keywords": q_rake_keywords,
         "minhash_recall": q_minhash_recall,
         "orders_rfm": q_orders_rfm,
         "events_gap_histogram": q_events_gap_histogram,
@@ -8459,6 +8584,7 @@ from s group by cluster_size order by cluster_size
         "audio_window_features": Q_AUDIO_WINDOWS_SQL,
         "dedup_funnel_stats": _dedup_funnel_duck(),
         "join_size_cms": _join_size_cms_duck(),
+        "rake_keywords": Q_RAKE_SQL,
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "audio_window_features",
     "dedup_funnel_stats",
     "join_size_cms",
+    "rake_keywords",
 ]
 
 
