@@ -8137,6 +8137,76 @@ from scored order by score_u desc, phrase asc limit 15
 """
 
 
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY — the memorization/templating
+    signal: the fraction of a doc's distinct 3-gram shingles that occur
+    in NO other document (novel in bps, integer-exact). Low novelty =
+    boilerplate/template/near-copy even when no single pair crosses the
+    dedup threshold; high novelty = unique content worth keeping. The
+    per-doc complement of the corpus-level duplication metrics.
+
+    One (gram → doc count) hash-aggregate over 8-byte xxhash shingles
+    (text never shuffles), then a per-doc rollup counting grams whose
+    corpus count is 1. Output: (doc_id, n_grams, n_novel, novelty_bps).
+
+    DuckDB cannot replay xxhash64, so the oracle hashes nothing: it
+    computes the same counts over the RAW shingle strings — equality
+    proves the hashed path loses no grams (the engine's standard
+    hashed-vs-raw oracle shape, same as the Jaccard family)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = _tracked_persist(
+        d.select(
+            "doc_id",
+            F.explode(
+                # guard: Spark's sequence(1, 0) is DESCENDING [1, 0],
+                # not empty — short docs must yield no grams explicitly
+                F.expr(
+                    "if(size(split(text, ' ')) < 3,"
+                    " cast(array() as array<bigint>),"
+                    " array_distinct(transform("
+                    "  sequence(1, size(split(text, ' ')) - 2),"
+                    "  i -> xxhash64(concat_ws(' ',"
+                    "    slice(split(text, ' '), i, 3))))))"
+                )
+            ).alias("g"),
+        )
+    )
+    df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_bps",
+            F.expr("cast((10000 * n_novel) div n_grams as bigint)"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_DOC_NOVELTY_SQL = """
+with toks as (
+  select doc_id, string_split(text, ' ') t from documents
+),
+grams as (
+  select distinct doc_id,
+         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] g
+  from toks, unnest(range(1, greatest(len(t) - 1, 1))) as u(i)
+),
+dfc as (select g, count(*) df from grams group by g)
+select doc_id, count(*)::BIGINT n_grams,
+       sum((df = 1)::BIGINT)::BIGINT n_novel,
+       ((10000 * sum((df = 1)::BIGINT)) // count(*))::BIGINT novelty_bps
+from grams join dfc using (g)
+group by doc_id order by doc_id
+"""
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -8318,6 +8388,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_funnel_stats": q_dedup_funnel_stats,
         "join_size_cms": q_join_size_cms,
         "rake_keywords": q_rake_keywords,
+        "doc_novelty": q_doc_novelty,
         "minhash_recall": q_minhash_recall,
         "orders_rfm": q_orders_rfm,
         "events_gap_histogram": q_events_gap_histogram,
@@ -8585,6 +8656,7 @@ from s group by cluster_size order by cluster_size
         "dedup_funnel_stats": _dedup_funnel_duck(),
         "join_size_cms": _join_size_cms_duck(),
         "rake_keywords": Q_RAKE_SQL,
+        "doc_novelty": Q_DOC_NOVELTY_SQL,
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "dedup_funnel_stats",
     "join_size_cms",
     "rake_keywords",
+    "doc_novelty",
 ]
 
 
