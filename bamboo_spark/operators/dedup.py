@@ -1700,3 +1700,86 @@ def components_incremental(
         id_col,
         F.coalesce(F.col("_final"), F.col("_sup")).alias(label_col),
     )
+
+
+def kcore_edges(
+    pairs: DataFrame,
+    k: int = 2,
+    max_rounds: int = 20,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """The k-core of the near-duplicate graph: repeatedly peel nodes of
+    degree < k until the remaining induced subgraph is stable, and
+    return its (undirected, both-direction) edge list.
+
+    Why a dedup pipeline wants this: the k-core separates CLIQUE-like
+    duplicate clusters (every member near-dups every other — safe to
+    collapse to one canonical doc) from CHAIN-like ones (a-b-c-d where
+    only adjacent pairs match — collapsing the whole component
+    over-merges, the same transitivity hazard ``q_dup_triangles``
+    audits). A 2-core membership bit is the cheap per-node version of
+    the triangle census.
+
+    Scale shape: peeling is degree-count + two semi-joins per round —
+    state is only the current edge list, never neighborhoods. Each
+    round is an eager ``localCheckpoint`` (lineage cut, same discipline
+    as ``connected_components_converged``); convergence is detected
+    with one metadata-sized count per round, so the result is the true
+    fixpoint independent of the iteration budget — which is what makes
+    it oracle-checkable by an unrolled peel. Rounds needed =
+    peel depth, bounded by the longest chain in any component
+    (duplicate clusters are shallow; web-corpus measurements in
+    Batagelj & Zaversnik's O(m) peeling paper show tiny depths).
+    """
+    fwd = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    edges = (
+        fwd.unionByName(
+            fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        keep = (
+            edges.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("a")
+        )
+        new_edges = (
+            edges.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_new = new_edges.count()
+        edges = new_edges
+        if n_new == n_edges:
+            break
+        n_edges = n_new
+    return edges
+
+
+def kcore_duck(pairs_sql: str, k: int = 2, rounds: int = 8) -> str:
+    """DuckDB oracle: the same peel, unrolled ``rounds`` deep (the test
+    corpora's peel depth is 1-2; 8 is the safety margin — the Spark
+    side runs to its true fixpoint, so a mismatch would surface as a
+    parity failure, not silent truncation)."""
+    lines = [
+        "with pr as materialized (%s)," % pairs_sql.strip().rstrip(";"),
+        "e0 as (select doc_a a, doc_b b from pr"
+        " union select doc_b, doc_a from pr)",
+    ]
+    for i in range(rounds):
+        lines.append(
+            ", n{j} as (select a from e{i} group by a"
+            " having count(*) >= {k})"
+            ", e{j} as (select e.a, e.b from e{i} e"
+            " join n{j} x on e.a = x.a"
+            " join n{j} y on e.b = y.a)".format(i=i, j=i + 1, k=k)
+        )
+    return "\n".join(lines) + "\nselect a, b from e%d" % rounds

@@ -5762,6 +5762,189 @@ select a doc_id, pr, deg from {last} order by pr desc, doc_id
     return sql
 
 
+def q_dup_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution + assortativity curve of the near-duplicate
+    graph: one row per degree class with how many docs have that degree
+    and the average degree of their neighbors (knn(k) — rising = hubs
+    link to hubs, i.e. template farms interlinked; falling = star
+    clusters around one canonical page). The shape tells a dedup
+    operator whether pointer-jumping clusters will be shallow stars
+    (cheap) or deep meshes before running the expensive CC.
+
+    Scale shape: degrees are ONE map-combined count per node; the
+    assortativity leg joins the edge list back to the (node, degree)
+    table — edge-sized equi-joins, nothing collected, no windows."""
+    d = load(spark, sf_dir, "documents")
+    pairs = _tracked_persist(
+        dedup.jaccard_pairs(d, threshold=0.7, max_shingle_df=None).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
+    )
+    und = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = _tracked_persist(
+        und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    per_degree = deg.groupBy("deg").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    knn = (
+        und.join(deg, "a")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("deg").alias("nbr_deg")),
+            "b",
+        )
+        .groupBy("deg")
+        .agg(F.round(F.avg("nbr_deg"), 6).alias("avg_neighbor_degree"))
+    )
+    return (
+        per_degree.join(knn, "deg")
+        .select(
+            F.col("deg").alias("degree"),
+            "n_nodes",
+            "avg_neighbor_degree",
+        )
+        .orderBy("degree")
+    )
+
+
+def _dup_degree_stats_duck() -> str:
+    pairs = dedup.jaccard_pairs_duck(threshold=0.7)
+    return """
+with pr as materialized (
+{pairs}
+),
+e as (select doc_a a, doc_b b from pr
+      union all select doc_b, doc_a from pr),
+deg as materialized (select a, count(*) deg from e group by a),
+per_degree as (select deg, count(*) n_nodes from deg group by deg),
+knn as (
+  select da.deg, round(avg(db.deg), 6) avg_neighbor_degree
+  from e join deg da on da.a = e.a join deg db on db.a = e.b
+  group by da.deg
+)
+select per_degree.deg degree, n_nodes, avg_neighbor_degree
+from per_degree join knn on knn.deg = per_degree.deg
+order by degree
+""".format(pairs=pairs.strip().rstrip(";"))
+
+
+def q_dup_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural link prediction for dedup recall: for every doc pair
+    sharing at least one near-dup neighbor, the Jaccard of their
+    neighborhoods — a high-overlap pair with ``is_edge = 0`` is a
+    duplicate the similarity join MISSED (both docs match the same
+    third documents but not each other, the classic boilerplate-
+    prefix/suffix failure mode), ranked for human or second-pass
+    review.
+
+    Scale shape: the wedge join (edges ⋈ edges on the shared midpoint)
+    is the one superlinear step — its size is Σ deg(v)², bounded on a
+    near-dup graph by the max duplicate-cluster size, and hub midpoints
+    can be capped by degree before the join if a corpus ever grows one
+    (the deg table is already materialized here). Everything after is
+    edge-sized equi-joins + one map-combined count; no windows, no
+    collects."""
+    d = load(spark, sf_dir, "documents")
+    pairs = _tracked_persist(
+        dedup.jaccard_pairs(d, threshold=0.7, max_shingle_df=None).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
+    )
+    und = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = (
+        und.alias("e1")
+        .join(und.alias("e2"), F.col("e1.b") == F.col("e2.b"))
+        .where(F.col("e1.a") < F.col("e2.a"))
+        .groupBy(F.col("e1.a").alias("a"), F.col("e2.a").alias("c"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    scored = (
+        wedges.join(deg, "a")
+        .join(
+            deg.select(F.col("a").alias("c"), F.col("deg").alias("deg_c")),
+            "c",
+        )
+        .join(
+            pairs.select("a", F.col("b").alias("c"), F.lit(1).alias("_e")),
+            ["a", "c"],
+            "left",
+        )
+    )
+    return scored.select(
+        F.col("a").alias("doc_a"),
+        F.col("c").alias("doc_b"),
+        F.col("common").alias("common_neighbors"),
+        F.round(
+            F.col("common")
+            / (F.col("deg") + F.col("deg_c") - F.col("common")),
+            6,
+        ).alias("neighbor_jaccard"),
+        F.coalesce(F.col("_e"), F.lit(0)).cast("int").alias("is_edge"),
+    ).orderBy("doc_a", "doc_b")
+
+
+def _dup_neighbor_jaccard_duck() -> str:
+    pairs = dedup.jaccard_pairs_duck(threshold=0.7)
+    return """
+with pr as materialized (
+{pairs}
+),
+e as materialized (select doc_a a, doc_b b from pr
+                   union all select doc_b, doc_a from pr),
+deg as materialized (select a, count(*) deg from e group by a),
+w as (
+  select e1.a a, e2.a c, count(*) common
+  from e e1 join e e2 on e1.b = e2.b and e1.a < e2.a
+  group by 1, 2
+)
+select w.a doc_a, w.c doc_b, w.common common_neighbors,
+       round(w.common::DOUBLE
+             / (da.deg + dc.deg - w.common)::DOUBLE, 6) neighbor_jaccard,
+       (case when pr.doc_a is null then 0 else 1 end)::INT is_edge
+from w
+join deg da on da.a = w.a
+join deg dc on dc.a = w.c
+left join pr on pr.doc_a = w.a and pr.doc_b = w.c
+order by doc_a, doc_b
+""".format(pairs=pairs.strip().rstrip(";"))
+
+
+def q_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core membership of the near-duplicate graph: the docs that
+    survive iterated peeling of degree-<2 nodes, with their degree
+    inside the core — the per-node companion to ``q_dup_triangles``
+    (core members sit in cyclic/clique-like duplicate clusters where
+    collapse-to-canonical is safe; peeled docs hang off chains where
+    transitive merging over-merges). See ``dedup.kcore_edges`` for the
+    peel's convergence + lineage-cut discipline."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, threshold=0.7, max_shingle_df=None)
+    core = dedup.kcore_edges(pairs, k=2)
+    return (
+        core.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("a").alias("doc_id"), "core_degree")
+        .orderBy("doc_id")
+    )
+
+
+def _dup_kcore_duck() -> str:
+    peeled = dedup.kcore_duck(
+        dedup.jaccard_pairs_duck(threshold=0.7), k=2, rounds=8
+    )
+    return """
+with core as materialized (
+{peeled}
+)
+select a doc_id, count(*) core_degree from core group by a order by doc_id
+""".format(peeled=peeled.strip())
+
+
 def q_dedup_components_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -8362,6 +8545,9 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_triangles": q_dup_triangles,
         "label_bridges": q_label_bridges,
         "dup_pagerank": q_dup_pagerank,
+        "dup_degree_stats": q_dup_degree_stats,
+        "dup_neighbor_jaccard": q_dup_neighbor_jaccard,
+        "dup_kcore": q_dup_kcore,
         "dedup_components_incremental": q_dedup_components_incremental,
         "curation_pipeline_v3": q_curation_pipeline_v3,
         "leakage_safe_split": q_leakage_safe_split,
@@ -8620,6 +8806,9 @@ from s group by cluster_size order by cluster_size
         "dup_triangles": _dup_triangles_duck(),
         "label_bridges": Q_LABEL_BRIDGES_SQL,
         "dup_pagerank": _dup_pagerank_duck(),
+        "dup_degree_stats": _dup_degree_stats_duck(),
+        "dup_neighbor_jaccard": _dup_neighbor_jaccard_duck(),
+        "dup_kcore": _dup_kcore_duck(),
         "dedup_components_incremental": _dedup_components_inc_duck(),
         "leakage_safe_split": _leakage_safe_split_duck(),
         "minhash_recall": _minhash_recall_duck(),
