@@ -1783,3 +1783,171 @@ def kcore_duck(pairs_sql: str, k: int = 2, rounds: int = 8) -> str:
             " join n{j} y on e.b = y.a)".format(i=i, j=i + 1, k=k)
         )
     return "\n".join(lines) + "\nselect a, b from e%d" % rounds
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 16,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowed document fingerprints (the MOSS local fingerprinting
+    algorithm, Schleimer/Wilkerson/Aiken SIGMOD'03): hash every
+    character ``k``-gram of the whitespace-stripped lowercased text,
+    slide a ``w``-hash window, keep each window's minimum — rightmost
+    on ties, the paper's robust-winnowing rule. Returns one
+    ``(id, fp)`` row per distinct selected hash.
+
+    The guarantee that makes this the plagiarism/boilerplate detector
+    (vs shingle Jaccard's whole-document view): any substring match of
+    length >= k + w - 1 chars between two documents YIELDS a shared
+    fingerprint, while nothing shorter than k chars can. Density is
+    ~2/(w+1) of positions — the index is a tunable fraction of corpus
+    size, independent of document length.
+
+    Scale shape: everything up to the explode is per-row codegen
+    (array lambdas over the condensed string — no UDF, no shuffle);
+    the condensed string is materialized as a column FIRST so lambdas
+    reference an attribute (expressions under a lambda re-evaluate per
+    element — the ``word_shingles_sql`` lesson). Hashes are the shared
+    60-bit md5 ints, so only 8-byte keys ever shuffle, never text."""
+    min_len = k + w - 1
+    s = df.select(
+        F.col(id_col),
+        F.expr("replace(lower(%s), ' ', '')" % text_col).alias("_s"),
+    ).where(F.length("_s") >= min_len)
+    from .text import md5_int60_sql
+
+    g = s.select(
+        F.col(id_col),
+        F.expr(
+            "transform(sequence(1, length(_s) - {k} + 1), "
+            "i -> named_struct('h', {h}, 'negpos', -i))".format(
+                k=k, h=md5_int60_sql("substr(_s, i, %d)" % k)
+            )
+        ).alias("_g"),
+    )
+    return g.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(_g) - {w} + 1), "
+                    "p -> array_min(slice(_g, p, {w})).h)".format(w=w)
+                )
+            )
+        ).alias("fp"),
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    k: int = 16,
+    w: int = 8,
+    max_fp_df: int = 8,
+    min_shared: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowed fingerprints,
+    with ``overlap`` = shared / smaller fingerprint set — the
+    containment-style score that still fires when a small doc is
+    embedded in a big one.
+
+    ``max_fp_df`` drops fingerprints appearing in more than that many
+    documents before the self-join — the same stop-key guard as
+    ``jaccard_pairs``'s ``max_shingle_df``: ubiquitous boilerplate
+    fingerprints would otherwise contribute df² join rows each while
+    carrying no pair signal. Self-join is on the 60-bit int, map-side
+    combinable count, no windows."""
+    fps = winnow_fingerprints(df, k=k, w=w, id_col=id_col, text_col=text_col)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_fp_df)
+        .select("fp")
+    )
+    capped = fps.join(rare, "fp", "left_semi")
+    from ._cache import tracked_persist
+
+    capped = tracked_persist(capped)
+    sizes = capped.groupBy(id_col).agg(F.count(F.lit(1)).alias("nf"))
+    pairs = (
+        capped.alias("x")
+        .join(capped.alias("y"), "fp")
+        .where(F.col("x." + id_col) < F.col("y." + id_col))
+        .groupBy(
+            F.col("x." + id_col).alias("doc_a"),
+            F.col("y." + id_col).alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+    return (
+        pairs.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("nf").alias("_na")), "doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("nf").alias("_nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fps",
+            F.round(
+                F.col("shared_fps") / F.least("_na", "_nb"), 6
+            ).alias("overlap"),
+        )
+    )
+
+
+def winnow_pairs_duck(
+    k: int = 16,
+    w: int = 8,
+    max_fp_df: int = 8,
+    min_shared: int = 5,
+    source: str = "documents",
+) -> str:
+    """DuckDB oracle: the same winnow (window-min over (h, -pos)
+    structs = rightmost-min rule) and the same capped self-join."""
+    from .text import md5_int60_duck
+
+    h = md5_int60_duck("substr(s, pos, %d)" % k)
+    return """
+with norm as (
+  select doc_id, replace(lower(text), ' ', '') s from {src}
+  where len(replace(lower(text), ' ', '')) >= {minlen}
+),
+g as (
+  select doc_id, pos, {h} h
+  from norm, lateral unnest(generate_series(1, len(s) - {k} + 1)) t(pos)
+),
+win as (
+  select doc_id, pos,
+         min(struct_pack(h := h, negpos := -pos))
+           over (partition by doc_id order by pos
+                 rows between current row and {wm1} following) m,
+         count(*) over (partition by doc_id) ng
+  from g
+),
+fps0 as (select distinct doc_id, m.h fp from win where pos <= ng - {w} + 1),
+rare as (select fp from fps0 group by fp having count(*) <= {cap}),
+fps as materialized (select fps0.doc_id, fps0.fp from fps0 join rare using (fp)),
+sizes as (select doc_id, count(*) nf from fps group by doc_id),
+pairs as (
+  select a.doc_id doc_a, b.doc_id doc_b, count(*) shared_fps
+  from fps a join fps b on a.fp = b.fp and a.doc_id < b.doc_id
+  group by 1, 2 having count(*) >= {mins}
+)
+select p.doc_a, p.doc_b, p.shared_fps,
+       round(p.shared_fps::DOUBLE / least(sa.nf, sb.nf)::DOUBLE, 6) overlap
+from pairs p
+join sizes sa on sa.doc_id = p.doc_a
+join sizes sb on sb.doc_id = p.doc_b
+""".format(
+        src=source,
+        h=h,
+        k=k,
+        w=w,
+        wm1=w - 1,
+        minlen=k + w - 1,
+        cap=max_fp_df,
+        mins=min_shared,
+    )

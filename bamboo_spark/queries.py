@@ -5945,6 +5945,31 @@ select a doc_id, count(*) core_degree from core group by a order by doc_id
 """.format(peeled=peeled.strip())
 
 
+def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-substring near-dup pairs via MOSS winnowing
+    (``dedup.winnow_pairs``): the detector that fires on SHARED
+    PASSAGES — any >= k+w-1 = 23-char substring match guarantees a
+    shared fingerprint — where shingle-Jaccard only sees whole-document
+    similarity. The overlap score is containment-style (shared over the
+    smaller fingerprint set), so a paragraph quoted inside a much
+    longer page still surfaces.
+
+    Scale: per-doc fingerprinting is pure codegen (array lambdas, no
+    UDF); only 60-bit hash ints shuffle; df-capped self-join kills
+    stop-fingerprint blowup. See the operator docstrings."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.winnow_pairs(
+        d, k=16, w=8, max_fp_df=8, min_shared=5
+    ).orderBy("doc_a", "doc_b")
+
+
+def _winnow_dedup_duck() -> str:
+    return (
+        dedup.winnow_pairs_duck(k=16, w=8, max_fp_df=8, min_shared=5)
+        + "\norder by doc_a, doc_b"
+    )
+
+
 def q_dedup_components_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -8548,6 +8573,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_degree_stats": q_dup_degree_stats,
         "dup_neighbor_jaccard": q_dup_neighbor_jaccard,
         "dup_kcore": q_dup_kcore,
+        "winnow_dedup": q_winnow_dedup,
         "dedup_components_incremental": q_dedup_components_incremental,
         "curation_pipeline_v3": q_curation_pipeline_v3,
         "leakage_safe_split": q_leakage_safe_split,
@@ -8809,6 +8835,7 @@ from s group by cluster_size order by cluster_size
         "dup_degree_stats": _dup_degree_stats_duck(),
         "dup_neighbor_jaccard": _dup_neighbor_jaccard_duck(),
         "dup_kcore": _dup_kcore_duck(),
+        "winnow_dedup": _winnow_dedup_duck(),
         "dedup_components_incremental": _dedup_components_inc_duck(),
         "leakage_safe_split": _leakage_safe_split_duck(),
         "minhash_recall": _minhash_recall_duck(),

@@ -458,3 +458,56 @@ select count(*)::BIGINT n from exact
     assert got.n_exact == want
     # at 32x2 banding the slice recall is exactly 1.0 (same theorem)
     assert got.recall == 1.0 and got.n_hit == got.n_exact
+
+
+def test_winnow_guarantee_shared_passage(spark):
+    """The winnowing theorem: a shared substring of length k+w-1
+    chars MUST yield a shared fingerprint; disjoint texts yield none."""
+    from bamboo_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 8, 4
+    passage = "x" * 0  # build distinct texts around one shared passage
+    shared = "thequickbrownfoxjumpsoverthelazydog"  # 35 >= k+w-1=11
+    rows = [
+        (1, "aaa " + shared + " bbbcccdddeee"),
+        (2, "zzzyyyxxx " + shared + " qqq"),
+        (3, "totally different content with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnow_fingerprints(df, k=k, w=w).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared passage must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnow_rightmost_min_density(spark):
+    """Fingerprint count per doc is bounded by the window count and
+    positions are winnow-selected (distinct window minima)."""
+    from bamboo_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz" * 4)], ["doc_id", "text"]
+    )
+    n = len("abcdefghijklmnopqrstuvwxyz" * 4)
+    k, w = 8, 4
+    fps = winnow_fingerprints(df, k=k, w=w).collect()
+    n_windows = (n - k + 1) - w + 1
+    assert 0 < len(fps) <= n_windows
+    # repeated text: the 26-char period means far fewer distinct
+    # fingerprints than windows (the distinct pass collapses repeats)
+    assert len(fps) < n_windows // 2
+
+
+def test_kcore_chain_vs_clique(spark):
+    """A triangle survives the 2-core peel; a pendant chain does not."""
+    from bamboo_spark.operators.dedup import kcore_edges
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["doc_a", "doc_b"]
+    )
+    core = kcore_edges(pairs, k=2)
+    nodes = {r["a"] for r in core.select("a").distinct().collect()}
+    assert nodes == {1, 2, 3}
