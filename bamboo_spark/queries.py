@@ -5970,6 +5970,139 @@ def _winnow_dedup_duck() -> str:
     )
 
 
+_KANON_K = 5
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the corpus under two quasi-identifier
+    generalization levels (Sweeney's model): treating (lang, source,
+    length-bucket) — and the coarser (lang, wide-bucket) — as the
+    quasi-identifiers a re-identification join would use, report per
+    level how many equivalence classes exist, the anonymity floor
+    k_min (the smallest class), and how many ROWS sit in classes
+    smaller than k=5 — the release-gate number for publishing corpus
+    slices with per-document metadata attached.
+
+    Scale shape: each level is one map-combined hash aggregate over
+    the QID tuple followed by a 5-row scalar rollup — no windows, no
+    joins, no distincts; the union of levels is two scans Catalyst can
+    share. Adding a generalization level is O(one more agg)."""
+    d = load(spark, sf_dir, "documents")
+
+    def level(name, cols):
+        groups = d.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+        return groups.agg(
+            F.lit(name).alias("level"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.min("n").alias("k_min"),
+            F.sum((F.col("n") < _KANON_K).cast("bigint")).alias(
+                "at_risk_groups"
+            ),
+            F.sum(
+                F.when(F.col("n") < _KANON_K, F.col("n")).otherwise(0)
+            ).alias("rows_at_risk"),
+        )
+
+    fine = level(
+        "lang_source_len500",
+        [
+            F.col("lang"),
+            F.col("source"),
+            F.expr("n_chars div 500").alias("lb"),
+        ],
+    )
+    coarse = level(
+        "lang_len2000", [F.col("lang"), F.expr("n_chars div 2000").alias("lb")]
+    )
+    return fine.unionByName(coarse).orderBy("level")
+
+
+Q_K_ANONYMITY_SQL = """
+with fine as (
+  select lang, source, n_chars // 500 lb, count(*) n
+  from documents group by 1, 2, 3
+),
+coarse as (
+  select lang, n_chars // 2000 lb, count(*) n from documents group by 1, 2
+)
+select 'lang_source_len500' as "level", count(*) n_groups, min(n) k_min,
+       sum((n < {k})::BIGINT) at_risk_groups,
+       sum(case when n < {k} then n else 0 end) rows_at_risk
+from fine
+union all
+select 'lang_len2000' as "level", count(*), min(n),
+       sum((n < {k})::BIGINT),
+       sum(case when n < {k} then n else 0 end)
+from coarse
+order by "level"
+""".format(k=_KANON_K)
+
+
+def q_events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (hour-of-week) anomaly detection: each (event_type,
+    day, hour) cell's count against the average count of the SAME
+    weekday+hour slot across the whole stream — ratio > 1 means that
+    hour ran hot relative to its own seasonal slot, which is the
+    alarm a flat moving-average monitor (``q_events_moving_avg``)
+    mutes during daily/weekly cycles. Weekday is computed as
+    epoch-days mod 7 — calendar-library-free, so both engines agree
+    by arithmetic, not by locale.
+
+    Scale shape: two STACKED map-combined aggregates (cell counts,
+    then slot averages over the cell table — the second input is
+    |types|·168 rows) and one broadcast-sized join back; no windows
+    over the event stream, dates emitted as strings."""
+    e = load(spark, sf_dir, "events")
+    cells = (
+        e.groupBy(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "dow", F.expr("datediff(to_date(day), date'1970-01-01') % 7")
+        )
+    )
+    slots = cells.groupBy("event_type", "dow", "hour").agg(
+        F.round(F.avg("cnt"), 6).alias("baseline")
+    )
+    return (
+        cells.join(F.broadcast(slots), ["event_type", "dow", "hour"])
+        .select(
+            "event_type",
+            "day",
+            "hour",
+            "cnt",
+            "baseline",
+            F.round(F.col("cnt") / F.col("baseline"), 6).alias("ratio"),
+        )
+        .orderBy("event_type", "day", "hour")
+    )
+
+
+Q_EVENTS_SEASONAL_BASELINE_SQL = """
+with cells as (
+  select event_type, strftime(ts, '%Y-%m-%d') as "day",
+         extract(hour from ts) as "hour", count(*) cnt
+  from events group by 1, 2, 3
+),
+cells2 as (
+  select *, ("day"::DATE - date '1970-01-01') % 7 dow from cells
+),
+slots as (
+  select event_type, dow, "hour", round(avg(cnt), 6) baseline
+  from cells2 group by 1, 2, 3
+)
+select c.event_type, c."day", c."hour"::INT as "hour", c.cnt,
+       s.baseline, round(c.cnt::DOUBLE / s.baseline, 6) ratio
+from cells2 c
+join slots s on s.event_type = c.event_type and s.dow = c.dow
+            and s."hour" = c."hour"
+order by c.event_type, c."day", c."hour"
+"""
+
+
 def q_dedup_components_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -8574,6 +8707,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_neighbor_jaccard": q_dup_neighbor_jaccard,
         "dup_kcore": q_dup_kcore,
         "winnow_dedup": q_winnow_dedup,
+        "k_anonymity": q_k_anonymity,
+        "events_seasonal_baseline": q_events_seasonal_baseline,
         "dedup_components_incremental": q_dedup_components_incremental,
         "curation_pipeline_v3": q_curation_pipeline_v3,
         "leakage_safe_split": q_leakage_safe_split,
@@ -8836,6 +8971,8 @@ from s group by cluster_size order by cluster_size
         "dup_neighbor_jaccard": _dup_neighbor_jaccard_duck(),
         "dup_kcore": _dup_kcore_duck(),
         "winnow_dedup": _winnow_dedup_duck(),
+        "k_anonymity": Q_K_ANONYMITY_SQL,
+        "events_seasonal_baseline": Q_EVENTS_SEASONAL_BASELINE_SQL,
         "dedup_components_incremental": _dedup_components_inc_duck(),
         "leakage_safe_split": _leakage_safe_split_duck(),
         "minhash_recall": _minhash_recall_duck(),

@@ -710,3 +710,14 @@ def test_market_basket_and_grouped_hll_plan_shapes(spark):
     # grouped HLL: one map-combined aggregate chain, no window
     s = simple_plan(q.queries()["type_distinct_hll"](spark, SF))
     assert "Window" not in s and "CartesianProduct" not in s
+
+
+def test_k_anonymity_and_seasonal_plan_shapes(spark):
+    # k-anonymity: stacked hash aggregates only — no joins, no windows
+    s = simple_plan(q.queries()["k_anonymity"](spark, SF))
+    assert "Window" not in s and "Join" not in s, s
+    # seasonal baseline: slot table is bounded (|types|*168 rows) so the
+    # join back to the cell table must broadcast; no event-stream window
+    s = simple_plan(q.queries()["events_seasonal_baseline"](spark, SF))
+    assert "BroadcastHashJoin" in s, s
+    assert "Window" not in s and "CartesianProduct" not in s
