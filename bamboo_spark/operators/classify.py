@@ -100,23 +100,22 @@ def nb_train(
     return likelihoods, classes
 
 
-def nb_classify(
+def nb_scores(
     docs: DataFrame,
     likelihoods: DataFrame,
     classes: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    out_col: str = "pred_label",
 ) -> DataFrame:
-    """Score every doc against every trained label and return
-    (id_col, out_col) — argmax of prior + sum of per-token micro-nat
-    likelihoods, OOV tokens at the label's floor. Tie-break: greater
-    label name (same rule as the oracle's ``order by score desc,
-    label desc``)."""
+    """Score every doc against every trained label and return the full
+    (id_col, label, score) table — score = prior + sum of per-token
+    micro-nat likelihoods (exact integer, OOV tokens at the label's
+    floor). The raw material for argmax (:func:`nb_classify`), margins,
+    and threshold-curve evaluation (ROC/AUC)."""
     tok = docs.select(
         id_col, F.explode(F.split(text_col, " ")).alias("t")
     ).where(F.col("t") != "")
-    scored = (
+    return (
         tok.crossJoin(F.broadcast(classes.select("label", "lp0_u")))
         .join(
             F.broadcast(likelihoods.withColumnRenamed("lp_u", "_lp")),
@@ -131,13 +130,30 @@ def nb_classify(
         .groupBy(id_col, "label")
         .agg(F.sum("lp_u").alias("s"))
         .join(F.broadcast(classes.select("label", "prior_u")), "label")
-        .select(
-            id_col,
-            F.struct(
-                (F.col("s") + F.col("prior_u")).alias("sc"),
-                F.col("label").alias("cl"),
-            ).alias("z"),
-        )
+        .select(id_col, "label", (F.col("s") + F.col("prior_u")).alias("score"))
+    )
+
+
+def nb_classify(
+    docs: DataFrame,
+    likelihoods: DataFrame,
+    classes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "pred_label",
+) -> DataFrame:
+    """Score every doc against every trained label and return
+    (id_col, out_col) — argmax of prior + sum of per-token micro-nat
+    likelihoods, OOV tokens at the label's floor. Tie-break: greater
+    label name (same rule as the oracle's ``order by score desc,
+    label desc``)."""
+    scored = nb_scores(
+        docs, likelihoods, classes, text_col=text_col, id_col=id_col
+    ).select(
+        id_col,
+        F.struct(
+            F.col("score").alias("sc"), F.col("label").alias("cl")
+        ).alias("z"),
     )
     return (
         scored.groupBy(id_col)

@@ -6926,6 +6926,411 @@ group by 1, 2 order by 1, 2
 """
 
 
+def q_nb_roc(
+    spark: SparkSession,
+    sf_dir: str,
+    top_v: Optional[int] = None,
+) -> DataFrame:
+    """Per-class one-vs-rest ROC/AUC evaluation of the Naive Bayes
+    language classifier — the threshold-tuning companion to the argmax
+    confusion matrix (``lang_nb_confusion``): before a curation
+    pipeline gates on "classifier says en with margin >= m", this is
+    the curve that picks m. The detector score for class c is the
+    MARGIN score_c - max of other-class scores (calibration-free
+    multiclass-to-binary reduction); AUC is the binned trapezoid over
+    1-nat margin buckets clamped to [-50, 50] (ties within a bucket
+    midrank, the Mann-Whitney convention).
+
+    Determinism: scores are exact integer micro-nat sums (the NB
+    contract), buckets are floor(margin/1e6) clamped — integer
+    arithmetic end to end; the AUC numerator sums bucket-count
+    products exactly and divides once at the end.
+
+    Scale shape: scoring is the token scan x |classes|; the margin
+    self-join is doc-keyed with a |classes|-bounded expansion; the ROC
+    histogram is |classes| x 101 rows, so the cumulative window and
+    the trapezoid rollup run over a METADATA-sized table — no window
+    ever touches the document stream."""
+    from bamboo_spark.operators import classify
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    lik, cls = classify.nb_train(
+        d, text_col="text", label_col="lang", top_v=top_v
+    )
+    lik = _tracked_persist(lik)
+    sc = _tracked_persist(
+        classify.nb_scores(d, lik, cls, text_col="text", id_col="doc_id")
+    )
+    other = sc.select(
+        F.col("doc_id").alias("_d"),
+        F.col("label").alias("_l"),
+        F.col("score").alias("_s"),
+    )
+    marg = (
+        sc.join(
+            other,
+            (F.col("doc_id") == F.col("_d")) & (F.col("label") != F.col("_l")),
+        )
+        .groupBy("doc_id", "label")
+        .agg((F.max("score") - F.max("_s")).alias("margin"))
+    )
+    lab = marg.join(d.select("doc_id", "lang"), "doc_id").select(
+        "label",
+        F.greatest(
+            F.lit(-50),
+            F.least(
+                F.lit(50),
+                F.floor(F.col("margin") / F.lit(1000000.0)).cast("bigint"),
+            ),
+        ).alias("bucket"),
+        (F.col("lang") == F.col("label")).cast("bigint").alias("p"),
+    )
+    hist = lab.groupBy("label", "bucket").agg(
+        F.sum("p").alias("pos_n"),
+        F.sum(F.lit(1) - F.col("p")).alias("neg_n"),
+    )
+    w = Window.partitionBy("label").orderBy(F.col("bucket").desc())
+    cum = hist.withColumn("ctp", F.sum("pos_n").over(w))
+    per = cum.groupBy("label").agg(
+        F.sum("pos_n").alias("pos"),
+        F.sum("neg_n").alias("neg"),
+        F.sum(
+            F.col("neg_n") * (F.lit(2) * F.col("ctp") - F.col("pos_n"))
+        ).alias("num"),
+    )
+    return per.select(
+        "label",
+        "pos",
+        "neg",
+        F.when(
+            (F.col("pos") > 0) & (F.col("neg") > 0),
+            F.round(
+                F.col("num") / (F.lit(2.0) * F.col("pos") * F.col("neg")), 6
+            ),
+        ).alias("auc"),
+    ).orderBy("label")
+
+
+Q_NB_ROC_SQL = """
+with d as (select doc_id, lang, text from documents),
+tok as (
+  select doc_id, unnest(string_split(text, ' ')) t from d
+),
+tk as (select doc_id, t from tok where t <> ''),
+labeled as (select tk.doc_id, d.lang, tk.t from tk join d using (doc_id)),
+ct as (select lang, t, count(*) c from labeled group by lang, t),
+vocab as (select t from (select t, sum(c) cn from ct group by t)),
+cls as (select lang, sum(c) tot from ct group by lang),
+nv as (select count(*) v from vocab),
+dense as (
+  select cl.lang, vo.t,
+         round(ln((coalesce(ct.c, 0) + 1)::DOUBLE / (cl.tot + nv.v)::DOUBLE)
+               * 1e6, 0)::BIGINT lp_u
+  from vocab vo cross join cls cl
+  left join ct on ct.lang = cl.lang and ct.t = vo.t
+  cross join nv
+),
+flr as (
+  select lang, round(ln(1::DOUBLE / (tot + nv.v)::DOUBLE) * 1e6, 0)::BIGINT lp0_u
+  from cls cross join nv
+),
+total as (select count(*) nd from d),
+prior as (
+  select lang, round(ln(n::DOUBLE / nd::DOUBLE) * 1e6, 0)::BIGINT prior_u
+  from (select lang, count(*) n from d group by lang) cross join total
+),
+sc as (
+  select tk.doc_id, f.lang,
+         sum(coalesce(de.lp_u, f.lp0_u)) s
+  from tk cross join flr f
+  left join dense de on de.lang = f.lang and de.t = tk.t
+  group by tk.doc_id, f.lang
+),
+scp as (
+  select sc.doc_id, sc.lang, sc.s + p.prior_u score
+  from sc join prior p using (lang)
+),
+marg as (
+  select a.doc_id, a.lang as "label", a.score - max(b.score) margin
+  from scp a join scp b on a.doc_id = b.doc_id and a.lang <> b.lang
+  group by a.doc_id, a.lang, a.score
+),
+lab as (
+  select m."label",
+         greatest(-50, least(50, floor(m.margin / 1000000.0)::BIGINT)) bucket,
+         (d.lang = m."label")::BIGINT p
+  from marg m join d on d.doc_id = m.doc_id
+),
+hist as (
+  select "label", bucket, sum(p) pos_n, sum(1 - p) neg_n
+  from lab group by 1, 2
+),
+cum as (
+  select *, sum(pos_n) over (partition by "label" order by bucket desc) ctp
+  from hist
+),
+per as (
+  select "label", sum(pos_n) pos, sum(neg_n) neg,
+         sum(neg_n * (2 * ctp - pos_n)) num
+  from cum group by 1
+)
+select "label", pos, neg,
+       case when pos > 0 and neg > 0
+            then round(num::DOUBLE / (2.0 * pos * neg), 6) end auc
+from per order by "label"
+"""
+
+
+_JS_TOP_V = 2000
+
+
+def q_source_term_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions — the distribution-shift matrix behind data-mixture
+    decisions (Lin 1991): which sources are near-duplicates of each
+    other's vocabulary and which contribute genuinely different text.
+    The vocabulary is capped at the global top-``_JS_TOP_V`` tokens
+    (count desc, token asc — deterministic); everything else collapses
+    into a per-source ``<oov>`` bucket so every distribution is
+    complete and the comparison grid is dense.
+
+    Determinism: each term's JS contribution quantizes to integer
+    NANO-units before the sum (probabilities are identical doubles in
+    both engines — same counts, same division), so the per-pair total
+    is an exact integer sum; round(6) once at the end.
+
+    Scale shape: the token stream aggregates ONCE into (source, token)
+    counts; everything after runs on the capped (V+1) x |sources| grid
+    and its (V+1) x |sources|^2 pair expansion — metadata-sized for
+    any real source count. Adding a source is O(grid), not O(corpus).
+    """
+    d = load(spark, sf_dir, "documents").select("source", "text")
+    tok = d.select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    ).where(F.col("t") != "")
+    counts = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        counts.groupBy("t")
+        .agg(F.sum("c").alias("cn"))
+        .orderBy(F.col("cn").desc(), F.col("t").asc())
+        .limit(_JS_TOP_V)
+        .select("t", F.lit(1).alias("_keep"))
+    )
+    mapped = (
+        counts.join(F.broadcast(top), "t", "left")
+        .select(
+            "source",
+            F.when(F.col("_keep").isNotNull(), F.col("t"))
+            .otherwise(F.lit("<oov>"))
+            .alias("t2"),
+            "c",
+        )
+        .groupBy("source", "t2")
+        .agg(F.sum("c").alias("c"))
+    )
+    tot = mapped.groupBy("source").agg(F.sum("c").alias("tot"))
+    grid_t = mapped.select("t2").distinct()
+    sources = tot
+    dense = (
+        grid_t.crossJoin(sources)
+        .join(F.broadcast(mapped), ["source", "t2"], "left")
+        .select(
+            "source",
+            "t2",
+            (F.coalesce(F.col("c"), F.lit(0)) / F.col("tot")).alias("p"),
+        )
+    )
+    a = dense.select(
+        F.col("source").alias("source_a"), "t2", F.col("p").alias("pa")
+    )
+    b = dense.select(
+        F.col("source").alias("source_b"), "t2", F.col("p").alias("pb")
+    )
+    # both sides are the (V+1) x |sources| grid — bounded by the
+    # _JS_TOP_V cap, so the forced broadcast is size-safe by design
+    pairs = a.join(F.broadcast(b), "t2").where(
+        F.col("source_a") < F.col("source_b")
+    )
+    term = pairs.select(
+        "source_a",
+        "source_b",
+        F.expr(
+            "cast(round(0.5 * ("
+            " case when pa > 0 then pa * ln(pa / ((pa + pb) / 2)) else 0 end"
+            " + case when pb > 0 then pb * ln(pb / ((pa + pb) / 2)) else 0 end"
+            ") * 1e9, 0) as bigint)"
+        ).alias("u"),
+    )
+    return (
+        term.groupBy("source_a", "source_b")
+        .agg(F.round(F.sum("u") / F.lit(1e9), 6).alias("js_nats"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+Q_SOURCE_TERM_JS_SQL = f"""
+with d as (select source, text from documents),
+tok as (select source, unnest(string_split(text, ' ')) t from d),
+tk as (select source, t from tok where t <> ''),
+counts as (select source, t, count(*) c from tk group by 1, 2),
+top as (
+  select t, 1 as keep_ from (
+    select t, sum(c) cn from counts group by t
+    order by cn desc, t asc limit {_JS_TOP_V}
+  )
+),
+mapped as (
+  select source, case when top.keep_ is not null then counts.t
+                      else '<oov>' end t2, sum(c) c
+  from counts left join top on top.t = counts.t
+  group by 1, 2
+),
+tot as (select source, sum(c) tot from mapped group by source),
+grid_t as (select distinct t2 from mapped),
+dense as (
+  select tot.source, grid_t.t2,
+         coalesce(m.c, 0) / tot.tot::DOUBLE p
+  from grid_t cross join tot
+  left join mapped m on m.source = tot.source and m.t2 = grid_t.t2
+),
+pairs as (
+  select a.source source_a, b.source source_b, a.t2, a.p pa, b.p pb
+  from dense a join dense b on a.t2 = b.t2 and a.source < b.source
+),
+term as (
+  select source_a, source_b,
+         round(0.5 * (
+           case when pa > 0 then pa * ln(pa / ((pa + pb) / 2)) else 0 end
+           + case when pb > 0 then pb * ln(pb / ((pa + pb) / 2)) else 0 end
+         ) * 1e9, 0)::BIGINT u
+  from pairs
+)
+select source_a, source_b, round(sum(u) / 1e9, 6) js_nats
+from term group by 1, 2 order by 1, 2
+"""
+
+
+_KM_HORIZON_D = 7
+
+
+def q_km_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier user-lifetime curve with right-censoring (Kaplan &
+    Meier 1958) — the churn-analysis staple a naive "avg days active"
+    gets wrong because users still active at the end of the stream are
+    CENSORED, not churned. Lifetime = whole days between a user's first
+    and last event; a user whose last event is within the final
+    ``_KM_HORIZON_D`` days of the stream is censored (still at risk),
+    otherwise their lifetime ends in an observed churn. Censored users
+    leave the risk set at their duration but contribute no event, per
+    the standard tie convention (events before censorings at ties).
+
+    Determinism: each survival step quantizes ln((n-d)/n) to integer
+    NANO-nats before the cumulative sum (the PageRank pattern), so the
+    running product is an exact integer sum in both engines; exp +
+    round(6) only at the end. A step where every remaining user churns
+    (n == d) pins survival to exactly 0 from there on via a cumulative
+    flag — no ln(0).
+
+    Scale shape: ONE map-combined per-user aggregate (first/last event
+    time) is the only pass over the event stream; the KM grid is
+    |distinct durations| <= stream-span-in-days rows, so both
+    cumulative windows run over a METADATA-sized table."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min("us").alias("f"), F.max("us").alias("l")
+    )
+    mx = e.agg(F.max("us").alias("_m"))
+    day_us = 86400 * 1_000_000
+    u = per_user.crossJoin(F.broadcast(mx)).select(
+        F.expr(f"cast((l - f) div {day_us} as bigint)").alias("dur"),
+        (
+            F.col("l") <= F.col("_m") - F.lit(_KM_HORIZON_D * day_us)
+        ).cast("bigint").alias("ev"),
+    )
+    grid = u.groupBy("dur").agg(
+        F.sum("ev").alias("d"),
+        F.count(F.lit(1)).alias("a"),
+    )
+    total = u.agg(F.count(F.lit(1)).alias("tot"))
+    w = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g = (
+        grid.crossJoin(F.broadcast(total))
+        .withColumn("ca", F.sum("a").over(w))
+        .withColumn("n_risk", F.col("tot") - (F.col("ca") - F.col("a")))
+        .where(F.col("d") > 0)
+    )
+    g = (
+        g.withColumn(
+            "step_u",
+            F.when(
+                F.col("n_risk") > F.col("d"),
+                F.expr(
+                    "cast(round(ln((n_risk - d) / cast(n_risk as double))"
+                    " * 1e9, 0) as bigint)"
+                ),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("z", (F.col("n_risk") == F.col("d")).cast("bigint"))
+        .withColumn("cum_u", F.sum("step_u").over(w))
+        .withColumn("cz", F.sum("z").over(w))
+    )
+    return g.select(
+        F.col("dur").alias("dur_days"),
+        F.col("n_risk"),
+        F.col("d").alias("churned"),
+        (F.col("a") - F.col("d")).alias("censored_here"),
+        F.when(F.col("cz") > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cum_u") / F.lit(1e9)), 6))
+        .alias("survival"),
+    ).orderBy("dur_days")
+
+
+Q_KM_RETENTION_SQL = f"""
+with e as (select user_id, epoch_us(ts) us from events),
+pu as (select user_id, min(us) f, max(us) l from e group by user_id),
+mx as (select max(us) m from e),
+u as (
+  select (l - f) // {86400 * 1_000_000} dur,
+         (l <= m - {_KM_HORIZON_D} * {86400 * 1_000_000}::BIGINT)::BIGINT ev
+  from pu cross join mx
+),
+grid as (select dur, sum(ev) d, count(*) a from u group by dur),
+total as (select count(*) tot from u),
+g as (
+  select *, sum(a) over (order by dur
+                         rows between unbounded preceding and current row) ca
+  from grid cross join total
+),
+g2 as (
+  select dur, d, a, tot - (ca - a) n_risk from g where d > 0
+),
+g3 as (
+  select *,
+         case when n_risk > d
+              then round(ln((n_risk - d) / n_risk::DOUBLE) * 1e9, 0)::BIGINT
+              else 0 end step_u,
+         (n_risk = d)::BIGINT z
+  from g2
+),
+g4 as (
+  select *,
+         sum(step_u) over (order by dur rows between unbounded preceding
+                           and current row) cum_u,
+         sum(z) over (order by dur rows between unbounded preceding
+                      and current row) cz
+  from g3
+)
+select dur dur_days, n_risk, d churned, a - d censored_here,
+       case when cz > 0 then 0.0
+            else round(exp(cum_u / 1e9), 6) end survival
+from g4 order by dur_days
+"""
+
+
 def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance via MERGEABLE partial
     state — the lambda-architecture shape: the last 7 days of events
@@ -8717,6 +9122,9 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_cms_counts": q_token_cms_counts,
         "zorder_layout": q_zorder_layout,
         "lang_nb_confusion": q_lang_nb_confusion,
+        "nb_roc": q_nb_roc,
+        "km_retention": q_km_retention,
+        "source_term_js": q_source_term_js,
         "rollup_incremental": q_rollup_incremental,
         "data_mixture_plan": q_data_mixture_plan,
         "mixture_sample": q_mixture_sample,
@@ -8991,6 +9399,9 @@ from s group by cluster_size order by cluster_size
         "token_cms_counts": _token_cms_counts_duck(),
         "zorder_layout": _zorder_layout_duck(),
         "lang_nb_confusion": Q_LANG_NB_SQL,
+        "nb_roc": Q_NB_ROC_SQL,
+        "km_retention": Q_KM_RETENTION_SQL,
+        "source_term_js": Q_SOURCE_TERM_JS_SQL,
         "rollup_incremental": Q_ROLLUP_INCREMENTAL_SQL,
         "data_mixture_plan": Q_DATA_MIXTURE_SQL,
         "mixture_sample": Q_MIXTURE_SAMPLE_SQL,

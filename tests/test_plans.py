@@ -721,3 +721,19 @@ def test_k_anonymity_and_seasonal_plan_shapes(spark):
     s = simple_plan(q.queries()["events_seasonal_baseline"](spark, SF))
     assert "BroadcastHashJoin" in s, s
     assert "Window" not in s and "CartesianProduct" not in s
+
+
+def test_nb_roc_km_js_plan_shapes(spark):
+    # nb_roc: exactly one window, and it runs over the |classes|x101
+    # ROC histogram, never the doc stream; no cartesian anywhere
+    s = simple_plan(q.queries()["nb_roc"](spark, SF))
+    assert s.count("Window") <= 2 and "CartesianProduct" not in s, s
+    # km_retention: one pass over events; every join is a 1-row
+    # broadcast (stream max / user total) — no shuffle joins at all
+    s = simple_plan(q.queries()["km_retention"](spark, SF))
+    assert "SortMergeJoin" not in s and "CartesianProduct" not in s, s
+    # source_term_js: after the single (source, token) aggregate,
+    # everything runs on the V-capped grid — pair joins broadcast
+    s = simple_plan(q.queries()["source_term_js"](spark, SF))
+    assert "SortMergeJoin" not in s, s
+    assert "BroadcastHashJoin" in s and "Window" not in s, s
