@@ -7081,6 +7081,258 @@ from per order by "label"
 """
 
 
+def q_nb_calibration(
+    spark: SparkSession,
+    sf_dir: str,
+    top_v: Optional[int] = None,
+) -> DataFrame:
+    """Reliability diagram + Brier score for the Naive Bayes language
+    classifier — per confidence decile, does a "90% sure" prediction
+    actually hit 90%? The third leg of the classifier-eval family
+    (confusion matrix -> threshold curve -> calibration): a gate that
+    keeps docs "where classifier confidence >= c" is only as good as
+    the calibration of c. Confidence is the softmax posterior of the
+    argmax class, computed overflow-safe relative to the max score
+    (exp of non-positive micro-nat deltas).
+
+    Determinism: scores are exact integer micro-nats, so the softmax
+    inputs are identical doubles in both engines; per-doc confidence
+    and Brier contributions quantize to integer micro/nano units
+    before the bin sums (the engine's quantize-then-sum rule).
+
+    Scale shape: scoring is the token scan x |classes|; the max /
+    softmax / argmax reductions are doc-keyed aggregates that reuse
+    one shuffle partitioning; the decile table is 10 rows. No window
+    touches the doc stream (argmax is a max-struct aggregate)."""
+    from bamboo_spark.operators import classify
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    lik, cls = classify.nb_train(
+        d, text_col="text", label_col="lang", top_v=top_v
+    )
+    lik = _tracked_persist(lik)
+    sc = _tracked_persist(
+        classify.nb_scores(d, lik, cls, text_col="text", id_col="doc_id")
+    )
+    agg1 = sc.groupBy("doc_id").agg(
+        F.max("score").alias("ms"),
+        F.max(F.struct(F.col("score").alias("sc"), F.col("label").alias("cl")))
+        .alias("b"),
+    )
+    den = (
+        sc.join(agg1, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.exp((F.col("score") - F.col("ms")) / F.lit(1e6))).alias(
+                "inv"
+            ),
+            F.max(F.col("b.cl")).alias("pred"),
+        )
+    )
+    pd_ = den.join(d.select("doc_id", "lang"), "doc_id").select(
+        (F.lit(1.0) / F.col("inv")).alias("p"),
+        (F.col("pred") == F.col("lang")).cast("bigint").alias("ok"),
+    )
+    binned = pd_.select(
+        F.least(F.lit(9), F.floor(F.col("p") * 10).cast("bigint")).alias(
+            "bin"
+        ),
+        F.expr("cast(round(p * 1e6, 0) as bigint)").alias("conf_u"),
+        "ok",
+        F.expr(
+            "cast(round((p - ok) * (p - ok) * 1e9, 0) as bigint)"
+        ).alias("b_u"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("conf_u") / (F.count(F.lit(1)) * F.lit(1e6)), 6)
+            .alias("avg_conf"),
+            F.round(F.sum("ok") / F.count(F.lit(1)).cast("double"), 6)
+            .alias("accuracy"),
+            F.round(F.sum("b_u") / (F.count(F.lit(1)) * F.lit(1e9)), 6)
+            .alias("brier"),
+        )
+        .orderBy("bin")
+    )
+
+
+Q_NB_CALIBRATION_SQL = """
+with d as (select doc_id, lang, text from documents),
+tok as (
+  select doc_id, unnest(string_split(text, ' ')) t from d
+),
+tk as (select doc_id, t from tok where t <> ''),
+labeled as (select tk.doc_id, d.lang, tk.t from tk join d using (doc_id)),
+ct as (select lang, t, count(*) c from labeled group by lang, t),
+vocab as (select t from (select t, sum(c) cn from ct group by t)),
+cls as (select lang, sum(c) tot from ct group by lang),
+nv as (select count(*) v from vocab),
+dense as (
+  select cl.lang, vo.t,
+         round(ln((coalesce(ct.c, 0) + 1)::DOUBLE / (cl.tot + nv.v)::DOUBLE)
+               * 1e6, 0)::BIGINT lp_u
+  from vocab vo cross join cls cl
+  left join ct on ct.lang = cl.lang and ct.t = vo.t
+  cross join nv
+),
+flr as (
+  select lang, round(ln(1::DOUBLE / (tot + nv.v)::DOUBLE) * 1e6, 0)::BIGINT lp0_u
+  from cls cross join nv
+),
+total as (select count(*) nd from d),
+prior as (
+  select lang, round(ln(n::DOUBLE / nd::DOUBLE) * 1e6, 0)::BIGINT prior_u
+  from (select lang, count(*) n from d group by lang) cross join total
+),
+sc as (
+  select tk.doc_id, f.lang,
+         sum(coalesce(de.lp_u, f.lp0_u)) s
+  from tk cross join flr f
+  left join dense de on de.lang = f.lang and de.t = tk.t
+  group by tk.doc_id, f.lang
+),
+scp as (
+  select sc.doc_id, sc.lang, sc.s + p.prior_u score
+  from sc join prior p using (lang)
+),
+mx as (select doc_id, max(score) ms from scp group by doc_id),
+pred as (
+  select doc_id, lang pred_lang from (
+    select doc_id, lang,
+           row_number() over (partition by doc_id
+                              order by score desc, lang desc) rn
+    from scp
+  ) where rn = 1
+),
+den as (
+  select s.doc_id, sum(exp((s.score - m.ms) / 1e6)) inv
+  from scp s join mx m using (doc_id) group by s.doc_id
+),
+per_doc as (
+  select 1.0 / den.inv p,
+         (pred.pred_lang = d.lang)::BIGINT ok
+  from den join pred using (doc_id) join d using (doc_id)
+),
+binned as (
+  select least(9, floor(p * 10)::BIGINT) bin,
+         round(p * 1e6, 0)::BIGINT conf_u, ok,
+         round((p - ok) * (p - ok) * 1e9, 0)::BIGINT b_u
+  from per_doc
+)
+select bin, count(*) n_docs,
+       round(sum(conf_u) / (count(*) * 1e6), 6) avg_conf,
+       round(sum(ok) / count(*)::DOUBLE, 6) accuracy,
+       round(sum(b_u) / (count(*) * 1e9), 6) brier
+from binned group by bin order by bin
+"""
+
+
+def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend of daily volume — closed-form OLS
+    (slope, intercept, r^2) of count-per-day against the day index,
+    the "is this source growing or dying" monitor that feeds capacity
+    and mixture planning. Days with no events count as ZERO (the grid
+    densifies over the global day span), which a naive groupBy-only
+    trend silently gets wrong.
+
+    Determinism: x (day index) and y (daily count) are integers, so
+    every OLS sufficient statistic (sum x, sum y, sum xy, sum x^2,
+    sum y^2) is an EXACT integer sum; the normal-equation numerators
+    and denominators multiply as decimal(38,0) (the engine's overflow
+    rule for unbounded-count products) and divide to double exactly
+    once, round(6). No floats until the final division.
+
+    Scale shape: one map-combined (type, day) count aggregate is the
+    only pass over events; the densified grid is |types| x |days| —
+    metadata-sized — and the OLS reduction is one more tiny aggregate.
+    The 100 TB plan is identical: sufficient statistics are monoid
+    partials, so the daily rollup can also merge incrementally."""
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    days = cells.select("day").distinct()
+    types = cells.select("event_type").distinct()
+    base = days.agg(F.min("day").alias("d0"))
+    grid = (
+        days.crossJoin(types)
+        .join(cells, ["event_type", "day"], "left")
+        .crossJoin(F.broadcast(base))
+        .select(
+            "event_type",
+            F.datediff(F.to_date("day"), F.to_date("d0")).cast("bigint")
+            .alias("x"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("y"),
+        )
+    )
+    dec = "decimal(38,0)"
+    stats = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    inum = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    return stats.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(num.cast("double") / dx.cast("double"), 6).alias("slope"),
+        F.round(inum.cast("double") / dx.cast("double"), 6).alias(
+            "intercept"
+        ),
+        F.when(
+            dy > 0,
+            F.round(
+                (num * num).cast("double")
+                / (dx.cast("double") * dy.cast("double")),
+                6,
+            ),
+        ).alias("r2"),
+    ).orderBy("event_type")
+
+
+Q_EVENTS_TREND_SQL = """
+with cells as (
+  select event_type, strftime(ts, '%Y-%m-%d') as "day", count(*) cnt
+  from events group by 1, 2
+),
+days as (select distinct "day" from cells),
+types as (select distinct event_type from cells),
+base as (select min("day") d0 from days),
+grid as (
+  select t.event_type,
+         (d."day"::DATE - b.d0::DATE)::BIGINT x,
+         coalesce(c.cnt, 0) y
+  from days d cross join types t cross join base b
+  left join cells c on c.event_type = t.event_type and c."day" = d."day"
+),
+stats as (
+  select event_type,
+         count(*)::HUGEINT n, sum(x)::HUGEINT sx, sum(y)::HUGEINT sy,
+         sum(x * y)::HUGEINT sxy, sum(x * x)::HUGEINT sxx,
+         sum(y::HUGEINT * y::HUGEINT) syy
+  from grid group by event_type
+)
+select event_type, n::BIGINT n_days,
+       round((n * sxy - sx * sy)::DOUBLE
+             / (n * sxx - sx * sx)::DOUBLE, 6) slope,
+       round((sy * sxx - sx * sxy)::DOUBLE
+             / (n * sxx - sx * sx)::DOUBLE, 6) intercept,
+       case when (n * syy - sy * sy) > 0 then
+         round(((n * sxy - sx * sy) * (n * sxy - sx * sy))::DOUBLE
+               / ((n * sxx - sx * sx)::DOUBLE
+                  * (n * syy - sy * sy)::DOUBLE), 6) end r2
+from stats order by event_type
+"""
+
+
 _JS_TOP_V = 2000
 
 
@@ -9125,6 +9377,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_roc": q_nb_roc,
         "km_retention": q_km_retention,
         "source_term_js": q_source_term_js,
+        "events_trend": q_events_trend,
+        "nb_calibration": q_nb_calibration,
         "rollup_incremental": q_rollup_incremental,
         "data_mixture_plan": q_data_mixture_plan,
         "mixture_sample": q_mixture_sample,
@@ -9402,6 +9656,8 @@ from s group by cluster_size order by cluster_size
         "nb_roc": Q_NB_ROC_SQL,
         "km_retention": Q_KM_RETENTION_SQL,
         "source_term_js": Q_SOURCE_TERM_JS_SQL,
+        "events_trend": Q_EVENTS_TREND_SQL,
+        "nb_calibration": Q_NB_CALIBRATION_SQL,
         "rollup_incremental": Q_ROLLUP_INCREMENTAL_SQL,
         "data_mixture_plan": Q_DATA_MIXTURE_SQL,
         "mixture_sample": Q_MIXTURE_SAMPLE_SQL,
