@@ -7333,6 +7333,215 @@ from stats order by event_type
 """
 
 
+def q_chi2_terms(spark: SparkSession, sf_dir: str, top_k: int = 10) -> DataFrame:
+    """Chi-square feature selection: the ``top_k`` most discriminative
+    terms per language by the classic 2x2 chi-square statistic over
+    DOCUMENT frequency (does this term appear in a doc, not how
+    often). This is the standard term-selection step before training
+    any text classifier, and doubles as a corpus-QA lens: a term whose
+    chi2 explodes for one source/lang is a template artifact.
+
+    Determinism: A/B/C/D are exact integer doc counts; the chi2
+    numerator n*(AD-BC)^2 and denominator (A+B)(C+D)(A+C)(B+D) are
+    exact decimal(38,0) products (n^5 fits: 10^7 docs -> 10^35), cast
+    to double for ONE final division (the ``events_trend`` overflow
+    rule), quantized to micro-units for the rank order so ties break
+    on the term string identically in both engines.
+
+    Scale shape: one distinct over (doc_id, lang, term) — the only
+    doc-sized shuffle — then everything is vocabulary-sized: the
+    (lang, term) grid aggregates map-combined, lang totals broadcast
+    as |langs| rows, and the top-k per lang is ``ranked_head``'s
+    partial WindowGroupLimit below the exchange, never a full sort."""
+    from bamboo_spark.operators import scale
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = (
+        d.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    lt = tok.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a")
+    )
+    t_tot = lt.groupBy("term").agg(F.sum("a").alias("df_total"))
+    l_tot = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    n_tot = d.agg(F.count(F.lit(1)).alias("n"))
+    dec = "decimal(38,0)"
+    g = (
+        lt.join(t_tot, "term")
+        .where(F.col("df_total") >= 5)
+        .join(F.broadcast(l_tot), "lang")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "lang",
+            "term",
+            "a",
+            "df_total",
+            F.col("a").cast(dec).alias("da"),
+            (F.col("df_total") - F.col("a")).cast(dec).alias("db"),
+            (F.col("n_l") - F.col("a")).cast(dec).alias("dc"),
+            (F.col("n") - F.col("n_l") - F.col("df_total") + F.col("a"))
+            .cast(dec)
+            .alias("dd"),
+            F.col("n").cast(dec).alias("dn"),
+        )
+    )
+    num = (
+        F.col("dn")
+        * (F.col("da") * F.col("dd") - F.col("db") * F.col("dc"))
+        * (F.col("da") * F.col("dd") - F.col("db") * F.col("dc"))
+    )
+    den = (
+        (F.col("da") + F.col("db"))
+        * (F.col("dc") + F.col("dd"))
+        * (F.col("da") + F.col("dc"))
+        * (F.col("db") + F.col("dd"))
+    )
+    scored = g.select(
+        "lang",
+        "term",
+        F.col("a").alias("df_lang"),
+        "df_total",
+        F.round(num.cast("double") / den.cast("double") * F.lit(1e6), 0)
+        .cast("bigint")
+        .alias("chi2_u"),
+    )
+    top = scale.ranked_head(
+        scored,
+        "lang",
+        [F.col("chi2_u").desc(), F.col("term")],
+        top_k,
+        "rnk",
+    )
+    return top.select(
+        "lang",
+        "rnk",
+        "term",
+        "df_lang",
+        "df_total",
+        F.round(F.col("chi2_u") / F.lit(1e6), 6).alias("chi2"),
+    ).orderBy("lang", "rnk")
+
+
+Q_CHI2_TERMS_SQL = """
+with d as (select doc_id, lang, text from documents),
+tok as (
+  select distinct doc_id, lang, t term
+  from (select doc_id, lang, unnest(string_split(text, ' ')) t from d)
+  where t <> ''
+),
+lt as (select lang, term, count(*)::BIGINT a from tok group by lang, term),
+tt as (select term, sum(a)::BIGINT df_total from lt group by term),
+ltot as (select lang, count(*)::BIGINT n_l from d group by lang),
+ntot as (select count(*)::BIGINT n from d),
+g as (
+  select lt.lang, lt.term, lt.a, tt.df_total,
+         lt.a::HUGEINT da, (tt.df_total - lt.a)::HUGEINT db,
+         (ltot.n_l - lt.a)::HUGEINT dc,
+         (ntot.n - ltot.n_l - tt.df_total + lt.a)::HUGEINT dd,
+         ntot.n::HUGEINT dn
+  from lt join tt using (term) join ltot using (lang) cross join ntot
+  where tt.df_total >= 5
+),
+scored as (
+  select lang, term, a df_lang, df_total,
+         round((dn * (da * dd - db * dc) * (da * dd - db * dc))::DOUBLE
+               / ((da + db) * (dc + dd) * (da + dc) * (db + dd))::DOUBLE
+               * 1e6, 0)::BIGINT chi2_u
+  from g
+),
+top as (
+  select lang, term, df_lang, df_total, chi2_u,
+         row_number() over (partition by lang
+                            order by chi2_u desc, term) rnk
+  from scored
+)
+select lang, rnk::BIGINT rnk, term, df_lang, df_total,
+       round(chi2_u / 1e6, 6) chi2
+from top where rnk <= 10 order by lang, rnk
+"""
+
+
+def q_event_seq_ngrams(
+    spark: SparkSession, sf_dir: str, top_k: int = 25
+) -> DataFrame:
+    """Sequential pattern mining, the order-aware sibling of
+    ``market_basket``: the ``top_k`` most frequent 3-step event-type
+    sequences (consecutive per user in time order), with occurrence
+    count, distinct-user support, and share of all trigrams. The
+    "view -> click -> purchase vs view -> click -> error" lens that
+    transition matrices (first-order) cannot see.
+
+    Determinism: user order is the unique (ts_micros, event_id) key;
+    counts are exact integers; the final top-k orders by (n desc,
+    t1, t2, t3) — a total order, so the cutoff is identical in both
+    engines. share divides two exact integers once, round(6).
+
+    Scale shape: ONE user-keyed window (two leads, state bounded per
+    key) is the only event-sized shuffle; the trigram grid is at most
+    |types|^3 rows, its aggregate map-combines, the distinct-user
+    support shuffles (trigram, user) pairs hash-partitioned, and the
+    global top-k is a TakeOrdered (heap per partition, K rows to the
+    driver), never a full sort."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    tri = (
+        e.withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .where(F.col("t3").isNotNull())
+        .select(F.col("event_type").alias("t1"), "t2", "t3", "user_id")
+    )
+    g = tri.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+    tot = g.agg(F.sum("n").alias("_tot"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            "n",
+            "n_users",
+            F.round(F.col("n").cast("double") / F.col("_tot"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+        .limit(top_k)
+    )
+
+
+Q_EVENT_SEQ_NGRAMS_SQL = """
+with e as (
+  select user_id, event_id, event_type, epoch_us(ts) us from events
+),
+s as (
+  select user_id, event_type t1,
+         lead(event_type, 1) over (partition by user_id
+                                   order by us, event_id) t2,
+         lead(event_type, 2) over (partition by user_id
+                                   order by us, event_id) t3
+  from e
+),
+g as (
+  select t1, t2, t3, count(*)::BIGINT n,
+         count(distinct user_id)::BIGINT n_users
+  from s where t3 is not null group by t1, t2, t3
+),
+tot as (select sum(n) t from g)
+select t1, t2, t3, n, n_users, round(n::DOUBLE / tot.t, 6) as "share"
+from g cross join tot
+order by n desc, t1, t2, t3 limit 25
+"""
+
+
 _JS_TOP_V = 2000
 
 
@@ -9379,6 +9588,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_term_js": q_source_term_js,
         "events_trend": q_events_trend,
         "nb_calibration": q_nb_calibration,
+        "chi2_terms": q_chi2_terms,
+        "event_seq_ngrams": q_event_seq_ngrams,
         "rollup_incremental": q_rollup_incremental,
         "data_mixture_plan": q_data_mixture_plan,
         "mixture_sample": q_mixture_sample,
@@ -9658,6 +9869,8 @@ from s group by cluster_size order by cluster_size
         "source_term_js": Q_SOURCE_TERM_JS_SQL,
         "events_trend": Q_EVENTS_TREND_SQL,
         "nb_calibration": Q_NB_CALIBRATION_SQL,
+        "chi2_terms": Q_CHI2_TERMS_SQL,
+        "event_seq_ngrams": Q_EVENT_SEQ_NGRAMS_SQL,
         "rollup_incremental": Q_ROLLUP_INCREMENTAL_SQL,
         "data_mixture_plan": Q_DATA_MIXTURE_SQL,
         "mixture_sample": Q_MIXTURE_SAMPLE_SQL,
