@@ -7542,6 +7542,273 @@ order by n desc, t1, t2, t3 limit 25
 """
 
 
+def q_pareto_frontier(
+    spark: SparkSession, sf_dir: str, buckets: int = 256
+) -> DataFrame:
+    """Exact 2-D skyline (Pareto frontier) of suppliers: maximize
+    total revenue, minimize average ship delay — the supplier-review
+    query "who is strictly better on BOTH axes". A supplier is on the
+    frontier iff no other supplier has >= revenue AND <= delay with
+    at least one strict. The same operator shape answers "which
+    sources give the most tokens at the least dup rate" in curation.
+
+    Determinism: revenue is exact integer cents (quantize-then-sum),
+    avg delay is an exact integer floor-division to micro-days, so
+    dominance compares integers — no float ulp can flip the frontier.
+
+    Scale shape (grid-prune + exact finish): the fact join and the
+    per-supplier aggregate are the only data-sized shuffles. Pruning
+    buckets revenue into ``buckets`` equi-width integer bins (range
+    from one 1-row broadcast agg); a point dominated by ANY strictly
+    higher bucket's min-delay representative is provably off the
+    frontier, so the exact sorted prefix-min pass runs only on the
+    survivors — at most ~(buckets + |frontier|) points for correlated
+    data. (An anti-correlated worst case keeps more survivors; that
+    cost is intrinsic to exact skylines.) The oracle is the naive
+    NOT-EXISTS dominance anti-join, so the prune's losslessness is
+    value-gated, not asserted."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            * 100,
+            0,
+        )
+        .cast("long")
+        .alias("rev_c"),
+        "l_shipdate",
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    per = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_suppkey",
+            "rev_c",
+            F.datediff(
+                F.to_date("l_shipdate"), F.to_date("o_orderdate")
+            ).alias("delay_d"),
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum("rev_c").alias("rev_c"),
+            F.sum("delay_d").alias("sd"),
+            F.count(F.lit(1)).alias("nli"),
+        )
+        .select(
+            "l_suppkey",
+            "rev_c",
+            F.expr(
+                "cast((cast(sd as decimal(38,0)) * 1000000) div nli"
+                " as bigint)"
+            ).alias("delay_u"),
+        )
+    )
+    rng = per.agg(F.min("rev_c").alias("lo"), F.max("rev_c").alias("hi"))
+    # integer-exact bucket id: W = (hi-lo) div buckets + 1; b = (rev-lo) div W
+    per2 = per.crossJoin(F.broadcast(rng)).select(
+        "l_suppkey",
+        "rev_c",
+        "delay_u",
+        F.expr(
+            "cast((rev_c - lo) div ((hi - lo) div {b} + 1) as bigint)".format(
+                b=buckets
+            )
+        ).alias("b"),
+    )
+    bmin = per2.groupBy("b").agg(F.min("delay_u").alias("m"))
+    wb = Window.orderBy(F.col("b").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    above = bmin.select("b", F.min("m").over(wb).alias("above_min"))
+    sv = per2.join(F.broadcast(above), "b", "left").where(
+        F.col("above_min").isNull() | (F.col("above_min") > F.col("delay_u"))
+    )
+    pts = sv.select("rev_c", "delay_u").distinct()
+    wp = Window.orderBy(F.col("rev_c").desc(), F.col("delay_u")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky = (
+        pts.withColumn("mp", F.min("delay_u").over(wp))
+        .where(F.col("mp").isNull() | (F.col("mp") > F.col("delay_u")))
+        .select("rev_c", "delay_u")
+    )
+    return (
+        sv.join(sky, ["rev_c", "delay_u"])
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+            F.round(F.col("delay_u") / F.lit(1e6), 6).alias("avg_delay_days"),
+            "rev_c",
+        )
+        .orderBy(F.col("rev_c").desc(), "suppkey")
+        .drop("rev_c")
+    )
+
+
+Q_PARETO_FRONTIER_SQL = """
+with li as (
+  select l_orderkey, l_suppkey,
+         round(l_extendedprice * (1.0 - l_discount) * 100, 0)::BIGINT rev_c,
+         l_shipdate
+  from lineitem
+),
+j as (
+  select li.l_suppkey,
+         li.rev_c,
+         (li.l_shipdate::DATE - o.o_orderdate::DATE) delay_d
+  from li join orders o on li.l_orderkey = o.o_orderkey
+),
+per as (
+  select l_suppkey suppkey, sum(rev_c)::BIGINT rev_c,
+         (sum(delay_d)::HUGEINT * 1000000 // count(*))::BIGINT delay_u
+  from j group by l_suppkey
+),
+sky as (
+  select * from per p where not exists (
+    select 1 from per q
+    where q.rev_c >= p.rev_c and q.delay_u <= p.delay_u
+      and (q.rev_c > p.rev_c or q.delay_u < p.delay_u))
+)
+select suppkey, round(rev_c / 100.0, 2) revenue,
+       round(delay_u / 1e6, 6) avg_delay_days
+from sky order by rev_c desc, suppkey
+"""
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of three concentration axes — revenue per
+    customer, events per user, tokens per document — the "how skewed
+    is this corpus/workload" monitor that decides whether salting,
+    capping, or mixture re-weighting is worth running at all (Gini ~0:
+    don't bother; ~0.6+: hot keys dominate).
+
+    Exact, not sketched: Gini = sum_ij |y_i - y_j| / (2 n S), and the
+    pairwise sum collapses over the DISTINCT-VALUE histogram to
+    2 * sum_v c_v * (v * cl_v - sl_v) with cl/sl = count/sum of
+    strictly smaller values — integers end to end (decimal(38,0)
+    products), ONE double division per dimension, round(6).
+
+    Scale shape: each dimension is one map-combined per-key aggregate
+    (the only data-sized shuffles) followed by a value-histogram
+    aggregate; the prefix-sum window runs over DISTINCT values only —
+    bounded by the value domain (price cents / per-key counts), not by
+    rows — and the final reduce is 1 row per dimension."""
+    dec = "decimal(38,0)"
+
+    def gini(vals: DataFrame, dim: str) -> DataFrame:
+        h = vals.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+        wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        h2 = h.select(
+            F.col("v").cast(dec).alias("v"),
+            F.col("c").cast(dec).alias("c"),
+            F.coalesce(F.sum("c").over(wv), F.lit(0)).cast(dec).alias("cl"),
+            F.coalesce(
+                F.sum(F.col("c") * F.col("v")).over(wv), F.lit(0)
+            )
+            .cast(dec)
+            .alias("sl"),
+        )
+        return h2.agg(
+            F.sum(F.col("c")).cast("bigint").alias("n_keys"),
+            F.sum(F.col("c") * F.col("v")).cast("bigint").alias("total_v"),
+            F.round(
+                (
+                    F.lit(2)
+                    * F.sum(
+                        F.col("c") * (F.col("v") * F.col("cl") - F.col("sl"))
+                    )
+                ).cast("double")
+                / (
+                    F.lit(2)
+                    * F.sum(F.col("c"))
+                    * F.sum(F.col("c") * F.col("v"))
+                ).cast("double"),
+                6,
+            ).alias("gini"),
+        ).select(F.lit(dim).alias("dimension"), "n_keys", "total_v", "gini")
+
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("v")
+    )
+    e = load(spark, sf_dir, "events")
+    user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("v"))
+    d = load(spark, sf_dir, "documents")
+    doc = d.select(
+        F.size(
+            F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+        ).alias("v")
+    )
+    return (
+        gini(cust.select("v"), "customer_revenue_cents")
+        .unionAll(gini(user.select("v"), "user_events"))
+        .unionAll(gini(doc, "doc_tokens"))
+        .orderBy("dimension")
+    )
+
+
+Q_GINI_CONCENTRATION_SQL = """
+with cust as (
+  select sum(round(o_totalprice * 100, 0)::BIGINT) v
+  from orders group by o_custkey
+),
+usr as (select count(*)::BIGINT v from events group by user_id),
+doc as (
+  select len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT v
+  from documents
+),
+g_c as (
+  select v::HUGEINT v, count(*)::HUGEINT c from cust group by 1
+),
+g_u as (
+  select v::HUGEINT v, count(*)::HUGEINT c from usr group by 1
+),
+g_d as (
+  select v::HUGEINT v, count(*)::HUGEINT c from doc group by 1
+),
+p_c as (
+  select v, c,
+         coalesce(sum(c) over w, 0) cl,
+         coalesce(sum(c * v) over w, 0) sl
+  from g_c window w as (order by v rows between unbounded preceding
+                        and 1 preceding)
+),
+p_u as (
+  select v, c,
+         coalesce(sum(c) over w, 0) cl,
+         coalesce(sum(c * v) over w, 0) sl
+  from g_u window w as (order by v rows between unbounded preceding
+                        and 1 preceding)
+),
+p_d as (
+  select v, c,
+         coalesce(sum(c) over w, 0) cl,
+         coalesce(sum(c * v) over w, 0) sl
+  from g_d window w as (order by v rows between unbounded preceding
+                        and 1 preceding)
+),
+r as (
+  select 'customer_revenue_cents' dimension, sum(c)::BIGINT n_keys,
+         sum(c * v)::BIGINT total_v,
+         round((2 * sum(c * (v * cl - sl)))::DOUBLE
+               / (2 * sum(c) * sum(c * v))::DOUBLE, 6) gini
+  from p_c
+  union all
+  select 'user_events', sum(c)::BIGINT, sum(c * v)::BIGINT,
+         round((2 * sum(c * (v * cl - sl)))::DOUBLE
+               / (2 * sum(c) * sum(c * v))::DOUBLE, 6)
+  from p_u
+  union all
+  select 'doc_tokens', sum(c)::BIGINT, sum(c * v)::BIGINT,
+         round((2 * sum(c * (v * cl - sl)))::DOUBLE
+               / (2 * sum(c) * sum(c * v))::DOUBLE, 6)
+  from p_d
+)
+select * from r order by dimension
+"""
+
+
 _JS_TOP_V = 2000
 
 
@@ -9590,6 +9857,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_calibration": q_nb_calibration,
         "chi2_terms": q_chi2_terms,
         "event_seq_ngrams": q_event_seq_ngrams,
+        "pareto_frontier": q_pareto_frontier,
+        "gini_concentration": q_gini_concentration,
         "rollup_incremental": q_rollup_incremental,
         "data_mixture_plan": q_data_mixture_plan,
         "mixture_sample": q_mixture_sample,
@@ -9871,6 +10140,8 @@ from s group by cluster_size order by cluster_size
         "nb_calibration": Q_NB_CALIBRATION_SQL,
         "chi2_terms": Q_CHI2_TERMS_SQL,
         "event_seq_ngrams": Q_EVENT_SEQ_NGRAMS_SQL,
+        "pareto_frontier": Q_PARETO_FRONTIER_SQL,
+        "gini_concentration": Q_GINI_CONCENTRATION_SQL,
         "rollup_incremental": Q_ROLLUP_INCREMENTAL_SQL,
         "data_mixture_plan": Q_DATA_MIXTURE_SQL,
         "mixture_sample": Q_MIXTURE_SAMPLE_SQL,
