@@ -7809,6 +7809,191 @@ select * from r order by dimension
 """
 
 
+def q_benford_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance test on order totals — the
+    classic fabricated-data / broken-generator detector for any
+    positive, scale-spanning money column. Per digit 1..9: observed
+    count, observed frequency, Benford expectation log10(1+1/d), and
+    the signed gap in basis points. A synthetic or truncated price
+    column shows up as a flat (or spiky) first-digit histogram.
+
+    Determinism: the first digit comes from the DECIMAL STRING of the
+    exact integer cents (never float log10 of the value, whose
+    power-of-ten boundaries ulp-drift); counts are integers; the two
+    divisions are one-per-row on a 9-row table, round(6).
+
+    Scale shape: one map-combined 9-group aggregate over the scan is
+    the entire query — the digit extraction is a scan-speed
+    projection, the result is 9 rows."""
+    o = load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    )
+    dig = o.where(F.col("cents") > 0).select(
+        F.substring(F.col("cents").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("digit")
+    )
+    g = dig.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = g.agg(F.sum("n_obs").alias("_tot"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs").cast("double") / F.col("_tot"), 6).alias(
+                "freq"
+            ),
+            F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6)
+            .alias("expected"),
+            F.round(
+                (
+                    F.col("n_obs").cast("double") / F.col("_tot")
+                    - F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+                )
+                * 10000,
+                2,
+            ).alias("gap_bps"),
+        )
+        .orderBy("digit")
+    )
+
+
+Q_BENFORD_DQ_SQL = """
+with c as (
+  select round(o_totalprice * 100, 0)::BIGINT cents from orders
+),
+dig as (
+  select substr(cents::VARCHAR, 1, 1)::BIGINT digit
+  from c where cents > 0
+),
+g as (select digit, count(*)::BIGINT n_obs from dig group by digit),
+tot as (select sum(n_obs) t from g)
+select digit, n_obs,
+       round(n_obs::DOUBLE / tot.t, 6) freq,
+       round(log10(1.0 + 1.0 / digit), 6) expected,
+       round((n_obs::DOUBLE / tot.t - log10(1.0 + 1.0 / digit)) * 10000,
+             2) gap_bps
+from g cross join tot order by digit
+"""
+
+
+def q_events_autocorrelation(
+    spark: SparkSession, sf_dir: str, max_lag: int = 14
+) -> DataFrame:
+    """Autocorrelation function of total daily event volume at lags
+    1..``max_lag`` — the periodicity detector that says WHICH seasonal
+    baseline (daily? weekly?) `events_seasonal_baseline` should model,
+    and flags feedback loops (a spike that echoes k days later).
+
+    Exactness trick: with ybar = S/n rational, multiply the classic
+    estimator through by n^2 — r_k = sum_t (n*y_t - S)(n*y_{t+k} - S)
+    / sum_t (n*y_t - S)^2 — so every term is an exact integer product
+    (decimal(38,0)); ONE double division per lag, round(6). Days with
+    zero events are densified into the grid first (a silent gap day
+    would otherwise shift every lag).
+
+    Scale shape: one map-combined day-count aggregate is the only pass
+    over events; everything after runs on the |days|-sized series —
+    the lag pairing is a self-equi-join on day index over at most
+    |days| x max_lag metadata rows."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    rng = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).select(
+        "d0",
+        F.datediff(F.to_date("d1"), F.to_date("d0")).alias("span"),
+    )
+    grid = (
+        rng.select(
+            F.explode(F.sequence(F.lit(0), F.col("span"))).alias("x"), "d0"
+        )
+        .join(
+            daily.crossJoin(F.broadcast(rng)).select(
+                F.datediff(F.to_date("day"), F.to_date("d0")).alias("x"),
+                "y",
+            ),
+            "x",
+            "left",
+        )
+        .select("x", F.coalesce(F.col("y"), F.lit(0)).alias("y"))
+    )
+    tot = grid.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    dec = "decimal(38,0)"
+    dev = grid.crossJoin(F.broadcast(tot)).select(
+        "x",
+        (
+            F.col("n").cast(dec) * F.col("y").cast(dec)
+            - F.col("s").cast(dec)
+        ).alias("d"),
+    )
+    den = dev.agg(F.sum(F.col("d") * F.col("d")).alias("den"))
+    lags = spark.range(1, max_lag + 1).select(
+        F.col("id").cast("bigint").alias("lag")
+    )
+    a = dev.select(F.col("x").alias("xa"), F.col("d").alias("da"))
+    b = dev.select(F.col("x").alias("xb"), F.col("d").alias("db"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("xa") + F.col("lag") == F.col("xb"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("da") * F.col("db")).alias("num"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+Q_EVENTS_AUTOCORRELATION_SQL = """
+with daily as (
+  select strftime(ts, '%Y-%m-%d') as "day", count(*)::BIGINT y
+  from events group by 1
+),
+rng as (
+  select min("day") d0,
+         (max("day")::DATE - min("day")::DATE) span
+  from daily
+),
+grid as (
+  select gs.x, coalesce(d.y, 0) y
+  from (select unnest(generate_series(0, (select span from rng))) x) gs
+  left join (
+    select ("day"::DATE - rng.d0::DATE) x, y from daily cross join rng
+  ) d using (x)
+),
+tot as (select count(*)::HUGEINT n, sum(y)::HUGEINT s from grid),
+dev as (
+  select x, (tot.n * y - tot.s) d from grid cross join tot
+),
+den as (select sum(d * d) dn from dev),
+lags as (select unnest(generate_series(1, 14)) lag),
+pairs as (
+  select l.lag, count(*)::BIGINT n_pairs, sum(a.d * b.d) num
+  from dev a cross join lags l
+  join dev b on a.x + l.lag = b.x
+  group by l.lag
+)
+select lag::BIGINT lag, n_pairs,
+       round(num::DOUBLE / den.dn::DOUBLE, 6) acf
+from pairs cross join den order by lag
+"""
+
+
 _JS_TOP_V = 2000
 
 
@@ -9859,6 +10044,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_seq_ngrams": q_event_seq_ngrams,
         "pareto_frontier": q_pareto_frontier,
         "gini_concentration": q_gini_concentration,
+        "benford_dq": q_benford_dq,
+        "events_autocorrelation": q_events_autocorrelation,
         "rollup_incremental": q_rollup_incremental,
         "data_mixture_plan": q_data_mixture_plan,
         "mixture_sample": q_mixture_sample,
@@ -10142,6 +10329,8 @@ from s group by cluster_size order by cluster_size
         "event_seq_ngrams": Q_EVENT_SEQ_NGRAMS_SQL,
         "pareto_frontier": Q_PARETO_FRONTIER_SQL,
         "gini_concentration": Q_GINI_CONCENTRATION_SQL,
+        "benford_dq": Q_BENFORD_DQ_SQL,
+        "events_autocorrelation": Q_EVENTS_AUTOCORRELATION_SQL,
         "rollup_incremental": Q_ROLLUP_INCREMENTAL_SQL,
         "data_mixture_plan": Q_DATA_MIXTURE_SQL,
         "mixture_sample": Q_MIXTURE_SAMPLE_SQL,
