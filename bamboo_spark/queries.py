@@ -7994,6 +7994,251 @@ from pairs cross join den order by lag
 """
 
 
+def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-likely level-shift day per event type — the CUSUM
+    changepoint detector over daily volume. The statistic at split k
+    is the cumulative deviation from the series mean, S_k =
+    sum_{t<=k}(y_t - ybar); its argmax |S_k| is the classic single
+    changepoint estimate ("volume stepped on THIS day"), the monitor
+    that separates a regime change (deploy, new source) from the
+    point anomalies `events_anomaly` flags.
+
+    Determinism: multiplying through by n makes n*S_k = n*prefix_y -
+    (k+1)*total an exact integer per split; the argmax is a max over
+    integers with the EARLIEST day winning ties (max-abs then min-day,
+    two tiny aggregates — never a window sort over data). Means before
+    and after divide exact integers once, round(6).
+
+    Scale shape: one map-combined (type, day) count is the only pass
+    over events; the zero-densified grid and its per-type prefix sums
+    are |types| x |days| metadata rows (the window partitions by type
+    over the day series, state bounded by |days|)."""
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    days = cells.select("day").distinct()
+    types = cells.select("event_type").distinct()
+    base = days.agg(F.min("day").alias("d0"))
+    grid = (
+        days.crossJoin(types)
+        .join(cells, ["event_type", "day"], "left")
+        .crossJoin(F.broadcast(base))
+        .select(
+            "event_type",
+            "day",
+            F.datediff(F.to_date("day"), F.to_date("d0")).cast("bigint")
+            .alias("x"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("y"),
+        )
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    dec = "decimal(38,0)"
+    w = Window.partitionBy("event_type").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pre = (
+        grid.join(F.broadcast(tot), "event_type")
+        .withColumn("py", F.sum("y").over(w))
+        .where(F.col("x") < F.col("n") - 1)
+        .select(
+            "event_type",
+            "day",
+            "x",
+            "py",
+            "n",
+            "s",
+            (
+                F.col("n").cast(dec) * F.col("py").cast(dec)
+                - (F.col("x") + 1).cast(dec) * F.col("s").cast(dec)
+            ).alias("ns_k"),
+        )
+    )
+    best = pre.groupBy("event_type").agg(
+        F.max(F.abs(F.col("ns_k"))).alias("m")
+    )
+    pick = (
+        pre.join(F.broadcast(best), "event_type")
+        .where(F.abs(F.col("ns_k")) == F.col("m"))
+        .groupBy("event_type")
+        .agg(F.min(F.struct("x", "day", "py", "n", "s", "m")).alias("r"))
+        .select(
+            "event_type",
+            F.col("r.day").alias("change_day"),
+            F.round(
+                F.col("r.m").cast("double") / F.col("r.n").cast("double"), 6
+            ).alias("cusum_dev"),
+            F.round(
+                F.col("r.py").cast("double")
+                / (F.col("r.x") + 1).cast("double"),
+                6,
+            ).alias("mean_before"),
+            F.round(
+                (F.col("r.s") - F.col("r.py")).cast("double")
+                / (F.col("r.n") - F.col("r.x") - 1).cast("double"),
+                6,
+            ).alias("mean_after"),
+        )
+    )
+    return pick.orderBy("event_type")
+
+
+Q_CHANGEPOINT_CUSUM_SQL = """
+with cells as (
+  select event_type, strftime(ts, '%Y-%m-%d') as "day", count(*) cnt
+  from events group by 1, 2
+),
+days as (select distinct "day" from cells),
+types as (select distinct event_type from cells),
+base as (select min("day") d0 from days),
+grid as (
+  select t.event_type, d."day",
+         (d."day"::DATE - b.d0::DATE)::BIGINT x,
+         coalesce(c.cnt, 0)::BIGINT y
+  from days d cross join types t cross join base b
+  left join cells c on c.event_type = t.event_type and c."day" = d."day"
+),
+tot as (
+  select event_type, count(*)::HUGEINT n, sum(y)::HUGEINT s
+  from grid group by event_type
+),
+pre as (
+  select g.event_type, g."day", g.x,
+         sum(g.y) over (partition by g.event_type order by g.x
+                        rows between unbounded preceding
+                        and current row)::HUGEINT py,
+         t.n, t.s
+  from grid g join tot t using (event_type)
+),
+dev as (
+  select event_type, "day", x, py, n, s,
+         (n * py - (x + 1) * s) ns_k
+  from pre where x < n - 1
+),
+best as (select event_type, max(abs(ns_k)) m from dev group by event_type),
+pick as (
+  select d.event_type, d."day", d.x, d.py, d.n, d.s, b.m,
+         row_number() over (partition by d.event_type order by d.x) rn
+  from dev d join best b using (event_type)
+  where abs(d.ns_k) = b.m
+)
+select event_type, "day" change_day,
+       round(m::DOUBLE / n::DOUBLE, 6) cusum_dev,
+       round(py::DOUBLE / (x + 1)::DOUBLE, 6) mean_before,
+       round((s - py)::DOUBLE / (n - x - 1)::DOUBLE, 6) mean_after
+from pick where rn = 1 order by event_type
+"""
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease profile per (lang, source) — the curation
+    lens that separates prose from boilerplate/code soup. Per doc:
+    words (non-empty tokens), sentences (runs of .!? — floor 1),
+    syllables (runs of [aeiouy] in the lowercased text — the standard
+    cheap heuristic), then FRE = 206.835 - 1.015*(W/S) - 84.6*(Y/W).
+    Grouped: doc counts, average words, average FRE, and the share of
+    "plain English" docs (FRE >= 60) — a ready-made quality gate.
+
+    Determinism: the three per-doc counts are exact integers, so the
+    per-doc FRE doubles are bit-identical in both engines; each is
+    quantized to integer micro-units BEFORE the group sums
+    (quantize-then-sum), and each output divides exact integers once,
+    round(6).
+
+    Scale shape: pure scan-speed projection (regexp counts per row)
+    into one map-combined aggregate over the small (lang, source)
+    grid; no shuffle carries text."""
+    d = load(spark, sf_dir, "documents").select(
+        "lang", "source", F.lower(F.col("text")).alias("t")
+    )
+    per = d.select(
+        "lang",
+        "source",
+        F.greatest(
+            F.lit(1),
+            F.size(F.filter(F.split("t", " "), lambda x: x != F.lit(""))),
+        )
+        .cast("bigint")
+        .alias("w"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.expr("regexp_extract_all(t, '[.!?]+', 0)")),
+        )
+        .cast("bigint")
+        .alias("s"),
+        F.size(F.expr("regexp_extract_all(t, '[aeiouy]+', 0)"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    scored = per.select(
+        "lang",
+        "source",
+        "w",
+        F.round(
+            (
+                F.lit(206.835)
+                - F.lit(1.015)
+                * (F.col("w").cast("double") / F.col("s").cast("double"))
+                - F.lit(84.6)
+                * (F.col("y").cast("double") / F.col("w").cast("double"))
+            )
+            * F.lit(1e6),
+            0,
+        )
+        .cast("long")
+        .alias("fre_u"),
+    )
+    return (
+        scored.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("w").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_words"),
+            F.round(
+                F.sum("fre_u") / (F.count(F.lit(1)) * F.lit(1e6)), 6
+            ).alias("avg_fre"),
+            F.round(
+                F.sum(
+                    F.when(F.col("fre_u") >= 60000000, F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("plain_share"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+Q_TEXT_READABILITY_SQL = """
+with d as (select lang, source, lower(text) t from documents),
+per as (
+  select lang, source,
+         greatest(1, len(list_filter(string_split(t, ' '),
+                                     x -> x <> '')))::BIGINT w,
+         greatest(1, len(regexp_extract_all(t, '[.!?]+')))::BIGINT s,
+         len(regexp_extract_all(t, '[aeiouy]+'))::BIGINT y
+  from d
+),
+scored as (
+  select lang, source, w,
+         round((206.835 - 1.015 * (w::DOUBLE / s::DOUBLE)
+                - 84.6 * (y::DOUBLE / w::DOUBLE)) * 1e6, 0)::BIGINT fre_u
+  from per
+)
+select lang, source, count(*)::BIGINT n_docs,
+       round(sum(w)::DOUBLE / count(*), 6) avg_words,
+       round(sum(fre_u) / (count(*) * 1e6), 6) avg_fre,
+       round(sum(case when fre_u >= 60000000 then 1 else 0 end)::DOUBLE
+             / count(*), 6) plain_share
+from scored group by lang, source order by lang, source
+"""
+
+
 _JS_TOP_V = 2000
 
 
@@ -10046,6 +10291,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_concentration": q_gini_concentration,
         "benford_dq": q_benford_dq,
         "events_autocorrelation": q_events_autocorrelation,
+        "changepoint_cusum": q_changepoint_cusum,
+        "text_readability": q_text_readability,
         "rollup_incremental": q_rollup_incremental,
         "data_mixture_plan": q_data_mixture_plan,
         "mixture_sample": q_mixture_sample,
@@ -10331,6 +10578,8 @@ from s group by cluster_size order by cluster_size
         "gini_concentration": Q_GINI_CONCENTRATION_SQL,
         "benford_dq": Q_BENFORD_DQ_SQL,
         "events_autocorrelation": Q_EVENTS_AUTOCORRELATION_SQL,
+        "changepoint_cusum": Q_CHANGEPOINT_CUSUM_SQL,
+        "text_readability": Q_TEXT_READABILITY_SQL,
         "rollup_incremental": Q_ROLLUP_INCREMENTAL_SQL,
         "data_mixture_plan": Q_DATA_MIXTURE_SQL,
         "mixture_sample": Q_MIXTURE_SAMPLE_SQL,
