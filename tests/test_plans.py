@@ -737,3 +737,30 @@ def test_nb_roc_km_js_plan_shapes(spark):
     s = simple_plan(q.queries()["source_term_js"](spark, SF))
     assert "SortMergeJoin" not in s, s
     assert "BroadcastHashJoin" in s and "Window" not in s, s
+
+
+def test_round5_analytics_plan_shapes(spark):
+    # chi2_terms: the per-lang top-k is ranked_head's partial top-k —
+    # a WindowGroupLimit PAIR straddling the exchange, so hot langs
+    # never ship their full scored vocab to one reducer
+    s = simple_plan(q.queries()["chi2_terms"](spark, SF))
+    assert s.count("WindowGroupLimit") == 2, s
+    # event_seq_ngrams: the global top-k is a TakeOrdered (heap per
+    # partition, K rows to the driver), never a full global sort
+    s = simple_plan(q.queries()["event_seq_ngrams"](spark, SF))
+    assert "TakeOrderedAndProject" in s, s
+    assert "CartesianProduct" not in s, s
+    # pareto_frontier: range/bucket/frontier tables all join back by
+    # broadcast; no cartesian anywhere in the prune-then-finish chain
+    s = simple_plan(q.queries()["pareto_frontier"](spark, SF))
+    assert "CartesianProduct" not in s, s
+    # events_autocorrelation: lag pairing is an equi-join over the
+    # metadata-sized day grid, the 1-row totals broadcast
+    s = simple_plan(q.queries()["events_autocorrelation"](spark, SF))
+    assert "CartesianProduct" not in s, s
+    # benford_dq / text_readability: scan-speed projections into one
+    # map-combined aggregate — no shuffle join touches the fact scan
+    s = simple_plan(q.queries()["benford_dq"](spark, SF))
+    assert "SortMergeJoin" not in s and "Window" not in s, s
+    s = simple_plan(q.queries()["text_readability"](spark, SF))
+    assert "Window" not in s and "SortMergeJoin" not in s, s
