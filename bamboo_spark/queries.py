@@ -8239,6 +8239,254 @@ from scored group by lang, source order by lang, source
 """
 
 
+def q_vocab_growth(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 50
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct tokens
+    vs cumulative token volume over ``n_buckets`` doc-id slices, plus
+    the fitted Heaps exponent beta (slope of the log-log OLS). The
+    corpus-scaling monitor that answers "does more data still buy new
+    vocabulary, or are we re-crawling the same text?" — a flattening
+    curve (beta -> 0) at the corpus tail is a staleness signal.
+
+    Determinism: a token's arrival slice is the bucket of its MIN
+    doc_id (an exact integer aggregate); bucket ids are integer range
+    buckets from a 1-row broadcast min/max; cumulative sums are
+    integers; the log-log regression quantizes ln(x)/ln(y) to integer
+    micro-units per bucket BEFORE the OLS sufficient statistics, so
+    the double sums never see order-dependent addition.
+
+    Scale shape: the token scan and its min-doc_id aggregate are the
+    only data-sized shuffles; everything after lives on the
+    ``n_buckets``-row curve (prefix windows + one tiny OLS reduce,
+    broadcast back as one row)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    rng = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    bexpr = "cast((doc_id - lo) div ((hi - lo) div {b} + 1) as bigint)".format(
+        b=n_buckets
+    )
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).where(F.col("t") != "")
+    toks_per_bucket = (
+        tok.crossJoin(F.broadcast(rng))
+        .select(F.expr(bexpr).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    first_doc = tok.groupBy("t").agg(F.min("doc_id").alias("doc_id"))
+    new_per_bucket = (
+        first_doc.crossJoin(F.broadcast(rng))
+        .select(F.expr(bexpr).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    docs_per_bucket = (
+        d.crossJoin(F.broadcast(rng))
+        .select(F.expr(bexpr).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        docs_per_bucket.join(toks_per_bucket, "b", "left")
+        .join(new_per_bucket, "b", "left")
+        .select(
+            "b",
+            F.sum("n_docs").over(wc).alias("cum_docs"),
+            F.sum(F.coalesce(F.col("n_tok"), F.lit(0)))
+            .over(wc)
+            .alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(wc)
+            .alias("cum_vocab"),
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("new_vocab"),
+        )
+    )
+    dec = "decimal(38,0)"
+    pts = curve.where(
+        (F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0)
+    ).select(
+        F.round(F.log(F.col("cum_tokens").cast("double")) * 1e6, 0)
+        .cast("long")
+        .cast(dec)
+        .alias("lx"),
+        F.round(F.log(F.col("cum_vocab").cast("double")) * 1e6, 0)
+        .cast("long")
+        .cast(dec)
+        .alias("ly"),
+    )
+    ols = pts.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    ).select(
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+            ).cast("double"),
+            6,
+        ).alias("heaps_beta")
+    )
+    return (
+        curve.crossJoin(F.broadcast(ols))
+        .select(
+            F.col("b").alias("bucket"),
+            "cum_docs",
+            "cum_tokens",
+            "cum_vocab",
+            "new_vocab",
+            "heaps_beta",
+        )
+        .orderBy("bucket")
+    )
+
+
+Q_VOCAB_GROWTH_SQL = """
+with d as (select doc_id, text from documents),
+rng as (select min(doc_id) lo, max(doc_id) hi from d),
+tok as (
+  select doc_id, t from (
+    select doc_id, unnest(string_split(text, ' ')) t from d
+  ) where t <> ''
+),
+tb as (
+  select (doc_id - rng.lo) // ((rng.hi - rng.lo) // 50 + 1) b,
+         count(*)::BIGINT n_tok
+  from tok cross join rng group by 1
+),
+fd as (select t, min(doc_id) doc_id from tok group by t),
+nb as (
+  select (doc_id - rng.lo) // ((rng.hi - rng.lo) // 50 + 1) b,
+         count(*)::BIGINT n_new
+  from fd cross join rng group by 1
+),
+db as (
+  select (doc_id - rng.lo) // ((rng.hi - rng.lo) // 50 + 1) b,
+         count(*)::BIGINT n_docs
+  from d cross join rng group by 1
+),
+curve as (
+  select db.b,
+         sum(db.n_docs) over w cum_docs,
+         sum(coalesce(tb.n_tok, 0)) over w cum_tokens,
+         sum(coalesce(nb.n_new, 0)) over w cum_vocab,
+         coalesce(nb.n_new, 0) new_vocab
+  from db left join tb using (b) left join nb using (b)
+  window w as (order by db.b rows between unbounded preceding
+               and current row)
+),
+pts as (
+  select round(ln(cum_tokens::DOUBLE) * 1e6, 0)::HUGEINT lx,
+         round(ln(cum_vocab::DOUBLE) * 1e6, 0)::HUGEINT ly
+  from curve where cum_tokens > 0 and cum_vocab > 0
+),
+ols as (
+  select round((count(*)::HUGEINT * sum(lx * ly) - sum(lx) * sum(ly))::DOUBLE
+               / (count(*)::HUGEINT * sum(lx * lx)
+                  - sum(lx) * sum(lx))::DOUBLE, 6) heaps_beta
+  from pts
+)
+select b bucket, cum_docs::BIGINT cum_docs, cum_tokens::BIGINT cum_tokens,
+       cum_vocab::BIGINT cum_vocab, new_vocab, ols.heaps_beta
+from curve cross join ols order by bucket
+"""
+
+
+def q_negative_sampling_table(
+    spark: SparkSession, sf_dir: str, top_v: int = 1000
+) -> DataFrame:
+    """Word2vec-style negative-sampling table: the ``top_v`` most
+    frequent tokens with sampling probability proportional to
+    count^0.75 (the Mikolov smoothing that keeps rare-word negatives
+    reachable), plus each token's half-open cumulative range in
+    micro-units — ready for "draw u ~ uniform(0, total); binary-search
+    the range" samplers on any engine.
+
+    Determinism: counts are exact integers; count^0.75 is one pow on
+    identical doubles, quantized to integer micro-units BEFORE the
+    normalizing sum and prefix ranges (quantize-then-sum), so ranges
+    are exact integers; rank ties break on the token string.
+
+    Scale shape: one map-combined token count is the only data-sized
+    shuffle; the top-V cap is a TakeOrdered (never a global sort); the
+    prefix window runs over the V-row table only."""
+    d = load(spark, sf_dir, "documents").select("text")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "t")
+        .limit(top_v)
+    )
+    wgt = counts.select(
+        "t",
+        "n",
+        F.round(F.pow(F.col("n").cast("double"), F.lit(0.75)) * 1e6, 0)
+        .cast("long")
+        .alias("wu"),
+    )
+    tot = wgt.agg(F.sum("wu").alias("_tot"))
+    wr = Window.orderBy(F.col("n").desc(), "t")
+    wcum = Window.orderBy(F.col("n").desc(), "t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        wgt.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number().over(wr).cast("bigint").alias("rank"),
+            F.col("t").alias("token"),
+            "n",
+            F.round(F.col("wu").cast("double") / F.col("_tot"), 6).alias(
+                "p"
+            ),
+            F.coalesce(F.sum("wu").over(wcum), F.lit(0))
+            .cast("bigint")
+            .alias("cum_lo"),
+            (
+                F.coalesce(F.sum("wu").over(wcum), F.lit(0)) + F.col("wu")
+            )
+            .cast("bigint")
+            .alias("cum_hi"),
+        )
+        .orderBy("rank")
+    )
+
+
+Q_NEGATIVE_SAMPLING_SQL = """
+with tok as (
+  select t from (
+    select unnest(string_split(text, ' ')) t from documents
+  ) where t <> ''
+),
+counts as (
+  select t, count(*)::BIGINT n from tok group by t
+  order by n desc, t limit 1000
+),
+wgt as (
+  select t, n, round(pow(n::DOUBLE, 0.75) * 1e6, 0)::BIGINT wu from counts
+),
+tot as (select sum(wu) tw from wgt),
+ranked as (
+  select row_number() over (order by n desc, t) rnk, t, n, wu,
+         coalesce(sum(wu) over (order by n desc, t
+                                rows between unbounded preceding
+                                and 1 preceding), 0) cum_lo
+  from wgt
+)
+select rnk::BIGINT rank, t token, n,
+       round(wu::DOUBLE / tot.tw, 6) p,
+       cum_lo::BIGINT cum_lo, (cum_lo + wu)::BIGINT cum_hi
+from ranked cross join tot order by rank
+"""
+
+
 _JS_TOP_V = 2000
 
 
@@ -10293,6 +10541,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_autocorrelation": q_events_autocorrelation,
         "changepoint_cusum": q_changepoint_cusum,
         "text_readability": q_text_readability,
+        "vocab_growth": q_vocab_growth,
+        "negative_sampling_table": q_negative_sampling_table,
         "rollup_incremental": q_rollup_incremental,
         "data_mixture_plan": q_data_mixture_plan,
         "mixture_sample": q_mixture_sample,
@@ -10580,6 +10830,8 @@ from s group by cluster_size order by cluster_size
         "events_autocorrelation": Q_EVENTS_AUTOCORRELATION_SQL,
         "changepoint_cusum": Q_CHANGEPOINT_CUSUM_SQL,
         "text_readability": Q_TEXT_READABILITY_SQL,
+        "vocab_growth": Q_VOCAB_GROWTH_SQL,
+        "negative_sampling_table": Q_NEGATIVE_SAMPLING_SQL,
         "rollup_incremental": Q_ROLLUP_INCREMENTAL_SQL,
         "data_mixture_plan": Q_DATA_MIXTURE_SQL,
         "mixture_sample": Q_MIXTURE_SAMPLE_SQL,
