@@ -1702,10 +1702,16 @@ def components_incremental(
     )
 
 
+# shared peel budget: kcore_edges iterates (with convergence detection)
+# and kcore_duck unrolls to the SAME depth, so the oracle reaches any
+# fixpoint the Spark side can reach within budget
+KCORE_MAX_ROUNDS = 20
+
+
 def kcore_edges(
     pairs: DataFrame,
     k: int = 2,
-    max_rounds: int = 20,
+    max_rounds: int = KCORE_MAX_ROUNDS,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
 ) -> DataFrame:
@@ -1764,11 +1770,14 @@ def kcore_edges(
     return edges
 
 
-def kcore_duck(pairs_sql: str, k: int = 2, rounds: int = 8) -> str:
-    """DuckDB oracle: the same peel, unrolled ``rounds`` deep (the test
-    corpora's peel depth is 1-2; 8 is the safety margin — the Spark
-    side runs to its true fixpoint, so a mismatch would surface as a
-    parity failure, not silent truncation)."""
+def kcore_duck(
+    pairs_sql: str, k: int = 2, rounds: int = KCORE_MAX_ROUNDS
+) -> str:
+    """DuckDB oracle: the same peel, unrolled ``rounds`` deep — the
+    SAME budget as ``kcore_edges``'s ``max_rounds`` default, so on any
+    graph the Spark side can finish within budget the oracle reaches
+    the identical fixpoint (a deeper-than-budget graph would fail
+    parity loudly on both sides rather than silently truncate)."""
     lines = [
         "with pr as materialized (%s)," % pairs_sql.strip().rstrip(";"),
         "e0 as (select doc_a a, doc_b b from pr"

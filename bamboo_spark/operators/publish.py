@@ -5,25 +5,35 @@ the directory mid-write sees partial files, and a failed job leaves a
 corrupt mix. Table formats (Iceberg/Delta) fix this with ONE idea:
 readers never list directories; they read a MANIFEST, and a commit is
 one atomic swap of that manifest. This module is that idea reduced to
-its core, POSIX-rename edition:
+its core:
 
 * ``atomic_publish(df, table_dir)`` writes data files into a
   version-private directory (``_v<N>/``), then commits by atomically
-  replacing ``manifest.json`` (os.replace — atomic on POSIX within a
-  filesystem). Readers observe the old snapshot or the new one, never
-  a mix; a crashed write leaves an orphan ``_v<N>`` directory and an
-  untouched manifest (still-consistent table).
+  replacing ``manifest.json``. Readers observe the old snapshot or the
+  new one, never a mix; a crashed write leaves an orphan ``_v<N>``
+  directory and an untouched manifest (still-consistent table).
 * ``read_published(spark, table_dir)`` loads exactly the committed
   snapshot's files.
 * ``vacuum(table_dir, keep)`` removes uncommitted/superseded version
   directories — safe because the manifest is the only source of truth.
 
+Filesystem backends: a PLAIN path uses POSIX ``os.replace`` (atomic
+within a filesystem); a URI path (``file:``, ``hdfs:``, ``s3a:`` …)
+routes every metadata operation through Hadoop's ``FileSystem`` /
+``FileContext`` JVM API — the same protocol, committed by
+``FileContext.rename(OVERWRITE)`` (atomic on HDFS and local). On
+object stores whose rename is copy+delete the manifest file is small
+and the manifest POINTER remains the single commit point: a reader
+sees the complete old manifest or the complete new one, because the
+copy happens under a temporary name and the final PUT is
+last-writer-wins on the whole object.
+
 Scale notes: the data write is an ordinary distributed parquet job;
 only the manifest swap is driver-side, and the manifest holds file
-PATHS (metadata-sized). On object stores without atomic rename the
-same protocol rides a conditional PUT — the shape is identical. The
-manifest also records row count and schema, giving readers a free
-contract check.
+PATHS (metadata-sized). The row count is captured with
+``DataFrame.observe`` DURING the snapshot write — one pass, no
+re-scan. The manifest also records row count and schema, giving
+readers a free contract check.
 """
 
 from __future__ import annotations
@@ -38,59 +48,168 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFEST = "manifest.json"
 
 
-def _manifest_path(table_dir: str) -> str:
-    return os.path.join(table_dir, _MANIFEST)
+class _PosixFS:
+    """Local-path backend: stdlib calls, ``os.replace`` commit."""
+
+    def join(self, *parts: str) -> str:
+        return os.path.join(*parts)
+
+    def mkdirs(self, d: str) -> None:
+        os.makedirs(d, exist_ok=True)
+
+    def listdir(self, d: str) -> List[str]:
+        return os.listdir(d)
+
+    def read_text(self, p: str) -> str:
+        with open(p) as fh:
+            return fh.read()
+
+    def replace_with(self, content: str, dst: str, tmp_suffix: str) -> None:
+        tmp = dst + tmp_suffix
+        with open(tmp, "w") as fh:
+            fh.write(content)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, dst)  # THE commit point
+
+    def rmtree(self, d: str) -> None:
+        import shutil
+
+        shutil.rmtree(d)
 
 
-def current_version(table_dir: str) -> int:
+class _HadoopFS:
+    """URI backend: Hadoop ``FileSystem`` for IO + listing,
+    ``FileContext.rename(OVERWRITE)`` for the atomic manifest swap."""
+
+    def __init__(self, uri: str, spark: SparkSession):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._juri = self._jvm.java.net.URI.create(uri)
+        self._fs = self._jvm.org.apache.hadoop.fs.FileSystem.get(
+            self._juri, self._conf
+        )
+        self._gw = spark.sparkContext._gateway
+
+    def _path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def join(self, *parts: str) -> str:
+        return "/".join(x.rstrip("/") for x in parts[:-1]) + "/" + parts[-1]
+
+    def mkdirs(self, d: str) -> None:
+        self._fs.mkdirs(self._path(d))
+
+    def listdir(self, d: str) -> List[str]:
+        return [
+            s.getPath().getName()
+            for s in self._fs.listStatus(self._path(d))
+        ]
+
+    def read_text(self, p: str) -> str:
+        stream = self._fs.open(self._path(p))
+        baos = self._jvm.java.io.ByteArrayOutputStream()
+        self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+            stream, baos, self._conf, True
+        )
+        return baos.toString("UTF-8")
+
+    def replace_with(self, content: str, dst: str, tmp_suffix: str) -> None:
+        tmp = dst + tmp_suffix
+        out = self._fs.create(self._path(tmp), True)
+        out.write(bytearray(content.encode("utf-8")))
+        out.hsync()
+        out.close()
+        fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            self._juri, self._conf
+        )
+        rename_cls = getattr(
+            self._jvm.org.apache.hadoop.fs, "Options$Rename"
+        )
+        opts = self._gw.new_array(rename_cls, 1)
+        opts[0] = rename_cls.OVERWRITE
+        fc.rename(self._path(tmp), self._path(dst), opts)  # THE commit
+
+    def rmtree(self, d: str) -> None:
+        self._fs.delete(self._path(d), True)
+
+
+def _is_uri(p: str) -> bool:
+    head = p.split("://", 1)[0] if "://" in p else ""
+    return bool(head) and head.isalnum() or p.startswith("file:")
+
+
+def _fs_for(table_dir: str, spark: Optional[SparkSession] = None):
+    if not _is_uri(table_dir):
+        return _PosixFS()
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "publish: a URI table_dir needs an active SparkSession "
+            "(the Hadoop FileSystem API lives in the JVM)"
+        )
+    return _HadoopFS(table_dir, spark)
+
+
+def _manifest_path(table_dir: str, fs) -> str:
+    return fs.join(table_dir, _MANIFEST)
+
+
+def current_version(
+    table_dir: str, spark: Optional[SparkSession] = None
+) -> int:
     """Committed snapshot version, 0 if the table doesn't exist yet."""
+    fs = _fs_for(table_dir, spark)
     try:
-        with open(_manifest_path(table_dir)) as fh:
-            return int(json.load(fh)["version"])
-    except (OSError, ValueError, KeyError):
+        return int(json.loads(fs.read_text(_manifest_path(table_dir, fs)))["version"])
+    except Exception:
         return 0
 
 
 def atomic_publish(df: DataFrame, table_dir: str) -> int:
     """Write ``df`` as the table's next snapshot and commit it
-    atomically. Returns the committed version number."""
-    os.makedirs(table_dir, exist_ok=True)
+    atomically. Returns the committed version number. The manifest row
+    count is observed during the write — no second scan."""
+    from pyspark.sql import Observation, functions as F
+
+    fs = _fs_for(table_dir, df.sparkSession)
+    fs.mkdirs(table_dir)
     # next version must clear BOTH the committed manifest and any
     # orphan _v<K> left by a writer that died before its commit
     orphans = [
         int(d[2:])
-        for d in os.listdir(table_dir)
+        for d in fs.listdir(table_dir)
         if d.startswith("_v") and d[2:].isdigit()
     ]
-    version = max([current_version(table_dir)] + orphans) + 1
-    vdir = os.path.join(table_dir, "_v%d" % version)
-    df.write.parquet(vdir)
+    version = max([current_version(table_dir, df.sparkSession)] + orphans) + 1
+    vdir = fs.join(table_dir, "_v%d" % version)
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.parquet(vdir)
+    n_rows = int(obs.get["n"])
     files = sorted(
-        os.path.join("_v%d" % version, f)
-        for f in os.listdir(vdir)
+        "_v%d/%s" % (version, f)
+        for f in fs.listdir(vdir)
         if f.endswith(".parquet")
     )
-    n_rows = df.sparkSession.read.parquet(vdir).count()
     manifest = {
         "version": version,
         "files": files,
         "n_rows": n_rows,
         "schema": df.schema.json(),
     }
-    tmp = _manifest_path(table_dir) + ".tmp.%d" % version
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, _manifest_path(table_dir))  # THE commit point
+    fs.replace_with(
+        json.dumps(manifest),
+        _manifest_path(table_dir, fs),
+        ".tmp.%d" % version,
+    )
     return version
 
 
 def read_published(spark: SparkSession, table_dir: str) -> DataFrame:
     """Read exactly the committed snapshot (manifest-listed files)."""
-    with open(_manifest_path(table_dir)) as fh:
-        manifest = json.load(fh)
-    paths = [os.path.join(table_dir, f) for f in manifest["files"]]
+    fs = _fs_for(table_dir, spark)
+    manifest = json.loads(fs.read_text(_manifest_path(table_dir, fs)))
+    paths = [fs.join(table_dir, f) for f in manifest["files"]]
     if not paths:
         from pyspark.sql import types as T
 
@@ -100,28 +219,31 @@ def read_published(spark: SparkSession, table_dir: str) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
-def published_rows(table_dir: str) -> int:
+def published_rows(
+    table_dir: str, spark: Optional[SparkSession] = None
+) -> int:
     """The committed snapshot's row count — from the manifest alone."""
-    with open(_manifest_path(table_dir)) as fh:
-        return int(json.load(fh)["n_rows"])
+    fs = _fs_for(table_dir, spark)
+    return int(json.loads(fs.read_text(_manifest_path(table_dir, fs)))["n_rows"])
 
 
-def vacuum(table_dir: str, keep: int = 2) -> List[str]:
+def vacuum(
+    table_dir: str, keep: int = 2, spark: Optional[SparkSession] = None
+) -> List[str]:
     """Delete version directories older than the newest ``keep`` that
     are NOT the committed one. Returns the removed directory names.
     Safe by construction: readers resolve files only through the
     manifest, so an uncommitted or superseded ``_v<N>`` is garbage."""
-    import shutil
-
-    committed = current_version(table_dir)
+    fs = _fs_for(table_dir, spark)
+    committed = current_version(table_dir, spark)
     removed = []
     versions = sorted(
         int(d[2:])
-        for d in os.listdir(table_dir)
+        for d in fs.listdir(table_dir)
         if d.startswith("_v") and d[2:].isdigit()
     )
     for v in versions[:-keep] if keep else versions:
         if v != committed:
-            shutil.rmtree(os.path.join(table_dir, "_v%d" % v))
+            fs.rmtree(fs.join(table_dir, "_v%d" % v))
             removed.append("_v%d" % v)
     return removed

@@ -15,6 +15,8 @@ from typing import List, Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from bamboo_spark.operators._cache import tracked_persist
+
 SALT = "__bamboo_salt"
 
 
@@ -676,3 +678,88 @@ def suggest_salt(
         if salt > 1:
             out.append(tuple(r[k] for k in keys) + (n, int(salt)))
     return out
+
+
+def sharded_prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    sum_cols: Sequence[str],
+    shards: int = 32,
+    out_prefix: str = "pre_",
+) -> DataFrame:
+    """EXCLUSIVE (strictly-preceding) prefix sums of ``sum_cols`` in
+    ``order_col`` order — WITHOUT the single-partition global window a
+    naive ``Window.orderBy`` plans. Adds ``<out_prefix><col>`` columns.
+
+    The two-phase distributed prefix scan (the ``pack.token_offsets``
+    shape generalized): range-shard rows on ``order_col`` (integer
+    arithmetic on min/max — one metadata-sized agg), window WITHIN each
+    shard, collect the <= ``shards`` per-shard subtotals, prefix-sum
+    them on the driver, and broadcast the per-shard bases back. No
+    window partition ever holds more than one shard's rows; driver
+    traffic is ``shards`` rows.
+
+    Contract: ``order_col`` values must be DISTINCT per row (the
+    histogram/offset shape this serves) — with ties, which row of a tie
+    precedes which is partition-relative, so "strictly preceding" would
+    not be well-defined globally. ``sum_cols`` accumulate as BIGINT.
+    """
+    cols = list(sum_cols)
+    row = df.agg(
+        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+    ).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    if lo is None:  # empty input: zero-filled prefixes, zero rows
+        return df.select(
+            "*", *[F.lit(0).cast("bigint").alias(out_prefix + c) for c in cols]
+        )
+    width = (int(hi) - int(lo)) // shards + 1
+    sharded = tracked_persist(
+        df.withColumn(
+            "__shard",
+            F.expr(
+                "cast((%s - %d) div %d as int)" % (order_col, int(lo), width)
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = sharded.select(
+        "*",
+        *[
+            F.coalesce(F.sum(F.col(c).cast("bigint")).over(w), F.lit(0))
+            .cast("bigint")
+            .alias("__loc_" + c)
+            for c in cols
+        ],
+    )
+    totals = (
+        sharded.groupBy("__shard")
+        .agg(*[F.sum(F.col(c).cast("bigint")).alias(c) for c in cols])
+        .orderBy("__shard")
+        .collect()
+    )
+    bases, acc = [], {c: 0 for c in cols}
+    for r in totals:
+        bases.append(tuple([r["__shard"]] + [acc[c] for c in cols]))
+        for c in cols:
+            acc[c] += int(r[c])
+    base_df = df.sparkSession.createDataFrame(
+        bases,
+        "__shard int, " + ", ".join("__base_%s long" % c for c in cols),
+    )
+    return (
+        local.join(F.broadcast(base_df), "__shard")
+        .select(
+            *[f.name for f in df.schema.fields],
+            *[
+                (F.col("__base_" + c) + F.col("__loc_" + c))
+                .cast("bigint")
+                .alias(out_prefix + c)
+                for c in cols
+            ],
+        )
+    )

@@ -63,6 +63,11 @@ def cms_build(
     DataFrame (hash_row int, bucket int, n bigint) with at most
     depth*width rows — the mergeable standing state.
 
+    Null and empty-string items are dropped — the SAME rule as the
+    streaming ``cms_stream`` — so a batch grid and a stream-replay grid
+    of the same corpus are unconditionally equal cell-for-cell and safe
+    to ``cms_merge`` without callers having to pre-filter.
+
     Scale shape: explode to ``depth`` rows per occurrence, then ONE
     hash-aggregate on (hash_row, bucket). Partial aggregation bounds
     every map task's output at depth*width rows, so the shuffle volume
@@ -73,6 +78,7 @@ def cms_build(
     w = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
     return (
         df.select(F.col(item_col).cast("string").alias("_it"), w.alias("_w"))
+        .where(F.col("_it").isNotNull() & (F.col("_it") != ""))
         .select(
             F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("hash_row"),
             "_it",
@@ -140,10 +146,12 @@ def cms_build_duck(
 ) -> str:
     """DuckDB oracle twin of :func:`cms_build`: ``item_sql_rows`` is a
     query producing one row per occurrence with column ``it`` (varchar).
-    Returns SQL for the (hash_row, bucket, n) grid."""
+    Returns SQL for the (hash_row, bucket, n) grid — with the same
+    null/empty-item drop rule as the engine side."""
     return """
 select r hash_row, {b} bucket, count(*)::BIGINT n
-from ({src}) occ, (select unnest(range(0, {d})) r)
+from (select it from ({src}) where it is not null and it <> '') occ,
+     (select unnest(range(0, {d})) r)
 group by 1, 2
 """.format(src=item_sql_rows, b=bucket_duck("it", "r", width), d=depth)
 

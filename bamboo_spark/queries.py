@@ -7543,7 +7543,10 @@ order by n desc, t1, t2, t3 limit 25
 
 
 def q_pareto_frontier(
-    spark: SparkSession, sf_dir: str, buckets: int = 256
+    spark: SparkSession,
+    sf_dir: str,
+    buckets: int = 256,
+    max_survivors: int = 1_000_000,
 ) -> DataFrame:
     """Exact 2-D skyline (Pareto frontier) of suppliers: maximize
     total revenue, minimize average ship delay — the supplier-review
@@ -7563,10 +7566,15 @@ def q_pareto_frontier(
     higher bucket's min-delay representative is provably off the
     frontier, so the exact sorted prefix-min pass runs only on the
     survivors — at most ~(buckets + |frontier|) points for correlated
-    data. (An anti-correlated worst case keeps more survivors; that
-    cost is intrinsic to exact skylines.) The oracle is the naive
-    NOT-EXISTS dominance anti-join, so the prune's losslessness is
-    value-gated, not asserted."""
+    data. An anti-correlated worst case keeps O(n) survivors — that
+    cost is INTRINSIC to exact skylines — so the prune is guarded:
+    survivors are persisted, counted (a metadata-sized action over the
+    per-supplier frame), and if the count exceeds ``max_survivors`` the
+    query raises rather than silently planning a near-global sorted
+    window; callers on adversarial data should quantize an axis or
+    accept an approximate frontier. The oracle is the naive NOT-EXISTS
+    dominance anti-join, so the prune's losslessness is value-gated,
+    not asserted."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_suppkey",
@@ -7621,9 +7629,20 @@ def q_pareto_frontier(
         Window.unboundedPreceding, -1
     )
     above = bmin.select("b", F.min("m").over(wb).alias("above_min"))
-    sv = per2.join(F.broadcast(above), "b", "left").where(
-        F.col("above_min").isNull() | (F.col("above_min") > F.col("delay_u"))
+    sv = _tracked_persist(
+        per2.join(F.broadcast(above), "b", "left").where(
+            F.col("above_min").isNull()
+            | (F.col("above_min") > F.col("delay_u"))
+        )
     )
+    n_sv = sv.count()
+    if n_sv > max_survivors:
+        raise RuntimeError(
+            "pareto frontier: bucket prune left %d survivors "
+            "(> max_survivors=%d) — anti-correlated axes make the exact "
+            "skyline O(n); quantize an axis or raise the guard"
+            % (n_sv, max_survivors)
+        )
     pts = sv.select("rev_c", "delay_u").distinct()
     wp = Window.orderBy(F.col("rev_c").desc(), F.col("delay_u")).rowsBetween(
         Window.unboundedPreceding, -1
@@ -7691,23 +7710,26 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: each dimension is one map-combined per-key aggregate
     (the only data-sized shuffles) followed by a value-histogram
-    aggregate; the prefix-sum window runs over DISTINCT values only —
-    bounded by the value domain (price cents / per-key counts), not by
-    rows — and the final reduce is 1 row per dimension."""
+    aggregate; the prefix sums over the histogram run through
+    ``scale.sharded_prefix_sums`` — range-sharded windows plus
+    driver-prefix-summed shard bases (the ``pack.token_offsets``
+    shape) — so NO single-partition sort/window exists even when the
+    "histogram" is all-distinct (per-customer revenue in cents is);
+    the final reduce is 1 row per dimension."""
     dec = "decimal(38,0)"
 
     def gini(vals: DataFrame, dim: str) -> DataFrame:
-        h = vals.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
-        wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-        h2 = h.select(
+        h = (
+            vals.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("cv", (F.col("c") * F.col("v")).cast("bigint"))
+        )
+        hp = scale.sharded_prefix_sums(h, "v", ["c", "cv"])
+        h2 = hp.select(
             F.col("v").cast(dec).alias("v"),
             F.col("c").cast(dec).alias("c"),
-            F.coalesce(F.sum("c").over(wv), F.lit(0)).cast(dec).alias("cl"),
-            F.coalesce(
-                F.sum(F.col("c") * F.col("v")).over(wv), F.lit(0)
-            )
-            .cast(dec)
-            .alias("sl"),
+            F.col("pre_c").cast(dec).alias("cl"),
+            F.col("pre_cv").cast(dec).alias("sl"),
         )
         return h2.agg(
             F.sum(F.col("c")).cast("bigint").alias("n_keys"),
@@ -9929,43 +9951,58 @@ def q_audio_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle replays frame-for-frame. Frames: 32 samples, hop 16
     (50% overlap).
 
-    Scale: one scan; per-row work is O(len); nothing shuffles but the
-    final per-doc rows."""
+    Scale: one scan; per-row work is O(len), SINGLE-PASS by
+    construction — Catalyst does not CSE across lambda invocations, so
+    each frame is sliced exactly ONCE (nested transform binds the slice
+    to a lambda variable) and peak/argmax/zcr fold in ONE ``aggregate``
+    over the frame structs (no ``array_max`` re-scan inside a
+    per-element lambda, which would be O(frames²)); nothing shuffles
+    but the final per-doc rows."""
     frame, hop = 32, 16
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.expr("transform(split(text, ''), ch -> ascii(ch) - 96)").alias("s"),
     ).where(F.size("s") >= frame)
+    # slice each frame ONCE (outer transform), then compute features
+    # over the bound lambda variable f — references to f are array
+    # lookups, never slice re-evaluations
     win = (
-        "transform(sequence(0, cast((size(s) - %d) / %d as int)), w -> "
-        "named_struct("
-        " 'e', aggregate(slice(s, w * %d + 1, %d), 0L, (a, x) -> a + x * x),"
-        # Spark array indexing is 0-based: pairs (frame[i-1], frame[i])
-        # for i in 1..31 == the oracle's 1-based pairs (1,2)..(31,32)
-        " 'z', aggregate(sequence(1, %d), 0L, (a, i) ->"
-        "   a + if(sign(slice(s, w * %d + 1, %d)[i - 1])"
-        "          * sign(slice(s, w * %d + 1, %d)[i]) < 0, 1, 0))"
-        "))"
-        % (frame, hop, hop, frame, frame - 1, hop, frame, hop, frame)
+        "transform("
+        " transform(sequence(0, cast((size(s) - %d) / %d as int)),"
+        "           w -> slice(s, w * %d + 1, %d)),"
+        " f -> named_struct("
+        "  'e', aggregate(f, 0L, (a, x) -> a + x * x),"
+        # Spark array indexing is 0-based: pairs (f[i-1], f[i]) for
+        # i in 1..31 == the oracle's 1-based pairs (1,2)..(31,32)
+        "  'z', aggregate(sequence(1, %d), 0L, (a, i) ->"
+        "    a + if(sign(f[i - 1]) * sign(f[i]) < 0, 1, 0))))"
+        % (frame, hop, hop, frame, frame - 1)
     )
     w = d.select("doc_id", F.expr(win).alias("wins"))
+    # one fold carrying (best energy, its first index, cursor, zcr sum):
+    # strict > keeps the FIRST frame attaining the max, matching the
+    # oracle's first-position rule
+    st = (
+        "aggregate(wins,"
+        " named_struct('be', -1L, 'bi', -1, 'cur', 0, 'zs', 0L),"
+        " (a, x) -> named_struct("
+        "  'be', if(x.e > a.be, x.e, a.be),"
+        "  'bi', if(x.e > a.be, a.cur, a.bi),"
+        "  'cur', a.cur + 1,"
+        "  'zs', a.zs + x.z))"
+    )
     return (
         w.select(
             "doc_id",
             F.expr("size(wins)").cast("bigint").alias("n_frames"),
-            F.expr("array_max(transform(wins, x -> x.e))")
-            .cast("bigint")
-            .alias("peak_energy"),
-            F.expr(
-                "filter(transform(sequence(0, size(wins) - 1), i ->"
-                " named_struct('e', wins[i].e, 'i', i)),"
-                " x -> x.e = array_max(transform(wins, y -> y.e)))[0].i"
-            )
-            .cast("int")
-            .alias("peak_frame"),
-            F.expr("aggregate(wins, 0L, (a, x) -> a + x.z)")
-            .cast("bigint")
-            .alias("total_zcr"),
+            F.expr(st).alias("_st"),
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            F.col("_st.be").cast("bigint").alias("peak_energy"),
+            F.col("_st.bi").cast("int").alias("peak_frame"),
+            F.col("_st.zs").cast("bigint").alias("total_zcr"),
         )
         .orderBy("doc_id")
     )
@@ -9988,15 +10025,15 @@ w as (
                            for i in range(2, 33)])
           ) for wi in range(0, ((len(s) - 32) // 16) + 1)] wins
   from k
+),
+p as (
+  select doc_id, wins, list_max([x.e for x in wins]) pe from w
 )
 select doc_id, len(wins)::BIGINT n_frames,
-       list_max([x.e for x in wins])::BIGINT peak_energy,
-       list_filter([struct_pack(e := wins[i + 1].e, i := i)
-                    for i in range(0, len(wins))],
-                   x -> x.e = list_max([y.e for y in wins]))[1].i::INT
-         peak_frame,
+       pe::BIGINT peak_energy,
+       (list_position([x.e for x in wins], pe) - 1)::INT peak_frame,
        list_sum([x.z for x in wins])::BIGINT total_zcr
-from w order by doc_id
+from p order by doc_id
 """
 
 
@@ -10018,7 +10055,6 @@ def q_dedup_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_norm = d.groupBy(text.normalize_text("text")).agg(F.lit(1)).count()
     pairs = dedup.minhash_lsh_pairs(d, threshold=0.7).select("doc_a", "doc_b")
     comp = dedup.connected_components_converged(pairs)
-    dup_members = comp.where(F.col("doc_id") != F.col("component")).count()
     # near-dup stage keeps one representative per cluster: survivors =
     # normalized-unique docs minus non-representative cluster members
     # that survived normalization. Compute it exactly: representatives

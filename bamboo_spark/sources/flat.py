@@ -126,6 +126,44 @@ _WIDEN_ORDER = [
 ]
 
 
+# max integer digits a value of the type may need, for sizing the
+# decimal that must hold it losslessly (bigint: 9223372036854775807 has
+# 19 digits; boolean widens as 0/1)
+_INT_DIGITS = {"boolean": 1, "tinyint": 3, "smallint": 5, "int": 10, "bigint": 19}
+
+
+def _widen_decimal(a, b):
+    """Least common decimal supertype: keeps max integer digits AND max
+    scale of the two sides (lossless), raising when that exceeds
+    decimal's 38-digit ceiling instead of silently truncating scale."""
+    from pyspark.sql import types as T
+
+    d, o = (a, b) if isinstance(a, T.DecimalType) else (b, a)
+    if isinstance(o, T.DecimalType):
+        ip = max(a.precision - a.scale, b.precision - b.scale)
+        sc = max(a.scale, b.scale)
+    elif o.simpleString() in ("float", "double"):
+        # fractional binary floats have no exact decimal supertype
+        return T.DoubleType()
+    elif o.simpleString() == "string":
+        return T.StringType()
+    elif o.simpleString() in _INT_DIGITS:
+        ip = max(d.precision - d.scale, _INT_DIGITS[o.simpleString()])
+        sc = d.scale
+    else:
+        raise TypeError(
+            "read_union: cannot reconcile %s with %s"
+            % (a.simpleString(), b.simpleString())
+        )
+    if ip + sc > 38:
+        raise TypeError(
+            "read_union: no decimal can hold both %s and %s losslessly "
+            "(needs %d integer digits + scale %d > 38); cast upstream"
+            % (a.simpleString(), b.simpleString(), ip, sc)
+        )
+    return T.DecimalType(ip + sc, sc)
+
+
 def _widen(a, b):
     from pyspark.sql import types as T
 
@@ -135,6 +173,8 @@ def _widen(a, b):
         return b
     if isinstance(b, T.NullType):
         return a
+    if isinstance(a, T.DecimalType) or isinstance(b, T.DecimalType):
+        return _widen_decimal(a, b)
     sa, sb = a.simpleString(), b.simpleString()
     sa = "decimal" if sa.startswith("decimal") else sa
     sb = "decimal" if sb.startswith("decimal") else sb
@@ -154,8 +194,6 @@ def _widen(a, b):
                 "read_union: cannot reconcile %s with %s" % (sa, sb)
             )
         wide = _WIDEN_ORDER[max(_WIDEN_ORDER.index(sa), _WIDEN_ORDER.index(sb))]
-        if wide == "decimal":
-            return T.DecimalType(38, 0)
         return getattr(
             T,
             {

@@ -1482,10 +1482,14 @@ def debounce_stream(
     lag-based flagging — and inexpressible as a window function, which
     is exactly why it gets the ``applyInPandasWithState`` escape hatch.
 
-    State per key = ONE long (last kept µs), watermark-bounded. Each
-    micro-batch sorts its rows by (µs, id) for deterministic intra-
-    batch order, replays the keep rule, and updates the single long.
-    Emits (key_cols..., id_col, ts)."""
+    State per key = ONE long (last kept µs), watermark-bounded FOR
+    REAL: EventTimeTimeout evicts a key's long once the key has been
+    idle past the watermark plus one gap (at that point the next event
+    is necessarily >= gap_ms newer than the last kept one, so dropping
+    the state cannot change what is emitted) — an unbounded key space
+    cannot grow the store. Each micro-batch sorts its rows by (µs, id)
+    for deterministic intra-batch order, replays the keep rule, and
+    updates the single long. Emits (key_cols..., id_col, ts)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -1521,6 +1525,13 @@ def debounce_stream(
                 )
                 last = us
         state.update((int(last),))
+        # evict once the watermark passes last-kept + gap: rows below
+        # the watermark never reach fn, so any event arriving after the
+        # eviction is >= gap_ms past the last kept row and fresh state
+        # emits it exactly as retained state would
+        state.setTimeoutTimestamp(
+            max(state.getCurrentWatermarkMs(), last // 1000) + gap_ms
+        )
         if kept:
             yield pd.DataFrame(kept)
 
@@ -1532,6 +1543,6 @@ def debounce_stream(
             out_schema,
             "last_us long",
             "append",
-            GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -250,8 +250,20 @@ def main() -> None:
 
     release_caches = _rc
 
+    # LOCKSTEP GUARD: the bench must cover the ENTIRE registry at HEAD.
+    # BENCH_QUERIES is only an ordering preference (cache-coherent query
+    # families run adjacent); anything the registry grew since is
+    # appended automatically, and a stale name fails the sweep loudly.
+    stale = [k for k in BENCH_QUERIES if k not in registry]
+    if stale:
+        raise SystemExit("bench: stale BENCH_QUERIES entries: %s" % stale)
+    bench_list = BENCH_QUERIES + sorted(
+        k for k in registry if k not in BENCH_QUERIES
+    )
+    assert len(bench_list) == len(registry), "bench/registry drift"
+
     timings = {}
-    for name in BENCH_QUERIES:
+    for name in bench_list:
         start = time.perf_counter()
         materialize(registry[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - start, 3)

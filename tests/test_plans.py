@@ -764,3 +764,27 @@ def test_round5_analytics_plan_shapes(spark):
     assert "SortMergeJoin" not in s and "Window" not in s, s
     s = simple_plan(q.queries()["text_readability"](spark, SF))
     assert "Window" not in s and "SortMergeJoin" not in s, s
+
+
+def test_gini_prefix_scan_has_no_global_window(spark):
+    # the concentration histogram can be ~all-distinct (per-customer
+    # revenue in cents) — its prefix sums must run through the sharded
+    # two-phase scan, so EVERY window in the plan is partitioned by the
+    # range shard, never a single-partition global sort
+    df = q.queries()["gini_concentration"](spark, SF)
+    s = simple_plan(df)
+    assert "windowspecdefinition" in s  # the windows are still there
+    for line in s.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__shard" in line, line
+
+
+def test_audio_window_features_single_pass(spark):
+    # the frame pipeline must hold NO quadratic lambda work: no
+    # array_max re-scan inside a per-element lambda, no slice
+    # re-evaluation per pair step (Catalyst does not CSE across lambda
+    # invocations). Pin: the plan contains exactly one slice call and
+    # no array_max at all.
+    s = simple_plan(q.queries()["audio_window_features"](spark, SF))
+    assert "array_max" not in s, "peak must come from the single-pass aggregate"
+    assert s.count("slice(") <= 1, s.count("slice(")

@@ -1,7 +1,11 @@
 """Atomic snapshot publishing: commit isolation, crash consistency,
-vacuum safety."""
+vacuum safety — exercised through BOTH filesystem backends (plain POSIX
+paths and ``file:`` URIs via the Hadoop FileSystem/FileContext API, the
+same code path an ``hdfs://`` table takes)."""
 
 import os
+
+import pytest
 
 from bamboo_spark.operators.publish import (
     atomic_publish,
@@ -11,9 +15,18 @@ from bamboo_spark.operators.publish import (
     vacuum,
 )
 
+BACKENDS = ["posix", "hadoop-file-uri"]
 
-def test_publish_and_read_snapshots(spark, tmp_path):
-    t = str(tmp_path / "tbl")
+
+def _tbl(tmp_path, backend):
+    """(table_dir as the backend sees it, local dir for direct fs checks)"""
+    local = str(tmp_path / "tbl")
+    return ("file://" + local if backend == "hadoop-file-uri" else local), local
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_publish_and_read_snapshots(spark, tmp_path, backend):
+    t, _ = _tbl(tmp_path, backend)
     v1 = atomic_publish(spark.range(10).selectExpr("id", "id * 2 as x"), t)
     assert v1 == 1 and current_version(t) == 1
     assert published_rows(t) == 10
@@ -27,12 +40,29 @@ def test_publish_and_read_snapshots(spark, tmp_path):
     assert got.selectExpr("max(x)").collect()[0][0] == 72
 
 
-def test_crashed_write_leaves_consistent_table(spark, tmp_path):
+def test_publish_row_count_observed_not_rescanned(spark, tmp_path, monkeypatch):
+    # the manifest row count comes from df.observe during the snapshot
+    # write — publishing must NEVER re-read the files it just wrote
+    import pyspark.sql.readwriter as rw
+
+    def _no_read(self, *a, **k):
+        raise AssertionError("atomic_publish re-read its own snapshot")
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", _no_read)
     t = str(tmp_path / "tbl")
+    atomic_publish(spark.range(123), t)
+    assert published_rows(t) == 123
+    monkeypatch.undo()
+    assert read_published(spark, t).count() == 123
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_crashed_write_leaves_consistent_table(spark, tmp_path, backend):
+    t, local = _tbl(tmp_path, backend)
     atomic_publish(spark.range(5), t)
     # simulate a writer that died after data files landed but BEFORE
     # the manifest swap: drop orphan files into _v2 by hand
-    spark.range(999).write.parquet(os.path.join(t, "_v2"))
+    spark.range(999).write.parquet(os.path.join(local, "_v2"))
     # readers still see v1, row-exact
     assert current_version(t) == 1
     assert read_published(spark, t).count() == 5
@@ -41,15 +71,16 @@ def test_crashed_write_leaves_consistent_table(spark, tmp_path):
     assert v >= 2 and read_published(spark, t).count() == 7
 
 
-def test_vacuum_never_touches_committed(spark, tmp_path):
-    t = str(tmp_path / "tbl")
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_vacuum_never_touches_committed(spark, tmp_path, backend):
+    t, local = _tbl(tmp_path, backend)
     for n in (3, 4, 5):
         atomic_publish(spark.range(n), t)
     removed = vacuum(t, keep=1)
     assert "_v3" in removed or "_v1" in removed or removed
     # committed snapshot survives and still reads exactly
     assert read_published(spark, t).count() == 5
-    assert not os.path.exists(os.path.join(t, "_v1"))
+    assert not os.path.exists(os.path.join(local, "_v1"))
 
 
 def test_streaming_foreachbatch_publishes_atomic_snapshots(spark, tmp_path):
@@ -58,7 +89,6 @@ def test_streaming_foreachbatch_publishes_atomic_snapshots(spark, tmp_path):
     # atomic manifest swap — a reader at ANY moment sees a committed
     # snapshot with matching manifest row count, never partial files
     import json
-    import os
 
     src = str(tmp_path / "in")
     tbl = str(tmp_path / "tbl")

@@ -490,3 +490,90 @@ def test_dq_rules_catch_violations(spark):
     # clean table passes everything
     clean = dq.dq_report(ref, [dq.not_null("key"), dq.unique("key")])
     assert all(r["pass"] == 1 for r in clean.collect())
+
+
+def test_audio_window_features_linear_on_long_doc(spark, tmp_path):
+    # regression pin for the O(frames^2) form (array_max inside a
+    # per-frame lambda + slice rebuilt per pair step): a 120k-sample
+    # doc has ~7.5k frames — quadratic is ~56M lambda evals per
+    # expression and visibly hangs; the single-pass form finishes in
+    # seconds. Values are cross-checked exactly on a small prefix.
+    import os
+    import time
+
+    from bamboo_spark.queries import q_audio_window_features
+
+    rnd_text = "".join(
+        "abcdefghijklmnopqrstuvwxyz"[(i * i + 3 * i) % 26]
+        for i in range(120_000)
+    )
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, rnd_text), (2, rnd_text[:64])], "doc_id long, text string"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    t0 = time.time()
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in q_audio_window_features(spark, d).collect()
+    }
+    assert time.time() - t0 < 60, "quadratic frame work is back"
+    assert rows[1]["n_frames"] == (120_000 - 32) // 16 + 1
+    # exact value check on the short doc: frames at offsets 0 and 16
+    s = [ord(c) - 96 for c in rnd_text[:64]]
+    frames = [s[off : off + 32] for off in (0, 16, 32)]
+    energies = [sum(x * x for x in f) for f in frames]
+    zcr = sum(
+        1
+        for f in frames
+        for i in range(1, 32)
+        if (f[i - 1] > 0) != (f[i] > 0) and f[i - 1] != 0 and f[i] != 0
+    )
+    assert rows[2]["n_frames"] == 3
+    assert rows[2]["peak_energy"] == max(energies)
+    assert rows[2]["peak_frame"] == energies.index(max(energies))
+    assert rows[2]["total_zcr"] == zcr
+
+
+def test_pareto_frontier_guard_fires_on_anti_correlated(spark, tmp_path):
+    # anti-correlated axes (revenue UP => delay UP) put every supplier
+    # on the frontier — the bucket prune cannot help (intrinsic to
+    # exact skylines), so the survivor guard must fail loudly instead
+    # of planning a near-global sorted window
+    import os
+
+    import pytest as _pt
+
+    from bamboo_spark.queries import q_pareto_frontier
+
+    n = 64
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [
+            (i, i, float(100 + 10 * i), 0.0, "1995-01-%02d" % (i % 28 + 1))
+            for i in range(n)
+        ],
+        "l_orderkey long, l_suppkey long, l_extendedprice double,"
+        " l_discount double, l_shipdate string",
+    ).write.parquet(os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame(
+        [(i, "1995-01-01") for i in range(n)],
+        "o_orderkey long, o_orderdate string",
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    # delay grows with revenue: shipdate day = i % 28 + 1 isn't enough;
+    # rebuild with delay strictly increasing in revenue
+    import shutil
+
+    shutil.rmtree(os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame(
+        [
+            (i, i, float(100 + 10 * i), 0.0, "1995-%02d-%02d" % (i // 28 + 1, i % 28 + 1))
+            for i in range(n)
+        ],
+        "l_orderkey long, l_suppkey long, l_extendedprice double,"
+        " l_discount double, l_shipdate string",
+    ).write.parquet(os.path.join(d, "lineitem.parquet"))
+    with _pt.raises(RuntimeError, match="max_survivors"):
+        q_pareto_frontier(spark, d, max_survivors=10).collect()
+    # and with the guard raised, the exact frontier is the full set
+    out = q_pareto_frontier(spark, d, max_survivors=10_000)
+    assert out.count() == n

@@ -502,3 +502,44 @@ def test_zorder_key_three_columns(spark):
         return out
 
     assert got == [morton3(1, 2, 3), morton3(7, 7, 7)]
+
+
+def test_sharded_prefix_sums_matches_global_window(spark):
+    # the distributed two-phase scan must equal the single-partition
+    # global window it replaces, bit for bit — including negatives,
+    # gaps, and a first-row-zero prefix
+    import random
+
+    from pyspark.sql import Window
+
+    from bamboo_spark.operators.scale import sharded_prefix_sums
+
+    rnd = random.Random(42)
+    vals = rnd.sample(range(-50_000, 50_000), 3_000)
+    df = spark.createDataFrame(
+        [(v, v % 7 + 1, (v % 7 + 1) * v) for v in vals], "v long, c long, cv long"
+    )
+    got = sharded_prefix_sums(df, "v", ["c", "cv"], shards=8)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.select(
+        "v",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("pre_c"),
+        F.coalesce(F.sum("cv").over(w), F.lit(0)).alias("pre_cv"),
+    )
+    g = {r["v"]: (r["pre_c"], r["pre_cv"]) for r in got.collect()}
+    for r in want.collect():
+        assert g[r["v"]] == (r["pre_c"], r["pre_cv"]), r["v"]
+    # and no window in its plan runs unpartitioned
+    s = got._jdf.queryExecution().executedPlan().toString()
+    for line in s.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__shard" in line, line
+
+
+def test_sharded_prefix_sums_empty_input(spark):
+    from bamboo_spark.operators.scale import sharded_prefix_sums
+
+    df = spark.createDataFrame([], "v long, c long")
+    out = sharded_prefix_sums(df, "v", ["c"])
+    assert out.count() == 0
+    assert "pre_c" in out.columns

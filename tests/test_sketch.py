@@ -214,3 +214,19 @@ def test_hll_grouped_and_kmv_cardinality(spark):
         k=256,
     )
     assert kmv_distinct_estimate(small, "s", k=256).collect()[0].kmv_distinct == 40.0
+
+
+def test_cms_build_drops_null_and_empty_like_stream(spark):
+    # batch and stream grids must be UNCONDITIONALLY mergeable: both
+    # sides drop null/empty items, so a corpus with them still builds
+    # identical grids either way
+    from bamboo_spark.operators.sketch import cms_build
+
+    df = spark.createDataFrame(
+        [("a",), ("",), (None,), ("a",), ("b",)], "it string"
+    )
+    clean = spark.createDataFrame([("a",), ("a",), ("b",)], "it string")
+    g1 = {(r["hash_row"], r["bucket"]): r["n"] for r in cms_build(df, "it").collect()}
+    g2 = {(r["hash_row"], r["bucket"]): r["n"] for r in cms_build(clean, "it").collect()}
+    assert g1 == g2
+    assert sum(n for (h, b), n in g1.items() if h == 0) == 3

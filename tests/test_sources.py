@@ -1314,3 +1314,65 @@ def test_read_union_complex_drift_raises(spark, tmp_path):
 
     with _pt.raises(TypeError, match="complex"):
         read_union([a, b], spark=spark)
+
+
+def test_read_union_decimal_widening_lossless(spark, tmp_path):
+    # decimal drift must widen to a type that holds BOTH integer digits
+    # and scale (decimal(10,2) + decimal(12,0) -> decimal(14,2)), and
+    # decimal + bigint keeps the scale — fractional cents must survive
+    from decimal import Decimal
+
+    from bamboo_spark import read_union
+
+    a = str(tmp_path / "a.parquet")
+    spark.createDataFrame(
+        [(1, Decimal("1.25"))], "id bigint, amt decimal(10,2)"
+    ).write.parquet(a)
+    b = str(tmp_path / "b.parquet")
+    spark.createDataFrame(
+        [(2, Decimal("123456789012"))], "id bigint, amt decimal(12,0)"
+    ).write.parquet(b)
+    ds = read_union([a, b], spark=spark)
+    types = {f.name: f.dataType.simpleString() for f in ds.df.schema.fields}
+    assert types["amt"] == "decimal(14,2)", types
+    vals = {r.id: r.amt for r in ds.df.collect()}
+    assert vals[1] == Decimal("1.25")  # NOT rounded to 1
+    assert vals[2] == Decimal("123456789012")
+
+    # decimal + bigint: scale preserved, integer digits sized for bigint
+    c = str(tmp_path / "c.parquet")
+    spark.createDataFrame([(3, 7)], "id bigint, amt bigint").write.parquet(c)
+    ds2 = read_union([a, c], spark=spark)
+    t2 = {f.name: f.dataType.simpleString() for f in ds2.df.schema.fields}
+    assert t2["amt"] == "decimal(21,2)", t2
+    v2 = {r.id: r.amt for r in ds2.df.collect()}
+    assert v2[1] == Decimal("1.25") and v2[3] == Decimal("7.00")
+
+
+def test_read_union_decimal_float_and_overflow(spark, tmp_path):
+    from decimal import Decimal
+
+    import pytest as _pt
+
+    from bamboo_spark import read_union
+
+    a = str(tmp_path / "a.parquet")
+    spark.createDataFrame(
+        [(1, Decimal("1.25"))], "id bigint, amt decimal(10,2)"
+    ).write.parquet(a)
+    # decimal + double -> double (binary floats have no exact decimal)
+    b = str(tmp_path / "b.parquet")
+    spark.createDataFrame(
+        [(2, 2.5)], "id bigint, amt double"
+    ).write.parquet(b)
+    ds = read_union([a, b], spark=spark)
+    assert dict(
+        (f.name, f.dataType.simpleString()) for f in ds.df.schema.fields
+    )["amt"] == "double"
+    # unrepresentable pair (38 integer digits + scale) raises, never rounds
+    c = str(tmp_path / "c.parquet")
+    spark.createDataFrame(
+        [(3, Decimal(0))], "id bigint, amt decimal(38,0)"
+    ).write.parquet(c)
+    with _pt.raises(TypeError, match="losslessly"):
+        read_union([a, c], spark=spark)
