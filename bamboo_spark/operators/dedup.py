@@ -1907,20 +1907,22 @@ def winnow_pairs(
     )
 
 
-def winnow_pairs_duck(
+def winnow_fps_duck(
     k: int = 16,
     w: int = 8,
     max_fp_df: int = 8,
-    min_shared: int = 5,
     source: str = "documents",
 ) -> str:
-    """DuckDB oracle: the same winnow (window-min over (h, -pos)
-    structs = rightmost-min rule) and the same capped self-join."""
+    """DuckDB CTE fragment (no leading WITH) producing the capped
+    winnowed fingerprint set ``fps(doc_id, fp)`` — the same winnow
+    (window-min over (h, -pos) structs = rightmost-min rule) and df-cap
+    as :func:`winnow_fingerprints` + the ``winnow_pairs`` rare filter.
+    Shared by the pair and contamination oracles."""
     from .text import md5_int60_duck
 
     h = md5_int60_duck("substr(s, pos, %d)" % k)
     return """
-with norm as (
+norm as (
   select doc_id, replace(lower(text), ' ', '') s from {src}
   where len(replace(lower(text), ' ', '')) >= {minlen}
 ),
@@ -1938,7 +1940,23 @@ win as (
 ),
 fps0 as (select distinct doc_id, m.h fp from win where pos <= ng - {w} + 1),
 rare as (select fp from fps0 group by fp having count(*) <= {cap}),
-fps as materialized (select fps0.doc_id, fps0.fp from fps0 join rare using (fp)),
+fps as materialized (select fps0.doc_id, fps0.fp from fps0 join rare using (fp))
+""".format(
+        src=source, h=h, k=k, w=w, wm1=w - 1, minlen=k + w - 1, cap=max_fp_df
+    ).strip()
+
+
+def winnow_pairs_duck(
+    k: int = 16,
+    w: int = 8,
+    max_fp_df: int = 8,
+    min_shared: int = 5,
+    source: str = "documents",
+) -> str:
+    """DuckDB oracle: the same winnow (window-min over (h, -pos)
+    structs = rightmost-min rule) and the same capped self-join."""
+    return """
+with {fps},
 sizes as (select doc_id, count(*) nf from fps group by doc_id),
 pairs as (
   select a.doc_id doc_a, b.doc_id doc_b, count(*) shared_fps
@@ -1951,12 +1969,6 @@ from pairs p
 join sizes sa on sa.doc_id = p.doc_a
 join sizes sb on sb.doc_id = p.doc_b
 """.format(
-        src=source,
-        h=h,
-        k=k,
-        w=w,
-        wm1=w - 1,
-        minlen=k + w - 1,
-        cap=max_fp_df,
+        fps=winnow_fps_duck(k=k, w=w, max_fp_df=max_fp_df, source=source),
         mins=min_shared,
     )

@@ -467,3 +467,64 @@ def kmv_distinct_estimate(
         )
         .alias(out_col),
     )
+
+
+# ------------------------------------------------- deterministic samples
+#
+# The quantile/debug twin of KMV: a UNIFORM row sample selected by hash
+# rank (Nath et al.'s "synopsis diffusion" bottom-k sample; the same
+# order statistics KMV uses for distinct counts, applied to ROWS keyed
+# by a unique id). Because "the k rows with the smallest md5(id)" is a
+# pure function of the id set, the sample is (a) deterministic — the
+# DuckDB oracle replays it bit-for-bit, (b) MERGEABLE — bottom-k of a
+# union equals bottom-k of the per-shard bottom-k's, so per-day samples
+# compose into a month's sample without rescanning, and (c) consistent
+# across jobs — the same rows are sampled tomorrow, so deltas are real
+# changes, not sampling churn.
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int = 1024,
+    rank_col: str = "_rk",
+) -> DataFrame:
+    """The ``k`` rows with the smallest 60-bit md5 rank of ``id_col``
+    (ids must be unique for exact mergeability). Keeps all columns and
+    adds ``rank_col`` so downstream merges can re-trim with
+    ``merge_samples``.
+
+    Scale shape: orderBy+limit plans TakeOrderedAndProject — a k-row
+    heap per partition, k rows to the driver merge — never a global
+    sort. k is sample-sized (10³-10⁴) by contract."""
+    from bamboo_spark.operators.text import md5_int60_sql
+
+    rank = md5_int60_sql(
+        "concat('smp:', cast(%s as string))" % id_col
+    )
+    return (
+        df.select("*", F.expr(rank).alias(rank_col))
+        .orderBy(rank_col, id_col)
+        .limit(k)
+    )
+
+
+def merge_samples(k: int, *samples: DataFrame, rank_col: str = "_rk") -> DataFrame:
+    """Bottom-k of a union of :func:`hash_sample` outputs == the sample
+    of the concatenated inputs, exactly (the mergeability contract)."""
+    if not samples:
+        raise ValueError("merge_samples needs at least one sample")
+    acc = samples[0]
+    for s in samples[1:]:
+        acc = acc.unionByName(s)
+    return acc.orderBy(rank_col).limit(k)
+
+
+def hash_sample_duck(rows_sql: str, id_sql: str, k: int = 1024) -> str:
+    """DuckDB oracle twin: same md5 rank, same bottom-k."""
+    from bamboo_spark.operators.text import md5_int60_duck
+
+    rank = md5_int60_duck("'smp:' || (%s)::VARCHAR" % id_sql)
+    return """
+select *, {rank} _rk from ({src}) order by _rk, {id} limit {k}
+""".format(rank=rank, src=rows_sql, id=id_sql, k=k)

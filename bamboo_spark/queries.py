@@ -10395,6 +10395,456 @@ group by doc_id order by doc_id
 """
 
 
+def q_sampled_quantiles(
+    spark: SparkSession, sf_dir: str, k: int = 1024
+) -> DataFrame:
+    """Quantiles from a MERGEABLE deterministic sample — the bottom-k
+    hash-rank row sample (``sketch.hash_sample``): the k order totals
+    whose md5(id) rank is smallest are a uniform sample that is a pure
+    function of the id set, so (a) the DuckDB oracle replays the sample
+    AND the estimates bit-for-bit, (b) per-shard/per-day samples merge
+    by union+re-trim into the corpus sample without rescanning — the
+    standing-state percentile monitor the exact ``q_price_quantiles``
+    can't be at continuous-ingest scale.
+
+    Estimates are nearest-rank within the sorted sample (index
+    ceil(p·m/100), exact integer arithmetic) — an actual observed
+    value, never an interpolation, so no float enters until nothing.
+
+    Scale: bottom-k plans TakeOrderedAndProject (per-partition heap, k
+    rows to the driver merge); the sort+index step runs over ONE k-row
+    array. No global sort of the data anywhere."""
+    from bamboo_spark.operators import sketch
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
+    )
+    smp = sketch.hash_sample(o, "id", k=k)
+    arr = smp.agg(
+        F.sort_array(F.collect_list("v")).alias("vs"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    ps = F.array(*[F.lit(p) for p in (25, 50, 75, 90, 99)])
+    return (
+        arr.select(F.explode(ps).alias("p"), "vs", "m")
+        .select(
+            F.col("p").cast("int").alias("p"),
+            F.col("m").cast("bigint").alias("n_sample"),
+            F.expr("vs[cast((p * m + 99) div 100 as int) - 1]")
+            .cast("bigint")
+            .alias("est_cents"),
+        )
+        .orderBy("p")
+    )
+
+
+def _sampled_quantiles_duck(k: int = 1024) -> str:
+    from bamboo_spark.operators import sketch
+
+    smp = sketch.hash_sample_duck("select id, v from o", "id", k=k).strip()
+    return """
+with o as (
+  select o_orderkey id, round(o_totalprice * 100, 0)::BIGINT v from orders
+),
+s as ({smp}),
+a as (select list_sort(list(v)) vs, count(*) m from s),
+ps as (select unnest([25, 50, 75, 90, 99]) pq)
+select pq::INT p, a.m::BIGINT n_sample,
+       a.vs[((pq * a.m + 99) // 100)]::BIGINT est_cents
+from ps cross join a order by p
+""".format(smp=smp)
+
+
+def q_nb_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the Naive Bayes language classifier — chance-
+    corrected agreement (Cohen 1960): po = observed agreement, pe =
+    expected agreement from the marginals, kappa = (po-pe)/(1-pe). The
+    one-number answer to "is this classifier better than its class
+    prior" that accuracy alone fakes on skewed label mixes — the gate a
+    curation pipeline checks before trusting classifier-filtered data.
+
+    Built on the SAME confusion matrix as ``lang_nb_confusion`` (one
+    composed plan); all products are exact decimal(38,0) integers
+    (n² at 10¹¹ docs overflows a long), ONE double division per
+    statistic, round(6). Degenerate single-class corpora (pe = 1) are
+    out of contract.
+
+    Scale: everything after the confusion matrix is |langs|²-sized."""
+    dec = "decimal(38,0)"
+    cm = _tracked_persist(q_lang_nb_confusion(spark, sf_dir))
+    tot = cm.agg(
+        F.sum("n_docs").alias("n"),
+        F.sum(
+            F.when(
+                F.col("true_lang") == F.col("pred_lang"), F.col("n_docs")
+            ).otherwise(F.lit(0))
+        ).alias("agree"),
+    )
+    r = cm.groupBy("true_lang").agg(F.sum("n_docs").alias("nr"))
+    c = cm.groupBy("pred_lang").agg(F.sum("n_docs").alias("nc"))
+    s = (
+        r.join(c, r.true_lang == c.pred_lang)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("nr").cast(dec) * F.col("nc").cast(dec)),
+                F.lit(0).cast(dec),
+            ).alias("sv")
+        )
+    )
+    nd = F.col("n").cast(dec)
+    return tot.crossJoin(F.broadcast(s)).select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("agree").cast("bigint").alias("n_agree"),
+        F.round(
+            F.col("agree").cast("double") / F.col("n").cast("double"), 6
+        ).alias("po"),
+        F.round(F.col("sv").cast("double") / (nd * nd).cast("double"), 6).alias(
+            "pe"
+        ),
+        F.round(
+            (F.col("agree").cast(dec) * nd - F.col("sv")).cast("double")
+            / (nd * nd - F.col("sv")).cast("double"),
+            6,
+        ).alias("kappa"),
+    )
+
+
+def _nb_kappa_duck() -> str:
+    return """
+with cm as (
+%s
+),
+t as (
+  select sum(n_docs) n,
+         sum(case when true_lang = pred_lang then n_docs else 0 end) agree
+  from cm
+),
+r as (select true_lang k, sum(n_docs) nr from cm group by 1),
+c as (select pred_lang k, sum(n_docs) nc from cm group by 1),
+s as (select coalesce(sum(r.nr::HUGEINT * c.nc), 0) sv from r join c using (k))
+select t.n::BIGINT n_docs, t.agree::BIGINT n_agree,
+       round(t.agree::DOUBLE / t.n::DOUBLE, 6) po,
+       round(s.sv::DOUBLE / (t.n::HUGEINT * t.n)::DOUBLE, 6) pe,
+       round((t.agree::HUGEINT * t.n - s.sv)::DOUBLE
+             / ((t.n::HUGEINT * t.n) - s.sv)::DOUBLE, 6) kappa
+from t cross join s
+""" % Q_LANG_NB_SQL
+
+
+_TEXTRANK_ITERS = 6
+
+
+def q_textrank_keywords(
+    spark: SparkSession, sf_dir: str, top_v: int = 128, top_k: int = 25
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph — adjacent-token edges weighted
+    by corpus co-occurrence count, scores from 6 damped power
+    iterations. The graph-centrality complement to ``rake_keywords``
+    (degree/frequency) and ``tfidf_top_terms`` (rarity): a token ranks
+    high when its NEIGHBORS are central, which surfaces the corpus's
+    topical skeleton rather than its frequency spikes.
+
+    Determinism is the ``dup_pagerank`` integer-nano-unit pattern:
+    per-edge contribution floor(0.85 · (s·w div wdeg)) — exact,
+    order-independent sums, identical longs in both engines every
+    iteration; the oracle unrolls the same 6 supersteps as CTEs.
+
+    Scale: the only doc-sized work is the adjacent-pair explode + one
+    count aggregate. The graph is capped at ``top_v`` vocabulary nodes
+    (top-v by count via partial top-k, semi-join both endpoints), so
+    iteration state is <= top_v rows and every join broadcasts."""
+    d = load(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("t")
+    )
+    pairs = (
+        d.select(
+            F.expr(
+                "if(size(t) < 2, array(),"
+                " filter(transform(sequence(1, size(t) - 1),"
+                "   i -> named_struct('a', t[i-1], 'b', t[i])),"
+                "  x -> length(x.a) >= 3 and length(x.b) >= 3"
+                "   and x.a != x.b))"
+            ).alias("ps")
+        )
+        .select(F.explode("ps").alias("p"))
+        .select(
+            F.least("p.a", "p.b").alias("a"),
+            F.greatest("p.a", "p.b").alias("b"),
+        )
+    )
+    tokens = d.select(F.explode("t").alias("token")).where(
+        F.length("token") >= 3
+    )
+    vocab = (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(top_v)
+        .select("token")
+    )
+    e0 = (
+        pairs.join(
+            F.broadcast(vocab.withColumnRenamed("token", "a")), "a", "left_semi"
+        )
+        .join(
+            F.broadcast(vocab.withColumnRenamed("token", "b")), "b", "left_semi"
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    edges = _tracked_persist(
+        e0.unionByName(
+            e0.select(
+                F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
+            )
+        )
+    )
+    deg = edges.groupBy("a").agg(F.sum("w").alias("wdeg"))
+    sc = deg.select("a", F.lit(10**9).cast("long").alias("s"), "wdeg")
+    base = 150_000_000
+    for _ in range(_TEXTRANK_ITERS):
+        contrib = (
+            sc.join(edges, "a")
+            .select(
+                F.col("b").alias("dst"),
+                F.floor(F.lit(0.85) * F.expr("(s * w) div wdeg"))
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        sc = (
+            deg.join(contrib, deg.a == contrib.dst, "left")
+            .select(
+                "a",
+                (F.lit(base) + F.coalesce(F.col("in_sum"), F.lit(0)))
+                .cast("long")
+                .alias("s"),
+                "wdeg",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        sc.select(
+            F.col("a").alias("token"),
+            F.col("s").alias("score_nano"),
+            F.col("wdeg").cast("bigint").alias("wdeg"),
+        )
+        .orderBy(F.col("score_nano").desc(), "token")
+        .limit(top_k)
+    )
+
+
+def _textrank_duck(top_v: int = 128, top_k: int = 25) -> str:
+    sql = """
+with toks as (select string_split(text, ' ') t from documents),
+pr0 as (
+  select least(t[i], t[i + 1]) a, greatest(t[i], t[i + 1]) b
+  from toks, unnest(range(1, greatest(len(t), 1))) u(i)
+  where len(t[i]) >= 3 and len(t[i + 1]) >= 3 and t[i] <> t[i + 1]
+),
+vocab as (
+  select tok from (
+    select tok, count(*) c
+    from (select unnest(t) tok from toks)
+    where len(tok) >= 3
+    group by tok order by c desc, tok limit {v}
+  )
+),
+e0 as (
+  select a, b, count(*)::BIGINT w
+  from pr0
+  join vocab va on va.tok = pr0.a
+  join vocab vb on vb.tok = pr0.b
+  group by 1, 2
+),
+e as materialized (
+  select a, b, w from e0 union all select b, a, w from e0
+),
+deg as materialized (select a, sum(w)::BIGINT wdeg from e group by a),
+p0 as materialized (select a, 1000000000::BIGINT s, wdeg from deg)
+""".format(v=top_v)
+    prev = "p0"
+    for i in range(1, _TEXTRANK_ITERS + 1):
+        sql += """,
+c{i} as materialized (
+  select e.b dst, sum(floor(0.85 * ((p.s * e.w) // p.wdeg))::BIGINT) in_sum
+  from {prev} p join e on e.a = p.a
+  group by e.b
+),
+p{i} as materialized (
+  select deg.a, (150000000 + coalesce(c{i}.in_sum, 0))::BIGINT s, deg.wdeg
+  from deg left join c{i} on c{i}.dst = deg.a
+)""".format(i=i, prev=prev)
+        prev = "p%d" % i
+    sql += """
+select a token, s score_nano, wdeg::BIGINT wdeg
+from {last} order by s desc, token limit {k}
+""".format(last=prev, k=top_k)
+    return sql
+
+
+def q_token_burstiness(
+    spark: SparkSession, sf_dir: str, top_v: int = 200
+) -> DataFrame:
+    """Token burstiness profile (Church & Gale 1995): for the ``top_v``
+    highest-frequency tokens, the document frequency, total frequency,
+    mean occurrences per containing document (ppm), and the Fano factor
+    (variance/mean of the per-containing-doc count). Fano ~ 1 means
+    Poisson-like content words; Fano >> 1 means the token CLUMPS —
+    boilerplate, templates, navigation chrome — which is exactly the
+    vocabulary a dedup/quality pass should inspect first, and a signal
+    TF-IDF misses (a bursty token can have middling global counts).
+
+    Determinism: tf/df/Σc² are exact integers (sums of squares in
+    decimal(38,0) — the long-wrap rule); Fano = (df·Σc² - tf²)/(df·tf)
+    is a ratio of exact integers, ONE double division, round(6).
+
+    Scale: one (token, doc) aggregate (the doc-sized shuffle), one
+    map-combined per-token rollup, partial top-k. No windows."""
+    dec = "decimal(38,0)"
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    per = toks.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    st = per.groupBy("token").agg(
+        F.sum("c").cast("long").alias("tf"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("ss"),
+    )
+    top = st.orderBy(F.col("tf").desc(), "token").limit(top_v)
+    d_ = lambda c: F.col(c).cast(dec)  # noqa: E731
+    return top.select(
+        "token",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.expr("(tf * 1000000) div n_docs").cast("bigint").alias("rate_ppm"),
+        F.round(
+            (d_("n_docs") * F.col("ss") - d_("tf") * d_("tf")).cast("double")
+            / (d_("n_docs") * d_("tf")).cast("double"),
+            6,
+        ).alias("fano"),
+    ).orderBy(F.col("tf").desc(), "token")
+
+
+Q_TOKEN_BURSTINESS_SQL = """
+with tok as (
+  select doc_id, unnest(string_split(text, ' ')) tk from documents
+),
+per as (
+  select tk, doc_id, count(*) c from tok where tk <> '' group by 1, 2
+),
+st as (
+  select tk, sum(c)::HUGEINT tf, count(*)::HUGEINT n_docs,
+         sum(c::HUGEINT * c) ss
+  from per group by tk
+),
+top as (select * from st order by tf desc, tk limit 200)
+select tk token, tf::BIGINT tf, n_docs::BIGINT n_docs,
+       ((tf * 1000000) // n_docs)::BIGINT rate_ppm,
+       round((n_docs * ss - tf * tf)::DOUBLE / (n_docs * tf)::DOUBLE, 6) fano
+from top order by tf desc, token
+"""
+
+
+def q_contamination_winnow(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 16,
+    w: int = 8,
+    max_fp_df: int = 8,
+) -> DataFrame:
+    """Train/eval contamination via winnowed fingerprints — the
+    SUBSTRING-matching decontamination check (MOSS winnowing,
+    Schleimer et al. SIGMOD'03) that fires on any shared passage of
+    >= k+w-1 characters, where the n-gram ``contamination`` query needs
+    whole shingles to line up. Eval split = doc_id ≡ 0 (mod 10), the
+    engine's hash-split convention. Per contaminated eval doc: its
+    fingerprint count, how many fingerprints ALSO appear anywhere in
+    train, the contamination rate in basis points, and the single worst
+    train-side source (most shared fingerprints, smallest id on ties —
+    a min-struct aggregate, never a window).
+
+    Scale: fingerprints are df-capped 60-bit ints (boilerplate prints
+    dropped before the join, the ``winnow_pairs`` stop-key guard); the
+    eval x train join carries only capped int keys; everything after is
+    per-eval-doc aggregates."""
+    d = load(spark, sf_dir, "documents")
+    fps = dedup.winnow_fingerprints(d, k=k, w=w)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_fp_df)
+        .select("fp")
+    )
+    capped = _tracked_persist(fps.join(rare, "fp", "left_semi"))
+    ev = capped.where(F.expr("pmod(doc_id, 10) = 0"))
+    tr = capped.where(F.expr("pmod(doc_id, 10) != 0"))
+    sizes = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    sh = _tracked_persist(
+        ev.alias("e")
+        .join(tr.alias("t"), "fp")
+        .select(
+            F.col("e.doc_id").alias("ed"),
+            "fp",
+            F.col("t.doc_id").alias("td"),
+        )
+    )
+    ns = sh.groupBy("ed").agg(F.countDistinct("fp").alias("n_shared"))
+    pairc = sh.groupBy("ed", "td").agg(F.count(F.lit(1)).alias("c"))
+    top = pairc.groupBy("ed").agg(
+        F.max(
+            F.struct(F.col("c").alias("c"), (-F.col("td")).alias("ntd"))
+        ).alias("m")
+    )
+    return (
+        sizes.join(ns, sizes.doc_id == ns.ed)
+        .join(top, "ed")
+        .select(
+            F.col("doc_id").alias("eval_doc"),
+            F.col("n_fp").cast("bigint").alias("n_fp"),
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.expr("(10000 * n_shared) div n_fp")
+            .cast("bigint")
+            .alias("contam_bps"),
+            (-F.col("m.ntd")).cast("bigint").alias("top_train_doc"),
+            F.col("m.c").cast("bigint").alias("top_shared"),
+        )
+        .orderBy("eval_doc")
+    )
+
+
+def _contamination_winnow_duck(
+    k: int = 16, w: int = 8, max_fp_df: int = 8
+) -> str:
+    return """
+with {fps},
+ev as (select doc_id, fp from fps where doc_id % 10 = 0),
+tr as (select doc_id, fp from fps where doc_id % 10 <> 0),
+sizes as (select doc_id, count(*) n_fp from ev group by doc_id),
+sh as (select e.doc_id ed, e.fp, t.doc_id td from ev e join tr t using (fp)),
+ns as (select ed, count(distinct fp) n_shared from sh group by ed),
+pairc as (select ed, td, count(*) c from sh group by ed, td),
+top as (select ed, max(struct_pack(c := c, ntd := -td)) m from pairc group by ed)
+select s.doc_id eval_doc, s.n_fp::BIGINT n_fp, ns.n_shared::BIGINT n_shared,
+       ((10000 * ns.n_shared) // s.n_fp)::BIGINT contam_bps,
+       (-(top.m.ntd))::BIGINT top_train_doc, (top.m.c)::BIGINT top_shared
+from sizes s
+join ns on ns.ed = s.doc_id
+join top on top.ed = s.doc_id
+order by eval_doc
+""".format(
+        fps=dedup.winnow_fps_duck(k=k, w=w, max_fp_df=max_fp_df)
+    )
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -10598,6 +11048,11 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_cms": q_join_size_cms,
         "rake_keywords": q_rake_keywords,
         "doc_novelty": q_doc_novelty,
+        "sampled_quantiles": q_sampled_quantiles,
+        "nb_kappa": q_nb_kappa,
+        "textrank_keywords": q_textrank_keywords,
+        "token_burstiness": q_token_burstiness,
+        "contamination_winnow": q_contamination_winnow,
         "minhash_recall": q_minhash_recall,
         "orders_rfm": q_orders_rfm,
         "events_gap_histogram": q_events_gap_histogram,
@@ -10887,6 +11342,11 @@ from s group by cluster_size order by cluster_size
         "join_size_cms": _join_size_cms_duck(),
         "rake_keywords": Q_RAKE_SQL,
         "doc_novelty": Q_DOC_NOVELTY_SQL,
+        "sampled_quantiles": _sampled_quantiles_duck(),
+        "nb_kappa": _nb_kappa_duck(),
+        "textrank_keywords": _textrank_duck(),
+        "token_burstiness": Q_TOKEN_BURSTINESS_SQL,
+        "contamination_winnow": _contamination_winnow_duck(),
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

@@ -788,3 +788,29 @@ def test_audio_window_features_single_pass(spark):
     s = simple_plan(q.queries()["audio_window_features"](spark, SF))
     assert "array_max" not in s, "peak must come from the single-pass aggregate"
     assert s.count("slice(") <= 1, s.count("slice(")
+
+
+def test_round6_analytics_plan_shapes(spark):
+    # sampled_quantiles: the bottom-k sample is a partial top-k
+    # (TakeOrderedAndProject heap per partition) — never a global sort
+    # of the data; the only sort left touches the k-row array
+    s = simple_plan(q.queries()["sampled_quantiles"](spark, SF))
+    assert "TakeOrderedAndProject" in s, s
+    assert "CartesianProduct" not in s
+    # token_burstiness: one (token,doc) aggregate + per-token rollup +
+    # partial top-k; no windows anywhere
+    s = simple_plan(q.queries()["token_burstiness"](spark, SF))
+    assert "TakeOrderedAndProject" in s, s
+    assert "Window" not in s
+    # textrank: iterations live behind per-step localCheckpoints; the
+    # visible final plan must be just the top-k over the <= top_v-row
+    # score table (partial top-k, no cartesian, no window)
+    s = simple_plan(q.queries()["textrank_keywords"](spark, SF))
+    assert "CartesianProduct" not in s
+    assert "TakeOrderedAndProject" in s, s
+    assert "Window" not in s
+    # contamination_winnow: worst-source pick is a max-struct aggregate,
+    # not a window; fingerprint join is an equi-join on capped ints
+    s = simple_plan(q.queries()["contamination_winnow"](spark, SF))
+    assert "CartesianProduct" not in s
+    assert "row_number" not in s, s

@@ -230,3 +230,23 @@ def test_cms_build_drops_null_and_empty_like_stream(spark):
     g2 = {(r["hash_row"], r["bucket"]): r["n"] for r in cms_build(clean, "it").collect()}
     assert g1 == g2
     assert sum(n for (h, b), n in g1.items() if h == 0) == 3
+
+
+def test_hash_sample_deterministic_and_mergeable(spark):
+    # bottom-k by md5(id): merging per-shard samples then re-trimming
+    # equals sampling the union directly — the standing-state contract
+    from bamboo_spark.operators.sketch import hash_sample, merge_samples
+
+    full = spark.range(0, 5000).selectExpr("id", "id * 3 as v")
+    s_full = hash_sample(full, "id", k=128)
+    part1 = full.where("id % 2 = 0")
+    part2 = full.where("id % 2 = 1")
+    merged = merge_samples(
+        128, hash_sample(part1, "id", k=128), hash_sample(part2, "id", k=128)
+    )
+    a = sorted((r["id"], r["v"]) for r in s_full.collect())
+    b = sorted((r["id"], r["v"]) for r in merged.collect())
+    assert a == b and len(a) == 128
+    # deterministic across invocations
+    c = sorted((r["id"], r["v"]) for r in hash_sample(full, "id", k=128).collect())
+    assert a == c
