@@ -31,6 +31,7 @@ from bamboo_spark.streaming.core import (
     minhash_pairs_stream,
     pack_stream,
     profile_stream,
+    sample_stream,
     segment_bloom_guard_stream,
     sessionize_stream,
     windowed_counts,
@@ -56,6 +57,7 @@ __all__ = [
     "minhash_pairs_stream",
     "pack_stream",
     "profile_stream",
+    "sample_stream",
     "segment_bloom_guard_stream",
     "sessionize_stream",
     "sessionize_stream_tws",

@@ -1407,6 +1407,88 @@ def hll_stream(
     )
 
 
+def sample_stream(
+    sdf: DataFrame,
+    id_col: str,
+    k: int = 1024,
+    payload_col: str | None = None,
+) -> DataFrame:
+    """Streaming bottom-k hash-rank sample — the continuous twin of
+    ``sketch.hash_sample``: the k rows with the smallest md5(id) rank
+    seen SO FAR, emitted as a full snapshot each micro-batch (update
+    mode). Because membership is a pure function of the id set, a
+    stream replay of a corpus ends on EXACTLY the batch sample, and the
+    snapshot merges with stored batch samples via
+    ``sketch.merge_samples`` — the standing uniform sample a quantile/
+    debug monitor reads without ever rescanning the stream.
+
+    State is k (rank, id[, payload]) triples — bounded by construction,
+    no watermark needed (the cms_stream/hll_stream contract). All rows
+    funnel through one stateful key; at high event rates pre-thin the
+    stream with a static rank cut (``where _rk < threshold``) so only
+    candidate rows reach the state task — the bottom-k of a superset
+    prefilter is unchanged as long as the threshold keeps >= k rows.
+
+    ``id_col`` (bigint, unique) and the optional ``payload_col``
+    (bigint) are the emitted columns plus the ``_rk`` rank."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bamboo_spark.operators.text import md5_int60_sql
+
+    rank = md5_int60_sql("concat('smp:', cast(%s as string))" % id_col)
+    cols = [id_col] + ([payload_col] if payload_col else [])
+    src = sdf.select(
+        *[F.col(c).cast("long") for c in cols],
+        F.expr(rank).alias("_rk"),
+        F.lit(0).alias("_g"),
+    )
+    out_schema = ", ".join(["%s bigint" % c for c in cols] + ["_rk bigint"])
+    state_schema = "rks array<bigint>, ids array<bigint>" + (
+        ", pls array<bigint>" if payload_col else ""
+    )
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:  # pragma: no cover — NoTimeout
+            state.remove()
+            return
+        frames = [pdf[cols + ["_rk"]] for pdf in pdfs]
+        if state.exists:
+            prev = state.get
+            prev_pdf = pd.DataFrame(
+                {
+                    id_col: list(prev[1]),
+                    "_rk": list(prev[0]),
+                    **(
+                        {payload_col: list(prev[2])} if payload_col else {}
+                    ),
+                }
+            )[cols + ["_rk"]]
+            frames.append(prev_pdf)
+        allr = (
+            pd.concat(frames)
+            .sort_values(["_rk", id_col])
+            .head(k)
+            .reset_index(drop=True)
+        )
+        new_state = [
+            [int(x) for x in allr["_rk"]],
+            [int(x) for x in allr[id_col]],
+        ]
+        if payload_col:
+            new_state.append([int(x) for x in allr[payload_col]])
+        state.update(tuple(new_state))
+        yield allr
+
+    return src.groupBy("_g").applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def dq_stream(
     sdf: DataFrame,
     rules,

@@ -1573,3 +1573,52 @@ def test_debounce_stream_keeps_one_per_gap(spark, tmp_path):
     # user 1: t=0s kept, next kept >= 60s later -> ids 0 (t0) only
     # among 0..45s? events at 0,5,...,45 -> only id 0. user 2: all 3.
     assert got == {("1", 0), ("2", 10), ("2", 11), ("2", 12)}
+
+
+def test_sample_stream_equals_batch_sample(spark, tmp_path):
+    # stream-replay of an id file ends on EXACTLY the batch
+    # hash_sample bottom-k (same md5 rank family), and the emitted
+    # snapshot carries the ranks needed for sketch.merge_samples
+    import json
+    import os
+
+    from bamboo_spark.operators.sketch import hash_sample
+    from bamboo_spark.streaming import sample_stream
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    # two micro-batches: state must carry the bottom-k across them
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for i in range(0, 400):
+            f.write(json.dumps({"id": i, "v": i * 7}) + "\n")
+    stream = spark.readStream.schema("id long, v long").json(src)
+    out = sample_stream(stream, "id", k=32, payload_col="v")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("smp_t")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with open(os.path.join(src, "b2.json"), "w") as f:
+            for i in range(400, 900):
+                f.write(json.dumps({"id": i, "v": i * 7}) + "\n")
+        q.processAllAvailable()
+        # update mode appends each snapshot; the LAST 32 rows are the
+        # final sample — reconstruct it as the bottom-32 of all emitted
+        # rows (snapshots are nested, so that equals the final one)
+        rows = spark.sql("select distinct id, v, _rk from smp_t").collect()
+    finally:
+        q.stop()
+    final = sorted(rows, key=lambda r: (r["_rk"], r["id"]))[:32]
+    batch = spark.createDataFrame(
+        [(i, i * 7) for i in range(900)], "id long, v long"
+    )
+    want = [
+        (r["id"], r["v"], r["_rk"])
+        for r in hash_sample(batch, "id", k=32).collect()
+    ]
+    got_t = [(r["id"], r["v"], r["_rk"]) for r in final]
+    assert sorted(got_t) == sorted(want)
