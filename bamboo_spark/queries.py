@@ -10456,6 +10456,85 @@ from ps cross join a order by p
 """.format(smp=smp)
 
 
+def q_grouped_sampled_quantiles(
+    spark: SparkSession, sf_dir: str, k: int = 256
+) -> DataFrame:
+    """Per-language token-length quantiles from PER-GROUP bottom-k
+    hash-rank samples — the stratified twin of ``sampled_quantiles``:
+    each language keeps the k docs with the smallest md5(doc_id) rank
+    (a deterministic uniform sample of that stratum), and p50/p90/p99
+    token counts are nearest-rank within the sorted sample. The
+    "is zh's length distribution drifting against en's" monitor at a
+    per-stratum cost that is fixed regardless of corpus size.
+
+    Scale shape: the per-group bottom-k is ``ranked_head``'s partial
+    top-k (WindowGroupLimit pair straddling the exchange — a hot
+    language ships <= k rows per map partition, never its row count);
+    the sort+index runs over one k-element array per language. Sample
+    membership is a pure function of the id set, so per-shard samples
+    merge by union + re-rank and the oracle replays everything."""
+    from bamboo_spark.operators.text import md5_int60_sql
+
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+        )
+        .cast("long")
+        .alias("v"),
+        F.expr(
+            md5_int60_sql("concat('smp:', cast(doc_id as string))")
+        ).alias("_rk"),
+    )
+    smp = scale.ranked_head(
+        d, "lang", [F.col("_rk").asc(), F.col("doc_id").asc()], cap=k
+    )
+    arr = smp.groupBy("lang").agg(
+        F.sort_array(F.collect_list("v")).alias("vs"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    ps = F.array(F.lit(50), F.lit(90), F.lit(99))
+    return (
+        arr.select("lang", F.explode(ps).alias("p"), "vs", "m")
+        .select(
+            "lang",
+            F.col("p").cast("int").alias("p"),
+            F.col("m").cast("bigint").alias("n_sample"),
+            F.expr("vs[cast((p * m + 99) div 100 as int) - 1]")
+            .cast("bigint")
+            .alias("est_tokens"),
+        )
+        .orderBy("lang", "p")
+    )
+
+
+def _grouped_sampled_quantiles_duck(k: int = 256) -> str:
+    from bamboo_spark.operators.text import md5_int60_duck
+
+    rk = md5_int60_duck("'smp:' || doc_id::VARCHAR")
+    return """
+with d as (
+  select lang, doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT v,
+         {rk} _rk
+  from documents
+),
+smp as (
+  select lang, v from (
+    select lang, v,
+           row_number() over (partition by lang order by _rk, doc_id) rn
+    from d
+  ) where rn <= {k}
+),
+a as (select lang, list_sort(list(v)) vs, count(*) m from smp group by lang),
+ps as (select unnest([50, 90, 99]) pq)
+select lang, pq::INT p, a.m::BIGINT n_sample,
+       a.vs[((pq * a.m + 99) // 100)]::BIGINT est_tokens
+from ps cross join a order by lang, p
+""".format(rk=rk, k=k)
+
+
 def q_nb_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa for the Naive Bayes language classifier — chance-
     corrected agreement (Cohen 1960): po = observed agreement, pe =
@@ -11049,6 +11128,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords": q_rake_keywords,
         "doc_novelty": q_doc_novelty,
         "sampled_quantiles": q_sampled_quantiles,
+        "grouped_sampled_quantiles": q_grouped_sampled_quantiles,
         "nb_kappa": q_nb_kappa,
         "textrank_keywords": q_textrank_keywords,
         "token_burstiness": q_token_burstiness,
@@ -11343,6 +11423,7 @@ from s group by cluster_size order by cluster_size
         "rake_keywords": Q_RAKE_SQL,
         "doc_novelty": Q_DOC_NOVELTY_SQL,
         "sampled_quantiles": _sampled_quantiles_duck(),
+        "grouped_sampled_quantiles": _grouped_sampled_quantiles_duck(),
         "nb_kappa": _nb_kappa_duck(),
         "textrank_keywords": _textrank_duck(),
         "token_burstiness": Q_TOKEN_BURSTINESS_SQL,

@@ -814,3 +814,12 @@ def test_round6_analytics_plan_shapes(spark):
     s = simple_plan(q.queries()["contamination_winnow"](spark, SF))
     assert "CartesianProduct" not in s
     assert "row_number" not in s, s
+
+
+def test_grouped_sampled_quantiles_partial_topk(spark):
+    # the per-language bottom-k sample must plan ranked_head's
+    # WindowGroupLimit PAIR (Partial below the exchange): a hot lang
+    # ships <= k rows per map partition, never its full doc count
+    s = simple_plan(q.queries()["grouped_sampled_quantiles"](spark, SF))
+    assert s.count("WindowGroupLimit") == 2, s.count("WindowGroupLimit")
+    assert "Partial" in s, s
