@@ -10456,6 +10456,150 @@ from ps cross join a order by p
 """.format(smp=smp)
 
 
+def q_psi_drift(
+    spark: SparkSession, sf_dir: str, bins: int = 10
+) -> DataFrame:
+    """Population Stability Index between two halves of the corpus —
+    the standard distribution-drift score (credit-scoring lineage;
+    PSI = Σ (p_i − q_i)·ln(p_i/q_i) over fixed bins; < 0.1 stable,
+    > 0.2 investigate) for scalar columns, here demonstrated on order
+    value and document token count split by id parity (the stand-in
+    for yesterday/today snapshots). The scalar sibling of
+    ``embedding_drift``: the monitor that catches "the new crawl's
+    docs are suddenly short" before training does.
+
+    Determinism: equi-width integer bins from one 1-row min/max agg
+    (the ``pareto_frontier`` bucket rule); Laplace-smoothed bin shares
+    p, q from exact counts; each bin's PSI term is quantized to
+    micro-units BEFORE the sum (the ``km_retention`` ln rule), so the
+    total is an exact integer sum in both engines.
+
+    Scale: per dimension, one data-sized aggregate (value → bin →
+    count-per-(bin, half)); everything after runs on the <= ``bins``-row
+    grid."""
+    dec = "decimal(38,0)"
+
+    def psi(vals: DataFrame, dim: str) -> DataFrame:
+        rng = vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        b = vals.crossJoin(F.broadcast(rng)).select(
+            F.expr(
+                "cast((v - lo) div ((hi - lo) div {b} + 1) as int)".format(
+                    b=bins
+                )
+            ).alias("bin"),
+            "side",
+        )
+        g = b.groupBy("bin").agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("cb"),
+        )
+        tot = g.agg(
+            F.sum("ca").alias("na"),
+            F.sum("cb").alias("nb"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        term = (
+            g.crossJoin(F.broadcast(tot))
+            .select(
+                "ca",
+                "cb",
+                "na",
+                "nb",
+                F.expr(
+                    "round((((ca + 1) / cast(na + k as double))"
+                    "      - ((cb + 1) / cast(nb + k as double)))"
+                    " * ln(((ca + 1) / cast(na + k as double))"
+                    "      / ((cb + 1) / cast(nb + k as double)))"
+                    " * 1e6, 0)"
+                )
+                .cast("long")
+                .alias("t_u"),
+            )
+        )
+        return term.agg(
+            F.lit(dim).alias("dimension"),
+            F.sum(F.col("ca").cast(dec)).cast("bigint").alias("n_a"),
+            F.sum(F.col("cb").cast(dec)).cast("bigint").alias("n_b"),
+            F.round(F.sum("t_u") / F.lit(1e6), 6).alias("psi"),
+        )
+
+    o = load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
+        F.expr("pmod(o_orderkey, 2)").cast("int").alias("side"),
+    )
+    d = load(spark, sf_dir, "documents").select(
+        F.size(
+            F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+        )
+        .cast("long")
+        .alias("v"),
+        F.expr("pmod(doc_id, 2)").cast("int").alias("side"),
+    )
+    return (
+        psi(o, "order_value_cents")
+        .unionAll(psi(d, "doc_tokens"))
+        .orderBy("dimension")
+    )
+
+
+Q_PSI_DRIFT_SQL = """
+with o as (
+  select round(o_totalprice * 100, 0)::BIGINT v,
+         (o_orderkey % 2)::INT side from orders
+),
+d as (
+  select len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT v,
+         (doc_id % 2)::INT side from documents
+),
+ro as (select min(v) lo, max(v) hi from o),
+rd as (select min(v) lo, max(v) hi from d),
+go as (
+  select ((v - lo) // ((hi - lo) // 10 + 1)) bn,
+         sum(case when side = 0 then 1 else 0 end) ca,
+         sum(case when side = 1 then 1 else 0 end) cb
+  from o cross join ro group by 1
+),
+gd as (
+  select ((v - lo) // ((hi - lo) // 10 + 1)) bn,
+         sum(case when side = 0 then 1 else 0 end) ca,
+         sum(case when side = 1 then 1 else 0 end) cb
+  from d cross join rd group by 1
+),
+t_o as (
+  select ca, cb,
+         sum(ca) over () na, sum(cb) over () nb, count(*) over () k
+  from go
+),
+t_d as (
+  select ca, cb,
+         sum(ca) over () na, sum(cb) over () nb, count(*) over () k
+  from gd
+),
+p_o as (
+  select sum(ca)::BIGINT n_a, sum(cb)::BIGINT n_b,
+         sum(round((((ca + 1) / (na + k)::DOUBLE)
+                    - ((cb + 1) / (nb + k)::DOUBLE))
+               * ln(((ca + 1) / (na + k)::DOUBLE)
+                    / ((cb + 1) / (nb + k)::DOUBLE))
+               * 1e6, 0)::BIGINT) t_u
+  from t_o
+),
+p_d as (
+  select sum(ca)::BIGINT n_a, sum(cb)::BIGINT n_b,
+         sum(round((((ca + 1) / (na + k)::DOUBLE)
+                    - ((cb + 1) / (nb + k)::DOUBLE))
+               * ln(((ca + 1) / (na + k)::DOUBLE)
+                    / ((cb + 1) / (nb + k)::DOUBLE))
+               * 1e6, 0)::BIGINT) t_u
+  from t_d
+)
+select 'doc_tokens' dimension, n_a, n_b, round(t_u / 1e6, 6) psi from p_d
+union all
+select 'order_value_cents', n_a, n_b, round(t_u / 1e6, 6) from p_o
+order by dimension
+"""
+
+
 def q_grouped_sampled_quantiles(
     spark: SparkSession, sf_dir: str, k: int = 256
 ) -> DataFrame:
@@ -11134,6 +11278,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_novelty": q_doc_novelty,
         "sampled_quantiles": q_sampled_quantiles,
         "grouped_sampled_quantiles": q_grouped_sampled_quantiles,
+        "psi_drift": q_psi_drift,
         "nb_kappa": q_nb_kappa,
         "textrank_keywords": q_textrank_keywords,
         "token_burstiness": q_token_burstiness,
@@ -11429,6 +11574,7 @@ from s group by cluster_size order by cluster_size
         "doc_novelty": Q_DOC_NOVELTY_SQL,
         "sampled_quantiles": _sampled_quantiles_duck(),
         "grouped_sampled_quantiles": _grouped_sampled_quantiles_duck(),
+        "psi_drift": Q_PSI_DRIFT_SQL,
         "nb_kappa": _nb_kappa_duck(),
         "textrank_keywords": _textrank_duck(),
         "token_burstiness": Q_TOKEN_BURSTINESS_SQL,

@@ -823,3 +823,13 @@ def test_grouped_sampled_quantiles_partial_topk(spark):
     s = simple_plan(q.queries()["grouped_sampled_quantiles"](spark, SF))
     assert s.count("WindowGroupLimit") == 2, s.count("WindowGroupLimit")
     assert "Partial" in s, s
+
+
+def test_psi_drift_grid_sized_after_binning(spark):
+    # PSI: per dimension one data-sized aggregate (value -> bin ->
+    # per-half counts); the term math and final sum run on the
+    # <= bins-row grid — no windows over data, no cartesian, and the
+    # 1-row min/max range rides a broadcast
+    s = simple_plan(q.queries()["psi_drift"](spark, SF))
+    assert "CartesianProduct" not in s  # broadcast nested loop of 1-row rng is fine
+    assert "SortMergeJoin" not in s, s
