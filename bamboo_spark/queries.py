@@ -10456,6 +10456,67 @@ from ps cross join a order by p
 """.format(smp=smp)
 
 
+def q_bpe_fertility(
+    spark: SparkSession, sf_dir: str, n_merges: int = 6
+) -> DataFrame:
+    """Tokenizer fertility per language — BPE tokens per whitespace
+    word under the corpus-trained merges, the metric that decides
+    whether a tokenizer is FAIR across languages (fertility 2x on one
+    lang = that lang pays double the context budget per word; the
+    standard multilingual-tokenizer audit). Also reports the distinct
+    word-type count per lang (coverage of the trained vocab).
+
+    Same trained-vocab amortization as ``bpe_token_counts``: encoding
+    is a word -> segment-count broadcast join (the tokenizer-service
+    word cache), never a re-application of merges per occurrence.
+    Fertility is exact integer ppm (decimal product before the
+    division). One corpus scan + one |langs|-row aggregate."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    _, vocab = bpe._train(d, "text", n_merges)
+    enc = vocab.select("w", F.size("syms").cast("bigint").alias("n_sub"))
+    toks = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.length("w") > 0)
+    return (
+        toks.join(F.broadcast(enc), "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_bpe"),
+            F.countDistinct("w").cast("bigint").alias("n_types"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_bpe",
+            F.expr(
+                "cast((cast(n_bpe as decimal(38,0)) * 1000000)"
+                " div n_words as bigint)"
+            ).alias("fertility_ppm"),
+            "n_types",
+        )
+        .orderBy("lang")
+    )
+
+
+def _bpe_fertility_duck(n_merges: int = 6) -> str:
+    train = bpe.bpe_duck(n_merges)
+    ctes = train.rsplit("\nselect * from", 1)[0]
+    return (
+        ctes
+        + """
+, enc as (select w, len(s)::BIGINT n_sub from w{R})
+select lang, count(*)::BIGINT n_words, sum(n_sub)::BIGINT n_bpe,
+       ((sum(n_sub)::HUGEINT * 1000000) // count(*))::BIGINT fertility_ppm,
+       count(distinct w)::BIGINT n_types
+from (select lang, unnest(string_split(text, ' ')) w from documents)
+join enc using (w)
+where length(w) > 0
+group by lang order by lang
+""".format(R=n_merges)
+    )
+
+
 def q_psi_drift(
     spark: SparkSession, sf_dir: str, bins: int = 10
 ) -> DataFrame:
@@ -11279,6 +11340,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_quantiles": q_sampled_quantiles,
         "grouped_sampled_quantiles": q_grouped_sampled_quantiles,
         "psi_drift": q_psi_drift,
+        "bpe_fertility": q_bpe_fertility,
         "nb_kappa": q_nb_kappa,
         "textrank_keywords": q_textrank_keywords,
         "token_burstiness": q_token_burstiness,
@@ -11575,6 +11637,7 @@ from s group by cluster_size order by cluster_size
         "sampled_quantiles": _sampled_quantiles_duck(),
         "grouped_sampled_quantiles": _grouped_sampled_quantiles_duck(),
         "psi_drift": Q_PSI_DRIFT_SQL,
+        "bpe_fertility": _bpe_fertility_duck(),
         "nb_kappa": _nb_kappa_duck(),
         "textrank_keywords": _textrank_duck(),
         "token_burstiness": Q_TOKEN_BURSTINESS_SQL,

@@ -833,3 +833,12 @@ def test_psi_drift_grid_sized_after_binning(spark):
     s = simple_plan(q.queries()["psi_drift"](spark, SF))
     assert "CartesianProduct" not in s  # broadcast nested loop of 1-row rng is fine
     assert "SortMergeJoin" not in s, s
+
+
+def test_bpe_fertility_encodes_via_broadcast_vocab(spark):
+    # encoding must ride the trained-vocab broadcast join (the word
+    # cache), never re-apply merges per occurrence; the only shuffle
+    # after the word explode is the |langs|-row aggregate
+    s = simple_plan(q.queries()["bpe_fertility"](spark, SF))
+    assert "BroadcastHashJoin" in s, s
+    assert "SortMergeJoin" not in s and "CartesianProduct" not in s
