@@ -31,6 +31,7 @@ from bamboo_spark.streaming.core import (
     minhash_pairs_stream,
     pack_stream,
     profile_stream,
+    psi_stream,
     sample_stream,
     segment_bloom_guard_stream,
     sessionize_stream,
@@ -57,6 +58,7 @@ __all__ = [
     "minhash_pairs_stream",
     "pack_stream",
     "profile_stream",
+    "psi_stream",
     "sample_stream",
     "segment_bloom_guard_stream",
     "sessionize_stream",

@@ -1407,6 +1407,87 @@ def hll_stream(
     )
 
 
+def psi_stream(
+    sdf: DataFrame,
+    baseline: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    bins: int = 10,
+    alert: float = 0.2,
+) -> DataFrame:
+    """Streaming Population Stability Index — the scalar twin of
+    ``drift_stream`` (and the continuous form of the batch
+    ``psi_drift``): per event-time window, PSI of the window's
+    ``value_col`` distribution against a STATIC baseline histogram,
+    with the standard 0.2 alert flag. The "today's orders are suddenly
+    small / docs suddenly short" alarm, live at ingest.
+
+    The baseline profile is metadata-sized by construction: ``bins``
+    equi-width integer bin shares computed ONCE from the baseline frame
+    (driver-side collect of <= bins rows) and folded into the streaming
+    projection as literals. Structured Streaming allows only one
+    aggregation per query, so the per-bin window counts are ``bins``
+    conditional sums inside ONE windowed aggregate; the PSI expression
+    then runs per result row. Laplace smoothing with k = ``bins`` on
+    both sides (the batch formula with a fixed bin universe). State per
+    window = bins + 1 longs, watermark-bounded."""
+    from pyspark.sql import functions as FN
+
+    row = baseline.agg(
+        FN.min(value_col).alias("lo"), FN.max(value_col).alias("hi")
+    ).collect()[0]
+    lo, hi = int(row["lo"]), int(row["hi"])
+    width = (hi - lo) // bins + 1
+    bexpr = "cast((cast(%s as bigint) - %d) div %d as int)" % (
+        value_col,
+        lo,
+        width,
+    )
+    # clamp stream values outside the baseline range into edge bins
+    bclamped = "greatest(0, least(%d, %s))" % (bins - 1, bexpr)
+    base_counts = (
+        baseline.select(FN.expr(bexpr).alias("b"))
+        .groupBy("b")
+        .agg(FN.count(FN.lit(1)).alias("c"))
+        .collect()
+    )
+    n_base = sum(r["c"] for r in base_counts)
+    by_bin = {r["b"]: r["c"] for r in base_counts}
+    q = [
+        (by_bin.get(i, 0) + 1) / float(n_base + bins) for i in range(bins)
+    ]
+    agg = (
+        sdf.withWatermark(ts_col, watermark)
+        .select(FN.col(ts_col), FN.expr(bclamped).alias("_b"))
+        .groupBy(FN.window(FN.col(ts_col), window).alias("w"))
+        .agg(
+            FN.count(FN.lit(1)).alias("n_rows"),
+            *[
+                FN.sum(FN.when(FN.col("_b") == i, 1).otherwise(0)).alias(
+                    "_c%d" % i
+                )
+                for i in range(bins)
+            ],
+        )
+    )
+    terms = [
+        "(((_c{i} + 1) / cast(n_rows + {k} as double)) - {q})"
+        " * ln(((_c{i} + 1) / cast(n_rows + {k} as double)) / {q})".format(
+            i=i, k=bins, q=repr(q[i])
+        )
+        for i in range(bins)
+    ]
+    psi = "round(%s, 6)" % " + ".join(terms)
+    return agg.select(
+        FN.col("w.start").alias("window_start"),
+        FN.col("n_rows").cast("bigint").alias("n_rows"),
+        FN.expr(psi).alias("psi"),
+        (FN.expr(psi) > FN.lit(alert)).alias("is_drifted"),
+    )
+
+
 def sample_stream(
     sdf: DataFrame,
     id_col: str,

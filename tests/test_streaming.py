@@ -1622,3 +1622,58 @@ def test_sample_stream_equals_batch_sample(spark, tmp_path):
     ]
     got_t = [(r["id"], r["v"], r["_rk"]) for r in final]
     assert sorted(got_t) == sorted(want)
+
+
+def test_psi_stream_windows_score_against_baseline(spark, tmp_path):
+    # window drawn from the baseline distribution scores ~0 PSI; a
+    # shifted window trips the 0.2 alert — and the streaming score
+    # equals the same formula computed by hand on the window's rows
+    import json
+    import math
+    import os
+
+    from bamboo_spark.streaming import psi_stream
+
+    baseline = spark.range(0, 1000).selectExpr("id % 100 as v")
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for i in range(500):  # same shape as baseline -> low PSI
+            f.write(json.dumps({"ts": "2026-01-01T00:%02d:%02d" % (i // 60, i % 60), "v": i % 100}) + "\n")
+        for i in range(500):  # shifted: only high values -> drifted
+            f.write(json.dumps({"ts": "2026-01-01T02:%02d:%02d" % (i // 60, i % 60), "v": 90 + (i % 10)}) + "\n")
+    stream = (
+        spark.readStream.schema("ts string, v long").json(src)
+        .selectExpr("cast(ts as timestamp) ts", "v")
+    )
+    out = psi_stream(stream, baseline, "v", window="1 hour", bins=10)
+    q = (
+        out.writeStream.format("memory").queryName("psi_t")
+        .outputMode("update").start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            r["window_start"].hour: r
+            for r in spark.sql("select * from psi_t").collect()
+        }
+    finally:
+        q.stop()
+    assert rows[0]["n_rows"] == 500 and rows[2]["n_rows"] == 500
+    assert not rows[0]["is_drifted"] and rows[0]["psi"] < 0.05
+    assert rows[2]["is_drifted"] and rows[2]["psi"] > 0.2
+    # exact replay of the formula for the drifted window
+    k, n = 10, 500
+    base_q = [((100 if b < 10 else 0) + 1) / float(1000 + 10) for b in range(10)]
+    cnts = [0] * 10
+    for i in range(500):
+        cnts[min(9, max(0, (90 + (i % 10)) // 10))] += 1
+    want = round(
+        sum(
+            ((c + 1) / float(n + k) - base_q[b])
+            * math.log(((c + 1) / float(n + k)) / base_q[b])
+            for b, c in enumerate(cnts)
+        ),
+        6,
+    )
+    assert abs(rows[2]["psi"] - want) < 1e-9
