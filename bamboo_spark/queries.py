@@ -10456,6 +10456,247 @@ from ps cross join a order by p
 """.format(smp=smp)
 
 
+def q_dup_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the near-dup
+    graph: 3·triangles / wedges — ONE number answering the question
+    the ``dup_triangles`` census asks pair-by-pair: are duplicate
+    clusters cliques (safe to collapse; transitivity → 1) or chains
+    (pointer-jumping over-merges; transitivity → 0). The go/no-go
+    metric a dedup run checks before trusting connected components as
+    cluster labels.
+
+    Exact integers end-to-end: triangles from the ordered-edge
+    two-join, wedges = Σ deg·(deg−1)/2 in decimal(38,0), transitivity
+    in ppm by integer division. Scale: same pinned edge-sized
+    equi-joins as the census; the coefficient is 1-row aggregates."""
+    dec = "decimal(38,0)"
+    d = load(spark, sf_dir, "documents")
+    pairs = _tracked_persist(
+        dedup.jaccard_pairs(d, threshold=0.7, max_shingle_df=None).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
+    )
+    tri = (
+        pairs.alias("e1")
+        .join(pairs.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            pairs.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    und = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    wd = (
+        und.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum(F.expr("cast(deg * (deg - 1) div 2 as %s)" % dec))
+            .cast("bigint")
+            .alias("n_wedges"),
+        )
+    )
+    ne = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        wd.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(ne))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("t").cast("bigint").alias("n_triangles"),
+            "n_wedges",
+            F.when(F.col("n_wedges") > 0, F.expr(
+                "cast((cast(t as decimal(38,0)) * 3000000)"
+                " div n_wedges as bigint)"
+            )).otherwise(F.lit(0)).alias("transitivity_ppm"),
+        )
+    )
+
+
+def _dup_clustering_coeff_duck() -> str:
+    pairs = dedup.jaccard_pairs_duck(threshold=0.7)
+    return """
+with pr as materialized (
+{pairs}
+),
+e as (select doc_a a, doc_b b from pr),
+tri as (
+  select count(*)::BIGINT t
+  from e e1
+  join e e2 on e2.a = e1.b
+  join e e3 on e3.a = e1.a and e3.b = e2.b
+),
+und as (select a, b from e union all select b, a from e),
+wd as (
+  select count(*)::BIGINT n_nodes,
+         sum((deg::HUGEINT * (deg - 1)) // 2)::BIGINT n_wedges
+  from (select a, count(*) deg from und group by a)
+),
+ne as (select count(*)::BIGINT n_edges from e)
+select wd.n_nodes, ne.n_edges, tri.t n_triangles, wd.n_wedges,
+       case when wd.n_wedges > 0
+            then ((tri.t::HUGEINT * 3000000) // wd.n_wedges)::BIGINT
+            else 0 end transitivity_ppm
+from wd cross join tri cross join ne
+""".format(pairs=pairs.strip().rstrip(";"))
+
+
+def q_user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity histogram: per-user Shannon entropy of the
+    event-type mix, bucketed into quarter-nat bins — the segmentation
+    monitor separating single-action bots (entropy 0) from diverse
+    organic users, and the drift alarm when a release collapses
+    behavior onto one path. Corpus-level ``token_entropy``'s per-entity
+    sibling.
+
+    Determinism: each type's −p·ln p term quantizes to integer
+    micro-nats BEFORE the per-user sum (the ``km_retention`` ln rule),
+    so per-user entropies are exact integers; buckets are integer
+    division by 250 000.
+
+    Scale: one (user, type) count, one user-keyed join for totals (the
+    only data-sized shuffles), per-user sum, then the bucket grid."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type")
+    ut = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = ut.groupBy("user_id").agg(F.sum("c").alias("n"))
+    ent = (
+        ut.join(tot, "user_id")
+        .select(
+            "user_id",
+            F.expr(
+                "cast(round(-(c / cast(n as double))"
+                " * ln(c / cast(n as double)) * 1e6, 0) as bigint)"
+            ).alias("t_u"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("t_u").alias("ent_u"))
+    )
+    return (
+        ent.groupBy(F.expr("ent_u div 250000").cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.expr(
+                "cast(cast(sum(ent_u) as decimal(38,0))"
+                " div count(*) as bigint)"
+            ).alias("avg_entropy_micro"),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q_USER_EVENT_ENTROPY_SQL = """
+with ut as (
+  select user_id, event_type, count(*) c from events group by 1, 2
+),
+tot as (select user_id, sum(c) n from ut group by 1),
+ent as (
+  select ut.user_id,
+         sum(round(-(c / n::DOUBLE) * ln(c / n::DOUBLE) * 1e6, 0)::BIGINT)
+           ent_u
+  from ut join tot using (user_id)
+  group by 1
+)
+select (ent_u // 250000)::BIGINT bucket, count(*)::BIGINT n_users,
+       (sum(ent_u)::HUGEINT // count(*))::BIGINT avg_entropy_micro
+from ent group by 1 order by bucket
+"""
+
+
+def q_markov_surprisal(
+    spark: SparkSession, sf_dir: str, top_k: int = 25, min_pairs: int = 10
+) -> DataFrame:
+    """Sequence-perplexity anomaly ranking: score every user's event
+    stream under the corpus's own first-order transition model
+    (``event_transitions``) and rank by average per-step surprisal —
+    the sequence-model form of bot/abuse detection (scripted flows ride
+    high-probability edges → low surprisal; erratic or adversarial
+    flows take rare transitions → high). Exactly the perplexity-filter
+    shape LLM pipelines apply to text, applied to behavior.
+
+    Determinism: each transition's −ln p quantizes to integer
+    micro-nats; per-user scores are exact integer sums with an integer
+    division for the mean; ties rank by user_id.
+
+    Scale: the transition matrix is a ≤T² grid broadcast to the pair
+    stream; pairs come from the same user-keyed lag window as
+    ``event_transitions``; the ranking is a partial top-k."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pr = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .select("user_id", "prev_type", "event_type")
+    )
+    m = (
+        pr.groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mt = m.groupBy("prev_type").agg(F.sum("n").alias("_tot"))
+    sur = m.join(F.broadcast(mt), "prev_type").select(
+        "prev_type",
+        "event_type",
+        F.expr(
+            "cast(round(-ln(n / cast(_tot as double)) * 1e6, 0) as bigint)"
+        ).alias("s_u"),
+    )
+    return (
+        pr.join(F.broadcast(sur), ["prev_type", "event_type"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_steps"),
+            F.sum("s_u").alias("_sum"),
+        )
+        .where(F.col("n_steps") >= min_pairs)
+        .select(
+            "user_id",
+            "n_steps",
+            F.expr(
+                "cast(cast(_sum as decimal(38,0)) div n_steps as bigint)"
+            ).alias("avg_surprisal_micro"),
+        )
+        .orderBy(F.col("avg_surprisal_micro").desc(), "user_id")
+        .limit(top_k)
+    )
+
+
+def _markov_surprisal_duck(top_k: int = 25, min_pairs: int = 10) -> str:
+    return """
+with e as (
+  select user_id, event_id, event_type, epoch_us(ts) us from events
+),
+p as (
+  select user_id,
+         lag(event_type) over (partition by user_id
+                               order by us, event_id) prev_type,
+         event_type
+  from e
+),
+pr as (select * from p where prev_type is not null),
+m as (
+  select prev_type, event_type, count(*) n from pr group by 1, 2
+),
+mt as (select prev_type, sum(n) tot from m group by 1),
+sur as (
+  select m.prev_type, m.event_type,
+         round(-ln(m.n / mt.tot::DOUBLE) * 1e6, 0)::BIGINT s_u
+  from m join mt using (prev_type)
+)
+select user_id, count(*)::BIGINT n_steps,
+       (sum(s_u)::HUGEINT // count(*))::BIGINT avg_surprisal_micro
+from pr join sur using (prev_type, event_type)
+group by user_id
+having count(*) >= {mp}
+order by avg_surprisal_micro desc, user_id limit {k}
+""".format(mp=min_pairs, k=top_k)
+
+
 def q_bpe_fertility(
     spark: SparkSession, sf_dir: str, n_merges: int = 6
 ) -> DataFrame:
@@ -11341,6 +11582,9 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_sampled_quantiles": q_grouped_sampled_quantiles,
         "psi_drift": q_psi_drift,
         "bpe_fertility": q_bpe_fertility,
+        "dup_clustering_coeff": q_dup_clustering_coeff,
+        "user_event_entropy": q_user_event_entropy,
+        "markov_surprisal": q_markov_surprisal,
         "nb_kappa": q_nb_kappa,
         "textrank_keywords": q_textrank_keywords,
         "token_burstiness": q_token_burstiness,
@@ -11638,6 +11882,9 @@ from s group by cluster_size order by cluster_size
         "grouped_sampled_quantiles": _grouped_sampled_quantiles_duck(),
         "psi_drift": Q_PSI_DRIFT_SQL,
         "bpe_fertility": _bpe_fertility_duck(),
+        "dup_clustering_coeff": _dup_clustering_coeff_duck(),
+        "user_event_entropy": Q_USER_EVENT_ENTROPY_SQL,
+        "markov_surprisal": _markov_surprisal_duck(),
         "nb_kappa": _nb_kappa_duck(),
         "textrank_keywords": _textrank_duck(),
         "token_burstiness": Q_TOKEN_BURSTINESS_SQL,

@@ -842,3 +842,21 @@ def test_bpe_fertility_encodes_via_broadcast_vocab(spark):
     s = simple_plan(q.queries()["bpe_fertility"](spark, SF))
     assert "BroadcastHashJoin" in s, s
     assert "SortMergeJoin" not in s and "CartesianProduct" not in s
+
+
+def test_round6_batch3_plan_shapes(spark):
+    # markov_surprisal: matrix + surprisal table broadcast to the pair
+    # stream; ranking is a partial top-k; the only window is the
+    # user-keyed lag
+    s = simple_plan(q.queries()["markov_surprisal"](spark, SF))
+    assert "TakeOrderedAndProject" in s, s
+    assert "BroadcastHashJoin" in s and "CartesianProduct" not in s
+    # user_event_entropy: aggregates + one user-keyed join, no windows
+    s = simple_plan(q.queries()["user_event_entropy"](spark, SF))
+    assert "Window" not in s, s
+    assert "CartesianProduct" not in s
+    # dup_clustering_coeff: 1-row aggregates cross-joined by broadcast;
+    # no data-sized nested loop (BroadcastNestedLoopJoin of 1-row sides
+    # is the intended shape), no window
+    s = simple_plan(q.queries()["dup_clustering_coeff"](spark, SF))
+    assert "Window" not in s, s
