@@ -10456,6 +10456,221 @@ from ps cross join a order by p
 """.format(smp=smp)
 
 
+def q_props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema profile: for every top-level key of the
+    events JSON ``props`` payload — presence count and ppm, JSON-null
+    count, and exact distinct-value count. The DQ lens a pipeline
+    points at an unmodeled JSON column BEFORE writing extraction code:
+    which keys exist, how sparse, how wide. (``table_profile``'s
+    semi-structured sibling; at 100 TB swap the exact distinct for the
+    ``type_distinct_hll`` registers — same plan shape.)
+
+    Spark parses once via from_json to map<string,string> + explode;
+    the oracle walks json_keys. Both count a key present even when its
+    value is JSON null, and both see the null value as SQL NULL."""
+    e = load(spark, sf_dir, "events").select("props")
+    n = e.agg(F.count(F.lit(1)).alias("nr"))
+    kv = e.select(
+        F.explode(F.expr("from_json(props, 'map<string,string>')")).alias(
+            "pkey", "val"
+        )
+    )
+    return (
+        kv.groupBy("pkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_present"),
+            F.sum(F.col("val").isNull().cast("int"))
+            .cast("bigint")
+            .alias("n_null_value"),
+            F.countDistinct("val").cast("bigint").alias("n_distinct"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pkey",
+            "n_present",
+            "n_null_value",
+            "n_distinct",
+            F.expr(
+                "cast((cast(n_present as decimal(38,0)) * 1000000)"
+                " div nr as bigint)"
+            ).alias("presence_ppm"),
+        )
+        .orderBy("pkey")
+    )
+
+
+Q_PROPS_KEY_PROFILE_SQL = """
+with t as (select props from events),
+n as (select count(*) nr from t),
+kv as (
+  select u.pkey, json_extract_string(props, '$.' || u.pkey) val
+  from t, unnest(json_keys(props)) as u(pkey)
+)
+select pkey, count(*)::BIGINT n_present,
+       sum((val is null)::INT)::BIGINT n_null_value,
+       count(distinct val)::BIGINT n_distinct,
+       ((count(*)::HUGEINT * 1000000) // any_value(n.nr))::BIGINT
+         presence_ppm
+from kv cross join n
+group by pkey order by pkey
+"""
+
+
+def q_dedup_threshold_curve(
+    spark: SparkSession, sf_dir: str, floor_threshold: float = 0.5
+) -> DataFrame:
+    """Similarity-threshold planning curve: run the EXACT Jaccard join
+    once at a low floor (0.5) and histogram the surviving pairs by
+    similarity tenth, with the descending cumulative "pairs you would
+    merge at >= t" count — the dial a dedup operator reads BEFORE
+    committing to a threshold (a cliff between 0.7 and 0.8 means the
+    corpus has a natural near-dup band; a flat curve means the
+    threshold is arbitrary and canonical-selection policy matters
+    more).
+
+    One prefix-filtered similarity join (the engine's pinned PPJoin
+    shape) feeds a <= 10-row grid; the cumulative runs on that grid.
+    Bucketing applies the identical float expression in both engines,
+    so boundary ulps land identically."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        d, threshold=floor_threshold, max_shingle_df=None
+    )
+    h = pairs.groupBy(
+        F.expr("cast(floor(jaccard * 10 + 1e-9) as int)").alias("tenth")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    wz = Window.orderBy(F.col("tenth").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        h.select(
+            "tenth",
+            "n_pairs",
+            F.sum("n_pairs").over(wz).cast("bigint").alias("n_pairs_ge"),
+        )
+        .orderBy("tenth")
+    )
+
+
+def _dedup_threshold_curve_duck(floor_threshold: float = 0.5) -> str:
+    pairs = dedup.jaccard_pairs_duck(threshold=floor_threshold)
+    return """
+with pr as materialized (
+{pairs}
+),
+h as (
+  select floor(jaccard * 10 + 1e-9)::INT tenth, count(*)::BIGINT n_pairs
+  from pr group by 1
+)
+select tenth, n_pairs,
+       sum(n_pairs) over (order by tenth desc
+                          rows between unbounded preceding
+                          and current row)::BIGINT n_pairs_ge
+from h order by tenth
+""".format(pairs=pairs.strip().rstrip(";"))
+
+
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto-class) customer segmentation: class A = customers
+    covering the top 80% of revenue, B = next 15%, C = the tail — the
+    inventory-management classic, and in a data pipeline the "which
+    20% of sources carry 80% of tokens" capping decision. One row per
+    class with exact customer counts, revenue, and share in ppm.
+
+    Class boundaries are value-based (every customer with the same
+    revenue gets the same class — deterministic under ties), computed
+    from the DISTINCT-REVENUE histogram: revenue strictly above value
+    v is T − prefix(v) − c_v·v, and the strict-prefix sums come from
+    ``scale.sharded_prefix_sums`` — NO single-partition window even
+    though per-customer revenue is ~all-distinct (the
+    ``gini_concentration`` lesson). Everything is integer: the 80/95%
+    cuts compare 20·above vs 4·T and 20·above vs 1·T."""
+    dec = "decimal(38,0)"
+    per = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("v")
+        )
+    )
+    h = (
+        per.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("cv", (F.col("c") * F.col("v")).cast("bigint"))
+    )
+    hp = scale.sharded_prefix_sums(h, "v", ["c", "cv"])
+    tot = hp.agg(
+        F.sum(F.col("cv").cast(dec)).alias("t")
+    )
+    cls = hp.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "c",
+        "cv",
+        # revenue strictly ABOVE this value (desc-order prefix)
+        (F.col("t") - F.col("pre_cv").cast(dec) - F.col("cv").cast(dec))
+        .alias("above"),
+        "t",
+    ).select(
+        "v",
+        "c",
+        "cv",
+        F.when(F.lit(20) * F.col("above") < F.lit(16) * F.col("t"), "A")
+        .when(F.lit(20) * F.col("above") < F.lit(19) * F.col("t"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    out = cls.groupBy("abc_class").agg(
+        F.sum("c").cast("bigint").alias("n_customers"),
+        F.sum(F.col("cv").cast(dec)).cast("bigint").alias("revenue_cents"),
+    )
+    return (
+        out.crossJoin(F.broadcast(tot))
+        .select(
+            "abc_class",
+            "n_customers",
+            "revenue_cents",
+            F.expr(
+                "cast((cast(revenue_cents as decimal(38,0)) * 1000000)"
+                " div t as bigint)"
+            ).alias("revenue_share_ppm"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+Q_ABC_ANALYSIS_SQL = """
+with per as (
+  select o_custkey, sum(round(o_totalprice * 100, 0)::BIGINT) v
+  from orders group by 1
+),
+h as (
+  select v, count(*)::HUGEINT c, (count(*)::HUGEINT * v) cv
+  from per group by v
+),
+hp as (
+  select v, c, cv,
+         coalesce(sum(cv) over (order by v rows between unbounded preceding
+                                and 1 preceding), 0) pre_cv
+  from h
+),
+tot as (select sum(cv) t from h),
+cls as (
+  select v, c, cv,
+         case when 20 * (t - pre_cv - cv) < 16 * t then 'A'
+              when 20 * (t - pre_cv - cv) < 19 * t then 'B'
+              else 'C' end abc_class
+  from hp cross join tot
+)
+select abc_class, sum(c)::BIGINT n_customers, sum(cv)::BIGINT revenue_cents,
+       ((sum(cv)::HUGEINT * 1000000) // any_value(t))::BIGINT
+         revenue_share_ppm
+from cls cross join tot
+group by abc_class order by abc_class
+"""
+
+
 def q_dup_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient (transitivity) of the near-dup
     graph: 3·triangles / wedges — ONE number answering the question
@@ -11583,6 +11798,9 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "bpe_fertility": q_bpe_fertility,
         "dup_clustering_coeff": q_dup_clustering_coeff,
+        "props_key_profile": q_props_key_profile,
+        "dedup_threshold_curve": q_dedup_threshold_curve,
+        "abc_analysis": q_abc_analysis,
         "user_event_entropy": q_user_event_entropy,
         "markov_surprisal": q_markov_surprisal,
         "nb_kappa": q_nb_kappa,
@@ -11883,6 +12101,9 @@ from s group by cluster_size order by cluster_size
         "psi_drift": Q_PSI_DRIFT_SQL,
         "bpe_fertility": _bpe_fertility_duck(),
         "dup_clustering_coeff": _dup_clustering_coeff_duck(),
+        "props_key_profile": Q_PROPS_KEY_PROFILE_SQL,
+        "dedup_threshold_curve": _dedup_threshold_curve_duck(),
+        "abc_analysis": Q_ABC_ANALYSIS_SQL,
         "user_event_entropy": Q_USER_EVENT_ENTROPY_SQL,
         "markov_surprisal": _markov_surprisal_duck(),
         "nb_kappa": _nb_kappa_duck(),

@@ -860,3 +860,22 @@ def test_round6_batch3_plan_shapes(spark):
     # is the intended shape), no window
     s = simple_plan(q.queries()["dup_clustering_coeff"](spark, SF))
     assert "Window" not in s, s
+
+
+def test_round6_batch4_plan_shapes(spark):
+    # abc_analysis: prefix sums over the ~all-distinct revenue
+    # histogram must ride the sharded two-phase scan — every window
+    # partitioned by the range shard (same pin as gini)
+    s = simple_plan(q.queries()["abc_analysis"](spark, SF))
+    for line in s.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__shard" in line, line
+    # props_key_profile: explode + aggregates, no windows, no
+    # data-sized joins
+    s = simple_plan(q.queries()["props_key_profile"](spark, SF))
+    assert "Window" not in s and "SortMergeJoin" not in s, s
+    # dedup_threshold_curve: the only window runs over the <= 10-row
+    # tenth grid AFTER the pair aggregate, and the similarity join is
+    # the pinned equi-join shape (no cartesian)
+    s = simple_plan(q.queries()["dedup_threshold_curve"](spark, SF))
+    assert "CartesianProduct" not in s, s
