@@ -10456,6 +10456,114 @@ from ps cross join a order by p
 """.format(smp=smp)
 
 
+def q_simhash_distance_curve(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 6
+) -> DataFrame:
+    """SimHash radius-planning curve: pair counts by exact Hamming
+    distance up to 6 bits, with the ascending cumulative "pairs merged
+    at radius <= h" — the tuning dial for ``dedup_simhash``'s radius
+    (the knee where counts explode is where near-dup ends and topical
+    similarity begins). Widening the pigeonhole banding to
+    ``max_hamming + 1`` bands keeps the candidate join EXACT at the
+    larger radius, so the histogram is complete, not sampled.
+
+    Same pinned shapes as ``dedup_simhash``: signature build is one
+    map-combined bit-vote aggregate, candidates come from band-bucket
+    equi-joins, verification is codegen bit_count(xor); the cumulative
+    runs over the <= 7-row distance grid."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.simhash_pairs(d, max_hamming=max_hamming)
+    h = pairs.groupBy(F.col("hamming")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    wz = Window.orderBy("hamming").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        h.select(
+            F.col("hamming").cast("bigint").alias("hamming"),
+            "n_pairs",
+            F.sum("n_pairs").over(wz).cast("bigint").alias("n_pairs_le"),
+        )
+        .orderBy("hamming")
+    )
+
+
+def _simhash_distance_curve_duck(max_hamming: int = 6) -> str:
+    pairs = dedup.simhash_pairs_duck(max_hamming=max_hamming)
+    return """
+with pr as materialized (
+{pairs}
+),
+h as (select hamming, count(*)::BIGINT n_pairs from pr group by 1)
+select hamming, n_pairs,
+       sum(n_pairs) over (order by hamming
+                          rows between unbounded preceding
+                          and current row)::BIGINT n_pairs_le
+from h order by hamming
+""".format(pairs=pairs.strip().rstrip(";"))
+
+
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Over-merge audit of duplicate clusters: per cluster-size class,
+    how many converged near-dup components mix more than one language
+    or more than one source — the red flag that transitive closure is
+    chaining UNRELATED documents together (true near-dups almost never
+    cross language; template families often cross sources). Reads as a
+    companion to ``dedup_cluster_sizes``: same labeling, plus the
+    purity dimension that tells you whether the big clusters are safe.
+
+    Scale: the components fixpoint (pinned shape, shared with the
+    cluster-size report so one build serves both in a sweep), one
+    doc-keyed join to metadata, two map-combined aggregates."""
+    full = load(spark, sf_dir, "documents")
+    d = full.select("doc_id", "lang", "source")
+    pairs = dedup.minhash_lsh_pairs(full, threshold=0.7, num_hashes=64)
+    labels = dedup.connected_components_converged(pairs)
+    per = (
+        labels.join(d, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+    return (
+        per.groupBy(F.col("n_docs").cast("bigint").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum((F.col("n_langs") > 1).cast("int"))
+            .cast("bigint")
+            .alias("n_mixed_lang"),
+            F.sum((F.col("n_sources") > 1).cast("int"))
+            .cast("bigint")
+            .alias("n_mixed_source"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _cluster_purity_duck() -> str:
+    fix = dedup.components_fixpoint_duck(
+        dedup.jaccard_pairs_duck(threshold=0.7)
+    )
+    return """
+with labels as (select * from ({fix}) f),
+per as (
+  select component, count(*) n_docs,
+         count(distinct d.lang) n_langs,
+         count(distinct d.source) n_sources
+  from labels join documents d using (doc_id)
+  group by component
+)
+select n_docs::BIGINT cluster_size, count(*)::BIGINT n_clusters,
+       sum((n_langs > 1)::INT)::BIGINT n_mixed_lang,
+       sum((n_sources > 1)::INT)::BIGINT n_mixed_source
+from per group by n_docs order by cluster_size
+""".format(fix=fix)
+
+
 def q_props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured schema profile: for every top-level key of the
     events JSON ``props`` payload — presence count and ppm, JSON-null
@@ -11799,6 +11907,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": q_bpe_fertility,
         "dup_clustering_coeff": q_dup_clustering_coeff,
         "props_key_profile": q_props_key_profile,
+        "simhash_distance_curve": q_simhash_distance_curve,
+        "cluster_purity": q_cluster_purity,
         "dedup_threshold_curve": q_dedup_threshold_curve,
         "abc_analysis": q_abc_analysis,
         "user_event_entropy": q_user_event_entropy,
@@ -12102,6 +12212,8 @@ from s group by cluster_size order by cluster_size
         "bpe_fertility": _bpe_fertility_duck(),
         "dup_clustering_coeff": _dup_clustering_coeff_duck(),
         "props_key_profile": Q_PROPS_KEY_PROFILE_SQL,
+        "simhash_distance_curve": _simhash_distance_curve_duck(),
+        "cluster_purity": _cluster_purity_duck(),
         "dedup_threshold_curve": _dedup_threshold_curve_duck(),
         "abc_analysis": Q_ABC_ANALYSIS_SQL,
         "user_event_entropy": Q_USER_EVENT_ENTROPY_SQL,

@@ -879,3 +879,15 @@ def test_round6_batch4_plan_shapes(spark):
     # the pinned equi-join shape (no cartesian)
     s = simple_plan(q.queries()["dedup_threshold_curve"](spark, SF))
     assert "CartesianProduct" not in s, s
+
+
+def test_round6_batch5_plan_shapes(spark):
+    # simhash_distance_curve: candidates from band-bucket equi-joins,
+    # verification in codegen — no cartesian anywhere even at the
+    # widened radius; the only window is the <= 7-row distance grid
+    s = simple_plan(q.queries()["simhash_distance_curve"](spark, SF))
+    assert "CartesianProduct" not in s, s
+    # cluster_purity: the final plan (behind the CC checkpoint) is a
+    # doc-keyed join + two aggregates — no windows, no cartesian
+    s = simple_plan(q.queries()["cluster_purity"](spark, SF))
+    assert "Window" not in s and "CartesianProduct" not in s, s
