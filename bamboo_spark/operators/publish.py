@@ -166,14 +166,30 @@ def current_version(
         return 0
 
 
+def _read_manifest(table_dir: str, fs) -> Optional[dict]:
+    try:
+        return json.loads(fs.read_text(_manifest_path(table_dir, fs)))
+    except Exception:
+        return None
+
+
 def atomic_publish(df: DataFrame, table_dir: str) -> int:
     """Write ``df`` as the table's next snapshot and commit it
     atomically. Returns the committed version number. The manifest row
-    count is observed during the write — no second scan."""
+    count is observed during the write — no second scan.
+
+    TIME TRAVEL: the manifest carries a ``snapshots`` map with every
+    still-live committed version's file list/row count/schema. Because
+    the history rides the SAME atomically-swapped manifest, it can
+    never disagree with the commit it describes — a version appears in
+    history iff its publish committed. ``read_published(version=k)``
+    reads any retained snapshot; ``vacuum`` prunes history entries
+    whose data directories it deletes."""
     from pyspark.sql import Observation, functions as F
 
     fs = _fs_for(table_dir, df.sparkSession)
     fs.mkdirs(table_dir)
+    prev = _read_manifest(table_dir, fs)
     # next version must clear BOTH the committed manifest and any
     # orphan _v<K> left by a writer that died before its commit
     orphans = [
@@ -181,7 +197,8 @@ def atomic_publish(df: DataFrame, table_dir: str) -> int:
         for d in fs.listdir(table_dir)
         if d.startswith("_v") and d[2:].isdigit()
     ]
-    version = max([current_version(table_dir, df.sparkSession)] + orphans) + 1
+    committed = int(prev["version"]) if prev else 0
+    version = max([committed] + orphans) + 1
     vdir = fs.join(table_dir, "_v%d" % version)
     obs = Observation()
     df.observe(obs, F.count(F.lit(1)).alias("n")).write.parquet(vdir)
@@ -191,12 +208,21 @@ def atomic_publish(df: DataFrame, table_dir: str) -> int:
         for f in fs.listdir(vdir)
         if f.endswith(".parquet")
     )
-    manifest = {
-        "version": version,
+    entry = {
         "files": files,
         "n_rows": n_rows,
         "schema": df.schema.json(),
     }
+    history = dict(prev.get("snapshots", {})) if prev else {}
+    # heal pre-history manifests: retain the previous current snapshot
+    if prev and str(prev["version"]) not in history:
+        history[str(prev["version"])] = {
+            "files": prev["files"],
+            "n_rows": prev["n_rows"],
+            "schema": prev["schema"],
+        }
+    history[str(version)] = entry
+    manifest = {"version": version, "snapshots": history, **entry}
     fs.replace_with(
         json.dumps(manifest),
         _manifest_path(table_dir, fs),
@@ -205,18 +231,56 @@ def atomic_publish(df: DataFrame, table_dir: str) -> int:
     return version
 
 
-def read_published(spark: SparkSession, table_dir: str) -> DataFrame:
-    """Read exactly the committed snapshot (manifest-listed files)."""
+def read_published(
+    spark: SparkSession, table_dir: str, version: Optional[int] = None
+) -> DataFrame:
+    """Read exactly the committed snapshot's manifest-listed files —
+    the latest by default, or any retained ``version`` (time travel).
+    Raises KeyError for a version never committed or already
+    vacuumed."""
     fs = _fs_for(table_dir, spark)
     manifest = json.loads(fs.read_text(_manifest_path(table_dir, fs)))
-    paths = [fs.join(table_dir, f) for f in manifest["files"]]
+    if version is None or int(version) == int(manifest["version"]):
+        entry = manifest
+    else:
+        snaps = manifest.get("snapshots", {})
+        if str(version) not in snaps:
+            raise KeyError(
+                "version %s is not a retained snapshot (have: %s)"
+                % (version, sorted(int(v) for v in snaps))
+            )
+        entry = snaps[str(version)]
+    paths = [fs.join(table_dir, f) for f in entry["files"]]
     if not paths:
         from pyspark.sql import types as T
 
         return spark.createDataFrame(
-            [], T.StructType.fromJson(json.loads(manifest["schema"]))
+            [], T.StructType.fromJson(json.loads(entry["schema"]))
         )
     return spark.read.parquet(*paths)
+
+
+def snapshots(
+    table_dir: str, spark: Optional[SparkSession] = None
+) -> List[dict]:
+    """Retained snapshot metadata, oldest first:
+    [{version, n_rows, n_files, is_current}]."""
+    fs = _fs_for(table_dir, spark)
+    manifest = json.loads(fs.read_text(_manifest_path(table_dir, fs)))
+    cur = int(manifest["version"])
+    out = []
+    for v, e in sorted(
+        manifest.get("snapshots", {}).items(), key=lambda kv: int(kv[0])
+    ):
+        out.append(
+            {
+                "version": int(v),
+                "n_rows": int(e["n_rows"]),
+                "n_files": len(e["files"]),
+                "is_current": int(v) == cur,
+            }
+        )
+    return out
 
 
 def published_rows(
@@ -231,19 +295,42 @@ def vacuum(
     table_dir: str, keep: int = 2, spark: Optional[SparkSession] = None
 ) -> List[str]:
     """Delete version directories older than the newest ``keep`` that
-    are NOT the committed one. Returns the removed directory names.
-    Safe by construction: readers resolve files only through the
-    manifest, so an uncommitted or superseded ``_v<N>`` is garbage."""
+    are NOT the committed one, and prune their time-travel history
+    entries (one atomic manifest rewrite BEFORE the data deletes, so a
+    reader never resolves a vacuumed snapshot). Returns the removed
+    directory names. Safe by construction: readers resolve files only
+    through the manifest, so an uncommitted or superseded ``_v<N>`` is
+    garbage."""
     fs = _fs_for(table_dir, spark)
-    committed = current_version(table_dir, spark)
-    removed = []
+    manifest = _read_manifest(table_dir, fs)
+    committed = int(manifest["version"]) if manifest else 0
     versions = sorted(
         int(d[2:])
         for d in fs.listdir(table_dir)
         if d.startswith("_v") and d[2:].isdigit()
     )
-    for v in versions[:-keep] if keep else versions:
-        if v != committed:
-            fs.rmtree(fs.join(table_dir, "_v%d" % v))
-            removed.append("_v%d" % v)
+    doomed = [
+        v
+        for v in (versions[:-keep] if keep else versions)
+        if v != committed
+    ]
+    if not doomed:
+        return []
+    if manifest and manifest.get("snapshots"):
+        pruned = {
+            v: e
+            for v, e in manifest["snapshots"].items()
+            if int(v) not in doomed
+        }
+        if pruned != manifest["snapshots"]:
+            manifest["snapshots"] = pruned
+            fs.replace_with(
+                json.dumps(manifest),
+                _manifest_path(table_dir, fs),
+                ".tmp.vac",
+            )
+    removed = []
+    for v in doomed:
+        fs.rmtree(fs.join(table_dir, "_v%d" % v))
+        removed.append("_v%d" % v)
     return removed

@@ -115,3 +115,43 @@ def test_streaming_foreachbatch_publishes_atomic_snapshots(spark, tmp_path):
     # reader consistency: manifest row count == actual rows
     assert published_rows(tbl) == read_published(spark, tbl).count() == 50
     assert current_version(tbl) == max(seen)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_time_travel_reads_retained_snapshots(spark, tmp_path, backend):
+    from bamboo_spark.operators.publish import snapshots
+
+    t, _ = _tbl(tmp_path, backend)
+    atomic_publish(spark.range(10).selectExpr("id", "id * 2 as x"), t)
+    atomic_publish(spark.range(25).selectExpr("id", "id * 3 as x"), t)
+    atomic_publish(spark.range(7).selectExpr("id", "id * 5 as x"), t)
+    # latest by default; any retained version on request
+    assert read_published(spark, t).count() == 7
+    v1 = read_published(spark, t, version=1)
+    assert v1.count() == 10 and v1.selectExpr("max(x)").collect()[0][0] == 18
+    assert read_published(spark, t, version=2).count() == 25
+    meta = snapshots(t)
+    assert [m["version"] for m in meta] == [1, 2, 3]
+    assert [m["n_rows"] for m in meta] == [10, 25, 7]
+    assert meta[-1]["is_current"] and not meta[0]["is_current"]
+    # never-committed version fails loudly
+    with pytest.raises(KeyError):
+        read_published(spark, t, version=9)
+
+
+def test_vacuum_prunes_time_travel_history(spark, tmp_path):
+    from bamboo_spark.operators.publish import snapshots
+
+    t = str(tmp_path / "tbl")
+    for n in (3, 4, 5, 6):
+        atomic_publish(spark.range(n), t)
+    removed = vacuum(t, keep=2)
+    assert removed  # something old went away
+    live = [m["version"] for m in snapshots(t)]
+    assert 4 in live and 3 in live and 1 not in live
+    # history and data agree: retained versions read, vacuumed raise
+    assert read_published(spark, t, version=3).count() == 5
+    with pytest.raises(KeyError):
+        read_published(spark, t, version=1)
+    # current still intact
+    assert read_published(spark, t).count() == 6
