@@ -334,3 +334,80 @@ def vacuum(
         fs.rmtree(fs.join(table_dir, "_v%d" % v))
         removed.append("_v%d" % v)
     return removed
+
+
+def merge_publish(
+    changes: DataFrame,
+    table_dir: str,
+    key_cols,
+    version_cols,
+    op_col: Optional[str] = None,
+    delete_op: str = "delete",
+) -> int:
+    """MERGE INTO with snapshot isolation: apply a CDC change batch
+    onto the committed snapshot (``scale.cdc_apply`` — last-writer-wins
+    upserts + tombstone deletes in ONE map-combined max-struct
+    aggregate, no window) and publish the result as the next version.
+    Readers see the pre-merge or post-merge snapshot, never a mix, and
+    time travel retains the pre-merge version. First merge into an
+    empty table is a plain insert of the change batch's payload.
+
+    Single-writer contract (same as ``atomic_publish``); the merge
+    rewrites the table — the right shape while snapshots are
+    repartition-light; at petabyte scale a format keeps deltas and
+    compacts, which is ``cdc_apply`` run lazily instead of eagerly."""
+    from bamboo_spark.operators.scale import cdc_apply
+
+    spark = changes.sparkSession
+    fs = _fs_for(table_dir, spark)
+    if _read_manifest(table_dir, fs) is None:
+        # empty table: insert the non-tombstone changes; the snapshot
+        # KEEPS the version columns (cdc_apply needs them on the base
+        # side of the next merge), dropping only the op marker
+        from pyspark.sql import functions as F
+
+        base = changes
+        if op_col:
+            base = base.where(F.col(op_col) != delete_op).drop(op_col)
+        return atomic_publish(base, table_dir)
+    base = read_published(spark, table_dir)
+    merged = cdc_apply(
+        base,
+        changes,
+        key_cols,
+        version_cols if not isinstance(version_cols, str) else [version_cols],
+        op_col=op_col,
+        delete_op=delete_op,
+    )
+    return atomic_publish(merged, table_dir)
+
+
+def diff_versions(
+    spark: SparkSession,
+    table_dir: str,
+    old_version: int,
+    new_version: Optional[int] = None,
+    id_col: str = "id",
+    content_col: Optional[str] = None,
+) -> DataFrame:
+    """Audit what changed between two retained snapshots: per id,
+    'added' / 'removed' / 'changed' / 'unchanged' via
+    ``scale.snapshot_diff`` (digest-only shuffle). ``content_col``
+    defaults to every non-id column packed into one struct, so any
+    payload change counts as 'changed'."""
+    from pyspark.sql import functions as F
+
+    from bamboo_spark.operators.scale import snapshot_diff
+
+    old = read_published(spark, table_dir, version=old_version)
+    new = read_published(spark, table_dir, version=new_version)
+    if content_col is None:
+        content_col = "_payload"
+        pack = lambda df: df.select(  # noqa: E731
+            F.col(id_col),
+            F.to_json(
+                F.struct(*[c for c in df.columns if c != id_col])
+            ).alias("_payload"),
+        )
+        old, new = pack(old), pack(new)
+    return snapshot_diff(old, new, id_col=id_col, content_col=content_col)

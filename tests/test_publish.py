@@ -155,3 +155,63 @@ def test_vacuum_prunes_time_travel_history(spark, tmp_path):
         read_published(spark, t, version=1)
     # current still intact
     assert read_published(spark, t).count() == 6
+
+
+def test_merge_publish_upserts_with_snapshot_isolation(spark, tmp_path):
+    from bamboo_spark.operators.publish import merge_publish
+
+    t = str(tmp_path / "tbl")
+    # first merge into an empty table = insert (version/op cols dropped)
+    ch1 = spark.createDataFrame(
+        [(1, "a", 1, "upsert"), (2, "b", 1, "upsert")],
+        "id long, val string, ver long, op string",
+    )
+    v1 = merge_publish(ch1, t, "id", ["ver"], op_col="op")
+    assert v1 == 1
+    assert sorted(
+        (r["id"], r["val"]) for r in read_published(spark, t).collect()
+    ) == [(1, "a"), (2, "b")]
+    # second merge: update 1, delete 2, insert 3 — LWW on ver
+    ch2 = spark.createDataFrame(
+        [
+            (1, "a2", 2, "upsert"),
+            (1, "a9", 1, "upsert"),  # stale version loses
+            (2, None, 2, "delete"),
+            (3, "c", 1, "upsert"),
+        ],
+        "id long, val string, ver long, op string",
+    )
+    v2 = merge_publish(ch2, t, "id", ["ver"], op_col="op")
+    assert v2 == 2
+    now = sorted(
+        (r["id"], r["val"]) for r in read_published(spark, t).collect()
+    )
+    assert now == [(1, "a2"), (3, "c")]
+    # snapshot isolation: the pre-merge version is still readable
+    before = sorted(
+        (r["id"], r["val"]) for r in read_published(spark, t, version=1).collect()
+    )
+    assert before == [(1, "a"), (2, "b")]
+
+
+def test_diff_versions_statuses(spark, tmp_path):
+    from bamboo_spark.operators.publish import diff_versions
+
+    t = str(tmp_path / "tbl")
+    atomic_publish(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, s string, x long"
+        ),
+        t,
+    )
+    atomic_publish(
+        spark.createDataFrame(
+            [(2, "b", 20), (3, "c9", 30), (4, "d", 40)], "id long, s string, x long"
+        ),
+        t,
+    )
+    st = {
+        r["id"]: r["status"]
+        for r in diff_versions(spark, t, 1, 2).collect()
+    }
+    assert st == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
