@@ -77,6 +77,15 @@ class _PosixFS:
 
         shutil.rmtree(d)
 
+    def walk_files(self, d: str) -> List[str]:
+        """All file paths under ``d``, relative to it (posix slashes)."""
+        out = []
+        for root, _dirs, files in os.walk(d):
+            rel = os.path.relpath(root, d)
+            for f in files:
+                out.append(f if rel == "." else "%s/%s" % (rel.replace(os.sep, "/"), f))
+        return out
+
 
 class _HadoopFS:
     """URI backend: Hadoop ``FileSystem`` for IO + listing,
@@ -133,6 +142,15 @@ class _HadoopFS:
     def rmtree(self, d: str) -> None:
         self._fs.delete(self._path(d), True)
 
+    def walk_files(self, d: str) -> List[str]:
+        base = self._fs.getFileStatus(self._path(d)).getPath().toString()
+        it = self._fs.listFiles(self._path(d), True)
+        out = []
+        while it.hasNext():
+            p = it.next().getPath().toString()
+            out.append(p[len(base) + 1:])
+        return out
+
 
 def _is_uri(p: str) -> bool:
     head = p.split("://", 1)[0] if "://" in p else ""
@@ -173,10 +191,21 @@ def _read_manifest(table_dir: str, fs) -> Optional[dict]:
         return None
 
 
-def atomic_publish(df: DataFrame, table_dir: str) -> int:
+def atomic_publish(
+    df: DataFrame,
+    table_dir: str,
+    partition_by=None,
+) -> int:
     """Write ``df`` as the table's next snapshot and commit it
     atomically. Returns the committed version number. The manifest row
     count is observed during the write — no second scan.
+
+    ``partition_by`` hive-partitions the snapshot's data files
+    (``_v<N>/col=val/part-*.parquet``); the manifest records the
+    partition columns and readers restore them via a basePath-anchored
+    read, so PARTITION PRUNING works on the published table exactly as
+    on a hive layout while file resolution still goes only through the
+    manifest.
 
     TIME TRAVEL: the manifest carries a ``snapshots`` map with every
     still-live committed version's file list/row count/schema. Because
@@ -201,17 +230,24 @@ def atomic_publish(df: DataFrame, table_dir: str) -> int:
     version = max([committed] + orphans) + 1
     vdir = fs.join(table_dir, "_v%d" % version)
     obs = Observation()
-    df.observe(obs, F.count(F.lit(1)).alias("n")).write.parquet(vdir)
+    writer = df.observe(obs, F.count(F.lit(1)).alias("n")).write
+    parts = (
+        [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    ) if partition_by else []
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.parquet(vdir)
     n_rows = int(obs.get["n"])
     files = sorted(
         "_v%d/%s" % (version, f)
-        for f in fs.listdir(vdir)
+        for f in fs.walk_files(vdir)
         if f.endswith(".parquet")
     )
     entry = {
         "files": files,
         "n_rows": n_rows,
         "schema": df.schema.json(),
+        "partition_by": parts,
     }
     history = dict(prev.get("snapshots", {})) if prev else {}
     # heal pre-history manifests: retain the previous current snapshot
@@ -257,7 +293,13 @@ def read_published(
         return spark.createDataFrame(
             [], T.StructType.fromJson(json.loads(entry["schema"]))
         )
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if entry.get("partition_by"):
+        # anchor partition discovery at the snapshot dir so the
+        # col=val path segments come back as columns
+        vprefix = entry["files"][0].split("/", 1)[0]
+        reader = reader.option("basePath", fs.join(table_dir, vprefix))
+    return reader.parquet(*paths)
 
 
 def snapshots(

@@ -215,3 +215,27 @@ def test_diff_versions_statuses(spark, tmp_path):
         for r in diff_versions(spark, t, 1, 2).collect()
     }
     assert st == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_partitioned_publish_prunes_partitions(spark, tmp_path, backend):
+    from bamboo_spark.operators.publish import atomic_publish as pub
+
+    t, local = _tbl(tmp_path, backend)
+    df = spark.range(0, 100).selectExpr("id", "id % 4 as p")
+    v = pub(df, t, partition_by="p")
+    assert v == 1
+    back = read_published(spark, t)
+    assert back.count() == 100 and set(back.columns) == {"id", "p"}
+    assert back.where("p = 2").count() == 25
+    # hive layout on disk + manifest-only resolution
+    assert os.path.isdir(os.path.join(local, "_v1", "p=3"))
+    # partition pruning reaches the scan: filtering p=2 plans a
+    # PartitionFilters entry, not a full-read + filter
+    plan = (
+        back.where("p = 2")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan and "p#" in plan.split(
+        "PartitionFilters"
+    )[1][:80], plan
