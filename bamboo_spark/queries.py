@@ -10456,6 +10456,85 @@ from ps cross join a order by p
 """.format(smp=smp)
 
 
+def q_market_concentration_hhi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per nation: HHI of
+    supplier revenue shares (Σ shareᵢ², reported in ppm — 1e6 = one
+    supplier owns the market; the antitrust 0.15/0.25 bands scale to
+    150k/250k ppm). Gini (``gini_concentration``) asks "how unequal";
+    HHI asks "how few players" — the capping/mixture planner reads it
+    per data-source the same way: one source at HHI 400k+ dominates
+    the mix and needs a cap before training.
+
+    Exact: per-supplier revenue in integer cents, Σrev² and T² in
+    decimal(38,0), ONE integer division — hhi_ppm = 1e6·Σrev² div T².
+
+    Scale: the lineitem→supplier join + per-supplier aggregate are the
+    data-sized shuffles; per-nation rollups are |nations|-sized."""
+    dec = "decimal(38,0)"
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            * 100,
+            0,
+        )
+        .cast("long")
+        .alias("rev_c"),
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum("rev_c").alias("rev"))
+    )
+    agg = per.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("rev").cast("bigint").alias("revenue_cents"),
+        F.sum(F.col("rev").cast(dec) * F.col("rev").cast(dec)).alias("sq"),
+    )
+    return (
+        agg.join(F.broadcast(n), agg.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_suppliers",
+            "revenue_cents",
+            F.expr(
+                "cast((sq * 1000000) div (cast(revenue_cents as"
+                " decimal(38,0)) * revenue_cents) as bigint)"
+            ).alias("hhi_ppm"),
+        )
+        .orderBy("nation")
+    )
+
+
+Q_MARKET_HHI_SQL = """
+with li as (
+  select l_suppkey,
+         round(l_extendedprice * (1.0 - l_discount) * 100, 0)::BIGINT rev_c
+  from lineitem
+),
+per as (
+  select s.s_nationkey, li.l_suppkey, sum(rev_c)::HUGEINT rev
+  from li join supplier s on li.l_suppkey = s.s_suppkey
+  group by 1, 2
+),
+agg as (
+  select s_nationkey, count(*)::BIGINT n_suppliers,
+         sum(rev)::BIGINT revenue_cents,
+         sum(rev * rev) sq
+  from per group by 1
+)
+select n.n_name nation, n_suppliers, revenue_cents,
+       ((sq * 1000000) // (revenue_cents::HUGEINT * revenue_cents))::BIGINT
+         hhi_ppm
+from agg join nation n on agg.s_nationkey = n.n_nationkey
+order by nation
+"""
+
+
 def q_simhash_distance_curve(
     spark: SparkSession, sf_dir: str, max_hamming: int = 6
 ) -> DataFrame:
@@ -11909,6 +11988,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_key_profile": q_props_key_profile,
         "simhash_distance_curve": q_simhash_distance_curve,
         "cluster_purity": q_cluster_purity,
+        "market_concentration_hhi": q_market_concentration_hhi,
         "dedup_threshold_curve": q_dedup_threshold_curve,
         "abc_analysis": q_abc_analysis,
         "user_event_entropy": q_user_event_entropy,
@@ -12214,6 +12294,7 @@ from s group by cluster_size order by cluster_size
         "props_key_profile": Q_PROPS_KEY_PROFILE_SQL,
         "simhash_distance_curve": _simhash_distance_curve_duck(),
         "cluster_purity": _cluster_purity_duck(),
+        "market_concentration_hhi": Q_MARKET_HHI_SQL,
         "dedup_threshold_curve": _dedup_threshold_curve_duck(),
         "abc_analysis": Q_ABC_ANALYSIS_SQL,
         "user_event_entropy": Q_USER_EVENT_ENTROPY_SQL,
