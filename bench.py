@@ -278,6 +278,21 @@ def main() -> None:
     # script; the stdout line must stay comfortably inside the driver's
     # 2000-char tail-capture window (round 2's 77-query line at 3 decimals
     # overflowed it), so it elides to the slowest queries when needed.
+    # NOISE TRIAGE, automated: this box's documented noise band hits
+    # different queries each sweep (a 3x spike that vanishes on re-run
+    # is host noise, not a regression). Re-time the slowest queries
+    # once, warm, in the same session; a retime far below the sweep
+    # time marks the sweep number as noise. Recorded in the detail
+    # artifact so nobody chases ghosts.
+    retimed = {}
+    for name, _t in sorted(
+        timings.items(), key=lambda kv: kv[1], reverse=True
+    )[:6]:
+        start = time.perf_counter()
+        materialize(registry[name](spark, sf_dir))
+        retimed[name] = round(time.perf_counter() - start, 3)
+    release_caches()
+
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -288,6 +303,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "retimed_slowest": retimed,
                 "sf": sf_val,
             },
             fh,
