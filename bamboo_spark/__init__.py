@@ -29,7 +29,7 @@ from bamboo_spark.plans import PlanViolation, audit_plan
 from bamboo_spark.session import get_spark
 from bamboo_spark.sources.arrow import from_arrow
 from bamboo_spark.sources.avro import from_avro, read_avro_py
-from bamboo_spark.sources.flat import read_csv, read_orc, read_parquet, read_text, read_union
+from bamboo_spark.sources.flat import read_csv, read_orc, read_parquet, read_text, read_union, read_xml
 from bamboo_spark.sources.json import from_json, read_json
 from bamboo_spark.sources.obj import from_object
 from bamboo_spark.sources.pbd import from_pbd, read_pbd
@@ -59,6 +59,7 @@ __all__ = [
     "read_pbd",
     "read_text",
     "read_union",
+    "read_xml",
 ]
 
 __version__ = "0.1.0"

@@ -80,6 +80,30 @@ def read_parquet(
     return Dataset(reader.parquet(path))
 
 
+def read_xml(
+    path: str,
+    spark: Optional[SparkSession] = None,
+    row_tag: str = "row",
+    schema: Optional[str] = None,
+    **options: Any,
+) -> Dataset:
+    """XML → Dataset via Spark 4's built-in XML source: one row per
+    ``row_tag`` element, nested elements inferred as structs/arrays —
+    so XML feeds exactly like JSON does and ``flatten`` applies
+    unchanged. ``schema`` (DDL) skips inference at lake scale.
+
+    Scale: the reader splits files at element boundaries like the JSON
+    line reader splits at newlines; inference samples, then the real
+    scan is distributed and column-pruned."""
+    spark = _session(spark)
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for key, value in options.items():
+        reader = reader.option(key, value)
+    return Dataset(reader.load(path))
+
+
 def read_text(
     path: str,
     spark: Optional[SparkSession] = None,
@@ -225,6 +249,12 @@ _EXT_READERS = {
     ".csv": lambda sp, p: sp.read.option("header", True)
     .option("inferSchema", True)
     .csv(p),
+    ".xml": lambda sp, p: sp.read.format("xml")
+    .option("rowTag", "row")
+    .load(p),
+    ".txt": lambda sp, p: sp.read.text(p).withColumnRenamed(
+        "value", "text"
+    ),
 }
 
 

@@ -1376,3 +1376,36 @@ def test_read_union_decimal_float_and_overflow(spark, tmp_path):
     ).write.parquet(c)
     with _pt.raises(TypeError, match="losslessly"):
         read_union([a, c], spark=spark)
+
+
+def test_read_xml_nested_and_flatten(spark, tmp_path):
+    # Spark 4 built-in XML: row per rowTag, nested elements become
+    # structs/arrays — the same shape the JSON source feeds flatten
+    from bamboo_spark import read_xml
+
+    p = str(tmp_path / "d.xml")
+    with open(p, "w") as f:
+        f.write(
+            "<rows>"
+            "<row><id>1</id><tags><t>a</t><t>b</t></tags></row>"
+            "<row><id>2</id><tags><t>c</t></tags></row>"
+            "</rows>"
+        )
+    ds = read_xml(p, spark=spark)
+    flat = ds.flatten()
+    rows = sorted((r["id"], r["t"]) for r in flat.df.collect())
+    assert rows == [(1, "a"), (1, "b"), (2, "c")]
+
+
+def test_read_union_xml_and_txt_branches(spark, tmp_path):
+    from bamboo_spark import read_union
+
+    x = str(tmp_path / "era1.xml")
+    with open(x, "w") as f:
+        f.write("<rows><row><id>1</id><text>alpha</text></row></rows>")
+    t = str(tmp_path / "era2.txt")
+    with open(t, "w") as f:
+        f.write("beta\ngamma\n")
+    ds = read_union([x, t], spark=spark)
+    rows = {(r["id"], r["text"]) for r in ds.df.collect()}
+    assert rows == {(1, "alpha"), (None, "beta"), (None, "gamma")}
