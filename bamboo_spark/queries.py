@@ -10456,6 +10456,71 @@ from ps cross join a order by p
 """.format(smp=smp)
 
 
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram diversity for n = 1..4: distinct/total ratio in
+    ppm — the distribution-collapse detector (the corpus-level
+    statistic behind Self-BLEU): synthetic or template-heavy data shows
+    diversity falling off a cliff as n grows, while organic text decays
+    smoothly. The one-page answer to "did our generation/dedup pipeline
+    collapse the long tail".
+
+    One tokenize scan emits every n-gram TAGGED with its n (nested
+    transform over the four sizes — slices are O(n) with n <= 4
+    constant), then ONE (n, gram)-keyed aggregate pair. Only gram
+    strings shuffle, same as the inverted index."""
+    d = load(spark, sf_dir, "documents").select(
+        F.expr(
+            "filter(split(text, ' '), x -> x != '')"
+        ).alias("t")
+    )
+    grams = d.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(array(1, 2, 3, 4), n ->"
+                " transform(sequence(1, greatest(size(t) - n + 1, 0)),"
+                "   i -> named_struct('n', n,"
+                "        'g', array_join(slice(t, i, n), ' ')))))"
+            )
+        ).alias("ng")
+    ).select(F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    return (
+        grams.groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_ngrams"),
+            F.countDistinct("g").cast("bigint").alias("distinct_ngrams"),
+        )
+        .select(
+            F.col("n").cast("int").alias("n"),
+            "total_ngrams",
+            "distinct_ngrams",
+            F.expr(
+                "cast((cast(distinct_ngrams as decimal(38,0)) * 1000000)"
+                " div total_ngrams as bigint)"
+            ).alias("diversity_ppm"),
+        )
+        .orderBy("n")
+    )
+
+
+Q_NGRAM_DIVERSITY_SQL = """
+with toks as (
+  select list_filter(string_split(text, ' '), x -> x <> '') t
+  from documents
+),
+grams as (
+  select u.n, array_to_string(t[i : i + u.n - 1], ' ') g
+  from toks,
+       unnest([1, 2, 3, 4]) as u(n),
+       lateral unnest(range(1, greatest(len(t) - u.n + 1, 0) + 1)) as r(i)
+)
+select n::INT n, count(*)::BIGINT total_ngrams,
+       count(distinct g)::BIGINT distinct_ngrams,
+       ((count(distinct g)::HUGEINT * 1000000) // count(*))::BIGINT
+         diversity_ppm
+from grams group by n order by n
+"""
+
+
 def q_market_concentration_hhi(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -11989,6 +12054,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_distance_curve": q_simhash_distance_curve,
         "cluster_purity": q_cluster_purity,
         "market_concentration_hhi": q_market_concentration_hhi,
+        "ngram_diversity": q_ngram_diversity,
         "dedup_threshold_curve": q_dedup_threshold_curve,
         "abc_analysis": q_abc_analysis,
         "user_event_entropy": q_user_event_entropy,
@@ -12295,6 +12361,7 @@ from s group by cluster_size order by cluster_size
         "simhash_distance_curve": _simhash_distance_curve_duck(),
         "cluster_purity": _cluster_purity_duck(),
         "market_concentration_hhi": Q_MARKET_HHI_SQL,
+        "ngram_diversity": Q_NGRAM_DIVERSITY_SQL,
         "dedup_threshold_curve": _dedup_threshold_curve_duck(),
         "abc_analysis": Q_ABC_ANALYSIS_SQL,
         "user_event_entropy": Q_USER_EVENT_ENTROPY_SQL,
