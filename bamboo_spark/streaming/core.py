@@ -1493,6 +1493,7 @@ def sample_stream(
     id_col: str,
     k: int = 1024,
     payload_col: str | None = None,
+    candidate_cut: int | None = None,
 ) -> DataFrame:
     """Streaming bottom-k hash-rank sample — the continuous twin of
     ``sketch.hash_sample``: the k rows with the smallest md5(id) rank
@@ -1504,11 +1505,16 @@ def sample_stream(
     debug monitor reads without ever rescanning the stream.
 
     State is k (rank, id[, payload]) triples — bounded by construction,
-    no watermark needed (the cms_stream/hll_stream contract). All rows
-    funnel through one stateful key; at high event rates pre-thin the
-    stream with a static rank cut (``where _rk < threshold``) so only
-    candidate rows reach the state task — the bottom-k of a superset
-    prefilter is unchanged as long as the threshold keeps >= k rows.
+    no watermark needed (the cms_stream/hll_stream contract). All
+    CANDIDATE rows funnel through one stateful key; at high event
+    rates set ``candidate_cut`` — rows with rank >= the cut are
+    dropped map-side (stateless, before any shuffle) and the state
+    task sees only the expected ``cut/2^60`` fraction of the stream.
+    The bottom-k is UNCHANGED as long as at least k stream rows ever
+    rank under the cut: cut ~ k·S/expected_rows·2^60 with safety S
+    (e.g. 16) makes the miss probability e^-Θ(S·k) — and a too-tight
+    cut fails VISIBLY (fewer than k rows in the snapshot), never
+    silently wrong.
 
     ``id_col`` (bigint, unique) and the optional ``payload_col``
     (bigint) are the emitted columns plus the ``_rk`` rank."""
@@ -1524,6 +1530,8 @@ def sample_stream(
         F.expr(rank).alias("_rk"),
         F.lit(0).alias("_g"),
     )
+    if candidate_cut is not None:
+        src = src.where(F.col("_rk") < int(candidate_cut))
     out_schema = ", ".join(["%s bigint" % c for c in cols] + ["_rk bigint"])
     state_schema = "rks array<bigint>, ids array<bigint>" + (
         ", pls array<bigint>" if payload_col else ""

@@ -1677,3 +1677,37 @@ def test_psi_stream_windows_score_against_baseline(spark, tmp_path):
         6,
     )
     assert abs(rows[2]["psi"] - want) < 1e-9
+
+
+def test_sample_stream_candidate_cut_preserves_bottom_k(spark, tmp_path):
+    # a generous rank cut drops most rows map-side yet leaves the
+    # bottom-k identical to the uncut sample
+    import json
+    import os
+
+    from bamboo_spark.operators.sketch import hash_sample
+    from bamboo_spark.streaming import sample_stream
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for i in range(2000):
+            f.write(json.dumps({"id": i}) + "\n")
+    stream = spark.readStream.schema("id long").json(src)
+    # keep ~ the smallest 10% of the 60-bit rank space: >> 16 expected
+    out = sample_stream(stream, "id", k=16, candidate_cut=(1 << 60) // 10)
+    q = (
+        out.writeStream.format("memory").queryName("smpc_t")
+        .outputMode("update").start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select distinct id, _rk from smpc_t").collect()
+    finally:
+        q.stop()
+    got = sorted((r["_rk"], r["id"]) for r in rows)[:16]
+    batch = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    want = sorted(
+        (r["_rk"], r["id"]) for r in hash_sample(batch, "id", k=16).collect()
+    )
+    assert got == want
