@@ -10456,6 +10456,413 @@ from ps cross join a order by p
 """.format(smp=smp)
 
 
+# ------------------------------------------------- derived partsupp
+#
+# The driver's testdata has no partsupp table, which is all that kept
+# TPC-H Q2/Q9/Q11/Q16/Q20 out of the registry. partsupp is DERIVED
+# deterministically from (part x 4 suppliers) with pure integer
+# arithmetic — the SAME derivation in Spark and DuckDB — so the five
+# classic query SHAPES (correlated min subquery, profit rollup,
+# global-share HAVING, NOT-IN anti join, nested semi joins) run
+# oracle-gated end to end. Keys are 0-based contiguous in the
+# testdata; the i-th supplier of part p is (p*7 + i*(S div 4)) mod S —
+# distinct for i in 0..3 whenever S >= 4.
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").select("p_partkey")
+    sc = load(spark, sf_dir, "supplier").agg(
+        F.count(F.lit(1)).alias("sn")
+    )
+    return (
+        p.crossJoin(F.broadcast(sc))
+        .select(
+            "p_partkey",
+            "sn",
+            F.explode(F.expr("sequence(0, 3)")).alias("i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.expr(
+                "pmod(p_partkey * 7 + i * greatest(sn div 4, 1), sn)"
+            )
+            .cast("long")
+            .alias("ps_suppkey"),
+            F.expr("pmod(p_partkey * 31 + i * 37, 9999) + 1")
+            .cast("long")
+            .alias("ps_availqty"),
+            F.expr("pmod(p_partkey * 101 + i * 997, 99900) + 100")
+            .cast("long")
+            .alias("ps_supplycost_c"),
+        )
+    )
+
+
+_PARTSUPP_DUCK = """
+partsupp as (
+  select p_partkey ps_partkey,
+         ((p_partkey * 7 + u.i * greatest(sc.sn // 4, 1)) % sc.sn)
+           ps_suppkey,
+         ((p_partkey * 31 + u.i * 37) % 9999 + 1) ps_availqty,
+         ((p_partkey * 101 + u.i * 997) % 99900 + 100) ps_supplycost_c
+  from part, unnest(range(0, 4)) as u(i),
+       (select count(*) sn from supplier) sc
+)
+"""
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 over the derived partsupp: for PROMO parts of size 15,
+    the EUROPE supplier(s) offering the minimum supply cost — the
+    classic correlated-min-subquery shape, planned as join + per-part
+    min aggregate + join-back (no window, no correlated re-execution).
+
+    Scale: partsupp and part filter before the join; the per-part min
+    is map-combined; suppliers x nation x region broadcast (dims)."""
+    ps = _partsupp(spark, sf_dir)
+    pf = (
+        load(spark, sf_dir, "part")
+        .where((F.col("p_size") == 15) & (F.col("p_type") == "PROMO"))
+        .select("p_partkey", "p_name")
+    )
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "region").where(
+                    F.col("r_name") == "EUROPE"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    j = (
+        ps.join(pf, ps.ps_partkey == pf.p_partkey)
+        .join(F.broadcast(sup), ps.ps_suppkey == F.col("s_suppkey"))
+    )
+    mc = j.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost_c").alias("_mc")
+    )
+    return (
+        j.join(mc, "ps_partkey")
+        .where(F.col("ps_supplycost_c") == F.col("_mc"))
+        .select(
+            F.round(F.col("s_acctbal"), 2).alias("s_acctbal"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("ps_partkey").alias("partkey"),
+            "p_name",
+            F.col("ps_supplycost_c").alias("supplycost_c"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "nation", "s_name", "partkey"
+        )
+        .limit(100)
+    )
+
+
+Q2_MIN_COST_SQL = """
+with {ps}
+select round(s.s_acctbal, 2) s_acctbal, s.s_name, n.n_name nation,
+       ps.ps_partkey partkey, p.p_name, ps.ps_supplycost_c supplycost_c
+from partsupp ps
+join part p on p.p_partkey = ps.ps_partkey
+  and p.p_size = 15 and p.p_type = 'PROMO'
+join supplier s on s.s_suppkey = ps.ps_suppkey
+join nation n on n.n_nationkey = s.s_nationkey
+join region r on r.r_regionkey = n.n_regionkey and r.r_name = 'EUROPE'
+where ps.ps_supplycost_c = (
+  select min(ps2.ps_supplycost_c)
+  from partsupp ps2
+  join supplier s2 on s2.s_suppkey = ps2.ps_suppkey
+  join nation n2 on n2.n_nationkey = s2.s_nationkey
+  join region r2 on r2.r_regionkey = n2.n_regionkey
+    and r2.r_name = 'EUROPE'
+  where ps2.ps_partkey = ps.ps_partkey
+)
+order by s_acctbal desc, nation, s_name, partkey
+limit 100
+""".format(ps=_PARTSUPP_DUCK.strip())
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 over the derived partsupp: profit by supplier nation
+    and order year for 'widget' parts — revenue minus supply cost,
+    all in exact integer cents so the rollup is engine-exact.
+
+    Scale: lineitem drives; part filter broadcast-prunes early;
+    partsupp joins on the composite (part, supp) key; nation/supplier
+    broadcast; the (nation, year) grid is tiny."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            * 100,
+            0,
+        )
+        .cast("long")
+        .alias("rev_c"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    pf = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").contains("widget"))
+        .select("p_partkey")
+    )
+    ps = _partsupp(spark, sf_dir)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year(F.to_date("o_orderdate")).alias("o_year")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey)
+            & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(
+            F.sum(
+                F.col("rev_c") - F.col("ps_supplycost_c") * F.col("qty")
+            )
+            .cast("bigint")
+            .alias("profit_c")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_PROFIT_SQL = """
+with {ps}
+select n.n_name nation, year(o.o_orderdate::DATE) o_year,
+       sum(round(l.l_extendedprice * (1.0 - l.l_discount) * 100, 0)::BIGINT
+           - ps.ps_supplycost_c * l.l_quantity::BIGINT)::BIGINT profit_c
+from lineitem l
+join part p on p.p_partkey = l.l_partkey and p.p_name like '%widget%'
+join partsupp ps on ps.ps_partkey = l.l_partkey
+  and ps.ps_suppkey = l.l_suppkey
+join orders o on o.o_orderkey = l.l_orderkey
+join supplier s on s.s_suppkey = l.l_suppkey
+join nation n on n.n_nationkey = s.s_nationkey
+group by 1, 2 order by nation, o_year desc
+""".format(ps=_PARTSUPP_DUCK.strip())
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 over the derived partsupp: parts whose stock value
+    (supplycost × availqty) held by ASIA suppliers exceeds 2% of the
+    region's total stock value — the global-share HAVING shape, with
+    the total riding back as a 1-row broadcast and the 2% cut compared
+    in exact integers (50·value > total)."""
+    ps = _partsupp(spark, sf_dir)
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "region").where(
+                    F.col("r_name") == "ASIA"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    v = (
+        ps.join(F.broadcast(sup), ps.ps_suppkey == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost_c").cast("decimal(38,0)")
+                * F.col("ps_availqty").cast("decimal(38,0)")
+            )
+            .cast("bigint")
+            .alias("value_c")
+        )
+    )
+    tot = v.agg(F.sum(F.col("value_c").cast("decimal(38,0)")).alias("t"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .where(
+            F.lit(50) * F.col("value_c").cast("decimal(38,0)") > F.col("t")
+        )
+        .select(F.col("ps_partkey").alias("partkey"), "value_c")
+        .orderBy(F.col("value_c").desc(), "partkey")
+    )
+
+
+Q11_STOCK_SQL = """
+with {ps},
+asia as (
+  select s.s_suppkey from supplier s
+  join nation n on n.n_nationkey = s.s_nationkey
+  join region r on r.r_regionkey = n.n_regionkey and r.r_name = 'ASIA'
+),
+v as (
+  select ps.ps_partkey,
+         sum(ps.ps_supplycost_c::HUGEINT * ps.ps_availqty)::BIGINT value_c
+  from partsupp ps join asia a on a.s_suppkey = ps.ps_suppkey
+  group by 1
+),
+t as (select sum(value_c::HUGEINT) tv from v)
+select ps_partkey partkey, value_c
+from v cross join t
+where 50 * value_c::HUGEINT > tv
+order by value_c desc, partkey
+""".format(ps=_PARTSUPP_DUCK.strip())
+
+
+def q16_parts_supplier_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 over the derived partsupp: distinct-supplier counts
+    per (brand, type, size) for non-PROMO, non-Brand#13 parts of eight
+    sizes, excluding blacklisted suppliers — the NOT-IN shape planned
+    as a broadcast anti join (the blacklist is dimension-sized; the
+    reference query's complaint filter becomes a name filter on the
+    testdata's columns)."""
+    sizes = [3, 7, 11, 15, 19, 23, 27, 31]
+    pf = (
+        load(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#13")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(sizes)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_name").contains("1"))
+        .select(F.col("s_suppkey").alias("_bad"))
+    )
+    ps = _partsupp(spark, sf_dir)
+    return (
+        ps.join(pf, ps.ps_partkey == pf.p_partkey)
+        .join(
+            F.broadcast(bad),
+            ps.ps_suppkey == F.col("_bad"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("ps_suppkey")
+            .cast("bigint")
+            .alias("supplier_cnt")
+        )
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+Q16_PARTS_SQL = """
+with {ps}
+select p.p_brand, p.p_type, p.p_size,
+       count(distinct ps.ps_suppkey)::BIGINT supplier_cnt
+from partsupp ps
+join part p on p.p_partkey = ps.ps_partkey
+where p.p_brand <> 'Brand#13' and p.p_type <> 'PROMO'
+  and p.p_size in (3, 7, 11, 15, 19, 23, 27, 31)
+  and ps.ps_suppkey not in (
+    select s_suppkey from supplier where s_name like '%1%'
+  )
+group by 1, 2, 3
+order by supplier_cnt desc, p_brand, p_type, p_size
+""".format(ps=_PARTSUPP_DUCK.strip())
+
+
+def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 over the derived partsupp: AMERICA suppliers holding
+    more than half a 1996-season's shipped quantity of any 'cold' part
+    — the nested-semi-join shape (part name filter → partsupp →
+    shipped-quantity threshold → supplier semi join), every subquery
+    planned as a join, nothing correlated or re-executed."""
+    pf = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith("cold"))
+        .select("p_partkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(
+            (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("shipped"))
+    )
+    ps = _partsupp(spark, sf_dir)
+    qual = (
+        ps.join(F.broadcast(pf), ps.ps_partkey == pf.p_partkey)
+        .join(
+            li,
+            (ps.ps_partkey == li.l_partkey)
+            & (ps.ps_suppkey == li.l_suppkey),
+        )
+        .where(F.lit(2) * F.col("ps_availqty") > F.col("shipped"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "region").where(
+                    F.col("r_name") == "AMERICA"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        sup.join(qual, sup.s_suppkey == qual.ps_suppkey, "left_semi")
+        .select("s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )
+
+
+Q20_EXCESS_SQL = """
+with {ps}
+select s.s_name, n.n_name nation
+from supplier s
+join nation n on n.n_nationkey = s.s_nationkey
+join region r on r.r_regionkey = n.n_regionkey and r.r_name = 'AMERICA'
+where s.s_suppkey in (
+  select ps.ps_suppkey
+  from partsupp ps
+  join part p on p.p_partkey = ps.ps_partkey and p.p_name like 'cold%'
+  join (
+    select l_partkey, l_suppkey, sum(l_quantity::BIGINT) shipped
+    from lineitem
+    where l_shipdate::DATE >= date '1996-01-01'
+      and l_shipdate::DATE < date '1997-01-01'
+    group by 1, 2
+  ) q on q.l_partkey = ps.ps_partkey and q.l_suppkey = ps.ps_suppkey
+  where 2 * ps.ps_availqty > q.shipped
+)
+order by s_name
+""".format(ps=_PARTSUPP_DUCK.strip())
+
+
 def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus n-gram diversity for n = 1..4: distinct/total ratio in
     ppm — the distribution-collapse detector (the corpus-level
@@ -12055,6 +12462,11 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_purity": q_cluster_purity,
         "market_concentration_hhi": q_market_concentration_hhi,
         "ngram_diversity": q_ngram_diversity,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_stock": q11_important_stock,
+        "q16_parts_supplier_rel": q16_parts_supplier_rel,
+        "q20_excess_stock": q20_excess_stock,
         "dedup_threshold_curve": q_dedup_threshold_curve,
         "abc_analysis": q_abc_analysis,
         "user_event_entropy": q_user_event_entropy,
@@ -12362,6 +12774,11 @@ from s group by cluster_size order by cluster_size
         "cluster_purity": _cluster_purity_duck(),
         "market_concentration_hhi": Q_MARKET_HHI_SQL,
         "ngram_diversity": Q_NGRAM_DIVERSITY_SQL,
+        "q2_min_cost_supplier": Q2_MIN_COST_SQL,
+        "q9_product_profit": Q9_PROFIT_SQL,
+        "q11_important_stock": Q11_STOCK_SQL,
+        "q16_parts_supplier_rel": Q16_PARTS_SQL,
+        "q20_excess_stock": Q20_EXCESS_SQL,
         "dedup_threshold_curve": _dedup_threshold_curve_duck(),
         "abc_analysis": Q_ABC_ANALYSIS_SQL,
         "user_event_entropy": Q_USER_EVENT_ENTROPY_SQL,

@@ -891,3 +891,25 @@ def test_round6_batch5_plan_shapes(spark):
     # doc-keyed join + two aggregates — no windows, no cartesian
     s = simple_plan(q.queries()["cluster_purity"](spark, SF))
     assert "Window" not in s and "CartesianProduct" not in s, s
+
+
+def test_partsupp_tpch_plan_shapes(spark):
+    # Q2: correlated-min realized as join + map-combined min + join
+    # back — no correlated re-execution, dims broadcast, no cartesian
+    s = simple_plan(q.queries()["q2_min_cost_supplier"](spark, SF))
+    assert "BroadcastHashJoin" in s and "CartesianProduct" not in s, s
+    # Q9: part filter + supplier/nation ride broadcasts; the rollup
+    # grid is (nation, year)-sized
+    s = simple_plan(q.queries()["q9_product_profit"](spark, SF))
+    assert "BroadcastHashJoin" in s and "CartesianProduct" not in s, s
+    # Q11: the global total joins back as a 1-row broadcast (BNLJ of a
+    # 1-row side is the intended shape), never a shuffle join
+    s = simple_plan(q.queries()["q11_important_stock"](spark, SF))
+    assert "CartesianProduct" not in s, s
+    # Q16: the NOT-IN blacklist plans as a broadcast anti join
+    s = simple_plan(q.queries()["q16_parts_supplier_rel"](spark, SF))
+    assert "LeftAnti" in s, s
+    # Q20: the qualifying-supplier subquery reaches suppliers as a
+    # semi join
+    s = simple_plan(q.queries()["q20_excess_stock"](spark, SF))
+    assert "LeftSemi" in s and "CartesianProduct" not in s, s
