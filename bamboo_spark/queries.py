@@ -12249,6 +12249,248 @@ order by eval_doc
     )
 
 
+def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` — the
+    built-in merging-window operator (plain hash aggregate at batch
+    time, the JVM session state store when streaming). Boundary
+    semantics differ from the lag chain of ``q_sessionize``: an event
+    landing EXACTLY gap after its predecessor starts a NEW session here
+    (half-open [t, t+gap) windows merge only on overlap) where the lag
+    formulation's strict ``> gap`` keeps it — both are documented
+    contracts, this one matches ``session_window_stream`` so the
+    streaming parity test compares like with like. One row per session:
+    (user, start, end = last event + gap, n_events), epoch-µs ints.
+
+    Scale: one user-hash shuffle, session merging entirely JVM-side —
+    at 100 TB this is THE sessionizer to prefer over any Python
+    stateful formulation; the lag-chain twin exists for the strict->
+    boundary contract, not for scale."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("session_window.end")).alias(
+                "session_end_us"
+            ),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+Q_SESSIONIZE_NATIVE_SQL = """
+with t as (select user_id, epoch_us(ts) us from events),
+m as (
+  select user_id, us,
+         case when lag(us) over w is null
+               or us - lag(us) over w >= 1800000000
+              then 1 else 0 end new_session
+  from t window w as (partition by user_id order by us)
+),
+s as (
+  select user_id, us,
+         sum(new_session) over (
+           partition by user_id order by us
+           rows between unbounded preceding and current row) sid
+  from m
+)
+select user_id, min(us)::BIGINT session_start_us,
+       (max(us) + 1800000000)::BIGINT session_end_us,
+       count(*)::BIGINT n_events
+from s group by user_id, sid
+order by user_id, session_start_us
+"""
+
+
+def q_curriculum_order(
+    spark: SparkSession, sf_dir: str, bands: int = 8
+) -> DataFrame:
+    """Curriculum schedule over the corpus: each doc gets an integer
+    difficulty in ppm — its LEXICAL DIVERSITY (type-token ratio:
+    distinct tokens per token, the easy→hard signal of
+    length/diversity curricula; corpus-rarity surprisal is the other
+    classic signal but degenerates on this testdata's dense 31-token
+    vocabulary, where no token is rare) — and docs are binned into
+    fixed difficulty BANDS. Value-domain bins, NOT ntile: an
+    equal-frequency rank would need a global sort; fixed bands bin
+    each doc independently and the schedule grid is ``bands`` rows no
+    matter the corpus size. Output per band: docs unlocked at that
+    difficulty, their token mass, mean difficulty, and the cumulative
+    corpus fraction available once training reaches the band — the
+    pacing table an easy-to-hard curriculum sampler consumes.
+
+    Scale: one tokenize scan → per-doc aggregate (no explode shuffle:
+    TTR computes inside one higher-order expression per doc) →
+    ``bands``-row grid; the only window runs over that grid. Exact
+    integer arithmetic end-to-end (counts + ``div``) — no float parity
+    hazard."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    per_doc = d.select(
+        F.expr(
+            "size(filter(split(text, ' '), x -> x != ''))"
+        ).alias("n_tok"),
+        F.expr(
+            "size(array_distinct(filter(split(text, ' '), x -> x != '')))"
+        ).alias("n_distinct"),
+    ).where(F.col("n_tok") > 0).select(
+        "n_tok",
+        F.expr(
+            "(1000000 * cast(n_distinct as bigint)) div n_tok"
+        ).alias("difficulty_ppm"),
+    )
+    banded = per_doc.select(
+        "n_tok",
+        "difficulty_ppm",
+        F.expr(
+            "least(cast(difficulty_ppm * %d div 1000000 as int), %d)"
+            % (bands, bands - 1)
+        ).alias("band"),
+    )
+    grid = banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.expr("sum(difficulty_ppm) div count(1)")
+        .cast("bigint")
+        .alias("mean_difficulty_ppm"),
+    )
+    # the cumulative window runs over the <= `bands`-row grid only
+    w = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    total = grid.agg(F.sum("n_docs").alias("_tot"))
+    return (
+        grid.withColumn("cum_docs", F.sum("n_docs").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("band").cast("int").alias("band"),
+            "n_docs",
+            "n_tokens",
+            "mean_difficulty_ppm",
+            F.expr("(1000000 * cum_docs) div _tot")
+            .cast("bigint")
+            .alias("cum_corpus_ppm"),
+        )
+        .orderBy("band")
+    )
+
+
+Q_CURRICULUM_SQL = """
+with per_doc as (
+  select len(list_filter(string_split(text, ' '), x -> x <> '')) n_tok,
+         len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))
+           n_distinct
+  from documents
+),
+scored as (
+  select n_tok,
+         (1000000 * n_distinct::BIGINT) // n_tok difficulty_ppm
+  from per_doc where n_tok > 0
+),
+banded as (
+  select n_tok, difficulty_ppm,
+         least((difficulty_ppm * 8) // 1000000, 7) band
+  from scored
+),
+grid as (
+  select band, count(*)::BIGINT n_docs, sum(n_tok)::BIGINT n_tokens,
+         (sum(difficulty_ppm) // count(*))::BIGINT mean_difficulty_ppm
+  from banded group by band
+)
+select band::INT band, n_docs, n_tokens, mean_difficulty_ppm,
+       ((1000000 * sum(n_docs) over (
+           order by band rows between unbounded preceding and current row))
+        // (select sum(n_docs) from grid))::BIGINT cum_corpus_ppm
+from grid
+order by band
+"""
+
+
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (the multilingual sampling
+    rule p_s ∝ n_s^(1/T)) at T ∈ {1, 2, 4}: T=1 is proportional
+    sampling, larger T flattens toward uniform, protecting low-resource
+    sources. Per (T, source): the sampling weight in ppm and the
+    implied epochs over the source for one corpus-sized pass (×1000 —
+    values over 1000 mean the source repeats, the overfitting signal
+    mixture designers watch).
+
+    The exponents are sqrt CHAINS — n, sqrt(n), sqrt(sqrt(n)) — because
+    IEEE-754 sqrt is correctly rounded, so both engines produce
+    bit-equal weights where a libm pow(x, 0.25) need not.
+
+    Scale: one map-combined count aggregate; the grid is |sources| × 3
+    rows and everything downstream is grid-sized."""
+    src = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    t_grid = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(1), F.lit(2), F.lit(4))
+        ).alias("temperature")
+    )
+    scaled = src.crossJoin(F.broadcast(t_grid)).select(
+        "source",
+        F.col("temperature").cast("int").alias("temperature"),
+        "n_docs",
+        F.when(F.col("temperature") == 1, F.col("n_docs").cast("double"))
+        .when(F.col("temperature") == 2, F.sqrt(F.col("n_docs").cast("double")))
+        .otherwise(F.sqrt(F.sqrt(F.col("n_docs").cast("double"))))
+        .alias("w"),
+    )
+    z = scaled.groupBy("temperature").agg(
+        F.sum("w").alias("_z"), F.sum("n_docs").alias("_tot")
+    )
+    return (
+        scaled.join(F.broadcast(z), "temperature")
+        .select(
+            "temperature",
+            "source",
+            "n_docs",
+            F.floor(F.lit(1000000.0) * F.col("w") / F.col("_z"))
+            .cast("bigint")
+            .alias("weight_ppm"),
+            F.floor(
+                F.lit(1000.0)
+                * (F.col("w") / F.col("_z"))
+                * F.col("_tot")
+                / F.col("n_docs")
+            )
+            .cast("bigint")
+            .alias("epochs_x1000"),
+        )
+        .orderBy("temperature", "source")
+    )
+
+
+Q_MIXTURE_TEMPERATURE_SQL = """
+with src as (
+  select source, count(*)::BIGINT n_docs from documents group by source
+),
+tg as (select unnest([1, 2, 4]) temperature),
+scaled as (
+  select source, temperature, n_docs,
+         case when temperature = 1 then n_docs::DOUBLE
+              when temperature = 2 then sqrt(n_docs::DOUBLE)
+              else sqrt(sqrt(n_docs::DOUBLE)) end w
+  from src cross join tg
+),
+z as (
+  select temperature, sum(w) _z, sum(n_docs) _tot
+  from scaled group by temperature
+)
+select s.temperature::INT temperature, s.source, s.n_docs,
+       floor(1000000.0 * s.w / z._z)::BIGINT weight_ppm,
+       floor(1000.0 * (s.w / z._z) * z._tot / s.n_docs)::BIGINT epochs_x1000
+from scaled s join z using (temperature)
+order by temperature, source
+"""
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -12475,6 +12717,9 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank_keywords,
         "token_burstiness": q_token_burstiness,
         "contamination_winnow": q_contamination_winnow,
+        "sessionize_native": q_sessionize_native,
+        "curriculum_order": q_curriculum_order,
+        "mixture_temperature": q_mixture_temperature,
         "minhash_recall": q_minhash_recall,
         "orders_rfm": q_orders_rfm,
         "events_gap_histogram": q_events_gap_histogram,
@@ -12787,6 +13032,9 @@ from s group by cluster_size order by cluster_size
         "textrank_keywords": _textrank_duck(),
         "token_burstiness": Q_TOKEN_BURSTINESS_SQL,
         "contamination_winnow": _contamination_winnow_duck(),
+        "sessionize_native": Q_SESSIONIZE_NATIVE_SQL,
+        "curriculum_order": Q_CURRICULUM_SQL,
+        "mixture_temperature": Q_MIXTURE_TEMPERATURE_SQL,
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

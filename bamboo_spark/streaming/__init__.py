@@ -34,6 +34,7 @@ from bamboo_spark.streaming.core import (
     psi_stream,
     sample_stream,
     segment_bloom_guard_stream,
+    session_window_stream,
     sessionize_stream,
     windowed_counts,
 )
@@ -61,6 +62,7 @@ __all__ = [
     "psi_stream",
     "sample_stream",
     "segment_bloom_guard_stream",
+    "session_window_stream",
     "sessionize_stream",
     "sessionize_stream_tws",
     "transitions_stream",

@@ -1717,3 +1717,42 @@ def debounce_stream(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def session_window_stream(
+    sdf: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native session windows: ``F.session_window`` merging-window
+    aggregation — the fully JVM-side sessionizer (no Python workers;
+    state lives in the built-in, RocksDB-capable session store). The
+    streaming twin of batch ``q_sessionize_native``: identical
+    half-open [t, t+gap) merge semantics, so an inter-event silence of
+    EXACTLY ``gap`` splits in both (the ``applyInPandasWithState``
+    sessionizers implement the lag chain's strict ``>`` contract
+    instead). One append row per session — (user, start µs,
+    end µs = last event + gap, n_events) — once the watermark passes
+    the session end.
+
+    Scale: this is the sessionizer to prefer at 100 TB — merging and
+    state eviction are built in, the aggregate is partial-merge
+    capable, and the only shuffle is the user-hash exchange every
+    per-key stateful operator needs."""
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.unix_micros(F.col("session_window.start")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("session_window.end")).alias(
+                "session_end_us"
+            ),
+            "n_events",
+        )
+    )

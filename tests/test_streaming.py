@@ -1711,3 +1711,58 @@ def test_sample_stream_candidate_cut_preserves_bottom_k(spark, tmp_path):
         (r["_rk"], r["id"]) for r in hash_sample(batch, "id", k=16).collect()
     )
     assert got == want
+
+
+def test_stream_batch_parity_session_window_native(spark, tmp_path):
+    import datetime as dt
+
+    from bamboo_spark import queries as q
+    from bamboo_spark.streaming import session_window_stream
+
+    batch = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in q.q_sessionize_native(spark, SF_DIR).collect()
+    }
+    max_ts = _events_batch(spark).agg(F.max("ts")).collect()[0][0]
+
+    d = _replay_dir(spark, tmp_path)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string, value double"
+    ).option("maxFilesPerTrigger", "1").parquet(d)
+    sess = session_window_stream(stream, watermark="0 seconds")
+    qy = (
+        sess.writeStream.format("memory")
+        .queryName("par_sess_native")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and not qy.recentProgress:
+            time.sleep(0.5)
+        # one sentinel far in the future closes every real session
+        _emit_sentinel(
+            spark, d, "s1", 10**6, max_ts + dt.timedelta(days=10)
+        )
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            c = spark.sql(
+                "select count(*) c from par_sess_native where user_id < 1000000"
+            ).collect()[0].c
+            if c >= len(batch):
+                break
+            time.sleep(0.5)
+        got = {
+            (
+                r["user_id"],
+                r["session_start_us"],
+                r["session_end_us"],
+                r["n_events"],
+            )
+            for r in spark.sql(
+                "select * from par_sess_native where user_id < 1000000"
+            ).collect()
+        }
+        assert got == batch
+    finally:
+        qy.stop()
