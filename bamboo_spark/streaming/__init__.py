@@ -32,6 +32,7 @@ from bamboo_spark.streaming.core import (
     pack_stream,
     profile_stream,
     psi_stream,
+    quality_gate_stream,
     sample_stream,
     segment_bloom_guard_stream,
     session_window_stream,
@@ -60,6 +61,7 @@ __all__ = [
     "pack_stream",
     "profile_stream",
     "psi_stream",
+    "quality_gate_stream",
     "sample_stream",
     "segment_bloom_guard_stream",
     "session_window_stream",

@@ -1756,3 +1756,34 @@ def session_window_stream(
             "n_events",
         )
     )
+
+
+def quality_gate_stream(
+    sdf: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_score: float = 0.25,
+) -> DataFrame:
+    """Streaming corpus-quality gate: the composite quality heuristic
+    plus stopword language-ID per document, computed STATELESS — pure
+    whole-stage-codegen projections, no state store, no shuffle, no
+    watermark, so the gate keeps up with raw scan speed. Emits every
+    doc with its verdict; callers route pass/fail to separate sinks
+    (foreachBatch) or stack an update-mode scoreboard aggregate on top.
+
+    The scoring expressions are the batch operators themselves
+    (operators.text.quality_score / lang_id), so the same function
+    applied to a static frame IS the batch twin — the parity test
+    replays the corpus through the file source and gets equal rows.
+
+    Scale: stateless ops scale with source parallelism alone; at
+    100 TB this gate runs at ingest, in front of the dedup/index
+    stages, exactly where the batch curation pipeline's first pass
+    sits."""
+    from bamboo_spark.operators import text as T
+
+    return sdf.select(
+        F.col(id_col),
+        T.quality_score(text_col).alias("q_score"),
+        T.lang_id(text_col).alias("lang_pred"),
+    ).withColumn("passed", F.col("q_score") >= F.lit(min_score))

@@ -1766,3 +1766,43 @@ def test_stream_batch_parity_session_window_native(spark, tmp_path):
         assert got == batch
     finally:
         qy.stop()
+
+
+def test_stream_batch_parity_quality_gate(spark, tmp_path):
+    from bamboo_spark.streaming import quality_gate_stream
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    batch = {
+        (r["doc_id"], r["q_score"], r["lang_pred"], r["passed"])
+        for r in quality_gate_stream(docs).collect()
+    }
+
+    d = str(tmp_path / "docs_replay")
+    docs.coalesce(2).write.parquet(d)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).option("maxFilesPerTrigger", "1").parquet(d)
+    gated = quality_gate_stream(stream)
+    assert gated.isStreaming
+    qy = (
+        gated.writeStream.format("memory")
+        .queryName("par_quality_gate")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            c = spark.sql(
+                "select count(*) c from par_quality_gate"
+            ).collect()[0].c
+            if c >= len(batch):
+                break
+            time.sleep(0.5)
+        got = {
+            (r["doc_id"], r["q_score"], r["lang_pred"], r["passed"])
+            for r in spark.sql("select * from par_quality_gate").collect()
+        }
+        assert got == batch
+    finally:
+        qy.stop()
