@@ -913,3 +913,21 @@ def test_partsupp_tpch_plan_shapes(spark):
     # semi join
     s = simple_plan(q.queries()["q20_excess_stock"](spark, SF))
     assert "LeftSemi" in s and "CartesianProduct" not in s, s
+
+
+def test_round6_batch6_plan_shapes(spark):
+    # sessionize_native: the built-in merging session-window aggregate
+    # (JVM-side, no Python), one user-hash exchange feeding it
+    s = simple_plan(q.queries()["sessionize_native"](spark, SF))
+    assert "session_window" in s and "BatchEvalPython" not in s, s
+    # curriculum_order: TTR computes inside one projection — no explode
+    # (Generate) shuffle, no data-sized window; the only window/sort
+    # runs over the <= 8-row band grid above its aggregate
+    s = simple_plan(q.queries()["curriculum_order"](spark, SF))
+    assert "Generate" not in s and "CartesianProduct" not in s, s
+    # mixture_temperature: the T grid and the per-T normalizers join
+    # back as broadcasts (1-3 row sides → BNLJ/BHJ, never a shuffle
+    # join), and the whole thing is windowless
+    s = simple_plan(q.queries()["mixture_temperature"](spark, SF))
+    assert "Window" not in s and "CartesianProduct" not in s, s
+    assert "SortMergeJoin" not in s, s
