@@ -12253,12 +12253,13 @@ def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via Spark's NATIVE ``session_window`` — the
     built-in merging-window operator (plain hash aggregate at batch
     time, the JVM session state store when streaming). Boundary
-    semantics differ from the lag chain of ``q_sessionize``: an event
-    landing EXACTLY gap after its predecessor starts a NEW session here
-    (half-open [t, t+gap) windows merge only on overlap) where the lag
-    formulation's strict ``> gap`` keeps it — both are documented
-    contracts, this one matches ``session_window_stream`` so the
-    streaming parity test compares like with like. One row per session:
+    semantics MATCH the lag chain of ``q_sessionize``: Spark merges a
+    new event into the open session when its window start is <= the
+    session end (end = last event + gap), so an event landing EXACTLY
+    gap after its predecessor is KEPT — a split needs a silence
+    STRICTLY greater than the gap (pinned on crafted timestamps in
+    ``test_session_window_exact_gap_boundary``; the synthetic corpus
+    never lands on the boundary). One row per session:
     (user, start, end = last event + gap, n_events), epoch-µs ints.
 
     Scale: one user-hash shuffle, session merging entirely JVM-side —
@@ -12288,7 +12289,7 @@ with t as (select user_id, epoch_us(ts) us from events),
 m as (
   select user_id, us,
          case when lag(us) over w is null
-               or us - lag(us) over w >= 1800000000
+               or us - lag(us) over w > 1800000000
               then 1 else 0 end new_session
   from t window w as (partition by user_id order by us)
 ),

@@ -1729,11 +1729,12 @@ def session_window_stream(
     """Native session windows: ``F.session_window`` merging-window
     aggregation — the fully JVM-side sessionizer (no Python workers;
     state lives in the built-in, RocksDB-capable session store). The
-    streaming twin of batch ``q_sessionize_native``: identical
-    half-open [t, t+gap) merge semantics, so an inter-event silence of
-    EXACTLY ``gap`` splits in both (the ``applyInPandasWithState``
-    sessionizers implement the lag chain's strict ``>`` contract
-    instead). One append row per session — (user, start µs,
+    streaming twin of batch ``q_sessionize_native``: Spark merges an
+    event whose window start is <= the open session's end, so a split
+    needs a silence STRICTLY greater than ``gap`` — the same boundary
+    contract as the lag chain and the ``applyInPandasWithState``
+    sessionizers (pinned in the exact-gap boundary test). One append
+    row per session — (user, start µs,
     end µs = last event + gap, n_events) — once the watermark passes
     the session end.
 

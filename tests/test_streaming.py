@@ -1806,3 +1806,53 @@ def test_stream_batch_parity_quality_gate(spark, tmp_path):
         assert got == batch
     finally:
         qy.stop()
+
+
+def test_session_window_exact_gap_boundary(spark):
+    # the documented boundary contract: session_window merges an event
+    # whose window start is <= the open session's end, so an
+    # inter-event silence of EXACTLY the gap KEEPS the session — the
+    # same strict `> gap` split rule as the lag chain. Pin both (plus
+    # the 1 µs-over split) on crafted timestamps; the synthetic corpus
+    # never lands on the boundary, so only this test guards it.
+    import datetime as dt
+
+    from bamboo_spark.streaming import session_window_stream
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+    gap = dt.timedelta(minutes=30)
+    rows = [
+        (1, t0),
+        (1, t0 + gap),                       # exactly gap later
+        (2, t0),
+        (2, t0 + gap + dt.timedelta(microseconds=1)),  # 1 µs past gap
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    native = (
+        session_window_stream(df)  # batch frame: same projection
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    got = {r["user_id"]: r["n_sessions"] for r in native.collect()}
+    assert got == {1: 1, 2: 2}
+
+    # lag-chain strict-> keeps the exact-gap pair together
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("us")
+    lagd = (
+        df.select("user_id", F.unix_micros("ts").alias("us"))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.lag("us").over(w).isNull()
+                | (F.col("us") - F.lag("us").over(w) > 30 * 60 * 1000000),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"))
+    )
+    got_lag = {r["user_id"]: r["n_sessions"] for r in lagd.collect()}
+    assert got_lag == {1: 1, 2: 2}
