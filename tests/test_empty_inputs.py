@@ -133,3 +133,14 @@ def test_zorder_and_read_union_empty(spark):
         "z", zorder_key(["x", "y"], ["lo", "lo"], ["hi", "hi"], bits=8)
     )
     assert out.count() == 0
+
+
+def test_session_and_quality_gate_empty(spark, empty_docs):
+    from bamboo_spark.streaming import (
+        quality_gate_stream,
+        session_window_stream,
+    )
+
+    assert quality_gate_stream(empty_docs).count() == 0
+    empty_events = spark.createDataFrame([], "user_id long, ts timestamp")
+    assert session_window_stream(empty_events).count() == 0
