@@ -668,3 +668,88 @@ def test_budget_head_prefilter_randomized_equivalence(spark):
             ).collect()
         }
         assert plain == pre, (trial, budget)
+
+
+@given(
+    counts=st.lists(st.integers(1, 50), min_size=1, max_size=5),
+)
+@settings(**SETTINGS)
+def test_mixture_temperature_matches_python(spark, tmp_path_factory, counts):
+    """Differential: temperature weights/epochs vs a pure-Python oracle
+    on randomized per-source counts. sqrt chains are IEEE
+    correctly-rounded, so python math.sqrt replays Spark's F.sqrt
+    bit-for-bit; the floor boundary is safe because weights are
+    irrational-ish (never within an ulp of an integer ppm)."""
+    import math
+
+    from bamboo_spark import queries as q
+
+    rows = [
+        (i * 1000 + j, "txt", "en", "s%d" % i, 3)
+        for i, c in enumerate(counts)
+        for j in range(c)
+    ]
+    d = str(tmp_path_factory.mktemp("mixprop"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(d + "/documents.parquet")
+    out = q.q_mixture_temperature(spark, d).collect()
+    n = {"s%d" % i: c for i, c in enumerate(counts)}
+    tot = sum(n.values())
+    for temp, f in ((1, lambda x: float(x)),
+                    (2, lambda x: math.sqrt(x)),
+                    (4, lambda x: math.sqrt(math.sqrt(x)))):
+        ws = {s: f(v) for s, v in n.items()}
+        z = sum(ws[s] for s in sorted(ws))
+        got = {r["source"]: r for r in out if r["temperature"] == temp}
+        assert set(got) == set(n)
+        for s, r in got.items():
+            assert r["n_docs"] == n[s]
+            assert r["weight_ppm"] == math.floor(1e6 * ws[s] / z), (s, temp)
+            assert r["epochs_x1000"] == math.floor(
+                1000.0 * (ws[s] / z) * tot / n[s]
+            ), (s, temp)
+
+
+@given(texts=docs_strategy)
+@settings(**SETTINGS)
+def test_curriculum_bands_match_python(spark, tmp_path_factory, texts):
+    """Differential: the TTR banding grid vs a pure-Python oracle on
+    randomized tiny-vocab docs (integer-exact end to end, so equality
+    is strict)."""
+    from collections import defaultdict
+
+    from bamboo_spark import queries as q
+
+    rows = [
+        (i, t, "en", "src", len(t)) for i, t in enumerate(texts)
+    ]
+    d = str(tmp_path_factory.mktemp("currprop"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(d + "/documents.parquet")
+    out = {r["band"]: r for r in q.q_curriculum_order(spark, d).collect()}
+
+    grid = defaultdict(lambda: [0, 0, 0])  # n_docs, n_tokens, sum_dppm
+    for t in texts:
+        toks = [x for x in t.split(" ") if x]
+        if not toks:
+            continue
+        n_tok, n_distinct = len(toks), len(set(toks))
+        dppm = (1000000 * n_distinct) // n_tok
+        band = min(dppm * 8 // 1000000, 7)
+        g = grid[band]
+        g[0] += 1
+        g[1] += n_tok
+        g[2] += dppm
+    assert set(out) == set(grid)
+    total = sum(g[0] for g in grid.values())
+    cum = 0
+    for band in sorted(grid):
+        n_docs, n_tokens, sum_d = grid[band]
+        cum += n_docs
+        r = out[band]
+        assert r["n_docs"] == n_docs
+        assert r["n_tokens"] == n_tokens
+        assert r["mean_difficulty_ppm"] == sum_d // n_docs
+        assert r["cum_corpus_ppm"] == (1000000 * cum) // total
