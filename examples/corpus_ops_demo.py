@@ -8,7 +8,8 @@ corpus the way a production ingest would run them:
 2. mergeable sketch state — CMS grid + HLL registers built once,
    merged with the "previous day" (here: the other corpus half);
 3. drift check between the two days' grids (no raw rescan);
-4. mixture plan + hash-stable sampling rates for the next training run.
+4. mixture plan + hash-stable sampling rates for the next training run;
+5. temperature-scaled source weights; 6. curriculum pacing bands.
 
 Run: python examples/corpus_ops_demo.py [sf_dir]
 """
@@ -55,6 +56,12 @@ def main() -> None:
 
     print("== 4. mixture plan ==")
     q.q_data_mixture_plan(spark, sf).show(truncate=False)
+
+    print("== 5. temperature-scaled source weights (T = 1, 2, 4) ==")
+    q.q_mixture_temperature(spark, sf).show(truncate=False)
+
+    print("== 6. curriculum pacing table (difficulty bands) ==")
+    q.q_curriculum_order(spark, sf).show(truncate=False)
 
     spark.stop()
 
