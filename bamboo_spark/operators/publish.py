@@ -378,6 +378,41 @@ def vacuum(
     return removed
 
 
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int = 1,
+) -> int:
+    """Small-file compaction: republish the CURRENT snapshot's rows as
+    a new version with ~``target_files`` data files (one file per
+    partition value when the table is hive-partitioned). Readers never
+    see a half-compacted table — the rewrite is an ordinary versioned
+    publish committed by the same atomic manifest swap, and the
+    pre-compaction version stays readable (time travel) until
+    ``vacuum`` reclaims it.
+
+    The ingest pattern this serves: many small appended publishes
+    (micro-batch ``foreachBatch`` publishes, ``merge_publish`` deltas)
+    accumulate file counts that degrade planning at 100 TB — the
+    task-per-file floor and driver listing memory both scale with file
+    count, not bytes. A periodic ``compact()`` keeps files
+    O(partitions), and because it is just publish-over-read it
+    inherits crash consistency for free (a dead compactor leaves only
+    an orphan ``_v<K>`` dir the next publish skips past and vacuum
+    removes)."""
+    from pyspark.sql import functions as F
+
+    cur = read_published(spark, table_dir)
+    fs = _fs_for(table_dir, spark)
+    manifest = json.loads(fs.read_text(_manifest_path(table_dir, fs)))
+    parts = manifest.get("partition_by") or []
+    if parts:
+        out = cur.repartition(*[F.col(c) for c in parts])
+    else:
+        out = cur.repartition(target_files)
+    return atomic_publish(out, table_dir, partition_by=parts or None)
+
+
 def merge_publish(
     changes: DataFrame,
     table_dir: str,

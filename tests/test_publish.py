@@ -239,3 +239,51 @@ def test_partitioned_publish_prunes_partitions(spark, tmp_path, backend):
     assert "PartitionFilters: [" in plan and "p#" in plan.split(
         "PartitionFilters"
     )[1][:80], plan
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_compact_reduces_files_keeps_rows_and_history(spark, tmp_path, backend):
+    from pyspark.sql import functions as F
+
+    from bamboo_spark.operators.publish import compact, snapshots
+
+    t, _ = _tbl(tmp_path, backend)
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    v1 = atomic_publish(df.repartition(16), t)
+    before = {s["version"]: s for s in snapshots(t, spark)}
+    assert before[v1]["n_files"] >= 16
+
+    v2 = compact(spark, t, target_files=2)
+    snaps = {s["version"]: s for s in snapshots(t, spark)}
+    assert snaps[v2]["is_current"]
+    assert snaps[v2]["n_files"] <= 2
+    assert snaps[v2]["n_rows"] == 1000
+    # identical rows after the rewrite
+    assert sorted(
+        r["id"] for r in read_published(spark, t).collect()
+    ) == list(range(1000))
+    # the pre-compaction version remains readable until vacuumed
+    assert read_published(spark, t, version=v1).count() == 1000
+
+
+def test_compact_partitioned_keeps_layout_and_pruning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bamboo_spark.operators.publish import compact, snapshots
+
+    t = str(tmp_path / "ptbl")
+    df = spark.range(400).select(
+        (F.col("id") % 4).alias("k"), F.col("id").alias("v")
+    )
+    atomic_publish(df.repartition(8), t, partition_by="k")
+    v2 = compact(spark, t)
+    snaps = {s["version"]: s for s in snapshots(t, spark)}
+    assert snaps[v2]["is_current"]
+    assert snaps[v2]["n_files"] <= 4  # one file per partition value
+    got = read_published(spark, t).where(F.col("k") == 2)
+    # partition columns survive the rewrite and pruning still applies
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "k" in plan.split(
+        "PartitionFilters"
+    )[1][:80], plan
+    assert got.count() == 100
