@@ -287,3 +287,27 @@ def test_compact_partitioned_keeps_layout_and_pruning(spark, tmp_path):
         "PartitionFilters"
     )[1][:80], plan
     assert got.count() == 100
+
+
+def test_ingest_compact_vacuum_lifecycle(spark, tmp_path):
+    # the full table-maintenance loop: fragmented publish → compact →
+    # vacuum(keep=1). After vacuum only the compacted snapshot's data
+    # dir remains on disk, the manifest history is pruned in the same
+    # atomic swap, and the reader still sees every row.
+    from pyspark.sql import functions as F
+
+    from bamboo_spark.operators.publish import compact, snapshots, vacuum
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(500).withColumn("v", F.col("id") * 7)
+    v1 = atomic_publish(df.repartition(16), t)
+    v2 = compact(spark, t, target_files=2)
+    removed = vacuum(t, keep=1, spark=spark)
+    assert "_v%d" % v1 in removed
+    left = {s["version"] for s in snapshots(t, spark)}
+    assert left == {v2}
+    on_disk = {d for d in os.listdir(t) if d.startswith("_v")}
+    assert on_disk == {"_v%d" % v2}
+    assert read_published(spark, t).count() == 500
+    with pytest.raises(KeyError):
+        read_published(spark, t, version=v1)
