@@ -12492,6 +12492,110 @@ order by temperature, source
 """
 
 
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the SAME metric tree at
+    three grains — hour, day, ISO week — where each coarser grain is
+    built by MERGING the next finer grain's partial states (count,
+    integer micro-value sum, min/max event time), never re-reading
+    events. This is the TimescaleDB continuous-aggregate / OLAP-cube
+    maintenance shape: raw data is scanned once for the finest grain;
+    every rollup above it is grid-sized state merging grid-sized state.
+
+    The oracle recomputes every grain INDEPENDENTLY from raw events, so
+    equality proves the hour→day→week merges are lossless (the partial
+    states form a commutative monoid — same contract as
+    ``q_rollup_incremental``, extended across grains).
+
+    Scale: one events scan; the hour grid (days × 24 × types) is the
+    largest intermediate and both rollups above it are aggregates over
+    grids. At 100 TB each grain is day-partitioned partial-state
+    parquet and a refresh merges only the touched buckets."""
+    e = load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd HH:00").alias("hb"),
+        F.date_format("ts", "yyyy-MM-dd").alias("db"),
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias(
+            "wb"
+        ),
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.expr("cast(round(value * 1e6, 0) as bigint)").alias("v_u"),
+    )
+    # db/wb are functions of hb — free riders in the grouping key
+    hour = _tracked_persist(
+        e.groupBy("hb", "db", "wb", "event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("v_u").cast("bigint").alias("sum_value_u"),
+            F.min("us").cast("bigint").alias("min_us"),
+            F.max("us").cast("bigint").alias("max_us"),
+        )
+    )
+    day = _tracked_persist(
+        hour.groupBy("db", "wb", "event_type").agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_value_u").cast("bigint").alias("sum_value_u"),
+            F.min("min_us").cast("bigint").alias("min_us"),
+            F.max("max_us").cast("bigint").alias("max_us"),
+        )
+    )
+    week = day.groupBy("wb", "event_type").agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("sum_value_u").cast("bigint").alias("sum_value_u"),
+        F.min("min_us").cast("bigint").alias("min_us"),
+        F.max("max_us").cast("bigint").alias("max_us"),
+    )
+    cols = ["n_events", "sum_value_u", "min_us", "max_us"]
+    return (
+        hour.select(
+            F.lit("hour").alias("grain"),
+            F.col("hb").alias("bucket"),
+            "event_type",
+            *cols,
+        )
+        .unionByName(
+            day.select(
+                F.lit("day").alias("grain"),
+                F.col("db").alias("bucket"),
+                "event_type",
+                *cols,
+            )
+        )
+        .unionByName(
+            week.select(
+                F.lit("week").alias("grain"),
+                F.col("wb").alias("bucket"),
+                "event_type",
+                *cols,
+            )
+        )
+        .orderBy("grain", "bucket", "event_type")
+    )
+
+
+Q_HYPERTABLE_SQL = """
+with e as (
+  select strftime(ts, '%Y-%m-%d %H:00') hb,
+         strftime(ts, '%Y-%m-%d') db,
+         strftime(date_trunc('week', ts), '%Y-%m-%d') wb,
+         event_type, epoch_us(ts) us,
+         round(value * 1e6, 0)::BIGINT v_u
+  from events
+)
+select 'hour' grain, hb bucket, event_type,
+       count(*)::BIGINT n_events, sum(v_u)::BIGINT sum_value_u,
+       min(us)::BIGINT min_us, max(us)::BIGINT max_us
+from e group by 2, 3
+union all
+select 'day', db, event_type,
+       count(*)::BIGINT, sum(v_u)::BIGINT, min(us)::BIGINT, max(us)::BIGINT
+from e group by 2, 3
+union all
+select 'week', wb, event_type,
+       count(*)::BIGINT, sum(v_u)::BIGINT, min(us)::BIGINT, max(us)::BIGINT
+from e group by 2, 3
+order by grain, bucket, event_type
+"""
+
+
 def _with_cache_discipline(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -12721,6 +12825,7 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_native": q_sessionize_native,
         "curriculum_order": q_curriculum_order,
         "mixture_temperature": q_mixture_temperature,
+        "hypertable_rollup": q_hypertable_rollup,
         "minhash_recall": q_minhash_recall,
         "orders_rfm": q_orders_rfm,
         "events_gap_histogram": q_events_gap_histogram,
@@ -13036,6 +13141,7 @@ from s group by cluster_size order by cluster_size
         "sessionize_native": Q_SESSIONIZE_NATIVE_SQL,
         "curriculum_order": Q_CURRICULUM_SQL,
         "mixture_temperature": Q_MIXTURE_TEMPERATURE_SQL,
+        "hypertable_rollup": Q_HYPERTABLE_SQL,
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

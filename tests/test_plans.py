@@ -931,3 +931,21 @@ def test_round6_batch6_plan_shapes(spark):
     s = simple_plan(q.queries()["mixture_temperature"](spark, SF))
     assert "Window" not in s and "CartesianProduct" not in s, s
     assert "SortMergeJoin" not in s, s
+
+
+def test_hypertable_rollup_scans_events_once(spark):
+    # the continuous-aggregate property: raw events feed only the hour
+    # grain's cache; day merges the hour cache, week merges the day
+    # cache. In the plan: two InMemoryRelations (hour, day) and every
+    # union branch reads an InMemoryTableScan — the "Scan parquet"
+    # strings appear only INSIDE cache build descriptions (each branch
+    # block hits a cache scan before any raw scan text).
+    s = simple_plan(q.queries()["hypertable_rollup"](spark, SF))
+    assert s.count("InMemoryRelation") >= 2, s
+    assert s.count("InMemoryTableScan") >= 3, s
+    union_branches = s.split("Union")[1]
+    for branch in union_branches.split(":- ")[1:]:
+        im = branch.find("InMemoryTableScan")
+        raw = branch.find("Scan parquet")
+        assert im != -1 and (raw == -1 or im < raw), branch[:400]
+    assert "CartesianProduct" not in s and "BatchEvalPython" not in s, s
