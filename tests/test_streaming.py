@@ -1856,3 +1856,76 @@ def test_session_window_exact_gap_boundary(spark):
     )
     got_lag = {r["user_id"]: r["n_sessions"] for r in lagd.collect()}
     assert got_lag == {1: 1, 2: 2}
+
+
+def test_streaming_continuous_aggregate_maintenance(spark, tmp_path):
+    # the lambda-architecture loop, composed from shipped primitives:
+    # events replay as a stream, each micro-batch folds its hour-grain
+    # partial states into a PUBLISHED partial-state table (read current
+    # snapshot → union → re-aggregate → atomic_publish — partials are a
+    # commutative monoid, so merge order is irrelevant). When the
+    # stream drains, the published table must equal the batch
+    # hypertable's hour grain exactly.
+    from bamboo_spark import queries as q
+    from bamboo_spark.operators.publish import atomic_publish, read_published
+
+    expected = {
+        (r["bucket"], r["event_type"]): (
+            r["n_events"], r["sum_value_u"], r["min_us"], r["max_us"]
+        )
+        for r in q.q_hypertable_rollup(spark, SF_DIR).collect()
+        if r["grain"] == "hour"
+    }
+
+    tbl = str(tmp_path / "hour_partials")
+
+    def partials(df):
+        return df.select(
+            F.date_format("ts", "yyyy-MM-dd HH:00").alias("hb"),
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+            F.expr("cast(round(value * 1e6, 0) as bigint)").alias("v_u"),
+        ).groupBy("hb", "event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("v_u").cast("bigint").alias("sum_value_u"),
+            F.min("us").cast("bigint").alias("min_us"),
+            F.max("us").cast("bigint").alias("max_us"),
+        )
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        part = partials(batch_df)
+        try:
+            cur = read_published(spark, tbl)
+            merged = (
+                cur.unionByName(part)
+                .groupBy("hb", "event_type")
+                .agg(
+                    F.sum("n_events").cast("bigint").alias("n_events"),
+                    F.sum("sum_value_u").cast("bigint").alias("sum_value_u"),
+                    F.min("min_us").cast("bigint").alias("min_us"),
+                    F.max("max_us").cast("bigint").alias("max_us"),
+                )
+            )
+        except Exception:
+            merged = part
+        atomic_publish(merged, tbl)
+
+    d = _replay_dir(spark, tmp_path)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string, value double"
+    ).option("maxFilesPerTrigger", "1").parquet(d)
+    qy = stream.writeStream.foreachBatch(sink).start()
+    try:
+        qy.processAllAvailable()
+    finally:
+        qy.stop()
+
+    got = {
+        (r["hb"], r["event_type"]): (
+            r["n_events"], r["sum_value_u"], r["min_us"], r["max_us"]
+        )
+        for r in read_published(spark, tbl).collect()
+    }
+    assert got == expected
