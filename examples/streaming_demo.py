@@ -7,12 +7,14 @@ Replays the events table as a file stream and runs three operators:
 1. windowed_counts          — watermarked tumbling-window aggregation
 2. sessionize_stream        — stateful gap sessionization
                               (applyInPandasWithState, event-time close)
+   + session_window_stream   — the native JVM session-window twin
 3. interval_attribution_stream — click windows accumulate purchases,
                               emitted exactly once at watermark
 
-Then replays the documents table through the Bloom segment guard:
-segments already in the stored corpus are flagged map-side before any
-shuffle. Everything is the same operator code the batch registry uses.
+Then replays the documents table through the stateless quality gate
+and the Bloom segment guard: low-quality docs are scored at scan speed,
+and segments already in the stored corpus are flagged map-side before
+any shuffle. Everything is the same operator code the batch registry uses.
 """
 
 import os
@@ -75,13 +77,23 @@ def main() -> None:
     q4 = fun.writeStream.format("memory").queryName("demo_funnel").outputMode(
         "append"
     ).start()
+    from bamboo_spark.streaming import session_window_stream
+
+    nat = session_window_stream(stream, watermark="0 seconds")
+    q4b = nat.writeStream.format("memory").queryName("demo_native_sess").outputMode(
+        "append"
+    ).start()
     try:
         print("windowed counts rows:", drain(spark, q1, "demo_counts"))
         print("closed sessions:", drain(spark, q2, "demo_sessions"))
         print("closed click windows:", drain(spark, q3, "demo_attr"))
         print("closed user funnels:", drain(spark, q4, "demo_funnel"))
+        print(
+            "native session_window sessions:",
+            drain(spark, q4b, "demo_native_sess"),
+        )
     finally:
-        for q in (q1, q2, q3, q4):
+        for q in (q1, q2, q3, q4, q4b):
             q.stop()
 
     # Bloom paragraph guard on a doc stream: corpus = doc_id < 250
@@ -94,6 +106,21 @@ def main() -> None:
         1
     ).write.parquet(doc_replay)
     doc_stream = spark.readStream.schema("doc_id long, text string").parquet(doc_replay)
+    from bamboo_spark.streaming import quality_gate_stream
+
+    gated = quality_gate_stream(doc_stream)
+    qg = gated.writeStream.format("memory").queryName("demo_gate").outputMode(
+        "append"
+    ).start()
+    try:
+        qg.processAllAvailable()
+        kept = spark.sql(
+            "select count(*) c from demo_gate where passed"
+        ).collect()[0].c
+        total = spark.sql("select count(*) c from demo_gate").collect()[0].c
+        print("quality gate: %d/%d docs pass at scan speed" % (kept, total))
+    finally:
+        qg.stop()
     flagged = segment_bloom_guard_stream(
         doc_stream, bitmap, 1 << 20, 7, corpus_digests, block_tokens=20
     )
