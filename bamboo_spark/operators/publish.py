@@ -86,6 +86,30 @@ class _PosixFS:
                 out.append(f if rel == "." else "%s/%s" % (rel.replace(os.sep, "/"), f))
         return out
 
+    def file_size(self, p: str) -> int:
+        return os.path.getsize(p)
+
+    def create_exclusive(self, p: str, content: str) -> bool:
+        """Create ``p`` iff it doesn't exist (O_EXCL). True on success."""
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as fh:
+            fh.write(content)
+            fh.flush()
+            os.fsync(fh.fileno())
+        return True
+
+    def mtime_ms(self, p: str) -> int:
+        return int(os.path.getmtime(p) * 1000)
+
+    def delete_file(self, p: str) -> None:
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
+
 
 class _HadoopFS:
     """URI backend: Hadoop ``FileSystem`` for IO + listing,
@@ -151,6 +175,28 @@ class _HadoopFS:
             out.append(p[len(base) + 1:])
         return out
 
+    def file_size(self, p: str) -> int:
+        return int(self._fs.getFileStatus(self._path(p)).getLen())
+
+    def create_exclusive(self, p: str, content: str) -> bool:
+        """Hadoop ``create(overwrite=false)`` — atomic on HDFS (and the
+        local FS); the create-exclusive primitive object stores expose
+        as a conditional PUT."""
+        try:
+            out = self._fs.create(self._path(p), False)
+        except Exception:
+            return False
+        out.write(bytearray(content.encode("utf-8")))
+        out.hsync()
+        out.close()
+        return True
+
+    def mtime_ms(self, p: str) -> int:
+        return int(self._fs.getFileStatus(self._path(p)).getModificationTime())
+
+    def delete_file(self, p: str) -> None:
+        self._fs.delete(self._path(p), False)
+
 
 def _is_uri(p: str) -> bool:
     head = p.split("://", 1)[0] if "://" in p else ""
@@ -171,6 +217,72 @@ def _fs_for(table_dir: str, spark: Optional[SparkSession] = None):
 
 def _manifest_path(table_dir: str, fs) -> str:
     return fs.join(table_dir, _MANIFEST)
+
+
+_LOCK = "_commit.lock"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer holds the table's commit lease."""
+
+
+class _Lease:
+    """Create-exclusive commit lease with TTL-based crash recovery.
+
+    Commits to one ``table_dir`` are serialized by a lock FILE created
+    with the filesystem's exclusive-create primitive (POSIX ``O_EXCL``,
+    Hadoop ``create(overwrite=false)``) — the one operation that is
+    atomic everywhere a manifest swap is. A writer that can't get the
+    lease raises :class:`ConcurrentWriteError` instead of silently
+    losing its snapshot to a last-manifest-wins race. A writer that
+    DIES holding the lease doesn't wedge the table: a lock older than
+    ``ttl_ms`` is presumed dead and broken (delete + one retry)."""
+
+    def __init__(self, fs, table_dir: str, ttl_ms: int = 300_000):
+        self._fs = fs
+        self._path = fs.join(table_dir, _LOCK)
+        self._ttl_ms = ttl_ms
+        self._held = False
+
+    def acquire(self) -> "_Lease":
+        import uuid
+
+        token = uuid.uuid4().hex
+        for attempt in (0, 1):
+            if self._fs.create_exclusive(self._path, token):
+                self._held = True
+                return self
+            # lock exists: fresh → contend; stale → break it and retry
+            try:
+                age = _now_ms() - self._fs.mtime_ms(self._path)
+            except Exception:
+                continue  # vanished between create and stat — retry
+            if age <= self._ttl_ms:
+                raise ConcurrentWriteError(
+                    "another writer holds the commit lease on this table "
+                    "(lock age %d ms <= ttl %d ms)" % (age, self._ttl_ms)
+                )
+            self._fs.delete_file(self._path)
+        raise ConcurrentWriteError(
+            "could not acquire the commit lease (lost the break-retry race)"
+        )
+
+    def release(self) -> None:
+        if self._held:
+            self._fs.delete_file(self._path)
+            self._held = False
+
+    def __enter__(self) -> "_Lease":
+        return self.acquire()
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+def _now_ms() -> int:
+    import time
+
+    return int(time.time() * 1000)
 
 
 def current_version(
@@ -195,6 +307,8 @@ def atomic_publish(
     df: DataFrame,
     table_dir: str,
     partition_by=None,
+    lease_ttl_ms: int = 300_000,
+    _lease: Optional[_Lease] = None,
 ) -> int:
     """Write ``df`` as the table's next snapshot and commit it
     atomically. Returns the committed version number. The manifest row
@@ -218,53 +332,61 @@ def atomic_publish(
 
     fs = _fs_for(table_dir, df.sparkSession)
     fs.mkdirs(table_dir)
-    prev = _read_manifest(table_dir, fs)
-    # next version must clear BOTH the committed manifest and any
-    # orphan _v<K> left by a writer that died before its commit
-    orphans = [
-        int(d[2:])
-        for d in fs.listdir(table_dir)
-        if d.startswith("_v") and d[2:].isdigit()
-    ]
-    committed = int(prev["version"]) if prev else 0
-    version = max([committed] + orphans) + 1
-    vdir = fs.join(table_dir, "_v%d" % version)
-    obs = Observation()
-    writer = df.observe(obs, F.count(F.lit(1)).alias("n")).write
-    parts = (
-        [partition_by] if isinstance(partition_by, str) else list(partition_by)
-    ) if partition_by else []
-    if parts:
-        writer = writer.partitionBy(*parts)
-    writer.parquet(vdir)
-    n_rows = int(obs.get["n"])
-    files = sorted(
-        "_v%d/%s" % (version, f)
-        for f in fs.walk_files(vdir)
-        if f.endswith(".parquet")
-    )
-    entry = {
-        "files": files,
-        "n_rows": n_rows,
-        "schema": df.schema.json(),
-        "partition_by": parts,
-    }
-    history = dict(prev.get("snapshots", {})) if prev else {}
-    # heal pre-history manifests: retain the previous current snapshot
-    if prev and str(prev["version"]) not in history:
-        history[str(prev["version"])] = {
-            "files": prev["files"],
-            "n_rows": prev["n_rows"],
-            "schema": prev["schema"],
+    lease = _lease or _Lease(fs, table_dir, ttl_ms=lease_ttl_ms).acquire()
+    try:
+        prev = _read_manifest(table_dir, fs)
+        # next version must clear BOTH the committed manifest and any
+        # orphan _v<K> left by a writer that died before its commit
+        orphans = [
+            int(d[2:])
+            for d in fs.listdir(table_dir)
+            if d.startswith("_v") and d[2:].isdigit()
+        ]
+        committed = int(prev["version"]) if prev else 0
+        version = max([committed] + orphans) + 1
+        vdir = fs.join(table_dir, "_v%d" % version)
+        obs = Observation()
+        writer = df.observe(obs, F.count(F.lit(1)).alias("n")).write
+        parts = (
+            [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        ) if partition_by else []
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(vdir)
+        n_rows = int(obs.get["n"])
+        rel_files = sorted(
+            f for f in fs.walk_files(vdir) if f.endswith(".parquet")
+        )
+        files = ["_v%d/%s" % (version, f) for f in rel_files]
+        size_bytes = sum(
+            fs.file_size(fs.join(vdir, f)) for f in rel_files
+        )
+        entry = {
+            "files": files,
+            "n_rows": n_rows,
+            "size_bytes": size_bytes,
+            "schema": df.schema.json(),
+            "partition_by": parts,
         }
-    history[str(version)] = entry
-    manifest = {"version": version, "snapshots": history, **entry}
-    fs.replace_with(
-        json.dumps(manifest),
-        _manifest_path(table_dir, fs),
-        ".tmp.%d" % version,
-    )
-    return version
+        history = dict(prev.get("snapshots", {})) if prev else {}
+        # heal pre-history manifests: retain the previous current snapshot
+        if prev and str(prev["version"]) not in history:
+            history[str(prev["version"])] = {
+                "files": prev["files"],
+                "n_rows": prev["n_rows"],
+                "schema": prev["schema"],
+            }
+        history[str(version)] = entry
+        manifest = {"version": version, "snapshots": history, **entry}
+        fs.replace_with(
+            json.dumps(manifest),
+            _manifest_path(table_dir, fs),
+            ".tmp.%d" % version,
+        )
+        return version
+    finally:
+        if _lease is None:
+            lease.release()
 
 
 def read_published(
@@ -381,36 +503,75 @@ def vacuum(
 def compact(
     spark: SparkSession,
     table_dir: str,
-    target_files: int = 1,
+    target_files: Optional[int] = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
 ) -> int:
     """Small-file compaction: republish the CURRENT snapshot's rows as
-    a new version with ~``target_files`` data files (one file per
-    partition value when the table is hive-partitioned). Readers never
-    see a half-compacted table — the rewrite is an ordinary versioned
-    publish committed by the same atomic manifest swap, and the
-    pre-compaction version stays readable (time travel) until
-    ``vacuum`` reclaims it.
+    a new version whose file count is sized from the snapshot's BYTES —
+    ``ceil(size_bytes / target_file_bytes)`` output files (128 MB
+    default), never a fixed constant. Readers never see a
+    half-compacted table — the rewrite is an ordinary versioned publish
+    committed by the same atomic manifest swap, and the pre-compaction
+    version stays readable (time travel) until ``vacuum`` reclaims it.
+    ``target_files`` overrides the derived count when set.
+
+    Sizing at scale: a fixed file count is wrong in both directions —
+    1 file funnels a large snapshot through ONE task (a single-task
+    full-table rewrite), and one-file-per-partition-value rewrites a
+    skewed partition value in one task. So: the total byte size comes
+    from the manifest (recorded at publish; summed from the filesystem
+    for pre-size manifests), and the shuffle is
+    ``repartitionByRange(n, *partition_by, xxhash64(payload))`` — the
+    range sort keeps each hive partition value's rows contiguous (so a
+    task writes ~1 partition directory, no file-count explosion) while
+    the hash tail SPLITS a skewed value across as many tasks as its
+    bytes demand. Every output file lands near ``target_file_bytes``
+    regardless of partition skew. Unpartitioned tables use round-robin
+    ``repartition(n)`` — perfectly even files, no sort.
 
     The ingest pattern this serves: many small appended publishes
     (micro-batch ``foreachBatch`` publishes, ``merge_publish`` deltas)
     accumulate file counts that degrade planning at 100 TB — the
     task-per-file floor and driver listing memory both scale with file
-    count, not bytes. A periodic ``compact()`` keeps files
-    O(partitions), and because it is just publish-over-read it
-    inherits crash consistency for free (a dead compactor leaves only
-    an orphan ``_v<K>`` dir the next publish skips past and vacuum
-    removes)."""
+    count, not bytes. A periodic ``compact()`` keeps files O(bytes /
+    128 MB), and because it is just publish-over-read it inherits crash
+    consistency for free (a dead compactor leaves only an orphan
+    ``_v<K>`` dir the next publish skips past and vacuum removes)."""
+    import math
+
     from pyspark.sql import functions as F
 
-    cur = read_published(spark, table_dir)
     fs = _fs_for(table_dir, spark)
-    manifest = json.loads(fs.read_text(_manifest_path(table_dir, fs)))
-    parts = manifest.get("partition_by") or []
-    if parts:
-        out = cur.repartition(*[F.col(c) for c in parts])
-    else:
-        out = cur.repartition(target_files)
-    return atomic_publish(out, table_dir, partition_by=parts or None)
+    with _Lease(fs, table_dir) as lease:  # read+republish: one lease
+        cur = read_published(spark, table_dir)
+        manifest = json.loads(fs.read_text(_manifest_path(table_dir, fs)))
+        parts = manifest.get("partition_by") or []
+        if target_files is None:
+            size = manifest.get("size_bytes")
+            if size is None:  # pre-size_bytes manifest: sum the snapshot
+                size = sum(
+                    fs.file_size(fs.join(table_dir, f))
+                    for f in manifest["files"]
+                )
+            target_files = max(1, math.ceil(size / float(target_file_bytes)))
+        if parts:
+            payload = [c for c in cur.columns if c not in parts]
+            out = (
+                cur.withColumn(
+                    "_ck",
+                    F.xxhash64(*[F.col(c) for c in payload] or [F.lit(0)]),
+                )
+                .repartitionByRange(
+                    target_files,
+                    *([F.col(c) for c in parts] + [F.col("_ck")])
+                )
+                .drop("_ck")
+            )
+        else:
+            out = cur.repartition(target_files)
+        return atomic_publish(
+            out, table_dir, partition_by=parts or None, _lease=lease
+        )
 
 
 def merge_publish(
@@ -420,43 +581,58 @@ def merge_publish(
     version_cols,
     op_col: Optional[str] = None,
     delete_op: str = "delete",
+    partition_by=None,
+    lease_ttl_ms: int = 300_000,
 ) -> int:
     """MERGE INTO with snapshot isolation: apply a CDC change batch
     onto the committed snapshot (``scale.cdc_apply`` — last-writer-wins
     upserts + tombstone deletes in ONE map-combined max-struct
     aggregate, no window) and publish the result as the next version.
     Readers see the pre-merge or post-merge snapshot, never a mix, and
-    time travel retains the pre-merge version. First merge into an
-    empty table is a plain insert of the change batch's payload.
+    time travel retains the pre-merge version.
 
-    Single-writer contract (same as ``atomic_publish``); the merge
-    rewrites the table — the right shape while snapshots are
-    repartition-light; at petabyte scale a format keeps deltas and
-    compacts, which is ``cdc_apply`` run lazily instead of eagerly."""
+    The FIRST merge into an empty table runs the same ``cdc_apply``
+    against an empty base (not a raw insert), so an intra-batch
+    duplicate key collapses to its last writer and an upsert-then-
+    delete of one key nets to absent — identical semantics to every
+    later merge, and the 'key_cols unique in base' contract holds from
+    version 1. The snapshot KEEPS the version columns (the next
+    merge's base side needs them), dropping only the op marker.
+
+    The table's hive partition layout is PRESERVED: ``partition_by``
+    is read from the committed manifest (or taken from the parameter
+    on first merge) and passed through to the republish, so merging
+    never silently drops partition pruning from the new snapshot.
+
+    Commit concurrency: the whole read-merge-publish runs under the
+    table's commit lease, so two mergers can't both read version N and
+    race their N+1 manifests (lost update) — the loser raises
+    :class:`ConcurrentWriteError`. The merge rewrites the table — the
+    right shape while snapshots are repartition-light; at petabyte
+    scale a format keeps deltas and compacts, which is ``cdc_apply``
+    run lazily instead of eagerly."""
     from bamboo_spark.operators.scale import cdc_apply
 
     spark = changes.sparkSession
     fs = _fs_for(table_dir, spark)
-    if _read_manifest(table_dir, fs) is None:
-        # empty table: insert the non-tombstone changes; the snapshot
-        # KEEPS the version columns (cdc_apply needs them on the base
-        # side of the next merge), dropping only the op marker
-        from pyspark.sql import functions as F
-
-        base = changes
-        if op_col:
-            base = base.where(F.col(op_col) != delete_op).drop(op_col)
-        return atomic_publish(base, table_dir)
-    base = read_published(spark, table_dir)
-    merged = cdc_apply(
-        base,
-        changes,
-        key_cols,
-        version_cols if not isinstance(version_cols, str) else [version_cols],
-        op_col=op_col,
-        delete_op=delete_op,
-    )
-    return atomic_publish(merged, table_dir)
+    fs.mkdirs(table_dir)
+    vers = [version_cols] if isinstance(version_cols, str) else list(version_cols)
+    with _Lease(fs, table_dir, ttl_ms=lease_ttl_ms) as lease:
+        prev = _read_manifest(table_dir, fs)
+        if prev is None:
+            base = changes.limit(0)
+            if op_col:
+                base = base.drop(op_col)
+            parts = partition_by
+        else:
+            base = read_published(spark, table_dir)
+            parts = prev.get("partition_by") or None
+        merged = cdc_apply(
+            base, changes, key_cols, vers, op_col=op_col, delete_op=delete_op
+        )
+        return atomic_publish(
+            merged, table_dir, partition_by=parts, _lease=lease
+        )
 
 
 def diff_versions(

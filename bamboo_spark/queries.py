@@ -12138,7 +12138,12 @@ def q_token_burstiness(
     ).orderBy(F.col("tf").desc(), "token")
 
 
-Q_TOKEN_BURSTINESS_SQL = """
+def _token_burstiness_duck(top_v: int = 200) -> str:
+    """Oracle builder sharing ``q_token_burstiness``'s defaults — the
+    ``top_v`` limit is generated, not hardcoded, so a non-default
+    argument keeps oracle parity (same discipline as
+    ``_markov_surprisal_duck``)."""
+    return """
 with tok as (
   select doc_id, unnest(string_split(text, ' ')) tk from documents
 ),
@@ -12150,12 +12155,12 @@ st as (
          sum(c::HUGEINT * c) ss
   from per group by tk
 ),
-top as (select * from st order by tf desc, tk limit 200)
+top as (select * from st order by tf desc, tk limit {v})
 select tk token, tf::BIGINT tf, n_docs::BIGINT n_docs,
        ((tf * 1000000) // n_docs)::BIGINT rate_ppm,
        round((n_docs * ss - tf * tf)::DOUBLE / (n_docs * tf)::DOUBLE, 6) fano
 from top order by tf desc, token
-"""
+""".format(v=int(top_v))
 
 
 def q_contamination_winnow(
@@ -12378,7 +12383,11 @@ def q_curriculum_order(
     )
 
 
-Q_CURRICULUM_SQL = """
+def _curriculum_duck(bands: int = 8) -> str:
+    """Oracle builder sharing ``q_curriculum_order``'s ``bands``
+    default — generated so a non-default band count keeps oracle
+    parity (same discipline as ``_markov_surprisal_duck``)."""
+    return """
 with per_doc as (
   select len(list_filter(string_split(text, ' '), x -> x <> '')) n_tok,
          len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))
@@ -12392,7 +12401,7 @@ scored as (
 ),
 banded as (
   select n_tok, difficulty_ppm,
-         least((difficulty_ppm * 8) // 1000000, 7) band
+         least((difficulty_ppm * {b}) // 1000000, {bm1}) band
   from scored
 ),
 grid as (
@@ -12406,7 +12415,7 @@ select band::INT band, n_docs, n_tokens, mean_difficulty_ppm,
         // (select sum(n_docs) from grid))::BIGINT cum_corpus_ppm
 from grid
 order by band
-"""
+""".format(b=int(bands), bm1=int(bands) - 1)
 
 
 def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13136,10 +13145,10 @@ from s group by cluster_size order by cluster_size
         "markov_surprisal": _markov_surprisal_duck(),
         "nb_kappa": _nb_kappa_duck(),
         "textrank_keywords": _textrank_duck(),
-        "token_burstiness": Q_TOKEN_BURSTINESS_SQL,
+        "token_burstiness": _token_burstiness_duck(),
         "contamination_winnow": _contamination_winnow_duck(),
         "sessionize_native": Q_SESSIONIZE_NATIVE_SQL,
-        "curriculum_order": Q_CURRICULUM_SQL,
+        "curriculum_order": _curriculum_duck(),
         "mixture_temperature": Q_MIXTURE_TEMPERATURE_SQL,
         "hypertable_rollup": Q_HYPERTABLE_SQL,
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,

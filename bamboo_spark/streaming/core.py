@@ -1438,7 +1438,18 @@ def psi_stream(
     row = baseline.agg(
         FN.min(value_col).alias("lo"), FN.max(value_col).alias("hi")
     ).collect()[0]
-    lo, hi = int(row["lo"]), int(row["hi"])
+    if row["lo"] is None:  # min over zero rows → NULL
+        raise ValueError(
+            "psi_stream: baseline is empty — a PSI reference histogram "
+            "needs at least one baseline row"
+        )
+    try:
+        lo, hi = int(row["lo"]), int(row["hi"])
+    except (TypeError, ValueError):
+        raise ValueError(
+            "psi_stream: baseline %r must hold integer-castable values, "
+            "got min=%r max=%r" % (value_col, row["lo"], row["hi"])
+        )
     width = (hi - lo) // bins + 1
     bexpr = "cast((cast(%s as bigint) - %d) div %d as int)" % (
         value_col,

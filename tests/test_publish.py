@@ -311,3 +311,172 @@ def test_ingest_compact_vacuum_lifecycle(spark, tmp_path):
     assert read_published(spark, t).count() == 500
     with pytest.raises(KeyError):
         read_published(spark, t, version=v1)
+
+
+def test_merge_publish_first_batch_full_cdc_semantics(spark, tmp_path):
+    # the FIRST merge into an empty table must apply the same
+    # last-writer-wins + tombstone semantics as every later merge:
+    # an intra-batch duplicate key collapses to its highest version,
+    # and an upsert-then-delete of one key nets to absent
+    from bamboo_spark.operators.publish import merge_publish
+
+    t = str(tmp_path / "tbl")
+    ch = spark.createDataFrame(
+        [
+            (1, "old", 1, "upsert"),
+            (1, "new", 2, "upsert"),  # same key twice: ver 2 wins
+            (2, "x", 1, "upsert"),
+            (2, None, 2, "delete"),  # upsert then delete: key absent
+            (3, "c", 1, "upsert"),
+        ],
+        "id long, val string, ver long, op string",
+    )
+    merge_publish(ch, t, "id", ["ver"], op_col="op")
+    got = sorted(
+        (r["id"], r["val"]) for r in read_published(spark, t).collect()
+    )
+    assert got == [(1, "new"), (3, "c")]
+    # key_cols unique in base holds from version 1 — next merge is sane
+    ch2 = spark.createDataFrame(
+        [(1, "n2", 3, "upsert")], "id long, val string, ver long, op string"
+    )
+    merge_publish(ch2, t, "id", ["ver"], op_col="op")
+    got = sorted(
+        (r["id"], r["val"]) for r in read_published(spark, t).collect()
+    )
+    assert got == [(1, "n2"), (3, "c")]
+
+
+def test_merge_publish_preserves_partition_layout(spark, tmp_path):
+    # merging into a hive-partitioned table must republish WITH the
+    # partition layout (read from the manifest), keeping pruning alive
+    from bamboo_spark.operators.publish import merge_publish
+
+    t = str(tmp_path / "ptbl")
+    ch1 = spark.createDataFrame(
+        [(i, i % 3, "v%d" % i, 1, "upsert") for i in range(30)],
+        "id long, k long, val string, ver long, op string",
+    )
+    merge_publish(ch1, t, "id", ["ver"], op_col="op", partition_by="k")
+    assert os.path.isdir(os.path.join(t, "_v1", "k=2"))
+    ch2 = spark.createDataFrame(
+        [(0, 0, "upd", 2, "upsert")],
+        "id long, k long, val string, ver long, op string",
+    )
+    v2 = merge_publish(ch2, t, "id", ["ver"], op_col="op")
+    assert os.path.isdir(os.path.join(t, "_v%d" % v2, "k=1"))
+    got = read_published(spark, t).where("k = 1")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "k" in plan.split(
+        "PartitionFilters"
+    )[1][:80], plan
+    assert got.count() == 10
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_concurrent_publish_exactly_one_wins(spark, tmp_path, backend):
+    # two writers race one table_dir: the lease makes exactly one
+    # commit win; the loser raises cleanly instead of silently losing
+    # its snapshot to last-manifest-wins
+    from bamboo_spark.operators.publish import ConcurrentWriteError, _Lease, _fs_for
+
+    t, _ = _tbl(tmp_path, backend)
+    fs = _fs_for(t, spark)
+    fs.mkdirs(t)
+    # writer A holds the lease mid-commit
+    lease = _Lease(fs, t).acquire()
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            atomic_publish(spark.range(5), t)
+    finally:
+        lease.release()
+    # lease released: publishing works again
+    assert atomic_publish(spark.range(5), t) == 1
+
+
+def test_concurrent_publish_threads_one_winner(spark, tmp_path):
+    # actual thread race: both threads publish; at least one commits,
+    # any loser fails with ConcurrentWriteError (never a corrupt table)
+    import threading
+
+    from bamboo_spark.operators.publish import ConcurrentWriteError
+
+    t = str(tmp_path / "tbl")
+    results = []
+
+    def go(n):
+        try:
+            results.append(("ok", atomic_publish(spark.range(n), t)))
+        except ConcurrentWriteError:
+            results.append(("lost", None))
+
+    th = [threading.Thread(target=go, args=(100 + i,)) for i in range(2)]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    wins = [r for r in results if r[0] == "ok"]
+    assert len(wins) >= 1 and len(results) == 2
+    # committed version count equals the number of winners; manifest sane
+    assert current_version(t) == len(wins)
+    assert read_published(spark, t).count() in (100, 101)
+
+
+def test_crashed_writer_lock_is_broken_after_ttl(spark, tmp_path):
+    # a writer that died holding the lease must not wedge the table:
+    # a lock older than the TTL is presumed dead and broken
+    from bamboo_spark.operators.publish import _Lease, _fs_for
+
+    t = str(tmp_path / "tbl")
+    os.makedirs(t)
+    lock = os.path.join(t, "_commit.lock")
+    with open(lock, "w") as fh:
+        fh.write("dead-writer")
+    old = os.path.getmtime(lock) - 3600
+    os.utime(lock, (old, old))
+    # default ttl 300s < 1h age → broken, publish proceeds
+    assert atomic_publish(spark.range(9), t) == 1
+    assert read_published(spark, t).count() == 9
+    # and a FRESH foreign lock still blocks (sanity)
+    fs = _fs_for(t, spark)
+    lease = _Lease(fs, t).acquire()
+    lease.release()
+
+
+def test_compact_targets_bytes_and_splits_skewed_partition(spark, tmp_path):
+    # byte-targeted compaction: file count derives from snapshot bytes
+    # (ceil(bytes/target_file_bytes)), and a SKEWED partition value is
+    # split across multiple files/tasks instead of funneling through one
+    from pyspark.sql import functions as F
+
+    from bamboo_spark.operators.publish import compact, snapshots
+
+    t = str(tmp_path / "skew")
+    # k=0 holds ~97% of rows; long string payload to get real bytes
+    df = spark.range(30000).select(
+        F.when(F.col("id") % 30 == 0, 1).otherwise(0).alias("k"),
+        F.col("id").alias("v"),
+        F.sha2(F.col("id").cast("string"), 512).alias("pad"),
+    )
+    atomic_publish(df.repartition(16), t, partition_by="k")
+    man_bytes = None
+    import json as _json
+
+    with open(os.path.join(t, "manifest.json")) as fh:
+        man_bytes = _json.load(fh)["size_bytes"]
+    assert man_bytes > 0
+    budget = max(1, man_bytes // 6)  # force ~6 output files
+    v2 = compact(spark, t, target_file_bytes=budget)
+    snaps = {s["version"]: s for s in snapshots(t, spark)}
+    import math
+
+    want = math.ceil(man_bytes / budget)
+    # file count tracks the byte budget (within the hive split slack)
+    assert snaps[v2]["n_files"] >= max(2, want - 1)
+    # the skewed partition value k=0 is written by MULTIPLE tasks
+    k0_files = [
+        f
+        for f in os.listdir(os.path.join(t, "_v%d" % v2, "k=0"))
+        if f.endswith(".parquet")
+    ]
+    assert len(k0_files) >= 2, k0_files
+    # rows intact
+    assert read_published(spark, t).count() == 30000

@@ -1929,3 +1929,22 @@ def test_streaming_continuous_aggregate_maintenance(spark, tmp_path):
         for r in read_published(spark, tbl).collect()
     }
     assert got == expected
+
+
+def test_psi_stream_rejects_empty_or_noninteger_baseline(spark):
+    # an empty baseline must raise an explicit contract error, not an
+    # opaque int(None) TypeError; non-integer values likewise
+    import pytest as _pt
+
+    from bamboo_spark.streaming.core import psi_stream
+
+    empty = spark.createDataFrame([], "v long, ts timestamp")
+    sdf = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value as v", "timestamp as ts")
+    )
+    with _pt.raises(ValueError, match="baseline is empty"):
+        psi_stream(sdf, empty, "v", ts_col="ts")
+    bad = spark.createDataFrame([("abc",), ("def",)], "v string")
+    with _pt.raises(ValueError, match="integer-castable"):
+        psi_stream(sdf, bad, "v", ts_col="ts")
