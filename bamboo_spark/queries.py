@@ -10049,10 +10049,20 @@ def q_dedup_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-struct representatives, LSH pairs → converged components); the
     funnel is monotone by construction. Removal is integer bps —
     10000 * removed div previous-stage — engine-exact."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    n_raw = d.count()
-    n_exact = d.groupBy(F.md5("text")).agg(F.lit(1)).count()
-    n_norm = d.groupBy(text.normalize_text("text")).agg(F.lit(1)).count()
+    d = _tracked_persist(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    # ONE aggregate pass for the first three funnel stages — Spark
+    # plans multi-count-distinct via a single-scan Expand (the
+    # q_table_profile shape), not three separate corpus scans
+    hdr = d.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count_distinct(F.md5("text")).alias("n_exact"),
+        F.count_distinct(text.normalize_text("text")).alias("n_norm"),
+    ).collect()[0]
+    n_raw, n_exact, n_norm = (
+        int(hdr["n_raw"]), int(hdr["n_exact"]), int(hdr["n_norm"])
+    )
     pairs = dedup.minhash_lsh_pairs(d, threshold=0.7).select("doc_a", "doc_b")
     comp = dedup.connected_components_converged(pairs)
     # near-dup stage keeps one representative per cluster: survivors =

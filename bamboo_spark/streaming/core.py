@@ -8,7 +8,7 @@ state access local.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -1008,6 +1008,8 @@ def transitions_stream(
     user_col: str = "user_id",
     id_col: str = "event_id",
     type_col: str = "event_type",
+    idle_ttl_ms: Optional[int] = None,
+    watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming Markov-transition feed — the streaming twin of the
     batch ``q_event_transitions``: every event emits its (prev_type,
@@ -1022,6 +1024,15 @@ def transitions_stream(
     late-arriving event contributes its edge against the best-known
     predecessor, the standard streaming tradeoff.
 
+    ``idle_ttl_ms`` (default OFF, preserving exact batch parity): a
+    CDC-style materializer must remember every key forever, but a
+    transition feed over churning users doesn't — a user idle past the
+    watermark plus the TTL has a last-event triple that will, at most,
+    contribute one boundary edge if they ever return. With the TTL set,
+    EventTimeTimeout evicts idle users' state (the returning user's
+    first event then emits no edge — a session-reset semantics), so an
+    unbounded user space cannot grow the store.
+
     Scale: one key-hash shuffle (any stateful op's floor); per batch
     each user does an O(rows) linear pass in Arrow-batch pandas."""
     import pandas as pd
@@ -1033,8 +1044,12 @@ def transitions_stream(
         )
     )
     state_schema = "us long, eid long, etype string"
+    ttl = idle_ttl_ms
 
     def fn(key, pdfs, state):
+        if ttl is not None and state.hasTimedOut:
+            state.remove()
+            return
         uid = key[0]
         frames = [p[[ts_col, id_col, type_col]] for p in pdfs if len(p)]
         if not frames:
@@ -1061,15 +1076,23 @@ def transitions_stream(
             last = (int(r_us), int(r_eid), r_et)
         if last is not None:
             state.update(last)
+            if ttl is not None:
+                # evict once the watermark passes last-seen + TTL
+                state.setTimeoutTimestamp(
+                    max(state.getCurrentWatermarkMs(), last[0] // 1000) + ttl
+                )
         if out:
             yield pd.DataFrame(out)
 
-    return sdf.groupBy(user_col).applyInPandasWithState(
+    src = sdf if ttl is None else sdf.withWatermark(ts_col, watermark)
+    return src.groupBy(user_col).applyInPandasWithState(
         fn,
         out_schema,
         state_schema,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.NoTimeout
+        if ttl is None
+        else GroupStateTimeout.EventTimeTimeout,
     )
 
 
@@ -1799,3 +1822,185 @@ def quality_gate_stream(
         T.quality_score(text_col).alias("q_score"),
         T.lang_id(text_col).alias("lang_pred"),
     ).withColumn("passed", F.col("q_score") >= F.lit(min_score))
+
+
+def hypertable_partials(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hour-grain partial states for the hypertable continuous
+    aggregate — (count, integer micro-value sum, min/max event µs) per
+    (hour bucket, type), with the day/week buckets carried as free
+    riders (they are functions of the hour bucket). The states form a
+    commutative monoid: any union of partial frames re-aggregated by
+    the bucket key equals the states computed from the union of the raw
+    rows, which is what makes both incremental refresh and the
+    hour→day→week rollup lossless. Batch twin of the finest grain in
+    ``queries.q_hypertable_rollup``."""
+    return (
+        df.select(
+            F.date_format(ts_col, "yyyy-MM-dd HH:00").alias("hb"),
+            F.date_format(ts_col, "yyyy-MM-dd").alias("db"),
+            F.date_format(
+                F.date_trunc("week", F.col(ts_col)), "yyyy-MM-dd"
+            ).alias("wb"),
+            F.col(type_col).alias("event_type"),
+            F.unix_micros(ts_col).alias("us"),
+            F.expr(
+                "cast(round(%s * 1e6, 0) as bigint)" % value_col
+            ).alias("v_u"),
+        )
+        .groupBy("hb", "db", "wb", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("v_u").cast("bigint").alias("sum_value_u"),
+            F.min("us").cast("bigint").alias("min_us"),
+            F.max("us").cast("bigint").alias("max_us"),
+        )
+    )
+
+
+def _merge_hypertable(parts: DataFrame) -> DataFrame:
+    """Fold a union of partial-state frames back to one state per
+    bucket (the monoid merge)."""
+    return parts.groupBy("hb", "db", "wb", "event_type").agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("sum_value_u").cast("bigint").alias("sum_value_u"),
+        F.min("min_us").cast("bigint").alias("min_us"),
+        F.max("max_us").cast("bigint").alias("max_us"),
+    )
+
+
+def hypertable_stream(
+    sdf: DataFrame,
+    table_dir: str,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+):
+    """Self-maintaining continuous aggregate (the TimescaleDB
+    continuous-aggregate / materialized-cube loop as a shipped
+    operator): each micro-batch folds its hour-grain partial states
+    into an atomically PUBLISHED partial-state table — read current
+    snapshot → union → monoid re-merge → ``atomic_publish``. Readers
+    (``read_hypertable``) see a committed, complete hour grid at every
+    instant and derive the day/week grains by merging it — raw events
+    are scanned exactly once, by the micro-batch that carries them.
+
+    Returns a configured ``DataStreamWriter`` (foreachBatch); the
+    caller picks trigger/checkpoint and calls ``.start()``.
+
+    EXACTLY-ONCE across restarts: foreachBatch is at-least-once, so a
+    replayed micro-batch must not double-count. Every published row
+    carries ``_last_bid`` = the highest batch id folded in; the sink
+    skips any batch id <= the published high-water mark (with a
+    checkpointed replayable source, a replayed batch id carries
+    identical rows, so skipping it is exact). The publish itself is
+    the atomic manifest swap, so a sink crash mid-publish leaves the
+    previous snapshot committed and the batch replays cleanly.
+
+    Scale: the published table is GRID-sized (days × 24 × types), so
+    the per-batch merge cost is O(batch + grid), independent of total
+    events ingested. At 100 TB the same loop runs with the table hive-
+    partitioned by day (``atomic_publish(partition_by=...)``) and the
+    union filtered to the batch's touched days, so a refresh rewrites
+    only touched partitions; the monoid contract is unchanged."""
+    sink = hypertable_sink(
+        sdf.sparkSession,
+        table_dir,
+        ts_col=ts_col,
+        type_col=type_col,
+        value_col=value_col,
+    )
+    return sdf.writeStream.foreachBatch(sink)
+
+
+def hypertable_sink(
+    spark,
+    table_dir: str,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+):
+    """The per-micro-batch fold behind :func:`hypertable_stream`,
+    exposed for direct use in an existing ``foreachBatch`` sink (or a
+    backfill loop): ``sink(batch_df, batch_id)`` merges the batch's
+    hour-grain partials into the published table, idempotently per
+    ``batch_id``."""
+    from bamboo_spark.operators.publish import atomic_publish, read_published
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        part = hypertable_partials(
+            batch_df, ts_col=ts_col, type_col=type_col, value_col=value_col
+        )
+        try:
+            cur = read_published(spark, table_dir)
+        except Exception:
+            cur = None
+        if cur is not None:
+            hwm = cur.agg(F.max("_last_bid")).collect()[0][0]
+            if hwm is not None and int(batch_id) <= int(hwm):
+                return  # replayed batch: already folded in
+            merged = _merge_hypertable(
+                cur.drop("_last_bid").unionByName(part)
+            )
+        else:
+            merged = _merge_hypertable(part)
+        atomic_publish(
+            merged.withColumn("_last_bid", F.lit(int(batch_id))), table_dir
+        )
+
+    return sink
+
+
+def read_hypertable(spark, table_dir: str) -> DataFrame:
+    """The full hour→day→week rollup from a ``hypertable_stream``-
+    maintained partials table — column-for-column the batch
+    ``queries.q_hypertable_rollup`` result. The coarser grains are
+    built by MERGING the published hour grid (grid-sized aggregates);
+    raw events are never re-read."""
+    from bamboo_spark.operators.publish import read_published
+
+    hour = read_published(spark, table_dir).drop("_last_bid")
+    day = hour.groupBy("db", "wb", "event_type").agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("sum_value_u").cast("bigint").alias("sum_value_u"),
+        F.min("min_us").cast("bigint").alias("min_us"),
+        F.max("max_us").cast("bigint").alias("max_us"),
+    )
+    week = day.groupBy("wb", "event_type").agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("sum_value_u").cast("bigint").alias("sum_value_u"),
+        F.min("min_us").cast("bigint").alias("min_us"),
+        F.max("max_us").cast("bigint").alias("max_us"),
+    )
+    cols = ["n_events", "sum_value_u", "min_us", "max_us"]
+    return (
+        hour.select(
+            F.lit("hour").alias("grain"),
+            F.col("hb").alias("bucket"),
+            "event_type",
+            *cols,
+        )
+        .unionByName(
+            day.select(
+                F.lit("day").alias("grain"),
+                F.col("db").alias("bucket"),
+                "event_type",
+                *cols,
+            )
+        )
+        .unionByName(
+            week.select(
+                F.lit("week").alias("grain"),
+                F.col("wb").alias("bucket"),
+                "event_type",
+                *cols,
+            )
+        )
+        .orderBy("grain", "bucket", "event_type")
+    )

@@ -1948,3 +1948,132 @@ def test_psi_stream_rejects_empty_or_noninteger_baseline(spark):
     bad = spark.createDataFrame([("abc",), ("def",)], "v string")
     with _pt.raises(ValueError, match="integer-castable"):
         psi_stream(sdf, bad, "v", ts_col="ts")
+
+
+def test_transitions_stream_idle_ttl_evicts_state(spark, tmp_path):
+    # with idle_ttl_ms set, a user idle past watermark+TTL has their
+    # last-event triple EVICTED: the returning user's first event emits
+    # no edge (session reset), so an unbounded user space can't grow
+    # the state store. Default (ttl=None) keeps exact batch parity —
+    # pinned by test_stream_batch_parity_transitions above.
+    import os
+
+    from bamboo_spark.streaming import transitions_stream
+
+    d = str(tmp_path / "ttl_in")
+    os.makedirs(d)
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+
+    def put(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    from datetime import datetime
+
+    t = lambda h, m: datetime(2024, 1, 1, h, m)  # noqa: E731
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = transitions_stream(
+        stream, idle_ttl_ms=60_000, watermark="1 hour"
+    )
+    put("f1", [(1, t(0, 0), "A", 1), (2, t(0, 0), "X", 2)])
+    qy = (
+        out.writeStream.format("memory")
+        .queryName("trans_ttl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        qy.processAllAvailable()
+        # user1 makes an edge; user2 jumps far ahead (advances watermark)
+        put("f2", [(1, t(0, 1), "B", 3), (2, t(12, 0), "Y", 4)])
+        qy.processAllAvailable()
+        # user1 idle this batch; watermark (11:00) >> their timeout →
+        # state evicted via hasTimedOut
+        put("f3", [(2, t(12, 1), "Z", 5)])
+        qy.processAllAvailable()
+        # user1 returns: fresh state, NO edge for this event
+        put("f4", [(1, t(12, 2), "C", 6)])
+        qy.processAllAvailable()
+        u1 = [
+            (r.prev_type, r.event_type)
+            for r in spark.sql(
+                "select * from trans_ttl where user_id = 1"
+            ).collect()
+        ]
+        assert u1 == [("A", "B")], u1  # the post-eviction return is edge-free
+        u2 = {
+            (r.prev_type, r.event_type)
+            for r in spark.sql(
+                "select * from trans_ttl where user_id = 2"
+            ).collect()
+        }
+        assert u2 == {("X", "Y"), ("Y", "Z")}
+    finally:
+        qy.stop()
+
+
+def test_hypertable_stream_matches_batch_rollup(spark, tmp_path):
+    # the shipped operator: stream-replay through hypertable_stream,
+    # then read_hypertable must equal q_hypertable_rollup ROW-FOR-ROW
+    # across all three grains — the hour grid is maintained from the
+    # stream, day/week are merged from it, events scanned once
+    from bamboo_spark import queries as q
+    from bamboo_spark.streaming import hypertable_stream, read_hypertable
+
+    expected = [
+        tuple(r)
+        for r in q.q_hypertable_rollup(spark, SF_DIR)
+        .orderBy("grain", "bucket", "event_type")
+        .collect()
+    ]
+
+    tbl = str(tmp_path / "ht")
+    d = _replay_dir(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    qy = hypertable_stream(stream, tbl).start()
+    try:
+        qy.processAllAvailable()
+    finally:
+        qy.stop()
+    got = [
+        tuple(r)
+        for r in read_hypertable(spark, tbl)
+        .orderBy("grain", "bucket", "event_type")
+        .collect()
+    ]
+    assert got == expected
+
+
+def test_hypertable_stream_replayed_batch_is_skipped(spark, tmp_path):
+    # at-least-once foreachBatch: re-delivering a batch id <= the
+    # published high-water mark must be a no-op (no double counting,
+    # no new version)
+    from bamboo_spark.operators.publish import current_version
+    from bamboo_spark.streaming import read_hypertable
+
+    tbl = str(tmp_path / "ht2")
+    batch = spark.createDataFrame(
+        [(1, "2024-01-01 10:15:00", "click", 1.5)],
+        "user_id long, ts string, event_type string, value double",
+    ).selectExpr(
+        "user_id", "cast(ts as timestamp) ts", "event_type", "value"
+    )
+    # drive the sink directly (what foreachBatch does per micro-batch)
+    from bamboo_spark.streaming import hypertable_sink
+
+    sink = hypertable_sink(spark, tbl)
+    sink(batch, 0)
+    v1 = current_version(tbl)
+    n1 = read_hypertable(spark, tbl).where("grain = 'hour'").collect()
+    sink(batch, 0)  # replay: skipped
+    assert current_version(tbl) == v1
+    sink(batch, 1)  # genuinely new batch id: folds in (doubles counts)
+    n2 = read_hypertable(spark, tbl).where("grain = 'hour'").collect()
+    assert n1[0]["n_events"] * 2 == n2[0]["n_events"]
