@@ -2250,3 +2250,126 @@ def pca_project(
     return df.select(id_col, F.explode(F.array(*rows)).alias("r")).select(
         id_col, "r.pc", "r.val"
     )
+
+
+def publish_ann_index(
+    spark,
+    table_dir: str,
+    centroids: "np.ndarray",
+    codebooks: Optional[list] = None,
+    coded: Optional[DataFrame] = None,
+) -> int:
+    """Version a trained ANN index — coarse centroids, optional PQ
+    codebooks, optional coded corpus — as ONE atomically published
+    table (``operators.publish``): an ingest or query fleet loads a
+    consistent (centroids, codebooks, codes) triple by construction
+    because all three components ride the same manifest commit, and a
+    retrain is just the next version (readers mid-flight keep the old
+    snapshot; time travel audits exactly which index scored yesterday's
+    batch).
+
+    Layout: one long-format table hive-partitioned by ``component``
+    (``centroid`` / ``codebook`` / ``coded``), so loading the
+    driver-sized model tensors PRUNES to their partitions and never
+    scans the corpus-sized codes. Returns the committed version.
+
+    Scale: the model rows are k·dim + m·k·(dim/m) = 2·k·dim — driver-
+    sized by the √n IVF sizing; only ``coded`` is corpus-sized and it
+    stays a distributed write. Republish cost is therefore one codes
+    rewrite, which a retrain requires anyway (codes change with the
+    codebooks)."""
+    from pyspark.sql import functions as FN
+
+    from bamboo_spark.operators.publish import atomic_publish
+
+    cm = np.asarray(centroids, dtype=np.float64)
+    rows = [
+        ("centroid", -1, int(c), int(p), float(cm[c, p]))
+        for c in range(cm.shape[0])
+        for p in range(cm.shape[1])
+    ]
+    for s, cb in enumerate(codebooks or []):
+        cb = np.asarray(cb, dtype=np.float64)
+        rows.extend(
+            ("codebook", int(s), int(c), int(p), float(cb[c, p]))
+            for c in range(cb.shape[0])
+            for p in range(cb.shape[1])
+        )
+    model = spark.createDataFrame(
+        rows, "component string, sub int, cid int, pos int, val double"
+    ).select(
+        "component",
+        "sub",
+        "cid",
+        "pos",
+        "val",
+        FN.lit(None).cast("long").alias("vec_id"),
+        FN.lit(None).cast("long").alias("bucket"),
+        FN.lit(None).cast("array<int>").alias("codes"),
+    )
+    full = model
+    if coded is not None:
+        cd = coded.select(
+            FN.lit("coded").alias("component"),
+            FN.lit(None).cast("int").alias("sub"),
+            FN.lit(None).cast("int").alias("cid"),
+            FN.lit(None).cast("int").alias("pos"),
+            FN.lit(None).cast("double").alias("val"),
+            FN.col("vec_id").cast("long").alias("vec_id"),
+            (
+                FN.col("bucket").cast("long")
+                if "bucket" in coded.columns
+                else FN.lit(None).cast("long")
+            ).alias("bucket"),
+            (
+                FN.col("codes").cast("array<int>")
+                if "codes" in coded.columns
+                else FN.lit(None).cast("array<int>")
+            ).alias("codes"),
+        )
+        full = model.unionByName(cd)
+    return atomic_publish(full, table_dir, partition_by="component")
+
+
+def load_ann_index(
+    spark, table_dir: str, version: Optional[int] = None
+) -> dict:
+    """Load a :func:`publish_ann_index` snapshot (latest, or any
+    retained ``version``): ``{"centroids": ndarray, "codebooks":
+    list[ndarray] | None, "coded": DataFrame | None, "version": int}``.
+    The model tensors collect from their pruned hive partitions
+    (driver-sized); ``coded`` stays a lazy DataFrame with columns
+    (vec_id, bucket, codes)."""
+    from bamboo_spark.operators.publish import current_version, read_published
+
+    snap = read_published(spark, table_dir, version=version)
+    cent_rows = snap.where("component = 'centroid'").select(
+        "cid", "pos", "val"
+    ).collect()
+    k = max(r["cid"] for r in cent_rows) + 1
+    dim = max(r["pos"] for r in cent_rows) + 1
+    cm = np.zeros((k, dim), dtype=np.float64)
+    for r in cent_rows:
+        cm[r["cid"], r["pos"]] = r["val"]
+    cb_rows = snap.where("component = 'codebook'").select(
+        "sub", "cid", "pos", "val"
+    ).collect()
+    books = None
+    if cb_rows:
+        m = max(r["sub"] for r in cb_rows) + 1
+        kk = max(r["cid"] for r in cb_rows) + 1
+        d = max(r["pos"] for r in cb_rows) + 1
+        books = [np.zeros((kk, d), dtype=np.float64) for _ in range(m)]
+        for r in cb_rows:
+            books[r["sub"]][r["cid"], r["pos"]] = r["val"]
+    coded = snap.where("component = 'coded'").select(
+        "vec_id", "bucket", "codes"
+    )
+    has_coded = coded.limit(1).count() > 0
+    return {
+        "centroids": cm,
+        "codebooks": books,
+        "coded": coded if has_coded else None,
+        "version": int(version) if version is not None
+        else current_version(table_dir, spark),
+    }

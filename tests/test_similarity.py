@@ -288,3 +288,112 @@ def test_embedding_covariance_half_boundary_rounding(spark, tmp_path):
     }
     con.close()
     assert got == want
+
+
+def test_published_ann_index_round_trip_bit_identical(spark, tmp_path):
+    # train -> publish -> load: post-load ann results must be
+    # BIT-identical to pre-save (the build-once-probe-many contract,
+    # now with atomic versioning + time travel via operators.publish)
+    from bamboo_spark import queries as q
+
+    e = q.load(spark, "/root/testdata/sf0.001", "embeddings")
+    cm = similarity.kmeans_train(e, n_centroids=4, iterations=2)
+    books = similarity.pq_train(e, m=4, n_codes=8, iterations=1)
+    coded = similarity.pq_encode(e, books).join(
+        similarity.ivf_assign(e, cm).withColumnRenamed("centroid", "bucket"),
+        "vec_id",
+    )
+    before_pairs = sorted(
+        tuple(r)
+        for r in similarity.ivf_pairs(e, threshold=0.4, centroids=cm).collect()
+    )
+    before_topk = sorted(
+        tuple(r)
+        for r in similarity.topk_neighbors_ivfpq(
+            e, k=3, m=4, n_codes=8, centroids=cm, codebooks=books
+        ).collect()
+    )
+
+    t = str(tmp_path / "ann_idx")
+    v1 = similarity.publish_ann_index(spark, t, cm, books, coded)
+    idx = similarity.load_ann_index(spark, t)
+    assert idx["version"] == v1
+    np.testing.assert_array_equal(idx["centroids"], cm)
+    assert len(idx["codebooks"]) == len(books)
+    for a, b in zip(idx["codebooks"], books):
+        np.testing.assert_array_equal(a, b)
+    # the coded corpus survives with bucket + codes intact
+    got_coded = {
+        r["vec_id"]: (r["bucket"], tuple(r["codes"]))
+        for r in idx["coded"].collect()
+    }
+    want_coded = {
+        r["vec_id"]: (r["bucket"], tuple(r["codes"]))
+        for r in coded.collect()
+    }
+    assert got_coded == want_coded
+
+    after_pairs = sorted(
+        tuple(r)
+        for r in similarity.ivf_pairs(
+            e, threshold=0.4, centroids=idx["centroids"]
+        ).collect()
+    )
+    after_topk = sorted(
+        tuple(r)
+        for r in similarity.topk_neighbors_ivfpq(
+            e, k=3, m=4, n_codes=8,
+            centroids=idx["centroids"], codebooks=idx["codebooks"],
+        ).collect()
+    )
+    assert after_pairs == before_pairs
+    assert after_topk == before_topk
+
+    # retrain publishes the next version; time travel keeps v1 exact
+    cm2 = similarity.kmeans_train(e, n_centroids=3, iterations=1)
+    v2 = similarity.publish_ann_index(spark, t, cm2)
+    assert v2 == v1 + 1
+    old = similarity.load_ann_index(spark, t, version=v1)
+    np.testing.assert_array_equal(old["centroids"], cm)
+    new = similarity.load_ann_index(spark, t)
+    assert new["centroids"].shape == cm2.shape and new["coded"] is None
+
+
+def test_streaming_ingest_probes_published_index(spark, tmp_path):
+    # the ANN ingest loop surviving a restart: vectors stream in and
+    # each micro-batch assigns buckets against the PUBLISHED index
+    # (loaded once, broadcast) — assignments equal the batch twin's
+    from bamboo_spark import queries as q
+
+    e = q.load(spark, "/root/testdata/sf0.001", "embeddings")
+    cm = similarity.kmeans_train(e, n_centroids=4, iterations=1)
+    t = str(tmp_path / "ann_idx")
+    similarity.publish_ann_index(spark, t, cm)
+
+    d = str(tmp_path / "vec_replay")
+    e.select("vec_id", "embedding").coalesce(2).write.parquet(d)
+    idx = similarity.load_ann_index(spark, t)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).option("maxFilesPerTrigger", "1").parquet(d)
+    out = similarity.ivf_assign(stream, idx["centroids"])
+    assert out.isStreaming
+    qy = (
+        out.writeStream.format("memory")
+        .queryName("ann_ingest")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        qy.processAllAvailable()
+    finally:
+        qy.stop()
+    got = {
+        (r["vec_id"], r["centroid"])
+        for r in spark.sql("select * from ann_ingest").collect()
+    }
+    want = {
+        (r["vec_id"], r["centroid"])
+        for r in similarity.ivf_assign(e, cm).collect()
+    }
+    assert got == want
