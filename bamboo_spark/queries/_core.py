@@ -1,0 +1,70 @@
+"""Shared query infrastructure: the table list and the schema-normalizing parquet loader every registry query goes through.
+
+Split from the original single-module registry (round 7); behavior is
+identical -- the package ``__init__`` stitches one shared namespace so
+cross-family references resolve exactly as in the single module.
+"""
+
+from __future__ import annotations
+
+import functools as _functools
+import math  # noqa: F401 — used by registry helpers
+
+from bamboo_spark.operators._num import round_half_away as _round_half_away
+
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from bamboo_spark.operators import bpe, dedup, multimodal, pack, scale, similarity, text
+from bamboo_spark.operators._cache import (
+    release_caches as _release_caches,
+    tracked_persist as _tracked_persist,
+)
+
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet; Spark can only read it
+        # as a nano-count long — convert to a µs timestamp (floor), the
+        # same truncation DuckDB's epoch_us applies.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:  # noqa: BLE001 — conf may be fixed; read will tell
+            pass
+        df = spark.read.parquet("%s/%s.parquet" % (sf_dir, name))
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # parquet timestamp[us] with isAdjustedToUTC=false reads as
+            # TIMESTAMP_NTZ under Spark 4's NTZ inference; DuckDB treats
+            # the same naive value as epoch-UTC (epoch_us). Diff against
+            # the NTZ epoch literal (no session-timezone dependence
+            # anywhere) and rebuild the LTZ timestamp every downstream
+            # query expects — unix_micros(ts) then equals epoch_us(ts).
+            us = F.timestamp_diff(
+                "MICROSECOND",
+                F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00")),
+                F.col("ts"),
+            )
+            df = df.withColumn("ts", F.timestamp_micros(us))
+        return df
+    return spark.read.parquet("%s/%s.parquet" % (sf_dir, name))
