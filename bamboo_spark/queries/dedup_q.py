@@ -1530,3 +1530,129 @@ order by eval_doc
 """.format(
         fps=dedup.winnow_fps_duck(k=k, w=w, max_fp_df=max_fp_df)
     )
+
+
+_LSH_GRID_BANDS = (4, 8, 16, 32)
+_LSH_GRID_ROWS = (2, 4, 8)
+_LSH_GRID_S_PPM = (500000, 600000, 700000, 800000, 900000)
+
+
+def _lsh_tuning_sql() -> str:
+    """ONE SQL text valid in both engines (Spark SQL and DuckDB) that
+    evaluates the LSH S-curve p = 1 - (1 - s^r)^b over the tuning grid
+    as explicit MULTIPLICATION CHAINS — pow() is not correctly rounded
+    and may differ across libms, but a chain of double multiplies is
+    IEEE-deterministic, so both engines produce bit-identical doubles
+    and the floor-to-ppm longs match exactly."""
+    rows = []
+    for b in _LSH_GRID_BANDS:
+        for r in _LSH_GRID_ROWS:
+            for s_ppm in _LSH_GRID_S_PPM:
+                # cast every literal: DuckDB parses a bare float literal
+                # as DECIMAL and the multiplication chain overflows its
+                # scale; cast-to-double is valid in both dialects
+                s = "cast(%.1f as double)" % (s_ppm / 1e6)
+                one = "cast(1.0 as double)"
+                sr = "*".join([s] * r)            # s^r
+                miss = "(%s-(%s))" % (one, sr)    # 1 - s^r
+                missb = "*".join([miss] * b)      # (1-s^r)^b
+                expr = (
+                    "cast(floor(1000000*(cast(1.0 as double)-(%s))) "
+                    "as bigint)" % missb
+                )
+                rows.append(
+                    "select %d as n_bands, %d as rows_per_band, "
+                    "%d as s_ppm, %s as p_catch_ppm" % (b, r, s_ppm, expr)
+                )
+    return (
+        "select * from (\n"
+        + "\nunion all\n".join(rows)
+        + "\n) order by n_bands, rows_per_band, s_ppm"
+    )
+
+
+def q_lsh_tuning_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH tuning table: the catch probability
+    p = 1 - (1 - s^r)^b for every (bands, rows-per-band) geometry in
+    the engine's supported grid at five similarity levels — the design
+    table that picks ``minhash_lsh_pairs``'s (b, r) for a target
+    threshold (the S-curve midpoint is ≈ (1/b)^(1/r)). Deterministic
+    by construction (multiplication chains, no pow); both engines run
+    the SAME generated SQL text. Data-free: the grid documents the
+    index family itself, not a corpus."""
+    return spark.sql(_lsh_tuning_sql())
+
+
+def q_dup_rate_by_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate rate by document-length band — the dedup-bias
+    audit: per 256-char length band, how many docs exist, how many sit
+    in at least one ≥0.7-Jaccard near-dup pair, and the rate in basis
+    points. Near-dup detection has a length confound (short docs have
+    few shingles, boilerplate clusters at specific lengths); a cleanup
+    that ignores this table silently skews the corpus's length
+    distribution.
+
+    Scale: the pair list is the engine's bucketed ``jaccard_pairs``
+    (PPJoin prefix filters — no all-pairs); dup membership is a
+    distinct union of its two id columns; the band rollup is one
+    grid-sized aggregate over a doc-keyed left join."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.least(
+            F.floor(F.length("text") / F.lit(256)).cast("int"), F.lit(7)
+        ).alias("band"),
+        "text",
+    )
+    pairs = dedup.jaccard_pairs(
+        d.select("doc_id", "text"), threshold=0.7, max_shingle_df=None
+    )
+    dup_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        d.join(dup_ids, "doc_id", "left")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+        )
+        .select(
+            "band",
+            "n_docs",
+            "n_dup_docs",
+            F.expr("(10000 * n_dup_docs) div n_docs")
+            .cast("bigint")
+            .alias("dup_rate_bps"),
+        )
+        .orderBy("band")
+    )
+
+
+def _dup_rate_by_length_band_duck() -> str:
+    pairs = dedup.jaccard_pairs_duck(threshold=0.7).strip().rstrip(";")
+    return """
+with pr as materialized (
+{pairs}
+),
+dup_ids as (
+  select doc_a doc_id from pr union select doc_b doc_id from pr
+),
+d as (
+  select doc_id, least((length(text) // 256), 7)::INT band from documents
+),
+agg as (
+  select band, count(*)::BIGINT n_docs,
+         sum(case when dup_ids.doc_id is not null then 1 else 0 end)::BIGINT
+           n_dup_docs
+  from d left join dup_ids using (doc_id)
+  group by band
+)
+select band, n_docs, n_dup_docs,
+       ((10000 * n_dup_docs) // n_docs)::BIGINT dup_rate_bps
+from agg order by band
+""".format(pairs=pairs)

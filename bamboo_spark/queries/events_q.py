@@ -2270,3 +2270,221 @@ select 'week', wb, event_type,
 from e group by 2, 3
 order by grain, bucket, event_type
 """
+
+
+def q_wau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per calendar month — the engagement ratio
+    every activity dashboard leads with: monthly active users, total
+    user-days (Σ daily actives), active days in the month, and
+    stickiness = avg-DAU / MAU in ppm. A falling ratio with flat MAU
+    means the same users show up less often — invisible to either
+    count alone.
+
+    Exact integers end to end: stickiness_ppm =
+    (1e6 · user_days) div (n_days · mau) — no float division, so both
+    engines land on identical longs.
+
+    Scale: two count-distinct aggregates keyed by (month, day) and
+    month — the classic two-level rollup; the join is grid-sized
+    (months). No windows, no skew (user_id is the distinct target, not
+    a key)."""
+    e = load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+        "user_id",
+    )
+    daily = e.groupBy("month", "d").agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    per_month = daily.groupBy("month").agg(
+        F.sum("dau").cast("bigint").alias("user_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    mau = e.groupBy("month").agg(
+        F.count_distinct("user_id").cast("bigint").alias("mau")
+    )
+    return (
+        per_month.join(mau, "month")
+        .select(
+            "month",
+            "mau",
+            "user_days",
+            "n_days",
+            F.expr("(1000000 * user_days) div (n_days * mau)")
+            .cast("bigint")
+            .alias("stickiness_ppm"),
+        )
+        .orderBy("month")
+    )
+
+
+Q_WAU_MAU_SQL = """
+with e as (
+  select strftime(ts, '%Y-%m') mo, strftime(ts, '%Y-%m-%d') d, user_id
+  from events
+),
+daily as (
+  select mo, d, count(distinct user_id) dau from e group by mo, d
+),
+per_month as (
+  select mo, sum(dau)::BIGINT user_days, count(*)::BIGINT n_days
+  from daily group by mo
+),
+mau as (
+  select mo, count(distinct user_id)::BIGINT mau from e group by mo
+)
+select per_month.mo as "month", mau, user_days, n_days,
+       ((1000000 * user_days) // (n_days * mau))::BIGINT stickiness_ppm
+from per_month join mau using (mo)
+order by "month"
+"""
+
+
+def q_events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap — the load-pattern grid
+    behind capacity planning and anomaly baselining: per (dow, hour)
+    cell, event count, exact micro-value sum, and the cell's share of
+    all traffic in ppm. Deviations from this grid are what
+    ``q_events_anomaly``'s baseline keys on.
+
+    Engine-exact: dow normalized to 0=Sunday in both engines (Spark
+    ``dayofweek``-1, DuckDB ``dow``), value summed in ×1e6 integer
+    units, share as integer-ppm division.
+
+    Scale: ONE map-combined aggregate to a ≤168-row grid; the share
+    window runs over the grid only."""
+    e = load(spark, sf_dir, "events").select(
+        (F.dayofweek("ts") - F.lit(1)).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+        F.expr("cast(round(value * 1e6, 0) as bigint)").alias("v_u"),
+    )
+    grid = e.groupBy("dow", "hr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("v_u").cast("bigint").alias("sum_value_u"),
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        grid.withColumn("_tot", F.sum("n_events").over(w))
+        .select(
+            "dow",
+            "hr",
+            "n_events",
+            "sum_value_u",
+            F.expr("(1000000 * n_events) div _tot")
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+        .orderBy("dow", "hr")
+    )
+
+
+Q_DOW_HOUR_SQL = """
+with g as (
+  select dayofweek(ts)::INT as "dow", hour(ts)::INT hr,
+         count(*)::BIGINT n_events,
+         sum(round(value * 1e6, 0)::BIGINT)::BIGINT sum_value_u
+  from events group by 1, 2
+)
+select "dow", hr, n_events, sum_value_u,
+       ((1000000 * n_events) // sum(n_events) over ())::BIGINT share_ppm
+from g order by "dow", hr
+"""
+
+
+_MARKOV_ITERS = 8
+
+
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain — where
+    user behavior settles: the long-run share of time spent in each
+    event type if users keep following the observed transition matrix
+    (the PageRank-without-teleport of ``q_event_transitions``'s edge
+    list). The gap between stationary share and raw frequency flags
+    absorbing-ish states (types users funnel into and stay).
+
+    Determinism: the power iteration runs in INTEGER nano-units with
+    per-edge quantization — s'_j = Σ_i floor(s_i · c_ij div r_i) — the
+    same order-independent trick as ``q_dup_pagerank``, so 8 unrolled
+    iterations land on identical longs in both engines (float power
+    iteration would ulp-drift under different add orders).
+
+    Scale: the lag chain is one per-user window over events (the
+    ``q_event_transitions`` shape); everything after is a |types|²
+    grid — each superstep joins a k-row vector to a k²-row matrix."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    edges = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    edges = _tracked_persist(edges)
+    totals = edges.groupBy("prev_type").agg(
+        F.sum("c").cast("long").alias("r")
+    )
+    mat = _tracked_persist(edges.join(totals, "prev_type"))
+    k = mat.select("prev_type").distinct().count()
+    s = totals.select(
+        F.col("prev_type").alias("t"),
+        F.lit(10**9 // k).cast("long").alias("s"),
+    )
+    for _ in range(_MARKOV_ITERS):
+        s = (
+            s.join(mat, s.t == mat.prev_type)
+            .select(
+                F.col("event_type").alias("t"),
+                F.expr("s * c div r").cast("long").alias("m"),
+            )
+            .groupBy("t")
+            .agg(F.sum("m").cast("long").alias("s"))
+            .localCheckpoint(eager=False)
+        )
+    return s.select(
+        F.col("t").alias("event_type"), F.col("s").alias("stationary_nano")
+    ).orderBy(F.col("stationary_nano").desc(), "event_type")
+
+
+def _markov_stationary_duck(iters: int = _MARKOV_ITERS) -> str:
+    sql = """
+with ev as materialized (
+  select user_id, event_id, event_type, epoch_us(ts) us from events
+),
+lagd as (
+  select lag(event_type) over (partition by user_id
+                               order by us, event_id) prev_type,
+         event_type
+  from ev
+),
+mat as materialized (
+  select prev_type, event_type, count(*)::BIGINT c
+  from lagd where prev_type is not null
+  group by 1, 2
+),
+tot as materialized (
+  select prev_type, sum(c)::BIGINT r from mat group by prev_type
+),
+kk as (select count(*)::BIGINT k from tot),
+s0 as materialized (
+  select prev_type t, (1000000000 // (select k from kk))::BIGINT s from tot
+)"""
+    prev = "s0"
+    for i in range(1, iters + 1):
+        sql += """,
+s{i} as materialized (
+  select mat.event_type t, sum((p.s * mat.c) // tot.r)::BIGINT s
+  from {prev} p
+  join mat on mat.prev_type = p.t
+  join tot on tot.prev_type = p.t
+  group by mat.event_type
+)""".format(i=i, prev=prev)
+        prev = "s%d" % i
+    sql += """
+select t event_type, s stationary_nano
+from {last} order by stationary_nano desc, event_type
+""".format(last=prev)
+    return sql

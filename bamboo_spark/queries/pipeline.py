@@ -1277,3 +1277,86 @@ select s.temperature::INT temperature, s.source, s.n_docs,
 from scaled s join z using (temperature)
 order by temperature, source
 """
+
+
+_PAD_CONTEXTS = (512, 1024, 2048, 4096, 8192)
+
+
+def q_padding_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length padding-waste curve — the table that decides a
+    training run's sequence length: for each candidate context L, if
+    every document were chunked to ≤L tokens and each final chunk
+    padded to L (the no-packing baseline), how many slot-tokens exist,
+    and what fraction is padding. Read together with
+    ``q_length_bucket_efficiency`` (the packed variant) it quantifies
+    exactly what sequence packing buys at each L.
+
+    Exact integers: per doc, padded slots = ceil(n_tok/L)·L =
+    ((n_tok + L - 1) div L)·L; waste_ppm is an integer-ppm division.
+
+    Scale: one scan computes per-doc token counts; the L-grid is a
+    broadcast literal array, so the expansion is 5 rows per doc
+    FOLDED by partial aggregation map-side — the shuffle carries ≤5
+    rows per mapper."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.size(
+                F.filter(F.split("text", " "), lambda x: x != "")
+            ).alias("n_tok")
+        )
+        .where(F.col("n_tok") > 0)
+    )
+    grid = toks.select(
+        "n_tok",
+        F.explode(
+            F.array(*[F.lit(c) for c in _PAD_CONTEXTS])
+        ).alias("context_len"),
+    )
+    return (
+        grid.groupBy("context_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum(
+                F.expr("((n_tok + context_len - 1) div context_len) * context_len")
+            )
+            .cast("bigint")
+            .alias("padded_tokens"),
+        )
+        .select(
+            F.col("context_len").cast("int").alias("context_len"),
+            "n_docs",
+            "total_tokens",
+            "padded_tokens",
+            F.expr(
+                "(1000000 * (padded_tokens - total_tokens)) div padded_tokens"
+            )
+            .cast("bigint")
+            .alias("waste_ppm"),
+        )
+        .orderBy("context_len")
+    )
+
+
+def _padding_waste_duck(contexts=_PAD_CONTEXTS) -> str:
+    return """
+with t as (
+  select len(list_filter(string_split(text, ' '), x -> x <> '')) n_tok
+  from documents
+),
+g as (
+  select n_tok, unnest([{cs}]) context_len from t where n_tok > 0
+),
+agg as (
+  select context_len, count(*)::BIGINT n_docs,
+         sum(n_tok)::BIGINT total_tokens,
+         sum(((n_tok + context_len - 1) // context_len)
+             * context_len)::BIGINT padded_tokens
+  from g group by context_len
+)
+select context_len::INT context_len, n_docs, total_tokens, padded_tokens,
+       ((1000000 * (padded_tokens - total_tokens))
+        // padded_tokens)::BIGINT waste_ppm
+from agg order by context_len
+""".format(cs=", ".join(str(c) for c in contexts))

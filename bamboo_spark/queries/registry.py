@@ -255,6 +255,13 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": q_curriculum_order,
         "mixture_temperature": q_mixture_temperature,
         "hypertable_rollup": q_hypertable_rollup,
+        "wau_mau_stickiness": q_wau_mau_stickiness,
+        "events_dow_hour_heatmap": q_events_dow_hour_heatmap,
+        "markov_stationary": q_markov_stationary,
+        "padding_waste_curve": q_padding_waste_curve,
+        "lsh_tuning_grid": q_lsh_tuning_grid,
+        "dup_rate_by_length_band": q_dup_rate_by_length_band,
+        "ivf_margin_profile": q_ivf_margin_profile,
         "minhash_recall": q_minhash_recall,
         "orders_rfm": q_orders_rfm,
         "events_gap_histogram": q_events_gap_histogram,
@@ -571,6 +578,13 @@ from s group by cluster_size order by cluster_size
         "curriculum_order": _curriculum_duck(),
         "mixture_temperature": Q_MIXTURE_TEMPERATURE_SQL,
         "hypertable_rollup": Q_HYPERTABLE_SQL,
+        "wau_mau_stickiness": Q_WAU_MAU_SQL,
+        "events_dow_hour_heatmap": Q_DOW_HOUR_SQL,
+        "markov_stationary": _markov_stationary_duck(),
+        "padding_waste_curve": _padding_waste_duck(),
+        "lsh_tuning_grid": _lsh_tuning_sql(),
+        "dup_rate_by_length_band": _dup_rate_by_length_band_duck(),
+        "ivf_margin_profile": _ivf_margin_profile_duck(),
         "token_budget_cap": Q_TOKEN_BUDGET_SQL,
         "events_anomaly": Q_EVENTS_ANOMALY_SQL,
         "corpus_summary": Q_CORPUS_SUMMARY_SQL.format(

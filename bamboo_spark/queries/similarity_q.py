@@ -611,3 +611,92 @@ select doc_id, k::INT k, neg_id from (
 ) where rn = 1
 order by doc_id, k
 """
+
+
+def q_ivf_margin_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF assignment-confidence profile — the index-quality monitor
+    ANN deployments watch after every retrain: per vector, the margin
+    between its best and second-best centroid cosine (round-6), rolled
+    into 0.05-wide bands. A mass of near-zero margins means vectors sit
+    on bucket boundaries — exactly the population single-probe search
+    misses — so this table is the evidence for raising ``n_probe`` (or
+    re-training with more centroids); a wide-margin profile says the
+    quantizer actually separates the space.
+
+    Determinism: sims are round-6 (the engine's assignment rule), the
+    margin is a difference of identical doubles, and bands floor to
+    integers — both engines land on identical longs.
+
+    Scale: one broadcast-centroid GEMM pass (the ``ivf_assign`` kernel
+    shape) emitting (top1, top2) per vector; the rollup is a ≤21-row
+    grid aggregate. Nothing data-sized shuffles."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    e = load(spark, sf_dir, "embeddings")
+    cm = ivf_quantizer(spark, sf_dir)
+    import numpy as np
+
+    cmn = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-30)
+    bc = spark.sparkContext.broadcast(cmn)
+    out_schema = T.StructType(
+        [T.StructField("margin_ppm", T.LongType(), False)]
+    )
+
+    def gen(batches):
+        b_cm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            mat /= np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-30
+            )
+            sims = similarity._round6_half_away(mat @ b_cm.T)
+            part = np.sort(sims, axis=1)
+            margin = part[:, -1] - part[:, -2]
+            yield pd.DataFrame(
+                {"margin_ppm": np.floor(margin * 1e6 + 0.5).astype(np.int64)}
+            )
+
+    margins = e.select("embedding").mapInPandas(gen, out_schema)
+    return (
+        margins.select(
+            F.least(
+                F.expr("margin_ppm div 50000").cast("int"), F.lit(20)
+            ).alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .orderBy("band")
+    )
+
+
+def _ivf_margin_profile_duck() -> str:
+    return (
+        similarity._kmeans_duck_ctes(None, COARSE_ITERS)
+        + """,
+scored as (
+  select e.vec_id, c.cid,
+         round(list_dot_product(e.v, c.cv) / (e.n * c.cn), 6) s
+  from e cross join cf c
+),
+top2 as (
+  select vec_id, s,
+         row_number() over (partition by vec_id
+                            order by s desc, cid asc) r
+  from scored
+),
+m as (
+  select a.vec_id,
+         cast(round((a.s - b.s) * 1000000, 0) as bigint) margin_ppm
+  from (select vec_id, s from top2 where r = 1) a
+  join (select vec_id, s from top2 where r = 2) b using (vec_id)
+)
+select least(margin_ppm // 50000, 20)::INT band,
+       count(*)::BIGINT n_vectors
+from m group by band order by band
+"""
+    )

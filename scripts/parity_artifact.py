@@ -22,6 +22,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def canonical(pdf):
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
