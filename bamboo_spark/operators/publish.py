@@ -89,6 +89,12 @@ class _PosixFS:
     def file_size(self, p: str) -> int:
         return os.path.getsize(p)
 
+    def file_rows(self, p: str) -> int:
+        """Parquet row count from the FOOTER — metadata, not a scan."""
+        import pyarrow.parquet as pq
+
+        return int(pq.ParquetFile(p).metadata.num_rows)
+
     def create_exclusive(self, p: str, content: str) -> bool:
         """Create ``p`` iff it doesn't exist (O_EXCL). True on success."""
         try:
@@ -177,6 +183,18 @@ class _HadoopFS:
 
     def file_size(self, p: str) -> int:
         return int(self._fs.getFileStatus(self._path(p)).getLen())
+
+    def file_rows(self, p: str) -> int:
+        """Parquet row count from the footer via the JVM parquet
+        reader (driver-side metadata read, no Spark job)."""
+        inf = self._jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            self._path(p), self._conf
+        )
+        rd = self._jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)
+        try:
+            return int(rd.getRecordCount())
+        finally:
+            rd.close()
 
     def create_exclusive(self, p: str, content: str) -> bool:
         """Hadoop ``create(overwrite=false)`` — atomic on HDFS (and the
@@ -335,15 +353,7 @@ def atomic_publish(
     lease = _lease or _Lease(fs, table_dir, ttl_ms=lease_ttl_ms).acquire()
     try:
         prev = _read_manifest(table_dir, fs)
-        # next version must clear BOTH the committed manifest and any
-        # orphan _v<K> left by a writer that died before its commit
-        orphans = [
-            int(d[2:])
-            for d in fs.listdir(table_dir)
-            if d.startswith("_v") and d[2:].isdigit()
-        ]
-        committed = int(prev["version"]) if prev else 0
-        version = max([committed] + orphans) + 1
+        version = _next_version(fs, table_dir, prev)
         vdir = fs.join(table_dir, "_v%d" % version)
         obs = Observation()
         writer = df.observe(obs, F.count(F.lit(1)).alias("n")).write
@@ -354,39 +364,213 @@ def atomic_publish(
             writer = writer.partitionBy(*parts)
         writer.parquet(vdir)
         n_rows = int(obs.get["n"])
-        rel_files = sorted(
-            f for f in fs.walk_files(vdir) if f.endswith(".parquet")
-        )
-        files = ["_v%d/%s" % (version, f) for f in rel_files]
-        size_bytes = sum(
-            fs.file_size(fs.join(vdir, f)) for f in rel_files
-        )
+        files, file_sizes = _scan_written(fs, vdir, version)
         entry = {
             "files": files,
             "n_rows": n_rows,
-            "size_bytes": size_bytes,
+            "size_bytes": sum(file_sizes.values()),
+            "file_sizes": file_sizes,
             "schema": df.schema.json(),
             "partition_by": parts,
         }
-        history = dict(prev.get("snapshots", {})) if prev else {}
-        # heal pre-history manifests: retain the previous current snapshot
-        if prev and str(prev["version"]) not in history:
-            history[str(prev["version"])] = {
-                "files": prev["files"],
-                "n_rows": prev["n_rows"],
-                "schema": prev["schema"],
-            }
-        history[str(version)] = entry
-        manifest = {"version": version, "snapshots": history, **entry}
-        fs.replace_with(
-            json.dumps(manifest),
-            _manifest_path(table_dir, fs),
-            ".tmp.%d" % version,
-        )
+        _commit(fs, table_dir, prev, version, entry)
         return version
     finally:
         if _lease is None:
             lease.release()
+
+
+def _next_version(fs, table_dir: str, prev) -> int:
+    """Next version id: must clear BOTH the committed manifest and any
+    orphan ``_v<K>`` left by a writer that died before its commit."""
+    orphans = [
+        int(d[2:])
+        for d in fs.listdir(table_dir)
+        if d.startswith("_v") and d[2:].isdigit()
+    ]
+    committed = int(prev["version"]) if prev else 0
+    return max([committed] + orphans) + 1
+
+
+def _scan_written(fs, vdir: str, version: int):
+    """(manifest-relative file list, {path: bytes}) for a freshly
+    written version directory."""
+    rel = sorted(f for f in fs.walk_files(vdir) if f.endswith(".parquet"))
+    files = ["_v%d/%s" % (version, f) for f in rel]
+    sizes = {
+        "_v%d/%s" % (version, f): fs.file_size(fs.join(vdir, f))
+        for f in rel
+    }
+    return files, sizes
+
+
+def _commit(fs, table_dir: str, prev, version: int, entry: dict) -> None:
+    """Fold ``entry`` into the snapshot history and atomically swap the
+    manifest — THE commit point shared by every publish flavor."""
+    history = dict(prev.get("snapshots", {})) if prev else {}
+    # heal pre-history manifests: retain the previous current snapshot
+    if prev and str(prev["version"]) not in history:
+        history[str(prev["version"])] = {
+            "files": prev["files"],
+            "n_rows": prev["n_rows"],
+            "schema": prev["schema"],
+        }
+    history[str(version)] = entry
+    manifest = {"version": version, "snapshots": history, **entry}
+    fs.replace_with(
+        json.dumps(manifest),
+        _manifest_path(table_dir, fs),
+        ".tmp.%d" % version,
+    )
+
+
+def append_publish(
+    df: DataFrame,
+    table_dir: str,
+    partition_by=None,
+    lease_ttl_ms: int = 300_000,
+) -> int:
+    """Append-only snapshot: the next version's file list is the
+    previous snapshot's files (CARRIED BY REFERENCE — nothing is
+    rewritten or copied) plus ``df``'s freshly written files. This is
+    the ingest-append shape at 100 TB: committing a 1 GB micro-batch
+    onto a 100 TB table costs exactly the 1 GB write plus one manifest
+    swap, never a table rewrite — the move that makes snapshot
+    publishing viable as a continuous sink (``compact()`` later folds
+    the accumulated small files; ``vacuum`` is reference-aware, so a
+    version dir lives as long as ANY retained snapshot cites a file in
+    it).
+
+    On the first publish this is ``atomic_publish`` (``partition_by``
+    seeds the layout); afterwards the table's committed layout wins and
+    ``df`` must carry its partition columns."""
+    from pyspark.sql import Observation, functions as F
+
+    fs = _fs_for(table_dir, df.sparkSession)
+    fs.mkdirs(table_dir)
+    with _Lease(fs, table_dir, ttl_ms=lease_ttl_ms) as lease:
+        prev = _read_manifest(table_dir, fs)
+        if prev is None:
+            return atomic_publish(
+                df, table_dir, partition_by=partition_by, _lease=lease
+            )
+        parts = prev.get("partition_by") or []
+        version = _next_version(fs, table_dir, prev)
+        vdir = fs.join(table_dir, "_v%d" % version)
+        obs = Observation()
+        writer = df.observe(obs, F.count(F.lit(1)).alias("n")).write
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(vdir)
+        new_files, new_sizes = _scan_written(fs, vdir, version)
+        carried = list(prev["files"])
+        carried_sizes = _sizes_for(fs, table_dir, prev, carried)
+        entry = {
+            "files": carried + new_files,
+            "n_rows": int(prev["n_rows"]) + int(obs.get["n"]),
+            "size_bytes": sum(carried_sizes.values())
+            + sum(new_sizes.values()),
+            "file_sizes": {**carried_sizes, **new_sizes},
+            "schema": prev["schema"],
+            "partition_by": parts,
+        }
+        _commit(fs, table_dir, prev, version, entry)
+        return version
+
+
+def replace_partitions_publish(
+    df: DataFrame,
+    table_dir: str,
+    values,
+    partition_col: Optional[str] = None,
+    lease_ttl_ms: int = 300_000,
+) -> int:
+    """Partial-rewrite snapshot (dynamic partition overwrite with
+    snapshot isolation): the next version rewrites ONLY the hive
+    partitions whose ``partition_col`` value is in ``values`` — their
+    replacement files come from ``df`` (which must hold exactly those
+    partitions' new rows), every other partition's files are carried by
+    reference. The incremental-refresh primitive: a continuous
+    aggregate that touches 2 of 30,000 day-partitions commits 2
+    partitions' bytes, not the table.
+
+    Bookkeeping stays exact without any table scan: replaced rows are
+    summed from the replaced files' parquet FOOTERS (driver-side
+    metadata reads, O(replaced files)), new rows come from the write's
+    ``observe``, so ``n_rows = prev - replaced + new``. Readers of any
+    version still resolve files only through the manifest; time travel
+    keeps the pre-refresh snapshot intact."""
+    from pyspark.sql import Observation, functions as F
+
+    fs = _fs_for(table_dir, df.sparkSession)
+    fs.mkdirs(table_dir)
+    with _Lease(fs, table_dir, ttl_ms=lease_ttl_ms) as lease:
+        prev = _read_manifest(table_dir, fs)
+        if prev is None:
+            raise ValueError(
+                "replace_partitions_publish needs an existing table "
+                "(publish the first snapshot with atomic_publish/"
+                "append_publish)"
+            )
+        parts = prev.get("partition_by") or []
+        if not parts:
+            raise ValueError(
+                "replace_partitions_publish needs a hive-partitioned "
+                "table (this one has no partition_by)"
+            )
+        pc = partition_col or parts[0]
+        if pc not in parts:
+            raise ValueError(
+                "partition_col %r is not in the table layout %s"
+                % (pc, parts)
+            )
+        vals = {str(v) for v in values}
+
+        def _val_of(path: str) -> Optional[str]:
+            for seg in path.split("/"):
+                if seg.startswith(pc + "="):
+                    return seg[len(pc) + 1:]
+            return None
+
+        carried = [f for f in prev["files"] if _val_of(f) not in vals]
+        replaced = [f for f in prev["files"] if _val_of(f) in vals]
+        version = _next_version(fs, table_dir, prev)
+        vdir = fs.join(table_dir, "_v%d" % version)
+        obs = Observation()
+        (
+            df.observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.partitionBy(*parts)
+            .parquet(vdir)
+        )
+        new_files, new_sizes = _scan_written(fs, vdir, version)
+        replaced_rows = sum(
+            fs.file_rows(fs.join(table_dir, f)) for f in replaced
+        )
+        carried_sizes = _sizes_for(fs, table_dir, prev, carried)
+        entry = {
+            "files": carried + new_files,
+            "n_rows": int(prev["n_rows"]) - replaced_rows + int(obs.get["n"]),
+            "size_bytes": sum(carried_sizes.values())
+            + sum(new_sizes.values()),
+            "file_sizes": {**carried_sizes, **new_sizes},
+            "schema": prev["schema"],
+            "partition_by": parts,
+        }
+        _commit(fs, table_dir, prev, version, entry)
+        return version
+
+
+def _sizes_for(fs, table_dir: str, prev, files) -> dict:
+    """Per-file byte sizes for carried files: from the previous
+    manifest when recorded (every publish since file-reuse landed),
+    stat fallback for older manifests."""
+    known = prev.get("file_sizes") or {}
+    return {
+        f: known.get(f, None)
+        if known.get(f) is not None
+        else fs.file_size(fs.join(table_dir, f))
+        for f in files
+    }
 
 
 def read_published(
@@ -408,20 +592,42 @@ def read_published(
                 % (version, sorted(int(v) for v in snaps))
             )
         entry = snaps[str(version)]
-    paths = [fs.join(table_dir, f) for f in entry["files"]]
-    if not paths:
+    if not entry["files"]:
         from pyspark.sql import types as T
 
         return spark.createDataFrame(
             [], T.StructType.fromJson(json.loads(entry["schema"]))
         )
-    reader = spark.read
-    if entry.get("partition_by"):
-        # anchor partition discovery at the snapshot dir so the
-        # col=val path segments come back as columns
-        vprefix = entry["files"][0].split("/", 1)[0]
-        reader = reader.option("basePath", fs.join(table_dir, vprefix))
-    return reader.parquet(*paths)
+    if not entry.get("partition_by"):
+        return spark.read.parquet(
+            *[fs.join(table_dir, f) for f in entry["files"]]
+        )
+    # hive-partitioned: a snapshot built by append/replace-partitions
+    # publishing can reference files across SEVERAL version dirs;
+    # partition discovery must anchor per version dir (the segment
+    # between them is _v<K>, not col=val), so group and union — still
+    # manifest-only file resolution
+    from pyspark.sql import types as T
+
+    # read with the PUBLISHED schema: without it, partition discovery
+    # type-infers the col=val path values (a 'db=2024-01-01' string
+    # column would come back DATE), silently coercing downstream
+    # unions/joins; with an explicit schema the partition columns keep
+    # the writer's types AS NATIVE ATTRIBUTES, so partition pruning
+    # predicates still hit the file index (no cast in the way)
+    schema = T.StructType.fromJson(json.loads(entry["schema"]))
+    by_prefix = {}
+    for f in entry["files"]:
+        by_prefix.setdefault(f.split("/", 1)[0], []).append(f)
+    out = None
+    for vprefix in sorted(by_prefix):
+        part = (
+            spark.read.schema(schema)
+            .option("basePath", fs.join(table_dir, vprefix))
+            .parquet(*[fs.join(table_dir, f) for f in by_prefix[vprefix]])
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def snapshots(
@@ -459,12 +665,15 @@ def vacuum(
     table_dir: str, keep: int = 2, spark: Optional[SparkSession] = None
 ) -> List[str]:
     """Delete version directories older than the newest ``keep`` that
-    are NOT the committed one, and prune their time-travel history
-    entries (one atomic manifest rewrite BEFORE the data deletes, so a
-    reader never resolves a vacuumed snapshot). Returns the removed
-    directory names. Safe by construction: readers resolve files only
-    through the manifest, so an uncommitted or superseded ``_v<N>`` is
-    garbage."""
+    are NOT the committed one, prune their time-travel history entries
+    (one atomic manifest rewrite BEFORE the data deletes, so a reader
+    never resolves a vacuumed snapshot) — and, because append/replace
+    snapshots carry files BY REFERENCE across version dirs, keep any
+    old dir that a RETAINED snapshot still cites a file in
+    (reference-aware retention, the table-format GC rule). Returns the
+    removed directory names. Safe by construction: readers resolve
+    files only through the manifest, so an uncommitted or superseded
+    ``_v<N>`` nobody references is garbage."""
     fs = _fs_for(table_dir, spark)
     manifest = _read_manifest(table_dir, fs)
     committed = int(manifest["version"]) if manifest else 0
@@ -493,10 +702,30 @@ def vacuum(
                 _manifest_path(table_dir, fs),
                 ".tmp.vac",
             )
+    # reference set AFTER pruning: dirs cited by any retained snapshot
+    # (incl. the committed one) must survive even if their version is
+    # older than the keep horizon
+    referenced = set()
+    if manifest:
+        entries = [manifest] + list(
+            (manifest.get("snapshots") or {}).values()
+        )
+        retained = {
+            v: e
+            for v, e in (manifest.get("snapshots") or {}).items()
+            if int(v) not in doomed
+        }
+        entries = [manifest] + list(retained.values())
+        for e in entries:
+            for f in e.get("files", []):
+                referenced.add(f.split("/", 1)[0])
     removed = []
     for v in doomed:
-        fs.rmtree(fs.join(table_dir, "_v%d" % v))
-        removed.append("_v%d" % v)
+        name = "_v%d" % v
+        if name in referenced:
+            continue  # a retained snapshot still cites files here
+        fs.rmtree(fs.join(table_dir, name))
+        removed.append(name)
     return removed
 
 

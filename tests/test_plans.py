@@ -949,3 +949,43 @@ def test_hypertable_rollup_scans_events_once(spark):
         raw = branch.find("Scan parquet")
         assert im != -1 and (raw == -1 or im < raw), branch[:400]
     assert "CartesianProduct" not in s and "BatchEvalPython" not in s, s
+
+
+def test_dow_hour_heatmap_single_aggregate_to_grid(spark):
+    # one map-combined HashAggregate pair over the scan; the share
+    # window runs over the <=168-row grid only (after the aggregate)
+    s = simple_plan(q.queries()["events_dow_hour_heatmap"](spark, SF))
+    assert "CartesianProduct" not in s and "SortMergeJoin" not in s, s
+    assert s.count("Scan parquet") == 1, s
+    # window sits ABOVE the aggregate (grid-sized input)
+    assert s.find("Window") < s.find("HashAggregate"), s
+
+
+def test_padding_waste_scans_documents_once(spark):
+    # the L-grid explode folds map-side: one scan, no joins, no window
+    s = simple_plan(q.queries()["padding_waste_curve"](spark, SF))
+    assert s.count("Scan parquet") == 1, s
+    assert "Join" not in s and "Window" not in s, s
+
+
+def test_markov_stationary_grid_supersteps(spark):
+    # the lag chain is the only data-sized window; each superstep joins
+    # the k-row state vector to the k^2 grid — pinned: per-step
+    # localCheckpoint truncates lineage, so the final plan is the
+    # closing sort over a Scan ExistingRDD (the pagerank pin shape)
+    s = simple_plan(q.queries()["markov_stationary"](spark, SF))
+    assert "Scan ExistingRDD" in s, s
+    assert "CartesianProduct" not in s, s
+
+
+def test_wau_mau_joins_grid_sized_frames(spark):
+    # both sides of the month join are post-aggregate grids; no window
+    s = simple_plan(q.queries()["wau_mau_stickiness"](spark, SF))
+    assert "Window" not in s and "CartesianProduct" not in s, s
+
+
+def test_dup_rate_band_reuses_bucketed_pairs(spark):
+    # candidate generation is the PPJoin prefix-filter shape: no
+    # cartesian anywhere; the final rollup is grid-sized
+    s = simple_plan(q.queries()["dup_rate_by_length_band"](spark, SF))
+    assert "CartesianProduct" not in s, s

@@ -480,3 +480,124 @@ def test_compact_targets_bytes_and_splits_skewed_partition(spark, tmp_path):
     assert len(k0_files) >= 2, k0_files
     # rows intact
     assert read_published(spark, t).count() == 30000
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_append_publish_carries_files_by_reference(spark, tmp_path, backend):
+    # committing a micro-batch onto a big table must cost only the
+    # batch write: the new manifest cites the previous snapshot's
+    # files verbatim (no rewrite, no copy)
+    import json as _json
+
+    from bamboo_spark.operators.publish import append_publish
+
+    t, local = _tbl(tmp_path, backend)
+    v1 = append_publish(spark.range(100).selectExpr("id", "id*2 as x"), t)
+    man1 = _json.load(open(os.path.join(local, "manifest.json")))
+    v2 = append_publish(spark.range(100, 130).selectExpr("id", "id*2 as x"), t)
+    man2 = _json.load(open(os.path.join(local, "manifest.json")))
+    assert v1 == 1 and v2 == 2
+    # every v1 file is cited verbatim by v2's manifest
+    assert set(man1["files"]) < set(man2["files"])
+    assert man2["n_rows"] == 130
+    got = read_published(spark, t)
+    assert got.count() == 130
+    assert sorted(r["id"] for r in got.collect()) == list(range(130))
+    # time travel to the pre-append snapshot still works
+    assert read_published(spark, t, version=1).count() == 100
+
+
+def test_append_publish_partitioned_layout(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bamboo_spark.operators.publish import append_publish
+
+    t = str(tmp_path / "ap")
+    df = spark.range(40).select((F.col("id") % 4).alias("k"), "id")
+    append_publish(df, t, partition_by="k")
+    append_publish(
+        spark.range(40, 50).select((F.col("id") % 4).alias("k"), "id"), t
+    )
+    got = read_published(spark, t)
+    assert got.count() == 50
+    plan = got.where("k = 1")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "k" in plan.split(
+        "PartitionFilters"
+    )[1][:80], plan
+    assert got.where("k = 1").count() == 13
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_replace_partitions_rewrites_only_touched(spark, tmp_path, backend):
+    # dynamic partition overwrite with snapshot isolation: untouched
+    # partitions' files carry by reference; counts stay exact via
+    # footer metadata (no table scan)
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from bamboo_spark.operators.publish import (
+        append_publish,
+        replace_partitions_publish,
+    )
+
+    t, local = _tbl(tmp_path, backend)
+    df = spark.range(90).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    append_publish(df, t, partition_by="k")
+    man1 = _json.load(open(os.path.join(local, "manifest.json")))
+    # rewrite ONLY k=1 with 5 fresh rows
+    repl = spark.createDataFrame(
+        [(1, 1000 + i) for i in range(5)], "k long, v long"
+    )
+    v2 = replace_partitions_publish(repl, t, values=[1])
+    man2 = _json.load(open(os.path.join(local, "manifest.json")))
+    untouched1 = {f for f in man1["files"] if "k=1" not in f}
+    assert untouched1 < set(man2["files"])  # carried verbatim
+    assert all("k=1" not in f or f.startswith("_v%d/" % v2)
+               for f in man2["files"])
+    assert man2["n_rows"] == 60 + 5
+    got = read_published(spark, t)
+    assert got.count() == 65
+    assert sorted(r["v"] for r in got.where("k = 1").collect()) == [
+        1000, 1001, 1002, 1003, 1004
+    ]
+    assert got.where("k = 0").count() == 30  # untouched partition intact
+    # pre-refresh snapshot retained
+    assert read_published(spark, t, version=1).count() == 90
+
+
+def test_vacuum_is_reference_aware(spark, tmp_path):
+    # an old version dir whose files are still cited by the CURRENT
+    # snapshot must survive vacuum; history pruning still happens
+    from pyspark.sql import functions as F
+
+    from bamboo_spark.operators.publish import (
+        append_publish,
+        replace_partitions_publish,
+        snapshots,
+    )
+
+    t = str(tmp_path / "rv")
+    df = spark.range(60).select((F.col("id") % 3).alias("k"), "id")
+    append_publish(df, t, partition_by="k")          # v1: all data
+    replace_partitions_publish(                       # v2: rewrites k=2
+        spark.createDataFrame([(2, 999)], "k long, id long"), t, values=[2]
+    )
+    replace_partitions_publish(                       # v3: rewrites k=2
+        spark.createDataFrame([(2, 888)], "k long, id long"), t, values=[2]
+    )
+    removed = vacuum(t, keep=1, spark=spark)
+    # v1's dir holds k=0/k=1 files the CURRENT snapshot still cites:
+    # it must NOT be deleted even though its version is old
+    assert "_v1" not in removed
+    assert os.path.isdir(os.path.join(t, "_v1"))
+    # v2's only contribution (its k=2 rewrite) is superseded by v3 and
+    # unreferenced -> deletable
+    assert "_v2" in removed
+    # table reads exactly after GC
+    got = read_published(spark, t)
+    assert got.count() == 41 and got.where("k = 2").count() == 1
+    live = [m["version"] for m in snapshots(t, spark)]
+    assert live == [3]

@@ -2077,3 +2077,84 @@ def test_hypertable_stream_replayed_batch_is_skipped(spark, tmp_path):
     sink(batch, 1)  # genuinely new batch id: folds in (doubles counts)
     n2 = read_hypertable(spark, tbl).where("grain = 'hour'").collect()
     assert n1[0]["n_events"] * 2 == n2[0]["n_events"]
+
+
+def test_hypertable_stream_day_partitioned_incremental(spark, tmp_path):
+    # partition_by_day: each micro-batch rewrites ONLY its touched day
+    # partitions (replace_partitions_publish carries the rest by
+    # reference), the read stays partition-pruned, and the drained
+    # result still equals the batch rollup row-for-row
+    import json as _json
+    import os
+
+    from bamboo_spark import queries as q
+    from bamboo_spark.streaming import hypertable_stream, read_hypertable
+
+    expected = [
+        tuple(r)
+        for r in q.q_hypertable_rollup(spark, SF_DIR)
+        .orderBy("grain", "bucket", "event_type")
+        .collect()
+    ]
+    tbl = str(tmp_path / "htp")
+    d = _replay_dir(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    qy = hypertable_stream(stream, tbl, partition_by_day=True).start()
+    try:
+        qy.processAllAvailable()
+    finally:
+        qy.stop()
+    got = [
+        tuple(r)
+        for r in read_hypertable(spark, tbl)
+        .orderBy("grain", "bucket", "event_type")
+        .collect()
+    ]
+    assert got == expected
+    # the committed manifest is hive-partitioned by day and file paths
+    # carry db= segments (partition pruning at read)
+    man = _json.load(open(os.path.join(tbl, "manifest.json")))
+    assert man["partition_by"] == ["db"]
+    assert all("db=" in f for f in man["files"])
+
+
+def test_hypertable_day_sink_rewrites_only_touched_days(spark, tmp_path):
+    # two batches on different days: batch 2's commit must carry day-1
+    # files by reference and only write day-2 files; a replayed batch
+    # id is a no-op (per-touched-day high-water mark)
+    import json as _json
+    import os
+
+    from bamboo_spark.operators.publish import current_version
+    from bamboo_spark.streaming import hypertable_sink, read_hypertable
+
+    tbl = str(tmp_path / "htd")
+    sink = hypertable_sink(spark, tbl, partition_by_day=True)
+    mk = lambda ts, et, v: spark.createDataFrame(  # noqa: E731
+        [(1, ts, et, v)],
+        "user_id long, ts string, event_type string, value double",
+    ).selectExpr("user_id", "cast(ts as timestamp) ts", "event_type", "value")
+    sink(mk("2024-01-01 10:00:00", "click", 1.0), 0)
+    man1 = _json.load(open(os.path.join(tbl, "manifest.json")))
+    sink(mk("2024-01-02 11:00:00", "view", 2.0), 1)
+    man2 = _json.load(open(os.path.join(tbl, "manifest.json")))
+    day1_files = {f for f in man1["files"] if "db=2024-01-01" in f}
+    assert day1_files and day1_files < set(man2["files"])  # carried
+    assert all(
+        f.startswith("_v2/") for f in man2["files"] if "db=2024-01-02" in f
+    )
+    v = current_version(tbl)
+    sink(mk("2024-01-02 11:30:00", "view", 9.0), 1)  # replay: no-op
+    assert current_version(tbl) == v
+    rows = {
+        (r["grain"], r["bucket"], r["event_type"]): r["n_events"]
+        for r in read_hypertable(spark, tbl).collect()
+    }
+    assert rows[("day", "2024-01-01", "click")] == 1
+    assert rows[("day", "2024-01-02", "view")] == 1
