@@ -326,6 +326,7 @@ def atomic_publish(
     table_dir: str,
     partition_by=None,
     lease_ttl_ms: int = 300_000,
+    meta: Optional[dict] = None,
     _lease: Optional[_Lease] = None,
 ) -> int:
     """Write ``df`` as the table's next snapshot and commit it
@@ -373,6 +374,8 @@ def atomic_publish(
             "schema": df.schema.json(),
             "partition_by": parts,
         }
+        if meta:
+            entry["meta"] = dict(meta)
         _commit(fs, table_dir, prev, version, entry)
         return version
     finally:
@@ -429,6 +432,7 @@ def append_publish(
     table_dir: str,
     partition_by=None,
     lease_ttl_ms: int = 300_000,
+    meta: Optional[dict] = None,
 ) -> int:
     """Append-only snapshot: the next version's file list is the
     previous snapshot's files (CARRIED BY REFERENCE — nothing is
@@ -452,7 +456,8 @@ def append_publish(
         prev = _read_manifest(table_dir, fs)
         if prev is None:
             return atomic_publish(
-                df, table_dir, partition_by=partition_by, _lease=lease
+                df, table_dir, partition_by=partition_by, meta=meta,
+                _lease=lease,
             )
         parts = prev.get("partition_by") or []
         version = _next_version(fs, table_dir, prev)
@@ -474,8 +479,21 @@ def append_publish(
             "schema": prev["schema"],
             "partition_by": parts,
         }
+        if meta:
+            entry["meta"] = dict(meta)
         _commit(fs, table_dir, prev, version, entry)
         return version
+
+
+def table_meta(
+    table_dir: str, spark: Optional[SparkSession] = None
+) -> dict:
+    """The committed snapshot's writer-supplied ``meta`` dict ({} when
+    none was recorded) — e.g. a streaming sink's exactly-once batch-id
+    high-water mark."""
+    fs = _fs_for(table_dir, spark)
+    m = _read_manifest(table_dir, fs)
+    return dict(m.get("meta") or {}) if m else {}
 
 
 def replace_partitions_publish(

@@ -1113,17 +1113,16 @@ def q_dedup_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _tracked_persist(
         load(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    # ONE aggregate pass for the first three funnel stages — Spark
-    # plans multi-count-distinct via a single-scan Expand (the
-    # q_table_profile shape), not three separate corpus scans
+    # header: the raw count MATERIALIZES the shared cache (the LSH
+    # chain below re-reads d several times), then the two distinct
+    # counts run as one Expand aggregate over the CACHED rows — the
+    # documents parquet is read exactly once for all four stages
+    n_raw = d.count()
     hdr = d.agg(
-        F.count(F.lit(1)).alias("n_raw"),
         F.count_distinct(F.md5("text")).alias("n_exact"),
         F.count_distinct(text.normalize_text("text")).alias("n_norm"),
     ).collect()[0]
-    n_raw, n_exact, n_norm = (
-        int(hdr["n_raw"]), int(hdr["n_exact"]), int(hdr["n_norm"])
-    )
+    n_exact, n_norm = int(hdr["n_exact"]), int(hdr["n_norm"])
     pairs = dedup.minhash_lsh_pairs(d, threshold=0.7).select("doc_a", "doc_b")
     comp = dedup.connected_components_converged(pairs)
     # near-dup stage keeps one representative per cluster: survivors =

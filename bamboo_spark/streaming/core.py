@@ -2040,3 +2040,56 @@ def read_hypertable(spark, table_dir: str) -> DataFrame:
         )
         .orderBy("grain", "bucket", "event_type")
     )
+
+
+def publish_stream(
+    sdf: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    partition_by=None,
+):
+    """Continuous EXACTLY-ONCE ingest into a published table — the raw
+    landing-zone sink: every micro-batch commits through the snapshot
+    protocol, so readers always see a complete committed table, a
+    crashed batch leaves only an orphan version dir, and a REPLAYED
+    batch is a no-op (the manifest records the last folded batch id;
+    foreachBatch is at-least-once, the high-water mark makes the fold
+    idempotent — with a checkpointed replayable source a replayed id
+    carries identical rows, so skipping is exact).
+
+    ``mode='append'`` uses :func:`~bamboo_spark.operators.publish.
+    append_publish`: the new version carries all previous files by
+    reference and adds only the batch's files — at 100 TB each commit
+    costs the batch write plus one manifest swap, with ``compact()``
+    folding the accumulated small files on a schedule and the
+    reference-aware ``vacuum`` reclaiming history. ``mode='snapshot'``
+    republishes the batch AS the whole table (dimension-table refresh
+    semantics). Returns a configured ``DataStreamWriter``; the caller
+    picks trigger/checkpoint and calls ``.start()``."""
+    from bamboo_spark.operators.publish import (
+        append_publish,
+        atomic_publish,
+        table_meta,
+    )
+
+    if mode not in ("append", "snapshot"):
+        raise ValueError("publish_stream: mode must be append|snapshot")
+    spark = sdf.sparkSession
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hwm = table_meta(table_dir, spark).get("last_bid")
+        if hwm is not None and int(batch_id) <= int(hwm):
+            return  # replayed batch: already committed
+        meta = {"last_bid": int(batch_id)}
+        if mode == "append":
+            append_publish(
+                batch_df, table_dir, partition_by=partition_by, meta=meta
+            )
+        else:
+            atomic_publish(
+                batch_df, table_dir, partition_by=partition_by, meta=meta
+            )
+
+    return sdf.writeStream.foreachBatch(sink)
