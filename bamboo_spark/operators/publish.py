@@ -911,3 +911,82 @@ def diff_versions(
         )
         old, new = pack(old), pack(new)
     return snapshot_diff(old, new, id_col=id_col, content_col=content_col)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    table_dir: str,
+    values=None,
+    partition_col: Optional[str] = None,
+    min_files: int = 2,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> Optional[int]:
+    """Partial compaction: rewrite ONLY fragmented hive partitions —
+    the maintenance loop for an ``append_publish``/``publish_stream``
+    ingest, where each micro-batch adds a file per touched partition
+    and old days stop fragmenting once the stream moves on. ``values``
+    names the partition values to fold; when None, every partition
+    holding ≥ ``min_files`` files is picked FROM THE MANIFEST (no
+    listing). Each rewritten partition gets
+    ``ceil(partition_bytes / target_file_bytes)`` files; untouched
+    partitions carry by reference, so compacting 30 fragmented days of
+    a 30,000-day table costs 30 days' bytes. No-op (returns None) when
+    nothing is fragmented.
+
+    Same crash consistency as every publish: the fold is a new version
+    committed by one manifest swap; the pre-compaction snapshot stays
+    readable until ``vacuum``."""
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    fs = _fs_for(table_dir, spark)
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        raise ValueError("compact_partitions: no committed table here")
+    parts = manifest.get("partition_by") or []
+    if not parts:
+        raise ValueError(
+            "compact_partitions needs a hive-partitioned table; use "
+            "compact() for unpartitioned ones"
+        )
+    pc = partition_col or parts[0]
+
+    def _val_of(path: str) -> Optional[str]:
+        for seg in path.split("/"):
+            if seg.startswith(pc + "="):
+                return seg[len(pc) + 1:]
+        return None
+
+    by_val = defaultdict(list)
+    for f in manifest["files"]:
+        by_val[_val_of(f)].append(f)
+    if values is None:
+        values = [v for v, fl in by_val.items() if len(fl) >= min_files]
+    else:
+        values = [str(v) for v in values]
+    if not values:
+        return None
+    sizes = manifest.get("file_sizes") or {}
+    touched_bytes = sum(
+        sizes.get(f) or fs.file_size(fs.join(table_dir, f))
+        for v in values
+        for f in by_val.get(v, [])
+    )
+    n_files = max(1, math.ceil(touched_bytes / float(target_file_bytes)))
+    cur = read_published(spark, table_dir)
+    touched = cur.where(F.col(pc).isin(values))  # partition-pruned scan
+    payload = [c for c in cur.columns if c not in parts]
+    folded = (
+        touched.withColumn(
+            "_ck", F.xxhash64(*[F.col(c) for c in payload] or [F.lit(0)])
+        )
+        .repartitionByRange(
+            n_files, *([F.col(c) for c in parts] + [F.col("_ck")])
+        )
+        .drop("_ck")
+    )
+    return replace_partitions_publish(
+        folded, table_dir, values=values, partition_col=pc
+    )

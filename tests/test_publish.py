@@ -657,3 +657,43 @@ def test_publish_stream_appends_exactly_once(spark, tmp_path):
     from bamboo_spark.streaming.core import publish_stream as ps_core  # noqa
     hwm2 = table_meta(tbl, spark).get("last_bid")
     assert int(hwm2) == int(hwm) and current_version(tbl) == v
+
+
+def test_compact_partitions_folds_only_fragmented(spark, tmp_path):
+    # append-ingest fragmentation: day A accumulates 3 files, day B has
+    # 1 — auto-pick compacts ONLY day A; day B's file carries verbatim
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from bamboo_spark.operators.publish import (
+        append_publish,
+        compact_partitions,
+    )
+
+    t = str(tmp_path / "cp")
+    mk = lambda lo, hi, k: spark.range(lo, hi).select(  # noqa: E731
+        F.lit(k).alias("k"), F.col("id").alias("v")
+    ).coalesce(1)
+    append_publish(mk(0, 10, "a").union(mk(100, 110, "b")), t, partition_by="k")
+    append_publish(mk(10, 20, "a"), t)
+    append_publish(mk(20, 30, "a"), t)
+    man = _json.load(open(os.path.join(t, "manifest.json")))
+    a_files = [f for f in man["files"] if "k=a" in f]
+    b_files = [f for f in man["files"] if "k=b" in f]
+    assert len(a_files) >= 3 and len(b_files) == 1
+    v = compact_partitions(spark, t, min_files=2)
+    assert v is not None
+    man2 = _json.load(open(os.path.join(t, "manifest.json")))
+    a2 = [f for f in man2["files"] if "k=a" in f]
+    b2 = [f for f in man2["files"] if "k=b" in f]
+    assert len(a2) == 1 and a2[0].startswith("_v%d/" % v)
+    assert b2 == b_files  # untouched partition carried verbatim
+    assert man2["n_rows"] == 40
+    got = read_published(spark, t)
+    assert got.where("k = 'a'").count() == 30
+    assert sorted(r["v"] for r in got.where("k = 'b'").collect()) == list(
+        range(100, 110)
+    )
+    # nothing fragmented anymore -> no-op
+    assert compact_partitions(spark, t, min_files=2) is None
