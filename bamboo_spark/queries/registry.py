@@ -256,6 +256,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_temperature": q_mixture_temperature,
         "hypertable_rollup": q_hypertable_rollup,
         "wau_mau_stickiness": q_wau_mau_stickiness,
+        "ship_latency_percentiles": q_ship_latency_percentiles,
+        "orders_backlog_monthly": q_orders_backlog_monthly,
         "events_dow_hour_heatmap": q_events_dow_hour_heatmap,
         "markov_stationary": q_markov_stationary,
         "padding_waste_curve": q_padding_waste_curve,
@@ -579,6 +581,8 @@ from s group by cluster_size order by cluster_size
         "mixture_temperature": Q_MIXTURE_TEMPERATURE_SQL,
         "hypertable_rollup": Q_HYPERTABLE_SQL,
         "wau_mau_stickiness": Q_WAU_MAU_SQL,
+        "ship_latency_percentiles": Q_SHIP_LATENCY_SQL,
+        "orders_backlog_monthly": Q_ORDERS_BACKLOG_SQL,
         "events_dow_hour_heatmap": Q_DOW_HOUR_SQL,
         "markov_stationary": _markov_stationary_duck(),
         "padding_waste_curve": _padding_waste_duck(),

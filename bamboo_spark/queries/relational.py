@@ -826,3 +826,160 @@ select t.n::BIGINT n_docs, t.agree::BIGINT n_agree,
              / ((t.n::HUGEINT * t.n) - s.sv)::DOUBLE, 6) kappa
 from t cross join s
 """ % Q_LANG_NB_SQL
+
+
+def q_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency profile per order priority: late-ish rate and
+    EXACT p50/p90/p99 latency days via the nearest-rank rule — computed
+    on the (priority, delay-days) GRID, never a data-sized sort: delay
+    days live in a small integer domain, so per-priority counts roll up
+    to a grid, the cumulative runs over the grid, and the percentile is
+    the smallest delay whose cumulative count reaches ceil(q·n). This
+    is how exact percentiles survive 100 TB — the alternative (sort
+    each group, row_number) shuffles and sorts every row; the grid
+    shape shuffles |priorities|×|delay domain| cells.
+
+    Both engines agree bit-for-bit: integer days, integer ranks,
+    nearest-rank (an actual element, the engine's pinned convention —
+    see ``approx_percentile`` gotcha)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    d = li.join(
+        o, li.l_orderkey == o.o_orderkey
+    ).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("int").alias("dd"),
+    )
+    grid = d.groupBy("o_orderpriority", "dd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("dd")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("o_orderpriority")
+    cum = grid.select(
+        "o_orderpriority",
+        "dd",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    pick = lambda q: F.min(  # noqa: E731 — nearest-rank: ceil(q*n)
+        F.when(
+            F.col("cum") * 100 >= F.lit(q) * F.col("n"), F.col("dd")
+        )
+    )
+    return (
+        cum.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("bigint").alias("n_items"),
+            pick(50).cast("bigint").alias("p50_days"),
+            pick(90).cast("bigint").alias("p90_days"),
+            pick(99).cast("bigint").alias("p99_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_SHIP_LATENCY_SQL = """
+with d as (
+  select o_orderpriority,
+         date_diff('day', o_orderdate, l_shipdate)::INT dd
+  from lineitem join orders on l_orderkey = o_orderkey
+),
+grid as (
+  select o_orderpriority, dd, count(*)::BIGINT c
+  from d group by 1, 2
+),
+cum as (
+  select o_orderpriority, dd,
+         sum(c) over (partition by o_orderpriority order by dd
+                      rows between unbounded preceding and current row) cum,
+         sum(c) over (partition by o_orderpriority) n
+  from grid
+)
+select o_orderpriority, max(n)::BIGINT n_items,
+       min(case when cum * 100 >= 50 * n then dd end)::BIGINT p50_days,
+       min(case when cum * 100 >= 90 * n then dd end)::BIGINT p90_days,
+       min(case when cum * 100 >= 99 * n then dd end)::BIGINT p99_days
+from cum group by o_orderpriority
+order by o_orderpriority
+"""
+
+
+def q_orders_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog by month: orders OPEN from their order date
+    until their last lineitem ships; per month, how many opened, how
+    many closed, and the backlog at month end (cumulative opened −
+    closed). The classic operations dashboard — a growing backlog with
+    flat openings means fulfillment is falling behind.
+
+    Scale: close date is one per-order max aggregate (map-combined);
+    open/close events roll straight to a ≤|months| grid, and the
+    cumulative window runs over that grid only. Order keys never sort
+    globally."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    closed = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("close_d")
+    )
+    spans = o.join(closed, o.o_orderkey == closed.l_orderkey, "inner")
+    opens = spans.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+        F.lit(1).alias("op"),
+        F.lit(0).alias("cl"),
+    )
+    closes = spans.select(
+        F.date_format("close_d", "yyyy-MM").alias("m"),
+        F.lit(0).alias("op"),
+        F.lit(1).alias("cl"),
+    )
+    grid = (
+        opens.unionByName(closes)
+        .groupBy("m")
+        .agg(
+            F.sum("op").cast("bigint").alias("opened"),
+            F.sum("cl").cast("bigint").alias("closed"),
+        )
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.select(
+            F.col("m").alias("month"),
+            "opened",
+            "closed",
+            (F.sum("opened").over(w) - F.sum("closed").over(w))
+            .cast("bigint")
+            .alias("backlog_end"),
+        )
+        .orderBy("month")
+    )
+
+
+Q_ORDERS_BACKLOG_SQL = """
+with closed as (
+  select l_orderkey, max(l_shipdate) close_d from lineitem group by 1
+),
+spans as (
+  select o_orderdate, close_d
+  from orders join closed on o_orderkey = l_orderkey
+),
+ev as (
+  select strftime(o_orderdate, '%Y-%m') m, 1 op, 0 cl from spans
+  union all
+  select strftime(close_d, '%Y-%m') m, 0 op, 1 cl from spans
+),
+grid as (
+  select m, sum(op)::BIGINT opened, sum(cl)::BIGINT closed
+  from ev group by m
+)
+select m as "month", opened, closed,
+       (sum(opened) over (order by m rows between unbounded preceding
+                          and current row)
+        - sum(closed) over (order by m rows between unbounded preceding
+                            and current row))::BIGINT backlog_end
+from grid order by "month"
+"""
