@@ -990,3 +990,49 @@ def compact_partitions(
     return replace_partitions_publish(
         folded, table_dir, values=values, partition_col=pc
     )
+
+
+def delete_publish(
+    spark: SparkSession,
+    table_dir: str,
+    condition: str,
+) -> Optional[int]:
+    """Targeted row deletion with snapshot isolation — the GDPR-erasure
+    / retention-enforcement primitive: delete every row matching the
+    SQL ``condition`` and commit the result as the next version. On a
+    hive-partitioned table only the partitions that actually CONTAIN
+    matches are rewritten (found with one partition-pruned scan);
+    everything else carries by reference — erasing one user from a
+    100 TB table costs the bytes of the partitions they appear in. The
+    pre-delete snapshot stays readable until ``vacuum`` (real erasure =
+    delete + vacuum(keep=1), which the reference-aware GC makes safe).
+    Unpartitioned tables fall back to a filtered full republish.
+    Returns the committed version, or None when nothing matched."""
+    from pyspark.sql import functions as F
+
+    fs = _fs_for(table_dir, spark)
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        raise ValueError("delete_publish: no committed table here")
+    cur = read_published(spark, table_dir)
+    parts = manifest.get("partition_by") or []
+    if not parts:
+        kept = cur.where("not (%s)" % condition)
+        # commit only if something matched: one count on the small side
+        n_del = cur.where(condition).count()
+        if n_del == 0:
+            return None
+        return atomic_publish(kept, table_dir)
+    pc = parts[0]
+    touched = [
+        r[0]
+        for r in cur.where(condition).select(pc).distinct().collect()
+    ]
+    if not touched:
+        return None
+    kept_touched = cur.where(F.col(pc).isin(touched)).where(
+        "not (%s)" % condition
+    )
+    return replace_partitions_publish(
+        kept_touched, table_dir, values=touched, partition_col=pc
+    )

@@ -697,3 +697,80 @@ def test_compact_partitions_folds_only_fragmented(spark, tmp_path):
     )
     # nothing fragmented anymore -> no-op
     assert compact_partitions(spark, t, min_files=2) is None
+
+
+def test_delete_publish_rewrites_only_matching_partitions(spark, tmp_path):
+    # GDPR-erasure shape: deleting one user's rows rewrites only the
+    # partitions containing them; other partitions carry by reference;
+    # delete + vacuum erases the bytes for real
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from bamboo_spark.operators.publish import (
+        append_publish,
+        delete_publish,
+    )
+
+    t = str(tmp_path / "del")
+    df = spark.range(90).select(
+        (F.col("id") % 3).alias("k"),
+        F.col("id").alias("v"),
+        (F.col("id") % 9).alias("user_id"),
+    )
+    append_publish(df, t, partition_by="k")
+    man1 = _json.load(open(os.path.join(t, "manifest.json")))
+    # user 4's rows live where id%9==4 -> id in {4,13,22,...}; k=id%3 of
+    # those is always 1 -> only partition k=1 is touched
+    v = delete_publish(spark, t, "user_id = 4")
+    assert v is not None
+    man2 = _json.load(open(os.path.join(t, "manifest.json")))
+    untouched = {f for f in man1["files"] if "k=1" not in f}
+    assert untouched < set(man2["files"])  # k=0/k=2 carried verbatim
+    got = read_published(spark, t)
+    assert got.where("user_id = 4").count() == 0
+    assert got.count() == 80 and man2["n_rows"] == 80
+    # nothing matches anymore -> no-op
+    assert delete_publish(spark, t, "user_id = 4") is None
+    # pre-delete version still readable until vacuumed (then erased)
+    assert read_published(spark, t, version=1).where(
+        "user_id = 4"
+    ).count() == 10
+    vacuum(t, keep=1, spark=spark)
+    with pytest.raises(KeyError):
+        read_published(spark, t, version=1)
+
+
+def test_delete_publish_unpartitioned_full_rewrite(spark, tmp_path):
+    from bamboo_spark.operators.publish import delete_publish
+
+    t = str(tmp_path / "del2")
+    atomic_publish(spark.range(50).selectExpr("id", "id % 5 as g"), t)
+    v = delete_publish(spark, t, "g = 3")
+    assert v == 2
+    got = read_published(spark, t)
+    assert got.count() == 40 and got.where("g = 3").count() == 0
+    assert delete_publish(spark, t, "g = 3") is None
+
+
+def test_replace_partitions_with_empty_df_deletes_partition(spark, tmp_path):
+    # replacing a partition with zero rows IS partition deletion — the
+    # retention-drop shape (drop day partitions older than the horizon)
+    from pyspark.sql import functions as F
+
+    from bamboo_spark.operators.publish import (
+        append_publish,
+        replace_partitions_publish,
+    )
+
+    t = str(tmp_path / "ret")
+    df = spark.range(30).select((F.col("id") % 3).alias("k"), "id")
+    append_publish(df, t, partition_by="k")
+    empty = spark.createDataFrame([], "k long, id long")
+    v = replace_partitions_publish(empty, t, values=[0])
+    got = read_published(spark, t)
+    assert got.count() == 20 and got.where("k = 0").count() == 0
+    assert published_rows(t) == 20
+    # other partitions intact; dropped partition retained in history
+    assert read_published(spark, t, version=1).count() == 30
+    assert v == 2
