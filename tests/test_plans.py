@@ -989,3 +989,23 @@ def test_dup_rate_band_reuses_bucketed_pairs(spark):
     # cartesian anywhere; the final rollup is grid-sized
     s = simple_plan(q.queries()["dup_rate_by_length_band"](spark, SF))
     assert "CartesianProduct" not in s, s
+
+
+def test_ship_latency_percentiles_grid_windows_only(spark):
+    # exact percentiles WITHOUT sorting every row per group: counts
+    # roll to the (priority, delay) grid first, the cumulative window
+    # runs above that aggregate
+    s = simple_plan(q.queries()["ship_latency_percentiles"](spark, SF))
+    assert "CartesianProduct" not in s, s
+    # plans print top-down: the cumulative Window's INPUT (below it in
+    # the text) must be the grid HashAggregate — counts fold before any
+    # window touches rows
+    assert s.rfind("HashAggregate") > s.find("Window") > -1, s
+    assert "BroadcastHashJoin" in s, s  # orders side broadcasts
+
+
+def test_orders_backlog_grid_cumulative(spark):
+    # open/close events fold to the month grid before the running sum
+    s = simple_plan(q.queries()["orders_backlog_monthly"](spark, SF))
+    assert "CartesianProduct" not in s, s
+    assert s.rfind("HashAggregate") > s.find("Window") > -1, s
