@@ -144,3 +144,32 @@ def test_session_and_quality_gate_empty(spark, empty_docs):
     assert quality_gate_stream(empty_docs).count() == 0
     empty_events = spark.createDataFrame([], "user_id long, ts timestamp")
     assert session_window_stream(empty_events).count() == 0
+
+
+def test_publish_incremental_empty_inputs(spark, tmp_path):
+    # empty-frame behavior across the incremental publish family:
+    # appending zero rows is a legal (no-file) version; delete with no
+    # matches is a no-op; winnow/markov-style registry queries aren't
+    # covered here (parquet-backed gate) but the publish protocol is
+    import os
+
+    from bamboo_spark.operators.publish import (
+        append_publish,
+        atomic_publish,
+        delete_publish,
+        read_published,
+    )
+
+    t = str(tmp_path / "tbl")
+    atomic_publish(spark.range(10).selectExpr("id"), t)
+    empty = spark.createDataFrame([], "id long")
+    v = append_publish(empty, t)  # zero-row append: version commits
+    assert v == 2 and read_published(spark, t).count() == 10
+    assert delete_publish(spark, t, "id < 0") is None
+    # publishing an EMPTY first snapshot round-trips through the
+    # schema-only manifest path
+    t2 = str(tmp_path / "tbl2")
+    atomic_publish(empty, t2)
+    back = read_published(spark, t2)
+    assert back.count() == 0 and back.columns == ["id"]
+    assert os.path.exists(os.path.join(t2, "manifest.json"))
