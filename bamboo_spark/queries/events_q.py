@@ -2488,3 +2488,86 @@ select t event_type, s stationary_nano
 from {last} order by stationary_nano desc, event_type
 """.format(last=prev)
     return sql
+
+
+def q_session_depth_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session-depth histogram: how many 30-min-gap sessions contain
+    exactly 1, 2, 3… events (capped into a 1..9, 10+ tail band) — the
+    engagement-depth curve behind ``q_session_stats``'s averages (two
+    corpora can share a mean depth while one is all bounce + power
+    users). Share in ppm per band.
+
+    Scale: the gap sessionizer's one user-keyed window chain (one
+    shuffle), a per-(user, session) count, then a ≤10-row grid; the
+    share window runs over the grid."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1000000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn("session_id", F.sum("new_session").over(w))
+    depth = flagged.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    grid = depth.select(
+        F.least(F.col("n_events").cast("int"), F.lit(10)).alias("depth_band")
+    ).groupBy("depth_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        grid.withColumn("_tot", F.sum("n_sessions").over(wall))
+        .select(
+            "depth_band",
+            "n_sessions",
+            F.expr("(1000000 * n_sessions) div _tot")
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+        .orderBy("depth_band")
+    )
+
+
+Q_SESSION_DEPTH_SQL = """
+with e as (
+  select user_id, event_id, epoch_us(ts) us from events
+),
+flagged as (
+  select user_id, us,
+         case when lag(us) over (partition by user_id
+                                 order by us, event_id) is null
+                   or us - lag(us) over (partition by user_id
+                                         order by us, event_id)
+                      > 30 * 60 * 1000000
+              then 1 else 0 end new_session
+  from e
+),
+sess as (
+  select user_id,
+         sum(new_session) over (partition by user_id order by us
+                                rows between unbounded preceding
+                                and current row) session_id
+  from flagged
+),
+depth as (
+  select user_id, session_id, count(*) n_events
+  from sess group by 1, 2
+),
+grid as (
+  select least(n_events, 10)::INT depth_band,
+         count(*)::BIGINT n_sessions
+  from depth group by 1
+)
+select depth_band, n_sessions,
+       ((1000000 * n_sessions) // sum(n_sessions) over ())::BIGINT share_ppm
+from grid order by depth_band
+"""

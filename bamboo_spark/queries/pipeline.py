@@ -1360,3 +1360,66 @@ select context_len::INT context_len, n_docs, total_tokens, padded_tokens,
         // padded_tokens)::BIGINT waste_ppm
 from agg order by context_len
 """.format(cs=", ".join(str(c) for c in contexts))
+
+
+def q_shard_skew_report(
+    spark: SparkSession, sf_dir: str, n_shards: int = 32
+) -> DataFrame:
+    """Shard-assignment skew audit for the hash layout a writer would
+    use (``pmod(xxhash-style md5 bucket, n_shards)``... here the
+    engine's md5-derived bucket, replayable in both engines): per
+    shard, row count, exact byte size of the text payload, and the
+    per-mille deviation from the mean shard bytes. The table you check
+    BEFORE writing a 100 TB corpus into ``n_shards`` hash buckets —
+    one hot shard means one straggler task for every downstream
+    consumer.
+
+    Scale: one map-combined aggregate to an ``n_shards``-row grid; the
+    deviation window runs over the grid."""
+    d = load(spark, sf_dir, "documents").select(
+        F.expr(
+            "pmod(cast(conv(substr(md5(cast(doc_id as string)), 1, 15), "
+            "16, 10) as bigint), %d)" % n_shards
+        ).alias("shard"),
+        F.length("text").cast("bigint").alias("nb"),
+    )
+    grid = d.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nb").cast("bigint").alias("text_bytes"),
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        grid.withColumn("_tot", F.sum("text_bytes").over(w))
+        .withColumn("_k", F.count(F.lit(1)).over(w))
+        .select(
+            "shard",
+            "n_docs",
+            "text_bytes",
+            F.expr(
+                "(1000 * text_bytes * _k) div _tot - 1000"
+            )
+            .cast("bigint")
+            .alias("dev_permille"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _shard_skew_duck(n_shards: int = 32) -> str:
+    return """
+with d as (
+  select ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % {n} shard,
+         length(text)::BIGINT nb
+  from documents
+),
+grid as (
+  select shard, count(*)::BIGINT n_docs, sum(nb)::BIGINT text_bytes
+  from d group by shard
+)
+select shard, n_docs, text_bytes,
+       ((1000 * text_bytes * count(*) over ()) // sum(text_bytes) over ()
+        - 1000)::BIGINT dev_permille
+from grid order by shard
+""".format(n=n_shards)

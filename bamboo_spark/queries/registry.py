@@ -257,6 +257,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": q_hypertable_rollup,
         "wau_mau_stickiness": q_wau_mau_stickiness,
         "ship_latency_percentiles": q_ship_latency_percentiles,
+        "session_depth_distribution": q_session_depth_distribution,
+        "shard_skew_report": q_shard_skew_report,
         "orders_backlog_monthly": q_orders_backlog_monthly,
         "events_dow_hour_heatmap": q_events_dow_hour_heatmap,
         "markov_stationary": q_markov_stationary,
@@ -582,6 +584,8 @@ from s group by cluster_size order by cluster_size
         "hypertable_rollup": Q_HYPERTABLE_SQL,
         "wau_mau_stickiness": Q_WAU_MAU_SQL,
         "ship_latency_percentiles": Q_SHIP_LATENCY_SQL,
+        "session_depth_distribution": Q_SESSION_DEPTH_SQL,
+        "shard_skew_report": _shard_skew_duck(),
         "orders_backlog_monthly": Q_ORDERS_BACKLOG_SQL,
         "events_dow_hour_heatmap": Q_DOW_HOUR_SQL,
         "markov_stationary": _markov_stationary_duck(),
