@@ -99,3 +99,84 @@ def test_day2_incremental_ingest_equals_full_recompute(spark, tmp_path):
     v2 = atomic_publish(merged_ids, tbl)
     assert v2 == v1 + 1 and current_version(tbl) == v2
     assert read_published(spark, tbl).count() == docs.count()
+
+
+def test_table_lifecycle_ingest_compact_retain_erase(spark, tmp_path):
+    """The full 100 TB table-maintenance loop over the incremental
+    publish family, end to end: micro-batch APPENDS fragment the table
+    → partial COMPACTION folds only fragmented partitions → RETENTION
+    drops expired day partitions (empty replace) → GDPR ERASE deletes
+    one user rewriting only their partitions → reference-aware VACUUM
+    reclaims unreferenced version dirs. Row-exactness asserted at every
+    stage; untouched files carried by reference throughout."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bamboo_spark.operators.publish import (
+        append_publish,
+        compact_partitions,
+        delete_publish,
+        read_published,
+        replace_partitions_publish,
+        snapshots,
+        vacuum,
+    )
+
+    t = str(tmp_path / "life")
+    days = ["2024-01-0%d" % i for i in (1, 2, 3)]
+
+    def batch(day, lo, hi):
+        return spark.range(lo, hi).select(
+            F.lit(day).alias("d"),
+            F.col("id").alias("v"),
+            (F.col("id") % 7).alias("user_id"),
+        ).coalesce(1)
+
+    # stage 1: append ingest — day 1 fragments across three batches
+    append_publish(batch(days[0], 0, 20), t, partition_by="d")
+    append_publish(batch(days[0], 20, 40), t)
+    append_publish(batch(days[1], 100, 130), t)
+    append_publish(batch(days[0], 40, 50), t)
+    append_publish(batch(days[2], 200, 220), t)
+    man = _json.load(open(os.path.join(t, "manifest.json")))
+    assert len([f for f in man["files"] if "d=%s" % days[0] in f]) == 3
+    assert man["n_rows"] == 100
+
+    # stage 2: partial compaction folds ONLY the fragmented day
+    v_compact = compact_partitions(spark, t, min_files=2)
+    man = _json.load(open(os.path.join(t, "manifest.json")))
+    d1_files = [f for f in man["files"] if "d=%s" % days[0] in f]
+    assert len(d1_files) == 1 and d1_files[0].startswith("_v%d/" % v_compact)
+    assert read_published(spark, t).count() == 100
+
+    # stage 3: retention — drop the expired oldest day (empty replace)
+    empty = spark.createDataFrame([], "d string, v long, user_id long")
+    replace_partitions_publish(empty, t, values=[days[0]])
+    cur = read_published(spark, t)
+    assert cur.count() == 50
+    assert cur.where(F.col("d") == days[0]).count() == 0
+
+    # stage 4: GDPR erase — user 4's rows vanish, day partitions not
+    # containing them carry by reference
+    before = _json.load(open(os.path.join(t, "manifest.json")))
+    n_u4 = cur.where("user_id = 4").count()
+    assert n_u4 > 0
+    delete_publish(spark, t, "user_id = 4")
+    after = _json.load(open(os.path.join(t, "manifest.json")))
+    assert read_published(spark, t).where("user_id = 4").count() == 0
+    assert after["n_rows"] == 50 - n_u4
+
+    # stage 5: GC — vacuum keeps every dir a retained snapshot cites,
+    # removes the rest; the table still reads row-exact
+    vacuum(t, keep=1, spark=spark)
+    live = [m["version"] for m in snapshots(t, spark)]
+    assert len(live) == 1
+    final = read_published(spark, t)
+    assert final.count() == 50 - n_u4
+    assert final.where("user_id = 4").count() == 0
+    # every file the final manifest cites exists on disk
+    man = _json.load(open(os.path.join(t, "manifest.json")))
+    for f in man["files"]:
+        assert os.path.exists(os.path.join(t, f)), f
