@@ -592,12 +592,22 @@ def _sizes_for(fs, table_dir: str, prev, files) -> dict:
 
 
 def read_published(
-    spark: SparkSession, table_dir: str, version: Optional[int] = None
+    spark: SparkSession,
+    table_dir: str,
+    version: Optional[int] = None,
+    skip: Optional[dict] = None,
 ) -> DataFrame:
     """Read exactly the committed snapshot's manifest-listed files —
     the latest by default, or any retained ``version`` (time travel).
-    Raises KeyError for a version never committed or already
-    vacuumed."""
+    Raises KeyError for a version never committed or already vacuumed.
+
+    ``skip`` = ``{col: (lo, hi)}`` applies FILE-LEVEL data skipping
+    against the manifest's recorded footer statistics (see
+    :func:`collect_file_stats`): only files whose [min, max] for every
+    listed column intersects the bound are opened. Conservative by
+    construction — a file without recorded stats is always read — so
+    the caller still applies the row filter; skipping only shrinks the
+    file list (on a z-ordered snapshot, drastically)."""
     fs = _fs_for(table_dir, spark)
     manifest = json.loads(fs.read_text(_manifest_path(table_dir, fs)))
     if version is None or int(version) == int(manifest["version"]):
@@ -610,6 +620,26 @@ def read_published(
                 % (version, sorted(int(v) for v in snaps))
             )
         entry = snaps[str(version)]
+    if skip:
+        stats = entry.get("file_stats") or {}
+
+        def _keep(f: str) -> bool:
+            st = stats.get(f)
+            if not st:
+                return True  # no stats: never skip blindly
+            for col, (lo, hi) in skip.items():
+                mm = st.get(col)
+                if mm is None:
+                    continue
+                mn, mx = mm
+                if (hi is not None and mn > hi) or (
+                    lo is not None and mx < lo
+                ):
+                    return False
+            return True
+
+        entry = dict(entry)
+        entry["files"] = [f for f in entry["files"] if _keep(f)]
     if not entry["files"]:
         from pyspark.sql import types as T
 
@@ -1036,3 +1066,86 @@ def delete_publish(
     return replace_partitions_publish(
         kept_touched, table_dir, values=touched, partition_col=pc
     )
+
+
+def _footer_minmax(fs, path: str, cols) -> Optional[dict]:
+    """Per-file {col: [min, max]} from the parquet FOOTER statistics
+    (driver-side metadata read, no scan). Returns None when footer
+    stats are unavailable for the backend/path."""
+    local = None
+    if isinstance(fs, _PosixFS):
+        local = path
+    elif path.startswith("file:"):
+        local = path[len("file:"):]
+        while local.startswith("//"):
+            local = local[1:]
+    if local is None:
+        return None  # remote URI: stats skipped (documented fallback)
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(local).metadata
+    names = {md.schema.column(i).path: i for i in range(md.num_columns)}
+    out = {}
+    for c in cols:
+        i = names.get(c)
+        if i is None:
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                return None  # stats missing: never skip blindly
+            mn, mx = st.min, st.max
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        if lo is not None:
+            if hasattr(lo, "isoformat"):
+                lo, hi = lo.isoformat(), hi.isoformat()
+            if isinstance(lo, bytes):
+                lo, hi = lo.decode("utf-8", "replace"), hi.decode("utf-8", "replace")
+            out[c] = [lo, hi]
+    return out or None
+
+
+def collect_file_stats(
+    table_dir: str,
+    stats_cols,
+    spark: Optional[SparkSession] = None,
+) -> int:
+    """Record per-file min/max FOOTER statistics for ``stats_cols`` in
+    the committed manifest (one atomic manifest rewrite, no data
+    change; returns how many files got stats). This is the
+    data-skipping half of a table format: with stats recorded,
+    ``read_published(..., skip={"col": (lo, hi)})`` opens only the
+    files whose [min, max] intersects the bound — on a
+    ``zorder_layout``-clustered snapshot that's the file-level
+    min/max pruning that turns a 100 TB scan filtered on any
+    clustered dimension into a few files.
+
+    Stats come from parquet footers (driver-side metadata reads,
+    O(files)); files whose footers are unavailable (remote URI
+    backends without local access) simply carry no stats and are
+    never skipped — skipping is always CONSERVATIVE."""
+    fs = _fs_for(table_dir, spark)
+    with _Lease(fs, table_dir):
+        manifest = _read_manifest(table_dir, fs)
+        if manifest is None:
+            raise ValueError("collect_file_stats: no committed table here")
+        stats = dict(manifest.get("file_stats") or {})
+        n = 0
+        for f in manifest["files"]:
+            mm = _footer_minmax(fs, fs.join(table_dir, f), list(stats_cols))
+            if mm:
+                stats[f] = {**stats.get(f, {}), **mm}
+                n += 1
+        manifest["file_stats"] = stats
+        # keep history entry for the current version in sync
+        cur = str(manifest["version"])
+        if cur in manifest.get("snapshots", {}):
+            manifest["snapshots"][cur]["file_stats"] = stats
+        fs.replace_with(
+            json.dumps(manifest),
+            _manifest_path(table_dir, fs),
+            ".tmp.stats",
+        )
+        return n

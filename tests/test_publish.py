@@ -774,3 +774,36 @@ def test_replace_partitions_with_empty_df_deletes_partition(spark, tmp_path):
     # other partitions intact; dropped partition retained in history
     assert read_published(spark, t, version=1).count() == 30
     assert v == 2
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_file_stats_skipping_prunes_files(spark, tmp_path, backend):
+    # the data-skipping half of the format: range-clustered publish +
+    # footer stats recorded in the manifest -> a bounded read opens
+    # only intersecting files (df.inputFiles() proves it), rows exact
+    from pyspark.sql import functions as F
+
+    from bamboo_spark.operators.publish import collect_file_stats
+
+    t, _ = _tbl(tmp_path, backend)
+    # 8 range-clustered files over v in [0, 8000): file i holds ~[i*1000,
+    # (i+1)*1000) — the zorder_layout/clustered-write shape
+    df = spark.range(8000).select(F.col("id").alias("v"))
+    atomic_publish(df.repartitionByRange(8, "v"), t)
+    n = collect_file_stats(t, ["v"], spark)
+    assert n == 8
+    full = read_published(spark, t)
+    assert len(full.inputFiles()) == 8
+    pruned = read_published(spark, t, skip={"v": (2500, 3500)})
+    assert len(pruned.inputFiles()) <= 3  # ~2 boundary files
+    got = sorted(
+        r["v"] for r in pruned.where("v between 2500 and 3500").collect()
+    )
+    assert got == list(range(2500, 3501))
+    # half-open bounds
+    hi_only = read_published(spark, t, skip={"v": (None, 900)})
+    assert len(hi_only.inputFiles()) <= 2
+    assert hi_only.where("v <= 900").count() == 901
+    # conservative: a column with no stats never skips
+    nostats = read_published(spark, t, skip={"unknown_col": (0, 1)})
+    assert len(nostats.inputFiles()) == 8
