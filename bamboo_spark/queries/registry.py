@@ -258,6 +258,8 @@ def _queries_raw() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wau_mau_stickiness": q_wau_mau_stickiness,
         "ship_latency_percentiles": q_ship_latency_percentiles,
         "session_depth_distribution": q_session_depth_distribution,
+        "token_coverage_curve": q_token_coverage_curve,
+        "dedup_bytes_saved": q_dedup_bytes_saved,
         "shard_skew_report": q_shard_skew_report,
         "orders_backlog_monthly": q_orders_backlog_monthly,
         "events_dow_hour_heatmap": q_events_dow_hour_heatmap,
@@ -585,6 +587,8 @@ from s group by cluster_size order by cluster_size
         "wau_mau_stickiness": Q_WAU_MAU_SQL,
         "ship_latency_percentiles": Q_SHIP_LATENCY_SQL,
         "session_depth_distribution": Q_SESSION_DEPTH_SQL,
+        "token_coverage_curve": _token_coverage_duck(),
+        "dedup_bytes_saved": _dedup_bytes_saved_duck(),
         "shard_skew_report": _shard_skew_duck(),
         "orders_backlog_monthly": Q_ORDERS_BACKLOG_SQL,
         "events_dow_hour_heatmap": Q_DOW_HOUR_SQL,

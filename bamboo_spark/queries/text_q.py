@@ -2246,3 +2246,178 @@ select tk token, tf::BIGINT tf, n_docs::BIGINT n_docs,
        round((n_docs * ss - tf * tf)::DOUBLE / (n_docs * tf)::DOUBLE, 6) fano
 from top order by tf desc, token
 """.format(v=int(top_v))
+
+
+_COVERAGE_KS = (1000, 4000, 16000, 64000)
+
+
+def q_token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the vocab-size design table for a
+    tokenizer: for each candidate vocab size K, what fraction of all
+    corpus token OCCURRENCES the top-K types cover (ppm). The knee of
+    this curve is where growing the vocab stops paying; the residual
+    (1 − coverage) is exactly the byte-fallback traffic a BPE with
+    that vocab budget would carry.
+
+    Scale: one map-combined token count; ranking touches only the
+    top-K_max types (partial top-k ``limit``), so the cumulative
+    window runs over a CONSTANT-bounded frame (≤64k rows), never the
+    full vocab; totals ride a broadcast 1-row frame. Integer-exact
+    ppm."""
+    d = load(spark, sf_dir, "documents")
+    counts = _tracked_persist(
+        d.selectExpr("explode(split(text, ' ')) as t")
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.agg(
+        F.sum("c").cast("bigint").alias("_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("_vocab"),
+    )
+    kmax = max(_COVERAGE_KS)
+    top = counts.orderBy(F.col("c").desc(), F.col("t").asc()).limit(kmax)
+    w = Window.orderBy(F.col("c").desc(), F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("t").asc()))
+        .alias("r"),
+        F.sum("c").over(w).alias("cum"),
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(k) for k in _COVERAGE_KS])
+        ).alias("top_k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(grid))
+        .where(F.col("r") <= F.col("top_k"))
+        .groupBy("top_k")
+        .agg(F.max("cum").cast("bigint").alias("tokens_covered"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("top_k").cast("int").alias("top_k"),
+            "tokens_covered",
+            F.expr("(1000000 * tokens_covered) div _tot")
+            .cast("bigint")
+            .alias("coverage_ppm"),
+            F.col("_vocab").alias("vocab_size"),
+        )
+        .orderBy("top_k")
+    )
+
+
+def _token_coverage_duck(ks=_COVERAGE_KS) -> str:
+    return """
+with counts as (
+  select t, count(*)::BIGINT c from (
+    select unnest(string_split(text, ' ')) t from documents
+  ) where t <> '' group by t
+),
+tot as (
+  select sum(c)::BIGINT tt, count(*)::BIGINT vocab from counts
+),
+ranked as (
+  select row_number() over (order by c desc, t asc) r,
+         sum(c) over (order by c desc, t asc
+                      rows between unbounded preceding and current row) cum
+  from counts
+  order by c desc, t asc limit {kmax}
+),
+grid as (select unnest([{ks}]) top_k)
+select top_k::INT top_k,
+       max(cum)::BIGINT tokens_covered,
+       ((1000000 * max(cum)) // (select tt from tot))::BIGINT coverage_ppm,
+       (select vocab from tot)::BIGINT vocab_size
+from ranked join grid on r <= top_k
+group by top_k order by top_k
+""".format(kmax=max(ks), ks=", ".join(str(k) for k in ks))
+
+
+def q_dedup_bytes_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage impact of dedup, in BYTES (counts alone undersell it —
+    duplicated docs skew long): per stage, duplicate groups, docs
+    removed, and bytes saved keeping one representative per group
+    (min-id rule). 'exact' groups byte-identical texts; 'normalized'
+    groups on the lowercase/collapsed form, where the survivor's own
+    length differs from its twins'.
+
+    Scale: two map-combined digest aggregates (md5 / normalized md5
+    keys — never raw text) and a 2-row union; the representative's
+    length rides a min_by aggregate, not a window."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("bigint").alias("nb"), "text"
+    )
+    ex = d.groupBy(F.md5("text").alias("_k")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("nb").alias("b"),
+        F.min_by("nb", "doc_id").alias("rep_b"),
+    )
+    nm = d.groupBy(text.normalize_text("text").alias("_k")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("nb").alias("b"),
+        F.min_by("nb", "doc_id").alias("rep_b"),
+    )
+
+    def roll(g, stage):
+        dup = g.where(F.col("n") > 1)
+        return dup.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("dup_groups"),
+            F.sum(F.col("n") - 1).cast("bigint").alias("docs_removed"),
+            F.sum(F.col("b") - F.col("rep_b"))
+            .cast("bigint")
+            .alias("bytes_saved"),
+        )
+
+    total = d.agg(F.sum("nb").alias("_tb"))
+    return (
+        roll(ex, "1_exact")
+        .unionByName(roll(nm, "2_normalized"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "stage",
+            "dup_groups",
+            "docs_removed",
+            "bytes_saved",
+            F.expr("(1000000 * bytes_saved) div _tb")
+            .cast("bigint")
+            .alias("saved_ppm"),
+        )
+        .orderBy("stage")
+    )
+
+
+def _dedup_bytes_saved_duck() -> str:
+    norm = text.normalize_text_duck("text")
+    return """
+with d as (
+  select doc_id, length(text)::BIGINT nb, text from documents
+),
+ex as (
+  select md5(text) _k, count(*) n, sum(nb)::BIGINT b,
+         arg_min(nb, doc_id)::BIGINT rep_b
+  from d group by 1
+),
+nm as (
+  select {norm} _k, count(*) n, sum(nb)::BIGINT b,
+         arg_min(nb, doc_id)::BIGINT rep_b
+  from d group by 1
+),
+tot as (select sum(nb)::BIGINT tb from d),
+rolled as (
+  select '1_exact' stage, count(*)::BIGINT dup_groups,
+         sum(n - 1)::BIGINT docs_removed,
+         sum(b - rep_b)::BIGINT bytes_saved
+  from ex where n > 1
+  union all
+  select '2_normalized', count(*)::BIGINT, sum(n - 1)::BIGINT,
+         sum(b - rep_b)::BIGINT
+  from nm where n > 1
+)
+select stage, dup_groups, docs_removed, bytes_saved,
+       ((1000000 * bytes_saved) // (select tb from tot))::BIGINT saved_ppm
+from rolled order by stage
+""".format(norm=norm)
