@@ -433,6 +433,7 @@ def append_publish(
     partition_by=None,
     lease_ttl_ms: int = 300_000,
     meta: Optional[dict] = None,
+    schema_mode: str = "strict",
 ) -> int:
     """Append-only snapshot: the next version's file list is the
     previous snapshot's files (CARRIED BY REFERENCE — nothing is
@@ -447,7 +448,16 @@ def append_publish(
 
     On the first publish this is ``atomic_publish`` (``partition_by``
     seeds the layout); afterwards the table's committed layout wins and
-    ``df`` must carry its partition columns."""
+    ``df`` must carry its partition columns.
+
+    SCHEMA EVOLUTION: ``schema_mode='merge'`` lets the batch ADD new
+    nullable columns — the manifest schema widens to the union, the
+    batch is aligned to it (missing old columns filled null), and
+    because readers pass the manifest schema to the parquet reader,
+    files written before the widening read the new columns as null.
+    Removals and type changes are rejected (a silent narrow/retype is
+    how tables corrupt); ``'strict'`` (default) requires the exact
+    committed schema."""
     from pyspark.sql import Observation, functions as F
 
     fs = _fs_for(table_dir, df.sparkSession)
@@ -460,6 +470,44 @@ def append_publish(
                 _lease=lease,
             )
         parts = prev.get("partition_by") or []
+        schema_json = prev["schema"]
+        if schema_mode == "merge":
+            from pyspark.sql import types as T
+
+            old = T.StructType.fromJson(json.loads(schema_json))
+            old_names = {f.name for f in old.fields}
+            new_by_name = {f.name: f for f in df.schema.fields}
+            for f in old.fields:
+                nf = new_by_name.get(f.name)
+                if nf is not None and nf.dataType != f.dataType:
+                    raise ValueError(
+                        "append_publish(merge): column %r type change "
+                        "%s -> %s is not allowed"
+                        % (f.name, f.dataType, nf.dataType)
+                    )
+            added = [
+                f for f in df.schema.fields if f.name not in old_names
+            ]
+            union = T.StructType(
+                list(old.fields)
+                + [T.StructField(f.name, f.dataType, True) for f in added]
+            )
+            df = df.select(
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in df.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in union.fields
+                ]
+            )
+            schema_json = union.json()
+        elif [f.name for f in df.schema.fields] != [
+            f["name"] for f in json.loads(schema_json)["fields"]
+        ]:
+            raise ValueError(
+                "append_publish: batch schema differs from the committed "
+                "table schema (pass schema_mode='merge' to widen)"
+            )
         version = _next_version(fs, table_dir, prev)
         vdir = fs.join(table_dir, "_v%d" % version)
         obs = Observation()
@@ -476,7 +524,7 @@ def append_publish(
             "size_bytes": sum(carried_sizes.values())
             + sum(new_sizes.values()),
             "file_sizes": {**carried_sizes, **new_sizes},
-            "schema": prev["schema"],
+            "schema": schema_json,
             "partition_by": parts,
         }
         if meta:
@@ -647,9 +695,14 @@ def read_published(
             [], T.StructType.fromJson(json.loads(entry["schema"]))
         )
     if not entry.get("partition_by"):
-        return spark.read.parquet(
-            *[fs.join(table_dir, f) for f in entry["files"]]
-        )
+        from pyspark.sql import types as T
+
+        # the MANIFEST schema governs the read (not a sampled file's):
+        # after a schema-merge append, files written before the
+        # widening read the added columns as null
+        return spark.read.schema(
+            T.StructType.fromJson(json.loads(entry["schema"]))
+        ).parquet(*[fs.join(table_dir, f) for f in entry["files"]])
     # hive-partitioned: a snapshot built by append/replace-partitions
     # publishing can reference files across SEVERAL version dirs;
     # partition discovery must anchor per version dir (the segment
@@ -1149,3 +1202,33 @@ def collect_file_stats(
             ".tmp.stats",
         )
         return n
+
+
+def publish_clustered(
+    df: DataFrame,
+    table_dir: str,
+    cluster_by,
+    target_files: Optional[int] = None,
+    partition_by=None,
+) -> int:
+    """OPTIMIZE-style clustered publish: range-repartition and sort the
+    snapshot on ``cluster_by`` (compose with ``scale.zorder_key`` for a
+    multi-dimensional key), publish it, then record the cluster
+    columns' footer min/max in the manifest — so every
+    ``read_published(skip=...)`` bound on a clustered column opens only
+    the files whose range intersects. The write-side half of data
+    skipping: clustering makes per-file ranges TIGHT, the stats make
+    them VISIBLE to the reader, and both ride the ordinary atomic
+    commit. Returns the committed version."""
+    cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+    from pyspark.sql import functions as F
+
+    exprs = [F.col(c) for c in cols]
+    out = (
+        df.repartitionByRange(target_files, *exprs)
+        if target_files
+        else df.repartitionByRange(*exprs)
+    ).sortWithinPartitions(*exprs)
+    version = atomic_publish(out, table_dir, partition_by=partition_by)
+    collect_file_stats(table_dir, cols, df.sparkSession)
+    return version

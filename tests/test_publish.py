@@ -807,3 +807,53 @@ def test_file_stats_skipping_prunes_files(spark, tmp_path, backend):
     # conservative: a column with no stats never skips
     nostats = read_published(spark, t, skip={"unknown_col": (0, 1)})
     assert len(nostats.inputFiles()) == 8
+
+
+def test_publish_clustered_enables_skipping(spark, tmp_path):
+    # OPTIMIZE shape: clustered publish tightens per-file ranges AND
+    # records their stats — a bounded read opens few files
+    from bamboo_spark.operators.publish import publish_clustered
+
+    t = str(tmp_path / "cl")
+    df = spark.range(8000).selectExpr(
+        "pmod(id * 2654435761, 8000) as v", "id as payload"
+    )  # scrambled order: clustering must impose the layout
+    publish_clustered(df, t, cluster_by="v", target_files=8)
+    full = read_published(spark, t)
+    assert len(full.inputFiles()) == 8
+    pruned = read_published(spark, t, skip={"v": (0, 999)})
+    assert len(pruned.inputFiles()) <= 2
+    assert pruned.where("v < 1000").count() == 1000
+
+
+def test_append_publish_schema_merge_widens(spark, tmp_path):
+    # schema evolution: a later batch ADDS a nullable column; the
+    # manifest widens, old files read the new column as null, strict
+    # mode still rejects drift, type changes always rejected
+    from bamboo_spark.operators.publish import append_publish
+
+    t = str(tmp_path / "ev")
+    append_publish(spark.range(5).selectExpr("id", "id * 2 as x"), t)
+    newer = spark.range(5, 8).selectExpr(
+        "id", "id * 2 as x", "'tag' as label"
+    )
+    with pytest.raises(ValueError, match="schema_mode='merge'"):
+        append_publish(newer, t)  # strict rejects
+    append_publish(newer, t, schema_mode="merge")
+    got = read_published(spark, t).orderBy("id").collect()
+    assert [r["label"] for r in got] == [None] * 5 + ["tag"] * 3
+    assert read_published(spark, t).count() == 8
+    # time travel: v1 keeps the narrow schema
+    v1 = read_published(spark, t, version=1)
+    assert v1.columns == ["id", "x"]
+    # a type change is never allowed
+    bad = spark.range(1).selectExpr("id", "cast(id as string) as x")
+    with pytest.raises(ValueError, match="type change"):
+        append_publish(bad, t, schema_mode="merge")
+    # batches missing the NEW column still append (filled null)
+    append_publish(
+        spark.range(8, 10).selectExpr("id", "id * 2 as x"),
+        t,
+        schema_mode="merge",
+    )
+    assert read_published(spark, t).where("label is null").count() == 7
