@@ -1232,3 +1232,52 @@ def publish_clustered(
     version = atomic_publish(out, table_dir, partition_by=partition_by)
     collect_file_stats(table_dir, cols, df.sparkSession)
     return version
+
+
+def optimize_table(
+    spark: SparkSession,
+    table_dir: str,
+    min_files: int = 2,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    stats_cols=None,
+    keep: int = 2,
+) -> dict:
+    """One-call table maintenance — the scheduled job an append-ingest
+    table runs nightly: fold fragmented partitions
+    (:func:`compact_partitions`; byte-targeted :func:`compact` for
+    unpartitioned tables, skipped when already a single right-sized
+    version), refresh footer statistics for ``stats_cols``
+    (:func:`collect_file_stats`), and GC unreferenced version dirs
+    (:func:`vacuum`). Returns a summary dict
+    ``{compacted_version, stats_files, vacuumed}``. Each step is an
+    ordinary atomic commit, so a crash between steps leaves a
+    consistent table that the next run finishes."""
+    fs = _fs_for(table_dir, spark)
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        raise ValueError("optimize_table: no committed table here")
+    parts = manifest.get("partition_by") or []
+    if parts:
+        compacted = compact_partitions(
+            spark,
+            table_dir,
+            min_files=min_files,
+            target_file_bytes=target_file_bytes,
+        )
+    else:
+        compacted = (
+            compact(spark, table_dir, target_file_bytes=target_file_bytes)
+            if len(manifest["files"]) >= min_files
+            else None
+        )
+    n_stats = (
+        collect_file_stats(table_dir, stats_cols, spark)
+        if stats_cols
+        else 0
+    )
+    removed = vacuum(table_dir, keep=keep, spark=spark)
+    return {
+        "compacted_version": compacted,
+        "stats_files": n_stats,
+        "vacuumed": removed,
+    }

@@ -857,3 +857,32 @@ def test_append_publish_schema_merge_widens(spark, tmp_path):
         schema_mode="merge",
     )
     assert read_published(spark, t).where("label is null").count() == 7
+
+
+def test_optimize_table_one_call_maintenance(spark, tmp_path):
+    # the nightly job: fragmented append table -> one optimize_table()
+    # call compacts, refreshes stats, vacuums — and skipping works
+    from pyspark.sql import functions as F
+
+    from bamboo_spark.operators.publish import (
+        append_publish,
+        optimize_table,
+    )
+
+    t = str(tmp_path / "opt")
+    for lo in (0, 30, 60):
+        append_publish(
+            spark.range(lo, lo + 30)
+            .select(F.lit("d1").alias("k"), F.col("id").alias("v"))
+            .coalesce(1),
+            t,
+            partition_by="k",
+        )
+    out = optimize_table(spark, t, stats_cols=["v"], keep=1)
+    assert out["compacted_version"] is not None
+    assert out["stats_files"] >= 1
+    got = read_published(spark, t)
+    assert got.count() == 90
+    pruned = read_published(spark, t, skip={"v": (85, None)})
+    assert 0 < len(pruned.inputFiles()) <= len(got.inputFiles())
+    assert pruned.where("v >= 85").count() == 5
