@@ -254,13 +254,21 @@ class _Lease:
     lease raises :class:`ConcurrentWriteError` instead of silently
     losing its snapshot to a last-manifest-wins race. A writer that
     DIES holding the lease doesn't wedge the table: a lock older than
-    ``ttl_ms`` is presumed dead and broken (delete + one retry)."""
+    ``ttl_ms`` is presumed dead and broken — and the break re-reads the
+    lock CONTENT immediately before deleting, so it only removes the
+    exact lock it observed as stale (an ABA guard: if the stale holder
+    released and a fresh writer acquired in between, the token differs
+    and the breaker backs off). The unavoidable residual window between
+    re-read and delete is closed by the commit-time CAS in
+    :func:`_commit` — an evicted writer's swap RAISES instead of
+    clobbering the breaker's committed snapshot."""
 
     def __init__(self, fs, table_dir: str, ttl_ms: int = 300_000):
         self._fs = fs
         self._path = fs.join(table_dir, _LOCK)
         self._ttl_ms = ttl_ms
         self._held = False
+        self._token: Optional[str] = None
 
     def acquire(self) -> "_Lease":
         import uuid
@@ -269,9 +277,11 @@ class _Lease:
         for attempt in (0, 1):
             if self._fs.create_exclusive(self._path, token):
                 self._held = True
+                self._token = token
                 return self
             # lock exists: fresh → contend; stale → break it and retry
             try:
+                stale_tok = self._fs.read_text(self._path)
                 age = _now_ms() - self._fs.mtime_ms(self._path)
             except Exception:
                 continue  # vanished between create and stat — retry
@@ -280,14 +290,38 @@ class _Lease:
                     "another writer holds the commit lease on this table "
                     "(lock age %d ms <= ttl %d ms)" % (age, self._ttl_ms)
                 )
+            # ABA guard: break only the lock observed as stale
+            try:
+                if self._fs.read_text(self._path) != stale_tok:
+                    raise ConcurrentWriteError(
+                        "commit lease changed hands while breaking a "
+                        "stale lock (another writer acquired it)"
+                    )
+            except ConcurrentWriteError:
+                raise
+            except Exception:
+                continue  # vanished: holder released — retry create
             self._fs.delete_file(self._path)
         raise ConcurrentWriteError(
             "could not acquire the commit lease (lost the break-retry race)"
         )
 
+    def still_mine(self) -> bool:
+        """True iff the lock file still holds OUR token — false once a
+        TTL break evicted us (the breaker's lock carries its token)."""
+        if not self._held or self._token is None:
+            return False
+        try:
+            return self._fs.read_text(self._path) == self._token
+        except Exception:
+            return False
+
     def release(self) -> None:
         if self._held:
-            self._fs.delete_file(self._path)
+            # delete only our own lock: after a TTL break the file is
+            # the breaker's lease, not ours
+            if self.still_mine():
+                self._fs.delete_file(self._path)
             self._held = False
 
     def __enter__(self) -> "_Lease":
@@ -319,6 +353,11 @@ def _read_manifest(table_dir: str, fs) -> Optional[dict]:
         return json.loads(fs.read_text(_manifest_path(table_dir, fs)))
     except Exception:
         return None
+
+
+def _entry_files(fs, table_dir: str, entry: dict) -> List[str]:
+    """A snapshot entry's live file list (manifest-relative paths)."""
+    return list(entry.get("files") or [])
 
 
 def atomic_publish(
@@ -376,7 +415,7 @@ def atomic_publish(
         }
         if meta:
             entry["meta"] = dict(meta)
-        _commit(fs, table_dir, prev, version, entry)
+        _commit(fs, table_dir, prev, version, entry, lease=lease)
         return version
     finally:
         if _lease is None:
@@ -407,9 +446,45 @@ def _scan_written(fs, vdir: str, version: int):
     return files, sizes
 
 
-def _commit(fs, table_dir: str, prev, version: int, entry: dict) -> None:
+def _commit(
+    fs, table_dir: str, prev, version: int, entry: dict, lease=None
+) -> None:
     """Fold ``entry`` into the snapshot history and atomically swap the
-    manifest — THE commit point shared by every publish flavor."""
+    manifest — THE commit point shared by every publish flavor.
+
+    CAS-validated: the swap re-reads the manifest and verifies it is
+    still the ``prev`` this commit was built from (and, when the
+    caller's lease is passed, that the lock file still carries our
+    token). Without this, a writer whose lease was TTL-broken mid-write
+    would finish, swap, and silently erase the breaker's committed
+    snapshot — the version number would even go BACKWARDS. With it,
+    the evicted writer raises :class:`ConcurrentWriteError`; its orphan
+    ``_v<N>`` dir is garbage the next ``vacuum`` removes."""
+    cur = _read_manifest(table_dir, fs)
+    cur_v = int(cur["version"]) if cur else 0
+    prev_v = int(prev["version"]) if prev else 0
+    if cur_v != prev_v:
+        raise ConcurrentWriteError(
+            "commit lost a concurrent-writer race: the table moved from "
+            "version %d to %d while this write ran (its lease was "
+            "probably TTL-broken); this snapshot is NOT committed"
+            % (prev_v, cur_v)
+        )
+    if lease is not None and not lease.still_mine():
+        raise ConcurrentWriteError(
+            "commit lease no longer held (TTL-broken by another writer); "
+            "refusing to swap the manifest over their commit"
+        )
+    # table-level meta (e.g. a streaming sink's exactly-once batch-id
+    # HWM) carries FORWARD through every publish flavor — a maintenance
+    # compact()/optimize_table must not erase the ingest HWM; a writer
+    # that passes meta overrides per-key, never wholesale
+    merged_meta = {
+        **((prev or {}).get("meta") or {}),
+        **(entry.get("meta") or {}),
+    }
+    if merged_meta:
+        entry["meta"] = merged_meta
     history = dict(prev.get("snapshots", {})) if prev else {}
     # heal pre-history manifests: retain the previous current snapshot
     if prev and str(prev["version"]) not in history:
@@ -501,13 +576,27 @@ def append_publish(
                 ]
             )
             schema_json = union.json()
-        elif [f.name for f in df.schema.fields] != [
-            f["name"] for f in json.loads(schema_json)["fields"]
-        ]:
-            raise ValueError(
-                "append_publish: batch schema differs from the committed "
-                "table schema (pass schema_mode='merge' to widen)"
-            )
+        else:
+            # strict = full NAME + TYPE equality (nullability and field
+            # metadata excluded). Name-only comparison would let a batch
+            # with a retyped column (amount string vs double) commit —
+            # the corruption only surfaces later, at scan time, when
+            # the manifest schema is applied to mismatched files.
+            new_sig = [
+                (f["name"], f["type"])
+                for f in json.loads(df.schema.json())["fields"]
+            ]
+            old_sig = [
+                (f["name"], f["type"])
+                for f in json.loads(schema_json)["fields"]
+            ]
+            if new_sig != old_sig:
+                raise ValueError(
+                    "append_publish: batch schema differs from the "
+                    "committed table schema (names AND types must match; "
+                    "pass schema_mode='merge' to add nullable columns): "
+                    "batch=%s table=%s" % (new_sig, old_sig)
+                )
         version = _next_version(fs, table_dir, prev)
         vdir = fs.join(table_dir, "_v%d" % version)
         obs = Observation()
@@ -529,7 +618,7 @@ def append_publish(
         }
         if meta:
             entry["meta"] = dict(meta)
-        _commit(fs, table_dir, prev, version, entry)
+        _commit(fs, table_dir, prev, version, entry, lease=lease)
         return version
 
 
@@ -550,6 +639,7 @@ def replace_partitions_publish(
     values,
     partition_col: Optional[str] = None,
     lease_ttl_ms: int = 300_000,
+    _lease: Optional[_Lease] = None,
 ) -> int:
     """Partial-rewrite snapshot (dynamic partition overwrite with
     snapshot isolation): the next version rewrites ONLY the hive
@@ -570,7 +660,8 @@ def replace_partitions_publish(
 
     fs = _fs_for(table_dir, df.sparkSession)
     fs.mkdirs(table_dir)
-    with _Lease(fs, table_dir, ttl_ms=lease_ttl_ms) as lease:
+    lease = _lease or _Lease(fs, table_dir, ttl_ms=lease_ttl_ms).acquire()
+    try:
         prev = _read_manifest(table_dir, fs)
         if prev is None:
             raise ValueError(
@@ -622,8 +713,11 @@ def replace_partitions_publish(
             "schema": prev["schema"],
             "partition_by": parts,
         }
-        _commit(fs, table_dir, prev, version, entry)
+        _commit(fs, table_dir, prev, version, entry, lease=lease)
         return version
+    finally:
+        if _lease is None:
+            lease.release()
 
 
 def _sizes_for(fs, table_dir: str, prev, files) -> dict:
@@ -763,7 +857,10 @@ def published_rows(
 
 
 def vacuum(
-    table_dir: str, keep: int = 2, spark: Optional[SparkSession] = None
+    table_dir: str,
+    keep: int = 2,
+    spark: Optional[SparkSession] = None,
+    lease_ttl_ms: int = 300_000,
 ) -> List[str]:
     """Delete version directories older than the newest ``keep`` that
     are NOT the committed one, prune their time-travel history entries
@@ -776,58 +873,57 @@ def vacuum(
     files only through the manifest, so an uncommitted or superseded
     ``_v<N>`` nobody references is garbage."""
     fs = _fs_for(table_dir, spark)
-    manifest = _read_manifest(table_dir, fs)
-    committed = int(manifest["version"]) if manifest else 0
-    versions = sorted(
-        int(d[2:])
-        for d in fs.listdir(table_dir)
-        if d.startswith("_v") and d[2:].isdigit()
-    )
-    doomed = [
-        v
-        for v in (versions[:-keep] if keep else versions)
-        if v != committed
-    ]
-    if not doomed:
-        return []
-    if manifest and manifest.get("snapshots"):
-        pruned = {
-            v: e
-            for v, e in manifest["snapshots"].items()
-            if int(v) not in doomed
-        }
-        if pruned != manifest["snapshots"]:
-            manifest["snapshots"] = pruned
-            fs.replace_with(
-                json.dumps(manifest),
-                _manifest_path(table_dir, fs),
-                ".tmp.vac",
-            )
-    # reference set AFTER pruning: dirs cited by any retained snapshot
-    # (incl. the committed one) must survive even if their version is
-    # older than the keep horizon
-    referenced = set()
-    if manifest:
-        entries = [manifest] + list(
-            (manifest.get("snapshots") or {}).values()
+    # the manifest rewrite (history prune) is a table mutation like any
+    # other: without the lease, a publish committing between our read
+    # and our replace_with would be silently reverted (its snapshot
+    # erased, its files orphaned)
+    with _Lease(fs, table_dir, ttl_ms=lease_ttl_ms):
+        manifest = _read_manifest(table_dir, fs)
+        committed = int(manifest["version"]) if manifest else 0
+        versions = sorted(
+            int(d[2:])
+            for d in fs.listdir(table_dir)
+            if d.startswith("_v") and d[2:].isdigit()
         )
-        retained = {
-            v: e
-            for v, e in (manifest.get("snapshots") or {}).items()
-            if int(v) not in doomed
-        }
-        entries = [manifest] + list(retained.values())
-        for e in entries:
-            for f in e.get("files", []):
-                referenced.add(f.split("/", 1)[0])
-    removed = []
-    for v in doomed:
-        name = "_v%d" % v
-        if name in referenced:
-            continue  # a retained snapshot still cites files here
-        fs.rmtree(fs.join(table_dir, name))
-        removed.append(name)
-    return removed
+        doomed = [
+            v
+            for v in (versions[:-keep] if keep else versions)
+            if v != committed
+        ]
+        if not doomed:
+            return []
+        if manifest and manifest.get("snapshots"):
+            pruned = {
+                v: e
+                for v, e in manifest["snapshots"].items()
+                if int(v) not in doomed
+            }
+            if pruned != manifest["snapshots"]:
+                manifest["snapshots"] = pruned
+                fs.replace_with(
+                    json.dumps(manifest),
+                    _manifest_path(table_dir, fs),
+                    ".tmp.vac",
+                )
+        # reference set AFTER pruning: dirs cited by any retained
+        # snapshot (incl. the committed one) must survive even if their
+        # version is older than the keep horizon — snapshots was pruned
+        # above, so the manifest's own history IS the retained set
+        referenced = set()
+        if manifest:
+            for e in [manifest] + list(
+                (manifest.get("snapshots") or {}).values()
+            ):
+                for f in _entry_files(fs, table_dir, e):
+                    referenced.add(f.split("/", 1)[0])
+        removed = []
+        for v in doomed:
+            name = "_v%d" % v
+            if name in referenced:
+                continue  # a retained snapshot still cites files here
+            fs.rmtree(fs.join(table_dir, name))
+            removed.append(name)
+        return removed
 
 
 def compact(
@@ -1003,6 +1099,7 @@ def compact_partitions(
     partition_col: Optional[str] = None,
     min_files: int = 2,
     target_file_bytes: int = 128 * 1024 * 1024,
+    lease_ttl_ms: int = 300_000,
 ) -> Optional[int]:
     """Partial compaction: rewrite ONLY fragmented hive partitions —
     the maintenance loop for an ``append_publish``/``publish_stream``
@@ -1025,60 +1122,70 @@ def compact_partitions(
     from pyspark.sql import functions as F
 
     fs = _fs_for(table_dir, spark)
-    manifest = _read_manifest(table_dir, fs)
-    if manifest is None:
-        raise ValueError("compact_partitions: no committed table here")
-    parts = manifest.get("partition_by") or []
-    if not parts:
-        raise ValueError(
-            "compact_partitions needs a hive-partitioned table; use "
-            "compact() for unpartitioned ones"
-        )
-    pc = partition_col or parts[0]
+    # hold the table lease across snapshot-resolve AND rewrite: without
+    # it, an append/publish_stream batch landing in a touched partition
+    # during the (minutes-long) rewrite would be marked replaced by the
+    # final replace_partitions_publish and silently dropped — exactly
+    # the streaming-ingest + scheduled-maintenance deployment this
+    # function exists for
+    with _Lease(fs, table_dir, ttl_ms=lease_ttl_ms) as lease:
+        manifest = _read_manifest(table_dir, fs)
+        if manifest is None:
+            raise ValueError("compact_partitions: no committed table here")
+        parts = manifest.get("partition_by") or []
+        if not parts:
+            raise ValueError(
+                "compact_partitions needs a hive-partitioned table; use "
+                "compact() for unpartitioned ones"
+            )
+        pc = partition_col or parts[0]
 
-    def _val_of(path: str) -> Optional[str]:
-        for seg in path.split("/"):
-            if seg.startswith(pc + "="):
-                return seg[len(pc) + 1:]
-        return None
+        def _val_of(path: str) -> Optional[str]:
+            for seg in path.split("/"):
+                if seg.startswith(pc + "="):
+                    return seg[len(pc) + 1:]
+            return None
 
-    by_val = defaultdict(list)
-    for f in manifest["files"]:
-        by_val[_val_of(f)].append(f)
-    if values is None:
-        values = [v for v, fl in by_val.items() if len(fl) >= min_files]
-    else:
-        values = [str(v) for v in values]
-    if not values:
-        return None
-    sizes = manifest.get("file_sizes") or {}
-    touched_bytes = sum(
-        sizes.get(f) or fs.file_size(fs.join(table_dir, f))
-        for v in values
-        for f in by_val.get(v, [])
-    )
-    n_files = max(1, math.ceil(touched_bytes / float(target_file_bytes)))
-    cur = read_published(spark, table_dir)
-    touched = cur.where(F.col(pc).isin(values))  # partition-pruned scan
-    payload = [c for c in cur.columns if c not in parts]
-    folded = (
-        touched.withColumn(
-            "_ck", F.xxhash64(*[F.col(c) for c in payload] or [F.lit(0)])
+        by_val = defaultdict(list)
+        live_files = _entry_files(fs, table_dir, manifest)
+        for f in live_files:
+            by_val[_val_of(f)].append(f)
+        if values is None:
+            values = [v for v, fl in by_val.items() if len(fl) >= min_files]
+        else:
+            values = [str(v) for v in values]
+        if not values:
+            return None
+        sizes = _sizes_for(fs, table_dir, manifest, live_files)
+        touched_bytes = sum(
+            sizes.get(f) or fs.file_size(fs.join(table_dir, f))
+            for v in values
+            for f in by_val.get(v, [])
         )
-        .repartitionByRange(
-            n_files, *([F.col(c) for c in parts] + [F.col("_ck")])
+        n_files = max(1, math.ceil(touched_bytes / float(target_file_bytes)))
+        cur = read_published(spark, table_dir)
+        touched = cur.where(F.col(pc).isin(values))  # partition-pruned scan
+        payload = [c for c in cur.columns if c not in parts]
+        folded = (
+            touched.withColumn(
+                "_ck", F.xxhash64(*[F.col(c) for c in payload] or [F.lit(0)])
+            )
+            .repartitionByRange(
+                n_files, *([F.col(c) for c in parts] + [F.col("_ck")])
+            )
+            .drop("_ck")
         )
-        .drop("_ck")
-    )
-    return replace_partitions_publish(
-        folded, table_dir, values=values, partition_col=pc
-    )
+        return replace_partitions_publish(
+            folded, table_dir, values=values, partition_col=pc,
+            _lease=lease,
+        )
 
 
 def delete_publish(
     spark: SparkSession,
     table_dir: str,
     condition: str,
+    lease_ttl_ms: int = 300_000,
 ) -> Optional[int]:
     """Targeted row deletion with snapshot isolation — the GDPR-erasure
     / retention-enforcement primitive: delete every row matching the
@@ -1094,31 +1201,36 @@ def delete_publish(
     from pyspark.sql import functions as F
 
     fs = _fs_for(table_dir, spark)
-    manifest = _read_manifest(table_dir, fs)
-    if manifest is None:
-        raise ValueError("delete_publish: no committed table here")
-    cur = read_published(spark, table_dir)
-    parts = manifest.get("partition_by") or []
-    if not parts:
-        kept = cur.where("not (%s)" % condition)
-        # commit only if something matched: one count on the small side
-        n_del = cur.where(condition).count()
-        if n_del == 0:
+    # lease held across find-matches AND rewrite (same reason as
+    # compact_partitions): a concurrent append into a touched partition
+    # between our scan and our replace would be silently dropped
+    with _Lease(fs, table_dir, ttl_ms=lease_ttl_ms) as lease:
+        manifest = _read_manifest(table_dir, fs)
+        if manifest is None:
+            raise ValueError("delete_publish: no committed table here")
+        cur = read_published(spark, table_dir)
+        parts = manifest.get("partition_by") or []
+        if not parts:
+            kept = cur.where("not (%s)" % condition)
+            # commit only if something matched: one count, small side
+            n_del = cur.where(condition).count()
+            if n_del == 0:
+                return None
+            return atomic_publish(kept, table_dir, _lease=lease)
+        pc = parts[0]
+        touched = [
+            r[0]
+            for r in cur.where(condition).select(pc).distinct().collect()
+        ]
+        if not touched:
             return None
-        return atomic_publish(kept, table_dir)
-    pc = parts[0]
-    touched = [
-        r[0]
-        for r in cur.where(condition).select(pc).distinct().collect()
-    ]
-    if not touched:
-        return None
-    kept_touched = cur.where(F.col(pc).isin(touched)).where(
-        "not (%s)" % condition
-    )
-    return replace_partitions_publish(
-        kept_touched, table_dir, values=touched, partition_col=pc
-    )
+        kept_touched = cur.where(F.col(pc).isin(touched)).where(
+            "not (%s)" % condition
+        )
+        return replace_partitions_publish(
+            kept_touched, table_dir, values=touched, partition_col=pc,
+            _lease=lease,
+        )
 
 
 def _footer_minmax(fs, path: str, cols) -> Optional[dict]:

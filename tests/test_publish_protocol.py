@@ -1,0 +1,204 @@
+"""Commit-protocol hardening: CAS-validated manifest swap (a
+TTL-evicted writer can never clobber a committed snapshot), ABA-safe
+lease breaking, lease scoping for maintenance ops, strict schema type
+checking, and table-meta carry-forward through every publish flavor."""
+
+import json
+import os
+import time
+
+import pytest
+
+from bamboo_spark.operators import publish as P
+from bamboo_spark.operators.publish import (
+    ConcurrentWriteError,
+    append_publish,
+    atomic_publish,
+    compact,
+    compact_partitions,
+    current_version,
+    delete_publish,
+    optimize_table,
+    read_published,
+    replace_partitions_publish,
+    table_meta,
+    vacuum,
+)
+
+
+def _backdate_lock(table_dir, by_ms=400_000):
+    lock = os.path.join(table_dir, "_commit.lock")
+    old = time.time() - by_ms / 1000.0
+    os.utime(lock, (old, old))
+
+
+def test_evicted_writer_commit_raises_and_breaker_snapshot_survives(
+    spark, tmp_path
+):
+    """THE lost-update scenario: writer A acquires the lease and starts
+    a long write; the lease expires (backdated lock); writer B breaks
+    the stale lock and commits; A finishes and tries to swap the
+    manifest built against the pre-B version — the CAS must make A
+    RAISE, and B's committed snapshot must survive with the version
+    number moving only forward."""
+    t = str(tmp_path / "tbl")
+    atomic_publish(spark.range(5).selectExpr("id", "id as x"), t)  # v1
+    fs = P._PosixFS()
+
+    # writer A: lease acquired, snapshot plan built against v1
+    lease_a = P._Lease(fs, t).acquire()
+    prev_a = P._read_manifest(t, fs)
+    version_a = P._next_version(fs, t, prev_a)
+
+    # A's lease expires mid-write
+    _backdate_lock(t)
+
+    # writer B: breaks the stale lock and commits the next version
+    v_b = append_publish(spark.range(3).selectExpr("id", "id as x"), t)
+    assert v_b == 2 and current_version(t) == 2
+
+    # A finishes its write and tries to commit → must raise, not clobber
+    entry_a = {
+        "files": [],
+        "n_rows": 0,
+        "size_bytes": 0,
+        "file_sizes": {},
+        "schema": prev_a["schema"],
+        "partition_by": [],
+    }
+    with pytest.raises(ConcurrentWriteError):
+        P._commit(fs, t, prev_a, version_a, entry_a, lease=lease_a)
+
+    # B's snapshot is intact; version never went backwards
+    assert current_version(t) == 2
+    assert read_published(spark, t).count() == 8
+    # A's release must not delete B's (or a later writer's) lock:
+    # the lock was A's once, but the break replaced it
+    lease_a.release()
+
+
+def test_still_mine_false_after_break(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    os.makedirs(t, exist_ok=True)
+    fs = P._PosixFS()
+    a = P._Lease(fs, t).acquire()
+    assert a.still_mine()
+    _backdate_lock(t)
+    b = P._Lease(fs, t).acquire()  # breaks A's stale lock
+    assert b.still_mine() and not a.still_mine()
+    a.release()  # must NOT remove B's lock
+    assert b.still_mine()
+    b.release()
+
+
+def test_strict_append_rejects_type_change(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    atomic_publish(
+        spark.range(4).selectExpr("id", "cast(id as double) as amount"), t
+    )
+    # same column NAMES, retyped amount → strict mode must refuse
+    bad = spark.range(2).selectExpr("id", "cast(id as string) as amount")
+    with pytest.raises(ValueError, match="types"):
+        append_publish(bad, t)
+    # identical schema still appends fine
+    ok = spark.range(2).selectExpr("id", "cast(id as double) as amount")
+    assert append_publish(ok, t) == 2
+
+
+def test_meta_carries_through_maintenance_commits(spark, tmp_path):
+    """A streaming sink's exactly-once HWM (manifest meta) must survive
+    compact()/optimize_table — a maintenance commit that erased it
+    would make the next replayed batch double-append."""
+    t = str(tmp_path / "tbl")
+    atomic_publish(
+        spark.range(10).selectExpr("id", "id % 3 as g"),
+        t,
+        meta={"last_bid": 7},
+    )
+    append_publish(
+        spark.range(5).selectExpr("id", "id % 3 as g"),
+        t,
+        meta={"last_bid": 8},
+    )
+    assert table_meta(t)["last_bid"] == 8
+    compact(spark, t)  # maintenance passes no meta
+    assert table_meta(t)["last_bid"] == 8, "compact erased the HWM"
+    optimize_table(spark, t, stats_cols=["id"])
+    assert table_meta(t)["last_bid"] == 8
+    # an explicit meta write still overrides per-key and adds new keys
+    append_publish(
+        spark.range(2).selectExpr("id", "id % 3 as g"),
+        t,
+        meta={"last_bid": 9, "owner": "ingest"},
+    )
+    m = table_meta(t)
+    assert m["last_bid"] == 9 and m["owner"] == "ingest"
+
+
+def test_publish_stream_hwm_survives_compact(spark, tmp_path):
+    """End-to-end ADVICE scenario: publish_stream batches, a compact()
+    between them, then a REPLAYED batch id — the replay must still be
+    skipped (no double rows)."""
+    t = str(tmp_path / "tbl")
+
+    def run_batch(df, bid):
+        # publish_stream's exact sink contract, batch ids under our
+        # control (foreachBatch ids aren't replayable in a unit test)
+        hwm = table_meta(t, spark).get("last_bid")
+        if hwm is not None and int(bid) <= int(hwm):
+            return
+        append_publish(df, t, meta={"last_bid": int(bid)})
+
+    run_batch(spark.range(4).selectExpr("id"), 0)
+    run_batch(spark.range(4, 7).selectExpr("id"), 1)
+    assert read_published(spark, t).count() == 7
+    compact(spark, t)  # maintenance between micro-batches
+    run_batch(spark.range(4, 7).selectExpr("id"), 1)  # replayed batch
+    assert read_published(spark, t).count() == 7, "replay double-appended"
+    run_batch(spark.range(7, 9).selectExpr("id"), 2)  # stream continues
+    assert read_published(spark, t).count() == 9
+
+
+def test_maintenance_ops_respect_held_lease(spark, tmp_path):
+    """vacuum / compact_partitions / delete_publish now take the table
+    lease — with another writer holding it they must refuse, not race."""
+    t = str(tmp_path / "tbl")
+    atomic_publish(
+        spark.range(10).selectExpr("id", "cast(id % 2 as string) as g"),
+        t,
+        partition_by="g",
+    )
+    fs = P._PosixFS()
+    other = P._Lease(fs, t).acquire()
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            vacuum(t, keep=1)
+        with pytest.raises(ConcurrentWriteError):
+            compact_partitions(spark, t, min_files=1)
+        with pytest.raises(ConcurrentWriteError):
+            delete_publish(spark, t, "id = 3")
+    finally:
+        other.release()
+    # and with the lease free they all work
+    assert delete_publish(spark, t, "id = 3") == 2
+    assert read_published(spark, t).count() == 9
+
+
+def test_compact_partitions_commit_is_atomic_with_resolve(spark, tmp_path):
+    """compact_partitions holds ONE lease across snapshot-resolve and
+    rewrite: its internal replace_partitions_publish must reuse the
+    outer lease (no deadlock, exactly one new version)."""
+    t = str(tmp_path / "tbl")
+    atomic_publish(
+        spark.range(6).selectExpr("id", "cast(id % 2 as string) as g"),
+        t,
+        partition_by="g",
+    )
+    append_publish(
+        spark.range(6, 12).selectExpr("id", "cast(id % 2 as string) as g"), t
+    )
+    v = compact_partitions(spark, t, min_files=2)
+    assert v == 3
+    assert read_published(spark, t).count() == 12
+    # lock released afterwards
+    assert not os.path.exists(os.path.join(t, "_commit.lock"))
