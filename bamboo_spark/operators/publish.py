@@ -355,9 +355,119 @@ def _read_manifest(table_dir: str, fs) -> Optional[dict]:
         return None
 
 
+_SEG = "_seg.json"
+
+
+def _seg_path(fs, table_dir: str, seg: str) -> str:
+    return fs.join(table_dir, seg, _SEG)
+
+
+def _load_seg(fs, table_dir: str, seg: str) -> dict:
+    return json.loads(fs.read_text(_seg_path(fs, table_dir, seg)))
+
+
+def _write_seg(fs, table_dir: str, seg: str, data: dict) -> None:
+    fs.mkdirs(fs.join(table_dir, seg))
+    fs.replace_with(json.dumps(data), _seg_path(fs, table_dir, seg), ".tmp")
+
+
+def _resolve_entry(fs, table_dir: str, entry: dict) -> dict:
+    """``{'files', 'file_sizes', 'file_stats'}`` for a snapshot entry.
+
+    SEGMENTED manifests (the scale shape): the top manifest holds only
+    version pointers + per-snapshot counters plus ``segments`` (the
+    version dirs whose file lists this snapshot references) and
+    ``removed`` (files excluded from those segments); the per-file
+    detail lives in one ``_v<K>/_seg.json`` sidecar PER VERSION,
+    written once at that version's commit. A snapshot's live file set
+    is ``union(segment files) − removed``. This is the Iceberg
+    manifest-list shape: commit IO is O(delta files) — an append
+    writes ONE new sidecar and never re-serializes the table's file
+    list — and the top manifest stays ~constant-size per retained
+    version no matter how many files accumulate. Reads load only the
+    segments the chosen snapshot references.
+
+    LEGACY inline manifests (``files`` embedded in the entry) resolve
+    directly; the first segmented commit on top of one migrates it
+    (see :func:`_segments_of`)."""
+    if entry.get("files") is not None:
+        return {
+            "files": list(entry["files"]),
+            "file_sizes": dict(entry.get("file_sizes") or {}),
+            "file_stats": dict(entry.get("file_stats") or {}),
+        }
+    removed = set(entry.get("removed") or [])
+    files: List[str] = []
+    sizes: dict = {}
+    stats: dict = {}
+    for seg in entry.get("segments") or []:
+        s = _load_seg(fs, table_dir, seg)
+        seg_sizes = s.get("file_sizes") or {}
+        seg_stats = s.get("file_stats") or {}
+        for f in s.get("files", []):
+            if f in removed:
+                continue
+            files.append(f)
+            if seg_sizes.get(f) is not None:
+                sizes[f] = seg_sizes[f]
+            if seg_stats.get(f):
+                stats[f] = seg_stats[f]
+    return {"files": files, "file_sizes": sizes, "file_stats": stats}
+
+
 def _entry_files(fs, table_dir: str, entry: dict) -> List[str]:
     """A snapshot entry's live file list (manifest-relative paths)."""
-    return list(entry.get("files") or [])
+    return _resolve_entry(fs, table_dir, entry)["files"]
+
+
+def live_files(
+    table_dir: str, spark: Optional[SparkSession] = None
+) -> List[str]:
+    """The committed snapshot's live data-file list (manifest-relative
+    paths) — the public inspection hook (tests, audits); readers should
+    use :func:`read_published`."""
+    fs = _fs_for(table_dir, spark)
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        return []
+    return _entry_files(fs, table_dir, manifest)
+
+
+def _segments_of(fs, table_dir: str, prev: dict):
+    """``(segments, removed)`` base for building the next snapshot on
+    top of ``prev``. A legacy inline entry is MIGRATED once: its live
+    files are grouped by owning version dir and written out as that
+    dir's segment sidecar (never overwriting an existing one), after
+    which the new commit — and every later one — is segment-shaped."""
+    if prev.get("files") is None:
+        return (
+            list(prev.get("segments") or []),
+            list(prev.get("removed") or []),
+        )
+    sizes = prev.get("file_sizes") or {}
+    stats = prev.get("file_stats") or {}
+    by_seg: dict = {}
+    for f in prev["files"]:
+        by_seg.setdefault(f.split("/", 1)[0], []).append(f)
+    for seg, fl in by_seg.items():
+        try:
+            _load_seg(fs, table_dir, seg)
+            continue  # sidecar already exists (mixed-history table)
+        except Exception:
+            pass
+        _write_seg(
+            fs,
+            table_dir,
+            seg,
+            {
+                "files": fl,
+                "file_sizes": {
+                    f: sizes[f] for f in fl if sizes.get(f) is not None
+                },
+                "file_stats": {f: stats[f] for f in fl if stats.get(f)},
+            },
+        )
+    return sorted(by_seg), []
 
 
 def atomic_publish(
@@ -405,11 +515,16 @@ def atomic_publish(
         writer.parquet(vdir)
         n_rows = int(obs.get["n"])
         files, file_sizes = _scan_written(fs, vdir, version)
+        seg = "_v%d" % version
+        _write_seg(
+            fs, table_dir, seg, {"files": files, "file_sizes": file_sizes}
+        )
         entry = {
-            "files": files,
+            "segments": [seg],
+            "removed": [],
             "n_rows": n_rows,
+            "n_files": len(files),
             "size_bytes": sum(file_sizes.values()),
-            "file_sizes": file_sizes,
             "schema": df.schema.json(),
             "partition_by": parts,
         }
@@ -487,12 +602,14 @@ def _commit(
         entry["meta"] = merged_meta
     history = dict(prev.get("snapshots", {})) if prev else {}
     # heal pre-history manifests: retain the previous current snapshot
+    # (copy its file bookkeeping in whichever format it uses)
     if prev and str(prev["version"]) not in history:
-        history[str(prev["version"])] = {
-            "files": prev["files"],
-            "n_rows": prev["n_rows"],
-            "schema": prev["schema"],
-        }
+        healed = {"n_rows": prev["n_rows"], "schema": prev["schema"]}
+        for k in ("files", "file_sizes", "file_stats", "segments",
+                  "removed", "n_files", "partition_by"):
+            if prev.get(k) is not None:
+                healed[k] = prev[k]
+        history[str(prev["version"])] = healed
     history[str(version)] = entry
     manifest = {"version": version, "snapshots": history, **entry}
     fs.replace_with(
@@ -605,14 +722,27 @@ def append_publish(
             writer = writer.partitionBy(*parts)
         writer.parquet(vdir)
         new_files, new_sizes = _scan_written(fs, vdir, version)
-        carried = list(prev["files"])
-        carried_sizes = _sizes_for(fs, table_dir, prev, carried)
+        # O(delta) commit: carried files stay inside their segment
+        # sidecars BY REFERENCE — the commit writes ONE new sidecar
+        # (this batch's files) and a constant-size top-manifest entry;
+        # nothing existing is re-listed, re-read, or re-serialized
+        segs, removed = _segments_of(fs, table_dir, prev)
+        seg = "_v%d" % version
+        if new_files:
+            _write_seg(
+                fs,
+                table_dir,
+                seg,
+                {"files": new_files, "file_sizes": new_sizes},
+            )
+            segs = segs + [seg]
+        prev_nf, prev_sz = _entry_counters(fs, table_dir, prev)
         entry = {
-            "files": carried + new_files,
+            "segments": segs,
+            "removed": removed,
             "n_rows": int(prev["n_rows"]) + int(obs.get["n"]),
-            "size_bytes": sum(carried_sizes.values())
-            + sum(new_sizes.values()),
-            "file_sizes": {**carried_sizes, **new_sizes},
+            "n_files": prev_nf + len(new_files),
+            "size_bytes": prev_sz + sum(new_sizes.values()),
             "schema": schema_json,
             "partition_by": parts,
         }
@@ -689,8 +819,9 @@ def replace_partitions_publish(
                     return seg[len(pc) + 1:]
             return None
 
-        carried = [f for f in prev["files"] if _val_of(f) not in vals]
-        replaced = [f for f in prev["files"] if _val_of(f) in vals]
+        res = _resolve_entry(fs, table_dir, prev)
+        carried = [f for f in res["files"] if _val_of(f) not in vals]
+        replaced = [f for f in res["files"] if _val_of(f) in vals]
         version = _next_version(fs, table_dir, prev)
         vdir = fs.join(table_dir, "_v%d" % version)
         obs = Observation()
@@ -703,13 +834,34 @@ def replace_partitions_publish(
         replaced_rows = sum(
             fs.file_rows(fs.join(table_dir, f)) for f in replaced
         )
-        carried_sizes = _sizes_for(fs, table_dir, prev, carried)
+        replaced_bytes = sum(
+            res["file_sizes"].get(f)
+            or fs.file_size(fs.join(table_dir, f))
+            for f in replaced
+        )
+        segs, removed = _segments_of(fs, table_dir, prev)
+        removed = sorted(set(removed) | set(replaced))
+        seg = "_v%d" % version
+        if new_files:
+            _write_seg(
+                fs,
+                table_dir,
+                seg,
+                {"files": new_files, "file_sizes": new_sizes},
+            )
+            segs = segs + [seg]
+        # prune segments whose files are now ALL removed (a compacted
+        # or fully-replaced version): drops the segment pointer and its
+        # entries from the removed list, keeping 'removed' bounded by
+        # the files replaced since the last fold, not table lifetime
+        segs, removed = _prune_segments(fs, table_dir, segs, removed)
+        prev_nf, prev_sz = _entry_counters(fs, table_dir, prev)
         entry = {
-            "files": carried + new_files,
+            "segments": segs,
+            "removed": removed,
             "n_rows": int(prev["n_rows"]) - replaced_rows + int(obs.get["n"]),
-            "size_bytes": sum(carried_sizes.values())
-            + sum(new_sizes.values()),
-            "file_sizes": {**carried_sizes, **new_sizes},
+            "n_files": prev_nf - len(replaced) + len(new_files),
+            "size_bytes": prev_sz - replaced_bytes + sum(new_sizes.values()),
             "schema": prev["schema"],
             "partition_by": parts,
         }
@@ -720,11 +872,48 @@ def replace_partitions_publish(
             lease.release()
 
 
+def _entry_counters(fs, table_dir: str, entry: dict):
+    """``(n_files, size_bytes)`` for a snapshot entry — from the
+    recorded counters when present, resolved (with a stat fallback for
+    pre-``size_bytes`` manifests) otherwise."""
+    nf = entry.get("n_files")
+    sz = entry.get("size_bytes")
+    if nf is not None and sz is not None:
+        return int(nf), int(sz)
+    res = _resolve_entry(fs, table_dir, entry)
+    if nf is None:
+        nf = len(res["files"])
+    if sz is None:
+        sz = sum(
+            res["file_sizes"].get(f)
+            or fs.file_size(fs.join(table_dir, f))
+            for f in res["files"]
+        )
+    return int(nf), int(sz)
+
+
+def _prune_segments(fs, table_dir: str, segs, removed):
+    """Drop segments with no live files left; shrink ``removed`` to
+    entries still shadowing a listed segment's file."""
+    removed_set = set(removed)
+    kept_segs: List[str] = []
+    live_removed: set = set()
+    for seg in segs:
+        s = _load_seg(fs, table_dir, seg)
+        fl = s.get("files", [])
+        dead = [f for f in fl if f in removed_set]
+        if len(dead) == len(fl):
+            continue  # fully shadowed: segment leaves the snapshot
+        kept_segs.append(seg)
+        live_removed.update(dead)
+    return kept_segs, sorted(live_removed)
+
+
 def _sizes_for(fs, table_dir: str, prev, files) -> dict:
-    """Per-file byte sizes for carried files: from the previous
-    manifest when recorded (every publish since file-reuse landed),
-    stat fallback for older manifests."""
-    known = prev.get("file_sizes") or {}
+    """Per-file byte sizes for carried files: from the snapshot's
+    recorded sizes (manifest or segment sidecars) with a stat fallback
+    for pre-size manifests."""
+    known = _resolve_entry(fs, table_dir, prev)["file_sizes"]
     return {
         f: known.get(f, None)
         if known.get(f) is not None
@@ -762,25 +951,27 @@ def read_published(
                 % (version, sorted(int(v) for v in snaps))
             )
         entry = snaps[str(version)]
+    res = _resolve_entry(fs, table_dir, entry)
+    entry = {**entry, "files": res["files"]}
     if skip:
-        stats = entry.get("file_stats") or {}
+        stats = res["file_stats"]
 
         def _keep(f: str) -> bool:
             st = stats.get(f)
             if not st:
                 return True  # no stats: never skip blindly
-            for col, (lo, hi) in skip.items():
+            for col, bound in skip.items():
                 mm = st.get(col)
                 if mm is None:
                     continue
                 mn, mx = mm
+                lo, hi = bound
                 if (hi is not None and mn > hi) or (
                     lo is not None and mx < lo
                 ):
                     return False
             return True
 
-        entry = dict(entry)
         entry["files"] = [f for f in entry["files"] if _keep(f)]
     if not entry["files"]:
         from pyspark.sql import types as T
@@ -837,11 +1028,14 @@ def snapshots(
     for v, e in sorted(
         manifest.get("snapshots", {}).items(), key=lambda kv: int(kv[0])
     ):
+        nf = e.get("n_files")
+        if nf is None:
+            nf = len(_entry_files(fs, table_dir, e))
         out.append(
             {
                 "version": int(v),
                 "n_rows": int(e["n_rows"]),
-                "n_files": len(e["files"]),
+                "n_files": int(nf),
                 "is_current": int(v) == cur,
             }
         )
@@ -973,12 +1167,7 @@ def compact(
         manifest = json.loads(fs.read_text(_manifest_path(table_dir, fs)))
         parts = manifest.get("partition_by") or []
         if target_files is None:
-            size = manifest.get("size_bytes")
-            if size is None:  # pre-size_bytes manifest: sum the snapshot
-                size = sum(
-                    fs.file_size(fs.join(table_dir, f))
-                    for f in manifest["files"]
-                )
+            _, size = _entry_counters(fs, table_dir, manifest)
             target_files = max(1, math.ceil(size / float(target_file_bytes)))
         if parts:
             payload = [c for c in cur.columns if c not in parts]
@@ -1296,6 +1485,29 @@ def collect_file_stats(
         manifest = _read_manifest(table_dir, fs)
         if manifest is None:
             raise ValueError("collect_file_stats: no committed table here")
+        if manifest.get("files") is None:
+            # segmented manifest: stats live in the per-version segment
+            # sidecars — update each referenced sidecar in place (an
+            # atomic replace; stats addition is monotone + conservative,
+            # and every snapshot citing the segment sees them for free)
+            n = 0
+            for seg in manifest.get("segments") or []:
+                s = _load_seg(fs, table_dir, seg)
+                seg_stats = dict(s.get("file_stats") or {})
+                changed = False
+                for f in s.get("files", []):
+                    mm = _footer_minmax(
+                        fs, fs.join(table_dir, f), list(stats_cols)
+                    )
+                    if mm:
+                        seg_stats[f] = {**seg_stats.get(f, {}), **mm}
+                        n += 1
+                        changed = True
+                if changed:
+                    s["file_stats"] = seg_stats
+                    _write_seg(fs, table_dir, seg, s)
+            return n
+        # legacy inline manifest: stats embed in the manifest itself
         stats = dict(manifest.get("file_stats") or {})
         n = 0
         for f in manifest["files"]:
@@ -1379,7 +1591,7 @@ def optimize_table(
     else:
         compacted = (
             compact(spark, table_dir, target_file_bytes=target_file_bytes)
-            if len(manifest["files"]) >= min_files
+            if _entry_counters(fs, table_dir, manifest)[0] >= min_files
             else None
         )
     n_stats = (

@@ -14,6 +14,8 @@ SF = "/root/testdata/sf0.001"
 def test_day2_incremental_ingest_equals_full_recompute(spark, tmp_path):
     from bamboo_spark.operators import dedup, sketch
     from bamboo_spark.operators.publish import (
+    live_files,
+    published_rows,
         atomic_publish,
         current_version,
         read_published,
@@ -118,6 +120,8 @@ def test_table_lifecycle_ingest_compact_retain_erase(spark, tmp_path):
         append_publish,
         compact_partitions,
         delete_publish,
+        live_files,
+        published_rows,
         read_published,
         replace_partitions_publish,
         snapshots,
@@ -140,14 +144,13 @@ def test_table_lifecycle_ingest_compact_retain_erase(spark, tmp_path):
     append_publish(batch(days[1], 100, 130), t)
     append_publish(batch(days[0], 40, 50), t)
     append_publish(batch(days[2], 200, 220), t)
-    man = _json.load(open(os.path.join(t, "manifest.json")))
-    assert len([f for f in man["files"] if "d=%s" % days[0] in f]) == 3
-    assert man["n_rows"] == 100
+    files = live_files(t, spark)
+    assert len([f for f in files if "d=%s" % days[0] in f]) == 3
+    assert published_rows(t) == 100
 
     # stage 2: partial compaction folds ONLY the fragmented day
     v_compact = compact_partitions(spark, t, min_files=2)
-    man = _json.load(open(os.path.join(t, "manifest.json")))
-    d1_files = [f for f in man["files"] if "d=%s" % days[0] in f]
+    d1_files = [f for f in live_files(t, spark) if "d=%s" % days[0] in f]
     assert len(d1_files) == 1 and d1_files[0].startswith("_v%d/" % v_compact)
     assert read_published(spark, t).count() == 100
 
@@ -160,13 +163,11 @@ def test_table_lifecycle_ingest_compact_retain_erase(spark, tmp_path):
 
     # stage 4: GDPR erase — user 4's rows vanish, day partitions not
     # containing them carry by reference
-    before = _json.load(open(os.path.join(t, "manifest.json")))
     n_u4 = cur.where("user_id = 4").count()
     assert n_u4 > 0
     delete_publish(spark, t, "user_id = 4")
-    after = _json.load(open(os.path.join(t, "manifest.json")))
     assert read_published(spark, t).where("user_id = 4").count() == 0
-    assert after["n_rows"] == 50 - n_u4
+    assert published_rows(t) == 50 - n_u4
 
     # stage 5: GC — vacuum keeps every dir a retained snapshot cites,
     # removes the rest; the table still reads row-exact
@@ -177,6 +178,5 @@ def test_table_lifecycle_ingest_compact_retain_erase(spark, tmp_path):
     assert final.count() == 50 - n_u4
     assert final.where("user_id = 4").count() == 0
     # every file the final manifest cites exists on disk
-    man = _json.load(open(os.path.join(t, "manifest.json")))
-    for f in man["files"]:
+    for f in live_files(t, spark):
         assert os.path.exists(os.path.join(t, f)), f

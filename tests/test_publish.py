@@ -10,6 +10,7 @@ import pytest
 from bamboo_spark.operators.publish import (
     atomic_publish,
     current_version,
+    live_files,
     published_rows,
     read_published,
     vacuum,
@@ -493,13 +494,13 @@ def test_append_publish_carries_files_by_reference(spark, tmp_path, backend):
 
     t, local = _tbl(tmp_path, backend)
     v1 = append_publish(spark.range(100).selectExpr("id", "id*2 as x"), t)
-    man1 = _json.load(open(os.path.join(local, "manifest.json")))
+    files1 = set(live_files(t, spark))
     v2 = append_publish(spark.range(100, 130).selectExpr("id", "id*2 as x"), t)
-    man2 = _json.load(open(os.path.join(local, "manifest.json")))
+    files2 = set(live_files(t, spark))
     assert v1 == 1 and v2 == 2
     # every v1 file is cited verbatim by v2's manifest
-    assert set(man1["files"]) < set(man2["files"])
-    assert man2["n_rows"] == 130
+    assert files1 < files2
+    assert published_rows(t) == 130
     got = read_published(spark, t)
     assert got.count() == 130
     assert sorted(r["id"] for r in got.collect()) == list(range(130))
@@ -546,18 +547,18 @@ def test_replace_partitions_rewrites_only_touched(spark, tmp_path, backend):
         (F.col("id") % 3).alias("k"), F.col("id").alias("v")
     )
     append_publish(df, t, partition_by="k")
-    man1 = _json.load(open(os.path.join(local, "manifest.json")))
+    files1 = live_files(t, spark)
     # rewrite ONLY k=1 with 5 fresh rows
     repl = spark.createDataFrame(
         [(1, 1000 + i) for i in range(5)], "k long, v long"
     )
     v2 = replace_partitions_publish(repl, t, values=[1])
-    man2 = _json.load(open(os.path.join(local, "manifest.json")))
-    untouched1 = {f for f in man1["files"] if "k=1" not in f}
-    assert untouched1 < set(man2["files"])  # carried verbatim
+    files2 = live_files(t, spark)
+    untouched1 = {f for f in files1 if "k=1" not in f}
+    assert untouched1 < set(files2)  # carried verbatim
     assert all("k=1" not in f or f.startswith("_v%d/" % v2)
-               for f in man2["files"])
-    assert man2["n_rows"] == 60 + 5
+               for f in files2)
+    assert published_rows(t) == 60 + 5
     got = read_published(spark, t)
     assert got.count() == 65
     assert sorted(r["v"] for r in got.where("k = 1").collect()) == [
@@ -678,18 +679,18 @@ def test_compact_partitions_folds_only_fragmented(spark, tmp_path):
     append_publish(mk(0, 10, "a").union(mk(100, 110, "b")), t, partition_by="k")
     append_publish(mk(10, 20, "a"), t)
     append_publish(mk(20, 30, "a"), t)
-    man = _json.load(open(os.path.join(t, "manifest.json")))
-    a_files = [f for f in man["files"] if "k=a" in f]
-    b_files = [f for f in man["files"] if "k=b" in f]
+    files = live_files(t, spark)
+    a_files = [f for f in files if "k=a" in f]
+    b_files = [f for f in files if "k=b" in f]
     assert len(a_files) >= 3 and len(b_files) == 1
     v = compact_partitions(spark, t, min_files=2)
     assert v is not None
-    man2 = _json.load(open(os.path.join(t, "manifest.json")))
-    a2 = [f for f in man2["files"] if "k=a" in f]
-    b2 = [f for f in man2["files"] if "k=b" in f]
+    files2 = live_files(t, spark)
+    a2 = [f for f in files2 if "k=a" in f]
+    b2 = [f for f in files2 if "k=b" in f]
     assert len(a2) == 1 and a2[0].startswith("_v%d/" % v)
     assert b2 == b_files  # untouched partition carried verbatim
-    assert man2["n_rows"] == 40
+    assert published_rows(t) == 40
     got = read_published(spark, t)
     assert got.where("k = 'a'").count() == 30
     assert sorted(r["v"] for r in got.where("k = 'b'").collect()) == list(
@@ -719,17 +720,17 @@ def test_delete_publish_rewrites_only_matching_partitions(spark, tmp_path):
         (F.col("id") % 9).alias("user_id"),
     )
     append_publish(df, t, partition_by="k")
-    man1 = _json.load(open(os.path.join(t, "manifest.json")))
+    files1 = live_files(t, spark)
     # user 4's rows live where id%9==4 -> id in {4,13,22,...}; k=id%3 of
     # those is always 1 -> only partition k=1 is touched
     v = delete_publish(spark, t, "user_id = 4")
     assert v is not None
-    man2 = _json.load(open(os.path.join(t, "manifest.json")))
-    untouched = {f for f in man1["files"] if "k=1" not in f}
-    assert untouched < set(man2["files"])  # k=0/k=2 carried verbatim
+    files2 = live_files(t, spark)
+    untouched = {f for f in files1 if "k=1" not in f}
+    assert untouched < set(files2)  # k=0/k=2 carried verbatim
     got = read_published(spark, t)
     assert got.where("user_id = 4").count() == 0
-    assert got.count() == 80 and man2["n_rows"] == 80
+    assert got.count() == 80 and published_rows(t) == 80
     # nothing matches anymore -> no-op
     assert delete_publish(spark, t, "user_id = 4") is None
     # pre-delete version still readable until vacuumed (then erased)

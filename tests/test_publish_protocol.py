@@ -202,3 +202,168 @@ def test_compact_partitions_commit_is_atomic_with_resolve(spark, tmp_path):
     assert read_published(spark, t).count() == 12
     # lock released afterwards
     assert not os.path.exists(os.path.join(t, "_commit.lock"))
+
+
+# ---------------------------------------------------------------- segments
+
+
+def _manifest_bytes(t):
+    return os.path.getsize(os.path.join(t, "manifest.json"))
+
+
+def test_segmented_manifest_stays_small_under_append_loop(spark, tmp_path):
+    """The scale contract of the segmented manifest: the TOP manifest's
+    byte size stays ~constant as appended versions (and files)
+    accumulate — per-file detail lives in per-version sidecars, so a
+    1M-file table's per-commit metadata IO is O(batch), not O(table)."""
+    t = str(tmp_path / "tbl")
+    atomic_publish(
+        spark.range(8).selectExpr("id", "id as x").repartition(4), t
+    )
+    vacuum_keep_sizes = []
+    for i in range(8):
+        append_publish(
+            spark.range(8).selectExpr("id", "id as x").repartition(4), t
+        )
+        vacuum(t, keep=2)  # steady-state retention, as deployed
+        vacuum_keep_sizes.append(_manifest_bytes(t))
+    # 4 files per version x 9 versions: manifest growth must NOT track
+    # file count — allow bookkeeping drift, forbid O(files) growth
+    assert vacuum_keep_sizes[-1] < vacuum_keep_sizes[0] * 2
+    # per-file detail is really in the sidecars
+    man = json.load(open(os.path.join(t, "manifest.json")))
+    assert man.get("files") is None and man.get("segments")
+    assert read_published(spark, t).count() == 8 * 9
+    # and commit IO is O(delta): the latest version dir's sidecar lists
+    # only ITS files
+    seg = json.load(
+        open(os.path.join(t, "_v%d" % man["version"], "_seg.json"))
+    )
+    assert len(seg["files"]) == 4
+
+
+def test_segmented_time_travel_and_replace(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    import pyspark.sql.functions as F
+
+    df = spark.range(30).select(
+        (F.col("id") % 3).cast("string").alias("k"), F.col("id").alias("v")
+    )
+    atomic_publish(df, t, partition_by="k")
+    append_publish(
+        spark.range(30, 36).select(
+            (F.col("id") % 3).cast("string").alias("k"),
+            F.col("id").alias("v"),
+        ),
+        t,
+    )
+    repl = spark.createDataFrame(
+        [("1", 1000)], "k string, v long"
+    )
+    v3 = replace_partitions_publish(repl, t, values=["1"])
+    assert v3 == 3
+    cur = read_published(spark, t)
+    assert cur.where("k = '1'").count() == 1
+    # k=0: 10+2, k=2: 10+2 carried; k=1 replaced by a single row
+    assert cur.count() == 12 + 12 + 1
+    # time travel still resolves every retained snapshot exactly
+    assert read_published(spark, t, version=1).count() == 30
+    assert read_published(spark, t, version=2).count() == 36
+
+
+def test_segment_prune_drops_fully_replaced_versions(spark, tmp_path):
+    """After a partition's files are all replaced, the segment that
+    owned only those files leaves the snapshot's segment list and its
+    entries leave 'removed' — the manifest doesn't accumulate tombstone
+    lists over the table's lifetime."""
+    import pyspark.sql.functions as F
+
+    t = str(tmp_path / "tbl")
+    base = spark.range(10).select(
+        F.lit("a").alias("k"), F.col("id").alias("v")
+    ).coalesce(1)
+    atomic_publish(base, t, partition_by="k")
+    # append a second version touching ONLY k=b
+    append_publish(
+        spark.range(5).select(
+            F.lit("b").alias("k"), F.col("id").alias("v")
+        ).coalesce(1),
+        t,
+    )
+    # replace k=b entirely: _v2's segment is fully shadowed → pruned
+    replace_partitions_publish(
+        spark.createDataFrame([("b", 99)], "k string, v long"),
+        t,
+        values=["b"],
+    )
+    man = json.load(open(os.path.join(t, "manifest.json")))
+    assert "_v2" not in (man.get("segments") or [])
+    assert man.get("removed") == []
+    got = read_published(spark, t)
+    assert got.count() == 11
+    assert got.where("k = 'b'").count() == 1
+
+
+def test_legacy_inline_manifest_migrates_on_next_commit(spark, tmp_path):
+    """A table whose manifest predates segmentation (inline file list)
+    keeps reading, and the FIRST new commit migrates it to segment
+    sidecars without changing any snapshot's content."""
+    t = str(tmp_path / "tbl")
+    atomic_publish(spark.range(12).selectExpr("id", "id as x"), t)
+    # rewrite the manifest into the legacy inline format
+    fs = P._PosixFS()
+    man = P._read_manifest(t, fs)
+    res = P._resolve_entry(fs, t, man)
+    legacy_entry = {
+        "files": res["files"],
+        "file_sizes": res["file_sizes"],
+        "n_rows": man["n_rows"],
+        "size_bytes": man["size_bytes"],
+        "schema": man["schema"],
+        "partition_by": man.get("partition_by") or [],
+    }
+    legacy = {
+        "version": 1,
+        "snapshots": {"1": legacy_entry},
+        **legacy_entry,
+    }
+    os.remove(os.path.join(t, "_v1", "_seg.json"))
+    fs.replace_with(json.dumps(legacy), os.path.join(t, "manifest.json"), ".tmp")
+    assert read_published(spark, t).count() == 12  # legacy read works
+    v2 = append_publish(spark.range(12, 20).selectExpr("id", "id as x"), t)
+    assert v2 == 2
+    man2 = json.load(open(os.path.join(t, "manifest.json")))
+    assert man2.get("files") is None  # migrated to segments
+    assert set(man2["segments"]) == {"_v1", "_v2"}
+    assert os.path.exists(os.path.join(t, "_v1", "_seg.json"))
+    assert read_published(spark, t).count() == 20
+    assert read_published(spark, t, version=2).count() == 20
+
+
+def test_segmented_stats_skipping_still_prunes(spark, tmp_path):
+    from bamboo_spark.operators.publish import (
+        collect_file_stats,
+        publish_clustered,
+    )
+
+    t = str(tmp_path / "tbl")
+    publish_clustered(
+        spark.range(10000).selectExpr("id", "id as v"), t, "v",
+        target_files=10,
+    )
+    full = read_published(spark, t)
+    pruned = read_published(spark, t, skip={"v": (0, 500)})
+    # skipping is conservative: the pruned read is a SUPERSET of the
+    # matching rows and reads strictly fewer files
+    assert (
+        pruned.where("v <= 500").count()
+        == full.where("v <= 500").count()
+    )
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # stats survive an append (per-segment sidecars)
+    append_publish(spark.range(10000, 10100).selectExpr("id", "id as v"), t)
+    collect_file_stats(t, ["v"], spark)
+    pruned2 = read_published(spark, t, skip={"v": (0, 500)})
+    assert len(pruned2.inputFiles()) < len(
+        read_published(spark, t).inputFiles()
+    )

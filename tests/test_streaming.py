@@ -2121,7 +2121,9 @@ def test_hypertable_stream_day_partitioned_incremental(spark, tmp_path):
     # carry db= segments (partition pruning at read)
     man = _json.load(open(os.path.join(tbl, "manifest.json")))
     assert man["partition_by"] == ["db"]
-    assert all("db=" in f for f in man["files"])
+    from bamboo_spark.operators.publish import live_files
+
+    assert all("db=" in f for f in live_files(tbl, spark))
 
 
 def test_hypertable_day_sink_rewrites_only_touched_days(spark, tmp_path):
@@ -2140,14 +2142,16 @@ def test_hypertable_day_sink_rewrites_only_touched_days(spark, tmp_path):
         [(1, ts, et, v)],
         "user_id long, ts string, event_type string, value double",
     ).selectExpr("user_id", "cast(ts as timestamp) ts", "event_type", "value")
+    from bamboo_spark.operators.publish import live_files
+
     sink(mk("2024-01-01 10:00:00", "click", 1.0), 0)
-    man1 = _json.load(open(os.path.join(tbl, "manifest.json")))
+    files1 = live_files(tbl, spark)
     sink(mk("2024-01-02 11:00:00", "view", 2.0), 1)
-    man2 = _json.load(open(os.path.join(tbl, "manifest.json")))
-    day1_files = {f for f in man1["files"] if "db=2024-01-01" in f}
-    assert day1_files and day1_files < set(man2["files"])  # carried
+    files2 = live_files(tbl, spark)
+    day1_files = {f for f in files1 if "db=2024-01-01" in f}
+    assert day1_files and day1_files < set(files2)  # carried
     assert all(
-        f.startswith("_v2/") for f in man2["files"] if "db=2024-01-02" in f
+        f.startswith("_v2/") for f in files2 if "db=2024-01-02" in f
     )
     v = current_version(tbl)
     sink(mk("2024-01-02 11:30:00", "view", 9.0), 1)  # replay: no-op
