@@ -433,6 +433,92 @@ def live_files(
     return _entry_files(fs, table_dir, manifest)
 
 
+def _json_stat(v):
+    """JSON-safe min/max value (dates/timestamps → ISO strings, which
+    compare lexicographically = chronologically; bytes → utf-8)."""
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return v
+
+
+def _rel_of(abs_uri: str, rel_files) -> Optional[str]:
+    """Map an ``input_file_name()`` URI back to its manifest-relative
+    path (suffix match; tolerates URL-encoding in the URI)."""
+    from urllib.parse import unquote
+
+    for cand in (abs_uri, unquote(abs_uri)):
+        for rel in rel_files:
+            if cand.endswith("/" + rel):
+                return rel
+    return None
+
+
+def _distributed_file_stats(
+    spark: SparkSession,
+    fs,
+    table_dir: str,
+    rel_files,
+    cols,
+    schema_json: Optional[str] = None,
+) -> dict:
+    """Per-file ``{relpath: {col: [min, max]}}`` via ONE distributed
+    Spark job per version dir: scan the files column-pruned to ``cols``,
+    group by ``input_file_name()``, min/max per file. Works on EVERY
+    backend (posix, ``file:``, ``hdfs:``, object stores) because the
+    executors read the files wherever they live — this is what lets
+    stats be recorded AT WRITE TIME (the cluster just produced the
+    files) instead of a posix-only driver loop after the fact. Hive
+    partition columns are real attributes under a basePath-anchored
+    read, so stats on partition columns work too (constant per file)."""
+    from pyspark.sql import functions as F, types as T
+
+    if not rel_files or not cols:
+        return {}
+    by_prefix: dict = {}
+    for f in rel_files:
+        by_prefix.setdefault(f.split("/", 1)[0], []).append(f)
+    out: dict = {}
+    for vprefix, fl in by_prefix.items():
+        reader = spark.read
+        if schema_json:
+            reader = reader.schema(
+                T.StructType.fromJson(json.loads(schema_json))
+            )
+        df = reader.option(
+            "basePath", fs.join(table_dir, vprefix)
+        ).parquet(*[fs.join(table_dir, f) for f in fl])
+        cs = [c for c in cols if c in df.columns]
+        if not cs:
+            continue
+        rows = (
+            df.groupBy(F.input_file_name().alias("_f"))
+            .agg(
+                *[F.min(F.col(c)).alias("_mn%d" % i) for i, c in enumerate(cs)],
+                *[F.max(F.col(c)).alias("_mx%d" % i) for i, c in enumerate(cs)],
+            )
+            .collect()  # O(files in this version dir) — metadata-sized
+        )
+        for r in rows:
+            rel = _rel_of(r["_f"], fl)
+            if rel is None:
+                continue
+            st = {}
+            for i, c in enumerate(cs):
+                mn, mx = r["_mn%d" % i], r["_mx%d" % i]
+                if mn is None:
+                    continue
+                st[c] = [_json_stat(mn), _json_stat(mx)]
+            if st:
+                out[rel] = st
+    return out
+
+
 def _segments_of(fs, table_dir: str, prev: dict):
     """``(segments, removed)`` base for building the next snapshot on
     top of ``prev``. A legacy inline entry is MIGRATED once: its live
@@ -476,6 +562,7 @@ def atomic_publish(
     partition_by=None,
     lease_ttl_ms: int = 300_000,
     meta: Optional[dict] = None,
+    stats_cols=None,
     _lease: Optional[_Lease] = None,
 ) -> int:
     """Write ``df`` as the table's next snapshot and commit it
@@ -516,9 +603,16 @@ def atomic_publish(
         n_rows = int(obs.get["n"])
         files, file_sizes = _scan_written(fs, vdir, version)
         seg = "_v%d" % version
-        _write_seg(
-            fs, table_dir, seg, {"files": files, "file_sizes": file_sizes}
-        )
+        seg_data = {"files": files, "file_sizes": file_sizes}
+        if stats_cols:
+            # WRITE-TIME statistics: one distributed job over the files
+            # this publish just produced — works on every backend, and
+            # read_published(skip=...) prunes from the first read
+            seg_data["file_stats"] = _distributed_file_stats(
+                df.sparkSession, fs, table_dir, files, list(stats_cols),
+                schema_json=df.schema.json(),
+            )
+        _write_seg(fs, table_dir, seg, seg_data)
         entry = {
             "segments": [seg],
             "removed": [],
@@ -626,6 +720,7 @@ def append_publish(
     lease_ttl_ms: int = 300_000,
     meta: Optional[dict] = None,
     schema_mode: str = "strict",
+    stats_cols=None,
 ) -> int:
     """Append-only snapshot: the next version's file list is the
     previous snapshot's files (CARRIED BY REFERENCE — nothing is
@@ -659,7 +754,7 @@ def append_publish(
         if prev is None:
             return atomic_publish(
                 df, table_dir, partition_by=partition_by, meta=meta,
-                _lease=lease,
+                stats_cols=stats_cols, _lease=lease,
             )
         parts = prev.get("partition_by") or []
         schema_json = prev["schema"]
@@ -729,12 +824,13 @@ def append_publish(
         segs, removed = _segments_of(fs, table_dir, prev)
         seg = "_v%d" % version
         if new_files:
-            _write_seg(
-                fs,
-                table_dir,
-                seg,
-                {"files": new_files, "file_sizes": new_sizes},
-            )
+            seg_data = {"files": new_files, "file_sizes": new_sizes}
+            if stats_cols:
+                seg_data["file_stats"] = _distributed_file_stats(
+                    df.sparkSession, fs, table_dir, new_files,
+                    list(stats_cols), schema_json=schema_json,
+                )
+            _write_seg(fs, table_dir, seg, seg_data)
             segs = segs + [seg]
         prev_nf, prev_sz = _entry_counters(fs, table_dir, prev)
         entry = {
@@ -769,6 +865,7 @@ def replace_partitions_publish(
     values,
     partition_col: Optional[str] = None,
     lease_ttl_ms: int = 300_000,
+    stats_cols=None,
     _lease: Optional[_Lease] = None,
 ) -> int:
     """Partial-rewrite snapshot (dynamic partition overwrite with
@@ -843,12 +940,13 @@ def replace_partitions_publish(
         removed = sorted(set(removed) | set(replaced))
         seg = "_v%d" % version
         if new_files:
-            _write_seg(
-                fs,
-                table_dir,
-                seg,
-                {"files": new_files, "file_sizes": new_sizes},
-            )
+            seg_data = {"files": new_files, "file_sizes": new_sizes}
+            if stats_cols:
+                seg_data["file_stats"] = _distributed_file_stats(
+                    df.sparkSession, fs, table_dir, new_files,
+                    list(stats_cols), schema_json=prev["schema"],
+                )
+            _write_seg(fs, table_dir, seg, seg_data)
             segs = segs + [seg]
         # prune segments whose files are now ALL removed (a compacted
         # or fully-replaced version): drops the segment pointer and its
@@ -1476,10 +1574,14 @@ def collect_file_stats(
     min/max pruning that turns a 100 TB scan filtered on any
     clustered dimension into a few files.
 
-    Stats come from parquet footers (driver-side metadata reads,
-    O(files)); files whose footers are unavailable (remote URI
-    backends without local access) simply carry no stats and are
-    never skipped — skipping is always CONSERVATIVE."""
+    Prefer ``stats_cols=`` on the publish itself: the executors just
+    wrote the files, so write-time stats cost one column-pruned pass
+    over the DELTA only. This function is the post-hoc/backfill path:
+    on segmented manifests it runs a distributed per-segment job
+    (works on every backend); legacy inline manifests use driver-side
+    footer reads (posix/file: only). Files without collectable stats
+    simply carry none and are never skipped — skipping is always
+    CONSERVATIVE."""
     fs = _fs_for(table_dir, spark)
     with _Lease(fs, table_dir):
         manifest = _read_manifest(table_dir, fs)
@@ -1489,23 +1591,31 @@ def collect_file_stats(
             # segmented manifest: stats live in the per-version segment
             # sidecars — update each referenced sidecar in place (an
             # atomic replace; stats addition is monotone + conservative,
-            # and every snapshot citing the segment sees them for free)
+            # and every snapshot citing the segment sees them for free).
+            # Collection is a DISTRIBUTED job per segment, so it works
+            # on every backend — but prefer stats_cols= on the publish
+            # itself (write-time, no second scan).
+            spark = spark or SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError(
+                    "collect_file_stats needs an active SparkSession "
+                    "(stats collection is a distributed job)"
+                )
             n = 0
             for seg in manifest.get("segments") or []:
                 s = _load_seg(fs, table_dir, seg)
+                got = _distributed_file_stats(
+                    spark, fs, table_dir, s.get("files", []),
+                    list(stats_cols), schema_json=manifest.get("schema"),
+                )
+                if not got:
+                    continue
                 seg_stats = dict(s.get("file_stats") or {})
-                changed = False
-                for f in s.get("files", []):
-                    mm = _footer_minmax(
-                        fs, fs.join(table_dir, f), list(stats_cols)
-                    )
-                    if mm:
-                        seg_stats[f] = {**seg_stats.get(f, {}), **mm}
-                        n += 1
-                        changed = True
-                if changed:
-                    s["file_stats"] = seg_stats
-                    _write_seg(fs, table_dir, seg, s)
+                for f, mm in got.items():
+                    seg_stats[f] = {**seg_stats.get(f, {}), **mm}
+                    n += 1
+                s["file_stats"] = seg_stats
+                _write_seg(fs, table_dir, seg, s)
             return n
         # legacy inline manifest: stats embed in the manifest itself
         stats = dict(manifest.get("file_stats") or {})
@@ -1537,13 +1647,14 @@ def publish_clustered(
 ) -> int:
     """OPTIMIZE-style clustered publish: range-repartition and sort the
     snapshot on ``cluster_by`` (compose with ``scale.zorder_key`` for a
-    multi-dimensional key), publish it, then record the cluster
-    columns' footer min/max in the manifest — so every
+    multi-dimensional key) and publish it with the cluster columns'
+    per-file min/max recorded AT WRITE TIME (``stats_cols`` on the
+    publish — a distributed job, every backend) — so every
     ``read_published(skip=...)`` bound on a clustered column opens only
     the files whose range intersects. The write-side half of data
     skipping: clustering makes per-file ranges TIGHT, the stats make
     them VISIBLE to the reader, and both ride the ordinary atomic
-    commit. Returns the committed version."""
+    commit — no post-hoc stats pass. Returns the committed version."""
     cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
     from pyspark.sql import functions as F
 
@@ -1553,9 +1664,9 @@ def publish_clustered(
         if target_files
         else df.repartitionByRange(*exprs)
     ).sortWithinPartitions(*exprs)
-    version = atomic_publish(out, table_dir, partition_by=partition_by)
-    collect_file_stats(table_dir, cols, df.sparkSession)
-    return version
+    return atomic_publish(
+        out, table_dir, partition_by=partition_by, stats_cols=cols
+    )
 
 
 def optimize_table(

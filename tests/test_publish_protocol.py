@@ -367,3 +367,90 @@ def test_segmented_stats_skipping_still_prunes(spark, tmp_path):
     assert len(pruned2.inputFiles()) < len(
         read_published(spark, t).inputFiles()
     )
+
+
+# ---------------------------------------------------------- write-time stats
+
+
+@pytest.mark.parametrize("backend", ["posix", "hadoop-file-uri"])
+def test_write_time_stats_prune_on_both_backends(spark, tmp_path, backend):
+    """stats_cols= on the publish records per-file min/max during the
+    commit via a distributed job — so skip= prunes files on a Hadoop
+    ``file:`` URI table too (where the old driver footer loop returned
+    no stats and skipping silently degraded to a no-op)."""
+    local = str(tmp_path / "tbl")
+    t = "file://" + local if backend == "hadoop-file-uri" else local
+    from bamboo_spark.operators.publish import publish_clustered
+
+    publish_clustered(
+        spark.range(8000).selectExpr("id", "id as v"), t, "v",
+        target_files=8,
+    )
+    full = read_published(spark, t)
+    pruned = read_published(spark, t, skip={"v": (0, 400)})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert (
+        pruned.where("v <= 400").count()
+        == full.where("v <= 400").count()
+    )
+
+
+def test_append_write_time_stats_cover_only_new_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    atomic_publish(
+        spark.range(100).selectExpr("id", "id as v").coalesce(1), t,
+        stats_cols=["v"],
+    )
+    append_publish(
+        spark.range(100, 200).selectExpr("id", "id as v").coalesce(1), t,
+        stats_cols=["v"],
+    )
+    man = json.load(open(os.path.join(t, "manifest.json")))
+    for seg in man["segments"]:
+        s = json.load(open(os.path.join(t, seg, "_seg.json")))
+        assert s.get("file_stats"), "segment %s missing write-time stats" % seg
+        for f in s["files"]:
+            assert f in s["file_stats"]
+    # range skip over the appended half opens only its file
+    pruned = read_published(spark, t, skip={"v": (150, None)})
+    assert len(pruned.inputFiles()) == 1
+
+
+def test_write_time_stats_on_partition_column(spark, tmp_path):
+    """Partition columns are path-borne, but under a basePath-anchored
+    read they are real attributes — write-time stats must cover them so
+    a day-bounded skip prunes without any partition_by-specific code."""
+    import pyspark.sql.functions as F
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(40).select(
+        F.concat(F.lit("2024-01-0"), (F.col("id") % 4 + 1)).alias("d"),
+        F.col("id").alias("v"),
+    )
+    atomic_publish(df, t, partition_by="d", stats_cols=["d"])
+    pruned = read_published(
+        spark, t, skip={"d": ("2024-01-03", "2024-01-04")}
+    )
+    assert set(
+        r[0] for r in pruned.select("d").distinct().collect()
+    ) == {"2024-01-03", "2024-01-04"}
+    full = read_published(spark, t)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+
+def test_collect_file_stats_distributed_on_hadoop_backend(spark, tmp_path):
+    """Post-hoc backfill also works on the Hadoop URI backend now."""
+    local = str(tmp_path / "tbl")
+    t = "file://" + local
+    from bamboo_spark.operators.publish import collect_file_stats
+
+    atomic_publish(
+        spark.range(4000).selectExpr("id", "id as v")
+        .repartitionByRange(4, "v").sortWithinPartitions("v"),
+        t,
+    )
+    n = collect_file_stats(t, ["v"], spark)
+    assert n >= 4
+    full = read_published(spark, t)
+    pruned = read_published(spark, t, skip={"v": (0, 200)})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
