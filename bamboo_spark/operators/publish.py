@@ -306,6 +306,27 @@ class _Lease:
             "could not acquire the commit lease (lost the break-retry race)"
         )
 
+    def acquire_wait(
+        self, wait_ms: int = 30_000, poll_ms: int = 100
+    ) -> "_Lease":
+        """Acquire, WAITING out fresh contention up to ``wait_ms``.
+
+        Used for the short COMMIT critical section of optimistic
+        writers: the lease there is held only for a manifest
+        read-validate-swap (sub-second), so a writer that finds it held
+        should poll briefly rather than abort a finished data write.
+        TTL breaking and the final timeout still raise."""
+        import time
+
+        deadline = _now_ms() + wait_ms
+        while True:
+            try:
+                return self.acquire()
+            except ConcurrentWriteError:
+                if _now_ms() >= deadline:
+                    raise
+                time.sleep(poll_ms / 1000.0)
+
     def still_mine(self) -> bool:
         """True iff the lock file still holds OUR token — false once a
         TTL break evicted us (the breaker's lock carries its token)."""
@@ -325,7 +346,9 @@ class _Lease:
             self._held = False
 
     def __enter__(self) -> "_Lease":
-        return self.acquire()
+        # idempotent: entering an already-acquired lease (acquire_wait)
+        # must not contend with itself
+        return self if self._held else self.acquire()
 
     def __exit__(self, *exc) -> None:
         self.release()
@@ -590,8 +613,8 @@ def atomic_publish(
     lease = _lease or _Lease(fs, table_dir, ttl_ms=lease_ttl_ms).acquire()
     try:
         prev = _read_manifest(table_dir, fs)
-        version = _next_version(fs, table_dir, prev)
-        vdir = fs.join(table_dir, "_v%d" % version)
+        seg = _claim_vdir(fs, table_dir, _next_version(fs, table_dir, prev))
+        vdir = fs.join(table_dir, seg)
         obs = Observation()
         writer = df.observe(obs, F.count(F.lit(1)).alias("n")).write
         parts = (
@@ -601,8 +624,7 @@ def atomic_publish(
             writer = writer.partitionBy(*parts)
         writer.parquet(vdir)
         n_rows = int(obs.get["n"])
-        files, file_sizes = _scan_written(fs, vdir, version)
-        seg = "_v%d" % version
+        files, file_sizes = _scan_written(fs, vdir, seg)
         seg_data = {"files": files, "file_sizes": file_sizes}
         if stats_cols:
             # WRITE-TIME statistics: one distributed job over the files
@@ -624,6 +646,7 @@ def atomic_publish(
         }
         if meta:
             entry["meta"] = dict(meta)
+        version = (int(prev["version"]) if prev else 0) + 1
         _commit(fs, table_dir, prev, version, entry, lease=lease)
         return version
     finally:
@@ -643,13 +666,33 @@ def _next_version(fs, table_dir: str, prev) -> int:
     return max([committed] + orphans) + 1
 
 
-def _scan_written(fs, vdir: str, version: int):
+def _claim_vdir(fs, table_dir: str, start: int) -> str:
+    """Reserve a version DIRECTORY name with the filesystem's
+    exclusive-create primitive (a ``_v<N>.claim`` marker) so writers
+    that stage data OUTSIDE the commit lease can never write into the
+    same directory. Directory names are now decoupled from snapshot
+    version numbers — the snapshot version is assigned at COMMIT time
+    (monotonic under the lease), while the claimed dir name just has to
+    be unique; under no contention they coincide. The claim marker
+    lives until ``vacuum`` removes the directory."""
+    existing = set(fs.listdir(table_dir))
+    n = start
+    while True:
+        name = "_v%d" % n
+        if name not in existing and fs.create_exclusive(
+            fs.join(table_dir, name + ".claim"), ""
+        ):
+            return name
+        n += 1
+
+
+def _scan_written(fs, vdir: str, vname: str):
     """(manifest-relative file list, {path: bytes}) for a freshly
     written version directory."""
     rel = sorted(f for f in fs.walk_files(vdir) if f.endswith(".parquet"))
-    files = ["_v%d/%s" % (version, f) for f in rel]
+    files = ["%s/%s" % (vname, f) for f in rel]
     sizes = {
-        "_v%d/%s" % (version, f): fs.file_size(fs.join(vdir, f))
+        "%s/%s" % (vname, f): fs.file_size(fs.join(vdir, f))
         for f in rel
     }
     return files, sizes
@@ -744,93 +787,121 @@ def append_publish(
     files written before the widening read the new columns as null.
     Removals and type changes are rejected (a silent narrow/retype is
     how tables corrupt); ``'strict'`` (default) requires the exact
-    committed schema."""
+    committed schema.
+
+    CONCURRENCY (optimistic, write-serializable): the batch write runs
+    with NO lease held — the commit lease guards only the final
+    manifest swap. If another writer committed meanwhile, this append
+    REBASES onto the newer snapshot (appends add files and remove
+    nothing, so they commute with any commit that kept the schema and
+    partition layout); a concurrent schema/layout change raises
+    :class:`ConcurrentWriteError`. Streaming ingest therefore commits
+    concurrently with partition maintenance on other partitions."""
     from pyspark.sql import Observation, functions as F
 
     fs = _fs_for(table_dir, df.sparkSession)
     fs.mkdirs(table_dir)
-    with _Lease(fs, table_dir, ttl_ms=lease_ttl_ms) as lease:
-        prev = _read_manifest(table_dir, fs)
-        if prev is None:
-            return atomic_publish(
-                df, table_dir, partition_by=partition_by, meta=meta,
-                stats_cols=stats_cols, _lease=lease,
-            )
-        parts = prev.get("partition_by") or []
-        schema_json = prev["schema"]
-        if schema_mode == "merge":
-            from pyspark.sql import types as T
+    prev = _read_manifest(table_dir, fs)
+    if prev is None:
+        return atomic_publish(
+            df, table_dir, partition_by=partition_by, meta=meta,
+            stats_cols=stats_cols, lease_ttl_ms=lease_ttl_ms,
+        )
+    parts = prev.get("partition_by") or []
+    schema_json = prev["schema"]
+    if schema_mode == "merge":
+        from pyspark.sql import types as T
 
-            old = T.StructType.fromJson(json.loads(schema_json))
-            old_names = {f.name for f in old.fields}
-            new_by_name = {f.name: f for f in df.schema.fields}
-            for f in old.fields:
-                nf = new_by_name.get(f.name)
-                if nf is not None and nf.dataType != f.dataType:
-                    raise ValueError(
-                        "append_publish(merge): column %r type change "
-                        "%s -> %s is not allowed"
-                        % (f.name, f.dataType, nf.dataType)
-                    )
-            added = [
-                f for f in df.schema.fields if f.name not in old_names
-            ]
-            union = T.StructType(
-                list(old.fields)
-                + [T.StructField(f.name, f.dataType, True) for f in added]
-            )
-            df = df.select(
-                *[
-                    F.col(f.name).cast(f.dataType)
-                    if f.name in df.columns
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in union.fields
-                ]
-            )
-            schema_json = union.json()
-        else:
-            # strict = full NAME + TYPE equality (nullability and field
-            # metadata excluded). Name-only comparison would let a batch
-            # with a retyped column (amount string vs double) commit —
-            # the corruption only surfaces later, at scan time, when
-            # the manifest schema is applied to mismatched files.
-            new_sig = [
-                (f["name"], f["type"])
-                for f in json.loads(df.schema.json())["fields"]
-            ]
-            old_sig = [
-                (f["name"], f["type"])
-                for f in json.loads(schema_json)["fields"]
-            ]
-            if new_sig != old_sig:
+        old = T.StructType.fromJson(json.loads(schema_json))
+        old_names = {f.name for f in old.fields}
+        new_by_name = {f.name: f for f in df.schema.fields}
+        for f in old.fields:
+            nf = new_by_name.get(f.name)
+            if nf is not None and nf.dataType != f.dataType:
                 raise ValueError(
-                    "append_publish: batch schema differs from the "
-                    "committed table schema (names AND types must match; "
-                    "pass schema_mode='merge' to add nullable columns): "
-                    "batch=%s table=%s" % (new_sig, old_sig)
+                    "append_publish(merge): column %r type change "
+                    "%s -> %s is not allowed"
+                    % (f.name, f.dataType, nf.dataType)
                 )
-        version = _next_version(fs, table_dir, prev)
-        vdir = fs.join(table_dir, "_v%d" % version)
-        obs = Observation()
-        writer = df.observe(obs, F.count(F.lit(1)).alias("n")).write
-        if parts:
-            writer = writer.partitionBy(*parts)
-        writer.parquet(vdir)
-        new_files, new_sizes = _scan_written(fs, vdir, version)
-        # O(delta) commit: carried files stay inside their segment
-        # sidecars BY REFERENCE — the commit writes ONE new sidecar
-        # (this batch's files) and a constant-size top-manifest entry;
-        # nothing existing is re-listed, re-read, or re-serialized
+        added = [
+            f for f in df.schema.fields if f.name not in old_names
+        ]
+        union = T.StructType(
+            list(old.fields)
+            + [T.StructField(f.name, f.dataType, True) for f in added]
+        )
+        df = df.select(
+            *[
+                F.col(f.name).cast(f.dataType)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in union.fields
+            ]
+        )
+        schema_json = union.json()
+    else:
+        # strict = full NAME + TYPE equality (nullability and field
+        # metadata excluded). Name-only comparison would let a batch
+        # with a retyped column (amount string vs double) commit —
+        # the corruption only surfaces later, at scan time, when
+        # the manifest schema is applied to mismatched files.
+        new_sig = [
+            (f["name"], f["type"])
+            for f in json.loads(df.schema.json())["fields"]
+        ]
+        old_sig = [
+            (f["name"], f["type"])
+            for f in json.loads(schema_json)["fields"]
+        ]
+        if new_sig != old_sig:
+            raise ValueError(
+                "append_publish: batch schema differs from the "
+                "committed table schema (names AND types must match; "
+                "pass schema_mode='merge' to add nullable columns): "
+                "batch=%s table=%s" % (new_sig, old_sig)
+            )
+    # ---- data-write phase: NO lease held. The batch stages into a
+    # CLAIMED directory (unique by exclusive-create), so concurrent
+    # writers never collide on disk; only the manifest swap contends.
+    seg = _claim_vdir(fs, table_dir, _next_version(fs, table_dir, prev))
+    vdir = fs.join(table_dir, seg)
+    obs = Observation()
+    writer = df.observe(obs, F.count(F.lit(1)).alias("n")).write
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.parquet(vdir)
+    new_files, new_sizes = _scan_written(fs, vdir, seg)
+    # O(delta) commit: carried files stay inside their segment
+    # sidecars BY REFERENCE — the commit writes ONE new sidecar
+    # (this batch's files) and a constant-size top-manifest entry;
+    # nothing existing is re-listed, re-read, or re-serialized
+    if new_files:
+        seg_data = {"files": new_files, "file_sizes": new_sizes}
+        if stats_cols:
+            seg_data["file_stats"] = _distributed_file_stats(
+                df.sparkSession, fs, table_dir, new_files,
+                list(stats_cols), schema_json=schema_json,
+            )
+        _write_seg(fs, table_dir, seg, seg_data)
+    # ---- commit phase: short lease, optimistic rebase. An append adds
+    # files and removes none, so it commutes with ANY concurrent commit
+    # that kept the schema and partition layout — rebase and commit.
+    # acquire_wait: the lease only guards sub-second swaps now, so a
+    # contending writer polls briefly instead of aborting its write.
+    lease = _Lease(fs, table_dir, ttl_ms=lease_ttl_ms).acquire_wait(
+        wait_ms=5_000
+    )
+    with lease:
+        cur = _read_manifest(table_dir, fs)
+        if cur is None:
+            raise ConcurrentWriteError(
+                "append_publish: table manifest vanished mid-append"
+            )
+        if int(cur["version"]) != int(prev["version"]):
+            _check_rebase(prev, cur, "append_publish")
+            prev = cur
         segs, removed = _segments_of(fs, table_dir, prev)
-        seg = "_v%d" % version
         if new_files:
-            seg_data = {"files": new_files, "file_sizes": new_sizes}
-            if stats_cols:
-                seg_data["file_stats"] = _distributed_file_stats(
-                    df.sparkSession, fs, table_dir, new_files,
-                    list(stats_cols), schema_json=schema_json,
-                )
-            _write_seg(fs, table_dir, seg, seg_data)
             segs = segs + [seg]
         prev_nf, prev_sz = _entry_counters(fs, table_dir, prev)
         entry = {
@@ -844,8 +915,23 @@ def append_publish(
         }
         if meta:
             entry["meta"] = dict(meta)
+        version = int(prev["version"]) + 1
         _commit(fs, table_dir, prev, version, entry, lease=lease)
         return version
+
+
+def _check_rebase(base: dict, cur: dict, who: str) -> None:
+    """An optimistic commit may rebase onto a newer manifest only when
+    the table's schema and partition layout are unchanged — anything
+    else is a real conflict the caller must see."""
+    if cur.get("schema") != base.get("schema"):
+        raise ConcurrentWriteError(
+            "%s: concurrent schema change — rebase refused" % who
+        )
+    if (cur.get("partition_by") or []) != (base.get("partition_by") or []):
+        raise ConcurrentWriteError(
+            "%s: concurrent partition-layout change — rebase refused" % who
+        )
 
 
 def table_meta(
@@ -882,52 +968,99 @@ def replace_partitions_publish(
     metadata reads, O(replaced files)), new rows come from the write's
     ``observe``, so ``n_rows = prev - replaced + new``. Readers of any
     version still resolve files only through the manifest; time travel
-    keeps the pre-refresh snapshot intact."""
+    keeps the pre-refresh snapshot intact.
+
+    CONCURRENCY (optimistic, disjoint-partition): the rewrite job runs
+    with NO lease held; at commit time, if the table moved, the commit
+    REBASES onto the newer snapshot iff the touched partitions' live
+    file set is unchanged (the concurrent commits were on DISJOINT
+    partitions — their file deltas don't intersect ours, so merging is
+    exact). A concurrent commit that touched one of OUR partitions
+    raises :class:`ConcurrentWriteError` — nothing is silently
+    dropped. This is what lets streaming ingest commit concurrently
+    with scheduled per-partition maintenance."""
     from pyspark.sql import Observation, functions as F
 
     fs = _fs_for(table_dir, df.sparkSession)
     fs.mkdirs(table_dir)
-    lease = _lease or _Lease(fs, table_dir, ttl_ms=lease_ttl_ms).acquire()
-    try:
-        prev = _read_manifest(table_dir, fs)
-        if prev is None:
-            raise ValueError(
-                "replace_partitions_publish needs an existing table "
-                "(publish the first snapshot with atomic_publish/"
-                "append_publish)"
-            )
-        parts = prev.get("partition_by") or []
-        if not parts:
-            raise ValueError(
-                "replace_partitions_publish needs a hive-partitioned "
-                "table (this one has no partition_by)"
-            )
-        pc = partition_col or parts[0]
-        if pc not in parts:
-            raise ValueError(
-                "partition_col %r is not in the table layout %s"
-                % (pc, parts)
-            )
-        vals = {str(v) for v in values}
-
-        def _val_of(path: str) -> Optional[str]:
-            for seg in path.split("/"):
-                if seg.startswith(pc + "="):
-                    return seg[len(pc) + 1:]
-            return None
-
-        res = _resolve_entry(fs, table_dir, prev)
-        carried = [f for f in res["files"] if _val_of(f) not in vals]
-        replaced = [f for f in res["files"] if _val_of(f) in vals]
-        version = _next_version(fs, table_dir, prev)
-        vdir = fs.join(table_dir, "_v%d" % version)
-        obs = Observation()
-        (
-            df.observe(obs, F.count(F.lit(1)).alias("n"))
-            .write.partitionBy(*parts)
-            .parquet(vdir)
+    prev = _read_manifest(table_dir, fs)
+    if prev is None:
+        raise ValueError(
+            "replace_partitions_publish needs an existing table "
+            "(publish the first snapshot with atomic_publish/"
+            "append_publish)"
         )
-        new_files, new_sizes = _scan_written(fs, vdir, version)
+    parts = prev.get("partition_by") or []
+    if not parts:
+        raise ValueError(
+            "replace_partitions_publish needs a hive-partitioned "
+            "table (this one has no partition_by)"
+        )
+    pc = partition_col or parts[0]
+    if pc not in parts:
+        raise ValueError(
+            "partition_col %r is not in the table layout %s"
+            % (pc, parts)
+        )
+    vals = {str(v) for v in values}
+
+    def _val_of(path: str) -> Optional[str]:
+        for seg in path.split("/"):
+            if seg.startswith(pc + "="):
+                return seg[len(pc) + 1:]
+        return None
+
+    # ---- data-write phase: no lease (claimed dir, collision-free)
+    seg = _claim_vdir(fs, table_dir, _next_version(fs, table_dir, prev))
+    vdir = fs.join(table_dir, seg)
+    obs = Observation()
+    (
+        df.observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.partitionBy(*parts)
+        .parquet(vdir)
+    )
+    new_files, new_sizes = _scan_written(fs, vdir, seg)
+    if new_files:
+        seg_data = {"files": new_files, "file_sizes": new_sizes}
+        if stats_cols:
+            seg_data["file_stats"] = _distributed_file_stats(
+                df.sparkSession, fs, table_dir, new_files,
+                list(stats_cols), schema_json=prev["schema"],
+            )
+        _write_seg(fs, table_dir, seg, seg_data)
+    # ---- commit phase: short lease + disjointness-checked rebase
+    base_touched = {
+        f
+        for f in _resolve_entry(fs, table_dir, prev)["files"]
+        if _val_of(f) in vals
+    }
+    lease = _lease or _Lease(
+        fs, table_dir, ttl_ms=lease_ttl_ms
+    ).acquire_wait(wait_ms=5_000)
+    try:
+        cur = _read_manifest(table_dir, fs)
+        if cur is None:
+            raise ConcurrentWriteError(
+                "replace_partitions_publish: manifest vanished mid-write"
+            )
+        if int(cur["version"]) != int(prev["version"]):
+            _check_rebase(prev, cur, "replace_partitions_publish")
+            cur_touched = {
+                f
+                for f in _entry_files(fs, table_dir, cur)
+                if _val_of(f) in vals
+            }
+            if cur_touched != base_touched:
+                raise ConcurrentWriteError(
+                    "replace_partitions_publish: a concurrent commit "
+                    "changed partition(s) %s between this rewrite's "
+                    "snapshot and its commit — merging would drop those "
+                    "rows; re-run against the new snapshot"
+                    % sorted(vals)
+                )
+            prev = cur
+        res = _resolve_entry(fs, table_dir, prev)
+        replaced = [f for f in res["files"] if _val_of(f) in vals]
         replaced_rows = sum(
             fs.file_rows(fs.join(table_dir, f)) for f in replaced
         )
@@ -938,15 +1071,7 @@ def replace_partitions_publish(
         )
         segs, removed = _segments_of(fs, table_dir, prev)
         removed = sorted(set(removed) | set(replaced))
-        seg = "_v%d" % version
         if new_files:
-            seg_data = {"files": new_files, "file_sizes": new_sizes}
-            if stats_cols:
-                seg_data["file_stats"] = _distributed_file_stats(
-                    df.sparkSession, fs, table_dir, new_files,
-                    list(stats_cols), schema_json=prev["schema"],
-                )
-            _write_seg(fs, table_dir, seg, seg_data)
             segs = segs + [seg]
         # prune segments whose files are now ALL removed (a compacted
         # or fully-replaced version): drops the segment pointer and its
@@ -963,6 +1088,7 @@ def replace_partitions_publish(
             "schema": prev["schema"],
             "partition_by": parts,
         }
+        version = int(prev["version"]) + 1
         _commit(fs, table_dir, prev, version, entry, lease=lease)
         return version
     finally:
@@ -1214,7 +1340,24 @@ def vacuum(
             if name in referenced:
                 continue  # a retained snapshot still cites files here
             fs.rmtree(fs.join(table_dir, name))
+            fs.delete_file(fs.join(table_dir, name + ".claim"))
             removed.append(name)
+        # orphan claim markers (claimed, crashed before writing a dir):
+        # reclaim once the committed version has passed them
+        dirs_now = {
+            d
+            for d in fs.listdir(table_dir)
+            if d.startswith("_v") and d[2:].isdigit()
+        }
+        for e in fs.listdir(table_dir):
+            if (
+                e.endswith(".claim")
+                and e.startswith("_v")
+                and e[2:-6].isdigit()
+                and e[:-6] not in dirs_now
+                and int(e[2:-6]) <= committed
+            ):
+                fs.delete_file(fs.join(table_dir, e))
         return removed
 
 
@@ -1409,63 +1552,64 @@ def compact_partitions(
     from pyspark.sql import functions as F
 
     fs = _fs_for(table_dir, spark)
-    # hold the table lease across snapshot-resolve AND rewrite: without
-    # it, an append/publish_stream batch landing in a touched partition
-    # during the (minutes-long) rewrite would be marked replaced by the
-    # final replace_partitions_publish and silently dropped — exactly
-    # the streaming-ingest + scheduled-maintenance deployment this
-    # function exists for
-    with _Lease(fs, table_dir, ttl_ms=lease_ttl_ms) as lease:
-        manifest = _read_manifest(table_dir, fs)
-        if manifest is None:
-            raise ValueError("compact_partitions: no committed table here")
-        parts = manifest.get("partition_by") or []
-        if not parts:
-            raise ValueError(
-                "compact_partitions needs a hive-partitioned table; use "
-                "compact() for unpartitioned ones"
-            )
-        pc = partition_col or parts[0]
+    # OPTIMISTIC maintenance: the (potentially long) fold job runs with
+    # NO lease held, so streaming ingest keeps committing while old
+    # partitions compact. Safety comes from the commit-time rebase in
+    # replace_partitions_publish — if a concurrent commit touched one
+    # of the partitions being folded, THIS compaction raises
+    # ConcurrentWriteError (retry next maintenance cycle) instead of
+    # silently dropping the concurrent rows; commits on other
+    # partitions merge cleanly.
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        raise ValueError("compact_partitions: no committed table here")
+    parts = manifest.get("partition_by") or []
+    if not parts:
+        raise ValueError(
+            "compact_partitions needs a hive-partitioned table; use "
+            "compact() for unpartitioned ones"
+        )
+    pc = partition_col or parts[0]
 
-        def _val_of(path: str) -> Optional[str]:
-            for seg in path.split("/"):
-                if seg.startswith(pc + "="):
-                    return seg[len(pc) + 1:]
-            return None
+    def _val_of(path: str) -> Optional[str]:
+        for seg in path.split("/"):
+            if seg.startswith(pc + "="):
+                return seg[len(pc) + 1:]
+        return None
 
-        by_val = defaultdict(list)
-        live_files = _entry_files(fs, table_dir, manifest)
-        for f in live_files:
-            by_val[_val_of(f)].append(f)
-        if values is None:
-            values = [v for v, fl in by_val.items() if len(fl) >= min_files]
-        else:
-            values = [str(v) for v in values]
-        if not values:
-            return None
-        sizes = _sizes_for(fs, table_dir, manifest, live_files)
-        touched_bytes = sum(
-            sizes.get(f) or fs.file_size(fs.join(table_dir, f))
-            for v in values
-            for f in by_val.get(v, [])
+    by_val = defaultdict(list)
+    live = _entry_files(fs, table_dir, manifest)
+    for f in live:
+        by_val[_val_of(f)].append(f)
+    if values is None:
+        values = [v for v, fl in by_val.items() if len(fl) >= min_files]
+    else:
+        values = [str(v) for v in values]
+    if not values:
+        return None
+    sizes = _sizes_for(fs, table_dir, manifest, live)
+    touched_bytes = sum(
+        sizes.get(f) or fs.file_size(fs.join(table_dir, f))
+        for v in values
+        for f in by_val.get(v, [])
+    )
+    n_files = max(1, math.ceil(touched_bytes / float(target_file_bytes)))
+    cur = read_published(spark, table_dir)
+    touched = cur.where(F.col(pc).isin(values))  # partition-pruned scan
+    payload = [c for c in cur.columns if c not in parts]
+    folded = (
+        touched.withColumn(
+            "_ck", F.xxhash64(*[F.col(c) for c in payload] or [F.lit(0)])
         )
-        n_files = max(1, math.ceil(touched_bytes / float(target_file_bytes)))
-        cur = read_published(spark, table_dir)
-        touched = cur.where(F.col(pc).isin(values))  # partition-pruned scan
-        payload = [c for c in cur.columns if c not in parts]
-        folded = (
-            touched.withColumn(
-                "_ck", F.xxhash64(*[F.col(c) for c in payload] or [F.lit(0)])
-            )
-            .repartitionByRange(
-                n_files, *([F.col(c) for c in parts] + [F.col("_ck")])
-            )
-            .drop("_ck")
+        .repartitionByRange(
+            n_files, *([F.col(c) for c in parts] + [F.col("_ck")])
         )
-        return replace_partitions_publish(
-            folded, table_dir, values=values, partition_col=pc,
-            _lease=lease,
-        )
+        .drop("_ck")
+    )
+    return replace_partitions_publish(
+        folded, table_dir, values=values, partition_col=pc,
+        lease_ttl_ms=lease_ttl_ms,
+    )
 
 
 def delete_publish(
@@ -1488,36 +1632,42 @@ def delete_publish(
     from pyspark.sql import functions as F
 
     fs = _fs_for(table_dir, spark)
-    # lease held across find-matches AND rewrite (same reason as
-    # compact_partitions): a concurrent append into a touched partition
-    # between our scan and our replace would be silently dropped
-    with _Lease(fs, table_dir, ttl_ms=lease_ttl_ms) as lease:
-        manifest = _read_manifest(table_dir, fs)
-        if manifest is None:
-            raise ValueError("delete_publish: no committed table here")
-        cur = read_published(spark, table_dir)
-        parts = manifest.get("partition_by") or []
-        if not parts:
+    # OPTIMISTIC: find-matches + rewrite run without the lease; the
+    # commit-time rebase in replace_partitions_publish raises if a
+    # concurrent commit touched one of the partitions being rewritten
+    # (so a concurrent append into a touched partition can never be
+    # silently dropped), and merges cleanly with commits on other
+    # partitions — streaming ingest keeps flowing during a GDPR erase.
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        raise ValueError("delete_publish: no committed table here")
+    parts = manifest.get("partition_by") or []
+    if not parts:
+        # unpartitioned fallback is a FULL rewrite — it cannot rebase,
+        # so it holds the lease across read+republish like compact()
+        with _Lease(fs, table_dir, ttl_ms=lease_ttl_ms) as lease:
+            cur = read_published(spark, table_dir)
             kept = cur.where("not (%s)" % condition)
             # commit only if something matched: one count, small side
             n_del = cur.where(condition).count()
             if n_del == 0:
                 return None
             return atomic_publish(kept, table_dir, _lease=lease)
-        pc = parts[0]
-        touched = [
-            r[0]
-            for r in cur.where(condition).select(pc).distinct().collect()
-        ]
-        if not touched:
-            return None
-        kept_touched = cur.where(F.col(pc).isin(touched)).where(
-            "not (%s)" % condition
-        )
-        return replace_partitions_publish(
-            kept_touched, table_dir, values=touched, partition_col=pc,
-            _lease=lease,
-        )
+    cur = read_published(spark, table_dir)
+    pc = parts[0]
+    touched = [
+        r[0]
+        for r in cur.where(condition).select(pc).distinct().collect()
+    ]
+    if not touched:
+        return None
+    kept_touched = cur.where(F.col(pc).isin(touched)).where(
+        "not (%s)" % condition
+    )
+    return replace_partitions_publish(
+        kept_touched, table_dir, values=touched, partition_col=pc,
+        lease_ttl_ms=lease_ttl_ms,
+    )
 
 
 def _footer_minmax(fs, path: str, cols) -> Optional[dict]:

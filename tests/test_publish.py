@@ -307,7 +307,11 @@ def test_ingest_compact_vacuum_lifecycle(spark, tmp_path):
     assert "_v%d" % v1 in removed
     left = {s["version"] for s in snapshots(t, spark)}
     assert left == {v2}
-    on_disk = {d for d in os.listdir(t) if d.startswith("_v")}
+    on_disk = {
+        d
+        for d in os.listdir(t)
+        if d.startswith("_v") and os.path.isdir(os.path.join(t, d))
+    }
     assert on_disk == {"_v%d" % v2}
     assert read_published(spark, t).count() == 500
     with pytest.raises(KeyError):

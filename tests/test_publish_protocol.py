@@ -454,3 +454,193 @@ def test_collect_file_stats_distributed_on_hadoop_backend(spark, tmp_path):
     full = read_published(spark, t)
     pruned = read_published(spark, t, skip={"v": (0, 200)})
     assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+
+# ------------------------------------------------- optimistic concurrency
+
+
+def _seed_days(spark, t):
+    import pyspark.sql.functions as F
+
+    df = spark.range(20).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("k"),
+        F.col("id").alias("v"),
+    )
+    atomic_publish(df, t, partition_by="k")
+
+
+def test_disjoint_append_merges_into_moved_manifest(spark, tmp_path,
+                                                    monkeypatch):
+    """An append whose data write raced a concurrent commit REBASES:
+    both snapshots' rows land, nothing raises (appends commute)."""
+    t = str(tmp_path / "tbl")
+    _seed_days(spark, t)
+    injected = {"done": False}
+    orig = P._scan_written
+
+    def hook(fs, vdir, vname):
+        if not injected["done"]:
+            injected["done"] = True
+            # a concurrent writer commits BETWEEN our base read and our
+            # commit (we are mid-write right now)
+            repl = spark.createDataFrame([("b", 777)], "k string, v long")
+            replace_partitions_publish(repl, t, values=["b"])
+        return orig(fs, vdir, vname)
+
+    monkeypatch.setattr(P, "_scan_written", hook)
+    v = append_publish(
+        spark.createDataFrame([("a", 555)], "k string, v long"), t
+    )
+    monkeypatch.setattr(P, "_scan_written", orig)
+    assert v == 3  # rebased onto the replace's version 2
+    got = read_published(spark, t)
+    assert got.where("v = 555").count() == 1  # our append landed
+    assert got.where("v = 777").count() == 1  # their replace survived
+    assert got.where("k = 'b'").count() == 1  # replace semantics intact
+
+
+def test_disjoint_replace_merges_into_moved_manifest(spark, tmp_path,
+                                                     monkeypatch):
+    """replace on partition 'a' racing an append into partition 'b':
+    disjoint partitions — both commits land exactly."""
+    t = str(tmp_path / "tbl")
+    _seed_days(spark, t)
+    injected = {"done": False}
+    orig = P._scan_written
+
+    def hook(fs, vdir, vname):
+        if not injected["done"]:
+            injected["done"] = True
+            append_publish(
+                spark.createDataFrame([("b", 888)], "k string, v long"), t
+            )
+        return orig(fs, vdir, vname)
+
+    monkeypatch.setattr(P, "_scan_written", hook)
+    v = replace_partitions_publish(
+        spark.createDataFrame([("a", 111)], "k string, v long"),
+        t,
+        values=["a"],
+    )
+    monkeypatch.setattr(P, "_scan_written", orig)
+    assert v == 3
+    got = read_published(spark, t)
+    assert got.where("k = 'a'").count() == 1   # replace applied
+    assert got.where("v = 111").count() == 1
+    assert got.where("v = 888").count() == 1   # concurrent append kept
+    assert P._read_manifest(t, P._PosixFS())["n_rows"] == got.count()
+
+
+def test_same_partition_conflict_raises_not_drops(spark, tmp_path,
+                                                  monkeypatch):
+    """A concurrent commit into the partition being replaced is a REAL
+    conflict: merging would silently drop its rows, so the replace must
+    raise and leave the concurrent commit intact."""
+    t = str(tmp_path / "tbl")
+    _seed_days(spark, t)
+    injected = {"done": False}
+    orig = P._scan_written
+
+    def hook(fs, vdir, vname):
+        if not injected["done"]:
+            injected["done"] = True
+            append_publish(
+                spark.createDataFrame([("a", 999)], "k string, v long"), t
+            )
+        return orig(fs, vdir, vname)
+
+    monkeypatch.setattr(P, "_scan_written", hook)
+    with pytest.raises(ConcurrentWriteError):
+        replace_partitions_publish(
+            spark.createDataFrame([("a", 111)], "k string, v long"),
+            t,
+            values=["a"],
+        )
+    monkeypatch.setattr(P, "_scan_written", orig)
+    got = read_published(spark, t)
+    assert got.where("v = 999").count() == 1  # their append survived
+    assert got.where("v = 111").count() == 0  # our replace NOT committed
+
+
+def test_two_thread_disjoint_replaces_both_commit(spark, tmp_path):
+    """The VERDICT scenario verbatim: two writers on different
+    partition values run CONCURRENTLY (threads, shared session) — both
+    commits land; the commit lease only serializes the sub-second
+    swaps."""
+    import threading
+
+    t = str(tmp_path / "tbl")
+    _seed_days(spark, t)
+    errs = []
+
+    def do(day, val):
+        try:
+            replace_partitions_publish(
+                spark.createDataFrame([(day, val)], "k string, v long"),
+                t,
+                values=[day],
+            )
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append((day, e))
+
+    th = [
+        threading.Thread(target=do, args=("a", 100)),
+        threading.Thread(target=do, args=("b", 200)),
+    ]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs, errs
+    assert current_version(t) == 3  # two commits, monotonic versions
+    got = read_published(spark, t)
+    assert got.count() == 2
+    assert {
+        (r["k"], r["v"]) for r in got.collect()
+    } == {("a", 100), ("b", 200)}
+
+
+def test_ingest_concurrent_with_maintenance(spark, tmp_path, monkeypatch):
+    """publish_stream-shaped append lands WHILE compact_partitions is
+    folding a different partition: the compaction rebases and both
+    survive — the 'streaming ingest + nightly optimize' deployment."""
+    t = str(tmp_path / "tbl")
+    import pyspark.sql.functions as F
+
+    # fragment partition a across two appends; b has one file
+    for lo in (0, 10):
+        append_publish(
+            spark.range(lo, lo + 10).select(
+                F.lit("a").alias("k"), F.col("id").alias("v")
+            ).coalesce(1),
+            t,
+            partition_by="k",
+        )
+    append_publish(
+        spark.range(100, 105).select(
+            F.lit("b").alias("k"), F.col("id").alias("v")
+        ).coalesce(1),
+        t,
+    )
+    injected = {"done": False}
+    orig = P._scan_written
+
+    def hook(fs, vdir, vname):
+        if not injected["done"]:
+            injected["done"] = True
+            # ingest commits a batch into UNTOUCHED partition b while
+            # the compactor is mid-rewrite of partition a
+            append_publish(
+                spark.createDataFrame([("b", 500)], "k string, v long"), t
+            )
+        return orig(fs, vdir, vname)
+
+    monkeypatch.setattr(P, "_scan_written", hook)
+    v = compact_partitions(spark, t, values=["a"])
+    monkeypatch.setattr(P, "_scan_written", orig)
+    assert v is not None
+    got = read_published(spark, t)
+    assert got.where("k = 'a'").count() == 20  # compaction exact
+    assert got.where("v = 500").count() == 1   # concurrent batch kept
+    a_files = [f for f in P.live_files(t, spark) if "k=a" in f]
+    assert len(a_files) == 1  # folded
