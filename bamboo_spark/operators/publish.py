@@ -418,15 +418,18 @@ def _resolve_entry(fs, table_dir: str, entry: dict) -> dict:
             "files": list(entry["files"]),
             "file_sizes": dict(entry.get("file_sizes") or {}),
             "file_stats": dict(entry.get("file_stats") or {}),
+            "file_blooms": dict(entry.get("file_blooms") or {}),
         }
     removed = set(entry.get("removed") or [])
     files: List[str] = []
     sizes: dict = {}
     stats: dict = {}
+    blooms: dict = {}
     for seg in entry.get("segments") or []:
         s = _load_seg(fs, table_dir, seg)
         seg_sizes = s.get("file_sizes") or {}
         seg_stats = s.get("file_stats") or {}
+        seg_blooms = s.get("file_blooms") or {}
         for f in s.get("files", []):
             if f in removed:
                 continue
@@ -435,7 +438,14 @@ def _resolve_entry(fs, table_dir: str, entry: dict) -> dict:
                 sizes[f] = seg_sizes[f]
             if seg_stats.get(f):
                 stats[f] = seg_stats[f]
-    return {"files": files, "file_sizes": sizes, "file_stats": stats}
+            if seg_blooms.get(f):
+                blooms[f] = seg_blooms[f]
+    return {
+        "files": files,
+        "file_sizes": sizes,
+        "file_stats": stats,
+        "file_blooms": blooms,
+    }
 
 
 def _entry_files(fs, table_dir: str, entry: dict) -> List[str]:
@@ -542,6 +552,150 @@ def _distributed_file_stats(
     return out
 
 
+_BLOOM_M = 16384  # bits per file per column (2 KB) — plenty for the
+_BLOOM_K = 5      # ~128 MB-file distinct-value counts point lookups hit
+
+
+def _bloom_positions_py(value, m_bits: int, k: int) -> List[int]:
+    """The k bloom bit positions for ``value`` — PURE-PYTHON twin of
+    the Spark expression in :func:`_distributed_file_blooms`. Both
+    sides hash ``md5(str(value) + ':' + str(i))`` and take the first
+    60 bits mod m, so a position computed on the driver at planning
+    time matches one computed by executors at build time exactly."""
+    import hashlib
+
+    out = []
+    for i in range(k):
+        h = hashlib.md5(
+            ("%s:%d" % (value, i)).encode("utf-8")
+        ).hexdigest()[:15]
+        out.append(int(h, 16) % m_bits)
+    return out
+
+
+def _bloom_might_contain(bloom: dict, value) -> bool:
+    """Driver-side membership test against a stored per-file bloom."""
+    import base64
+
+    bits = base64.b64decode(bloom["b64"])
+    m, k = int(bloom["m"]), int(bloom["k"])
+    for pos in _bloom_positions_py(value, m, k):
+        if not (bits[pos // 8] >> (pos % 8)) & 1:
+            return False
+    return True
+
+
+def _distributed_file_blooms(
+    spark: SparkSession,
+    fs,
+    table_dir: str,
+    rel_files,
+    cols,
+    schema_json: Optional[str] = None,
+    m_bits: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+) -> dict:
+    """Per-file ``{relpath: {col: {m, k, b64}}}`` bloom filters, built
+    by ONE distributed job per version dir: each row contributes its k
+    md5-derived bit positions, collected as a per-file distinct set
+    (bounded by m bits) and packed into a bitset on the driver. The
+    collect is O(files × m/8) bytes — bounded by the BATCH being
+    published when called at write time (the intended path), never by
+    the table."""
+    import base64
+
+    from pyspark.sql import functions as F, types as T
+
+    if not rel_files or not cols:
+        return {}
+    by_prefix: dict = {}
+    for f in rel_files:
+        by_prefix.setdefault(f.split("/", 1)[0], []).append(f)
+    out: dict = {}
+    for vprefix, fl in by_prefix.items():
+        reader = spark.read
+        if schema_json:
+            reader = reader.schema(
+                T.StructType.fromJson(json.loads(schema_json))
+            )
+        df = reader.option(
+            "basePath", fs.join(table_dir, vprefix)
+        ).parquet(*[fs.join(table_dir, f) for f in fl])
+        cs = [c for c in cols if c in df.columns]
+        if not cs:
+            continue
+        aggs = []
+        for ci, c in enumerate(cs):
+            for i in range(k):
+                # first 15 hex chars of md5 = 60 bits → fits a long;
+                # conv(..., 16, 10) matches Python int(hex, 16)
+                pos = F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col(c).cast("string"),
+                                    F.lit(":%d" % i),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(m_bits),
+                ).cast("int")
+                aggs.append(
+                    F.collect_set(pos).alias("p_%d_%d" % (ci, i))
+                )
+        rows = (
+            df.groupBy(F.input_file_name().alias("_f"))
+            .agg(*aggs)
+            .collect()
+        )
+        for r in rows:
+            rel = _rel_of(r["_f"], fl)
+            if rel is None:
+                continue
+            per_col = {}
+            for ci, c in enumerate(cs):
+                bits = bytearray(m_bits // 8)
+                any_pos = False
+                for i in range(k):
+                    for pos in r["p_%d_%d" % (ci, i)] or []:
+                        bits[pos // 8] |= 1 << (pos % 8)
+                        any_pos = True
+                if any_pos:
+                    per_col[c] = {
+                        "m": m_bits,
+                        "k": k,
+                        "b64": base64.b64encode(bytes(bits)).decode(),
+                    }
+            if per_col:
+                out[rel] = per_col
+    return out
+
+
+def _enrich_seg(
+    spark, fs, table_dir, new_files, seg_data, stats_cols, bloom_cols,
+    schema_json,
+):
+    """Attach write-time per-file indexes (min/max stats, equality
+    blooms) to a freshly written segment sidecar — each one distributed
+    job over the DELTA files only."""
+    if stats_cols:
+        seg_data["file_stats"] = _distributed_file_stats(
+            spark, fs, table_dir, new_files, list(stats_cols),
+            schema_json=schema_json,
+        )
+    if bloom_cols:
+        seg_data["file_blooms"] = _distributed_file_blooms(
+            spark, fs, table_dir, new_files, list(bloom_cols),
+            schema_json=schema_json,
+        )
+
+
 def _segments_of(fs, table_dir: str, prev: dict):
     """``(segments, removed)`` base for building the next snapshot on
     top of ``prev``. A legacy inline entry is MIGRATED once: its live
@@ -586,6 +740,7 @@ def atomic_publish(
     lease_ttl_ms: int = 300_000,
     meta: Optional[dict] = None,
     stats_cols=None,
+    bloom_cols=None,
     _lease: Optional[_Lease] = None,
 ) -> int:
     """Write ``df`` as the table's next snapshot and commit it
@@ -626,14 +781,13 @@ def atomic_publish(
         n_rows = int(obs.get["n"])
         files, file_sizes = _scan_written(fs, vdir, seg)
         seg_data = {"files": files, "file_sizes": file_sizes}
-        if stats_cols:
-            # WRITE-TIME statistics: one distributed job over the files
-            # this publish just produced — works on every backend, and
-            # read_published(skip=...) prunes from the first read
-            seg_data["file_stats"] = _distributed_file_stats(
-                df.sparkSession, fs, table_dir, files, list(stats_cols),
-                schema_json=df.schema.json(),
-            )
+        # WRITE-TIME indexes: distributed jobs over the files this
+        # publish just produced — every backend; skip=/skip_eq= prune
+        # from the first read
+        _enrich_seg(
+            df.sparkSession, fs, table_dir, files, seg_data,
+            stats_cols, bloom_cols, df.schema.json(),
+        )
         _write_seg(fs, table_dir, seg, seg_data)
         entry = {
             "segments": [seg],
@@ -764,6 +918,7 @@ def append_publish(
     meta: Optional[dict] = None,
     schema_mode: str = "strict",
     stats_cols=None,
+    bloom_cols=None,
 ) -> int:
     """Append-only snapshot: the next version's file list is the
     previous snapshot's files (CARRIED BY REFERENCE — nothing is
@@ -805,7 +960,8 @@ def append_publish(
     if prev is None:
         return atomic_publish(
             df, table_dir, partition_by=partition_by, meta=meta,
-            stats_cols=stats_cols, lease_ttl_ms=lease_ttl_ms,
+            stats_cols=stats_cols, bloom_cols=bloom_cols,
+            lease_ttl_ms=lease_ttl_ms,
         )
     parts = prev.get("partition_by") or []
     schema_json = prev["schema"]
@@ -877,11 +1033,10 @@ def append_publish(
     # nothing existing is re-listed, re-read, or re-serialized
     if new_files:
         seg_data = {"files": new_files, "file_sizes": new_sizes}
-        if stats_cols:
-            seg_data["file_stats"] = _distributed_file_stats(
-                df.sparkSession, fs, table_dir, new_files,
-                list(stats_cols), schema_json=schema_json,
-            )
+        _enrich_seg(
+            df.sparkSession, fs, table_dir, new_files, seg_data,
+            stats_cols, bloom_cols, schema_json,
+        )
         _write_seg(fs, table_dir, seg, seg_data)
     # ---- commit phase: short lease, optimistic rebase. An append adds
     # files and removes none, so it commutes with ANY concurrent commit
@@ -952,6 +1107,7 @@ def replace_partitions_publish(
     partition_col: Optional[str] = None,
     lease_ttl_ms: int = 300_000,
     stats_cols=None,
+    bloom_cols=None,
     _lease: Optional[_Lease] = None,
 ) -> int:
     """Partial-rewrite snapshot (dynamic partition overwrite with
@@ -1022,11 +1178,10 @@ def replace_partitions_publish(
     new_files, new_sizes = _scan_written(fs, vdir, seg)
     if new_files:
         seg_data = {"files": new_files, "file_sizes": new_sizes}
-        if stats_cols:
-            seg_data["file_stats"] = _distributed_file_stats(
-                df.sparkSession, fs, table_dir, new_files,
-                list(stats_cols), schema_json=prev["schema"],
-            )
+        _enrich_seg(
+            df.sparkSession, fs, table_dir, new_files, seg_data,
+            stats_cols, bloom_cols, prev["schema"],
+        )
         _write_seg(fs, table_dir, seg, seg_data)
     # ---- commit phase: short lease + disjointness-checked rebase
     base_touched = {
@@ -1151,6 +1306,7 @@ def read_published(
     table_dir: str,
     version: Optional[int] = None,
     skip: Optional[dict] = None,
+    skip_eq: Optional[dict] = None,
 ) -> DataFrame:
     """Read exactly the committed snapshot's manifest-listed files —
     the latest by default, or any retained ``version`` (time travel).
@@ -1162,7 +1318,16 @@ def read_published(
     listed column intersects the bound are opened. Conservative by
     construction — a file without recorded stats is always read — so
     the caller still applies the row filter; skipping only shrinks the
-    file list (on a z-ordered snapshot, drastically)."""
+    file list (on a z-ordered snapshot, drastically).
+
+    ``skip_eq`` = ``{col: value}`` prunes for POINT predicates
+    (``col = value``): a file is skipped when its recorded bloom
+    filter (``bloom_cols=`` at publish, or
+    :func:`collect_file_blooms`) proves the value absent, or its
+    min/max range excludes it. min/max alone can't prune equality on
+    unclustered data — the bloom is what turns ``user_id = X`` on a
+    100 TB table into a few file opens. Same conservative rule: no
+    bloom and no stats → the file is read."""
     fs = _fs_for(table_dir, spark)
     manifest = json.loads(fs.read_text(_manifest_path(table_dir, fs)))
     if version is None or int(version) == int(manifest["version"]):
@@ -1197,37 +1362,68 @@ def read_published(
             return True
 
         entry["files"] = [f for f in entry["files"] if _keep(f)]
-    if not entry["files"]:
-        from pyspark.sql import types as T
+    if skip_eq:
+        entry["files"] = _prune_eq(res, entry["files"], skip_eq)
+    return _read_files(
+        spark,
+        fs,
+        table_dir,
+        entry["files"],
+        entry["schema"],
+        bool(entry.get("partition_by")),
+    )
 
-        return spark.createDataFrame(
-            [], T.StructType.fromJson(json.loads(entry["schema"]))
-        )
-    if not entry.get("partition_by"):
-        from pyspark.sql import types as T
 
-        # the MANIFEST schema governs the read (not a sampled file's):
-        # after a schema-merge append, files written before the
-        # widening read the added columns as null
-        return spark.read.schema(
-            T.StructType.fromJson(json.loads(entry["schema"]))
-        ).parquet(*[fs.join(table_dir, f) for f in entry["files"]])
-    # hive-partitioned: a snapshot built by append/replace-partitions
-    # publishing can reference files across SEVERAL version dirs;
-    # partition discovery must anchor per version dir (the segment
-    # between them is _v<K>, not col=val), so group and union — still
-    # manifest-only file resolution
+def _prune_eq(res: dict, files, skip_eq: dict):
+    """Files that may contain rows matching every ``col = value``
+    predicate, judged by per-file blooms and min/max stats
+    (conservative: an unindexed file always survives)."""
+    stats, blooms = res["file_stats"], res["file_blooms"]
+
+    def _keep(f: str) -> bool:
+        for col, value in skip_eq.items():
+            bl = (blooms.get(f) or {}).get(col)
+            if bl and not _bloom_might_contain(bl, value):
+                return False
+            mm = (stats.get(f) or {}).get(col)
+            if mm is not None:
+                mn, mx = mm
+                try:
+                    if value < mn or value > mx:
+                        return False
+                except TypeError:
+                    pass  # incomparable types: stay conservative
+        return True
+
+    return [f for f in files if _keep(f)]
+
+
+def _read_files(
+    spark: SparkSession,
+    fs,
+    table_dir: str,
+    files,
+    schema_json: str,
+    partitioned: bool,
+) -> DataFrame:
+    """Read an explicit manifest-relative file list with the PUBLISHED
+    schema. The manifest schema governs the read (after a schema-merge
+    append, files written before the widening read the added columns as
+    null), and for hive-partitioned snapshots — whose files can span
+    SEVERAL version dirs — each dir anchors its own basePath so the
+    col=val partition attributes keep the writer's types (no inference,
+    pruning predicates still hit the file index)."""
     from pyspark.sql import types as T
 
-    # read with the PUBLISHED schema: without it, partition discovery
-    # type-infers the col=val path values (a 'db=2024-01-01' string
-    # column would come back DATE), silently coercing downstream
-    # unions/joins; with an explicit schema the partition columns keep
-    # the writer's types AS NATIVE ATTRIBUTES, so partition pruning
-    # predicates still hit the file index (no cast in the way)
-    schema = T.StructType.fromJson(json.loads(entry["schema"]))
-    by_prefix = {}
-    for f in entry["files"]:
+    schema = T.StructType.fromJson(json.loads(schema_json))
+    if not files:
+        return spark.createDataFrame([], schema)
+    if not partitioned:
+        return spark.read.schema(schema).parquet(
+            *[fs.join(table_dir, f) for f in files]
+        )
+    by_prefix: dict = {}
+    for f in files:
         by_prefix.setdefault(f.split("/", 1)[0], []).append(f)
     out = None
     for vprefix in sorted(by_prefix):
@@ -1617,6 +1813,7 @@ def delete_publish(
     table_dir: str,
     condition: str,
     lease_ttl_ms: int = 300_000,
+    point: Optional[dict] = None,
 ) -> Optional[int]:
     """Targeted row deletion with snapshot isolation — the GDPR-erasure
     / retention-enforcement primitive: delete every row matching the
@@ -1628,7 +1825,13 @@ def delete_publish(
     pre-delete snapshot stays readable until ``vacuum`` (real erasure =
     delete + vacuum(keep=1), which the reference-aware GC makes safe).
     Unpartitioned tables fall back to a filtered full republish.
-    Returns the committed version, or None when nothing matched."""
+    Returns the committed version, or None when nothing matched.
+
+    ``point`` = ``{col: value}`` (equality predicates implied by
+    ``condition``) switches to the INDEXED file-granular path: bloom/
+    stats skipping shrinks the scan to candidate files, and only the
+    files actually containing matches are rewritten (see
+    :func:`replace_files_publish`) — the GDPR shape at 100 TB."""
     from pyspark.sql import functions as F
 
     fs = _fs_for(table_dir, spark)
@@ -1642,6 +1845,49 @@ def delete_publish(
     if manifest is None:
         raise ValueError("delete_publish: no committed table here")
     parts = manifest.get("partition_by") or []
+    if point:
+        # INDEXED point delete: ``point`` = {col: value} names equality
+        # predicates IMPLIED by ``condition`` (caller's contract — e.g.
+        # condition="user_id = 4", point={"user_id": 4}). Per-file
+        # blooms/stats shrink the candidate set WITHOUT opening files;
+        # one scan of the candidates finds the files actually holding
+        # matches; only THOSE files are rewritten (file-granular
+        # replace). Erasing one user costs a few file opens + a few
+        # file rewrites, not a partition — or table — rewrite.
+        # Conservative: unindexed files stay candidates.
+        res = _resolve_entry(fs, table_dir, manifest)
+        candidates = _prune_eq(res, res["files"], point)
+        if not candidates:
+            return None
+        cand_df = _read_files(
+            spark, fs, table_dir, candidates, manifest["schema"],
+            bool(parts),
+        )
+        matched_abs = [
+            r[0]
+            for r in cand_df.where(condition)
+            .select(F.input_file_name())
+            .distinct()
+            .collect()
+        ]
+        matched = sorted(
+            {
+                rel
+                for rel in (
+                    _rel_of(a, candidates) for a in matched_abs
+                )
+                if rel is not None
+            }
+        )
+        if not matched:
+            return None
+        kept = _read_files(
+            spark, fs, table_dir, matched, manifest["schema"], bool(parts)
+        ).where("not (%s)" % condition)
+        return replace_files_publish(
+            kept, table_dir, matched, lease_ttl_ms=lease_ttl_ms,
+            bloom_cols=list(point),
+        )
     if not parts:
         # unpartitioned fallback is a FULL rewrite — it cannot rebase,
         # so it holds the lease across read+republish like compact()
@@ -1788,6 +2034,159 @@ def collect_file_stats(
         return n
 
 
+def collect_file_blooms(
+    table_dir: str,
+    bloom_cols,
+    spark: Optional[SparkSession] = None,
+    m_bits: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+) -> int:
+    """Backfill per-file EQUALITY blooms for ``bloom_cols`` into the
+    committed snapshot's segment sidecars (returns files indexed).
+    Prefer ``bloom_cols=`` on the publish itself — write-time, one
+    distributed pass over the delta. With blooms recorded,
+    ``read_published(skip_eq={'col': v})`` and
+    ``delete_publish(..., point=...)`` open only the files that may
+    contain the value — the point-lookup/point-delete index min/max
+    stats can't provide on unclustered data. Segmented manifests only
+    (legacy tables: run any publish first to migrate)."""
+    fs = _fs_for(table_dir, spark)
+    with _Lease(fs, table_dir):
+        manifest = _read_manifest(table_dir, fs)
+        if manifest is None:
+            raise ValueError("collect_file_blooms: no committed table here")
+        if manifest.get("files") is not None:
+            raise ValueError(
+                "collect_file_blooms needs a segmented manifest — any "
+                "publish migrates a legacy table"
+            )
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "collect_file_blooms needs an active SparkSession"
+            )
+        n = 0
+        for seg in manifest.get("segments") or []:
+            sdata = _load_seg(fs, table_dir, seg)
+            got = _distributed_file_blooms(
+                spark, fs, table_dir, sdata.get("files", []),
+                list(bloom_cols), schema_json=manifest.get("schema"),
+                m_bits=m_bits, k=k,
+            )
+            if not got:
+                continue
+            seg_blooms = dict(sdata.get("file_blooms") or {})
+            for f, bl in got.items():
+                seg_blooms[f] = {**seg_blooms.get(f, {}), **bl}
+                n += 1
+            sdata["file_blooms"] = seg_blooms
+            _write_seg(fs, table_dir, seg, sdata)
+        return n
+
+
+def replace_files_publish(
+    df: DataFrame,
+    table_dir: str,
+    replace_files,
+    lease_ttl_ms: int = 300_000,
+    stats_cols=None,
+    bloom_cols=None,
+) -> int:
+    """FILE-granular rewrite (the merge-on-read compaction primitive
+    under a copy-on-write commit): the next version drops exactly
+    ``replace_files`` and adds ``df``'s files — every other file
+    carries by reference. This is what makes an indexed point delete
+    cheap: :func:`delete_publish` with ``point=`` rewrites only the
+    files that CONTAIN matches, not whole partitions.
+
+    Optimistic like replace_partitions_publish: the write runs with no
+    lease; at commit, if the table moved, the rebase succeeds iff every
+    file being replaced is still live (nobody compacted or rewrote it
+    meanwhile) — concurrent appends and disjoint rewrites merge
+    cleanly, a conflicting rewrite raises."""
+    from pyspark.sql import Observation, functions as F
+
+    fs = _fs_for(table_dir, df.sparkSession)
+    prev = _read_manifest(table_dir, fs)
+    if prev is None:
+        raise ValueError("replace_files_publish: no committed table here")
+    parts = prev.get("partition_by") or []
+    replace_set = set(replace_files)
+    live = set(_entry_files(fs, table_dir, prev))
+    missing = replace_set - live
+    if missing:
+        raise ValueError(
+            "replace_files_publish: not live in the current snapshot: %s"
+            % sorted(missing)[:5]
+        )
+    # ---- data-write phase: no lease
+    seg = _claim_vdir(fs, table_dir, _next_version(fs, table_dir, prev))
+    vdir = fs.join(table_dir, seg)
+    obs = Observation()
+    writer = df.observe(obs, F.count(F.lit(1)).alias("n")).write
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.parquet(vdir)
+    new_files, new_sizes = _scan_written(fs, vdir, seg)
+    if new_files:
+        seg_data = {"files": new_files, "file_sizes": new_sizes}
+        _enrich_seg(
+            df.sparkSession, fs, table_dir, new_files, seg_data,
+            stats_cols, bloom_cols, prev["schema"],
+        )
+        _write_seg(fs, table_dir, seg, seg_data)
+    # ---- commit phase: short lease + still-live rebase check
+    lease = _Lease(fs, table_dir, ttl_ms=lease_ttl_ms).acquire_wait(
+        wait_ms=5_000
+    )
+    try:
+        cur = _read_manifest(table_dir, fs)
+        if cur is None:
+            raise ConcurrentWriteError(
+                "replace_files_publish: manifest vanished mid-write"
+            )
+        if int(cur["version"]) != int(prev["version"]):
+            _check_rebase(prev, cur, "replace_files_publish")
+            cur_live = set(_entry_files(fs, table_dir, cur))
+            if not replace_set <= cur_live:
+                raise ConcurrentWriteError(
+                    "replace_files_publish: a concurrent commit rewrote "
+                    "file(s) this replace targets — re-run against the "
+                    "new snapshot"
+                )
+            prev = cur
+        res = _resolve_entry(fs, table_dir, prev)
+        replaced = [f for f in res["files"] if f in replace_set]
+        replaced_rows = sum(
+            fs.file_rows(fs.join(table_dir, f)) for f in replaced
+        )
+        replaced_bytes = sum(
+            res["file_sizes"].get(f)
+            or fs.file_size(fs.join(table_dir, f))
+            for f in replaced
+        )
+        segs, removed = _segments_of(fs, table_dir, prev)
+        removed = sorted(set(removed) | replace_set)
+        if new_files:
+            segs = segs + [seg]
+        segs, removed = _prune_segments(fs, table_dir, segs, removed)
+        prev_nf, prev_sz = _entry_counters(fs, table_dir, prev)
+        entry = {
+            "segments": segs,
+            "removed": removed,
+            "n_rows": int(prev["n_rows"]) - replaced_rows + int(obs.get["n"]),
+            "n_files": prev_nf - len(replaced) + len(new_files),
+            "size_bytes": prev_sz - replaced_bytes + sum(new_sizes.values()),
+            "schema": prev["schema"],
+            "partition_by": parts,
+        }
+        version = int(prev["version"]) + 1
+        _commit(fs, table_dir, prev, version, entry, lease=lease)
+        return version
+    finally:
+        lease.release()
+
+
 def publish_clustered(
     df: DataFrame,
     table_dir: str,
@@ -1825,6 +2224,7 @@ def optimize_table(
     min_files: int = 2,
     target_file_bytes: int = 128 * 1024 * 1024,
     stats_cols=None,
+    bloom_cols=None,
     keep: int = 2,
 ) -> dict:
     """One-call table maintenance — the scheduled job an append-ingest
@@ -1860,9 +2260,15 @@ def optimize_table(
         if stats_cols
         else 0
     )
+    n_blooms = (
+        collect_file_blooms(table_dir, bloom_cols, spark)
+        if bloom_cols
+        else 0
+    )
     removed = vacuum(table_dir, keep=keep, spark=spark)
     return {
         "compacted_version": compacted,
         "stats_files": n_stats,
+        "bloom_files": n_blooms,
         "vacuumed": removed,
     }

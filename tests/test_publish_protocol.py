@@ -644,3 +644,133 @@ def test_ingest_concurrent_with_maintenance(spark, tmp_path, monkeypatch):
     assert got.where("v = 500").count() == 1   # concurrent batch kept
     a_files = [f for f in P.live_files(t, spark) if "k=a" in f]
     assert len(a_files) == 1  # folded
+
+
+# --------------------------------------------------------- bloom skipping
+
+
+def test_bloom_positions_python_matches_spark(spark):
+    """The pure-Python position function and the Spark expression must
+    agree bit-for-bit — the driver plans with one, executors built with
+    the other."""
+    import pyspark.sql.functions as F
+
+    vals = ["alpha", "beta", "42", "x y"]
+    m, k = P._BLOOM_M, P._BLOOM_K
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    for i in range(k):
+        pos = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("s"), F.lit(":%d" % i))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(m),
+        ).cast("int")
+        got = {
+            r["s"]: r["p"] for r in df.select("s", pos.alias("p")).collect()
+        }
+        for v in vals:
+            assert got[v] == P._bloom_positions_py(v, m, k)[i], (v, i)
+
+
+def test_skip_eq_bloom_prunes_point_lookup(spark, tmp_path):
+    """user_id = X on UNCLUSTERED data: min/max can't prune (every file
+    spans the id range), the bloom can."""
+    import pyspark.sql.functions as F
+
+    t = str(tmp_path / "tbl")
+    # ids shuffled so every file's min/max covers ~the whole range
+    df = spark.range(4000).select(
+        F.xxhash64("id").alias("shuffle_key"),
+        F.col("id").alias("user_id"),
+        (F.col("id") * 3).alias("v"),
+    ).repartition(8, "shuffle_key").drop("shuffle_key")
+    atomic_publish(df, t, stats_cols=["user_id"], bloom_cols=["user_id"])
+    full = read_published(spark, t)
+    assert len(full.inputFiles()) == 8
+    pruned = read_published(spark, t, skip_eq={"user_id": 1234})
+    # one value lives in exactly one file; bloom fpp may keep ~1 extra
+    assert len(pruned.inputFiles()) <= 2
+    assert pruned.where("user_id = 1234").count() == 1
+
+
+def test_point_delete_rewrites_only_matching_files(spark, tmp_path):
+    """VERDICT done-criterion: an indexed point delete rewrites ONLY
+    the files that contain matches; untouched files carry by reference
+    (audited via the manifest file list), and the result is row-exact."""
+    import pyspark.sql.functions as F
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(4000).select(
+        F.xxhash64("id").alias("sk"),
+        F.col("id").alias("user_id"),
+        (F.col("id") * 3).alias("v"),
+    ).repartition(8, "sk").drop("sk")
+    atomic_publish(df, t, bloom_cols=["user_id"])
+    before = set(P.live_files(t, spark))
+    assert len(before) == 8
+    v = delete_publish(
+        spark, t, "user_id = 77", point={"user_id": 77}
+    )
+    assert v == 2
+    after = set(P.live_files(t, spark))
+    rewritten_away = before - after
+    # the value lives in one file; bloom fpp may admit ~1 false pos,
+    # but false-positive candidate files contain no matches and are NOT
+    # rewritten
+    assert len(rewritten_away) == 1
+    assert before & after == before - rewritten_away  # rest carried
+    got = read_published(spark, t)
+    assert got.where("user_id = 77").count() == 0
+    assert got.count() == 3999
+    assert P._read_manifest(t, P._PosixFS())["n_rows"] == 3999
+
+
+def test_point_delete_conservative_without_blooms(spark, tmp_path):
+    """No blooms recorded → every file is a candidate (conservative),
+    but still only files CONTAINING matches are rewritten."""
+    import pyspark.sql.functions as F
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(2000).select(
+        F.col("id").alias("user_id"), (F.col("id") * 3).alias("v")
+    ).repartitionByRange(4, "user_id")
+    atomic_publish(df, t)  # no indexes at all
+    before = set(P.live_files(t, spark))
+    v = delete_publish(spark, t, "user_id = 99", point={"user_id": 99})
+    assert v == 2
+    after = set(P.live_files(t, spark))
+    assert len(before - after) == 1  # range-partitioned: 1 file matched
+    got = read_published(spark, t)
+    assert got.count() == 1999 and got.where("user_id = 99").count() == 0
+
+
+def test_collect_file_blooms_backfill(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(3000).select(
+        F.xxhash64("id").alias("sk"), F.col("id").alias("user_id")
+    ).repartition(6, "sk").drop("sk")
+    atomic_publish(df, t)
+    from bamboo_spark.operators.publish import collect_file_blooms
+
+    n = collect_file_blooms(t, ["user_id"], spark)
+    assert n == 6
+    pruned = read_published(spark, t, skip_eq={"user_id": 500})
+    assert len(pruned.inputFiles()) <= 2
+    assert pruned.where("user_id = 500").count() == 1
+
+
+def test_optimize_table_refreshes_blooms(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    atomic_publish(
+        spark.range(100).selectExpr("id as user_id", "id * 2 as v"), t
+    )
+    out = optimize_table(spark, t, bloom_cols=["user_id"], min_files=99)
+    assert out["bloom_files"] >= 1
+    pruned = read_published(spark, t, skip_eq={"user_id": 5})
+    assert pruned.where("user_id = 5").count() == 1
