@@ -1966,7 +1966,8 @@ def hypertable_sink(
             else:
                 merged = _merge_hypertable(part)
             atomic_publish(
-                merged.withColumn("_last_bid", F.lit(bid)), table_dir
+                merged.withColumn("_last_bid", F.lit(bid)), table_dir,
+                stats_cols=["db"],
             )
             return
         days = [r[0] for r in part.select("db").distinct().collect()]
@@ -1977,6 +1978,7 @@ def hypertable_sink(
                 ),
                 table_dir,
                 partition_by="db",
+                stats_cols=["db"],
             )
             return
         touched = cur.where(F.col("db").isin(days))  # partition-pruned
@@ -1987,21 +1989,40 @@ def hypertable_sink(
             touched.drop("_last_bid").unionByName(part)
         ).withColumn("_last_bid", F.lit(bid))
         replace_partitions_publish(
-            merged, table_dir, values=days, partition_col="db"
+            merged, table_dir, values=days, partition_col="db",
+            stats_cols=["db"],
         )
 
     return sink
 
 
-def read_hypertable(spark, table_dir: str) -> DataFrame:
+def read_hypertable(spark, table_dir: str, days=None) -> DataFrame:
     """The full hour→day→week rollup from a ``hypertable_stream``-
     maintained partials table — column-for-column the batch
     ``queries.q_hypertable_rollup`` result. The coarser grains are
     built by MERGING the published hour grid (grid-sized aggregates);
-    raw events are never re-read."""
+    raw events are never re-read.
+
+    ``days=(lo, hi)`` bounds the rollup to a day-bucket range (either
+    end None for open) — the dashboard shape "last 7 days". The sink
+    records per-file ``db`` min/max AT PUBLISH TIME, so the bounded
+    read FILE-PRUNES via ``read_published(skip=...)``: on a
+    30,000-day table a 7-day dashboard opens ~7 partitions' files, not
+    the table. Day and week rows aggregate only the in-range days
+    (edge weeks are partial by construction)."""
     from bamboo_spark.operators.publish import read_published
 
-    hour = read_published(spark, table_dir).drop("_last_bid")
+    if days is None:
+        hour = read_published(spark, table_dir).drop("_last_bid")
+    else:
+        lo, hi = days
+        hour = read_published(
+            spark, table_dir, skip={"db": (lo, hi)}
+        ).drop("_last_bid")
+        if lo is not None:
+            hour = hour.where(F.col("db") >= lo)
+        if hi is not None:
+            hour = hour.where(F.col("db") <= hi)
     day = hour.groupBy("db", "wb", "event_type").agg(
         F.sum("n_events").cast("bigint").alias("n_events"),
         F.sum("sum_value_u").cast("bigint").alias("sum_value_u"),
