@@ -2068,6 +2068,8 @@ def publish_stream(
     table_dir: str,
     mode: str = "append",
     partition_by=None,
+    stats_cols=None,
+    bloom_cols=None,
 ):
     """Continuous EXACTLY-ONCE ingest into a published table — the raw
     landing-zone sink: every micro-batch commits through the snapshot
@@ -2086,7 +2088,13 @@ def publish_stream(
     reference-aware ``vacuum`` reclaiming history. ``mode='snapshot'``
     republishes the batch AS the whole table (dimension-table refresh
     semantics). Returns a configured ``DataStreamWriter``; the caller
-    picks trigger/checkpoint and calls ``.start()``."""
+    picks trigger/checkpoint and calls ``.start()``.
+
+    ``stats_cols``/``bloom_cols`` record per-file min/max and equality
+    blooms DURING each batch's commit (distributed jobs over the batch
+    only), so the landing table is range- and point-skippable from its
+    first read — a GDPR ``delete_publish(point=...)`` against the raw
+    landing zone rewrites only the files holding the user."""
     from bamboo_spark.operators.publish import (
         append_publish,
         atomic_publish,
@@ -2106,11 +2114,13 @@ def publish_stream(
         meta = {"last_bid": int(batch_id)}
         if mode == "append":
             append_publish(
-                batch_df, table_dir, partition_by=partition_by, meta=meta
+                batch_df, table_dir, partition_by=partition_by, meta=meta,
+                stats_cols=stats_cols, bloom_cols=bloom_cols,
             )
         else:
             atomic_publish(
-                batch_df, table_dir, partition_by=partition_by, meta=meta
+                batch_df, table_dir, partition_by=partition_by, meta=meta,
+                stats_cols=stats_cols, bloom_cols=bloom_cols,
             )
 
     return sdf.writeStream.foreachBatch(sink)

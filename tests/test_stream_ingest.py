@@ -363,3 +363,37 @@ def test_read_hypertable_day_bounds_prune_files(spark, tmp_path):
     assert all("2024-01-03" in b or g == "week" for g, b, _ in rows)
     assert rows[("day", "2024-01-03", "click")] == 1
     assert len([1 for g, _, _ in rows if g == "hour"]) == 1
+
+
+def test_publish_stream_write_time_indexes(spark, tmp_path):
+    """publish_stream(bloom_cols=...) indexes each batch during its
+    commit: the landing table point-prunes and a point delete rewrites
+    only matching files — no post-hoc index pass over the table."""
+    from bamboo_spark.operators.publish import (
+        delete_publish,
+        live_files,
+        read_published,
+    )
+    import pyspark.sql.functions as F
+
+    t = str(tmp_path / "land")
+    # drive the sink's exact per-batch contract with controlled batch
+    # ids (foreachBatch ids aren't replayable in a unit test)
+    from bamboo_spark.operators.publish import append_publish
+
+    for lo in (0, 800):
+        batch = spark.range(lo, lo + 800).select(
+            F.xxhash64("id").alias("sk"), F.col("id").alias("user_id")
+        ).repartition(4, "sk").drop("sk")
+        append_publish(
+            batch, t, meta={"last_bid": lo}, bloom_cols=["user_id"],
+            stats_cols=["user_id"],
+        )
+    full = read_published(spark, t)
+    pruned = read_published(spark, t, skip_eq={"user_id": 123})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    before = set(live_files(t, spark))
+    delete_publish(spark, t, "user_id = 123", point={"user_id": 123})
+    after = set(live_files(t, spark))
+    assert 1 <= len(before - after) <= 2  # only matching file(s) rewritten
+    assert read_published(spark, t).count() == 1599
