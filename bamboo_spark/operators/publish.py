@@ -901,6 +901,7 @@ def _commit(
             if prev.get(k) is not None:
                 healed[k] = prev[k]
         history[str(prev["version"])] = healed
+    entry.setdefault("committed_at_ms", _now_ms())
     history[str(version)] = entry
     manifest = {"version": version, "snapshots": history, **entry}
     fs.replace_with(
@@ -1434,6 +1435,129 @@ def _read_files(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def restore_table(
+    table_dir: str,
+    version: int,
+    spark: Optional[SparkSession] = None,
+    lease_ttl_ms: int = 300_000,
+) -> int:
+    """RESTORE (rollback-by-commit): publish a NEW version whose
+    content is exactly retained snapshot ``version`` — history moves
+    only forward (the bad versions stay readable for the post-mortem
+    until ``vacuum``), and with a segmented manifest the restore is
+    PURE METADATA: the new entry re-cites the old snapshot's segments
+    by reference, no data moves at any table size. The undo button for
+    a bad merge/delete/compaction."""
+    fs = _fs_for(table_dir, spark)
+    with _Lease(fs, table_dir, ttl_ms=lease_ttl_ms) as lease:
+        manifest = _read_manifest(table_dir, fs)
+        if manifest is None:
+            raise ValueError("restore_table: no committed table here")
+        snaps = manifest.get("snapshots", {})
+        if str(version) not in snaps:
+            raise KeyError(
+                "version %s is not a retained snapshot (have: %s)"
+                % (version, sorted(int(v) for v in snaps))
+            )
+        src = snaps[str(version)]
+        entry = {
+            k: src[k]
+            for k in (
+                "files", "file_sizes", "file_stats", "segments",
+                "removed", "n_rows", "n_files", "size_bytes", "schema",
+                "partition_by",
+            )
+            if src.get(k) is not None
+        }
+        entry["restored_from"] = int(version)
+        new_version = int(manifest["version"]) + 1
+        _commit(fs, table_dir, manifest, new_version, entry, lease=lease)
+        return new_version
+
+
+def read_appends(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: Optional[int] = None,
+) -> DataFrame:
+    """Incremental change read: the rows APPENDED between two committed
+    versions — the poll-based streaming-source primitive (a downstream
+    pipeline remembers the last version it processed and reads only the
+    delta; Delta Lake's streaming source, reduced to its append core).
+
+    With a segmented manifest this is exact metadata algebra: appended
+    rows = the files in ``to``'s segments that are not in ``from``'s
+    live set. Compaction/restore versions re-cite existing ROWS in new
+    files; their rewritten files are excluded when the snapshot's
+    counters show no row growth (pure-rewrite commits contribute
+    nothing). Raises if ``from_version`` is no longer retained —
+    vacuumed history means the delta can't be proven append-only."""
+    fs = _fs_for(table_dir, spark)
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        raise ValueError("read_appends: no committed table here")
+
+    def _entry_of(v: int) -> dict:
+        if v == int(manifest["version"]):
+            return manifest
+        snaps = manifest.get("snapshots", {})
+        if str(v) not in snaps:
+            raise KeyError(
+                "version %s is not a retained snapshot (have: %s)"
+                % (v, sorted(int(x) for x in snaps))
+            )
+        return snaps[str(v)]
+
+    to_v = int(to_version) if to_version is not None else int(
+        manifest["version"]
+    )
+    # walk every intermediate snapshot so interleaved rewrites can't
+    # smuggle old rows into the delta: an append step contributes its
+    # new files; a pure-rewrite step (same row count) contributes
+    # nothing — but if it rewrote a file we already collected as
+    # appended, those appended rows were folded into mixed files and
+    # the exact delta is unrecoverable (raise, don't over-deliver)
+    appended: List[str] = []
+    prev_e = _entry_of(int(from_version))
+    prev_files = set(_entry_files(fs, table_dir, prev_e))
+    schema, partitioned = None, False
+    for v in range(int(from_version) + 1, to_v + 1):
+        e = _entry_of(v)
+        cur_files = set(_entry_files(fs, table_dir, e))
+        added = cur_files - prev_files
+        dropped = prev_files - cur_files
+        grew = int(e.get("n_rows", 0)) - int(prev_e.get("n_rows", 0))
+        if grew < 0:
+            raise ValueError(
+                "read_appends: v%d shrank the table (delete/replace); "
+                "the delta is not append-only" % v
+            )
+        if dropped & set(appended):
+            raise ValueError(
+                "read_appends: v%d rewrote files that carry appended "
+                "rows (compaction folded the delta); read the full "
+                "snapshot instead" % v
+            )
+        if grew > 0:
+            if dropped:
+                raise ValueError(
+                    "read_appends: v%d both added rows and removed "
+                    "files (replace); the delta is not append-only" % v
+                )
+            appended.extend(sorted(added))
+        # grew == 0 with added files = pure rewrite of pre-delta rows:
+        # contributes nothing
+        prev_e, prev_files = e, cur_files
+        schema, partitioned = e["schema"], bool(e.get("partition_by"))
+    if schema is None:  # from == to
+        e = _entry_of(to_v)
+        schema, partitioned = e["schema"], bool(e.get("partition_by"))
+    return _read_files(
+        spark, fs, table_dir, appended, schema, partitioned
+    )
 
 
 def snapshots(

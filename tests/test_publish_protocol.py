@@ -774,3 +774,62 @@ def test_optimize_table_refreshes_blooms(spark, tmp_path):
     assert out["bloom_files"] >= 1
     pruned = read_published(spark, t, skip_eq={"user_id": 5})
     assert pruned.where("user_id = 5").count() == 1
+
+
+# -------------------------------------------------- restore / read_appends
+
+
+def test_restore_table_is_metadata_only_rollback(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    atomic_publish(spark.range(10).selectExpr("id", "id as v"), t)   # v1
+    append_publish(spark.range(10, 15).selectExpr("id", "id as v"), t)  # v2
+    delete_publish(spark, t, "id < 3")                               # v3
+    assert read_published(spark, t).count() == 12
+    from bamboo_spark.operators.publish import restore_table
+
+    v4 = restore_table(t, 2, spark)
+    assert v4 == 4
+    got = read_published(spark, t)
+    assert got.count() == 15  # pre-delete content, re-cited by reference
+    # the bad version stays readable for the post-mortem
+    assert read_published(spark, t, version=3).count() == 12
+    # restore wrote no data files: the restored entry's segments are a
+    # subset of dirs that already existed
+    man = P._read_manifest(t, P._PosixFS())
+    assert man.get("restored_from") == 2
+    assert set(man["segments"]) <= {"_v1", "_v2", "_v3"}
+
+
+def test_read_appends_exact_delta(spark, tmp_path):
+    from bamboo_spark.operators.publish import read_appends
+
+    t = str(tmp_path / "tbl")
+    atomic_publish(spark.range(10).selectExpr("id"), t)        # v1
+    append_publish(spark.range(10, 14).selectExpr("id"), t)    # v2
+    append_publish(spark.range(14, 20).selectExpr("id"), t)    # v3
+    delta = read_appends(spark, t, from_version=1)
+    assert sorted(r["id"] for r in delta.collect()) == list(range(10, 20))
+    d23 = read_appends(spark, t, from_version=2, to_version=3)
+    assert sorted(r["id"] for r in d23.collect()) == list(range(14, 20))
+    assert read_appends(spark, t, 3, 3).count() == 0
+
+
+def test_read_appends_refuses_non_append_histories(spark, tmp_path):
+    from bamboo_spark.operators.publish import read_appends
+
+    t = str(tmp_path / "tbl")
+    atomic_publish(spark.range(10).selectExpr("id"), t)        # v1
+    append_publish(spark.range(10, 14).selectExpr("id"), t)    # v2
+    compact(spark, t)                                          # v3 folds v2
+    # the compaction rewrote files carrying the appended rows — the
+    # exact delta is gone; refusing beats silently over-delivering
+    with pytest.raises(ValueError, match="folded|rewrote"):
+        read_appends(spark, t, from_version=1)
+    # but a post-compaction baseline works again
+    append_publish(spark.range(20, 22).selectExpr("id"), t)    # v4
+    d = read_appends(spark, t, from_version=3)
+    assert sorted(r["id"] for r in d.collect()) == [20, 21]
+    # deletes are never an append delta
+    delete_publish(spark, t, "id = 20")                        # v5
+    with pytest.raises(ValueError, match="shrank|append-only"):
+        read_appends(spark, t, from_version=3)
