@@ -1499,8 +1499,37 @@ def read_appends(
     manifest = _read_manifest(table_dir, fs)
     if manifest is None:
         raise ValueError("read_appends: no committed table here")
+    to_v = int(to_version) if to_version is not None else int(
+        manifest["version"]
+    )
+    appended, schema, partitioned = _append_delta_files(
+        fs, table_dir, manifest, int(from_version), to_v
+    )
+    return _read_files(
+        spark, fs, table_dir, appended, schema, partitioned
+    )
+
+
+def _append_delta_files(
+    fs, table_dir: str, manifest: dict, from_v: int, to_v: int
+):
+    """``(appended files, schema_json, partitioned)`` between two
+    retained versions — the metadata algebra behind
+    :func:`read_appends` and the ``bamboo_published`` streaming source.
+
+    Walks every intermediate snapshot so interleaved rewrites can't
+    smuggle old rows into the delta: an append step contributes its new
+    files; a pure-rewrite step (same row count) contributes nothing —
+    but if it rewrote a file already collected as appended, those
+    appended rows were folded into mixed files and the exact delta is
+    unrecoverable (raise, don't over-deliver)."""
 
     def _entry_of(v: int) -> dict:
+        if v == 0:
+            # version 0 = the empty table before the first commit: the
+            # delta from it is the FULL initial snapshot (how a
+            # startingVersion=0 stream replays history)
+            return {"n_rows": 0, "files": [], "segments": []}
         if v == int(manifest["version"]):
             return manifest
         snaps = manifest.get("snapshots", {})
@@ -1511,20 +1540,11 @@ def read_appends(
             )
         return snaps[str(v)]
 
-    to_v = int(to_version) if to_version is not None else int(
-        manifest["version"]
-    )
-    # walk every intermediate snapshot so interleaved rewrites can't
-    # smuggle old rows into the delta: an append step contributes its
-    # new files; a pure-rewrite step (same row count) contributes
-    # nothing — but if it rewrote a file we already collected as
-    # appended, those appended rows were folded into mixed files and
-    # the exact delta is unrecoverable (raise, don't over-deliver)
     appended: List[str] = []
-    prev_e = _entry_of(int(from_version))
+    prev_e = _entry_of(from_v)
     prev_files = set(_entry_files(fs, table_dir, prev_e))
     schema, partitioned = None, False
-    for v in range(int(from_version) + 1, to_v + 1):
+    for v in range(from_v + 1, to_v + 1):
         e = _entry_of(v)
         cur_files = set(_entry_files(fs, table_dir, e))
         added = cur_files - prev_files
@@ -1555,9 +1575,7 @@ def read_appends(
     if schema is None:  # from == to
         e = _entry_of(to_v)
         schema, partitioned = e["schema"], bool(e.get("partition_by"))
-    return _read_files(
-        spark, fs, table_dir, appended, schema, partitioned
-    )
+    return appended, schema, partitioned
 
 
 def snapshots(

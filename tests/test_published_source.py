@@ -1,0 +1,167 @@
+"""``bamboo_published`` Python DataSource: batch reads match
+read_published, opt-in pushdown prunes the file list, and the
+streaming source delivers exactly the appended rows per version."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from bamboo_spark.operators.publish import (
+    append_publish,
+    atomic_publish,
+    compact,
+    read_published,
+)
+from bamboo_spark.sources.published import register
+
+
+@pytest.fixture()
+def src(spark):
+    register(spark)
+    return spark
+
+
+def test_batch_read_matches_read_published(src, spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.range(300).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").alias("v"),
+    )
+    atomic_publish(df, t, partition_by="g")
+    append_publish(
+        spark.range(300, 340).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            F.col("id").alias("v"),
+        ),
+        t,
+    )
+    got = spark.read.format("bamboo_published").load(t)
+    want = read_published(spark, t)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert got.count() == want.count() == 340
+    # value-exact, partition column restored with the writer's type
+    assert sorted(
+        (r["g"], r["v"]) for r in got.collect()
+    ) == sorted((r["g"], r["v"]) for r in want.collect())
+
+
+def test_batch_read_schema_merge_nulls(src, spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    atomic_publish(spark.range(5).selectExpr("id"), t)
+    append_publish(
+        spark.range(5, 8).selectExpr("id", "id * 2 as extra"),
+        t,
+        schema_mode="merge",
+    )
+    got = spark.read.format("bamboo_published").load(t)
+    assert got.where("extra is null").count() == 5  # pre-widening files
+    assert got.where("extra is not null").count() == 3
+
+
+def test_pushdown_prunes_files_safe_default_does_not_poison(
+    src, spark, tmp_path
+):
+    t = str(tmp_path / "tbl")
+    df = spark.range(4000).select(
+        F.xxhash64("id").alias("sk"), F.col("id").alias("user_id")
+    ).repartition(8, "sk").drop("sk")
+    atomic_publish(df, t, stats_cols=["user_id"], bloom_cols=["user_id"])
+    # opt-in pushdown: the scan itself shrinks to the bloom candidates
+    pruned = (
+        spark.read.format("bamboo_published")
+        .option("pushdown", "true")
+        .load(t)
+        .where("user_id = 1234")
+    )
+    assert pruned.rdd.getNumPartitions() <= 2
+    assert pruned.count() == 1
+    # safe default: a filtered action must NOT poison later actions on
+    # the same DataFrame (the reason pushdown is opt-in)
+    b = spark.read.format("bamboo_published").load(t)
+    assert b.where("user_id = 1234").count() == 1
+    assert b.count() == 4000
+
+
+def test_stream_delivers_appends_per_version(src, spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    atomic_publish(spark.range(10).selectExpr("id"), t)        # v1
+    append_publish(spark.range(10, 14).selectExpr("id"), t)    # v2
+    seen = []
+
+    def sink(batch_df, bid):
+        seen.append(sorted(r["id"] for r in batch_df.collect()))
+
+    q = (
+        spark.readStream.format("bamboo_published")
+        .option("startingVersion", "0")
+        .load(t)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert sorted(x for b in seen for x in b) == list(range(14))
+        n_before = len(seen)
+        append_publish(spark.range(14, 20).selectExpr("id"), t)  # v3
+        q.processAllAvailable()
+        delta = [x for b in seen[n_before:] for x in b]
+        assert sorted(delta) == list(range(14, 20))
+    finally:
+        q.stop()
+
+
+def test_stream_latest_start_skips_history(src, spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    atomic_publish(spark.range(10).selectExpr("id"), t)  # history
+    seen = []
+
+    def sink(batch_df, bid):
+        seen.extend(r["id"] for r in batch_df.collect())
+
+    q = (
+        spark.readStream.format("bamboo_published")
+        .load(t)  # default startingVersion=latest
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert seen == []  # history skipped
+        append_publish(spark.range(50, 53).selectExpr("id"), t)
+        q.processAllAvailable()
+        assert sorted(seen) == [50, 51, 52]
+    finally:
+        q.stop()
+
+
+def test_stream_pure_rewrite_contributes_nothing(src, spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    atomic_publish(
+        spark.range(20).selectExpr("id").repartition(4), t
+    )
+    seen = []
+
+    def sink(batch_df, bid):
+        seen.extend(r["id"] for r in batch_df.collect())
+
+    q = (
+        spark.readStream.format("bamboo_published")
+        .load(t)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        compact(spark, t)  # pure rewrite: no appended rows
+        q.processAllAvailable()
+        assert seen == []
+        append_publish(spark.range(100, 102).selectExpr("id"), t)
+        q.processAllAvailable()
+        assert sorted(seen) == [100, 101]
+    finally:
+        q.stop()
