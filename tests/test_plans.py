@@ -1009,3 +1009,51 @@ def test_orders_backlog_grid_cumulative(spark):
     s = simple_plan(q.queries()["orders_backlog_monthly"](spark, SF))
     assert "CartesianProduct" not in s, s
     assert s.rfind("HashAggregate") > s.find("Window") > -1, s
+
+
+def test_concurrency_peak_window_is_day_partitioned(spark):
+    # the endpoint sweep must run per day partition — a global
+    # single-partition window would be the scale cliff
+    plan = plan_of(q.q_events_concurrency_peak(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "SinglePartition" not in tree, tree
+    assert "hashpartitioning(db" in plan
+
+
+def test_attribution_bucketized_no_cartesian(spark):
+    # purchase-click pairing is an equi-join on (user, bucket) — no
+    # cartesian, no per-user cross product
+    plan = plan_of(q.q_attribution_last_touch(spark, SF))
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" in tree or "BroadcastHashJoin" in tree or (
+        "ShuffledHashJoin" in tree
+    )
+
+
+def test_khop_reach_all_equi_joins(spark):
+    plan = plan_of(q.q_dup_khop_reach(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_coproduction_pairs_are_bounded_equi_join(spark):
+    # supplier pairs come from a per-part equi-join (C(4,2) per key),
+    # never a cross join of partsupp with itself
+    plan = plan_of(q.q_supplier_coproduction(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_cohort_ltv_two_shuffles(spark):
+    # min-per-customer + grid rollup: customer-keyed exchange, the
+    # join reuses it, plus the final report sort
+    plan = plan_of(q.q_cohort_ltv_matrix(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 4, tree
+
+
+def test_outliers_mad_grid_broadcasts_back(spark):
+    # medians live on a type-sized grid; the value rows join them via
+    # broadcast, never a shuffle of values against a 5-row table
+    plan = plan_of(q.q_outliers_mad(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
