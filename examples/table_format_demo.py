@@ -1,0 +1,149 @@
+"""Table-format demo: the full life of a published table.
+
+    python examples/table_format_demo.py
+
+Walks one table through the protocol end to end:
+
+1. clustered first publish with WRITE-TIME per-file min/max stats and
+   equality blooms (distributed index jobs over the batch)
+2. micro-batch appends — O(delta) commits: one segment sidecar each,
+   the top manifest stays constant-size
+3. range skipping (``skip=``) and point skipping (``skip_eq=``) —
+   file counts printed
+4. an indexed GDPR point delete that rewrites ONLY the files holding
+   the user (``delete_publish(point=...)``)
+5. maintenance (``optimize_table``) running its compaction
+   optimistically — concurrent appends would merge, not block
+6. time travel + ``restore_table`` (metadata-only rollback)
+7. the table as a Spark DATA SOURCE: batch read, opt-in pushdown, and
+   the version-offset streaming source delivering exactly the appended
+   rows per micro-batch
+"""
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from bamboo_spark.operators.publish import (  # noqa: E402
+    append_publish,
+    atomic_publish,
+    delete_publish,
+    live_files,
+    optimize_table,
+    read_published,
+    restore_table,
+    snapshots,
+    table_meta,
+)
+from bamboo_spark.sources.published import register  # noqa: E402
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    register(spark)
+    t = tempfile.mkdtemp() + "/events_table"
+
+    def mk(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(
+                F.xxhash64("id").alias("sk"),
+                F.col("id").alias("user_id"),
+                (F.col("id") % 4).cast("string").alias("g"),
+                (F.col("id") * 3).alias("v"),
+            )
+            .repartition(4, "sk")
+            .drop("sk")
+        )
+
+    # 1. first publish, indexed at write time
+    atomic_publish(
+        mk(0, 4000), t, partition_by="g",
+        stats_cols=["v"], bloom_cols=["user_id"],
+        meta={"last_bid": 0},
+    )
+    # 2. micro-batch appends — note the manifest size staying flat
+    for i, lo in enumerate((4000, 4800, 5600)):
+        append_publish(
+            mk(lo, lo + 800), t,
+            stats_cols=["v"], bloom_cols=["user_id"],
+            meta={"last_bid": i + 1},
+        )
+        print(
+            "append v%d: manifest %d bytes, %d live files"
+            % (
+                i + 2,
+                os.path.getsize(os.path.join(t, "manifest.json")),
+                len(live_files(t, spark)),
+            )
+        )
+
+    # 3. skipping
+    full = read_published(spark, t)
+    rng = read_published(spark, t, skip={"v": (0, 3000)})
+    pt = read_published(spark, t, skip_eq={"user_id": 1234})
+    print(
+        "files: full=%d  range-skip=%d  point-skip=%d"
+        % (len(full.inputFiles()), len(rng.inputFiles()), len(pt.inputFiles()))
+    )
+
+    # 4. indexed point delete
+    before = set(live_files(t, spark))
+    delete_publish(spark, t, "user_id = 1234", point={"user_id": 1234})
+    rewritten = before - set(live_files(t, spark))
+    print(
+        "point delete rewrote %d of %d files; rows=%d"
+        % (len(rewritten), len(before), read_published(spark, t).count())
+    )
+
+    # 5. maintenance (meta — the ingest HWM — survives)
+    out = optimize_table(spark, t, stats_cols=["v"], bloom_cols=["user_id"])
+    print("optimize:", json.dumps(out), "meta:", table_meta(t))
+
+    # 6. time travel + restore
+    print("snapshots:", [(s["version"], s["n_rows"]) for s in snapshots(t, spark)])
+    v = restore_table(t, snapshots(t, spark)[0]["version"], spark)
+    print("restored as v%d -> rows=%d" % (v, read_published(spark, t).count()))
+
+    # 7. data source
+    b = spark.read.format("bamboo_published").load(t)
+    pruned = (
+        spark.read.format("bamboo_published")
+        .option("pushdown", "true")
+        .load(t)
+        .where("user_id = 777")
+    )
+    print(
+        "datasource: rows=%d; pushdown scan partitions=%d"
+        % (b.count(), pruned.rdd.getNumPartitions())
+    )
+    ck = tempfile.mkdtemp() + "/ck"
+    got = []
+    q = (
+        spark.readStream.format("bamboo_published")
+        .load(t)
+        .writeStream.foreachBatch(lambda bdf, bid: got.append(bdf.count()))
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    append_publish(mk(9000, 9400), t)
+    q.processAllAvailable()
+    q.stop()
+    print("streaming micro-batch row counts (post-start appends):", got)
+
+
+if __name__ == "__main__":
+    main()
