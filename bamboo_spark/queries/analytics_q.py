@@ -682,3 +682,109 @@ select source, count(*)::BIGINT n_grams,
              / 2305843009213693952.0, 8) expected_collisions
 from h group by source order by source
 """.format(sh=sh, h=md5_int60_duck("gram"))
+
+
+def q_attribution_position_based(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Position-based (U-shaped) attribution: every purchase's credit
+    splits 40/20/40 across the same user's clicks in the preceding
+    hour — first touch 0.4, last touch 0.4, the middle split evenly
+    (1 click takes 1.0, 2 take 0.5/0.5). Credited revenue and
+    fractional conversions roll up by click hour-of-day. The
+    multi-touch generalization of ``attribution_last_touch``; exact
+    rational credits, rounded identically in both engines.
+
+    Scale: same bucketized range join (2 probe buckets per purchase),
+    then ONE purchase-keyed window pair (row_number + count — bounded
+    per purchase, never global), and a 24-row rollup."""
+    win_us = 3600 * 1_000_000
+    e = load(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("p_us"), "value"
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .select("user_id", F.unix_micros("ts").alias("c_us"))
+        .withColumn("bucket", F.expr("c_us div %d" % win_us))
+    )
+    probes = p.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr("p_us div %d" % win_us),
+                F.expr("p_us div %d - 1" % win_us),
+            )
+        ),
+    )
+    hits = probes.join(c, ["user_id", "bucket"]).where(
+        (F.col("c_us") <= F.col("p_us"))
+        & (F.col("c_us") > F.col("p_us") - win_us)
+    )
+    w = Window.partitionBy("event_id").orderBy("c_us")
+    wn = Window.partitionBy("event_id")
+    ranked = hits.select(
+        "event_id",
+        "value",
+        "c_us",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when(F.col("rk") == 1, F.lit(0.4))
+        .when(F.col("rk") == F.col("n"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return (
+        ranked.select(
+            F.expr("pmod(c_us div 3600000000, 24)")
+            .cast("bigint")
+            .alias("att_hour"),
+            credit.alias("credit"),
+            (credit * F.col("value")).alias("cv"),
+        )
+        .groupBy("att_hour")
+        .agg(
+            F.round(F.sum("credit"), 4).alias("credited_conversions"),
+            F.round(F.sum("cv"), 2).alias("credited_revenue"),
+        )
+        .orderBy("att_hour")
+    )
+
+
+Q_ATTRIBUTION_POS_SQL = """
+with p as (
+  select event_id, user_id, epoch_us(ts) p_us, value from events
+  where event_type = 'purchase'
+),
+c as (
+  select user_id, epoch_us(ts) c_us from events where event_type = 'click'
+),
+hits as (
+  select p.event_id, p.value, c.c_us
+  from p join c
+    on c.user_id = p.user_id
+   and c.c_us <= p.p_us and c.c_us > p.p_us - 3600000000
+),
+ranked as (
+  select event_id, value, c_us,
+         row_number() over (partition by event_id order by c_us) rk,
+         count(*) over (partition by event_id) n
+  from hits
+),
+cr as (
+  select (c_us // 3600000000) % 24 att_hour, value,
+         case when n = 1 then 1.0
+              when n = 2 then 0.5
+              when rk = 1 then 0.4
+              when rk = n then 0.4
+              else 0.2 / (n - 2) end credit
+  from ranked
+)
+select att_hour::BIGINT att_hour,
+       round(sum(credit), 4) credited_conversions,
+       round(sum(credit * value), 2) credited_revenue
+from cr group by 1 order by 1
+"""
