@@ -831,13 +831,18 @@ def _claim_vdir(fs, table_dir: str, start: int) -> str:
     lives until ``vacuum`` removes the directory."""
     existing = set(fs.listdir(table_dir))
     n = start
-    while True:
+    for _ in range(100_000):  # bound: a persistent FS error (perms,
+        # missing parent) must surface, not spin the claim loop forever
         name = "_v%d" % n
         if name not in existing and fs.create_exclusive(
             fs.join(table_dir, name + ".claim"), ""
         ):
             return name
         n += 1
+    raise ConcurrentWriteError(
+        "could not claim a version directory after 100k attempts — "
+        "the filesystem is refusing exclusive creates"
+    )
 
 
 def _scan_written(fs, vdir: str, vname: str):
