@@ -788,3 +788,251 @@ select att_hour::BIGINT att_hour,
        round(sum(credit * value), 2) credited_revenue
 from cr group by 1 order by 1
 """
+
+
+_MRE_ITERS = 15
+
+
+def q_attribution_markov_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Markov (removal-effect) attribution — the data-driven
+    multi-touch model: user journeys (event sequences truncated at the
+    first purchase) become a first-order chain with START / channel /
+    conv / null states; each channel's credit is how much the
+    START→conv absorption probability DROPS when that channel's state
+    is removed (transitions into it redirected to null). Credits
+    normalize into shares and split total purchase revenue.
+
+    Determinism: absorption probabilities run as ``_MRE_ITERS``
+    unrolled value-iteration steps in INTEGER nano-units with per-edge
+    floor quantization — ``v'(s) = Σ_t floor(c(s,t)·val(t) div r(s))``
+    — the ``markov_stationary``/``pagerank`` trick, so both engines
+    land on identical longs (truncation beyond N steps is identical
+    too, so parity holds by construction). int64 headroom: val ≤ 1e9,
+    so per-edge counts up to ~9e9 are safe; beyond that the multiply
+    needs decimal(38).
+
+    Scale: ONE user-keyed window chain builds the journey edges;
+    everything after is a (scenarios × |states|²) grid — ≤ a few
+    hundred rows regardless of corpus size — iterated with lineage
+    cuts. The only data-sized shuffle is the per-user lag."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    # first purchase per user (exact tie-break on event_id)
+    firstp = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.struct("us", "event_id")).alias("pk"),
+        )
+        .select(
+            "user_id",
+            F.col("pk.us").alias("p_us"),
+            F.col("pk.event_id").alias("p_eid"),
+        )
+    )
+    j = (
+        e.join(F.broadcast(firstp), "user_id", "left")
+        .where(
+            F.col("p_us").isNull()
+            | (F.col("us") < F.col("p_us"))
+            | ((F.col("us") == F.col("p_us"))
+               & (F.col("event_id") <= F.col("p_eid")))
+        )
+        .withColumn(
+            "cur",
+            F.when(F.col("event_type") == "purchase", "conv").otherwise(
+                F.col("event_type")
+            ),
+        )
+    )
+    j = _tracked_persist(j)
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    edges1 = j.withColumn(
+        "prev", F.coalesce(F.lag("cur").over(w), F.lit("START"))
+    ).select(F.col("prev").alias("s"), F.col("cur").alias("t"))
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    edges2 = (
+        j.where(F.col("p_us").isNull())  # non-converting journeys
+        .withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") == 1)
+        .select(F.col("cur").alias("s"), F.lit("null").alias("t"))
+    )
+    mat = (
+        edges1.unionAll(edges2)
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    totals = mat.groupBy("s").agg(F.sum("c").cast("long").alias("r"))
+    mat = _tracked_persist(mat.join(totals, "s"))
+    scen = mat.select(F.col("s").alias("ch")).where(
+        F.col("ch") != "START"
+    ).distinct().select(
+        F.concat(F.lit("rm_"), F.col("ch")).alias("scenario"), "ch"
+    ).unionAll(
+        spark.createDataFrame([("full", None)], "scenario string, ch string")
+    )
+    ms = _tracked_persist(
+        scen.crossJoin(mat).where(
+            F.col("ch").isNull()
+            | ((F.col("s") != F.col("ch")) & (F.col("t") != F.col("ch")))
+        ).select("scenario", "s", "t", "c", "r")
+    )
+    v = ms.select("scenario", F.col("s").alias("t")).distinct().withColumn(
+        "v", F.lit(0).cast("long")
+    )
+    for _ in range(_MRE_ITERS):
+        joined = ms.join(
+            v.select(
+                F.col("scenario").alias("vscen"),
+                F.col("t").alias("vt"),
+                "v",
+            ),
+            (F.col("scenario") == F.col("vscen"))
+            & (F.col("t") == F.col("vt")),
+            "left",
+        )
+        v = (
+            joined.select(
+                "scenario",
+                "s",
+                F.expr(
+                    "c * (case when t = 'conv' then 1000000000 "
+                    "when t = 'null' then 0 "
+                    "else coalesce(v, 0) end) div r"
+                ).cast("long").alias("m"),
+            )
+            .groupBy("scenario", F.col("s").alias("t"))
+            .agg(F.sum("m").cast("long").alias("v"))
+            .localCheckpoint(eager=False)
+        )
+    p = v.where(F.col("t") == "START").select("scenario", "v")
+    fullp = p.where(F.col("scenario") == "full").select(
+        F.col("v").alias("fp")
+    )
+    rev = load(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).agg(F.sum("value").alias("tv"))
+    eff = (
+        p.where(F.col("scenario") != "full")
+        .select(
+            F.expr("substring(scenario, 4)").alias("channel"),
+            F.col("v").alias("pv"),
+        )
+        .crossJoin(F.broadcast(fullp))
+        .select("channel", (F.col("fp") - F.col("pv")).alias("re"), "fp")
+    )
+    wall = Window.partitionBy()
+    out = eff.withColumn("sre", F.sum("re").over(wall)).crossJoin(
+        F.broadcast(rev)
+    )
+    return out.select(
+        "channel",
+        F.when(
+            F.col("fp") > 0, F.round(F.col("re") / F.col("fp"), 6)
+        ).alias("removal_effect"),
+        F.when(
+            F.col("sre") > 0, F.round(F.col("re") / F.col("sre"), 6)
+        ).alias("attribution_share"),
+        F.when(
+            F.col("sre") > 0,
+            F.round(F.col("re") / F.col("sre") * F.col("tv"), 2),
+        ).alias("attributed_revenue"),
+    ).orderBy("channel")
+
+
+def _attribution_markov_duck(iters: int = _MRE_ITERS) -> str:
+    sql = """
+with ev as materialized (
+  select user_id, event_id, event_type, epoch_us(ts) us from events
+),
+fp as materialized (
+  select user_id, min(us) p_us,
+         min(event_id) filter (
+           where us = (select min(u2.us) from ev u2
+                       where u2.user_id = ev.user_id
+                         and u2.event_type = 'purchase')
+         ) p_eid
+  from ev where event_type = 'purchase' group by user_id
+),
+j as materialized (
+  select e.user_id, e.event_id, e.us,
+         case when e.event_type = 'purchase' then 'conv'
+              else e.event_type end cur,
+         f.p_us
+  from ev e left join fp f on f.user_id = e.user_id
+  where f.p_us is null or e.us < f.p_us
+     or (e.us = f.p_us and e.event_id <= f.p_eid)
+),
+e1 as (
+  select coalesce(lag(cur) over (partition by user_id
+                                 order by us, event_id), 'START') s,
+         cur t
+  from j
+),
+e2 as (
+  select cur s, 'null' t from (
+    select cur, row_number() over (partition by user_id
+                                   order by us desc, event_id desc) rn
+    from j where p_us is null
+  ) where rn = 1
+),
+mat0 as materialized (
+  select s, t, count(*)::BIGINT c
+  from (select * from e1 union all select * from e2) group by 1, 2
+),
+tot as materialized (select s, sum(c)::BIGINT r from mat0 group by s),
+scen as materialized (
+  select 'rm_' || s scenario, s ch from (
+    select distinct s from mat0 where s <> 'START'
+  )
+  union all
+  select 'full', null
+),
+ms as materialized (
+  select scen.scenario, m.s, m.t, m.c, tot.r
+  from scen cross join mat0 m join tot on tot.s = m.s
+  where scen.ch is null or (m.s <> scen.ch and m.t <> scen.ch)
+),
+v0 as materialized (
+  select distinct scenario, s t, 0::BIGINT v from ms
+)"""
+    prev = "v0"
+    for i in range(1, iters + 1):
+        sql += """,
+v{i} as materialized (
+  select ms.scenario, ms.s t,
+         sum((ms.c * case when ms.t = 'conv' then 1000000000
+                          when ms.t = 'null' then 0
+                          else coalesce(p.v, 0) end) // ms.r)::BIGINT v
+  from ms left join {prev} p
+    on p.scenario = ms.scenario and p.t = ms.t
+  group by 1, 2
+)""".format(i=i, prev=prev)
+        prev = "v%d" % i
+    sql += """,
+pp as (select scenario, v from {last} where t = 'START'),
+fullp as (select v fp from pp where scenario = 'full'),
+eff as (
+  select substring(scenario, 4) channel,
+         (select fp from fullp) - v re,
+         (select fp from fullp) fp
+  from pp where scenario <> 'full'
+),
+rev as (select sum(value) tv from events where event_type = 'purchase')
+select channel,
+       case when fp > 0 then round(re / fp, 6) end removal_effect,
+       case when (select sum(re) from eff) > 0
+            then round(re / (select sum(re) from eff), 6)
+       end attribution_share,
+       case when (select sum(re) from eff) > 0
+            then round(re / (select sum(re) from eff)
+                       * (select tv from rev), 2)
+       end attributed_revenue
+from eff order by channel
+""".format(last=prev)
+    return sql

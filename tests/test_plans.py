@@ -1057,3 +1057,11 @@ def test_outliers_mad_grid_broadcasts_back(spark):
     plan = plan_of(q.q_outliers_mad(spark, SF))
     tree = plan.split("\n\n")[0]
     assert "BroadcastHashJoin" in tree, tree
+
+
+def test_markov_attribution_no_cartesian_no_python(spark):
+    # iterative value iteration runs on a scenarios x states grid with
+    # lineage cuts; the closing plan must stay JVM-side and cross-free
+    plan = plan_of(q.q_attribution_markov_removal(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
