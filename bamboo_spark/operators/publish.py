@@ -110,6 +110,9 @@ class _PosixFS:
     def mtime_ms(self, p: str) -> int:
         return int(os.path.getmtime(p) * 1000)
 
+    def touch(self, p: str) -> None:
+        os.utime(p, None)
+
     def delete_file(self, p: str) -> None:
         try:
             os.remove(p)
@@ -212,6 +215,10 @@ class _HadoopFS:
     def mtime_ms(self, p: str) -> int:
         return int(self._fs.getFileStatus(self._path(p)).getModificationTime())
 
+    def touch(self, p: str) -> None:
+        now = _now_ms()
+        self._fs.setTimes(self._path(p), now, now)
+
     def delete_file(self, p: str) -> None:
         self._fs.delete(self._path(p), False)
 
@@ -263,12 +270,21 @@ class _Lease:
     :func:`_commit` — an evicted writer's swap RAISES instead of
     clobbering the breaker's committed snapshot."""
 
-    def __init__(self, fs, table_dir: str, ttl_ms: int = 300_000):
+    def __init__(
+        self,
+        fs,
+        table_dir: str,
+        ttl_ms: int = 300_000,
+        heartbeat: bool = False,
+    ):
         self._fs = fs
         self._path = fs.join(table_dir, _LOCK)
         self._ttl_ms = ttl_ms
         self._held = False
         self._token: Optional[str] = None
+        self._heartbeat = heartbeat
+        self._hb_stop = None
+        self._hb_thread = None
 
     def acquire(self) -> "_Lease":
         import uuid
@@ -278,6 +294,8 @@ class _Lease:
             if self._fs.create_exclusive(self._path, token):
                 self._held = True
                 self._token = token
+                if self._heartbeat:
+                    self._start_heartbeat()
                 return self
             # lock exists: fresh → contend; stale → break it and retry
             try:
@@ -327,6 +345,40 @@ class _Lease:
                     raise
                 time.sleep(poll_ms / 1000.0)
 
+    def _start_heartbeat(self) -> None:
+        """Keep a LIVE long-running holder's lock fresh: a daemon
+        thread touches the lock's mtime every ttl/4, so the TTL break
+        only ever evicts writers that actually DIED — a multi-hour
+        compact() can no longer be evicted mid-write by the 300 s
+        default. (The commit-time CAS still backstops the unavoidable
+        races; the heartbeat just stops them from being routine.)"""
+        import threading
+
+        self._hb_stop = threading.Event()
+
+        def beat(stop, fs, path, token, interval_s):
+            while not stop.wait(interval_s):
+                try:
+                    if fs.read_text(path) == token:
+                        fs.touch(path)
+                    else:
+                        return  # broken/handed over: stop quietly
+                except Exception:
+                    return
+
+        self._hb_thread = threading.Thread(
+            target=beat,
+            args=(
+                self._hb_stop,
+                self._fs,
+                self._path,
+                self._token,
+                max(self._ttl_ms / 4000.0, 0.25),
+            ),
+            daemon=True,
+        )
+        self._hb_thread.start()
+
     def still_mine(self) -> bool:
         """True iff the lock file still holds OUR token — false once a
         TTL break evicted us (the breaker's lock carries its token)."""
@@ -339,6 +391,8 @@ class _Lease:
 
     def release(self) -> None:
         if self._held:
+            if self._hb_stop is not None:
+                self._hb_stop.set()
             # delete only our own lock: after a TTL break the file is
             # the breaker's lease, not ours
             if self.still_mine():
@@ -1746,7 +1800,9 @@ def compact(
     from pyspark.sql import functions as F
 
     fs = _fs_for(table_dir, spark)
-    with _Lease(fs, table_dir) as lease:  # read+republish: one lease
+    # read+republish under ONE lease; heartbeat keeps a live multi-hour
+    # rewrite from being TTL-evicted (eviction = crashed writers only)
+    with _Lease(fs, table_dir, heartbeat=True) as lease:
         cur = read_published(spark, table_dir)
         manifest = json.loads(fs.read_text(_manifest_path(table_dir, fs)))
         parts = manifest.get("partition_by") or []
@@ -1816,7 +1872,9 @@ def merge_publish(
     fs = _fs_for(table_dir, spark)
     fs.mkdirs(table_dir)
     vers = [version_cols] if isinstance(version_cols, str) else list(version_cols)
-    with _Lease(fs, table_dir, ttl_ms=lease_ttl_ms) as lease:
+    with _Lease(
+        fs, table_dir, ttl_ms=lease_ttl_ms, heartbeat=True
+    ) as lease:
         prev = _read_manifest(table_dir, fs)
         if prev is None:
             base = changes.limit(0)

@@ -833,3 +833,25 @@ def test_read_appends_refuses_non_append_histories(spark, tmp_path):
     delete_publish(spark, t, "id = 20")                        # v5
     with pytest.raises(ValueError, match="shrank|append-only"):
         read_appends(spark, t, from_version=3)
+
+
+def test_heartbeat_keeps_live_writer_from_eviction(spark, tmp_path):
+    """A live long holder's heartbeat refreshes the lock mtime, so a
+    contender NEVER breaks it inside the TTL window — eviction is for
+    crashed writers only. (Without the heartbeat this exact sequence
+    breaks the lock: see test_still_mine_false_after_break.)"""
+    import time
+
+    t = str(tmp_path / "tbl")
+    os.makedirs(t, exist_ok=True)
+    fs = P._PosixFS()
+    holder = P._Lease(fs, t, ttl_ms=1_000, heartbeat=True).acquire()
+    try:
+        time.sleep(2.5)  # well past the 1 s TTL
+        with pytest.raises(ConcurrentWriteError):
+            P._Lease(fs, t, ttl_ms=1_000).acquire()
+        assert holder.still_mine()
+    finally:
+        holder.release()
+    # released: the next writer acquires immediately
+    P._Lease(fs, t, ttl_ms=1_000).acquire().release()
