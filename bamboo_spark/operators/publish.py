@@ -439,13 +439,35 @@ def _seg_path(fs, table_dir: str, seg: str) -> str:
     return fs.join(table_dir, seg, _SEG)
 
 
+_SEG_CACHE: dict = {}  # abs sidecar path -> (mtime_ms, parsed dict)
+_SEG_CACHE_MAX = 4096
+
+
 def _load_seg(fs, table_dir: str, seg: str) -> dict:
-    return json.loads(fs.read_text(_seg_path(fs, table_dir, seg)))
+    """Segment sidecar, memoized on (path, mtime): one replace commit
+    resolves/segments/prunes the same sidecars several times, and on an
+    object store every raw read is a GET. mtime-validated, so a
+    stats/bloom backfill (the only post-creation rewrite — the FILE
+    LIST of a segment is immutable) refreshes the entry; a same-ms
+    rewrite could at worst serve the pre-backfill stats, which only
+    makes skipping more conservative."""
+    path = _seg_path(fs, table_dir, seg)
+    mt = fs.mtime_ms(path)
+    hit = _SEG_CACHE.get(path)
+    if hit is not None and hit[0] == mt:
+        return hit[1]
+    data = json.loads(fs.read_text(path))
+    if len(_SEG_CACHE) >= _SEG_CACHE_MAX:
+        _SEG_CACHE.pop(next(iter(_SEG_CACHE)))
+    _SEG_CACHE[path] = (mt, data)
+    return data
 
 
 def _write_seg(fs, table_dir: str, seg: str, data: dict) -> None:
     fs.mkdirs(fs.join(table_dir, seg))
-    fs.replace_with(json.dumps(data), _seg_path(fs, table_dir, seg), ".tmp")
+    path = _seg_path(fs, table_dir, seg)
+    fs.replace_with(json.dumps(data), path, ".tmp")
+    _SEG_CACHE[path] = (fs.mtime_ms(path), data)
 
 
 def _resolve_entry(fs, table_dir: str, entry: dict) -> dict:
