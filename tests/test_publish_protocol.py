@@ -32,26 +32,30 @@ def _backdate_lock(table_dir, by_ms=400_000):
     os.utime(lock, (old, old))
 
 
+@pytest.mark.parametrize("backend", ["posix", "hadoop-file-uri"])
 def test_evicted_writer_commit_raises_and_breaker_snapshot_survives(
-    spark, tmp_path
+    spark, tmp_path, backend
 ):
     """THE lost-update scenario: writer A acquires the lease and starts
     a long write; the lease expires (backdated lock); writer B breaks
     the stale lock and commits; A finishes and tries to swap the
     manifest built against the pre-B version — the CAS must make A
     RAISE, and B's committed snapshot must survive with the version
-    number moving only forward."""
-    t = str(tmp_path / "tbl")
+    number moving only forward. Exercised through BOTH filesystem
+    backends (the Hadoop JVM path is what hdfs:// tables take)."""
+    local = str(tmp_path / "tbl")
+    t = "file://" + local if backend == "hadoop-file-uri" else local
     atomic_publish(spark.range(5).selectExpr("id", "id as x"), t)  # v1
-    fs = P._PosixFS()
+    fs = P._fs_for(t, spark)
 
     # writer A: lease acquired, snapshot plan built against v1
     lease_a = P._Lease(fs, t).acquire()
     prev_a = P._read_manifest(t, fs)
     version_a = P._next_version(fs, t, prev_a)
 
-    # A's lease expires mid-write
-    _backdate_lock(t)
+    # A's lease expires mid-write (the lock file is local under both
+    # backends here; file: routes its METADATA ops through the JVM)
+    _backdate_lock(local)
 
     # writer B: breaks the stale lock and commits the next version
     v_b = append_publish(spark.range(3).selectExpr("id", "id as x"), t)
