@@ -246,6 +246,13 @@ def _manifest_path(table_dir: str, fs) -> str:
 
 _LOCK = "_commit.lock"
 
+# how long an optimistic writer's COMMIT section polls a held lease
+# before giving up: commit sections are sub-second alone, but a queue
+# of concurrent committers on a loaded box serializes — the last in
+# line waits for everyone ahead, so the window must cover a pile-up,
+# not one swap (tests shrink it to fail fast)
+_COMMIT_WAIT_MS = 30_000
+
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer holds the table's commit lease."""
@@ -1126,7 +1133,7 @@ def append_publish(
     # acquire_wait: the lease only guards sub-second swaps now, so a
     # contending writer polls briefly instead of aborting its write.
     lease = _Lease(fs, table_dir, ttl_ms=lease_ttl_ms).acquire_wait(
-        wait_ms=5_000
+        wait_ms=_COMMIT_WAIT_MS
     )
     with lease:
         cur = _read_manifest(table_dir, fs)
@@ -1273,7 +1280,7 @@ def replace_partitions_publish(
     }
     lease = _lease or _Lease(
         fs, table_dir, ttl_ms=lease_ttl_ms
-    ).acquire_wait(wait_ms=5_000)
+    ).acquire_wait(wait_ms=_COMMIT_WAIT_MS)
     try:
         cur = _read_manifest(table_dir, fs)
         if cur is None:
@@ -2364,7 +2371,7 @@ def replace_files_publish(
         _write_seg(fs, table_dir, seg, seg_data)
     # ---- commit phase: short lease + still-live rebase check
     lease = _Lease(fs, table_dir, ttl_ms=lease_ttl_ms).acquire_wait(
-        wait_ms=5_000
+        wait_ms=_COMMIT_WAIT_MS
     )
     try:
         cur = _read_manifest(table_dir, fs)

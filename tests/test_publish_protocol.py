@@ -163,9 +163,12 @@ def test_publish_stream_hwm_survives_compact(spark, tmp_path):
     assert read_published(spark, t).count() == 9
 
 
-def test_maintenance_ops_respect_held_lease(spark, tmp_path):
+def test_maintenance_ops_respect_held_lease(spark, tmp_path, monkeypatch):
     """vacuum / compact_partitions / delete_publish now take the table
-    lease — with another writer holding it they must refuse, not race."""
+    lease — with another writer holding it they must refuse, not race.
+    (Commit waits shrink so refusal is fast; production keeps 30 s to
+    ride out committer pile-ups.)"""
+    monkeypatch.setattr(P, "_COMMIT_WAIT_MS", 500)
     t = str(tmp_path / "tbl")
     atomic_publish(
         spark.range(10).selectExpr("id", "cast(id % 2 as string) as g"),
