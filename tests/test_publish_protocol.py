@@ -862,3 +862,65 @@ def test_heartbeat_keeps_live_writer_from_eviction(spark, tmp_path):
         holder.release()
     # released: the next writer acquires immediately
     P._Lease(fs, t, ttl_ms=1_000).acquire().release()
+
+
+def test_read_appends_across_schema_merge(spark, tmp_path):
+    """An append that widened the schema: the delta reads with the
+    WIDENED schema (old snapshots' absent column never leaks in)."""
+    from bamboo_spark.operators.publish import read_appends
+
+    t = str(tmp_path / "tbl")
+    atomic_publish(spark.range(6).selectExpr("id"), t)            # v1
+    append_publish(
+        spark.range(6, 9).selectExpr("id", "id * 2 as extra"),
+        t,
+        schema_mode="merge",
+    )                                                             # v2
+    d = read_appends(spark, t, from_version=1)
+    assert sorted(d.columns) == ["extra", "id"]
+    assert d.count() == 3 and d.where("extra is null").count() == 0
+
+
+def test_restore_then_append_continues(spark, tmp_path):
+    """Life after a rollback: the restored snapshot is an ordinary
+    version — appends continue, deltas stay exact, vacuum keeps every
+    dir the restored snapshot cites."""
+    from bamboo_spark.operators.publish import read_appends, restore_table
+
+    t = str(tmp_path / "tbl")
+    atomic_publish(spark.range(10).selectExpr("id"), t)           # v1
+    append_publish(spark.range(10, 14).selectExpr("id"), t)       # v2
+    restore_table(t, 1, spark)                                    # v3 = v1
+    append_publish(spark.range(50, 53).selectExpr("id"), t)       # v4
+    got = read_published(spark, t)
+    assert sorted(r["id"] for r in got.collect()) == list(range(10)) + [
+        50, 51, 52
+    ]
+    d = read_appends(spark, t, from_version=3)
+    assert sorted(r["id"] for r in d.collect()) == [50, 51, 52]
+    vacuum(t, keep=1, spark=spark)
+    assert read_published(spark, t).count() == 13  # v1's dir survived
+
+
+def test_skip_and_skip_eq_compose(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    t = str(tmp_path / "tbl")
+    from bamboo_spark.operators.publish import publish_clustered
+
+    df = spark.range(4000).select(
+        F.col("id").alias("v"), (F.col("id") % 997).alias("uid")
+    )
+    publish_clustered(df, t, "v", target_files=8)
+    from bamboo_spark.operators.publish import collect_file_blooms
+
+    collect_file_blooms(t, ["uid"], spark)
+    both = read_published(
+        spark, t, skip={"v": (0, 500)}, skip_eq={"uid": 123}
+    )
+    full = read_published(spark, t)
+    assert len(both.inputFiles()) <= 1
+    assert (
+        both.where("v <= 500 and uid = 123").count()
+        == full.where("v <= 500 and uid = 123").count()
+    )
