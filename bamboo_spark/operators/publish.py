@@ -340,16 +340,35 @@ class _Lease:
         writers: the lease there is held only for a manifest
         read-validate-swap (sub-second), so a writer that finds it held
         should poll briefly rather than abort a finished data write.
-        TTL breaking and the final timeout still raise."""
+        TTL breaking and the final timeout still raise — the timeout
+        error carries the waited time and the holder's token/age so a
+        pile-up (benign, retryable) is distinguishable from a real
+        write conflict in logs."""
         import time
 
-        deadline = _now_ms() + wait_ms
+        start = _now_ms()
+        deadline = start + wait_ms
         while True:
             try:
                 return self.acquire()
-            except ConcurrentWriteError:
+            except ConcurrentWriteError as e:
                 if _now_ms() >= deadline:
-                    raise
+                    try:
+                        tok = self._fs.read_text(self._path)
+                        age = _now_ms() - self._fs.mtime_ms(self._path)
+                        holder = "held by token %s… for %d ms" % (
+                            tok[:8], age,
+                        )
+                    except Exception:
+                        holder = "holder unknown (lock vanished mid-check)"
+                    raise ConcurrentWriteError(
+                        "commit-lease wait exhausted after %d ms (%s). "
+                        "This is commit-section CONTENTION (a pile-up "
+                        "of committers on a loaded box), not a data "
+                        "conflict — the write is staged and untouched; "
+                        "retrying the commit is safe."
+                        % (_now_ms() - start, holder)
+                    ) from e
                 time.sleep(poll_ms / 1000.0)
 
     def _start_heartbeat(self) -> None:
@@ -475,6 +494,61 @@ def _write_seg(fs, table_dir: str, seg: str, data: dict) -> None:
     path = _seg_path(fs, table_dir, seg)
     fs.replace_with(json.dumps(data), path, ".tmp")
     _SEG_CACHE[path] = (fs.mtime_ms(path), data)
+
+
+_DV = "_dv.json"
+_DV_CACHE: dict = {}  # abs path -> parsed dict (dv files are immutable)
+_DV_CACHE_MAX = 1024
+
+
+def _load_dv(fs, table_dir: str, entry: dict) -> dict:
+    """The snapshot's DELETE VECTORS: ``{rel_file: [row positions]}``
+    of rows erased without rewriting their file (merge-on-read, the
+    Iceberg v2 / Delta deletion-vector design). ``{}`` when the
+    snapshot has none. The map is written ONCE per dv commit (immutable
+    file, plain cache) and always holds the FULL merged state as of
+    that snapshot, so readers load exactly one file."""
+    rel = entry.get("dv")
+    if not rel:
+        return {}
+    path = fs.join(table_dir, rel)
+    hit = _DV_CACHE.get(path)
+    if hit is not None:
+        return hit
+    data = json.loads(fs.read_text(path))
+    if len(_DV_CACHE) >= _DV_CACHE_MAX:
+        _DV_CACHE.pop(next(iter(_DV_CACHE)))
+    _DV_CACHE[path] = data
+    return data
+
+
+def _write_dv(fs, table_dir: str, seg: str, dvmap: dict) -> str:
+    """Write a snapshot's merged delete-vector map into its version
+    dir; returns the manifest-relative path for the entry's ``dv``."""
+    fs.mkdirs(fs.join(table_dir, seg))
+    rel = "%s/%s" % (seg, _DV)
+    fs.replace_with(json.dumps(dvmap), fs.join(table_dir, rel), ".tmp")
+    _DV_CACHE[fs.join(table_dir, rel)] = dvmap
+    return rel
+
+
+def _carry_dv(fs, table_dir: str, prev: dict, seg: str, live_files) -> dict:
+    """Entry fields carrying ``prev``'s delete vectors forward through
+    a commit that keeps (some of) its files: vectors for files no
+    longer live are dropped (their rewrite already materialized the
+    deletion), the rest are re-published as this version's dv file.
+    Returns ``{}`` or ``{'dv': relpath, 'dv_rows': n}``."""
+    prev_dv = _load_dv(fs, table_dir, prev)
+    if not prev_dv:
+        return {}
+    live = set(live_files)
+    kept = {f: ps for f, ps in prev_dv.items() if f in live and ps}
+    if not kept:
+        return {}
+    return {
+        "dv": _write_dv(fs, table_dir, seg, kept),
+        "dv_rows": sum(len(ps) for ps in kept.values()),
+    }
 
 
 def _resolve_entry(fs, table_dir: str, entry: dict) -> dict:
@@ -639,33 +713,94 @@ _BLOOM_M = 16384  # bits per file per column (2 KB) — plenty for the
 _BLOOM_K = 5      # ~128 MB-file distinct-value counts point lookups hit
 
 
-def _bloom_positions_py(value, m_bits: int, k: int) -> List[int]:
+def _bloom_canon_py(value) -> Optional[str]:
+    """CANONICAL string form of a bloom-hashable value — the single
+    formatter both hashing sides must agree on. Python ``str()`` and
+    Spark ``cast(string)`` disagree on floats ('1e-07' vs '1.0E-7')
+    and booleans ('True' vs 'true'); a one-character difference means
+    different bit positions and a FALSE NEGATIVE — a file containing
+    the value silently skipped, breaking the conservative-skipping
+    guarantee. So: supported types get one canonical form (bool →
+    'true'/'false', int → decimal digits, date → ISO, str as-is);
+    unsupported types (float/decimal/timestamp, whose Spark string
+    forms aren't reproducible in Python) return None — bloom BUILDS
+    reject them, bloom LOOKUPS fall back to 'might contain'."""
+    import datetime
+
+    if isinstance(value, bool):  # before int: bool subclasses int
+        return "true" if value else "false"
+    if isinstance(value, int) or isinstance(value, str):
+        return str(value)
+    if isinstance(value, datetime.datetime):
+        return None  # fraction-trimming in Spark's cast isn't replicable
+    if isinstance(value, datetime.date):
+        return value.isoformat()  # = Spark cast(date as string)
+    return None
+
+
+def _bloom_positions_py(value, m_bits: int, k: int) -> Optional[List[int]]:
     """The k bloom bit positions for ``value`` — PURE-PYTHON twin of
     the Spark expression in :func:`_distributed_file_blooms`. Both
-    sides hash ``md5(str(value) + ':' + str(i))`` and take the first
-    60 bits mod m, so a position computed on the driver at planning
-    time matches one computed by executors at build time exactly."""
+    sides hash ``md5(canon(value) + ':' + str(i))`` (one canonical
+    formatter, see :func:`_bloom_canon_py`) and take the first 60 bits
+    mod m, so a position computed on the driver at planning time
+    matches one computed by executors at build time exactly. None for
+    values whose canonical form isn't defined."""
     import hashlib
 
+    canon = _bloom_canon_py(value)
+    if canon is None:
+        return None
     out = []
     for i in range(k):
         h = hashlib.md5(
-            ("%s:%d" % (value, i)).encode("utf-8")
+            ("%s:%d" % (canon, i)).encode("utf-8")
         ).hexdigest()[:15]
         out.append(int(h, 16) % m_bits)
     return out
 
 
 def _bloom_might_contain(bloom: dict, value) -> bool:
-    """Driver-side membership test against a stored per-file bloom."""
+    """Driver-side membership test against a stored per-file bloom.
+    CONSERVATIVE: a value with no canonical form (float/timestamp)
+    answers True — never skip on a hash that can't be reproduced."""
     import base64
 
+    positions = _bloom_positions_py(value, int(bloom["m"]), int(bloom["k"]))
+    if positions is None:
+        return True
     bits = base64.b64decode(bloom["b64"])
-    m, k = int(bloom["m"]), int(bloom["k"])
-    for pos in _bloom_positions_py(value, m, k):
+    for pos in positions:
         if not (bits[pos // 8] >> (pos % 8)) & 1:
             return False
     return True
+
+
+def _bloom_canon_expr(df: DataFrame, c: str):
+    """Spark-side twin of :func:`_bloom_canon_py`: a Column holding
+    the CANONICAL string form of ``c``. Raises for column types whose
+    canonical form Python can't reproduce (float/double/decimal/
+    timestamp) — rejecting at build time beats a silent false-negative
+    skip at read time."""
+    from pyspark.sql import functions as F, types as T
+
+    dt = {f.name: f.dataType for f in df.schema.fields}[c]
+    if isinstance(dt, T.BooleanType):
+        # cast(boolean as string) is 'true'/'false' — make it explicit
+        return F.when(F.col(c), F.lit("true")).otherwise(F.lit("false"))
+    if isinstance(
+        dt,
+        (T.StringType, T.ByteType, T.ShortType, T.IntegerType,
+         T.LongType, T.DateType),
+    ):
+        return F.col(c).cast("string")
+    raise ValueError(
+        "bloom_cols: column %r has type %s, whose string form differs "
+        "between the Spark build side and the Python lookup side — a "
+        "bloom on it could FALSELY skip files containing matches. Use "
+        "string/integral/boolean/date columns (or quantize the value "
+        "into one)." % (c, dt.simpleString())
+    )
 
 
 def _distributed_file_blooms(
@@ -717,7 +852,7 @@ def _distributed_file_blooms(
                         F.substring(
                             F.md5(
                                 F.concat(
-                                    F.col(c).cast("string"),
+                                    _bloom_canon_expr(df, c),
                                     F.lit(":%d" % i),
                                 )
                             ),
@@ -795,25 +930,48 @@ def _segments_of(fs, table_dir: str, prev: dict):
     by_seg: dict = {}
     for f in prev["files"]:
         by_seg.setdefault(f.split("/", 1)[0], []).append(f)
+    extra_removed: List[str] = []
     for seg, fl in by_seg.items():
         try:
-            _load_seg(fs, table_dir, seg)
-            continue  # sidecar already exists (mixed-history table)
+            s = _load_seg(fs, table_dir, seg)
         except Exception:
-            pass
-        _write_seg(
-            fs,
-            table_dir,
-            seg,
-            {
-                "files": fl,
-                "file_sizes": {
-                    f: sizes[f] for f in fl if sizes.get(f) is not None
+            _write_seg(
+                fs,
+                table_dir,
+                seg,
+                {
+                    "files": fl,
+                    "file_sizes": {
+                        f: sizes[f] for f in fl if sizes.get(f) is not None
+                    },
+                    "file_stats": {f: stats[f] for f in fl if stats.get(f)},
                 },
-                "file_stats": {f: stats[f] for f in fl if stats.get(f)},
-            },
-        )
-    return sorted(by_seg), []
+            )
+            continue
+        # sidecar already exists (mixed-history table, e.g. a restore
+        # to a pre-migration inline snapshot): its file list may
+        # DISAGREE with the inline entry. Reusing it blind would
+        # resurrect files the restored snapshot deleted (sidecar ⊃
+        # entry) or drop files it kept (sidecar ⊅ entry) — reconcile:
+        # shadow the surplus via `removed`, and widen the sidecar for
+        # entry files it doesn't list (keeping its recorded indexes).
+        have, want = set(s.get("files", [])), set(fl)
+        if have - want:
+            extra_removed.extend(sorted(have - want))
+        if want - have:
+            s = dict(s)
+            s["files"] = sorted(have | want)
+            s["file_sizes"] = {
+                **{f: sizes[f] for f in want - have
+                   if sizes.get(f) is not None},
+                **(s.get("file_sizes") or {}),
+            }
+            s["file_stats"] = {
+                **{f: stats[f] for f in want - have if stats.get(f)},
+                **(s.get("file_stats") or {}),
+            }
+            _write_seg(fs, table_dir, seg, s)
+    return sorted(by_seg), extra_removed
 
 
 def atomic_publish(
@@ -825,6 +983,7 @@ def atomic_publish(
     stats_cols=None,
     bloom_cols=None,
     _lease: Optional[_Lease] = None,
+    data_change: bool = True,
 ) -> int:
     """Write ``df`` as the table's next snapshot and commit it
     atomically. Returns the committed version number. The manifest row
@@ -881,10 +1040,20 @@ def atomic_publish(
             "schema": df.schema.json(),
             "partition_by": parts,
         }
+        if not data_change:
+            # pure-rewrite marker (Delta's dataChange=false): this
+            # commit re-cites existing ROWS in new files; incremental
+            # readers (read_appends, the streaming source) skip it
+            entry["data_change"] = False
         if meta:
             entry["meta"] = dict(meta)
         version = (int(prev["version"]) if prev else 0) + 1
         _commit(fs, table_dir, prev, version, entry, lease=lease)
+        # commit done: the staging dir now exists and is referenced,
+        # so the claim marker's job (name uniqueness + in-flight
+        # liveness for vacuum) is over — release it so vacuum can
+        # tell committed dirs from in-flight staging writes
+        fs.delete_file(fs.join(table_dir, seg + ".claim"))
         return version
     finally:
         if _lease is None:
@@ -926,6 +1095,51 @@ def _claim_vdir(fs, table_dir: str, start: int) -> str:
         "could not claim a version directory after 100k attempts — "
         "the filesystem is refusing exclusive creates"
     )
+
+
+class _ClaimBeat:
+    """Staging heartbeat: keeps an optimistic writer's ``.claim``
+    marker's mtime fresh (every ttl/4) from claim to commit. Writers
+    stage data with NO lease held, so the claim's age is the ONLY
+    liveness signal ``vacuum`` has — without the beat, a data write
+    longer than the lease TTL would let a concurrent vacuum rmtree the
+    in-flight staging dir, and the writer's later commit would
+    reference deleted files (silent corruption). With it, vacuum only
+    ever reclaims claims whose writer actually died."""
+
+    def __init__(self, fs, table_dir: str, seg: str, ttl_ms: int):
+        self._fs = fs
+        self._path = fs.join(table_dir, seg + ".claim")
+        self._ttl_ms = ttl_ms
+        self._stop = None
+
+    def start(self) -> "_ClaimBeat":
+        import threading
+
+        self._stop = threading.Event()
+
+        def beat(stop, fs, path, interval_s):
+            while not stop.wait(interval_s):
+                try:
+                    fs.touch(path)
+                except Exception:
+                    return  # claim gone (committed+vacuumed): done
+
+        threading.Thread(
+            target=beat,
+            args=(
+                self._stop,
+                self._fs,
+                self._path,
+                max(self._ttl_ms / 4000.0, 0.25),
+            ),
+            daemon=True,
+        ).start()
+        return self
+
+    def stop(self) -> None:
+        if self._stop is not None:
+            self._stop.set()
 
 
 def _scan_written(fs, vdir: str, vname: str):
@@ -1108,60 +1322,78 @@ def append_publish(
     # ---- data-write phase: NO lease held. The batch stages into a
     # CLAIMED directory (unique by exclusive-create), so concurrent
     # writers never collide on disk; only the manifest swap contends.
+    # The claim heartbeat is the staging dir's liveness signal: vacuum
+    # never reclaims a dir whose claim is fresher than the lease TTL.
     seg = _claim_vdir(fs, table_dir, _next_version(fs, table_dir, prev))
-    vdir = fs.join(table_dir, seg)
-    obs = Observation()
-    writer = df.observe(obs, F.count(F.lit(1)).alias("n")).write
-    if parts:
-        writer = writer.partitionBy(*parts)
-    writer.parquet(vdir)
-    new_files, new_sizes = _scan_written(fs, vdir, seg)
-    # O(delta) commit: carried files stay inside their segment
-    # sidecars BY REFERENCE — the commit writes ONE new sidecar
-    # (this batch's files) and a constant-size top-manifest entry;
-    # nothing existing is re-listed, re-read, or re-serialized
-    if new_files:
-        seg_data = {"files": new_files, "file_sizes": new_sizes}
-        _enrich_seg(
-            df.sparkSession, fs, table_dir, new_files, seg_data,
-            stats_cols, bloom_cols, schema_json,
-        )
-        _write_seg(fs, table_dir, seg, seg_data)
-    # ---- commit phase: short lease, optimistic rebase. An append adds
-    # files and removes none, so it commutes with ANY concurrent commit
-    # that kept the schema and partition layout — rebase and commit.
-    # acquire_wait: the lease only guards sub-second swaps now, so a
-    # contending writer polls briefly instead of aborting its write.
-    lease = _Lease(fs, table_dir, ttl_ms=lease_ttl_ms).acquire_wait(
-        wait_ms=_COMMIT_WAIT_MS
-    )
-    with lease:
-        cur = _read_manifest(table_dir, fs)
-        if cur is None:
-            raise ConcurrentWriteError(
-                "append_publish: table manifest vanished mid-append"
-            )
-        if int(cur["version"]) != int(prev["version"]):
-            _check_rebase(prev, cur, "append_publish")
-            prev = cur
-        segs, removed = _segments_of(fs, table_dir, prev)
+    beat = _ClaimBeat(fs, table_dir, seg, lease_ttl_ms).start()
+    try:
+        vdir = fs.join(table_dir, seg)
+        obs = Observation()
+        writer = df.observe(obs, F.count(F.lit(1)).alias("n")).write
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(vdir)
+        new_files, new_sizes = _scan_written(fs, vdir, seg)
+        # O(delta) commit: carried files stay inside their segment
+        # sidecars BY REFERENCE — the commit writes ONE new sidecar
+        # (this batch's files) and a constant-size top-manifest entry;
+        # nothing existing is re-listed, re-read, or re-serialized
         if new_files:
-            segs = segs + [seg]
-        prev_nf, prev_sz = _entry_counters(fs, table_dir, prev)
-        entry = {
-            "segments": segs,
-            "removed": removed,
-            "n_rows": int(prev["n_rows"]) + int(obs.get["n"]),
-            "n_files": prev_nf + len(new_files),
-            "size_bytes": prev_sz + sum(new_sizes.values()),
-            "schema": schema_json,
-            "partition_by": parts,
-        }
-        if meta:
-            entry["meta"] = dict(meta)
-        version = int(prev["version"]) + 1
-        _commit(fs, table_dir, prev, version, entry, lease=lease)
-        return version
+            seg_data = {"files": new_files, "file_sizes": new_sizes}
+            _enrich_seg(
+                df.sparkSession, fs, table_dir, new_files, seg_data,
+                stats_cols, bloom_cols, schema_json,
+            )
+            _write_seg(fs, table_dir, seg, seg_data)
+        # ---- commit phase: short lease, optimistic rebase. An append
+        # adds files and removes none, so it commutes with ANY
+        # concurrent commit that kept the schema and partition layout —
+        # rebase and commit. acquire_wait: the lease only guards
+        # sub-second swaps now, so a contending writer polls briefly
+        # instead of aborting its write.
+        lease = _Lease(fs, table_dir, ttl_ms=lease_ttl_ms).acquire_wait(
+            wait_ms=_COMMIT_WAIT_MS
+        )
+        with lease:
+            cur = _read_manifest(table_dir, fs)
+            if cur is None:
+                raise ConcurrentWriteError(
+                    "append_publish: table manifest vanished mid-append"
+                )
+            if int(cur["version"]) != int(prev["version"]):
+                _check_rebase(prev, cur, "append_publish")
+                prev = cur
+            segs, removed = _segments_of(fs, table_dir, prev)
+            if new_files:
+                segs = segs + [seg]
+            prev_nf, prev_sz = _entry_counters(fs, table_dir, prev)
+            entry = {
+                "segments": segs,
+                "removed": removed,
+                "n_rows": int(prev["n_rows"]) + int(obs.get["n"]),
+                "n_files": prev_nf + len(new_files),
+                "size_bytes": prev_sz + sum(new_sizes.values()),
+                "schema": schema_json,
+                "partition_by": parts,
+            }
+            # delete vectors carry UNCHANGED by reference — an append
+            # adds files and touches none, so the prev snapshot's dv
+            # file is this snapshot's dv file (zero IO)
+            if prev.get("dv"):
+                entry["dv"] = prev["dv"]
+                entry["dv_rows"] = prev.get("dv_rows")
+            if meta:
+                entry["meta"] = dict(meta)
+            version = int(prev["version"]) + 1
+            _commit(fs, table_dir, prev, version, entry, lease=lease)
+            # commit done: the staging dir now exists and is referenced,
+            # so the claim marker's job (name uniqueness + in-flight
+            # liveness for vacuum) is over — release it so vacuum can
+            # tell committed dirs from in-flight staging writes
+            fs.delete_file(fs.join(table_dir, seg + ".claim"))
+            return version
+    finally:
+        beat.stop()
 
 
 def _check_rebase(base: dict, cur: dict, who: str) -> None:
@@ -1189,6 +1421,34 @@ def table_meta(
     return dict(m.get("meta") or {}) if m else {}
 
 
+def pinned_snapshot(spark: SparkSession, table_dir: str):
+    """``(manifest, DataFrame)`` resolved from ONE manifest read — the
+    planning primitive for optimistic maintenance. A caller that plans
+    a rewrite from ``read_published`` and then commits via
+    ``replace_partitions_publish`` performs TWO independent manifest
+    reads; a commit landing between them into a touched partition is
+    included in the commit-time baseline, so the disjointness check
+    can't see it and its rows silently vanish from the rewrite (the
+    lost-update window). Pinning means the rewrite plan AND the commit
+    baseline (threaded through ``_base=``) come from the SAME snapshot,
+    so the rebase check covers the whole span."""
+    fs = _fs_for(table_dir, spark)
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        raise ValueError("pinned_snapshot: no committed table here")
+    res = _resolve_entry(fs, table_dir, manifest)
+    df = _read_files(
+        spark,
+        fs,
+        table_dir,
+        res["files"],
+        manifest["schema"],
+        bool(manifest.get("partition_by")),
+        dv=_load_dv(fs, table_dir, manifest),
+    )
+    return manifest, df
+
+
 def replace_partitions_publish(
     df: DataFrame,
     table_dir: str,
@@ -1198,6 +1458,8 @@ def replace_partitions_publish(
     stats_cols=None,
     bloom_cols=None,
     _lease: Optional[_Lease] = None,
+    _base: Optional[dict] = None,
+    data_change: bool = True,
 ) -> int:
     """Partial-rewrite snapshot (dynamic partition overwrite with
     snapshot isolation): the next version rewrites ONLY the hive
@@ -1228,7 +1490,14 @@ def replace_partitions_publish(
 
     fs = _fs_for(table_dir, df.sparkSession)
     fs.mkdirs(table_dir)
-    prev = _read_manifest(table_dir, fs)
+    # _base: the SNAPSHOT THE CALLER'S REWRITE PLAN READ. Maintenance
+    # callers (compact_partitions, delete_publish, hypertable_sink)
+    # must thread it, or a commit landing between their plan read and
+    # this function's own manifest read into a TOUCHED partition would
+    # be part of the commit-time baseline — invisible to the
+    # disjointness check below, its rows silently dropped by the
+    # rewrite (the lost-update window).
+    prev = _base if _base is not None else _read_manifest(table_dir, fs)
     if prev is None:
         raise ValueError(
             "replace_partitions_publish needs an existing table "
@@ -1257,87 +1526,119 @@ def replace_partitions_publish(
 
     # ---- data-write phase: no lease (claimed dir, collision-free)
     seg = _claim_vdir(fs, table_dir, _next_version(fs, table_dir, prev))
-    vdir = fs.join(table_dir, seg)
-    obs = Observation()
-    (
-        df.observe(obs, F.count(F.lit(1)).alias("n"))
-        .write.partitionBy(*parts)
-        .parquet(vdir)
-    )
-    new_files, new_sizes = _scan_written(fs, vdir, seg)
-    if new_files:
-        seg_data = {"files": new_files, "file_sizes": new_sizes}
-        _enrich_seg(
-            df.sparkSession, fs, table_dir, new_files, seg_data,
-            stats_cols, bloom_cols, prev["schema"],
-        )
-        _write_seg(fs, table_dir, seg, seg_data)
-    # ---- commit phase: short lease + disjointness-checked rebase
-    base_touched = {
-        f
-        for f in _resolve_entry(fs, table_dir, prev)["files"]
-        if _val_of(f) in vals
-    }
-    lease = _lease or _Lease(
-        fs, table_dir, ttl_ms=lease_ttl_ms
-    ).acquire_wait(wait_ms=_COMMIT_WAIT_MS)
+    beat = _ClaimBeat(fs, table_dir, seg, lease_ttl_ms).start()
     try:
-        cur = _read_manifest(table_dir, fs)
-        if cur is None:
-            raise ConcurrentWriteError(
-                "replace_partitions_publish: manifest vanished mid-write"
-            )
-        if int(cur["version"]) != int(prev["version"]):
-            _check_rebase(prev, cur, "replace_partitions_publish")
-            cur_touched = {
-                f
-                for f in _entry_files(fs, table_dir, cur)
-                if _val_of(f) in vals
-            }
-            if cur_touched != base_touched:
-                raise ConcurrentWriteError(
-                    "replace_partitions_publish: a concurrent commit "
-                    "changed partition(s) %s between this rewrite's "
-                    "snapshot and its commit — merging would drop those "
-                    "rows; re-run against the new snapshot"
-                    % sorted(vals)
-                )
-            prev = cur
-        res = _resolve_entry(fs, table_dir, prev)
-        replaced = [f for f in res["files"] if _val_of(f) in vals]
-        replaced_rows = sum(
-            fs.file_rows(fs.join(table_dir, f)) for f in replaced
+        vdir = fs.join(table_dir, seg)
+        obs = Observation()
+        (
+            df.observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.partitionBy(*parts)
+            .parquet(vdir)
         )
-        replaced_bytes = sum(
-            res["file_sizes"].get(f)
-            or fs.file_size(fs.join(table_dir, f))
-            for f in replaced
-        )
-        segs, removed = _segments_of(fs, table_dir, prev)
-        removed = sorted(set(removed) | set(replaced))
+        new_files, new_sizes = _scan_written(fs, vdir, seg)
         if new_files:
-            segs = segs + [seg]
-        # prune segments whose files are now ALL removed (a compacted
-        # or fully-replaced version): drops the segment pointer and its
-        # entries from the removed list, keeping 'removed' bounded by
-        # the files replaced since the last fold, not table lifetime
-        segs, removed = _prune_segments(fs, table_dir, segs, removed)
-        prev_nf, prev_sz = _entry_counters(fs, table_dir, prev)
-        entry = {
-            "segments": segs,
-            "removed": removed,
-            "n_rows": int(prev["n_rows"]) - replaced_rows + int(obs.get["n"]),
-            "n_files": prev_nf - len(replaced) + len(new_files),
-            "size_bytes": prev_sz - replaced_bytes + sum(new_sizes.values()),
-            "schema": prev["schema"],
-            "partition_by": parts,
+            seg_data = {"files": new_files, "file_sizes": new_sizes}
+            _enrich_seg(
+                df.sparkSession, fs, table_dir, new_files, seg_data,
+                stats_cols, bloom_cols, prev["schema"],
+            )
+            _write_seg(fs, table_dir, seg, seg_data)
+        # ---- commit phase: short lease + disjointness-checked rebase
+        base_touched = {
+            f
+            for f in _resolve_entry(fs, table_dir, prev)["files"]
+            if _val_of(f) in vals
         }
-        version = int(prev["version"]) + 1
-        _commit(fs, table_dir, prev, version, entry, lease=lease)
-        return version
+        lease = _lease or _Lease(
+            fs, table_dir, ttl_ms=lease_ttl_ms
+        ).acquire_wait(wait_ms=_COMMIT_WAIT_MS)
+        try:
+            cur = _read_manifest(table_dir, fs)
+            if cur is None:
+                raise ConcurrentWriteError(
+                    "replace_partitions_publish: manifest vanished mid-write"
+                )
+            if int(cur["version"]) != int(prev["version"]):
+                _check_rebase(prev, cur, "replace_partitions_publish")
+                cur_touched = {
+                    f
+                    for f in _entry_files(fs, table_dir, cur)
+                    if _val_of(f) in vals
+                }
+                if cur_touched != base_touched:
+                    raise ConcurrentWriteError(
+                        "replace_partitions_publish: a concurrent commit "
+                        "changed partition(s) %s between this rewrite's "
+                        "snapshot and its commit — merging would drop those "
+                        "rows; re-run against the new snapshot"
+                        % sorted(vals)
+                    )
+                # same guard for DELETE VECTORS: a concurrent dv-delete on
+                # a touched file changed its live rows without changing the
+                # file set — committing this rewrite (planned from the
+                # pre-delete mask) would resurrect the deleted rows
+                base_dv = _load_dv(fs, table_dir, prev)
+                cur_dv = _load_dv(fs, table_dir, cur)
+                if any(
+                    (base_dv.get(f) or []) != (cur_dv.get(f) or [])
+                    for f in base_touched
+                ):
+                    raise ConcurrentWriteError(
+                        "replace_partitions_publish: a concurrent delete "
+                        "changed a touched partition's delete vectors — "
+                        "re-run against the new snapshot"
+                    )
+                prev = cur
+            res = _resolve_entry(fs, table_dir, prev)
+            prev_dv = _load_dv(fs, table_dir, prev)
+            replaced = [f for f in res["files"] if _val_of(f) in vals]
+            # live rows in a replaced file = footer rows − its delete-
+            # vector entries (the rewrite read the MASKED rows)
+            replaced_rows = sum(
+                fs.file_rows(fs.join(table_dir, f)) - len(prev_dv.get(f) or [])
+                for f in replaced
+            )
+            replaced_bytes = sum(
+                res["file_sizes"].get(f)
+                or fs.file_size(fs.join(table_dir, f))
+                for f in replaced
+            )
+            segs, removed = _segments_of(fs, table_dir, prev)
+            removed = sorted(set(removed) | set(replaced))
+            if new_files:
+                segs = segs + [seg]
+            # prune segments whose files are now ALL removed (a compacted
+            # or fully-replaced version): drops the segment pointer and its
+            # entries from the removed list, keeping 'removed' bounded by
+            # the files replaced since the last fold, not table lifetime
+            segs, removed = _prune_segments(fs, table_dir, segs, removed)
+            prev_nf, prev_sz = _entry_counters(fs, table_dir, prev)
+            carried = set(res["files"]) - set(replaced)
+            entry = {
+                "segments": segs,
+                "removed": removed,
+                "n_rows": int(prev["n_rows"]) - replaced_rows + int(obs.get["n"]),
+                "n_files": prev_nf - len(replaced) + len(new_files),
+                "size_bytes": prev_sz - replaced_bytes + sum(new_sizes.values()),
+                "schema": prev["schema"],
+                "partition_by": parts,
+                **_carry_dv(fs, table_dir, prev, seg, carried),
+            }
+            if not data_change:
+                entry["data_change"] = False
+            version = int(prev["version"]) + 1
+            _commit(fs, table_dir, prev, version, entry, lease=lease)
+            # commit done: the staging dir now exists and is referenced,
+            # so the claim marker's job (name uniqueness + in-flight
+            # liveness for vacuum) is over — release it so vacuum can
+            # tell committed dirs from in-flight staging writes
+            fs.delete_file(fs.join(table_dir, seg + ".claim"))
+            return version
+        finally:
+            if _lease is None:
+                lease.release()
     finally:
-        if _lease is None:
-            lease.release()
+        beat.stop()
 
 
 def _entry_counters(fs, table_dir: str, entry: dict):
@@ -1444,10 +1745,15 @@ def read_published(
                     continue
                 mn, mx = mm
                 lo, hi = bound
-                if (hi is not None and mn > hi) or (
-                    lo is not None and mx < lo
-                ):
-                    return False
+                try:
+                    if (hi is not None and mn > hi) or (
+                        lo is not None and mx < lo
+                    ):
+                        return False
+                except TypeError:
+                    # incomparable types (e.g. a date bound against
+                    # ISO-string stats): stay conservative, read it
+                    continue
             return True
 
         entry["files"] = [f for f in entry["files"] if _keep(f)]
@@ -1460,6 +1766,7 @@ def read_published(
         entry["files"],
         entry["schema"],
         bool(entry.get("partition_by")),
+        dv=_load_dv(fs, table_dir, entry),
     )
 
 
@@ -1494,6 +1801,7 @@ def _read_files(
     files,
     schema_json: str,
     partitioned: bool,
+    dv: Optional[dict] = None,
 ) -> DataFrame:
     """Read an explicit manifest-relative file list with the PUBLISHED
     schema. The manifest schema governs the read (after a schema-merge
@@ -1501,25 +1809,115 @@ def _read_files(
     null), and for hive-partitioned snapshots — whose files can span
     SEVERAL version dirs — each dir anchors its own basePath so the
     col=val partition attributes keep the writer's types (no inference,
-    pruning predicates still hit the file index)."""
-    from pyspark.sql import types as T
+    pruning predicates still hit the file index).
+
+    ``dv`` = the snapshot's delete vectors (``{rel: [positions]}``):
+    files carrying a vector are read with the parquet ``_metadata``
+    row index and their deleted positions anti-joined out (merge-on-
+    read); files without vectors — almost all of a 100 TB table — take
+    the plain scan path with zero overhead. The anti-join side is the
+    vector itself (point-delete-sized), broadcast."""
+    from pyspark.sql import functions as F, types as T
 
     schema = T.StructType.fromJson(json.loads(schema_json))
     if not files:
         return spark.createDataFrame([], schema)
+    dv = {f: ps for f, ps in (dv or {}).items() if f in set(files) and ps}
+    clean = [f for f in files if f not in dv]
+
+    def _plain(fl):
+        if not partitioned:
+            return spark.read.schema(schema).parquet(
+                *[fs.join(table_dir, f) for f in fl]
+            )
+        by_prefix: dict = {}
+        for f in fl:
+            by_prefix.setdefault(f.split("/", 1)[0], []).append(f)
+        out = None
+        for vprefix in sorted(by_prefix):
+            part = (
+                spark.read.schema(schema)
+                .option("basePath", fs.join(table_dir, vprefix))
+                .parquet(
+                    *[fs.join(table_dir, f) for f in by_prefix[vprefix]]
+                )
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    out = _plain(clean) if clean else None
+    if dv:
+        masked = _plain(sorted(dv)).select(
+            "*",
+            F.col("_metadata.file_path").alias("_dv_fp"),
+            F.col("_metadata.row_index").alias("_dv_ri"),
+        )
+        # join key = file BASENAME (hash-joinable; part-file names carry
+        # a per-job UUID) with the full manifest-relative suffix kept as
+        # an exactness guard in the join condition
+        rows = [
+            (rel, rel.rsplit("/", 1)[-1], int(p))
+            for rel, ps in dv.items()
+            for p in ps
+        ]
+        dvdf = spark.createDataFrame(
+            rows, "_dv_rel string, _dv_base string, _dv_pos long"
+        )
+        masked = masked.withColumn(
+            "_dv_b", F.element_at(F.split(F.col("_dv_fp"), "/"), -1)
+        )
+        kept = masked.join(
+            F.broadcast(dvdf),
+            (F.col("_dv_b") == F.col("_dv_base"))
+            & (F.col("_dv_ri") == F.col("_dv_pos"))
+            & F.col("_dv_fp").endswith(
+                F.concat(F.lit("/"), F.col("_dv_rel"))
+            ),
+            "left_anti",
+        ).drop("_dv_fp", "_dv_ri", "_dv_b")
+        out = kept if out is None else out.unionByName(kept)
+    return out
+
+
+def _read_files_with_pos(
+    spark: SparkSession,
+    fs,
+    table_dir: str,
+    files,
+    schema_json: str,
+    partitioned: bool,
+) -> DataFrame:
+    """Plain (unmasked) scan of a manifest-relative file list with the
+    parquet ``_metadata`` projected to ``_fp`` (file URI) and ``_ri``
+    (row position in file) — the row-address read behind delete-vector
+    writes. Metadata columns must be selected per scan relation (they
+    don't survive a union), hence the dedicated helper."""
+    from pyspark.sql import functions as F, types as T
+
+    schema = T.StructType.fromJson(json.loads(schema_json))
+
+    def _with_pos(reader, paths):
+        return reader.parquet(*paths).select(
+            "*",
+            F.col("_metadata.file_path").alias("_fp"),
+            F.col("_metadata.row_index").alias("_ri"),
+        )
+
     if not partitioned:
-        return spark.read.schema(schema).parquet(
-            *[fs.join(table_dir, f) for f in files]
+        return _with_pos(
+            spark.read.schema(schema),
+            [fs.join(table_dir, f) for f in files],
         )
     by_prefix: dict = {}
     for f in files:
         by_prefix.setdefault(f.split("/", 1)[0], []).append(f)
     out = None
     for vprefix in sorted(by_prefix):
-        part = (
-            spark.read.schema(schema)
-            .option("basePath", fs.join(table_dir, vprefix))
-            .parquet(*[fs.join(table_dir, f) for f in by_prefix[vprefix]])
+        part = _with_pos(
+            spark.read.schema(schema).option(
+                "basePath", fs.join(table_dir, vprefix)
+            ),
+            [fs.join(table_dir, f) for f in by_prefix[vprefix]],
         )
         out = part if out is None else out.unionByName(part)
     return out
@@ -1555,7 +1953,7 @@ def restore_table(
             for k in (
                 "files", "file_sizes", "file_stats", "segments",
                 "removed", "n_rows", "n_files", "size_bytes", "schema",
-                "partition_by",
+                "partition_by", "dv", "dv_rows",
             )
             if src.get(k) is not None
         }
@@ -1643,6 +2041,19 @@ def _append_delta_files(
                 "read_appends: v%d shrank the table (delete/replace); "
                 "the delta is not append-only" % v
             )
+        if e.get("data_change") is False and grew == 0:
+            # pure-rewrite commit (compact/compact_partitions mark
+            # themselves dataChange=false, the Delta design): it
+            # re-cites EXISTING rows in new files and contributes
+            # nothing to the delta. Crucially, files it dropped stay
+            # readable — they're still referenced by the retained
+            # pre-rewrite snapshots this walk already validated — so
+            # appended files collected earlier keep delivering even
+            # though the current snapshot no longer lists them.
+            prev_e, prev_files = e, cur_files
+            schema = e["schema"]
+            partitioned = bool(e.get("partition_by"))
+            continue
         if dropped & set(appended):
             raise ValueError(
                 "read_appends: v%d rewrote files that carry appended "
@@ -1752,7 +2163,8 @@ def vacuum(
         # reference set AFTER pruning: dirs cited by any retained
         # snapshot (incl. the committed one) must survive even if their
         # version is older than the keep horizon — snapshots was pruned
-        # above, so the manifest's own history IS the retained set
+        # above, so the manifest's own history IS the retained set.
+        # A snapshot's delete-vector file keeps ITS dir alive too.
         referenced = set()
         if manifest:
             for e in [manifest] + list(
@@ -1760,16 +2172,39 @@ def vacuum(
             ):
                 for f in _entry_files(fs, table_dir, e):
                     referenced.add(f.split("/", 1)[0])
+                if e.get("dv"):
+                    referenced.add(e["dv"].split("/", 1)[0])
+
+        def _claim_fresh(name: str) -> bool:
+            """An optimistic writer stages data with NO lease held —
+            only its ``.claim`` marker (kept fresh by a staging
+            heartbeat) says 'in flight'. Deleting a dir under a fresh
+            claim would silently corrupt that writer's commit (its
+            manifest would reference deleted files), so vacuum treats
+            claim-younger-than-TTL as live, never garbage."""
+            try:
+                age = _now_ms() - fs.mtime_ms(
+                    fs.join(table_dir, name + ".claim")
+                )
+            except Exception:
+                return False  # no claim marker: not an in-flight write
+            return age <= lease_ttl_ms
+
         removed = []
         for v in doomed:
             name = "_v%d" % v
             if name in referenced:
                 continue  # a retained snapshot still cites files here
+            if _claim_fresh(name):
+                continue  # in-flight optimistic writer staging here
             fs.rmtree(fs.join(table_dir, name))
             fs.delete_file(fs.join(table_dir, name + ".claim"))
             removed.append(name)
         # orphan claim markers (claimed, crashed before writing a dir):
-        # reclaim once the committed version has passed them
+        # reclaim on AGE — dir names are decoupled from snapshot
+        # versions, so 'committed version passed the claim number' says
+        # nothing about whether the claimer is alive; a stale mtime
+        # (past the lease TTL, which staging heartbeats refresh) does
         dirs_now = {
             d
             for d in fs.listdir(table_dir)
@@ -1781,7 +2216,7 @@ def vacuum(
                 and e.startswith("_v")
                 and e[2:-6].isdigit()
                 and e[:-6] not in dirs_now
-                and int(e[2:-6]) <= committed
+                and not _claim_fresh(e[:-6])
             ):
                 fs.delete_file(fs.join(table_dir, e))
         return removed
@@ -1854,7 +2289,8 @@ def compact(
         else:
             out = cur.repartition(target_files)
         return atomic_publish(
-            out, table_dir, partition_by=parts or None, _lease=lease
+            out, table_dir, partition_by=parts or None, _lease=lease,
+            data_change=False,
         )
 
 
@@ -1990,8 +2426,11 @@ def compact_partitions(
     # ConcurrentWriteError (retry next maintenance cycle) instead of
     # silently dropping the concurrent rows; commits on other
     # partitions merge cleanly.
-    manifest = _read_manifest(table_dir, fs)
-    if manifest is None:
+    try:
+        # ONE manifest read pins BOTH the rewrite plan's file list and
+        # (via _base=) the commit baseline — see pinned_snapshot
+        manifest, cur = pinned_snapshot(spark, table_dir)
+    except ValueError:
         raise ValueError("compact_partitions: no committed table here")
     parts = manifest.get("partition_by") or []
     if not parts:
@@ -2024,7 +2463,6 @@ def compact_partitions(
         for f in by_val.get(v, [])
     )
     n_files = max(1, math.ceil(touched_bytes / float(target_file_bytes)))
-    cur = read_published(spark, table_dir)
     touched = cur.where(F.col(pc).isin(values))  # partition-pruned scan
     payload = [c for c in cur.columns if c not in parts]
     folded = (
@@ -2038,7 +2476,7 @@ def compact_partitions(
     )
     return replace_partitions_publish(
         folded, table_dir, values=values, partition_col=pc,
-        lease_ttl_ms=lease_ttl_ms,
+        lease_ttl_ms=lease_ttl_ms, _base=manifest, data_change=False,
     )
 
 
@@ -2048,6 +2486,7 @@ def delete_publish(
     condition: str,
     lease_ttl_ms: int = 300_000,
     point: Optional[dict] = None,
+    delete_vectors: bool = False,
 ) -> Optional[int]:
     """Targeted row deletion with snapshot isolation — the GDPR-erasure
     / retention-enforcement primitive: delete every row matching the
@@ -2065,7 +2504,16 @@ def delete_publish(
     ``condition``) switches to the INDEXED file-granular path: bloom/
     stats skipping shrinks the scan to candidate files, and only the
     files actually containing matches are rewritten (see
-    :func:`replace_files_publish`) — the GDPR shape at 100 TB."""
+    :func:`replace_files_publish`) — the GDPR shape at 100 TB.
+
+    ``delete_vectors=True`` switches to MERGE-ON-READ: instead of
+    rewriting any file, the matching rows' (file, position) addresses
+    are recorded as the snapshot's delete vectors and readers mask them
+    out — erasing one row from a 128 MB file costs one metadata commit,
+    zero data IO (physical erasure happens at the next ``compact``/
+    rewrite of that file, or ``vacuum`` after it). Composes with
+    ``point`` for bloom-pruned candidate selection. The known public
+    design: Iceberg v2 position deletes / Delta deletion vectors."""
     from pyspark.sql import functions as F
 
     fs = _fs_for(table_dir, spark)
@@ -2075,10 +2523,17 @@ def delete_publish(
     # (so a concurrent append into a touched partition can never be
     # silently dropped), and merges cleanly with commits on other
     # partitions — streaming ingest keeps flowing during a GDPR erase.
+    # The manifest read below is the ONE snapshot both the find-matches
+    # plan and (via _base=) the commit baseline use.
     manifest = _read_manifest(table_dir, fs)
     if manifest is None:
         raise ValueError("delete_publish: no committed table here")
     parts = manifest.get("partition_by") or []
+    if delete_vectors:
+        return _dv_delete(
+            spark, fs, table_dir, manifest, condition, point,
+            lease_ttl_ms,
+        )
     if point:
         # INDEXED point delete: ``point`` = {col: value} names equality
         # predicates IMPLIED by ``condition`` (caller's contract — e.g.
@@ -2093,6 +2548,7 @@ def delete_publish(
         candidates = _prune_eq(res, res["files"], point)
         if not candidates:
             return None
+        dv0 = _load_dv(fs, table_dir, manifest)
         cand_df = _read_files(
             spark, fs, table_dir, candidates, manifest["schema"],
             bool(parts),
@@ -2115,12 +2571,16 @@ def delete_publish(
         )
         if not matched:
             return None
+        # the surviving rows come from the MASKED read — rewriting a
+        # file that already carries a delete vector must not resurrect
+        # its dv'd rows
         kept = _read_files(
-            spark, fs, table_dir, matched, manifest["schema"], bool(parts)
+            spark, fs, table_dir, matched, manifest["schema"],
+            bool(parts), dv=dv0,
         ).where("not (%s)" % condition)
         return replace_files_publish(
             kept, table_dir, matched, lease_ttl_ms=lease_ttl_ms,
-            bloom_cols=list(point),
+            bloom_cols=list(point), _base=manifest,
         )
     if not parts:
         # unpartitioned fallback is a FULL rewrite — it cannot rebase,
@@ -2133,7 +2593,11 @@ def delete_publish(
             if n_del == 0:
                 return None
             return atomic_publish(kept, table_dir, _lease=lease)
-    cur = read_published(spark, table_dir)
+    res = _resolve_entry(fs, table_dir, manifest)
+    cur = _read_files(
+        spark, fs, table_dir, res["files"], manifest["schema"], True,
+        dv=_load_dv(fs, table_dir, manifest),
+    )
     pc = parts[0]
     touched = [
         r[0]
@@ -2146,8 +2610,115 @@ def delete_publish(
     )
     return replace_partitions_publish(
         kept_touched, table_dir, values=touched, partition_col=pc,
-        lease_ttl_ms=lease_ttl_ms,
+        lease_ttl_ms=lease_ttl_ms, _base=manifest,
     )
+
+
+def _dv_delete(
+    spark: SparkSession,
+    fs,
+    table_dir: str,
+    manifest: dict,
+    condition: str,
+    point: Optional[dict],
+    lease_ttl_ms: int,
+) -> Optional[int]:
+    """The merge-on-read delete behind ``delete_publish(delete_vectors=
+    True)``: record matching rows' (file, position) addresses as the
+    next snapshot's delete vectors — ZERO data files written or
+    rewritten. One scan of the (bloom-pruned) candidates finds the
+    addresses; the commit is a manifest swap plus one small dv file.
+    Optimistic like every publish: the scan runs without the lease; at
+    commit time a concurrent commit rebases iff it kept schema/layout,
+    every dv'd file is still live, and dv merges are positionally
+    disjoint-or-identical (a set union — deletes of the same row
+    commute)."""
+    from pyspark.sql import functions as F
+
+    parts = manifest.get("partition_by") or []
+    res = _resolve_entry(fs, table_dir, manifest)
+    dv0 = _load_dv(fs, table_dir, manifest)
+    candidates = (
+        _prune_eq(res, res["files"], point) if point else res["files"]
+    )
+    if not candidates:
+        return None
+    hits = (
+        _read_files_with_pos(
+            spark, fs, table_dir, candidates, manifest["schema"],
+            bool(parts),
+        )
+        .where(condition)
+        .select("_fp", "_ri")
+        .collect()  # O(matched rows) — the point-delete contract
+    )
+    new_pos: dict = {}
+    for r in hits:
+        rel = _rel_of(r["_fp"], candidates)
+        if rel is None:
+            continue
+        p = int(r["_ri"])
+        if p in set(dv0.get(rel) or []):
+            continue  # already deleted in the base snapshot
+        new_pos.setdefault(rel, set()).add(p)
+    new_pos = {f: ps for f, ps in new_pos.items() if ps}
+    if not new_pos:
+        return None
+    # a dv commit writes no parquet; the claimed dir hosts the dv file
+    seg = _claim_vdir(fs, table_dir, _next_version(fs, table_dir, manifest))
+    prev = manifest
+    lease = _Lease(fs, table_dir, ttl_ms=lease_ttl_ms).acquire_wait(
+        wait_ms=_COMMIT_WAIT_MS
+    )
+    try:
+        cur = _read_manifest(table_dir, fs)
+        if cur is None:
+            raise ConcurrentWriteError(
+                "delete_publish(dv): manifest vanished mid-delete"
+            )
+        if int(cur["version"]) != int(prev["version"]):
+            _check_rebase(prev, cur, "delete_publish(dv)")
+            cur_live = set(_entry_files(fs, table_dir, cur))
+            if not set(new_pos) <= cur_live:
+                raise ConcurrentWriteError(
+                    "delete_publish(dv): a concurrent commit rewrote "
+                    "file(s) this delete addresses — positions are "
+                    "stale; re-run against the new snapshot"
+                )
+            prev = cur
+        cur_dv = _load_dv(fs, table_dir, prev)
+        merged: dict = {f: sorted(ps) for f, ps in cur_dv.items()}
+        n_deleted = 0
+        for f, ps in new_pos.items():
+            have = set(merged.get(f) or [])
+            fresh = ps - have
+            n_deleted += len(fresh)
+            merged[f] = sorted(have | ps)
+        if n_deleted == 0:
+            return None  # a concurrent delete already erased them all
+        segs, removed = _segments_of(fs, table_dir, prev)
+        prev_nf, prev_sz = _entry_counters(fs, table_dir, prev)
+        entry = {
+            "segments": segs,
+            "removed": removed,
+            "n_rows": int(prev["n_rows"]) - n_deleted,
+            "n_files": prev_nf,
+            "size_bytes": prev_sz,
+            "schema": prev["schema"],
+            "partition_by": parts,
+            "dv": _write_dv(fs, table_dir, seg, merged),
+            "dv_rows": sum(len(ps) for ps in merged.values()),
+        }
+        version = int(prev["version"]) + 1
+        _commit(fs, table_dir, prev, version, entry, lease=lease)
+        # commit done: the staging dir now exists and is referenced,
+        # so the claim marker's job (name uniqueness + in-flight
+        # liveness for vacuum) is over — release it so vacuum can
+        # tell committed dirs from in-flight staging writes
+        fs.delete_file(fs.join(table_dir, seg + ".claim"))
+        return version
+    finally:
+        lease.release()
 
 
 def _footer_minmax(fs, path: str, cols) -> Optional[dict]:
@@ -2325,6 +2896,8 @@ def replace_files_publish(
     lease_ttl_ms: int = 300_000,
     stats_cols=None,
     bloom_cols=None,
+    _base: Optional[dict] = None,
+    data_change: bool = True,
 ) -> int:
     """FILE-granular rewrite (the merge-on-read compaction primitive
     under a copy-on-write commit): the next version drops exactly
@@ -2341,7 +2914,7 @@ def replace_files_publish(
     from pyspark.sql import Observation, functions as F
 
     fs = _fs_for(table_dir, df.sparkSession)
-    prev = _read_manifest(table_dir, fs)
+    prev = _base if _base is not None else _read_manifest(table_dir, fs)
     if prev is None:
         raise ValueError("replace_files_publish: no committed table here")
     parts = prev.get("partition_by") or []
@@ -2355,70 +2928,96 @@ def replace_files_publish(
         )
     # ---- data-write phase: no lease
     seg = _claim_vdir(fs, table_dir, _next_version(fs, table_dir, prev))
-    vdir = fs.join(table_dir, seg)
-    obs = Observation()
-    writer = df.observe(obs, F.count(F.lit(1)).alias("n")).write
-    if parts:
-        writer = writer.partitionBy(*parts)
-    writer.parquet(vdir)
-    new_files, new_sizes = _scan_written(fs, vdir, seg)
-    if new_files:
-        seg_data = {"files": new_files, "file_sizes": new_sizes}
-        _enrich_seg(
-            df.sparkSession, fs, table_dir, new_files, seg_data,
-            stats_cols, bloom_cols, prev["schema"],
-        )
-        _write_seg(fs, table_dir, seg, seg_data)
-    # ---- commit phase: short lease + still-live rebase check
-    lease = _Lease(fs, table_dir, ttl_ms=lease_ttl_ms).acquire_wait(
-        wait_ms=_COMMIT_WAIT_MS
-    )
+    beat = _ClaimBeat(fs, table_dir, seg, lease_ttl_ms).start()
     try:
-        cur = _read_manifest(table_dir, fs)
-        if cur is None:
-            raise ConcurrentWriteError(
-                "replace_files_publish: manifest vanished mid-write"
-            )
-        if int(cur["version"]) != int(prev["version"]):
-            _check_rebase(prev, cur, "replace_files_publish")
-            cur_live = set(_entry_files(fs, table_dir, cur))
-            if not replace_set <= cur_live:
-                raise ConcurrentWriteError(
-                    "replace_files_publish: a concurrent commit rewrote "
-                    "file(s) this replace targets — re-run against the "
-                    "new snapshot"
-                )
-            prev = cur
-        res = _resolve_entry(fs, table_dir, prev)
-        replaced = [f for f in res["files"] if f in replace_set]
-        replaced_rows = sum(
-            fs.file_rows(fs.join(table_dir, f)) for f in replaced
-        )
-        replaced_bytes = sum(
-            res["file_sizes"].get(f)
-            or fs.file_size(fs.join(table_dir, f))
-            for f in replaced
-        )
-        segs, removed = _segments_of(fs, table_dir, prev)
-        removed = sorted(set(removed) | replace_set)
+        vdir = fs.join(table_dir, seg)
+        obs = Observation()
+        writer = df.observe(obs, F.count(F.lit(1)).alias("n")).write
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(vdir)
+        new_files, new_sizes = _scan_written(fs, vdir, seg)
         if new_files:
-            segs = segs + [seg]
-        segs, removed = _prune_segments(fs, table_dir, segs, removed)
-        prev_nf, prev_sz = _entry_counters(fs, table_dir, prev)
-        entry = {
-            "segments": segs,
-            "removed": removed,
-            "n_rows": int(prev["n_rows"]) - replaced_rows + int(obs.get["n"]),
-            "n_files": prev_nf - len(replaced) + len(new_files),
-            "size_bytes": prev_sz - replaced_bytes + sum(new_sizes.values()),
-            "schema": prev["schema"],
-            "partition_by": parts,
-        }
-        version = int(prev["version"]) + 1
-        _commit(fs, table_dir, prev, version, entry, lease=lease)
-        return version
+            seg_data = {"files": new_files, "file_sizes": new_sizes}
+            _enrich_seg(
+                df.sparkSession, fs, table_dir, new_files, seg_data,
+                stats_cols, bloom_cols, prev["schema"],
+            )
+            _write_seg(fs, table_dir, seg, seg_data)
+        # ---- commit phase: short lease + still-live rebase check
+        lease = _Lease(fs, table_dir, ttl_ms=lease_ttl_ms).acquire_wait(
+            wait_ms=_COMMIT_WAIT_MS
+        )
+        try:
+            cur = _read_manifest(table_dir, fs)
+            if cur is None:
+                raise ConcurrentWriteError(
+                    "replace_files_publish: manifest vanished mid-write"
+                )
+            if int(cur["version"]) != int(prev["version"]):
+                _check_rebase(prev, cur, "replace_files_publish")
+                cur_live = set(_entry_files(fs, table_dir, cur))
+                if not replace_set <= cur_live:
+                    raise ConcurrentWriteError(
+                        "replace_files_publish: a concurrent commit rewrote "
+                        "file(s) this replace targets — re-run against the "
+                        "new snapshot"
+                    )
+                base_dv = _load_dv(fs, table_dir, prev)
+                cur_dv = _load_dv(fs, table_dir, cur)
+                if any(
+                    (base_dv.get(f) or []) != (cur_dv.get(f) or [])
+                    for f in replace_set
+                ):
+                    raise ConcurrentWriteError(
+                        "replace_files_publish: a concurrent delete changed "
+                        "a targeted file's delete vectors — re-run against "
+                        "the new snapshot"
+                    )
+                prev = cur
+            res = _resolve_entry(fs, table_dir, prev)
+            prev_dv = _load_dv(fs, table_dir, prev)
+            replaced = [f for f in res["files"] if f in replace_set]
+            replaced_rows = sum(
+                fs.file_rows(fs.join(table_dir, f)) - len(prev_dv.get(f) or [])
+                for f in replaced
+            )
+            replaced_bytes = sum(
+                res["file_sizes"].get(f)
+                or fs.file_size(fs.join(table_dir, f))
+                for f in replaced
+            )
+            segs, removed = _segments_of(fs, table_dir, prev)
+            removed = sorted(set(removed) | replace_set)
+            if new_files:
+                segs = segs + [seg]
+            segs, removed = _prune_segments(fs, table_dir, segs, removed)
+            prev_nf, prev_sz = _entry_counters(fs, table_dir, prev)
+            carried = set(res["files"]) - replace_set
+            entry = {
+                "segments": segs,
+                "removed": removed,
+                "n_rows": int(prev["n_rows"]) - replaced_rows + int(obs.get["n"]),
+                "n_files": prev_nf - len(replaced) + len(new_files),
+                "size_bytes": prev_sz - replaced_bytes + sum(new_sizes.values()),
+                "schema": prev["schema"],
+                "partition_by": parts,
+                **_carry_dv(fs, table_dir, prev, seg, carried),
+            }
+            if not data_change:
+                entry["data_change"] = False
+            version = int(prev["version"]) + 1
+            _commit(fs, table_dir, prev, version, entry, lease=lease)
+            # commit done: the staging dir now exists and is referenced,
+            # so the claim marker's job (name uniqueness + in-flight
+            # liveness for vacuum) is over — release it so vacuum can
+            # tell committed dirs from in-flight staging writes
+            fs.delete_file(fs.join(table_dir, seg + ".claim"))
+            return version
+        finally:
+            lease.release()
     finally:
-        lease.release()
+        beat.stop()
 
 
 def publish_clustered(
@@ -2476,19 +3075,28 @@ def optimize_table(
     if manifest is None:
         raise ValueError("optimize_table: no committed table here")
     parts = manifest.get("partition_by") or []
-    if parts:
-        compacted = compact_partitions(
-            spark,
-            table_dir,
-            min_files=min_files,
-            target_file_bytes=target_file_bytes,
-        )
-    else:
-        compacted = (
-            compact(spark, table_dir, target_file_bytes=target_file_bytes)
-            if _entry_counters(fs, table_dir, manifest)[0] >= min_files
-            else None
-        )
+    # an optimistic compaction losing its commit race to live ingest is
+    # ROUTINE under concurrency, not a failure: record it and move on —
+    # the next maintenance cycle retries against the newer snapshot
+    conflict: Optional[str] = None
+    try:
+        if parts:
+            compacted = compact_partitions(
+                spark,
+                table_dir,
+                min_files=min_files,
+                target_file_bytes=target_file_bytes,
+            )
+        else:
+            compacted = (
+                compact(
+                    spark, table_dir, target_file_bytes=target_file_bytes
+                )
+                if _entry_counters(fs, table_dir, manifest)[0] >= min_files
+                else None
+            )
+    except ConcurrentWriteError as e:
+        compacted, conflict = None, str(e)
     n_stats = (
         collect_file_stats(table_dir, stats_cols, spark)
         if stats_cols
@@ -2502,6 +3110,7 @@ def optimize_table(
     removed = vacuum(table_dir, keep=keep, spark=spark)
     return {
         "compacted_version": compacted,
+        "compact_conflict": conflict,
         "stats_files": n_stats,
         "bloom_files": n_blooms,
         "vacuumed": removed,

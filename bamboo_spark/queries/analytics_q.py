@@ -191,8 +191,12 @@ def q_dup_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: symmetrized edge list, ONE self-equi-join for the 2-hop
     frontier, distinct, count — no BFS driver loop, no cartesian; the
-    joins shuffle on node id, so skew follows hub degree (the pair
-    builder's df-cap bounds that upstream)."""
+    joins shuffle on node id, so skew follows hub degree. This oracle
+    variant runs the pair builder LOSSLESS (``max_shingle_df=None``)
+    so DuckDB's brute-force Jaccard matches exactly — the family-wide
+    pattern (see dedup_q) — which means hot shingles are NOT capped
+    here; the at-scale configuration passes a finite ``max_shingle_df``
+    to bound hub degree before the self-join."""
     d = load(spark, sf_dir, "documents")
     pairs = _tracked_persist(
         dedup.jaccard_pairs(d, threshold=0.7, max_shingle_df=None).select(
@@ -833,8 +837,13 @@ def q_attribution_markov_removal(
             F.col("pk.event_id").alias("p_eid"),
         )
     )
+    # NO broadcast hint on firstp: it is one row per CONVERTING USER —
+    # users-sized, which a forced broadcast would driver-materialize
+    # (OOM at 100×). The join key is user_id, the same key the journey
+    # window below shuffles on, so AQE plans this as one user-keyed
+    # exchange reused by the window.
     j = (
-        e.join(F.broadcast(firstp), "user_id", "left")
+        e.join(firstp, "user_id", "left")
         .where(
             F.col("p_us").isNull()
             | (F.col("us") < F.col("p_us"))

@@ -1940,7 +1940,7 @@ def hypertable_sink(
     survives without scanning the whole table."""
     from bamboo_spark.operators.publish import (
         atomic_publish,
-        read_published,
+        pinned_snapshot,
         replace_partitions_publish,
     )
 
@@ -1951,9 +1951,13 @@ def hypertable_sink(
             batch_df, ts_col=ts_col, type_col=type_col, value_col=value_col
         ).localCheckpoint(eager=True)  # reused: days + hwm + merge
         try:
-            cur = read_published(spark, table_dir)
+            # ONE manifest read pins the merge plan AND (via _base=)
+            # the replace commit baseline, so a commit landing between
+            # them into a touched day raises instead of being folded
+            # away (publish.pinned_snapshot)
+            base, cur = pinned_snapshot(spark, table_dir)
         except Exception:
-            cur = None
+            base, cur = None, None
         bid = int(batch_id)
         if not partition_by_day:
             if cur is not None:
@@ -1990,7 +1994,7 @@ def hypertable_sink(
         ).withColumn("_last_bid", F.lit(bid))
         replace_partitions_publish(
             merged, table_dir, values=days, partition_col="db",
-            stats_cols=["db"],
+            stats_cols=["db"], _base=base,
         )
 
     return sink

@@ -821,19 +821,22 @@ def test_read_appends_exact_delta(spark, tmp_path):
     assert read_appends(spark, t, 3, 3).count() == 0
 
 
-def test_read_appends_refuses_non_append_histories(spark, tmp_path):
+def test_read_appends_across_compaction_and_refusals(spark, tmp_path):
     from bamboo_spark.operators.publish import read_appends
 
     t = str(tmp_path / "tbl")
     atomic_publish(spark.range(10).selectExpr("id"), t)        # v1
     append_publish(spark.range(10, 14).selectExpr("id"), t)    # v2
     compact(spark, t)                                          # v3 folds v2
-    # the compaction rewrote files carrying the appended rows — the
-    # exact delta is gone; refusing beats silently over-delivering
-    with pytest.raises(ValueError, match="folded|rewrote"):
-        read_appends(spark, t, from_version=1)
-    # but a post-compaction baseline works again
+    # the compaction is marked dataChange=false and the pre-fold files
+    # are still retained, so the exact delta KEEPS delivering — from
+    # the original v2 files, no duplicates, no over-delivery
+    d = read_appends(spark, t, from_version=1)
+    assert sorted(r["id"] for r in d.collect()) == [10, 11, 12, 13]
+    # append AFTER the fold: delta spans the compaction, both appends
     append_publish(spark.range(20, 22).selectExpr("id"), t)    # v4
+    d = read_appends(spark, t, from_version=1)
+    assert sorted(r["id"] for r in d.collect()) == [10, 11, 12, 13, 20, 21]
     d = read_appends(spark, t, from_version=3)
     assert sorted(r["id"] for r in d.collect()) == [20, 21]
     # deletes are never an append delta
