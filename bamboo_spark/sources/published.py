@@ -4,17 +4,26 @@ data source (PySpark 4 Python DataSource API) — batch and streaming.
     from bamboo_spark.sources.published import register
     register(spark)
 
-    # batch: manifest-resolved snapshot, index-driven FILE SKIPPING
-    # pushed into Spark's own planning (EqualTo -> per-file blooms,
-    # range filters -> per-file min/max; filters are re-applied by
-    # Spark row-side, so skipping is purely an optimization)
-    spark.read.format("bamboo_published").load(table_dir)
+    # batch: SNAPSHOT-PINNED manifest-resolved read — every action on
+    # this DataFrame sees the version committed at load time, even if
+    # writers commit between actions (repeatable reads)
+    df = spark.read.format("bamboo_published").load(table_dir)
+
+    # index-driven FILE SKIPPING, safe by default: pruning bounds are
+    # LOAD OPTIONS (fixed per load — they cannot leak into another
+    # query the way pushed filters can, see below), JSON-typed:
+    (spark.read.format("bamboo_published")
+        .option("skip_eq", '{"user_id": 42}')     # per-file blooms
+        .option("skip", '{"day": ["2024-01-01", null]}')  # min/max
+        .load(table_dir))
+    # the caller still applies the row filter (.where(...)) — options
+    # only shrink the FILE list, conservatively
 
     # streaming: offsets ARE snapshot versions; each micro-batch is
     # exactly the files APPENDED between two committed versions (the
-    # read_appends delta algebra — pure rewrites contribute nothing,
-    # histories that folded undelivered appends raise rather than
-    # deliver wrong rows). Exactly-once composes from version
+    # read_appends delta algebra — dataChange=false rewrites contribute
+    # nothing, histories that folded undelivered appends raise rather
+    # than deliver wrong rows). Exactly-once composes from version
     # monotonicity + Spark's offset log.
     (spark.readStream.format("bamboo_published")
         .option("startingVersion", "0")   # 0 = full history; default =
@@ -24,21 +33,36 @@ data source (PySpark 4 Python DataSource API) — batch and streaming.
 Executors read their assigned parquet file with pyarrow and return
 Arrow RecordBatches straight into Spark's columnar pipeline (no
 row-at-a-time Python). Hive partition-column values are parsed from
-the file path and attached as constant Arrow columns, so partitioned
-snapshots round-trip with the writer's types (the manifest schema
-governs, exactly as in ``read_published``).
+the file path and attached as constant Arrow columns, and the
+snapshot's DELETE VECTORS are masked out positionally before the
+batches leave the executor, so merge-on-read deletes round-trip
+exactly as in ``read_published``.
 
-Backend note: executors open data files directly, so this source
-supports plain paths and ``file:`` URIs (the local-cluster shapes);
-remote-URI tables should use ``read_published`` (JVM readers) — the
-constructor raises up front rather than failing task-side.
+BACKENDS: plain paths and ``file:`` URIs read via the local
+filesystem; remote URIs (``hdfs:``, ``s3://``, ``gs://`` …) resolve
+METADATA through the driver's Hadoop FileSystem (same as every publish
+op) and DATA through ``pyarrow.fs.FileSystem.from_uri`` on executors —
+present for S3/GCS/HDFS when the corresponding pyarrow backend is
+available, with a clear task-side error naming the scheme otherwise.
+
+WHY FILTER PUSHDOWN IS OPT-IN (measured on Spark 4.1, see
+tests/test_published_source.py): Spark builds the Python reader's
+partition list ONCE per loaded DataFrame and caches it in the shared
+plan — ``pushFilters`` from the FIRST filtered action prunes the file
+list, and a LATER, broader action on the same DataFrame silently
+reuses the pruned list (missing rows). Per-load reader instances
+cannot fix this (the reuse is intra-load), so the default reader
+reports every filter unsupported and scans the pinned snapshot fully;
+``.option("pushdown", "true")`` enables it for the
+one-query-per-load() pattern, and the ``skip``/``skip_eq`` options
+above are the always-safe pruning interface.
 """
 
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass
-from typing import Iterator, List, Optional, Tuple
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -54,36 +78,119 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 
-def _local_path(table_dir: str) -> str:
-    if table_dir.startswith("file:"):
-        p = table_dir[len("file:"):]
+def _is_remote_uri(table_dir: str) -> bool:
+    return "://" in table_dir and not table_dir.startswith("file:")
+
+
+def _join(table_dir: str, rel: str) -> str:
+    return table_dir.rstrip("/") + "/" + rel
+
+
+def _strip_file_uri(p: str) -> str:
+    """``file:``-URI → local path (handles file:/x, file://x, file:///x)."""
+    if p.startswith("file:"):
+        p = p[len("file:"):]
         while p.startswith("//"):
             p = p[1:]
-        return p
-    if "://" in table_dir:
+    return p
+
+
+def _open_parquet(loc: str):
+    """Executor-side open: (pyarrow.parquet table read) for a data-file
+    location that may be a plain path, a ``file:`` URI, or a remote
+    URI. Remote schemes route through ``pyarrow.fs.FileSystem.from_uri``
+    — S3/GCS/HDFS when pyarrow's backend is present; anything else
+    raises naming the scheme instead of an opaque task failure."""
+    import pyarrow.parquet as pq
+
+    if "://" not in loc or loc.startswith("file:"):
+        return pq.read_table(_strip_file_uri(loc))
+    from pyarrow.fs import FileSystem
+
+    try:
+        fs, path = FileSystem.from_uri(loc)
+    except Exception as e:
+        raise RuntimeError(
+            "bamboo_published: no pyarrow filesystem for scheme %r "
+            "(%s) — executors read data files directly; install the "
+            "pyarrow backend for this store or read via "
+            "read_published() (JVM readers)"
+            % (loc.split("://", 1)[0], e)
+        ) from e
+    return pq.read_table(path, filesystem=fs)
+
+
+class _ArrowMetaFS:
+    """Metadata-read adapter over ``pyarrow.fs`` implementing the slice
+    of the publish fs protocol the manifest/segment/dv readers need
+    (join, read_text, mtime_ms). The Python DataSource's planning runs
+    in a worker WITHOUT a JVM, so the Hadoop FileSystem route every
+    publish op uses isn't available — pyarrow's native filesystems
+    (S3/GCS/HDFS when present) stand in for remote URIs."""
+
+    def __init__(self, fs):
+        self._fs = fs
+
+    def join(self, *parts: str) -> str:
+        return "/".join(x.rstrip("/") for x in parts[:-1]) + "/" + parts[-1]
+
+    def read_text(self, p: str) -> str:
+        with self._fs.open_input_stream(p) as f:
+            return f.read().decode("utf-8")
+
+    def mtime_ms(self, p: str) -> int:
+        info = self._fs.get_file_info(p)
+        mt = info.mtime
+        if mt is None:
+            return 0
+        return int(mt.timestamp() * 1000)
+
+
+def _meta_fs(table_dir: str):
+    """(fs adapter, fs-NATIVE table dir) for manifest/segment/dv reads.
+    Plain paths and ``file:`` URIs use the posix backend; remote URIs
+    resolve through ``pyarrow.fs.FileSystem.from_uri`` — raising a
+    clear error naming the scheme when no backend exists."""
+    if "://" not in table_dir or table_dir.startswith("file:"):
+        from bamboo_spark.operators.publish import _PosixFS
+
+        return _PosixFS(), _strip_file_uri(table_dir)
+    from pyarrow.fs import FileSystem
+
+    try:
+        fs, native = FileSystem.from_uri(table_dir)
+    except Exception as e:
         raise ValueError(
-            "bamboo_published reads files executor-side with pyarrow; "
-            "remote URI %r is not supported — use read_published()"
-            % table_dir
+            "bamboo_published: no pyarrow filesystem for scheme %r "
+            "(%s) — use read_published() (JVM readers) for this store"
+            % (table_dir.split("://", 1)[0], e)
+        ) from e
+    return _ArrowMetaFS(fs), native
+
+
+def _driver_manifest(table_dir: str):
+    """(fs, fs-native dir, manifest) for the committed table."""
+    from bamboo_spark.operators.publish import _read_manifest
+
+    fs, native = _meta_fs(table_dir)
+    man = _read_manifest(native, fs)
+    if man is None:
+        raise ValueError(
+            "bamboo_published: no committed table at %r" % table_dir
         )
-    return table_dir
-
-
-def _manifest(table_dir: str) -> dict:
-    import os
-
-    with open(os.path.join(_local_path(table_dir), "manifest.json")) as fh:
-        return json.load(fh)
+    return fs, native, man
 
 
 @dataclass
 class _FilePartition(InputPartition):
-    """One task = one data file (+ its path-borne partition values)."""
+    """One task = one data file (+ its path-borne partition values and
+    its delete-vector positions, point-delete-sized)."""
 
-    path: str            # absolute local path
+    loc: str             # absolute path or URI
     rel: str             # manifest-relative path (carries col=val segs)
     schema_json: str
     partition_by: tuple
+    dv_pos: tuple = field(default_factory=tuple)
 
 
 def _partition_values(rel: str, partition_by) -> dict:
@@ -100,65 +207,98 @@ def _arrow_batches(part: _FilePartition):
     """Arrow RecordBatches for one file, aligned to the MANIFEST schema
     (missing columns -> null, schema-merge semantics; partition
     columns -> constants parsed from the path, cast to the declared
-    type). Runs on executors."""
+    type), with the snapshot's delete-vector positions masked out.
+    Runs on executors."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
     spark_schema = StructType.fromJson(json.loads(part.schema_json))
     arrow_schema = to_arrow_schema(spark_schema)
     pvals = _partition_values(part.rel, set(part.partition_by))
-    tbl = pq.read_table(part.path)
+    tbl = _open_parquet(part.loc)
+    if part.dv_pos:
+        import numpy as np
+
+        keep = np.ones(tbl.num_rows, dtype=bool)
+        keep[list(part.dv_pos)] = False
+        tbl = tbl.filter(pa.array(keep))
     n = tbl.num_rows
     cols = []
-    for field in arrow_schema:
-        if field.name in tbl.column_names:
-            cols.append(tbl[field.name].cast(field.type))
-        elif field.name in pvals:
-            scalar = pa.scalar(pvals[field.name], type=pa.string()).cast(
-                field.type
-            )
-            cols.append(pa.chunked_array([[scalar.as_py()] * n], field.type))
+    for f in arrow_schema:
+        if f.name in tbl.column_names:
+            cols.append(tbl[f.name].cast(f.type))
+        elif f.name in pvals:
+            scalar = pa.scalar(pvals[f.name], type=pa.string()).cast(f.type)
+            cols.append(pa.chunked_array([[scalar.as_py()] * n], f.type))
         else:
-            cols.append(pa.nulls(n, field.type))
+            cols.append(pa.nulls(n, f.type))
     out = pa.table(cols, schema=arrow_schema)
     for batch in out.to_batches():
         yield batch
 
 
-class _PublishedBatchReader(DataSourceReader):
-    """Safe default reader: scans the committed snapshot's full file
-    list. Deliberately does NOT implement ``pushFilters`` — Spark
-    caches a pushed-down scan inside a shared DataFrame's plan, so a
-    later UNFILTERED action on the same DataFrame would silently reuse
-    the pruned file list (observed on 4.1: correct count, then a
-    groupBy returning one file's rows). Index-driven skipping is the
-    opt-in reader below, or ``read_published(skip=..., skip_eq=...)``."""
+def _parse_json_option(options: dict, key: str) -> dict:
+    """A load option holding a JSON object ({} when absent). Option
+    KEYS are lowercased by Spark; JSON VALUES are not — which is why
+    the pruning bounds ride one JSON value instead of dotted keys
+    (column names keep their case)."""
+    raw = None
+    for k, v in (options or {}).items():
+        if str(k).lower() == key:
+            raw = v
+    if not raw:
+        return {}
+    out = json.loads(raw)
+    if not isinstance(out, dict):
+        raise ValueError(
+            "bamboo_published: option %r must be a JSON object" % key
+        )
+    return out
 
-    def __init__(self, table_dir: str, schema: StructType):
-        self._dir = _local_path(table_dir)
-        self._schema = schema
-        self._eq: dict = {}
+
+class _PublishedBatchReader(DataSourceReader):
+    """SNAPSHOT-PINNED reader: the manifest is resolved ONCE (in the
+    DataSource constructor, driver-side) and every action on the loaded
+    DataFrame reads exactly that version's files — a commit landing
+    between two actions cannot split them across snapshots
+    (read_published pins the same way).
+
+    Deliberately does NOT implement ``pushFilters`` — see the module
+    docstring for the measured intra-load plan-caching poisoning.
+    Index-driven skipping comes from the ``skip``/``skip_eq`` load
+    options (safe: fixed per load) or the opt-in pushdown reader."""
+
+    def __init__(
+        self,
+        table_dir: str,
+        pinned: dict,
+        skip: Optional[dict] = None,
+        skip_eq: Optional[dict] = None,
+    ):
+        self._dir = table_dir
+        self._pinned = pinned  # {schema, partition_by, files, stats,
+        #                        blooms, dv} — plain picklable data
+        self._skip = dict(skip or {})
+        self._eq = dict(skip_eq or {})
         self._lo: dict = {}
         self._hi: dict = {}
+        for c, bound in self._skip.items():
+            lo, hi = bound
+            if lo is not None:
+                self._lo[c] = lo
+            if hi is not None:
+                self._hi[c] = hi
 
     def partitions(self) -> List[InputPartition]:
-        import os
+        from bamboo_spark.operators.publish import _prune_eq
 
-        from bamboo_spark.operators.publish import (
-            _PosixFS,
-            _prune_eq,
-            _resolve_entry,
-        )
-
-        man = _manifest(self._dir)
-        fs = _PosixFS()
-        res = _resolve_entry(fs, self._dir, man)
-        files = res["files"]
+        p = self._pinned
+        files = list(p["files"])
+        res = {"file_stats": p["stats"], "file_blooms": p["blooms"]}
         if self._eq:
             files = _prune_eq(res, files, self._eq)
         if self._lo or self._hi:
-            stats = res["file_stats"]
+            stats = p["stats"]
             cols = set(self._lo) | set(self._hi)
 
             def _keep(f: str) -> bool:
@@ -175,17 +315,18 @@ class _PublishedBatchReader(DataSourceReader):
                         ):
                             return False
                     except TypeError:
-                        pass
+                        pass  # incomparable: stay conservative
                 return True
 
             files = [f for f in files if _keep(f)]
-        parts = tuple(man.get("partition_by") or [])
+        dv = p.get("dv") or {}
         return [
             _FilePartition(
-                path=os.path.join(self._dir, f),
+                loc=_join(self._dir, f),
                 rel=f,
-                schema_json=man["schema"],
-                partition_by=parts,
+                schema_json=p["schema"],
+                partition_by=tuple(p["partition_by"]),
+                dv_pos=tuple(dv.get(f) or ()),
             )
             for f in files
         ]
@@ -196,19 +337,17 @@ class _PublishedBatchReader(DataSourceReader):
 
 class _PublishedPushdownReader(_PublishedBatchReader):
     """Opt-in (``.option("pushdown", "true")``): equality/range
-    predicates prune the FILE LIST via the segment sidecars' per-file
-    blooms and min/max — Spark still re-applies every filter row-side
-    (we report them all unsupported), so pruning is purely an
-    optimization and bloom false positives are harmless.
+    predicates prune the FILE LIST via the per-file blooms and min/max
+    — Spark still re-applies every filter row-side (we report them all
+    unsupported), so pruning is purely an optimization and bloom false
+    positives are harmless.
 
-    SHARP EDGE (why this is opt-in): use a FRESH ``load()`` per query.
-    Spark caches the pushed-down scan inside a DataFrame's plan and
-    reuses it for later actions on the SAME DataFrame without
-    re-calling pushFilters — an unfiltered action after a filtered one
-    would read only the previously-pruned files."""
+    SHARP EDGE (why this is opt-in; measured, see module docstring):
+    use a FRESH ``load()`` per query. Spark computes the partition list
+    once per loaded DataFrame — a broader action after a filtered one
+    on the SAME DataFrame reuses the pruned file list."""
 
     def pushFilters(self, filters):
-        self._eq, self._lo, self._hi = {}, {}, {}
         for f in filters:
             try:
                 col = f.attribute[0] if len(f.attribute) == 1 else None
@@ -225,15 +364,20 @@ class _PublishedPushdownReader(_PublishedBatchReader):
 
 
 class _PublishedStreamReader(DataSourceStreamReader):
+    """Offsets are snapshot versions; metadata reads go through the
+    driver-side backend routing (remote URIs included). Data files are
+    opened executor-side via pyarrow (see _open_parquet)."""
+
     def __init__(self, table_dir: str, options: dict):
-        self._dir = _local_path(table_dir)
+        self._dir = table_dir
         # Spark normalizes option keys to lowercase — look up both
         sv = "latest"
         for k, v in (options or {}).items():
             if str(k).lower() == "startingversion":
                 sv = v
         if sv == "latest":
-            self._start = int(_manifest(self._dir)["version"])
+            _, _, man = _driver_manifest(table_dir)
+            self._start = int(man["version"])
         else:
             self._start = int(sv)
 
@@ -241,20 +385,16 @@ class _PublishedStreamReader(DataSourceStreamReader):
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
-        return {"version": int(_manifest(self._dir)["version"])}
+        _, _, man = _driver_manifest(self._dir)
+        return {"version": int(man["version"])}
 
     def partitions(self, start: dict, end: dict) -> List[InputPartition]:
-        import os
+        from bamboo_spark.operators.publish import _append_delta_files
 
-        from bamboo_spark.operators.publish import (
-            _PosixFS,
-            _append_delta_files,
-        )
-
-        man = _manifest(self._dir)
+        fs, native, man = _driver_manifest(self._dir)
         files, schema_json, _ = _append_delta_files(
-            _PosixFS(),
-            self._dir,
+            fs,
+            native,
             man,
             int(start["version"]),
             int(end["version"]),
@@ -262,7 +402,7 @@ class _PublishedStreamReader(DataSourceStreamReader):
         parts = tuple(man.get("partition_by") or [])
         return [
             _FilePartition(
-                path=os.path.join(self._dir, f),
+                loc=_join(self._dir, f),
                 rel=f,
                 schema_json=schema_json,
                 partition_by=parts,
@@ -281,7 +421,9 @@ class _PublishedStreamReader(DataSourceStreamReader):
 
 
 class PublishedTableDataSource(DataSource):
-    """``format("bamboo_published")`` — see module docstring."""
+    """``format("bamboo_published")`` — see module docstring. The
+    snapshot is pinned HERE (one manifest read per load), so
+    ``schema()`` and every reader action agree on one version."""
 
     @classmethod
     def name(cls) -> str:
@@ -295,14 +437,46 @@ class PublishedTableDataSource(DataSource):
             )
         return path
 
+    def _pin(self) -> dict:
+        """Resolve the committed snapshot ONCE per load: file list,
+        per-file indexes, delete vectors, schema — plain data, pickled
+        with the plan, immune to later commits. (Lazy attribute —
+        ``DataSource.__init__`` must not be overridden.)"""
+        if getattr(self, "_pinned", None) is None:
+            self._pinned: Optional[dict] = None
+            from bamboo_spark.operators.publish import (
+                _load_dv,
+                _resolve_entry,
+            )
+
+            table_dir = self._table_dir()
+            fs, native, man = _driver_manifest(table_dir)
+            res = _resolve_entry(fs, native, man)
+            self._pinned = {
+                "version": int(man["version"]),
+                "schema": man["schema"],
+                "partition_by": list(man.get("partition_by") or []),
+                "files": res["files"],
+                "stats": res["file_stats"],
+                "blooms": res["file_blooms"],
+                "dv": _load_dv(fs, native, man),
+            }
+        return self._pinned
+
     def schema(self) -> StructType:
-        man = _manifest(self._table_dir())
-        return StructType.fromJson(json.loads(man["schema"]))
+        return StructType.fromJson(json.loads(self._pin()["schema"]))
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        if str(self.options.get("pushdown", "")).lower() == "true":
-            return _PublishedPushdownReader(self._table_dir(), schema)
-        return _PublishedBatchReader(self._table_dir(), schema)
+        skip = _parse_json_option(self.options, "skip")
+        skip_eq = _parse_json_option(self.options, "skip_eq")
+        cls = (
+            _PublishedPushdownReader
+            if str(self.options.get("pushdown", "")).lower() == "true"
+            else _PublishedBatchReader
+        )
+        return cls(
+            self._table_dir(), self._pin(), skip=skip, skip_eq=skip_eq
+        )
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _PublishedStreamReader(self._table_dir(), dict(self.options))
@@ -310,7 +484,7 @@ class PublishedTableDataSource(DataSource):
 
 def register(spark) -> None:
     """Register the ``bamboo_published`` format on this session (and
-    enable Python-source filter pushdown, which the reader needs for
-    its index-driven file skipping — a runtime-settable SQL conf)."""
+    enable Python-source filter pushdown, which the OPT-IN pushdown
+    reader needs — a runtime-settable SQL conf)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(PublishedTableDataSource)

@@ -165,3 +165,141 @@ def test_stream_pure_rewrite_contributes_nothing(src, spark, tmp_path):
         assert sorted(seen) == [100, 101]
     finally:
         q.stop()
+
+
+def test_batch_read_is_snapshot_pinned(src, spark, tmp_path):
+    """VERDICT r8 #3: two actions on ONE loaded DataFrame straddling a
+    concurrent commit must read the SAME version (repeatable reads);
+    a fresh load sees the new snapshot."""
+    t = str(tmp_path / "tbl")
+    atomic_publish(spark.range(10).selectExpr("id"), t)
+    df = spark.read.format("bamboo_published").load(t)
+    assert df.count() == 10
+    append_publish(spark.range(10, 25).selectExpr("id"), t)
+    assert df.count() == 10  # pinned: the commit is invisible to df
+    assert df.groupBy().sum("id").collect()[0][0] == sum(range(10))
+    fresh = spark.read.format("bamboo_published").load(t)
+    assert fresh.count() == 25
+
+
+def test_skip_options_prune_safely(src, spark, tmp_path):
+    """skip/skip_eq are LOAD options: fixed per load, they cannot leak
+    across queries the way pushed filters can — the always-safe pruning
+    interface for point reads."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(4000).select(
+        F.xxhash64("id").alias("sk"), F.col("id").alias("user_id")
+    ).repartition(8, "sk").drop("sk")
+    atomic_publish(df, t, stats_cols=["user_id"], bloom_cols=["user_id"])
+    pruned = (
+        spark.read.format("bamboo_published")
+        .option("skip_eq", '{"user_id": 1234}')
+        .load(t)
+    )
+    # the scan itself shrank to the bloom candidates…
+    assert pruned.rdd.getNumPartitions() <= 2
+    # …and BOTH actions on the same DataFrame see the same (pruned)
+    # file set — options are part of the load, not of one query
+    assert pruned.where("user_id = 1234").count() == 1
+    assert pruned.rdd.getNumPartitions() <= 2
+    # range skip: full scan proves 0 partitions pruned away wrongly
+    full = spark.read.format("bamboo_published").load(t)
+    assert full.count() == 4000
+    rng = (
+        spark.read.format("bamboo_published")
+        .option("skip", '{"user_id": [100, 200]}')
+        .load(t)
+        .where("user_id between 100 and 200")
+    )
+    assert rng.count() == 101
+
+
+def test_batch_read_masks_delete_vectors(src, spark, tmp_path):
+    """Merge-on-read deletes round-trip through the DataSource exactly
+    as through read_published."""
+    from bamboo_spark.operators.publish import delete_publish
+
+    t = str(tmp_path / "tbl")
+    atomic_publish(spark.range(20).selectExpr("id"), t)
+    delete_publish(spark, t, "id in (3, 7, 11)", delete_vectors=True)
+    got = spark.read.format("bamboo_published").load(t)
+    want = read_published(spark, t)
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in want.collect()
+    )
+    assert got.count() == 17
+
+
+def test_file_uri_table_round_trip(src, spark, tmp_path):
+    """VERDICT r8 #4 (the testable slice): a URI table — metadata via
+    the driver's Hadoop FileSystem, data files opened executor-side by
+    scheme routing — reads batch AND streams. file: exercises the same
+    code path a remote scheme takes; genuinely unreachable schemes
+    raise task-side naming the scheme."""
+    t = "file://" + str(tmp_path / "tbl")
+    atomic_publish(spark.range(12).selectExpr("id"), t)
+    append_publish(spark.range(12, 15).selectExpr("id"), t)
+    got = spark.read.format("bamboo_published").load(t)
+    assert sorted(r["id"] for r in got.collect()) == list(range(15))
+    # streaming over the URI table
+    ckpt = str(tmp_path / "ckpt")
+    seen = []
+
+    def sink(batch_df, bid):
+        seen.extend(r["id"] for r in batch_df.collect())
+
+    q = (
+        spark.readStream.format("bamboo_published")
+        .option("startingVersion", "0")
+        .load(t)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert sorted(seen) == list(range(15))
+    finally:
+        q.stop()
+
+
+def test_unreachable_scheme_raises_clearly():
+    from bamboo_spark.sources.published import _open_parquet
+
+    with pytest.raises(Exception, match="nosuchscheme|filesystem"):
+        _open_parquet("nosuchscheme://bucket/f.parquet")
+
+
+def test_stream_delivers_across_compaction(src, spark, tmp_path):
+    """VERDICT r8 #6 'Done =' criterion: append → compact → append
+    delivers both appends, never a duplicate — compaction commits are
+    dataChange=false and the delta algebra skips them while the
+    original files stay retained."""
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    atomic_publish(spark.range(5).selectExpr("id"), t)          # v1
+    seen = []
+
+    def sink(batch_df, bid):
+        seen.extend(r["id"] for r in batch_df.collect())
+
+    q = (
+        spark.readStream.format("bamboo_published")
+        .option("startingVersion", "0")
+        .load(t)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert sorted(seen) == [0, 1, 2, 3, 4]
+        # the stream is now at v1; the NEXT micro-batch spans
+        # append(v2) + compact(v3) + append(v4) in one delta
+        append_publish(spark.range(10, 13).selectExpr("id"), t)  # v2
+        compact(spark, t)                                        # v3
+        append_publish(spark.range(20, 22).selectExpr("id"), t)  # v4
+        q.processAllAvailable()
+        assert sorted(seen) == [0, 1, 2, 3, 4, 10, 11, 12, 20, 21]
+    finally:
+        q.stop()
