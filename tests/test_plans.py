@@ -223,6 +223,14 @@ def test_minhash_incremental_no_corpus_rescan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan  # Broadcast- or Shuffled-
+    # QUANTITATIVE pin (r8 bench drift watch): the O(batch) probe is
+    # 4 exchanges / 5 scans / 6 hash joins today — a regression that
+    # re-scans the corpus or adds a shuffle can't hide in bench noise
+    import re
+
+    assert len(re.findall(r"\bExchange\b", plan)) <= 4, plan
+    assert len(re.findall(r"Scan parquet", plan)) <= 5, plan
+    assert len(re.findall(r"HashJoin", plan)) <= 6, plan
 
 
 def test_token_entropy_single_doc_keyed_shuffle(spark):
@@ -1065,3 +1073,23 @@ def test_markov_attribution_no_cartesian_no_python(spark):
     plan = plan_of(q.q_attribution_markov_removal(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_attribution_markov_no_forced_users_broadcast(spark):
+    """r8 verdict #2: firstp (one row per CONVERTING USER) must not be
+    hint-broadcast — at 100x that is a driver-materialized users-sized
+    table. With size-based broadcasting disabled, any BroadcastHashJoin
+    in the journey stage could only come from a hint; expect none (the
+    user_id equi-join shuffles on the same key the journey window
+    already exchanges). The tiny states-grid value-iteration side may
+    broadcast freely — it is checked separately as bounded."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(
+            q.queries()["attribution_markov_removal"](spark, SF)
+        )
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
