@@ -1968,6 +1968,7 @@ def read_appends(
     table_dir: str,
     from_version: int,
     to_version: Optional[int] = None,
+    ignore_deletes: bool = False,
 ) -> DataFrame:
     """Incremental change read: the rows APPENDED between two committed
     versions — the poll-based streaming-source primitive (a downstream
@@ -1980,7 +1981,14 @@ def read_appends(
     files; their rewritten files are excluded when the snapshot's
     counters show no row growth (pure-rewrite commits contribute
     nothing). Raises if ``from_version`` is no longer retained —
-    vacuumed history means the delta can't be proven append-only."""
+    vacuumed history means the delta can't be proven append-only.
+
+    ``ignore_deletes=True`` (Delta's option of the same name): versions
+    that only SHRANK the table — delete-vector commits and partition/
+    file deletes — contribute nothing instead of raising; the caller
+    accepts that deletions are not propagated downstream (appends that
+    preceded an in-window delete still deliver, exactly as a live
+    stream would have delivered them before the delete landed)."""
     fs = _fs_for(table_dir, spark)
     manifest = _read_manifest(table_dir, fs)
     if manifest is None:
@@ -1989,7 +1997,8 @@ def read_appends(
         manifest["version"]
     )
     appended, schema, partitioned = _append_delta_files(
-        fs, table_dir, manifest, int(from_version), to_v
+        fs, table_dir, manifest, int(from_version), to_v,
+        ignore_deletes=ignore_deletes,
     )
     return _read_files(
         spark, fs, table_dir, appended, schema, partitioned
@@ -1997,7 +2006,12 @@ def read_appends(
 
 
 def _append_delta_files(
-    fs, table_dir: str, manifest: dict, from_v: int, to_v: int
+    fs,
+    table_dir: str,
+    manifest: dict,
+    from_v: int,
+    to_v: int,
+    ignore_deletes: bool = False,
 ):
     """``(appended files, schema_json, partitioned)`` between two
     retained versions — the metadata algebra behind
@@ -2008,7 +2022,8 @@ def _append_delta_files(
     files; a pure-rewrite step (same row count) contributes nothing —
     but if it rewrote a file already collected as appended, those
     appended rows were folded into mixed files and the exact delta is
-    unrecoverable (raise, don't over-deliver)."""
+    unrecoverable (raise, don't over-deliver). ``ignore_deletes`` lets
+    shrinking versions pass as no-ops (see :func:`read_appends`)."""
 
     def _entry_of(v: int) -> dict:
         if v == 0:
@@ -2037,9 +2052,25 @@ def _append_delta_files(
         dropped = prev_files - cur_files
         grew = int(e.get("n_rows", 0)) - int(prev_e.get("n_rows", 0))
         if grew < 0:
+            if ignore_deletes and not added:
+                # a pure shrink (dv delete: no file change; partition/
+                # file delete: drops only) — under ignore_deletes it
+                # contributes nothing. Already-collected appended files
+                # keep delivering even if the delete dropped them: a
+                # live stream would have delivered those rows before
+                # the delete landed (Delta's ignoreDeletes contract).
+                prev_e, prev_files = e, cur_files
+                schema = e["schema"]
+                partitioned = bool(e.get("partition_by"))
+                continue
             raise ValueError(
                 "read_appends: v%d shrank the table (delete/replace); "
-                "the delta is not append-only" % v
+                "the delta is not append-only%s" % (
+                    v,
+                    "" if ignore_deletes else
+                    " (pass ignore_deletes=True / option "
+                    "ignoreDeletes to skip delete commits)",
+                )
             )
         if e.get("data_change") is False and grew == 0:
             # pure-rewrite commit (compact/compact_partitions mark
@@ -2075,6 +2106,175 @@ def _append_delta_files(
         e = _entry_of(to_v)
         schema, partitioned = e["schema"], bool(e.get("partition_by"))
     return appended, schema, partitioned
+
+
+def read_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: Optional[int] = None,
+) -> DataFrame:
+    """CHANGE DATA FEED: every row-level change between two retained
+    versions, stamped ``_change_type`` ('insert' | 'delete') and
+    ``_commit_version`` — Delta's CDF reduced to snapshot algebra (no
+    per-row tracking, so an update surfaces as delete + insert, the
+    documented CDF contract without row ids). Downstream consumers that
+    must propagate DELETES (the thing :func:`read_appends` refuses or
+    skips) read this instead.
+
+    Per intermediate commit, from metadata outward:
+
+    * ``dataChange=false`` rewrites (compaction/clustering): nothing.
+    * pure appends: the added files' rows are inserts — zero diffing.
+    * delete-vector commits: the NEWLY dv'd positions, read back from
+      their (unchanged) files by row address — exact deletes, IO
+      bounded by the affected files.
+    * replaces/rewrites: an exact multiset diff of the dropped vs
+      added file sets (group-by-all-columns counts, both sides read
+      under their snapshot's dv mask) — rows whose count fell are
+      deletes, rows whose count rose are inserts; IO bounded by the
+      files the commit touched, never the table.
+
+    Needs every version in (from, to] retained (else KeyError — a
+    vacuumed step can't prove its delta). Columns of map type can't be
+    diffed (not groupable); tables with map columns should diff via
+    :func:`diff_versions` on an id column instead."""
+    from pyspark.sql import functions as F, types as T
+
+    fs = _fs_for(table_dir, spark)
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        raise ValueError("read_changes: no committed table here")
+    to_v = int(to_version) if to_version is not None else int(
+        manifest["version"]
+    )
+
+    def _entry_of(v: int) -> dict:
+        if v == 0:
+            return {"n_rows": 0, "files": [], "segments": []}
+        if v == int(manifest["version"]):
+            return manifest
+        snaps = manifest.get("snapshots", {})
+        if str(v) not in snaps:
+            raise KeyError(
+                "version %s is not a retained snapshot (have: %s)"
+                % (v, sorted(int(x) for x in snaps))
+            )
+        return snaps[str(v)]
+
+    def _tag(df: DataFrame, typ: str, v: int) -> DataFrame:
+        return df.select(
+            "*",
+            F.lit(typ).alias("_change_type"),
+            F.lit(v).cast("long").alias("_commit_version"),
+        )
+
+    def _multiset_diff(old: DataFrame, new: DataFrame, v: int):
+        """(inserts, deletes) as exact multiset difference — count per
+        full row on each side, explode the positive diffs back out."""
+        cols = new.columns
+        oc = old.groupBy(*cols).agg(F.count(F.lit(1)).alias("_oc"))
+        nc = new.groupBy(*cols).agg(F.count(F.lit(1)).alias("_nc"))
+        j = oc.join(nc, cols, "full_outer").select(
+            *cols,
+            (
+                F.coalesce(F.col("_nc"), F.lit(0))
+                - F.coalesce(F.col("_oc"), F.lit(0))
+            ).alias("_d"),
+        )
+        ins = (
+            j.where(F.col("_d") > 0)
+            .withColumn("_r", F.explode(F.sequence(F.lit(1), F.col("_d"))))
+            .drop("_d", "_r")
+        )
+        dels = (
+            j.where(F.col("_d") < 0)
+            .withColumn("_r", F.explode(F.sequence(F.lit(1), -F.col("_d"))))
+            .drop("_d", "_r")
+        )
+        return _tag(ins, "insert", v), _tag(dels, "delete", v)
+
+    pieces: List[DataFrame] = []
+    from_v = int(from_version)
+    prev_e = _entry_of(from_v)
+    prev_files = set(_entry_files(fs, table_dir, prev_e))
+    for v in range(from_v + 1, to_v + 1):
+        e = _entry_of(v)
+        cur_files = set(_entry_files(fs, table_dir, e))
+        added = sorted(cur_files - prev_files)
+        dropped = sorted(prev_files - cur_files)
+        parted = bool(e.get("partition_by"))
+        dv_prev = _load_dv(fs, table_dir, prev_e)
+        dv_cur = _load_dv(fs, table_dir, e)
+        if e.get("data_change") is False:
+            pass  # pure rewrite: same rows, different files
+        elif added and not dropped:
+            pieces.append(
+                _tag(
+                    _read_files(
+                        spark, fs, table_dir, added, e["schema"],
+                        parted, dv=dv_cur,
+                    ),
+                    "insert",
+                    v,
+                )
+            )
+        elif added or dropped:
+            old_rows = _read_files(
+                spark, fs, table_dir, dropped, prev_e["schema"],
+                bool(prev_e.get("partition_by")), dv=dv_prev,
+            )
+            new_rows = _read_files(
+                spark, fs, table_dir, added, e["schema"], parted,
+                dv=dv_cur,
+            )
+            ins, dels = _multiset_diff(old_rows, new_rows, v)
+            pieces.extend([ins, dels])
+        # delete-vector growth on files live in BOTH snapshots: the
+        # newly-addressed positions are deletes, read back by address
+        common = prev_files & cur_files
+        newly = {
+            f: sorted(set(dv_cur.get(f) or []) - set(dv_prev.get(f) or []))
+            for f in common
+        }
+        newly = {f: ps for f, ps in newly.items() if ps}
+        if newly:
+            addressed = _read_files_with_pos(
+                spark, fs, table_dir, sorted(newly), e["schema"], parted
+            )
+            pos_rows = [
+                (rel.rsplit("/", 1)[-1], rel, int(p))
+                for rel, ps in newly.items()
+                for p in ps
+            ]
+            pdf = spark.createDataFrame(
+                pos_rows, "_b string, _rel string, _pos long"
+            )
+            hit = (
+                addressed.withColumn(
+                    "_fb", F.element_at(F.split(F.col("_fp"), "/"), -1)
+                )
+                .join(
+                    F.broadcast(pdf),
+                    (F.col("_fb") == F.col("_b"))
+                    & (F.col("_ri") == F.col("_pos"))
+                    & F.col("_fp").endswith(
+                        F.concat(F.lit("/"), F.col("_rel"))
+                    ),
+                )
+                .drop("_fp", "_ri", "_fb", "_b", "_rel", "_pos")
+            )
+            pieces.append(_tag(hit, "delete", v))
+        prev_e, prev_files = e, cur_files
+    if not pieces:
+        schema = T.StructType.fromJson(
+            json.loads(_entry_of(to_v).get("schema") or manifest["schema"])
+        ).add("_change_type", "string").add("_commit_version", "long")
+        return spark.createDataFrame([], schema)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
 
 
 def snapshots(

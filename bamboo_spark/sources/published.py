@@ -372,9 +372,12 @@ class _PublishedStreamReader(DataSourceStreamReader):
         self._dir = table_dir
         # Spark normalizes option keys to lowercase — look up both
         sv = "latest"
+        self._ignore_deletes = False
         for k, v in (options or {}).items():
             if str(k).lower() == "startingversion":
                 sv = v
+            if str(k).lower() == "ignoredeletes":
+                self._ignore_deletes = str(v).lower() == "true"
         if sv == "latest":
             _, _, man = _driver_manifest(table_dir)
             self._start = int(man["version"])
@@ -398,6 +401,7 @@ class _PublishedStreamReader(DataSourceStreamReader):
             man,
             int(start["version"]),
             int(end["version"]),
+            ignore_deletes=self._ignore_deletes,
         )
         parts = tuple(man.get("partition_by") or [])
         return [

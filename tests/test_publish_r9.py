@@ -596,3 +596,118 @@ def test_optimize_table_surfaces_compact_conflict(spark, tmp_path,
     assert "synthetic conflict" in out["compact_conflict"]
     # the remaining maintenance steps still ran
     assert "vacuumed" in out
+
+
+# ---------------------------------------------------------------------------
+# ignoreDeletes + change data feed
+# ---------------------------------------------------------------------------
+
+
+def test_read_appends_ignore_deletes_skips_dv_commits(spark, tmp_path):
+    from bamboo_spark.operators.publish import read_appends
+
+    t = str(tmp_path / "tbl")
+    atomic_publish(spark.range(5).selectExpr("id"), t)           # v1
+    append_publish(spark.range(10, 13).selectExpr("id"), t)      # v2
+    delete_publish(spark, t, "id = 11", delete_vectors=True)     # v3
+    append_publish(spark.range(20, 22).selectExpr("id"), t)      # v4
+    # strict mode still refuses
+    with pytest.raises(ValueError, match="shrank"):
+        read_appends(spark, t, from_version=1)
+    # ignore_deletes: both appends deliver; the delete isn't propagated
+    d = read_appends(spark, t, from_version=1, ignore_deletes=True)
+    assert sorted(r["id"] for r in d.collect()) == [10, 11, 12, 20, 21]
+    # a REWRITE delete (file replace) still raises even with the flag
+    delete_publish(spark, t, "id = 4")                           # v5 rewrite
+    with pytest.raises(ValueError):
+        read_appends(spark, t, from_version=4, ignore_deletes=True)
+
+
+def test_read_changes_inserts_and_deletes(spark, tmp_path):
+    from bamboo_spark.operators.publish import read_changes
+
+    t = str(tmp_path / "tbl")
+    atomic_publish(spark.range(5).selectExpr("id"), t)           # v1
+    append_publish(spark.range(10, 13).selectExpr("id"), t)      # v2 inserts
+    delete_publish(spark, t, "id = 11", delete_vectors=True)     # v3 dv del
+    compact(spark, t)                                            # v4 no-op
+    delete_publish(spark, t, "id = 3")                           # v5 rewrite
+    ch = read_changes(spark, t, from_version=1)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"])
+        for r in ch.collect()
+    )
+    assert got == [
+        (2, "insert", 10),
+        (2, "insert", 11),
+        (2, "insert", 12),
+        (3, "delete", 11),
+        (5, "delete", 3),
+    ]
+    # full-history feed from the empty table includes the v1 load
+    ch0 = read_changes(spark, t, from_version=0, to_version=1)
+    assert sorted(r["id"] for r in ch0.collect()) == [0, 1, 2, 3, 4]
+    assert {r["_change_type"] for r in ch0.collect()} == {"insert"}
+
+
+def test_read_changes_replace_is_exact_multiset_diff(spark, tmp_path):
+    """A partition rewrite that UPDATES rows surfaces as delete+insert
+    pairs — and duplicate rows diff by exact multiset count."""
+    from bamboo_spark.operators.publish import (
+        read_changes,
+        replace_partitions_publish,
+    )
+
+    t = str(tmp_path / "tbl")
+    atomic_publish(
+        spark.createDataFrame(
+            [("a", 1), ("a", 1), ("a", 2), ("b", 9)], "k string, v long"
+        ),
+        t,
+        partition_by="k",
+    )
+    # rewrite partition a: one of the duplicate (a,1) rows becomes 5
+    replace_partitions_publish(
+        spark.createDataFrame(
+            [("a", 1), ("a", 5), ("a", 2)], "k string, v long"
+        ),
+        t,
+        values=["a"],
+    )
+    ch = read_changes(spark, t, from_version=1)
+    got = sorted(
+        (r["_change_type"], r["k"], r["v"]) for r in ch.collect()
+    )
+    assert got == [("delete", "a", 1), ("insert", "a", 5)]
+
+
+def test_stream_ignore_deletes_option(spark, tmp_path):
+    from bamboo_spark.sources.published import register
+
+    register(spark)
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    atomic_publish(spark.range(5).selectExpr("id"), t)
+    seen = []
+
+    def sink(batch_df, bid):
+        seen.extend(r["id"] for r in batch_df.collect())
+
+    q = (
+        spark.readStream.format("bamboo_published")
+        .option("startingVersion", "0")
+        .option("ignoreDeletes", "true")
+        .load(t)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert sorted(seen) == [0, 1, 2, 3, 4]
+        delete_publish(spark, t, "id = 2", delete_vectors=True)
+        append_publish(spark.range(50, 52).selectExpr("id"), t)
+        q.processAllAvailable()
+        assert sorted(seen) == [0, 1, 2, 3, 4, 50, 51]
+    finally:
+        q.stop()
