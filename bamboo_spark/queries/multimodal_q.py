@@ -255,3 +255,60 @@ select doc_id, len(wins)::BIGINT n_frames,
        list_sum([x.z for x in wins])::BIGINT total_zcr
 from p order by doc_id
 """
+
+
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over the binary payload
+    column — the image-dedup shape (pHash): payload → 8×8 grid →
+    mean-threshold bits → four 16-bit bands, candidates from banded
+    equi-joins (pigeonhole: close hashes agree on ≥1 band), verified by
+    exact hamming distance over bit_count(xor). All integer, all
+    JVM-side codegen (operators/multimodal.py:phash_bands/phash_pairs);
+    the grid is the deterministic md5 fake this container's codec-less
+    environment allows — a real deployment swaps only the grid step.
+
+    Scale: signatures shuffle (16 bytes/doc), payloads never; the four
+    band joins are hash equi-joins, so 100 TB of images dedups at the
+    cost of banding a 64-bit signature table — never a pairwise
+    compare."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("data")
+    )
+    sig = multimodal.phash_bands(d)
+    return multimodal.phash_pairs(sig, max_hamming=8)
+
+
+Q_MULTIMODAL_PHASH_SQL = """
+with cells as (
+  select doc_id, i,
+         ('0x' || substr(repeat(md5(text), 4), 2*i + 1, 2))::BIGINT cv
+  from documents, generate_series(0, 63) t(i)
+), tot as (
+  select doc_id, sum(cv) s from cells group by doc_id
+), bits as (
+  select c.doc_id, c.i,
+         case when 64 * c.cv > t.s then 1 else 0 end bv
+  from cells c join tot t using (doc_id)
+), hashes as (
+  select doc_id,
+         sum(case when i < 16 then bv << (i % 16) else 0 end)::BIGINT h0,
+         sum(case when i between 16 and 31 then bv << (i % 16) else 0 end)::BIGINT h1,
+         sum(case when i between 32 and 47 then bv << (i % 16) else 0 end)::BIGINT h2,
+         sum(case when i >= 48 then bv << (i % 16) else 0 end)::BIGINT h3
+  from bits group by doc_id
+), cand as (
+  select distinct a.doc_id da, b.doc_id db,
+         a.h0 a0, a.h1 a1, a.h2 a2, a.h3 a3,
+         b.h0 b0, b.h1 b1, b.h2 b2, b.h3 b3
+  from hashes a join hashes b
+    on a.doc_id < b.doc_id
+   and (a.h0 = b.h0 or a.h1 = b.h1 or a.h2 = b.h2 or a.h3 = b.h3)
+)
+select da doc_a, db doc_b,
+       (bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+        + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)))::BIGINT hamming
+from cand
+where bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+      + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) <= 8
+order by doc_a, doc_b
+"""
