@@ -1847,11 +1847,12 @@ def _read_files(
 
     out = _plain(clean) if clean else None
     if dv:
-        masked = _plain(sorted(dv)).select(
-            "*",
-            F.col("_metadata.file_path").alias("_dv_fp"),
-            F.col("_metadata.row_index").alias("_dv_ri"),
-        )
+        # metadata columns resolve only on the scan relation itself
+        # (not across a union), so the position-projected read comes
+        # from the per-prefix helper
+        masked = _read_files_with_pos(
+            spark, fs, table_dir, sorted(dv), schema_json, partitioned
+        ).withColumnsRenamed({"_fp": "_dv_fp", "_ri": "_dv_ri"})
         # join key = file BASENAME (hash-joinable; part-file names carry
         # a per-job UUID) with the full manifest-relative suffix kept as
         # an exactness guard in the join condition
