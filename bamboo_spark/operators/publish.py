@@ -2317,17 +2317,30 @@ def vacuum(
     keep: int = 2,
     spark: Optional[SparkSession] = None,
     lease_ttl_ms: int = 300_000,
+    older_than_ms: Optional[int] = None,
 ) -> List[str]:
-    """Delete version directories older than the newest ``keep`` that
-    are NOT the committed one, prune their time-travel history entries
-    (one atomic manifest rewrite BEFORE the data deletes, so a reader
-    never resolves a vacuumed snapshot) — and, because append/replace
-    snapshots carry files BY REFERENCE across version dirs, keep any
-    old dir that a RETAINED snapshot still cites a file in
-    (reference-aware retention, the table-format GC rule). Returns the
-    removed directory names. Safe by construction: readers resolve
-    files only through the manifest, so an uncommitted or superseded
-    ``_v<N>`` nobody references is garbage."""
+    """Garbage-collect the table: retain the newest ``keep`` SNAPSHOT
+    entries (plus the committed one, always), prune the rest from the
+    time-travel history (one atomic manifest rewrite BEFORE any data
+    delete, so a reader never resolves a vacuumed snapshot), then
+    delete every version DIRECTORY no retained snapshot cites a file
+    (or delete vector) in — reference-aware GC, the table-format rule.
+    Retention is over SNAPSHOTS, not directory names: under optimistic
+    concurrency dir numbers are decoupled from snapshot versions, so
+    counting dirs would prune the wrong history. Returns the removed
+    directory names.
+
+    ``older_than_ms`` additionally RETAINS any snapshot committed
+    within the horizon (time-based retention on top of the count) —
+    ``vacuum(keep=1, older_than_ms=7*86400_000)`` is "current plus a
+    week of undo", the production policy shape.
+
+    Liveness: an optimistic writer staging data holds no lease — only
+    its ``.claim`` marker (heartbeat-fresh) marks the dir in-flight;
+    dirs with a fresh claim are never touched, stale claims (dead
+    writers) are reclaimed by age. Safe by construction: readers
+    resolve files only through the manifest, so an uncommitted or
+    superseded dir nobody references is garbage."""
     fs = _fs_for(table_dir, spark)
     # the manifest rewrite (history prune) is a table mutation like any
     # other: without the lease, a publish committing between our read
@@ -2335,46 +2348,42 @@ def vacuum(
     # erased, its files orphaned)
     with _Lease(fs, table_dir, ttl_ms=lease_ttl_ms):
         manifest = _read_manifest(table_dir, fs)
-        committed = int(manifest["version"]) if manifest else 0
-        versions = sorted(
-            int(d[2:])
-            for d in fs.listdir(table_dir)
-            if d.startswith("_v") and d[2:].isdigit()
-        )
-        doomed = [
-            v
-            for v in (versions[:-keep] if keep else versions)
-            if v != committed
-        ]
-        if not doomed:
+        if manifest is None:
             return []
-        if manifest and manifest.get("snapshots"):
-            pruned = {
-                v: e
-                for v, e in manifest["snapshots"].items()
-                if int(v) not in doomed
+        committed = int(manifest["version"])
+        snaps = manifest.get("snapshots") or {}
+        by_v = sorted(int(v) for v in snaps)
+        retained = set(by_v[-keep:]) if keep else set()
+        retained.add(committed)
+        if older_than_ms is not None:
+            now = _now_ms()
+            retained |= {
+                int(v)
+                for v, e in snaps.items()
+                if now - int(e.get("committed_at_ms") or 0)
+                <= older_than_ms
             }
-            if pruned != manifest["snapshots"]:
-                manifest["snapshots"] = pruned
-                fs.replace_with(
-                    json.dumps(manifest),
-                    _manifest_path(table_dir, fs),
-                    ".tmp.vac",
-                )
-        # reference set AFTER pruning: dirs cited by any retained
-        # snapshot (incl. the committed one) must survive even if their
-        # version is older than the keep horizon — snapshots was pruned
-        # above, so the manifest's own history IS the retained set.
-        # A snapshot's delete-vector file keeps ITS dir alive too.
+        pruned = {
+            v: e for v, e in snaps.items() if int(v) in retained
+        }
+        if pruned != snaps:
+            manifest["snapshots"] = pruned
+            fs.replace_with(
+                json.dumps(manifest),
+                _manifest_path(table_dir, fs),
+                ".tmp.vac",
+            )
+        # reference set AFTER pruning: every dir a retained snapshot
+        # (incl. the committed one) cites a data file or its delete-
+        # vector file in must survive
         referenced = set()
-        if manifest:
-            for e in [manifest] + list(
-                (manifest.get("snapshots") or {}).values()
-            ):
-                for f in _entry_files(fs, table_dir, e):
-                    referenced.add(f.split("/", 1)[0])
-                if e.get("dv"):
-                    referenced.add(e["dv"].split("/", 1)[0])
+        for e in [manifest] + list(
+            (manifest.get("snapshots") or {}).values()
+        ):
+            for f in _entry_files(fs, table_dir, e):
+                referenced.add(f.split("/", 1)[0])
+            if e.get("dv"):
+                referenced.add(e["dv"].split("/", 1)[0])
 
         def _claim_fresh(name: str) -> bool:
             """An optimistic writer stages data with NO lease held —
@@ -2392,8 +2401,11 @@ def vacuum(
             return age <= lease_ttl_ms
 
         removed = []
-        for v in doomed:
-            name = "_v%d" % v
+        for name in sorted(
+            d
+            for d in fs.listdir(table_dir)
+            if d.startswith("_v") and d[2:].isdigit()
+        ):
             if name in referenced:
                 continue  # a retained snapshot still cites files here
             if _claim_fresh(name):

@@ -711,3 +711,23 @@ def test_stream_ignore_deletes_option(spark, tmp_path):
         assert sorted(seen) == [0, 1, 2, 3, 4, 50, 51]
     finally:
         q.stop()
+
+
+def test_vacuum_time_based_retention(spark, tmp_path):
+    """vacuum(older_than_ms=...) retains every snapshot committed
+    within the horizon even past the count limit; retention counts
+    SNAPSHOTS, not directory names."""
+    t = str(tmp_path / "tbl")
+    for i in range(4):
+        (atomic_publish if i == 0 else append_publish)(
+            spark.range(i * 10, i * 10 + 3).selectExpr("id"), t
+        )
+    # everything just committed: a 1-hour horizon retains all history
+    removed = vacuum(t, keep=1, older_than_ms=3_600_000)
+    assert removed == []
+    assert read_published(spark, t, version=2).count() == 6  # time travel
+    # horizon 0: only the count rule applies -> history collapses
+    vacuum(t, keep=1, older_than_ms=0)
+    with pytest.raises(KeyError):
+        read_published(spark, t, version=2)
+    assert read_published(spark, t).count() == 12  # current intact
