@@ -2109,6 +2109,83 @@ def _append_delta_files(
     return appended, schema, partitioned
 
 
+def _cdf_delta(
+    fs, table_dir: str, manifest: dict, from_v: int, to_v: int
+) -> List[dict]:
+    """METADATA-ONLY change plan between two retained versions — the
+    streaming change-feed planner (``bamboo_published`` with
+    ``readChangeFeed``). Returns one dict per file-task:
+    ``{kind, file, take, mask, version, schema, partitioned}`` where
+    ``take`` names exact row positions (delete-vector deletes) and
+    ``mask`` positions to exclude (a dropped file's pre-existing dv).
+    Everything resolves from manifests and dv files on the DRIVER —
+    no Spark job — which is exactly what a streaming source's
+    ``partitions()`` is allowed to do. Row-REWRITING replaces can't be
+    expressed without a diff job: they raise, pointing at the batch
+    :func:`read_changes` (same rule as Delta's CDF-less rewrites)."""
+
+    def _entry_of(v: int) -> dict:
+        if v == 0:
+            return {"n_rows": 0, "files": [], "segments": []}
+        if v == int(manifest["version"]):
+            return manifest
+        snaps = manifest.get("snapshots", {})
+        if str(v) not in snaps:
+            raise KeyError(
+                "version %s is not a retained snapshot (have: %s)"
+                % (v, sorted(int(x) for x in snaps))
+            )
+        return snaps[str(v)]
+
+    plan: List[dict] = []
+    prev_e = _entry_of(from_v)
+    prev_files = set(_entry_files(fs, table_dir, prev_e))
+    for v in range(from_v + 1, to_v + 1):
+        e = _entry_of(v)
+        cur_files = set(_entry_files(fs, table_dir, e))
+        added = sorted(cur_files - prev_files)
+        dropped = sorted(prev_files - cur_files)
+        grew = int(e.get("n_rows", 0)) - int(prev_e.get("n_rows", 0))
+        dv_prev = _load_dv(fs, table_dir, prev_e)
+        dv_cur = _load_dv(fs, table_dir, e)
+        base = {
+            "version": v,
+            "schema": e["schema"],
+            "partitioned": bool(e.get("partition_by")),
+        }
+        if e.get("data_change") is False:
+            pass  # compaction/clustering: same rows, nothing to feed
+        elif added and not dropped and grew >= 0:
+            for f in added:
+                plan.append(
+                    {"kind": "insert", "file": f,
+                     "take": None, "mask": dv_cur.get(f), **base}
+                )
+        elif grew < 0 and not added:
+            for f in dropped:  # whole-file/partition delete
+                plan.append(
+                    {"kind": "delete", "file": f,
+                     "take": None, "mask": dv_prev.get(f), **base}
+                )
+            for f in sorted(prev_files & cur_files):
+                newly = sorted(
+                    set(dv_cur.get(f) or []) - set(dv_prev.get(f) or [])
+                )
+                if newly:  # dv delete: exact row addresses
+                    plan.append(
+                        {"kind": "delete", "file": f,
+                         "take": newly, "mask": None, **base}
+                    )
+        elif added or dropped:
+            raise ValueError(
+                "change feed: v%d rewrote rows (replace); a streaming "
+                "source plans driver-side only — use the batch "
+                "read_changes() for exact rewrite diffs" % v
+            )
+        prev_e, prev_files = e, cur_files
+    return plan
+
+
 def read_changes(
     spark: SparkSession,
     table_dir: str,

@@ -184,13 +184,18 @@ def _driver_manifest(table_dir: str):
 @dataclass
 class _FilePartition(InputPartition):
     """One task = one data file (+ its path-borne partition values and
-    its delete-vector positions, point-delete-sized)."""
+    its delete-vector positions, point-delete-sized). For change-feed
+    reads, ``take_pos`` selects exactly those row positions instead of
+    masking, and ``change_type``/``commit_version`` stamp the batch."""
 
     loc: str             # absolute path or URI
     rel: str             # manifest-relative path (carries col=val segs)
     schema_json: str
     partition_by: tuple
     dv_pos: tuple = field(default_factory=tuple)
+    take_pos: Optional[tuple] = None
+    change_type: Optional[str] = None
+    commit_version: Optional[int] = None
 
 
 def _partition_values(rel: str, partition_by) -> dict:
@@ -216,7 +221,9 @@ def _arrow_batches(part: _FilePartition):
     arrow_schema = to_arrow_schema(spark_schema)
     pvals = _partition_values(part.rel, set(part.partition_by))
     tbl = _open_parquet(part.loc)
-    if part.dv_pos:
+    if part.take_pos is not None:
+        tbl = tbl.take(list(part.take_pos))  # change-feed row addresses
+    elif part.dv_pos:
         import numpy as np
 
         keep = np.ones(tbl.num_rows, dtype=bool)
@@ -224,11 +231,17 @@ def _arrow_batches(part: _FilePartition):
         tbl = tbl.filter(pa.array(keep))
     n = tbl.num_rows
     cols = []
+    consts = dict(pvals)
+    if part.change_type is not None:
+        consts["_change_type"] = part.change_type
+        consts["_commit_version"] = part.commit_version
     for f in arrow_schema:
         if f.name in tbl.column_names:
             cols.append(tbl[f.name].cast(f.type))
-        elif f.name in pvals:
-            scalar = pa.scalar(pvals[f.name], type=pa.string()).cast(f.type)
+        elif f.name in consts:
+            scalar = pa.scalar(
+                str(consts[f.name]), type=pa.string()
+            ).cast(f.type)
             cols.append(pa.chunked_array([[scalar.as_py()] * n], f.type))
         else:
             cols.append(pa.nulls(n, f.type))
@@ -363,6 +376,14 @@ class _PublishedPushdownReader(_PublishedBatchReader):
             yield f  # unsupported: Spark keeps the row-side filter
 
 
+def _cdf_schema_json(schema_json: str) -> str:
+    """Table schema + the change-feed stamp columns."""
+    s = StructType.fromJson(json.loads(schema_json))
+    return s.add("_change_type", "string").add(
+        "_commit_version", "long"
+    ).json()
+
+
 class _PublishedStreamReader(DataSourceStreamReader):
     """Offsets are snapshot versions; metadata reads go through the
     driver-side backend routing (remote URIs included). Data files are
@@ -373,11 +394,14 @@ class _PublishedStreamReader(DataSourceStreamReader):
         # Spark normalizes option keys to lowercase — look up both
         sv = "latest"
         self._ignore_deletes = False
+        self._cdf = False
         for k, v in (options or {}).items():
             if str(k).lower() == "startingversion":
                 sv = v
             if str(k).lower() == "ignoredeletes":
                 self._ignore_deletes = str(v).lower() == "true"
+            if str(k).lower() == "readchangefeed":
+                self._cdf = str(v).lower() == "true"
         if sv == "latest":
             _, _, man = _driver_manifest(table_dir)
             self._start = int(man["version"])
@@ -392,9 +416,33 @@ class _PublishedStreamReader(DataSourceStreamReader):
         return {"version": int(man["version"])}
 
     def partitions(self, start: dict, end: dict) -> List[InputPartition]:
-        from bamboo_spark.operators.publish import _append_delta_files
+        from bamboo_spark.operators.publish import (
+            _append_delta_files,
+            _cdf_delta,
+        )
 
         fs, native, man = _driver_manifest(self._dir)
+        parts = tuple(man.get("partition_by") or [])
+        if self._cdf:
+            plan = _cdf_delta(
+                fs, native, man, int(start["version"]),
+                int(end["version"]),
+            )
+            return [
+                _FilePartition(
+                    loc=_join(self._dir, p["file"]),
+                    rel=p["file"],
+                    schema_json=_cdf_schema_json(p["schema"]),
+                    partition_by=parts,
+                    dv_pos=tuple(p["mask"] or ()),
+                    take_pos=(
+                        tuple(p["take"]) if p["take"] is not None else None
+                    ),
+                    change_type=p["kind"],
+                    commit_version=p["version"],
+                )
+                for p in plan
+            ]
         files, schema_json, _ = _append_delta_files(
             fs,
             native,
@@ -403,7 +451,6 @@ class _PublishedStreamReader(DataSourceStreamReader):
             int(end["version"]),
             ignore_deletes=self._ignore_deletes,
         )
-        parts = tuple(man.get("partition_by") or [])
         return [
             _FilePartition(
                 loc=_join(self._dir, f),
@@ -468,7 +515,10 @@ class PublishedTableDataSource(DataSource):
         return self._pinned
 
     def schema(self) -> StructType:
-        return StructType.fromJson(json.loads(self._pin()["schema"]))
+        schema_json = self._pin()["schema"]
+        if str(self.options.get("readchangefeed", "")).lower() == "true":
+            schema_json = _cdf_schema_json(schema_json)
+        return StructType.fromJson(json.loads(schema_json))
 
     def reader(self, schema: StructType) -> DataSourceReader:
         skip = _parse_json_option(self.options, "skip")

@@ -303,3 +303,75 @@ def test_stream_delivers_across_compaction(src, spark, tmp_path):
         assert sorted(seen) == [0, 1, 2, 3, 4, 10, 11, 12, 20, 21]
     finally:
         q.stop()
+
+
+def test_stream_change_feed_delivers_inserts_and_deletes(
+    src, spark, tmp_path
+):
+    """readChangeFeed: the stream plans changes from metadata + row
+    addresses only — appends arrive as inserts, dv deletes as exact
+    delete rows, whole-partition drops as delete rows, compactions as
+    nothing; every row stamped _change_type/_commit_version."""
+    from bamboo_spark.operators.publish import delete_publish
+
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    atomic_publish(
+        spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 9)], "k string, v long"
+        ),
+        t,
+        partition_by="k",
+    )                                                            # v1
+    seen = []
+
+    def sink(batch_df, bid):
+        seen.extend(
+            (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+            for r in batch_df.collect()
+        )
+
+    q = (
+        spark.readStream.format("bamboo_published")
+        .option("startingVersion", "0")
+        .option("readChangeFeed", "true")
+        .load(t)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert sorted(seen) == [
+            (1, "insert", "a", 1),
+            (1, "insert", "a", 2),
+            (1, "insert", "b", 9),
+        ]
+        append_publish(
+            spark.createDataFrame([("b", 10)], "k string, v long"), t
+        )                                                        # v2
+        delete_publish(spark, t, "v = 2", delete_vectors=True)   # v3
+        delete_publish(spark, t, "k = 'b'")                      # v4 drop b
+        compact(spark, t)                                        # v5 no-op
+        q.processAllAvailable()
+        assert sorted(seen)[3:] == [
+            (2, "insert", "b", 10),
+            (3, "delete", "a", 2),
+            (4, "delete", "b", 9),
+            (4, "delete", "b", 10),
+        ]
+    finally:
+        q.stop()
+
+
+def test_cdf_delta_raises_on_row_rewrites(spark, tmp_path):
+    from bamboo_spark.operators import publish as P
+    from bamboo_spark.operators.publish import delete_publish
+
+    t = str(tmp_path / "tbl")
+    atomic_publish(spark.range(10).selectExpr("id"), t)
+    delete_publish(spark, t, "id = 3")  # unpartitioned rewrite
+    fs = P._PosixFS()
+    man = P._read_manifest(t, fs)
+    with pytest.raises(ValueError, match="rewrote rows"):
+        P._cdf_delta(fs, t, man, 1, 2)
