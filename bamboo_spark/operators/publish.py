@@ -2052,6 +2052,39 @@ def _append_delta_files(
         added = cur_files - prev_files
         dropped = prev_files - cur_files
         grew = int(e.get("n_rows", 0)) - int(prev_e.get("n_rows", 0))
+        # delete-vector growth on carried files = rows deleted in this
+        # step even when the FILE set only grew (e.g. an incremental
+        # merge commits dv-deletes + appends in one version) — strict
+        # append-only reads must refuse it; ignore_deletes skips the
+        # deletes and keeps delivering the adds
+        if e.get("dv") != prev_e.get("dv"):
+            common = prev_files & cur_files
+            dv_prev_m = _load_dv(fs, table_dir, prev_e)
+            dv_cur_m = _load_dv(fs, table_dir, e)
+            dv_changed = any(
+                (dv_prev_m.get(f) or []) != (dv_cur_m.get(f) or [])
+                for f in common
+            )
+            if dv_changed and not ignore_deletes:
+                raise ValueError(
+                    "read_appends: v%d deleted rows via delete vectors; "
+                    "the delta is not append-only (pass "
+                    "ignore_deletes=True / option ignoreDeletes to skip "
+                    "delete commits, or read_changes() to consume them)"
+                    % v
+                )
+            if dv_changed:
+                if dropped:
+                    raise ValueError(
+                        "read_appends: v%d combined a file rewrite with "
+                        "delete-vector changes; the delta is not "
+                        "expressible — read the full snapshot" % v
+                    )
+                appended.extend(sorted(added))
+                prev_e, prev_files = e, cur_files
+                schema = e["schema"]
+                partitioned = bool(e.get("partition_by"))
+                continue
         if grew < 0:
             if ignore_deletes and not added:
                 # a pure shrink (dv delete: no file change; partition/
@@ -2155,17 +2188,14 @@ def _cdf_delta(
         }
         if e.get("data_change") is False:
             pass  # compaction/clustering: same rows, nothing to feed
-        elif added and not dropped and grew >= 0:
+        elif not dropped:
+            # appends, dv deletes, and the incremental-merge mix
+            # (appends + dv deletes in ONE commit) are all exactly
+            # expressible from metadata + row addresses
             for f in added:
                 plan.append(
                     {"kind": "insert", "file": f,
                      "take": None, "mask": dv_cur.get(f), **base}
-                )
-        elif grew < 0 and not added:
-            for f in dropped:  # whole-file/partition delete
-                plan.append(
-                    {"kind": "delete", "file": f,
-                     "take": None, "mask": dv_prev.get(f), **base}
                 )
             for f in sorted(prev_files & cur_files):
                 newly = sorted(
@@ -2176,7 +2206,22 @@ def _cdf_delta(
                         {"kind": "delete", "file": f,
                          "take": newly, "mask": None, **base}
                     )
-        elif added or dropped:
+        elif grew < 0 and not added:
+            for f in dropped:  # whole-file/partition delete
+                plan.append(
+                    {"kind": "delete", "file": f,
+                     "take": None, "mask": dv_prev.get(f), **base}
+                )
+            for f in sorted(prev_files & cur_files):
+                newly = sorted(
+                    set(dv_cur.get(f) or []) - set(dv_prev.get(f) or [])
+                )
+                if newly:
+                    plan.append(
+                        {"kind": "delete", "file": f,
+                         "take": newly, "mask": None, **base}
+                    )
+        else:
             raise ValueError(
                 "change feed: v%d rewrote rows (replace); a streaming "
                 "source plans driver-side only — use the batch "
@@ -2645,6 +2690,202 @@ def merge_publish(
         return atomic_publish(
             merged, table_dir, partition_by=parts, _lease=lease
         )
+
+
+def merge_publish_incremental(
+    changes: DataFrame,
+    table_dir: str,
+    key_cols,
+    version_cols,
+    op_col: Optional[str] = None,
+    delete_op: str = "delete",
+    lease_ttl_ms: int = 300_000,
+    stats_cols=None,
+    bloom_cols=None,
+) -> Optional[int]:
+    """MERGE-ON-READ upsert: apply a CDC batch in ONE commit that
+    (a) delete-vectors the old rows of every key the batch touches —
+    found by row ADDRESS, no file rewritten — and (b) appends the
+    batch's post-state rows as new files. This is ``merge_publish``
+    without the table rewrite: commit IO is O(batch) regardless of
+    table size (the Delta merge + deletion-vectors shape). The eager
+    rewrite remains the right call when churn has accumulated —
+    ``compact`` folds the vectors away.
+
+    Intra-batch semantics match ``merge_publish`` exactly (the batch is
+    collapsed per key by ``scale.cdc_apply`` against an empty base:
+    last writer by ``version_cols`` wins, tombstones net to absent).
+
+    The address scan is bloom-pruned when the table has per-file
+    blooms on the (single) key column: only candidate files open.
+    Concurrency is optimistic like every publish: the scan runs
+    lease-less; at commit the rebase succeeds iff the table kept its
+    schema/layout, every matched file is still live, and their delete
+    vectors are unchanged — anything else raises. Returns the committed
+    version, or None for a no-op batch."""
+    from pyspark.sql import Observation, functions as F
+
+    from bamboo_spark.operators.scale import cdc_apply
+
+    spark = changes.sparkSession
+    fs = _fs_for(table_dir, spark)
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        raise ValueError(
+            "merge_publish_incremental needs an existing table "
+            "(seed it with merge_publish/atomic_publish)"
+        )
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    vers = (
+        [version_cols]
+        if isinstance(version_cols, str)
+        else list(version_cols)
+    )
+    parts = manifest.get("partition_by") or []
+    base_empty = changes.limit(0)
+    if op_col:
+        base_empty = base_empty.drop(op_col)
+    upserts = cdc_apply(
+        base_empty, changes, keys, vers, op_col=op_col,
+        delete_op=delete_op,
+    )
+    # strict schema contract, same rule as append_publish: the merged
+    # rows land in new files read under the MANIFEST schema — a
+    # renamed/retyped column would corrupt quietly at scan time
+    new_sig = [
+        (f["name"], f["type"])
+        for f in json.loads(upserts.schema.json())["fields"]
+    ]
+    old_sig = [
+        (f["name"], f["type"])
+        for f in json.loads(manifest["schema"])["fields"]
+    ]
+    if new_sig != old_sig:
+        raise ValueError(
+            "merge_publish_incremental: batch schema differs from the "
+            "committed table schema: batch=%s table=%s"
+            % (new_sig, old_sig)
+        )
+    upserts = upserts.localCheckpoint(eager=True)  # write + key probe
+    batch_keys = changes.select(*keys).distinct()
+    # ---- address scan (no lease): where do the touched keys live NOW?
+    res = _resolve_entry(fs, table_dir, manifest)
+    dv0 = _load_dv(fs, table_dir, manifest)
+    candidates = list(res["files"])
+    if len(keys) == 1 and res["file_blooms"]:
+        key_vals = [r[0] for r in batch_keys.collect()]
+        if len(key_vals) * len(candidates) <= 2_000_000:
+            col = keys[0]
+            candidates = [
+                f
+                for f in candidates
+                if any(
+                    _prune_eq(res, [f], {col: v}) for v in key_vals
+                )
+            ]
+    hits = []
+    if candidates:
+        hits = (
+            _read_files_with_pos(
+                spark, fs, table_dir, candidates, manifest["schema"],
+                bool(parts),
+            )
+            .join(F.broadcast(batch_keys), keys, "inner")
+            .select("_fp", "_ri")
+            .collect()  # O(matched rows) = O(batch) — the merge contract
+        )
+    new_pos: dict = {}
+    for r in hits:
+        rel = _rel_of(r["_fp"], candidates)
+        if rel is None or int(r["_ri"]) in set(dv0.get(rel) or []):
+            continue
+        new_pos.setdefault(rel, set()).add(int(r["_ri"]))
+    # ---- data-write phase (no lease): the post-state rows
+    seg = _claim_vdir(fs, table_dir, _next_version(fs, table_dir, manifest))
+    beat = _ClaimBeat(fs, table_dir, seg, lease_ttl_ms).start()
+    try:
+        vdir = fs.join(table_dir, seg)
+        obs = Observation()
+        writer = upserts.observe(obs, F.count(F.lit(1)).alias("n")).write
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(vdir)
+        new_files, new_sizes = _scan_written(fs, vdir, seg)
+        n_new = int(obs.get["n"])
+        if not new_files and not new_pos:
+            return None  # empty batch: nothing matched, nothing added
+        if new_files:
+            seg_data = {"files": new_files, "file_sizes": new_sizes}
+            _enrich_seg(
+                spark, fs, table_dir, new_files, seg_data,
+                stats_cols, bloom_cols, manifest["schema"],
+            )
+            _write_seg(fs, table_dir, seg, seg_data)
+        # ---- commit phase: short lease + address-validity rebase
+        prev = manifest
+        lease = _Lease(fs, table_dir, ttl_ms=lease_ttl_ms).acquire_wait(
+            wait_ms=_COMMIT_WAIT_MS
+        )
+        try:
+            cur = _read_manifest(table_dir, fs)
+            if cur is None:
+                raise ConcurrentWriteError(
+                    "merge_publish_incremental: manifest vanished"
+                )
+            if int(cur["version"]) != int(prev["version"]):
+                _check_rebase(prev, cur, "merge_publish_incremental")
+                cur_live = set(_entry_files(fs, table_dir, cur))
+                if not set(new_pos) <= cur_live:
+                    raise ConcurrentWriteError(
+                        "merge_publish_incremental: a concurrent commit "
+                        "rewrote file(s) holding matched keys — "
+                        "addresses are stale; re-run"
+                    )
+                base_dv = _load_dv(fs, table_dir, prev)
+                cur_dv = _load_dv(fs, table_dir, cur)
+                if any(
+                    (base_dv.get(f) or []) != (cur_dv.get(f) or [])
+                    for f in new_pos
+                ):
+                    raise ConcurrentWriteError(
+                        "merge_publish_incremental: a concurrent delete "
+                        "changed a matched file's delete vectors — "
+                        "re-run"
+                    )
+                prev = cur
+            cur_dv = _load_dv(fs, table_dir, prev)
+            merged_dv = {f: sorted(ps) for f, ps in cur_dv.items()}
+            n_deleted = 0
+            for f, ps in new_pos.items():
+                have = set(merged_dv.get(f) or [])
+                n_deleted += len(ps - have)
+                merged_dv[f] = sorted(have | ps)
+            segs, removed = _segments_of(fs, table_dir, prev)
+            if new_files:
+                segs = segs + [seg]
+            prev_nf, prev_sz = _entry_counters(fs, table_dir, prev)
+            entry = {
+                "segments": segs,
+                "removed": removed,
+                "n_rows": int(prev["n_rows"]) - n_deleted + n_new,
+                "n_files": prev_nf + len(new_files),
+                "size_bytes": prev_sz + sum(new_sizes.values()),
+                "schema": prev["schema"],
+                "partition_by": parts,
+            }
+            if merged_dv:
+                entry["dv"] = _write_dv(fs, table_dir, seg, merged_dv)
+                entry["dv_rows"] = sum(
+                    len(ps) for ps in merged_dv.values()
+                )
+            version = int(prev["version"]) + 1
+            _commit(fs, table_dir, prev, version, entry, lease=lease)
+            fs.delete_file(fs.join(table_dir, seg + ".claim"))
+            return version
+        finally:
+            lease.release()
+    finally:
+        beat.stop()
 
 
 def diff_versions(

@@ -612,7 +612,7 @@ def test_read_appends_ignore_deletes_skips_dv_commits(spark, tmp_path):
     delete_publish(spark, t, "id = 11", delete_vectors=True)     # v3
     append_publish(spark.range(20, 22).selectExpr("id"), t)      # v4
     # strict mode still refuses
-    with pytest.raises(ValueError, match="shrank"):
+    with pytest.raises(ValueError, match="shrank|delete vectors"):
         read_appends(spark, t, from_version=1)
     # ignore_deletes: both appends deliver; the delete isn't propagated
     d = read_appends(spark, t, from_version=1, ignore_deletes=True)
@@ -731,3 +731,145 @@ def test_vacuum_time_based_retention(spark, tmp_path):
     with pytest.raises(KeyError):
         read_published(spark, t, version=2)
     assert read_published(spark, t).count() == 12  # current intact
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read upsert
+# ---------------------------------------------------------------------------
+
+
+def _kv(spark, rows, with_op=False):
+    schema = "k long, ver long, val string" + (", op string" if with_op else "")
+    return spark.createDataFrame(rows, schema)
+
+
+def test_merge_incremental_upsert_delete_one_commit(spark, tmp_path):
+    from bamboo_spark.operators.publish import (
+        merge_publish_incremental,
+        published_rows,
+        snapshots,
+    )
+
+    t = str(tmp_path / "tbl")
+    atomic_publish(
+        _kv(spark, [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")]), t
+    )
+    files_before = sorted(live_files(t))
+    v = merge_publish_incremental(
+        _kv(
+            spark,
+            [
+                (2, 2, "B", "upsert"),     # update key 2
+                (4, 2, "d", "upsert"),     # insert key 4
+                (3, 2, None, "delete"),    # delete key 3
+                (5, 2, "x", "upsert"),     # insert+delete nets absent
+                (5, 3, None, "delete"),
+            ],
+            with_op=True,
+        ),
+        t,
+        key_cols="k",
+        version_cols="ver",
+        op_col="op",
+    )
+    assert v == 2
+    got = {
+        r["k"]: (r["ver"], r["val"])
+        for r in read_published(spark, t).collect()
+    }
+    assert got == {1: (1, "a"), 2: (2, "B"), 4: (2, "d")}
+    assert published_rows(t) == 3
+    # merge-on-read: the original files were NOT rewritten
+    assert set(files_before) <= set(live_files(t))
+    # exactly one new snapshot
+    assert [s["version"] for s in snapshots(t)] == [1, 2]
+    # a second merge composes with the existing vectors
+    merge_publish_incremental(
+        _kv(spark, [(1, 2, None, "delete")], with_op=True),
+        t, key_cols="k", version_cols="ver", op_col="op",
+    )
+    got = {r["k"] for r in read_published(spark, t).collect()}
+    assert got == {2, 4}
+    # compaction folds it all physically
+    compact(spark, t)
+    assert {r["k"] for r in read_published(spark, t).collect()} == {2, 4}
+
+
+def test_merge_incremental_cdf_and_appends_semantics(spark, tmp_path):
+    from bamboo_spark.operators.publish import (
+        merge_publish_incremental,
+        read_appends,
+        read_changes,
+    )
+
+    t = str(tmp_path / "tbl")
+    atomic_publish(_kv(spark, [(1, 1, "a"), (2, 1, "b")]), t)
+    merge_publish_incremental(
+        _kv(spark, [(2, 2, "B"), (3, 2, "c")]),
+        t, key_cols="k", version_cols="ver",
+    )
+    # strict append read refuses the mixed commit…
+    with pytest.raises(ValueError, match="delete vectors"):
+        read_appends(spark, t, from_version=1)
+    # …ignore_deletes delivers the merged post-state rows as appends…
+    d = read_appends(spark, t, from_version=1, ignore_deletes=True)
+    assert sorted((r["k"], r["val"]) for r in d.collect()) == [
+        (2, "B"), (3, "c"),
+    ]
+    # …and the change feed expresses it exactly
+    ch = read_changes(spark, t, from_version=1)
+    got = sorted(
+        (r["_change_type"], r["k"], r["val"]) for r in ch.collect()
+    )
+    assert got == [("delete", 2, "b"), ("insert", 2, "B"), ("insert", 3, "c")]
+
+
+def test_merge_incremental_bloom_pruned_probe(spark, tmp_path):
+    from bamboo_spark.operators.publish import merge_publish_incremental
+
+    t = str(tmp_path / "tbl")
+    atomic_publish(
+        _kv(spark, [(i, 1, "v%d" % i) for i in range(40)]).repartition(8),
+        t,
+        bloom_cols=["k"],
+    )
+    v = merge_publish_incremental(
+        _kv(spark, [(7, 2, "NEW")]), t, key_cols="k", version_cols="ver",
+        bloom_cols=["k"],
+    )
+    assert v == 2
+    got = dict(
+        (r["k"], r["val"]) for r in read_published(spark, t).collect()
+    )
+    assert got[7] == "NEW" and len(got) == 40
+
+
+def test_merge_incremental_conflict_on_concurrent_rewrite(
+    spark, tmp_path, monkeypatch
+):
+    from bamboo_spark.operators import publish as P
+    from bamboo_spark.operators.publish import merge_publish_incremental
+
+    t = str(tmp_path / "tbl")
+    atomic_publish(_kv(spark, [(1, 1, "a"), (2, 1, "b")]), t)
+    orig = P._scan_written
+    fired = {"done": False}
+
+    def hook(fs, vdir, vname):
+        out = orig(fs, vdir, vname)
+        if not fired["done"]:
+            fired["done"] = True
+            compact(spark, t)  # rewrites the file holding matched keys
+        return out
+
+    monkeypatch.setattr(P, "_scan_written", hook)
+    with pytest.raises(ConcurrentWriteError):
+        merge_publish_incremental(
+            _kv(spark, [(2, 2, "B")]), t, key_cols="k",
+            version_cols="ver",
+        )
+    monkeypatch.setattr(P, "_scan_written", orig)
+    got = dict(
+        (r["k"], r["val"]) for r in read_published(spark, t).collect()
+    )
+    assert got == {1: "a", 2: "b"}  # merge not committed
