@@ -2702,6 +2702,8 @@ def merge_publish_incremental(
     lease_ttl_ms: int = 300_000,
     stats_cols=None,
     bloom_cols=None,
+    meta: Optional[dict] = None,
+    partition_by=None,
 ) -> Optional[int]:
     """MERGE-ON-READ upsert: apply a CDC batch in ONE commit that
     (a) delete-vectors the old rows of every key the batch touches —
@@ -2729,22 +2731,29 @@ def merge_publish_incremental(
 
     spark = changes.sparkSession
     fs = _fs_for(table_dir, spark)
-    manifest = _read_manifest(table_dir, fs)
-    if manifest is None:
-        raise ValueError(
-            "merge_publish_incremental needs an existing table "
-            "(seed it with merge_publish/atomic_publish)"
-        )
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     vers = (
         [version_cols]
         if isinstance(version_cols, str)
         else list(version_cols)
     )
-    parts = manifest.get("partition_by") or []
     base_empty = changes.limit(0)
     if op_col:
         base_empty = base_empty.drop(op_col)
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        # first batch seeds the table: same cdc_apply-against-empty
+        # semantics as merge_publish's first merge
+        seeded = cdc_apply(
+            base_empty, changes, keys, vers, op_col=op_col,
+            delete_op=delete_op,
+        )
+        return atomic_publish(
+            seeded, table_dir, partition_by=partition_by, meta=meta,
+            stats_cols=stats_cols, bloom_cols=bloom_cols,
+            lease_ttl_ms=lease_ttl_ms,
+        )
+    parts = manifest.get("partition_by") or []
     upserts = cdc_apply(
         base_empty, changes, keys, vers, op_col=op_col,
         delete_op=delete_op,
@@ -2813,7 +2822,10 @@ def merge_publish_incremental(
         new_files, new_sizes = _scan_written(fs, vdir, seg)
         n_new = int(obs.get["n"])
         if not new_files and not new_pos:
-            return None  # empty batch: nothing matched, nothing added
+            # empty batch: nothing matched, nothing added — release the
+            # claim now rather than leaving it to vacuum's age reclaim
+            fs.delete_file(fs.join(table_dir, seg + ".claim"))
+            return None
         if new_files:
             seg_data = {"files": new_files, "file_sizes": new_sizes}
             _enrich_seg(
@@ -2878,6 +2890,8 @@ def merge_publish_incremental(
                 entry["dv_rows"] = sum(
                     len(ps) for ps in merged_dv.values()
                 )
+            if meta:
+                entry["meta"] = dict(meta)
             version = int(prev["version"]) + 1
             _commit(fs, table_dir, prev, version, entry, lease=lease)
             fs.delete_file(fs.join(table_dir, seg + ".claim"))

@@ -2074,6 +2074,9 @@ def publish_stream(
     partition_by=None,
     stats_cols=None,
     bloom_cols=None,
+    key_cols=None,
+    version_cols=None,
+    op_col=None,
 ):
     """Continuous EXACTLY-ONCE ingest into a published table — the raw
     landing-zone sink: every micro-batch commits through the snapshot
@@ -2094,6 +2097,15 @@ def publish_stream(
     semantics). Returns a configured ``DataStreamWriter``; the caller
     picks trigger/checkpoint and calls ``.start()``.
 
+    ``mode='merge'`` is continuous CDC upsert ingest: each batch goes
+    through :func:`~bamboo_spark.operators.publish.
+    merge_publish_incremental` (``key_cols``/``version_cols``/
+    ``op_col`` required/optional as there) — matched keys' old rows are
+    delete-vectored by address and the post-state rows appended in ONE
+    commit, so a micro-batch upsert against a 100 TB table costs
+    O(batch), with ``compact()`` folding the vectors on a schedule.
+    The same batch-id high-water mark makes replays exact no-ops.
+
     ``stats_cols``/``bloom_cols`` record per-file min/max and equality
     blooms DURING each batch's commit (distributed jobs over the batch
     only), so the landing table is range- and point-skippable from its
@@ -2102,11 +2114,16 @@ def publish_stream(
     from bamboo_spark.operators.publish import (
         append_publish,
         atomic_publish,
+        merge_publish_incremental,
         table_meta,
     )
 
-    if mode not in ("append", "snapshot"):
-        raise ValueError("publish_stream: mode must be append|snapshot")
+    if mode not in ("append", "snapshot", "merge"):
+        raise ValueError(
+            "publish_stream: mode must be append|snapshot|merge"
+        )
+    if mode == "merge" and not key_cols:
+        raise ValueError("publish_stream(mode='merge') needs key_cols")
     spark = sdf.sparkSession
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -2116,7 +2133,14 @@ def publish_stream(
         if hwm is not None and int(batch_id) <= int(hwm):
             return  # replayed batch: already committed
         meta = {"last_bid": int(batch_id)}
-        if mode == "append":
+        if mode == "merge":
+            merge_publish_incremental(
+                batch_df, table_dir, key_cols=key_cols,
+                version_cols=version_cols, op_col=op_col, meta=meta,
+                partition_by=partition_by,
+                stats_cols=stats_cols, bloom_cols=bloom_cols,
+            )
+        elif mode == "append":
             append_publish(
                 batch_df, table_dir, partition_by=partition_by, meta=meta,
                 stats_cols=stats_cols, bloom_cols=bloom_cols,

@@ -873,3 +873,60 @@ def test_merge_incremental_conflict_on_concurrent_rewrite(
         (r["k"], r["val"]) for r in read_published(spark, t).collect()
     )
     assert got == {1: "a", 2: "b"}  # merge not committed
+
+
+def test_publish_stream_merge_mode_end_to_end(spark, tmp_path):
+    """Medallion CDC: bamboo_published stream over the bronze table ->
+    publish_stream(mode='merge') into silver — each micro-batch
+    dv-deletes the matched keys and appends post-state in one commit,
+    exactly-once via the batch-id HWM."""
+    from bamboo_spark.sources.published import register
+    from bamboo_spark.streaming.core import publish_stream
+
+    register(spark)
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    atomic_publish(
+        spark.createDataFrame(
+            [(1, 1, "a"), (2, 1, "b")], "k long, ver long, val string"
+        ),
+        bronze,
+    )
+    sdf = (
+        spark.readStream.format("bamboo_published")
+        .option("startingVersion", "0")
+        .load(bronze)
+    )
+    q = (
+        publish_stream(
+            sdf, silver, mode="merge", key_cols="k", version_cols="ver"
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["k"]: r["val"]
+            for r in read_published(spark, silver).collect()
+        }
+        assert got == {1: "a", 2: "b"}
+        append_publish(
+            spark.createDataFrame(
+                [(2, 2, "B"), (3, 2, "c")], "k long, ver long, val string"
+            ),
+            bronze,
+        )
+        q.processAllAvailable()
+        got = {
+            r["k"]: (r["ver"], r["val"])
+            for r in read_published(spark, silver).collect()
+        }
+        assert got == {1: (1, "a"), 2: (2, "B"), 3: (2, "c")}
+        # the silver upsert was merge-on-read: one dv + append commit,
+        # no rewrite of the seed file
+        man = P._read_manifest(silver, P._PosixFS())
+        assert man.get("dv")
+    finally:
+        q.stop()
