@@ -472,9 +472,10 @@ _SEG_CACHE_MAX = 4096
 def _load_seg(fs, table_dir: str, seg: str) -> dict:
     """Segment sidecar, memoized on (path, mtime): one replace commit
     resolves/segments/prunes the same sidecars several times, and on an
-    object store every raw read is a GET. mtime-validated, so a
-    stats/bloom backfill (the only post-creation rewrite — the FILE
-    LIST of a segment is immutable) refreshes the entry; a same-ms
+    object store every raw read is a GET. mtime-validated, so the rare
+    post-creation rewrites — stats/bloom backfills and the
+    restore-reconciliation WIDENING in :func:`_segments_of` (file lists
+    otherwise never shrink or reorder) — refresh the entry; a same-ms
     rewrite could at worst serve the pre-backfill stats, which only
     makes skipping more conservative."""
     path = _seg_path(fs, table_dir, seg)
