@@ -1525,6 +1525,25 @@ def replace_partitions_publish(
                 return seg[len(pc) + 1:]
         return None
 
+    # MIXED-LAYOUT guard (partition evolution): a live file whose path
+    # lacks the pc= segment predates the current layout — its rows for
+    # any partition value are INVISIBLE to path matching, so replacing
+    # "the files of partition X" would duplicate (compaction) or keep
+    # (delete) those rows. Refuse until compact() rewrites the table
+    # under the current layout.
+    n_mixed = sum(
+        1
+        for f in _resolve_entry(fs, table_dir, prev)["files"]
+        if _val_of(f) is None
+    )
+    if n_mixed:
+        raise ValueError(
+            "replace_partitions_publish: %d live file(s) predate the "
+            "current partition layout (set_partition_layout evolution "
+            "pending) — run compact() to rewrite the table under the "
+            "new layout before partition-level operations" % n_mixed
+        )
+
     # ---- data-write phase: no lease (claimed dir, collision-free)
     seg = _claim_vdir(fs, table_dir, _next_version(fs, table_dir, prev))
     beat = _ClaimBeat(fs, table_dir, seg, lease_ttl_ms).start()
@@ -1846,6 +1865,15 @@ def _read_files(
             out = part if out is None else out.unionByName(part)
         return out
 
+    def _ordered(df: DataFrame) -> DataFrame:
+        # Spark appends path-derived partition columns LAST even under
+        # an explicit schema; a rewrite publishing that frame would
+        # silently reorder the table schema (caught by the partition-
+        # evolution tests). Published reads always return MANIFEST
+        # schema order.
+        names = [f.name for f in schema.fields]
+        return df if df.columns == names else df.select(*names)
+
     out = _plain(clean) if clean else None
     if dv:
         # metadata columns resolve only on the scan relation itself
@@ -1878,7 +1906,7 @@ def _read_files(
             "left_anti",
         ).drop("_dv_fp", "_dv_ri", "_dv_b")
         out = kept if out is None else out.unionByName(kept)
-    return out
+    return _ordered(out)
 
 
 def _read_files_with_pos(
@@ -1923,6 +1951,83 @@ def _read_files_with_pos(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def set_partition_layout(
+    table_dir: str,
+    partition_by,
+    spark: Optional[SparkSession] = None,
+    lease_ttl_ms: int = 300_000,
+) -> int:
+    """PARTITION EVOLUTION, metadata-only (Iceberg's spec evolution
+    reduced to the hive case): commit a new snapshot with a NEW
+    ``partition_by`` while every existing file carries by reference —
+    zero data movement at any table size. Files written BEFORE the
+    change keep their old path layout; files written AFTER land under
+    the new one. Plain reads are unaffected: ``_read_files`` anchors
+    each version dir on its own basePath and applies the manifest
+    schema, so every column resolves from the file's data pages or its
+    own path, whichever side of the evolution it was written on.
+
+    The sharp edge is PARTITION-LEVEL maintenance: on a mixed-layout
+    table, "the files of partition d=X" no longer identifies all of
+    d=X's ROWS (old files hold them as data, invisible to path
+    matching), so ``replace_partitions_publish`` — and everything on
+    it: ``compact_partitions``, partitioned ``delete_publish`` — REFUSE
+    mixed tables (a silent fold would duplicate or half-delete rows).
+    ``compact()`` rewrites the whole table under the new layout and
+    re-enables them; until then appends, file-granular deletes,
+    delete vectors, merges, time travel and incremental reads all work.
+
+    Every new partition column must already be a table column (it IS a
+    data column in the pre-evolution files). The new layout must be
+    non-empty — evolving to unpartitioned is ``compact()`` territory
+    (old dirs would still carry path-only columns that an
+    unpartitioned read can't resolve)."""
+    fs = _fs_for(table_dir, spark)
+    parts = (
+        [partition_by]
+        if isinstance(partition_by, str)
+        else list(partition_by or [])
+    )
+    if not parts:
+        raise ValueError(
+            "set_partition_layout: the new layout must be non-empty "
+            "(rewrite via compact() to go unpartitioned)"
+        )
+    with _Lease(fs, table_dir, ttl_ms=lease_ttl_ms) as lease:
+        manifest = _read_manifest(table_dir, fs)
+        if manifest is None:
+            raise ValueError("set_partition_layout: no committed table")
+        cols = {
+            f["name"] for f in json.loads(manifest["schema"])["fields"]
+        }
+        missing = [c for c in parts if c not in cols]
+        if missing:
+            raise ValueError(
+                "set_partition_layout: %s are not table columns (a new "
+                "partition column must exist in the schema — it is a "
+                "data column in every pre-evolution file)" % missing
+            )
+        if parts == (manifest.get("partition_by") or []):
+            return int(manifest["version"])  # no-op: already this layout
+        segs, removed = _segments_of(fs, table_dir, manifest)
+        prev_nf, prev_sz = _entry_counters(fs, table_dir, manifest)
+        entry = {
+            "segments": segs,
+            "removed": removed,
+            "n_rows": int(manifest["n_rows"]),
+            "n_files": prev_nf,
+            "size_bytes": prev_sz,
+            "schema": manifest["schema"],
+            "partition_by": parts,
+        }
+        if manifest.get("dv"):
+            entry["dv"] = manifest["dv"]
+            entry["dv_rows"] = manifest.get("dv_rows")
+        version = int(manifest["version"]) + 1
+        _commit(fs, table_dir, manifest, version, entry, lease=lease)
+        return version
 
 
 def restore_table(

@@ -930,3 +930,86 @@ def test_publish_stream_merge_mode_end_to_end(spark, tmp_path):
         assert man.get("dv")
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# partition evolution
+# ---------------------------------------------------------------------------
+
+
+def test_partition_evolution_metadata_only(spark, tmp_path):
+    from bamboo_spark.operators.publish import (
+        published_rows,
+        set_partition_layout,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)],
+        "k string, d string, v long",
+    )
+    atomic_publish(df, t, partition_by="k")                      # v1: by k
+    files_before = sorted(live_files(t))
+    v = set_partition_layout(t, "d")                             # v2: by d
+    assert v == 2
+    assert sorted(live_files(t)) == files_before  # zero data movement
+    # reads resolve every column on both sides of the evolution
+    got = sorted(
+        (r["k"], r["d"], r["v"]) for r in read_published(spark, t).collect()
+    )
+    assert got == [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)]
+    # appends land under the NEW layout; reads stay exact across the mix
+    append_publish(
+        spark.createDataFrame([("c", "y", 4)], "k string, d string, v long"),
+        t,
+    )
+    got = read_published(spark, t)
+    assert got.count() == 4 and published_rows(t) == 4
+    assert {r["k"] for r in got.where("d = 'y'").collect()} == {"a", "c"}
+    new_files = set(live_files(t)) - set(files_before)
+    assert all("d=" in f for f in new_files)  # new layout on disk
+    # time travel across the evolution
+    assert read_published(spark, t, version=1).count() == 3
+
+
+def test_partition_evolution_guards(spark, tmp_path):
+    from bamboo_spark.operators.publish import (
+        replace_partitions_publish,
+        set_partition_layout,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("b", "y", 2)], "k string, d string, v long"
+    )
+    atomic_publish(df, t, partition_by="k")
+    with pytest.raises(ValueError, match="not table columns"):
+        set_partition_layout(t, "nope")
+    with pytest.raises(ValueError, match="non-empty"):
+        set_partition_layout(t, [])
+    set_partition_layout(t, "d")
+    # partition-level maintenance refuses the mixed table…
+    with pytest.raises(ValueError, match="predate the current"):
+        replace_partitions_publish(
+            spark.createDataFrame([("a", "x", 9)],
+                                  "k string, d string, v long"),
+            t, values=["x"],
+        )
+    with pytest.raises(ValueError, match="predate the current"):
+        compact_partitions(spark, t, values=["x"])
+    with pytest.raises(ValueError, match="predate the current"):
+        delete_publish(spark, t, "v = 1")
+    # …file-granular deletes still work on the mixed table…
+    delete_publish(spark, t, "v = 2", delete_vectors=True)
+    assert read_published(spark, t).count() == 1
+    # …and compact() rewrites under the new layout, re-enabling them
+    compact(spark, t)
+    assert all("d=" in f for f in live_files(t))
+    append_publish(
+        spark.createDataFrame([("z", "x", 7)], "k string, d string, v long"),
+        t,
+    )
+    v = compact_partitions(spark, t, values=["x"], min_files=1)
+    assert v is not None
+    got = sorted((r["k"], r["v"]) for r in read_published(spark, t).collect())
+    assert got == [("a", 1), ("z", 7)]
