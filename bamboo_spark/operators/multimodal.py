@@ -242,45 +242,99 @@ def phash_bands(
 
     Output: (id, b0..b3) — four 16-bit band ints. ``phash_pairs`` joins
     them; ``b0..b3`` also store compactly for incremental probes.
+
+    Expression-shape note: ``cells`` / ``total`` / ``bits`` are bound as
+    HIGHER-ORDER-FUNCTION lambda variables (``transform(array(x), v ->
+    ...)`` is Spark's let-binding), NOT as projection aliases.
+    CollapseProject inlines deterministic aliases into their consumers,
+    and an array expression inlined inside a ``transform`` lambda body
+    is re-evaluated PER ELEMENT — the unrolled first cut of this
+    function did exactly that (64 × 64 re-evaluations of a 64-term md5
+    grid, ×4 bands, ×8 plan copies under ``phash_pairs``) and cost
+    ~40 ms/row interpreted. Lambda variables are evaluated once per
+    binding regardless of how many times the body references them.
     """
+    zero = F.lit(0).cast("long")
     rep = F.repeat(F.md5(F.col(data_col)), 4)  # 128 hex chars = 64 bytes
-    cells = F.array(
-        *[
-            F.conv(F.substring(rep, 2 * i + 1, 2), 16, 10).cast("long")
-            for i in range(PHASH_CELLS)
-        ]
-    )
-    total = F.aggregate(cells, F.lit(0).cast("long"), lambda a, x: a + x)
-    # bit_i = 64*cell_i > sum(cells)  — exact integer mean threshold
-    bits = F.transform(
-        cells,
-        lambda c: F.when(
-            c * PHASH_CELLS > total, F.lit(1).cast("long")
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    out = df.select(F.col(id_col), bits.alias("_bits"))
-    band_cols = []
-    for b in range(PHASH_CELLS // PHASH_BAND_BITS):
-        sl = F.slice(F.col("_bits"), b * PHASH_BAND_BITS + 1, PHASH_BAND_BITS)
-        packed = F.aggregate(
-            F.zip_with(
-                sl,
-                # bit weights as literals (shiftleft needs a Python int
-                # for the shift amount; an integer multiply is exact
-                # and identical: bit << i == bit * 2^i)
-                F.array(
-                    *[
-                        F.lit(1 << i).cast("long")
-                        for i in range(PHASH_BAND_BITS)
-                    ]
-                ),
-                lambda x, w: x * w,
+
+    def _cells(h):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(PHASH_CELLS - 1)),
+            lambda i: F.conv(F.substr(h, i * 2 + 1, F.lit(2)), 16, 10).cast(
+                "long"
             ),
-            F.lit(0).cast("long"),
+        )
+    # bit weights as literals (shiftleft needs a Python int for the
+    # shift amount; an integer multiply is exact and identical:
+    # bit << i == bit * 2^i)
+    weights = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(PHASH_BAND_BITS)]
+    )
+
+    def _pack(bits, b):
+        sl = F.slice(bits, b * PHASH_BAND_BITS + 1, PHASH_BAND_BITS)
+        return F.aggregate(
+            F.zip_with(sl, weights, lambda x, w: x * w),
+            zero,
             lambda a, x: a + x,
         )
-        band_cols.append(packed.alias("b%d" % b))
-    return out.select(id_col, *band_cols)
+
+    # let h = hex; let cs = cells(h); let tot = sum(cs);
+    # let bits = [64*c > tot : c in cs] in struct(pack(bits, 0..3)) —
+    # bit_i is the exact integer mean threshold 64*cell_i > sum(cells).
+    sig = F.element_at(
+        F.transform(
+            F.array(rep),
+            lambda h: F.element_at(
+                F.transform(
+                    F.array(_cells(h)),
+                    lambda cs: _sig_from_cells(cs, zero, _pack),
+                ),
+                F.lit(1),
+            ),
+        ),
+        F.lit(1),
+    )
+    out = df.select(F.col(id_col), sig.alias("_sig"))
+    return out.select(
+        id_col,
+        *[
+            F.col("_sig.b%d" % b).alias("b%d" % b)
+            for b in range(PHASH_CELLS // PHASH_BAND_BITS)
+        ],
+    )
+
+
+def _sig_from_cells(cs, zero, _pack):
+    """Inner let-chain of ``phash_bands``: tot, bits, packed bands."""
+    return F.element_at(
+        F.transform(
+            F.array(F.aggregate(cs, zero, lambda a, x: a + x)),
+            lambda tot: F.element_at(
+                F.transform(
+                    F.array(
+                        F.transform(
+                            cs,
+                            lambda c: F.when(
+                                c * PHASH_CELLS > tot,
+                                F.lit(1).cast("long"),
+                            ).otherwise(zero),
+                        )
+                    ),
+                    lambda bits: F.struct(
+                        *[
+                            _pack(bits, b).alias("b%d" % b)
+                            for b in range(
+                                PHASH_CELLS // PHASH_BAND_BITS
+                            )
+                        ]
+                    ),
+                ),
+                F.lit(1),
+            ),
+        ),
+        F.lit(1),
+    )
 
 
 def phash_pairs(
@@ -290,9 +344,17 @@ def phash_pairs(
     of four equi-joins (one per band — two hashes within hamming 8 of
     each other agree on at least one 16-bit band by pigeonhole when
     the differing bits spread; exact-duplicate payloads agree on all
-    four), dedup, verify ``hamming(a, b) <= max_hamming`` via
-    bit_count(xor) over the bands. Equi-joins only — never a cartesian
-    of the image table with itself."""
+    four), verify ``hamming(a, b) <= max_hamming`` via bit_count(xor)
+    over the bands. Equi-joins only — never a cartesian of the image
+    table with itself.
+
+    Exactly-once emission instead of dedup: band j's join additionally
+    requires bands 0..j-1 UNEQUAL, so a pair agreeing on multiple bands
+    is emitted only by its first agreeing band — no pair-level
+    ``dropDuplicates`` shuffle. The hamming verify runs INSIDE each
+    join branch (whole-stage codegen filter on the join output), so
+    band-collision noise — the dominant volume when signatures are
+    uncorrelated — is discarded before any exchange."""
     bands = [c for c in sig.columns if c != id_col]
     a = sig.select(
         F.col(id_col).alias("doc_a"),
@@ -302,22 +364,25 @@ def phash_pairs(
         F.col(id_col).alias("doc_b"),
         *[F.col(b).alias("b_%s" % b) for b in bands],
     )
-    cand = None
-    for b in bands:
-        c = a.join(
-            b_,
-            (F.col("a_%s" % b) == F.col("b_%s" % b))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.dropDuplicates(["doc_a", "doc_b"])
     hamming = None
     for b in bands:
         h = F.bit_count(
             F.col("a_%s" % b).bitwiseXOR(F.col("b_%s" % b))
         ).cast("long")
         hamming = h if hamming is None else hamming + h
-    return (
-        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
-        .where(F.col("hamming") <= max_hamming)
-    )
+    out = None
+    for j, b in enumerate(bands):
+        cond = (F.col("a_%s" % b) == F.col("b_%s" % b)) & (
+            F.col("doc_a") < F.col("doc_b")
+        )
+        for prev in bands[:j]:
+            cond = cond & (
+                F.col("a_%s" % prev) != F.col("b_%s" % prev)
+            )
+        branch = (
+            a.join(b_, cond)
+            .select("doc_a", "doc_b", hamming.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out

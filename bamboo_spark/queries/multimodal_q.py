@@ -274,7 +274,9 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("data")
     )
-    sig = multimodal.phash_bands(d)
+    # persist: the four band joins consume the signature table 8 times
+    # (2 sides x 4 bands); 5 long columns per doc, never the payloads.
+    sig = _tracked_persist(multimodal.phash_bands(d))
     return multimodal.phash_pairs(sig, max_hamming=8)
 
 

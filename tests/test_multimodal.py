@@ -56,3 +56,47 @@ def test_media_struct_roundtrip(spark, media_df):
     row = m.where(F.col("doc_id") == 1).select("media").first().media
     assert row.meta.mime == "image/png"
     assert bytes(row.data) == b"hello world"
+
+
+def _phash_brute(payloads):
+    """Independent python reimplementation of the phash signature +
+    pair semantics (md5 grid, integer mean threshold, hamming<=8)."""
+    import hashlib
+
+    sigs = {}
+    for doc_id, payload in payloads:
+        hexs = hashlib.md5(payload).hexdigest() * 4
+        cells = [int(hexs[2 * i : 2 * i + 2], 16) for i in range(64)]
+        tot = sum(cells)
+        bits = [1 if 64 * c > tot else 0 for c in cells]
+        sigs[doc_id] = bits
+    pairs = []
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ba, bb = sigs[a], sigs[b]
+            # candidate iff some 16-bit band agrees
+            band_eq = any(
+                ba[s : s + 16] == bb[s : s + 16] for s in (0, 16, 32, 48)
+            )
+            ham = sum(x != y for x, y in zip(ba, bb))
+            if band_eq and ham <= 8:
+                pairs.append((a, b, ham))
+    return sorted(pairs)
+
+
+def test_phash_pairs_match_brute_force(spark):
+    payloads = [(i, b"doc-%d" % (i % 7)) for i in range(1, 21)]
+    df = spark.createDataFrame(payloads, "doc_id: long, data: binary")
+    sig = multimodal.phash_bands(df)
+    got = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in multimodal.phash_pairs(sig, max_hamming=8).collect()
+    )
+    exp = _phash_brute(payloads)
+    assert got == exp
+    # exact duplicates (i % 7 collisions) must appear with hamming 0
+    assert (1, 8, 0) in got
+    # exactly-once emission: no pair twice even though exact dups agree
+    # on all four bands
+    assert len(got) == len(set((a, b) for a, b, _ in got))

@@ -1093,3 +1093,15 @@ def test_attribution_markov_no_forced_users_broadcast(spark):
         assert "CartesianProduct" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_phash_dedup_no_pair_dedup_shuffle(spark):
+    # exactly-once band emission: no pair-level dropDuplicates (which
+    # would shuffle the band-collision noise), no cartesian, no window;
+    # the hamming verify is a codegen filter inside each join branch
+    plan = plan_of(q.queries()["multimodal_phash_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    # dropDuplicates would plan as HashAggregate pairs per branch
+    assert "HashAggregate" not in plan
+    assert "bit_count" in plan  # verify stayed in the join branches
