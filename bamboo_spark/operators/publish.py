@@ -638,14 +638,59 @@ def _json_stat(v):
     return v
 
 
+def _is_ext(f: str) -> bool:
+    """True for an EXTERNAL (absolute) manifest ref — the shallow-clone
+    shape (:func:`clone_table`): a ref resolving outside this table
+    dir. Everything else is table-relative (``_v<K>/...``)."""
+    return f.startswith("/") or f.startswith("file:") or "://" in f
+
+
+def _ref_path(fs, table_dir: str, f: str) -> str:
+    """A manifest ref's readable path: external refs are already
+    absolute; table-relative refs anchor at the table dir."""
+    return f if _is_ext(f) else fs.join(table_dir, f)
+
+
+def _ref_group(fs, table_dir: str, f: str) -> str:
+    """The basePath anchor for a ref — its owning version directory
+    (hive partition columns parse relative to it). Table-relative refs
+    anchor at ``<table>/_v<K>``; external refs at the path up to their
+    ``_v<K>`` component (parent dir when none — e.g. a ref into a
+    foreign layout)."""
+    if not _is_ext(f):
+        return fs.join(table_dir, f.split("/", 1)[0])
+    parts = f.split("/")
+    for i in range(len(parts) - 2, -1, -1):
+        if parts[i].startswith("_v") and parts[i][2:].isdigit():
+            return "/".join(parts[: i + 1])
+    return f.rsplit("/", 1)[0]
+
+
+def _ref_suffix(f: str) -> str:
+    """The path-suffix form of a ref for matching against Spark file
+    URIs (``input_file_name()`` / ``_metadata.file_path`` both render
+    ``scheme://.../path``): strip any scheme, keep one leading slash
+    for absolute paths, prefix relative refs with '/'."""
+    if "://" in f:
+        rest = f.split("://", 1)[1]
+        return "/" + rest.split("/", 1)[1] if "/" in rest else rest
+    if f.startswith("file:"):
+        rest = f[len("file:"):]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return rest
+    return f if f.startswith("/") else "/" + f
+
+
 def _rel_of(abs_uri: str, rel_files) -> Optional[str]:
-    """Map an ``input_file_name()`` URI back to its manifest-relative
-    path (suffix match; tolerates URL-encoding in the URI)."""
+    """Map an ``input_file_name()`` URI back to its manifest ref
+    (suffix match; tolerates URL-encoding in the URI and external
+    absolute refs)."""
     from urllib.parse import unquote
 
     for cand in (abs_uri, unquote(abs_uri)):
         for rel in rel_files:
-            if cand.endswith("/" + rel):
+            if cand.endswith(_ref_suffix(rel)):
                 return rel
     return None
 
@@ -671,19 +716,19 @@ def _distributed_file_stats(
 
     if not rel_files or not cols:
         return {}
-    by_prefix: dict = {}
+    by_base: dict = {}
     for f in rel_files:
-        by_prefix.setdefault(f.split("/", 1)[0], []).append(f)
+        by_base.setdefault(_ref_group(fs, table_dir, f), []).append(f)
     out: dict = {}
-    for vprefix, fl in by_prefix.items():
+    for base, fl in by_base.items():
         reader = spark.read
         if schema_json:
             reader = reader.schema(
                 T.StructType.fromJson(json.loads(schema_json))
             )
         df = reader.option(
-            "basePath", fs.join(table_dir, vprefix)
-        ).parquet(*[fs.join(table_dir, f) for f in fl])
+            "basePath", base
+        ).parquet(*[_ref_path(fs, table_dir, f) for f in fl])
         cs = [c for c in cols if c in df.columns]
         if not cs:
             continue
@@ -827,19 +872,19 @@ def _distributed_file_blooms(
 
     if not rel_files or not cols:
         return {}
-    by_prefix: dict = {}
+    by_base: dict = {}
     for f in rel_files:
-        by_prefix.setdefault(f.split("/", 1)[0], []).append(f)
+        by_base.setdefault(_ref_group(fs, table_dir, f), []).append(f)
     out: dict = {}
-    for vprefix, fl in by_prefix.items():
+    for base, fl in by_base.items():
         reader = spark.read
         if schema_json:
             reader = reader.schema(
                 T.StructType.fromJson(json.loads(schema_json))
             )
         df = reader.option(
-            "basePath", fs.join(table_dir, vprefix)
-        ).parquet(*[fs.join(table_dir, f) for f in fl])
+            "basePath", base
+        ).parquet(*[_ref_path(fs, table_dir, f) for f in fl])
         cs = [c for c in cols if c in df.columns]
         if not cs:
             continue
@@ -985,10 +1030,15 @@ def atomic_publish(
     bloom_cols=None,
     _lease: Optional[_Lease] = None,
     data_change: bool = True,
+    operation: str = "overwrite",
 ) -> int:
     """Write ``df`` as the table's next snapshot and commit it
     atomically. Returns the committed version number. The manifest row
     count is observed during the write — no second scan.
+
+    ``operation`` labels the commit in the snapshot history (see
+    :func:`table_history`) — composite flavors (merge/compact/cluster)
+    pass their own name.
 
     ``partition_by`` hive-partitions the snapshot's data files
     (``_v<N>/col=val/part-*.parquet``); the manifest records the
@@ -1040,6 +1090,7 @@ def atomic_publish(
             "size_bytes": sum(file_sizes.values()),
             "schema": df.schema.json(),
             "partition_by": parts,
+            "operation": operation,
         }
         if not data_change:
             # pure-rewrite marker (Delta's dataChange=false): this
@@ -1265,7 +1316,7 @@ def append_publish(
         return atomic_publish(
             df, table_dir, partition_by=partition_by, meta=meta,
             stats_cols=stats_cols, bloom_cols=bloom_cols,
-            lease_ttl_ms=lease_ttl_ms,
+            lease_ttl_ms=lease_ttl_ms, operation="append",
         )
     parts = prev.get("partition_by") or []
     schema_json = prev["schema"]
@@ -1376,6 +1427,7 @@ def append_publish(
                 "size_bytes": prev_sz + sum(new_sizes.values()),
                 "schema": schema_json,
                 "partition_by": parts,
+                "operation": "append",
             }
             # delete vectors carry UNCHANGED by reference — an append
             # adds files and touches none, so the prev snapshot's dv
@@ -1461,6 +1513,7 @@ def replace_partitions_publish(
     _lease: Optional[_Lease] = None,
     _base: Optional[dict] = None,
     data_change: bool = True,
+    operation: str = "replace_partitions",
 ) -> int:
     """Partial-rewrite snapshot (dynamic partition overwrite with
     snapshot isolation): the next version rewrites ONLY the hive
@@ -1615,12 +1668,12 @@ def replace_partitions_publish(
             # live rows in a replaced file = footer rows − its delete-
             # vector entries (the rewrite read the MASKED rows)
             replaced_rows = sum(
-                fs.file_rows(fs.join(table_dir, f)) - len(prev_dv.get(f) or [])
+                fs.file_rows(_ref_path(fs, table_dir, f)) - len(prev_dv.get(f) or [])
                 for f in replaced
             )
             replaced_bytes = sum(
                 res["file_sizes"].get(f)
-                or fs.file_size(fs.join(table_dir, f))
+                or fs.file_size(_ref_path(fs, table_dir, f))
                 for f in replaced
             )
             segs, removed = _segments_of(fs, table_dir, prev)
@@ -1642,6 +1695,7 @@ def replace_partitions_publish(
                 "size_bytes": prev_sz - replaced_bytes + sum(new_sizes.values()),
                 "schema": prev["schema"],
                 "partition_by": parts,
+                "operation": operation,
                 **_carry_dv(fs, table_dir, prev, seg, carried),
             }
             if not data_change:
@@ -1706,9 +1760,60 @@ def _sizes_for(fs, table_dir: str, prev, files) -> dict:
     return {
         f: known.get(f, None)
         if known.get(f) is not None
-        else fs.file_size(fs.join(table_dir, f))
+        else fs.file_size(_ref_path(fs, table_dir, f))
         for f in files
     }
+
+
+def _select_snapshot(
+    manifest: dict,
+    version: Optional[int] = None,
+    as_of_ms: Optional[int] = None,
+):
+    """``(version, entry)`` for a manifest's committed snapshot (the
+    default), an explicit retained ``version``, or the newest retained
+    snapshot committed at-or-before ``as_of_ms`` (TIMESTAMP AS OF;
+    accepts a ``datetime``). Raises KeyError when the requested state
+    is not retained."""
+    if as_of_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_ms, not both")
+        if hasattr(as_of_ms, "timestamp"):  # datetime convenience
+            as_of_ms = int(as_of_ms.timestamp() * 1000)
+        eligible = [
+            int(v)
+            for v, e in manifest.get("snapshots", {}).items()
+            if e.get("committed_at_ms") is not None
+            and int(e["committed_at_ms"]) <= int(as_of_ms)
+        ]
+        if not eligible:
+            raise KeyError(
+                "no retained snapshot committed at or before %d ms "
+                "(oldest retained: %s)"
+                % (
+                    int(as_of_ms),
+                    min(
+                        (
+                            int(e["committed_at_ms"])
+                            for e in manifest.get(
+                                "snapshots", {}
+                            ).values()
+                            if e.get("committed_at_ms") is not None
+                        ),
+                        default=None,
+                    ),
+                )
+            )
+        version = max(eligible)
+    if version is None or int(version) == int(manifest["version"]):
+        return int(manifest["version"]), manifest
+    snaps = manifest.get("snapshots", {})
+    if str(version) not in snaps:
+        raise KeyError(
+            "version %s is not a retained snapshot (have: %s)"
+            % (version, sorted(int(v) for v in snaps))
+        )
+    return int(version), snaps[str(version)]
 
 
 def read_published(
@@ -1717,10 +1822,21 @@ def read_published(
     version: Optional[int] = None,
     skip: Optional[dict] = None,
     skip_eq: Optional[dict] = None,
+    as_of_ms: Optional[int] = None,
 ) -> DataFrame:
     """Read exactly the committed snapshot's manifest-listed files —
     the latest by default, or any retained ``version`` (time travel).
     Raises KeyError for a version never committed or already vacuumed.
+
+    ``as_of_ms`` is TIMESTAMP time travel (``TIMESTAMP AS OF``): read
+    the newest retained snapshot whose commit wall-clock is <= the
+    given epoch-milliseconds (also accepts a ``datetime``). Raises
+    KeyError when every retained snapshot is newer — the state at that
+    time is unknowable (never committed, or vacuumed away). Mutually
+    exclusive with ``version``. Commit timestamps are the WRITER's
+    clock (one writer commits at a time under the manifest swap, so
+    retained history is monotone in practice, but skewed clocks make
+    "as of" approximate exactly as in Delta/Iceberg).
 
     ``skip`` = ``{col: (lo, hi)}`` applies FILE-LEVEL data skipping
     against the manifest's recorded footer statistics (see
@@ -1740,16 +1856,7 @@ def read_published(
     bloom and no stats → the file is read."""
     fs = _fs_for(table_dir, spark)
     manifest = json.loads(fs.read_text(_manifest_path(table_dir, fs)))
-    if version is None or int(version) == int(manifest["version"]):
-        entry = manifest
-    else:
-        snaps = manifest.get("snapshots", {})
-        if str(version) not in snaps:
-            raise KeyError(
-                "version %s is not a retained snapshot (have: %s)"
-                % (version, sorted(int(v) for v in snaps))
-            )
-        entry = snaps[str(version)]
+    _, entry = _select_snapshot(manifest, version, as_of_ms)
     res = _resolve_entry(fs, table_dir, entry)
     entry = {**entry, "files": res["files"]}
     if skip:
@@ -1848,18 +1955,18 @@ def _read_files(
     def _plain(fl):
         if not partitioned:
             return spark.read.schema(schema).parquet(
-                *[fs.join(table_dir, f) for f in fl]
+                *[_ref_path(fs, table_dir, f) for f in fl]
             )
-        by_prefix: dict = {}
+        by_base: dict = {}
         for f in fl:
-            by_prefix.setdefault(f.split("/", 1)[0], []).append(f)
+            by_base.setdefault(_ref_group(fs, table_dir, f), []).append(f)
         out = None
-        for vprefix in sorted(by_prefix):
+        for base in sorted(by_base):
             part = (
                 spark.read.schema(schema)
-                .option("basePath", fs.join(table_dir, vprefix))
+                .option("basePath", base)
                 .parquet(
-                    *[fs.join(table_dir, f) for f in by_prefix[vprefix]]
+                    *[_ref_path(fs, table_dir, f) for f in by_base[base]]
                 )
             )
             out = part if out is None else out.unionByName(part)
@@ -1886,12 +1993,12 @@ def _read_files(
         # a per-job UUID) with the full manifest-relative suffix kept as
         # an exactness guard in the join condition
         rows = [
-            (rel, rel.rsplit("/", 1)[-1], int(p))
+            (_ref_suffix(rel), rel.rsplit("/", 1)[-1], int(p))
             for rel, ps in dv.items()
             for p in ps
         ]
         dvdf = spark.createDataFrame(
-            rows, "_dv_rel string, _dv_base string, _dv_pos long"
+            rows, "_dv_sfx string, _dv_base string, _dv_pos long"
         )
         masked = masked.withColumn(
             "_dv_b", F.element_at(F.split(F.col("_dv_fp"), "/"), -1)
@@ -1900,9 +2007,7 @@ def _read_files(
             F.broadcast(dvdf),
             (F.col("_dv_b") == F.col("_dv_base"))
             & (F.col("_dv_ri") == F.col("_dv_pos"))
-            & F.col("_dv_fp").endswith(
-                F.concat(F.lit("/"), F.col("_dv_rel"))
-            ),
+            & F.col("_dv_fp").endswith(F.col("_dv_sfx")),
             "left_anti",
         ).drop("_dv_fp", "_dv_ri", "_dv_b")
         out = kept if out is None else out.unionByName(kept)
@@ -1936,18 +2041,16 @@ def _read_files_with_pos(
     if not partitioned:
         return _with_pos(
             spark.read.schema(schema),
-            [fs.join(table_dir, f) for f in files],
+            [_ref_path(fs, table_dir, f) for f in files],
         )
-    by_prefix: dict = {}
+    by_base: dict = {}
     for f in files:
-        by_prefix.setdefault(f.split("/", 1)[0], []).append(f)
+        by_base.setdefault(_ref_group(fs, table_dir, f), []).append(f)
     out = None
-    for vprefix in sorted(by_prefix):
+    for base in sorted(by_base):
         part = _with_pos(
-            spark.read.schema(schema).option(
-                "basePath", fs.join(table_dir, vprefix)
-            ),
-            [fs.join(table_dir, f) for f in by_prefix[vprefix]],
+            spark.read.schema(schema).option("basePath", base),
+            [_ref_path(fs, table_dir, f) for f in by_base[base]],
         )
         out = part if out is None else out.unionByName(part)
     return out
@@ -2021,6 +2124,7 @@ def set_partition_layout(
             "size_bytes": prev_sz,
             "schema": manifest["schema"],
             "partition_by": parts,
+            "operation": "set_partition_layout",
         }
         if manifest.get("dv"):
             entry["dv"] = manifest["dv"]
@@ -2065,9 +2169,113 @@ def restore_table(
             if src.get(k) is not None
         }
         entry["restored_from"] = int(version)
+        entry["operation"] = "restore"
         new_version = int(manifest["version"]) + 1
         _commit(fs, table_dir, manifest, new_version, entry, lease=lease)
         return new_version
+
+
+def clone_table(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    version: Optional[int] = None,
+    as_of_ms: Optional[int] = None,
+) -> int:
+    """SHALLOW CLONE: fork ``src_dir``'s committed snapshot (or any
+    retained ``version`` / ``as_of_ms`` state) into a NEW table at
+    ``dst_dir`` by metadata alone — the clone's v1 manifest re-cites
+    the source's data files as EXTERNAL absolute refs; zero data bytes
+    move at any table size (Delta Lake's shallow clone). The clone is
+    a fully independent table from the first commit: appends, deletes,
+    merges, compaction, and time travel all work, and every write
+    lands under ``dst_dir`` — the source is never touched. Cloning a
+    100 TB table for an experiment or a dev fork costs one manifest
+    write.
+
+    What copies at clone time (all metadata-sized): the snapshot's
+    per-file sizes / min-max stats / equality blooms (so ``skip=`` /
+    ``skip_eq=`` pruning works on the clone unchanged) and its delete
+    vectors (rewritten against the external refs).
+
+    CONTRACT (same as Delta): the clone PINS the source files of one
+    snapshot — ``vacuum`` on the SOURCE that expires that snapshot
+    deletes files the clone still references and breaks it. Keep the
+    cloned snapshot retained at the source, or ``compact()`` the clone
+    (any full rewrite) to cut the dependency — clone-then-compact is a
+    deep copy. ``vacuum`` on the CLONE never deletes source files
+    (external refs resolve outside its directory by construction).
+
+    ``dst_dir`` must not already hold a table — cloning never
+    overwrites history. Returns the clone's version (always 1)."""
+    src_fs = _fs_for(src_dir, spark)
+    src_manifest = _read_manifest(src_dir, src_fs)
+    if src_manifest is None:
+        raise ValueError("clone_table: no committed table at %s" % src_dir)
+    src_v, entry = _select_snapshot(src_manifest, version, as_of_ms)
+    res = _resolve_entry(src_fs, src_dir, entry)
+    abs_of = {f: _ref_path(src_fs, src_dir, f) for f in res["files"]}
+    fs = _fs_for(dst_dir, spark)
+    fs.mkdirs(dst_dir)
+    with _Lease(fs, dst_dir, ttl_ms=300_000) as lease:
+        if _read_manifest(dst_dir, fs) is not None:
+            raise ValueError(
+                "clone_table: %s already holds a table — refusing to "
+                "overwrite its history" % dst_dir
+            )
+        seg = _claim_vdir(fs, dst_dir, 1)
+        seg_data = {
+            "files": [abs_of[f] for f in res["files"]],
+            "file_sizes": {
+                abs_of[f]: sz
+                for f, sz in res["file_sizes"].items()
+                if f in abs_of
+            },
+            "file_stats": {
+                abs_of[f]: st
+                for f, st in res["file_stats"].items()
+                if f in abs_of
+            },
+            "file_blooms": {
+                abs_of[f]: b
+                for f, b in res["file_blooms"].items()
+                if f in abs_of
+            },
+        }
+        _write_seg(fs, dst_dir, seg, seg_data)
+        nf = entry.get("n_files")
+        if nf is None:
+            nf = len(res["files"])
+        sz = entry.get("size_bytes")
+        if sz is None:
+            sz = sum(v for v in res["file_sizes"].values() if v)
+        new_entry = {
+            "segments": [seg],
+            "removed": [],
+            "n_rows": int(entry["n_rows"]),
+            "n_files": int(nf),
+            "size_bytes": int(sz),
+            "schema": entry["schema"],
+            "partition_by": entry.get("partition_by") or [],
+            "operation": "clone",
+            "meta": {
+                "cloned_from": src_dir,
+                "cloned_version": int(src_v),
+            },
+        }
+        src_dv = _load_dv(src_fs, src_dir, entry)
+        live = set(res["files"])
+        dv = {
+            abs_of[f]: ps
+            for f, ps in src_dv.items()
+            if f in live and ps
+        }
+        if dv:
+            new_entry["dv"] = _write_dv(fs, dst_dir, seg, dv)
+            new_entry["dv_rows"] = sum(len(ps) for ps in dv.values())
+        _commit(fs, dst_dir, None, 1, new_entry, lease=lease)
+        fs.delete_file(fs.join(dst_dir, seg + ".claim"))
+        return 1
 
 
 def read_appends(
@@ -2532,6 +2740,73 @@ def snapshots(
     return out
 
 
+def table_history(
+    spark: SparkSession, table_dir: str
+) -> DataFrame:
+    """The table's commit audit log as a DataFrame, newest first — the
+    ``DESCRIBE HISTORY`` shape (Delta Lake's table history, reduced to
+    the manifest's own facts): one row per RETAINED snapshot with the
+    commit's version, wall-clock timestamp, operation label
+    (append/overwrite/merge/compact/delete/restore/...), row/file/byte
+    counters, whether the commit changed data (``data_change=False``
+    marks pure rewrites incremental readers skip), and the restore
+    source when the commit was a rollback. Pure metadata — one manifest
+    read, no data IO at any table size; ``vacuum`` prunes history rows
+    together with the snapshots they describe.
+
+    Pre-labeling commits (tables written before the ``operation`` field
+    existed) surface a null operation rather than a guess."""
+    fs = _fs_for(table_dir, spark)
+    manifest = json.loads(fs.read_text(_manifest_path(table_dir, fs)))
+    cur = int(manifest["version"])
+    rows = []
+    for v, e in sorted(
+        manifest.get("snapshots", {}).items(),
+        key=lambda kv: -int(kv[0]),
+    ):
+        nf = e.get("n_files")
+        if nf is None:
+            nf = len(_entry_files(fs, table_dir, e))
+        ts = e.get("committed_at_ms")
+        rows.append(
+            {
+                "version": int(v),
+                "committed_at_ms": int(ts) if ts is not None else None,
+                "operation": e.get("operation"),
+                "n_rows": int(e["n_rows"]),
+                "n_files": int(nf),
+                "size_bytes": (
+                    int(e["size_bytes"])
+                    if e.get("size_bytes") is not None
+                    else None
+                ),
+                "data_change": bool(e.get("data_change", True)),
+                "restored_from": (
+                    int(e["restored_from"])
+                    if e.get("restored_from") is not None
+                    else None
+                ),
+                "is_current": int(v) == cur,
+            }
+        )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("version", T.LongType(), False),
+            T.StructField("committed_at_ms", T.LongType(), True),
+            T.StructField("operation", T.StringType(), True),
+            T.StructField("n_rows", T.LongType(), False),
+            T.StructField("n_files", T.LongType(), False),
+            T.StructField("size_bytes", T.LongType(), True),
+            T.StructField("data_change", T.BooleanType(), False),
+            T.StructField("restored_from", T.LongType(), True),
+            T.StructField("is_current", T.BooleanType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def published_rows(
     table_dir: str, spark: Optional[SparkSession] = None
 ) -> int:
@@ -2609,7 +2884,12 @@ def vacuum(
             (manifest.get("snapshots") or {}).values()
         ):
             for f in _entry_files(fs, table_dir, e):
-                referenced.add(f.split("/", 1)[0])
+                if not _is_ext(f):
+                    referenced.add(f.split("/", 1)[0])
+            # a clone's segment sidecar dir holds no local data files
+            # but IS the snapshot's file list — always referenced
+            for seg in e.get("segments") or []:
+                referenced.add(seg)
             if e.get("dv"):
                 referenced.add(e["dv"].split("/", 1)[0])
 
@@ -2731,7 +3011,7 @@ def compact(
             out = cur.repartition(target_files)
         return atomic_publish(
             out, table_dir, partition_by=parts or None, _lease=lease,
-            data_change=False,
+            data_change=False, operation="compact",
         )
 
 
@@ -2794,7 +3074,8 @@ def merge_publish(
             base, changes, key_cols, vers, op_col=op_col, delete_op=delete_op
         )
         return atomic_publish(
-            merged, table_dir, partition_by=parts, _lease=lease
+            merged, table_dir, partition_by=parts, _lease=lease,
+            operation="merge",
         )
 
 
@@ -2857,7 +3138,7 @@ def merge_publish_incremental(
         return atomic_publish(
             seeded, table_dir, partition_by=partition_by, meta=meta,
             stats_cols=stats_cols, bloom_cols=bloom_cols,
-            lease_ttl_ms=lease_ttl_ms,
+            lease_ttl_ms=lease_ttl_ms, operation="merge",
         )
     parts = manifest.get("partition_by") or []
     upserts = cdc_apply(
@@ -2915,18 +3196,54 @@ def merge_publish_incremental(
         if rel is None or int(r["_ri"]) in set(dv0.get(rel) or []):
             continue
         new_pos.setdefault(rel, set()).add(int(r["_ri"]))
+    return _mor_commit(
+        spark, fs, table_dir, manifest, new_pos, upserts, parts,
+        lease_ttl_ms, stats_cols, bloom_cols, meta,
+        who="merge_publish_incremental",
+    )
+
+
+def _mor_commit(
+    spark: SparkSession,
+    fs,
+    table_dir: str,
+    manifest: dict,
+    new_pos: dict,
+    out_df: DataFrame,
+    parts,
+    lease_ttl_ms: int,
+    stats_cols,
+    bloom_cols,
+    meta: Optional[dict],
+    who: str,
+) -> Optional[int]:
+    """The MERGE-ON-READ write+commit phase shared by
+    ``merge_publish_incremental`` and ``merge_into``: write ``out_df``
+    as the delta's new files (no lease), then under a short commit
+    lease fold ``new_pos`` (the matched rows' addresses) into the
+    delete vectors and commit — with the address-validity rebase that
+    makes the lease-less scan safe (a concurrent commit that rewrote a
+    matched file or changed its vectors raises instead of losing the
+    race)."""
+    from pyspark.sql import Observation, functions as F
+
     # ---- data-write phase (no lease): the post-state rows
     seg = _claim_vdir(fs, table_dir, _next_version(fs, table_dir, manifest))
     beat = _ClaimBeat(fs, table_dir, seg, lease_ttl_ms).start()
     try:
         vdir = fs.join(table_dir, seg)
         obs = Observation()
-        writer = upserts.observe(obs, F.count(F.lit(1)).alias("n")).write
+        writer = out_df.observe(obs, F.count(F.lit(1)).alias("n")).write
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(vdir)
         new_files, new_sizes = _scan_written(fs, vdir, seg)
         n_new = int(obs.get["n"])
+        if n_new == 0:
+            # a zero-row post-state (all-delete or no-op merge) still
+            # leaves empty part files — never cite them; the staging
+            # dir becomes vacuum garbage
+            new_files, new_sizes = [], {}
         if not new_files and not new_pos:
             # empty batch: nothing matched, nothing added — release the
             # claim now rather than leaving it to vacuum's age reclaim
@@ -2948,16 +3265,16 @@ def merge_publish_incremental(
             cur = _read_manifest(table_dir, fs)
             if cur is None:
                 raise ConcurrentWriteError(
-                    "merge_publish_incremental: manifest vanished"
+                    "%s: manifest vanished" % who
                 )
             if int(cur["version"]) != int(prev["version"]):
-                _check_rebase(prev, cur, "merge_publish_incremental")
+                _check_rebase(prev, cur, who)
                 cur_live = set(_entry_files(fs, table_dir, cur))
                 if not set(new_pos) <= cur_live:
                     raise ConcurrentWriteError(
-                        "merge_publish_incremental: a concurrent commit "
+                        "%s: a concurrent commit "
                         "rewrote file(s) holding matched keys — "
-                        "addresses are stale; re-run"
+                        "addresses are stale; re-run" % who
                     )
                 base_dv = _load_dv(fs, table_dir, prev)
                 cur_dv = _load_dv(fs, table_dir, cur)
@@ -2966,9 +3283,9 @@ def merge_publish_incremental(
                     for f in new_pos
                 ):
                     raise ConcurrentWriteError(
-                        "merge_publish_incremental: a concurrent delete "
+                        "%s: a concurrent delete "
                         "changed a matched file's delete vectors — "
-                        "re-run"
+                        "re-run" % who
                     )
                 prev = cur
             cur_dv = _load_dv(fs, table_dir, prev)
@@ -2990,6 +3307,7 @@ def merge_publish_incremental(
                 "size_bytes": prev_sz + sum(new_sizes.values()),
                 "schema": prev["schema"],
                 "partition_by": parts,
+                "operation": "merge",
             }
             if merged_dv:
                 entry["dv"] = _write_dv(fs, table_dir, seg, merged_dv)
@@ -3006,6 +3324,207 @@ def merge_publish_incremental(
             lease.release()
     finally:
         beat.stop()
+
+
+def merge_into(
+    source: DataFrame,
+    table_dir: str,
+    key_cols,
+    when_matched_update: Optional[dict] = None,
+    when_matched_update_condition: Optional[str] = None,
+    when_matched_delete_condition: Optional[str] = None,
+    when_not_matched_insert=True,
+    lease_ttl_ms: int = 300_000,
+    stats_cols=None,
+    bloom_cols=None,
+    meta: Optional[dict] = None,
+) -> Optional[int]:
+    """Conditional ``MERGE INTO`` (the full Delta/ANSI shape, on the
+    merge-on-read commit): join ``source`` to the committed snapshot on
+    ``key_cols`` and, per matched target row,
+
+    - DELETE it when ``when_matched_delete_condition`` holds (evaluated
+      first, as a guard clause);
+    - else UPDATE it when ``when_matched_update`` is given and
+      ``when_matched_update_condition`` (default: always) holds —
+      ``{col: sql_expr}`` assignments, unlisted columns keep the target
+      value;
+    - else leave it UNTOUCHED (no delete vector, no rewrite — a merge
+      whose conditions fire on 1% of matches costs 1%);
+
+    and INSERT source rows matching no target row when
+    ``when_not_matched_insert`` holds (``True``, ``False``, or a SQL
+    condition). Conditions and update expressions reference the source
+    row as ``s.<col>`` and the target row as ``t.<col>``
+    (``"s.v > t.v"``).
+
+    Semantics follow Delta MERGE: it is an ERROR for one target row to
+    match more than one source row (nondeterministic update) — checked
+    distributedly and raised BEFORE any write. The whole statement is
+    ONE commit: delete vectors for the fired matched rows + new files
+    holding updated/inserted rows (O(changes), never a table rewrite),
+    with the same optimistic address-validity rebase as
+    ``merge_publish_incremental``. ``source`` must carry exactly the
+    table's columns (strict, same contract as every incremental
+    publish). LWW-style CDC batches with op markers want
+    ``merge_publish_incremental`` instead; this is the predicate form
+    (conditional upserts, guarded deletes, insert-if).
+
+    Scale: the match scan opens only bloom/stat candidate files for
+    single-column keys; addresses collected are O(matched rows); the
+    cardinality check is one distributed aggregate over the matched
+    join. Returns the committed version, or None when nothing fired."""
+    from pyspark.sql import functions as F
+
+    spark = source.sparkSession
+    fs = _fs_for(table_dir, spark)
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if when_matched_update is not None:
+        bad = [c for c in when_matched_update if c in keys]
+        if bad:
+            raise ValueError(
+                "merge_into: refusing to update key column(s) %s — "
+                "rekeying a row is a delete + insert" % bad
+            )
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        raise ValueError(
+            "merge_into: no committed table at %s (seed it with "
+            "atomic_publish/append_publish first)" % table_dir
+        )
+    parts = manifest.get("partition_by") or []
+    new_sig = [
+        (f["name"], f["type"])
+        for f in json.loads(source.schema.json())["fields"]
+    ]
+    old_sig = [
+        (f["name"], f["type"])
+        for f in json.loads(manifest["schema"])["fields"]
+    ]
+    if new_sig != old_sig:
+        raise ValueError(
+            "merge_into: source schema differs from the committed "
+            "table schema: source=%s table=%s" % (new_sig, old_sig)
+        )
+    cols = [f["name"] for f in json.loads(manifest["schema"])["fields"]]
+    source = source.localCheckpoint(eager=True)  # scanned 3x below
+    src_keys = source.select(*keys).distinct()
+    # ---- match scan (no lease): candidate files by bloom/stats
+    res = _resolve_entry(fs, table_dir, manifest)
+    dv0 = _load_dv(fs, table_dir, manifest)
+    candidates = list(res["files"])
+    if len(keys) == 1 and res["file_blooms"]:
+        key_vals = [r[0] for r in src_keys.collect()]
+        if len(key_vals) * len(candidates) <= 2_000_000:
+            col = keys[0]
+            candidates = [
+                f
+                for f in candidates
+                if any(
+                    _prune_eq(res, [f], {col: v}) for v in key_vals
+                )
+            ]
+    delete_cond = when_matched_delete_condition
+    update_cond = when_matched_update_condition or "true"
+    fired_m = None  # matched rows where any clause fires, with address
+    matched_keys = None
+    if candidates:
+        tgt = _read_files_with_pos(
+            spark, fs, table_dir, candidates, manifest["schema"],
+            bool(parts),
+        )
+        if dv0:
+            # already-deleted rows never match (merge-on-read mask)
+            rows = [
+                (_ref_suffix(rel), int(p))
+                for rel, ps in dv0.items()
+                for p in ps
+            ]
+            dvdf = spark.createDataFrame(rows, "_dv_sfx string, _dv_pos long")
+            tgt = tgt.join(
+                F.broadcast(dvdf),
+                F.col("_fp").endswith(F.col("_dv_sfx"))
+                & (F.col("_ri") == F.col("_dv_pos")),
+                "left_anti",
+            )
+        m = tgt.alias("t").join(
+            source.alias("s"),
+            [F.col("t." + k) == F.col("s." + k) for k in keys],
+            "inner",
+        )
+        # cardinality violation check (Delta MERGE rule): one target
+        # row, many source rows = nondeterministic — one aggregate,
+        # raised before anything is written
+        dup = (
+            m.groupBy(F.col("t._fp"), F.col("t._ri"))
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "merge_into: a target row matches multiple source rows "
+                "on key %s — deduplicate the source (cardinality "
+                "violation)" % keys
+            )
+        fire = F.expr("false")
+        if delete_cond:
+            fire = fire | F.expr(delete_cond)
+        if when_matched_update is not None:
+            upd_fire = F.expr(update_cond)
+            if delete_cond:
+                upd_fire = upd_fire & ~F.expr(delete_cond)
+            fire = fire | upd_fire
+        fired_m = m.where(fire)
+        matched_keys = m.select(
+            *[F.col("s." + k).alias(k) for k in keys]
+        ).distinct()
+    # addresses of every fired matched row (deleted OR updated)
+    new_pos: dict = {}
+    if fired_m is not None:
+        hits = fired_m.select(
+            F.col("t._fp").alias("_fp"), F.col("t._ri").alias("_ri")
+        ).collect()  # O(fired matches) — the merge contract
+        for r in hits:
+            rel = _rel_of(r["_fp"], candidates)
+            if rel is None:
+                continue
+            new_pos.setdefault(rel, set()).add(int(r["_ri"]))
+    # post-state rows: updated matches + conditional inserts
+    out = None
+    if when_matched_update is not None and fired_m is not None:
+        upd = fired_m
+        if delete_cond:
+            upd = upd.where(~F.expr(delete_cond))
+        upd = upd.where(F.expr(update_cond)).select(
+            *[
+                (
+                    F.expr(when_matched_update[c]).alias(c)
+                    if c in when_matched_update
+                    else F.col("t." + c).alias(c)
+                )
+                for c in cols
+            ]
+        )
+        out = upd
+    if when_not_matched_insert is not False:
+        ins = (
+            source.join(matched_keys, keys, "left_anti")
+            if matched_keys is not None
+            else source
+        )
+        if isinstance(when_not_matched_insert, str):
+            # insert condition references the source row as s.<col>
+            ins = ins.alias("s").where(F.expr(when_not_matched_insert))
+        ins = ins.select(*cols)
+        out = ins if out is None else out.unionByName(ins)
+    if out is None:
+        out = source.limit(0).select(*cols)
+    return _mor_commit(
+        spark, fs, table_dir, manifest, new_pos, out, parts,
+        lease_ttl_ms, stats_cols, bloom_cols, meta, who="merge_into",
+    )
 
 
 def diff_versions(
@@ -3109,7 +3628,7 @@ def compact_partitions(
         return None
     sizes = _sizes_for(fs, table_dir, manifest, live)
     touched_bytes = sum(
-        sizes.get(f) or fs.file_size(fs.join(table_dir, f))
+        sizes.get(f) or fs.file_size(_ref_path(fs, table_dir, f))
         for v in values
         for f in by_val.get(v, [])
     )
@@ -3128,6 +3647,7 @@ def compact_partitions(
     return replace_partitions_publish(
         folded, table_dir, values=values, partition_col=pc,
         lease_ttl_ms=lease_ttl_ms, _base=manifest, data_change=False,
+        operation="compact",
     )
 
 
@@ -3243,7 +3763,9 @@ def delete_publish(
             n_del = cur.where(condition).count()
             if n_del == 0:
                 return None
-            return atomic_publish(kept, table_dir, _lease=lease)
+            return atomic_publish(
+                kept, table_dir, _lease=lease, operation="delete"
+            )
     res = _resolve_entry(fs, table_dir, manifest)
     cur = _read_files(
         spark, fs, table_dir, res["files"], manifest["schema"], True,
@@ -3261,7 +3783,7 @@ def delete_publish(
     )
     return replace_partitions_publish(
         kept_touched, table_dir, values=touched, partition_col=pc,
-        lease_ttl_ms=lease_ttl_ms, _base=manifest,
+        lease_ttl_ms=lease_ttl_ms, _base=manifest, operation="delete",
     )
 
 
@@ -3357,6 +3879,7 @@ def _dv_delete(
             "size_bytes": prev_sz,
             "schema": prev["schema"],
             "partition_by": parts,
+            "operation": "delete",
             "dv": _write_dv(fs, table_dir, seg, merged),
             "dv_rows": sum(len(ps) for ps in merged.values()),
         }
@@ -3473,7 +3996,7 @@ def collect_file_stats(
         stats = dict(manifest.get("file_stats") or {})
         n = 0
         for f in manifest["files"]:
-            mm = _footer_minmax(fs, fs.join(table_dir, f), list(stats_cols))
+            mm = _footer_minmax(fs, _ref_path(fs, table_dir, f), list(stats_cols))
             if mm:
                 stats[f] = {**stats.get(f, {}), **mm}
                 n += 1
@@ -3549,6 +4072,7 @@ def replace_files_publish(
     bloom_cols=None,
     _base: Optional[dict] = None,
     data_change: bool = True,
+    operation: str = "replace_files",
 ) -> int:
     """FILE-granular rewrite (the merge-on-read compaction primitive
     under a copy-on-write commit): the next version drops exactly
@@ -3630,12 +4154,12 @@ def replace_files_publish(
             prev_dv = _load_dv(fs, table_dir, prev)
             replaced = [f for f in res["files"] if f in replace_set]
             replaced_rows = sum(
-                fs.file_rows(fs.join(table_dir, f)) - len(prev_dv.get(f) or [])
+                fs.file_rows(_ref_path(fs, table_dir, f)) - len(prev_dv.get(f) or [])
                 for f in replaced
             )
             replaced_bytes = sum(
                 res["file_sizes"].get(f)
-                or fs.file_size(fs.join(table_dir, f))
+                or fs.file_size(_ref_path(fs, table_dir, f))
                 for f in replaced
             )
             segs, removed = _segments_of(fs, table_dir, prev)
@@ -3698,7 +4222,8 @@ def publish_clustered(
         else df.repartitionByRange(*exprs)
     ).sortWithinPartitions(*exprs)
     return atomic_publish(
-        out, table_dir, partition_by=partition_by, stats_cols=cols
+        out, table_dir, partition_by=partition_by, stats_cols=cols,
+        operation="cluster",
     )
 
 

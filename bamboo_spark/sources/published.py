@@ -83,6 +83,10 @@ def _is_remote_uri(table_dir: str) -> bool:
 
 
 def _join(table_dir: str, rel: str) -> str:
+    # EXTERNAL absolute refs (a shallow clone's manifest re-citing the
+    # source's files; publish._is_ext) are already full paths/URIs
+    if rel.startswith("/") or rel.startswith("file:") or "://" in rel:
+        return rel
     return table_dir.rstrip("/") + "/" + rel
 
 

@@ -1,0 +1,308 @@
+"""Round-10 table-format surface: the commit audit log
+(``table_history`` — one row per retained snapshot with operation
+label / timestamp / counters), TIMESTAMP AS OF time travel
+(``read_published(as_of_ms=...)``), shallow clones, and conditional
+merge. All pure-metadata features: one manifest read, no data IO."""
+
+import datetime
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bamboo_spark.operators import publish as P
+from bamboo_spark.operators.publish import (
+    append_publish,
+    atomic_publish,
+    compact,
+    delete_publish,
+    read_published,
+    restore_table,
+    table_history,
+)
+
+
+def _rows(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+
+
+def test_table_history_labels_every_flavor(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 10), d)                    # v1 overwrite
+    append_publish(_rows(spark, 10, 15), d)                   # v2 append
+    compact(spark, d)                                   # v3 compact
+    delete_publish(spark, d, "k = 3")                         # v4 delete
+    restore_table(d, 2, spark=spark)                        # v5 restore
+
+    h = table_history(spark, d).collect()
+    assert [r.version for r in h] == [5, 4, 3, 2, 1]
+    ops = {r.version: r.operation for r in h}
+    assert ops == {
+        1: "overwrite",
+        2: "append",
+        3: "compact",
+        4: "delete",
+        5: "restore",
+    }
+    by_v = {r.version: r for r in h}
+    assert by_v[5].is_current and not by_v[4].is_current
+    assert by_v[5].restored_from == 2
+    assert by_v[3].data_change is False  # pure rewrite
+    assert by_v[4].data_change is True
+    # counters line up with the snapshots they describe
+    assert by_v[2].n_rows == 15 and by_v[4].n_rows == 14
+    # commit timestamps are present and monotone over the sequence
+    ts = [by_v[v].committed_at_ms for v in (1, 2, 3, 4, 5)]
+    assert all(t is not None for t in ts)
+    assert ts == sorted(ts)
+    # metadata-only: a history read never lists data files
+    assert by_v[1].n_files >= 1 and by_v[1].size_bytes > 0
+
+
+def test_as_of_ms_picks_newest_snapshot_at_or_before(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 5), d)
+    t1 = P.table_history(spark, d).collect()[0].committed_at_ms
+    time.sleep(0.02)
+    append_publish(_rows(spark, 5, 9), d)
+    t2 = table_history(spark, d).collect()[0].committed_at_ms
+    assert t2 > t1
+
+    assert read_published(spark, d, as_of_ms=t1).count() == 5
+    assert read_published(spark, d, as_of_ms=t2 - 1).count() == 5
+    assert read_published(spark, d, as_of_ms=t2).count() == 9
+    # datetime convenience
+    dt = datetime.datetime.fromtimestamp(t2 / 1000.0 + 1)
+    assert read_published(spark, d, as_of_ms=dt).count() == 9
+    # before the first commit: the state is unknowable
+    with pytest.raises(KeyError):
+        read_published(spark, d, as_of_ms=t1 - 10_000)
+    with pytest.raises(ValueError):
+        read_published(spark, d, version=1, as_of_ms=t1)
+
+
+def test_as_of_respects_vacuumed_history(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 5), d)
+    t1 = table_history(spark, d).collect()[0].committed_at_ms
+    time.sleep(0.02)
+    atomic_publish(_rows(spark, 0, 7), d)
+    atomic_publish(_rows(spark, 0, 9), d)
+    P.vacuum(d, keep=1, spark=spark)
+    # v1 pruned: its timestamp no longer resolves
+    with pytest.raises(KeyError):
+        read_published(spark, d, as_of_ms=t1)
+
+
+def test_clone_is_zero_copy_and_reads_equal(spark, tmp_path):
+    import os
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    atomic_publish(_rows(spark, 0, 100), src)
+    append_publish(_rows(spark, 100, 120), src)
+    P.clone_table(spark, src, dst)
+
+    got = sorted(r.k for r in read_published(spark, dst).collect())
+    assert got == list(range(120))
+    # zero copy: no parquet data files under the clone's dir
+    data_files = [
+        os.path.join(r, f)
+        for r, _, fl in os.walk(dst)
+        for f in fl
+        if f.endswith(".parquet")
+    ]
+    assert data_files == []
+    h = table_history(spark, dst).collect()
+    assert len(h) == 1 and h[0].operation == "clone"
+    assert P.table_meta(dst, spark=spark)["cloned_version"] == 2
+
+
+def test_clone_writes_are_independent_of_source(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    atomic_publish(_rows(spark, 0, 10), src)
+    P.clone_table(spark, src, dst)
+
+    append_publish(_rows(spark, 10, 14), dst)      # clone gains rows
+    delete_publish(spark, dst, "k = 0")            # and loses one
+    assert read_published(spark, src).count() == 10  # source untouched
+    assert read_published(spark, dst).count() == 13
+    append_publish(_rows(spark, 50, 60), src)      # source moves on
+    assert read_published(spark, dst).count() == 13  # clone unaffected
+
+
+def test_clone_carries_delete_vectors_and_stats(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    atomic_publish(
+        _rows(spark, 0, 50), src, stats_cols=["k"], bloom_cols=["k"]
+    )
+    delete_publish(spark, src, "k = 7", delete_vectors=True)
+    P.clone_table(spark, src, dst)
+
+    ks = {r.k for r in read_published(spark, dst).collect()}
+    assert 7 not in ks and len(ks) == 49
+    # stats carried: skip= prunes on the clone exactly as on the source
+    assert read_published(spark, dst, skip={"k": (1000, None)}).count() == 0
+    assert (
+        read_published(spark, dst, skip_eq={"k": 3}).where("k = 3").count()
+        == 1
+    )
+
+
+def test_clone_vacuum_never_touches_source_files(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    atomic_publish(_rows(spark, 0, 30), src)
+    P.clone_table(spark, src, dst)
+    # a few clone-local commits, then vacuum the clone hard
+    append_publish(_rows(spark, 30, 35), dst)
+    append_publish(_rows(spark, 35, 40), dst)
+    P.vacuum(dst, keep=1, spark=spark)
+    # source files still present and both tables read fine
+    assert read_published(spark, src).count() == 30
+    assert read_published(spark, dst).count() == 40
+
+
+def test_clone_of_retained_version_and_compact_cuts_dependency(
+    spark, tmp_path
+):
+    import os
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    atomic_publish(_rows(spark, 0, 10), src)       # v1
+    append_publish(_rows(spark, 10, 20), src)      # v2
+    P.clone_table(spark, src, dst, version=1)
+    assert read_published(spark, dst).count() == 10
+
+    compact(spark, dst)  # deep-copies: clone no longer cites src
+    for f in P.live_files(dst, spark=spark):
+        assert not f.startswith("/") or f.startswith(dst)
+    # now vacuuming the source away doesn't break the clone
+    atomic_publish(_rows(spark, 0, 3), src)
+    atomic_publish(_rows(spark, 0, 4), src)
+    P.vacuum(src, keep=1, spark=spark)
+    assert read_published(spark, dst).count() == 10
+
+
+def test_clone_partitioned_table_keeps_pruning(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = _rows(spark, 0, 40).withColumn("p", (F.col("k") % 4).cast("int"))
+    atomic_publish(df, src, partition_by="p")
+    P.clone_table(spark, src, dst)
+    out = read_published(spark, dst)
+    assert out.count() == 40
+    assert out.where("p = 2").count() == 10
+    # partition column survives with the writer's type
+    assert dict(out.dtypes)["p"] == "int"
+    # a second-generation clone (clone of a clone) still resolves
+    dst2 = str(tmp_path / "dst2")
+    P.clone_table(spark, dst, dst2)
+    assert read_published(spark, dst2).where("p = 3").count() == 10
+
+
+def test_clone_refuses_existing_table(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    atomic_publish(_rows(spark, 0, 5), src)
+    atomic_publish(_rows(spark, 0, 5), dst)
+    with pytest.raises(ValueError, match="already holds a table"):
+        P.clone_table(spark, src, dst)
+
+
+def _kv(spark, pairs):
+    return spark.createDataFrame(pairs, "k: long, v: long")
+
+
+def test_merge_into_update_delete_insert_one_commit(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_kv(spark, [(1, 10), (2, 20), (3, 30), (4, 40)]), d)
+    v = P.merge_into(
+        _kv(spark, [(2, 99), (3, 1), (9, 90)]),
+        d,
+        "k",
+        when_matched_update={"v": "s.v"},
+        when_matched_update_condition="s.v > t.v",
+        when_matched_delete_condition="s.v < 10",
+        when_not_matched_insert=True,
+    )
+    assert v == 2  # ONE commit for the whole statement
+    got = {r.k: r.v for r in read_published(spark, d).collect()}
+    # k=2 updated (99>20); k=3 deleted (1<10); k=9 inserted; 1,4 intact
+    assert got == {1: 10, 2: 99, 4: 40, 9: 90}
+    h = {r.version: r.operation for r in table_history(spark, d).collect()}
+    assert h[2] == "merge"
+
+
+def test_merge_into_untouched_matches_cost_nothing(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_kv(spark, [(1, 10), (2, 20)]), d)
+    # source matches k=1 but the update condition does NOT fire
+    v = P.merge_into(
+        _kv(spark, [(1, 5)]),
+        d,
+        "k",
+        when_matched_update={"v": "s.v"},
+        when_matched_update_condition="s.v > t.v",
+        when_not_matched_insert=False,
+    )
+    assert v is None  # nothing fired: no commit at all
+    assert {r.k: r.v for r in read_published(spark, d).collect()} == {
+        1: 10,
+        2: 20,
+    }
+
+
+def test_merge_into_cardinality_violation_raises_before_write(
+    spark, tmp_path
+):
+    d = str(tmp_path / "t")
+    atomic_publish(_kv(spark, [(1, 10)]), d)
+    from bamboo_spark.operators.publish import current_version
+
+    with pytest.raises(ValueError, match="cardinality"):
+        P.merge_into(
+            _kv(spark, [(1, 5), (1, 6)]),
+            d,
+            "k",
+            when_matched_update={"v": "s.v"},
+        )
+    assert current_version(d, spark=spark) == 1  # nothing committed
+
+
+def test_merge_into_insert_condition_and_key_guard(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_kv(spark, [(1, 10)]), d)
+    P.merge_into(
+        _kv(spark, [(7, 70), (8, 3)]),
+        d,
+        "k",
+        when_not_matched_insert="s.v > 50",
+    )
+    assert {r.k for r in read_published(spark, d).collect()} == {1, 7}
+    with pytest.raises(ValueError, match="key column"):
+        P.merge_into(
+            _kv(spark, [(1, 2)]), d, "k", when_matched_update={"k": "s.k + 1"}
+        )
+
+
+def test_merge_into_respects_prior_delete_vectors(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_kv(spark, [(1, 10), (2, 20)]), d)
+    delete_publish(spark, d, "k = 1", delete_vectors=True)
+    # k=1 is dv-deleted: the merge must treat it as NOT MATCHED
+    P.merge_into(
+        _kv(spark, [(1, 111)]),
+        d,
+        "k",
+        when_matched_update={"v": "s.v + 1000"},
+        when_not_matched_insert=True,
+    )
+    got = {r.k: r.v for r in read_published(spark, d).collect()}
+    assert got == {1: 111, 2: 20}  # inserted fresh, not updated

@@ -375,3 +375,21 @@ def test_cdf_delta_raises_on_row_rewrites(spark, tmp_path):
     man = P._read_manifest(t, fs)
     with pytest.raises(ValueError, match="rewrote rows"):
         P._cdf_delta(fs, t, man, 1, 2)
+
+
+def test_batch_read_of_shallow_clone(src, spark, tmp_path):
+    from bamboo_spark.operators import publish as P
+
+    s = str(tmp_path / "s")
+    c = str(tmp_path / "c")
+    atomic_publish(
+        spark.range(25).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        s,
+    )
+    P.delete_publish(spark, s, "k = 5", delete_vectors=True)
+    P.clone_table(spark, s, c)
+    got = spark.read.format("bamboo_published").load(c)
+    ks = sorted(r.k for r in got.collect())
+    assert ks == [k for k in range(25) if k != 5]
