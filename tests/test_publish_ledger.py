@@ -122,3 +122,113 @@ def test_random_op_walk_ledger_exact(spark, tmp_path, seed, partitioned):
     check("final compact")
     vacuum(t, keep=1)
     check("final vacuum")
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_random_merge_into_ledger_exact(spark, tmp_path, seed):
+    """Differential for the predicate MERGE: a seeded walk of
+    merge_into statements (update-if / delete-if / insert-if over a
+    keyed table) against a plain-Python reimplementation of the MERGE
+    semantics — any drift in clause order, condition scoping, dv
+    bookkeeping, or the no-op path shows up as a dict mismatch at the
+    statement that broke it. Interleaves appends and compactions so
+    merges run over multi-segment + dv-carrying snapshots too."""
+    from bamboo_spark.operators.publish import merge_into
+
+    rng = random.Random(seed)
+    t = str(tmp_path / "tbl")
+
+    def kv_df(pairs):
+        return spark.createDataFrame(list(pairs), "k: long, v: long")
+
+    state = {k: k * 10 for k in range(6)}
+    atomic_publish(kv_df(state.items()), t)
+
+    def check(tag):
+        got = {r.k: r.v for r in read_published(spark, t).collect()}
+        assert got == state, (tag, got, state)
+        assert published_rows(t) == len(state), tag
+
+    for step in range(10):
+        roll = rng.random()
+        if roll < 0.2:
+            rows = {rng.randrange(100, 200): rng.randrange(1000)}
+            # fresh keyspace so the unique-key contract holds
+            rows = {k: v for k, v in rows.items() if k not in state}
+            if not rows:
+                continue
+            append_publish(kv_df(rows.items()), t)
+            state.update(rows)
+        elif roll < 0.35:
+            compact(spark, t)
+        else:
+            src = {
+                rng.randrange(0, 30): rng.randrange(100)
+                for _ in range(rng.randint(1, 5))
+            }
+            thr = rng.randrange(100)
+            merge_into(
+                kv_df(src.items()),
+                t,
+                "k",
+                when_matched_update={"v": "s.v + t.v"},
+                when_matched_update_condition="s.v >= %d" % thr,
+                when_matched_delete_condition="s.v < 10",
+                when_not_matched_insert="s.v % 2 = 0",
+            )
+            for k, v in src.items():
+                if k in state:
+                    if v < 10:
+                        del state[k]          # delete clause first
+                    elif v >= thr:
+                        state[k] = v + state[k]
+                    # else: untouched
+                else:
+                    if v % 2 == 0:
+                        state[k] = v
+        check("step %d" % step)
+    compact(spark, t)
+    check("final compact")
+
+
+def test_clone_ledger_diverges_independently(spark, tmp_path):
+    """Fork a mid-history snapshot and walk BOTH tables with different
+    op sequences: each ledger must stay exact, and neither table's
+    maintenance (compact/vacuum on the clone, appends on the source)
+    may bleed into the other."""
+    from bamboo_spark.operators.publish import clone_table, merge_into
+
+    src = str(tmp_path / "src")
+    cln = str(tmp_path / "cln")
+
+    def kv_df(pairs):
+        return spark.createDataFrame(list(pairs), "k: long, v: long")
+
+    s_state = {k: k for k in range(10)}
+    atomic_publish(kv_df(s_state.items()), src)
+    delete_publish(spark, src, "k = 4", delete_vectors=True)
+    del s_state[4]
+    clone_table(spark, src, cln)
+    c_state = dict(s_state)
+
+    # diverge: source gains rows, clone merges + compacts + vacuums
+    append_publish(kv_df({20: 20}.items()), src)
+    s_state[20] = 20
+    merge_into(
+        kv_df({1: 100, 30: 30}.items()),
+        cln,
+        "k",
+        when_matched_update={"v": "s.v"},
+        when_not_matched_insert=True,
+    )
+    c_state[1] = 100
+    c_state[30] = 30
+    compact(spark, cln)
+    vacuum(cln, keep=1)
+    delete_publish(spark, cln, "k = 2")
+    del c_state[2]
+
+    got_s = {r.k: r.v for r in read_published(spark, src).collect()}
+    got_c = {r.k: r.v for r in read_published(spark, cln).collect()}
+    assert got_s == s_state
+    assert got_c == c_state
