@@ -1,0 +1,146 @@
+"""Table-format lifecycle queries: the publish / predicate-MERGE /
+delete-vector / shallow-clone / compact surface exercised end-to-end as
+an ORACLE-GATED registry entry — the whole lifecycle's final state is
+reproduced in pure DuckDB SQL over the source table, so the driver's
+hash-equality gate covers the table format itself, not just its unit
+tests.
+
+Split module (round 10); the package ``__init__`` stitches one shared
+namespace so cross-family references resolve exactly as in the single
+module.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from bamboo_spark.queries._core import load  # noqa: F401
+
+
+def q_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END table-format differential: derive a keyed table from
+    ``orders`` (integer cents — exact in both engines), then drive the
+    full governance surface and return the final state plus a marker
+    row proving the source table survived its clone's divergence:
+
+    1. ``atomic_publish`` of the ``k % 10 = 0`` slice (key-bloomed);
+    2. ``merge_into`` — predicate MERGE: delete when ``s.v % 7 = 0``,
+       else update ``v := s.v + t.v`` when ``s.v % 2 = 0`` (matched
+       keys = the ``k % 20 = 0`` sub-slice, shifted values), insert
+       unmatched ``k % 10 = 3`` rows when ``s.v % 2 = 1`` — ONE
+       merge-on-read commit;
+    3. ``delete_publish(delete_vectors=True)`` of ``v % 11 = 0`` —
+       merge-on-read point deletes, zero files rewritten;
+    4. ``clone_table`` — zero-copy fork — then a SECOND merge INTO THE
+       CLONE (update ``v := t.v - s.v`` on ``k % 40 = 0``, insert
+       ``k % 10 = 6`` when ``s.v % 3 = 0``) and ``compact`` (folds the
+       clone's external refs and vectors into local files);
+    5. the result is the compacted clone plus row ``k = -1`` carrying
+       the SOURCE table's final row count (must equal its pre-clone
+       state: clone writes never bleed back).
+
+    The oracle replays every clause in SQL (the MERGE clause order —
+    delete guard first, update condition second, untouched otherwise —
+    spelled as CASE arms), so a drift in merge semantics, dv masking,
+    clone isolation, or compaction fold flips the value hash.
+
+    Scale: every step is the table format's own O(delta) machinery —
+    the only data-sized job is the final compact of a slice-sized
+    table. Working dirs are fresh ``tempfile`` paths per invocation
+    (driver-local scratch, OS-reaped)."""
+    from bamboo_spark.operators import publish as P
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias("v"),
+    )
+    root = tempfile.mkdtemp(prefix="bamboo_lifecycle_")
+    t = root + "/t"
+    c = root + "/c"
+    P.atomic_publish(o.where("k % 10 = 0"), t, bloom_cols=["k"])
+    src1 = (
+        o.where("k % 20 = 0")
+        .select("k", (F.col("v") + 3).alias("v"))
+        .unionByName(o.where("k % 10 = 3"))
+    )
+    P.merge_into(
+        src1,
+        t,
+        "k",
+        when_matched_update={"v": "s.v + t.v"},
+        when_matched_update_condition="s.v % 2 = 0",
+        when_matched_delete_condition="s.v % 7 = 0",
+        when_not_matched_insert="s.v % 2 = 1",
+    )
+    P.delete_publish(spark, t, "v % 11 = 0", delete_vectors=True)
+    P.clone_table(spark, t, c)
+    src2 = (
+        o.where("k % 40 = 0")
+        .select("k", (F.col("v") + 1).alias("v"))
+        .unionByName(o.where("k % 10 = 6"))
+    )
+    P.merge_into(
+        src2,
+        c,
+        "k",
+        when_matched_update={"v": "t.v - s.v"},
+        when_not_matched_insert="s.v % 3 = 0",
+    )
+    P.compact(spark, c)
+    marker = spark.createDataFrame(
+        [(-1, P.published_rows(t, spark=spark))], "k: long, v: long"
+    )
+    return (
+        P.read_published(spark, c).unionByName(marker).orderBy("k")
+    )
+
+
+Q_TABLE_LIFECYCLE_SQL = """
+with o as (
+  select o_orderkey::BIGINT k,
+         cast(round(o_totalprice * 100, 0) as BIGINT) v
+  from orders
+),
+base as (select k, v from o where k % 10 = 0),
+src1 as (
+  select k, v + 3 as sv from o where k % 20 = 0
+  union all
+  select k, v as sv from o where k % 10 = 3
+),
+m1 as (
+  select b.k,
+         case when s.sv % 2 = 0 then s.sv + b.v else b.v end as v,
+         (s.sv % 7 = 0) as del
+  from base b join src1 s using (k)
+),
+t1 as (
+  select k, v from m1 where not del
+  union all
+  select b.k, b.v from base b where b.k not in (select k from src1)
+  union all
+  select s.k, s.sv from src1 s
+   where s.k not in (select k from base) and s.sv % 2 = 1
+),
+t2 as (select k, v from t1 where v % 11 <> 0),
+src2 as (
+  select k, v + 1 as sv from o where k % 40 = 0
+  union all
+  select k, v as sv from o where k % 10 = 6
+),
+c2 as (
+  select c.k, c.v - s.sv as v from t2 c join src2 s using (k)
+  union all
+  select c.k, c.v from t2 c where c.k not in (select k from src2)
+  union all
+  select s.k, s.sv from src2 s
+   where s.k not in (select k from t2) and s.sv % 3 = 0
+),
+final as (
+  select k, v from c2
+  union all
+  select -1::BIGINT, (select count(*) from t2)::BIGINT
+)
+select k, v from final order by k
+"""
