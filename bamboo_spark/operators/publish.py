@@ -552,7 +552,9 @@ def _carry_dv(fs, table_dir: str, prev: dict, seg: str, live_files) -> dict:
     }
 
 
-def _resolve_entry(fs, table_dir: str, entry: dict) -> dict:
+def _resolve_entry(
+    fs, table_dir: str, entry: dict, rekey_stats: bool = True
+) -> dict:
     """``{'files', 'file_sizes', 'file_stats'}`` for a snapshot entry.
 
     SEGMENTED manifests (the scale shape): the top manifest holds only
@@ -577,17 +579,21 @@ def _resolve_entry(fs, table_dir: str, entry: dict) -> dict:
             "file_sizes": dict(entry.get("file_sizes") or {}),
             "file_stats": dict(entry.get("file_stats") or {}),
             "file_blooms": dict(entry.get("file_blooms") or {}),
+            "file_fields": {},
         }
     removed = set(entry.get("removed") or [])
     files: List[str] = []
     sizes: dict = {}
     stats: dict = {}
     blooms: dict = {}
+    fields: dict = {}
     for seg in entry.get("segments") or []:
         s = _load_seg(fs, table_dir, seg)
         seg_sizes = s.get("file_sizes") or {}
         seg_stats = s.get("file_stats") or {}
         seg_blooms = s.get("file_blooms") or {}
+        seg_fields = s.get("field_names")  # {id: phys name} or absent
+        per_file_fields = s.get("file_fields") or {}  # clones: per file
         for f in s.get("files", []):
             if f in removed:
                 continue
@@ -598,11 +604,39 @@ def _resolve_entry(fs, table_dir: str, entry: dict) -> dict:
                 stats[f] = seg_stats[f]
             if seg_blooms.get(f):
                 blooms[f] = seg_blooms[f]
+            fm = per_file_fields.get(f, seg_fields)
+            if fm:
+                fields[f] = fm
+    if entry.get("schema_evolved") and rekey_stats:
+        # rename/drop happened: sidecar indexes are keyed by the
+        # PHYSICAL names each file was written with — rekey them to
+        # the entry's LOGICAL names (by field id) so skip=/skip_eq=
+        # callers never see a stale name. Files without a map predate
+        # field stamping: identity (their physical names ARE logical
+        # names of their era; retired-name guards keep that sound).
+        # ``rekey_stats=False`` (clone_table) keeps the raw physical
+        # keys — the clone copies them verbatim next to the file maps
+        # and rekeys at ITS read time.
+        ids, _ = _field_ids_of(entry)
+        for f in files:
+            fm = fields.get(f)
+            if not fm:
+                continue
+            for idx in (stats, blooms):
+                st = idx.get(f)
+                if not st:
+                    continue
+                idx[f] = {
+                    n: st[fm[str(i)]]
+                    for n, i in ids.items()
+                    if str(i) in fm and fm[str(i)] in st
+                }
     return {
         "files": files,
         "file_sizes": sizes,
         "file_stats": stats,
         "file_blooms": blooms,
+        "file_fields": fields,
     }
 
 
@@ -636,6 +670,34 @@ def _json_stat(v):
     if isinstance(v, decimal.Decimal):
         return float(v)
     return v
+
+
+def _field_ids_of(entry: dict):
+    """``({name: id}, next_id)`` for a snapshot entry — the Iceberg
+    field-ID device behind metadata-only rename/drop: a column's ID is
+    assigned once and never reused, so its NAME can change (or go away)
+    without touching data files. Entries from before the feature get
+    positional IDs (1..n), which is exact while the schema only ever
+    widened (the only evolution those tables could have had)."""
+    fids = entry.get("field_ids")
+    if fids:
+        ids = {k: int(v) for k, v in fids.items()}
+        nxt = int(
+            entry.get("next_field_id")
+            or (max(ids.values()) + 1 if ids else 1)
+        )
+        return ids, nxt
+    names = [f["name"] for f in json.loads(entry["schema"])["fields"]]
+    return {n: i + 1 for i, n in enumerate(names)}, len(names) + 1
+
+
+def _stamp_fields(seg_data: dict, fids: dict) -> None:
+    """Record the writing commit's ``{field_id: physical column name}``
+    in the segment sidecar — the map readers use to resolve this
+    segment's files after a later rename/drop. Written at EVERY segment
+    commit (not just evolved tables) so files carry their physical
+    names from birth."""
+    seg_data["field_names"] = {str(i): n for n, i in fids.items()}
 
 
 def _is_ext(f: str) -> bool:
@@ -1081,6 +1143,11 @@ def atomic_publish(
             df.sparkSession, fs, table_dir, files, seg_data,
             stats_cols, bloom_cols, df.schema.json(),
         )
+        # a full rewrite starts the field-id space fresh (physical ==
+        # logical again) and resets the evolution flags — nothing of
+        # the old layout survives to resurrect
+        fids = {f.name: i + 1 for i, f in enumerate(df.schema.fields)}
+        _stamp_fields(seg_data, fids)
         _write_seg(fs, table_dir, seg, seg_data)
         entry = {
             "segments": [seg],
@@ -1091,6 +1158,10 @@ def atomic_publish(
             "schema": df.schema.json(),
             "partition_by": parts,
             "operation": operation,
+            "field_ids": fids,
+            "next_field_id": len(fids) + 1,
+            "schema_evolved": False,
+            "retired_names": [],
         }
         if not data_change:
             # pure-rewrite marker (Delta's dataChange=false): this
@@ -1245,6 +1316,14 @@ def _commit(
     }
     if merged_meta:
         entry["meta"] = merged_meta
+    # schema-evolution bookkeeping carries forward unless the entry
+    # explicitly set its own (rename/drop commits, and full overwrites
+    # which reset it — a rewrite leaves nothing to resurrect)
+    for k in (
+        "field_ids", "next_field_id", "schema_evolved", "retired_names"
+    ):
+        if entry.get(k) is None and prev and prev.get(k) is not None:
+            entry[k] = prev[k]
     history = dict(prev.get("snapshots", {})) if prev else {}
     # heal pre-history manifests: retain the previous current snapshot
     # (copy its file bookkeeping in whichever format it uses)
@@ -1350,6 +1429,15 @@ def append_publish(
             ]
         )
         schema_json = union.json()
+        retired = set(prev.get("retired_names") or [])
+        readded = [f.name for f in added if f.name in retired]
+        if readded:
+            raise ValueError(
+                "append_publish(merge): column name(s) %s were dropped "
+                "or renamed away earlier — re-adding the name would "
+                "resurrect old bytes on pre-evolution segments; pick a "
+                "new name" % readded
+            )
     else:
         # strict = full NAME + TYPE equality (nullability and field
         # metadata excluded). Name-only comparison would let a batch
@@ -1390,12 +1478,20 @@ def append_publish(
         # sidecars BY REFERENCE — the commit writes ONE new sidecar
         # (this batch's files) and a constant-size top-manifest entry;
         # nothing existing is re-listed, re-read, or re-serialized
+        fids, nxt = _field_ids_of({**prev, "schema": prev["schema"]})
+        for name in [
+            f["name"] for f in json.loads(schema_json)["fields"]
+        ]:
+            if name not in fids:  # widened this commit: new id
+                fids[name] = nxt
+                nxt += 1
         if new_files:
             seg_data = {"files": new_files, "file_sizes": new_sizes}
             _enrich_seg(
                 df.sparkSession, fs, table_dir, new_files, seg_data,
                 stats_cols, bloom_cols, schema_json,
             )
+            _stamp_fields(seg_data, fids)
             _write_seg(fs, table_dir, seg, seg_data)
         # ---- commit phase: short lease, optimistic rebase. An append
         # adds files and removes none, so it commutes with ANY
@@ -1428,6 +1524,8 @@ def append_publish(
                 "schema": schema_json,
                 "partition_by": parts,
                 "operation": "append",
+                "field_ids": fids,
+                "next_field_id": nxt,
             }
             # delete vectors carry UNCHANGED by reference — an append
             # adds files and touches none, so the prev snapshot's dv
@@ -1498,6 +1596,7 @@ def pinned_snapshot(spark: SparkSession, table_dir: str):
         manifest["schema"],
         bool(manifest.get("partition_by")),
         dv=_load_dv(fs, table_dir, manifest),
+        evo=_evo_of(manifest, res),
     )
     return manifest, df
 
@@ -1615,6 +1714,7 @@ def replace_partitions_publish(
                 df.sparkSession, fs, table_dir, new_files, seg_data,
                 stats_cols, bloom_cols, prev["schema"],
             )
+            _stamp_fields(seg_data, _field_ids_of(prev)[0])
             _write_seg(fs, table_dir, seg, seg_data)
         # ---- commit phase: short lease + disjointness-checked rebase
         base_touched = {
@@ -1894,6 +1994,7 @@ def read_published(
         entry["schema"],
         bool(entry.get("partition_by")),
         dv=_load_dv(fs, table_dir, entry),
+        evo=_evo_of(entry, res),
     )
 
 
@@ -1929,6 +2030,7 @@ def _read_files(
     schema_json: str,
     partitioned: bool,
     dv: Optional[dict] = None,
+    evo: Optional[dict] = None,
 ) -> DataFrame:
     """Read an explicit manifest-relative file list with the PUBLISHED
     schema. The manifest schema governs the read (after a schema-merge
@@ -1952,26 +2054,6 @@ def _read_files(
     dv = {f: ps for f, ps in (dv or {}).items() if f in set(files) and ps}
     clean = [f for f in files if f not in dv]
 
-    def _plain(fl):
-        if not partitioned:
-            return spark.read.schema(schema).parquet(
-                *[_ref_path(fs, table_dir, f) for f in fl]
-            )
-        by_base: dict = {}
-        for f in fl:
-            by_base.setdefault(_ref_group(fs, table_dir, f), []).append(f)
-        out = None
-        for base in sorted(by_base):
-            part = (
-                spark.read.schema(schema)
-                .option("basePath", base)
-                .parquet(
-                    *[_ref_path(fs, table_dir, f) for f in by_base[base]]
-                )
-            )
-            out = part if out is None else out.unionByName(part)
-        return out
-
     def _ordered(df: DataFrame) -> DataFrame:
         # Spark appends path-derived partition columns LAST even under
         # an explicit schema; a rewrite publishing that frame would
@@ -1981,13 +2063,21 @@ def _read_files(
         names = [f.name for f in schema.fields]
         return df if df.columns == names else df.select(*names)
 
-    out = _plain(clean) if clean else None
+    out = (
+        _scan_groups(
+            spark, fs, table_dir, clean, schema, partitioned, evo,
+            with_pos=False,
+        )
+        if clean
+        else None
+    )
     if dv:
         # metadata columns resolve only on the scan relation itself
         # (not across a union), so the position-projected read comes
         # from the per-prefix helper
         masked = _read_files_with_pos(
-            spark, fs, table_dir, sorted(dv), schema_json, partitioned
+            spark, fs, table_dir, sorted(dv), schema_json, partitioned,
+            evo=evo,
         ).withColumnsRenamed({"_fp": "_dv_fp", "_ri": "_dv_ri"})
         # join key = file BASENAME (hash-joinable; part-file names carry
         # a per-job UUID) with the full manifest-relative suffix kept as
@@ -2021,38 +2111,110 @@ def _read_files_with_pos(
     files,
     schema_json: str,
     partitioned: bool,
+    evo: Optional[dict] = None,
 ) -> DataFrame:
     """Plain (unmasked) scan of a manifest-relative file list with the
     parquet ``_metadata`` projected to ``_fp`` (file URI) and ``_ri``
     (row position in file) — the row-address read behind delete-vector
     writes. Metadata columns must be selected per scan relation (they
     don't survive a union), hence the dedicated helper."""
-    from pyspark.sql import functions as F, types as T
+    from pyspark.sql import types as T
 
     schema = T.StructType.fromJson(json.loads(schema_json))
+    return _scan_groups(
+        spark, fs, table_dir, list(files), schema, partitioned, evo,
+        with_pos=True,
+    )
 
-    def _with_pos(reader, paths):
-        return reader.parquet(*paths).select(
-            "*",
-            F.col("_metadata.file_path").alias("_fp"),
-            F.col("_metadata.row_index").alias("_ri"),
-        )
 
-    if not partitioned:
-        return _with_pos(
-            spark.read.schema(schema),
-            [_ref_path(fs, table_dir, f) for f in files],
+def _evo_of(entry: dict, res: dict) -> Optional[dict]:
+    """The ``evo`` read descriptor for a snapshot entry (None unless a
+    rename/drop ever committed — the common case pays nothing)."""
+    if not entry.get("schema_evolved"):
+        return None
+    ids, _ = _field_ids_of(entry)
+    return {"ids": ids, "files": res.get("file_fields") or {}}
+
+
+def _evo_select(schema, fm: Optional[dict], ids: dict):
+    """``(read_schema, select_cols)`` for one file-map subgroup of an
+    EVOLVED table: each logical field reads from the physical name its
+    files were written with (by field id) and aliases back; a field
+    whose id is absent from the map was added AFTER those files were
+    written — it reads as NULL even if a same-named physical column
+    exists (a retired-then-readded name must never resurrect old
+    bytes). ``fm=None`` (pre-stamping segment) is identity — rename/
+    drop refuse to commit while any live segment lacks a map, so
+    identity is exact there."""
+    from pyspark.sql import functions as F, types as T
+
+    if fm is None:
+        return schema, None
+    read_fields, sel = [], []
+    for f in schema.fields:
+        sid = str(ids.get(f.name, ""))
+        phys = fm.get(sid)
+        if phys is None:
+            sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+            continue
+        read_fields.append(T.StructField(phys, f.dataType, True))
+        sel.append(
+            F.col(phys).alias(f.name) if phys != f.name else F.col(f.name)
         )
-    by_base: dict = {}
+    return T.StructType(read_fields), sel
+
+
+def _scan_groups(
+    spark: SparkSession,
+    fs,
+    table_dir: str,
+    files,
+    schema,
+    partitioned: bool,
+    evo: Optional[dict],
+    with_pos: bool,
+) -> DataFrame:
+    """The shared grouped parquet scan behind ``_read_files`` /
+    ``_read_files_with_pos``: files group by their basePath anchor
+    (hive snapshots span version dirs; external clone refs anchor at
+    the source) and, on schema-EVOLVED tables, by their field map —
+    each subgroup reads under its own physical schema and aliases back
+    to the manifest's logical names (``evo`` = ``{"ids": {logical:
+    id}, "files": {file: {id: phys}}}``)."""
+    from pyspark.sql import functions as F
+
+    ids = (evo or {}).get("ids") or {}
+    fmaps = (evo or {}).get("files") or {}
+    groups: dict = {}
     for f in files:
-        by_base.setdefault(_ref_group(fs, table_dir, f), []).append(f)
+        base = _ref_group(fs, table_dir, f) if partitioned else ""
+        fm = fmaps.get(f) if evo else None
+        mk = tuple(sorted(fm.items())) if fm else None
+        groups.setdefault((base, mk), []).append(f)
     out = None
-    for base in sorted(by_base):
-        part = _with_pos(
-            spark.read.schema(schema).option("basePath", base),
-            [_ref_path(fs, table_dir, f) for f in by_base[base]],
+    for base, mk in sorted(groups, key=lambda k: (k[0], k[1] or ())):
+        fl = groups[(base, mk)]
+        fm = dict(mk) if mk else None
+        rschema, sel = (
+            _evo_select(schema, fm, ids) if evo else (schema, None)
         )
-        out = part if out is None else out.unionByName(part)
+        reader = spark.read.schema(rschema)
+        if partitioned:
+            reader = reader.option("basePath", base)
+        df = reader.parquet(*[_ref_path(fs, table_dir, f) for f in fl])
+        if with_pos:
+            pos = [
+                F.col("_metadata.file_path").alias("_fp"),
+                F.col("_metadata.row_index").alias("_ri"),
+            ]
+            df = (
+                df.select(*(sel + pos))
+                if sel is not None
+                else df.select("*", *pos)
+            )
+        elif sel is not None:
+            df = df.select(*sel)
+        out = df if out is None else out.unionByName(df)
     return out
 
 
@@ -2134,6 +2296,172 @@ def set_partition_layout(
         return version
 
 
+def _evolve_schema(
+    table_dir: str,
+    spark,
+    lease_ttl_ms: int,
+    mutate,
+    operation: str,
+) -> int:
+    """Shared commit shape for metadata-only schema evolution
+    (rename/drop): validate that every LIVE file carries a field map
+    (pre-stamping segments read by NAME — evolving over them would
+    silently null or resurrect columns; ``compact()`` first), apply
+    ``mutate(schema_struct, fids, retired)`` → (new_struct, new_fids,
+    newly_retired), and commit a snapshot that re-cites every segment
+    by reference with the new logical schema. Zero data IO."""
+    from pyspark.sql import types as T
+
+    fs = _fs_for(table_dir, spark)
+    with _Lease(fs, table_dir, ttl_ms=lease_ttl_ms) as lease:
+        manifest = _read_manifest(table_dir, fs)
+        if manifest is None:
+            raise ValueError("%s: no committed table here" % operation)
+        res = _resolve_entry(fs, table_dir, manifest, rekey_stats=False)
+        maps = res.get("file_fields") or {}
+        unmapped = [f for f in res["files"] if f not in maps]
+        if unmapped:
+            raise ValueError(
+                "%s: %d live file(s) predate field-map stamping and "
+                "resolve columns BY NAME — evolving the schema over "
+                "them would corrupt reads; compact() the table first "
+                "(a rewrite stamps every file)"
+                % (operation, len(unmapped))
+            )
+        st = T.StructType.fromJson(json.loads(manifest["schema"]))
+        fids, nxt = _field_ids_of(manifest)
+        retired = set(manifest.get("retired_names") or [])
+        new_st, fids, newly_retired = mutate(st, fids, retired)
+        segs, removed = _segments_of(fs, table_dir, manifest)
+        prev_nf, prev_sz = _entry_counters(fs, table_dir, manifest)
+        entry = {
+            "segments": segs,
+            "removed": removed,
+            "n_rows": int(manifest["n_rows"]),
+            "n_files": prev_nf,
+            "size_bytes": prev_sz,
+            "schema": new_st.json(),
+            "partition_by": manifest.get("partition_by") or [],
+            "operation": operation,
+            "field_ids": fids,
+            "next_field_id": nxt,
+            "schema_evolved": True,
+            "retired_names": sorted(retired | set(newly_retired)),
+            "data_change": False,
+        }
+        if manifest.get("dv"):
+            entry["dv"] = manifest["dv"]
+            entry["dv_rows"] = manifest.get("dv_rows")
+        version = int(manifest["version"]) + 1
+        _commit(fs, table_dir, manifest, version, entry, lease=lease)
+        return version
+
+
+def rename_column(
+    table_dir: str,
+    old: str,
+    new: str,
+    spark: Optional[SparkSession] = None,
+    lease_ttl_ms: int = 300_000,
+) -> int:
+    """METADATA-ONLY column rename (Iceberg-style, by field ID): the
+    commit rewrites the manifest's logical schema and nothing else —
+    no data file is touched at any table size. Readers resolve each
+    segment's files under the PHYSICAL name they were written with
+    (the field map stamped in its sidecar) and alias to the new
+    logical name; per-file stats/bloom indexes rekey the same way, so
+    ``skip={new_name: ...}`` prunes files written under the old name.
+    Appends after the rename must use the new name (strict schema
+    check); a writer racing the rename gets a ConcurrentWriteError
+    (schema changes never rebase).
+
+    Guards: the old name is retired FOREVER (re-adding it would
+    resurrect old bytes on name-resolved segments); renaming a hive
+    PARTITION column is refused (its name is baked into directory
+    paths); tables with pre-stamping segments must ``compact()``
+    first."""
+    def mutate(st, fids, retired):
+        from pyspark.sql import types as T
+
+        names = [f.name for f in st.fields]
+        if old not in names:
+            raise KeyError("rename_column: no column %r" % old)
+        if new in names:
+            raise ValueError(
+                "rename_column: column %r already exists" % new
+            )
+        if new in retired:
+            raise ValueError(
+                "rename_column: %r was dropped or renamed away earlier "
+                "— reusing the name would resurrect old bytes; pick "
+                "another" % new
+            )
+        fs_ = _fs_for(table_dir, spark)
+        man = _read_manifest(table_dir, fs_)
+        if old in (man.get("partition_by") or []):
+            raise ValueError(
+                "rename_column: %r is a hive partition column — its "
+                "name is baked into directory paths; repartition via "
+                "set_partition_layout/compact first" % old
+            )
+        new_st = T.StructType(
+            [
+                T.StructField(
+                    new if f.name == old else f.name,
+                    f.dataType,
+                    f.nullable,
+                    f.metadata,
+                )
+                for f in st.fields
+            ]
+        )
+        fids = dict(fids)
+        fids[new] = fids.pop(old)
+        return new_st, fids, {old}
+
+    return _evolve_schema(
+        table_dir, spark, lease_ttl_ms, mutate, "rename_column"
+    )
+
+
+def drop_column(
+    table_dir: str,
+    col: str,
+    spark: Optional[SparkSession] = None,
+    lease_ttl_ms: int = 300_000,
+) -> int:
+    """METADATA-ONLY column drop: the commit removes the column from
+    the logical schema; the bytes stay in the files (pruned at scan —
+    parquet never reads an unrequested column) until the next rewrite
+    physically sheds them. The name is retired forever — a later
+    schema-merge append re-introducing it is refused (it would
+    resurrect the old bytes on name-resolved segments); add the data
+    back under a new name. Dropping a hive partition column is refused
+    (use set_partition_layout). Zero data IO at any table size."""
+    def mutate(st, fids, retired):
+        from pyspark.sql import types as T
+
+        names = [f.name for f in st.fields]
+        if col not in names:
+            raise KeyError("drop_column: no column %r" % col)
+        if len(names) == 1:
+            raise ValueError("drop_column: cannot drop the last column")
+        fs_ = _fs_for(table_dir, spark)
+        man = _read_manifest(table_dir, fs_)
+        if col in (man.get("partition_by") or []):
+            raise ValueError(
+                "drop_column: %r is a hive partition column — "
+                "set_partition_layout first" % col
+            )
+        new_st = T.StructType([f for f in st.fields if f.name != col])
+        fids = {k: v for k, v in fids.items() if k != col}
+        return new_st, fids, {col}
+
+    return _evolve_schema(
+        table_dir, spark, lease_ttl_ms, mutate, "drop_column"
+    )
+
+
 def restore_table(
     table_dir: str,
     version: int,
@@ -2168,6 +2496,18 @@ def restore_table(
             )
             if src.get(k) is not None
         }
+        # the restored snapshot's SCHEMA-EVOLUTION state rides with its
+        # schema (its field ids name its columns) — set EXPLICITLY so
+        # the _commit carry can't graft the abandoned head's ids onto
+        # the restored schema; next_field_id stays table-lifetime-max
+        # so ids are never reused across divergent histories.
+        # retired_names keeps its current, widest value (carried).
+        fids, src_nxt = _field_ids_of(src)
+        entry["field_ids"] = fids
+        entry["next_field_id"] = max(
+            src_nxt, _field_ids_of(manifest)[1]
+        )
+        entry["schema_evolved"] = bool(src.get("schema_evolved", False))
         entry["restored_from"] = int(version)
         entry["operation"] = "restore"
         new_version = int(manifest["version"]) + 1
@@ -2213,7 +2553,7 @@ def clone_table(
     if src_manifest is None:
         raise ValueError("clone_table: no committed table at %s" % src_dir)
     src_v, entry = _select_snapshot(src_manifest, version, as_of_ms)
-    res = _resolve_entry(src_fs, src_dir, entry)
+    res = _resolve_entry(src_fs, src_dir, entry, rekey_stats=False)
     abs_of = {f: _ref_path(src_fs, src_dir, f) for f in res["files"]}
     fs = _fs_for(dst_dir, spark)
     fs.mkdirs(dst_dir)
@@ -2242,6 +2582,14 @@ def clone_table(
                 if f in abs_of
             },
         }
+        if res.get("file_fields"):
+            # files from MANY source segments land in ONE clone
+            # segment — per-FILE maps, not a segment-level one
+            seg_data["file_fields"] = {
+                abs_of[f]: m
+                for f, m in res["file_fields"].items()
+                if f in abs_of
+            }
         _write_seg(fs, dst_dir, seg, seg_data)
         nf = entry.get("n_files")
         if nf is None:
@@ -2263,6 +2611,14 @@ def clone_table(
                 "cloned_version": int(src_v),
             },
         }
+        # schema-evolution state forks with the snapshot: the clone's
+        # reads resolve renamed/dropped columns exactly as the source's
+        for k in (
+            "field_ids", "next_field_id", "schema_evolved",
+            "retired_names",
+        ):
+            if entry.get(k) is not None:
+                new_entry[k] = entry[k]
         src_dv = _load_dv(src_fs, src_dir, entry)
         live = set(res["files"])
         dv = {
@@ -2315,8 +2671,15 @@ def read_appends(
         fs, table_dir, manifest, int(from_version), to_v,
         ignore_deletes=ignore_deletes,
     )
+    snaps = manifest.get("snapshots", {})
+    to_entry = (
+        manifest
+        if to_v == int(manifest["version"])
+        else snaps.get(str(to_v), manifest)
+    )
     return _read_files(
-        spark, fs, table_dir, appended, schema, partitioned
+        spark, fs, table_dir, appended, schema, partitioned,
+        evo=_evo_of(to_entry, _resolve_entry(fs, table_dir, to_entry)),
     )
 
 
@@ -2643,6 +3006,8 @@ def read_changes(
         parted = bool(e.get("partition_by"))
         dv_prev = _load_dv(fs, table_dir, prev_e)
         dv_cur = _load_dv(fs, table_dir, e)
+        evo_prev = _evo_of(prev_e, _resolve_entry(fs, table_dir, prev_e))
+        evo_cur = _evo_of(e, _resolve_entry(fs, table_dir, e))
         if e.get("data_change") is False:
             pass  # pure rewrite: same rows, different files
         elif added and not dropped:
@@ -2650,7 +3015,7 @@ def read_changes(
                 _tag(
                     _read_files(
                         spark, fs, table_dir, added, e["schema"],
-                        parted, dv=dv_cur,
+                        parted, dv=dv_cur, evo=evo_cur,
                     ),
                     "insert",
                     v,
@@ -2660,10 +3025,11 @@ def read_changes(
             old_rows = _read_files(
                 spark, fs, table_dir, dropped, prev_e["schema"],
                 bool(prev_e.get("partition_by")), dv=dv_prev,
+                evo=evo_prev,
             )
             new_rows = _read_files(
                 spark, fs, table_dir, added, e["schema"], parted,
-                dv=dv_cur,
+                dv=dv_cur, evo=evo_cur,
             )
             ins, dels = _multiset_diff(old_rows, new_rows, v)
             pieces.extend([ins, dels])
@@ -2677,15 +3043,16 @@ def read_changes(
         newly = {f: ps for f, ps in newly.items() if ps}
         if newly:
             addressed = _read_files_with_pos(
-                spark, fs, table_dir, sorted(newly), e["schema"], parted
+                spark, fs, table_dir, sorted(newly), e["schema"], parted,
+                evo=evo_cur,
             )
             pos_rows = [
-                (rel.rsplit("/", 1)[-1], rel, int(p))
+                (rel.rsplit("/", 1)[-1], _ref_suffix(rel), int(p))
                 for rel, ps in newly.items()
                 for p in ps
             ]
             pdf = spark.createDataFrame(
-                pos_rows, "_b string, _rel string, _pos long"
+                pos_rows, "_b string, _sfx string, _pos long"
             )
             hit = (
                 addressed.withColumn(
@@ -2695,11 +3062,9 @@ def read_changes(
                     F.broadcast(pdf),
                     (F.col("_fb") == F.col("_b"))
                     & (F.col("_ri") == F.col("_pos"))
-                    & F.col("_fp").endswith(
-                        F.concat(F.lit("/"), F.col("_rel"))
-                    ),
+                    & F.col("_fp").endswith(F.col("_sfx")),
                 )
-                .drop("_fp", "_ri", "_fb", "_b", "_rel", "_pos")
+                .drop("_fp", "_ri", "_fb", "_b", "_sfx", "_pos")
             )
             pieces.append(_tag(hit, "delete", v))
         prev_e, prev_files = e, cur_files
@@ -3184,7 +3549,7 @@ def merge_publish_incremental(
         hits = (
             _read_files_with_pos(
                 spark, fs, table_dir, candidates, manifest["schema"],
-                bool(parts),
+                bool(parts), evo=_evo_of(manifest, res),
             )
             .join(F.broadcast(batch_keys), keys, "inner")
             .select("_fp", "_ri")
@@ -3255,6 +3620,7 @@ def _mor_commit(
                 spark, fs, table_dir, new_files, seg_data,
                 stats_cols, bloom_cols, manifest["schema"],
             )
+            _stamp_fields(seg_data, _field_ids_of(manifest)[0])
             _write_seg(fs, table_dir, seg, seg_data)
         # ---- commit phase: short lease + address-validity rebase
         prev = manifest
@@ -3431,7 +3797,7 @@ def merge_into(
     if candidates:
         tgt = _read_files_with_pos(
             spark, fs, table_dir, candidates, manifest["schema"],
-            bool(parts),
+            bool(parts), evo=_evo_of(manifest, res),
         )
         if dv0:
             # already-deleted rows never match (merge-on-read mask)
@@ -3722,7 +4088,7 @@ def delete_publish(
         dv0 = _load_dv(fs, table_dir, manifest)
         cand_df = _read_files(
             spark, fs, table_dir, candidates, manifest["schema"],
-            bool(parts),
+            bool(parts), evo=_evo_of(manifest, res),
         )
         matched_abs = [
             r[0]
@@ -3747,7 +4113,7 @@ def delete_publish(
         # its dv'd rows
         kept = _read_files(
             spark, fs, table_dir, matched, manifest["schema"],
-            bool(parts), dv=dv0,
+            bool(parts), dv=dv0, evo=_evo_of(manifest, res),
         ).where("not (%s)" % condition)
         return replace_files_publish(
             kept, table_dir, matched, lease_ttl_ms=lease_ttl_ms,
@@ -3769,7 +4135,7 @@ def delete_publish(
     res = _resolve_entry(fs, table_dir, manifest)
     cur = _read_files(
         spark, fs, table_dir, res["files"], manifest["schema"], True,
-        dv=_load_dv(fs, table_dir, manifest),
+        dv=_load_dv(fs, table_dir, manifest), evo=_evo_of(manifest, res),
     )
     pc = parts[0]
     touched = [
@@ -3819,7 +4185,7 @@ def _dv_delete(
     hits = (
         _read_files_with_pos(
             spark, fs, table_dir, candidates, manifest["schema"],
-            bool(parts),
+            bool(parts), evo=_evo_of(manifest, res),
         )
         .where(condition)
         .select("_fp", "_ri")
@@ -3962,6 +4328,14 @@ def collect_file_stats(
         manifest = _read_manifest(table_dir, fs)
         if manifest is None:
             raise ValueError("collect_file_stats: no committed table here")
+        if manifest.get("schema_evolved"):
+            raise ValueError(
+                "collect_file_stats: this table renamed/dropped columns "
+                "— backfilled stats would key logical names against "
+                "physically-named files (recorded but never matched; "
+                "silently useless). compact() first, or rely on "
+                "write-time stats_cols= (always correct)"
+            )
         if manifest.get("files") is None:
             # segmented manifest: stats live in the per-version segment
             # sidecars — update each referenced sidecar in place (an
@@ -4034,6 +4408,13 @@ def collect_file_blooms(
         manifest = _read_manifest(table_dir, fs)
         if manifest is None:
             raise ValueError("collect_file_blooms: no committed table here")
+        if manifest.get("schema_evolved"):
+            raise ValueError(
+                "collect_file_blooms: this table renamed/dropped columns "
+                "— backfilled blooms would key logical names against "
+                "physically-named files; compact() first, or rely on "
+                "write-time bloom_cols= (always correct)"
+            )
         if manifest.get("files") is not None:
             raise ValueError(
                 "collect_file_blooms needs a segmented manifest — any "
@@ -4118,6 +4499,7 @@ def replace_files_publish(
                 df.sparkSession, fs, table_dir, new_files, seg_data,
                 stats_cols, bloom_cols, prev["schema"],
             )
+            _stamp_fields(seg_data, _field_ids_of(prev)[0])
             _write_seg(fs, table_dir, seg, seg_data)
         # ---- commit phase: short lease + still-live rebase check
         lease = _Lease(fs, table_dir, ttl_ms=lease_ttl_ms).acquire_wait(
@@ -4273,14 +4655,20 @@ def optimize_table(
             )
     except ConcurrentWriteError as e:
         compacted, conflict = None, str(e)
+    # backfill indexes skip schema-EVOLVED snapshots (they key logical
+    # names; see collect_file_stats) — write-time stats_cols=/
+    # bloom_cols= stay correct, and the next full compact un-evolves
+    evolved = bool(
+        (_read_manifest(table_dir, fs) or {}).get("schema_evolved")
+    )
     n_stats = (
         collect_file_stats(table_dir, stats_cols, spark)
-        if stats_cols
+        if stats_cols and not evolved
         else 0
     )
     n_blooms = (
         collect_file_blooms(table_dir, bloom_cols, spark)
-        if bloom_cols
+        if bloom_cols and not evolved
         else 0
     )
     removed = vacuum(table_dir, keep=keep, spark=spark)

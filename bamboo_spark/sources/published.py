@@ -200,6 +200,26 @@ class _FilePartition(InputPartition):
     take_pos: Optional[tuple] = None
     change_type: Optional[str] = None
     commit_version: Optional[int] = None
+    # schema-evolved tables: ((logical, physical-or-None), ...) — the
+    # file's column resolution after renames/drops; None = identity
+    fields: Optional[tuple] = None
+
+
+def _fields_for(schema_json: str, evo: Optional[dict], rel: str):
+    """Per-file (logical, physical) resolution tuple for an EVOLVED
+    table (None when the table never evolved): physical name comes
+    from the file's stamped field map by id; a logical field whose id
+    the file doesn't know was added later — physical None = NULL (a
+    same-named physical column must never resurrect)."""
+    if not evo:
+        return None
+    fm = evo["files"].get(rel)
+    names = [f["name"] for f in json.loads(schema_json)["fields"]]
+    if fm is None:
+        return tuple((n, n) for n in names)
+    return tuple(
+        (n, fm.get(str(evo["ids"].get(n)))) for n in names
+    )
 
 
 def _partition_values(rel: str, partition_by) -> dict:
@@ -239,9 +259,13 @@ def _arrow_batches(part: _FilePartition):
     if part.change_type is not None:
         consts["_change_type"] = part.change_type
         consts["_commit_version"] = part.commit_version
+    fmap = dict(part.fields) if part.fields is not None else None
     for f in arrow_schema:
-        if f.name in tbl.column_names:
-            cols.append(tbl[f.name].cast(f.type))
+        src = f.name if fmap is None else fmap.get(f.name, f.name)
+        if fmap is not None and src is None and f.name not in consts:
+            cols.append(pa.nulls(n, f.type))  # added after this file
+        elif src is not None and src in tbl.column_names:
+            cols.append(tbl[src].cast(f.type))
         elif f.name in consts:
             scalar = pa.scalar(
                 str(consts[f.name]), type=pa.string()
@@ -344,6 +368,7 @@ class _PublishedBatchReader(DataSourceReader):
                 schema_json=p["schema"],
                 partition_by=tuple(p["partition_by"]),
                 dv_pos=tuple(dv.get(f) or ()),
+                fields=_fields_for(p["schema"], p.get("evo"), f),
             )
             for f in files
         ]
@@ -427,6 +452,13 @@ class _PublishedStreamReader(DataSourceStreamReader):
 
         fs, native, man = _driver_manifest(self._dir)
         parts = tuple(man.get("partition_by") or [])
+        if self._cdf and man.get("schema_evolved"):
+            raise NotImplementedError(
+                "bamboo_published: readChangeFeed over a schema-evolved "
+                "table is not supported through the DataSource — use "
+                "publish.read_changes (per-version schemas resolve "
+                "there)"
+            )
         if self._cdf:
             plan = _cdf_delta(
                 fs, native, man, int(start["version"]),
@@ -455,12 +487,19 @@ class _PublishedStreamReader(DataSourceStreamReader):
             int(end["version"]),
             ignore_deletes=self._ignore_deletes,
         )
+        from bamboo_spark.operators.publish import (
+            _evo_of,
+            _resolve_entry,
+        )
+
+        evo = _evo_of(man, _resolve_entry(fs, native, man))
         return [
             _FilePartition(
                 loc=_join(self._dir, f),
                 rel=f,
                 schema_json=schema_json,
                 partition_by=parts,
+                fields=_fields_for(schema_json, evo, f),
             )
             for f in files
         ]
@@ -506,6 +545,8 @@ class PublishedTableDataSource(DataSource):
 
             table_dir = self._table_dir()
             fs, native, man = _driver_manifest(table_dir)
+            from bamboo_spark.operators.publish import _evo_of
+
             res = _resolve_entry(fs, native, man)
             self._pinned = {
                 "version": int(man["version"]),
@@ -515,6 +556,7 @@ class PublishedTableDataSource(DataSource):
                 "stats": res["file_stats"],
                 "blooms": res["file_blooms"],
                 "dv": _load_dv(fs, native, man),
+                "evo": _evo_of(man, res),
             }
         return self._pinned
 

@@ -306,3 +306,186 @@ def test_merge_into_respects_prior_delete_vectors(spark, tmp_path):
     )
     got = {r.k: r.v for r in read_published(spark, d).collect()}
     assert got == {1: 111, 2: 20}  # inserted fresh, not updated
+
+
+def test_rename_column_is_metadata_only(spark, tmp_path):
+    import os
+
+    d = str(tmp_path / "t")
+    atomic_publish(_kv(spark, [(1, 10), (2, 20)]), d, stats_cols=["v"])
+    before = {
+        os.path.join(r, f)
+        for r, _, fl in os.walk(d)
+        for f in fl
+        if f.endswith(".parquet")
+    }
+    ver = P.rename_column(d, "v", "amount", spark=spark)
+    after = {
+        os.path.join(r, f)
+        for r, _, fl in os.walk(d)
+        for f in fl
+        if f.endswith(".parquet")
+    }
+    assert before == after  # zero data IO
+    out = read_published(spark, d)
+    assert out.columns == ["k", "amount"]
+    assert {r.k: r.amount for r in out.collect()} == {1: 10, 2: 20}
+    # stats rekey: pruning on the NEW name still hits files written
+    # under the old one
+    assert read_published(spark, d, skip={"amount": (1000, None)}).count() == 0
+    # time travel: the pre-rename snapshot keeps its own names
+    old = read_published(spark, d, version=ver - 1)
+    assert old.columns == ["k", "v"]
+    h = {r.version: r.operation for r in table_history(spark, d).collect()}
+    assert h[ver] == "rename_column"
+
+
+def test_rename_then_append_and_merge_use_new_name(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_kv(spark, [(1, 10)]), d)
+    P.rename_column(d, "v", "amount", spark=spark)
+    # strict append: old name refused, new name lands
+    with pytest.raises(ValueError, match="schema"):
+        append_publish(_kv(spark, [(2, 20)]), d)
+    append_publish(
+        spark.createDataFrame([(2, 20)], "k: long, amount: long"), d
+    )
+    got = {r.k: r.amount for r in read_published(spark, d).collect()}
+    assert got == {1: 10, 2: 20}
+    # predicate merge over MIXED segments (pre-rename file + post)
+    P.merge_into(
+        spark.createDataFrame([(1, 5), (3, 30)], "k: long, amount: long"),
+        d,
+        "k",
+        when_matched_update={"amount": "s.amount + t.amount"},
+        when_not_matched_insert=True,
+    )
+    got = {r.k: r.amount for r in read_published(spark, d).collect()}
+    assert got == {1: 15, 2: 20, 3: 30}
+
+
+def test_drop_column_and_resurrection_guards(spark, tmp_path):
+    d = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "k: long, v: long, tag: string"
+    )
+    atomic_publish(df, d)
+    P.drop_column(d, "tag", spark=spark)
+    out = read_published(spark, d)
+    assert out.columns == ["k", "v"]
+    # re-adding the retired name via schema-merge is refused
+    with pytest.raises(ValueError, match="dropped or renamed"):
+        append_publish(
+            spark.createDataFrame(
+                [(3, 30, "x")], "k: long, v: long, tag: string"
+            ),
+            d,
+            schema_mode="merge",
+        )
+    # renaming onto a retired name is refused too
+    with pytest.raises(ValueError, match="resurrect"):
+        P.rename_column(d, "v", "tag", spark=spark)
+    # a FRESH name works, and old files read it as null
+    append_publish(
+        spark.createDataFrame(
+            [(3, 30, "x")], "k: long, v: long, label: string"
+        ),
+        d,
+        schema_mode="merge",
+    )
+    got = {r.k: (r.v, r.label) for r in read_published(spark, d).collect()}
+    assert got == {1: (10, None), 2: (20, None), 3: (30, "x")}
+
+
+def test_rename_guards_partition_col_and_unstamped_segments(
+    spark, tmp_path
+):
+    import json as _json
+    import os
+
+    d = str(tmp_path / "t")
+    df = _rows(spark, 0, 8).withColumn("p", (F.col("k") % 2).cast("int"))
+    atomic_publish(df, d, partition_by="p")
+    with pytest.raises(ValueError, match="partition column"):
+        P.rename_column(d, "p", "bucket", spark=spark)
+    # simulate a pre-stamping segment: strip field_names from a sidecar
+    d2 = str(tmp_path / "t2")
+    atomic_publish(_kv(spark, [(1, 10)]), d2)
+    for root, _, fl in os.walk(d2):
+        for f in fl:
+            if f == "_seg.json":
+                pth = os.path.join(root, f)
+                seg = _json.load(open(pth))
+                seg.pop("field_names", None)
+                _json.dump(seg, open(pth, "w"))
+    with pytest.raises(ValueError, match="compact"):
+        P.rename_column(d2, "v", "w", spark=spark)
+    compact(spark, d2)  # rewrite stamps every file
+    P.rename_column(d2, "v", "w", spark=spark)
+    assert read_published(spark, d2).columns == ["k", "w"]
+
+
+def test_rename_with_delete_vectors_and_restore(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_kv(spark, [(1, 10), (2, 20), (3, 30)]), d)
+    delete_publish(spark, d, "v = 20", delete_vectors=True)   # v2
+    v3 = P.rename_column(d, "v", "amount", spark=spark)       # v3
+    got = {r.k: r.amount for r in read_published(spark, d).collect()}
+    assert got == {1: 10, 3: 30}
+    # restore to the pre-rename snapshot: old names, dv still applied
+    restore_table(d, v3 - 1, spark=spark)
+    out = read_published(spark, d)
+    assert out.columns == ["k", "v"]
+    assert {r.k: r.v for r in out.collect()} == {1: 10, 3: 30}
+    # evolve again after the restore — the id space stays consistent
+    P.rename_column(d, "v", "w", spark=spark)
+    assert {r.k: r.w for r in read_published(spark, d).collect()} == {
+        1: 10,
+        3: 30,
+    }
+
+
+def test_clone_of_evolved_table_reads_new_names(spark, tmp_path):
+    d = str(tmp_path / "t")
+    c = str(tmp_path / "c")
+    atomic_publish(_kv(spark, [(1, 10), (2, 20)]), d)
+    P.rename_column(d, "v", "amount", spark=spark)
+    append_publish(
+        spark.createDataFrame([(3, 30)], "k: long, amount: long"), d
+    )
+    P.clone_table(spark, d, c)
+    got = {r.k: r.amount for r in read_published(spark, c).collect()}
+    assert got == {1: 10, 2: 20, 3: 30}
+    # compact folds physical names to logical on the clone
+    compact(spark, c)
+    got = {r.k: r.amount for r in read_published(spark, c).collect()}
+    assert got == {1: 10, 2: 20, 3: 30}
+
+
+def test_datasource_reads_evolved_table(spark, tmp_path):
+    from bamboo_spark.sources.published import register
+
+    register(spark)
+    d = str(tmp_path / "t")
+    atomic_publish(_kv(spark, [(1, 10), (2, 20)]), d)
+    P.rename_column(d, "v", "amount", spark=spark)
+    append_publish(
+        spark.createDataFrame([(3, 30)], "k: long, amount: long"), d
+    )
+    got = spark.read.format("bamboo_published").load(d)
+    assert got.columns == ["k", "amount"]
+    assert {r.k: r.amount for r in got.collect()} == {1: 10, 2: 20, 3: 30}
+
+
+def test_read_appends_across_rename_delivers_new_name(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_kv(spark, [(1, 10)]), d)          # v1
+    append_publish(_kv(spark, [(2, 20)]), d)          # v2
+    P.rename_column(d, "v", "amount", spark=spark)    # v3 (no rows)
+    append_publish(
+        spark.createDataFrame([(3, 30)], "k: long, amount: long"), d
+    )                                                  # v4
+    delta = P.read_appends(spark, d, from_version=1)
+    assert delta.columns == ["k", "amount"]
+    got = {r.k: r.amount for r in delta.collect()}
+    assert got == {2: 20, 3: 30}  # the pre-rename append too, renamed
