@@ -3700,6 +3700,7 @@ def merge_into(
     when_matched_update_condition: Optional[str] = None,
     when_matched_delete_condition: Optional[str] = None,
     when_not_matched_insert=True,
+    when_not_matched_by_source_delete=None,
     lease_ttl_ms: int = 300_000,
     stats_cols=None,
     bloom_cols=None,
@@ -3723,6 +3724,17 @@ def merge_into(
     condition). Conditions and update expressions reference the source
     row as ``s.<col>`` and the target row as ``t.<col>``
     (``"s.v > t.v"``).
+
+    ``when_not_matched_by_source_delete`` (``None``/``True``/SQL over
+    ``t.``) is Delta's full-sync clause: target rows whose key appears
+    NOWHERE in the source are deleted when the condition holds —
+    ``merge_into(src, dir, k, when_matched_update=..., when_not_
+    matched_insert=True, when_not_matched_by_source_delete=True)``
+    makes the table exactly mirror the source. Cost note: this clause
+    must SCAN every live file (a row's absence from the source can't
+    be bloom-pruned), and its fired rows delete by vector — a sync
+    expected to delete most of the table is cheaper as a fresh
+    ``atomic_publish``.
 
     Semantics follow Delta MERGE: it is an ERROR for one target row to
     match more than one source row (nondeterministic update) — checked
@@ -3778,8 +3790,11 @@ def merge_into(
     # ---- match scan (no lease): candidate files by bloom/stats
     res = _resolve_entry(fs, table_dir, manifest)
     dv0 = _load_dv(fs, table_dir, manifest)
+    nmbs = when_not_matched_by_source_delete
     candidates = list(res["files"])
-    if len(keys) == 1 and res["file_blooms"]:
+    if nmbs is None and len(keys) == 1 and res["file_blooms"]:
+        # bloom-prune the probe to files that may hold source keys —
+        # valid only while no clause targets rows ABSENT from the source
         key_vals = [r[0] for r in src_keys.collect()]
         if len(key_vals) * len(candidates) <= 2_000_000:
             col = keys[0]
@@ -3794,6 +3809,7 @@ def merge_into(
     update_cond = when_matched_update_condition or "true"
     fired_m = None  # matched rows where any clause fires, with address
     matched_keys = None
+    tgt = None
     if candidates:
         tgt = _read_files_with_pos(
             spark, fs, table_dir, candidates, manifest["schema"],
@@ -3848,6 +3864,16 @@ def merge_into(
         ).distinct()
     # addresses of every fired matched row (deleted OR updated)
     new_pos: dict = {}
+    if nmbs is not None and nmbs is not False and tgt is not None:
+        unmatched = tgt.alias("t").join(
+            F.broadcast(src_keys), keys, "left_anti"
+        )
+        if isinstance(nmbs, str):
+            unmatched = unmatched.where(F.expr(nmbs))
+        for r in unmatched.select("_fp", "_ri").collect():
+            rel = _rel_of(r["_fp"], candidates)
+            if rel is not None:
+                new_pos.setdefault(rel, set()).add(int(r["_ri"]))
     if fired_m is not None:
         hits = fired_m.select(
             F.col("t._fp").alias("_fp"), F.col("t._ri").alias("_ri")

@@ -232,3 +232,84 @@ def test_clone_ledger_diverges_independently(spark, tmp_path):
     got_c = {r.k: r.v for r in read_published(spark, cln).collect()}
     assert got_s == s_state
     assert got_c == c_state
+
+
+@pytest.mark.parametrize("seed", [5, 77])
+def test_random_walk_with_renames_ledger_exact(spark, tmp_path, seed):
+    """Schema evolution under churn: the merge_into walk with RANDOM
+    column renames interleaved (the value column flips names
+    mid-history). Merges, appends, compactions, dv deletes, and reads
+    must all keep resolving — by field id — across every mix of
+    pre/post-rename segments; the plain-Python ledger stays keyed by k
+    so any resolution drift (nulled column, resurrected bytes, stale
+    alias) breaks the dict compare."""
+    from bamboo_spark.operators.publish import (
+        merge_into,
+        read_published,
+        rename_column,
+    )
+
+    rng = random.Random(seed)
+    t = str(tmp_path / "tbl")
+    names = ["v", "w", "amount"]
+    vc = "v"  # current logical name of the value column
+
+    def kv_df(pairs, col):
+        return spark.createDataFrame(list(pairs), "k: long, %s: long" % col)
+
+    state = {k: k * 10 for k in range(8)}
+    atomic_publish(kv_df(state.items(), vc), t)
+
+    def check(tag):
+        out = read_published(spark, t)
+        assert out.columns == ["k", vc], (tag, out.columns)
+        got = {r.k: r[vc] for r in out.collect()}
+        assert got == state, (tag, got, state)
+
+    for step in range(12):
+        roll = rng.random()
+        if roll < 0.25:
+            nxt_name = rng.choice([n for n in names if n != vc])
+            try:
+                rename_column(t, vc, nxt_name, spark=spark)
+            except ValueError:
+                continue  # name retired earlier in this walk: refused
+            vc = nxt_name
+        elif roll < 0.45:
+            rows = {k: rng.randrange(1000) for k in
+                    (rng.randrange(100, 200),) if k not in state}
+            if not rows:
+                continue
+            append_publish(kv_df(rows.items(), vc), t)
+            state.update(rows)
+        elif roll < 0.6:
+            compact(spark, t)
+        elif roll < 0.75:
+            live = sorted(state)
+            if not live:
+                continue
+            k = rng.choice(live)
+            delete_publish(spark, t, "k = %d" % k, delete_vectors=True)
+            del state[k]
+        else:
+            src = {rng.randrange(0, 24): rng.randrange(100)
+                   for _ in range(rng.randint(1, 4))}
+            merge_into(
+                kv_df(src.items(), vc),
+                t,
+                "k",
+                when_matched_update={vc: "s.%s + t.%s" % (vc, vc)},
+                when_matched_delete_condition="s.%s < 5" % vc,
+                when_not_matched_insert=True,
+            )
+            for k, v in src.items():
+                if k in state:
+                    if v < 5:
+                        del state[k]
+                    else:
+                        state[k] = v + state[k]
+                else:
+                    state[k] = v
+        check("step %d" % step)
+    compact(spark, t)
+    check("final compact")

@@ -489,3 +489,49 @@ def test_read_appends_across_rename_delivers_new_name(spark, tmp_path):
     assert delta.columns == ["k", "amount"]
     got = {r.k: r.amount for r in delta.collect()}
     assert got == {2: 20, 3: 30}  # the pre-rename append too, renamed
+
+
+def test_merge_into_not_matched_by_source_delete_full_sync(
+    spark, tmp_path
+):
+    d = str(tmp_path / "t")
+    atomic_publish(_kv(spark, [(1, 10), (2, 20), (3, 30), (4, 40)]), d)
+    # full mirror: source becomes the table exactly, in ONE commit
+    P.merge_into(
+        _kv(spark, [(2, 99), (5, 50)]),
+        d,
+        "k",
+        when_matched_update={"v": "s.v"},
+        when_not_matched_insert=True,
+        when_not_matched_by_source_delete=True,
+    )
+    got = {r.k: r.v for r in read_published(spark, d).collect()}
+    assert got == {2: 99, 5: 50}
+
+
+def test_merge_into_not_matched_by_source_delete_conditional(
+    spark, tmp_path
+):
+    d = str(tmp_path / "t")
+    atomic_publish(_kv(spark, [(1, 10), (2, 20), (3, 30)]), d)
+    # prune-only-small rows absent from the source; keep the rest
+    P.merge_into(
+        _kv(spark, [(3, 33)]),
+        d,
+        "k",
+        when_matched_update={"v": "s.v"},
+        when_not_matched_insert=False,
+        when_not_matched_by_source_delete="t.v < 15",
+    )
+    got = {r.k: r.v for r in read_published(spark, d).collect()}
+    assert got == {2: 20, 3: 33}  # k=1 (v=10) pruned; k=2 kept
+    # the deletes are delete-vectors: no data file was rewritten
+    import os
+
+    n_parquet = sum(
+        1
+        for r, _, fl in os.walk(d)
+        for f in fl
+        if f.endswith(".parquet")
+    )
+    assert n_parquet >= 1
