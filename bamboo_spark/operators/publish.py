@@ -3380,6 +3380,35 @@ def compact(
         )
 
 
+def _prune_key_candidates(res: dict, candidates, col: str, key_vals):
+    """Probe-scan pruning for a single-column key batch: drop files
+    whose recorded min/max RANGE excludes every batch key (wins big on
+    monotone keys — time/sequence-keyed tables localize a batch to a
+    few recent files), then files whose equality BLOOM proves every
+    batch key absent. Conservative by construction: no index, no
+    prune."""
+    stats = res.get("file_stats") or {}
+    kept = []
+    for f in candidates:
+        mm = (stats.get(f) or {}).get(col)
+        if mm is None:
+            kept.append(f)
+            continue
+        mn, mx = mm
+        try:
+            if any(mn <= v <= mx for v in key_vals):
+                kept.append(f)
+        except TypeError:
+            kept.append(f)  # incomparable stats: stay conservative
+    if res.get("file_blooms"):
+        kept = [
+            f
+            for f in kept
+            if any(_prune_eq(res, [f], {col: v}) for v in key_vals)
+        ]
+    return kept
+
+
 def merge_publish(
     changes: DataFrame,
     table_dir: str,
@@ -3533,17 +3562,12 @@ def merge_publish_incremental(
     res = _resolve_entry(fs, table_dir, manifest)
     dv0 = _load_dv(fs, table_dir, manifest)
     candidates = list(res["files"])
-    if len(keys) == 1 and res["file_blooms"]:
+    if len(keys) == 1 and (res["file_blooms"] or res["file_stats"]):
         key_vals = [r[0] for r in batch_keys.collect()]
-        if len(key_vals) * len(candidates) <= 2_000_000:
-            col = keys[0]
-            candidates = [
-                f
-                for f in candidates
-                if any(
-                    _prune_eq(res, [f], {col: v}) for v in key_vals
-                )
-            ]
+        if key_vals and len(key_vals) * len(candidates) <= 2_000_000:
+            candidates = _prune_key_candidates(
+                res, candidates, keys[0], key_vals
+            )
     hits = []
     if candidates:
         hits = (
@@ -3792,19 +3816,17 @@ def merge_into(
     dv0 = _load_dv(fs, table_dir, manifest)
     nmbs = when_not_matched_by_source_delete
     candidates = list(res["files"])
-    if nmbs is None and len(keys) == 1 and res["file_blooms"]:
-        # bloom-prune the probe to files that may hold source keys —
-        # valid only while no clause targets rows ABSENT from the source
+    if nmbs is None and len(keys) == 1 and (
+        res["file_blooms"] or res["file_stats"]
+    ):
+        # range+bloom-prune the probe to files that may hold source
+        # keys — valid only while no clause targets rows ABSENT from
+        # the source
         key_vals = [r[0] for r in src_keys.collect()]
-        if len(key_vals) * len(candidates) <= 2_000_000:
-            col = keys[0]
-            candidates = [
-                f
-                for f in candidates
-                if any(
-                    _prune_eq(res, [f], {col: v}) for v in key_vals
-                )
-            ]
+        if key_vals and len(key_vals) * len(candidates) <= 2_000_000:
+            candidates = _prune_key_candidates(
+                res, candidates, keys[0], key_vals
+            )
     delete_cond = when_matched_delete_condition
     update_cond = when_matched_update_condition or "true"
     fired_m = None  # matched rows where any clause fires, with address
