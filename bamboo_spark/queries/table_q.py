@@ -144,3 +144,78 @@ final as (
 )
 select k, v from final order by k
 """
+
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-EVOLUTION differential: the metadata-only rename/drop
+    surface driven end-to-end and checked value-exactly against SQL:
+
+    1. publish the ``k % 10 = 1`` slice of orders as (k, v, tag);
+    2. ``drop_column('tag')`` — metadata-only, bytes stay until rewrite;
+    3. ``rename_column('v', 'amount')`` — files keep their physical
+       names, readers resolve by field id;
+    4. append rows (``k % 10 = 7``) under the NEW name — the snapshot
+       now mixes physically-'v' and physically-'amount' files;
+    5. ``merge_into`` over the mixed snapshot (update doubles matched
+       ``k % 20 = 1`` rows; inserts ``k % 10 = 9`` when even);
+    6. return the final state — the oracle computes it with the final
+       names straight from orders, so any drift in id resolution,
+       stats rekeying, or the mixed-segment scan flips the hash.
+
+    Scale: steps 2-3 are one manifest swap each at any table size; the
+    merge probe is range+bloom-prunable; the only data-sized work is
+    the slice publishes themselves."""
+    from bamboo_spark.operators import publish as P
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias("v"),
+        F.col("o_orderstatus").alias("tag"),
+    )
+    root = tempfile.mkdtemp(prefix="bamboo_schema_evo_")
+    t = root + "/t"
+    P.atomic_publish(o.where("k % 10 = 1"), t, stats_cols=["k"])
+    P.drop_column(t, "tag", spark=spark)
+    P.rename_column(t, "v", "amount", spark=spark)
+    P.append_publish(
+        o.where("k % 10 = 7").select(
+            "k", F.col("v").alias("amount")
+        ),
+        t,
+        stats_cols=["k"],
+    )
+    P.merge_into(
+        o.where("k % 20 = 1")
+        .select("k", F.col("v").alias("amount"))
+        .unionByName(
+            o.where("k % 10 = 9").select(
+                "k", F.col("v").alias("amount")
+            )
+        ),
+        t,
+        "k",
+        when_matched_update={"amount": "t.amount + s.amount"},
+        when_not_matched_insert="s.amount % 2 = 0",
+    )
+    return P.read_published(spark, t).orderBy("k")
+
+
+Q_SCHEMA_EVOLUTION_SQL = """
+with o as (
+  select o_orderkey::BIGINT k,
+         cast(round(o_totalprice * 100, 0) as BIGINT) v
+  from orders
+),
+base as (select k, v from o where k % 10 = 1
+         union all
+         select k, v from o where k % 10 = 7),
+merged as (
+  select b.k,
+         case when b.k % 20 = 1 then b.v + b.v else b.v end as amount
+  from base b
+  union all
+  select k, v as amount from o
+   where k % 10 = 9 and v % 2 = 0
+)
+select k, amount from merged order by k
+"""
