@@ -3790,9 +3790,18 @@ def merge_into(
             )
     manifest = _read_manifest(table_dir, fs)
     if manifest is None:
-        raise ValueError(
-            "merge_into: no committed table at %s (seed it with "
-            "atomic_publish/append_publish first)" % table_dir
+        # empty table: every source row is NOT MATCHED — the statement
+        # reduces to the conditional insert (streaming merge sinks hit
+        # this on their first micro-batch)
+        ins = source
+        if isinstance(when_not_matched_insert, str):
+            ins = ins.alias("s").where(F.expr(when_not_matched_insert))
+        elif when_not_matched_insert is False:
+            ins = ins.limit(0)
+        return atomic_publish(
+            ins, table_dir, lease_ttl_ms=lease_ttl_ms, meta=meta,
+            stats_cols=stats_cols, bloom_cols=bloom_cols,
+            operation="merge",
         )
     parts = manifest.get("partition_by") or []
     new_sig = [

@@ -2077,6 +2077,7 @@ def publish_stream(
     key_cols=None,
     version_cols=None,
     op_col=None,
+    merge_args: dict = None,
 ):
     """Continuous EXACTLY-ONCE ingest into a published table — the raw
     landing-zone sink: every micro-batch commits through the snapshot
@@ -2106,6 +2107,13 @@ def publish_stream(
     O(batch), with ``compact()`` folding the vectors on a schedule.
     The same batch-id high-water mark makes replays exact no-ops.
 
+    ``mode='merge_into'`` is the PREDICATE-merge sink: each batch runs
+    :func:`~bamboo_spark.operators.publish.merge_into` with
+    ``merge_args`` (the when-matched/not-matched clauses, verbatim) —
+    conditional upserts and guarded deletes as continuous ingest, one
+    merge-on-read commit per batch, the first batch seeding the table
+    through the insert clause. Same exactly-once high-water mark.
+
     ``stats_cols``/``bloom_cols`` record per-file min/max and equality
     blooms DURING each batch's commit (distributed jobs over the batch
     only), so the landing table is range- and point-skippable from its
@@ -2114,16 +2122,20 @@ def publish_stream(
     from bamboo_spark.operators.publish import (
         append_publish,
         atomic_publish,
+        merge_into,
         merge_publish_incremental,
         table_meta,
     )
 
-    if mode not in ("append", "snapshot", "merge"):
+    if mode not in ("append", "snapshot", "merge", "merge_into"):
         raise ValueError(
-            "publish_stream: mode must be append|snapshot|merge"
+            "publish_stream: mode must be append|snapshot|merge|"
+            "merge_into"
         )
-    if mode == "merge" and not key_cols:
-        raise ValueError("publish_stream(mode='merge') needs key_cols")
+    if mode in ("merge", "merge_into") and not key_cols:
+        raise ValueError(
+            "publish_stream(mode=%r) needs key_cols" % mode
+        )
     spark = sdf.sparkSession
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -2133,7 +2145,13 @@ def publish_stream(
         if hwm is not None and int(batch_id) <= int(hwm):
             return  # replayed batch: already committed
         meta = {"last_bid": int(batch_id)}
-        if mode == "merge":
+        if mode == "merge_into":
+            merge_into(
+                batch_df, table_dir, key_cols=key_cols, meta=meta,
+                stats_cols=stats_cols, bloom_cols=bloom_cols,
+                **(merge_args or {}),
+            )
+        elif mode == "merge":
             merge_publish_incremental(
                 batch_df, table_dir, key_cols=key_cols,
                 version_cols=version_cols, op_col=op_col, meta=meta,

@@ -577,3 +577,58 @@ def test_merge_probe_prunes_by_stats_range(spark, tmp_path):
     got = {r.k: r.v for r in read_published(spark, d)
            .where("k in (160, 170)").collect()}
     assert got == {160: 161, 170: 171}
+
+
+def test_publish_stream_merge_into_mode(spark, tmp_path):
+    """Continuous PREDICATE merge: a bamboo_published stream feeds
+    publish_stream(mode='merge_into') — per batch one merge-on-read
+    commit applying conditional update / guarded delete / insert-if;
+    the first batch seeds the table through the insert clause;
+    exactly-once via the batch-id HWM."""
+    from bamboo_spark.sources.published import register
+    from bamboo_spark.streaming.core import publish_stream
+
+    register(spark)
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    atomic_publish(_kv(spark, [(1, 10), (2, 3)]), bronze)
+    sdf = (
+        spark.readStream.format("bamboo_published")
+        .option("startingVersion", "0")
+        .load(bronze)
+    )
+    q = (
+        publish_stream(
+            sdf,
+            silver,
+            mode="merge_into",
+            key_cols="k",
+            merge_args={
+                "when_matched_update": {"v": "s.v + t.v"},
+                "when_matched_delete_condition": "s.v < 0",
+                "when_not_matched_insert": "s.v >= 10",
+            },
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.k: r.v for r in read_published(spark, silver).collect()}
+        assert got == {1: 10}  # (2, 3) filtered by the insert guard
+        append_publish(_kv(spark, [(1, 5), (4, 40)]), bronze)
+        q.processAllAvailable()
+        got = {r.k: r.v for r in read_published(spark, silver).collect()}
+        assert got == {1: 15, 4: 40}  # update fired, insert guarded in
+        append_publish(_kv(spark, [(1, -1)]), bronze)
+        q.processAllAvailable()
+        got = {r.k: r.v for r in read_published(spark, silver).collect()}
+        assert got == {4: 40}  # guarded delete fired
+        ops = [
+            r.operation
+            for r in table_history(spark, silver).collect()
+        ]
+        assert set(ops) == {"merge"}
+    finally:
+        q.stop()
