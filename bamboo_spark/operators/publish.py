@@ -672,6 +672,44 @@ def _json_stat(v):
     return v
 
 
+def _constraint_aggs(prev: Optional[dict]):
+    """``(names, exprs, aggregate columns)`` for write-time CHECK
+    enforcement: one violation counter per table constraint, attached
+    to the SAME ``observe`` that already counts the batch's rows — the
+    check rides the write job, zero extra scans at any batch size.
+    SQL CHECK semantics: a row violates only when the expression is
+    FALSE (NULL/unknown passes)."""
+    from pyspark.sql import functions as F
+
+    cons = (prev or {}).get("constraints") or {}
+    names = sorted(cons)
+    aggs = []
+    for i, name in enumerate(names):
+        viol = ~F.coalesce(
+            F.expr(cons[name]).cast("boolean"), F.lit(True)
+        )
+        aggs.append(
+            F.sum(F.when(viol, 1).otherwise(0))
+            .cast("long")
+            .alias("_c%d" % i)
+        )
+    return names, cons, aggs
+
+
+def _enforce_constraints(obs_row, names, cons, who: str) -> None:
+    """Raise BEFORE the commit when any violation counter is nonzero —
+    the staged files become vacuum garbage, the table never sees the
+    bad rows."""
+    for i, name in enumerate(names):
+        bad = int(obs_row.get("_c%d" % i) or 0)
+        if bad:
+            raise ValueError(
+                "%s: CHECK constraint %r (%s) violated by %d row(s) — "
+                "nothing committed (staged files are vacuum garbage)"
+                % (who, name, cons[name], bad)
+            )
+
+
 def _field_ids_of(entry: dict):
     """``({name: id}, next_id)`` for a snapshot entry — the Iceberg
     field-ID device behind metadata-only rename/drop: a column's ID is
@@ -1126,13 +1164,17 @@ def atomic_publish(
         seg = _claim_vdir(fs, table_dir, _next_version(fs, table_dir, prev))
         vdir = fs.join(table_dir, seg)
         obs = Observation()
-        writer = df.observe(obs, F.count(F.lit(1)).alias("n")).write
+        cnames, cmap, caggs = _constraint_aggs(prev)
+        writer = df.observe(
+            obs, F.count(F.lit(1)).alias("n"), *caggs
+        ).write
         parts = (
             [partition_by] if isinstance(partition_by, str) else list(partition_by)
         ) if partition_by else []
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(vdir)
+        _enforce_constraints(obs.get, cnames, cmap, "atomic_publish")
         n_rows = int(obs.get["n"])
         files, file_sizes = _scan_written(fs, vdir, seg)
         seg_data = {"files": files, "file_sizes": file_sizes}
@@ -1320,7 +1362,8 @@ def _commit(
     # explicitly set its own (rename/drop commits, and full overwrites
     # which reset it — a rewrite leaves nothing to resurrect)
     for k in (
-        "field_ids", "next_field_id", "schema_evolved", "retired_names"
+        "field_ids", "next_field_id", "schema_evolved", "retired_names",
+        "constraints",
     ):
         if entry.get(k) is None and prev and prev.get(k) is not None:
             entry[k] = prev[k]
@@ -1469,10 +1512,14 @@ def append_publish(
     try:
         vdir = fs.join(table_dir, seg)
         obs = Observation()
-        writer = df.observe(obs, F.count(F.lit(1)).alias("n")).write
+        cnames, cmap, caggs = _constraint_aggs(prev)
+        writer = df.observe(
+            obs, F.count(F.lit(1)).alias("n"), *caggs
+        ).write
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(vdir)
+        _enforce_constraints(obs.get, cnames, cmap, "append_publish")
         new_files, new_sizes = _scan_written(fs, vdir, seg)
         # O(delta) commit: carried files stay inside their segment
         # sidecars BY REFERENCE — the commit writes ONE new sidecar
@@ -1702,10 +1749,14 @@ def replace_partitions_publish(
     try:
         vdir = fs.join(table_dir, seg)
         obs = Observation()
+        cnames, cmap, caggs = _constraint_aggs(prev)
         (
-            df.observe(obs, F.count(F.lit(1)).alias("n"))
+            df.observe(obs, F.count(F.lit(1)).alias("n"), *caggs)
             .write.partitionBy(*parts)
             .parquet(vdir)
+        )
+        _enforce_constraints(
+            obs.get, cnames, cmap, "replace_partitions_publish"
         )
         new_files, new_sizes = _scan_written(fs, vdir, seg)
         if new_files:
@@ -2332,6 +2383,20 @@ def _evolve_schema(
         fids, nxt = _field_ids_of(manifest)
         retired = set(manifest.get("retired_names") or [])
         new_st, fids, newly_retired = mutate(st, fids, retired)
+        import re as _re
+
+        for cname, cexpr in (manifest.get("constraints") or {}).items():
+            hit = [
+                r
+                for r in newly_retired
+                if _re.search(r"\b%s\b" % _re.escape(r), cexpr)
+            ]
+            if hit:
+                raise ValueError(
+                    "%s: column(s) %s are referenced by CHECK "
+                    "constraint %r (%s) — drop the constraint first"
+                    % (operation, hit, cname, cexpr)
+                )
         segs, removed = _segments_of(fs, table_dir, manifest)
         prev_nf, prev_sz = _entry_counters(fs, table_dir, manifest)
         entry = {
@@ -2459,6 +2524,120 @@ def drop_column(
 
     return _evolve_schema(
         table_dir, spark, lease_ttl_ms, mutate, "drop_column"
+    )
+
+
+def _metadata_commit(
+    table_dir: str, spark, lease_ttl_ms: int, operation: str, extra: dict
+) -> int:
+    """Commit a PURE-METADATA snapshot: every segment carried by
+    reference, counters unchanged, ``extra`` merged into the entry."""
+    fs = _fs_for(table_dir, spark)
+    with _Lease(fs, table_dir, ttl_ms=lease_ttl_ms) as lease:
+        manifest = _read_manifest(table_dir, fs)
+        if manifest is None:
+            raise ValueError("%s: no committed table here" % operation)
+        segs, removed = _segments_of(fs, table_dir, manifest)
+        prev_nf, prev_sz = _entry_counters(fs, table_dir, manifest)
+        entry = {
+            "segments": segs,
+            "removed": removed,
+            "n_rows": int(manifest["n_rows"]),
+            "n_files": prev_nf,
+            "size_bytes": prev_sz,
+            "schema": manifest["schema"],
+            "partition_by": manifest.get("partition_by") or [],
+            "operation": operation,
+            "data_change": False,
+            **extra,
+        }
+        if manifest.get("dv"):
+            entry["dv"] = manifest["dv"]
+            entry["dv_rows"] = manifest.get("dv_rows")
+        version = int(manifest["version"]) + 1
+        _commit(fs, table_dir, manifest, version, entry, lease=lease)
+        return version
+
+
+def add_constraint(
+    table_dir: str,
+    name: str,
+    expr_sql: str,
+    spark: Optional[SparkSession] = None,
+    validate: bool = True,
+    lease_ttl_ms: int = 300_000,
+) -> int:
+    """Add a CHECK constraint (Delta parity): from this commit on,
+    EVERY publish flavor — overwrite, append, partition/file replace,
+    CDC merge, predicate merge, streaming sinks — counts violations of
+    ``expr_sql`` inside the write job it already runs (zero extra
+    scans; SQL CHECK semantics, NULL passes) and REFUSES to commit a
+    batch containing a violating row. ``validate=True`` (default) first
+    proves the EXISTING table satisfies the constraint (one scan);
+    ``validate=False`` skips that scan but still analysis-checks the
+    expression against the schema. Renaming or dropping a column an
+    active constraint references is refused — drop the constraint
+    first."""
+    from pyspark.sql import functions as F, types as T
+
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    fs = _fs_for(table_dir, spark)
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        raise ValueError("add_constraint: no committed table here")
+    cons = dict(manifest.get("constraints") or {})
+    if name in cons:
+        raise ValueError(
+            "add_constraint: constraint %r already exists (%s)"
+            % (name, cons[name])
+        )
+    # analysis-check the expression against the table schema (raises
+    # on unknown columns / bad syntax) — always, even validate=False
+    schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+    spark.createDataFrame([], schema).where(F.expr(expr_sql)).count()
+    if validate:
+        bad = (
+            read_published(spark, table_dir)
+            .where(
+                ~F.coalesce(
+                    F.expr(expr_sql).cast("boolean"), F.lit(True)
+                )
+            )
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                "add_constraint: existing rows violate %r (%s) — fix "
+                "the data first or add with validate=False at your own "
+                "risk" % (name, expr_sql)
+            )
+    cons[name] = expr_sql
+    return _metadata_commit(
+        table_dir, spark, lease_ttl_ms, "add_constraint",
+        {"constraints": cons},
+    )
+
+
+def drop_constraint(
+    table_dir: str,
+    name: str,
+    spark: Optional[SparkSession] = None,
+    lease_ttl_ms: int = 300_000,
+) -> int:
+    """Remove a CHECK constraint — pure metadata commit."""
+    fs = _fs_for(table_dir, spark)
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        raise ValueError("drop_constraint: no committed table here")
+    cons = dict(manifest.get("constraints") or {})
+    if name not in cons:
+        raise KeyError("drop_constraint: no constraint %r" % name)
+    cons.pop(name)
+    return _metadata_commit(
+        table_dir, spark, lease_ttl_ms, "drop_constraint",
+        {"constraints": cons},
     )
 
 
@@ -2615,7 +2794,7 @@ def clone_table(
         # reads resolve renamed/dropped columns exactly as the source's
         for k in (
             "field_ids", "next_field_id", "schema_evolved",
-            "retired_names",
+            "retired_names", "constraints",
         ):
             if entry.get(k) is not None:
                 new_entry[k] = entry[k]
@@ -3622,10 +3801,14 @@ def _mor_commit(
     try:
         vdir = fs.join(table_dir, seg)
         obs = Observation()
-        writer = out_df.observe(obs, F.count(F.lit(1)).alias("n")).write
+        cnames, cmap, caggs = _constraint_aggs(manifest)
+        writer = out_df.observe(
+            obs, F.count(F.lit(1)).alias("n"), *caggs
+        ).write
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(vdir)
+        _enforce_constraints(obs.get, cnames, cmap, who)
         new_files, new_sizes = _scan_written(fs, vdir, seg)
         n_new = int(obs.get["n"])
         if n_new == 0:
@@ -4545,10 +4728,16 @@ def replace_files_publish(
     try:
         vdir = fs.join(table_dir, seg)
         obs = Observation()
-        writer = df.observe(obs, F.count(F.lit(1)).alias("n")).write
+        cnames, cmap, caggs = _constraint_aggs(prev)
+        writer = df.observe(
+            obs, F.count(F.lit(1)).alias("n"), *caggs
+        ).write
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(vdir)
+        _enforce_constraints(
+            obs.get, cnames, cmap, "replace_files_publish"
+        )
         new_files, new_sizes = _scan_written(fs, vdir, seg)
         if new_files:
             seg_data = {"files": new_files, "file_sizes": new_sizes}

@@ -632,3 +632,83 @@ def test_publish_stream_merge_into_mode(spark, tmp_path):
         assert set(ops) == {"merge"}
     finally:
         q.stop()
+
+
+def test_check_constraints_enforced_on_every_flavor(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_kv(spark, [(1, 10), (2, 20)]), d)
+    P.add_constraint(d, "v_positive", "v > 0", spark=spark)
+    # violating append refused, nothing committed
+    from bamboo_spark.operators.publish import current_version
+
+    v0 = current_version(d, spark=spark)
+    with pytest.raises(ValueError, match="v_positive"):
+        append_publish(_kv(spark, [(3, -1)]), d)
+    assert current_version(d, spark=spark) == v0
+    assert read_published(spark, d).count() == 2
+    # clean append lands
+    append_publish(_kv(spark, [(3, 30)]), d)
+    # merge_into whose UPDATED row violates is refused atomically
+    with pytest.raises(ValueError, match="v_positive"):
+        P.merge_into(
+            _kv(spark, [(1, 100)]),
+            d,
+            "k",
+            when_matched_update={"v": "t.v - s.v"},  # 10-100 < 0
+            when_not_matched_insert=False,
+        )
+    assert {r.k: r.v for r in read_published(spark, d).collect()} == {
+        1: 10,
+        2: 20,
+        3: 30,
+    }
+    # overwrite is checked too
+    with pytest.raises(ValueError, match="v_positive"):
+        atomic_publish(_kv(spark, [(9, 0)]), d)
+    # null passes (SQL CHECK semantics)
+    append_publish(
+        spark.createDataFrame([(4, None)], "k: long, v: long"), d
+    )
+    # history labels + constraint survives compact and clone
+    compact(spark, d)
+    with pytest.raises(ValueError, match="v_positive"):
+        append_publish(_kv(spark, [(5, -5)]), d)
+    c = str(tmp_path / "c")
+    P.clone_table(spark, d, c)
+    with pytest.raises(ValueError, match="v_positive"):
+        append_publish(_kv(spark, [(5, -5)]), c)
+    ops = {
+        r.version: r.operation for r in table_history(spark, d).collect()
+    }
+    assert "add_constraint" in ops.values()
+
+
+def test_add_constraint_validates_existing_and_drop(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_kv(spark, [(1, 10), (2, -2)]), d)
+    with pytest.raises(ValueError, match="existing rows violate"):
+        P.add_constraint(d, "v_pos", "v > 0", spark=spark)
+    # bad expression is an analysis error even with validate=False
+    with pytest.raises(Exception):
+        P.add_constraint(
+            d, "bad", "no_such_col > 0", spark=spark, validate=False
+        )
+    P.add_constraint(d, "v_pos", "v > 0", spark=spark, validate=False)
+    with pytest.raises(ValueError, match="v_pos"):
+        append_publish(_kv(spark, [(3, -3)]), d)
+    P.drop_constraint(d, "v_pos", spark=spark)
+    append_publish(_kv(spark, [(3, -3)]), d)  # gone: lands
+    assert read_published(spark, d).count() == 3
+
+
+def test_constraint_blocks_rename_of_referenced_column(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_kv(spark, [(1, 10)]), d)
+    P.add_constraint(d, "v_pos", "v > 0", spark=spark)
+    with pytest.raises(ValueError, match="drop the constraint first"):
+        P.rename_column(d, "v", "amount", spark=spark)
+    with pytest.raises(ValueError, match="drop the constraint first"):
+        P.drop_column(d, "v", spark=spark)
+    P.drop_constraint(d, "v_pos", spark=spark)
+    P.rename_column(d, "v", "amount", spark=spark)
+    assert read_published(spark, d).columns == ["k", "amount"]
