@@ -1423,3 +1423,149 @@ select shard, n_docs, text_bytes,
         - 1000)::BIGINT dev_permille
 from grid order by shard
 """.format(n=n_shards)
+
+
+def q_mixture_plan(
+    spark: SparkSession, sf_dir: str, budget_permille: int = 500
+) -> DataFrame:
+    """DATA-MIXTURE allocation plan — the static mixing step of a
+    training pipeline (the temperature-sampling rule of multilingual
+    pretraining + Hamilton's largest-remainder apportionment): per
+    source, available whitespace tokens; a target share ∝
+    sqrt(available) (τ=2 temperature — boosts low-resource sources);
+    and the EXACT integer token quota for a budget of
+    ``budget_permille``/1000 of the corpus, apportioned by largest
+    remainder so quotas sum to the budget exactly. Emits the
+    actionable numbers: quota, capped flag (quota exceeds
+    availability — iterate externally), and per-source sampling rate
+    in ppm.
+
+    Determinism contract: sqrt is IEEE-correctly-rounded (identical in
+    both engines) and is quantized to integer micro-units BEFORE any
+    sum, so every downstream quantity — shares, floors, remainders,
+    ranks, quotas — is exact integer math; remainder ties break on
+    source name.
+
+    Scale: one map-combined token-count aggregate is the only
+    data-sized shuffle; the apportionment runs on the per-source grid
+    (sources, not rows). The ``// W`` floor and ``% W`` remainder stay
+    in decimal(38) — token budgets × weight units overflow int64 at
+    corpus scale."""
+    d = load(spark, sf_dir, "documents").select("source", "text")
+    avail = (
+        d.select(
+            "source",
+            F.size(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).cast("long").alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("bigint").alias("avail"))
+    )
+    tot = avail.agg(F.sum("avail").cast("decimal(38,0)").alias("_tot"))
+    w = avail.select(
+        "source",
+        "avail",
+        F.round(F.sqrt(F.col("avail").cast("double")) * 1e6, 0)
+        .cast("decimal(38,0)")
+        .alias("wu"),
+    )
+    wsum = w.agg(F.sum("wu").alias("_w"))
+    g = (
+        w.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(wsum))
+        .select(
+            "source",
+            "avail",
+            "wu",
+            F.expr(
+                "cast((_tot * {bp}) div 1000 as decimal(38,0))".format(
+                    bp=int(budget_permille)
+                )
+            ).alias("_budget"),
+            F.col("_w"),
+        )
+        .select(
+            "source",
+            "avail",
+            F.col("_budget"),
+            F.expr("cast((_budget * wu) div _w as bigint)").alias("_floor"),
+            F.expr("cast((_budget * wu) % _w as decimal(38,0))").alias(
+                "_rem"
+            ),
+        )
+    )
+    wr = Window.orderBy(F.col("_rem").desc(), F.col("source").asc())
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # the grid is sources-sized (bounded); the global windows run over
+    # it only — never over row-level data
+    return (
+        g.select(
+            "source",
+            "avail",
+            "_floor",
+            F.row_number().over(wr).alias("_rk"),
+            (F.col("_budget").cast("bigint") - F.sum("_floor").over(wall))
+            .alias("_leftover"),
+        )
+        .select(
+            "source",
+            "avail",
+            (
+                F.col("_floor")
+                + F.when(F.col("_rk") <= F.col("_leftover"), 1).otherwise(0)
+            ).cast("bigint").alias("quota"),
+        )
+        .select(
+            "source",
+            "avail",
+            "quota",
+            (F.col("quota") > F.col("avail")).alias("capped"),
+            F.least(
+                F.lit(1000000).cast("bigint"),
+                F.expr("cast((quota * 1000000) div avail as bigint)"),
+            ).alias("sample_rate_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_MIXTURE_PLAN_SQL = """
+with d as (
+  select source,
+         len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT n_tok
+  from documents
+),
+avail as (select source, sum(n_tok)::BIGINT avail from d group by source),
+w as (
+  select source, avail,
+         round(sqrt(avail::DOUBLE) * 1e6, 0)::HUGEINT wu
+  from avail
+),
+g as (
+  select source, avail,
+         ((select sum(avail)::HUGEINT from avail) * 500 // 1000) as b,
+         ((select sum(avail)::HUGEINT from avail) * 500 // 1000) * wu
+           // (select sum(wu) from w) as fl,
+         ((select sum(avail)::HUGEINT from avail) * 500 // 1000) * wu
+           % (select sum(wu) from w) as rem
+  from w
+),
+r as (
+  select source, avail, b, fl,
+         row_number() over (order by rem desc, source asc) rk,
+         (b - sum(fl) over ()) leftover
+  from g
+),
+q as (
+  select source, avail,
+         (fl + case when rk <= leftover then 1 else 0 end)::BIGINT quota
+  from r
+)
+select source, avail, quota,
+       (quota > avail) capped,
+       least(1000000, quota * 1000000 // avail)::BIGINT sample_rate_ppm
+from q order by source
+"""
