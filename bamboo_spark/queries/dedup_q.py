@@ -1655,3 +1655,65 @@ select band, n_docs, n_dup_docs,
        ((10000 * n_dup_docs) // n_docs)::BIGINT dup_rate_bps
 from agg order by band
 """.format(pairs=pairs)
+
+
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup — the training-weight alternative to dropping
+    near-duplicates: keep every document, down-weight each to
+    1/cluster_size of its near-dup cluster (a cluster of 4 boilerplate
+    variants contributes ONE document's worth of gradient in
+    expectation; singletons keep weight 1). The per-doc weight table a
+    weighted-sampling data loader consumes, plus the exact cluster
+    size for audits. Weights in integer ppm (1e6 div size) so both
+    engines agree bit-exactly.
+
+    Scale: the pinned LSH→converged-components chain (banded
+    candidates, pointer-jumping fixpoint) plus ONE doc-keyed left join
+    and a components-sized size aggregate; docs outside every pair
+    label themselves (coalesce to own id) — no row explodes."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.7, num_hashes=64)
+    labels = dedup.connected_components_converged(pairs)
+    lab = (
+        d.select("doc_id")
+        .join(labels.withColumnRenamed("doc_id", "_ld"),
+              F.col("doc_id") == F.col("_ld"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "component"
+            ),
+        )
+    )
+    sizes = lab.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        lab.join(sizes, "component")
+        .select(
+            "doc_id",
+            "cluster_size",
+            F.expr("cast(1000000 div cluster_size as bigint)").alias(
+                "weight_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _soft_dedup_weights_duck() -> str:
+    fix = dedup.components_fixpoint_duck(
+        dedup.jaccard_pairs_duck(threshold=0.7)
+    )
+    return """
+with labels as (select * from ({fix}) f),
+lab as (
+  select d.doc_id, coalesce(l.component, d.doc_id) component
+  from documents d left join labels l using (doc_id)
+),
+s as (select component, count(*)::BIGINT csz from lab group by component)
+select l.doc_id, s.csz cluster_size,
+       (1000000 // s.csz)::BIGINT weight_ppm
+from lab l join s using (component)
+order by doc_id
+""".format(fix=fix)
