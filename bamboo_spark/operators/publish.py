@@ -1363,7 +1363,7 @@ def _commit(
     # which reset it — a rewrite leaves nothing to resurrect)
     for k in (
         "field_ids", "next_field_id", "schema_evolved", "retired_names",
-        "constraints",
+        "constraints", "tags",
     ):
         if entry.get(k) is None and prev and prev.get(k) is not None:
             entry[k] = prev[k]
@@ -1974,6 +1974,7 @@ def read_published(
     skip: Optional[dict] = None,
     skip_eq: Optional[dict] = None,
     as_of_ms: Optional[int] = None,
+    ref: Optional[str] = None,
 ) -> DataFrame:
     """Read exactly the committed snapshot's manifest-listed files —
     the latest by default, or any retained ``version`` (time travel).
@@ -2007,6 +2008,18 @@ def read_published(
     bloom and no stats → the file is read."""
     fs = _fs_for(table_dir, spark)
     manifest = json.loads(fs.read_text(_manifest_path(table_dir, fs)))
+    if ref is not None:
+        if version is not None or as_of_ms is not None:
+            raise ValueError(
+                "read_published: ref excludes version/as_of_ms"
+            )
+        tags = manifest.get("tags") or {}
+        if ref not in tags:
+            raise KeyError(
+                "read_published: no tag %r (have: %s)"
+                % (ref, sorted(tags))
+            )
+        version = int(tags[ref])
     _, entry = _select_snapshot(manifest, version, as_of_ms)
     res = _resolve_entry(fs, table_dir, entry)
     entry = {**entry, "files": res["files"]}
@@ -2641,6 +2654,64 @@ def drop_constraint(
     )
 
 
+def tag_version(
+    table_dir: str,
+    name: str,
+    version: Optional[int] = None,
+    spark: Optional[SparkSession] = None,
+    lease_ttl_ms: int = 300_000,
+) -> int:
+    """Tag a retained snapshot with a NAME (Iceberg-style ref): the tag
+    rides the manifest, ``read_published(ref=name)`` /
+    ``clone_table(ref=name)`` resolve it, and ``vacuum`` RETAINS tagged
+    snapshots regardless of its keep-count — an audit freeze
+    ("q3-close", "pre-migration") costs one metadata commit and
+    protects its data files until the tag drops. Defaults to tagging
+    the current version."""
+    fs = _fs_for(table_dir, spark)
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        raise ValueError("tag_version: no committed table here")
+    v = int(version) if version is not None else int(manifest["version"])
+    snaps = manifest.get("snapshots", {})
+    if str(v) not in snaps and v != int(manifest["version"]):
+        raise KeyError(
+            "tag_version: version %d is not a retained snapshot" % v
+        )
+    tags = dict(manifest.get("tags") or {})
+    if name in tags:
+        raise ValueError(
+            "tag_version: tag %r already points at version %d — "
+            "drop_tag first (tags are immutable by design)"
+            % (name, tags[name])
+        )
+    tags[name] = v
+    return _metadata_commit(
+        table_dir, spark, lease_ttl_ms, "tag", {"tags": tags}
+    )
+
+
+def drop_tag(
+    table_dir: str,
+    name: str,
+    spark: Optional[SparkSession] = None,
+    lease_ttl_ms: int = 300_000,
+) -> int:
+    """Remove a tag — its snapshot becomes ordinary history again
+    (reclaimable by the next ``vacuum`` past the keep-count)."""
+    fs = _fs_for(table_dir, spark)
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        raise ValueError("drop_tag: no committed table here")
+    tags = dict(manifest.get("tags") or {})
+    if name not in tags:
+        raise KeyError("drop_tag: no tag %r" % name)
+    tags.pop(name)
+    return _metadata_commit(
+        table_dir, spark, lease_ttl_ms, "drop_tag", {"tags": tags}
+    )
+
+
 def restore_table(
     table_dir: str,
     version: int,
@@ -2700,6 +2771,7 @@ def clone_table(
     dst_dir: str,
     version: Optional[int] = None,
     as_of_ms: Optional[int] = None,
+    ref: Optional[str] = None,
 ) -> int:
     """SHALLOW CLONE: fork ``src_dir``'s committed snapshot (or any
     retained ``version`` / ``as_of_ms`` state) into a NEW table at
@@ -2731,6 +2803,11 @@ def clone_table(
     src_manifest = _read_manifest(src_dir, src_fs)
     if src_manifest is None:
         raise ValueError("clone_table: no committed table at %s" % src_dir)
+    if ref is not None:
+        tags = src_manifest.get("tags") or {}
+        if ref not in tags:
+            raise KeyError("clone_table: no tag %r" % ref)
+        version = int(tags[ref])
     src_v, entry = _select_snapshot(src_manifest, version, as_of_ms)
     res = _resolve_entry(src_fs, src_dir, entry, rekey_stats=False)
     abs_of = {f: _ref_path(src_fs, src_dir, f) for f in res["files"]}
@@ -3402,6 +3479,11 @@ def vacuum(
         by_v = sorted(int(v) for v in snaps)
         retained = set(by_v[-keep:]) if keep else set()
         retained.add(committed)
+        # tagged snapshots are PINNED — an audit freeze survives any
+        # keep-count until its tag drops
+        retained |= {
+            int(v) for v in (manifest.get("tags") or {}).values()
+        }
         if older_than_ms is not None:
             now = _now_ms()
             retained |= {

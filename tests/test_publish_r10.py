@@ -712,3 +712,29 @@ def test_constraint_blocks_rename_of_referenced_column(spark, tmp_path):
     P.drop_constraint(d, "v_pos", spark=spark)
     P.rename_column(d, "v", "amount", spark=spark)
     assert read_published(spark, d).columns == ["k", "amount"]
+
+
+def test_tags_pin_snapshots_and_resolve(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_kv(spark, [(1, 10)]), d)                    # v1
+    append_publish(_kv(spark, [(2, 20)]), d)                    # v2
+    P.tag_version(d, "freeze", spark=spark)                     # v3 (tags v2)
+    for lo in (3, 4, 5, 6):
+        append_publish(_kv(spark, [(lo, lo * 10)]), d)
+    P.vacuum(d, keep=1, spark=spark)
+    # the tagged snapshot survived a keep=1 vacuum and reads by name
+    got = {r.k: r.v for r in read_published(spark, d, ref="freeze").collect()}
+    assert got == {1: 10, 2: 20}
+    # clone from the tag
+    c = str(tmp_path / "c")
+    P.clone_table(spark, d, c, ref="freeze")
+    assert read_published(spark, c).count() == 2
+    # tags are immutable; drop releases the pin
+    with pytest.raises(ValueError, match="immutable"):
+        P.tag_version(d, "freeze", spark=spark)
+    P.drop_tag(d, "freeze", spark=spark)
+    P.vacuum(d, keep=1, spark=spark)
+    with pytest.raises(KeyError):
+        read_published(spark, d, ref="freeze")
+    ops = [r.operation for r in table_history(spark, d).collect()]
+    assert "drop_tag" in ops
