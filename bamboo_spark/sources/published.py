@@ -424,14 +424,34 @@ class _PublishedStreamReader(DataSourceStreamReader):
         sv = "latest"
         self._ignore_deletes = False
         self._cdf = False
+        st_ts = None
         for k, v in (options or {}).items():
             if str(k).lower() == "startingversion":
                 sv = v
+            if str(k).lower() == "startingtimestamp":
+                st_ts = int(v)
             if str(k).lower() == "ignoredeletes":
                 self._ignore_deletes = str(v).lower() == "true"
             if str(k).lower() == "readchangefeed":
                 self._cdf = str(v).lower() == "true"
-        if sv == "latest":
+        if st_ts is not None:
+            # Delta's startingTimestamp: deliver from the earliest
+            # version committed AT OR AFTER the timestamp (inclusive)
+            _, _, man = _driver_manifest(table_dir)
+            eligible = [
+                int(v)
+                for v, e in man.get("snapshots", {}).items()
+                if e.get("committed_at_ms") is not None
+                and int(e["committed_at_ms"]) >= st_ts
+            ]
+            if not eligible:
+                raise ValueError(
+                    "bamboo_published: no commit at or after "
+                    "startingTimestamp=%d (latest commit is older)"
+                    % st_ts
+                )
+            self._start = min(eligible) - 1
+        elif sv == "latest":
             _, _, man = _driver_manifest(table_dir)
             self._start = int(man["version"])
         else:
@@ -545,18 +565,39 @@ class PublishedTableDataSource(DataSource):
 
             table_dir = self._table_dir()
             fs, native, man = _driver_manifest(table_dir)
-            from bamboo_spark.operators.publish import _evo_of
+            from bamboo_spark.operators.publish import (
+                _evo_of,
+                _select_snapshot,
+            )
 
-            res = _resolve_entry(fs, native, man)
+            # time travel as load options (Delta's versionAsOf /
+            # timestampAsOf; plus ref= for tags) — resolved here, once
+            version = None
+            as_of = None
+            for k, v in (self.options or {}).items():
+                lk = str(k).lower()
+                if lk == "versionasof":
+                    version = int(v)
+                elif lk == "timestampasof":
+                    as_of = int(v)
+                elif lk == "ref":
+                    tags = man.get("tags") or {}
+                    if str(v) not in tags:
+                        raise ValueError(
+                            "bamboo_published: no tag %r" % v
+                        )
+                    version = int(tags[str(v)])
+            ver, entry = _select_snapshot(man, version, as_of)
+            res = _resolve_entry(fs, native, entry)
             self._pinned = {
-                "version": int(man["version"]),
-                "schema": man["schema"],
-                "partition_by": list(man.get("partition_by") or []),
+                "version": int(ver),
+                "schema": entry["schema"],
+                "partition_by": list(entry.get("partition_by") or []),
                 "files": res["files"],
                 "stats": res["file_stats"],
                 "blooms": res["file_blooms"],
-                "dv": _load_dv(fs, native, man),
-                "evo": _evo_of(man, res),
+                "dv": _load_dv(fs, native, entry),
+                "evo": _evo_of(entry, res),
             }
         return self._pinned
 

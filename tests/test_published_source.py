@@ -393,3 +393,71 @@ def test_batch_read_of_shallow_clone(src, spark, tmp_path):
     got = spark.read.format("bamboo_published").load(c)
     ks = sorted(r.k for r in got.collect())
     assert ks == [k for k in range(25) if k != 5]
+
+
+def test_batch_time_travel_options(src, spark, tmp_path):
+    import time
+
+    from bamboo_spark.operators import publish as P
+
+    t = str(tmp_path / "t")
+    atomic_publish(spark.range(5).select(F.col("id").alias("k")), t)
+    t1 = P.table_history(spark, t).collect()[0].committed_at_ms
+    time.sleep(0.02)
+    append_publish(
+        spark.range(5, 9).select(F.col("id").alias("k")), t
+    )
+    P.tag_version(t, "freeze", version=1, spark=spark)
+
+    assert (
+        spark.read.format("bamboo_published")
+        .option("versionAsOf", "1")
+        .load(t)
+        .count()
+        == 5
+    )
+    assert (
+        spark.read.format("bamboo_published")
+        .option("timestampAsOf", str(t1))
+        .load(t)
+        .count()
+        == 5
+    )
+    assert (
+        spark.read.format("bamboo_published")
+        .option("ref", "freeze")
+        .load(t)
+        .count()
+        == 5
+    )
+    assert spark.read.format("bamboo_published").load(t).count() == 9
+
+
+def test_stream_starting_timestamp(src, spark, tmp_path):
+    import time
+
+    from bamboo_spark.operators import publish as P
+
+    t = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    atomic_publish(spark.range(3).select(F.col("id").alias("k")), t)
+    time.sleep(0.02)
+    cut = int(time.time() * 1000)
+    time.sleep(0.02)
+    append_publish(spark.range(3, 7).select(F.col("id").alias("k")), t)
+    q = (
+        spark.readStream.format("bamboo_published")
+        .option("startingTimestamp", str(cut))
+        .load(t)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ks = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert ks == [3, 4, 5, 6]  # only the post-timestamp append
