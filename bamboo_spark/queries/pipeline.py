@@ -1207,7 +1207,12 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The exponents are sqrt CHAINS — n, sqrt(n), sqrt(sqrt(n)) — because
     IEEE-754 sqrt is correctly rounded, so both engines produce
-    bit-equal weights where a libm pow(x, 0.25) need not.
+    bit-equal weights where a libm pow(x, 0.25) need not; weights then
+    QUANTIZE to integer micro-units BEFORE the normalizer sum (a raw
+    double sum is addition-order-dependent, and round 10's regenerated
+    data landed floor(epochs) exactly on an ulp boundary — 999 vs
+    1000), so every downstream quantity is exact integer math in both
+    engines.
 
     Scale: one map-combined count aggregate; the grid is |sources| × 3
     rows and everything downstream is grid-sized."""
@@ -1225,13 +1230,24 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("temperature").cast("int").alias("temperature"),
         "n_docs",
-        F.when(F.col("temperature") == 1, F.col("n_docs").cast("double"))
-        .when(F.col("temperature") == 2, F.sqrt(F.col("n_docs").cast("double")))
-        .otherwise(F.sqrt(F.sqrt(F.col("n_docs").cast("double"))))
-        .alias("w"),
+        F.round(
+            F.when(
+                F.col("temperature") == 1, F.col("n_docs").cast("double")
+            )
+            .when(
+                F.col("temperature") == 2,
+                F.sqrt(F.col("n_docs").cast("double")),
+            )
+            .otherwise(F.sqrt(F.sqrt(F.col("n_docs").cast("double"))))
+            * 1e6,
+            0,
+        )
+        .cast("decimal(38,0)")
+        .alias("wu"),
     )
     z = scaled.groupBy("temperature").agg(
-        F.sum("w").alias("_z"), F.sum("n_docs").alias("_tot")
+        F.sum("wu").alias("_z"),
+        F.sum("n_docs").cast("decimal(38,0)").alias("_tot"),
     )
     return (
         scaled.join(F.broadcast(z), "temperature")
@@ -1239,17 +1255,12 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "temperature",
             "source",
             "n_docs",
-            F.floor(F.lit(1000000.0) * F.col("w") / F.col("_z"))
-            .cast("bigint")
-            .alias("weight_ppm"),
-            F.floor(
-                F.lit(1000.0)
-                * (F.col("w") / F.col("_z"))
-                * F.col("_tot")
-                / F.col("n_docs")
-            )
-            .cast("bigint")
-            .alias("epochs_x1000"),
+            F.expr("cast((1000000 * wu) div _z as bigint)").alias(
+                "weight_ppm"
+            ),
+            F.expr(
+                "cast((1000 * wu * _tot) div (_z * n_docs) as bigint)"
+            ).alias("epochs_x1000"),
         )
         .orderBy("temperature", "source")
     )
@@ -1262,18 +1273,18 @@ with src as (
 tg as (select unnest([1, 2, 4]) temperature),
 scaled as (
   select source, temperature, n_docs,
-         case when temperature = 1 then n_docs::DOUBLE
-              when temperature = 2 then sqrt(n_docs::DOUBLE)
-              else sqrt(sqrt(n_docs::DOUBLE)) end w
+         round(case when temperature = 1 then n_docs::DOUBLE
+                    when temperature = 2 then sqrt(n_docs::DOUBLE)
+                    else sqrt(sqrt(n_docs::DOUBLE)) end * 1e6, 0)::HUGEINT wu
   from src cross join tg
 ),
 z as (
-  select temperature, sum(w) _z, sum(n_docs) _tot
+  select temperature, sum(wu) _z, sum(n_docs)::HUGEINT _tot
   from scaled group by temperature
 )
 select s.temperature::INT temperature, s.source, s.n_docs,
-       floor(1000000.0 * s.w / z._z)::BIGINT weight_ppm,
-       floor(1000.0 * (s.w / z._z) * z._tot / s.n_docs)::BIGINT epochs_x1000
+       ((1000000 * s.wu) // z._z)::BIGINT weight_ppm,
+       ((1000 * s.wu * z._tot) // (z._z * s.n_docs))::BIGINT epochs_x1000
 from scaled s join z using (temperature)
 order by temperature, source
 """
