@@ -738,3 +738,40 @@ def test_tags_pin_snapshots_and_resolve(spark, tmp_path):
         read_published(spark, d, ref="freeze")
     ops = [r.operation for r in table_history(spark, d).collect()]
     assert "drop_tag" in ops
+
+
+def test_streaming_source_over_clone(spark, tmp_path):
+    """The clone is a first-class table for the streaming source too:
+    offsets are the CLONE's own versions; post-clone appends to the
+    clone deliver, source commits never do."""
+    from bamboo_spark.sources.published import register
+
+    register(spark)
+    src_t = str(tmp_path / "src")
+    cln = str(tmp_path / "cln")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    atomic_publish(_kv(spark, [(1, 10), (2, 20)]), src_t)
+    P.clone_table(spark, src_t, cln)
+    sdf = (
+        spark.readStream.format("bamboo_published")
+        .option("startingVersion", "0")
+        .load(cln)
+    )
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ks = sorted(r.k for r in spark.read.parquet(out).collect())
+        assert ks == [1, 2]  # the cloned snapshot delivers (v0 -> v1)
+        append_publish(_kv(spark, [(9, 90)]), src_t)  # SOURCE moves
+        append_publish(_kv(spark, [(3, 30)]), cln)    # clone moves
+        q.processAllAvailable()
+        ks = sorted(r.k for r in spark.read.parquet(out).collect())
+        assert ks == [1, 2, 3]  # clone's append only, never source's
+    finally:
+        q.stop()
