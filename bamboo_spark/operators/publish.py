@@ -1396,6 +1396,8 @@ def append_publish(
     schema_mode: str = "strict",
     stats_cols=None,
     bloom_cols=None,
+    cluster_by=None,
+    cluster_files: Optional[int] = None,
 ) -> int:
     """Append-only snapshot: the next version's file list is the
     previous snapshot's files (CARRIED BY REFERENCE — nothing is
@@ -1420,6 +1422,15 @@ def append_publish(
     Removals and type changes are rejected (a silent narrow/retype is
     how tables corrupt); ``'strict'`` (default) requires the exact
     committed schema.
+
+    ``cluster_by=[cols]`` range-partitions and sorts the BATCH on the
+    given columns before writing (``publish_clustered``, applied to the
+    delta): each new file covers a narrow value range, so the write-time
+    min/max stats are TIGHT and ``skip=`` range pruning on the landing
+    table actually skips — the difference between "stats recorded" and
+    "stats that prune" on an append-only ingest path. Batch-local
+    ordering only; a periodic ``publish_clustered``/``zorder`` rewrite
+    remains the cross-batch clustering move.
 
     CONCURRENCY (optimistic, write-serializable): the batch write runs
     with NO lease held — the commit lease guards only the final
@@ -1507,6 +1518,17 @@ def append_publish(
     # writers never collide on disk; only the manifest swap contends.
     # The claim heartbeat is the staging dir's liveness signal: vacuum
     # never reclaims a dir whose claim is fresher than the lease TTL.
+    if cluster_by:
+        cl = (
+            [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+        )
+        # AQE sizes the range partitions by default (right at scale);
+        # cluster_files pins the file count (tests, known-size batches)
+        df = (
+            df.repartitionByRange(int(cluster_files), *cl)
+            if cluster_files
+            else df.repartitionByRange(*cl)
+        ).sortWithinPartitions(*cl)
     seg = _claim_vdir(fs, table_dir, _next_version(fs, table_dir, prev))
     beat = _ClaimBeat(fs, table_dir, seg, lease_ttl_ms).start()
     try:

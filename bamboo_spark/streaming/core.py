@@ -2078,6 +2078,7 @@ def publish_stream(
     version_cols=None,
     op_col=None,
     merge_args: dict = None,
+    cluster_by=None,
 ):
     """Continuous EXACTLY-ONCE ingest into a published table — the raw
     landing-zone sink: every micro-batch commits through the snapshot
@@ -2162,6 +2163,7 @@ def publish_stream(
             append_publish(
                 batch_df, table_dir, partition_by=partition_by, meta=meta,
                 stats_cols=stats_cols, bloom_cols=bloom_cols,
+                cluster_by=cluster_by,
             )
         else:
             atomic_publish(

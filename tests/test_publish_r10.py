@@ -775,3 +775,45 @@ def test_streaming_source_over_clone(spark, tmp_path):
         assert ks == [1, 2, 3]  # clone's append only, never source's
     finally:
         q.stop()
+
+
+def test_append_cluster_by_tightens_stats(spark, tmp_path):
+    """Clustered appends: the batch range-partitions+sorts on the
+    cluster column, so each new file covers a narrow range and skip=
+    pruning on the landing table opens a strict subset of files."""
+    d = str(tmp_path / "t")
+    atomic_publish(_kv(spark, [(0, 0)]), d, stats_cols=["k"])
+    shuffled = (
+        spark.range(1, 2001)
+        .select(
+            (F.col("id") * 2654435761 % 2000).alias("k"),
+            F.col("id").alias("v"),
+        )
+        .repartition(8)
+    )
+    append_publish(
+        shuffled, d, stats_cols=["k"], cluster_by="k", cluster_files=8
+    )
+    from bamboo_spark.operators.publish import (
+        _fs_for,
+        _read_manifest,
+        _resolve_entry,
+    )
+
+    fs = _fs_for(d, spark)
+    res = _resolve_entry(fs, d, _read_manifest(d, fs))
+    new_files = [f for f in res["files"] if res["file_stats"].get(f)]
+    # clustered: per-file ranges are disjoint-ish — a narrow skip
+    # bound must exclude most files
+    hit = [
+        f
+        for f in new_files
+        if res["file_stats"][f]["k"][0] <= 100
+        and res["file_stats"][f]["k"][1] >= 50
+    ]
+    assert len(new_files) >= 4
+    assert len(hit) <= max(1, len(new_files) // 3)
+    got = read_published(spark, d, skip={"k": (50, 100)}).where(
+        "k between 50 and 100"
+    )
+    assert got.count() == 51
