@@ -451,11 +451,29 @@ def current_version(
         return 0
 
 
+_FORMAT_VERSION = 1  # manifest protocol this reader/writer speaks
+
+
+class UnsupportedFormatError(RuntimeError):
+    """The table's manifest declares a newer protocol than this reader
+    understands — refusing beats silently misreading (a v2 manifest may
+    rely on features — e.g. a new delete encoding — whose absence from
+    this reader's resolution would return WRONG rows, not an error)."""
+
+
 def _read_manifest(table_dir: str, fs) -> Optional[dict]:
     try:
-        return json.loads(fs.read_text(_manifest_path(table_dir, fs)))
+        man = json.loads(fs.read_text(_manifest_path(table_dir, fs)))
     except Exception:
         return None
+    fv = int(man.get("format_version") or 1)
+    if fv > _FORMAT_VERSION:
+        raise UnsupportedFormatError(
+            "table at %s uses manifest format_version=%d; this reader "
+            "speaks <=%d — upgrade the library to read it"
+            % (table_dir, fv, _FORMAT_VERSION)
+        )
+    return man
 
 
 _SEG = "_seg.json"
@@ -1379,7 +1397,12 @@ def _commit(
         history[str(prev["version"])] = healed
     entry.setdefault("committed_at_ms", _now_ms())
     history[str(version)] = entry
-    manifest = {"version": version, "snapshots": history, **entry}
+    manifest = {
+        "version": version,
+        "format_version": _FORMAT_VERSION,
+        "snapshots": history,
+        **entry,
+    }
     fs.replace_with(
         json.dumps(manifest),
         _manifest_path(table_dir, fs),
@@ -2029,7 +2052,9 @@ def read_published(
     100 TB table into a few file opens. Same conservative rule: no
     bloom and no stats → the file is read."""
     fs = _fs_for(table_dir, spark)
-    manifest = json.loads(fs.read_text(_manifest_path(table_dir, fs)))
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        raise ValueError("no committed table at %s" % table_dir)
     if ref is not None:
         if version is not None or as_of_ms is not None:
             raise ValueError(
@@ -3363,7 +3388,9 @@ def snapshots(
     """Retained snapshot metadata, oldest first:
     [{version, n_rows, n_files, is_current}]."""
     fs = _fs_for(table_dir, spark)
-    manifest = json.loads(fs.read_text(_manifest_path(table_dir, fs)))
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        raise ValueError("no committed table at %s" % table_dir)
     cur = int(manifest["version"])
     out = []
     for v, e in sorted(
@@ -3400,7 +3427,9 @@ def table_history(
     Pre-labeling commits (tables written before the ``operation`` field
     existed) surface a null operation rather than a guess."""
     fs = _fs_for(table_dir, spark)
-    manifest = json.loads(fs.read_text(_manifest_path(table_dir, fs)))
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        raise ValueError("no committed table at %s" % table_dir)
     cur = int(manifest["version"])
     rows = []
     for v, e in sorted(
@@ -3637,7 +3666,9 @@ def compact(
     # rewrite from being TTL-evicted (eviction = crashed writers only)
     with _Lease(fs, table_dir, heartbeat=True) as lease:
         cur = read_published(spark, table_dir)
-        manifest = json.loads(fs.read_text(_manifest_path(table_dir, fs)))
+        manifest = _read_manifest(table_dir, fs)
+        if manifest is None:
+            raise ValueError("no committed table at %s" % table_dir)
         parts = manifest.get("partition_by") or []
         if target_files is None:
             _, size = _entry_counters(fs, table_dir, manifest)

@@ -817,3 +817,22 @@ def test_append_cluster_by_tightens_stats(spark, tmp_path):
         "k between 50 and 100"
     )
     assert got.count() == 51
+
+
+def test_format_version_guard(spark, tmp_path):
+    import json as _json
+    import os
+
+    d = str(tmp_path / "t")
+    atomic_publish(_kv(spark, [(1, 10)]), d)
+    man_path = os.path.join(d, "manifest.json")
+    man = _json.load(open(man_path))
+    assert man["format_version"] == 1
+    man["format_version"] = 99
+    _json.dump(man, open(man_path, "w"))
+    from bamboo_spark.operators.publish import UnsupportedFormatError
+
+    with pytest.raises(UnsupportedFormatError, match="format_version=99"):
+        read_published(spark, d).collect()
+    with pytest.raises(UnsupportedFormatError):
+        append_publish(_kv(spark, [(2, 20)]), d)
