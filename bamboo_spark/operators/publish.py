@@ -3216,6 +3216,7 @@ def read_changes(
     table_dir: str,
     from_version: int,
     to_version: Optional[int] = None,
+    key_cols=None,
 ) -> DataFrame:
     """CHANGE DATA FEED: every row-level change between two retained
     versions, stamped ``_change_type`` ('insert' | 'delete') and
@@ -3237,6 +3238,13 @@ def read_changes(
       under their snapshot's dv mask) — rows whose count fell are
       deletes, rows whose count rose are inserts; IO bounded by the
       files the commit touched, never the table.
+
+    ``key_cols`` upgrades the feed to UPDATE PAIRING (Delta's
+    ``update_preimage``/``update_postimage``): within one commit, a
+    delete and an insert sharing a key relabel as the two halves of an
+    update — the merge-sink consumer's contract. Requires the table to
+    be key-unique per commit (what the merge publishers guarantee);
+    one narrow (version, key)-partitioned window over the change rows.
 
     Needs every version in (from, to] retained (else KeyError — a
     vacuumed step can't prove its delta). Columns of map type can't be
@@ -3379,6 +3387,30 @@ def read_changes(
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
+    if key_cols:
+        from pyspark.sql import Window
+
+        keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        w = Window.partitionBy("_commit_version", *keys)
+        has_del = F.max(
+            F.when(F.col("_change_type") == "delete", 1).otherwise(0)
+        ).over(w)
+        has_ins = F.max(
+            F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+        ).over(w)
+        paired = (has_del == 1) & (has_ins == 1)
+        out = out.withColumn(
+            "_change_type",
+            F.when(
+                paired & (F.col("_change_type") == "delete"),
+                F.lit("update_preimage"),
+            )
+            .when(
+                paired & (F.col("_change_type") == "insert"),
+                F.lit("update_postimage"),
+            )
+            .otherwise(F.col("_change_type")),
+        )
     return out
 
 

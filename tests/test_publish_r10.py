@@ -836,3 +836,36 @@ def test_format_version_guard(spark, tmp_path):
         read_published(spark, d).collect()
     with pytest.raises(UnsupportedFormatError):
         append_publish(_kv(spark, [(2, 20)]), d)
+
+
+def test_read_changes_update_pairing(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_kv(spark, [(1, 10), (2, 20), (3, 30)]), d)   # v1
+    # one merge: update k=1, delete k=2, insert k=9
+    P.merge_into(
+        _kv(spark, [(1, 11), (2, -1), (9, 90)]),
+        d,
+        "k",
+        when_matched_update={"v": "s.v"},
+        when_matched_delete_condition="s.v < 0",
+        when_not_matched_insert=True,
+    )                                                            # v2
+    ch = P.read_changes(spark, d, from_version=1, key_cols="k").collect()
+    got = sorted((r.k, r.v, r._change_type) for r in ch)
+    assert got == [
+        (1, 10, "update_preimage"),
+        (1, 11, "update_postimage"),
+        (2, 20, "delete"),
+        (9, 90, "insert"),
+    ]
+    # without key_cols the raw delete+insert contract is unchanged
+    raw = {
+        (r.k, r._change_type)
+        for r in P.read_changes(spark, d, from_version=1).collect()
+    }
+    assert raw == {
+        (1, "delete"),
+        (1, "insert"),
+        (2, "delete"),
+        (9, "insert"),
+    }
