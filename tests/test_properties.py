@@ -678,8 +678,11 @@ def test_mixture_temperature_matches_python(spark, tmp_path_factory, counts):
     """Differential: temperature weights/epochs vs a pure-Python oracle
     on randomized per-source counts. sqrt chains are IEEE
     correctly-rounded, so python math.sqrt replays Spark's F.sqrt
-    bit-for-bit; the floor boundary is safe because weights are
-    irrational-ish (never within an ulp of an integer ppm)."""
+    bit-for-bit; weights then quantize to integer micro-units BEFORE
+    the normalizer sum (round 10: a raw double normalizer sum is
+    addition-order-dependent and flipped a floor at an ulp boundary on
+    regenerated data), so every downstream quantity is exact integer
+    math the Python model replays with // ."""
     import math
 
     from bamboo_spark import queries as q
@@ -696,18 +699,22 @@ def test_mixture_temperature_matches_python(spark, tmp_path_factory, counts):
     out = q.q_mixture_temperature(spark, d).collect()
     n = {"s%d" % i: c for i, c in enumerate(counts)}
     tot = sum(n.values())
+
+    def _round_half_up(x: float) -> int:
+        return math.floor(x + 0.5)
+
     for temp, f in ((1, lambda x: float(x)),
                     (2, lambda x: math.sqrt(x)),
                     (4, lambda x: math.sqrt(math.sqrt(x)))):
-        ws = {s: f(v) for s, v in n.items()}
-        z = sum(ws[s] for s in sorted(ws))
+        wu = {s: _round_half_up(f(v) * 1e6) for s, v in n.items()}
+        z = sum(wu[s] for s in sorted(wu))
         got = {r["source"]: r for r in out if r["temperature"] == temp}
         assert set(got) == set(n)
         for s, r in got.items():
             assert r["n_docs"] == n[s]
-            assert r["weight_ppm"] == math.floor(1e6 * ws[s] / z), (s, temp)
-            assert r["epochs_x1000"] == math.floor(
-                1000.0 * (ws[s] / z) * tot / n[s]
+            assert r["weight_ppm"] == (1000000 * wu[s]) // z, (s, temp)
+            assert r["epochs_x1000"] == (1000 * wu[s] * tot) // (
+                z * n[s]
             ), (s, temp)
 
 
