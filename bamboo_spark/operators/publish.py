@@ -516,17 +516,32 @@ def _write_seg(fs, table_dir: str, seg: str, data: dict) -> None:
 
 
 _DV = "_dv.json"
+_DVP = "_dvp"  # per-commit parquet sidecar dataset (v2 positions)
 _DV_CACHE: dict = {}  # abs path -> parsed dict (dv files are immutable)
 _DV_CACHE_MAX = 1024
 
 
 def _load_dv(fs, table_dir: str, entry: dict) -> dict:
-    """The snapshot's DELETE VECTORS: ``{rel_file: [row positions]}``
-    of rows erased without rewriting their file (merge-on-read, the
+    """The snapshot's DELETE-VECTOR MANIFEST: ``{rel_file: value}`` of
+    rows erased without rewriting their file (merge-on-read, the
     Iceberg v2 / Delta deletion-vector design). ``{}`` when the
-    snapshot has none. The map is written ONCE per dv commit (immutable
-    file, plain cache) and always holds the FULL merged state as of
-    that snapshot, so readers load exactly one file."""
+    snapshot has none. Two value shapes coexist (mixed per table during
+    migration):
+
+    * v1 (legacy): a plain ``[row positions]`` list — positions live in
+      the manifest JSON itself, driver-sized.
+    * v2: ``{"ds": <rel parquet dataset>, "n": count, "key"?: str}`` —
+      the positions live in a PARQUET SIDECAR DATASET written by
+      executors at commit time (columns ``_dv_file/_dv_base/_dv_sfx/
+      _dv_pos``); the manifest holds only the file-level ref + count,
+      so the driver never materializes row addresses. ``key`` (set by
+      shallow clones) is the ``_dv_file`` value the sidecar rows carry
+      when it differs from this manifest's file ref.
+
+    The manifest is written ONCE per dv commit (immutable file, plain
+    cache) and always maps the FULL state as of that snapshot; a v2
+    commit rewrites sidecar data only for the files it TOUCHED —
+    untouched files keep their older refs (O(delta) commit IO)."""
     rel = entry.get("dv")
     if not rel:
         return {}
@@ -542,8 +557,10 @@ def _load_dv(fs, table_dir: str, entry: dict) -> dict:
 
 
 def _write_dv(fs, table_dir: str, seg: str, dvmap: dict) -> str:
-    """Write a snapshot's merged delete-vector map into its version
-    dir; returns the manifest-relative path for the entry's ``dv``."""
+    """Write a snapshot's merged delete-vector MANIFEST (file-level
+    refs/counts only for v2 entries — see :func:`_load_dv`) into its
+    version dir; returns the manifest-relative path for the entry's
+    ``dv``."""
     fs.mkdirs(fs.join(table_dir, seg))
     rel = "%s/%s" % (seg, _DV)
     fs.replace_with(json.dumps(dvmap), fs.join(table_dir, rel), ".tmp")
@@ -555,19 +572,194 @@ def _carry_dv(fs, table_dir: str, prev: dict, seg: str, live_files) -> dict:
     """Entry fields carrying ``prev``'s delete vectors forward through
     a commit that keeps (some of) its files: vectors for files no
     longer live are dropped (their rewrite already materialized the
-    deletion), the rest are re-published as this version's dv file.
-    Returns ``{}`` or ``{'dv': relpath, 'dv_rows': n}``."""
+    deletion), the rest are re-published as this version's dv manifest
+    — a METADATA-ONLY filter for v2 refs (sidecar data is never
+    rewritten). Returns ``{}`` or ``{'dv': relpath, 'dv_rows': n}``."""
     prev_dv = _load_dv(fs, table_dir, prev)
     if not prev_dv:
         return {}
     live = set(live_files)
-    kept = {f: ps for f, ps in prev_dv.items() if f in live and ps}
+    kept = {
+        f: v for f, v in prev_dv.items() if f in live and _dv_val_n(v)
+    }
     if not kept:
         return {}
     return {
         "dv": _write_dv(fs, table_dir, seg, kept),
-        "dv_rows": sum(len(ps) for ps in kept.values()),
+        "dv_rows": _dv_nrows(kept),
     }
+
+
+def _dv_val_n(v) -> int:
+    """Deleted-row count of one file's dv value — v1 position list or
+    v2 sidecar ref."""
+    if not v:
+        return 0
+    if isinstance(v, dict):
+        return int(v.get("n") or 0)
+    return len(v)
+
+
+def _dv_nrows(dvmap: Optional[dict]) -> int:
+    """Total deleted rows across a dv manifest (``dv_rows``)."""
+    return sum(_dv_val_n(v) for v in (dvmap or {}).values())
+
+
+def _dv_ref_of(v, rel: str):
+    """A PICKLABLE positions ref for one file's dv value — what a
+    driver-side change-feed plan ships to executors instead of raw
+    positions: ``("pos", (p, ...))`` for v1, ``("ds", dataset_rel,
+    key)`` for v2 (the executor reads the sidecar itself), None when
+    the file has no vector."""
+    if not v:
+        return None
+    if isinstance(v, dict):
+        return ("ds", v["ds"], v.get("key", rel))
+    return ("pos", tuple(int(p) for p in v))
+
+
+_DV_POS_SCHEMA = (
+    "_dv_file string, _dv_base string, _dv_sfx string, _dv_pos long"
+)
+
+
+def _dv_positions_df(spark: SparkSession, fs, table_dir: str, dvmap: dict):
+    """The positions of a dv (sub)manifest as a DataFrame
+    ``(_dv_file, _dv_base, _dv_sfx, _dv_pos)`` — the join side of every
+    merge-on-read mask. v1 entries build driver-side (legacy,
+    point-delete-sized by that format's nature); v2 entries READ their
+    parquet sidecar datasets distributively, so positions never pass
+    through the driver at any scale. Returns None when ``dvmap`` is
+    empty. Sidecar rows written for OTHER files in a shared dataset are
+    filtered out; a clone's rekeyed entries (``key`` differs from the
+    manifest ref) are re-labeled to the manifest ref so downstream
+    grouping keys stay consistent — their ``_dv_sfx``/``_dv_base``
+    remain valid (both name suffixes of the same physical file)."""
+    from pyspark.sql import functions as F
+
+    legacy_rows = []
+    ds_groups: dict = {}  # dataset abs path -> [(sidecar key, manifest ref)]
+    for rel, v in (dvmap or {}).items():
+        if not v:
+            continue
+        if isinstance(v, dict):
+            ds = _ref_path(fs, table_dir, v["ds"])
+            ds_groups.setdefault(ds, []).append((v.get("key", rel), rel))
+        else:
+            sfx = _ref_suffix(rel)
+            base = rel.rsplit("/", 1)[-1]
+            legacy_rows.extend((rel, base, sfx, int(p)) for p in v)
+    pieces = []
+    if legacy_rows:
+        pieces.append(spark.createDataFrame(legacy_rows, _DV_POS_SCHEMA))
+    for ds in sorted(ds_groups):
+        pairs = ds_groups[ds]
+        keys = sorted({k for k, _ in pairs})
+        sub = spark.read.parquet(ds).where(F.col("_dv_file").isin(keys))
+        if any(k != r for k, r in pairs):
+            kmap = spark.createDataFrame(
+                pairs, "_dv_key string, _dv_rel string"
+            )
+            sub = (
+                sub.withColumnRenamed("_dv_file", "_dv_key")
+                .join(F.broadcast(kmap), "_dv_key")
+                .select(
+                    F.col("_dv_rel").alias("_dv_file"),
+                    "_dv_base", "_dv_sfx", "_dv_pos",
+                )
+            )
+        pieces.append(sub)
+    if not pieces:
+        return None
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _dv_build(
+    spark: SparkSession,
+    fs,
+    table_dir: str,
+    seg: str,
+    addr_df,
+    cand_files,
+    dv0: dict,
+):
+    """Build a commit's delete-vector refs DISTRIBUTIVELY — the v2
+    write path shared by ``_dv_delete``, ``merge_into`` and
+    ``merge_publish_incremental``. ``addr_df`` is the matched rows'
+    ``(_fp, _ri)`` addresses (any multiplicity); ``cand_files`` the
+    manifest refs the address scan covered (file-level, broadcastable
+    by construction).
+
+    Row positions NEVER pass through the driver: addresses are mapped
+    back to manifest refs with a broadcast file-level frame, unioned
+    with the touched files' EXISTING vectors (sidecar/legacy reads),
+    deduplicated, and written as ONE parquet dataset
+    (``<seg>/_dvp``) by executors — the driver sees only per-file
+    COUNTS. Returns ``(new_refs {rel: {"ds","n"}}, n_fresh)`` where
+    ``new_refs`` covers exactly the files whose vector GREW (a file
+    whose every address was already deleted keeps its old ref, so
+    value-equality still means "dv unchanged" for delta readers) and
+    ``n_fresh`` is the number of newly deleted rows."""
+    from pyspark.sql import functions as F
+
+    cand_rows = [
+        (f, f.rsplit("/", 1)[-1], _ref_suffix(f)) for f in cand_files
+    ]
+    cdf = spark.createDataFrame(
+        cand_rows, "_dv_file string, _dv_base string, _dv_sfx string"
+    )
+    addr = (
+        addr_df.withColumn(
+            "_b", F.element_at(F.split(F.col("_fp"), "/"), -1)
+        )
+        .join(
+            F.broadcast(cdf),
+            (F.col("_b") == F.col("_dv_base"))
+            & F.col("_fp").endswith(F.col("_dv_sfx")),
+            "inner",
+        )
+        .select(
+            "_dv_file", "_dv_base", "_dv_sfx",
+            F.col("_ri").cast("long").alias("_dv_pos"),
+        )
+    )
+    touched = sorted(
+        r[0] for r in addr.select("_dv_file").distinct().collect()
+    )  # file-level — the only thing the driver ever holds
+    if not touched:
+        return {}, 0
+    old_sub = {f: dv0[f] for f in touched if dv0.get(f)}
+    merged = addr
+    if old_sub:
+        merged = merged.unionByName(
+            _dv_positions_df(spark, fs, table_dir, old_sub)
+        )
+    merged = merged.dropDuplicates(["_dv_file", "_dv_pos"])
+    dsrel = "%s/%s" % (seg, _DVP)
+    dsdir = _ref_path(fs, table_dir, dsrel)
+    (
+        merged.repartition(max(1, min(len(touched), 64)), "_dv_file")
+        .sortWithinPartitions("_dv_file", "_dv_pos")
+        .write.parquet(dsdir)
+    )
+    counts = {
+        r[0]: int(r[1])
+        for r in spark.read.parquet(dsdir)
+        .groupBy("_dv_file")
+        .count()
+        .collect()  # O(touched files) — never positions
+    }
+    new_refs: dict = {}
+    n_fresh = 0
+    for f in touched:
+        fresh = counts.get(f, 0) - _dv_val_n(dv0.get(f))
+        if fresh > 0:
+            new_refs[f] = {"ds": dsrel, "n": counts[f]}
+            n_fresh += fresh
+    return new_refs, n_fresh
 
 
 def _resolve_entry(
@@ -787,11 +979,14 @@ def _ref_group(fs, table_dir: str, f: str) -> str:
 def _ref_suffix(f: str) -> str:
     """The path-suffix form of a ref for matching against Spark file
     URIs (``input_file_name()`` / ``_metadata.file_path`` both render
-    ``scheme://.../path``): strip any scheme, keep one leading slash
-    for absolute paths, prefix relative refs with '/'."""
+    ``scheme://.../path``): strip the scheme but KEEP the authority
+    (bucket/host) — two stores can hold identical paths, and a clone
+    whose external refs span buckets must never cross-match them —
+    keep one leading slash for absolute paths, prefix relative refs
+    with '/'."""
     if "://" in f:
         rest = f.split("://", 1)[1]
-        return "/" + rest.split("/", 1)[1] if "/" in rest else rest
+        return "/" + rest
     if f.startswith("file:"):
         rest = f[len("file:"):]
         while rest.startswith("//"):
@@ -1864,7 +2059,7 @@ def replace_partitions_publish(
             # live rows in a replaced file = footer rows − its delete-
             # vector entries (the rewrite read the MASKED rows)
             replaced_rows = sum(
-                fs.file_rows(_ref_path(fs, table_dir, f)) - len(prev_dv.get(f) or [])
+                fs.file_rows(_ref_path(fs, table_dir, f)) - _dv_val_n(prev_dv.get(f))
                 for f in replaced
             )
             replaced_bytes = sum(
@@ -2151,12 +2346,15 @@ def _read_files(
     col=val partition attributes keep the writer's types (no inference,
     pruning predicates still hit the file index).
 
-    ``dv`` = the snapshot's delete vectors (``{rel: [positions]}``):
-    files carrying a vector are read with the parquet ``_metadata``
-    row index and their deleted positions anti-joined out (merge-on-
-    read); files without vectors — almost all of a 100 TB table — take
-    the plain scan path with zero overhead. The anti-join side is the
-    vector itself (point-delete-sized), broadcast."""
+    ``dv`` = the snapshot's delete-vector manifest (see
+    :func:`_load_dv`): files carrying a vector are read with the
+    parquet ``_metadata`` row index and their deleted positions
+    anti-joined out (merge-on-read); files without vectors — almost
+    all of a 100 TB table — take the plain scan path with zero
+    overhead. The anti-join side is :func:`_dv_positions_df` — a
+    distributed sidecar read for v2 refs — equi-keyed on file basename
+    + row position (AQE broadcasts it when small; a billion-position
+    vector stays a shuffle join instead of a driver OOM)."""
     from pyspark.sql import functions as F, types as T
 
     schema = T.StructType.fromJson(json.loads(schema_json))
@@ -2193,19 +2391,12 @@ def _read_files(
         # join key = file BASENAME (hash-joinable; part-file names carry
         # a per-job UUID) with the full manifest-relative suffix kept as
         # an exactness guard in the join condition
-        rows = [
-            (_ref_suffix(rel), rel.rsplit("/", 1)[-1], int(p))
-            for rel, ps in dv.items()
-            for p in ps
-        ]
-        dvdf = spark.createDataFrame(
-            rows, "_dv_sfx string, _dv_base string, _dv_pos long"
-        )
+        dvdf = _dv_positions_df(spark, fs, table_dir, dv)
         masked = masked.withColumn(
             "_dv_b", F.element_at(F.split(F.col("_dv_fp"), "/"), -1)
         )
         kept = masked.join(
-            F.broadcast(dvdf),
+            dvdf,
             (F.col("_dv_b") == F.col("_dv_base"))
             & (F.col("_dv_ri") == F.col("_dv_pos"))
             & F.col("_dv_fp").endswith(F.col("_dv_sfx")),
@@ -2924,14 +3115,25 @@ def clone_table(
                 new_entry[k] = entry[k]
         src_dv = _load_dv(src_fs, src_dir, entry)
         live = set(res["files"])
-        dv = {
-            abs_of[f]: ps
-            for f, ps in src_dv.items()
-            if f in live and ps
-        }
+        dv = {}
+        for f, v in src_dv.items():
+            if f not in live or not _dv_val_n(v):
+                continue
+            if isinstance(v, dict):
+                # v2 sidecar ref: externalize the dataset path (zero
+                # copy, like the data refs) and pin the SIDECAR's own
+                # file key — its rows were written under the source's
+                # ref, which the clone's scan URIs still suffix-match
+                dv[abs_of[f]] = {
+                    "ds": _ref_path(src_fs, src_dir, v["ds"]),
+                    "n": int(v["n"]),
+                    "key": v.get("key", f),
+                }
+            else:
+                dv[abs_of[f]] = v
         if dv:
             new_entry["dv"] = _write_dv(fs, dst_dir, seg, dv)
-            new_entry["dv_rows"] = sum(len(ps) for ps in dv.values())
+            new_entry["dv_rows"] = _dv_nrows(dv)
         _commit(fs, dst_dir, None, 1, new_entry, lease=lease)
         fs.delete_file(fs.join(dst_dir, seg + ".claim"))
         return 1
@@ -2970,19 +3172,15 @@ def read_appends(
     to_v = int(to_version) if to_version is not None else int(
         manifest["version"]
     )
-    appended, schema, partitioned = _append_delta_files(
+    appended, schema, partitioned, evo = _append_delta_files(
         fs, table_dir, manifest, int(from_version), to_v,
         ignore_deletes=ignore_deletes,
     )
-    snaps = manifest.get("snapshots", {})
-    to_entry = (
-        manifest
-        if to_v == int(manifest["version"])
-        else snaps.get(str(to_v), manifest)
-    )
+    # evo comes from the WALK (each delivered file resolved against the
+    # entry that appended it) — the final entry's resolution would
+    # silently NULL renamed columns of files a later compact dropped
     return _read_files(
-        spark, fs, table_dir, appended, schema, partitioned,
-        evo=_evo_of(to_entry, _resolve_entry(fs, table_dir, to_entry)),
+        spark, fs, table_dir, appended, schema, partitioned, evo=evo,
     )
 
 
@@ -2994,7 +3192,7 @@ def _append_delta_files(
     to_v: int,
     ignore_deletes: bool = False,
 ):
-    """``(appended files, schema_json, partitioned)`` between two
+    """``(appended files, schema_json, partitioned, evo)`` between two
     retained versions — the metadata algebra behind
     :func:`read_appends` and the ``bamboo_published`` streaming source.
 
@@ -3004,7 +3202,18 @@ def _append_delta_files(
     but if it rewrote a file already collected as appended, those
     appended rows were folded into mixed files and the exact delta is
     unrecoverable (raise, don't over-deliver). ``ignore_deletes`` lets
-    shrinking versions pass as no-ops (see :func:`read_appends`)."""
+    shrinking versions pass as no-ops (see :func:`read_appends`).
+
+    ``evo`` (None unless any walked entry is schema-evolved) is the
+    read descriptor resolving each DELIVERED file's physical columns —
+    built from the file's APPENDING entry, not the final one: a file
+    appended before a rename and dropped by a later compact is absent
+    from the final entry's resolution, and resolving it there would
+    silently NULL the renamed column. The final entry's field ids key
+    the logical names; a walk whose id space broke (a full rewrite
+    re-assigned ids mid-range) or whose delivered files predate field
+    stamping refuses instead of guessing (Delta similarly blocks
+    streaming across column-mapping changes)."""
 
     def _entry_of(v: int) -> dict:
         if v == 0:
@@ -3023,11 +3232,45 @@ def _append_delta_files(
         return snaps[str(v)]
 
     appended: List[str] = []
+    fmaps: dict = {}  # delivered file -> {field_id: phys name} or None
+    evolved_any = False
+    ids_broken: Optional[str] = None
+
+    def _collect(added_files, e: dict) -> None:
+        # record each appended file's stamped field map FROM THE ENTRY
+        # THAT APPENDED IT — the final entry may no longer resolve it
+        res_e = _resolve_entry(fs, table_dir, e, rekey_stats=False)
+        ff = res_e.get("file_fields") or {}
+        for f in added_files:
+            appended.append(f)
+            fmaps[f] = ff.get(f)
+
+    def _step_ids(a: dict, b: dict) -> None:
+        # id-space continuity between consecutive walked entries: a
+        # name keeping its id, ids never reused. A full rewrite inside
+        # the walk re-assigns ids positionally — if that changed any
+        # shared name's id (or shrank the counter), maps collected
+        # before it are keyed in a DEAD id space: mark broken.
+        nonlocal ids_broken
+        if ids_broken is not None:
+            return
+        ia, na = _field_ids_of(a) if a.get("schema") else ({}, 1)
+        ib, nb = _field_ids_of(b)
+        if nb < na or any(
+            ib[n] != i for n, i in ia.items() if n in ib
+        ):
+            ids_broken = (
+                "a full rewrite re-assigned field ids inside the delta"
+            )
+
     prev_e = _entry_of(from_v)
     prev_files = set(_entry_files(fs, table_dir, prev_e))
+    evolved_any = bool(prev_e.get("schema_evolved"))
     schema, partitioned = None, False
     for v in range(from_v + 1, to_v + 1):
         e = _entry_of(v)
+        _step_ids(prev_e, e)
+        evolved_any = evolved_any or bool(e.get("schema_evolved"))
         cur_files = set(_entry_files(fs, table_dir, e))
         added = cur_files - prev_files
         dropped = prev_files - cur_files
@@ -3060,7 +3303,7 @@ def _append_delta_files(
                         "delete-vector changes; the delta is not "
                         "expressible — read the full snapshot" % v
                     )
-                appended.extend(sorted(added))
+                _collect(sorted(added), e)
                 prev_e, prev_files = e, cur_files
                 schema = e["schema"]
                 partitioned = bool(e.get("partition_by"))
@@ -3111,7 +3354,7 @@ def _append_delta_files(
                     "read_appends: v%d both added rows and removed "
                     "files (replace); the delta is not append-only" % v
                 )
-            appended.extend(sorted(added))
+            _collect(sorted(added), e)
         # grew == 0 with added files = pure rewrite of pre-delta rows:
         # contributes nothing
         prev_e, prev_files = e, cur_files
@@ -3119,7 +3362,27 @@ def _append_delta_files(
     if schema is None:  # from == to
         e = _entry_of(to_v)
         schema, partitioned = e["schema"], bool(e.get("partition_by"))
-    return appended, schema, partitioned
+    evo = None
+    if evolved_any and appended:
+        final_e = _entry_of(to_v)
+        unstamped = sorted(f for f in appended if fmaps.get(f) is None)
+        if ids_broken or unstamped:
+            raise ValueError(
+                "read_appends: the table renamed/dropped columns and %s "
+                "— the delivered files' physical columns can't be "
+                "resolved exactly; read the full snapshot or "
+                "read_changes() instead"
+                % (
+                    ids_broken
+                    or "delivered file(s) predate field stamping (%s...)"
+                    % unstamped[:3]
+                )
+            )
+        evo = {
+            "ids": _field_ids_of(final_e)[0],
+            "files": {f: fmaps[f] for f in appended},
+        }
+    return appended, schema, partitioned, evo
 
 
 def _cdf_delta(
@@ -3128,14 +3391,19 @@ def _cdf_delta(
     """METADATA-ONLY change plan between two retained versions — the
     streaming change-feed planner (``bamboo_published`` with
     ``readChangeFeed``). Returns one dict per file-task:
-    ``{kind, file, take, mask, version, schema, partitioned}`` where
-    ``take`` names exact row positions (delete-vector deletes) and
-    ``mask`` positions to exclude (a dropped file's pre-existing dv).
-    Everything resolves from manifests and dv files on the DRIVER —
-    no Spark job — which is exactly what a streaming source's
-    ``partitions()`` is allowed to do. Row-REWRITING replaces can't be
-    expressed without a diff job: they raise, pointing at the batch
-    :func:`read_changes` (same rule as Delta's CDF-less rewrites)."""
+    ``{kind, file, take_ref, mask_ref, fields, version, schema,
+    partitioned}`` where ``take_ref`` is a ``(cur, prev)`` pair of
+    position refs (see :func:`_dv_ref_of`) whose difference names the
+    newly-deleted rows (resolved EXECUTOR-side — v2 sidecar positions
+    never pass through the driver), ``mask_ref`` positions to exclude
+    (a dropped/added file's pre-existing dv), and ``fields`` the
+    file's (logical, physical) column resolution on schema-evolved
+    tables (None = identity). Everything resolves from manifests and
+    dv manifests on the DRIVER — no Spark job — which is exactly what
+    a streaming source's ``partitions()`` is allowed to do.
+    Row-REWRITING replaces can't be expressed without a diff job: they
+    raise, pointing at the batch :func:`read_changes` (same rule as
+    Delta's CDF-less rewrites)."""
 
     def _entry_of(v: int) -> dict:
         if v == 0:
@@ -3150,12 +3418,39 @@ def _cdf_delta(
             )
         return snaps[str(v)]
 
+    # every task reads under the MANIFEST schema (Delta's CDF contract:
+    # changes surface under the READ-time schema) — the stream reader's
+    # output schema is pinned once, and per-version schemas would
+    # desync from it across a mid-feed rename. On evolved tables each
+    # file's physical columns resolve by field id from the entry that
+    # OWNS the file in that step.
+    man_evolved = bool(manifest.get("schema_evolved"))
+    man_ids, _ = _field_ids_of(manifest)
+    man_names = [
+        x["name"] for x in json.loads(manifest["schema"])["fields"]
+    ]
+
+    def _fields_of(res: dict, f: str):
+        """Per-file (logical, physical-or-None) tuple — the executor-
+        side column resolution (mirrors the DataSource's
+        `_fields_for`). None = identity (table never evolved)."""
+        if not man_evolved:
+            return None
+        fm = (res.get("file_fields") or {}).get(f)
+        if fm is None:
+            return tuple((n, n) for n in man_names)
+        return tuple(
+            (n, fm.get(str(man_ids.get(n)))) for n in man_names
+        )
+
     plan: List[dict] = []
     prev_e = _entry_of(from_v)
-    prev_files = set(_entry_files(fs, table_dir, prev_e))
+    res_prev = _resolve_entry(fs, table_dir, prev_e)
+    prev_files = set(res_prev["files"])
     for v in range(from_v + 1, to_v + 1):
         e = _entry_of(v)
-        cur_files = set(_entry_files(fs, table_dir, e))
+        res_cur = _resolve_entry(fs, table_dir, e)
+        cur_files = set(res_cur["files"])
         added = sorted(cur_files - prev_files)
         dropped = sorted(prev_files - cur_files)
         grew = int(e.get("n_rows", 0)) - int(prev_e.get("n_rows", 0))
@@ -3163,9 +3458,26 @@ def _cdf_delta(
         dv_cur = _load_dv(fs, table_dir, e)
         base = {
             "version": v,
-            "schema": e["schema"],
+            "schema": manifest["schema"],
             "partitioned": bool(e.get("partition_by")),
         }
+
+        def _dv_task(f: str) -> Optional[dict]:
+            # dv growth on a file live in both snapshots: the executor
+            # takes cur-minus-prev positions (exact row addresses)
+            if (dv_cur.get(f) or None) == (dv_prev.get(f) or None):
+                return None
+            return {
+                "kind": "delete", "file": f,
+                "take_ref": (
+                    _dv_ref_of(dv_cur.get(f), f),
+                    _dv_ref_of(dv_prev.get(f), f),
+                ),
+                "mask_ref": None,
+                "fields": _fields_of(res_cur, f),
+                **base,
+            }
+
         if e.get("data_change") is False:
             pass  # compaction/clustering: same rows, nothing to feed
         elif not dropped:
@@ -3175,39 +3487,35 @@ def _cdf_delta(
             for f in added:
                 plan.append(
                     {"kind": "insert", "file": f,
-                     "take": None, "mask": dv_cur.get(f), **base}
+                     "take_ref": None,
+                     "mask_ref": _dv_ref_of(dv_cur.get(f), f),
+                     "fields": _fields_of(res_cur, f),
+                     **base}
                 )
             for f in sorted(prev_files & cur_files):
-                newly = sorted(
-                    set(dv_cur.get(f) or []) - set(dv_prev.get(f) or [])
-                )
-                if newly:  # dv delete: exact row addresses
-                    plan.append(
-                        {"kind": "delete", "file": f,
-                         "take": newly, "mask": None, **base}
-                    )
+                t = _dv_task(f)
+                if t:
+                    plan.append(t)
         elif grew < 0 and not added:
             for f in dropped:  # whole-file/partition delete
                 plan.append(
                     {"kind": "delete", "file": f,
-                     "take": None, "mask": dv_prev.get(f), **base}
+                     "take_ref": None,
+                     "mask_ref": _dv_ref_of(dv_prev.get(f), f),
+                     "fields": _fields_of(res_prev, f),
+                     **base}
                 )
             for f in sorted(prev_files & cur_files):
-                newly = sorted(
-                    set(dv_cur.get(f) or []) - set(dv_prev.get(f) or [])
-                )
-                if newly:
-                    plan.append(
-                        {"kind": "delete", "file": f,
-                         "take": newly, "mask": None, **base}
-                    )
+                t = _dv_task(f)
+                if t:
+                    plan.append(t)
         else:
             raise ValueError(
                 "change feed: v%d rewrote rows (replace); a streaming "
                 "source plans driver-side only — use the batch "
                 "read_changes() for exact rewrite diffs" % v
             )
-        prev_e, prev_files = e, cur_files
+        prev_e, prev_files, res_prev = e, cur_files, res_cur
     return plan
 
 
@@ -3345,37 +3653,51 @@ def read_changes(
             ins, dels = _multiset_diff(old_rows, new_rows, v)
             pieces.extend([ins, dels])
         # delete-vector growth on files live in BOTH snapshots: the
-        # newly-addressed positions are deletes, read back by address
+        # newly-addressed positions are deletes, read back by address.
+        # The position DELTA is computed as a DataFrame anti-join
+        # (cur minus prev), never materialized on the driver — a
+        # predicate dv-delete's CDF step stays distributed at any size.
         common = prev_files & cur_files
-        newly = {
-            f: sorted(set(dv_cur.get(f) or []) - set(dv_prev.get(f) or []))
+        changed = sorted(
+            f
             for f in common
-        }
-        newly = {f: ps for f, ps in newly.items() if ps}
-        if newly:
-            addressed = _read_files_with_pos(
-                spark, fs, table_dir, sorted(newly), e["schema"], parted,
-                evo=evo_cur,
+            if (dv_cur.get(f) or None) != (dv_prev.get(f) or None)
+        )
+        if changed:
+            cur_pos = _dv_positions_df(
+                spark, fs, table_dir,
+                {f: dv_cur[f] for f in changed if dv_cur.get(f)},
             )
-            pos_rows = [
-                (rel.rsplit("/", 1)[-1], _ref_suffix(rel), int(p))
-                for rel, ps in newly.items()
-                for p in ps
-            ]
-            pdf = spark.createDataFrame(
-                pos_rows, "_b string, _sfx string, _pos long"
+        if changed and cur_pos is not None:
+            prev_pos = _dv_positions_df(
+                spark, fs, table_dir,
+                {f: dv_prev[f] for f in changed if dv_prev.get(f)},
+            )
+            newly_df = cur_pos
+            if prev_pos is not None:
+                newly_df = cur_pos.join(
+                    prev_pos.select("_dv_file", "_dv_pos"),
+                    ["_dv_file", "_dv_pos"],
+                    "left_anti",
+                )
+            addressed = _read_files_with_pos(
+                spark, fs, table_dir, changed, e["schema"], parted,
+                evo=evo_cur,
             )
             hit = (
                 addressed.withColumn(
                     "_fb", F.element_at(F.split(F.col("_fp"), "/"), -1)
                 )
                 .join(
-                    F.broadcast(pdf),
-                    (F.col("_fb") == F.col("_b"))
-                    & (F.col("_ri") == F.col("_pos"))
-                    & F.col("_fp").endswith(F.col("_sfx")),
+                    newly_df,
+                    (F.col("_fb") == F.col("_dv_base"))
+                    & (F.col("_ri") == F.col("_dv_pos"))
+                    & F.col("_fp").endswith(F.col("_dv_sfx")),
                 )
-                .drop("_fp", "_ri", "_fb", "_b", "_sfx", "_pos")
+                .drop(
+                    "_fp", "_ri", "_fb",
+                    "_dv_file", "_dv_base", "_dv_sfx", "_dv_pos",
+                )
             )
             pieces.append(_tag(hit, "delete", v))
         prev_e, prev_files = e, cur_files
@@ -3601,6 +3923,12 @@ def vacuum(
                 referenced.add(seg)
             if e.get("dv"):
                 referenced.add(e["dv"].split("/", 1)[0])
+                # v2 refs: a snapshot's dv manifest can cite sidecar
+                # DATASETS in OLDER version dirs (untouched files keep
+                # their refs) — those dirs must survive too
+                for v in _load_dv(fs, table_dir, e).values():
+                    if isinstance(v, dict) and not _is_ext(v["ds"]):
+                        referenced.add(v["ds"].split("/", 1)[0])
 
         def _claim_fresh(name: str) -> bool:
             """An optimistic writer stages data with NO lease held —
@@ -3906,7 +4234,6 @@ def merge_publish_incremental(
     batch_keys = changes.select(*keys).distinct()
     # ---- address scan (no lease): where do the touched keys live NOW?
     res = _resolve_entry(fs, table_dir, manifest)
-    dv0 = _load_dv(fs, table_dir, manifest)
     candidates = list(res["files"])
     if len(keys) == 1 and (res["file_blooms"] or res["file_stats"]):
         key_vals = [r[0] for r in batch_keys.collect()]
@@ -3914,26 +4241,22 @@ def merge_publish_incremental(
             candidates = _prune_key_candidates(
                 res, candidates, keys[0], key_vals
             )
-    hits = []
+    addr = None
     if candidates:
-        hits = (
+        # matched-row ADDRESSES as a DataFrame — never collected; the
+        # commit phase folds them into delete vectors with a
+        # distributed sidecar write (_dv_build)
+        addr = (
             _read_files_with_pos(
                 spark, fs, table_dir, candidates, manifest["schema"],
                 bool(parts), evo=_evo_of(manifest, res),
             )
             .join(F.broadcast(batch_keys), keys, "inner")
             .select("_fp", "_ri")
-            .collect()  # O(matched rows) = O(batch) — the merge contract
         )
-    new_pos: dict = {}
-    for r in hits:
-        rel = _rel_of(r["_fp"], candidates)
-        if rel is None or int(r["_ri"]) in set(dv0.get(rel) or []):
-            continue
-        new_pos.setdefault(rel, set()).add(int(r["_ri"]))
     return _mor_commit(
-        spark, fs, table_dir, manifest, new_pos, upserts, parts,
-        lease_ttl_ms, stats_cols, bloom_cols, meta,
+        spark, fs, table_dir, manifest, addr, candidates, upserts,
+        parts, lease_ttl_ms, stats_cols, bloom_cols, meta,
         who="merge_publish_incremental",
     )
 
@@ -3943,7 +4266,8 @@ def _mor_commit(
     fs,
     table_dir: str,
     manifest: dict,
-    new_pos: dict,
+    addr_df: Optional[DataFrame],
+    cand_files,
     out_df: DataFrame,
     parts,
     lease_ttl_ms: int,
@@ -3954,12 +4278,14 @@ def _mor_commit(
 ) -> Optional[int]:
     """The MERGE-ON-READ write+commit phase shared by
     ``merge_publish_incremental`` and ``merge_into``: write ``out_df``
-    as the delta's new files (no lease), then under a short commit
-    lease fold ``new_pos`` (the matched rows' addresses) into the
-    delete vectors and commit — with the address-validity rebase that
-    makes the lease-less scan safe (a concurrent commit that rewrote a
-    matched file or changed its vectors raises instead of losing the
-    race)."""
+    as the delta's new files and fold ``addr_df`` (the matched rows'
+    ``(_fp, _ri)`` addresses, still a DataFrame — positions never touch
+    the driver) into executor-written delete-vector sidecars
+    (:func:`_dv_build`), both WITHOUT the lease; then under a short
+    commit lease swap the manifest — with the address-validity rebase
+    that makes the lease-less scan safe (a concurrent commit that
+    rewrote a matched file or changed its vectors raises instead of
+    losing the race)."""
     from pyspark.sql import Observation, functions as F
 
     # ---- data-write phase (no lease): the post-state rows
@@ -3983,7 +4309,16 @@ def _mor_commit(
             # leaves empty part files — never cite them; the staging
             # dir becomes vacuum garbage
             new_files, new_sizes = [], {}
-        if not new_files and not new_pos:
+        # ---- dv-write phase (no lease): merged sidecars for the
+        # touched files, written by executors; the driver sees refs
+        dv0 = _load_dv(fs, table_dir, manifest)
+        new_refs: dict = {}
+        n_deleted = 0
+        if addr_df is not None:
+            new_refs, n_deleted = _dv_build(
+                spark, fs, table_dir, seg, addr_df, cand_files, dv0
+            )
+        if not new_files and not new_refs:
             # empty batch: nothing matched, nothing added — release the
             # claim now rather than leaving it to vacuum's age reclaim
             fs.delete_file(fs.join(table_dir, seg + ".claim"))
@@ -4010,17 +4345,16 @@ def _mor_commit(
             if int(cur["version"]) != int(prev["version"]):
                 _check_rebase(prev, cur, who)
                 cur_live = set(_entry_files(fs, table_dir, cur))
-                if not set(new_pos) <= cur_live:
+                if not set(new_refs) <= cur_live:
                     raise ConcurrentWriteError(
                         "%s: a concurrent commit "
                         "rewrote file(s) holding matched keys — "
                         "addresses are stale; re-run" % who
                     )
-                base_dv = _load_dv(fs, table_dir, prev)
                 cur_dv = _load_dv(fs, table_dir, cur)
                 if any(
-                    (base_dv.get(f) or []) != (cur_dv.get(f) or [])
-                    for f in new_pos
+                    (dv0.get(f) or None) != (cur_dv.get(f) or None)
+                    for f in new_refs
                 ):
                     raise ConcurrentWriteError(
                         "%s: a concurrent delete "
@@ -4028,13 +4362,8 @@ def _mor_commit(
                         "re-run" % who
                     )
                 prev = cur
-            cur_dv = _load_dv(fs, table_dir, prev)
-            merged_dv = {f: sorted(ps) for f, ps in cur_dv.items()}
-            n_deleted = 0
-            for f, ps in new_pos.items():
-                have = set(merged_dv.get(f) or [])
-                n_deleted += len(ps - have)
-                merged_dv[f] = sorted(have | ps)
+            merged_dv = dict(_load_dv(fs, table_dir, prev))
+            merged_dv.update(new_refs)
             segs, removed = _segments_of(fs, table_dir, prev)
             if new_files:
                 segs = segs + [seg]
@@ -4051,9 +4380,7 @@ def _mor_commit(
             }
             if merged_dv:
                 entry["dv"] = _write_dv(fs, table_dir, seg, merged_dv)
-                entry["dv_rows"] = sum(
-                    len(ps) for ps in merged_dv.values()
-                )
+                entry["dv_rows"] = _dv_nrows(merged_dv)
             if meta:
                 entry["meta"] = dict(meta)
             version = int(prev["version"]) + 1
@@ -4196,19 +4523,25 @@ def merge_into(
             spark, fs, table_dir, candidates, manifest["schema"],
             bool(parts), evo=_evo_of(manifest, res),
         )
-        if dv0:
-            # already-deleted rows never match (merge-on-read mask)
-            rows = [
-                (_ref_suffix(rel), int(p))
-                for rel, ps in dv0.items()
-                for p in ps
-            ]
-            dvdf = spark.createDataFrame(rows, "_dv_sfx string, _dv_pos long")
-            tgt = tgt.join(
-                F.broadcast(dvdf),
-                F.col("_fp").endswith(F.col("_dv_sfx"))
-                & (F.col("_ri") == F.col("_dv_pos")),
-                "left_anti",
+        dv_scanned = {f: v for f, v in dv0.items() if f in set(candidates)}
+        if dv_scanned:
+            # already-deleted rows never match (merge-on-read mask) —
+            # positions come from _dv_positions_df (distributed sidecar
+            # read for v2 refs), equi-keyed on basename + position
+            dvdf = _dv_positions_df(spark, fs, table_dir, dv_scanned)
+            tgt = (
+                tgt.withColumn(
+                    "_dv_b",
+                    F.element_at(F.split(F.col("_fp"), "/"), -1),
+                )
+                .join(
+                    dvdf,
+                    (F.col("_dv_b") == F.col("_dv_base"))
+                    & (F.col("_ri") == F.col("_dv_pos"))
+                    & F.col("_fp").endswith(F.col("_dv_sfx")),
+                    "left_anti",
+                )
+                .drop("_dv_b")
             )
         m = tgt.alias("t").join(
             source.alias("s"),
@@ -4216,21 +4549,25 @@ def merge_into(
             "inner",
         )
         # cardinality violation check (Delta MERGE rule): one target
-        # row, many source rows = nondeterministic — one aggregate,
-        # raised before anything is written
-        dup = (
-            m.groupBy(F.col("t._fp"), F.col("t._ri"))
-            .count()
-            .where(F.col("count") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                "merge_into: a target row matches multiple source rows "
-                "on key %s — deduplicate the source (cardinality "
-                "violation)" % keys
+        # row, many source rows = nondeterministic UPDATE/DELETE — one
+        # aggregate, raised before anything is written. Insert-only
+        # merges (no matched clause) skip it, like Delta: duplicate
+        # source matches can't touch any target row, so they're legal
+        # (and the check's aggregate would be pure cost)
+        if when_matched_update is not None or delete_cond:
+            dup = (
+                m.groupBy(F.col("t._fp"), F.col("t._ri"))
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+                .collect()
             )
+            if dup:
+                raise ValueError(
+                    "merge_into: a target row matches multiple source "
+                    "rows on key %s — deduplicate the source "
+                    "(cardinality violation)" % keys
+                )
         fire = F.expr("false")
         if delete_cond:
             fire = fire | F.expr(delete_cond)
@@ -4243,27 +4580,24 @@ def merge_into(
         matched_keys = m.select(
             *[F.col("s." + k).alias(k) for k in keys]
         ).distinct()
-    # addresses of every fired matched row (deleted OR updated)
-    new_pos: dict = {}
+    # addresses of every fired matched row (deleted OR updated) — kept
+    # as a DataFrame end-to-end; _mor_commit folds them into executor-
+    # written delete-vector sidecars without a driver collect
+    addr: Optional[DataFrame] = None
     if nmbs is not None and nmbs is not False and tgt is not None:
-        unmatched = tgt.alias("t").join(
-            F.broadcast(src_keys), keys, "left_anti"
-        )
+        # NO broadcast hint: this clause's advertised use is full-table
+        # sync, where the source (and hence its key set) is table-sized
+        # — AQE broadcasts small key sets on its own; forcing the hint
+        # here would OOM the driver exactly when the clause matters
+        unmatched = tgt.alias("t").join(src_keys, keys, "left_anti")
         if isinstance(nmbs, str):
             unmatched = unmatched.where(F.expr(nmbs))
-        for r in unmatched.select("_fp", "_ri").collect():
-            rel = _rel_of(r["_fp"], candidates)
-            if rel is not None:
-                new_pos.setdefault(rel, set()).add(int(r["_ri"]))
+        addr = unmatched.select("_fp", "_ri")
     if fired_m is not None:
-        hits = fired_m.select(
+        fired_addr = fired_m.select(
             F.col("t._fp").alias("_fp"), F.col("t._ri").alias("_ri")
-        ).collect()  # O(fired matches) — the merge contract
-        for r in hits:
-            rel = _rel_of(r["_fp"], candidates)
-            if rel is None:
-                continue
-            new_pos.setdefault(rel, set()).add(int(r["_ri"]))
+        )
+        addr = fired_addr if addr is None else addr.unionByName(fired_addr)
     # post-state rows: updated matches + conditional inserts
     out = None
     if when_matched_update is not None and fired_m is not None:
@@ -4295,7 +4629,7 @@ def merge_into(
     if out is None:
         out = source.limit(0).select(*cols)
     return _mor_commit(
-        spark, fs, table_dir, manifest, new_pos, out, parts,
+        spark, fs, table_dir, manifest, addr, candidates, out, parts,
         lease_ttl_ms, stats_cols, bloom_cols, meta, who="merge_into",
     )
 
@@ -4573,12 +4907,15 @@ def _dv_delete(
     True)``: record matching rows' (file, position) addresses as the
     next snapshot's delete vectors — ZERO data files written or
     rewritten. One scan of the (bloom-pruned) candidates finds the
-    addresses; the commit is a manifest swap plus one small dv file.
-    Optimistic like every publish: the scan runs without the lease; at
+    addresses and folds them, DISTRIBUTIVELY, into executor-written
+    parquet sidecars (:func:`_dv_build` — a predicate delete matching
+    billions of rows never materializes a position on the driver); the
+    commit is a manifest swap citing the per-file refs. Optimistic like
+    every publish: the scan and sidecar write run without the lease; at
     commit time a concurrent commit rebases iff it kept schema/layout,
-    every dv'd file is still live, and dv merges are positionally
-    disjoint-or-identical (a set union — deletes of the same row
-    commute)."""
+    every dv'd file is still live, and no concurrent commit changed a
+    touched file's vectors (that raises re-run — the sidecar union was
+    built against the base state)."""
     from pyspark.sql import functions as F
 
     parts = manifest.get("partition_by") or []
@@ -4589,83 +4926,82 @@ def _dv_delete(
     )
     if not candidates:
         return None
-    hits = (
+    addr = (
         _read_files_with_pos(
             spark, fs, table_dir, candidates, manifest["schema"],
             bool(parts), evo=_evo_of(manifest, res),
         )
         .where(condition)
         .select("_fp", "_ri")
-        .collect()  # O(matched rows) — the point-delete contract
     )
-    new_pos: dict = {}
-    for r in hits:
-        rel = _rel_of(r["_fp"], candidates)
-        if rel is None:
-            continue
-        p = int(r["_ri"])
-        if p in set(dv0.get(rel) or []):
-            continue  # already deleted in the base snapshot
-        new_pos.setdefault(rel, set()).add(p)
-    new_pos = {f: ps for f, ps in new_pos.items() if ps}
-    if not new_pos:
-        return None
-    # a dv commit writes no parquet; the claimed dir hosts the dv file
+    # the claimed dir hosts the dv manifest + this commit's sidecars
     seg = _claim_vdir(fs, table_dir, _next_version(fs, table_dir, manifest))
-    prev = manifest
-    lease = _Lease(fs, table_dir, ttl_ms=lease_ttl_ms).acquire_wait(
-        wait_ms=_COMMIT_WAIT_MS
-    )
+    beat = _ClaimBeat(fs, table_dir, seg, lease_ttl_ms).start()
     try:
-        cur = _read_manifest(table_dir, fs)
-        if cur is None:
-            raise ConcurrentWriteError(
-                "delete_publish(dv): manifest vanished mid-delete"
-            )
-        if int(cur["version"]) != int(prev["version"]):
-            _check_rebase(prev, cur, "delete_publish(dv)")
-            cur_live = set(_entry_files(fs, table_dir, cur))
-            if not set(new_pos) <= cur_live:
+        new_refs, n_deleted = _dv_build(
+            spark, fs, table_dir, seg, addr, candidates, dv0
+        )
+        if not new_refs:
+            fs.delete_file(fs.join(table_dir, seg + ".claim"))
+            return None
+        prev = manifest
+        lease = _Lease(fs, table_dir, ttl_ms=lease_ttl_ms).acquire_wait(
+            wait_ms=_COMMIT_WAIT_MS
+        )
+        try:
+            cur = _read_manifest(table_dir, fs)
+            if cur is None:
                 raise ConcurrentWriteError(
-                    "delete_publish(dv): a concurrent commit rewrote "
-                    "file(s) this delete addresses — positions are "
-                    "stale; re-run against the new snapshot"
+                    "delete_publish(dv): manifest vanished mid-delete"
                 )
-            prev = cur
-        cur_dv = _load_dv(fs, table_dir, prev)
-        merged: dict = {f: sorted(ps) for f, ps in cur_dv.items()}
-        n_deleted = 0
-        for f, ps in new_pos.items():
-            have = set(merged.get(f) or [])
-            fresh = ps - have
-            n_deleted += len(fresh)
-            merged[f] = sorted(have | ps)
-        if n_deleted == 0:
-            return None  # a concurrent delete already erased them all
-        segs, removed = _segments_of(fs, table_dir, prev)
-        prev_nf, prev_sz = _entry_counters(fs, table_dir, prev)
-        entry = {
-            "segments": segs,
-            "removed": removed,
-            "n_rows": int(prev["n_rows"]) - n_deleted,
-            "n_files": prev_nf,
-            "size_bytes": prev_sz,
-            "schema": prev["schema"],
-            "partition_by": parts,
-            "operation": "delete",
-            "dv": _write_dv(fs, table_dir, seg, merged),
-            "dv_rows": sum(len(ps) for ps in merged.values()),
-        }
-        version = int(prev["version"]) + 1
-        _commit(fs, table_dir, prev, version, entry, lease=lease)
-        # commit done: the staging dir now exists and is referenced,
-        # so the claim marker's job (name uniqueness + in-flight
-        # liveness for vacuum) is over — release it so vacuum can
-        # tell committed dirs from in-flight staging writes
-        fs.delete_file(fs.join(table_dir, seg + ".claim"))
-        return version
+            if int(cur["version"]) != int(prev["version"]):
+                _check_rebase(prev, cur, "delete_publish(dv)")
+                cur_live = set(_entry_files(fs, table_dir, cur))
+                if not set(new_refs) <= cur_live:
+                    raise ConcurrentWriteError(
+                        "delete_publish(dv): a concurrent commit rewrote "
+                        "file(s) this delete addresses — positions are "
+                        "stale; re-run against the new snapshot"
+                    )
+                cur_dv = _load_dv(fs, table_dir, cur)
+                if any(
+                    (dv0.get(f) or None) != (cur_dv.get(f) or None)
+                    for f in new_refs
+                ):
+                    raise ConcurrentWriteError(
+                        "delete_publish(dv): a concurrent delete changed "
+                        "a touched file's delete vectors — re-run "
+                        "against the new snapshot"
+                    )
+                prev = cur
+            merged = dict(_load_dv(fs, table_dir, prev))
+            merged.update(new_refs)
+            segs, removed = _segments_of(fs, table_dir, prev)
+            prev_nf, prev_sz = _entry_counters(fs, table_dir, prev)
+            entry = {
+                "segments": segs,
+                "removed": removed,
+                "n_rows": int(prev["n_rows"]) - n_deleted,
+                "n_files": prev_nf,
+                "size_bytes": prev_sz,
+                "schema": prev["schema"],
+                "partition_by": parts,
+                "operation": "delete",
+                "dv": _write_dv(fs, table_dir, seg, merged),
+                "dv_rows": _dv_nrows(merged),
+            }
+            version = int(prev["version"]) + 1
+            _commit(fs, table_dir, prev, version, entry, lease=lease)
+            # commit done: the staging dir now exists and is referenced,
+            # so the claim marker's job (name uniqueness + in-flight
+            # liveness for vacuum) is over — release it so vacuum can
+            # tell committed dirs from in-flight staging writes
+            fs.delete_file(fs.join(table_dir, seg + ".claim"))
+            return version
+        finally:
+            lease.release()
     finally:
-        lease.release()
+        beat.stop()
 
 
 def _footer_minmax(fs, path: str, cols) -> Optional[dict]:
@@ -4949,7 +5285,7 @@ def replace_files_publish(
             prev_dv = _load_dv(fs, table_dir, prev)
             replaced = [f for f in res["files"] if f in replace_set]
             replaced_rows = sum(
-                fs.file_rows(_ref_path(fs, table_dir, f)) - len(prev_dv.get(f) or [])
+                fs.file_rows(_ref_path(fs, table_dir, f)) - _dv_val_n(prev_dv.get(f))
                 for f in replaced
             )
             replaced_bytes = sum(

@@ -99,16 +99,20 @@ def _strip_file_uri(p: str) -> str:
     return p
 
 
-def _open_parquet(loc: str):
+def _open_parquet(loc: str, columns=None, filters=None):
     """Executor-side open: (pyarrow.parquet table read) for a data-file
     location that may be a plain path, a ``file:`` URI, or a remote
     URI. Remote schemes route through ``pyarrow.fs.FileSystem.from_uri``
     — S3/GCS/HDFS when pyarrow's backend is present; anything else
-    raises naming the scheme instead of an opaque task failure."""
+    raises naming the scheme instead of an opaque task failure.
+    ``columns``/``filters`` pass through to pyarrow (column pruning +
+    row-group predicate pushdown — what the delete-vector sidecar reads
+    use to touch only their file's rows)."""
     import pyarrow.parquet as pq
 
+    kw = {"columns": columns, "filters": filters}
     if "://" not in loc or loc.startswith("file:"):
-        return pq.read_table(_strip_file_uri(loc))
+        return pq.read_table(_strip_file_uri(loc), **kw)
     from pyarrow.fs import FileSystem
 
     try:
@@ -121,7 +125,25 @@ def _open_parquet(loc: str):
             "read_published() (JVM readers)"
             % (loc.split("://", 1)[0], e)
         ) from e
-    return pq.read_table(path, filesystem=fs)
+    return pq.read_table(path, filesystem=fs, **kw)
+
+
+def _ref_positions(ref) -> Optional[set]:
+    """EXECUTOR-side resolution of a positions ref (publish.
+    ``_dv_ref_of`` with dataset paths pre-resolved to locations):
+    ``("pos", (p, ...))`` inlines v1 positions; ``("ds", loc, key)``
+    reads the file's rows from the parquet sidecar dataset — column-
+    pruned and predicate-pushed, so a task touches only its own file's
+    positions no matter how large the commit's dataset is."""
+    if ref is None:
+        return None
+    if ref[0] == "pos":
+        return set(ref[1])
+    _, loc, key = ref
+    tbl = _open_parquet(
+        loc, columns=["_dv_pos"], filters=[("_dv_file", "=", key)]
+    )
+    return set(tbl["_dv_pos"].to_pylist())
 
 
 class _ArrowMetaFS:
@@ -188,16 +210,18 @@ def _driver_manifest(table_dir: str):
 @dataclass
 class _FilePartition(InputPartition):
     """One task = one data file (+ its path-borne partition values and
-    its delete-vector positions, point-delete-sized). For change-feed
-    reads, ``take_pos`` selects exactly those row positions instead of
-    masking, and ``change_type``/``commit_version`` stamp the batch."""
+    its delete-vector positions REF — resolved executor-side, see
+    ``_ref_positions``). For change-feed reads, ``take_diff`` is a
+    ``(cur, prev)`` ref pair whose difference selects exactly the
+    newly-deleted row positions, and ``change_type``/
+    ``commit_version`` stamp the batch."""
 
     loc: str             # absolute path or URI
     rel: str             # manifest-relative path (carries col=val segs)
     schema_json: str
     partition_by: tuple
-    dv_pos: tuple = field(default_factory=tuple)
-    take_pos: Optional[tuple] = None
+    dv_ref: Optional[tuple] = None     # mask: ("pos",(..)) | ("ds",loc,key)
+    take_diff: Optional[tuple] = None  # (cur_ref, prev_ref)
     change_type: Optional[str] = None
     commit_version: Optional[int] = None
     # schema-evolved tables: ((logical, physical-or-None), ...) — the
@@ -245,14 +269,20 @@ def _arrow_batches(part: _FilePartition):
     arrow_schema = to_arrow_schema(spark_schema)
     pvals = _partition_values(part.rel, set(part.partition_by))
     tbl = _open_parquet(part.loc)
-    if part.take_pos is not None:
-        tbl = tbl.take(list(part.take_pos))  # change-feed row addresses
-    elif part.dv_pos:
-        import numpy as np
+    if part.take_diff is not None:
+        # change-feed row addresses: newly-deleted = cur minus prev,
+        # both resolved here on the executor (sidecar reads)
+        cur = _ref_positions(part.take_diff[0]) or set()
+        prev = _ref_positions(part.take_diff[1]) or set()
+        tbl = tbl.take(sorted(cur - prev))
+    else:
+        dv_pos = _ref_positions(part.dv_ref)
+        if dv_pos:
+            import numpy as np
 
-        keep = np.ones(tbl.num_rows, dtype=bool)
-        keep[list(part.dv_pos)] = False
-        tbl = tbl.filter(pa.array(keep))
+            keep = np.ones(tbl.num_rows, dtype=bool)
+            keep[list(dv_pos)] = False
+            tbl = tbl.filter(pa.array(keep))
     n = tbl.num_rows
     cols = []
     consts = dict(pvals)
@@ -367,11 +397,20 @@ class _PublishedBatchReader(DataSourceReader):
                 rel=f,
                 schema_json=p["schema"],
                 partition_by=tuple(p["partition_by"]),
-                dv_pos=tuple(dv.get(f) or ()),
+                dv_ref=self._dv_ref(dv.get(f), f),
                 fields=_fields_for(p["schema"], p.get("evo"), f),
             )
             for f in files
         ]
+
+    def _dv_ref(self, v, rel: str) -> Optional[tuple]:
+        """Positions ref for one file's dv-manifest value, with v2
+        sidecar dataset paths resolved to readable locations."""
+        if not v:
+            return None
+        if isinstance(v, dict):
+            return ("ds", _join(self._dir, v["ds"]), v.get("key", rel))
+        return ("pos", tuple(int(p) for p in v))
 
     def read(self, partition: _FilePartition):
         return _arrow_batches(partition)
@@ -472,34 +511,41 @@ class _PublishedStreamReader(DataSourceStreamReader):
 
         fs, native, man = _driver_manifest(self._dir)
         parts = tuple(man.get("partition_by") or [])
-        if self._cdf and man.get("schema_evolved"):
-            raise NotImplementedError(
-                "bamboo_published: readChangeFeed over a schema-evolved "
-                "table is not supported through the DataSource — use "
-                "publish.read_changes (per-version schemas resolve "
-                "there)"
-            )
         if self._cdf:
             plan = _cdf_delta(
                 fs, native, man, int(start["version"]),
                 int(end["version"]),
             )
+
+            def _loc_ref(ref):
+                # v2 refs carry dataset paths relative to the table
+                # dir — resolve to locations the executor can open
+                if ref is None or ref[0] == "pos":
+                    return ref
+                return ("ds", _join(self._dir, ref[1]), ref[2])
+
             return [
                 _FilePartition(
                     loc=_join(self._dir, p["file"]),
                     rel=p["file"],
                     schema_json=_cdf_schema_json(p["schema"]),
                     partition_by=parts,
-                    dv_pos=tuple(p["mask"] or ()),
-                    take_pos=(
-                        tuple(p["take"]) if p["take"] is not None else None
+                    dv_ref=_loc_ref(p["mask_ref"]),
+                    take_diff=(
+                        tuple(_loc_ref(r) for r in p["take_ref"])
+                        if p["take_ref"] is not None
+                        else None
                     ),
                     change_type=p["kind"],
                     commit_version=p["version"],
+                    # schema-evolved tables: the planner resolved each
+                    # file's (logical, physical) map from its OWNING
+                    # entry — renamed/dropped columns read correctly
+                    fields=p.get("fields"),
                 )
                 for p in plan
             ]
-        files, schema_json, _ = _append_delta_files(
+        files, schema_json, _, evo = _append_delta_files(
             fs,
             native,
             man,
@@ -507,12 +553,9 @@ class _PublishedStreamReader(DataSourceStreamReader):
             int(end["version"]),
             ignore_deletes=self._ignore_deletes,
         )
-        from bamboo_spark.operators.publish import (
-            _evo_of,
-            _resolve_entry,
-        )
-
-        evo = _evo_of(man, _resolve_entry(fs, native, man))
+        # evo resolves each delivered file against the entry that
+        # APPENDED it (publish._append_delta_files) — exact even for
+        # pre-rename files a later compact dropped from the final entry
         return [
             _FilePartition(
                 loc=_join(self._dir, f),
