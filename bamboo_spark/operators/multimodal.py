@@ -341,12 +341,22 @@ def phash_pairs(
     sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 8
 ) -> DataFrame:
     """Near-duplicate pairs from pHash signatures: candidates = UNION
-    of four equi-joins (one per band — two hashes within hamming 8 of
-    each other agree on at least one 16-bit band by pigeonhole when
-    the differing bits spread; exact-duplicate payloads agree on all
-    four), verify ``hamming(a, b) <= max_hamming`` via bit_count(xor)
-    over the bands. Equi-joins only — never a cartesian of the image
-    table with itself.
+    of four equi-joins (one per band), verify ``hamming(a, b) <=
+    max_hamming`` via bit_count(xor) over the bands. Equi-joins only —
+    never a cartesian of the image table with itself.
+
+    RECALL CONTRACT: with 4 bands of 16 bits, pigeonhole guarantees a
+    clean (equal) band only for hamming <= 3 — those pairs are found
+    EXACTLY. For hamming 4..8 banding is a HEURISTIC: differing bits
+    that spread across all four bands (e.g. 2+2+2+2) agree on no band
+    and the pair is missed; real near-duplicate pHashes concentrate
+    their differing bits (local image edits perturb adjacent DCT
+    cells), which is why 4x16 banding is the standard pHash-LSH
+    trade-off. Callers needing exact recall at the default
+    ``max_hamming=8`` should multiprobe or widen bands; callers
+    needing a guarantee as-is should pass ``max_hamming=3``.
+    (tests/test_multimodal.py pins both sides of this contract with a
+    brute-force differential.)
 
     Exactly-once emission instead of dedup: band j's join additionally
     requires bands 0..j-1 UNEQUAL, so a pair agreeing on multiple bands

@@ -2779,15 +2779,29 @@ def drop_column(
 
 
 def _metadata_commit(
-    table_dir: str, spark, lease_ttl_ms: int, operation: str, extra: dict
+    table_dir: str,
+    spark,
+    lease_ttl_ms: int,
+    operation: str,
+    mutate,
 ) -> int:
     """Commit a PURE-METADATA snapshot: every segment carried by
-    reference, counters unchanged, ``extra`` merged into the entry."""
+    reference, counters unchanged. ``mutate(manifest) -> extra`` runs
+    INSIDE the commit lease against the freshly re-read manifest —
+    single-key mutations of shared dicts (tags, constraints) apply to
+    the state another writer may have just committed, instead of
+    last-writer-winning a dict computed from a stale read. The lease is
+    WAITED for (these commits are milliseconds): concurrent metadata
+    ops queue and compose rather than raising."""
     fs = _fs_for(table_dir, spark)
-    with _Lease(fs, table_dir, ttl_ms=lease_ttl_ms) as lease:
+    lease = _Lease(fs, table_dir, ttl_ms=lease_ttl_ms).acquire_wait(
+        wait_ms=_COMMIT_WAIT_MS
+    )
+    try:
         manifest = _read_manifest(table_dir, fs)
         if manifest is None:
             raise ValueError("%s: no committed table here" % operation)
+        extra = mutate(manifest)
         segs, removed = _segments_of(fs, table_dir, manifest)
         prev_nf, prev_sz = _entry_counters(fs, table_dir, manifest)
         entry = {
@@ -2808,6 +2822,8 @@ def _metadata_commit(
         version = int(manifest["version"]) + 1
         _commit(fs, table_dir, manifest, version, entry, lease=lease)
         return version
+    finally:
+        lease.release()
 
 
 def add_constraint(
@@ -2864,10 +2880,18 @@ def add_constraint(
                 "the data first or add with validate=False at your own "
                 "risk" % (name, expr_sql)
             )
-    cons[name] = expr_sql
+    def _mutate(fresh: dict) -> dict:
+        cur = dict(fresh.get("constraints") or {})
+        if name in cur:
+            raise ValueError(
+                "add_constraint: constraint %r already exists (%s)"
+                % (name, cur[name])
+            )
+        cur[name] = expr_sql
+        return {"constraints": cur}
+
     return _metadata_commit(
-        table_dir, spark, lease_ttl_ms, "add_constraint",
-        {"constraints": cons},
+        table_dir, spark, lease_ttl_ms, "add_constraint", _mutate
     )
 
 
@@ -2882,13 +2906,15 @@ def drop_constraint(
     manifest = _read_manifest(table_dir, fs)
     if manifest is None:
         raise ValueError("drop_constraint: no committed table here")
-    cons = dict(manifest.get("constraints") or {})
-    if name not in cons:
-        raise KeyError("drop_constraint: no constraint %r" % name)
-    cons.pop(name)
+    def _mutate(fresh: dict) -> dict:
+        cur = dict(fresh.get("constraints") or {})
+        if name not in cur:
+            raise KeyError("drop_constraint: no constraint %r" % name)
+        cur.pop(name)
+        return {"constraints": cur}
+
     return _metadata_commit(
-        table_dir, spark, lease_ttl_ms, "drop_constraint",
-        {"constraints": cons},
+        table_dir, spark, lease_ttl_ms, "drop_constraint", _mutate
     )
 
 
@@ -2911,21 +2937,25 @@ def tag_version(
     if manifest is None:
         raise ValueError("tag_version: no committed table here")
     v = int(version) if version is not None else int(manifest["version"])
-    snaps = manifest.get("snapshots", {})
-    if str(v) not in snaps and v != int(manifest["version"]):
-        raise KeyError(
-            "tag_version: version %d is not a retained snapshot" % v
-        )
-    tags = dict(manifest.get("tags") or {})
-    if name in tags:
-        raise ValueError(
-            "tag_version: tag %r already points at version %d — "
-            "drop_tag first (tags are immutable by design)"
-            % (name, tags[name])
-        )
-    tags[name] = v
+
+    def _mutate(fresh: dict) -> dict:
+        snaps = fresh.get("snapshots", {})
+        if str(v) not in snaps and v != int(fresh["version"]):
+            raise KeyError(
+                "tag_version: version %d is not a retained snapshot" % v
+            )
+        tags = dict(fresh.get("tags") or {})
+        if name in tags:
+            raise ValueError(
+                "tag_version: tag %r already points at version %d — "
+                "drop_tag first (tags are immutable by design)"
+                % (name, tags[name])
+            )
+        tags[name] = v
+        return {"tags": tags}
+
     return _metadata_commit(
-        table_dir, spark, lease_ttl_ms, "tag", {"tags": tags}
+        table_dir, spark, lease_ttl_ms, "tag", _mutate
     )
 
 
@@ -2941,12 +2971,15 @@ def drop_tag(
     manifest = _read_manifest(table_dir, fs)
     if manifest is None:
         raise ValueError("drop_tag: no committed table here")
-    tags = dict(manifest.get("tags") or {})
-    if name not in tags:
-        raise KeyError("drop_tag: no tag %r" % name)
-    tags.pop(name)
+    def _mutate(fresh: dict) -> dict:
+        tags = dict(fresh.get("tags") or {})
+        if name not in tags:
+            raise KeyError("drop_tag: no tag %r" % name)
+        tags.pop(name)
+        return {"tags": tags}
+
     return _metadata_commit(
-        table_dir, spark, lease_ttl_ms, "drop_tag", {"tags": tags}
+        table_dir, spark, lease_ttl_ms, "drop_tag", _mutate
     )
 
 
@@ -4275,6 +4308,8 @@ def _mor_commit(
     bloom_cols,
     meta: Optional[dict],
     who: str,
+    out_schema_json: Optional[str] = None,
+    out_fids: Optional[tuple] = None,
 ) -> Optional[int]:
     """The MERGE-ON-READ write+commit phase shared by
     ``merge_publish_incremental`` and ``merge_into``: write ``out_df``
@@ -4285,7 +4320,13 @@ def _mor_commit(
     commit lease swap the manifest — with the address-validity rebase
     that makes the lease-less scan safe (a concurrent commit that
     rewrote a matched file or changed its vectors raises instead of
-    losing the race)."""
+    losing the race).
+
+    ``out_schema_json``/``out_fids`` (``(fids, next_id)``) carry a
+    MERGE-widened schema (``merge_into(schema_evolution=True)``): the
+    committed entry adopts them, new files stamp the extended ids, and
+    pre-widening files read the added columns as NULL (schema-merge
+    read semantics, same as append's merge mode)."""
     from pyspark.sql import Observation, functions as F
 
     # ---- data-write phase (no lease): the post-state rows
@@ -4323,13 +4364,17 @@ def _mor_commit(
             # claim now rather than leaving it to vacuum's age reclaim
             fs.delete_file(fs.join(table_dir, seg + ".claim"))
             return None
+        schema_json = out_schema_json or manifest["schema"]
+        fids = (
+            out_fids[0] if out_fids else _field_ids_of(manifest)[0]
+        )
         if new_files:
             seg_data = {"files": new_files, "file_sizes": new_sizes}
             _enrich_seg(
                 spark, fs, table_dir, new_files, seg_data,
-                stats_cols, bloom_cols, manifest["schema"],
+                stats_cols, bloom_cols, schema_json,
             )
-            _stamp_fields(seg_data, _field_ids_of(manifest)[0])
+            _stamp_fields(seg_data, fids)
             _write_seg(fs, table_dir, seg, seg_data)
         # ---- commit phase: short lease + address-validity rebase
         prev = manifest
@@ -4374,10 +4419,15 @@ def _mor_commit(
                 "n_rows": int(prev["n_rows"]) - n_deleted + n_new,
                 "n_files": prev_nf + len(new_files),
                 "size_bytes": prev_sz + sum(new_sizes.values()),
-                "schema": prev["schema"],
+                "schema": (
+                    out_schema_json if out_schema_json else prev["schema"]
+                ),
                 "partition_by": parts,
                 "operation": "merge",
             }
+            if out_fids:
+                entry["field_ids"] = out_fids[0]
+                entry["next_field_id"] = out_fids[1]
             if merged_dv:
                 entry["dv"] = _write_dv(fs, table_dir, seg, merged_dv)
                 entry["dv_rows"] = _dv_nrows(merged_dv)
@@ -4406,6 +4456,7 @@ def merge_into(
     stats_cols=None,
     bloom_cols=None,
     meta: Optional[dict] = None,
+    schema_evolution: bool = False,
 ) -> Optional[int]:
     """Conditional ``MERGE INTO`` (the full Delta/ANSI shape, on the
     merge-on-read commit): join ``source`` to the committed snapshot on
@@ -4445,9 +4496,18 @@ def merge_into(
     with the same optimistic address-validity rebase as
     ``merge_publish_incremental``. ``source`` must carry exactly the
     table's columns (strict, same contract as every incremental
-    publish). LWW-style CDC batches with op markers want
-    ``merge_publish_incremental`` instead; this is the predicate form
-    (conditional upserts, guarded deletes, insert-if).
+    publish) — unless ``schema_evolution=True`` (Delta's
+    ``withSchemaEvolution()``): then NEW source columns WIDEN the table
+    schema in the same commit (add-only, nullable; type changes and
+    retired names still refuse), inserted rows carry them, updated rows
+    take them from the source only when the update dict assigns them
+    (NULL otherwise — they had no target value), and files written
+    before the widening read them as NULL; a source missing table
+    columns contributes NULL for those on insert. The first thing a CDC
+    pipeline hits when the upstream adds a column. LWW-style CDC
+    batches with op markers want ``merge_publish_incremental`` instead;
+    this is the predicate form (conditional upserts, guarded deletes,
+    insert-if).
 
     Scale: the match scan opens only bloom/stat candidate files for
     single-column keys; addresses collected are O(matched rows); the
@@ -4481,20 +4541,82 @@ def merge_into(
             operation="merge",
         )
     parts = manifest.get("partition_by") or []
-    new_sig = [
-        (f["name"], f["type"])
-        for f in json.loads(source.schema.json())["fields"]
-    ]
-    old_sig = [
-        (f["name"], f["type"])
-        for f in json.loads(manifest["schema"])["fields"]
-    ]
+    src_fields = json.loads(source.schema.json())["fields"]
+    new_sig = [(f["name"], f["type"]) for f in src_fields]
+    old_fields = json.loads(manifest["schema"])["fields"]
+    old_sig = [(f["name"], f["type"]) for f in old_fields]
+    out_schema_json: Optional[str] = None
+    out_fids: Optional[tuple] = None
+    added_names: List[str] = []
     if new_sig != old_sig:
-        raise ValueError(
-            "merge_into: source schema differs from the committed "
-            "table schema: source=%s table=%s" % (new_sig, old_sig)
+        if not schema_evolution:
+            raise ValueError(
+                "merge_into: source schema differs from the committed "
+                "table schema (pass schema_evolution=True to add new "
+                "nullable columns): source=%s table=%s"
+                % (new_sig, old_sig)
+            )
+        # ADD-ONLY widening, same rules as append_publish(merge):
+        # existing columns keep their exact types; new names must not
+        # resurrect retired ones; missing table columns read as NULL
+        src_types = dict(new_sig)
+        retyped = [
+            n for n, t in old_sig
+            if n in src_types and src_types[n] != t
+        ]
+        if retyped:
+            raise ValueError(
+                "merge_into(schema_evolution): column type change(s) "
+                "%s are not allowed" % retyped
+            )
+        old_names = {n for n, _ in old_sig}
+        added = [f for f in src_fields if f["name"] not in old_names]
+        retired = set(manifest.get("retired_names") or [])
+        readded = [f["name"] for f in added if f["name"] in retired]
+        if readded:
+            raise ValueError(
+                "merge_into(schema_evolution): column name(s) %s were "
+                "dropped or renamed away earlier — re-adding the name "
+                "would resurrect old bytes; pick a new name" % readded
+            )
+        added_names = [f["name"] for f in added]
+        if added_names:
+            union_fields = list(old_fields) + [
+                {**f, "nullable": True} for f in added
+            ]
+            out_schema_json = json.dumps(
+                {"type": "struct", "fields": union_fields}
+            )
+            fids, nxt = _field_ids_of(manifest)
+            for n in added_names:
+                fids[n] = nxt
+                nxt += 1
+            out_fids = (fids, nxt)
+        # align the source to the (possibly widened) table column
+        # order, NULL-filling table columns the source lacks
+        from pyspark.sql import types as T
+
+        union_st = T.StructType.fromJson(
+            json.loads(out_schema_json or manifest["schema"])
         )
-    cols = [f["name"] for f in json.loads(manifest["schema"])["fields"]]
+        source = source.select(
+            *[
+                F.col(f.name).cast(f.dataType)
+                if f.name in source.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in union_st.fields
+            ]
+        )
+    cols = [
+        f["name"]
+        for f in json.loads(out_schema_json or manifest["schema"])[
+            "fields"
+        ]
+    ]
+    tgt_cols = {n for n, _ in old_sig}
+    src_typed = {
+        f.name: f.dataType for f in source.schema.fields
+    }
     source = source.localCheckpoint(eager=True)  # scanned 3x below
     src_keys = source.select(*keys).distinct()
     # ---- match scan (no lease): candidate files by bloom/stats
@@ -4609,7 +4731,12 @@ def merge_into(
                 (
                     F.expr(when_matched_update[c]).alias(c)
                     if c in when_matched_update
-                    else F.col("t." + c).alias(c)
+                    else (
+                        F.col("t." + c).alias(c)
+                        if c in tgt_cols
+                        # widened this commit: no target value exists
+                        else F.lit(None).cast(src_typed[c]).alias(c)
+                    )
                 )
                 for c in cols
             ]
@@ -4631,6 +4758,7 @@ def merge_into(
     return _mor_commit(
         spark, fs, table_dir, manifest, addr, candidates, out, parts,
         lease_ttl_ms, stats_cols, bloom_cols, meta, who="merge_into",
+        out_schema_json=out_schema_json, out_fids=out_fids,
     )
 
 
@@ -5043,6 +5171,59 @@ def _footer_minmax(fs, path: str, cols) -> Optional[dict]:
     return out or None
 
 
+def _phys_backfill_groups(manifest: dict, seg_data: dict, cols):
+    """One segment's backfill read groups for a possibly-EVOLVED table:
+    ``[(files, physical cols, physical schema_json)]`` — the manifest's
+    LOGICAL index columns translated to each file's PHYSICAL names by
+    field id (the segment's stamped ``field_names``/``file_fields``
+    maps). Stats/bloom sidecars key physical names by convention;
+    ``_resolve_entry`` rekeys them to logical names at read time, so a
+    backfill after a rename still prunes. A column a file never had
+    (added after it was written) is skipped for that group — no stats
+    beats wrong stats. Pre-stamping files resolve as identity (their
+    physical names ARE their era's logical names)."""
+    ids, _ = _field_ids_of(manifest)
+    types = {
+        f["name"]: f
+        for f in json.loads(manifest["schema"])["fields"]
+    }
+    seg_fields = seg_data.get("field_names")
+    per_file = seg_data.get("file_fields") or {}
+    groups: dict = {}
+    for f in seg_data.get("files", []):
+        fm = per_file.get(f, seg_fields)
+        mk = tuple(sorted(fm.items())) if fm else None
+        groups.setdefault(mk, []).append(f)
+    out = []
+    for mk, fl in groups.items():
+        fm = dict(mk) if mk else None
+        phys = {}
+        for c in cols:
+            if c not in types:
+                continue
+            if fm is None:
+                phys[c] = c
+            else:
+                p = fm.get(str(ids.get(c)))
+                if p is not None:
+                    phys[c] = p
+        if not phys:
+            continue
+        fields = []
+        for c, p in phys.items():
+            fd = dict(types[c])
+            fd["name"] = p
+            fields.append(fd)
+        out.append(
+            (
+                fl,
+                sorted(phys.values()),
+                json.dumps({"type": "struct", "fields": fields}),
+            )
+        )
+    return out
+
+
 def collect_file_stats(
     table_dir: str,
     stats_cols,
@@ -5071,14 +5252,6 @@ def collect_file_stats(
         manifest = _read_manifest(table_dir, fs)
         if manifest is None:
             raise ValueError("collect_file_stats: no committed table here")
-        if manifest.get("schema_evolved"):
-            raise ValueError(
-                "collect_file_stats: this table renamed/dropped columns "
-                "— backfilled stats would key logical names against "
-                "physically-named files (recorded but never matched; "
-                "silently useless). compact() first, or rely on "
-                "write-time stats_cols= (always correct)"
-            )
         if manifest.get("files") is None:
             # segmented manifest: stats live in the per-version segment
             # sidecars — update each referenced sidecar in place (an
@@ -5096,10 +5269,20 @@ def collect_file_stats(
             n = 0
             for seg in manifest.get("segments") or []:
                 s = _load_seg(fs, table_dir, seg)
-                got = _distributed_file_stats(
-                    spark, fs, table_dir, s.get("files", []),
-                    list(stats_cols), schema_json=manifest.get("schema"),
-                )
+                # resolve logical index cols to each file's PHYSICAL
+                # names by field id (evolved tables backfill exactly;
+                # never-evolved tables get identity + a column-pruned
+                # read schema for free)
+                got: dict = {}
+                for fl, pcols, pschema in _phys_backfill_groups(
+                    manifest, s, list(stats_cols)
+                ):
+                    got.update(
+                        _distributed_file_stats(
+                            spark, fs, table_dir, fl, pcols,
+                            schema_json=pschema,
+                        )
+                    )
                 if not got:
                     continue
                 seg_stats = dict(s.get("file_stats") or {})
@@ -5151,13 +5334,6 @@ def collect_file_blooms(
         manifest = _read_manifest(table_dir, fs)
         if manifest is None:
             raise ValueError("collect_file_blooms: no committed table here")
-        if manifest.get("schema_evolved"):
-            raise ValueError(
-                "collect_file_blooms: this table renamed/dropped columns "
-                "— backfilled blooms would key logical names against "
-                "physically-named files; compact() first, or rely on "
-                "write-time bloom_cols= (always correct)"
-            )
         if manifest.get("files") is not None:
             raise ValueError(
                 "collect_file_blooms needs a segmented manifest — any "
@@ -5171,11 +5347,18 @@ def collect_file_blooms(
         n = 0
         for seg in manifest.get("segments") or []:
             sdata = _load_seg(fs, table_dir, seg)
-            got = _distributed_file_blooms(
-                spark, fs, table_dir, sdata.get("files", []),
-                list(bloom_cols), schema_json=manifest.get("schema"),
-                m_bits=m_bits, k=k,
-            )
+            # physical-name resolution by field id (see
+            # _phys_backfill_groups) — evolved tables backfill exactly
+            got: dict = {}
+            for fl, pcols, pschema in _phys_backfill_groups(
+                manifest, sdata, list(bloom_cols)
+            ):
+                got.update(
+                    _distributed_file_blooms(
+                        spark, fs, table_dir, fl, pcols,
+                        schema_json=pschema, m_bits=m_bits, k=k,
+                    )
+                )
             if not got:
                 continue
             seg_blooms = dict(sdata.get("file_blooms") or {})

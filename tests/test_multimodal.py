@@ -100,3 +100,62 @@ def test_phash_pairs_match_brute_force(spark):
     # exactly-once emission: no pair twice even though exact dups agree
     # on all four bands
     assert len(got) == len(set((a, b) for a, b, _ in got))
+
+
+def test_phash_pairs_recall_contract_crafted_signatures(spark):
+    """r10 verdict #3: the banding recall contract, pinned with a
+    brute-force differential on CRAFTED signatures. 4x16-bit bands
+    guarantee a clean band only for hamming <= 3 (pigeonhole); spreads
+    that touch all four bands (2+2+2+2) are legitimately missed at the
+    default max_hamming=8 — the documented LSH trade-off."""
+
+    def flip(sig, positions):
+        # sig = [b0, b1, b2, b3] 16-bit band ints; flip global bit p
+        out = list(sig)
+        for p in positions:
+            out[p // 16] ^= 1 << (p % 16)
+        return out
+
+    base = [0x1234, 0x5678, 0x9ABC, 0x0DEF]
+    docs = {
+        1: base,
+        2: flip(base, [0, 17, 35]),          # hamming 3 spread 1+1+1+0
+        3: flip(base, [5, 6, 7]),            # hamming 3 in one band
+        4: flip(base, [8, 9, 10, 11, 12, 13, 14, 15]),  # 8 in one band
+        5: flip(base, [0, 1, 16, 17, 32, 33, 48, 49]),  # 2+2+2+2 spread
+        6: flip(base, [0, 1, 2, 3, 16, 17, 18, 19]),    # 4+4+0+0
+    }
+    sig = spark.createDataFrame(
+        [(i, *[int(b) for b in s]) for i, s in sorted(docs.items())],
+        "doc_id long, b0 long, b1 long, b2 long, b3 long",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in multimodal.phash_pairs(sig, max_hamming=8).collect()
+    }
+
+    def ham(a, b):
+        return sum(
+            bin(x ^ y).count("1") for x, y in zip(docs[a], docs[b])
+        )
+
+    def band_eq(a, b):
+        return any(x == y for x, y in zip(docs[a], docs[b]))
+
+    ids = sorted(docs)
+    brute = {
+        (a, b): ham(a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if ham(a, b) <= 8
+    }
+    # banding finds exactly the pairs sharing a clean band
+    assert got == {p: h for p, h in brute.items() if band_eq(*p)}
+    # the GUARANTEE: every hamming<=3 pair is found, any spread
+    for p, h in brute.items():
+        if h <= 3:
+            assert p in got, (p, h)
+    # the documented heuristic gap: 2+2+2+2 at hamming 8 is missed...
+    assert (1, 5) in brute and (1, 5) not in got
+    # ...while 8-bits-one-band and 4+4 spreads are found
+    assert got[(1, 4)] == 8 and got[(1, 6)] == 8

@@ -425,3 +425,152 @@ def test_read_changes_exact_after_v2_dv_deletes(spark, tmp_path):
         by_v.setdefault(r._commit_version, []).append(r.k)
     assert sorted(by_v[2]) == [k for k in range(100) if k % 4 == 0]
     assert sorted(by_v[3]) == [k for k in range(100) if k % 4 == 1]
+
+
+def test_concurrent_metadata_ops_compose(spark, tmp_path):
+    """ADVICE r10: tag/constraint mutations apply INSIDE the commit
+    lease against the fresh manifest — two concurrent single-key ops
+    both land (the old pre-lease dict computation last-writer-won)."""
+    import threading
+
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 10), d)
+    errs = []
+
+    def add_tag(name):
+        try:
+            P.tag_version(d, name, spark=spark)
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=add_tag, args=("t%d" % i,))
+        for i in range(4)
+    ]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    man = P._read_manifest(d, _fs())
+    assert set(man.get("tags") or {}) == {"t0", "t1", "t2", "t3"}
+    # constraints interleave with tags without clobbering either dict
+    P.add_constraint(d, "k_nonneg", "k >= 0", spark=spark)
+    P.tag_version(d, "after", spark=spark)
+    man = P._read_manifest(d, _fs())
+    assert set(man["constraints"]) == {"k_nonneg"}
+    assert "after" in man["tags"] and "t0" in man["tags"]
+
+
+def test_backfill_stats_and_blooms_on_evolved_table(spark, tmp_path):
+    """r10 verdict #4: stats/bloom backfills on a RENAMED table resolve
+    the logical index column to each file's physical name by field id
+    instead of refusing — and the recorded indexes actually prune."""
+    d = str(tmp_path / "t")
+    # two appends -> files with disjoint k/v ranges (prunable by stats)
+    atomic_publish(_rows(spark, 0, 100).coalesce(1), d)
+    append_publish(_rows(spark, 1000, 1100).coalesce(1), d)
+    P.rename_column(d, "v", "amount", spark=spark)
+    n_stats = P.collect_file_stats(d, ["amount"], spark=spark)
+    n_blooms = P.collect_file_blooms(d, ["k"], spark=spark)
+    assert n_stats >= 2 and n_blooms >= 2
+    fs = _fs()
+    man = P._read_manifest(d, fs)
+    res = P._resolve_entry(fs, d, man)
+    # stats rekeyed to the LOGICAL name at read time, per file
+    assert all("amount" in st for st in res["file_stats"].values())
+    mins = sorted(st["amount"][0] for st in res["file_stats"].values())
+    assert mins == [0, 10000]
+    # min/max actually prune: a bound excluding the low file keeps ONE
+    pruned = [
+        f
+        for f, st in res["file_stats"].items()
+        if st["amount"][1] >= 10000
+    ]
+    assert len(pruned) == 1
+    # bloom prune on the renamed-table's untouched column still works
+    kept = P._prune_eq(res, res["files"], {"k": 1050})
+    assert len(kept) == 1
+    # and the skip= read path returns exact rows under the bound
+    got = sorted(
+        r.k
+        for r in P.read_published(
+            spark, d, skip={"amount": (10000, None)}
+        )
+        .where("amount >= 10000")
+        .collect()
+    )
+    assert got == list(range(1000, 1100))
+
+
+def test_merge_into_schema_evolution_adds_columns(spark, tmp_path):
+    """r10 verdict #6 (Delta withSchemaEvolution parity): a source
+    carrying NEW columns widens the table in the same merge commit —
+    inserts carry them, updates take them only when assigned, files
+    written before the widening read them as NULL."""
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 10), d)
+    src = spark.range(5, 15).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 100).alias("v"),
+        F.lit("x").alias("tag"),
+    )
+    with pytest.raises(ValueError, match="schema_evolution=True"):
+        merge_into(src, d, "k", when_matched_update={"v": "s.v"})
+    merge_into(
+        src, d, "k",
+        when_matched_update={"v": "s.v", "tag": "s.tag"},
+        when_not_matched_insert=True,
+        schema_evolution=True,
+    )
+    rows = {r.k: (r.v, r.tag) for r in read_published(spark, d).collect()}
+    assert len(rows) == 15
+    assert all(rows[k] == (k * 10, None) for k in range(5))    # untouched
+    assert all(rows[k] == (k * 100, "x") for k in range(5, 15))
+    # the widened schema is the committed contract: strict merges now
+    # REQUIRE the new column, and field ids extended (not re-assigned)
+    man = P._read_manifest(d, _fs())
+    assert man["field_ids"] == {"k": 1, "v": 2, "tag": 3}
+    src2 = spark.range(0, 2).select(
+        F.col("id").alias("k"),
+        F.lit(0).cast("long").alias("v"),
+        F.lit("y").alias("tag"),
+    )
+    merge_into(src2, d, "k", when_matched_update={"tag": "s.tag"})
+    rows = {r.k: r.tag for r in read_published(spark, d).collect()}
+    assert rows[0] == "y" and rows[1] == "y" and rows[7] == "x"
+
+
+def test_merge_into_schema_evolution_guards(spark, tmp_path):
+    """Type changes and retired-name resurrection refuse; an update
+    clause NOT assigning the added column leaves it NULL on updated
+    rows (no target value existed)."""
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 6), d)
+    retype = spark.range(0, 3).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("v")
+    )
+    with pytest.raises(ValueError, match="type change"):
+        merge_into(retype, d, "k", schema_evolution=True)
+    P.rename_column(d, "v", "amount", spark=spark)  # retires "v"
+    resurrect = spark.range(0, 3).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("amount"),
+        F.lit(1).cast("long").alias("v"),
+    )
+    with pytest.raises(ValueError, match="resurrect"):
+        merge_into(resurrect, d, "k", schema_evolution=True)
+    # widen on an ALREADY-evolved table: ids extend past the rename
+    src = spark.range(4, 8).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("amount"),
+        F.lit(7).cast("long").alias("w"),
+    )
+    merge_into(
+        src, d, "k",
+        when_matched_update={"amount": "s.amount + 1"},  # w NOT assigned
+        when_not_matched_insert=True,
+        schema_evolution=True,
+    )
+    rows = {r.k: (r.amount, r.w) for r in read_published(spark, d).collect()}
+    assert rows[4] == (41, None) and rows[5] == (51, None)  # updated
+    assert rows[6] == (60, 7) and rows[7] == (70, 7)        # inserted
+    assert rows[0] == (0, None)                             # untouched
