@@ -45,17 +45,23 @@ op) and DATA through ``pyarrow.fs.FileSystem.from_uri`` on executors —
 present for S3/GCS/HDFS when the corresponding pyarrow backend is
 available, with a clear task-side error naming the scheme otherwise.
 
-WHY FILTER PUSHDOWN IS OPT-IN (measured on Spark 4.1, see
-tests/test_published_source.py): Spark builds the Python reader's
-partition list ONCE per loaded DataFrame and caches it in the shared
-plan — ``pushFilters`` from the FIRST filtered action prunes the file
-list, and a LATER, broader action on the same DataFrame silently
-reuses the pruned list (missing rows). Per-load reader instances
-cannot fix this (the reuse is intra-load), so the default reader
-reports every filter unsupported and scans the pinned snapshot fully;
-``.option("pushdown", "true")`` enables it for the
+WHY FILTER PUSHDOWN IS OPT-IN (measured on Spark 4.1, re-measured on
+4.1.2 round 11; see tests/test_published_source.py): Spark builds the
+Python reader's partition list ONCE per loaded DataFrame and caches it
+in the shared plan — ``pushFilters`` from the FIRST filtered action
+prunes the file list, and a LATER, broader action on the same
+DataFrame silently reuses the pruned list (missing rows; the round-11
+repro: filtered count 1, then unfiltered count 504 of 4000 on one
+DataFrame). Per-load reader instances cannot fix this (the reuse is
+intra-load: the second action performs NO planning round-trip to the
+Python worker at all — pushFilters isn't re-invoked, the cached
+partition list is read straight from the plan), so no reader-side
+change can make pushdown default-safe at this API. The default reader
+therefore reports every filter unsupported and scans the pinned
+snapshot fully; ``.option("pushdown", "true")`` enables it for the
 one-query-per-load() pattern, and the ``skip``/``skip_eq`` options
-above are the always-safe pruning interface.
+above are the always-safe pruning interface (fixed per load by
+construction).
 """
 
 from __future__ import annotations

@@ -1105,3 +1105,26 @@ def test_phash_dedup_no_pair_dedup_shuffle(spark):
     # dropDuplicates would plan as HashAggregate pairs per branch
     assert "HashAggregate" not in plan
     assert "bit_count" in plan  # verify stayed in the join branches
+
+
+def test_dedup_cluster_sizes_shuffle_budget(spark):
+    """r10 verdict #7: this query retimed +41% with UNTOUCHED code —
+    shared-box noise. Pin the closing plan's shuffle budget so a real
+    regression can't hide in the noise band (iterative CC stages are
+    localCheckpointed; the final plan is label-agg + distribution)."""
+    df = q.queries()["dedup_cluster_sizes"](spark, SF)
+    s = simple_plan(df)
+    assert s.count("Exchange") <= 2, s
+    f = plan_of(df)
+    assert "CartesianProduct" not in f and "BatchEvalPython" not in f
+
+
+def test_dup_pagerank_shuffle_budget(spark):
+    """Same pin for dup_pagerank (+31% on untouched code in r10): the
+    closing plan is one aggregation exchange over the checkpointed
+    rank iteration."""
+    df = q.queries()["dup_pagerank"](spark, SF)
+    s = simple_plan(df)
+    assert s.count("Exchange") <= 1, s
+    f = plan_of(df)
+    assert "CartesianProduct" not in f and "BatchEvalPython" not in f
