@@ -219,3 +219,113 @@ merged as (
 )
 select k, amount from merged order by k
 """
+
+
+def q_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE SCHEMA-EVOLUTION differential (round 11): Delta's
+    ``withSchemaEvolution()`` counterpart driven end-to-end — the first
+    thing a CDC pipeline hits when the upstream adds a column — and
+    checked value-exactly against SQL:
+
+    1. publish the ``k % 10 = 2`` slice of orders as (k, v);
+    2. plain strict MERGE: matched ``k % 20 = 2`` rows double-and-shift
+       (``v := s.v + t.v`` with ``s.v = v + 5``), inserts off;
+    3. widening MERGE (``schema_evolution=True``): the source carries a
+       NEW ``tag`` column — matched ``k % 40 = 2`` rows take
+       ``v := t.v - s.v`` and the tag; unmatched ``k % 10 = 4`` rows
+       insert with it; every pre-widening row reads tag as NULL;
+    4. ``delete_publish(delete_vectors=True)`` of ``v % 11 = 0`` over
+       the MIXED (pre/post-widening) snapshot;
+    5. strict MERGE under the widened contract: surviving
+       ``k % 80 = 2`` rows get ``tag := 'Z'`` (dv-deleted rows must NOT
+       match).
+
+    The oracle replays each state in SQL, so drift in the widening
+    rules (added-column NULLs on old files/updated rows, field-id
+    extension), dv masking over mixed schemas, or post-widening strict
+    matching flips the hash. NULL tags are coalesced to '-' in both
+    engines (comparator-stable).
+
+    Scale: widening is one manifest swap riding the merge commit; every
+    step is the table format's O(delta) machinery."""
+    from bamboo_spark.operators import publish as P
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias("v"),
+        F.col("o_orderstatus").alias("tag"),
+    )
+    root = tempfile.mkdtemp(prefix="bamboo_merge_evo_")
+    t = root + "/t"
+    P.atomic_publish(
+        o.where("k % 10 = 2").select("k", "v"), t, bloom_cols=["k"]
+    )
+    P.merge_into(
+        o.where("k % 20 = 2").select("k", (F.col("v") + 5).alias("v")),
+        t,
+        "k",
+        when_matched_update={"v": "s.v + t.v"},
+        when_not_matched_insert=False,
+    )
+    s2 = (
+        o.where("k % 40 = 2").select("k", "v", "tag")
+        .unionByName(o.where("k % 10 = 4").select("k", "v", "tag"))
+    )
+    P.merge_into(
+        s2,
+        t,
+        "k",
+        when_matched_update={"v": "t.v - s.v", "tag": "s.tag"},
+        when_not_matched_insert=True,
+        schema_evolution=True,
+    )
+    P.delete_publish(spark, t, "v % 11 = 0", delete_vectors=True)
+    P.merge_into(
+        o.where("k % 80 = 2").select(
+            "k", "v", F.lit("Z").alias("tag")
+        ),
+        t,
+        "k",
+        when_matched_update={"tag": "s.tag"},
+        when_not_matched_insert=False,
+    )
+    return (
+        P.read_published(spark, t)
+        .select(
+            "k", "v", F.coalesce(F.col("tag"), F.lit("-")).alias("tag")
+        )
+        .orderBy("k")
+    )
+
+
+Q_MERGE_EVOLUTION_SQL = """
+with o as (
+  select o_orderkey::BIGINT k,
+         cast(round(o_totalprice * 100, 0) as BIGINT) v,
+         o_orderstatus as tag
+  from orders
+),
+base as (select k, v from o where k % 10 = 2),
+t1 as (
+  -- strict merge: matched k%20=2 rows take s.v + t.v = (v+5) + v
+  select k, case when k % 20 = 2 then 2 * v + 5 else v end as v
+  from base
+),
+t2 as (
+  -- widening merge: updates assign v := t.v - s.v (s.v = original o.v)
+  -- and the new tag; untouched rows read tag as NULL
+  select t1.k,
+         case when t1.k % 40 = 2 then t1.v - o.v else t1.v end as v,
+         case when t1.k % 40 = 2 then o.tag else NULL end as tag
+  from t1 join o on t1.k = o.k
+  union all
+  select k, v, tag from o where k % 10 = 4
+),
+t3 as (select k, v, tag from t2 where v % 11 <> 0),
+t4 as (
+  select k, v,
+         case when k % 80 = 2 then 'Z' else tag end as tag
+  from t3
+)
+select k, v, coalesce(tag, '-') as tag from t4 order by k
+"""
