@@ -5587,20 +5587,16 @@ def optimize_table(
             )
     except ConcurrentWriteError as e:
         compacted, conflict = None, str(e)
-    # backfill indexes skip schema-EVOLVED snapshots (they key logical
-    # names; see collect_file_stats) — write-time stats_cols=/
-    # bloom_cols= stay correct, and the next full compact un-evolves
-    evolved = bool(
-        (_read_manifest(table_dir, fs) or {}).get("schema_evolved")
-    )
+    # index backfills resolve evolved schemas by field id since round
+    # 11 (see _phys_backfill_groups) — run them unconditionally
     n_stats = (
         collect_file_stats(table_dir, stats_cols, spark)
-        if stats_cols and not evolved
+        if stats_cols
         else 0
     )
     n_blooms = (
         collect_file_blooms(table_dir, bloom_cols, spark)
-        if bloom_cols and not evolved
+        if bloom_cols
         else 0
     )
     removed = vacuum(table_dir, keep=keep, spark=spark)
