@@ -726,6 +726,10 @@ def _dv_build(
             F.col("_ri").cast("long").alias("_dv_pos"),
         )
     )
+    # ONE candidate scan: materialize the addresses, then the touched
+    # probe, sidecar write, and count jobs all read the checkpoint
+    # (address-sized, spillable) instead of re-scanning the table
+    addr = addr.localCheckpoint(eager=True)
     touched = sorted(
         r[0] for r in addr.select("_dv_file").distinct().collect()
     )  # file-level — the only thing the driver ever holds
