@@ -3283,19 +3283,8 @@ def _append_delta_files(
             fmaps[f] = ff.get(f)
 
     def _step_ids(a: dict, b: dict) -> None:
-        # id-space continuity between consecutive walked entries: a
-        # name keeping its id, ids never reused. A full rewrite inside
-        # the walk re-assigns ids positionally — if that changed any
-        # shared name's id (or shrank the counter), maps collected
-        # before it are keyed in a DEAD id space: mark broken.
         nonlocal ids_broken
-        if ids_broken is not None:
-            return
-        ia, na = _field_ids_of(a) if a.get("schema") else ({}, 1)
-        ib, nb = _field_ids_of(b)
-        if nb < na or any(
-            ib[n] != i for n, i in ia.items() if n in ib
-        ):
+        if ids_broken is None and not _ids_step_ok(a, b):
             ids_broken = (
                 "a full rewrite re-assigned field ids inside the delta"
             )
@@ -3420,6 +3409,20 @@ def _append_delta_files(
             "files": {f: fmaps[f] for f in appended},
         }
     return appended, schema, partitioned, evo
+
+
+def _ids_step_ok(a: dict, b: dict) -> bool:
+    """Field-id continuity between two CONSECUTIVE snapshot entries: a
+    name keeps its id, ids are never reused, the counter never shrinks.
+    A full rewrite re-assigns ids positionally — when that changed any
+    shared name's id (or shrank the counter), file maps stamped before
+    it are keyed in a DEAD id space and cross-version resolution must
+    refuse rather than guess."""
+    ia, na = _field_ids_of(a) if a.get("schema") else ({}, 1)
+    ib, nb = _field_ids_of(b)
+    return nb >= na and all(
+        ib[n] == i for n, i in ia.items() if n in ib
+    )
 
 
 def _cdf_delta(
@@ -3591,6 +3594,12 @@ def read_changes(
     be key-unique per commit (what the merge publishers guarantee);
     one narrow (version, key)-partitioned window over the change rows.
 
+    Every change row surfaces under the ``to_version`` schema (Delta's
+    CDF contract): on renamed/dropped-column tables each file resolves
+    by field id, so pre-rename rows carry their data under the new
+    name; widened columns read NULL on older files. A range whose id
+    space broke (a mid-range full rewrite) refuses.
+
     Needs every version in (from, to] retained (else KeyError — a
     vacuumed step can't prove its delta). Columns of map type can't be
     diffed (not groupable); tables with map columns should diff via
@@ -3652,25 +3661,56 @@ def read_changes(
 
     pieces: List[DataFrame] = []
     from_v = int(from_version)
-    prev_e = _entry_of(from_v)
-    prev_files = set(_entry_files(fs, table_dir, prev_e))
+    # EVERY change row surfaces under the END-version schema (Delta's
+    # CDF contract): renamed columns carry their data under the new
+    # name for pre-rename files too (per-file field-id resolution),
+    # widened columns read as NULL on older files, dropped columns
+    # vanish. A range whose id space broke (a mid-range full rewrite
+    # re-assigned ids) refuses — cross-era resolution would guess.
+    entries = {v: _entry_of(v) for v in range(from_v, to_v + 1)}
+    end_e = entries[to_v]
+    end_schema = end_e["schema"]
+    end_ids = _field_ids_of(end_e)[0] if end_e.get("schema") else {}
+    evolved_any = any(
+        e.get("schema_evolved") for e in entries.values()
+    )
+    if evolved_any and not all(
+        _ids_step_ok(entries[v], entries[v + 1])
+        for v in range(from_v, to_v)
+    ):
+        raise ValueError(
+            "read_changes: a full rewrite re-assigned field ids inside "
+            "(v%d, v%d] of this renamed/dropped-column table — exact "
+            "cross-era column resolution is impossible; diff with "
+            "diff_versions() on an id column instead" % (from_v, to_v)
+        )
+
+    def _evo_end(res: dict) -> Optional[dict]:
+        if not evolved_any:
+            return None
+        return {"ids": end_ids, "files": res.get("file_fields") or {}}
+
+    prev_e = entries[from_v]
+    res_prev = _resolve_entry(fs, table_dir, prev_e)
+    prev_files = set(res_prev["files"])
     for v in range(from_v + 1, to_v + 1):
-        e = _entry_of(v)
-        cur_files = set(_entry_files(fs, table_dir, e))
+        e = entries[v]
+        res_cur = _resolve_entry(fs, table_dir, e)
+        cur_files = set(res_cur["files"])
         added = sorted(cur_files - prev_files)
         dropped = sorted(prev_files - cur_files)
         parted = bool(e.get("partition_by"))
         dv_prev = _load_dv(fs, table_dir, prev_e)
         dv_cur = _load_dv(fs, table_dir, e)
-        evo_prev = _evo_of(prev_e, _resolve_entry(fs, table_dir, prev_e))
-        evo_cur = _evo_of(e, _resolve_entry(fs, table_dir, e))
+        evo_prev = _evo_end(res_prev)
+        evo_cur = _evo_end(res_cur)
         if e.get("data_change") is False:
             pass  # pure rewrite: same rows, different files
         elif added and not dropped:
             pieces.append(
                 _tag(
                     _read_files(
-                        spark, fs, table_dir, added, e["schema"],
+                        spark, fs, table_dir, added, end_schema,
                         parted, dv=dv_cur, evo=evo_cur,
                     ),
                     "insert",
@@ -3679,12 +3719,12 @@ def read_changes(
             )
         elif added or dropped:
             old_rows = _read_files(
-                spark, fs, table_dir, dropped, prev_e["schema"],
+                spark, fs, table_dir, dropped, end_schema,
                 bool(prev_e.get("partition_by")), dv=dv_prev,
                 evo=evo_prev,
             )
             new_rows = _read_files(
-                spark, fs, table_dir, added, e["schema"], parted,
+                spark, fs, table_dir, added, end_schema, parted,
                 dv=dv_cur, evo=evo_cur,
             )
             ins, dels = _multiset_diff(old_rows, new_rows, v)
@@ -3718,7 +3758,7 @@ def read_changes(
                     "left_anti",
                 )
             addressed = _read_files_with_pos(
-                spark, fs, table_dir, changed, e["schema"], parted,
+                spark, fs, table_dir, changed, end_schema, parted,
                 evo=evo_cur,
             )
             hit = (
@@ -3737,7 +3777,7 @@ def read_changes(
                 )
             )
             pieces.append(_tag(hit, "delete", v))
-        prev_e, prev_files = e, cur_files
+        prev_e, prev_files, res_prev = e, cur_files, res_cur
     if not pieces:
         schema = T.StructType.fromJson(
             json.loads(_entry_of(to_v).get("schema") or manifest["schema"])

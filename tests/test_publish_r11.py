@@ -574,3 +574,33 @@ def test_merge_into_schema_evolution_guards(spark, tmp_path):
     assert rows[4] == (41, None) and rows[5] == (51, None)  # updated
     assert rows[6] == (60, 7) and rows[7] == (70, 7)        # inserted
     assert rows[0] == (0, None)                             # untouched
+
+
+def test_read_changes_under_end_schema_after_rename(spark, tmp_path):
+    """Batch CDF emits under the END-version schema (Delta contract):
+    pre-rename inserts and their later dv deletes surface the renamed
+    column's DATA (field-id resolution), never a half-null union of
+    old and new names."""
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 6), d)                        # v1
+    P.rename_column(d, "v", "amount", spark=spark)               # v2
+    append_publish(
+        spark.range(6, 9).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("amount")
+        ),
+        d,
+    )                                                            # v3
+    delete_publish(spark, d, "amount = 20", delete_vectors=True)  # v4
+    ch = P.read_changes(spark, d, from_version=0).collect()
+    assert sorted(ch[0].asDict()) == [
+        "_change_type", "_commit_version", "amount", "k"
+    ]
+    got = sorted(
+        (r._commit_version, r._change_type, r.k, r.amount) for r in ch
+    )
+    expect = sorted(
+        [(1, "insert", k, k * 10) for k in range(6)]
+        + [(3, "insert", k, k * 10) for k in range(6, 9)]
+        + [(4, "delete", 2, 20)]
+    )
+    assert got == expect
