@@ -3305,8 +3305,12 @@ def _append_delta_files(
         # step even when the FILE set only grew (e.g. an incremental
         # merge commits dv-deletes + appends in one version) — strict
         # append-only reads must refuse it; ignore_deletes skips the
-        # deletes and keeps delivering the adds
-        if e.get("dv") != prev_e.get("dv"):
+        # deletes and keeps delivering the adds. dataChange=false
+        # commits are exempt by contract (same rows — a dv-sidecar
+        # compaction changes REFS, never membership).
+        if e.get("dv") != prev_e.get("dv") and e.get(
+            "data_change"
+        ) is not False:
             common = prev_files & cur_files
             dv_prev_m = _load_dv(fs, table_dir, prev_e)
             dv_cur_m = _load_dv(fs, table_dir, e)
@@ -3734,7 +3738,13 @@ def read_changes(
         # The position DELTA is computed as a DataFrame anti-join
         # (cur minus prev), never materialized on the driver — a
         # predicate dv-delete's CDF step stays distributed at any size.
-        common = prev_files & cur_files
+        # dataChange=false steps (dv-sidecar compaction) change refs,
+        # never membership: skip.
+        common = (
+            (prev_files & cur_files)
+            if e.get("data_change") is not False
+            else set()
+        )
         changed = sorted(
             f
             for f in common
@@ -5176,6 +5186,130 @@ def _dv_delete(
         beat.stop()
 
 
+def compact_delete_vectors(
+    table_dir: str,
+    spark: Optional[SparkSession] = None,
+    lease_ttl_ms: int = 300_000,
+) -> Optional[int]:
+    """MINOR COMPACTION of the delete vectors: fold every sidecar
+    dataset (and any legacy v1 inline positions) the committed snapshot
+    references into ONE clustered parquet dataset and repoint the dv
+    manifest — ZERO data files touched (``dataChange=false``; the
+    Iceberg 'rewrite position deletes' maintenance action). After K dv
+    commits a masked scan reads up to K sidecar datasets and vacuum
+    must retain K version dirs; this folds both to one. The rewrite is
+    one distributed job; the commit is a manifest swap. Incremental
+    readers skip it by the dataChange contract (refs change, row
+    membership never). Returns the committed version, or None when
+    there is nothing to fold (no vectors, or already one dataset).
+
+    Optimistic: the fold runs without the lease; a concurrent commit
+    that changed ANY vector (or rewrote a dv'd file) raises
+    ``ConcurrentWriteError`` — re-run, it's maintenance."""
+    fs = _fs_for(table_dir, spark)
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "compact_delete_vectors needs an active SparkSession"
+        )
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        raise ValueError(
+            "compact_delete_vectors: no committed table here"
+        )
+    dv0 = _load_dv(fs, table_dir, manifest)
+    dv0 = {f: v for f, v in dv0.items() if _dv_val_n(v)}
+    if not dv0:
+        return None
+    ds_refs = {
+        v["ds"] for v in dv0.values() if isinstance(v, dict)
+    }
+    if len(ds_refs) == 1 and all(
+        isinstance(v, dict) and v.get("key", f) == f
+        for f, v in dv0.items()
+    ):
+        return None  # already one local, identity-keyed dataset
+    seg = _claim_vdir(fs, table_dir, _next_version(fs, table_dir, manifest))
+    beat = _ClaimBeat(fs, table_dir, seg, lease_ttl_ms).start()
+    try:
+        merged = _dv_positions_df(spark, fs, table_dir, dv0)
+        dsrel = "%s/%s" % (seg, _DVP)
+        dsdir = _ref_path(fs, table_dir, dsrel)
+        (
+            merged.repartition(
+                max(1, min(len(dv0), 64)), "_dv_file"
+            )
+            .sortWithinPartitions("_dv_file", "_dv_pos")
+            .write.parquet(dsdir)
+        )
+        counts = {
+            r[0]: int(r[1])
+            for r in spark.read.parquet(dsdir)
+            .groupBy("_dv_file")
+            .count()
+            .collect()  # O(dv'd files)
+        }
+        expected = {f: _dv_val_n(v) for f, v in dv0.items()}
+        if counts != expected:
+            raise RuntimeError(
+                "compact_delete_vectors: rewritten position counts "
+                "disagree with the manifest (%r vs %r) — aborting "
+                "before commit (staged dir is vacuum garbage)"
+                % (
+                    {k: counts.get(k) for k in list(expected)[:3]},
+                    {k: expected[k] for k in list(expected)[:3]},
+                )
+            )
+        new_dv = {
+            f: {"ds": dsrel, "n": expected[f]} for f in dv0
+        }
+        prev = manifest
+        lease = _Lease(fs, table_dir, ttl_ms=lease_ttl_ms).acquire_wait(
+            wait_ms=_COMMIT_WAIT_MS
+        )
+        try:
+            cur = _read_manifest(table_dir, fs)
+            if cur is None:
+                raise ConcurrentWriteError(
+                    "compact_delete_vectors: manifest vanished"
+                )
+            if int(cur["version"]) != int(prev["version"]):
+                _check_rebase(prev, cur, "compact_delete_vectors")
+                cur_dv = _load_dv(fs, table_dir, cur)
+                cur_dv = {
+                    f: v for f, v in cur_dv.items() if _dv_val_n(v)
+                }
+                if cur_dv != dv0:
+                    raise ConcurrentWriteError(
+                        "compact_delete_vectors: a concurrent commit "
+                        "changed the delete vectors mid-fold — re-run"
+                    )
+                prev = cur
+            segs, removed = _segments_of(fs, table_dir, prev)
+            prev_nf, prev_sz = _entry_counters(fs, table_dir, prev)
+            entry = {
+                "segments": segs,
+                "removed": removed,
+                "n_rows": int(prev["n_rows"]),
+                "n_files": prev_nf,
+                "size_bytes": prev_sz,
+                "schema": prev["schema"],
+                "partition_by": prev.get("partition_by") or [],
+                "operation": "compact_dv",
+                "data_change": False,
+                "dv": _write_dv(fs, table_dir, seg, new_dv),
+                "dv_rows": _dv_nrows(new_dv),
+            }
+            version = int(prev["version"]) + 1
+            _commit(fs, table_dir, prev, version, entry, lease=lease)
+            fs.delete_file(fs.join(table_dir, seg + ".claim"))
+            return version
+        finally:
+            lease.release()
+    finally:
+        beat.stop()
+
+
 def _footer_minmax(fs, path: str, cols) -> Optional[dict]:
     """Per-file {col: [min, max]} from the parquet FOOTER statistics
     (driver-side metadata read, no scan). Returns None when footer
@@ -5643,11 +5777,19 @@ def optimize_table(
         if bloom_cols
         else 0
     )
+    # fold accumulated delete-vector sidecars into one dataset (no-op
+    # when zero-or-one; a lost race is routine maintenance, retried
+    # next cycle) — lets the vacuum below reclaim superseded dv dirs
+    try:
+        dv_folded = compact_delete_vectors(table_dir, spark=spark)
+    except ConcurrentWriteError as e:
+        dv_folded, conflict = None, conflict or str(e)
     removed = vacuum(table_dir, keep=keep, spark=spark)
     return {
         "compacted_version": compacted,
         "compact_conflict": conflict,
         "stats_files": n_stats,
         "bloom_files": n_blooms,
+        "dv_folded_version": dv_folded,
         "vacuumed": removed,
     }

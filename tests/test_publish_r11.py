@@ -604,3 +604,77 @@ def test_read_changes_under_end_schema_after_rename(spark, tmp_path):
         + [(4, "delete", 2, 20)]
     )
     assert got == expect
+
+
+def test_compact_delete_vectors_folds_sidecars(spark, tmp_path):
+    """dv MINOR COMPACTION (Iceberg's rewrite-position-deletes): K dv
+    commits leave K sidecar datasets; one dataChange=false commit folds
+    them to one — reads identical, incremental readers skip it, vacuum
+    reclaims the old dv-only dirs."""
+    d = str(tmp_path / "t")
+    # range-clustered files so each delete touches a DIFFERENT file —
+    # the touched-only rewrite then leaves refs spanning several
+    # datasets (a predicate hitting every file would collapse them)
+    atomic_publish(
+        _rows(spark, 0, 1000).repartitionByRange(4, "k"), d
+    )                                                             # v1
+    delete_publish(spark, d, "k < 100", delete_vectors=True)      # v2
+    delete_publish(spark, d, "k >= 900", delete_vectors=True)     # v3
+    append_publish(_rows(spark, 1000, 1010), d)                   # v4
+    delete_publish(
+        spark, d, "k between 400 and 420", delete_vectors=True
+    )                                                             # v5
+    fs = _fs()
+    man = P._read_manifest(d, fs)
+    before = {
+        v["ds"] for v in P._load_dv(fs, d, man).values()
+        if isinstance(v, dict)
+    }
+    assert len(before) >= 2  # several sidecar datasets accumulated
+    expect = sorted(
+        r.k for r in read_published(spark, d).collect()
+    )
+    ver = P.compact_delete_vectors(d, spark=spark)                # v6
+    assert ver == 6
+    man = P._read_manifest(d, fs)
+    dv = P._load_dv(fs, d, man)
+    after = {v["ds"] for v in dv.values()}
+    assert len(after) == 1 and not (after & before)
+    assert sorted(r.k for r in read_published(spark, d).collect()) == expect
+    # idempotent: a second fold is a no-op
+    assert P.compact_delete_vectors(d, spark=spark) is None
+    # incremental readers treat the fold as dataChange=false: an
+    # appends stream across it raises nothing and delivers nothing new
+    assert P.read_appends(
+        spark, d, from_version=5, ignore_deletes=False
+    ).count() == 0
+    assert P.read_changes(spark, d, from_version=5).count() == 0
+    # history labels it and keeps counters flat
+    h = {r.version: r for r in P.table_history(spark, d).collect()}
+    assert h[6].operation == "compact_dv"
+    assert h[6].data_change is False and h[6].n_rows == h[5].n_rows
+    # vacuum now reclaims the superseded dv-only dirs
+    removed = vacuum(d, keep=0, spark=spark)
+    assert {"_v2", "_v3", "_v5"} <= set(removed), removed
+    assert sorted(r.k for r in read_published(spark, d).collect()) == expect
+
+
+def test_compact_delete_vectors_folds_clone_external_refs(spark, tmp_path):
+    """Folding a CLONE's externally-referenced vectors localizes them:
+    the clone stops depending on the source's dv sidecars (its data
+    refs still pin the source snapshot, as documented)."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    atomic_publish(_rows(spark, 0, 400), src)
+    delete_publish(spark, src, "k % 4 = 0", delete_vectors=True)
+    clone_table(spark, src, dst)
+    ver = P.compact_delete_vectors(dst, spark=spark)
+    assert ver == 2
+    fs = _fs()
+    dv = P._load_dv(fs, dst, P._read_manifest(dst, fs))
+    assert all(
+        isinstance(v, dict) and not P._is_ext(v["ds"]) for v in dv.values()
+    )
+    assert sorted(r.k for r in read_published(spark, dst).collect()) == [
+        k for k in range(400) if k % 4 != 0
+    ]
