@@ -4246,6 +4246,7 @@ def merge_publish_incremental(
     bloom_cols=None,
     meta: Optional[dict] = None,
     partition_by=None,
+    schema_evolution: bool = False,
 ) -> Optional[int]:
     """MERGE-ON-READ upsert: apply a CDC batch in ONE commit that
     (a) delete-vectors the old rows of every key the batch touches —
@@ -4266,7 +4267,14 @@ def merge_publish_incremental(
     lease-less; at commit the rebase succeeds iff the table kept its
     schema/layout, every matched file is still live, and their delete
     vectors are unchanged — anything else raises. Returns the committed
-    version, or None for a no-op batch."""
+    version, or None for a no-op batch.
+
+    ``schema_evolution=True``: a batch carrying NEW columns widens the
+    table schema in the same commit (add-only, fresh field ids; retype
+    and retired-name resurrection refused), and a batch missing table
+    columns NULL-fills them — the upstream-added-a-column case a CDC
+    pipeline hits first, same contract as
+    ``merge_into(schema_evolution=True)``."""
     from pyspark.sql import Observation, functions as F
 
     from bamboo_spark.operators.scale import cdc_apply
@@ -4302,7 +4310,9 @@ def merge_publish_incremental(
     )
     # strict schema contract, same rule as append_publish: the merged
     # rows land in new files read under the MANIFEST schema — a
-    # renamed/retyped column would corrupt quietly at scan time
+    # renamed/retyped column would corrupt quietly at scan time.
+    # schema_evolution=True relaxes it to ADD-ONLY widening (the
+    # upstream-added-a-column CDC case), _widen_schema's rules.
     new_sig = [
         (f["name"], f["type"])
         for f in json.loads(upserts.schema.json())["fields"]
@@ -4311,11 +4321,22 @@ def merge_publish_incremental(
         (f["name"], f["type"])
         for f in json.loads(manifest["schema"])["fields"]
     ]
+    out_schema_json = out_fids = None
     if new_sig != old_sig:
-        raise ValueError(
-            "merge_publish_incremental: batch schema differs from the "
-            "committed table schema: batch=%s table=%s"
-            % (new_sig, old_sig)
+        if not schema_evolution:
+            raise ValueError(
+                "merge_publish_incremental: batch schema differs from "
+                "the committed table schema (pass schema_evolution="
+                "True to add new nullable columns): batch=%s table=%s"
+                % (new_sig, old_sig)
+            )
+        out_schema_json, out_fids = _widen_schema(
+            manifest,
+            json.loads(upserts.schema.json())["fields"],
+            "merge_publish_incremental",
+        )
+        upserts = _align_to(
+            upserts, out_schema_json or manifest["schema"]
         )
     upserts = upserts.localCheckpoint(eager=True)  # write + key probe
     batch_keys = changes.select(*keys).distinct()
@@ -4345,6 +4366,67 @@ def merge_publish_incremental(
         spark, fs, table_dir, manifest, addr, candidates, upserts,
         parts, lease_ttl_ms, stats_cols, bloom_cols, meta,
         who="merge_publish_incremental",
+        out_schema_json=out_schema_json, out_fids=out_fids,
+    )
+
+
+def _widen_schema(manifest: dict, src_fields, who: str):
+    """ADD-ONLY schema widening for merge paths (Delta's
+    withSchemaEvolution rules): existing columns keep their exact
+    types, new names must not resurrect retired ones, added columns
+    are nullable with FRESH field ids. Returns ``(out_schema_json,
+    (fids, next_id))`` — both None when the source adds nothing (it
+    may still be MISSING table columns; the caller NULL-fills)."""
+    src_sig = [(f["name"], f["type"]) for f in src_fields]
+    old_fields = json.loads(manifest["schema"])["fields"]
+    old_sig = [(f["name"], f["type"]) for f in old_fields]
+    src_types = dict(src_sig)
+    retyped = [
+        n for n, t in old_sig if n in src_types and src_types[n] != t
+    ]
+    if retyped:
+        raise ValueError(
+            "%s(schema_evolution): column type change(s) %s are not "
+            "allowed" % (who, retyped)
+        )
+    old_names = {n for n, _ in old_sig}
+    added = [f for f in src_fields if f["name"] not in old_names]
+    retired = set(manifest.get("retired_names") or [])
+    readded = [f["name"] for f in added if f["name"] in retired]
+    if readded:
+        raise ValueError(
+            "%s(schema_evolution): column name(s) %s were dropped or "
+            "renamed away earlier — re-adding the name would resurrect "
+            "old bytes; pick a new name" % (who, readded)
+        )
+    if not added:
+        return None, None
+    union_fields = list(old_fields) + [
+        {**f, "nullable": True} for f in added
+    ]
+    fids, nxt = _field_ids_of(manifest)
+    for f in added:
+        fids[f["name"]] = nxt
+        nxt += 1
+    return (
+        json.dumps({"type": "struct", "fields": union_fields}),
+        (fids, nxt),
+    )
+
+
+def _align_to(df: DataFrame, schema_json: str) -> DataFrame:
+    """Project ``df`` onto the given schema: columns in order, exact
+    types, missing ones NULL-filled."""
+    from pyspark.sql import functions as F, types as T
+
+    st = T.StructType.fromJson(json.loads(schema_json))
+    return df.select(
+        *[
+            F.col(f.name).cast(f.dataType)
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in st.fields
+        ]
     )
 
 
@@ -4601,7 +4683,6 @@ def merge_into(
     old_sig = [(f["name"], f["type"]) for f in old_fields]
     out_schema_json: Optional[str] = None
     out_fids: Optional[tuple] = None
-    added_names: List[str] = []
     if new_sig != old_sig:
         if not schema_evolution:
             raise ValueError(
@@ -4610,56 +4691,14 @@ def merge_into(
                 "nullable columns): source=%s table=%s"
                 % (new_sig, old_sig)
             )
-        # ADD-ONLY widening, same rules as append_publish(merge):
-        # existing columns keep their exact types; new names must not
-        # resurrect retired ones; missing table columns read as NULL
-        src_types = dict(new_sig)
-        retyped = [
-            n for n, t in old_sig
-            if n in src_types and src_types[n] != t
-        ]
-        if retyped:
-            raise ValueError(
-                "merge_into(schema_evolution): column type change(s) "
-                "%s are not allowed" % retyped
-            )
-        old_names = {n for n, _ in old_sig}
-        added = [f for f in src_fields if f["name"] not in old_names]
-        retired = set(manifest.get("retired_names") or [])
-        readded = [f["name"] for f in added if f["name"] in retired]
-        if readded:
-            raise ValueError(
-                "merge_into(schema_evolution): column name(s) %s were "
-                "dropped or renamed away earlier — re-adding the name "
-                "would resurrect old bytes; pick a new name" % readded
-            )
-        added_names = [f["name"] for f in added]
-        if added_names:
-            union_fields = list(old_fields) + [
-                {**f, "nullable": True} for f in added
-            ]
-            out_schema_json = json.dumps(
-                {"type": "struct", "fields": union_fields}
-            )
-            fids, nxt = _field_ids_of(manifest)
-            for n in added_names:
-                fids[n] = nxt
-                nxt += 1
-            out_fids = (fids, nxt)
+        # ADD-ONLY widening (shared rules, see _widen_schema), then
         # align the source to the (possibly widened) table column
         # order, NULL-filling table columns the source lacks
-        from pyspark.sql import types as T
-
-        union_st = T.StructType.fromJson(
-            json.loads(out_schema_json or manifest["schema"])
+        out_schema_json, out_fids = _widen_schema(
+            manifest, src_fields, "merge_into"
         )
-        source = source.select(
-            *[
-                F.col(f.name).cast(f.dataType)
-                if f.name in source.columns
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in union_st.fields
-            ]
+        source = _align_to(
+            source, out_schema_json or manifest["schema"]
         )
     cols = [
         f["name"]

@@ -2153,11 +2153,14 @@ def publish_stream(
                 **(merge_args or {}),
             )
         elif mode == "merge":
+            # merge_args passes extra kwargs verbatim here too (e.g.
+            # schema_evolution=True for upstream-added columns)
             merge_publish_incremental(
                 batch_df, table_dir, key_cols=key_cols,
                 version_cols=version_cols, op_col=op_col, meta=meta,
                 partition_by=partition_by,
                 stats_cols=stats_cols, bloom_cols=bloom_cols,
+                **(merge_args or {}),
             )
         elif mode == "append":
             append_publish(

@@ -678,3 +678,36 @@ def test_compact_delete_vectors_folds_clone_external_refs(spark, tmp_path):
     assert sorted(r.k for r in read_published(spark, dst).collect()) == [
         k for k in range(400) if k % 4 != 0
     ]
+
+
+def test_merge_incremental_schema_evolution(spark, tmp_path):
+    """CDC form of schema evolution: a LWW batch carrying a NEW column
+    widens the table in the same merge-on-read commit; earlier rows
+    read it as NULL; a batch missing table columns NULL-fills."""
+    from bamboo_spark.operators.publish import merge_publish_incremental
+
+    d = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 1)], "k long, v long, ver long"
+    )
+    merge_publish_incremental(b1, d, "k", "ver")
+    b2 = spark.createDataFrame(
+        [(2, 21, 2, "x"), (3, 30, 1, "y")],
+        "k long, v long, ver long, tag string",
+    )
+    with pytest.raises(ValueError, match="schema_evolution"):
+        merge_publish_incremental(b2, d, "k", "ver")
+    merge_publish_incremental(b2, d, "k", "ver", schema_evolution=True)
+    rows = {
+        r.k: (r.v, r.tag) for r in read_published(spark, d).collect()
+    }
+    assert rows == {1: (10, None), 2: (21, "x"), 3: (30, "y")}
+    # a later batch missing the widened column NULL-fills it
+    b3 = spark.createDataFrame([(1, 11, 3)], "k long, v long, ver long")
+    merge_publish_incremental(b3, d, "k", "ver", schema_evolution=True)
+    rows = {
+        r.k: (r.v, r.tag) for r in read_published(spark, d).collect()
+    }
+    assert rows[1] == (11, None) and rows[2] == (21, "x")
+    man = P._read_manifest(d, _fs())
+    assert man["field_ids"]["tag"] == 4  # fresh id past (k, v, ver)
