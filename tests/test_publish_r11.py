@@ -711,3 +711,19 @@ def test_merge_incremental_schema_evolution(spark, tmp_path):
     assert rows[1] == (11, None) and rows[2] == (21, "x")
     man = P._read_manifest(d, _fs())
     assert man["field_ids"]["tag"] == 4  # fresh id past (k, v, ver)
+
+
+def test_dv_masked_read_plans_hash_join(spark, tmp_path):
+    """The merge-on-read mask must plan as a HASH anti-join on the file
+    basename (suffix guard as a residual condition) — never a
+    BroadcastNestedLoop/cartesian of rows x positions."""
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 2000).repartition(4), d)
+    delete_publish(spark, d, "k % 3 = 0", delete_vectors=True)
+    df = P.read_published(spark, d)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
