@@ -4343,9 +4343,16 @@ def merge_publish_incremental(
     # ---- address scan (no lease): where do the touched keys live NOW?
     res = _resolve_entry(fs, table_dir, manifest)
     candidates = list(res["files"])
-    if len(keys) == 1 and (res["file_blooms"] or res["file_stats"]):
-        key_vals = [r[0] for r in batch_keys.collect()]
-        if key_vals and len(key_vals) * len(candidates) <= 2_000_000:
+    if (
+        candidates
+        and len(keys) == 1
+        and (res["file_blooms"] or res["file_stats"])
+    ):
+        # driver-side pruning is worth it only while #keys × #files is
+        # small — collect AT MOST cap+1 keys, never the whole batch
+        cap = 2_000_000 // len(candidates)
+        key_vals = [r[0] for r in batch_keys.limit(cap + 1).collect()]
+        if key_vals and len(key_vals) <= cap:
             candidates = _prune_key_candidates(
                 res, candidates, keys[0], key_vals
             )
@@ -4717,14 +4724,16 @@ def merge_into(
     dv0 = _load_dv(fs, table_dir, manifest)
     nmbs = when_not_matched_by_source_delete
     candidates = list(res["files"])
-    if nmbs is None and len(keys) == 1 and (
+    if nmbs is None and candidates and len(keys) == 1 and (
         res["file_blooms"] or res["file_stats"]
     ):
         # range+bloom-prune the probe to files that may hold source
         # keys — valid only while no clause targets rows ABSENT from
-        # the source
-        key_vals = [r[0] for r in src_keys.collect()]
-        if key_vals and len(key_vals) * len(candidates) <= 2_000_000:
+        # the source; collect AT MOST cap+1 keys, never a table-sized
+        # source's whole key set
+        cap = 2_000_000 // len(candidates)
+        key_vals = [r[0] for r in src_keys.limit(cap + 1).collect()]
+        if key_vals and len(key_vals) <= cap:
             candidates = _prune_key_candidates(
                 res, candidates, keys[0], key_vals
             )
