@@ -18,6 +18,12 @@ Walks one table through the protocol end to end:
 7. the table as a Spark DATA SOURCE: batch read, opt-in pushdown, and
    the version-offset streaming source delivering exactly the appended
    rows per micro-batch
+8. merge-on-read: a predicate ``delete_publish(delete_vectors=True)``
+   (positions land in executor-written parquet sidecars; zero data
+   files rewritten), a conditional ``merge_into`` that WIDENS the
+   schema (``schema_evolution=True``), the change feed
+   (``read_changes``) and ``compact_delete_vectors`` folding the
+   accumulated sidecars in one dataChange=false commit
 """
 
 import json
@@ -143,6 +149,55 @@ def main() -> None:
     q.processAllAvailable()
     q.stop()
     print("streaming micro-batch row counts (post-start appends):", got)
+
+    # 8. merge-on-read + schema evolution + change feed
+    from bamboo_spark.operators.publish import (
+        compact_delete_vectors,
+        merge_into,
+        read_changes,
+    )
+
+    v_before = snapshots(t, spark)[-1]["version"]
+    before_files = set(live_files(t, spark))
+    delete_publish(spark, t, "v % 7 = 0", delete_vectors=True)
+    print(
+        "dv delete: rows=%d, files rewritten=%d (positions live in "
+        "parquet sidecars)"
+        % (
+            read_published(spark, t).count(),
+            len(before_files - set(live_files(t, spark))),
+        )
+    )
+    src = mk(3990, 4010).withColumn("tag", F.lit("merged"))
+    merge_into(
+        src, t, "user_id",
+        when_matched_update={"v": "s.v + t.v", "tag": "s.tag"},
+        when_not_matched_insert=True,
+        schema_evolution=True,  # 'tag' widens the table in this commit
+    )
+    tagged = read_published(spark, t)
+    print(
+        "merge_into(schema_evolution): rows=%d, tagged=%d, "
+        "pre-widening rows read tag as NULL=%d"
+        % (
+            tagged.count(),
+            tagged.where("tag = 'merged'").count(),
+            tagged.where("tag is null").count(),
+        )
+    )
+    ch = read_changes(spark, t, from_version=v_before)
+    print(
+        "change feed since v%d:" % v_before,
+        {
+            r["_change_type"]: r["count"]
+            for r in ch.groupBy("_change_type").count().collect()
+        },
+    )
+    folded = compact_delete_vectors(t, spark=spark)
+    print(
+        "compact_delete_vectors -> v%s; rows unchanged=%d"
+        % (folded, read_published(spark, t).count())
+    )
 
 
 if __name__ == "__main__":
