@@ -313,3 +313,144 @@ def test_random_walk_with_renames_ledger_exact(spark, tmp_path, seed):
         check("step %d" % step)
     compact(spark, t)
     check("final compact")
+
+
+@pytest.mark.parametrize("seed", [7, 23, 77])
+def test_random_dv_evolution_walk_with_cdf_conservation(
+    spark, tmp_path, seed
+):
+    """Round-11 op mix under a seeded walk: conditional merges,
+    predicate dv-deletes (v2 sidecars), ONE mid-walk schema widening
+    (merge_into schema_evolution), dv-sidecar folds, compaction — with
+    TWO invariants checked after every commit:
+
+    1. LEDGER: the committed snapshot reads back exactly the Python
+       model's row multiset;
+    2. CDF CONSERVATION: snapshot(v0) + inserts(v0..v] − deletes ==
+       snapshot(v] as multisets, with snapshot(v0) aligned to the END
+       schema (read_changes' contract) — any drift in dv-delta algebra,
+       end-schema resolution, or dataChange exemptions breaks it."""
+    from bamboo_spark.operators.publish import (
+        compact_delete_vectors,
+        merge_into,
+        read_changes,
+    )
+
+    rng = random.Random(seed)
+    t = str(tmp_path / "tbl")
+    state = {}  # k -> (v, tag)
+    widened = [False]
+
+    def model() -> Counter:
+        if widened[0]:
+            return Counter(
+                (k, v, tag) for k, (v, tag) in state.items()
+            )
+        return Counter((k, v) for k, (v, tag) in state.items())
+
+    def df_of(items, with_tag):
+        if with_tag:
+            return spark.createDataFrame(
+                [(k, v, tag) for k, (v, tag) in items],
+                "k long, v long, tag string",
+            )
+        return spark.createDataFrame(
+            [(k, v) for k, (v, _) in items], "k long, v long"
+        )
+
+    def read_model() -> Counter:
+        cols = ["k", "v", "tag"] if widened[0] else ["k", "v"]
+        return Counter(
+            tuple(r[c] for c in cols)
+            for r in read_published(spark, t).collect()
+        )
+
+    init = {k: (k * 10, None) for k in range(10)}
+    state.update(init)
+    atomic_publish(df_of(sorted(init.items()), False), t)
+
+    def check(tag):
+        assert read_model() == model(), tag
+
+    check("init")
+    nxt = [1000]
+    for step in range(12):
+        roll = rng.random()
+        if roll < 0.35:
+            # conditional upsert batch (updates + inserts), honoring
+            # the current (possibly widened) schema
+            ks = rng.sample(range(20), rng.randint(1, 4))
+            batch = {}
+            for k in ks:
+                nxt[0] += 1
+                batch[k] = (
+                    nxt[0],
+                    "s%d" % step if widened[0] else None,
+                )
+            merge_into(
+                df_of(sorted(batch.items()), widened[0]),
+                t,
+                "k",
+                when_matched_update=(
+                    {"v": "s.v", "tag": "s.tag"}
+                    if widened[0]
+                    else {"v": "s.v"}
+                ),
+                when_not_matched_insert=True,
+            )
+            state.update(batch)
+        elif roll < 0.6:
+            live_vs = sorted(v for v, _ in state.values())
+            if not live_vs:
+                continue
+            v = rng.choice(live_vs)
+            delete_publish(spark, t, "v = %d" % v, delete_vectors=True)
+            state = {
+                k: (sv, tag)
+                for k, (sv, tag) in state.items()
+                if sv != v
+            }
+        elif roll < 0.7 and not widened[0]:
+            # the one-time widening merge: adds 'tag', updates some
+            # rows with it, inserts a new tagged key
+            ks = sorted(rng.sample(sorted(state), 2)) + [50 + step]
+            batch = {k: (state.get(k, (999, None))[0], "w") for k in ks}
+            merge_into(
+                df_of(sorted(batch.items()), True),
+                t,
+                "k",
+                when_matched_update={"tag": "s.tag"},
+                when_not_matched_insert=True,
+                schema_evolution=True,
+            )
+            widened[0] = True
+            for k in ks:
+                v_old, _ = state.get(k, (batch[k][0], None))
+                state[k] = (v_old, "w")
+        elif roll < 0.85:
+            got = compact_delete_vectors(t, spark=spark)
+            assert got is None or read_model() == model()
+        else:
+            compact(spark, t)
+        check("step %d (roll %.2f)" % (step, roll))
+    # CDF conservation over the WHOLE walk, end-schema aligned
+    end_cols = ["k", "v", "tag"] if widened[0] else ["k", "v"]
+    base = Counter(
+        tuple(r[c] for c in end_cols)
+        for r in read_published(spark, t, version=1)
+        .withColumns(
+            {"tag": F.lit(None).cast("string")}
+            if widened[0]
+            else {}
+        )
+        .collect()
+    )
+    ch = read_changes(spark, t, from_version=1).collect()
+    for r in ch:
+        key = tuple(r[c] for c in end_cols)
+        if r["_change_type"] == "insert":
+            base[key] += 1
+        else:
+            base[key] -= 1
+    base = Counter({k: c for k, c in base.items() if c})
+    assert base == model(), "CDF conservation broke"
