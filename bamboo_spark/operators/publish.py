@@ -5038,10 +5038,22 @@ def delete_publish(
         raise ValueError("delete_publish: no committed table here")
     parts = manifest.get("partition_by") or []
     if delete_vectors:
-        return _dv_delete(
-            spark, fs, table_dir, manifest, condition, point,
-            lease_ttl_ms,
-        )
+        # dv deletes COMMUTE semantically (erasing a row twice is a
+        # no-op), so a lost optimistic race retries against the fresh
+        # snapshot automatically — bounded, then the caller sees the
+        # conflict (same policy Delta applies to commutable commits)
+        for attempt in range(3):
+            try:
+                return _dv_delete(
+                    spark, fs, table_dir, manifest, condition, point,
+                    lease_ttl_ms,
+                )
+            except ConcurrentWriteError:
+                if attempt == 2:
+                    raise
+                manifest = _read_manifest(table_dir, fs)
+                if manifest is None:
+                    raise
     if point:
         # INDEXED point delete: ``point`` = {col: value} names equality
         # predicates IMPLIED by ``condition`` (caller's contract — e.g.

@@ -727,3 +727,32 @@ def test_dv_masked_read_plans_hash_join(spark, tmp_path):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_dv_delete_retries_commuting_conflict(spark, tmp_path, monkeypatch):
+    """Concurrent dv-deletes COMMUTE (erasing a row twice is a no-op):
+    when another dv commit lands between a delete's sidecar build and
+    its lease, the delete retries against the fresh snapshot instead of
+    surfacing ConcurrentWriteError — both deletions land."""
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 300).coalesce(1), d)
+    orig_build = P._dv_build
+    state = {"raced": False}
+
+    def racing_build(*a, **kw):
+        out = orig_build(*a, **kw)
+        if not state["raced"]:
+            state["raced"] = True
+            # a competing writer's dv commit on the SAME file, landing
+            # after this one built its refs but before its lease
+            delete_publish(spark, d, "k % 5 = 1", delete_vectors=True)
+        return out
+
+    monkeypatch.setattr(P, "_dv_build", racing_build)
+    ver = delete_publish(spark, d, "k % 5 = 0", delete_vectors=True)
+    monkeypatch.undo()
+    assert state["raced"] and ver == 3  # v2 = the racer, v3 = retried
+    got = sorted(r.k for r in read_published(spark, d).collect())
+    assert got == [k for k in range(300) if k % 5 not in (0, 1)]
+    man = P._read_manifest(d, _fs())
+    assert man["n_rows"] == len(got) and man["dv_rows"] == 300 - len(got)
