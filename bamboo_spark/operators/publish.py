@@ -4876,13 +4876,48 @@ def diff_versions(
     'added' / 'removed' / 'changed' / 'unchanged' via
     ``scale.snapshot_diff`` (digest-only shuffle). ``content_col``
     defaults to every non-id column packed into one struct, so any
-    payload change counts as 'changed'."""
+    payload change counts as 'changed'.
+
+    On RENAMED/DROPPED-column tables the two snapshots are compared
+    under the NEW version's schema by FIELD ID: a column that merely
+    changed its name between the versions compares value-to-value
+    (never a spurious whole-table 'changed'), a column added after
+    ``old_version`` reads as NULL there, and a dropped one leaves the
+    comparison — the same end-schema rule as :func:`read_changes`.
+    ``id_col`` names the NEW version's column."""
     from pyspark.sql import functions as F
 
     from bamboo_spark.operators.scale import snapshot_diff
 
     old = read_published(spark, table_dir, version=old_version)
     new = read_published(spark, table_dir, version=new_version)
+    if old.columns != new.columns:
+        # align OLD onto the NEW schema by field id (metadata-only):
+        # renamed columns line up, later-added ones read NULL
+        fs = _fs_for(table_dir, spark)
+        manifest = _read_manifest(table_dir, fs)
+        snaps = manifest.get("snapshots", {})
+
+        def _entry(v):
+            if v is None or int(v) == int(manifest["version"]):
+                return manifest
+            return snaps[str(int(v))]
+
+        old_ids = _field_ids_of(_entry(old_version))[0]
+        new_ids = _field_ids_of(_entry(new_version))[0]
+        old_by_id = {i: n for n, i in old_ids.items()}
+        old = old.select(
+            *[
+                (
+                    F.col(old_by_id[new_ids[c]]).alias(c)
+                    if new_ids.get(c) in old_by_id
+                    else F.lit(None)
+                    .cast(dict(new.dtypes)[c])
+                    .alias(c)
+                )
+                for c in new.columns
+            ]
+        )
     if content_col is None:
         content_col = "_payload"
         pack = lambda df: df.select(  # noqa: E731

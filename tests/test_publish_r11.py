@@ -756,3 +756,36 @@ def test_dv_delete_retries_commuting_conflict(spark, tmp_path, monkeypatch):
     assert got == [k for k in range(300) if k % 5 not in (0, 1)]
     man = P._read_manifest(d, _fs())
     assert man["n_rows"] == len(got) and man["dv_rows"] == 300 - len(got)
+
+
+def test_diff_versions_aligns_renamed_columns(spark, tmp_path):
+    """diff_versions compares snapshots under the NEW schema by field
+    id: a rename alone marks nothing 'changed'; real value changes and
+    later-added columns classify correctly."""
+    d = str(tmp_path / "t")
+    atomic_publish(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "id long, v long"
+        ),
+        d,
+    )                                                            # v1
+    P.rename_column(d, "v", "amount", spark=spark)               # v2
+    merge_into(
+        spark.createDataFrame(
+            [(2, 99), (4, 40)], "id long, amount long"
+        ),
+        d,
+        "id",
+        when_matched_update={"amount": "s.amount"},
+        when_not_matched_insert=True,
+    )                                                            # v3
+    out = {
+        r.id: r.status
+        for r in P.diff_versions(spark, d, 1, 3, id_col="id").collect()
+    }
+    assert out == {
+        1: "unchanged",  # a rename alone is not a change
+        2: "changed",
+        3: "unchanged",
+        4: "added",
+    }
