@@ -381,29 +381,49 @@ def test_dv_on_partitioned_table_and_partition_rewrite_respects_mask(
     assert got.where("k = 'a'").count() == 5
 
 
-def test_dv_rewrite_conflict_raises(spark, tmp_path, monkeypatch):
-    """A concurrent commit that rewrites a file the dv delete
-    addresses makes the positions stale — the dv commit must raise."""
+def test_dv_rewrite_conflict_retries_then_raises(spark, tmp_path, monkeypatch):
+    """A concurrent commit that rewrites a file the dv delete addresses
+    makes the positions stale — the attempt must NOT commit them. Since
+    round 11 delete_publish(dv) auto-retries the commuting conflict
+    against the fresh snapshot (bounded), so a single race succeeds
+    with re-scanned addresses; a persistent conflict still raises."""
     t = str(tmp_path / "tbl")
     atomic_publish(spark.range(10).selectExpr("id"), t)
     orig = P._claim_vdir
-    fired = {"done": False}
+    fired = {"n": 0}
 
     def hook(fs, table_dir, start):
         # between the dv scan (before claim) and the commit: compact
         # rewrites every file
-        if not fired["done"]:
-            fired["done"] = True
+        fired["n"] += 1
+        if fired["n"] == 1:
             out = orig(fs, table_dir, start)
             compact(spark, t)
             return out
         return orig(fs, table_dir, start)
 
     monkeypatch.setattr(P, "_claim_vdir", hook)
+    ver = delete_publish(spark, t, "id = 3", delete_vectors=True)
+    assert ver is not None and fired["n"] >= 2  # retried, then landed
+    got = sorted(r["id"] for r in read_published(spark, t).collect())
+    assert got == [i for i in range(10) if i != 3]
+
+    # persistent conflict: every attempt loses the race -> raises, and
+    # NOTHING stale ever commits
+    always = {"n": 0}
+
+    def hostile(fs, table_dir, start):
+        always["n"] += 1
+        out = orig(fs, table_dir, start)
+        compact(spark, t)
+        return out
+
+    monkeypatch.setattr(P, "_claim_vdir", hostile)
     with pytest.raises(ConcurrentWriteError):
-        delete_publish(spark, t, "id = 3", delete_vectors=True)
+        delete_publish(spark, t, "id = 4", delete_vectors=True)
     monkeypatch.setattr(P, "_claim_vdir", orig)
-    assert read_published(spark, t).count() == 10  # delete not committed
+    got = sorted(r["id"] for r in read_published(spark, t).collect())
+    assert got == [i for i in range(10) if i != 3]  # id=4 intact
 
 
 def test_dv_point_rewrite_path_does_not_resurrect(spark, tmp_path):
