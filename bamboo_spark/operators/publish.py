@@ -2940,9 +2940,15 @@ def tag_version(
     manifest = _read_manifest(table_dir, fs)
     if manifest is None:
         raise ValueError("tag_version: no committed table here")
-    v = int(version) if version is not None else int(manifest["version"])
 
     def _mutate(fresh: dict) -> dict:
+        # version=None means "the current version" — resolved from the
+        # IN-LEASE re-read, not the pre-lease snapshot, so a concurrent
+        # data commit landing before lease acquisition can't make the
+        # tag silently pin the now-older version
+        v = int(version) if version is not None else int(
+            fresh["version"]
+        )
         snaps = fresh.get("snapshots", {})
         if str(v) not in snaps and v != int(fresh["version"]):
             raise KeyError(
@@ -3467,12 +3473,37 @@ def _cdf_delta(
     # output schema is pinned once, and per-version schemas would
     # desync from it across a mid-feed rename. On evolved tables each
     # file's physical columns resolve by field id from the entry that
-    # OWNS the file in that step.
-    man_evolved = bool(manifest.get("schema_evolved"))
+    # OWNS the file in that step. Evolution is detected over the WALKED
+    # entries, not just the planning manifest: a full rewrite (compact)
+    # clears `schema_evolved` and resets field ids, and a stream
+    # catching up across it would otherwise resolve pre-compact files
+    # of a formerly-renamed table as identity — silently NULLing the
+    # renamed column (the exact wrongness read_appends/read_changes
+    # refuse). A broken id space refuses the same way.
+    walked = {
+        v: _entry_of(v) for v in range(from_v, to_v + 1)
+    }
+    man_evolved = bool(manifest.get("schema_evolved")) or any(
+        e.get("schema_evolved") for e in walked.values()
+    )
     man_ids, _ = _field_ids_of(manifest)
     man_names = [
         x["name"] for x in json.loads(manifest["schema"])["fields"]
     ]
+    if man_evolved:
+        steps_ok = all(
+            _ids_step_ok(walked[v], walked[v + 1])
+            for v in range(from_v, to_v)
+        ) and _ids_step_ok(walked[to_v], manifest)
+        if not steps_ok:
+            raise ValueError(
+                "change feed: a full rewrite re-assigned field ids "
+                "between v%d and the current manifest of this renamed/"
+                "dropped-column table — exact cross-era column "
+                "resolution is impossible; use the batch "
+                "read_changes() over a pre-rewrite range instead"
+                % from_v
+            )
 
     def _fields_of(res: dict, f: str):
         """Per-file (logical, physical-or-None) tuple — the executor-
@@ -5277,6 +5308,20 @@ def _dv_delete(
             return version
         finally:
             lease.release()
+    except ConcurrentWriteError:
+        # lost race: the bounded retry in delete_publish makes this
+        # ROUTINE, so don't leave the claimed _v<N> dir + staged _dvp
+        # sidecars to age out under vacuum's TTL — reclaim them now
+        # (best-effort; a crash here still falls back to vacuum)
+        try:
+            fs.delete_file(fs.join(table_dir, seg + ".claim"))
+        except Exception:
+            pass
+        try:
+            fs.rmtree(fs.join(table_dir, seg))
+        except Exception:
+            pass
+        raise
     finally:
         beat.stop()
 
