@@ -19,13 +19,13 @@ from bamboo_spark.queries import _core, tpch, relational, dedup_q  # noqa: E402
 from bamboo_spark.queries import events_q, similarity_q, text_q  # noqa: E402
 from bamboo_spark.queries import sketch_q, pipeline, monitor  # noqa: E402
 from bamboo_spark.queries import multimodal_q, analytics_q  # noqa: E402
-from bamboo_spark.queries import table_q  # noqa: E402
+from bamboo_spark.queries import table_q, source_q  # noqa: E402
 from bamboo_spark.queries import registry  # noqa: E402
 
 _MODULES = [
     _core, tpch, relational, events_q, dedup_q, similarity_q,
     text_q, sketch_q, pipeline, monitor, multimodal_q, analytics_q,
-    table_q, registry,
+    table_q, source_q, registry,
 ]
 
 # One shared namespace, exactly as when this was a single module: every
