@@ -2782,6 +2782,74 @@ def drop_column(
     )
 
 
+def widen_column(
+    table_dir: str,
+    col: str,
+    new_type,
+    spark: Optional[SparkSession] = None,
+    lease_ttl_ms: int = 300_000,
+) -> int:
+    """METADATA-ONLY type widening (Delta's type-widening feature):
+    commit a new snapshot whose schema gives ``col`` a WIDER primitive
+    type from the supported set (byte→short→int→long, float→double,
+    byte/short/int→double — :func:`_can_widen`). Zero data IO at any
+    table size: files written narrow read natively upcast under the
+    widened schema (Spark's parquet reader performs the promotion),
+    and writes after the commit must land wide (the same strict schema
+    check as any publish). Field ids are untouched — widening never
+    changes a column's identity — so rename/drop histories,
+    incremental reads and the change feed compose unchanged; per-file
+    stats/bloom indexes stay valid (min/max compare numerically,
+    bloom canonical forms are width-independent —
+    :func:`_bloom_canon_py`). Earlier snapshots keep their narrow
+    schema: time travel reads each version under its own types.
+
+    ``new_type`` is a Spark DataType or a type string ("long",
+    "double"). Widening a hive partition column is allowed — its
+    path-string values cast to the declared type at scan."""
+    from pyspark.sql import types as T
+
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    dt = (
+        new_type
+        if isinstance(new_type, T.DataType)
+        else T._parse_datatype_string(str(new_type))
+    )
+    jt = dt.jsonValue()
+
+    def _mutate(fresh: dict) -> dict:
+        fields = json.loads(fresh["schema"])["fields"]
+        by_name = {f["name"]: f for f in fields}
+        if col not in by_name:
+            raise KeyError("widen_column: no column %r" % col)
+        old_t = by_name[col]["type"]
+        if old_t == jt:
+            raise ValueError(
+                "widen_column: %r is already %s" % (col, jt)
+            )
+        if not _can_widen(old_t, jt):
+            raise ValueError(
+                "widen_column: %s → %s is not a supported widening "
+                "(byte→short→int→long, float→double, int→double); "
+                "other type changes require a rewrite under a new "
+                "column name" % (old_t, jt)
+            )
+        new_fields = [
+            {**f, "type": jt} if f["name"] == col else f
+            for f in fields
+        ]
+        return {
+            "schema": json.dumps(
+                {"type": "struct", "fields": new_fields}
+            )
+        }
+
+    return _metadata_commit(
+        table_dir, spark, lease_ttl_ms, "widen_column", _mutate
+    )
+
+
 def _metadata_commit(
     table_dir: str,
     spark,
@@ -4408,24 +4476,58 @@ def merge_publish_incremental(
     )
 
 
+_WIDEN_CHAIN = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+
+
+def _can_widen(frm, to) -> bool:
+    """Delta's type-widening promotion set, restricted to the upcasts
+    Spark's parquet reader performs NATIVELY when scanning a narrow
+    file under the wide schema (verified on Spark 4.1: the
+    byte→short→int→long chain, float→double, byte/short/int→double).
+    That native read is what makes widening a METADATA-ONLY commit —
+    old files simply read upcast, zero data IO at any table size.
+    long→double is excluded (lossy past 2^53), same rule as Delta."""
+    if not isinstance(frm, str) or not isinstance(to, str) or frm == to:
+        return False
+    if frm in _WIDEN_CHAIN and to in _WIDEN_CHAIN:
+        return _WIDEN_CHAIN[to] > _WIDEN_CHAIN[frm]
+    if frm == "float" and to == "double":
+        return True
+    return frm in ("byte", "short", "integer") and to == "double"
+
+
 def _widen_schema(manifest: dict, src_fields, who: str):
-    """ADD-ONLY schema widening for merge paths (Delta's
-    withSchemaEvolution rules): existing columns keep their exact
-    types, new names must not resurrect retired ones, added columns
-    are nullable with FRESH field ids. Returns ``(out_schema_json,
-    (fids, next_id))`` — both None when the source adds nothing (it
-    may still be MISSING table columns; the caller NULL-fills)."""
+    """Schema widening for merge paths (Delta's withSchemaEvolution
+    rules): new names must not resurrect retired ones and arrive as
+    nullable columns with FRESH field ids; an existing column whose
+    source type is a supported WIDENING (:func:`_can_widen`) adopts
+    the wider type — keeping its field id, since widening never
+    touches identity; a NARROWER source type is fine as-is (the
+    caller's ``_align_to`` casts it up); any other type change raises.
+    Returns ``(out_schema_json, (fids, next_id))`` — schema None when
+    the source neither adds nor widens anything (it may still be
+    MISSING table columns; the caller NULL-fills), fids None when no
+    column was added (ids unchanged)."""
     src_sig = [(f["name"], f["type"]) for f in src_fields]
     old_fields = json.loads(manifest["schema"])["fields"]
     old_sig = [(f["name"], f["type"]) for f in old_fields]
     src_types = dict(src_sig)
-    retyped = [
-        n for n, t in old_sig if n in src_types and src_types[n] != t
-    ]
-    if retyped:
+    widened: dict = {}
+    bad = []
+    for n, t in old_sig:
+        st = src_types.get(n)
+        if st is None or st == t:
+            continue
+        if _can_widen(t, st):
+            widened[n] = st
+        elif not _can_widen(st, t):
+            bad.append(n)
+    if bad:
         raise ValueError(
-            "%s(schema_evolution): column type change(s) %s are not "
-            "allowed" % (who, retyped)
+            "%s(schema_evolution): column type change(s) %s are "
+            "neither a supported widening (byte→short→int→long, "
+            "float→double, int→double) nor a narrower source type "
+            "castable to the table's" % (who, bad)
         )
     old_names = {n for n, _ in old_sig}
     added = [f for f in src_fields if f["name"] not in old_names]
@@ -4437,19 +4539,20 @@ def _widen_schema(manifest: dict, src_fields, who: str):
             "renamed away earlier — re-adding the name would resurrect "
             "old bytes; pick a new name" % (who, readded)
         )
-    if not added:
+    if not added and not widened:
         return None, None
-    union_fields = list(old_fields) + [
-        {**f, "nullable": True} for f in added
-    ]
+    union_fields = [
+        {**f, "type": widened.get(f["name"], f["type"])}
+        for f in old_fields
+    ] + [{**f, "nullable": True} for f in added]
+    out_json = json.dumps({"type": "struct", "fields": union_fields})
+    if not added:
+        return out_json, None
     fids, nxt = _field_ids_of(manifest)
     for f in added:
         fids[f["name"]] = nxt
         nxt += 1
-    return (
-        json.dumps({"type": "struct", "fields": union_fields}),
-        (fids, nxt),
-    )
+    return out_json, (fids, nxt)
 
 
 def _align_to(df: DataFrame, schema_json: str) -> DataFrame:
@@ -4888,6 +4991,11 @@ def merge_into(
         out = ins if out is None else out.unionByName(ins)
     if out is None:
         out = source.limit(0).select(*cols)
+    if out_schema_json:
+        # uniform post-state types: updated rows keep narrow target
+        # values until this cast, inserts are already wide — the new
+        # files must all land under the (possibly widened) out schema
+        out = _align_to(out, out_schema_json)
     return _mor_commit(
         spark, fs, table_dir, manifest, addr, candidates, out, parts,
         lease_ttl_ms, stats_cols, bloom_cols, meta, who="merge_into",

@@ -329,3 +329,88 @@ t4 as (
 )
 select k, v, coalesce(tag, '-') as tag from t4 order by k
 """
+
+
+def q_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE-WIDENING differential (round 12): Delta's type-widening
+    feature driven end-to-end — the day-2 "our int column overflowed /
+    our float lost precision" evolution — and checked value-exactly
+    against SQL:
+
+    1. publish the ``k % 10 = 5`` slice of orders NARROW: k as int,
+       v as float32 of the cents (IEEE round-to-nearest — DuckDB's
+       ``cast(c as REAL)`` produces the identical bits);
+    2. ``widen_column(k → long)`` — a METADATA-ONLY commit: zero files
+       rewritten, narrow files read natively upcast;
+    3. widening MERGE (``schema_evolution=True``): the source carries
+       k as long and v as double — matched ``k % 20 = 5`` rows take
+       ``v := s.v + t.v`` (double + upcast float), unmatched
+       ``k % 10 = 7`` rows insert wide; the table's v widens
+       float→double in the same commit, untouched rows stay in their
+       NARROW files and read upcast;
+    4. ``delete_publish(delete_vectors=True)`` of ``k % 13 = 0`` over
+       the mixed narrow/wide snapshot.
+
+    The oracle replays every step (float32 conversion via REAL, the
+    double arithmetic, the mixed-file upcasts), so drift in the
+    widening rules or the native narrow-file read flips the hash.
+
+    Scale: both widenings are manifest swaps (one standalone, one
+    riding the merge commit); no step rewrites pre-existing data."""
+    from bamboo_spark.operators import publish as P
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias("c"),
+    )
+    root = tempfile.mkdtemp(prefix="bamboo_widen_")
+    t = root + "/t"
+    P.atomic_publish(
+        o.where("k % 10 = 5").select(
+            F.col("k").cast("int").alias("k"),
+            F.col("c").cast("float").alias("v"),
+        ),
+        t,
+        bloom_cols=["k"],
+    )
+    P.widen_column(t, "k", "long", spark=spark)
+    src = (
+        o.where("k % 20 = 5").select(
+            "k", (F.col("c") * 2).cast("double").alias("v")
+        )
+        .unionByName(
+            o.where("k % 10 = 7").select(
+                "k", (F.col("c") * 2).cast("double").alias("v")
+            )
+        )
+    )
+    P.merge_into(
+        src,
+        t,
+        "k",
+        when_matched_update={"v": "s.v + t.v"},
+        when_not_matched_insert=True,
+        schema_evolution=True,
+    )
+    P.delete_publish(spark, t, "k % 13 = 0", delete_vectors=True)
+    return P.read_published(spark, t).orderBy("k")
+
+
+Q_TYPE_WIDENING_SQL = """
+with o as (
+  select o_orderkey::BIGINT k,
+         cast(round(o_totalprice * 100, 0) as BIGINT) c
+  from orders
+),
+base as (select k, cast(c as REAL) v from o where k % 10 = 5),
+t1 as (
+  select b.k,
+         case when b.k % 20 = 5
+              then 2 * o.c + cast(b.v as DOUBLE)
+              else cast(b.v as DOUBLE) end as v
+  from base b join o on b.k = o.k
+  union all
+  select k, cast(2 * c as DOUBLE) as v from o where k % 10 = 7
+)
+select k, v from t1 where k % 13 <> 0 order by k
+"""

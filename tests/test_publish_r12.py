@@ -22,6 +22,7 @@ from bamboo_spark.operators.publish import (
     atomic_publish,
     compact,
     delete_publish,
+    merge_into,
     read_published,
 )
 
@@ -200,3 +201,347 @@ def test_tag_version_default_resolves_inside_lease(spark, tmp_path):
     man = P._read_manifest(d, fs)
     assert man["version"] == 3  # v3 = the tag's metadata commit
     assert (man.get("tags") or {}).get("cur") == 2, man.get("tags")
+
+
+# ----------------------------------------------------------- type widening
+
+
+def test_widen_column_metadata_only(spark, tmp_path):
+    """widen_column commits a wider schema with ZERO data IO: the live
+    file set is untouched, narrow files read natively upcast, earlier
+    versions time-travel under their own narrow types, and appends
+    after the commit land wide."""
+    d = str(tmp_path / "t")
+    atomic_publish(
+        spark.range(0, 10).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * F.lit(1.5)).cast("float").alias("v"),
+        ),
+        d,
+    )
+    files_before = P.live_files(d)
+    assert P.widen_column(d, "k", "long", spark=spark) == 2
+    assert P.widen_column(d, "v", "double", spark=spark) == 3
+    assert P.live_files(d) == files_before  # metadata-only
+    out = read_published(spark, d)
+    assert out.schema.simpleString() == "struct<k:bigint,v:double>"
+    assert sorted((r.k, r.v) for r in out.collect()) == [
+        (k, float(np_f32(k * 1.5))) for k in range(10)
+    ]
+    # time travel: v1 keeps the narrow schema
+    old = read_published(spark, d, version=1)
+    assert old.schema.simpleString() == "struct<k:int,v:float>"
+    # appends land wide
+    append_publish(
+        spark.range(10, 12).select(
+            F.col("id").alias("k"), (F.col("id") * 1.5).alias("v")
+        ),
+        d,
+    )
+    assert read_published(spark, d).count() == 12
+
+
+def np_f32(x: float) -> float:
+    import numpy as np
+
+    return float(np.float32(x))
+
+
+def test_widen_column_rejects_illegal(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(
+        spark.range(3).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 1.5).alias("v"),
+        ),
+        d,
+    )
+    with pytest.raises(ValueError, match="not a supported widening"):
+        P.widen_column(d, "k", "int", spark=spark)       # narrowing
+    with pytest.raises(ValueError, match="not a supported widening"):
+        P.widen_column(d, "k", "double", spark=spark)    # long→double lossy
+    with pytest.raises(ValueError, match="already"):
+        P.widen_column(d, "k", "long", spark=spark)
+    with pytest.raises(KeyError):
+        P.widen_column(d, "nope", "long", spark=spark)
+
+
+def test_merge_schema_evolution_widens_types(spark, tmp_path):
+    """merge_into(schema_evolution=True) adopts a source's WIDER types
+    (int→long, float→double) and casts a NARROWER source up — only
+    genuinely incompatible changes raise."""
+    d = str(tmp_path / "t")
+    atomic_publish(
+        spark.range(0, 6).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * F.lit(10)).cast("float").alias("v"),
+        ),
+        d,
+    )
+    src = spark.range(3, 9).select(
+        F.col("id").alias("k"),                       # long: widens
+        (F.col("id") * F.lit(100.0)).alias("v"),      # double: widens
+    )
+    with pytest.raises(ValueError, match="schema_evolution"):
+        merge_into(src, d, "k", when_matched_update={"v": "s.v"})
+    ver = merge_into(
+        src, d, "k",
+        when_matched_update={"v": "s.v + t.v"},
+        when_not_matched_insert=True,
+        schema_evolution=True,
+    )
+    assert ver == 2
+    out = read_published(spark, d)
+    assert out.schema.simpleString() == "struct<k:bigint,v:double>"
+    got = dict((r.k, r.v) for r in out.collect())
+    assert got == {
+        0: 0.0, 1: 10.0, 2: 20.0,                 # untouched, upcast
+        3: 330.0, 4: 440.0, 5: 550.0,             # updated: 100k + 10k
+        6: 600.0, 7: 700.0, 8: 800.0,             # inserted
+    }
+    # a NARROWER source casts up instead of raising
+    src2 = spark.createDataFrame([(0, 7)], "k int, v int")
+    merge_into(
+        src2, d, "k", when_matched_update={"v": "s.v"},
+        schema_evolution=True, when_not_matched_insert=False,
+    )
+    assert dict(
+        (r.k, r.v) for r in read_published(spark, d).collect()
+    )[0] == 7.0
+    # incompatible change still raises
+    src3 = spark.createDataFrame([(0, "x")], "k long, v string")
+    with pytest.raises(ValueError, match="neither a supported widening"):
+        merge_into(
+            src3, d, "k", when_matched_update={"v": "s.v"},
+            schema_evolution=True,
+        )
+
+
+def test_widen_composes_with_rename_dv_and_indexes(spark, tmp_path):
+    """Widening on an already-RENAMED table (field ids untouched), then
+    dv deletes, skip_eq bloom pruning, stats backfill and batch CDF —
+    the whole governance surface stays green on the widened table."""
+    d = str(tmp_path / "t")
+    atomic_publish(
+        spark.range(0, 100).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * F.lit(2)).cast("int").alias("v"),
+        ).coalesce(1),
+        d,
+        bloom_cols=["k"],
+    )                                                        # v1
+    P.rename_column(d, "v", "amount", spark=spark)           # v2
+    assert P.widen_column(d, "amount", "long", spark=spark) == 3
+    append_publish(
+        spark.range(100, 200).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * F.lit(2)).cast("long").alias("amount"),
+        ).coalesce(1),
+        d,
+    )                                                        # v4
+    delete_publish(spark, d, "amount % 10 = 0", delete_vectors=True)  # v5
+    got = sorted(r.k for r in read_published(spark, d).collect())
+    assert got == [k for k in range(200) if (2 * k) % 10 != 0]
+    # stats/bloom backfill on the widened+renamed table
+    assert P.collect_file_stats(d, ["amount"], spark=spark) >= 2
+    fs = _fs()
+    man = P._read_manifest(d, fs)
+    res = P._resolve_entry(fs, d, man)
+    # pre-widen file's stats rekeyed to the logical name, prunable
+    kept = P._prune_eq(res, res["files"], {"k": 150})
+    assert len(kept) == 1
+    # CDF across the widen: every change row surfaces under the END
+    # schema (amount long), pre-widen inserts upcast
+    ch = P.read_changes(spark, d, from_version=0)
+    assert dict(ch.dtypes)["amount"] == "bigint"
+    by = {}
+    for r in ch.collect():
+        by.setdefault((r._commit_version, r._change_type), []).append(r.k)
+    assert sorted(by[(1, "insert")]) == list(range(100))
+    assert sorted(by[(5, "delete")]) == [
+        k for k in range(200) if (2 * k) % 10 == 0
+    ]
+
+
+def test_widen_streams_through_datasource(spark, tmp_path):
+    """The bamboo_published streaming source on a widened table: the
+    executor Arrow path casts each file's narrow columns to the pinned
+    wide schema (both append and readChangeFeed modes)."""
+    from bamboo_spark.sources.published import register
+
+    register(spark)
+    d = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    atomic_publish(
+        spark.range(0, 5).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * F.lit(10)).cast("float").alias("v"),
+        ),
+        d,
+    )                                                        # v1
+    P.widen_column(d, "k", "long", spark=spark)              # v2
+    P.widen_column(d, "v", "double", spark=spark)            # v3
+    append_publish(
+        spark.range(5, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 10.0).alias("v")
+        ),
+        d,
+    )                                                        # v4
+    seen = []
+
+    def sink(batch_df, bid):
+        seen.extend((r["k"], r["v"]) for r in batch_df.collect())
+
+    q = (
+        spark.readStream.format("bamboo_published")
+        .option("startingVersion", "0")
+        .load(d)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(seen) == [(k, k * 10.0) for k in range(8)]
+
+
+# ------------------------------------------------- merge x dv race matrix
+
+
+def _two_file_table(spark, d):
+    """keys 0-99 in file 1, 100-199 in file 2 (separate appends)."""
+    atomic_publish(_rows(spark, 0, 100).coalesce(1), d, bloom_cols=["k"])
+    append_publish(_rows(spark, 100, 200).coalesce(1), d, bloom_cols=["k"])
+
+
+def test_merge_rebases_over_disjoint_dv_delete(spark, tmp_path, monkeypatch):
+    """A merge racing a dv-delete that touched a DIFFERENT file rebases
+    and commits — both effects land (the address-validity check is
+    file-granular, not table-granular)."""
+    d = str(tmp_path / "t")
+    _two_file_table(spark, d)
+    orig_build = P._dv_build
+    state = {"raced": False}
+
+    def racing_build(*a, **kw):
+        out = orig_build(*a, **kw)
+        if not state["raced"]:
+            state["raced"] = True
+            # racer: dv-delete in the OTHER file (k=150), landing
+            # between the victim merge's build and its lease
+            delete_publish(spark, d, "k = 150", delete_vectors=True)
+        return out
+
+    monkeypatch.setattr(P, "_dv_build", racing_build)
+    src = spark.createDataFrame([(50, 1)], "k long, v long")
+    ver = merge_into(
+        src, d, "k", when_matched_update={"v": "s.v"},
+        when_not_matched_insert=False,
+    )
+    monkeypatch.undo()
+    assert state["raced"] and ver == 4  # v3 = racer, v4 = rebased merge
+    got = {r.k: r.v for r in read_published(spark, d).collect()}
+    assert got[50] == 1          # merge landed
+    assert 150 not in got        # racer's delete landed
+    assert len(got) == 199
+
+
+def test_merge_raises_on_overlapping_dv_delete(spark, tmp_path, monkeypatch):
+    """A merge racing a dv-delete on the SAME file cannot prove its row
+    addresses are still exact — it must raise (re-run), never silently
+    merge stale positions."""
+    d = str(tmp_path / "t")
+    _two_file_table(spark, d)
+    orig_build = P._dv_build
+    state = {"raced": False}
+
+    def racing_build(*a, **kw):
+        out = orig_build(*a, **kw)
+        if not state["raced"]:
+            state["raced"] = True
+            delete_publish(spark, d, "k = 60", delete_vectors=True)
+        return out
+
+    monkeypatch.setattr(P, "_dv_build", racing_build)
+    src = spark.createDataFrame([(50, 1)], "k long, v long")
+    with pytest.raises(P.ConcurrentWriteError, match="delete vectors"):
+        merge_into(
+            src, d, "k", when_matched_update={"v": "s.v"},
+            when_not_matched_insert=False,
+        )
+    monkeypatch.undo()
+    # the racer's commit is intact; the victim left no claim markers
+    got = {r.k: r.v for r in read_published(spark, d).collect()}
+    assert 60 not in got and got[50] == 50 * 10
+    # re-running the merge against the fresh snapshot succeeds
+    assert merge_into(
+        src, d, "k", when_matched_update={"v": "s.v"},
+        when_not_matched_insert=False,
+    ) is not None
+    assert {r.k: r.v for r in read_published(spark, d).collect()}[50] == 1
+
+
+def test_merge_raises_on_racing_merge_same_file(spark, tmp_path, monkeypatch):
+    """merge vs merge on the same file: the second committer sees the
+    first's dv change on its matched file and raises — updates can
+    never be silently lost to a lost race."""
+    d = str(tmp_path / "t")
+    _two_file_table(spark, d)
+    orig_build = P._dv_build
+    state = {"raced": False}
+
+    def racing_build(*a, **kw):
+        out = orig_build(*a, **kw)
+        if not state["raced"]:
+            state["raced"] = True
+            merge_into(
+                spark.createDataFrame([(51, 2)], "k long, v long"),
+                d, "k", when_matched_update={"v": "s.v"},
+                when_not_matched_insert=False,
+            )
+        return out
+
+    monkeypatch.setattr(P, "_dv_build", racing_build)
+    with pytest.raises(P.ConcurrentWriteError):
+        merge_into(
+            spark.createDataFrame([(50, 1)], "k long, v long"),
+            d, "k", when_matched_update={"v": "s.v"},
+            when_not_matched_insert=False,
+        )
+    monkeypatch.undo()
+    got = {r.k: r.v for r in read_published(spark, d).collect()}
+    assert got[51] == 2 and got[50] == 500  # racer won, victim refused
+
+
+def test_merge_rebases_over_disjoint_merge(spark, tmp_path, monkeypatch):
+    """merge vs merge touching DIFFERENT files: the loser rebases onto
+    the winner's snapshot and both updates land."""
+    d = str(tmp_path / "t")
+    _two_file_table(spark, d)
+    orig_build = P._dv_build
+    state = {"raced": False}
+
+    def racing_build(*a, **kw):
+        out = orig_build(*a, **kw)
+        if not state["raced"]:
+            state["raced"] = True
+            merge_into(
+                spark.createDataFrame([(150, 2)], "k long, v long"),
+                d, "k", when_matched_update={"v": "s.v"},
+                when_not_matched_insert=False,
+            )
+        return out
+
+    monkeypatch.setattr(P, "_dv_build", racing_build)
+    ver = merge_into(
+        spark.createDataFrame([(50, 1)], "k long, v long"),
+        d, "k", when_matched_update={"v": "s.v"},
+        when_not_matched_insert=False,
+    )
+    monkeypatch.undo()
+    assert state["raced"] and ver == 4
+    got = {r.k: r.v for r in read_published(spark, d).collect()}
+    assert got[50] == 1 and got[150] == 2
+    assert len(got) == 200
