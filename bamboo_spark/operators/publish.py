@@ -2637,7 +2637,14 @@ def _evolve_schema(
         st = T.StructType.fromJson(json.loads(manifest["schema"]))
         fids, nxt = _field_ids_of(manifest)
         retired = set(manifest.get("retired_names") or [])
-        new_st, fids, newly_retired = mutate(st, fids, retired)
+        out = mutate(st, fids, retired)
+        # a mutate may evolve the LOGICAL partition spec too (renaming
+        # a partition column): 4th element = the new partition_by
+        new_parts = None
+        if len(out) == 4:
+            new_st, fids, newly_retired, new_parts = out
+        else:
+            new_st, fids, newly_retired = out
         import re as _re
 
         for cname, cexpr in (manifest.get("constraints") or {}).items():
@@ -2661,7 +2668,11 @@ def _evolve_schema(
             "n_files": prev_nf,
             "size_bytes": prev_sz,
             "schema": new_st.json(),
-            "partition_by": manifest.get("partition_by") or [],
+            "partition_by": (
+                new_parts
+                if new_parts is not None
+                else manifest.get("partition_by") or []
+            ),
             "operation": operation,
             "field_ids": fids,
             "next_field_id": nxt,
@@ -2695,11 +2706,21 @@ def rename_column(
     check); a writer racing the rename gets a ConcurrentWriteError
     (schema changes never rebase).
 
+    Renaming a hive PARTITION column evolves the partition spec
+    per-segment (Iceberg spec-evolution reduced to the hive case):
+    files written before the rename keep their old ``old=val`` path
+    layout and resolve the value under that physical key (the same
+    field-id machinery that resolves renamed DATA columns), new writes
+    land under ``new=val``, and plain reads, dv deletes, merges and
+    incremental reads span both eras. Partition-LEVEL maintenance
+    (``replace_partitions_publish``/``compact_partitions``/partitioned
+    deletes) refuses the mixed layout until ``compact()`` rewrites the
+    table under the new spec — the same contract as
+    ``set_partition_layout``.
+
     Guards: the old name is retired FOREVER (re-adding it would
-    resurrect old bytes on name-resolved segments); renaming a hive
-    PARTITION column is refused (its name is baked into directory
-    paths); tables with pre-stamping segments must ``compact()``
-    first."""
+    resurrect old bytes on name-resolved segments); tables with
+    pre-stamping segments must ``compact()`` first."""
     def mutate(st, fids, retired):
         from pyspark.sql import types as T
 
@@ -2718,12 +2739,6 @@ def rename_column(
             )
         fs_ = _fs_for(table_dir, spark)
         man = _read_manifest(table_dir, fs_)
-        if old in (man.get("partition_by") or []):
-            raise ValueError(
-                "rename_column: %r is a hive partition column — its "
-                "name is baked into directory paths; repartition via "
-                "set_partition_layout/compact first" % old
-            )
         new_st = T.StructType(
             [
                 T.StructField(
@@ -2737,7 +2752,18 @@ def rename_column(
         )
         fids = dict(fids)
         fids[new] = fids.pop(old)
-        return new_st, fids, {old}
+        parts = man.get("partition_by") or []
+        if old in parts:
+            # PARTITION-SPEC EVOLUTION (per-segment specs): the logical
+            # spec renames with the column; each file keeps resolving
+            # its partition value under the PHYSICAL path key its
+            # segment was written with (the same field-id map that
+            # resolves data columns), and new writes land under the new
+            # key. Partition-LEVEL maintenance (replace/compact/delete
+            # by partition) stays refused on the mixed table by the
+            # existing path guard until compact() unifies the layout.
+            parts = [new if p == old else p for p in parts]
+        return new_st, fids, {old}, parts
 
     return _evolve_schema(
         table_dir, spark, lease_ttl_ms, mutate, "rename_column"

@@ -273,7 +273,19 @@ def _arrow_batches(part: _FilePartition):
 
     spark_schema = StructType.fromJson(json.loads(part.schema_json))
     arrow_schema = to_arrow_schema(spark_schema)
-    pvals = _partition_values(part.rel, set(part.partition_by))
+    fmap = dict(part.fields) if part.fields is not None else None
+    # partition values parse from the path under the file's PHYSICAL
+    # key: a renamed partition column's old files carry old=val path
+    # segments, resolved to the logical name by the same field map that
+    # resolves data columns (partition-spec evolution)
+    raw_pvals = _partition_values(
+        part.rel, {s.split("=", 1)[0] for s in part.rel.split("/") if "=" in s}
+    )
+    pvals = {}
+    for logical in part.partition_by:
+        phys = (fmap.get(logical) if fmap else None) or logical
+        if phys in raw_pvals:
+            pvals[logical] = raw_pvals[phys]
     tbl = _open_parquet(part.loc)
     if part.take_diff is not None:
         # change-feed row addresses: newly-deleted = cur minus prev,
@@ -295,7 +307,6 @@ def _arrow_batches(part: _FilePartition):
     if part.change_type is not None:
         consts["_change_type"] = part.change_type
         consts["_commit_version"] = part.commit_version
-    fmap = dict(part.fields) if part.fields is not None else None
     for f in arrow_schema:
         src = f.name if fmap is None else fmap.get(f.name, f.name)
         if fmap is not None and src is None and f.name not in consts:

@@ -545,3 +545,94 @@ def test_merge_rebases_over_disjoint_merge(spark, tmp_path, monkeypatch):
     got = {r.k: r.v for r in read_published(spark, d).collect()}
     assert got[50] == 1 and got[150] == 2
     assert len(got) == 200
+
+
+# ------------------------------------------- partition-spec evolution: rename
+
+
+def _parted(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("d"),
+        (F.col("id") * 10).alias("v"),
+    )
+
+
+def test_rename_partition_column_reads_both_eras(spark, tmp_path):
+    """Renaming a hive partition column evolves the spec per-segment:
+    old files keep their ``d=val`` paths and resolve the value under
+    the physical key; appends land under ``bucket=val``; plain reads,
+    partition filters and dv deletes span both eras; partition-LEVEL
+    maintenance refuses the mixed layout until compact()."""
+    d = str(tmp_path / "t")
+    atomic_publish(_parted(spark, 0, 20), d, partition_by=["d"])  # v1
+    P.rename_column(d, "d", "bucket", spark=spark)                # v2
+    out = read_published(spark, d)
+    assert out.schema.simpleString() == "struct<k:bigint,bucket:bigint,v:bigint>"
+    assert sorted((r.k, r.bucket) for r in out.collect()) == [
+        (k, k % 4) for k in range(20)
+    ]
+    append_publish(
+        _parted(spark, 20, 24).withColumnRenamed("d", "bucket"),
+        d, partition_by=["bucket"],
+    )                                                             # v3
+    # old era wrote d=, new era writes bucket=
+    v1 = {x.name for x in Path(d, "_v1").iterdir()}
+    v3 = {x.name for x in Path(d, "_v3").iterdir()}
+    assert any(n.startswith("d=") for n in v1)
+    assert any(n.startswith("bucket=") for n in v3)
+    # partition filter under the NEW name spans both eras
+    assert sorted(
+        r.k for r in read_published(spark, d).where("bucket = 2").collect()
+    ) == [2, 6, 10, 14, 18, 22]
+    # merge-on-read delete over the mixed layout
+    delete_publish(spark, d, "k % 7 = 0", delete_vectors=True)    # v4
+    expect = [k for k in range(24) if k % 7 != 0]
+    assert sorted(r.k for r in read_published(spark, d).collect()) == expect
+    # partition-level maintenance refuses the mixed table...
+    with pytest.raises(ValueError, match="predate the current partition"):
+        P.compact_partitions(spark, d, values=[2], partition_col="bucket")
+    # ...until compact() unifies the layout under the new spec
+    compact(spark, d)                                             # v5
+    assert sorted(r.k for r in read_published(spark, d).collect()) == expect
+    P.compact_partitions(spark, d, values=[2], partition_col="bucket")
+    assert sorted(r.k for r in read_published(spark, d).collect()) == expect
+
+
+def test_rename_partition_column_through_datasource(spark, tmp_path):
+    """The bamboo_published DataSource (batch + streaming) on a MIXED
+    spec-evolved table: the executor Arrow path resolves each file's
+    partition value under its physical path key via the field map."""
+    from bamboo_spark.sources.published import register
+
+    register(spark)
+    d = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    atomic_publish(_parted(spark, 0, 8), d, partition_by=["d"])   # v1
+    P.rename_column(d, "d", "bucket", spark=spark)                # v2
+    append_publish(
+        _parted(spark, 8, 12).withColumnRenamed("d", "bucket"),
+        d, partition_by=["bucket"],
+    )                                                             # v3
+    got = spark.read.format("bamboo_published").load(d)
+    assert sorted((r.k, r.bucket) for r in got.collect()) == [
+        (k, k % 4) for k in range(12)
+    ]
+    seen = []
+
+    def sink(batch_df, bid):
+        seen.extend((r["k"], r["bucket"]) for r in batch_df.collect())
+
+    q = (
+        spark.readStream.format("bamboo_published")
+        .option("startingVersion", "0")
+        .load(d)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(seen) == [(k, k % 4) for k in range(12)]
