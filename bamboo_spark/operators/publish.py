@@ -609,18 +609,106 @@ def _dv_ref_of(v, rel: str):
     """A PICKLABLE positions ref for one file's dv value — what a
     driver-side change-feed plan ships to executors instead of raw
     positions: ``("pos", (p, ...))`` for v1, ``("ds", dataset_rel,
-    key)`` for v2 (the executor reads the sidecar itself), None when
-    the file has no vector."""
+    key)`` for v2 row-per-position sidecars, ``("bm", dataset_rel,
+    key)`` for v3 bitmap sidecars (the executor reads the sidecar
+    itself either way), None when the file has no vector."""
     if not v:
         return None
     if isinstance(v, dict):
-        return ("ds", v["ds"], v.get("key", rel))
+        tag = "bm" if v.get("fmt") == "bm" else "ds"
+        return (tag, v["ds"], v.get("key", rel))
     return ("pos", tuple(int(p) for p in v))
 
 
 _DV_POS_SCHEMA = (
     "_dv_file string, _dv_base string, _dv_sfx string, _dv_pos long"
 )
+
+# bitmap sidecar geometry: one sidecar row covers a CHUNK of 1024
+# consecutive row positions as 16 little-endian 64-bit words — ~136 B
+# per chunk row vs ~50 B per position row, so any delete density above
+# ~0.3% compresses (a 50%-deleted file ≈ 190x smaller); parquet RLE
+# squeezes the all-zero words of sparse chunks further
+_DV_CHUNK = 1024
+_DV_WORDS = _DV_CHUNK // 64
+
+
+def _dv_pack(pos_df, n_parts: int):
+    """Pack a positions frame (``_DV_POS_SCHEMA``) into the BITMAP
+    sidecar shape ``(_dv_file, _dv_base, _dv_sfx, _dv_chunk,
+    _dv_bits array<long>[16])`` — Delta's deletion-vector bitmap idea
+    as plain Spark aggregates, wholly JVM-side, in ONE exchange: the
+    explicit repartition on ``_dv_file`` both clusters the output for
+    the executors' per-file predicate pushdown AND satisfies the
+    group-by's distribution (hashpartitioning(_dv_file) ⊆ the
+    clustering keys), so the 16 per-word ``bit_or`` aggregates run
+    exchange-free on top of it. ``bit_or`` is idempotent to duplicate
+    positions, so callers need no dropDuplicates pass either."""
+    from pyspark.sql import functions as F
+
+    word_aggs = [
+        F.expr(
+            "bit_or(IF(cast((_dv_pos % {c}) div 64 as int) = {w}, "
+            "shiftleft(1L, cast(_dv_pos % 64 as int)), 0L))".format(
+                c=_DV_CHUNK, w=w
+            )
+        ).alias("_w%d" % w)
+        for w in range(_DV_WORDS)
+    ]
+    return (
+        pos_df.repartition(n_parts, "_dv_file")
+        .groupBy(
+            "_dv_file", "_dv_base", "_dv_sfx",
+            F.expr("_dv_pos div %d" % _DV_CHUNK).alias("_dv_chunk"),
+        )
+        .agg(*word_aggs)
+        .select(
+            "_dv_file", "_dv_base", "_dv_sfx", "_dv_chunk",
+            F.array(
+                *[F.col("_w%d" % w) for w in range(_DV_WORDS)]
+            ).alias("_dv_bits"),
+        )
+        .sortWithinPartitions("_dv_file", "_dv_chunk")
+    )
+
+
+def _dv_unpack(bm_df):
+    """Unpack a bitmap sidecar frame back to ``_DV_POS_SCHEMA`` — a
+    codegen'd transform+filter+explode, no Python in the path. Only
+    the mask JOIN side materializes positions; the stored/shipped
+    bytes stay packed."""
+    from pyspark.sql import functions as F
+
+    return bm_df.select(
+        "_dv_file", "_dv_base", "_dv_sfx",
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(0, %d), i -> "
+                "IF((shiftrightunsigned(element_at(_dv_bits, "
+                "int(i div 64) + 1), int(i %% 64)) & 1) = 1, "
+                "_dv_chunk * %d + cast(i as long), -1L)), "
+                "x -> x >= 0)" % (_DV_CHUNK - 1, _DV_CHUNK)
+            )
+        ).alias("_dv_pos"),
+    )
+
+
+def _dv_ds_counts(spark, dsdir: str) -> dict:
+    """Per-file deleted-row counts of a written BITMAP sidecar dataset
+    — one aggregate over bit_count, never positions on the driver."""
+    from pyspark.sql import functions as F
+
+    return {
+        r[0]: int(r[1])
+        for r in spark.read.parquet(dsdir)
+        .groupBy("_dv_file")
+        .agg(
+            F.expr(
+                "sum(aggregate(_dv_bits, 0L, (a, b) -> a + bit_count(b)))"
+            ).alias("_n")
+        )
+        .collect()  # O(touched files)
+    }
 
 
 def _dv_positions_df(spark: SparkSession, fs, table_dir: str, dvmap: dict):
@@ -638,13 +726,17 @@ def _dv_positions_df(spark: SparkSession, fs, table_dir: str, dvmap: dict):
     from pyspark.sql import functions as F
 
     legacy_rows = []
-    ds_groups: dict = {}  # dataset abs path -> [(sidecar key, manifest ref)]
+    # (dataset abs path, bitmap?) -> [(sidecar key, manifest ref)]
+    ds_groups: dict = {}
     for rel, v in (dvmap or {}).items():
         if not v:
             continue
         if isinstance(v, dict):
             ds = _ref_path(fs, table_dir, v["ds"])
-            ds_groups.setdefault(ds, []).append((v.get("key", rel), rel))
+            bm = v.get("fmt") == "bm"
+            ds_groups.setdefault((ds, bm), []).append(
+                (v.get("key", rel), rel)
+            )
         else:
             sfx = _ref_suffix(rel)
             base = rel.rsplit("/", 1)[-1]
@@ -652,10 +744,12 @@ def _dv_positions_df(spark: SparkSession, fs, table_dir: str, dvmap: dict):
     pieces = []
     if legacy_rows:
         pieces.append(spark.createDataFrame(legacy_rows, _DV_POS_SCHEMA))
-    for ds in sorted(ds_groups):
-        pairs = ds_groups[ds]
+    for ds, bm in sorted(ds_groups):
+        pairs = ds_groups[(ds, bm)]
         keys = sorted({k for k, _ in pairs})
         sub = spark.read.parquet(ds).where(F.col("_dv_file").isin(keys))
+        if bm:
+            sub = _dv_unpack(sub)
         if any(k != r for k, r in pairs):
             kmap = spark.createDataFrame(
                 pairs, "_dv_key string, _dv_rel string"
@@ -741,27 +835,19 @@ def _dv_build(
         merged = merged.unionByName(
             _dv_positions_df(spark, fs, table_dir, old_sub)
         )
-    merged = merged.dropDuplicates(["_dv_file", "_dv_pos"])
     dsrel = "%s/%s" % (seg, _DVP)
     dsdir = _ref_path(fs, table_dir, dsrel)
-    (
-        merged.repartition(max(1, min(len(touched), 64)), "_dv_file")
-        .sortWithinPartitions("_dv_file", "_dv_pos")
-        .write.parquet(dsdir)
-    )
-    counts = {
-        r[0]: int(r[1])
-        for r in spark.read.parquet(dsdir)
-        .groupBy("_dv_file")
-        .count()
-        .collect()  # O(touched files) — never positions
-    }
+    # positions pack into BITMAP chunk rows before hitting disk (v3 —
+    # see _dv_pack): sidecar bytes scale with chunks, not deletions.
+    # No dropDuplicates pass: the pack's bit_or dedups by construction
+    _dv_pack(merged, max(1, min(len(touched), 64))).write.parquet(dsdir)
+    counts = _dv_ds_counts(spark, dsdir)
     new_refs: dict = {}
     n_fresh = 0
     for f in touched:
         fresh = counts.get(f, 0) - _dv_val_n(dv0.get(f))
         if fresh > 0:
-            new_refs[f] = {"ds": dsrel, "n": counts[f]}
+            new_refs[f] = {"ds": dsrel, "n": counts[f], "fmt": "bm"}
             n_fresh += fresh
     return new_refs, n_fresh
 
@@ -3257,14 +3343,16 @@ def clone_table(
             if f not in live or not _dv_val_n(v):
                 continue
             if isinstance(v, dict):
-                # v2 sidecar ref: externalize the dataset path (zero
-                # copy, like the data refs) and pin the SIDECAR's own
-                # file key — its rows were written under the source's
-                # ref, which the clone's scan URIs still suffix-match
+                # v2/v3 sidecar ref: externalize the dataset path
+                # (zero copy, like the data refs) and pin the
+                # SIDECAR's own file key — its rows were written under
+                # the source's ref, which the clone's scan URIs still
+                # suffix-match
                 dv[abs_of[f]] = {
                     "ds": _ref_path(src_fs, src_dir, v["ds"]),
                     "n": int(v["n"]),
                     "key": v.get("key", f),
+                    **({"fmt": v["fmt"]} if v.get("fmt") else {}),
                 }
             else:
                 dv[abs_of[f]] = v
@@ -5499,30 +5587,23 @@ def compact_delete_vectors(
         v["ds"] for v in dv0.values() if isinstance(v, dict)
     }
     if len(ds_refs) == 1 and all(
-        isinstance(v, dict) and v.get("key", f) == f
+        isinstance(v, dict)
+        and v.get("key", f) == f
+        and v.get("fmt") == "bm"
         for f, v in dv0.items()
     ):
-        return None  # already one local, identity-keyed dataset
+        # already one local, identity-keyed BITMAP dataset (a lone
+        # row-per-position v2 dataset still folds: the rewrite is the
+        # upgrade path to the packed format)
+        return None
     seg = _claim_vdir(fs, table_dir, _next_version(fs, table_dir, manifest))
     beat = _ClaimBeat(fs, table_dir, seg, lease_ttl_ms).start()
     try:
         merged = _dv_positions_df(spark, fs, table_dir, dv0)
         dsrel = "%s/%s" % (seg, _DVP)
         dsdir = _ref_path(fs, table_dir, dsrel)
-        (
-            merged.repartition(
-                max(1, min(len(dv0), 64)), "_dv_file"
-            )
-            .sortWithinPartitions("_dv_file", "_dv_pos")
-            .write.parquet(dsdir)
-        )
-        counts = {
-            r[0]: int(r[1])
-            for r in spark.read.parquet(dsdir)
-            .groupBy("_dv_file")
-            .count()
-            .collect()  # O(dv'd files)
-        }
+        _dv_pack(merged, max(1, min(len(dv0), 64))).write.parquet(dsdir)
+        counts = _dv_ds_counts(spark, dsdir)
         expected = {f: _dv_val_n(v) for f, v in dv0.items()}
         if counts != expected:
             raise RuntimeError(
@@ -5535,7 +5616,7 @@ def compact_delete_vectors(
                 )
             )
         new_dv = {
-            f: {"ds": dsrel, "n": expected[f]} for f in dv0
+            f: {"ds": dsrel, "n": expected[f], "fmt": "bm"} for f in dv0
         }
         prev = manifest
         lease = _Lease(fs, table_dir, ttl_ms=lease_ttl_ms).acquire_wait(

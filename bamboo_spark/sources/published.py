@@ -138,14 +138,35 @@ def _ref_positions(ref) -> Optional[set]:
     """EXECUTOR-side resolution of a positions ref (publish.
     ``_dv_ref_of`` with dataset paths pre-resolved to locations):
     ``("pos", (p, ...))`` inlines v1 positions; ``("ds", loc, key)``
-    reads the file's rows from the parquet sidecar dataset — column-
-    pruned and predicate-pushed, so a task touches only its own file's
-    positions no matter how large the commit's dataset is."""
+    reads the file's rows from a row-per-position parquet sidecar;
+    ``("bm", loc, key)`` reads the v3 BITMAP sidecar (chunk + 16x64-bit
+    words per row) and unpacks it with numpy. Either dataset read is
+    column-pruned and predicate-pushed, so a task touches only its own
+    file's positions no matter how large the commit's dataset is."""
     if ref is None:
         return None
     if ref[0] == "pos":
         return set(ref[1])
-    _, loc, key = ref
+    tag, loc, key = ref
+    if tag == "bm":
+        import numpy as np
+
+        tbl = _open_parquet(
+            loc,
+            columns=["_dv_chunk", "_dv_bits"],
+            filters=[("_dv_file", "=", key)],
+        )
+        if tbl.num_rows == 0:
+            return set()
+        chunks = np.asarray(tbl["_dv_chunk"].to_pylist(), dtype=np.int64)
+        words = np.asarray(tbl["_dv_bits"].to_pylist(), dtype=np.uint64)
+        ci, wi, bi = np.nonzero(
+            ((words[:, :, None] >> np.arange(64, dtype=np.uint64)) & 1)
+            .astype(bool)
+        )
+        return set(
+            (chunks[ci] * (words.shape[1] * 64) + wi * 64 + bi).tolist()
+        )
     tbl = _open_parquet(
         loc, columns=["_dv_pos"], filters=[("_dv_file", "=", key)]
     )
@@ -421,12 +442,13 @@ class _PublishedBatchReader(DataSourceReader):
         ]
 
     def _dv_ref(self, v, rel: str) -> Optional[tuple]:
-        """Positions ref for one file's dv-manifest value, with v2
+        """Positions ref for one file's dv-manifest value, with v2/v3
         sidecar dataset paths resolved to readable locations."""
         if not v:
             return None
         if isinstance(v, dict):
-            return ("ds", _join(self._dir, v["ds"]), v.get("key", rel))
+            tag = "bm" if v.get("fmt") == "bm" else "ds"
+            return (tag, _join(self._dir, v["ds"]), v.get("key", rel))
         return ("pos", tuple(int(p) for p in v))
 
     def read(self, partition: _FilePartition):
@@ -535,11 +557,12 @@ class _PublishedStreamReader(DataSourceStreamReader):
             )
 
             def _loc_ref(ref):
-                # v2 refs carry dataset paths relative to the table
-                # dir — resolve to locations the executor can open
+                # v2/v3 refs carry dataset paths relative to the table
+                # dir — resolve to locations the executor can open,
+                # preserving the format tag ("ds" rows / "bm" bitmaps)
                 if ref is None or ref[0] == "pos":
                     return ref
-                return ("ds", _join(self._dir, ref[1]), ref[2])
+                return (ref[0], _join(self._dir, ref[1]), ref[2])
 
             return [
                 _FilePartition(

@@ -62,14 +62,16 @@ def test_dv_v2_manifest_holds_refs_not_positions(spark, tmp_path):
     # masked read parity
     got = sorted(r.k for r in read_published(spark, d).collect())
     assert got == [k for k in range(3000) if k % 3 != 0]
-    # sidecar rows carry the join columns the masks use
+    # sidecar rows carry the join keys + the PACKED bitmap chunks
+    # (round 12: positions pack 1024-per-row instead of row-per-pos)
     import pyarrow.parquet as pq
 
     ds = next(iter(dv.values()))["ds"]
     t = pq.read_table(str(Path(d) / ds))
     assert set(t.column_names) == {
-        "_dv_file", "_dv_base", "_dv_sfx", "_dv_pos"
+        "_dv_file", "_dv_base", "_dv_sfx", "_dv_chunk", "_dv_bits"
     }
+    assert t.num_rows <= 4 * 3  # ≤ ceil(750/1024)+1 chunks per file x 4
 
 
 def test_dv_second_delete_merges_sidecars(spark, tmp_path):
@@ -133,19 +135,11 @@ def test_legacy_v1_dv_manifest_still_reads_and_upgrades(spark, tmp_path):
     man = P._read_manifest(d, fs)
     dv = P._load_dv(fs, d, man)
     # rewrite the committed dv manifest in the LEGACY v1 shape
-    import pyarrow.parquet as pq
-
-    v1 = {}
-    for rel, v in dv.items():
-        t = pq.read_table(str(Path(d) / v["ds"]))
-        pos = [
-            int(p)
-            for f, p in zip(
-                t["_dv_file"].to_pylist(), t["_dv_pos"].to_pylist()
-            )
-            if f == rel
-        ]
-        v1[rel] = sorted(pos)
+    # (positions unpacked from the committed bitmap sidecars)
+    v1 = {rel: [] for rel in dv}
+    for r in P._dv_positions_df(spark, fs, d, dv).collect():
+        v1[r._dv_file].append(int(r._dv_pos))
+    v1 = {rel: sorted(ps) for rel, ps in v1.items()}
     (Path(d) / man["dv"]).write_text(json.dumps(v1))
     P._DV_CACHE.clear()
     man2 = P._read_manifest(d, fs)

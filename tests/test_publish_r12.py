@@ -636,3 +636,104 @@ def test_rename_partition_column_through_datasource(spark, tmp_path):
     finally:
         q.stop()
     assert sorted(seen) == [(k, k % 4) for k in range(12)]
+
+
+# ---------------------------------------------------- bitmap dv sidecars
+
+
+def _dir_bytes(p: Path) -> int:
+    return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+
+
+def test_dv_bitmap_pack_unpack_roundtrip(spark):
+    """_dv_pack/_dv_unpack are exact inverses over adversarial position
+    sets (chunk boundaries, word boundaries, bit 63, sparse + dense)."""
+    pos = sorted(
+        {0, 1, 63, 64, 1023, 1024, 1025, 2047, 4096, 999_999}
+        | set(range(100, 300, 2))
+    )
+    df = spark.createDataFrame(
+        [("f1", "b1", "s1", p) for p in pos],
+        P._DV_POS_SCHEMA,
+    )
+    packed = P._dv_pack(df, 2)
+    rows = packed.collect()
+    assert all(len(r._dv_bits) == P._DV_WORDS for r in rows)
+    back = sorted(r._dv_pos for r in P._dv_unpack(packed).collect())
+    assert back == pos
+
+
+def test_dv_bitmap_sidecar_compresses_dense_deletes(spark, tmp_path):
+    """VERDICT r11 #5: a 50%-deleted file's sidecar must be >=10x
+    smaller than the row-per-position layout; masked reads stay
+    value-exact."""
+    d = str(tmp_path / "t")
+    n = 100_000
+    atomic_publish(_rows(spark, 0, n).coalesce(1), d)
+    delete_publish(spark, d, "k % 2 = 0", delete_vectors=True)
+    fs = _fs()
+    man = P._read_manifest(d, fs)
+    dv = P._load_dv(fs, d, man)
+    ref = next(iter(dv.values()))
+    assert ref["fmt"] == "bm" and ref["n"] == n // 2
+    packed_bytes = _dir_bytes(Path(d) / ref["ds"])
+    # the row-per-position layout of the SAME positions, for comparison
+    legacy = P._dv_positions_df(spark, fs, d, dv)
+    legacy.coalesce(1).write.parquet(str(tmp_path / "legacy"))
+    legacy_bytes = _dir_bytes(tmp_path / "legacy")
+    assert packed_bytes * 10 <= legacy_bytes, (
+        "bitmap sidecar %d B vs positional %d B — expected >=10x"
+        % (packed_bytes, legacy_bytes)
+    )
+    got = read_published(spark, d)
+    assert got.count() == n // 2
+    assert [r.k for r in got.orderBy("k").limit(3).collect()] == [1, 3, 5]
+
+
+def test_dv_bitmap_through_datasource_and_cdf(spark, tmp_path):
+    """Bitmap refs resolve on the Python-DataSource executor path:
+    masked batch reads, streaming readChangeFeed take-diffs, and a
+    shallow clone's externalized bitmap refs."""
+    from bamboo_spark.operators.publish import clone_table
+    from bamboo_spark.sources.published import register
+
+    register(spark)
+    d = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    atomic_publish(_rows(spark, 0, 2000).coalesce(2), d)          # v1
+    delete_publish(spark, d, "k % 3 = 0", delete_vectors=True)    # v2
+    got = spark.read.format("bamboo_published").load(d)
+    assert got.count() == 2000 - 667
+    assert sorted(r.k for r in got.limit(0).collect()) == []
+    # streaming CDF: the v2 delete surfaces as exact bitmap-diff rows
+    seen = []
+
+    def sink(batch_df, bid):
+        seen.extend(
+            (r["_commit_version"], r["_change_type"], r["k"])
+            for r in batch_df.collect()
+        )
+
+    q = (
+        spark.readStream.format("bamboo_published")
+        .option("startingVersion", "1")
+        .option("readChangeFeed", "true")
+        .load(d)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(k for v, t, k in seen if t == "delete") == [
+        k for k in range(2000) if k % 3 == 0
+    ]
+    # clone externalizes bitmap refs; the clone reads masked
+    c = str(tmp_path / "c")
+    clone_table(spark, d, c)
+    assert read_published(spark, c).count() == 2000 - 667
+    # and compacting the clone's vectors folds external bitmap refs
+    P.compact_delete_vectors(c, spark=spark)
+    assert read_published(spark, c).count() == 2000 - 667
