@@ -672,6 +672,128 @@ def _dv_pack(pos_df, n_parts: int):
     )
 
 
+def _dv_merge_chunks(chunks_df):
+    """OR together bitmap chunk rows sharing (file, chunk) — the
+    chunk-domain union behind dv-commit merges and sidecar compaction
+    (duplicate-idempotent, like everything bitwise here). Groups on
+    (file, chunk) ONLY: rows for the same manifest ref may carry
+    DIFFERENT suffix-guard spellings (a clone's externalized old rows
+    vs its own new rows — both valid suffixes of the same physical
+    path), and they must collapse to ONE row or the left-join mask
+    would double-match; max() picks one deterministic spelling."""
+    from pyspark.sql import functions as F
+
+    word_aggs = [
+        F.expr("bit_or(element_at(_dv_bits, %d))" % (w + 1)).alias(
+            "_w%d" % w
+        )
+        for w in range(_DV_WORDS)
+    ]
+    return (
+        chunks_df.groupBy("_dv_file", "_dv_chunk")
+        .agg(
+            F.max("_dv_base").alias("_dv_base"),
+            F.max("_dv_sfx").alias("_dv_sfx"),
+            *word_aggs,
+        )
+        .select(
+            "_dv_file", "_dv_base", "_dv_sfx", "_dv_chunk",
+            F.array(
+                *[F.col("_w%d" % w) for w in range(_DV_WORDS)]
+            ).alias("_dv_bits"),
+        )
+    )
+
+
+def _dv_chunks_df(spark: SparkSession, fs, table_dir: str, dvmap: dict):
+    """A dv (sub)manifest as BITMAP CHUNK rows ``(_dv_file, _dv_base,
+    _dv_sfx, _dv_chunk, _dv_bits)`` — the packed twin of
+    :func:`_dv_positions_df` and the join side of the chunk-native
+    mask (:func:`_dv_mask`): v3 sidecars read AS STORED (no unpack,
+    ~1/100th the rows/bytes of the position form), v1 inline and v2
+    row-per-position refs pack in-plan. None when empty."""
+    from pyspark.sql import functions as F
+
+    v3: dict = {}
+    legacy: dict = {}
+    for rel, v in (dvmap or {}).items():
+        if not v:
+            continue
+        (v3 if isinstance(v, dict) and v.get("fmt") == "bm" else legacy)[
+            rel
+        ] = v
+    pieces = []
+    if v3:
+        ds_groups: dict = {}
+        for rel, v in v3.items():
+            ds = _ref_path(fs, table_dir, v["ds"])
+            ds_groups.setdefault(ds, []).append((v.get("key", rel), rel))
+        for ds in sorted(ds_groups):
+            pairs = ds_groups[ds]
+            keys = sorted({k for k, _ in pairs})
+            sub = spark.read.parquet(ds).where(
+                F.col("_dv_file").isin(keys)
+            )
+            if any(k != r for k, r in pairs):
+                kmap = spark.createDataFrame(
+                    pairs, "_dv_key string, _dv_rel string"
+                )
+                sub = (
+                    sub.withColumnRenamed("_dv_file", "_dv_key")
+                    .join(F.broadcast(kmap), "_dv_key")
+                    .select(
+                        F.col("_dv_rel").alias("_dv_file"),
+                        "_dv_base", "_dv_sfx", "_dv_chunk", "_dv_bits",
+                    )
+                )
+            pieces.append(sub)
+    if legacy:
+        pos = _dv_positions_df(spark, fs, table_dir, legacy)
+        if pos is not None:
+            pieces.append(_dv_pack(pos, max(1, min(len(legacy), 64))))
+    if not pieces:
+        return None
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _dv_mask(df, fp_col: str, ri_col: str, chunks_df):
+    """CHUNK-NATIVE merge-on-read mask: left-join rows to their file's
+    bitmap chunk on (basename, position div 1024) and keep rows whose
+    bit is unset — positions NEVER materialize (the join side is
+    chunks, ~1000x smaller than the position form a billion-row dv
+    would explode to; AQE broadcasts it in the common case). The
+    suffix guard keeps basename collisions exact, same as the
+    positional join it replaces. (file, chunk) is unique per manifest
+    — each file's ref names one dataset — so the left join preserves
+    row multiplicity."""
+    from pyspark.sql import functions as F
+
+    joined = df.withColumn(
+        "_dv_b", F.element_at(F.split(F.col(fp_col), "/"), -1)
+    ).join(
+        chunks_df,
+        (F.col("_dv_b") == F.col("_dv_base"))
+        & (F.expr("%s div %d" % (ri_col, _DV_CHUNK)) == F.col("_dv_chunk"))
+        & F.col(fp_col).endswith(F.col("_dv_sfx")),
+        "left",
+    )
+    return joined.where(
+        F.expr(
+            "coalesce(shiftrightunsigned(element_at(_dv_bits, "
+            "cast(({ri} % {c}) div 64 as int) + 1), "
+            "cast({ri} % 64 as int)) & 1, 0L) = 0".format(
+                ri=ri_col, c=_DV_CHUNK
+            )
+        )
+    ).drop(
+        "_dv_b", "_dv_file", "_dv_base", "_dv_sfx", "_dv_chunk",
+        "_dv_bits",
+    )
+
+
 def _dv_unpack(bm_df):
     """Unpack a bitmap sidecar frame back to ``_DV_POS_SCHEMA`` — a
     codegen'd transform+filter+explode, no Python in the path. Only
@@ -830,17 +952,26 @@ def _dv_build(
     if not touched:
         return {}, 0
     old_sub = {f: dv0[f] for f in touched if dv0.get(f)}
-    merged = addr
-    if old_sub:
-        merged = merged.unionByName(
-            _dv_positions_df(spark, fs, table_dir, old_sub)
-        )
+    n_parts = max(1, min(len(touched), 64))
     dsrel = "%s/%s" % (seg, _DVP)
     dsdir = _ref_path(fs, table_dir, dsrel)
     # positions pack into BITMAP chunk rows before hitting disk (v3 —
     # see _dv_pack): sidecar bytes scale with chunks, not deletions.
-    # No dropDuplicates pass: the pack's bit_or dedups by construction
-    _dv_pack(merged, max(1, min(len(touched), 64))).write.parquet(dsdir)
+    # No dropDuplicates pass: the pack's bit_or dedups by construction.
+    # Touched files' EXISTING vectors merge in the CHUNK domain (v3
+    # reads as stored; OR per word) — old positions never re-explode
+    merged = _dv_pack(addr, n_parts)
+    if old_sub:
+        merged = (
+            _dv_merge_chunks(
+                merged.unionByName(
+                    _dv_chunks_df(spark, fs, table_dir, old_sub)
+                )
+            )
+            .repartition(n_parts, "_dv_file")
+            .sortWithinPartitions("_dv_file", "_dv_chunk")
+        )
+    merged.write.parquet(dsdir)
     counts = _dv_ds_counts(spark, dsdir)
     new_refs: dict = {}
     n_fresh = 0
@@ -2478,20 +2609,14 @@ def _read_files(
             spark, fs, table_dir, sorted(dv), schema_json, partitioned,
             evo=evo,
         ).withColumnsRenamed({"_fp": "_dv_fp", "_ri": "_dv_ri"})
-        # join key = file BASENAME (hash-joinable; part-file names carry
-        # a per-job UUID) with the full manifest-relative suffix kept as
-        # an exactness guard in the join condition
-        dvdf = _dv_positions_df(spark, fs, table_dir, dv)
-        masked = masked.withColumn(
-            "_dv_b", F.element_at(F.split(F.col("_dv_fp"), "/"), -1)
+        # CHUNK-NATIVE mask (see _dv_mask): the join side is bitmap
+        # chunk rows read as stored — a billion-position vector joins
+        # as ~1M chunk rows, broadcastable, instead of a billion-row
+        # explode
+        chunks = _dv_chunks_df(spark, fs, table_dir, dv)
+        kept = _dv_mask(masked, "_dv_fp", "_dv_ri", chunks).drop(
+            "_dv_fp", "_dv_ri"
         )
-        kept = masked.join(
-            dvdf,
-            (F.col("_dv_b") == F.col("_dv_base"))
-            & (F.col("_dv_ri") == F.col("_dv_pos"))
-            & F.col("_dv_fp").endswith(F.col("_dv_sfx")),
-            "left_anti",
-        ).drop("_dv_fp", "_dv_ri", "_dv_b")
         out = kept if out is None else out.unionByName(kept)
     return _ordered(out)
 
@@ -4998,22 +5123,10 @@ def merge_into(
         dv_scanned = {f: v for f, v in dv0.items() if f in set(candidates)}
         if dv_scanned:
             # already-deleted rows never match (merge-on-read mask) —
-            # positions come from _dv_positions_df (distributed sidecar
-            # read for v2 refs), equi-keyed on basename + position
-            dvdf = _dv_positions_df(spark, fs, table_dir, dv_scanned)
-            tgt = (
-                tgt.withColumn(
-                    "_dv_b",
-                    F.element_at(F.split(F.col("_fp"), "/"), -1),
-                )
-                .join(
-                    dvdf,
-                    (F.col("_dv_b") == F.col("_dv_base"))
-                    & (F.col("_ri") == F.col("_dv_pos"))
-                    & F.col("_fp").endswith(F.col("_dv_sfx")),
-                    "left_anti",
-                )
-                .drop("_dv_b")
+            # chunk-native bit test against the stored bitmap rows
+            tgt = _dv_mask(
+                tgt, "_fp", "_ri",
+                _dv_chunks_df(spark, fs, table_dir, dv_scanned),
             )
         m = tgt.alias("t").join(
             source.alias("s"),
@@ -5599,10 +5712,17 @@ def compact_delete_vectors(
     seg = _claim_vdir(fs, table_dir, _next_version(fs, table_dir, manifest))
     beat = _ClaimBeat(fs, table_dir, seg, lease_ttl_ms).start()
     try:
-        merged = _dv_positions_df(spark, fs, table_dir, dv0)
+        # fold in the CHUNK domain: v3 sidecars carry over as stored,
+        # legacy refs pack in-plan; (file, chunk) is unique across the
+        # union (each file's ref names one dataset) so no re-merge
+        merged = _dv_chunks_df(spark, fs, table_dir, dv0)
         dsrel = "%s/%s" % (seg, _DVP)
         dsdir = _ref_path(fs, table_dir, dsrel)
-        _dv_pack(merged, max(1, min(len(dv0), 64))).write.parquet(dsdir)
+        (
+            merged.repartition(max(1, min(len(dv0), 64)), "_dv_file")
+            .sortWithinPartitions("_dv_file", "_dv_chunk")
+            .write.parquet(dsdir)
+        )
         counts = _dv_ds_counts(spark, dsdir)
         expected = {f: _dv_val_n(v) for f, v in dv0.items()}
         if counts != expected:

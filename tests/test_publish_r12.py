@@ -737,3 +737,20 @@ def test_dv_bitmap_through_datasource_and_cdf(spark, tmp_path):
     # and compacting the clone's vectors folds external bitmap refs
     P.compact_delete_vectors(c, spark=spark)
     assert read_published(spark, c).count() == 2000 - 667
+
+
+def test_masked_read_is_chunk_native(spark, tmp_path):
+    """The dv mask joins the STORED bitmap chunk rows and bit-tests per
+    row — no position explode (Generate) in the masked-read plan, so
+    the join side stays ~1000x smaller than the position form."""
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 5000).coalesce(1), d)
+    delete_publish(spark, d, "k % 2 = 0", delete_vectors=True)
+    df = read_published(spark, d)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_dv_bits" in plan, "mask must join the packed chunk rows"
+    assert "Generate" not in plan, (
+        "masked read exploded dv positions — the chunk-native bit-test "
+        "regressed to the position join"
+    )
+    assert df.count() == 2500
