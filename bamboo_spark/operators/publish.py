@@ -1898,19 +1898,39 @@ def append_publish(
         old = T.StructType.fromJson(json.loads(schema_json))
         old_names = {f.name for f in old.fields}
         new_by_name = {f.name: f for f in df.schema.fields}
+        widened: dict = {}
         for f in old.fields:
             nf = new_by_name.get(f.name)
-            if nf is not None and nf.dataType != f.dataType:
+            if nf is None or nf.dataType == f.dataType:
+                continue
+            ot, nt = f.dataType.jsonValue(), nf.dataType.jsonValue()
+            if _can_widen(ot, nt):
+                # batch arrived WIDER (int→long etc.): widen the table
+                # type in the same commit — same rules as widen_column
+                # and the merge paths; zero data IO (narrow files read
+                # natively upcast)
+                widened[f.name] = nf.dataType
+            elif _can_widen(nt, ot):
+                pass  # narrower batch casts up in the align below
+            else:
                 raise ValueError(
                     "append_publish(merge): column %r type change "
-                    "%s -> %s is not allowed"
+                    "%s -> %s is neither a supported widening "
+                    "(byte→short→int→long, float→double, int→double) "
+                    "nor a narrower type castable to the table's"
                     % (f.name, f.dataType, nf.dataType)
                 )
         added = [
             f for f in df.schema.fields if f.name not in old_names
         ]
         union = T.StructType(
-            list(old.fields)
+            [
+                T.StructField(
+                    f.name, widened.get(f.name, f.dataType),
+                    f.nullable, f.metadata,
+                )
+                for f in old.fields
+            ]
             + [T.StructField(f.name, f.dataType, True) for f in added]
         )
         df = df.select(

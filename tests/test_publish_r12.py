@@ -754,3 +754,43 @@ def test_masked_read_is_chunk_native(spark, tmp_path):
         "regressed to the position join"
     )
     assert df.count() == 2500
+
+
+def test_append_merge_mode_widens_types(spark, tmp_path):
+    """append_publish(schema_mode='merge') follows the same widening
+    rules as widen_column / merge schema_evolution: a wider batch type
+    widens the table, a narrower batch casts up, anything else raises."""
+    d = str(tmp_path / "t")
+    atomic_publish(
+        spark.range(0, 4).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * F.lit(10)).cast("float").alias("v"),
+        ),
+        d,
+    )
+    append_publish(
+        spark.range(4, 6).select(
+            F.col("id").alias("k"),                    # long: widens
+            (F.col("id") * F.lit(10.0)).alias("v"),    # double: widens
+        ),
+        d, schema_mode="merge",
+    )
+    out = read_published(spark, d)
+    assert out.schema.simpleString() == "struct<k:bigint,v:double>"
+    assert sorted((r.k, r.v) for r in out.collect()) == [
+        (k, k * 10.0) for k in range(6)
+    ]
+    # narrower batch casts up
+    append_publish(
+        spark.createDataFrame([(6, 60)], "k int, v int"),
+        d, schema_mode="merge",
+    )
+    assert sorted(r.k for r in read_published(spark, d).collect()) == list(
+        range(7)
+    )
+    # incompatible change still raises
+    with pytest.raises(ValueError, match="neither a supported widening"):
+        append_publish(
+            spark.createDataFrame([(7, "x")], "k long, v string"),
+            d, schema_mode="merge",
+        )
