@@ -4093,11 +4093,11 @@ def read_changes(
             pieces.extend([ins, dels])
         # delete-vector growth on files live in BOTH snapshots: the
         # newly-addressed positions are deletes, read back by address.
-        # The position DELTA is computed as a DataFrame anti-join
-        # (cur minus prev), never materialized on the driver — a
-        # predicate dv-delete's CDF step stays distributed at any size.
-        # dataChange=false steps (dv-sidecar compaction) change refs,
-        # never membership: skip.
+        # The position DELTA is a CHUNK-DOMAIN bit-diff (cur & ~prev
+        # per word) — proportional to the dv's CHUNKS, not its
+        # positions, and only the delta's positions ever unpack; never
+        # materialized on the driver. dataChange=false steps
+        # (dv-sidecar compaction) change refs, never membership: skip.
         common = (
             (prev_files & cur_files)
             if e.get("data_change") is not False
@@ -4109,22 +4109,36 @@ def read_changes(
             if (dv_cur.get(f) or None) != (dv_prev.get(f) or None)
         )
         if changed:
-            cur_pos = _dv_positions_df(
+            cur_ch = _dv_chunks_df(
                 spark, fs, table_dir,
                 {f: dv_cur[f] for f in changed if dv_cur.get(f)},
             )
-        if changed and cur_pos is not None:
-            prev_pos = _dv_positions_df(
+        if changed and cur_ch is not None:
+            prev_ch = _dv_chunks_df(
                 spark, fs, table_dir,
                 {f: dv_prev[f] for f in changed if dv_prev.get(f)},
             )
-            newly_df = cur_pos
-            if prev_pos is not None:
-                newly_df = cur_pos.join(
-                    prev_pos.select("_dv_file", "_dv_pos"),
-                    ["_dv_file", "_dv_pos"],
-                    "left_anti",
+            newly_ch = cur_ch
+            if prev_ch is not None:
+                newly_ch = (
+                    cur_ch.join(
+                        prev_ch.select(
+                            "_dv_file", "_dv_chunk",
+                            F.col("_dv_bits").alias("_prev_bits"),
+                        ),
+                        ["_dv_file", "_dv_chunk"],
+                        "left",
+                    )
+                    .select(
+                        "_dv_file", "_dv_base", "_dv_sfx", "_dv_chunk",
+                        F.expr(
+                            "zip_with(_dv_bits, coalesce(_prev_bits, "
+                            "array_repeat(0L, %d)), (c, p) -> c & ~p)"
+                            % _DV_WORDS
+                        ).alias("_dv_bits"),
+                    )
                 )
+            newly_df = _dv_unpack(newly_ch)
             addressed = _read_files_with_pos(
                 spark, fs, table_dir, changed, end_schema, parted,
                 evo=evo_cur,
