@@ -406,8 +406,15 @@ def test_rename_guards_partition_col_and_unstamped_segments(
     d = str(tmp_path / "t")
     df = _rows(spark, 0, 8).withColumn("p", (F.col("k") % 2).cast("int"))
     atomic_publish(df, d, partition_by="p")
-    with pytest.raises(ValueError, match="partition column"):
-        P.rename_column(d, "p", "bucket", spark=spark)
+    # round 12: renaming a partition column now EVOLVES the spec
+    # per-segment instead of refusing — the logical layout follows the
+    # rename and old files resolve values under their physical path key
+    P.rename_column(d, "p", "bucket", spark=spark)
+    man = P._read_manifest(d, P._PosixFS())
+    assert man["partition_by"] == ["bucket"]
+    assert sorted(
+        (r.k, r.bucket) for r in read_published(spark, d).collect()
+    ) == [(k, k % 2) for k in range(8)]
     # simulate a pre-stamping segment: strip field_names from a sidecar
     d2 = str(tmp_path / "t2")
     atomic_publish(_kv(spark, [(1, 10)]), d2)
