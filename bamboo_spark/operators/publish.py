@@ -41,7 +41,7 @@ from __future__ import annotations
 import json
 import os
 
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -4860,6 +4860,7 @@ def _mor_commit(
     who: str,
     out_schema_json: Optional[str] = None,
     out_fids: Optional[tuple] = None,
+    operation: str = "merge",
 ) -> Optional[int]:
     """The MERGE-ON-READ write+commit phase shared by
     ``merge_publish_incremental`` and ``merge_into``: write ``out_df``
@@ -4973,7 +4974,7 @@ def _mor_commit(
                     out_schema_json if out_schema_json else prev["schema"]
                 ),
                 "partition_by": parts,
-                "operation": "merge",
+                "operation": operation,
             }
             if out_fids:
                 entry["field_ids"] = out_fids[0]
@@ -5569,6 +5570,115 @@ def delete_publish(
         kept_touched, table_dir, values=touched, partition_col=pc,
         lease_ttl_ms=lease_ttl_ms, _base=manifest, operation="delete",
     )
+
+
+def update_publish(
+    spark: SparkSession,
+    table_dir: str,
+    condition: str,
+    set: Dict[str, str],
+    point: Optional[dict] = None,
+    lease_ttl_ms: int = 300_000,
+    stats_cols=None,
+    bloom_cols=None,
+) -> Optional[int]:
+    """Row-level UPDATE with snapshot isolation — Delta's
+    ``update(condition, set)`` counterpart, always MERGE-ON-READ: the
+    matching rows' (file, position) addresses fold into the snapshot's
+    delete vectors and the post-``set`` rows append as the commit's new
+    files — ONE commit, zero pre-existing files rewritten (physical
+    fold happens at the next ``compact``/``compact_delete_vectors``).
+    ``set`` maps column name → SQL expression evaluated against the
+    matched row (``{"v": "v + 1"}``); each result casts back to the
+    column's declared type, so the table schema never drifts. Updating
+    a hive PARTITION column is legal — the replacement row simply lands
+    in its new partition directory while the address mask hides the old
+    one. Returns the committed version, or None when nothing matched.
+
+    ``point`` = ``{col: value}`` (equality predicates implied by
+    ``condition``) prunes candidate files via per-file blooms/stats
+    before any data IO — the "fix one user's row in a 100 TB table"
+    shape.
+
+    Concurrency: optimistic like MERGE — scan and sidecar/file writes
+    run without the lease; the commit-time rebase raises if a
+    concurrent commit rewrote a matched file or changed its delete
+    vectors. Unlike dv DELETE (commuting), a lost race re-RUNS the
+    whole update against the fresh snapshot (bounded, 3 attempts):
+    re-evaluating ``condition``+``set`` on the new state is the correct
+    serialization, the same policy Delta applies to UPDATE.
+
+    Scale: O(matched) data written; the only scans are over the
+    (pruned) candidate files; addresses never touch the driver
+    (:func:`_dv_build`). Constraints are enforced on the updated rows
+    by the shared :func:`_mor_commit` observation."""
+    from pyspark.sql import functions as F, types as T
+
+    set_map = dict(set)
+    if not set_map:
+        raise ValueError("update_publish: empty SET map")
+    fs = _fs_for(table_dir, spark)
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        raise ValueError("update_publish: no committed table here")
+    for attempt in range(3):
+        try:
+            schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+            names = [f.name for f in schema.fields]
+            unknown = sorted(c for c in set_map if c not in names)
+            if unknown:
+                raise ValueError(
+                    "update_publish: SET names unknown column(s) %s "
+                    "(schema: %s) — add columns via evolve/merge "
+                    "schema_evolution first" % (unknown, names)
+                )
+            parts = manifest.get("partition_by") or []
+            res = _resolve_entry(fs, table_dir, manifest)
+            candidates = (
+                _prune_eq(res, res["files"], point)
+                if point
+                else res["files"]
+            )
+            if not candidates:
+                return None
+            dv0 = _load_dv(fs, table_dir, manifest)
+            tgt = _read_files_with_pos(
+                spark, fs, table_dir, candidates, manifest["schema"],
+                bool(parts), evo=_evo_of(manifest, res),
+            )
+            cset = {c for c in candidates}
+            dv_scanned = {f: v for f, v in dv0.items() if f in cset}
+            if dv_scanned:
+                # rows already dv-deleted must never match — an UPDATE
+                # that re-emitted them would resurrect erased rows
+                tgt = _dv_mask(
+                    tgt, "_fp", "_ri",
+                    _dv_chunks_df(spark, fs, table_dir, dv_scanned),
+                )
+            matched = tgt.where(condition)
+            addr = matched.select("_fp", "_ri")
+            typed = {f.name: f.dataType for f in schema.fields}
+            out = matched.select(
+                *[
+                    (
+                        F.expr(set_map[c]).cast(typed[c]).alias(c)
+                        if c in set_map
+                        else F.col(c)
+                    )
+                    for c in names
+                ]
+            )
+            return _mor_commit(
+                spark, fs, table_dir, manifest, addr, candidates, out,
+                parts, lease_ttl_ms, stats_cols, bloom_cols, None,
+                who="update_publish", operation="update",
+            )
+        except ConcurrentWriteError:
+            if attempt == 2:
+                raise
+            manifest = _read_manifest(table_dir, fs)
+            if manifest is None:
+                raise
 
 
 def _dv_delete(

@@ -414,3 +414,73 @@ t1 as (
 )
 select k, v from t1 where k % 13 <> 0 order by k
 """
+
+
+def q_update_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL UPDATE differential (round 12): Delta's
+    ``update(condition, set)`` counterpart driven end-to-end over a
+    snapshot that mixes plain files, delete vectors, and a relocated
+    partition row — every step replayed value-exactly in SQL:
+
+    1. publish the ``k % 10 = 1`` slice of orders as (k, v, b) hive-
+       partitioned by bucket ``b = k % 4`` (integer cents — exact in
+       both engines);
+    2. ``update_publish``: ``v := v + 7`` where ``v % 3 = 0`` — one
+       merge-on-read commit (old addresses → delete vectors, post-SET
+       rows appended), zero pre-existing files rewritten;
+    3. ``delete_publish(delete_vectors=True)`` of ``v % 11 = 0``;
+    4. a second UPDATE over the MIXED snapshot: ``v := v - 1`` AND the
+       partition move ``b := (k + 1) % 4`` where ``k % 50 = 1`` —
+       dv-masked rows must not resurrect, and the relocated rows must
+       land under their new partition directory;
+    5. ``compact`` folds vectors + relocations into plain files; the
+       final state is read back post-compact.
+
+    A drift in UPDATE's dv masking, SET cast-back, partition
+    relocation, or the compact fold flips the value hash.
+
+    Scale: each UPDATE writes O(matched) rows + O(touched files) dv
+    chunks; the only data-sized job is the final compact of a
+    slice-sized table."""
+    from bamboo_spark.operators import publish as P
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias("v"),
+    ).withColumn("b", F.expr("cast(k % 4 as int)"))
+    root = tempfile.mkdtemp(prefix="bamboo_update_")
+    t = root + "/t"
+    P.atomic_publish(
+        o.where("k % 10 = 1"), t, partition_by=["b"], bloom_cols=["k"]
+    )
+    P.update_publish(spark, t, "v % 3 = 0", {"v": "v + 7"})
+    P.delete_publish(spark, t, "v % 11 = 0", delete_vectors=True)
+    P.update_publish(
+        spark, t, "k % 50 = 1",
+        {"v": "v - 1", "b": "cast((k + 1) % 4 as int)"},
+    )
+    P.compact(spark, t)
+    return P.read_published(spark, t).orderBy("k")
+
+
+Q_UPDATE_LIFECYCLE_SQL = """
+with o as (
+  select o_orderkey::BIGINT k,
+         cast(round(o_totalprice * 100, 0) as BIGINT) v,
+         cast(o_orderkey % 4 as INTEGER) b
+  from orders
+),
+base as (select k, v, b from o where k % 10 = 1),
+t1 as (
+  select k, case when v % 3 = 0 then v + 7 else v end as v, b from base
+),
+t2 as (select k, v, b from t1 where v % 11 <> 0),
+t3 as (
+  select k,
+         case when k % 50 = 1 then v - 1 else v end as v,
+         case when k % 50 = 1 then cast((k + 1) % 4 as INTEGER) else b
+         end as b
+  from t2
+)
+select k, v, b from t3 order by k
+"""

@@ -794,3 +794,167 @@ def test_append_merge_mode_widens_types(spark, tmp_path):
             spark.createDataFrame([(7, "x")], "k long, v string"),
             d, schema_mode="merge",
         )
+
+
+# ------------------------------------------------------ update_publish (MOR)
+
+
+def test_update_publish_basic(spark, tmp_path):
+    """UPDATE = one merge-on-read commit: matched rows' addresses fold
+    into the delete vectors, post-SET rows append — no pre-existing
+    file rewritten, table row count unchanged."""
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 100).coalesce(1), d, bloom_cols=["k"])
+    fs = _fs()
+    before = set(P.live_files(d, spark=spark))
+    ver = P.update_publish(spark, d, "k % 10 = 0", {"v": "v + 1"})
+    assert ver == 2
+    got = {r.k: r.v for r in read_published(spark, d).collect()}
+    assert len(got) == 100
+    assert got[0] == 1 and got[10] == 101 and got[5] == 50
+    after = set(P.live_files(d, spark=spark))
+    assert before <= after                       # nothing rewritten
+    man = P._read_manifest(d, fs)
+    assert man["operation"] == "update"
+    assert man.get("dv")                         # addresses went to dv
+
+
+def test_update_publish_no_match_returns_none(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 10).coalesce(1), d)
+    assert P.update_publish(spark, d, "k = -1", {"v": "0"}) is None
+    assert P.current_version(d, spark=spark) == 1
+
+
+def test_update_publish_unknown_column_raises(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 10).coalesce(1), d)
+    with pytest.raises(ValueError, match="unknown column"):
+        P.update_publish(spark, d, "k = 1", {"zz": "0"})
+
+
+def test_update_publish_casts_to_declared_type(spark, tmp_path):
+    """SET expressions cast back to the column's declared type — the
+    table schema never drifts even when the expression's natural type
+    is wider."""
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 10).coalesce(1), d)
+    P.update_publish(spark, d, "k = 3", {"v": "v / 2.0 + 0.9"})  # double expr
+    out = read_published(spark, d)
+    assert dict(out.dtypes)["v"] == "bigint"
+    assert {r.v for r in out.where("k = 3").collect()} == {15}
+
+
+def test_update_publish_never_resurrects_dv_rows(spark, tmp_path):
+    """A row already masked by a delete vector must NOT match the
+    UPDATE condition — re-emitting it would resurrect an erased row."""
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 100).coalesce(1), d)
+    delete_publish(spark, d, "k = 20", delete_vectors=True)
+    P.update_publish(spark, d, "k % 20 = 0", {"v": "v + 1000"})
+    ks = sorted(
+        r.k for r in read_published(spark, d).where("k % 20 = 0").collect()
+    )
+    assert ks == [0, 40, 60, 80]
+    assert P.published_rows(d, spark=spark) == 99
+
+
+def test_update_publish_moves_partition(spark, tmp_path):
+    """Updating a hive partition column relocates the row: the old
+    address is masked, the replacement lands under the new partition
+    directory, and partition-pruned reads find it there."""
+    d = str(tmp_path / "t")
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        (F.col("id") % 3).cast("string").alias("p"),
+    )
+    atomic_publish(df, d, partition_by=["p"])
+    P.update_publish(spark, d, "k = 7", {"p": "'z'"})
+    out = read_published(spark, d)
+    assert out.where("p = 'z'").collect()[0].k == 7
+    assert out.where("k = 7").count() == 1
+    assert out.count() == 60
+
+
+def test_update_publish_point_prunes_candidates(spark, tmp_path):
+    """point={col: val} equality pruning shrinks the candidate scan to
+    bloom/stats-matching files before any data IO."""
+    d = str(tmp_path / "t")
+    _two_file_table(spark, d)  # file1 k:0-99, file2 k:100-199, bloomed
+    fs = _fs()
+    man = P._read_manifest(d, fs)
+    res = P._resolve_entry(fs, d, man)
+    pruned = P._prune_eq(res, res["files"], {"k": 150})
+    assert len(pruned) == 1  # the prune the update path reuses
+    ver = P.update_publish(
+        spark, d, "k = 150", {"v": "-1"}, point={"k": 150}
+    )
+    assert ver == 3
+    assert read_published(spark, d).where("k = 150").collect()[0].v == -1
+
+
+def test_update_publish_enforces_constraints(spark, tmp_path):
+    """Updated rows pass through the shared constraint observation —
+    an UPDATE that would violate a CHECK constraint aborts and leaves
+    the table untouched."""
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 10).coalesce(1), d)
+    P.add_constraint(d, "v_nonneg", "v >= 0", spark=spark)
+    with pytest.raises(ValueError, match="v_nonneg"):
+        P.update_publish(spark, d, "k = 1", {"v": "-5"})
+    assert {r.v for r in read_published(spark, d).where("k = 1").collect()} == {
+        10
+    }
+
+
+def test_update_publish_on_renamed_table(spark, tmp_path):
+    """UPDATE on a schema-evolved table: condition and SET reference
+    LOGICAL names; old files resolve physically by field id."""
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 20).coalesce(1), d)
+    P.rename_column(d, "v", "amount", spark=spark)
+    P.update_publish(spark, d, "amount = 50", {"amount": "amount * 2"})
+    got = {r.k: r.amount for r in read_published(spark, d).collect()}
+    assert got[5] == 100 and got[6] == 60 and len(got) == 20
+
+
+def test_update_publish_retries_disjoint_race(spark, tmp_path, monkeypatch):
+    """An update losing the optimistic race to a dv-delete on the SAME
+    file re-RUNS against the fresh snapshot (bounded retry) — the
+    serialized result reflects both effects."""
+    d = str(tmp_path / "t")
+    _two_file_table(spark, d)
+    orig_build = P._dv_build
+    state = {"raced": False}
+
+    def racing_build(*a, **kw):
+        out = orig_build(*a, **kw)
+        if not state["raced"]:
+            state["raced"] = True
+            delete_publish(spark, d, "k = 50", delete_vectors=True)
+        return out
+
+    monkeypatch.setattr(P, "_dv_build", racing_build)
+    ver = P.update_publish(spark, d, "k in (50, 60)", {"v": "v + 1"})
+    monkeypatch.undo()
+    assert state["raced"]
+    got = {r.k: r.v for r in read_published(spark, d).collect()}
+    assert 50 not in got          # racer's erase survives the retry
+    assert got[60] == 601         # update landed on the re-run
+    assert len(got) == 199
+
+
+def test_update_publish_cdf_sees_update_as_delete_plus_insert(
+    spark, tmp_path
+):
+    """read_changes over an UPDATE commit reports the masked old row as
+    a delete and the replacement as an insert — the CDC contract a
+    downstream sync needs."""
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 10).coalesce(1), d)
+    P.update_publish(spark, d, "k = 4", {"v": "99"})
+    ch = P.read_changes(spark, d, 1, 2)
+    rows = {( r.k, r.v, r._change_type) for r in ch.collect()}
+    assert (4, 40, "delete") in rows
+    assert (4, 99, "insert") in rows
