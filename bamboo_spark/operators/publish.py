@@ -5581,19 +5581,30 @@ def update_publish(
     lease_ttl_ms: int = 300_000,
     stats_cols=None,
     bloom_cols=None,
+    delete_vectors: bool = True,
 ) -> Optional[int]:
     """Row-level UPDATE with snapshot isolation — Delta's
-    ``update(condition, set)`` counterpart, always MERGE-ON-READ: the
-    matching rows' (file, position) addresses fold into the snapshot's
-    delete vectors and the post-``set`` rows append as the commit's new
-    files — ONE commit, zero pre-existing files rewritten (physical
-    fold happens at the next ``compact``/``compact_delete_vectors``).
-    ``set`` maps column name → SQL expression evaluated against the
-    matched row (``{"v": "v + 1"}``); each result casts back to the
-    column's declared type, so the table schema never drifts. Updating
-    a hive PARTITION column is legal — the replacement row simply lands
-    in its new partition directory while the address mask hides the old
-    one. Returns the committed version, or None when nothing matched.
+    ``update(condition, set)`` counterpart, MERGE-ON-READ by default:
+    the matching rows' (file, position) addresses fold into the
+    snapshot's delete vectors and the post-``set`` rows append as the
+    commit's new files — ONE commit, zero pre-existing files rewritten
+    (physical fold happens at the next ``compact``/
+    ``compact_delete_vectors``). ``set`` maps column name → SQL
+    expression evaluated against the matched row (``{"v": "v + 1"}``);
+    each result casts back to the column's declared type, so the table
+    schema never drifts. Updating a hive PARTITION column is legal —
+    the replacement row simply lands in its new partition directory
+    while the address mask hides the old one. Returns the committed
+    version, or None when nothing matched.
+
+    ``delete_vectors=False`` switches to COPY-ON-WRITE: only the files
+    that CONTAIN matches are rewritten in place (unmatched rows of
+    those files carry into the rewrite, every other file carries by
+    reference — :func:`replace_files_publish`), leaving the new
+    snapshot dv-free for those files. Pick it for updates dense enough
+    that the read-time dv mask would cost more than the rewrite —
+    Delta's UPDATE default; the MOR default here matches this table
+    format's delete/merge posture.
 
     ``point`` = ``{col: value}`` (equality predicates implied by
     ``condition``) prunes candidate files via per-file blooms/stats
@@ -5656,8 +5667,53 @@ def update_publish(
                     _dv_chunks_df(spark, fs, table_dir, dv_scanned),
                 )
             matched = tgt.where(condition)
-            addr = matched.select("_fp", "_ri")
             typed = {f.name: f.dataType for f in schema.fields}
+            if not delete_vectors:
+                # COPY-ON-WRITE: rewrite exactly the files that contain
+                # matches; unmatched rows of those files carry into the
+                # rewrite (masked — a file's dv'd rows must never
+                # resurrect), everything else carries by reference
+                matched_abs = [
+                    r[0]
+                    for r in matched.select("_fp").distinct().collect()
+                ]
+                mfiles = sorted(
+                    {
+                        rel
+                        for rel in (
+                            _rel_of(a, candidates) for a in matched_abs
+                        )
+                        if rel is not None
+                    }
+                )
+                if not mfiles:
+                    return None
+                rw = _read_files(
+                    spark, fs, table_dir, mfiles, manifest["schema"],
+                    bool(parts), dv=dv0, evo=_evo_of(manifest, res),
+                )
+                cond = F.expr(condition)
+                out = rw.select(
+                    *[
+                        (
+                            F.when(
+                                cond,
+                                F.expr(set_map[c]).cast(typed[c]),
+                            )
+                            .otherwise(F.col(c))
+                            .alias(c)
+                            if c in set_map
+                            else F.col(c)
+                        )
+                        for c in names
+                    ]
+                )
+                return replace_files_publish(
+                    out, table_dir, mfiles, lease_ttl_ms=lease_ttl_ms,
+                    stats_cols=stats_cols, bloom_cols=bloom_cols,
+                    _base=manifest, operation="update",
+                )
+            addr = matched.select("_fp", "_ri")
             out = matched.select(
                 *[
                     (
@@ -5672,6 +5728,105 @@ def update_publish(
                 spark, fs, table_dir, manifest, addr, candidates, out,
                 parts, lease_ttl_ms, stats_cols, bloom_cols, None,
                 who="update_publish", operation="update",
+            )
+        except ConcurrentWriteError:
+            if attempt == 2:
+                raise
+            manifest = _read_manifest(table_dir, fs)
+            if manifest is None:
+                raise
+
+
+def replace_where_publish(
+    df: DataFrame,
+    table_dir: str,
+    condition: str,
+    lease_ttl_ms: int = 300_000,
+    stats_cols=None,
+    bloom_cols=None,
+) -> int:
+    """Atomic predicate overwrite — Delta's ``replaceWhere``: in ONE
+    commit, delete every row matching the SQL ``condition`` and insert
+    ``df`` in their place. The backfill primitive: recompute one day /
+    one source / one experiment slice and swap it in without touching
+    the rest of the table or ever exposing a half-replaced state.
+
+    Delta's safety rule is enforced: every ``df`` row must itself
+    satisfy ``condition`` (a backfill that writes outside its declared
+    slice would silently clobber — raises ValueError instead). Only
+    the files that CONTAIN matches are rewritten; their non-matching
+    rows carry into the rewrite (masked — dv'd rows never resurrect),
+    every other file carries by reference. When no existing row
+    matches, the commit is a pure insert of ``df``.
+
+    Concurrency: optimistic — commits land concurrently with appends
+    and disjoint rewrites; a racing commit that touched a targeted file
+    re-runs the whole replace against the fresh snapshot (bounded, 3
+    attempts), which re-evaluates ``condition`` — the correct
+    serialization for an overwrite.
+
+    Scale: O(matched files) rewritten + O(df); the discovery scan is
+    predicate-pushed, so a ``condition`` on a partition or clustered
+    column scans only its slice."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    fs = _fs_for(table_dir, spark)
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        raise ValueError("replace_where_publish: no committed table here")
+    stray = df.where("not (%s)" % condition).limit(1).collect()
+    if stray:
+        raise ValueError(
+            "replace_where_publish: df contains row(s) outside the "
+            "condition %r (first: %s) — a backfill must stay inside "
+            "its declared slice" % (condition, stray[0])
+        )
+    for attempt in range(3):
+        try:
+            parts = manifest.get("partition_by") or []
+            res = _resolve_entry(fs, table_dir, manifest)
+            dv0 = _load_dv(fs, table_dir, manifest)
+            aligned = _align_to(df, manifest["schema"])
+            tgt = _read_files_with_pos(
+                spark, fs, table_dir, res["files"], manifest["schema"],
+                bool(parts), evo=_evo_of(manifest, res),
+            )
+            if dv0:
+                tgt = _dv_mask(
+                    tgt, "_fp", "_ri",
+                    _dv_chunks_df(spark, fs, table_dir, dv0),
+                )
+            matched_abs = [
+                r[0]
+                for r in tgt.where(condition)
+                .select("_fp")
+                .distinct()
+                .collect()
+            ]
+            mfiles = sorted(
+                {
+                    rel
+                    for rel in (
+                        _rel_of(a, res["files"]) for a in matched_abs
+                    )
+                    if rel is not None
+                }
+            )
+            if not mfiles:
+                return append_publish(
+                    aligned, table_dir, lease_ttl_ms=lease_ttl_ms,
+                    stats_cols=stats_cols, bloom_cols=bloom_cols,
+                )
+            kept = _read_files(
+                spark, fs, table_dir, mfiles, manifest["schema"],
+                bool(parts), dv=dv0, evo=_evo_of(manifest, res),
+            ).where("not (%s)" % condition)
+            return replace_files_publish(
+                kept.unionByName(aligned), table_dir, mfiles,
+                lease_ttl_ms=lease_ttl_ms, stats_cols=stats_cols,
+                bloom_cols=bloom_cols, _base=manifest,
+                operation="replace_where",
             )
         except ConcurrentWriteError:
             if attempt == 2:
@@ -6288,6 +6443,7 @@ def replace_files_publish(
                 "size_bytes": prev_sz - replaced_bytes + sum(new_sizes.values()),
                 "schema": prev["schema"],
                 "partition_by": parts,
+                "operation": operation,
                 **_carry_dv(fs, table_dir, prev, seg, carried),
             }
             if not data_change:

@@ -484,3 +484,146 @@ t3 as (
 )
 select k, v, b from t3 order by k
 """
+
+
+def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION differential (round 12): Iceberg's
+    spec evolution reduced to the hive case, driven end-to-end across
+    BOTH evolution kinds — layout change and partition-column rename —
+    with the final read spanning three path layouts:
+
+    1. publish the ``k % 10 = 4`` slice of orders as (k, v, b, g)
+       hive-partitioned by ``b = k % 3``;
+    2. ``set_partition_layout(['g'])`` — METADATA-ONLY: zero files
+       move; era-1 files keep ``b=…`` paths (g stays a data column
+       there);
+    3. append the ``k % 10 = 9`` slice — lands under ``g=…``;
+    4. ``delete_publish(delete_vectors=True)`` of ``v % 7 = 0`` —
+       addresses span both eras;
+    5. ``rename_column('g' → 'grp')`` — the CURRENT partition column:
+       era-2 files resolve grp from their physical ``g=…`` path key by
+       field id, era-1 files from their physical data column;
+    6. append the ``k % 10 = 0`` slice under the renamed contract
+       (era 3: ``grp=…`` paths).
+
+    The final read resolves every column across all three layouts; a
+    drift in per-segment spec resolution, the dv mask over mixed
+    layouts, or path-key field-id mapping flips the value hash.
+
+    Scale: both evolutions are manifest swaps; nothing here rewrites a
+    pre-existing file at any table size."""
+    from bamboo_spark.operators import publish as P
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias("v"),
+    ).withColumns(
+        {
+            "b": F.expr("cast(k % 3 as int)"),
+            "g": F.expr("cast(k % 7 as int)"),
+        }
+    )
+    root = tempfile.mkdtemp(prefix="bamboo_part_evo_")
+    t = root + "/t"
+    P.atomic_publish(o.where("k % 10 = 4"), t, partition_by=["b"])
+    P.set_partition_layout(t, ["g"], spark=spark)
+    P.append_publish(o.where("k % 10 = 9"), t)
+    P.delete_publish(spark, t, "v % 7 = 0", delete_vectors=True)
+    P.rename_column(t, "g", "grp", spark=spark)
+    P.append_publish(
+        o.where("k % 10 = 0").withColumnRenamed("g", "grp"), t
+    )
+    return P.read_published(spark, t).orderBy("k")
+
+
+Q_PARTITION_EVOLUTION_SQL = """
+with o as (
+  select o_orderkey::BIGINT k,
+         cast(round(o_totalprice * 100, 0) as BIGINT) v,
+         cast(o_orderkey % 3 as INTEGER) b,
+         cast(o_orderkey % 7 as INTEGER) g
+  from orders
+),
+t1 as (
+  select k, v, b, g from o where k % 10 in (4, 9) and v % 7 <> 0
+),
+t2 as (select k, v, b, g from o where k % 10 = 0)
+select k, v, b, g as grp from (select * from t1 union all select * from t2)
+order by k
+"""
+
+
+def q_backfill_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BACKFILL differential (round 12): copy-on-write UPDATE +
+    ``replace_where_publish`` (Delta's replaceWhere) driven end-to-end
+    — the recompute-one-slice-and-swap-it primitive every scheduled
+    pipeline needs — checked value-exactly against SQL:
+
+    1. publish the ``k % 10 = 6`` slice of orders as (k, v, d)
+       hive-partitioned by pseudo-day ``d = k % 7``;
+    2. COPY-ON-WRITE update (``delete_vectors=False``): ``v := v + 9``
+       where ``v % 3 = 0`` — only files containing matches rewrite,
+       the snapshot stays dv-free;
+    3. ``replace_where_publish`` of slice ``d = 2``: the day is
+       recomputed FROM SOURCE as ``v := 2·v`` and swapped in — one
+       commit, out-of-slice rows untouched;
+    4. ``delete_publish(delete_vectors=True)`` of ``v % 11 = 0``;
+    5. a second replaceWhere over the MIXED dv snapshot: slice
+       ``d = 4`` becomes ``v := k`` — dv-erased rows of OTHER slices
+       stay erased, the replaced slice takes its fresh values
+       wholesale.
+
+    Drift in the CoW file targeting, the replaceWhere slice guard, or
+    dv survival across a file rewrite flips the value hash.
+
+    Scale: every step rewrites only the files of its slice; discovery
+    scans are predicate-pushed onto the partition column."""
+    from bamboo_spark.operators import publish as P
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias("v"),
+    ).withColumn("d", F.expr("cast(k % 7 as int)"))
+    root = tempfile.mkdtemp(prefix="bamboo_backfill_")
+    t = root + "/t"
+    P.atomic_publish(o.where("k % 10 = 6"), t, partition_by=["d"])
+    P.update_publish(
+        spark, t, "v % 3 = 0", {"v": "v + 9"}, delete_vectors=False
+    )
+    day2 = o.where("k % 10 = 6 and d = 2").select(
+        "k", (F.col("v") * 2).alias("v"), "d"
+    )
+    P.replace_where_publish(day2, t, "d = 2")
+    P.delete_publish(spark, t, "v % 11 = 0", delete_vectors=True)
+    day4 = o.where("k % 10 = 6 and d = 4").select(
+        "k", F.col("k").alias("v"), "d"
+    )
+    P.replace_where_publish(day4, t, "d = 4")
+    return P.read_published(spark, t).orderBy("k")
+
+
+Q_BACKFILL_LIFECYCLE_SQL = """
+with o as (
+  select o_orderkey::BIGINT k,
+         cast(round(o_totalprice * 100, 0) as BIGINT) v,
+         cast(o_orderkey % 7 as INTEGER) "d"
+  from orders
+),
+base as (select k, v, "d" from o where k % 10 = 6),
+t1 as (
+  select k, case when v % 3 = 0 then v + 9 else v end as v, "d"
+  from base
+),
+t2 as (
+  select k, v, "d" from t1 where "d" <> 2
+  union all
+  select k, 2 * v as v, "d" from o where k % 10 = 6 and "d" = 2
+),
+t3 as (select k, v, "d" from t2 where v % 11 <> 0),
+t4 as (
+  select k, v, "d" from t3 where "d" <> 4
+  union all
+  select k, k as v, "d" from o where k % 10 = 6 and "d" = 4
+)
+select k, v, "d" from t4 order by k
+"""

@@ -958,3 +958,155 @@ def test_update_publish_cdf_sees_update_as_delete_plus_insert(
     rows = {( r.k, r.v, r._change_type) for r in ch.collect()}
     assert (4, 40, "delete") in rows
     assert (4, 99, "insert") in rows
+
+
+# ---------------------------------------- partition-spec evolution: combined
+
+
+def test_three_era_partition_evolution(spark, tmp_path):
+    """Layout change + partition-column rename on one table: the final
+    read spans three path layouts (b=…, g=…, grp=…), the dv mask spans
+    the first two, and an UPDATE works over the whole mix."""
+    d = str(tmp_path / "t")
+    o = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        (F.col("id") % 3).cast("int").alias("b"),
+        (F.col("id") % 7).cast("int").alias("g"),
+    )
+    atomic_publish(o.where("k % 10 = 4"), d, partition_by=["b"])
+    P.set_partition_layout(d, ["g"], spark=spark)
+    append_publish(o.where("k % 10 = 9"), d)
+    delete_publish(spark, d, "v % 7 = 0", delete_vectors=True)
+    P.rename_column(d, "g", "grp", spark=spark)
+    append_publish(o.where("k % 10 = 0").withColumnRenamed("g", "grp"), d)
+    got = [
+        (r.k, r.v, r.b, r.grp)
+        for r in read_published(spark, d).orderBy("k").collect()
+    ]
+    exp = sorted(
+        [
+            (k, k * 10, k % 3, k % 7)
+            for k in range(200)
+            if (k % 10 in (4, 9) and (k * 10) % 7 != 0) or k % 10 == 0
+        ]
+    )
+    assert got == exp
+    P.update_publish(spark, d, "k = 104", {"v": "v + 1"})
+    assert (
+        read_published(spark, d).where("k = 104").collect()[0].v == 1041
+    )
+
+
+def test_update_publish_copy_on_write(spark, tmp_path):
+    """delete_vectors=False rewrites exactly the files containing
+    matches — the post-state snapshot carries no dv for them, unmatched
+    rows of rewritten files survive, untouched files carry by ref."""
+    d = str(tmp_path / "t")
+    _two_file_table(spark, d)  # file1 k:0-99, file2 k:100-199
+    fs = _fs()
+    before = P.live_files(d, spark=spark)
+    ver = P.update_publish(
+        spark, d, "k in (5, 6)", {"v": "v + 1"}, delete_vectors=False
+    )
+    assert ver == 3
+    man = P._read_manifest(d, fs)
+    assert man["operation"] == "update"
+    assert not man.get("dv")                  # CoW: no vectors
+    after = P.live_files(d, spark=spark)
+    kept = set(before) & set(after)
+    assert len(kept) == 1                     # file2 carried by ref
+    got = {r.k: r.v for r in read_published(spark, d).collect()}
+    assert len(got) == 200
+    assert got[5] == 51 and got[6] == 61 and got[7] == 70
+    assert got[150] == 1500
+
+
+def test_update_publish_cow_respects_prior_dv(spark, tmp_path):
+    """A CoW update rewriting a file that carries delete vectors must
+    not resurrect the dv'd rows — and the rewrite clears that file's
+    vectors along with the file."""
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 100).coalesce(1), d)
+    delete_publish(spark, d, "k = 8", delete_vectors=True)
+    P.update_publish(
+        spark, d, "k = 9", {"v": "-1"}, delete_vectors=False
+    )
+    fs = _fs()
+    man = P._read_manifest(d, fs)
+    assert not man.get("dv")                  # old file's dv retired
+    got = {r.k: r.v for r in read_published(spark, d).collect()}
+    assert 8 not in got and got[9] == -1 and len(got) == 99
+
+
+# ------------------------------------------------------- replace_where
+
+
+def test_replace_where_swaps_slice_atomically(spark, tmp_path):
+    """replaceWhere: one commit deletes the matching slice and inserts
+    its recomputed replacement; non-matching rows of rewritten files
+    survive, untouched files carry by reference."""
+    d = str(tmp_path / "t")
+    _two_file_table(spark, d)  # file1 k:0-99, file2 k:100-199
+    repl = spark.createDataFrame(
+        [(k, k * 100) for k in range(0, 50)], "k long, v long"
+    )
+    before = set(P.live_files(d, spark=spark))
+    ver = P.replace_where_publish(repl, d, "k < 50")
+    assert ver == 3
+    after = set(P.live_files(d, spark=spark))
+    assert len(before & after) == 1           # file2 untouched
+    got = {r.k: r.v for r in read_published(spark, d).collect()}
+    assert len(got) == 200
+    assert got[10] == 1000 and got[60] == 600 and got[150] == 1500
+    man = P._read_manifest(d, _fs())
+    assert man["operation"] == "replace_where"
+
+
+def test_replace_where_rejects_out_of_slice_rows(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 10).coalesce(1), d)
+    bad = spark.createDataFrame([(99, 0)], "k long, v long")
+    with pytest.raises(ValueError, match="outside the condition"):
+        P.replace_where_publish(bad, d, "k < 50")
+    assert P.current_version(d, spark=spark) == 1
+
+
+def test_replace_where_no_match_is_pure_insert(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 10).coalesce(1), d)
+    ins = spark.createDataFrame([(500, 1)], "k long, v long")
+    ver = P.replace_where_publish(ins, d, "k >= 500")
+    assert ver == 2
+    assert P.published_rows(d, spark=spark) == 11
+
+
+def test_replace_where_can_shrink_or_grow_slice(spark, tmp_path):
+    """The replacement needn't be row-for-row: replacing a 100-row
+    slice with 3 rows (or 0) is a legal backfill."""
+    d = str(tmp_path / "t")
+    _two_file_table(spark, d)
+    repl = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "k long, v long"
+    )
+    P.replace_where_publish(repl, d, "k < 100")
+    got = {r.k: r.v for r in read_published(spark, d).collect()}
+    assert len(got) == 103
+    assert got[0] == 1 and 99 not in got and got[199] == 1990
+    # empty replacement = predicate delete via the same primitive
+    empty = spark.createDataFrame([], "k long, v long")
+    P.replace_where_publish(empty, d, "k < 100")
+    assert P.published_rows(d, spark=spark) == 100
+
+
+def test_replace_where_respects_dv_mask(spark, tmp_path):
+    """Rows already erased by delete vectors stay erased through a
+    replaceWhere that rewrites their file."""
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 100).coalesce(1), d)
+    delete_publish(spark, d, "k = 70", delete_vectors=True)
+    repl = spark.createDataFrame([(5, -5)], "k long, v long")
+    P.replace_where_publish(repl, d, "k < 10")
+    got = {r.k: r.v for r in read_published(spark, d).collect()}
+    assert 70 not in got and got[5] == -5
+    assert len(got) == 90  # 99 live - 10 replaced-out + 1 inserted
