@@ -4439,6 +4439,177 @@ def vacuum(
         return removed
 
 
+def fsck_table(
+    table_dir: str,
+    spark: Optional[SparkSession] = None,
+    check_sizes: bool = False,
+) -> dict:
+    """Read-only CONSISTENCY AUDIT of a published table — the
+    operational "is this table healthy" primitive (Delta FSCK's
+    counterpart): walks every retained snapshot and verifies that each
+    cited data file, delete-vector manifest, v2 dv sidecar dataset and
+    segment sidecar actually resolves on storage; classifies every
+    unreferenced ``_v<N>`` dir as in-flight (fresh claim — an
+    optimistic writer staging) or orphan (vacuum candidate); and lists
+    stray claim markers. Nothing is mutated — repair is ``vacuum``'s
+    job (orphans) or ``restore_table``'s (bad head).
+
+    Returns ``{"ok": bool, "version": int, "snapshots_checked": int,
+    "files_checked": int, "missing_files": [...], "size_mismatches":
+    [...], "missing_dv": [...], "unreadable_segments": [...],
+    "orphan_dirs": [...], "in_flight_dirs": [...], "stray_claims":
+    [...], "external_refs": int}`` — ``ok`` is False iff a RETAINED
+    snapshot cites something unresolvable (orphans/claims are
+    informational; they cost bytes, not correctness).
+
+    ``check_sizes=True`` additionally compares each live file's size
+    against the recorded ``file_sizes`` (catches silent truncation/
+    overwrite outside the commit protocol) — O(files) stat calls,
+    driver-side metadata only, no data IO either way.
+
+    Scale: the walk touches manifests and sidecars, never data pages;
+    a 100 TB table audits in O(snapshots × files) stats."""
+    fs = _fs_for(table_dir, spark)
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        raise ValueError("fsck_table: no committed table here")
+    report = {
+        "ok": True,
+        "version": int(manifest["version"]),
+        "snapshots_checked": 0,
+        "files_checked": 0,
+        "missing_files": [],
+        "size_mismatches": [],
+        "missing_dv": [],
+        "unreadable_segments": [],
+        "orphan_dirs": [],
+        "in_flight_dirs": [],
+        "stray_claims": [],
+        "external_refs": 0,
+    }
+
+    def _resolvable(path: str) -> bool:
+        try:
+            fs.file_size(path)
+            return True
+        except Exception:
+            return False
+
+    entries = {str(manifest["version"]): manifest}
+    for v, e in (manifest.get("snapshots") or {}).items():
+        entries.setdefault(str(v), e)
+    referenced = set()
+    seen_files = set()
+    for v, e in sorted(entries.items(), key=lambda kv: int(kv[0])):
+        report["snapshots_checked"] += 1
+        # segment sidecars must parse (they ARE the file lists)
+        for seg in e.get("segments") or []:
+            referenced.add(seg)
+            try:
+                _load_seg(fs, table_dir, seg)
+            except Exception as ex:
+                report["unreadable_segments"].append(
+                    {"snapshot": int(v), "segment": seg, "error": str(ex)}
+                )
+                continue
+        try:
+            files = _entry_files(fs, table_dir, e)
+        except Exception as ex:
+            report["unreadable_segments"].append(
+                {"snapshot": int(v), "segment": "<entry>", "error": str(ex)}
+            )
+            continue
+        sizes = {}
+        if check_sizes:
+            try:
+                sizes = _resolve_entry(fs, table_dir, e).get(
+                    "file_sizes"
+                ) or {}
+            except Exception:
+                sizes = {}
+        for f in files:
+            if _is_ext(f):
+                report["external_refs"] += 1
+            else:
+                referenced.add(f.split("/", 1)[0])
+            if f in seen_files:
+                continue
+            seen_files.add(f)
+            report["files_checked"] += 1
+            p = _ref_path(fs, table_dir, f)
+            if not _resolvable(p):
+                report["missing_files"].append(
+                    {"snapshot": int(v), "file": f}
+                )
+            elif check_sizes and sizes.get(f) is not None:
+                actual = fs.file_size(p)
+                if actual != sizes[f]:
+                    report["size_mismatches"].append(
+                        {
+                            "file": f,
+                            "recorded": sizes[f],
+                            "actual": actual,
+                        }
+                    )
+        if e.get("dv"):
+            referenced.add(e["dv"].split("/", 1)[0])
+            try:
+                dvmap = _load_dv(fs, table_dir, e)
+            except Exception as ex:
+                report["missing_dv"].append(
+                    {"snapshot": int(v), "dv": e["dv"], "error": str(ex)}
+                )
+                dvmap = {}
+            for f, val in dvmap.items():
+                if isinstance(val, dict):
+                    ds = val["ds"]
+                    if not _is_ext(ds):
+                        referenced.add(ds.split("/", 1)[0])
+                    dsp = _ref_path(fs, table_dir, ds)
+                    try:
+                        if not fs.walk_files(dsp):
+                            raise FileNotFoundError(dsp)
+                    except Exception:
+                        report["missing_dv"].append(
+                            {"snapshot": int(v), "file": f, "ds": ds}
+                        )
+    lease_ttl_ms = 300_000
+    dirs = sorted(
+        d
+        for d in fs.listdir(table_dir)
+        if d.startswith("_v") and d[2:].isdigit()
+    )
+    for name in dirs:
+        if name in referenced:
+            continue
+        try:
+            age = _now_ms() - fs.mtime_ms(
+                fs.join(table_dir, name + ".claim")
+            )
+            fresh = age <= lease_ttl_ms
+        except Exception:
+            fresh = False
+        (report["in_flight_dirs"] if fresh else report["orphan_dirs"]).append(
+            name
+        )
+    dirset = set(dirs)
+    for e in fs.listdir(table_dir):
+        if (
+            e.endswith(".claim")
+            and e.startswith("_v")
+            and e[2:-6].isdigit()
+            and e[:-6] not in dirset
+        ):
+            report["stray_claims"].append(e)
+    report["ok"] = not (
+        report["missing_files"]
+        or report["size_mismatches"]
+        or report["missing_dv"]
+        or report["unreadable_segments"]
+    )
+    return report
+
+
 def compact(
     spark: SparkSession,
     table_dir: str,
@@ -4990,6 +5161,22 @@ def _mor_commit(
             return version
         finally:
             lease.release()
+    except ConcurrentWriteError:
+        # callers with bounded retry (update_publish, merge re-runs)
+        # make lost races routine — reclaim the claimed _v<N> staging
+        # dir + claim marker now instead of leaving them to vacuum's
+        # TTL aging (best-effort; a crash still falls back to vacuum).
+        # Safe: every CWE raise above precedes the manifest swap, so
+        # nothing can reference this seg.
+        try:
+            fs.delete_file(fs.join(table_dir, seg + ".claim"))
+        except Exception:
+            pass
+        try:
+            fs.rmtree(fs.join(table_dir, seg))
+        except Exception:
+            pass
+        raise
     finally:
         beat.stop()
 
@@ -6458,6 +6645,20 @@ def replace_files_publish(
             return version
         finally:
             lease.release()
+    except ConcurrentWriteError:
+        # lost races are routine under the bounded re-run loops
+        # (update_publish CoW, replace_where_publish) — reclaim the
+        # staged dir + claim instead of aging them out under vacuum's
+        # TTL (best-effort; every CWE raise precedes the manifest swap)
+        try:
+            fs.delete_file(fs.join(table_dir, seg + ".claim"))
+        except Exception:
+            pass
+        try:
+            fs.rmtree(fs.join(table_dir, seg))
+        except Exception:
+            pass
+        raise
     finally:
         beat.stop()
 

@@ -1110,3 +1110,154 @@ def test_replace_where_respects_dv_mask(spark, tmp_path):
     got = {r.k: r.v for r in read_published(spark, d).collect()}
     assert 70 not in got and got[5] == -5
     assert len(got) == 90  # 99 live - 10 replaced-out + 1 inserted
+
+
+def test_cow_update_race_reclaims_staging(spark, tmp_path, monkeypatch):
+    """A CoW update losing its optimistic race (the targeted file's dv
+    changed underneath) re-runs AND reclaims the failed attempt's
+    staging dir + claim — no orphans for vacuum to age out."""
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 100).coalesce(1), d)
+    import bamboo_spark.operators.publish as Pm
+    orig_scan = Pm._scan_written
+    state = {"raced": False}
+
+    def racing_scan(*a, **kw):
+        out = orig_scan(*a, **kw)
+        if not state["raced"]:
+            state["raced"] = True
+            # racer dv-deletes in the SAME (only) file between the
+            # victim's write and its commit lease
+            delete_publish(spark, d, "k = 90", delete_vectors=True)
+        return out
+
+    monkeypatch.setattr(Pm, "_scan_written", racing_scan)
+    ver = P.update_publish(
+        spark, d, "k < 3", {"v": "v + 1"}, delete_vectors=False
+    )
+    monkeypatch.undo()
+    assert state["raced"] and ver == 3
+    names = sorted(x.name for x in Path(d).iterdir())
+    assert not [n for n in names if n.endswith(".claim")], names
+    got = {r.k: r.v for r in read_published(spark, d).collect()}
+    assert 90 not in got and got[0] == 1 and got[2] == 21
+    assert len(got) == 99
+
+
+def test_mor_update_race_reclaims_staging(spark, tmp_path, monkeypatch):
+    """A MOR update losing its race reclaims staging the same way."""
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 100).coalesce(1), d)
+    import bamboo_spark.operators.publish as Pm
+    orig_build = Pm._dv_build
+    state = {"raced": False}
+
+    def racing_build(*a, **kw):
+        out = orig_build(*a, **kw)
+        if not state["raced"]:
+            state["raced"] = True
+            delete_publish(spark, d, "k = 90", delete_vectors=True)
+        return out
+
+    monkeypatch.setattr(Pm, "_dv_build", racing_build)
+    ver = P.update_publish(spark, d, "k < 3", {"v": "v + 1"})
+    monkeypatch.undo()
+    assert state["raced"] and ver == 3
+    names = sorted(x.name for x in Path(d).iterdir())
+    assert not [n for n in names if n.endswith(".claim")], names
+    got = {r.k: r.v for r in read_published(spark, d).collect()}
+    assert 90 not in got and got[0] == 1
+    assert len(got) == 99
+
+
+# ------------------------------------------------------------ fsck_table
+
+
+def test_fsck_clean_table(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 50).coalesce(1), d)
+    append_publish(_rows(spark, 50, 100).coalesce(1), d)
+    delete_publish(spark, d, "k = 3", delete_vectors=True)
+    rep = P.fsck_table(d, spark=spark, check_sizes=True)
+    assert rep["ok"] and rep["version"] == 3
+    assert rep["snapshots_checked"] == 3
+    assert rep["files_checked"] >= 2
+    assert not rep["missing_files"] and not rep["missing_dv"]
+    assert not rep["orphan_dirs"] and not rep["stray_claims"]
+
+
+def test_fsck_detects_missing_file_and_dv(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 50).coalesce(1), d)
+    append_publish(_rows(spark, 50, 100).coalesce(1), d)
+    delete_publish(spark, d, "k = 3", delete_vectors=True)
+    # vandalize: remove one data file and the dv sidecar dataset
+    import shutil
+    f1 = [f for f in P.live_files(d, spark=spark) if f.startswith("_v2")][0]
+    (Path(d) / f1).unlink()
+    dvds = [p for p in (Path(d) / "_v3").iterdir() if p.name == "_dvp"]
+    if dvds:
+        shutil.rmtree(dvds[0])
+    rep = P.fsck_table(d, spark=spark)
+    assert not rep["ok"]
+    assert any(m["file"] == f1 for m in rep["missing_files"])
+    assert rep["missing_dv"]
+
+
+def test_fsck_classifies_orphans_and_claims(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 10).coalesce(1), d)
+    # a crashed writer's leftovers: unreferenced dir + stale claim
+    (Path(d) / "_v9").mkdir()
+    (Path(d) / "_v9" / "junk.parquet").write_bytes(b"x")
+    (Path(d) / "_v7.claim").write_text("{}")
+    import os, time
+    old = time.time() - 3600
+    os.utime(Path(d) / "_v7.claim", (old, old))
+    rep = P.fsck_table(d, spark=spark)
+    assert rep["ok"]                       # health of RETAINED refs
+    assert rep["orphan_dirs"] == ["_v9"]
+    assert rep["stray_claims"] == ["_v7.claim"]
+    # a FRESH claim marks in-flight, not orphan
+    (Path(d) / "_v9.claim").write_text("{}")
+    rep2 = P.fsck_table(d, spark=spark)
+    assert rep2["in_flight_dirs"] == ["_v9"] and not rep2["orphan_dirs"]
+
+
+def test_fsck_size_mismatch(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 50).coalesce(1), d)
+    f1 = P.live_files(d, spark=spark)[0]
+    p = Path(d) / f1
+    p.write_bytes(p.read_bytes() + b"garbage")
+    rep = P.fsck_table(d, spark=spark, check_sizes=True)
+    assert not rep["ok"] and rep["size_mismatches"]
+
+
+def test_replace_where_rebases_over_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """replaceWhere racing an append commits both: the rebase keeps
+    the appended file (it isn't targeted) and swaps the slice."""
+    d = str(tmp_path / "t")
+    _two_file_table(spark, d)
+    import bamboo_spark.operators.publish as Pm
+    orig_scan = Pm._scan_written
+    state = {"raced": False}
+
+    def racing_scan(*a, **kw):
+        out = orig_scan(*a, **kw)
+        if not state["raced"]:
+            state["raced"] = True
+            append_publish(_rows(spark, 200, 210).coalesce(1), d)
+        return out
+
+    monkeypatch.setattr(Pm, "_scan_written", racing_scan)
+    repl = spark.createDataFrame([(0, -1)], "k long, v long")
+    ver = P.replace_where_publish(repl, d, "k < 100")
+    monkeypatch.undo()
+    assert state["raced"] and ver == 4  # v3 = racer append, v4 = replace
+    got = {r.k: r.v for r in read_published(spark, d).collect()}
+    assert got[0] == -1 and 1 not in got     # slice swapped
+    assert got[205] == 2050                  # racer's append survived
+    assert len(got) == 111                   # 1 + 100 + 10
