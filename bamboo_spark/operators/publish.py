@@ -4684,6 +4684,89 @@ def compact(
         )
 
 
+def compact_files(
+    spark: SparkSession,
+    table_dir: str,
+    small_bytes: int = 32 * 1024 * 1024,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    max_files: Optional[int] = None,
+    stats_cols=None,
+    bloom_cols=None,
+    lease_ttl_ms: int = 300_000,
+) -> Optional[int]:
+    """INCREMENTAL small-file compaction — Delta OPTIMIZE's bin-pack:
+    rewrite only the live files smaller than ``small_bytes`` into
+    ~``target_file_bytes`` outputs; every right-sized file carries by
+    reference. This is the maintenance primitive :func:`compact` is NOT
+    at 100 TB — a full-snapshot rewrite costs the whole table, this
+    costs exactly the small-file bytes, so an hourly run over a
+    micro-batch ingest stays O(new files) forever. Works on
+    partitioned AND unpartitioned tables (the fold preserves hive
+    partition values; partition-level folding with per-partition byte
+    targets stays :func:`compact_partitions`' job). Returns the
+    committed version, or None when fewer than two files qualify.
+
+    ``max_files`` caps one run's rewrite set (oldest-first) so a
+    backlogged table drains across bounded maintenance windows instead
+    of one giant commit. Delete vectors on folded files are PHYSICALLY
+    applied (the rewrite reads masked) — row membership never changes,
+    so the commit is ``dataChange=false`` and incremental readers skip
+    it. Optimistic: a racing commit touching a picked file re-runs
+    nothing — this is maintenance; the caller's next cycle retries."""
+    import math
+
+    fs = _fs_for(table_dir, spark)
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        raise ValueError("compact_files: no committed table here")
+    parts = manifest.get("partition_by") or []
+    res = _resolve_entry(fs, table_dir, manifest)
+    sizes = dict(res.get("file_sizes") or {})
+    picked = []
+    total = 0
+    for f in res["files"]:  # manifest order ≈ commit order: oldest first
+        sz = sizes.get(f)
+        if sz is None:
+            try:
+                sz = fs.file_size(_ref_path(fs, table_dir, f))
+            except Exception:
+                continue
+        if sz < small_bytes:
+            picked.append(f)
+            total += sz
+            if max_files is not None and len(picked) >= max_files:
+                break
+    if len(picked) < 2:
+        return None
+    dv0 = _load_dv(fs, table_dir, manifest)
+    folded = _read_files(
+        spark, fs, table_dir, picked, manifest["schema"], bool(parts),
+        dv=dv0, evo=_evo_of(manifest, res),
+    )
+    n_out = max(1, math.ceil(total / float(target_file_bytes)))
+    if parts:
+        from pyspark.sql import functions as F
+
+        payload = [c for c in folded.columns if c not in parts]
+        folded = (
+            folded.withColumn(
+                "_ck",
+                F.xxhash64(*[F.col(c) for c in payload] or [F.lit(0)]),
+            )
+            .repartitionByRange(
+                n_out, *([F.col(c) for c in parts] + [F.col("_ck")])
+            )
+            .drop("_ck")
+        )
+    else:
+        folded = folded.repartition(n_out)
+    return replace_files_publish(
+        folded, table_dir, picked, lease_ttl_ms=lease_ttl_ms,
+        stats_cols=stats_cols, bloom_cols=bloom_cols, _base=manifest,
+        data_change=False, operation="compact_files",
+    )
+
+
 def _prune_key_candidates(res: dict, candidates, col: str, key_vals):
     """Probe-scan pruning for a single-column key batch: drop files
     whose recorded min/max RANGE excludes every batch key (wins big on

@@ -1261,3 +1261,84 @@ def test_replace_where_rebases_over_concurrent_append(
     assert got[0] == -1 and 1 not in got     # slice swapped
     assert got[205] == 2050                  # racer's append survived
     assert len(got) == 111                   # 1 + 100 + 10
+
+
+# ---------------------------------------------------------- compact_files
+
+
+def test_compact_files_bin_packs_small_only(spark, tmp_path):
+    """Only sub-threshold files fold; right-sized files carry by ref;
+    the commit is dataChange=false."""
+    d = str(tmp_path / "t")
+    for lo in range(0, 40, 10):  # 4 tiny files
+        append_publish(_rows(spark, lo, lo + 10).coalesce(1), d) \
+            if lo else atomic_publish(
+                _rows(spark, 0, 10).coalesce(1), d
+            )
+    fs = _fs()
+    man = P._read_manifest(d, fs)
+    res = P._resolve_entry(fs, d, man)
+    # threshold below the largest file: it alone stays by reference
+    big = max(res["file_sizes"].values())
+    ver = P.compact_files(
+        spark, d, small_bytes=big, target_file_bytes=1 << 30
+    )
+    assert ver == 5
+    man2 = P._read_manifest(d, fs)
+    assert man2["operation"] == "compact_files"
+    assert man2.get("data_change") is False
+    files = P.live_files(d, spark=spark)
+    assert len(files) < 4
+    got = sorted(r.k for r in read_published(spark, d).collect())
+    assert got == list(range(40))
+
+
+def test_compact_files_applies_dv_physically(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 50).coalesce(1), d)
+    append_publish(_rows(spark, 50, 100).coalesce(1), d)
+    delete_publish(spark, d, "k in (3, 60)", delete_vectors=True)
+    ver = P.compact_files(spark, d, small_bytes=1 << 30)
+    assert ver == 4
+    fs = _fs()
+    man = P._read_manifest(d, fs)
+    assert not man.get("dv")      # folded away
+    got = sorted(r.k for r in read_published(spark, d).collect())
+    assert got == [k for k in range(100) if k not in (3, 60)]
+    assert P.published_rows(d, spark=spark) == 98
+
+
+def test_compact_files_noop_when_nothing_small(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 10).coalesce(1), d)
+    assert P.compact_files(spark, d, small_bytes=10) is None
+    assert P.current_version(d, spark=spark) == 1
+
+
+def test_compact_files_max_files_bounds_one_run(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 10).coalesce(1), d)
+    for lo in range(10, 60, 10):
+        append_publish(_rows(spark, lo, lo + 10).coalesce(1), d)
+    ver = P.compact_files(spark, d, small_bytes=1 << 30, max_files=3)
+    assert ver == 7
+    files = P.live_files(d, spark=spark)
+    assert len(files) == 4        # 6 - 3 folded + 1 packed
+    assert P.published_rows(d, spark=spark) == 60
+
+
+def test_compact_files_partitioned_preserves_values(spark, tmp_path):
+    d = str(tmp_path / "t")
+    df = spark.range(0, 90).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        (F.col("id") % 3).cast("string").alias("p"),
+    )
+    atomic_publish(df.where("k < 45"), d, partition_by=["p"])
+    append_publish(df.where("k >= 45"), d)
+    ver = P.compact_files(spark, d, small_bytes=1 << 30)
+    assert ver is not None
+    out = read_published(spark, d)
+    assert out.count() == 90
+    assert out.where("p = '2'").count() == 30
+    got = {(r.k, r.p) for r in out.collect()}
+    assert (7, "1") in got
