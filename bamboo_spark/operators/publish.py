@@ -6815,9 +6815,16 @@ def optimize_table(
                 target_file_bytes=target_file_bytes,
             )
         else:
+            # INCREMENTAL bin-pack (Delta OPTIMIZE): fold only the
+            # files below the target size — a right-sized file never
+            # rewrites, so nightly maintenance on a 100 TB
+            # unpartitioned table costs O(small-file bytes), not a
+            # full-snapshot republish (that stays compact()'s
+            # explicit-call job)
             compacted = (
-                compact(
-                    spark, table_dir, target_file_bytes=target_file_bytes
+                compact_files(
+                    spark, table_dir, small_bytes=target_file_bytes,
+                    target_file_bytes=target_file_bytes,
                 )
                 if _entry_counters(fs, table_dir, manifest)[0] >= min_files
                 else None
