@@ -1342,3 +1342,30 @@ def test_compact_files_partitioned_preserves_values(spark, tmp_path):
     assert out.where("p = '2'").count() == 30
     got = {(r.k, r.p) for r in out.collect()}
     assert (7, "1") in got
+
+
+def test_read_changes_exact_diff_for_rewrite_commits(spark, tmp_path):
+    """Batch read_changes computes EXACT multiset diffs for rewrite
+    commits — a CoW update and a replaceWhere each surface as their
+    delete+insert pairs (the streaming CDF refuses these honestly and
+    points here)."""
+    d = str(tmp_path / "t")
+    atomic_publish(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k long, v long"
+        ).coalesce(1),
+        d,
+    )
+    P.update_publish(spark, d, "k = 3", {"v": "99"}, delete_vectors=False)
+    repl = spark.createDataFrame([(1, -1)], "k long, v long")
+    P.replace_where_publish(repl, d, "k = 1")
+    rows = sorted(
+        (r._commit_version, r._change_type, r.k, r.v)
+        for r in P.read_changes(spark, d, 1, 3).collect()
+    )
+    assert rows == [
+        (2, "delete", 3, 30),
+        (2, "insert", 3, 99),
+        (3, "delete", 1, 10),
+        (3, "insert", 1, -1),
+    ]

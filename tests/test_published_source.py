@@ -461,3 +461,68 @@ def test_stream_starting_timestamp(src, spark, tmp_path):
         q.stop()
     ks = sorted(r.k for r in spark.read.parquet(out).collect())
     assert ks == [3, 4, 5, 6]  # only the post-timestamp append
+
+
+def test_stream_change_feed_delivers_updates(src, spark, tmp_path):
+    """A MOR update commit (dv + new files, one commit) arrives on the
+    change feed as exact delete+insert pairs. REWRITE commits (CoW
+    update, replace_where) are refused HONESTLY by the streaming
+    planner — exact rewrite diffs are the batch read_changes() contract
+    (pinned in test_publish_r12) — never silently mis-delivered."""
+    from bamboo_spark.operators.publish import (
+        replace_where_publish,
+        update_publish,
+    )
+
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    atomic_publish(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k long, v long"
+        ).coalesce(1),
+        t,
+    )                                                            # v1
+    update_publish(spark, t, "k = 2", {"v": "v + 1"})            # v2 MOR
+    seen = []
+
+    def sink(batch_df, bid):
+        seen.extend(
+            (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+            for r in batch_df.collect()
+        )
+
+    q = (
+        spark.readStream.format("bamboo_published")
+        .option("startingVersion", "1")
+        .option("readChangeFeed", "true")
+        .load(t)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(seen) == [
+        (2, "delete", 2, 20),
+        (2, "insert", 2, 21),
+    ]
+    # rewrite commits: the stream refuses rather than mis-delivering
+    update_publish(
+        spark, t, "k = 3", {"v": "99"}, delete_vectors=False
+    )                                                            # v3 CoW
+    q2 = (
+        spark.readStream.format("bamboo_published")
+        .option("startingVersion", "2")
+        .option("readChangeFeed", "true")
+        .load(t)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    with pytest.raises(Exception, match="rewrote rows"):
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
