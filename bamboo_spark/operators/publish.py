@@ -2129,6 +2129,54 @@ def pinned_snapshot(spark: SparkSession, table_dir: str):
     return manifest, df
 
 
+def overwrite_partitions_publish(
+    df: DataFrame,
+    table_dir: str,
+    partition_col: Optional[str] = None,
+    lease_ttl_ms: int = 300_000,
+    stats_cols=None,
+    bloom_cols=None,
+) -> Optional[int]:
+    """DYNAMIC partition overwrite — Spark's
+    ``partitionOverwriteMode=dynamic`` with snapshot isolation: replace
+    exactly the hive partitions PRESENT in ``df``, discovered from the
+    frame itself (one distinct on the partition column — O(partitions)
+    driver rows), leaving every other partition untouched. The
+    scheduled-recompute idiom ("INSERT OVERWRITE yesterday's
+    partitions") without naming the partitions by hand; by
+    construction ``df`` holds exactly the replaced partitions' rows,
+    so :func:`replace_partitions_publish`'s contract is met. Returns
+    the committed version, or None for an empty ``df``.
+
+    Same optimistic concurrency as the underlying replace: commits
+    rebase over disjoint-partition traffic, raise on a real overlap."""
+    from pyspark.sql import functions as F
+
+    fs = _fs_for(table_dir, df.sparkSession)
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        raise ValueError(
+            "overwrite_partitions_publish: no committed table here "
+            "(publish the first snapshot with atomic_publish)"
+        )
+    parts = manifest.get("partition_by") or []
+    if not parts:
+        raise ValueError(
+            "overwrite_partitions_publish needs a hive-partitioned "
+            "table (this one has no partition_by)"
+        )
+    pc = partition_col or parts[0]
+    values = [r[0] for r in df.select(pc).distinct().collect()]
+    if not values:
+        return None
+    return replace_partitions_publish(
+        df, table_dir, values=values, partition_col=pc,
+        lease_ttl_ms=lease_ttl_ms, stats_cols=stats_cols,
+        bloom_cols=bloom_cols, _base=manifest,
+        operation="overwrite_partitions",
+    )
+
+
 def replace_partitions_publish(
     df: DataFrame,
     table_dir: str,

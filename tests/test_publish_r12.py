@@ -1369,3 +1369,47 @@ def test_read_changes_exact_diff_for_rewrite_commits(spark, tmp_path):
         (3, "delete", 1, 10),
         (3, "insert", 1, -1),
     ]
+
+
+# -------------------------------------------- dynamic partition overwrite
+
+
+def test_overwrite_partitions_dynamic(spark, tmp_path):
+    """Dynamic overwrite replaces exactly the partitions present in
+    df — discovered from the frame, never named by hand."""
+    d = str(tmp_path / "t")
+    df = spark.range(0, 90).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        (F.col("id") % 3).cast("string").alias("p"),
+    )
+    atomic_publish(df, d, partition_by=["p"])
+    fresh = spark.createDataFrame(
+        [(1000, 1, "0"), (1001, 2, "2")], "k long, v long, p string"
+    )
+    ver = P.overwrite_partitions_publish(fresh, d)
+    assert ver == 2
+    out = read_published(spark, d)
+    assert out.where("p = '1'").count() == 30         # untouched
+    assert out.where("p = '0'").count() == 1          # replaced
+    assert out.where("p = '2'").count() == 1
+    assert {r.k for r in out.where("p = '0'").collect()} == {1000}
+    man = P._read_manifest(d, _fs())
+    assert man["operation"] == "overwrite_partitions"
+
+
+def test_overwrite_partitions_empty_df_noop(spark, tmp_path):
+    d = str(tmp_path / "t")
+    df = spark.range(0, 9).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("p")
+    )
+    atomic_publish(df, d, partition_by=["p"])
+    empty = spark.createDataFrame([], "k long, p string")
+    assert P.overwrite_partitions_publish(empty, d) is None
+    assert P.current_version(d, spark=spark) == 1
+
+
+def test_overwrite_partitions_requires_partitioned(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 10).coalesce(1), d)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        P.overwrite_partitions_publish(_rows(spark, 0, 5), d)
