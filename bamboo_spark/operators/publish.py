@@ -1494,6 +1494,29 @@ def _enrich_seg(
         )
 
 
+def _index_defaults(prev, stats_cols, bloom_cols, schema_json=None):
+    """Resolve a write's index columns: explicit args always win;
+    otherwise the table's persisted index spec (``index_cols`` — set by
+    :func:`set_index_columns` or the creating ``atomic_publish``)
+    applies, so EVERY write flavor — micro-batch appends, merges,
+    updates, compactions — indexes its new files without the caller
+    remembering to pass ``stats_cols``/``bloom_cols`` each time (a
+    forgotten arg at 100 TB = unindexed files = degraded point
+    lookups forever). Defaulted columns are intersected with the write
+    schema so a later rename/drop never breaks writes; the surviving
+    columns keep indexing."""
+    ic = (prev or {}).get("index_cols") or {}
+    sc = stats_cols if stats_cols is not None else ic.get("stats")
+    bc = bloom_cols if bloom_cols is not None else ic.get("bloom")
+    if schema_json and (stats_cols is None or bloom_cols is None):
+        names = {f["name"] for f in json.loads(schema_json)["fields"]}
+        if stats_cols is None and sc:
+            sc = [c for c in sc if c in names]
+        if bloom_cols is None and bc:
+            bc = [c for c in bc if c in names]
+    return sc, bc
+
+
 def _segments_of(fs, table_dir: str, prev: dict):
     """``(segments, removed)`` base for building the next snapshot on
     top of ``prev``. A legacy inline entry is MIGRATED once: its live
@@ -1614,7 +1637,13 @@ def atomic_publish(
         seg_data = {"files": files, "file_sizes": file_sizes}
         # WRITE-TIME indexes: distributed jobs over the files this
         # publish just produced — every backend; skip=/skip_eq= prune
-        # from the first read
+        # from the first read. Explicit cols on a full publish DEFINE
+        # the table's index spec (persisted; every later write flavor
+        # defaults to it); absent args inherit the previous spec.
+        explicit = stats_cols is not None or bloom_cols is not None
+        stats_cols, bloom_cols = _index_defaults(
+            prev, stats_cols, bloom_cols, df.schema.json()
+        )
         _enrich_seg(
             df.sparkSession, fs, table_dir, files, seg_data,
             stats_cols, bloom_cols, df.schema.json(),
@@ -1639,6 +1668,11 @@ def atomic_publish(
             "schema_evolved": False,
             "retired_names": [],
         }
+        if explicit:
+            entry["index_cols"] = {
+                "stats": list(stats_cols or []),
+                "bloom": list(bloom_cols or []),
+            }
         if not data_change:
             # pure-rewrite marker (Delta's dataChange=false): this
             # commit re-cites existing ROWS in new files; incremental
@@ -1797,7 +1831,7 @@ def _commit(
     # which reset it — a rewrite leaves nothing to resurrect)
     for k in (
         "field_ids", "next_field_id", "schema_evolved", "retired_names",
-        "constraints", "tags",
+        "constraints", "tags", "index_cols",
     ):
         if entry.get(k) is None and prev and prev.get(k) is not None:
             entry[k] = prev[k]
@@ -2015,9 +2049,12 @@ def append_publish(
                 nxt += 1
         if new_files:
             seg_data = {"files": new_files, "file_sizes": new_sizes}
+            sc, bc = _index_defaults(
+                prev, stats_cols, bloom_cols, schema_json
+            )
             _enrich_seg(
                 df.sparkSession, fs, table_dir, new_files, seg_data,
-                stats_cols, bloom_cols, schema_json,
+                sc, bc, schema_json,
             )
             _stamp_fields(seg_data, fids)
             _write_seg(fs, table_dir, seg, seg_data)
@@ -2290,9 +2327,12 @@ def replace_partitions_publish(
         new_files, new_sizes = _scan_written(fs, vdir, seg)
         if new_files:
             seg_data = {"files": new_files, "file_sizes": new_sizes}
+            sc, bc = _index_defaults(
+                prev, stats_cols, bloom_cols, prev["schema"]
+            )
             _enrich_seg(
                 df.sparkSession, fs, table_dir, new_files, seg_data,
-                stats_cols, bloom_cols, prev["schema"],
+                sc, bc, prev["schema"],
             )
             _stamp_fields(seg_data, _field_ids_of(prev)[0])
             _write_seg(fs, table_dir, seg, seg_data)
@@ -3272,6 +3312,59 @@ def add_constraint(
     )
 
 
+def set_index_columns(
+    table_dir: str,
+    stats_cols=None,
+    bloom_cols=None,
+    spark: Optional[SparkSession] = None,
+    lease_ttl_ms: int = 300_000,
+) -> int:
+    """Persist the table's INDEX SPEC — the columns every subsequent
+    write of ANY flavor (append, merge, update, replaceWhere, compact,
+    clustered publish) records per-file min/max stats and equality
+    blooms for, without each caller passing ``stats_cols``/
+    ``bloom_cols`` (Delta's dataSkippingStatsColumns as a table
+    property). One forgotten arg on a micro-batch ingest means
+    unindexed files and degraded point lookups forever — the spec
+    makes write-time indexing a TABLE property, not a caller habit.
+    ``None`` leaves a side unchanged; ``[]`` clears it. Explicit args
+    on a write still override for that write. Columns must exist in
+    the current schema; after a rename/drop, defaulted columns no
+    longer present simply stop indexing (writes never break).
+
+    Metadata-only commit; run :func:`collect_file_stats` /
+    :func:`collect_file_blooms` to backfill files written before the
+    spec."""
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    fs = _fs_for(table_dir, spark)
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        raise ValueError("set_index_columns: no committed table here")
+    names = {
+        f["name"] for f in json.loads(manifest["schema"])["fields"]
+    }
+    for side, cols in (("stats_cols", stats_cols), ("bloom_cols", bloom_cols)):
+        unknown = sorted(set(cols or []) - names)
+        if unknown:
+            raise ValueError(
+                "set_index_columns: %s names unknown column(s) %s "
+                "(schema: %s)" % (side, unknown, sorted(names))
+            )
+
+    def _mutate(fresh: dict) -> dict:
+        cur = dict(fresh.get("index_cols") or {})
+        if stats_cols is not None:
+            cur["stats"] = list(stats_cols)
+        if bloom_cols is not None:
+            cur["bloom"] = list(bloom_cols)
+        return {"index_cols": cur}
+
+    return _metadata_commit(
+        table_dir, spark, lease_ttl_ms, "set_index_columns", _mutate
+    )
+
+
 def drop_constraint(
     table_dir: str,
     name: str,
@@ -3525,7 +3618,7 @@ def clone_table(
         # reads resolve renamed/dropped columns exactly as the source's
         for k in (
             "field_ids", "next_field_id", "schema_evolved",
-            "retired_names", "constraints",
+            "retired_names", "constraints", "index_cols",
         ):
             if entry.get(k) is not None:
                 new_entry[k] = entry[k]
@@ -5223,9 +5316,12 @@ def _mor_commit(
         )
         if new_files:
             seg_data = {"files": new_files, "file_sizes": new_sizes}
+            sc, bc = _index_defaults(
+                manifest, stats_cols, bloom_cols, schema_json
+            )
             _enrich_seg(
                 spark, fs, table_dir, new_files, seg_data,
-                stats_cols, bloom_cols, schema_json,
+                sc, bc, schema_json,
             )
             _stamp_fields(seg_data, fids)
             _write_seg(fs, table_dir, seg, seg_data)
@@ -6697,9 +6793,12 @@ def replace_files_publish(
         new_files, new_sizes = _scan_written(fs, vdir, seg)
         if new_files:
             seg_data = {"files": new_files, "file_sizes": new_sizes}
+            sc, bc = _index_defaults(
+                prev, stats_cols, bloom_cols, prev["schema"]
+            )
             _enrich_seg(
                 df.sparkSession, fs, table_dir, new_files, seg_data,
-                stats_cols, bloom_cols, prev["schema"],
+                sc, bc, prev["schema"],
             )
             _stamp_fields(seg_data, _field_ids_of(prev)[0])
             _write_seg(fs, table_dir, seg, seg_data)

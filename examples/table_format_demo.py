@@ -200,5 +200,76 @@ def main() -> None:
     )
 
 
+def round12_surface() -> None:
+    """Round-12 additions: row-level UPDATE (MOR + CoW), replaceWhere
+    backfills, dynamic partition overwrite, incremental small-file
+    bin-packing, the persisted index spec, and the fsck audit."""
+    import tempfile
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from bamboo_spark.operators.publish import (
+        append_publish,
+        atomic_publish,
+        compact_files,
+        delete_publish,
+        fsck_table,
+        overwrite_partitions_publish,
+        read_published,
+        replace_where_publish,
+        set_index_columns,
+        update_publish,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+    )
+    t = tempfile.mkdtemp(prefix="bamboo_r12_demo_") + "/t"
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        (F.col("id") % 7).cast("int").alias("day"),
+    )
+    # explicit cols on the creating publish persist as the INDEX SPEC
+    atomic_publish(df, t, partition_by=["day"], bloom_cols=["k"])
+    set_index_columns(t, stats_cols=["v"], spark=spark)
+
+    # row-level UPDATE: merge-on-read (default) and copy-on-write
+    update_publish(spark, t, "v % 30 = 0", {"v": "v + 1"})
+    update_publish(
+        spark, t, "k < 10", {"v": "-v"}, delete_vectors=False
+    )
+
+    # replaceWhere: recompute one day from source and swap it in
+    day3 = df.where("day = 3").select(
+        "k", (F.col("v") * 2).alias("v"), "day"
+    )
+    replace_where_publish(day3, t, "day = 3")
+
+    # dynamic partition overwrite: partitions discovered from the frame
+    fresh = spark.createDataFrame(
+        [(5000, 1, 5), (5001, 2, 6)], "k long, v long, day int"
+    )
+    overwrite_partitions_publish(fresh, t)
+
+    # dv delete, then fold every small file (dv applied physically)
+    delete_publish(spark, t, "v % 11 = 0", delete_vectors=True)
+    compact_files(spark, t, small_bytes=1 << 30)
+
+    rep = fsck_table(t, spark=spark, check_sizes=True)
+    print(
+        "rows=%d ok=%s files=%d orphans=%d"
+        % (
+            read_published(spark, t).count(),
+            rep["ok"],
+            rep["files_checked"],
+            len(rep["orphan_dirs"]),
+        )
+    )
+
+
 if __name__ == "__main__":
     main()
+    round12_surface()

@@ -1413,3 +1413,97 @@ def test_overwrite_partitions_requires_partitioned(spark, tmp_path):
     atomic_publish(_rows(spark, 0, 10).coalesce(1), d)
     with pytest.raises(ValueError, match="hive-partitioned"):
         P.overwrite_partitions_publish(_rows(spark, 0, 5), d)
+
+
+# ---------------------------------------------------------- index spec
+
+
+def _seg_blooms(d, seg):
+    return P._load_seg(_fs(), d, seg).get("file_blooms") or {}
+
+
+def test_index_spec_from_creating_publish(spark, tmp_path):
+    """Explicit stats/bloom cols on the creating atomic_publish DEFINE
+    the table's index spec: later appends/merges/updates index their
+    new files without passing the args."""
+    d = str(tmp_path / "t")
+    atomic_publish(
+        _rows(spark, 0, 50).coalesce(1), d,
+        stats_cols=["k"], bloom_cols=["k"],
+    )
+    man = P._read_manifest(d, _fs())
+    assert man["index_cols"] == {"stats": ["k"], "bloom": ["k"]}
+    append_publish(_rows(spark, 50, 100).coalesce(1), d)     # no args!
+    assert _seg_blooms(d, "_v2"), "append did not inherit the spec"
+    seg = P._load_seg(_fs(), d, "_v2")
+    assert seg.get("file_stats"), "append did not inherit stats"
+    # MOR update's new files index too
+    P.update_publish(spark, d, "k = 60", {"v": "0"})
+    seg3 = P._load_seg(_fs(), d, "_v3")
+    assert seg3.get("file_blooms")
+    # explicit override still wins per-write
+    append_publish(
+        _rows(spark, 100, 110).coalesce(1), d, bloom_cols=[]
+    )
+    assert not _seg_blooms(d, "_v4")
+
+
+def test_set_index_columns_metadata_commit(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 20).coalesce(1), d)       # no spec
+    append_publish(_rows(spark, 20, 40).coalesce(1), d)
+    assert not _seg_blooms(d, "_v2")
+    ver = P.set_index_columns(d, bloom_cols=["k"], spark=spark)
+    assert ver == 3
+    append_publish(_rows(spark, 40, 60).coalesce(1), d)
+    assert _seg_blooms(d, "_v4")
+    with pytest.raises(ValueError, match="unknown column"):
+        P.set_index_columns(d, bloom_cols=["zz"], spark=spark)
+    # [] clears
+    P.set_index_columns(d, bloom_cols=[], spark=spark)
+    append_publish(_rows(spark, 60, 80).coalesce(1), d)
+    assert not _seg_blooms(d, "_v6")
+
+
+def test_index_spec_survives_compact_and_clone(spark, tmp_path):
+    d = str(tmp_path / "t")
+    c = str(tmp_path / "c")
+    atomic_publish(
+        _rows(spark, 0, 50).coalesce(1), d, bloom_cols=["k"]
+    )
+    compact(spark, d)
+    man = P._read_manifest(d, _fs())
+    assert man["index_cols"]["bloom"] == ["k"]
+    # the compacted files themselves got blooms from the spec
+    seg = P._load_seg(_fs(), d, man["segments"][-1])
+    assert seg.get("file_blooms")
+    P.clone_table(spark, d, c)
+    append_publish(_rows(spark, 50, 60).coalesce(1), c)
+    cman = P._read_manifest(c, _fs())
+    assert cman["index_cols"]["bloom"] == ["k"]
+
+
+def test_index_spec_tolerates_rename(spark, tmp_path):
+    """After renaming an indexed column, defaulted writes simply stop
+    indexing the vanished name — never break."""
+    d = str(tmp_path / "t")
+    atomic_publish(
+        _rows(spark, 0, 20).coalesce(1), d, bloom_cols=["v"]
+    )
+    P.rename_column(d, "v", "amount", spark=spark)
+    ver = append_publish(
+        spark.range(20, 30).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("amount")
+        ).coalesce(1),
+        d,
+    )
+    assert ver == 3                      # write succeeded
+    assert not _seg_blooms(d, "_v3")     # vanished name skipped
+    P.set_index_columns(d, bloom_cols=["amount"], spark=spark)
+    append_publish(
+        spark.range(30, 40).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("amount")
+        ).coalesce(1),
+        d,
+    )
+    assert _seg_blooms(d, "_v5")
