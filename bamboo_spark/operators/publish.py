@@ -4447,6 +4447,7 @@ def vacuum(
     spark: Optional[SparkSession] = None,
     lease_ttl_ms: int = 300_000,
     older_than_ms: Optional[int] = None,
+    dry_run: bool = False,
 ) -> List[str]:
     """Garbage-collect the table: retain the newest ``keep`` SNAPSHOT
     entries (plus the committed one, always), prune the rest from the
@@ -4469,7 +4470,11 @@ def vacuum(
     dirs with a fresh claim are never touched, stale claims (dead
     writers) are reclaimed by age. Safe by construction: readers
     resolve files only through the manifest, so an uncommitted or
-    superseded dir nobody references is garbage."""
+    superseded dir nobody references is garbage.
+
+    ``dry_run=True`` reports the directories this call WOULD remove —
+    history prune simulated, nothing written or deleted — so a
+    retention change can be reviewed before the bytes go."""
     fs = _fs_for(table_dir, spark)
     # the manifest rewrite (history prune) is a table mutation like any
     # other: without the lease, a publish committing between our read
@@ -4502,11 +4507,12 @@ def vacuum(
         }
         if pruned != snaps:
             manifest["snapshots"] = pruned
-            fs.replace_with(
-                json.dumps(manifest),
-                _manifest_path(table_dir, fs),
-                ".tmp.vac",
-            )
+            if not dry_run:
+                fs.replace_with(
+                    json.dumps(manifest),
+                    _manifest_path(table_dir, fs),
+                    ".tmp.vac",
+                )
         # reference set AFTER pruning: every dir a retained snapshot
         # (incl. the committed one) cites a data file or its delete-
         # vector file in must survive
@@ -4555,8 +4561,9 @@ def vacuum(
                 continue  # a retained snapshot still cites files here
             if _claim_fresh(name):
                 continue  # in-flight optimistic writer staging here
-            fs.rmtree(fs.join(table_dir, name))
-            fs.delete_file(fs.join(table_dir, name + ".claim"))
+            if not dry_run:
+                fs.rmtree(fs.join(table_dir, name))
+                fs.delete_file(fs.join(table_dir, name + ".claim"))
             removed.append(name)
         # orphan claim markers (claimed, crashed before writing a dir):
         # reclaim on AGE — dir names are decoupled from snapshot
@@ -4576,7 +4583,8 @@ def vacuum(
                 and e[:-6] not in dirs_now
                 and not _claim_fresh(e[:-6])
             ):
-                fs.delete_file(fs.join(table_dir, e))
+                if not dry_run:
+                    fs.delete_file(fs.join(table_dir, e))
         return removed
 
 

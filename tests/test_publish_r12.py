@@ -1507,3 +1507,23 @@ def test_index_spec_tolerates_rename(spark, tmp_path):
         d,
     )
     assert _seg_blooms(d, "_v5")
+
+
+# ------------------------------------------------------------- vacuum dry-run
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 10).coalesce(1), d)       # v1
+    atomic_publish(_rows(spark, 0, 20).coalesce(1), d)       # v2 (v1 garbage-able)
+    atomic_publish(_rows(spark, 0, 30).coalesce(1), d)       # v3
+    before = sorted(x.name for x in Path(d).iterdir())
+    would = P.vacuum(d, keep=1, spark=spark, dry_run=True)
+    assert would == ["_v1", "_v2"]
+    # nothing moved: dirs intact, history intact, old version readable
+    assert sorted(x.name for x in Path(d).iterdir()) == before
+    assert len(P.snapshots(d, spark)) == 3
+    assert read_published(spark, d, version=1).count() == 10
+    # the real vacuum then removes exactly what the dry run reported
+    assert P.vacuum(d, keep=1, spark=spark) == would
+    assert not (Path(d) / "_v1").exists()
