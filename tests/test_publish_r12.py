@@ -1527,3 +1527,78 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
     # the real vacuum then removes exactly what the dry run reported
     assert P.vacuum(d, keep=1, spark=spark) == would
     assert not (Path(d) / "_v1").exists()
+
+
+def test_replace_where_overlap_serializes_by_rerun(
+    spark, tmp_path, monkeypatch
+):
+    """Two replaceWheres on the SAME slice: the loser's commit-time
+    still-live check fails, the bounded re-run recomputes against the
+    winner's snapshot, and the slice ends as the loser's df wholesale —
+    serialized overwrite semantics, never a merge of both."""
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 100).coalesce(1), d)
+    import bamboo_spark.operators.publish as Pm
+    orig_scan = Pm._scan_written
+    state = {"raced": False}
+
+    def racing_scan(*a, **kw):
+        out = orig_scan(*a, **kw)
+        if not state["raced"]:
+            state["raced"] = True
+            racer = spark.createDataFrame(
+                [(0, 111)], "k long, v long"
+            )
+            P.replace_where_publish(racer, d, "k < 50")
+        return out
+
+    monkeypatch.setattr(Pm, "_scan_written", racing_scan)
+    victim = spark.createDataFrame(
+        [(1, 222), (2, 223)], "k long, v long"
+    )
+    ver = P.replace_where_publish(victim, d, "k < 50")
+    monkeypatch.undo()
+    assert state["raced"] and ver == 3  # v2 racer, v3 victim re-run
+    got = {r.k: r.v for r in read_published(spark, d).collect()}
+    # victim's re-run replaced the slice the racer had just written
+    assert got == {
+        **{1: 222, 2: 223},
+        **{k: k * 10 for k in range(50, 100)},
+    }
+
+
+def test_overwrite_partitions_racing_append_same_partition_raises(
+    spark, tmp_path, monkeypatch
+):
+    """Dynamic overwrite racing an append INTO a replaced partition
+    must raise (the disjointness check) — the appended rows can never
+    be silently dropped by the overwrite."""
+    d = str(tmp_path / "t")
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("p")
+    )
+    atomic_publish(df, d, partition_by=["p"])
+    import bamboo_spark.operators.publish as Pm
+    orig_scan = Pm._scan_written
+    state = {"raced": False}
+
+    def racing_scan(*a, **kw):
+        out = orig_scan(*a, **kw)
+        if not state["raced"]:
+            state["raced"] = True
+            append_publish(
+                spark.createDataFrame([(900, "0")], "k long, p string"),
+                d,
+            )
+        return out
+
+    monkeypatch.setattr(Pm, "_scan_written", racing_scan)
+    fresh = spark.createDataFrame([(100, "0")], "k long, p string")
+    with pytest.raises(P.ConcurrentWriteError):
+        P.overwrite_partitions_publish(fresh, d)
+    monkeypatch.undo()
+    # the racer's append survived; the overwrite left no trace
+    got = read_published(spark, d)
+    assert got.where("k = 900").count() == 1
+    assert got.where("k = 100").count() == 0
+    assert got.count() == 31
