@@ -1588,6 +1588,7 @@ def atomic_publish(
     _lease: Optional[_Lease] = None,
     data_change: bool = True,
     operation: str = "overwrite",
+    _set_index_spec: bool = True,
 ) -> int:
     """Write ``df`` as the table's next snapshot and commit it
     atomically. Returns the committed version number. The manifest row
@@ -1640,7 +1641,9 @@ def atomic_publish(
         # from the first read. Explicit cols on a full publish DEFINE
         # the table's index spec (persisted; every later write flavor
         # defaults to it); absent args inherit the previous spec.
-        explicit = stats_cols is not None or bloom_cols is not None
+        explicit = _set_index_spec and (
+            stats_cols is not None or bloom_cols is not None
+        )
         stats_cols, bloom_cols = _index_defaults(
             prev, stats_cols, bloom_cols, df.schema.json()
         )
@@ -2202,8 +2205,32 @@ def overwrite_partitions_publish(
             "overwrite_partitions_publish needs a hive-partitioned "
             "table (this one has no partition_by)"
         )
+    if len(parts) > 1:
+        # replacing by parts[0] on a multi-column layout would drop
+        # SIBLING sub-partitions df doesn't carry (df holds (d=5,h=3);
+        # replacing all of d=5 erases h!=3) — Spark's dynamic mode
+        # replaces exact combos; until the underlying replace is
+        # combo-granular, refuse rather than silently lose rows
+        raise ValueError(
+            "overwrite_partitions_publish supports single-column hive "
+            "layouts (this table partitions by %s) — use "
+            "replace_where_publish with an exact multi-column "
+            "condition instead" % (parts,)
+        )
     pc = partition_col or parts[0]
     values = [r[0] for r in df.select(pc).distinct().collect()]
+    if any(v is None for v in values):
+        # a NULL partition value stringifies to "None", never matching
+        # the hive __HIVE_DEFAULT_PARTITION__ path — the old null
+        # partition would carry by reference NEXT TO df's new null
+        # rows (duplicates). Refuse until null-partition replace is
+        # path-exact.
+        raise ValueError(
+            "overwrite_partitions_publish: df carries NULL values in "
+            "partition column %r — null partitions cannot be replaced "
+            "dynamically; use replace_where_publish(condition=\"%s is "
+            "null\")" % (pc, pc)
+        )
     if not values:
         return None
     return replace_partitions_publish(
@@ -4592,6 +4619,7 @@ def fsck_table(
     table_dir: str,
     spark: Optional[SparkSession] = None,
     check_sizes: bool = False,
+    lease_ttl_ms: int = 300_000,
 ) -> dict:
     """Read-only CONSISTENCY AUDIT of a published table — the
     operational "is this table healthy" primitive (Delta FSCK's
@@ -4615,6 +4643,11 @@ def fsck_table(
     against the recorded ``file_sizes`` (catches silent truncation/
     overwrite outside the commit protocol) — O(files) stat calls,
     driver-side metadata only, no data IO either way.
+
+    ``lease_ttl_ms`` must match the longest TTL your writers run with
+    (same default as every publish) — a claim younger than it is
+    classified in-flight, older is orphan; auditing with a smaller TTL
+    than a live long-rewrite writer's would mislabel its staging dir.
 
     Scale: the walk touches manifests and sidecars, never data pages;
     a 100 TB table audits in O(snapshots × files) stats."""
@@ -4722,7 +4755,6 @@ def fsck_table(
                         report["missing_dv"].append(
                             {"snapshot": int(v), "file": f, "ds": ds}
                         )
-    lease_ttl_ms = 300_000
     dirs = sorted(
         d
         for d in fs.listdir(table_dir)
@@ -5846,6 +5878,17 @@ def compact_partitions(
     )
 
 
+def _keep_pred(condition: str) -> str:
+    """Keep-side predicate for a row-matching ``condition`` under SQL
+    three-valued logic: only rows where the condition is TRUE leave;
+    NULL and FALSE rows STAY. A bare ``NOT (cond)`` evaluates NULL for
+    NULL-condition rows and Spark's filter drops them — a delete/
+    replace would silently erase rows that never matched (and whether
+    a NULL row died would depend on which FILE it shared with real
+    matches: data-dependent wrongness)."""
+    return "not coalesce(cast((%s) as boolean), false)" % condition
+
+
 def delete_publish(
     spark: SparkSession,
     table_dir: str,
@@ -5955,7 +5998,7 @@ def delete_publish(
         kept = _read_files(
             spark, fs, table_dir, matched, manifest["schema"],
             bool(parts), dv=dv0, evo=_evo_of(manifest, res),
-        ).where("not (%s)" % condition)
+        ).where(_keep_pred(condition))
         return replace_files_publish(
             kept, table_dir, matched, lease_ttl_ms=lease_ttl_ms,
             bloom_cols=list(point), _base=manifest,
@@ -5965,7 +6008,7 @@ def delete_publish(
         # so it holds the lease across read+republish like compact()
         with _Lease(fs, table_dir, ttl_ms=lease_ttl_ms) as lease:
             cur = read_published(spark, table_dir)
-            kept = cur.where("not (%s)" % condition)
+            kept = cur.where(_keep_pred(condition))
             # commit only if something matched: one count, small side
             n_del = cur.where(condition).count()
             if n_del == 0:
@@ -5986,7 +6029,7 @@ def delete_publish(
     if not touched:
         return None
     kept_touched = cur.where(F.col(pc).isin(touched)).where(
-        "not (%s)" % condition
+        _keep_pred(condition)
     )
     return replace_partitions_publish(
         kept_touched, table_dir, values=touched, partition_col=pc,
@@ -6197,7 +6240,7 @@ def replace_where_publish(
     manifest = _read_manifest(table_dir, fs)
     if manifest is None:
         raise ValueError("replace_where_publish: no committed table here")
-    stray = df.where("not (%s)" % condition).limit(1).collect()
+    stray = df.where(_keep_pred(condition)).limit(1).collect()
     if stray:
         raise ValueError(
             "replace_where_publish: df contains row(s) outside the "
@@ -6243,7 +6286,7 @@ def replace_where_publish(
             kept = _read_files(
                 spark, fs, table_dir, mfiles, manifest["schema"],
                 bool(parts), dv=dv0, evo=_evo_of(manifest, res),
-            ).where("not (%s)" % condition)
+            ).where(_keep_pred(condition))
             return replace_files_publish(
                 kept.unionByName(aligned), table_dir, mfiles,
                 lease_ttl_ms=lease_ttl_ms, stats_cols=stats_cols,
@@ -6929,7 +6972,7 @@ def publish_clustered(
     ).sortWithinPartitions(*exprs)
     return atomic_publish(
         out, table_dir, partition_by=partition_by, stats_cols=cols,
-        operation="cluster",
+        operation="cluster", _set_index_spec=False,
     )
 
 

@@ -31,8 +31,18 @@ exchange. Working files are fresh ``tempfile`` paths per invocation
 
 from __future__ import annotations
 
+import os
 import struct
 import tempfile
+
+
+def _fixture_path(suffix: str) -> str:
+    """Race-free scratch path for a roundtrip fixture: a fresh private
+    mkdtemp (same /tmp lifecycle as the table_q lifecycle queries) —
+    tempfile.mktemp is deprecated and TOCTOU-racy."""
+    return os.path.join(
+        tempfile.mkdtemp(prefix="bamboo_src_"), "fixture" + suffix
+    )
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -106,7 +116,7 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         for r in rows
     ]
-    path = tempfile.mktemp(prefix="bamboo_src_", suffix=".avro")
+    path = _fixture_path(".avro")
     write_container(path, schema, records, codec="deflate")
     ds = from_avro(
         path, include=["k", "status", "price", "prio"], spark=spark
@@ -209,7 +219,7 @@ def source_pbd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             rec += _ld(4, r.prio.encode())
         rec += _ld(5, b"\xff\xfe\xff")  # invalid UTF-8: must be skipped
         records.append(rec)
-    path = tempfile.mktemp(prefix="bamboo_src_", suffix=".pbd")
+    path = _fixture_path(".pbd")
     with open(path, "wb") as fh:
         fh.write(_pbd_container(bytes(desc), "t.Order", records))
     ds = from_pbd(path, exclude=["junk"], spark=spark)

@@ -159,7 +159,14 @@ def _ref_positions(ref) -> Optional[set]:
         if tbl.num_rows == 0:
             return set()
         chunks = np.asarray(tbl["_dv_chunk"].to_pylist(), dtype=np.int64)
-        words = np.asarray(tbl["_dv_bits"].to_pylist(), dtype=np.uint64)
+        # the sidecar stores 64-bit words as SIGNED longs (Spark has no
+        # uint64): a position with p % 64 == 63 packs as a NEGATIVE
+        # long, and a direct negative->uint64 asarray is deprecated on
+        # NumPy 1.x and an OverflowError on NumPy 2.x — go through
+        # int64 and reinterpret the bits
+        words = np.asarray(
+            tbl["_dv_bits"].to_pylist(), dtype=np.int64
+        ).view(np.uint64)
         ci, wi, bi = np.nonzero(
             ((words[:, :, None] >> np.arange(64, dtype=np.uint64)) & 1)
             .astype(bool)

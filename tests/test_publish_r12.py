@@ -1602,3 +1602,103 @@ def test_overwrite_partitions_racing_append_same_partition_raises(
     assert got.where("k = 900").count() == 1
     assert got.where("k = 100").count() == 0
     assert got.count() == 31
+
+
+# --------------------------------------------- review fixes (round 12)
+
+
+def test_delete_and_replace_keep_null_condition_rows(spark, tmp_path):
+    """SQL three-valued logic: a row whose condition evaluates NULL
+    does NOT match — it must survive a CoW delete/replace exactly as it
+    survives the dv path (a bare NOT(cond) filter would silently drop
+    it when it shares a file with real matches)."""
+    d = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30), (4, None)], "k long, v long"
+    )
+    atomic_publish(df.coalesce(1), d)
+    # unpartitioned CoW delete: v=30 goes, NULL-v rows stay
+    delete_publish(spark, d, "v = 30")
+    got = {r.k for r in read_published(spark, d).collect()}
+    assert got == {1, 2, 4}
+    # replaceWhere: NULL-v rows share the file with the v=10 match
+    repl = spark.createDataFrame([(9, 10)], "k long, v long")
+    P.replace_where_publish(repl, d, "v = 10")
+    got = {r.k for r in read_published(spark, d).collect()}
+    assert got == {9, 2, 4}
+
+
+def test_delete_point_path_keeps_null_condition_rows(spark, tmp_path):
+    d = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "k long, v long"
+    )
+    atomic_publish(df.coalesce(1), d, bloom_cols=["v"])
+    delete_publish(spark, d, "v = 10", point={"v": 10})
+    got = {r.k for r in read_published(spark, d).collect()}
+    assert got == {2, 3}
+
+
+def test_replace_where_flags_null_condition_df_rows_as_stray(
+    spark, tmp_path
+):
+    """A df row whose condition evaluates NULL does not SATISFY the
+    slice — it must be rejected, not written outside the guard."""
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 10).coalesce(1), d)
+    bad = spark.createDataFrame([(1, None)], "k long, v long")
+    with pytest.raises(ValueError, match="outside the condition"):
+        P.replace_where_publish(bad, d, "v = 10")
+
+
+def test_overwrite_partitions_refuses_multi_column_layout(
+    spark, tmp_path
+):
+    """Dynamic overwrite by parts[0] on a multi-column layout would
+    erase sibling sub-partitions df doesn't carry — refused."""
+    d = str(tmp_path / "t")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("d"),
+        (F.col("id") % 4).cast("string").alias("h"),
+    )
+    atomic_publish(df, d, partition_by=["d", "h"])
+    fresh = spark.createDataFrame(
+        [(100, "0", "0")], "k long, d string, h string"
+    )
+    with pytest.raises(ValueError, match="single-column"):
+        P.overwrite_partitions_publish(fresh, d)
+    assert P.published_rows(d, spark=spark) == 40  # untouched
+
+
+def test_overwrite_partitions_refuses_null_partition_values(
+    spark, tmp_path
+):
+    d = str(tmp_path / "t")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("p")
+    )
+    atomic_publish(df, d, partition_by=["p"])
+    withnull = spark.createDataFrame(
+        [(100, None)], "k long, p string"
+    )
+    with pytest.raises(ValueError, match="NULL values in"):
+        P.overwrite_partitions_publish(withnull, d)
+
+
+def test_publish_clustered_does_not_clobber_index_spec(spark, tmp_path):
+    """publish_clustered's internal stats_cols are a write detail —
+    the table's persisted index spec must survive it."""
+    d = str(tmp_path / "t")
+    atomic_publish(
+        _rows(spark, 0, 50).coalesce(1), d,
+        stats_cols=["k"], bloom_cols=["k"],
+    )
+    P.publish_clustered(
+        read_published(spark, d), d, cluster_by=["v"]
+    )
+    man = P._read_manifest(d, _fs())
+    assert man["index_cols"] == {"stats": ["k"], "bloom": ["k"]}
+    # and the next bare append still blooms on k per the spec
+    append_publish(_rows(spark, 50, 60).coalesce(1), d)
+    assert P._load_seg(_fs(), d, "_v3").get("file_blooms")
