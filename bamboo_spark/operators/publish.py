@@ -6232,7 +6232,9 @@ def replace_where_publish(
 
     Scale: O(matched files) rewritten + O(df); the discovery scan is
     predicate-pushed, so a ``condition`` on a partition or clustered
-    column scans only its slice."""
+    column scans only its slice. ``df`` is evaluated once for the
+    out-of-slice guard and once per attempt for the write — persist or
+    localCheckpoint an expensive recompute before passing it in."""
     from pyspark.sql import functions as F
 
     spark = df.sparkSession

@@ -1,11 +1,15 @@
-"""Round-12 ADVICE fixes: exact streaming-CDF column resolution across
-rename-then-compact histories (mirroring read_changes' walked-entry
-evolution detection + field-id continuity refusal), routine reclaim of
-a lost dv-delete race's staging artifacts, and in-lease resolution of
-``tag_version(version=None)``.
+"""Round-12 table-format suite: the r11 ADVICE fixes (CDF resolution
+across rename-then-compact, dv race staging reclaim, in-lease
+tag_version default), type widening, partition-spec evolution, the
+merge x dv race matrix, bitmap dv sidecars — plus this round's new
+write surface and its contracts: update_publish (MOR + CoW),
+replace_where_publish, overwrite_partitions_publish, compact_files,
+fsck_table, vacuum dry-run, the persisted index spec, NULL-condition
+three-valued-logic semantics, and staging reclaim on every lost
+optimistic race.
 
 Reference parity: the reference (mvilim/bamboo) has no table format;
-this suite pins the Delta-CDF-style contracts re-expressed Spark-first.
+this suite pins the Delta-style contracts re-expressed Spark-first.
 """
 
 import threading
