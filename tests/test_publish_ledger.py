@@ -454,3 +454,112 @@ def test_random_dv_evolution_walk_with_cdf_conservation(
             base[key] -= 1
     base = Counter({k: c for k, c in base.items() if c})
     assert base == model(), "CDF conservation broke"
+
+
+@pytest.mark.parametrize("seed,partitioned", [(11, True), (42, False)])
+def test_random_update_replace_walk_ledger_exact(
+    spark, tmp_path, seed, partitioned
+):
+    """Round-12 writers in the seeded ledger walk: MOR/CoW UPDATE,
+    replaceWhere, dynamic partition overwrite, and small-file
+    bin-packing interleave with appends and dv deletes; after every
+    commit the snapshot must read back exactly the Python model's
+    multiset, n_rows must agree, and fsck must stay healthy."""
+    from bamboo_spark.operators.publish import (
+        compact_files,
+        fsck_table,
+        overwrite_partitions_publish,
+        replace_where_publish,
+        update_publish,
+    )
+
+    rng = random.Random(seed)
+    t = str(tmp_path / "tbl")
+    nxt = [0]
+
+    def fresh_rows(n, key=None):
+        out = [
+            (key or rng.choice(KEYS), nxt[0] + i) for i in range(n)
+        ]
+        nxt[0] += n
+        return out
+
+    rows = fresh_rows(8)
+    atomic_publish(
+        _df(spark, rows), t, partition_by="k" if partitioned else None
+    )
+    expected = Counter(rows)
+
+    def check(tag):
+        got = _read_multiset(spark, t)
+        assert got == expected, (tag, got, expected)
+        assert published_rows(t) == sum(expected.values()), tag
+
+    check("init")
+    ops = [
+        "append", "dv_delete", "update_mor", "update_cow",
+        "replace_where", "compact_files",
+    ]
+    if partitioned:
+        ops.append("overwrite_partition")
+    for step in range(12):
+        op = rng.choice(ops)
+        if op == "append":
+            rows = fresh_rows(rng.randint(1, 4))
+            append_publish(_df(spark, rows).coalesce(1), t)
+            expected.update(rows)
+        elif op == "dv_delete":
+            live = [kv for kv, c in expected.items() if c > 0]
+            if not live:
+                continue
+            k, v = rng.choice(live)
+            delete_publish(spark, t, "v = %d" % v, delete_vectors=True)
+            del expected[(k, v)]
+        elif op in ("update_mor", "update_cow"):
+            live = [kv for kv, c in expected.items() if c > 0]
+            if not live:
+                continue
+            k, v = rng.choice(live)
+            off = 10_000_000 + step  # collision-free shift
+            got = update_publish(
+                spark, t, "v = %d" % v, {"v": "v + %d" % off},
+                delete_vectors=(op == "update_mor"),
+            )
+            assert got is not None
+            expected[(k, v)] -= 1
+            if not expected[(k, v)]:
+                del expected[(k, v)]
+            expected[(k, v + off)] += 1
+        elif op == "replace_where":
+            key = rng.choice(KEYS)
+            rows = fresh_rows(rng.randint(1, 3), key=key)
+            replace_where_publish(
+                _df(spark, rows).coalesce(1), t, "k = '%s'" % key
+            )
+            expected = Counter(
+                {kv: c for kv, c in expected.items() if kv[0] != key}
+            )
+            expected.update(rows)
+        elif op == "compact_files":
+            compact_files(spark, t, small_bytes=1 << 30)
+        elif op == "overwrite_partition":
+            key = rng.choice(KEYS)
+            rows = fresh_rows(rng.randint(1, 3), key=key)
+            got = overwrite_partitions_publish(
+                _df(spark, rows).coalesce(1), t
+            )
+            assert got is not None
+            expected = Counter(
+                {kv: c for kv, c in expected.items() if kv[0] != key}
+            )
+            expected.update(rows)
+        check("step %d %s" % (step, op))
+        if rng.random() < 0.2:
+            rep = fsck_table(t, spark=spark, check_sizes=True)
+            assert rep["ok"], ("fsck step %d" % step, rep)
+    compact(spark, t)
+    check("final compact")
+    vacuum(t, keep=1)
+    check("final vacuum")
+    rep = fsck_table(t, spark=spark)
+    assert rep["ok"] and not rep["orphan_dirs"], rep
