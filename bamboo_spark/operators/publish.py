@@ -2176,6 +2176,7 @@ def overwrite_partitions_publish(
     lease_ttl_ms: int = 300_000,
     stats_cols=None,
     bloom_cols=None,
+    meta: Optional[dict] = None,
 ) -> Optional[int]:
     """DYNAMIC partition overwrite — Spark's
     ``partitionOverwriteMode=dynamic`` with snapshot isolation: replace
@@ -2237,7 +2238,7 @@ def overwrite_partitions_publish(
         df, table_dir, values=values, partition_col=pc,
         lease_ttl_ms=lease_ttl_ms, stats_cols=stats_cols,
         bloom_cols=bloom_cols, _base=manifest,
-        operation="overwrite_partitions",
+        operation="overwrite_partitions", meta=meta,
     )
 
 
@@ -2253,6 +2254,7 @@ def replace_partitions_publish(
     _base: Optional[dict] = None,
     data_change: bool = True,
     operation: str = "replace_partitions",
+    meta: Optional[dict] = None,
 ) -> int:
     """Partial-rewrite snapshot (dynamic partition overwrite with
     snapshot isolation): the next version rewrites ONLY the hive
@@ -2447,6 +2449,8 @@ def replace_partitions_publish(
             }
             if not data_change:
                 entry["data_change"] = False
+            if meta:
+                entry["meta"] = dict(meta)
             version = int(prev["version"]) + 1
             _commit(fs, table_dir, prev, version, entry, lease=lease)
             # commit done: the staging dir now exists and is referenced,

@@ -2108,6 +2108,15 @@ def publish_stream(
     O(batch), with ``compact()`` folding the vectors on a schedule.
     The same batch-id high-water mark makes replays exact no-ops.
 
+    ``mode='overwrite_partitions'`` is the IDEMPOTENT-RECOMPUTE sink:
+    each batch dynamically REPLACES exactly the hive partitions it
+    carries (:func:`~bamboo_spark.operators.publish.
+    overwrite_partitions_publish`) — the windowed-aggregation-stream
+    shape where every batch re-emits the complete current state of the
+    days it touched; the first batch seeds the partitioned table, and
+    a replayed batch re-replaces identically (idempotent even without
+    the HWM, exact with it). Requires ``partition_by``.
+
     ``mode='merge_into'`` is the PREDICATE-merge sink: each batch runs
     :func:`~bamboo_spark.operators.publish.merge_into` with
     ``merge_args`` (the when-matched/not-matched clauses, verbatim) —
@@ -2125,13 +2134,23 @@ def publish_stream(
         atomic_publish,
         merge_into,
         merge_publish_incremental,
+        overwrite_partitions_publish,
         table_meta,
     )
 
-    if mode not in ("append", "snapshot", "merge", "merge_into"):
+    if mode not in (
+        "append", "snapshot", "merge", "merge_into",
+        "overwrite_partitions",
+    ):
         raise ValueError(
             "publish_stream: mode must be append|snapshot|merge|"
-            "merge_into"
+            "merge_into|overwrite_partitions"
+        )
+    if mode == "overwrite_partitions" and not partition_by:
+        raise ValueError(
+            "publish_stream(mode='overwrite_partitions') needs "
+            "partition_by (the single hive column each batch replaces "
+            "values of)"
         )
     if mode in ("merge", "merge_into") and not key_cols:
         raise ValueError(
@@ -2162,6 +2181,24 @@ def publish_stream(
                 stats_cols=stats_cols, bloom_cols=bloom_cols,
                 **(merge_args or {}),
             )
+        elif mode == "overwrite_partitions":
+            # idempotent streaming recompute: each batch REPLACES the
+            # partitions it carries (a windowed aggregation stream in
+            # update mode rewriting affected days) — the first batch
+            # seeds the partitioned table
+            try:
+                overwrite_partitions_publish(
+                    batch_df, table_dir, meta=meta,
+                    stats_cols=stats_cols, bloom_cols=bloom_cols,
+                )
+            except ValueError as e:
+                if "no committed table" not in str(e):
+                    raise
+                atomic_publish(
+                    batch_df, table_dir, partition_by=partition_by,
+                    meta=meta, stats_cols=stats_cols,
+                    bloom_cols=bloom_cols,
+                )
         elif mode == "append":
             append_publish(
                 batch_df, table_dir, partition_by=partition_by, meta=meta,

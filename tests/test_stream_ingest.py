@@ -397,3 +397,73 @@ def test_publish_stream_write_time_indexes(spark, tmp_path):
     after = set(live_files(t, spark))
     assert 1 <= len(before - after) <= 2  # only matching file(s) rewritten
     assert read_published(spark, t).count() == 1599
+
+
+def test_publish_stream_overwrite_partitions_mode(spark, tmp_path):
+    """mode='overwrite_partitions': each micro-batch REPLACES exactly
+    the hive partitions it carries (idempotent streaming recompute —
+    a windowed aggregation stream rewriting affected days); the first
+    batch seeds the partitioned table, untouched partitions carry by
+    reference, and the exactly-once batch HWM rides every commit."""
+    from bamboo_spark.operators.publish import (
+        append_publish,
+        atomic_publish,
+        read_published,
+        table_meta,
+    )
+    from bamboo_spark.sources.published import register
+    from bamboo_spark.streaming.core import publish_stream
+
+    register(spark)
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+
+    def kvp(rows):
+        return spark.createDataFrame(rows, "k long, v long, p string")
+
+    atomic_publish(kvp([(1, 10, "a"), (2, 20, "b")]), bronze)
+    sdf = (
+        spark.readStream.format("bamboo_published")
+        .option("startingVersion", "0")
+        .load(bronze)
+    )
+    q = (
+        publish_stream(
+            sdf, silver, mode="overwrite_partitions", partition_by="p"
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r.k, r.v, r.p) for r in read_published(spark, silver).collect()}
+        assert got == {(1, 10, "a"), (2, 20, "b")}
+        # batch 2 carries only partition a — it replaces a WHOLESALE,
+        # b carries by reference
+        append_publish(kvp([(3, 30, "a")]), bronze)
+        q.processAllAvailable()
+        got = {(r.k, r.v, r.p) for r in read_published(spark, silver).collect()}
+        assert got == {(3, 30, "a"), (2, 20, "b")}
+        # batch 3 adds a brand-new partition value
+        append_publish(kvp([(4, 40, "c")]), bronze)
+        q.processAllAvailable()
+        got = {(r.k, r.v, r.p) for r in read_published(spark, silver).collect()}
+        assert got == {(3, 30, "a"), (2, 20, "b"), (4, 40, "c")}
+        assert "last_bid" in table_meta(silver, spark)
+    finally:
+        q.stop()
+
+
+def test_publish_stream_overwrite_partitions_requires_partition_by(
+    spark, tmp_path
+):
+    import pytest as _pytest
+
+    from bamboo_spark.streaming.core import publish_stream
+
+    sdf = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    with _pytest.raises(ValueError, match="needs\\s+partition_by"):
+        publish_stream(sdf, str(tmp_path / "t"), mode="overwrite_partitions")
