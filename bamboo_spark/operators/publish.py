@@ -1834,7 +1834,7 @@ def _commit(
     # which reset it — a rewrite leaves nothing to resurrect)
     for k in (
         "field_ids", "next_field_id", "schema_evolved", "retired_names",
-        "constraints", "tags", "index_cols",
+        "constraints", "tags", "index_cols", "retention",
     ):
         if entry.get(k) is None and prev and prev.get(k) is not None:
             entry[k] = prev[k]
@@ -3396,6 +3396,48 @@ def set_index_columns(
     )
 
 
+def set_retention(
+    table_dir: str,
+    keep: Optional[int] = None,
+    older_than_ms: Optional[int] = None,
+    spark: Optional[SparkSession] = None,
+    lease_ttl_ms: int = 300_000,
+) -> int:
+    """Persist the table's RETENTION POLICY — the ``keep`` snapshot
+    count and/or ``older_than_ms`` time horizon a bare :func:`vacuum`
+    call applies (Delta's deletedFileRetentionDuration /
+    logRetentionDuration as table properties): the policy lives with
+    the table, so every maintenance caller — ``optimize_table``, a
+    scheduled ``vacuum(t)``, an operator who doesn't know this table's
+    compliance rules — enforces the same horizon instead of each
+    passing (or forgetting) its own. Explicit vacuum args still
+    override per-call. ``None`` leaves a side unchanged; a metadata
+    commit like every property change.
+
+    Compliance shape: ``set_retention(t, keep=1,
+    older_than_ms=7*86400_000)`` = "current plus a week of undo" —
+    after that, `vacuum(t)` everywhere honors it."""
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    fs = _fs_for(table_dir, spark)
+    if _read_manifest(table_dir, fs) is None:
+        raise ValueError("set_retention: no committed table here")
+    if keep is not None and int(keep) < 0:
+        raise ValueError("set_retention: keep must be >= 0")
+
+    def _mutate(fresh: dict) -> dict:
+        cur = dict(fresh.get("retention") or {})
+        if keep is not None:
+            cur["keep"] = int(keep)
+        if older_than_ms is not None:
+            cur["older_than_ms"] = int(older_than_ms)
+        return {"retention": cur}
+
+    return _metadata_commit(
+        table_dir, spark, lease_ttl_ms, "set_retention", _mutate
+    )
+
+
 def drop_constraint(
     table_dir: str,
     name: str,
@@ -4474,7 +4516,7 @@ def published_rows(
 
 def vacuum(
     table_dir: str,
-    keep: int = 2,
+    keep: Optional[int] = None,
     spark: Optional[SparkSession] = None,
     lease_ttl_ms: int = 300_000,
     older_than_ms: Optional[int] = None,
@@ -4505,7 +4547,13 @@ def vacuum(
 
     ``dry_run=True`` reports the directories this call WOULD remove —
     history prune simulated, nothing written or deleted — so a
-    retention change can be reviewed before the bytes go."""
+    retention change can be reviewed before the bytes go.
+
+    ``keep``/``older_than_ms`` default from the table's persisted
+    retention policy (:func:`set_retention`) when unset — a bare
+    ``vacuum(t)`` enforces the policy the table owner declared; with
+    no policy either, ``keep`` falls back to 2. Explicit args always
+    win."""
     fs = _fs_for(table_dir, spark)
     # the manifest rewrite (history prune) is a table mutation like any
     # other: without the lease, a publish committing between our read
@@ -4515,6 +4563,11 @@ def vacuum(
         manifest = _read_manifest(table_dir, fs)
         if manifest is None:
             return []
+        policy = manifest.get("retention") or {}
+        if keep is None:
+            keep = int(policy.get("keep", 2))
+        if older_than_ms is None and policy.get("older_than_ms") is not None:
+            older_than_ms = int(policy["older_than_ms"])
         committed = int(manifest["version"])
         snaps = manifest.get("snapshots") or {}
         by_v = sorted(int(v) for v in snaps)

@@ -1706,3 +1706,40 @@ def test_publish_clustered_does_not_clobber_index_spec(spark, tmp_path):
     # and the next bare append still blooms on k per the spec
     append_publish(_rows(spark, 50, 60).coalesce(1), d)
     assert P._load_seg(_fs(), d, "_v3").get("file_blooms")
+
+
+# --------------------------------------------------------- retention policy
+
+
+def test_set_retention_policy_drives_bare_vacuum(spark, tmp_path):
+    """A bare vacuum(t) enforces the table's persisted policy; explicit
+    args still override; the policy survives unrelated commits."""
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 10).coalesce(1), d)        # v1
+    P.set_retention(d, keep=3, spark=spark)                   # v2
+    atomic_publish(_rows(spark, 0, 20).coalesce(1), d)        # v3
+    atomic_publish(_rows(spark, 0, 30).coalesce(1), d)        # v4
+    atomic_publish(_rows(spark, 0, 40).coalesce(1), d)        # v5
+    # policy keep=3 retains v3,v4,v5 -> only v1's dir is garbage
+    would = P.vacuum(d, spark=spark, dry_run=True)
+    assert would == ["_v1"], would
+    # explicit override beats policy
+    would2 = P.vacuum(d, keep=1, spark=spark, dry_run=True)
+    assert set(would2) >= {"_v1", "_v3"}
+    # real bare vacuum applies the policy
+    assert P.vacuum(d, spark=spark) == ["_v1"]
+    assert read_published(spark, d, version=3).count() == 20
+
+
+def test_retention_time_horizon_from_policy(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 10).coalesce(1), d)
+    atomic_publish(_rows(spark, 0, 20).coalesce(1), d)
+    atomic_publish(_rows(spark, 0, 30).coalesce(1), d)
+    # keep=1 but everything is younger than the 1h horizon -> nothing
+    P.set_retention(d, keep=1, older_than_ms=3_600_000, spark=spark)
+    assert P.vacuum(d, spark=spark, dry_run=True) == []
+    # shrink the horizon to 0 via explicit arg: count rule alone
+    assert P.vacuum(
+        d, older_than_ms=0, spark=spark, dry_run=True
+    ) == ["_v1", "_v2"]
