@@ -2140,6 +2140,52 @@ def table_meta(
     return dict(m.get("meta") or {}) if m else {}
 
 
+def describe_table(
+    table_dir: str, spark: Optional[SparkSession] = None
+) -> dict:
+    """One-call property sheet for a published table — DESCRIBE DETAIL:
+    everything an operator needs to reason about the table without
+    touching data. Driver-side metadata only (one manifest read).
+
+    Returns ``{"version", "committed_at_ms", "operation", "n_rows",
+    "n_files", "size_bytes", "partition_by", "schema" (DDL string),
+    "schema_evolved", "retired_names", "constraints", "tags",
+    "index_cols", "retention", "meta", "dv_files" (files carrying
+    delete vectors), "dv_rows" (masked row count), "n_snapshots",
+    "external_refs" (shallow-clone refs), "format_version"}``."""
+    from pyspark.sql import types as T
+
+    fs = _fs_for(table_dir, spark)
+    m = _read_manifest(table_dir, fs)
+    if m is None:
+        raise ValueError("describe_table: no committed table here")
+    dvmap = _load_dv(fs, table_dir, m)
+    files = _entry_files(fs, table_dir, m)
+    st = T.StructType.fromJson(json.loads(m["schema"]))
+    return {
+        "version": int(m["version"]),
+        "committed_at_ms": m.get("committed_at_ms"),
+        "operation": m.get("operation"),
+        "n_rows": int(m["n_rows"]),
+        "n_files": int(m.get("n_files") or len(files)),
+        "size_bytes": int(m.get("size_bytes") or 0),
+        "partition_by": list(m.get("partition_by") or []),
+        "schema": st.simpleString(),
+        "schema_evolved": bool(m.get("schema_evolved")),
+        "retired_names": list(m.get("retired_names") or []),
+        "constraints": dict(m.get("constraints") or {}),
+        "tags": dict(m.get("tags") or {}),
+        "index_cols": dict(m.get("index_cols") or {}),
+        "retention": dict(m.get("retention") or {}),
+        "meta": dict(m.get("meta") or {}),
+        "dv_files": sum(1 for v in dvmap.values() if _dv_val_n(v)),
+        "dv_rows": _dv_nrows(dvmap),
+        "n_snapshots": len(m.get("snapshots") or {}),
+        "external_refs": sum(1 for f in files if _is_ext(f)),
+        "format_version": m.get("format_version"),
+    }
+
+
 def pinned_snapshot(spark: SparkSession, table_dir: str):
     """``(manifest, DataFrame)`` resolved from ONE manifest read — the
     planning primitive for optimistic maintenance. A caller that plans
@@ -7042,7 +7088,7 @@ def optimize_table(
     target_file_bytes: int = 128 * 1024 * 1024,
     stats_cols=None,
     bloom_cols=None,
-    keep: int = 2,
+    keep: Optional[int] = None,
 ) -> dict:
     """One-call table maintenance — the scheduled job an append-ingest
     table runs nightly: fold fragmented partitions

@@ -1743,3 +1743,41 @@ def test_retention_time_horizon_from_policy(spark, tmp_path):
     assert P.vacuum(
         d, older_than_ms=0, spark=spark, dry_run=True
     ) == ["_v1", "_v2"]
+
+
+# ---------------------------------------------------------- describe_table
+
+
+def test_describe_table_property_sheet(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(
+        _rows(spark, 0, 50).coalesce(1), d, bloom_cols=["k"]
+    )
+    P.add_constraint(d, "k_nonneg", "k >= 0", spark=spark)
+    P.set_retention(d, keep=3, spark=spark)
+    P.tag_version(d, "audit", spark=spark)
+    delete_publish(spark, d, "k = 7", delete_vectors=True)
+    det = P.describe_table(d, spark=spark)
+    # v1 publish, v2 constraint, v3 retention, v4 tag, v5 dv delete
+    assert det["version"] == 5 and det["n_rows"] == 49
+    assert det["partition_by"] == []
+    assert det["schema"].startswith("struct<k:bigint")
+    assert det["constraints"] == {"k_nonneg": "k >= 0"}
+    assert det["retention"] == {"keep": 3}
+    assert det["index_cols"]["bloom"] == ["k"]
+    assert "audit" in det["tags"]
+    assert det["dv_files"] == 1 and det["dv_rows"] == 1
+    assert det["operation"] == "delete"
+    assert det["external_refs"] == 0 and det["n_snapshots"] == 5
+
+
+def test_optimize_table_honors_retention_policy(spark, tmp_path):
+    d = str(tmp_path / "t")
+    atomic_publish(_rows(spark, 0, 10).coalesce(1), d)        # v1
+    P.set_retention(d, keep=4, spark=spark)                   # v2
+    for lo in (10, 20, 30):
+        append_publish(_rows(spark, lo, lo + 10).coalesce(1), d)  # v3-5
+    rep = P.optimize_table(spark, d)
+    # policy keep=4 retains v2..v5(+compaction commit): nothing of the
+    # recent history may be GC'd by the default-arg maintenance call
+    assert read_published(spark, d, version=3).count() == 20
