@@ -269,6 +269,27 @@ def round12_surface() -> None:
         )
     )
 
+    # table-owned policy: retention drives bare vacuum; the property
+    # sheet shows everything an operator needs in one call
+    from bamboo_spark.operators.publish import (
+        describe_table,
+        set_retention,
+        vacuum,
+    )
+
+    set_retention(t, keep=2, spark=spark)
+    would = vacuum(t, spark=spark, dry_run=True)
+    det = describe_table(t, spark=spark)
+    print(
+        "describe: v%d rows=%d files=%d dv_rows=%d index=%s "
+        "retention=%s; bare vacuum would reclaim %d dirs"
+        % (
+            det["version"], det["n_rows"], det["n_files"],
+            det["dv_rows"], det["index_cols"], det["retention"],
+            len(would),
+        )
+    )
+
 
 if __name__ == "__main__":
     main()
