@@ -1781,3 +1781,37 @@ def test_optimize_table_honors_retention_policy(spark, tmp_path):
     # policy keep=4 retains v2..v5(+compaction commit): nothing of the
     # recent history may be GC'd by the default-arg maintenance call
     assert read_published(spark, d, version=3).count() == 20
+
+
+# ------------------------------------------------- round-12 writers × clones
+
+
+def test_round12_writers_on_shallow_clone(spark, tmp_path):
+    """The new writers operate on a shallow clone without touching the
+    source: MOR update addresses EXTERNAL files, CoW update rewrites an
+    external file into a local one (its dv retiring with it),
+    replaceWhere swaps a slice, compact_files folds externals into
+    local files, and fsck validates the external refs throughout."""
+    t = str(tmp_path / "t")
+    c = str(tmp_path / "c")
+    atomic_publish(_rows(spark, 0, 100).coalesce(1), t)
+    P.clone_table(spark, t, c)
+    P.update_publish(spark, c, "k = 5", {"v": "-5"})                # MOR
+    P.update_publish(
+        spark, c, "k = 6", {"v": "-6"}, delete_vectors=False
+    )                                                               # CoW
+    got = {r.k: r.v for r in read_published(spark, c).collect()}
+    assert got[5] == -5 and got[6] == -6 and len(got) == 100
+    # the CoW rewrite of the (single) external file carried the MOR
+    # update's replacement row and dropped the stale dv with the file
+    man = P._read_manifest(c, _fs())
+    assert not man.get("dv")
+    repl = spark.createDataFrame([(0, 1)], "k long, v long")
+    P.replace_where_publish(repl, c, "k < 3")
+    assert P.published_rows(c, spark=spark) == 98
+    P.compact_files(spark, c, small_bytes=1 << 30)
+    rep = P.fsck_table(c, spark=spark, check_sizes=True)
+    assert rep["ok"]
+    # source never touched by any of it
+    src = {r.k: r.v for r in read_published(spark, t).collect()}
+    assert len(src) == 100 and src[5] == 50 and src[0] == 0
