@@ -1815,3 +1815,40 @@ def test_round12_writers_on_shallow_clone(spark, tmp_path):
     # source never touched by any of it
     src = {r.k: r.v for r in read_published(spark, t).collect()}
     assert len(src) == 100 and src[5] == 50 and src[0] == 0
+
+
+def test_dv_bitmap_algebra_property(spark):
+    """Property: over random position sets, pack→unpack is the
+    identity and merging two packings equals packing the union —
+    the two invariants every dv commit and every dv fold rely on."""
+    from hypothesis import given, settings, strategies as st
+
+    posset = st.sets(
+        st.integers(min_value=0, max_value=5_000), min_size=0,
+        max_size=120,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(a=posset, b=posset)
+    def prop(a, b):
+        def pack(ps):
+            if not ps:
+                return None
+            df = spark.createDataFrame(
+                [("f", "b", "s", p) for p in sorted(ps)],
+                P._DV_POS_SCHEMA,
+            )
+            return P._dv_pack(df, 2)
+
+        pa, pb = pack(a), pack(b)
+        if pa is not None:
+            back = sorted(r._dv_pos for r in P._dv_unpack(pa).collect())
+            assert back == sorted(a)
+        if pa is not None and pb is not None:
+            merged = P._dv_merge_chunks(pa.unionByName(pb))
+            got = sorted(
+                r._dv_pos for r in P._dv_unpack(merged).collect()
+            )
+            assert got == sorted(a | b)
+
+    prop()
