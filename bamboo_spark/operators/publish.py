@@ -6281,6 +6281,12 @@ def update_publish(
                     stats_cols=stats_cols, bloom_cols=bloom_cols,
                     _base=manifest, operation="update",
                 )
+            # both the post-SET write and the address build derive
+            # from `matched` — persist the DELTA-sized frame so the
+            # candidate files scan once, not twice (at 100 TB with a
+            # selective condition the candidate scan is the dominant
+            # cost; `matched` is O(updated rows) by definition)
+            matched = matched.persist()
             addr = matched.select("_fp", "_ri")
             out = matched.select(
                 *[
@@ -6292,11 +6298,14 @@ def update_publish(
                     for c in names
                 ]
             )
-            return _mor_commit(
-                spark, fs, table_dir, manifest, addr, candidates, out,
-                parts, lease_ttl_ms, stats_cols, bloom_cols, None,
-                who="update_publish", operation="update",
-            )
+            try:
+                return _mor_commit(
+                    spark, fs, table_dir, manifest, addr, candidates,
+                    out, parts, lease_ttl_ms, stats_cols, bloom_cols,
+                    None, who="update_publish", operation="update",
+                )
+            finally:
+                matched.unpersist()
         except ConcurrentWriteError:
             if attempt == 2:
                 raise
