@@ -1577,6 +1577,365 @@ def _segments_of(fs, table_dir: str, prev: dict):
     return sorted(by_seg), extra_removed
 
 
+# ---------------------------------------------------------------------------
+# HIDDEN PARTITIONING (Iceberg-style partition transforms, hive-cased).
+#
+# ``partition_by`` entries may be TRANSFORM expressions over a source
+# column instead of plain column names:
+#
+#   "days(ts)"        -> physical column  ts_day    (DATE)
+#   "months(ts)"      -> ts_month  (STRING 'yyyy-MM')
+#   "years(ts)"       -> ts_year   (INT)
+#   "hours(ts)"       -> ts_hour   (STRING 'yyyy-MM-dd-HH')
+#   "bucket(16, id)"  -> id_bucket (INT = pmod(xxhash64(id), 16))
+#   "truncate(8, s)"  -> s_trunc   (prefix for strings, floor-to-
+#                                   multiple for integral types)
+#
+# The table's manifest stores BOTH views of the layout: ``partition_by``
+# keeps the PHYSICAL partition column names (so every existing path
+# matcher, rebase check and partition-level operator keeps working on
+# names that actually appear in file paths), and ``partition_spec`` is
+# the transform list ``[{name, transform, source, arg, source_type}]``
+# (identity entries included so the spec is self-contained; a manifest
+# with no ``partition_spec`` is an identity layout, backward
+# compatible). The derived column is materialized INSIDE the shared
+# write paths right before ``partitionBy`` — it lives only in directory
+# names, never in data pages or the logical schema — and readers drop
+# it by selecting the manifest schema (see ``_scan_groups``).
+#
+# The 100 TB point of this: a user writes ``where ts between a and b``
+# against a days(ts)-partitioned table and ``read_published(skip=
+# {"ts": (a, b)})`` prunes whole day DIRECTORIES from the manifest's
+# file list before Spark ever plans the scan — without the user ever
+# materializing or even knowing the physical ``ts_day`` column
+# (Iceberg spec: partition transforms; reduced here to the hive case
+# the same way set_partition_layout reduces spec evolution).
+#
+# ``bucket`` hashes with Spark's ``xxhash64`` (seed 42) and the hash
+# DEPENDS ON the column's physical type (xxhash64(int 7) !=
+# xxhash64(long 7)), so the spec pins ``source_type`` at creation:
+# point-lookup pruning casts the probe literal to it, and
+# ``widen_column`` refuses to widen a bucket source (the old paths'
+# bucket numbers would stop matching recomputed ones).
+# ---------------------------------------------------------------------------
+
+_PT_TRANSFORMS = ("days", "date", "months", "years", "hours", "bucket",
+                  "truncate")
+_PT_SUFFIX = {"days": "_day", "date": "_day", "months": "_month",
+              "years": "_year", "hours": "_hour", "bucket": "_bucket",
+              "truncate": "_trunc"}
+
+
+def _pt_parse_one(s: str):
+    """Parse one ``partition_by`` entry. Returns an identity dict for a
+    plain column name, a transform dict for ``t(col)`` / ``t(n, col)``
+    syntax, and raises on a malformed transform call."""
+    import re
+
+    s = s.strip()
+    m = re.match(r"^([A-Za-z_]+)\s*\((.*)\)$", s)
+    if not m:
+        return {"name": s, "transform": "identity", "source": s}
+    t, inner = m.group(1).lower(), m.group(2).strip()
+    if t not in _PT_TRANSFORMS:
+        raise ValueError(
+            "partition transform %r is not supported (have: %s)"
+            % (t, ", ".join(sorted(set(_PT_TRANSFORMS))))
+        )
+    if t in ("bucket", "truncate"):
+        parts = [p.strip() for p in inner.split(",")]
+        if len(parts) != 2 or not parts[0].isdigit() or int(parts[0]) < 1:
+            raise ValueError(
+                "%s transform takes (N, column) with N >= 1: %r" % (t, s)
+            )
+        arg, src = int(parts[0]), parts[1]
+    else:
+        if "," in inner or not inner:
+            raise ValueError("%s transform takes one column: %r" % (t, s))
+        arg, src = None, inner
+    t = "days" if t == "date" else t
+    d = {"name": src + _PT_SUFFIX[t], "transform": t, "source": src}
+    if arg is not None:
+        d["arg"] = arg
+    return d
+
+
+def _parse_partition_by(partition_by, schema_json=None):
+    """Parse a user-facing ``partition_by`` (strings, possibly with
+    transform syntax) into ``(physical_names, spec_or_None)``. ``spec``
+    is None for a pure-identity layout (legacy manifest shape). With
+    ``schema_json`` the sources are validated against the schema and
+    each entry records the source's Spark type."""
+    entries = (
+        [partition_by] if isinstance(partition_by, str)
+        else list(partition_by or [])
+    )
+    spec = [_pt_parse_one(s) for s in entries]
+    hidden = [t for t in spec if t["transform"] != "identity"]
+    names = [t["name"] for t in spec]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            "partition_by derives duplicate physical columns: %s" % names
+        )
+    if schema_json is not None:
+        types = {
+            f["name"]: f["type"]
+            for f in json.loads(schema_json)["fields"]
+        }
+        for t in spec:
+            if t["source"] not in types:
+                raise ValueError(
+                    "partition column source %r is not a table column "
+                    "(schema has: %s)" % (t["source"], sorted(types))
+                )
+            ty = types[t["source"]]
+            t["source_type"] = ty if isinstance(ty, str) else "nested"
+            tf = t["transform"]
+            if tf in ("days", "months", "years", "hours") and ty not in (
+                "timestamp", "timestamp_ntz", "date"
+            ):
+                raise ValueError(
+                    "%s(%s) needs a timestamp/date source (got %s)"
+                    % (tf, t["source"], ty)
+                )
+            if tf == "truncate" and not (
+                ty == "string"
+                or ty in ("byte", "short", "integer", "long")
+            ):
+                raise ValueError(
+                    "truncate(%s) needs a string or integral source "
+                    "(got %s)" % (t["source"], ty)
+                )
+            if tf == "bucket" and not isinstance(ty, str):
+                raise ValueError(
+                    "bucket(%s) needs an atomic source column"
+                    % t["source"]
+                )
+        for t in hidden:
+            if t["name"] in types:
+                raise ValueError(
+                    "derived partition column %r collides with an "
+                    "existing table column — rename one" % t["name"]
+                )
+    return names, (spec if hidden else None)
+
+
+def _pt_expr(t: dict):
+    """The Spark Column computing a transform's physical partition
+    value from its source column — deterministic, engine-side, used
+    identically by every write flavor."""
+    from pyspark.sql import functions as F
+
+    c = F.col(t["source"])
+    tf = t["transform"]
+    if tf == "identity":
+        return c
+    if tf == "days":
+        return F.to_date(c)
+    if tf == "months":
+        return F.date_format(c, "yyyy-MM")
+    if tf == "years":
+        return F.year(c)
+    if tf == "hours":
+        return F.date_format(c, "yyyy-MM-dd-HH")
+    if tf == "bucket":
+        return F.pmod(F.xxhash64(c), F.lit(t["arg"])).cast("int")
+    if tf == "truncate":
+        if t.get("source_type") == "string":
+            return F.substring(c, 1, t["arg"])
+        return c - F.pmod(c, F.lit(t["arg"]))
+    raise ValueError("unknown partition transform %r" % tf)
+
+
+def _materialize_partition_cols(df: DataFrame, spec) -> DataFrame:
+    """Add the HIDDEN (non-identity) physical partition columns to a
+    frame about to be written. Identity columns are already data
+    columns; derived ones are recomputed from the spec so every write
+    flavor places rows identically. Idempotent: recomputing over an
+    already-materialized frame yields the same values."""
+    for t in spec or []:
+        if t["transform"] != "identity":
+            df = df.withColumn(t["name"], _pt_expr(t))
+    return df
+
+
+def _pt_hidden_names(spec) -> List[str]:
+    return [t["name"] for t in spec or [] if t["transform"] != "identity"]
+
+
+def _pt_py(t: dict, value, spark: Optional[SparkSession] = None):
+    """Driver-side twin of :func:`_pt_expr` for a single LITERAL —
+    what read-time pruning uses to turn a predicate bound on the
+    SOURCE column into the physical partition value it must match.
+    Returns the canonical hive path string for the value, or None when
+    the literal can't be transformed faithfully (caller stays
+    conservative and skips pruning). ``bucket`` needs Spark itself for
+    hash parity (xxhash64 is type-sensitive; a Python reimplementation
+    would silently diverge) — one 1-row local-relation job per probed
+    literal, milliseconds, driver-only."""
+    import datetime as _dt
+
+    tf = t["transform"]
+    if tf == "identity":
+        return str(value)
+    if tf in ("days", "months", "years", "hours"):
+        v = value
+        if isinstance(v, str):
+            try:
+                v = _dt.datetime.fromisoformat(v)
+            except ValueError:
+                return None
+        if isinstance(v, _dt.datetime):
+            pass
+        elif isinstance(v, _dt.date):
+            v = _dt.datetime(v.year, v.month, v.day)
+        else:
+            return None
+        if tf == "days":
+            return v.strftime("%Y-%m-%d")
+        if tf == "months":
+            return v.strftime("%Y-%m")
+        if tf == "years":
+            return str(v.year)
+        return v.strftime("%Y-%m-%d-%H")
+    if tf == "truncate":
+        if t.get("source_type") == "string":
+            return str(value)[: t["arg"]] if isinstance(value, str) else None
+        if isinstance(value, bool) or not isinstance(value, int):
+            return None
+        return str(value - (value % t["arg"]))
+    if tf == "bucket":
+        if spark is None:
+            return None
+        from pyspark.sql import functions as F
+
+        st = t.get("source_type")
+        if not st:
+            return None
+        lit = F.lit(value)
+        if not isinstance(value, str) or st == "string":
+            # cast to the PINNED source type (hash parity); a string
+            # probe against a non-string source casts too
+            lit = lit.cast(st)
+        row = (
+            spark.range(1)
+            .select(F.pmod(F.xxhash64(lit), F.lit(t["arg"])).cast("int"))
+            .first()
+        )
+        return None if row[0] is None else str(row[0])
+    return None
+
+
+def _pt_path_value(path: str, name: str) -> Optional[str]:
+    """The hive path value of partition column ``name`` in a
+    manifest-relative file path, unescaped — or None when the file
+    predates the layout (no such segment) or holds the hive null
+    marker."""
+    from urllib.parse import unquote
+
+    for seg in path.split("/"):
+        if seg.startswith(name + "="):
+            v = seg[len(name) + 1:]
+            if v == "__HIVE_DEFAULT_PARTITION__":
+                return None
+            return unquote(v)
+    return None
+
+
+_PT_MONOTONE = ("identity", "days", "months", "years", "hours", "truncate")
+
+
+def _pt_cmp_key(t: dict, s):
+    """Comparable form of a value for RANGE pruning, or None when no
+    order-faithful comparison exists (caller keeps the file). Numeric
+    sources compare numerically; date-shaped transform outputs and
+    string/date identities compare lexicographically (the formats are
+    zero-padded, so string order IS time order). Float identities MUST
+    go numeric — "10.5" < "2.0" lexicographically."""
+    st = t.get("source_type")
+    if t["transform"] == "years" or (
+        t["transform"] in ("identity", "truncate")
+        and st in ("byte", "short", "integer", "long")
+    ):
+        try:
+            return int(s)
+        except (TypeError, ValueError):
+            return None
+    if t["transform"] == "identity":
+        if st in ("float", "double") or (
+            isinstance(st, str) and st.startswith("decimal")
+        ):
+            try:
+                return float(s)
+            except (TypeError, ValueError):
+                return None
+        if st not in ("string", "date", "timestamp", "timestamp_ntz"):
+            return None
+    return s if isinstance(s, str) else None
+
+
+def _pt_prune_files(
+    files, spec, partition_by, skip, skip_eq, spark
+) -> list:
+    """MANIFEST-LEVEL partition-path pruning: drop files whose hive
+    path value for a partition column is provably outside a caller
+    predicate on the TRANSFORM SOURCE column. ``skip`` bounds prune
+    monotone transforms (days/months/years/hours/truncate/identity);
+    ``skip_eq`` point probes prune every transform including bucket.
+    Conservative by construction: a file without the path segment
+    (pre-evolution layout), a null partition, or an untransformable
+    literal is always kept. O(files) driver work on the already-
+    resolved manifest list — the same cost class as stats pruning."""
+    spec = spec or [
+        {"name": c, "transform": "identity", "source": c}
+        for c in (partition_by or [])
+    ]
+    rules = []  # (phys_name, lo_key, hi_key, eq_str, t)
+    for t in spec:
+        src = t["source"]
+        eq = None
+        lo_k = hi_k = None
+        if skip_eq and src in skip_eq:
+            eq = _pt_py(t, skip_eq[src], spark)
+        if (
+            skip
+            and src in skip
+            and t["transform"] in _PT_MONOTONE
+        ):
+            lo, hi = skip[src]
+            if lo is not None:
+                lo_s = _pt_py(t, lo, spark)
+                lo_k = _pt_cmp_key(t, lo_s) if lo_s is not None else None
+            if hi is not None:
+                hi_s = _pt_py(t, hi, spark)
+                hi_k = _pt_cmp_key(t, hi_s) if hi_s is not None else None
+        if eq is not None or lo_k is not None or hi_k is not None:
+            rules.append((t["name"], lo_k, hi_k, eq, t))
+    if not rules:
+        return list(files)
+
+    def _keep(f: str) -> bool:
+        for name, lo_k, hi_k, eq, t in rules:
+            v = _pt_path_value(f, name)
+            if v is None:
+                continue  # pre-evolution file or null partition: read it
+            if eq is not None and v != eq:
+                return False
+            vk = _pt_cmp_key(t, v)
+            if vk is None:
+                continue
+            try:
+                if lo_k is not None and vk < lo_k:
+                    return False
+                if hi_k is not None and vk > hi_k:
+                    return False
+            except TypeError:
+                continue  # incomparable: stay conservative
+        return True
+
+    return [f for f in files if _keep(f)]
+
+
 def atomic_publish(
     df: DataFrame,
     table_dir: str,
@@ -1589,6 +1948,7 @@ def atomic_publish(
     data_change: bool = True,
     operation: str = "overwrite",
     _set_index_spec: bool = True,
+    _partition_spec=None,
 ) -> int:
     """Write ``df`` as the table's next snapshot and commit it
     atomically. Returns the committed version number. The manifest row
@@ -1621,14 +1981,27 @@ def atomic_publish(
         prev = _read_manifest(table_dir, fs)
         seg = _claim_vdir(fs, table_dir, _next_version(fs, table_dir, prev))
         vdir = fs.join(table_dir, seg)
+        # hidden partitioning: resolve layout + transform spec; df
+        # stays LOGICAL (derived columns live only in directory names)
+        # and the materialized twin is what hits the writer. A caller
+        # re-publishing a table (compact/clone) threads the committed
+        # spec via _partition_spec and may pass an already-materialized
+        # frame — normalize by dropping the derived names first.
+        if _partition_spec:
+            spec = list(_partition_spec)
+            parts = [t["name"] for t in spec]
+            df = df.drop(
+                *[n for n in _pt_hidden_names(spec) if n in df.columns]
+            )
+        else:
+            parts, spec = _parse_partition_by(
+                partition_by, df.schema.json() if partition_by else None
+            )
         obs = Observation()
         cnames, cmap, caggs = _constraint_aggs(prev)
-        writer = df.observe(
+        writer = _materialize_partition_cols(df, spec).observe(
             obs, F.count(F.lit(1)).alias("n"), *caggs
         ).write
-        parts = (
-            [partition_by] if isinstance(partition_by, str) else list(partition_by)
-        ) if partition_by else []
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(vdir)
@@ -1671,6 +2044,8 @@ def atomic_publish(
             "schema_evolved": False,
             "retired_names": [],
         }
+        if spec:
+            entry["partition_spec"] = spec
         if explicit:
             entry["index_cols"] = {
                 "stats": list(stats_cols or []),
@@ -1748,6 +2123,7 @@ class _ClaimBeat:
         self._path = fs.join(table_dir, seg + ".claim")
         self._ttl_ms = ttl_ms
         self._stop = None
+        self._thread = None
 
     def start(self) -> "_ClaimBeat":
         import threading
@@ -1761,7 +2137,7 @@ class _ClaimBeat:
                 except Exception:
                     return  # claim gone (committed+vacuumed): done
 
-        threading.Thread(
+        self._thread = threading.Thread(
             target=beat,
             args=(
                 self._stop,
@@ -1770,12 +2146,19 @@ class _ClaimBeat:
                 max(self._ttl_ms / 4000.0, 0.25),
             ),
             daemon=True,
-        ).start()
+        )
+        self._thread.start()
         return self
 
     def stop(self) -> None:
+        """Idempotent; JOINS the beat thread so no in-flight ``touch``
+        can recreate the claim after the caller deletes it (the
+        lost-race staging reclaim depends on this ordering)."""
         if self._stop is not None:
             self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+            self._thread = None
 
 
 def _scan_written(fs, vdir: str, vname: str):
@@ -1834,7 +2217,7 @@ def _commit(
     # which reset it — a rewrite leaves nothing to resurrect)
     for k in (
         "field_ids", "next_field_id", "schema_evolved", "retired_names",
-        "constraints", "tags", "index_cols", "retention",
+        "constraints", "tags", "index_cols", "retention", "branches",
     ):
         if entry.get(k) is None and prev and prev.get(k) is not None:
             entry[k] = prev[k]
@@ -1844,7 +2227,7 @@ def _commit(
     if prev and str(prev["version"]) not in history:
         healed = {"n_rows": prev["n_rows"], "schema": prev["schema"]}
         for k in ("files", "file_sizes", "file_stats", "segments",
-                  "removed", "n_files", "partition_by"):
+                  "removed", "n_files", "partition_by", "partition_spec"):
             if prev.get(k) is not None:
                 healed[k] = prev[k]
         history[str(prev["version"])] = healed
@@ -2014,6 +2397,8 @@ def append_publish(
     # writers never collide on disk; only the manifest swap contends.
     # The claim heartbeat is the staging dir's liveness signal: vacuum
     # never reclaims a dir whose claim is fresher than the lease TTL.
+    pspec = prev.get("partition_spec")
+    df = _materialize_partition_cols(df, pspec)
     if cluster_by:
         cl = (
             [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
@@ -2095,6 +2480,8 @@ def append_publish(
                 "field_ids": fids,
                 "next_field_id": nxt,
             }
+            if pspec:
+                entry["partition_spec"] = pspec
             # delete vectors carry UNCHANGED by reference — an append
             # adds files and touches none, so the prev snapshot's dv
             # file is this snapshot's dv file (zero IO)
@@ -2127,6 +2514,13 @@ def _check_rebase(base: dict, cur: dict, who: str) -> None:
         raise ConcurrentWriteError(
             "%s: concurrent partition-layout change — rebase refused" % who
         )
+    if (cur.get("partition_spec") or None) != (
+        base.get("partition_spec") or None
+    ):
+        raise ConcurrentWriteError(
+            "%s: concurrent partition-transform change — rebase refused"
+            % who
+        )
 
 
 def table_meta(
@@ -2148,7 +2542,8 @@ def describe_table(
     touching data. Driver-side metadata only (one manifest read).
 
     Returns ``{"version", "committed_at_ms", "operation", "n_rows",
-    "n_files", "size_bytes", "partition_by", "schema" (DDL string),
+    "n_files", "size_bytes", "partition_by", "partition_spec"
+    (hidden-partitioning transforms), "schema" (DDL string),
     "schema_evolved", "retired_names", "constraints", "tags",
     "index_cols", "retention", "meta", "dv_files" (files carrying
     delete vectors), "dv_rows" (masked row count), "n_snapshots",
@@ -2170,11 +2565,22 @@ def describe_table(
         "n_files": int(m.get("n_files") or len(files)),
         "size_bytes": int(m.get("size_bytes") or 0),
         "partition_by": list(m.get("partition_by") or []),
+        "partition_spec": [
+            dict(t) for t in (m.get("partition_spec") or [])
+        ],
         "schema": st.simpleString(),
         "schema_evolved": bool(m.get("schema_evolved")),
         "retired_names": list(m.get("retired_names") or []),
         "constraints": dict(m.get("constraints") or {}),
         "tags": dict(m.get("tags") or {}),
+        "branches": {
+            n: {
+                "base": int(b.get("base", 0)),
+                "seq": int(b.get("seq", 0)),
+                "n_rows": int((b.get("head") or {}).get("n_rows", 0)),
+            }
+            for n, b in (m.get("branches") or {}).items()
+        },
         "index_cols": dict(m.get("index_cols") or {}),
         "retention": dict(m.get("retention") or {}),
         "meta": dict(m.get("meta") or {}),
@@ -2265,7 +2671,15 @@ def overwrite_partitions_publish(
             "condition instead" % (parts,)
         )
     pc = partition_col or parts[0]
-    values = [r[0] for r in df.select(pc).distinct().collect()]
+    # hidden partitioning: the physical partition column may be a
+    # transform DERIVED from a source column df carries — materialize
+    # (idempotent) before discovering the touched partitions
+    values = [
+        r[0]
+        for r in _materialize_partition_cols(
+            df, manifest.get("partition_spec")
+        ).select(pc).distinct().collect()
+    ]
     if any(v is None for v in values):
         # a NULL partition value stringifies to "None", never matching
         # the hive __HIVE_DEFAULT_PARTITION__ path — the old null
@@ -2392,7 +2806,8 @@ def replace_partitions_publish(
         obs = Observation()
         cnames, cmap, caggs = _constraint_aggs(prev)
         (
-            df.observe(obs, F.count(F.lit(1)).alias("n"), *caggs)
+            _materialize_partition_cols(df, prev.get("partition_spec"))
+            .observe(obs, F.count(F.lit(1)).alias("n"), *caggs)
             .write.partitionBy(*parts)
             .parquet(vdir)
         )
@@ -2493,6 +2908,8 @@ def replace_partitions_publish(
                 "operation": operation,
                 **_carry_dv(fs, table_dir, prev, seg, carried),
             }
+            if prev.get("partition_spec"):
+                entry["partition_spec"] = prev["partition_spec"]
             if not data_change:
                 entry["data_change"] = False
             if meta:
@@ -2656,19 +3073,27 @@ def read_published(
     manifest = _read_manifest(table_dir, fs)
     if manifest is None:
         raise ValueError("no committed table at %s" % table_dir)
+    entry = None
     if ref is not None:
         if version is not None or as_of_ms is not None:
             raise ValueError(
                 "read_published: ref excludes version/as_of_ms"
             )
         tags = manifest.get("tags") or {}
-        if ref not in tags:
+        branches = manifest.get("branches") or {}
+        if ref in tags:
+            version = int(tags[ref])
+        elif ref in branches:
+            # branch heads live OUTSIDE the snapshots map (their
+            # versions never collide with main's) — resolve directly
+            entry = branches[ref]["head"]
+        else:
             raise KeyError(
-                "read_published: no tag %r (have: %s)"
-                % (ref, sorted(tags))
+                "read_published: no tag or branch %r (have: %s)"
+                % (ref, sorted(tags) + sorted(branches))
             )
-        version = int(tags[ref])
-    _, entry = _select_snapshot(manifest, version, as_of_ms)
+    if entry is None:
+        _, entry = _select_snapshot(manifest, version, as_of_ms)
     res = _resolve_entry(fs, table_dir, entry)
     entry = {**entry, "files": res["files"]}
     if skip:
@@ -2698,6 +3123,17 @@ def read_published(
         entry["files"] = [f for f in entry["files"] if _keep(f)]
     if skip_eq:
         entry["files"] = _prune_eq(res, entry["files"], skip_eq)
+    if (skip or skip_eq) and entry.get("partition_by"):
+        # HIDDEN-PARTITIONING pruning: a bound/point predicate on a
+        # transform SOURCE column ("ts between …" on a days(ts) table,
+        # "id = X" on a bucket(N, id) table) prunes whole partition
+        # DIRECTORIES from the manifest list — the user never names the
+        # physical ts_day/id_bucket column. Identity partition columns
+        # prune by path value the same way (exact, even without stats).
+        entry["files"] = _pt_prune_files(
+            entry["files"], entry.get("partition_spec"),
+            entry.get("partition_by"), skip, skip_eq, spark,
+        )
     return _read_files(
         spark,
         fs,
@@ -2904,6 +3340,13 @@ def _scan_groups(
         if partitioned:
             reader = reader.option("basePath", base)
         df = reader.parquet(*[_ref_path(fs, table_dir, f) for f in fl])
+        # normalize to the group's schema columns: a HIDDEN partition
+        # column (days(ts)-style transform) appears in the paths but
+        # not in the logical schema — Spark appends it, and groups from
+        # different layout eras would append DIFFERENT extras, breaking
+        # the unionByName. Select the schema names per group (path-
+        # resolved identity columns survive; derived ones drop here).
+        names = [f.name for f in rschema.fields]
         if with_pos:
             pos = [
                 F.col("_metadata.file_path").alias("_fp"),
@@ -2912,10 +3355,12 @@ def _scan_groups(
             df = (
                 df.select(*(sel + pos))
                 if sel is not None
-                else df.select("*", *pos)
+                else df.select(*names, *pos)
             )
         elif sel is not None:
             df = df.select(*sel)
+        elif df.columns != names:
+            df = df.select(*names)
         out = df if out is None else out.unionByName(df)
     return out
 
@@ -2952,12 +3397,12 @@ def set_partition_layout(
     (old dirs would still carry path-only columns that an
     unpartitioned read can't resolve)."""
     fs = _fs_for(table_dir, spark)
-    parts = (
+    raw = (
         [partition_by]
         if isinstance(partition_by, str)
         else list(partition_by or [])
     )
-    if not parts:
+    if not raw:
         raise ValueError(
             "set_partition_layout: the new layout must be non-empty "
             "(rewrite via compact() to go unpartitioned)"
@@ -2966,17 +3411,14 @@ def set_partition_layout(
         manifest = _read_manifest(table_dir, fs)
         if manifest is None:
             raise ValueError("set_partition_layout: no committed table")
-        cols = {
-            f["name"] for f in json.loads(manifest["schema"])["fields"]
-        }
-        missing = [c for c in parts if c not in cols]
-        if missing:
-            raise ValueError(
-                "set_partition_layout: %s are not table columns (a new "
-                "partition column must exist in the schema — it is a "
-                "data column in every pre-evolution file)" % missing
-            )
-        if parts == (manifest.get("partition_by") or []):
+        # transform syntax allowed ("days(ts)", "bucket(16, id)", …):
+        # the parse validates every SOURCE is a table column and every
+        # derived name is collision-free (identity entries keep the
+        # old must-be-a-data-column contract)
+        parts, spec = _parse_partition_by(raw, manifest["schema"])
+        if parts == (manifest.get("partition_by") or []) and (
+            spec or None
+        ) == (manifest.get("partition_spec") or None):
             return int(manifest["version"])  # no-op: already this layout
         segs, removed = _segments_of(fs, table_dir, manifest)
         prev_nf, prev_sz = _entry_counters(fs, table_dir, manifest)
@@ -2990,6 +3432,8 @@ def set_partition_layout(
             "partition_by": parts,
             "operation": "set_partition_layout",
         }
+        if spec:
+            entry["partition_spec"] = spec
         if manifest.get("dv"):
             entry["dv"] = manifest["dv"]
             entry["dv_rows"] = manifest.get("dv_rows")
@@ -3034,11 +3478,20 @@ def _evolve_schema(
         fids, nxt = _field_ids_of(manifest)
         retired = set(manifest.get("retired_names") or [])
         out = mutate(st, fids, retired)
-        # a mutate may evolve the LOGICAL partition spec too (renaming
-        # a partition column): 4th element = the new partition_by
+        # a mutate may evolve layout metadata too: 4th element is
+        # either the new partition_by (legacy tuple shape) or a dict of
+        # entry overrides ({"partition_by", "partition_spec",
+        # "index_cols"} — renaming a partition column / transform
+        # source / indexed column rides the same commit)
         new_parts = None
+        overrides: dict = {}
         if len(out) == 4:
-            new_st, fids, newly_retired, new_parts = out
+            new_st, fids, newly_retired, tail = out
+            if isinstance(tail, dict):
+                overrides = tail
+                new_parts = overrides.pop("partition_by", None)
+            else:
+                new_parts = tail
         else:
             new_st, fids, newly_retired = out
         import re as _re
@@ -3076,6 +3529,13 @@ def _evolve_schema(
             "retired_names": sorted(retired | set(newly_retired)),
             "data_change": False,
         }
+        if "partition_spec" in overrides:
+            if overrides["partition_spec"]:
+                entry["partition_spec"] = overrides["partition_spec"]
+        elif manifest.get("partition_spec"):
+            entry["partition_spec"] = manifest["partition_spec"]
+        if "index_cols" in overrides:
+            entry["index_cols"] = overrides["index_cols"]
         if manifest.get("dv"):
             entry["dv"] = manifest["dv"]
             entry["dv_rows"] = manifest.get("dv_rows")
@@ -3149,6 +3609,7 @@ def rename_column(
         fids = dict(fids)
         fids[new] = fids.pop(old)
         parts = man.get("partition_by") or []
+        overrides: dict = {}
         if old in parts:
             # PARTITION-SPEC EVOLUTION (per-segment specs): the logical
             # spec renames with the column; each file keeps resolving
@@ -3159,7 +3620,45 @@ def rename_column(
             # by partition) stays refused on the mixed table by the
             # existing path guard until compact() unifies the layout.
             parts = [new if p == old else p for p in parts]
-        return new_st, fids, {old}, parts
+        overrides["partition_by"] = parts
+        pspec = man.get("partition_spec")
+        if pspec:
+            # hidden-partitioning spec follows the rename: transform
+            # SOURCES rekey to the new logical name while the DERIVED
+            # physical name keeps its paths (no layout mixing); an
+            # identity entry renames both sides (per-segment path
+            # evolution, same contract as the parts rename above)
+            pspec = [
+                {
+                    **t,
+                    "source": new if t["source"] == old else t["source"],
+                    "name": (
+                        new
+                        if t["transform"] == "identity" and t["name"] == old
+                        else t["name"]
+                    ),
+                }
+                for t in pspec
+            ]
+            overrides["partition_spec"] = pspec
+        idx = man.get("index_cols")
+        if idx and (
+            old in (idx.get("stats") or []) or old in (idx.get("bloom") or [])
+        ):
+            # the PERSISTED INDEX SPEC follows the rename in the same
+            # commit — without this the renamed column silently stops
+            # being indexed at the next write (stats/bloom defaulting
+            # resolves by name) and the table's point-lookup SLA
+            # quietly degrades
+            overrides["index_cols"] = {
+                "stats": [
+                    new if c == old else c for c in (idx.get("stats") or [])
+                ],
+                "bloom": [
+                    new if c == old else c for c in (idx.get("bloom") or [])
+                ],
+            }
+        return new_st, fids, {old}, overrides
 
     return _evolve_schema(
         table_dir, spark, lease_ttl_ms, mutate, "rename_column"
@@ -3194,6 +3693,16 @@ def drop_column(
             raise ValueError(
                 "drop_column: %r is a hive partition column — "
                 "set_partition_layout first" % col
+            )
+        srcs = {
+            t["source"]
+            for t in man.get("partition_spec") or []
+            if t["transform"] != "identity"
+        }
+        if col in srcs:
+            raise ValueError(
+                "drop_column: %r is the source of a partition "
+                "transform — set_partition_layout first" % col
             )
         new_st = T.StructType([f for f in st.fields if f.name != col])
         fids = {k: v for k, v in fids.items() if k != col}
@@ -3257,15 +3766,38 @@ def widen_column(
                 "other type changes require a rewrite under a new "
                 "column name" % (old_t, jt)
             )
+        for t in fresh.get("partition_spec") or []:
+            # xxhash64 is TYPE-SENSITIVE (hash(int 7) != hash(long 7)):
+            # widening a bucket source would send the same logical value
+            # to a different bucket than the existing paths, silently
+            # breaking point-lookup pruning and partition placement
+            if t["transform"] == "bucket" and t["source"] == col:
+                raise ValueError(
+                    "widen_column: %r is the source of a bucket "
+                    "partition transform — the bucket hash is type-"
+                    "sensitive, so widening would misplace future "
+                    "rows; set_partition_layout to a new spec first"
+                    % col
+                )
         new_fields = [
             {**f, "type": jt} if f["name"] == col else f
             for f in fields
         ]
-        return {
+        out = {
             "schema": json.dumps(
                 {"type": "struct", "fields": new_fields}
             )
         }
+        pspec = fresh.get("partition_spec")
+        if pspec and any(t["source"] == col for t in pspec):
+            # keep the spec's pinned source_type truthful (truncate's
+            # string-vs-numeric branch and identity range pruning key
+            # off it); bucket sources were refused above
+            out["partition_spec"] = [
+                {**t, "source_type": jt} if t["source"] == col else t
+                for t in pspec
+            ]
+        return out
 
     return _metadata_commit(
         table_dir, spark, lease_ttl_ms, "widen_column", _mutate
@@ -3308,6 +3840,11 @@ def _metadata_commit(
             "partition_by": manifest.get("partition_by") or [],
             "operation": operation,
             "data_change": False,
+            **(
+                {"partition_spec": manifest["partition_spec"]}
+                if manifest.get("partition_spec")
+                else {}
+            ),
             **extra,
         }
         if manifest.get("dv"):
@@ -3578,6 +4115,301 @@ def drop_tag(
     )
 
 
+# ---------------------------------------------------------------------------
+# BRANCHES (Iceberg-style snapshot refs, write side): a branch is a
+# named lineage forked from a retained snapshot. Writes on the branch
+# advance ONLY the branch head — main's committed entry, version number
+# and history are untouched, so readers of the table never see branch
+# data until ``fast_forward_branch`` adopts the head as main's next
+# version. The safe-backfill-rehearsal primitive: fork, rebuild a slice
+# on the branch, validate with ``read_published(ref=branch)``, then
+# fast-forward (one metadata commit) or drop the branch (zero cleanup —
+# unreferenced staging dirs are ordinary vacuum garbage).
+#
+# Representation: ``manifest["branches"][name] = {"head": <entry
+# dict>, "base": <main version at fork>, "seq": <branch commit
+# count>}``. The head entry is DENORMALIZED (it lives outside the
+# snapshots map) so branch versions can never collide with main's
+# monotone version numbers; vacuum pins every branch head's files like
+# a tag. Fast-forward REFUSES when main moved past the fork point —
+# the branch would silently drop main's concurrent commits; rebase by
+# re-forking. Branch writes are append-only by design (the rehearsal
+# shape); richer branch surgery composes from clone_table.
+# ---------------------------------------------------------------------------
+
+
+def create_branch(
+    table_dir: str,
+    name: str,
+    version: Optional[int] = None,
+    spark: Optional[SparkSession] = None,
+    lease_ttl_ms: int = 300_000,
+) -> int:
+    """Fork branch ``name`` from the current snapshot (or retained
+    ``version``). One metadata commit; zero data IO at any size."""
+    fs = _fs_for(table_dir, spark)
+    if _read_manifest(table_dir, fs) is None:
+        raise ValueError("create_branch: no committed table here")
+
+    def _mutate(fresh: dict) -> dict:
+        branches = dict(fresh.get("branches") or {})
+        if name in branches:
+            raise ValueError(
+                "create_branch: branch %r already exists (head seq %d)"
+                % (name, int(branches[name].get("seq", 0)))
+            )
+        if name in (fresh.get("tags") or {}):
+            raise ValueError(
+                "create_branch: %r is already a tag — refs share one "
+                "namespace" % name
+            )
+        v, src = _select_snapshot(fresh, version)
+        head = {
+            k: src[k]
+            for k in (
+                "files", "file_sizes", "file_stats", "segments",
+                "removed", "n_rows", "n_files", "size_bytes", "schema",
+                "partition_by", "partition_spec", "dv", "dv_rows",
+                "field_ids", "next_field_id", "schema_evolved",
+                "retired_names",
+            )
+            if src.get(k) is not None
+        }
+        head["operation"] = "branch_fork"
+        branches[name] = {
+            "head": head,
+            # base = the version the create commit ITSELF produces
+            # (fresh is the pre-commit manifest): fast-forward compares
+            # main's version against this to detect commits since the
+            # fork, and the fork commit is not "since"
+            "base": int(fresh["version"]) + 1,
+            "forked_from": int(v),
+            "seq": 0,
+        }
+        return {"branches": branches}
+
+    return _metadata_commit(
+        table_dir, spark, lease_ttl_ms, "create_branch", _mutate
+    )
+
+
+def drop_branch(
+    table_dir: str,
+    name: str,
+    spark: Optional[SparkSession] = None,
+    lease_ttl_ms: int = 300_000,
+) -> int:
+    """Delete a branch ref — its head's exclusive files become ordinary
+    vacuum garbage (main's files were always shared by reference)."""
+    fs = _fs_for(table_dir, spark)
+    if _read_manifest(table_dir, fs) is None:
+        raise ValueError("drop_branch: no committed table here")
+
+    def _mutate(fresh: dict) -> dict:
+        branches = dict(fresh.get("branches") or {})
+        if name not in branches:
+            raise KeyError("drop_branch: no branch %r" % name)
+        branches.pop(name)
+        return {"branches": branches}
+
+    return _metadata_commit(
+        table_dir, spark, lease_ttl_ms, "drop_branch", _mutate
+    )
+
+
+def append_branch(
+    df: DataFrame,
+    table_dir: str,
+    name: str,
+    lease_ttl_ms: int = 300_000,
+    stats_cols=None,
+    bloom_cols=None,
+) -> int:
+    """Append a batch to BRANCH ``name`` — the write stages like any
+    optimistic append (claimed dir, no lease, heartbeat), then under
+    the commit lease advances ONLY the branch head (main's entry and
+    version are byte-identical before and after). Strict schema check
+    against the BRANCH head's schema. Returns the branch's new commit
+    seq. Concurrent appends to the SAME branch: the loser's head-CAS
+    raises ConcurrentWriteError; concurrent MAIN commits never
+    conflict (disjoint state)."""
+    from pyspark.sql import Observation, functions as F
+
+    fs = _fs_for(table_dir, df.sparkSession)
+    manifest = _read_manifest(table_dir, fs)
+    if manifest is None:
+        raise ValueError("append_branch: no committed table here")
+    br = (manifest.get("branches") or {}).get(name)
+    if br is None:
+        raise KeyError("append_branch: no branch %r" % name)
+    head = br["head"]
+    new_sig = [
+        (f["name"], f["type"])
+        for f in json.loads(df.schema.json())["fields"]
+    ]
+    old_sig = [
+        (f["name"], f["type"])
+        for f in json.loads(head["schema"])["fields"]
+    ]
+    if new_sig != old_sig:
+        raise ValueError(
+            "append_branch: batch schema differs from the branch "
+            "head's (names AND types must match): batch=%s branch=%s"
+            % (new_sig, old_sig)
+        )
+    parts = head.get("partition_by") or []
+    pspec = head.get("partition_spec")
+    seen_seq = int(br.get("seq", 0))
+    seg = _claim_vdir(fs, table_dir, _next_version(fs, table_dir, manifest))
+    beat = _ClaimBeat(fs, table_dir, seg, lease_ttl_ms).start()
+    try:
+        vdir = fs.join(table_dir, seg)
+        obs = Observation()
+        writer = _materialize_partition_cols(df, pspec).observe(
+            obs, F.count(F.lit(1)).alias("n")
+        ).write
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(vdir)
+        new_files, new_sizes = _scan_written(fs, vdir, seg)
+        fids, nxt = _field_ids_of(head)
+        if new_files:
+            seg_data = {"files": new_files, "file_sizes": new_sizes}
+            sc, bc = _index_defaults(
+                manifest, stats_cols, bloom_cols, head["schema"]
+            )
+            _enrich_seg(
+                df.sparkSession, fs, table_dir, new_files, seg_data,
+                sc, bc, head["schema"],
+            )
+            _stamp_fields(seg_data, fids)
+            _write_seg(fs, table_dir, seg, seg_data)
+        lease = _Lease(fs, table_dir, ttl_ms=lease_ttl_ms).acquire_wait(
+            wait_ms=_COMMIT_WAIT_MS
+        )
+        try:
+            fresh = _read_manifest(table_dir, fs)
+            if fresh is None:
+                raise ConcurrentWriteError(
+                    "append_branch: manifest vanished mid-write"
+                )
+            cur_br = (fresh.get("branches") or {}).get(name)
+            if cur_br is None:
+                raise ConcurrentWriteError(
+                    "append_branch: branch %r was dropped mid-write"
+                    % name
+                )
+            if int(cur_br.get("seq", 0)) != seen_seq:
+                raise ConcurrentWriteError(
+                    "append_branch: a concurrent commit advanced "
+                    "branch %r (seq %d -> %d) — re-run against its "
+                    "new head"
+                    % (name, seen_seq, int(cur_br.get("seq", 0)))
+                )
+            cur_head = cur_br["head"]
+            segs = list(cur_head.get("segments") or []) + (
+                [seg] if new_files else []
+            )
+            new_head = {
+                **cur_head,
+                "segments": segs,
+                "removed": list(cur_head.get("removed") or []),
+                "n_rows": int(cur_head["n_rows"]) + int(obs.get["n"]),
+                "n_files": int(cur_head.get("n_files") or 0)
+                + len(new_files),
+                "size_bytes": int(cur_head.get("size_bytes") or 0)
+                + sum(new_sizes.values()),
+                "operation": "branch_append",
+                "committed_at_ms": _now_ms(),
+            }
+            # a fork from a legacy inline entry carries "files" — once
+            # appended the head is segment-shaped, drop the inline list
+            for k in ("files", "file_sizes"):
+                new_head.pop(k, None)
+            if not new_head.get("segments"):
+                # nothing staged and no prior segments: keep inline
+                new_head["segments"] = segs
+            branches = dict(fresh.get("branches") or {})
+            branches[name] = {
+                **cur_br, "head": new_head, "seq": seen_seq + 1,
+            }
+            out = {**fresh, "branches": branches}
+            fs.replace_with(
+                json.dumps(out),
+                _manifest_path(table_dir, fs),
+                ".tmp.br.%s.%d" % (name.replace("/", "_"), seen_seq + 1),
+            )
+            fs.delete_file(fs.join(table_dir, seg + ".claim"))
+            return seen_seq + 1
+        finally:
+            lease.release()
+    except ConcurrentWriteError:
+        beat.stop()
+        try:
+            fs.delete_file(fs.join(table_dir, seg + ".claim"))
+        except Exception:
+            pass
+        try:
+            fs.rmtree(fs.join(table_dir, seg))
+        except Exception:
+            pass
+        raise
+    finally:
+        beat.stop()
+
+
+def fast_forward_branch(
+    table_dir: str,
+    name: str,
+    spark: Optional[SparkSession] = None,
+    lease_ttl_ms: int = 300_000,
+    drop: bool = True,
+) -> int:
+    """MAIN adopts branch ``name``'s head as its next version — one
+    metadata commit, zero data movement (the head's segments are
+    already on disk). REFUSES (ConcurrentWriteError) when main moved
+    past the branch's fork point: the head was built on a stale base,
+    so adopting it would silently erase main's concurrent commits —
+    re-fork and replay instead (same contract as Iceberg's
+    fast-forward). ``drop`` removes the ref in the same commit
+    (default); keep it to continue writing on the branch from the new
+    shared base."""
+    fs = _fs_for(table_dir, spark)
+    lease = _Lease(fs, table_dir, ttl_ms=lease_ttl_ms).acquire_wait(
+        wait_ms=_COMMIT_WAIT_MS
+    )
+    try:
+        fresh = _read_manifest(table_dir, fs)
+        if fresh is None:
+            raise ValueError("fast_forward_branch: no committed table")
+        br = (fresh.get("branches") or {}).get(name)
+        if br is None:
+            raise KeyError("fast_forward_branch: no branch %r" % name)
+        if int(fresh["version"]) != int(br["base"]):
+            raise ConcurrentWriteError(
+                "fast_forward_branch: main moved from version %d to %d "
+                "since branch %r forked — adopting the head would drop "
+                "those commits; re-fork from the current version and "
+                "replay"
+                % (int(br["base"]), int(fresh["version"]), name)
+            )
+        entry = dict(br["head"])
+        entry["operation"] = "fast_forward"
+        entry.pop("committed_at_ms", None)
+        entry["meta"] = {"fast_forwarded_from": name}
+        version = int(fresh["version"]) + 1
+        branches = dict(fresh.get("branches") or {})
+        if drop:
+            branches.pop(name)
+        else:
+            branches[name] = {**br, "base": version}
+        entry["branches"] = branches
+        _commit(fs, table_dir, fresh, version, entry, lease=lease)
+        return version
+    finally:
+        lease.release()
+
+
 def restore_table(
     table_dir: str,
     version: int,
@@ -3608,7 +4440,7 @@ def restore_table(
             for k in (
                 "files", "file_sizes", "file_stats", "segments",
                 "removed", "n_rows", "n_files", "size_bytes", "schema",
-                "partition_by", "dv", "dv_rows",
+                "partition_by", "partition_spec", "dv", "dv_rows",
             )
             if src.get(k) is not None
         }
@@ -3734,10 +4566,16 @@ def clone_table(
             },
         }
         # schema-evolution state forks with the snapshot: the clone's
-        # reads resolve renamed/dropped columns exactly as the source's
+        # reads resolve renamed/dropped columns exactly as the source's.
+        # Layout (partition_spec) and table properties (index_cols,
+        # retention — Delta CLONE copies table properties) ride along:
+        # a clone that silently dropped the retention policy would give
+        # a bare vacuum on it the default horizon instead of the
+        # declared compliance one.
         for k in (
             "field_ids", "next_field_id", "schema_evolved",
             "retired_names", "constraints", "index_cols",
+            "partition_spec", "retention",
         ):
             if entry.get(k) is not None:
                 new_entry[k] = entry[k]
@@ -4645,10 +5483,18 @@ def vacuum(
                 )
         # reference set AFTER pruning: every dir a retained snapshot
         # (incl. the committed one) cites a data file or its delete-
-        # vector file in must survive
+        # vector file in must survive. BRANCH HEADS are pinned like
+        # tags — their entries live outside the snapshots map, so they
+        # join the walk explicitly.
         referenced = set()
-        for e in [manifest] + list(
-            (manifest.get("snapshots") or {}).values()
+        for e in (
+            [manifest]
+            + list((manifest.get("snapshots") or {}).values())
+            + [
+                b["head"]
+                for b in (manifest.get("branches") or {}).values()
+                if isinstance(b.get("head"), dict)
+            ]
         ):
             for f in _entry_files(fs, table_dir, e):
                 if not _is_ext(f):
@@ -4944,10 +5790,15 @@ def compact(
         if manifest is None:
             raise ValueError("no committed table at %s" % table_dir)
         parts = manifest.get("partition_by") or []
+        pspec = manifest.get("partition_spec")
         if target_files is None:
             _, size = _entry_counters(fs, table_dir, manifest)
             target_files = max(1, math.ceil(size / float(target_file_bytes)))
         if parts:
+            # hidden partitioning: re-derive the transform columns so
+            # the range clustering co-locates each physical partition
+            # (atomic_publish drops them again for the logical schema)
+            cur = _materialize_partition_cols(cur, pspec)
             payload = [c for c in cur.columns if c not in parts]
             out = (
                 cur.withColumn(
@@ -4964,7 +5815,7 @@ def compact(
             out = cur.repartition(target_files)
         return atomic_publish(
             out, table_dir, partition_by=parts or None, _lease=lease,
-            data_change=False, operation="compact",
+            data_change=False, operation="compact", _partition_spec=pspec,
         )
 
 
@@ -5031,6 +5882,9 @@ def compact_files(
     if parts:
         from pyspark.sql import functions as F
 
+        folded = _materialize_partition_cols(
+            folded, manifest.get("partition_spec")
+        )
         payload = [c for c in folded.columns if c not in parts]
         folded = (
             folded.withColumn(
@@ -5131,16 +5985,17 @@ def merge_publish(
             base = changes.limit(0)
             if op_col:
                 base = base.drop(op_col)
-            parts = partition_by
+            parts, pspec = partition_by, None
         else:
             base = read_published(spark, table_dir)
             parts = prev.get("partition_by") or None
+            pspec = prev.get("partition_spec")
         merged = cdc_apply(
             base, changes, key_cols, vers, op_col=op_col, delete_op=delete_op
         )
         return atomic_publish(
             merged, table_dir, partition_by=parts, _lease=lease,
-            operation="merge",
+            operation="merge", _partition_spec=pspec,
         )
 
 
@@ -5425,7 +6280,9 @@ def _mor_commit(
         vdir = fs.join(table_dir, seg)
         obs = Observation()
         cnames, cmap, caggs = _constraint_aggs(manifest)
-        writer = out_df.observe(
+        writer = _materialize_partition_cols(
+            out_df, manifest.get("partition_spec")
+        ).observe(
             obs, F.count(F.lit(1)).alias("n"), *caggs
         ).write
         if parts:
@@ -5517,6 +6374,8 @@ def _mor_commit(
                 "partition_by": parts,
                 "operation": operation,
             }
+            if prev.get("partition_spec"):
+                entry["partition_spec"] = prev["partition_spec"]
             if out_fids:
                 entry["field_ids"] = out_fids[0]
                 entry["next_field_id"] = out_fids[1]
@@ -5537,7 +6396,9 @@ def _mor_commit(
         # dir + claim marker now instead of leaving them to vacuum's
         # TTL aging (best-effort; a crash still falls back to vacuum).
         # Safe: every CWE raise above precedes the manifest swap, so
-        # nothing can reference this seg.
+        # nothing can reference this seg. Stop the heartbeat FIRST —
+        # a beat landing after the delete would recreate the claim.
+        beat.stop()
         try:
             fs.delete_file(fs.join(table_dir, seg + ".claim"))
         except Exception:
@@ -5963,7 +6824,14 @@ def compact_partitions(
         for f in by_val.get(v, [])
     )
     n_files = max(1, math.ceil(touched_bytes / float(target_file_bytes)))
-    touched = cur.where(F.col(pc).isin(values))  # partition-pruned scan
+    pspec = manifest.get("partition_spec")
+    if pspec:
+        # hidden layout: re-derive the physical column (deterministic
+        # twin of the path value) and match its canonical string form
+        cur = _materialize_partition_cols(cur, pspec)
+        touched = cur.where(F.col(pc).cast("string").isin(values))
+    else:
+        touched = cur.where(F.col(pc).isin(values))  # partition-pruned
     payload = [c for c in cur.columns if c not in parts]
     folded = (
         touched.withColumn(
@@ -6511,6 +7379,8 @@ def _dv_delete(
                 "dv": _write_dv(fs, table_dir, seg, merged),
                 "dv_rows": _dv_nrows(merged),
             }
+            if prev.get("partition_spec"):
+                entry["partition_spec"] = prev["partition_spec"]
             version = int(prev["version"]) + 1
             _commit(fs, table_dir, prev, version, entry, lease=lease)
             # commit done: the staging dir now exists and is referenced,
@@ -6653,6 +7523,8 @@ def compact_delete_vectors(
                 "dv": _write_dv(fs, table_dir, seg, new_dv),
                 "dv_rows": _dv_nrows(new_dv),
             }
+            if prev.get("partition_spec"):
+                entry["partition_spec"] = prev["partition_spec"]
             version = int(prev["version"]) + 1
             _commit(fs, table_dir, prev, version, entry, lease=lease)
             fs.delete_file(fs.join(table_dir, seg + ".claim"))
@@ -6946,7 +7818,9 @@ def replace_files_publish(
         vdir = fs.join(table_dir, seg)
         obs = Observation()
         cnames, cmap, caggs = _constraint_aggs(prev)
-        writer = df.observe(
+        writer = _materialize_partition_cols(
+            df, prev.get("partition_spec")
+        ).observe(
             obs, F.count(F.lit(1)).alias("n"), *caggs
         ).write
         if parts:
@@ -7028,6 +7902,8 @@ def replace_files_publish(
                 "operation": operation,
                 **_carry_dv(fs, table_dir, prev, seg, carried),
             }
+            if prev.get("partition_spec"):
+                entry["partition_spec"] = prev["partition_spec"]
             if not data_change:
                 entry["data_change"] = False
             version = int(prev["version"]) + 1
@@ -7044,7 +7920,9 @@ def replace_files_publish(
         # lost races are routine under the bounded re-run loops
         # (update_publish CoW, replace_where_publish) — reclaim the
         # staged dir + claim instead of aging them out under vacuum's
-        # TTL (best-effort; every CWE raise precedes the manifest swap)
+        # TTL (best-effort; every CWE raise precedes the manifest swap).
+        # Stop the heartbeat FIRST so no beat recreates the claim.
+        beat.stop()
         try:
             fs.delete_file(fs.join(table_dir, seg + ".claim"))
         except Exception:

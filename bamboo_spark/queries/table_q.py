@@ -627,3 +627,101 @@ t4 as (
 )
 select k, v, "d" from t4 order by k
 """
+
+
+def q_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN PARTITIONING differential (round 13): Iceberg-style
+    partition transforms (``partition_by=["days(ts)"]``) driven
+    end-to-end — the single most common 100 TB time-series layout,
+    where the user never materializes or names the physical day
+    column:
+
+    1. publish the ``k % 3 < 2`` slice of events partitioned by
+       ``days(ts)`` — rows land under derived ``ts_day=YYYY-MM-DD``
+       directories, the logical schema stays (k, ts, v);
+    2. append the ``k % 3 = 2`` slice (lands under the same hidden
+       layout from the manifest spec);
+    3. ``delete_publish(delete_vectors=True)`` of ``k % 11 = 0`` —
+       merge-on-read bitmap deletes over day-partitioned files;
+    4. merge-on-read UPDATE ``v := v + 1000`` where ``k % 7 = 0``;
+    5. DYNAMIC partition overwrite of day 2024-01-05: the replacement
+       batch is recomputed from source and the touched day is
+       DISCOVERED from the ``ts`` column through the transform —
+       ``overwrite_partitions_publish`` never sees a ``ts_day``
+       column;
+    6. ``compact()`` — the rewrite re-derives the transform columns
+       so compacted files keep the day layout;
+    7. the final read uses ``skip={"ts": (lo, hi)}`` — transform-aware
+       MANIFEST pruning drops whole day directories outside the bound
+       before Spark plans the scan (the pin test asserts the file
+       list; here the differential proves values survive pruning).
+
+    Scale: every step is O(touched files); the day-range read on a
+    30,000-day table opens only the bounded days' files.
+
+    Oracle: the lifecycle replayed as pure relational algebra over
+    ``events``."""
+    import datetime as _dt
+
+    from bamboo_spark.operators import publish as P
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("k"),
+        F.col("ts"),
+        F.expr("cast(round(value * 100, 0) as bigint)").alias("v"),
+    )
+    root = tempfile.mkdtemp(prefix="bamboo_hidden_part_")
+    t = root + "/t"
+    P.atomic_publish(ev.where("k % 3 < 2"), t, partition_by=["days(ts)"])
+    P.append_publish(ev.where("k % 3 = 2"), t)
+    P.delete_publish(spark, t, "k % 11 = 0", delete_vectors=True)
+    P.update_publish(spark, t, "k % 7 = 0", {"v": "v + 1000"})
+    day_rows = (
+        ev.where("to_date(ts) = date'2024-01-05' and k % 11 != 0")
+        .withColumn(
+            "v",
+            F.expr("case when k % 7 = 0 then v + 1000 else v end"),
+        )
+        .withColumn("v", F.expr("v * 2"))
+    )
+    P.overwrite_partitions_publish(day_rows, t)
+    P.compact(spark, t)
+    lo = _dt.datetime(2024, 1, 3)
+    hi = _dt.datetime(2024, 1, 20, 23, 59, 59)
+    out = P.read_published(spark, t, skip={"ts": (lo, hi)})
+    return (
+        out.where(
+            "ts between timestamp'2024-01-03 00:00:00' "
+            "and timestamp'2024-01-20 23:59:59'"
+        )
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum_v"),
+        )
+        .orderBy("d")
+    )
+
+
+Q_HIDDEN_PARTITIONING_SQL = """
+with ev as (
+  select event_id::BIGINT k, ts,
+         cast(round(value * 100, 0) as BIGINT) v
+  from events
+),
+st as (
+  select k, ts, case when k % 7 = 0 then v + 1000 else v end v
+  from ev where k % 11 <> 0
+),
+fin as (
+  select k, ts,
+         case when ts::DATE = date '2024-01-05' then v * 2 else v end v
+  from st
+)
+select strftime(ts, '%Y-%m-%d') "d", count(*)::BIGINT n, sum(v)::BIGINT sum_v
+from fin
+where ts between timestamp '2024-01-03 00:00:00'
+             and timestamp '2024-01-20 23:59:59'
+group by 1
+order by 1
+"""

@@ -2130,12 +2130,14 @@ def publish_stream(
     first read — a GDPR ``delete_publish(point=...)`` against the raw
     landing zone rewrites only the files holding the user."""
     from bamboo_spark.operators.publish import (
+        _fs_for,
+        _parse_partition_by,
+        _read_manifest,
         append_publish,
         atomic_publish,
         merge_into,
         merge_publish_incremental,
         overwrite_partitions_publish,
-        table_meta,
     )
 
     if mode not in (
@@ -2146,12 +2148,28 @@ def publish_stream(
             "publish_stream: mode must be append|snapshot|merge|"
             "merge_into|overwrite_partitions"
         )
-    if mode == "overwrite_partitions" and not partition_by:
-        raise ValueError(
-            "publish_stream(mode='overwrite_partitions') needs "
-            "partition_by (the single hive column each batch replaces "
-            "values of)"
-        )
+    if mode == "overwrite_partitions":
+        if not partition_by:
+            raise ValueError(
+                "publish_stream(mode='overwrite_partitions') needs "
+                "partition_by (the single hive column each batch "
+                "replaces values of)"
+            )
+        # validate BEFORE the first batch: the underlying dynamic
+        # overwrite is single-column-layout only — a multi-column
+        # partition_by would seed the table on batch 1 and then fail
+        # every later batch forever (data committed, stream dead).
+        # Transform syntax counts by PHYSICAL column ("days(ts)" is
+        # one), so a hidden daily layout streams fine.
+        names, _ = _parse_partition_by(partition_by)
+        if len(names) != 1:
+            raise ValueError(
+                "publish_stream(mode='overwrite_partitions') supports "
+                "a SINGLE partition column (got %s) — "
+                "overwrite_partitions_publish replaces whole values "
+                "of one hive column; use mode='merge_into' with an "
+                "exact multi-column condition instead" % (names,)
+            )
     if mode in ("merge", "merge_into") and not key_cols:
         raise ValueError(
             "publish_stream(mode=%r) needs key_cols" % mode
@@ -2161,7 +2179,13 @@ def publish_stream(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        hwm = table_meta(table_dir, spark).get("last_bid")
+        # ONE manifest read answers both questions: the exactly-once
+        # high-water mark AND (for overwrite_partitions) whether this
+        # batch SEEDS the table — an explicit existence probe, never
+        # an exception-message match
+        man = _read_manifest(table_dir, _fs_for(table_dir, spark))
+        hwm = ((man.get("meta") or {}).get("last_bid")
+               if man is not None else None)
         if hwm is not None and int(batch_id) <= int(hwm):
             return  # replayed batch: already committed
         meta = {"last_bid": int(batch_id)}
@@ -2185,19 +2209,18 @@ def publish_stream(
             # idempotent streaming recompute: each batch REPLACES the
             # partitions it carries (a windowed aggregation stream in
             # update mode rewriting affected days) — the first batch
-            # seeds the partitioned table
-            try:
-                overwrite_partitions_publish(
-                    batch_df, table_dir, meta=meta,
-                    stats_cols=stats_cols, bloom_cols=bloom_cols,
-                )
-            except ValueError as e:
-                if "no committed table" not in str(e):
-                    raise
+            # seeds the partitioned table (decided by the explicit
+            # manifest probe above, not by matching an error message)
+            if man is None:
                 atomic_publish(
                     batch_df, table_dir, partition_by=partition_by,
                     meta=meta, stats_cols=stats_cols,
                     bloom_cols=bloom_cols,
+                )
+            else:
+                overwrite_partitions_publish(
+                    batch_df, table_dir, meta=meta,
+                    stats_cols=stats_cols, bloom_cols=bloom_cols,
                 )
         elif mode == "append":
             append_publish(

@@ -1488,21 +1488,29 @@ def test_index_spec_survives_compact_and_clone(spark, tmp_path):
 
 
 def test_index_spec_tolerates_rename(spark, tmp_path):
-    """After renaming an indexed column, defaulted writes simply stop
-    indexing the vanished name — never break."""
+    """ROUND 13 (r12 verdict #4): the persisted index spec FOLLOWS a
+    rename in the same commit — the next defaulted write blooms the
+    column under its NEW name, so the table's point-lookup SLA never
+    silently degrades. (Round 12 merely skipped the vanished name;
+    the old pin is superseded.)"""
     d = str(tmp_path / "t")
     atomic_publish(
         _rows(spark, 0, 20).coalesce(1), d, bloom_cols=["v"]
     )
     P.rename_column(d, "v", "amount", spark=spark)
+    assert P.describe_table(d, spark)["index_cols"]["bloom"] == [
+        "amount"
+    ]
     ver = append_publish(
         spark.range(20, 30).select(
             F.col("id").alias("k"), (F.col("id") * 10).alias("amount")
         ).coalesce(1),
         d,
     )
-    assert ver == 3                      # write succeeded
-    assert not _seg_blooms(d, "_v3")     # vanished name skipped
+    assert ver == 3
+    blooms = _seg_blooms(d, "_v3")
+    assert blooms and all("amount" in b for b in blooms.values())
+    # and set_index_columns still re-arms explicitly as before
     P.set_index_columns(d, bloom_cols=["amount"], spark=spark)
     append_publish(
         spark.range(30, 40).select(

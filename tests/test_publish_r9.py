@@ -1003,7 +1003,7 @@ def test_partition_evolution_guards(spark, tmp_path):
         [("a", "x", 1), ("b", "y", 2)], "k string, d string, v long"
     )
     atomic_publish(df, t, partition_by="k")
-    with pytest.raises(ValueError, match="not table columns"):
+    with pytest.raises(ValueError, match="not a table column"):
         set_partition_layout(t, "nope")
     with pytest.raises(ValueError, match="non-empty"):
         set_partition_layout(t, [])

@@ -36,6 +36,27 @@ def run(cmd, **env):
         sys.exit(r.returncode)
 
 
+def check_tree_clean() -> None:
+    """FRESHNESS GUARD (round-12 verdict #3): the close artifacts must
+    be generated from the tree that gets committed — refuse to run
+    while ``bamboo_spark/`` has uncommitted changes, because artifacts
+    generated now would describe a tree that later source commits
+    silently invalidate. Commit the source first, then close."""
+    r = subprocess.run(
+        ["git", "status", "--porcelain", "--", "bamboo_spark/"],
+        cwd=ROOT, stdout=subprocess.PIPE,
+    )
+    dirty = [ln for ln in r.stdout.decode().splitlines() if ln.strip()]
+    if dirty:
+        print(
+            "close-round: REFUSED — bamboo_spark/ has uncommitted "
+            "changes; the artifacts would not describe the committed "
+            "tree:\n  " + "\n  ".join(dirty[:20]),
+            file=sys.stderr,
+        )
+        sys.exit(3)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     if not args or not args[0].isdigit():
@@ -46,6 +67,7 @@ def main() -> None:
     if "--sf" in args:
         sf = args[args.index("--sf") + 1]
     py = sys.executable
+    check_tree_clean()
     run([py, "tools/gen_query_index.py"])
     run([py, "tools/plan_sweep.py"])
     run([py, "scripts/parity_artifact.py", round_no, sf])
