@@ -1352,6 +1352,81 @@ from h order by tenth
 """.format(pairs=pairs.strip().rstrip(";"))
 
 
+_CURVE_SAMPLE_PRED = "(doc_id * 2654435761) % 100 < 25"
+_CURVE_SAMPLE_SCALE = 16  # 1 / 0.25^2 — both endpoints must survive
+
+
+def q_dedup_threshold_curve_sampled(
+    spark: SparkSession, sf_dir: str, floor_threshold: float = 0.5
+) -> DataFrame:
+    """SAMPLED threshold planning curve (round-13 verdict #4): the
+    100 TB posture for :func:`q_dedup_threshold_curve`. The exact
+    curve runs a PPJoin at floor 0.5, where prefix filtering prunes
+    only ~25% of the inverted-index volume — at corpus scale the
+    DIAGNOSTIC would cost more than the dedup run it plans. This twin
+    runs the identical join over a HASH-STABLE 25% document sample
+    (Knuth multiplicative hash on doc_id — deterministic, engine-
+    portable, no RNG) and reports both the raw sampled counts and the
+    ``×16`` pair-rate estimate (both endpoints of a pair must survive
+    a 1/4 doc sample, so pair counts scale by the square).
+
+    Read ``n_pairs_est`` for the planning decision (where's the
+    cliff?), ``n_pairs`` for the confidence (small cells are noisy —
+    the estimate's relative error is ~1/sqrt(n_pairs)). The exact
+    variant stays the default at test SFs; at production scale run
+    this one first and the exact join only above the chosen floor.
+
+    Scale: the sample predicate pushes to the parquet scan, so the
+    whole pipeline — shingling, prefix index, verify — runs on 25% of
+    docs and ~6% of candidate pairs."""
+    d = load(spark, sf_dir, "documents").where(_CURVE_SAMPLE_PRED)
+    pairs = dedup.jaccard_pairs(
+        d, threshold=floor_threshold, max_shingle_df=None
+    )
+    h = pairs.groupBy(
+        F.expr("cast(floor(jaccard * 10 + 1e-9) as int)").alias("tenth")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    wz = Window.orderBy(F.col("tenth").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        h.select(
+            "tenth",
+            "n_pairs",
+            F.sum("n_pairs").over(wz).cast("bigint").alias("n_pairs_ge"),
+            (F.col("n_pairs") * F.lit(_CURVE_SAMPLE_SCALE))
+            .cast("bigint")
+            .alias("n_pairs_est"),
+        )
+        .orderBy("tenth")
+    )
+
+
+def _dedup_threshold_curve_sampled_duck(
+    floor_threshold: float = 0.5,
+) -> str:
+    pairs = dedup.jaccard_pairs_duck(
+        threshold=floor_threshold,
+        source="(select * from documents where %s)"
+        % _CURVE_SAMPLE_PRED,
+    )
+    return """
+with pr as materialized (
+{pairs}
+),
+h as (
+  select floor(jaccard * 10 + 1e-9)::INT tenth, count(*)::BIGINT n_pairs
+  from pr group by 1
+)
+select tenth, n_pairs,
+       sum(n_pairs) over (order by tenth desc
+                          rows between unbounded preceding
+                          and current row)::BIGINT n_pairs_ge,
+       (n_pairs * {scale})::BIGINT n_pairs_est
+from h order by tenth
+""".format(pairs=pairs.strip().rstrip(";"), scale=_CURVE_SAMPLE_SCALE)
+
+
 def q_dup_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient (transitivity) of the near-dup
     graph: 3·triangles / wedges — ONE number answering the question
