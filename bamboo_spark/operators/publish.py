@@ -4876,9 +4876,12 @@ def _cdf_delta(
     tables (None = identity). Everything resolves from manifests and
     dv manifests on the DRIVER — no Spark job — which is exactly what
     a streaming source's ``partitions()`` is allowed to do.
-    Row-REWRITING replaces can't be expressed without a diff job: they
-    raise, pointing at the batch :func:`read_changes` (same rule as
-    Delta's CDF-less rewrites)."""
+    Row-REWRITING commits (CoW update / replaceWhere) plan "rewrite"
+    GROUP tasks — the dropped vs added files of one hive partition,
+    multiset-diffed EXECUTOR-side with row-exact parity to the batch
+    :func:`read_changes` (per-partition decomposition is exact because
+    identical rows cannot span partition directories); nested-column
+    schemas still refuse toward the batch path."""
 
     def _entry_of(v: int) -> dict:
         if v == 0:
@@ -5010,11 +5013,81 @@ def _cdf_delta(
                 if t:
                     plan.append(t)
         else:
-            raise ValueError(
-                "change feed: v%d rewrote rows (replace); a streaming "
-                "source plans driver-side only — use the batch "
-                "read_changes() for exact rewrite diffs" % v
-            )
+            # ROW-REWRITING commit (CoW update / replaceWhere / a
+            # membership-changing compaction): plan per-PARTITION
+            # REWRITE GROUPS — each task diffs the dropped vs added
+            # rows of ONE hive partition executor-side (the same
+            # multiset-diff shape batch read_changes runs as a Spark
+            # job). Per-partition decomposition is EXACT: identical
+            # full rows can never span partition directories (an
+            # identity partition value IS part of the row; a hidden
+            # transform derives the dir deterministically from it), so
+            # group-local diffs sum to the global diff. Any touched
+            # file missing a partition segment (pre-evolution layout)
+            # collapses the commit to one global group — conservative,
+            # still exact. Nested/map columns aren't multiset-diffable
+            # in the Arrow worker: refuse toward batch read_changes
+            # (which refuses maps for the same reason).
+            if any(
+                not isinstance(x["type"], str)
+                for x in json.loads(manifest["schema"])["fields"]
+            ):
+                raise ValueError(
+                    "change feed: v%d rewrote rows and the schema has "
+                    "nested columns — the executor-side multiset diff "
+                    "needs atomic columns; use the batch "
+                    "read_changes() (maps refuse there too)" % v
+                )
+            pby = list(e.get("partition_by") or [])
+
+            def _gkey(f: str):
+                vals = tuple(_pt_path_value(f, c) for c in pby)
+                return None if any(x is None for x in vals) else vals
+
+            ko = [_gkey(f) for f in dropped]
+            kn = [_gkey(f) for f in added]
+            groups: dict = {}
+            if pby and all(k is not None for k in ko + kn):
+                for f, k in zip(dropped, ko):
+                    groups.setdefault(k, ([], []))[0].append(f)
+                for f, k in zip(added, kn):
+                    groups.setdefault(k, ([], []))[1].append(f)
+            else:
+                groups = {None: (dropped, added)}
+            for k in sorted(
+                groups, key=lambda x: (x is None, x)
+            ):
+                old_fl, new_fl = groups[k]
+                plan.append(
+                    {
+                        "kind": "rewrite",
+                        "file": None,
+                        "take_ref": None,
+                        "mask_ref": None,
+                        "fields": None,
+                        "old": [
+                            (
+                                f,
+                                _dv_ref_of(dv_prev.get(f), f),
+                                _fields_of(res_prev, f),
+                            )
+                            for f in old_fl
+                        ],
+                        "new": [
+                            (
+                                f,
+                                _dv_ref_of(dv_cur.get(f), f),
+                                _fields_of(res_cur, f),
+                            )
+                            for f in new_fl
+                        ],
+                        **base,
+                    }
+                )
+            for f in sorted(prev_files & cur_files):
+                t = _dv_task(f)
+                if t:
+                    plan.append(t)
         prev_e, prev_files, res_prev = e, cur_files, res_cur
     return plan
 

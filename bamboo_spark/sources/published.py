@@ -353,6 +353,99 @@ def _arrow_batches(part: _FilePartition):
         yield batch
 
 
+@dataclass
+class _RewritePartition(InputPartition):
+    """One task = one hive partition's share of a ROW-REWRITING commit
+    (CoW update / replaceWhere): ``old``/``new`` are tuples of
+    ``(loc, rel, dv_ref, fields)`` for the dropped and added files of
+    that partition. The executor reads both sides masked, multiset-
+    diffs them (count per full row), and emits the negative diffs as
+    deletes and positive diffs as inserts — row-exact parity with the
+    batch ``read_changes`` Spark-job diff. Task size is bounded by one
+    partition's share of the commit's touched bytes (a replaceWhere
+    day-swap diffs day-by-day)."""
+
+    old: tuple
+    new: tuple
+    schema_json: str       # PLAIN manifest schema (no _change_* cols)
+    partition_by: tuple
+    commit_version: int = 0
+
+
+def _rewrite_batches(part: _RewritePartition):
+    """Executor-side multiset diff for one rewrite group. Reuses the
+    aligned per-file reader for both sides (dv masks, path partition
+    values, field-id resolution all apply), then counts per full row
+    with pandas (dropna=False: NULL keys group like SQL's GROUP BY)
+    and explodes the count deltas back into rows."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    spark_schema = StructType.fromJson(json.loads(part.schema_json))
+    arrow_schema = to_arrow_schema(spark_schema)
+    names = [f.name for f in arrow_schema]
+
+    def _side(entries) -> pd.DataFrame:
+        frames = []
+        for loc, rel, dv_ref, fields in entries:
+            fp = _FilePartition(
+                loc=loc, rel=rel, schema_json=part.schema_json,
+                partition_by=part.partition_by, dv_ref=dv_ref,
+                fields=fields,
+            )
+            for b in _arrow_batches(fp):
+                frames.append(pa.Table.from_batches([b]).to_pandas())
+        if not frames:
+            return pd.DataFrame(columns=names)
+        return pd.concat(frames, ignore_index=True)
+
+    oc = (
+        _side(part.old).groupby(names, dropna=False).size()
+        if len(part.old)
+        else pd.Series(dtype="int64")
+    )
+    nc = (
+        _side(part.new).groupby(names, dropna=False).size()
+        if len(part.new)
+        else pd.Series(dtype="int64")
+    )
+    diff = nc.sub(oc, fill_value=0).astype("int64")
+    cdf_schema = to_arrow_schema(
+        StructType.fromJson(
+            json.loads(_cdf_schema_json(part.schema_json))
+        )
+    )
+
+    def _emit(mask, change_type: str):
+        d = diff[mask]
+        if d.empty:
+            return None
+        rows = d.index.to_frame(index=False)
+        rows.columns = names
+        reps = np.abs(d.to_numpy()).astype("int64")
+        rows = rows.loc[rows.index.repeat(reps)].reset_index(drop=True)
+        rows["_change_type"] = change_type
+        rows["_commit_version"] = np.int64(part.commit_version)
+        # pandas groupby lifts ints to float when a NULL joined the
+        # level — from_pandas with the target type maps NaN back to
+        # null and restores the declared width
+        cols = [
+            pa.Array.from_pandas(rows[f.name], type=f.type)
+            for f in cdf_schema
+        ]
+        return pa.table(cols, schema=cdf_schema)
+
+    for tbl in (
+        _emit(diff < 0, "delete"),
+        _emit(diff > 0, "insert"),
+    ):
+        if tbl is not None:
+            for batch in tbl.to_batches():
+                yield batch
+
+
 def _parse_json_option(options: dict, key: str) -> dict:
     """A load option holding a JSON object ({} when absent). Option
     KEYS are lowercased by Spark; JSON VALUES are not — which is why
@@ -571,27 +664,60 @@ class _PublishedStreamReader(DataSourceStreamReader):
                     return ref
                 return (ref[0], _join(self._dir, ref[1]), ref[2])
 
-            return [
-                _FilePartition(
-                    loc=_join(self._dir, p["file"]),
-                    rel=p["file"],
-                    schema_json=_cdf_schema_json(p["schema"]),
-                    partition_by=parts,
-                    dv_ref=_loc_ref(p["mask_ref"]),
-                    take_diff=(
-                        tuple(_loc_ref(r) for r in p["take_ref"])
-                        if p["take_ref"] is not None
-                        else None
-                    ),
-                    change_type=p["kind"],
-                    commit_version=p["version"],
-                    # schema-evolved tables: the planner resolved each
-                    # file's (logical, physical) map from its OWNING
-                    # entry — renamed/dropped columns read correctly
-                    fields=p.get("fields"),
+            out: List[InputPartition] = []
+            for p in plan:
+                if p["kind"] == "rewrite":
+                    # one task per hive partition of a row-rewriting
+                    # commit: executor-side multiset diff of the
+                    # dropped vs added files (see _rewrite_batches)
+                    out.append(
+                        _RewritePartition(
+                            old=tuple(
+                                (
+                                    _join(self._dir, f),
+                                    f,
+                                    _loc_ref(ref),
+                                    fields,
+                                )
+                                for f, ref, fields in p["old"]
+                            ),
+                            new=tuple(
+                                (
+                                    _join(self._dir, f),
+                                    f,
+                                    _loc_ref(ref),
+                                    fields,
+                                )
+                                for f, ref, fields in p["new"]
+                            ),
+                            schema_json=p["schema"],
+                            partition_by=parts,
+                            commit_version=p["version"],
+                        )
+                    )
+                    continue
+                out.append(
+                    _FilePartition(
+                        loc=_join(self._dir, p["file"]),
+                        rel=p["file"],
+                        schema_json=_cdf_schema_json(p["schema"]),
+                        partition_by=parts,
+                        dv_ref=_loc_ref(p["mask_ref"]),
+                        take_diff=(
+                            tuple(_loc_ref(r) for r in p["take_ref"])
+                            if p["take_ref"] is not None
+                            else None
+                        ),
+                        change_type=p["kind"],
+                        commit_version=p["version"],
+                        # schema-evolved tables: the planner resolved
+                        # each file's (logical, physical) map from its
+                        # OWNING entry — renamed/dropped columns read
+                        # correctly
+                        fields=p.get("fields"),
+                    )
                 )
-                for p in plan
-            ]
+            return out
         files, schema_json, _, evo = _append_delta_files(
             fs,
             native,
@@ -614,7 +740,9 @@ class _PublishedStreamReader(DataSourceStreamReader):
             for f in files
         ]
 
-    def read(self, partition: _FilePartition):
+    def read(self, partition):
+        if isinstance(partition, _RewritePartition):
+            return _rewrite_batches(partition)
         return _arrow_batches(partition)
 
     def commit(self, end: dict) -> None:

@@ -364,17 +364,83 @@ def test_stream_change_feed_delivers_inserts_and_deletes(
         q.stop()
 
 
-def test_cdf_delta_raises_on_row_rewrites(spark, tmp_path):
+def test_cdf_delta_plans_rewrite_groups(spark, tmp_path):
+    """ROUND 13 (r12 verdict #5): a row-rewriting commit no longer
+    refuses — the planner emits executor-side rewrite-group tasks
+    (old vs new files of one hive partition; one global group when
+    unpartitioned). Nested-column schemas still refuse toward batch
+    read_changes."""
     from bamboo_spark.operators import publish as P
     from bamboo_spark.operators.publish import delete_publish
 
     t = str(tmp_path / "tbl")
     atomic_publish(spark.range(10).selectExpr("id"), t)
-    delete_publish(spark, t, "id = 3")  # unpartitioned rewrite
+    delete_publish(spark, t, "id = 3")  # unpartitioned CoW rewrite
     fs = P._PosixFS()
     man = P._read_manifest(t, fs)
-    with pytest.raises(ValueError, match="rewrote rows"):
-        P._cdf_delta(fs, t, man, 1, 2)
+    plan = P._cdf_delta(fs, t, man, 1, 2)
+    rw = [p for p in plan if p["kind"] == "rewrite"]
+    assert len(rw) == 1 and rw[0]["old"] and rw[0]["new"]
+    # nested columns refuse (the Arrow-side diff can't group them)
+    t2 = str(tmp_path / "nested")
+    atomic_publish(
+        spark.range(4).selectExpr("id", "array(id, id) as a"), t2
+    )
+    delete_publish(spark, t2, "id = 1")
+    man2 = P._read_manifest(t2, fs)
+    with pytest.raises(ValueError, match="nested"):
+        P._cdf_delta(fs, t2, man2, 1, 2)
+
+
+def test_stream_cdf_exact_across_rewrites(src, spark, tmp_path):
+    """r12 verdict #5 'done' gate: a readChangeFeed stream catches up
+    across a CoW update + replaceWhere day-swap + dv delete with ROW-
+    EXACT parity to batch read_changes over the same range."""
+    from pyspark.sql import functions as F
+
+    from bamboo_spark.operators import publish as P
+
+    t = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    df = spark.range(40).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        (F.col("id") % 4).cast("int").alias("d"),
+    )
+    P.atomic_publish(df, t, partition_by=["d"])                    # v1
+    P.update_publish(
+        spark, t, "k % 5 = 0", {"v": "v + 1"}, delete_vectors=False
+    )                                                              # v2
+    day2 = df.where("d = 2").select(
+        "k", F.col("k").alias("v"), "d"
+    )
+    P.replace_where_publish(day2, t, "d = 2")                      # v3
+    P.delete_publish(spark, t, "k = 7", delete_vectors=True)       # v4
+    cols = ["k", "v", "d", "_change_type", "_commit_version"]
+    batch = sorted(
+        map(tuple, P.read_changes(spark, t, 0).select(*cols).collect())
+    )
+    seen = []
+
+    def sink(bdf, bid):
+        seen.extend(map(tuple, bdf.select(*cols).collect()))
+
+    q = (
+        spark.readStream.format("bamboo_published")
+        .option("startingVersion", "0")
+        .option("readChangeFeed", "true")
+        .load(t)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(seen) == batch
+    # the rewrite commits really produced change rows (not skipped)
+    assert any(r[4] == 2 for r in seen) and any(r[4] == 3 for r in seen)
 
 
 def test_batch_read_of_shallow_clone(src, spark, tmp_path):
@@ -465,10 +531,10 @@ def test_stream_starting_timestamp(src, spark, tmp_path):
 
 def test_stream_change_feed_delivers_updates(src, spark, tmp_path):
     """A MOR update commit (dv + new files, one commit) arrives on the
-    change feed as exact delete+insert pairs. REWRITE commits (CoW
-    update, replace_where) are refused HONESTLY by the streaming
-    planner — exact rewrite diffs are the batch read_changes() contract
-    (pinned in test_publish_r12) — never silently mis-delivered."""
+    change feed as exact delete+insert pairs. Since round 13, REWRITE
+    commits (CoW update, replace_where) deliver too — executor-side
+    multiset diff per rewrite group, row-exact vs read_changes
+    (test_stream_cdf_exact_across_rewrites is the full gate)."""
     from bamboo_spark.operators.publish import (
         replace_where_publish,
         update_publish,
@@ -508,21 +574,32 @@ def test_stream_change_feed_delivers_updates(src, spark, tmp_path):
         (2, "delete", 2, 20),
         (2, "insert", 2, 21),
     ]
-    # rewrite commits: the stream refuses rather than mis-delivering
+    # rewrite commits deliver as exact delete+insert (round 13)
     update_publish(
         spark, t, "k = 3", {"v": "99"}, delete_vectors=False
     )                                                            # v3 CoW
+    seen2 = []
+
+    def sink2(batch_df, bid):
+        seen2.extend(
+            (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+            for r in batch_df.collect()
+        )
+
     q2 = (
         spark.readStream.format("bamboo_published")
         .option("startingVersion", "2")
         .option("readChangeFeed", "true")
         .load(t)
-        .writeStream.foreachBatch(sink)
+        .writeStream.foreachBatch(sink2)
         .option("checkpointLocation", str(tmp_path / "ckpt2"))
         .start()
     )
-    with pytest.raises(Exception, match="rewrote rows"):
-        try:
-            q2.processAllAvailable()
-        finally:
-            q2.stop()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert sorted(seen2) == [
+        (3, "delete", 3, 30),
+        (3, "insert", 3, 99),
+    ]
