@@ -615,3 +615,59 @@ def test_branch_name_collides_with_tag_refused(spark, tmp_path):
         P.create_branch(t, "x")
     with pytest.raises(ValueError, match="already exists"):
         P.create_branch(t, "y"), P.create_branch(t, "y")
+
+
+# ------------------------------------------- streaming × hidden partitioning
+
+
+def test_publish_stream_overwrite_partitions_hidden_daily(spark, tmp_path):
+    """The idempotent streaming-recompute sink works on a HIDDEN daily
+    layout: partition_by=['days(ts)'] seeds the table on batch 1, and
+    every later batch replaces exactly the DAYS it carries — the
+    stream never names or materializes ts_day."""
+    from bamboo_spark.operators.publish import (
+        append_publish,
+        atomic_publish,
+        describe_table,
+        read_published,
+    )
+    from bamboo_spark.sources.published import register
+    from bamboo_spark.streaming.core import publish_stream
+
+    register(spark)
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+
+    def kvt(rows):
+        return spark.createDataFrame(rows, "k long, v long, ts timestamp")
+
+    d1 = dt.datetime(2024, 3, 1, 5)
+    d2 = dt.datetime(2024, 3, 2, 6)
+    atomic_publish(kvt([(1, 10, d1), (2, 20, d2)]), bronze)
+    sdf = (
+        spark.readStream.format("bamboo_published")
+        .option("startingVersion", "0")
+        .load(bronze)
+    )
+    q = (
+        publish_stream(
+            sdf, silver, mode="overwrite_partitions",
+            partition_by=["days(ts)"],
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert describe_table(silver, spark)["partition_by"] == ["ts_day"]
+        got = {(r.k, r.v) for r in read_published(spark, silver).collect()}
+        assert got == {(1, 10), (2, 20)}
+        # batch 2 carries only day 1 — it replaces day 1 WHOLESALE,
+        # day 2 carries by reference
+        append_publish(kvt([(3, 30, d1)]), bronze)
+        q.processAllAvailable()
+        got = {(r.k, r.v) for r in read_published(spark, silver).collect()}
+        assert got == {(3, 30), (2, 20)}
+    finally:
+        q.stop()
