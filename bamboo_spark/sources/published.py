@@ -528,6 +528,21 @@ class _PublishedBatchReader(DataSourceReader):
                 return True
 
             files = [f for f in files if _keep(f)]
+        if (self._skip or self._eq) and p.get("partition_by"):
+            # HIDDEN-PARTITIONING path pruning (mirrors
+            # read_published): a bound on a transform SOURCE column
+            # drops whole partition directories; runs on the driver
+            # during planning, where an active session is available
+            # for bucket-probe hash parity (absent → conservative)
+            from pyspark.sql import SparkSession
+
+            from bamboo_spark.operators.publish import _pt_prune_files
+
+            files = _pt_prune_files(
+                files, p.get("partition_spec"), p["partition_by"],
+                self._skip or None, self._eq or None,
+                SparkSession.getActiveSession(),
+            )
         dv = p.get("dv") or {}
         return [
             _FilePartition(
@@ -792,6 +807,7 @@ class PublishedTableDataSource(DataSource):
             # timestampAsOf; plus ref= for tags) — resolved here, once
             version = None
             as_of = None
+            branch_entry = None
             for k, v in (self.options or {}).items():
                 lk = str(k).lower()
                 if lk == "versionasof":
@@ -800,17 +816,26 @@ class PublishedTableDataSource(DataSource):
                     as_of = int(v)
                 elif lk == "ref":
                     tags = man.get("tags") or {}
-                    if str(v) not in tags:
+                    branches = man.get("branches") or {}
+                    if str(v) in tags:
+                        version = int(tags[str(v)])
+                    elif str(v) in branches:
+                        # branch heads live outside the snapshots map
+                        branch_entry = branches[str(v)]["head"]
+                    else:
                         raise ValueError(
-                            "bamboo_published: no tag %r" % v
+                            "bamboo_published: no tag or branch %r" % v
                         )
-                    version = int(tags[str(v)])
-            ver, entry = _select_snapshot(man, version, as_of)
+            if branch_entry is not None:
+                ver, entry = int(man["version"]), branch_entry
+            else:
+                ver, entry = _select_snapshot(man, version, as_of)
             res = _resolve_entry(fs, native, entry)
             self._pinned = {
                 "version": int(ver),
                 "schema": entry["schema"],
                 "partition_by": list(entry.get("partition_by") or []),
+                "partition_spec": entry.get("partition_spec"),
                 "files": res["files"],
                 "stats": res["file_stats"],
                 "blooms": res["file_blooms"],

@@ -671,3 +671,82 @@ def test_publish_stream_overwrite_partitions_hidden_daily(spark, tmp_path):
         assert got == {(3, 30), (2, 20)}
     finally:
         q.stop()
+
+
+# ------------------------------------------------- DataSource integration
+
+
+def test_datasource_reads_hidden_layout_and_prunes(spark, tmp_path):
+    """bamboo_published batch reads a hidden-partitioned table under
+    the logical schema, and the skip/skip_eq load options prune
+    partition directories through the transform spec."""
+    import json as _json
+
+    from bamboo_spark.sources.published import register
+
+    register(spark)
+    t = str(tmp_path / "t")
+    df = _ts_rows(spark)
+    atomic_publish(df, t, partition_by=["days(ts)"])
+    got = spark.read.format("bamboo_published").load(t)
+    assert got.columns == ["k", "v", "ts", "tag"]
+    assert got.count() == 60
+    pruned = (
+        spark.read.format("bamboo_published")
+        .option(
+            "skip",
+            _json.dumps({"ts": ["2024-03-02 00:00:00",
+                                "2024-03-02 23:59:59"]}),
+        )
+        .load(t)
+    )
+    assert (
+        pruned.where(
+            "ts between '2024-03-02 00:00:00' and '2024-03-02 23:59:59'"
+        ).count()
+        == 10
+    )
+    # a Python-DataSource frame exposes no inputFiles — pin the prune
+    # on the reader's own partition plan
+    from bamboo_spark.sources.published import _PublishedBatchReader
+
+    fs = P._PosixFS()
+    man = P._read_manifest(t, fs)
+    res = P._resolve_entry(fs, t, man)
+    pinned = {
+        "schema": man["schema"],
+        "partition_by": list(man.get("partition_by") or []),
+        "partition_spec": man.get("partition_spec"),
+        "files": res["files"],
+        "stats": res["file_stats"],
+        "blooms": res["file_blooms"],
+        "dv": {},
+        "evo": None,
+    }
+    reader = _PublishedBatchReader(
+        t, pinned,
+        skip={"ts": ("2024-03-02 00:00:00", "2024-03-02 23:59:59")},
+    )
+    rels = [pt.rel for pt in reader.partitions()]
+    assert rels and all("ts_day=2024-03-02" in r for r in rels)
+
+
+def test_datasource_ref_resolves_branch(spark, tmp_path):
+    from bamboo_spark.sources.published import register
+
+    register(spark)
+    t = str(tmp_path / "t")
+    atomic_publish(_kv(spark, 0, 10), t)
+    P.create_branch(t, "b")
+    P.append_branch(_kv(spark, 10, 14), t, "b")
+    main = spark.read.format("bamboo_published").load(t)
+    br = (
+        spark.read.format("bamboo_published")
+        .option("ref", "b")
+        .load(t)
+    )
+    assert main.count() == 10 and br.count() == 14
+    with pytest.raises(Exception, match="no tag or branch"):
+        spark.read.format("bamboo_published").option(
+            "ref", "nope"
+        ).load(t).count()
