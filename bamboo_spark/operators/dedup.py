@@ -64,8 +64,13 @@ def dedup_exact(df: DataFrame, key: str = "text", id_col: str = "doc_id") -> Dat
 
 
 def _shingle_sets(df: DataFrame, k: int = 3) -> DataFrame:
+    from bamboo_spark.operators.scale import fan_out
+
     sh = word_shingles_sql("split(text, ' ')", k)
-    return df.select(
+    # single-row-group test parquet gives the scan ONE split, so the
+    # shingle/hash compute would run on one core — spread it first
+    # (no-op when the input is already parallel; guide §2.5)
+    return fan_out(df, "doc_id").select(
         "doc_id", F.expr("array_distinct(%s)" % sh).alias("shingles")
     ).where(F.size("shingles") > 0)
 
@@ -158,13 +163,37 @@ def jaccard_pairs(
 
 def _verify_jaccard(candidates: DataFrame, hsets: DataFrame, threshold: float) -> DataFrame:
     """Exact set-jaccard verification of candidate (doc_a, doc_b) pairs
-    against the hashed shingle sets."""
-    sets = hsets.select("doc_id", "hs")
+    against the hashed shingle sets.
+
+    The length filter (jaccard >= t ⇒ min(|A|,|B|) >= t·max(|A|,|B|))
+    runs BEFORE the O(|A|+|B|) intersect/union: LSH band candidates are
+    not length-filtered at generation (PPJoin's are), and near-lossless
+    bandings (r=2, b=64) admit every pair down to s ≈ 0.2 — the integer
+    compare kills those candidates without touching the arrays. Implied
+    by the output predicate, so the result set is unchanged."""
+    t = float(threshold)
+    sets = hsets.select("doc_id", "n", "hs")
     verified = (
-        candidates.join(sets.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .withColumnRenamed("hs", "sa")
-        .join(sets.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-        .withColumnRenamed("hs", "sb")
+        candidates.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n").alias("_na"),
+                F.col("hs").alias("sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n").alias("_nb"),
+                F.col("hs").alias("sb"),
+            ),
+            "doc_b",
+        )
+        .where(
+            F.least("_na", "_nb").cast("double")
+            >= F.greatest("_na", "_nb") * F.lit(t) - 1e-9
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -772,8 +801,11 @@ def _segment_blocks(
 ) -> DataFrame:
     """(id, blk_idx, block, bh): fixed token-window segments + md5
     digest — the shared splitter for all segment-dedup variants."""
+    from bamboo_spark.operators.scale import fan_out
+
     if block_tokens < 1:
         raise ValueError("block_tokens must be >= 1, got %d" % block_tokens)
+    df = fan_out(df, id_col)
     return df.selectExpr(
         id_col,
         "posexplode(transform(sequence(0, cast(ceil(size(split({c}, ' ')) / {b}.0)"
@@ -1083,7 +1115,9 @@ def simhash_docs(df: DataFrame) -> DataFrame:
     distinct tokens. A third of the aggregation state and generated
     code for identical results.
     """
-    tok = df.select(
+    from bamboo_spark.operators.scale import fan_out
+
+    tok = fan_out(df, "doc_id").select(
         "doc_id", F.explode(F.expr("array_distinct(split(text, ' '))")).alias("t")
     ).select("doc_id", F.expr(md5_int60_sql("t")).alias("v"))
     packed = [
@@ -1821,8 +1855,13 @@ def winnow_fingerprints(
     reference an attribute (expressions under a lambda re-evaluate per
     element — the ``word_shingles_sql`` lesson). Hashes are the shared
     60-bit md5 ints, so only 8-byte keys ever shuffle, never text."""
+    from bamboo_spark.operators.scale import fan_out
+
     min_len = k + w - 1
-    s = df.select(
+    # the per-position md5 chain below is the most compute-dense scan in
+    # the engine — spread a one-split input across the cluster first
+    # (no-op when the scan is already parallel; guide §2.5)
+    s = fan_out(df, id_col).select(
         F.col(id_col),
         F.expr("replace(lower(%s), ' ', '')" % text_col).alias("_s"),
     ).where(F.length("_s") >= min_len)
@@ -1870,7 +1909,15 @@ def winnow_pairs(
     fingerprints would otherwise contribute df² join rows each while
     carrying no pair signal. Self-join is on the 60-bit int, map-side
     combinable count, no windows."""
-    fps = winnow_fingerprints(df, k=k, w=w, id_col=id_col, text_col=text_col)
+    from ._cache import tracked_persist
+
+    # persist the fingerprints: the df-cap aggregate AND the semi-join
+    # probe both consume them, and the two exchanges differ after column
+    # pruning so ReuseExchange never fires — unpersisted, the whole
+    # per-position md5 scan runs twice
+    fps = tracked_persist(
+        winnow_fingerprints(df, k=k, w=w, id_col=id_col, text_col=text_col)
+    )
     rare = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -1878,8 +1925,6 @@ def winnow_pairs(
         .select("fp")
     )
     capped = fps.join(rare, "fp", "left_semi")
-    from ._cache import tracked_persist
-
     capped = tracked_persist(capped)
     sizes = capped.groupBy(id_col).agg(F.count(F.lit(1)).alias("nf"))
     pairs = (

@@ -20,6 +20,34 @@ from bamboo_spark.operators._cache import tracked_persist
 SALT = "__bamboo_salt"
 
 
+def fan_out(df: DataFrame, key: str, target: Optional[int] = None) -> DataFrame:
+    """Spread a SCAN-bound frame across the cluster before heavy per-row
+    compute when the source provides too few input splits — the
+    optimization guide's §2.5 "one huge unsplittable file" remedy
+    (single-row-group parquet cannot split, so the scan and everything
+    fused into its stage runs on ONE core no matter how many the
+    cluster has).
+
+    No-op when the scan is already parallel (>= half the default
+    parallelism) — the 100 TB case, where inputs span many files and a
+    repartition here would pointlessly shuffle the payload. When it does
+    fire, partitioning hashes the DETERMINISTIC ``key`` column (never
+    rand(): retried map tasks must reproduce the same row→partition
+    assignment — SPARK-38388).
+    """
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if target <= 1:
+        return df
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — planning failed; leave df alone
+        return df
+    if n * 2 >= target:
+        return df
+    return df.repartition(target, F.col(key))
+
+
 def ranked_head(
     df: DataFrame,
     key_cols: Union[str, Sequence[str]],

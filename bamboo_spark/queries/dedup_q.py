@@ -1538,7 +1538,10 @@ def q_contamination_winnow(
     eval x train join carries only capped int keys; everything after is
     per-eval-doc aggregates."""
     d = load(spark, sf_dir, "documents")
-    fps = dedup.winnow_fingerprints(d, k=k, w=w)
+    # persisted: the df-cap aggregate and the semi-join probe both
+    # consume the fingerprints and their exchanges differ after column
+    # pruning, so without the persist the md5 position scan runs twice
+    fps = _tracked_persist(dedup.winnow_fingerprints(d, k=k, w=w))
     rare = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_df"))
