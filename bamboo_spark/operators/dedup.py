@@ -38,7 +38,7 @@ import warnings
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from bamboo_spark.operators._cache import tracked_persist
 from bamboo_spark.operators.text import (
@@ -668,6 +668,10 @@ def connected_components_converged(
         hop = labels.select(
             F.col("id").alias("label"), F.col("label").alias("ll")
         )  # label-of-label lookup table
+        # the changed-labels count rides the checkpoint's OWN
+        # materialization as an observed metric — one job per superstep
+        # instead of two (checkpoint + a separate count action)
+        obs = Observation()
         new_labels = (
             labels.join(nbr, "id", "left")
             .join(hop, "label", "left")
@@ -680,10 +684,15 @@ def connected_components_converged(
                 ).alias("label"),
                 F.col("label").alias("_old"),
             )
+            .observe(
+                obs,
+                F.count(
+                    F.when(F.col("label") != F.col("_old"), F.lit(1))
+                ).alias("changed"),
+            )
         ).localCheckpoint(eager=True)
-        changed = new_labels.where(F.col("label") != F.col("_old")).limit(1).count()
         labels = new_labels.drop("_old")
-        if changed == 0:
+        if int(obs.get["changed"]) == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
 
@@ -736,12 +745,17 @@ def connected_components_contraction(
         .localCheckpoint(eager=True)
     )
 
+    # edge-set signature (count, xor-fold of xxhash64 — order-
+    # independent, ANSI-overflow-free) rides each round's checkpoint
+    # materialization as an OBSERVED metric: one job per round instead
+    # of checkpoint + a separate signature collect
+    _SIG_AGGS = (
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    )
+
     def signature(df: DataFrame):
-        return df.agg(
-            F.count(F.lit(1)).alias("n"),
-            # xor-fold: order-independent, ANSI-overflow-free
-            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
-        ).collect()[0]
+        return df.agg(*_SIG_AGGS).collect()[0]
 
     sig = signature(e)
     converged = False
@@ -760,6 +774,7 @@ def connected_components_contraction(
         # ---- small-star over directed big→small edges
         m2 = ls.groupBy("u").agg(F.min("v").alias("m"))
         attach = ls.join(m2, "u")
+        obs = Observation()
         ss = (
             attach.select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(attach.select("u", "m"))
@@ -768,9 +783,10 @@ def connected_components_contraction(
                 F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
             )
             .distinct()
+            .observe(obs, *_SIG_AGGS)
             .localCheckpoint(eager=True)
         )
-        new_sig = signature(ss)
+        new_sig = obs.get
         e = ss
         if (new_sig["n"], new_sig["h"]) == (sig["n"], sig["h"]):
             converged = True

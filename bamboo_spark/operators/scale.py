@@ -20,7 +20,9 @@ from bamboo_spark.operators._cache import tracked_persist
 SALT = "__bamboo_salt"
 
 
-def fan_out(df: DataFrame, key: str, target: Optional[int] = None) -> DataFrame:
+def fan_out(
+    df: DataFrame, key: Optional[str], target: Optional[int] = None
+) -> DataFrame:
     """Spread a SCAN-bound frame across the cluster before heavy per-row
     compute when the source provides too few input splits — the
     optimization guide's §2.5 "one huge unsplittable file" remedy
@@ -34,6 +36,15 @@ def fan_out(df: DataFrame, key: str, target: Optional[int] = None) -> DataFrame:
     fire, partitioning hashes the DETERMINISTIC ``key`` column (never
     rand(): retried map tasks must reproduce the same row→partition
     assignment — SPARK-38388).
+
+    ``key=None`` uses keyless ROUND-ROBIN repartitioning instead — for
+    streams with no unique column where any available key is skewed
+    (token occurrences: hashing on the token sends every "the" to one
+    partition, recreating the single-core stage). Round-robin is retry-
+    safe because Spark locally sorts the input first
+    (``spark.sql.execution.sortBeforeRepartition``, on by default since
+    SPARK-23207) so re-run tasks reproduce the same assignment; the
+    local sort is the price, cheap relative to the compute being spread.
     """
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
@@ -45,6 +56,8 @@ def fan_out(df: DataFrame, key: str, target: Optional[int] = None) -> DataFrame:
         return df
     if n * 2 >= target:
         return df
+    if key is None:
+        return df.repartition(target)
     return df.repartition(target, F.col(key))
 
 

@@ -75,9 +75,20 @@ def cms_build(
     """
     if depth < 1 or width < 1:
         raise ValueError("depth/width must be >= 1")
+    from bamboo_spark.operators.scale import fan_out
+
     w = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
+    # keyless fan-out BEFORE the depth-explode: the md5 bucket hash ×
+    # depth is the heavy part and fuses into the scan stage, which on a
+    # single-split source runs on one core (guide §2.5). Round-robin,
+    # not hash-by-item — item streams are Zipf-skewed and hashing would
+    # send every hot token to one partition. No-op on parallel input,
+    # and the shuffle moves 1× rows, not depth×.
     return (
-        df.select(F.col(item_col).cast("string").alias("_it"), w.alias("_w"))
+        fan_out(
+            df.select(F.col(item_col).cast("string").alias("_it"), w.alias("_w")),
+            None,
+        )
         .where(F.col("_it").isNotNull() & (F.col("_it") != ""))
         .select(
             F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("hash_row"),

@@ -885,41 +885,53 @@ def q_attribution_markov_removal(
     ).unionAll(
         spark.createDataFrame([("full", None)], "scenario string, ch string")
     )
-    ms = _tracked_persist(
+    # consumed exactly once (the driver collect below) — no persist
+    ms = (
         scen.crossJoin(mat).where(
             F.col("ch").isNull()
             | ((F.col("s") != F.col("ch")) & (F.col("t") != F.col("ch")))
         ).select("scenario", "s", "t", "c", "r")
     )
-    v = ms.select("scenario", F.col("s").alias("t")).distinct().withColumn(
-        "v", F.lit(0).cast("long")
-    )
+    # ---- value iteration ON THE DRIVER (r13 optimization): the grid is
+    # (scenarios × |states|²) ≤ a few hundred rows REGARDLESS of corpus
+    # size (states = event types + START/conv/null), so the 15 unrolled
+    # supersteps were ~45 metadata-sized Spark jobs whose launch
+    # overhead dwarfed their work. Collect the grid once and run the
+    # identical integer recurrence in Python — Python ints are exact and
+    # `(c * val) // r` on non-negative longs equals Spark's `div`, so
+    # the fixpoint values are bit-identical to the distributed unroll
+    # (oracle-parity-verified). This is the guide-§5-sanctioned driver
+    # role: no data-sized work, only the bounded model state.
+    from collections import defaultdict
+
+    grid = ms.select("scenario", "s", "t", "c", "r").collect()
+    edges_by_scen: dict = defaultdict(list)
+    for g in grid:
+        edges_by_scen[g["scenario"]].append(
+            (g["s"], g["t"], int(g["c"]), int(g["r"]))
+        )
+    val: dict = {}
     for _ in range(_MRE_ITERS):
-        joined = ms.join(
-            v.select(
-                F.col("scenario").alias("vscen"),
-                F.col("t").alias("vt"),
-                "v",
-            ),
-            (F.col("scenario") == F.col("vscen"))
-            & (F.col("t") == F.col("vt")),
-            "left",
-        )
-        v = (
-            joined.select(
-                "scenario",
-                "s",
-                F.expr(
-                    "c * (case when t = 'conv' then 1000000000 "
-                    "when t = 'null' then 0 "
-                    "else coalesce(v, 0) end) div r"
-                ).cast("long").alias("m"),
-            )
-            .groupBy("scenario", F.col("s").alias("t"))
-            .agg(F.sum("m").cast("long").alias("v"))
-            .localCheckpoint(eager=False)
-        )
-    p = v.where(F.col("t") == "START").select("scenario", "v")
+        new_val: dict = {}
+        for scen_name, es in edges_by_scen.items():
+            acc: dict = defaultdict(int)
+            for s_st, t_st, c_n, r_n in es:
+                if t_st == "conv":
+                    tv = 1_000_000_000
+                elif t_st == "null":
+                    tv = 0
+                else:
+                    tv = val.get((scen_name, t_st), 0)
+                acc[s_st] += (c_n * tv) // r_n
+            for s_st, m in acc.items():
+                new_val[(scen_name, s_st)] = m
+        val = new_val
+    p_rows = [
+        (scen_name, val[(scen_name, "START")])
+        for scen_name in sorted(edges_by_scen)
+        if (scen_name, "START") in val
+    ]
+    p = spark.createDataFrame(p_rows, "scenario string, v long")
     fullp = p.where(F.col("scenario") == "full").select(
         F.col("v").alias("fp")
     )

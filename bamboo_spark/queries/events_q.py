@@ -2427,23 +2427,32 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = edges.groupBy("prev_type").agg(
         F.sum("c").cast("long").alias("r")
     )
-    mat = _tracked_persist(edges.join(totals, "prev_type"))
-    k = mat.select("prev_type").distinct().count()
-    s = totals.select(
-        F.col("prev_type").alias("t"),
-        F.lit(10**9 // k).cast("long").alias("s"),
-    )
+    mat = edges.join(totals, "prev_type")
+    # ---- power iteration ON THE DRIVER (r13 optimization): the
+    # transition grid is |types|² rows regardless of corpus size, so
+    # the 8 unrolled supersteps were ~16 metadata-sized Spark jobs of
+    # pure launch overhead. Collect the grid once and run the identical
+    # integer recurrence in Python — `(s * c) // r` on non-negative
+    # longs equals Spark's `div`, sums are exact ints, so the result is
+    # bit-identical to the distributed unroll (oracle-parity-verified).
+    from collections import defaultdict
+
+    grid = [
+        (g["prev_type"], g["event_type"], int(g["c"]), int(g["r"]))
+        for g in mat.select("prev_type", "event_type", "c", "r").collect()
+    ]
+    prev_types = sorted({p for p, _, _, _ in grid})
+    k = len(prev_types)
+    s_vec = {p: 10**9 // k for p in prev_types}
     for _ in range(_MARKOV_ITERS):
-        s = (
-            s.join(mat, s.t == mat.prev_type)
-            .select(
-                F.col("event_type").alias("t"),
-                F.expr("s * c div r").cast("long").alias("m"),
-            )
-            .groupBy("t")
-            .agg(F.sum("m").cast("long").alias("s"))
-            .localCheckpoint(eager=False)
-        )
+        new_vec: dict = defaultdict(int)
+        for p, et, c_n, r_n in grid:
+            if p in s_vec:
+                new_vec[et] += (s_vec[p] * c_n) // r_n
+        s_vec = dict(new_vec)
+    s = spark.createDataFrame(
+        sorted(s_vec.items()), "t string, s long"
+    )
     return s.select(
         F.col("t").alias("event_type"), F.col("s").alias("stationary_nano")
     ).orderBy(F.col("stationary_nano").desc(), "event_type")

@@ -715,7 +715,10 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("us").alias("t_lo"),
         F.max("us").alias("t_hi"),
     )
-    keyed = e.crossJoin(F.broadcast(stats)).withColumn(
+    # the 32-step bit-interleave expression below is the heavy part and
+    # fuses into the scan stage — spread a single-split scan first
+    # (no-op on parallel input; guide §2.5)
+    keyed = scale.fan_out(e, "event_id").crossJoin(F.broadcast(stats)).withColumn(
         "zkey",
         scale.zorder_key(
             ["user_id", "us"], ["u_lo", "t_lo"], ["u_hi", "t_hi"], bits=16
