@@ -1475,23 +1475,128 @@ def _distributed_file_blooms(
     return out
 
 
+def _distributed_file_indexes(
+    spark: SparkSession,
+    fs,
+    table_dir: str,
+    rel_files,
+    stats_cols,
+    bloom_cols,
+    schema_json: Optional[str] = None,
+    m_bits: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+):
+    """Min/max stats AND bloom filters in ONE distributed job per
+    version dir: the same ``groupBy(input_file_name())`` scan carries
+    both the min/max aggregates and the bloom bit-position sets, so a
+    write that indexes both pays one pass over its delta files instead
+    of two. Returns ``(stats_dict, blooms_dict)`` shaped exactly like
+    :func:`_distributed_file_stats` / :func:`_distributed_file_blooms`."""
+    import base64
+
+    from pyspark.sql import functions as F, types as T
+
+    stats_cols = list(stats_cols or [])
+    bloom_cols = list(bloom_cols or [])
+    if not rel_files or not (stats_cols or bloom_cols):
+        return {}, {}
+    by_base: dict = {}
+    for f in rel_files:
+        by_base.setdefault(_ref_group(fs, table_dir, f), []).append(f)
+    stats_out: dict = {}
+    bloom_out: dict = {}
+    for base, fl in by_base.items():
+        reader = spark.read
+        if schema_json:
+            reader = reader.schema(
+                T.StructType.fromJson(json.loads(schema_json))
+            )
+        df = reader.option(
+            "basePath", base
+        ).parquet(*[_ref_path(fs, table_dir, f) for f in fl])
+        scs = [c for c in stats_cols if c in df.columns]
+        bcs = [c for c in bloom_cols if c in df.columns]
+        if not (scs or bcs):
+            continue
+        aggs = []
+        for i, c in enumerate(scs):
+            aggs.append(F.min(F.col(c)).alias("_mn%d" % i))
+            aggs.append(F.max(F.col(c)).alias("_mx%d" % i))
+        for ci, c in enumerate(bcs):
+            for i in range(k):
+                pos = F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    _bloom_canon_expr(df, c),
+                                    F.lit(":%d" % i),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(m_bits),
+                ).cast("int")
+                aggs.append(
+                    F.collect_set(pos).alias("p_%d_%d" % (ci, i))
+                )
+        rows = (
+            df.groupBy(F.input_file_name().alias("_f"))
+            .agg(*aggs)
+            .collect()  # O(files in this version dir) — metadata-sized
+        )
+        for r in rows:
+            rel = _rel_of(r["_f"], fl)
+            if rel is None:
+                continue
+            st = {}
+            for i, c in enumerate(scs):
+                mn, mx = r["_mn%d" % i], r["_mx%d" % i]
+                if mn is None:
+                    continue
+                st[c] = [_json_stat(mn), _json_stat(mx)]
+            if st:
+                stats_out[rel] = st
+            per_col = {}
+            for ci, c in enumerate(bcs):
+                bits = bytearray(m_bits // 8)
+                any_pos = False
+                for i in range(k):
+                    for pos in r["p_%d_%d" % (ci, i)] or []:
+                        bits[pos // 8] |= 1 << (pos % 8)
+                        any_pos = True
+                if any_pos:
+                    per_col[c] = {
+                        "m": m_bits,
+                        "k": k,
+                        "b64": base64.b64encode(bytes(bits)).decode(),
+                    }
+            if per_col:
+                bloom_out[rel] = per_col
+    return stats_out, bloom_out
+
+
 def _enrich_seg(
     spark, fs, table_dir, new_files, seg_data, stats_cols, bloom_cols,
     schema_json,
 ):
     """Attach write-time per-file indexes (min/max stats, equality
-    blooms) to a freshly written segment sidecar — each one distributed
-    job over the DELTA files only."""
-    if stats_cols:
-        seg_data["file_stats"] = _distributed_file_stats(
-            spark, fs, table_dir, new_files, list(stats_cols),
+    blooms) to a freshly written segment sidecar — ONE distributed job
+    over the DELTA files only, shared by both index kinds (fused scan,
+    guide §1.2: don't run two passes where one suffices)."""
+    if stats_cols or bloom_cols:
+        st, bl = _distributed_file_indexes(
+            spark, fs, table_dir, new_files, stats_cols, bloom_cols,
             schema_json=schema_json,
         )
-    if bloom_cols:
-        seg_data["file_blooms"] = _distributed_file_blooms(
-            spark, fs, table_dir, new_files, list(bloom_cols),
-            schema_json=schema_json,
-        )
+        if stats_cols:
+            seg_data["file_stats"] = st
+        if bloom_cols:
+            seg_data["file_blooms"] = bl
 
 
 def _index_defaults(prev, stats_cols, bloom_cols, schema_json=None):
@@ -6654,17 +6759,39 @@ def merge_into(
                 tgt, "_fp", "_ri",
                 _dv_chunks_df(spark, fs, table_dir, dv_scanned),
             )
-        m = tgt.alias("t").join(
-            source.alias("s"),
-            [F.col("t." + k) == F.col("s." + k) for k in keys],
-            "inner",
+        # ---- the matched join, materialized ONCE (r13): the dup
+        # check, the fired-row addresses (_dv_build), the UPDATE
+        # post-state and the insert anti-join key set all consume this
+        # frame — without the checkpoint each consumer re-ran the
+        # candidate-file scan + dv mask + join from scratch (3 full
+        # executions per merge). O(matched rows) with both row images,
+        # the same bound the merge's own write already carries; struct
+        # packing keeps the s./t. name spaces so every user-supplied
+        # clause expression resolves unchanged.
+        m = (
+            tgt.alias("t")
+            .join(
+                source.alias("s"),
+                [F.col("t." + k) == F.col("s." + k) for k in keys],
+                "inner",
+            )
+            .select(
+                F.struct(
+                    *[F.col("t." + c) for c in tgt.columns]
+                ).alias("t"),
+                F.struct(
+                    *[F.col("s." + c) for c in source.columns]
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
         )
         # cardinality violation check (Delta MERGE rule): one target
         # row, many source rows = nondeterministic UPDATE/DELETE — one
-        # aggregate, raised before anything is written. Insert-only
-        # merges (no matched clause) skip it, like Delta: duplicate
-        # source matches can't touch any target row, so they're legal
-        # (and the check's aggregate would be pure cost)
+        # aggregate over the checkpointed match frame, raised before
+        # anything is written. Insert-only merges (no matched clause)
+        # skip it, like Delta: duplicate source matches can't touch any
+        # target row, so they're legal (and the check's aggregate would
+        # be pure cost)
         if when_matched_update is not None or delete_cond:
             dup = (
                 m.groupBy(F.col("t._fp"), F.col("t._ri"))
