@@ -33,34 +33,57 @@ def token_offsets(
     all lower-id documents — the distributed prefix scan described in
     the module docstring. ``count_expr`` defaults to whitespace token
     count of ``text``."""
+    from bamboo_spark.operators._cache import tracked_persist
+
     n_tokens = (
         count_expr if count_expr is not None else F.size(F.split(F.col("text"), " "))
     ).cast("bigint")
-    counts = df.select(F.col(id_col).alias("id"), n_tokens.alias("n_tokens"))
+    # persist the NARROW (id, n_tokens) frame BEFORE the metadata agg:
+    # the max-id collect, the in-shard window and the shard totals all
+    # consume it, and without the cache each consumer re-executes the
+    # whole upstream subtree (for q_export_manifest that is the full
+    # curation pipeline, 3x) — guide §1.2 / §5: two longs per row,
+    # upstream runs once
+    counts = tracked_persist(
+        df.select(F.col(id_col).alias("id"), n_tokens.alias("n_tokens"))
+    )
 
-    # order-respecting range sharding; max(id) is a metadata-sized agg
-    max_id = counts.agg(F.max("id")).collect()[0][0]
-    if max_id is None:
-        return counts.select(
-            F.col("id").alias(id_col), "n_tokens", F.lit(0).cast("bigint").alias("start_offset")
-        )
-    width = max(1, (int(max_id) + shards) // shards)
-    sharded = counts.withColumn("shard", (F.col("id") / width).cast("int"))
+    # FULLY LAZY (r13): the max-id range probe and the P-row shard-base
+    # fold used to be two synchronous driver collects at plan-build
+    # time. Both now ride the returned plan — the range comes from a
+    # 1-row broadcast aggregate, the ≤``shards`` shard totals
+    # prefix-sum in a single-partition window BOUNDED by construction
+    # (one row per shard) and broadcast back. Zero driver collects;
+    # the offsets are the same exact integers (any monotone range
+    # sharding yields identical global prefix sums).
+    mm = counts.agg(
+        F.expr(
+            "greatest(cast(1 as long), cast((max(id) + %d) div %d as long))"
+            % (shards, shards)
+        ).alias("__width")
+    )
+    sharded = counts.crossJoin(F.broadcast(mm)).withColumn(
+        "shard", F.expr("cast(id div __width as int)")
+    )
 
     w = Window.partitionBy("shard").orderBy("id")
     local = sharded.withColumn(
         "local_end", F.sum("n_tokens").over(w)
     )  # inclusive cumsum within shard
 
-    totals = (
-        sharded.groupBy("shard").agg(F.sum("n_tokens").alias("t")).orderBy("shard").collect()
+    w_base = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # single partition of ≤ `shards` rows — bounded by construction
+    base_df = (
+        sharded.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("t"))
+        .select(
+            "shard",
+            F.coalesce(F.sum("t").over(w_base), F.lit(0))
+            .cast("long")
+            .alias("shard_base"),
+        )
     )
-    base = 0
-    bases = []
-    for r in totals:
-        bases.append((r["shard"], base))
-        base += r["t"]
-    base_df = df.sparkSession.createDataFrame(bases, "shard int, shard_base long")
 
     return (
         local.join(F.broadcast(base_df), "shard")
@@ -261,19 +284,24 @@ def token_offsets_per_key(
     n_tokens = (
         count_expr if count_expr is not None else F.size(F.split(F.col("text"), " "))
     ).cast("bigint")
-    counts = df.select(
-        *keys, F.col(id_col).alias("id"), n_tokens.alias("n_tokens")
+    from bamboo_spark.operators._cache import tracked_persist
+
+    # same single-execution discipline as token_offsets: narrow frame,
+    # persisted once, consumed by the max-id agg + window + totals
+    counts = tracked_persist(
+        df.select(*keys, F.col(id_col).alias("id"), n_tokens.alias("n_tokens"))
     )
-    max_id = counts.agg(F.max("id")).collect()[0][0]
-    if max_id is None:
-        return counts.select(
-            *keys,
-            F.col("id").alias(id_col),
-            "n_tokens",
-            F.lit(0).cast("bigint").alias("start_offset"),
-        )
-    width = max(1, (int(max_id) + shards) // shards)
-    sharded = counts.withColumn("shard", (F.col("id") / width).cast("int"))
+    # lazy range probe (r13): same 1-row broadcast aggregate as
+    # token_offsets — no plan-build-time driver collect
+    mm = counts.agg(
+        F.expr(
+            "greatest(cast(1 as long), cast((max(id) + %d) div %d as long))"
+            % (shards, shards)
+        ).alias("__width")
+    )
+    sharded = counts.crossJoin(F.broadcast(mm)).withColumn(
+        "shard", F.expr("cast(id div __width as int)")
+    )
     w_local = Window.partitionBy(*(keys + ["shard"])).orderBy("id")
     local = sharded.withColumn("local_end", F.sum("n_tokens").over(w_local))
     totals = sharded.groupBy(*(keys + ["shard"])).agg(

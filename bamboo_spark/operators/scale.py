@@ -746,22 +746,29 @@ def sharded_prefix_sums(
     not be well-defined globally. ``sum_cols`` accumulate as BIGINT.
     """
     cols = list(sum_cols)
-    row = df.agg(
-        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
-    ).collect()[0]
-    lo, hi = row["lo"], row["hi"]
-    if lo is None:  # empty input: zero-filled prefixes, zero rows
-        return df.select(
-            "*", *[F.lit(0).cast("bigint").alias(out_prefix + c) for c in cols]
-        )
-    width = (int(hi) - int(lo)) // shards + 1
-    sharded = tracked_persist(
-        df.withColumn(
-            "__shard",
-            F.expr(
-                "cast((%s - %d) div %d as int)" % (order_col, int(lo), width)
-            ),
-        )
+    # FULLY LAZY (r13): the lo/hi range and the per-shard base offsets
+    # used to be two driver collects fired at PLAN-BUILD time — every
+    # call paid two synchronous jobs (and the lo/hi one re-executed the
+    # upstream subtree) before the query's own action even started.
+    # Both folds now ride the returned plan: lo/width come from a 1-row
+    # broadcast aggregate, and the ≤``shards``-row shard totals
+    # prefix-sum in a single-partition window that is BOUNDED by
+    # construction (one row per shard), then broadcast back — zero
+    # driver collects, identical integer arithmetic. The input is
+    # persisted once; the range agg, in-shard window and shard totals
+    # all read the cache.
+    df = tracked_persist(df)
+    mm = df.agg(
+        F.min(order_col).cast("long").alias("__lo"),
+        # same width as the former driver fold: (hi - lo) div shards + 1
+        F.expr(
+            "cast((max(%s) - min(%s)) div %d as long) + 1"
+            % (order_col, order_col, shards)
+        ).alias("__width"),
+    )
+    sharded = df.crossJoin(F.broadcast(mm)).withColumn(
+        "__shard",
+        F.expr("cast((%s - __lo) div __width as int)" % order_col),
     )
     w = (
         Window.partitionBy("__shard")
@@ -777,20 +784,21 @@ def sharded_prefix_sums(
             for c in cols
         ],
     )
-    totals = (
+    w_base = Window.orderBy("__shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # single partition of ≤ `shards` rows — bounded by construction
+    base_df = (
         sharded.groupBy("__shard")
         .agg(*[F.sum(F.col(c).cast("bigint")).alias(c) for c in cols])
-        .orderBy("__shard")
-        .collect()
-    )
-    bases, acc = [], {c: 0 for c in cols}
-    for r in totals:
-        bases.append(tuple([r["__shard"]] + [acc[c] for c in cols]))
-        for c in cols:
-            acc[c] += int(r[c])
-    base_df = df.sparkSession.createDataFrame(
-        bases,
-        "__shard int, " + ", ".join("__base_%s long" % c for c in cols),
+        .select(
+            "__shard",
+            *[
+                F.coalesce(F.sum(c).over(w_base), F.lit(0))
+                .cast("bigint")
+                .alias("__base_" + c)
+                for c in cols
+            ],
+        )
     )
     return (
         local.join(F.broadcast(base_df), "__shard")
