@@ -368,9 +368,12 @@ def _minhash_aggs(num_hashes: int) -> list:
     """min((b1 + i*b2) mod p) — universal linear permutations; the two
     string hashes are computed once per shingle, each of the 128 lanes
     is a mul/add/mod (vs 128 full xxhash64 evals — 3× less codegen)."""
+    # one F.expr per lane instead of 5 nested Column constructors: the
+    # 128-lane list used to cost ~1 s of py4j round trips at plan-BUILD
+    # time (measured, guide §1) — the SQL string parses once in the JVM
     return [
-        F.min(F.pmod(F.col("b1") + F.lit(i) * F.col("b2"), F.lit(_MERSENNE31))).alias(
-            "mh%d" % i
+        F.expr(
+            "min(pmod(b1 + %d * b2, %d)) AS mh%d" % (i, _MERSENNE31, i)
         )
         for i in range(num_hashes)
     ]
@@ -394,25 +397,20 @@ def _band_rows(sig: DataFrame, num_hashes: int, rows_per_band: int) -> DataFrame
     """(doc_id, band, h): one row per (doc, band) with the band's lane
     values hashed together — the LSH bucket key."""
     num_bands = num_hashes // rows_per_band
-    return sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("mh%d" % (b * rows_per_band + r))
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("h"),
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select("doc_id", "bh.band", "bh.h")
+    # ONE SQL expression (inline = explode array<struct> straight into
+    # (band, h) columns): the per-band Column-constructor loop cost
+    # ~0.5 s of py4j traffic per call at plan-build time (measured)
+    terms = ", ".join(
+        "struct(%d AS band, xxhash64(%s) AS h)"
+        % (
+            b,
+            ", ".join(
+                "mh%d" % (b * rows_per_band + r) for r in range(rows_per_band)
+            ),
+        )
+        for b in range(num_bands)
+    )
+    return sig.select("doc_id", F.expr("inline(array(%s))" % terms))
 
 
 def build_band_index(

@@ -31,6 +31,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # per-API-call-site capture costs one extra JVM round trip per
+        # DataFrame API call; plan-heavy operators (128-lane minhash,
+        # band builders) measurably pay it at plan-BUILD time — the
+        # documented PySpark perf knob turns it off (error messages
+        # lose the user-code line number, results are unaffected)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         # testdata events.ts is TIMESTAMP(NANOS) parquet, which Spark
         # rejects by default; read as long and convert at load time

@@ -120,12 +120,32 @@ def test_ann_pairs_planes_stay_in_codegen(spark):
 
 def test_pack_chunks_no_global_window(spark):
     # the distributed prefix scan must never plan a single-partition
-    # window (the naive global cumsum) — shard-partitioned windows plus
-    # a broadcast of P shard bases only
+    # window over DATA-SIZED rows (the naive global cumsum): the per-doc
+    # cumsum windows stay shard-partitioned. Since the r13 lazy rewrite
+    # the ≤`shards`-row shard-base fold IS a single-partition window —
+    # bounded by construction (one row per shard) — so pin that every
+    # SinglePartition exchange in the plan feeds from a HashAggregate
+    # (the shard-totals reduce), never from the raw counts.
     plan = plan_of(q.q_pack_chunks(spark, SF))
-    assert "SinglePartition" not in plan, plan
     assert "hashpartitioning(shard" in plan
-    assert "BroadcastHashJoin" in plan  # P-row shard bases ride a broadcast
+    assert "BroadcastHashJoin" in plan  # shard bases still ride a broadcast
+    _assert_single_partition_only_bounded(plan)
+
+
+def _assert_single_partition_only_bounded(plan):
+    """Every SinglePartition exchange must carry only the post-aggregate
+    shard-totals frame (a handful of columns: shard + running sums) —
+    never the data-sized per-row frame (which carries ids/tokens)."""
+    import re
+
+    for m in re.finditer(
+        r"\(\d+\) Exchange\nInput \[(\d+)\]: \[([^\]]*)\]\n"
+        r"Arguments: SinglePartition",
+        plan,
+    ):
+        ncols, cols = int(m.group(1)), m.group(2)
+        assert ncols <= 4, plan
+        assert "doc_id" not in cols and "text" not in cols, plan
 
 
 def test_funnel_single_aggregate_no_self_join(spark):
@@ -499,8 +519,11 @@ def test_ann_topk_ivfpq_bucket_kernel_no_cartesian(spark):
 
 
 def test_pack_per_source_no_driver_fold_no_single_partition(spark):
-    # the per-key packer must be fully distributed: no SinglePartition
-    # window anywhere, and no data-sized collect (only the max-id scalar)
+    # the per-key packer must be fully distributed: no driver collect AT
+    # ALL since the r13 lazy range probe (the max-id fold rides the plan
+    # as a 1-row broadcast aggregate), and the only SinglePartition
+    # exchange allowed is that bounded 1-row aggregate — never a
+    # data-sized window
     from unittest.mock import patch
 
     try:
@@ -520,8 +543,8 @@ def test_pack_per_source_no_driver_fold_no_single_partition(spark):
         out = q.queries()["pack_per_source"](spark, SF)
         plan = plan_of(out)
         assert out.count() > 0
-    assert "SinglePartition" not in plan, plan
-    assert sizes and max(sizes) <= 1, sizes  # only the max-id scalar
+    assert not sizes, sizes  # zero plan-build-time driver collects
+    _assert_single_partition_only_bounded(plan)
 
 
 def test_cdc_upsert_is_one_agg_no_window_sort(spark):
