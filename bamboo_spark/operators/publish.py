@@ -817,12 +817,19 @@ def _dv_unpack(bm_df):
 
 def _dv_ds_counts(spark, dsdir: str) -> dict:
     """Per-file deleted-row counts of a written BITMAP sidecar dataset
-    — one aggregate over bit_count, never positions on the driver."""
+    — one aggregate over bit_count, never positions on the driver. The
+    sidecar schema is fixed by ``_dv_pack``, so it is passed explicitly:
+    no schema-inference job on the read-back (one fewer job per dv
+    commit)."""
     from pyspark.sql import functions as F
 
     return {
         r[0]: int(r[1])
-        for r in spark.read.parquet(dsdir)
+        for r in spark.read.schema(
+            "_dv_file string, _dv_base string, _dv_sfx string, "
+            "_dv_chunk bigint, _dv_bits array<bigint>"
+        )
+        .parquet(dsdir)
         .groupBy("_dv_file")
         .agg(
             F.expr(
@@ -919,7 +926,7 @@ def _dv_build(
     whose every address was already deleted keeps its old ref, so
     value-equality still means "dv unchanged" for delta readers) and
     ``n_fresh`` is the number of newly deleted rows."""
-    from pyspark.sql import functions as F
+    from pyspark.sql import Observation, functions as F
 
     cand_rows = [
         (f, f.rsplit("/", 1)[-1], _ref_suffix(f)) for f in cand_files
@@ -942,13 +949,17 @@ def _dv_build(
             F.col("_ri").cast("long").alias("_dv_pos"),
         )
     )
-    # ONE candidate scan: materialize the addresses, then the touched
-    # probe, sidecar write, and count jobs all read the checkpoint
-    # (address-sized, spillable) instead of re-scanning the table
-    addr = addr.localCheckpoint(eager=True)
-    touched = sorted(
-        r[0] for r in addr.select("_dv_file").distinct().collect()
-    )  # file-level — the only thing the driver ever holds
+    # ONE candidate scan: materialize the addresses, then the sidecar
+    # write and count jobs all read the checkpoint (address-sized,
+    # spillable) instead of re-scanning the table. The touched-file
+    # probe rides the checkpoint's OWN materialization as an observed
+    # collect_set — file-level (bounded by cand_files), and one job
+    # instead of two (checkpoint + a separate distinct().collect()).
+    obs = Observation()
+    addr = addr.observe(
+        obs, F.collect_set("_dv_file").alias("_touched")
+    ).localCheckpoint(eager=True)
+    touched = sorted(obs.get["_touched"])
     if not touched:
         return {}, 0
     old_sub = {f: dv0[f] for f in touched if dv0.get(f)}
