@@ -50,6 +50,12 @@ from bamboo_spark.operators._cache import tracked_persist
 
 
 def _keys(df: DataFrame, id_col: str, key_col: str) -> DataFrame:
+    # NOTE (r13): deliberately NOT fan_out here — measured on the bench
+    # corpus, spreading the 32-char key frame to 32 partitions cost more
+    # in per-task overhead across the ~15 consumer stages (taskT 2.5 s →
+    # 20.6 s, wall +1 s) than the ~2 s single-task probe stage it
+    # removed; the probe/segment compute over short keys is too light to
+    # amortize the spread. At scale the scan provides real splits.
     return tracked_persist(
         df.select(
             F.col(id_col).alias("_id"),

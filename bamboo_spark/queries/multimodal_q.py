@@ -178,8 +178,15 @@ def q_audio_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the frame structs (no ``array_max`` re-scan inside a
     per-element lambda, which would be O(frames²)); nothing shuffles
     but the final per-doc rows."""
+    from bamboo_spark.operators import scale
+
     frame, hop = 32, 16
-    d = load(spark, sf_dir, "documents").select(
+    # single-row-group test parquet = ONE scan split, and the whole
+    # per-sample HOF chain fuses into that stage — spread it first
+    # (no-op on already-parallel input; guide §2.5)
+    d = scale.fan_out(
+        load(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    ).select(
         "doc_id",
         F.expr("transform(split(text, ''), ch -> ascii(ch) - 96)").alias("s"),
     ).where(F.size("s") >= frame)

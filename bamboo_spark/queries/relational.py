@@ -752,7 +752,13 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the same counts over the RAW shingle strings — equality
     proves the hashed path loses no grams (the engine's standard
     hashed-vs-raw oracle shape, same as the Jaccard family)."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    from bamboo_spark.operators import scale
+
+    # spread the single-split scan before the gram/hash compute fused
+    # into its stage (guide §2.5; no-op on already-parallel input)
+    d = scale.fan_out(
+        load(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     grams = _tracked_persist(
         d.select(
             "doc_id",
