@@ -650,8 +650,21 @@ def connected_components_converged(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # seed labels at the SUPERSTEP-1 state: label(v) = min(v, min
+    # neighbor) is exactly what the first iteration computes from
+    # identity labels (label-of-label is the identity there), so the
+    # loop starts one superstep ahead — legal ONLY in this converged
+    # variant, whose output is the iteration-independent fixpoint
+    # (the fixed-K `connected_components` must NOT seed: its result is
+    # defined as exactly K hops). Same job count as the identity init
+    # (one checkpoint), one fewer superstep job per call.
     labels = (
-        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("_mn")).alias("label"),
+        )
     ).localCheckpoint(eager=True)
     for _ in range(max_supersteps):
         nbr = (
