@@ -1875,6 +1875,20 @@ def _materialize_partition_cols(df: DataFrame, spec) -> DataFrame:
     return df
 
 
+def _pt_rebalance(df: DataFrame, parts) -> DataFrame:
+    """Cluster a partitioned write's rows by their partition columns
+    before the write (REBALANCE hint, guide §6): without it every write
+    task emits one file per partition value it holds — days × tasks
+    tiny files per commit — and every later scan, index job and commit
+    pays that file count. AQE's rebalance both coalesces small
+    partitions and splits skewed ones
+    (``optimizeSkewsInRebalancePartitions``), so a hot partition still
+    fans out across tasks at scale. No-op for unpartitioned writes."""
+    if not parts:
+        return df
+    return df.hint("rebalance", *parts)
+
+
 def _pt_hidden_names(spec) -> List[str]:
     return [t["name"] for t in spec or [] if t["transform"] != "identity"]
 
@@ -2065,6 +2079,7 @@ def atomic_publish(
     operation: str = "overwrite",
     _set_index_spec: bool = True,
     _partition_spec=None,
+    _keep_layout: bool = False,
 ) -> int:
     """Write ``df`` as the table's next snapshot and commit it
     atomically. Returns the committed version number. The manifest row
@@ -2115,7 +2130,12 @@ def atomic_publish(
             )
         obs = Observation()
         cnames, cmap, caggs = _constraint_aggs(prev)
-        writer = _materialize_partition_cols(df, spec).observe(
+        staged = _materialize_partition_cols(df, spec)
+        if not _keep_layout:
+            # callers that pre-laid-out the frame (compact's byte-sized
+            # range layout, zorder clustering) pass _keep_layout=True
+            staged = _pt_rebalance(staged, parts)
+        writer = staged.observe(
             obs, F.count(F.lit(1)).alias("n"), *caggs
         ).write
         if parts:
@@ -2526,6 +2546,8 @@ def append_publish(
             if cluster_files
             else df.repartitionByRange(*cl)
         ).sortWithinPartitions(*cl)
+    else:
+        df = _pt_rebalance(df, parts)
     seg = _claim_vdir(fs, table_dir, _next_version(fs, table_dir, prev))
     beat = _ClaimBeat(fs, table_dir, seg, lease_ttl_ms).start()
     try:
@@ -2922,7 +2944,10 @@ def replace_partitions_publish(
         obs = Observation()
         cnames, cmap, caggs = _constraint_aggs(prev)
         (
-            _materialize_partition_cols(df, prev.get("partition_spec"))
+            _pt_rebalance(
+                _materialize_partition_cols(df, prev.get("partition_spec")),
+                parts,
+            )
             .observe(obs, F.count(F.lit(1)).alias("n"), *caggs)
             .write.partitionBy(*parts)
             .parquet(vdir)
@@ -4381,7 +4406,9 @@ def append_branch(
     try:
         vdir = fs.join(table_dir, seg)
         obs = Observation()
-        writer = _materialize_partition_cols(df, pspec).observe(
+        writer = _pt_rebalance(
+            _materialize_partition_cols(df, pspec), parts
+        ).observe(
             obs, F.count(F.lit(1)).alias("n")
         ).write
         if parts:
@@ -6005,6 +6032,7 @@ def compact(
         return atomic_publish(
             out, table_dir, partition_by=parts or None, _lease=lease,
             data_change=False, operation="compact", _partition_spec=pspec,
+            _keep_layout=True,
         )
 
 
@@ -6469,8 +6497,11 @@ def _mor_commit(
         vdir = fs.join(table_dir, seg)
         obs = Observation()
         cnames, cmap, caggs = _constraint_aggs(manifest)
-        writer = _materialize_partition_cols(
-            out_df, manifest.get("partition_spec")
+        writer = _pt_rebalance(
+            _materialize_partition_cols(
+                out_df, manifest.get("partition_spec")
+            ),
+            parts,
         ).observe(
             obs, F.count(F.lit(1)).alias("n"), *caggs
         ).write
@@ -8029,6 +8060,10 @@ def replace_files_publish(
         vdir = fs.join(table_dir, seg)
         obs = Observation()
         cnames, cmap, caggs = _constraint_aggs(prev)
+        # NO _pt_rebalance here: replace_files callers (compact,
+        # compact_partitions, point deletes) hand in a frame whose
+        # partitioning IS the deliberate output layout (target file
+        # sizing); a rebalance by partition cols would collapse it
         writer = _materialize_partition_cols(
             df, prev.get("partition_spec")
         ).observe(
@@ -8175,7 +8210,7 @@ def publish_clustered(
     ).sortWithinPartitions(*exprs)
     return atomic_publish(
         out, table_dir, partition_by=partition_by, stats_cols=cols,
-        operation="cluster", _set_index_spec=False,
+        operation="cluster", _set_index_spec=False, _keep_layout=True,
     )
 
 
