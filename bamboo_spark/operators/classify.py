@@ -29,6 +29,8 @@ from typing import Optional, Tuple
 
 from pyspark.sql import DataFrame, functions as F
 
+from bamboo_spark.operators._cache import tracked_persist
+
 _LP = "cast(round(ln((%s) / (%s)) * 1e6, 0) as bigint)"
 
 
@@ -55,7 +57,16 @@ def nb_train(
         F.col(label_col).alias("label"),
         F.explode(F.split(text_col, " ")).alias("t"),
     ).where(F.col("t") != "")
-    ct = tok.groupBy("label", "t").agg(F.count(F.lit(1)).alias("c"))
+    # persist the (label, token) count table: it feeds THREE branches
+    # (vocab agg, per-class totals, the dense-likelihood left join) and
+    # each broadcast subtree downstream would otherwise re-run the
+    # corpus-sized token-explode aggregate — measured 36 jobs for 2.5 s
+    # of task time on lang_nb_confusion (guide §1.2: never compute the
+    # expensive thing twice). The table is |vocab|x|labels| rows —
+    # bounded standing state, not corpus-sized.
+    ct = tracked_persist(
+        tok.groupBy("label", "t").agg(F.count(F.lit(1)).alias("c"))
+    )
     vocab = ct.groupBy("t").agg(F.sum("c").alias("cn"))
     if top_v is not None:
         vocab = vocab.orderBy(F.col("cn").desc(), F.col("t").asc()).limit(top_v)
@@ -96,7 +107,10 @@ def nb_train(
             "lp0_u"
         ),
     )
-    classes = floor.join(prior, "label")
+    # classes is |labels| rows but its subtree includes the prior's
+    # full-corpus doc count — persisted so the 2-3 broadcast branches
+    # that consume it (scores floor, prior add, classify) scan docs once
+    classes = tracked_persist(floor.join(prior, "label"))
     return likelihoods, classes
 
 

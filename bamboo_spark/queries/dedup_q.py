@@ -638,9 +638,17 @@ def q_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
     )
-    deg = edges.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    deg = _tracked_persist(
+        edges.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
     pr = deg.select("a", F.lit(10**9).cast("long").alias("pr"), "deg")
     base = int(round(0.15 * 1e9))
+    # MEASURED KEEP on the per-iteration localCheckpoint: removing it
+    # (one unrolled 6-level DAG, single action) was tried r13 and was
+    # FLAT-to-worse (5.0-5.9 s vs 4.6 s — an 86-stage mega-plan pays
+    # more AQE re-planning than the per-superstep actions pay in job
+    # launches). deg IS persisted now: the checkpointed supersteps
+    # each re-aggregated it from the edges cache (5 redundant aggs).
     for _ in range(_PAGERANK_ITERS):
         contrib = (
             pr.join(edges, "a")
