@@ -1800,14 +1800,20 @@ def kcore_edges(
     Batagelj & Zaversnik's O(m) peeling paper show tiny depths).
     """
     fwd = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    # every edge count rides its checkpoint's OWN materialization as an
+    # observed metric — one job per peel round instead of two
+    # (checkpoint + a separate count action), the same discipline as
+    # connected_components_converged's convergence check
+    obs0 = Observation()
     edges = (
         fwd.unionByName(
             fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    n_edges = edges.count()
+    n_edges = int(obs0.get["n"])
     for _ in range(max_rounds):
         if n_edges == 0:
             break
@@ -1817,13 +1823,15 @@ def kcore_edges(
             .where(F.col("deg") >= k)
             .select("a")
         )
+        obs = Observation()
         new_edges = (
             edges.join(keep, "a", "left_semi")
             .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
             .select("a", "b")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        n_new = new_edges.count()
+        n_new = int(obs.get["n"])
         edges = new_edges
         if n_new == n_edges:
             break

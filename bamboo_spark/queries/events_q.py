@@ -1976,9 +1976,14 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back; the global top-20 is TakeOrderedAndProject (partial
     top-k per partition). A basket with L lines emits L(L-1)/2 pairs —
     cap L upstream (ranked_head per order) if baskets are unbounded."""
-    l = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
+    # persisted: FOUR branches consume the distinct basket table (order
+    # count, part supports, both self-join sides) and the broadcast
+    # subtrees would otherwise re-run the scan+distinct shuffle each
+    l = _tracked_persist(
+        load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ).distinct()
+    )
     n_orders = l.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("_n")
     )

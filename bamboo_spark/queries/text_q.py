@@ -1812,7 +1812,9 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform over the four sizes — slices are O(n) with n <= 4
     constant), then ONE (n, gram)-keyed aggregate pair. Only gram
     strings shuffle, same as the inverted index."""
-    d = load(spark, sf_dir, "documents").select(
+    d = scale.fan_out(
+        load(spark, sf_dir, "documents"), "doc_id"
+    ).select(
         F.expr(
             "filter(split(text, ' '), x -> x != '')"
         ).alias("t")
