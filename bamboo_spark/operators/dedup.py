@@ -565,6 +565,27 @@ def minhash_lsh_pairs(
 # ------------------------------------------------- duplicate clustering
 
 
+def _symmetrize(fwd: DataFrame) -> DataFrame:
+    """Both orientations of a (src, dst) edge list in ONE pass over the
+    input: explode(array(struct(src,dst), struct(dst,src))). The
+    union(swap) idiom executes the upstream pair-generation pipeline
+    once per branch (ReuseExchange shares the exchange but not the
+    post-shuffle verify compute), which doubled the most expensive
+    stage of every CC/kcore consumer."""
+    return fwd.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src").alias("src"), F.col("dst").alias("dst")
+                ),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
+
+
 def connected_components(
     pairs: DataFrame,
     iterations: int = 8,
@@ -587,11 +608,13 @@ def connected_components(
     deep.
     """
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    # eager materialization: the union's two branches would otherwise
-    # each re-run the (expensive) pair-generation pipeline
-    edges = fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
+    # symmetrize with ONE explode, not union(swap): a union's branches
+    # each execute the (expensive) pair-generation pipeline —
+    # ReuseExchange shares only the exchange, not the post-shuffle
+    # verify compute — so every CC consumer paid the pair join twice.
+    # The explode emits both orientations in a single pass; eager
+    # checkpoint then materializes the edge set once for the loop.
+    edges = _symmetrize(fwd).distinct().localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     )
@@ -645,11 +668,9 @@ def connected_components_converged(
     row per node — never neighborhood sets.
     """
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = (
-        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # one-pass symmetrize (see connected_components): union(swap) ran
+    # the pair pipeline once per branch
+    edges = _symmetrize(fwd).distinct().localCheckpoint(eager=True)
     # seed labels at the SUPERSTEP-1 state: label(v) = min(v, min
     # neighbor) is exactly what the first iteration computes from
     # identity labels (label-of-label is the identity there), so the
@@ -1799,16 +1820,18 @@ def kcore_edges(
     (duplicate clusters are shallow; web-corpus measurements in
     Batagelj & Zaversnik's O(m) peeling paper show tiny depths).
     """
-    fwd = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    fwd = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
     # every edge count rides its checkpoint's OWN materialization as an
     # observed metric — one job per peel round instead of two
     # (checkpoint + a separate count action), the same discipline as
-    # connected_components_converged's convergence check
+    # connected_components_converged's convergence check; symmetrize is
+    # the one-pass explode (union(swap) ran the pair pipeline twice)
     obs0 = Observation()
     edges = (
-        fwd.unionByName(
-            fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
+        _symmetrize(fwd)
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .distinct()
         .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)

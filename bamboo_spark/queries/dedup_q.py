@@ -1688,8 +1688,14 @@ def q_dup_rate_by_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
         "text",
     )
-    pairs = dedup.jaccard_pairs(
-        d.select("doc_id", "text"), threshold=0.7, max_shingle_df=None
+    # persisted: both unionByName branches consume the pair list, and
+    # the PPJoin verify (array intersect/union per candidate) would
+    # otherwise execute once per branch — ReuseExchange shares only
+    # the exchange, not the post-shuffle verify compute
+    pairs = _tracked_persist(
+        dedup.jaccard_pairs(
+            d.select("doc_id", "text"), threshold=0.7, max_shingle_df=None
+        )
     )
     dup_ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))

@@ -1945,11 +1945,23 @@ def hypertable_sink(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        from pyspark.sql import Observation
+
+        # the batch's row count AND touched-day set ride the partials
+        # checkpoint's own materialization as observed metrics — one
+        # job per batch where there were three (isEmpty probe, the
+        # checkpoint, a days distinct().collect())
+        obs = Observation()
         part = hypertable_partials(
             batch_df, ts_col=ts_col, type_col=type_col, value_col=value_col
-        ).localCheckpoint(eager=True)  # reused: days + hwm + merge
+        ).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set("db").alias("days"),
+        ).localCheckpoint(eager=True)  # reused: hwm filter + merge
+        o = obs.get
+        if int(o["n"]) == 0:
+            return
         try:
             # ONE manifest read pins the merge plan AND (via _base=)
             # the replace commit baseline, so a commit landing between
@@ -1974,7 +1986,7 @@ def hypertable_sink(
                 stats_cols=["db"],
             )
             return
-        days = [r[0] for r in part.select("db").distinct().collect()]
+        days = sorted(o["days"])
         if cur is None:
             atomic_publish(
                 _merge_hypertable(part).withColumn(
