@@ -549,18 +549,32 @@ def hyperplane_buckets(
     literals — see hyperplane_buckets_duck).
     """
     planes = _hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("bigint")
-    for i in range(n_planes):
-        coeffs = F.array(*[F.lit(float(c)) for c in planes[i]])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec), coeffs, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(
-            F.round(dot, 6) > 0, F.lit(1 << i).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    return df.select(id_col, bucket.alias("bucket"))
+    # ONE parsed expr string per plane set (the minhash-lane fix):
+    # the nested-Column construction paid n_planes x dim py4j round
+    # trips at every plan build. Literal doubles via repr + 'D' parse
+    # to bit-identical values (Double.parseDouble is correctly
+    # rounded), so bucket ids are unchanged.
+    terms = " + ".join(
+        "if(round(%s, 6) > 0, %dL, 0L)" % (_lit_dot_expr(vec, planes[i]), 1 << i)
+        for i in range(n_planes)
+    )
+    return df.select(
+        id_col, F.expr("cast(%s as bigint)" % terms).alias("bucket")
+    )
+
+
+def _lit_dot_expr(vec: str, coeffs) -> str:
+    """Codegen dot product of array column ``vec`` with driver-side
+    coefficients, as ONE SQL string parsed once in the JVM — O(1) py4j
+    calls instead of one per coefficient. Python float repr is the
+    shortest round-tripping decimal and Double.parseDouble is
+    correctly rounded, so each ``<repr>D`` literal parses to the
+    bit-identical double that ``F.lit(float(c))`` shipped."""
+    cs = ",".join("%rD" % float(c) for c in coeffs)
+    return (
+        "aggregate(zip_with(%s, array(%s), (x, c) -> cast(x as double) * c),"
+        " 0.0D, (acc, x) -> acc + x)" % (vec, cs)
+    )
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> "np.ndarray":
@@ -602,23 +616,15 @@ def random_projection(
     engine-neutral."""
     rng = np.random.RandomState(seed)
     proj = rng.normal(size=(out_dim, dim)) / math.sqrt(out_dim)
-    rows = []
-    for j in range(out_dim):
-        coeffs = F.array(*[F.lit(float(c)) for c in proj[j]])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec), coeffs, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        rows.append(
-            F.struct(
-                F.lit(j).cast("bigint").alias("out_pos"),
-                F.round(dot, 6).alias("val"),
-            )
-        )
-    return df.select(id_col, F.explode(F.array(*rows)).alias("r")).select(
-        id_col, "r.out_pos", "r.val"
+    # one parsed expr for the whole projection (see hyperplane_buckets)
+    rows = ",".join(
+        "struct(cast(%d as bigint) as out_pos, round(%s, 6) as val)"
+        % (j, _lit_dot_expr(vec, proj[j]))
+        for j in range(out_dim)
     )
+    return df.select(
+        id_col, F.explode(F.expr("array(%s)" % rows)).alias("r")
+    ).select(id_col, "r.out_pos", "r.val")
 
 
 def random_projection_duck(dim: int, out_dim: int = 16, seed: int = 7) -> str:
@@ -2233,23 +2239,15 @@ def pca_project(
     ship as codegen literals exactly like the JL projection (no UDF, no
     shuffle, scan speed). Output: (id, pc, val round-6) scalars."""
     comps = np.asarray(components, dtype=np.float64)
-    rows = []
-    for k in range(comps.shape[0]):
-        coeffs = F.array(*[F.lit(float(c)) for c in comps[k]])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec), coeffs, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        rows.append(
-            F.struct(
-                F.lit(k).cast("bigint").alias("pc"),
-                F.round(dot, 6).alias("val"),
-            )
-        )
-    return df.select(id_col, F.explode(F.array(*rows)).alias("r")).select(
-        id_col, "r.pc", "r.val"
+    # one parsed expr for the whole projection (see hyperplane_buckets)
+    rows = ",".join(
+        "struct(cast(%d as bigint) as pc, round(%s, 6) as val)"
+        % (k, _lit_dot_expr(vec, comps[k]))
+        for k in range(comps.shape[0])
     )
+    return df.select(
+        id_col, F.explode(F.expr("array(%s)" % rows)).alias("r")
+    ).select(id_col, "r.pc", "r.val")
 
 
 def publish_ann_index(
