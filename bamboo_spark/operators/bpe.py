@@ -36,6 +36,7 @@ from __future__ import annotations
 from typing import List, Tuple
 
 from pyspark.sql import DataFrame, functions as F
+from bamboo_spark._localdf import local_df as _local_df
 
 from bamboo_spark.operators._cache import tracked_persist
 
@@ -133,7 +134,8 @@ def bpe_train(
     pair_count), rank 1-based in merge order. Stops early if no
     adjacent pair remains."""
     merges, _ = _train(df, text_col, n_merges)
-    return df.sparkSession.createDataFrame(
+    return _local_df(
+        df.sparkSession,
         merges,
         "rank bigint, lhs string, rhs string, merged string, pair_count bigint",
     )

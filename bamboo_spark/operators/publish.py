@@ -45,6 +45,8 @@ from typing import Dict, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from bamboo_spark._localdf import local_df as _local_df
+
 _MANIFEST = "manifest.json"
 
 
@@ -735,8 +737,8 @@ def _dv_chunks_df(spark: SparkSession, fs, table_dir: str, dvmap: dict):
                 F.col("_dv_file").isin(keys)
             )
             if any(k != r for k, r in pairs):
-                kmap = spark.createDataFrame(
-                    pairs, "_dv_key string, _dv_rel string"
+                kmap = _local_df(
+                    spark, pairs, "_dv_key string, _dv_rel string"
                 )
                 sub = (
                     sub.withColumnRenamed("_dv_file", "_dv_key")
@@ -872,7 +874,7 @@ def _dv_positions_df(spark: SparkSession, fs, table_dir: str, dvmap: dict):
             legacy_rows.extend((rel, base, sfx, int(p)) for p in v)
     pieces = []
     if legacy_rows:
-        pieces.append(spark.createDataFrame(legacy_rows, _DV_POS_SCHEMA))
+        pieces.append(_local_df(spark, legacy_rows, _DV_POS_SCHEMA))
     for ds, bm in sorted(ds_groups):
         pairs = ds_groups[(ds, bm)]
         keys = sorted({k for k, _ in pairs})
@@ -880,8 +882,8 @@ def _dv_positions_df(spark: SparkSession, fs, table_dir: str, dvmap: dict):
         if bm:
             sub = _dv_unpack(sub)
         if any(k != r for k, r in pairs):
-            kmap = spark.createDataFrame(
-                pairs, "_dv_key string, _dv_rel string"
+            kmap = _local_df(
+                spark, pairs, "_dv_key string, _dv_rel string"
             )
             sub = (
                 sub.withColumnRenamed("_dv_file", "_dv_key")
@@ -931,8 +933,8 @@ def _dv_build(
     cand_rows = [
         (f, f.rsplit("/", 1)[-1], _ref_suffix(f)) for f in cand_files
     ]
-    cdf = spark.createDataFrame(
-        cand_rows, "_dv_file string, _dv_base string, _dv_sfx string"
+    cdf = _local_df(
+        spark, cand_rows, "_dv_file string, _dv_base string, _dv_sfx string"
     )
     addr = (
         addr_df.withColumn(
@@ -3342,7 +3344,7 @@ def _read_files(
 
     schema = T.StructType.fromJson(json.loads(schema_json))
     if not files:
-        return spark.createDataFrame([], schema)
+        return _local_df(spark, [], schema)
     dv = {f: ps for f, ps in (dv or {}).items() if f in set(files) and ps}
     clean = [f for f in files if f not in dv]
 
@@ -4034,7 +4036,7 @@ def add_constraint(
     # analysis-check the expression against the table schema (raises
     # on unknown columns / bad syntax) — always, even validate=False
     schema = T.StructType.fromJson(json.loads(manifest["schema"]))
-    spark.createDataFrame([], schema).where(F.expr(expr_sql)).count()
+    _local_df(spark, [], schema).where(F.expr(expr_sql)).count()
     if validate:
         bad = (
             read_published(spark, table_dir)
@@ -5478,7 +5480,7 @@ def read_changes(
         schema = T.StructType.fromJson(
             json.loads(_entry_of(to_v).get("schema") or manifest["schema"])
         ).add("_change_type", "string").add("_commit_version", "long")
-        return spark.createDataFrame([], schema)
+        return _local_df(spark, [], schema)
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
@@ -5603,7 +5605,7 @@ def table_history(
             T.StructField("is_current", T.BooleanType(), False),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    return _local_df(spark, rows, schema)
 
 
 def published_rows(

@@ -23,6 +23,7 @@ from typing import Optional
 
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
+from bamboo_spark._localdf import local_df as _local_df
 
 
 def _norm_expr(col: str) -> F.Column:
@@ -359,7 +360,7 @@ def topk_neighbors_ivf(
     if not q_rows:
         # empty query slice: 0-row result with the contract schema (a
         # bare np.array([]) is 1-D and would crash the axis=1 math)
-        return df.sparkSession.createDataFrame([], out_schema)
+        return _local_df(df.sparkSession, [], out_schema)
     if centroids is None:
         # pass a persisted quantizer to skip retraining (deterministic
         # training — identical output either way)
@@ -836,7 +837,7 @@ def save_centroids(spark, centroids: "np.ndarray", path: str) -> None:
         for c in range(cm.shape[0])
         for p in range(cm.shape[1])
     ]
-    spark.createDataFrame(rows, "cid int, pos int, val double").write.mode(
+    _local_df(spark, rows, "cid int, pos int, val double").write.mode(
         "overwrite"
     ).parquet(path)
 
@@ -862,8 +863,8 @@ def save_codebooks(spark, codebooks: list, path: str) -> None:
         for c in range(cb.shape[0])
         for p in range(cb.shape[1])
     ]
-    spark.createDataFrame(
-        rows, "sub int, cid int, pos int, val double"
+    _local_df(
+        spark, rows, "sub int, cid int, pos int, val double"
     ).write.mode("overwrite").parquet(path)
 
 
@@ -1099,7 +1100,8 @@ def topk_neighbors_pq(
         df.where(F.col(id_col) < query_ids_below).select(id_col, vec).collect()
     )
     if not q_rows:
-        return df.sparkSession.createDataFrame(
+        return _local_df(
+            df.sparkSession,
             [],
             "query_id long, rank long, neighbor_id long, cosine double",
         )
@@ -1265,7 +1267,8 @@ def topk_neighbors_ivfpq(
         df.where(F.col(id_col) < query_ids_below).select(id_col, vec).collect()
     )
     if not q_rows:
-        return df.sparkSession.createDataFrame(
+        return _local_df(
+            df.sparkSession,
             [], "query_id long, rank long, neighbor_id long, cosine double"
         )
     if centroids is None:
@@ -2293,8 +2296,8 @@ def publish_ann_index(
             for c in range(cb.shape[0])
             for p in range(cb.shape[1])
         )
-    model = spark.createDataFrame(
-        rows, "component string, sub int, cid int, pos int, val double"
+    model = _local_df(
+        spark, rows, "component string, sub int, cid int, pos int, val double"
     ).select(
         "component",
         "sub",

@@ -20,6 +20,7 @@ from bamboo_spark.operators.text import (
 )
 
 from bamboo_spark.queries._core import load
+from bamboo_spark._localdf import local_df as _local_df
 
 
 # --------------------------------------------------------------- events
@@ -883,7 +884,7 @@ def q_attribution_markov_removal(
     ).distinct().select(
         F.concat(F.lit("rm_"), F.col("ch")).alias("scenario"), "ch"
     ).unionAll(
-        spark.createDataFrame([("full", None)], "scenario string, ch string")
+        _local_df(spark, [("full", None)], "scenario string, ch string")
     )
     # consumed exactly once (the driver collect below) — no persist
     ms = (
@@ -931,7 +932,7 @@ def q_attribution_markov_removal(
         for scen_name in sorted(edges_by_scen)
         if (scen_name, "START") in val
     ]
-    p = spark.createDataFrame(p_rows, "scenario string, v long")
+    p = _local_df(spark, p_rows, "scenario string, v long")
     fullp = p.where(F.col("scenario") == "full").select(
         F.col("v").alias("fp")
     )

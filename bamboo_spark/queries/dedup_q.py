@@ -23,6 +23,7 @@ from bamboo_spark.operators._cache import (
 )
 
 from bamboo_spark.queries._core import TABLES, load  # noqa: F401
+from bamboo_spark._localdf import local_df as _local_df
 
 
 # ============================================================ LLM ops
@@ -1158,8 +1159,8 @@ def q_dedup_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         removed_bps = 0 if prev in (None, 0) else (10000 * (prev - n)) // prev
         rows.append((stage, n, int(removed_bps)))
         prev = n
-    return spark.createDataFrame(
-        rows, "stage string, n_docs long, removed_bps long"
+    return _local_df(
+        spark, rows, "stage string, n_docs long, removed_bps long"
     ).orderBy("stage")
 
 

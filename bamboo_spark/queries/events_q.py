@@ -23,6 +23,7 @@ from bamboo_spark.operators._cache import (
 )
 
 from bamboo_spark.queries._core import TABLES, load  # noqa: F401
+from bamboo_spark._localdf import local_df as _local_df
 
 
 def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2455,8 +2456,8 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             if p in s_vec:
                 new_vec[et] += (s_vec[p] * c_n) // r_n
         s_vec = dict(new_vec)
-    s = spark.createDataFrame(
-        sorted(s_vec.items()), "t string, s long"
+    s = _local_df(
+        spark, sorted(s_vec.items()), "t string, s long"
     )
     return s.select(
         F.col("t").alias("event_type"), F.col("s").alias("stationary_nano")

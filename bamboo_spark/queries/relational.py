@@ -23,6 +23,7 @@ from bamboo_spark.operators._cache import (
 )
 
 from bamboo_spark.queries._core import TABLES, load  # noqa: F401
+from bamboo_spark._localdf import local_df as _local_df
 
 
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,7 +572,7 @@ def q_quantity_range_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     search via a sorted-array UDF or width_bucket instead; the point
     here is the non-equi join surface.)"""
     l = load(spark, sf_dir, "lineitem")
-    b = spark.createDataFrame(BUCKET_DIM, "label string, lo double, hi double")
+    b = _local_df(spark, BUCKET_DIM, "label string, lo double, hi double")
     return (
         l.join(
             F.broadcast(b),

@@ -16,7 +16,8 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from bamboo_spark.queries._core import load  # noqa: F401
+from bamboo_spark.queries._core import load
+from bamboo_spark._localdf import local_df as _local_df  # noqa: F401
 
 
 def q_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,8 +90,8 @@ def q_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         when_not_matched_insert="s.v % 3 = 0",
     )
     P.compact(spark, c)
-    marker = spark.createDataFrame(
-        [(-1, P.published_rows(t, spark=spark))], "k: long, v: long"
+    marker = _local_df(
+        spark, [(-1, P.published_rows(t, spark=spark))], "k: long, v: long"
     )
     return (
         P.read_published(spark, c).unionByName(marker).orderBy("k")

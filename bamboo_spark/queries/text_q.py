@@ -23,6 +23,7 @@ from bamboo_spark.operators._cache import (
 )
 
 from bamboo_spark.queries._core import TABLES, load  # noqa: F401
+from bamboo_spark._localdf import local_df as _local_df
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,8 +465,8 @@ def q_token_zipf(spark: SparkSession, sf_dir: str, top_n: int = 50) -> DataFrame
                 r6(cum / float(total)),
             )
         )
-    return spark.createDataFrame(
-        rows, "rank long, token string, c long, share double, cum_share double"
+    return _local_df(
+        spark, rows, "rank long, token string, c long, share double, cum_share double"
     )
 
 
@@ -2079,8 +2080,8 @@ def q_textrank_keywords(
     )
     vocab_list = [r["token"] for r in vocab_rows]
     if not vocab_list:
-        return spark.createDataFrame(
-            [], "token string, score_nano long, wdeg bigint"
+        return _local_df(
+            spark, [], "token string, score_nano long, wdeg bigint"
         )
     e0 = (
         pairs.where(
@@ -2117,8 +2118,8 @@ def q_textrank_keywords(
         score = {a: base + in_sum.get(a, 0) for a in wdeg}
     out_rows = [(a, score[a], wdeg[a]) for a in sorted(wdeg)]
     return (
-        spark.createDataFrame(
-            out_rows, "token string, score_nano long, wdeg bigint"
+        _local_df(
+            spark, out_rows, "token string, score_nano long, wdeg bigint"
         )
         .orderBy(F.col("score_nano").desc(), "token")
         .limit(top_k)
