@@ -732,8 +732,14 @@ limit 25
 
 
 def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = load(spark, sf_dir, "part").select("p_partkey")
-    sc = load(spark, sf_dir, "supplier").agg(
+    # fresh (non-memoized) relations: the derived-partsupp subtree
+    # coexists with its consumers' OWN part/supplier loads in one plan
+    # (Q9 joins supplier again); sharing the memoized relation's expr
+    # ids there trips Spark's ambiguous-self-join detection
+    from bamboo_spark.queries._core import _load_fresh
+
+    p = _load_fresh(spark, sf_dir, "part").select("p_partkey")
+    sc = _load_fresh(spark, sf_dir, "supplier").agg(
         F.count(F.lit(1)).alias("sn")
     )
     return (

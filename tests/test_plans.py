@@ -1005,12 +1005,12 @@ def test_padding_waste_scans_documents_once(spark):
 
 
 def test_markov_stationary_grid_supersteps(spark):
-    # the lag chain is the only data-sized window; each superstep joins
-    # the k-row state vector to the k^2 grid — pinned: per-step
-    # localCheckpoint truncates lineage, so the final plan is the
-    # closing sort over a Scan ExistingRDD (the pagerank pin shape)
+    # the fixpoint runs on the DRIVER over the collected k^2 grid; the
+    # final plan is the closing sort over the metadata-sized result
+    # vector — a LocalTableScan since the Arrow-batch local_df path
+    # (r13; previously a Scan ExistingRDD of the parallelized list)
     s = simple_plan(q.queries()["markov_stationary"](spark, SF))
-    assert "Scan ExistingRDD" in s, s
+    assert "LocalTableScan" in s or "Scan ExistingRDD" in s, s
     assert "CartesianProduct" not in s, s
 
 
