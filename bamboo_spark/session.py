@@ -37,6 +37,18 @@ def get_spark(
         # documented PySpark perf knob turns it off (error messages
         # lose the user-code line number, results are unaffected)
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # cached plans keep their full shuffle-partition count by
+        # default (AQE coalescing is skipped so downstream consumers
+        # can reuse the partitioning); this engine's persisted
+        # intermediates are bounded model state consumed by broadcasts
+        # and aggregates, never partition-aligned joins — let AQE size
+        # cached partitions by bytes too (32 near-empty cache tasks per
+        # consumer stage otherwise; A/B: nb_kappa 2.65->2.15 s,
+        # market_basket 2.58->1.85, worst case +0.14 within noise)
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         # testdata events.ts is TIMESTAMP(NANOS) parquet, which Spark
         # rejects by default; read as long and convert at load time

@@ -48,13 +48,18 @@ def test_jaccard_hot_shingle_cap_bounds_candidates(spark):
 
 
 def test_dedup_caches_released_after_sweep(spark):
+    # baseline-relative: earlier tests in the session may hold
+    # localCheckpoint RDDs that only the ContextCleaner reclaims —
+    # this test owns ONLY the caches the sweep below registers
+    base = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
     df = _docs(spark, ["a b c d %d" % i for i in range(10)])
     dedup.jaccard_pairs(df, threshold=0.8).count()
     dedup.minhash_lsh_pairs(df, threshold=0.7, num_hashes=16).count()
     dedup.simhash_pairs(df, max_hamming=2).count()
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) > len(base)
     release_caches()
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    left = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    assert left <= base, left - base
 
 
 def test_pointer_jumping_converges_on_deep_chain(spark):
