@@ -20,6 +20,8 @@ value-identical by construction.
 
 from __future__ import annotations
 
+from collections.abc import Mapping
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -37,7 +39,25 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
 
             ssch = _parse_datatype_string(schema)
         asch = to_arrow_schema(ssch)
-        cols = list(zip(*rows)) if rows else [[] for _ in asch]
+        names = [f.name for f in ssch.fields]
+        # Mapping rows bind by NAME (the classic builder's dict
+        # semantics); everything else binds positionally, and a width
+        # mismatch must raise so the classic builder reproduces its
+        # own length-mismatch error instead of columns silently
+        # truncating at the schema width.
+        norm = []
+        for r in rows:
+            if isinstance(r, Mapping):
+                norm.append(tuple(r[n] for n in names))
+            else:
+                t = tuple(r)
+                if len(t) != len(names):
+                    raise ValueError(
+                        "row width %d != schema width %d"
+                        % (len(t), len(names))
+                    )
+                norm.append(t)
+        cols = list(zip(*norm)) if norm else [[] for _ in asch]
         tbl = pa.Table.from_arrays(
             [
                 pa.array(list(c), type=f.type)
@@ -45,6 +65,15 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
             ],
             schema=asch,
         )
+        # pyarrow does not enforce field nullability; the classic
+        # builder does. A null in a non-nullable field must route to
+        # the classic path so it raises rather than building a frame
+        # whose schema lies to the optimizer.
+        for i, f in enumerate(ssch.fields):
+            if not f.nullable and tbl.column(i).null_count:
+                raise ValueError(
+                    "null in non-nullable field %s" % f.name
+                )
         return spark.createDataFrame(tbl, ssch)
     except Exception:  # noqa: BLE001 — exactness first: classic builder
         return spark.createDataFrame(rows, schema)

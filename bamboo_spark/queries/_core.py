@@ -48,10 +48,23 @@ _LOAD_MEMO: Dict[tuple, DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    """Resolve ``sf_dir/name.parquet`` once per session (metadata memo).
+
+    Same-table SELF-joins within one returned plan must resolve the
+    second occurrence via :func:`_load_fresh` — sharing memoized
+    expr-ids across both sides of a self-join trips Spark's
+    ambiguous-self-join detection (see ``_partsupp``).
+    """
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
     hit = _LOAD_MEMO.get(key)
     if hit is not None:
         return hit
+    # Entries keyed by other applicationIds belong to stopped/replaced
+    # sessions: drop them so the memo never retains dead JVM plan
+    # references for the process lifetime.
+    for k in [k for k in _LOAD_MEMO if k[0] != app_id]:
+        del _LOAD_MEMO[k]
     df = _load_fresh(spark, sf_dir, name)
     _LOAD_MEMO[key] = df
     return df

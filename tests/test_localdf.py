@@ -70,3 +70,64 @@ def test_load_memoizes_relation_per_session(spark):
     assert c is not a  # helper subtrees get fresh expr-ids on demand
     # values are identical either way
     assert a.count() == c.count()
+
+
+def test_local_df_dict_rows_bind_by_name(spark):
+    # r14 (ADVICE): zip(*rows) over dict rows used to transpose KEYS.
+    # Mapping rows must bind by field name regardless of key order,
+    # exactly like the classic builder's dict semantics.
+    schema = "a string, b string, c long"
+    rows = [
+        {"a": "x", "b": "y", "c": 1},
+        {"c": 2, "a": "p", "b": "q"},  # shuffled key order
+    ]
+    ref = spark.createDataFrame(rows, schema)
+    got = local_df(spark, rows, schema)
+    assert got.schema == ref.schema
+    assert sorted(map(str, got.collect())) == sorted(map(str, ref.collect()))
+    # all-string-width trap from the advice: keys must NOT become values
+    vals = {r["a"] for r in got.collect()}
+    assert vals == {"x", "p"}
+
+
+def test_local_df_wide_rows_raise_like_classic(spark):
+    # rows wider than the schema must reproduce the classic builder's
+    # length-mismatch error, not silently drop trailing columns
+    rows = [("a", 1, "extra")]
+    schema = "x string, y long"
+    with pytest.raises(Exception):
+        spark.createDataFrame(rows, schema).collect()
+    with pytest.raises(Exception):
+        local_df(spark, rows, schema).collect()
+
+
+def test_local_df_nullability_enforced_like_classic(spark):
+    # None in a non-nullable field: the classic builder raises; the
+    # Arrow path must not build a frame whose schema claims no nulls
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    rows = [(None, "a")]
+    with pytest.raises(Exception):
+        spark.createDataFrame(rows, schema).collect()
+    with pytest.raises(Exception):
+        local_df(spark, rows, schema).collect()
+
+
+def test_load_memo_evicts_stale_applications(spark):
+    from bamboo_spark.queries import _core
+
+    sf = "/root/testdata/sf0.001"
+    a = load_df = _core.load(spark, sf, "orders")
+    app_id = spark.sparkContext.applicationId
+    # plant an entry from a "stopped" session
+    _core._LOAD_MEMO[("dead-app", sf, "orders")] = load_df
+    _core.load(spark, sf, "nation")  # any miss evicts foreign app ids
+    assert ("dead-app", sf, "orders") not in _core._LOAD_MEMO
+    assert all(k[0] == app_id for k in _core._LOAD_MEMO)
+    assert _core.load(spark, sf, "orders") is a  # live entries survive
