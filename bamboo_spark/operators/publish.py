@@ -255,6 +255,15 @@ _LOCK = "_commit.lock"
 # not one swap (tests shrink it to fail fast)
 _COMMIT_WAIT_MS = 30_000
 
+# merge_into's candidate key-prune probe (source key collect + bloom/
+# stats test per file) only pays for itself when the candidate set is
+# big enough that pruning skips real I/O: below BOTH thresholds the
+# probe's 2 jobs + source key scan exceed the cost of just opening the
+# few small files it could prune. File count and bytes are checked
+# independently so a table of few-but-huge files still probes.
+_KEY_PRUNE_MIN_FILES = 16
+_KEY_PRUNE_MIN_BYTES = 256 * 1024 * 1024
+
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer holds the table's commit lease."""
@@ -6495,10 +6504,31 @@ def _mor_commit(
     # ---- data-write phase (no lease): the post-state rows
     seg = _claim_vdir(fs, table_dir, _next_version(fs, table_dir, manifest))
     beat = _ClaimBeat(fs, table_dir, seg, lease_ttl_ms).start()
+    dv_fut = None
+    pool = None
     try:
         vdir = fs.join(table_dir, seg)
         obs = Observation()
         cnames, cmap, caggs = _constraint_aggs(manifest)
+        # ---- dv-write phase (no lease), CONCURRENT with the data
+        # write: the matched addresses (checkpointed upstream) and the
+        # post-state rows are independent pipelines that both must
+        # finish before the commit swap — submitting the sidecar build
+        # from a second driver thread lets its jobs back-fill executor
+        # slots left idle by the write's tail instead of running after
+        # it (optimization guide §2.6, overlap independent jobs). Both
+        # land in the same claimed staging dir (disjoint subpaths); on
+        # ANY failure the future is joined before cleanup so the
+        # reclaim never races an in-flight sidecar write.
+        dv0 = _load_dv(fs, table_dir, manifest)
+        if addr_df is not None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=1)
+            dv_fut = pool.submit(
+                _dv_build, spark, fs, table_dir, seg, addr_df,
+                cand_files, dv0,
+            )
         writer = _pt_rebalance(
             _materialize_partition_cols(
                 out_df, manifest.get("partition_spec")
@@ -6518,15 +6548,11 @@ def _mor_commit(
             # leaves empty part files — never cite them; the staging
             # dir becomes vacuum garbage
             new_files, new_sizes = [], {}
-        # ---- dv-write phase (no lease): merged sidecars for the
-        # touched files, written by executors; the driver sees refs
-        dv0 = _load_dv(fs, table_dir, manifest)
         new_refs: dict = {}
         n_deleted = 0
-        if addr_df is not None:
-            new_refs, n_deleted = _dv_build(
-                spark, fs, table_dir, seg, addr_df, cand_files, dv0
-            )
+        if dv_fut is not None:
+            new_refs, n_deleted = dv_fut.result()
+            dv_fut = None
         if not new_files and not new_refs:
             # empty batch: nothing matched, nothing added — release the
             # claim now rather than leaving it to vacuum's age reclaim
@@ -6619,8 +6645,15 @@ def _mor_commit(
         # TTL aging (best-effort; a crash still falls back to vacuum).
         # Safe: every CWE raise above precedes the manifest swap, so
         # nothing can reference this seg. Stop the heartbeat FIRST —
-        # a beat landing after the delete would recreate the claim.
+        # a beat landing after the delete would recreate the claim —
+        # and join the in-flight sidecar build so the rmtree never
+        # races its writes.
         beat.stop()
+        if dv_fut is not None:
+            try:
+                dv_fut.result()
+            except Exception:
+                pass
         try:
             fs.delete_file(fs.join(table_dir, seg + ".claim"))
         except Exception:
@@ -6631,6 +6664,11 @@ def _mor_commit(
             pass
         raise
     finally:
+        # joins any still-running sidecar build before unwinding (a
+        # write-phase failure must not leave a daemon thread writing
+        # into an abandoned staging dir)
+        if pool is not None:
+            pool.shutdown(wait=True)
         beat.stop()
 
 
@@ -6772,13 +6810,23 @@ def merge_into(
     dv0 = _load_dv(fs, table_dir, manifest)
     nmbs = when_not_matched_by_source_delete
     candidates = list(res["files"])
-    if nmbs is None and candidates and len(keys) == 1 and (
+    if nmbs is None and len(keys) == 1 and (
         res["file_blooms"] or res["file_stats"]
+    ) and (
+        len(candidates) >= _KEY_PRUNE_MIN_FILES
+        or sum(
+            res["file_sizes"].get(f) or 0 for f in candidates
+        ) >= _KEY_PRUNE_MIN_BYTES
     ):
         # range+bloom-prune the probe to files that may hold source
         # keys — valid only while no clause targets rows ABSENT from
         # the source; collect AT MOST cap+1 keys, never a table-sized
-        # source's whole key set
+        # source's whole key set. Gated on candidate-set size: the
+        # probe costs a source key scan + a driver collect (2 jobs),
+        # and on a table of a handful of small files it can prune at
+        # most that handful of cheap opens — strictly overhead. Any
+        # data-sized table (many files OR real bytes) keeps the probe,
+        # which is where it turns a table scan into a few file opens.
         cap = 2_000_000 // len(candidates)
         key_vals = [r[0] for r in src_keys.limit(cap + 1).collect()]
         if key_vals and len(key_vals) <= cap:
