@@ -16,6 +16,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from bamboo_spark.operators._cache import tracked_persist as _tracked_persist
 from bamboo_spark.queries._core import load
 from bamboo_spark._localdf import local_df as _local_df  # noqa: F401
 
@@ -57,6 +58,10 @@ def q_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("bigint").alias("k"),
         F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias("v"),
     )
+    # the projected source feeds every commit step below (publish,
+    # merge sources, backfill slices) — one scan + cache instead of a
+    # single-split source re-scan per step (guide §1.2)
+    o = _tracked_persist(o)
     root = tempfile.mkdtemp(prefix="bamboo_lifecycle_")
     t = root + "/t"
     c = root + "/c"
@@ -173,6 +178,10 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias("v"),
         F.col("o_orderstatus").alias("tag"),
     )
+    # the projected source feeds every commit step below (publish,
+    # merge sources, backfill slices) — one scan + cache instead of a
+    # single-split source re-scan per step (guide §1.2)
+    o = _tracked_persist(o)
     root = tempfile.mkdtemp(prefix="bamboo_schema_evo_")
     t = root + "/t"
     P.atomic_publish(o.where("k % 10 = 1"), t, stats_cols=["k"])
@@ -256,6 +265,10 @@ def q_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias("v"),
         F.col("o_orderstatus").alias("tag"),
     )
+    # the projected source feeds every commit step below (publish,
+    # merge sources, backfill slices) — one scan + cache instead of a
+    # single-split source re-scan per step (guide §1.2)
+    o = _tracked_persist(o)
     root = tempfile.mkdtemp(prefix="bamboo_merge_evo_")
     t = root + "/t"
     P.atomic_publish(
@@ -364,6 +377,10 @@ def q_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("bigint").alias("k"),
         F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias("c"),
     )
+    # the projected source feeds every commit step below (publish,
+    # merge sources, backfill slices) — one scan + cache instead of a
+    # single-split source re-scan per step (guide §1.2)
+    o = _tracked_persist(o)
     root = tempfile.mkdtemp(prefix="bamboo_widen_")
     t = root + "/t"
     P.atomic_publish(
@@ -449,6 +466,10 @@ def q_update_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("bigint").alias("k"),
         F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias("v"),
     ).withColumn("b", F.expr("cast(k % 4 as int)"))
+    # the projected source feeds every commit step below (publish,
+    # merge sources, backfill slices) — one scan + cache instead of a
+    # single-split source re-scan per step (guide §1.2)
+    o = _tracked_persist(o)
     root = tempfile.mkdtemp(prefix="bamboo_update_")
     t = root + "/t"
     P.atomic_publish(
@@ -524,6 +545,10 @@ def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g": F.expr("cast(k % 7 as int)"),
         }
     )
+    # the projected source feeds every commit step below (publish,
+    # merge sources, backfill slices) — one scan + cache instead of a
+    # single-split source re-scan per step (guide §1.2)
+    o = _tracked_persist(o)
     root = tempfile.mkdtemp(prefix="bamboo_part_evo_")
     t = root + "/t"
     P.atomic_publish(o.where("k % 10 = 4"), t, partition_by=["b"])
@@ -585,6 +610,10 @@ def q_backfill_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("bigint").alias("k"),
         F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias("v"),
     ).withColumn("d", F.expr("cast(k % 7 as int)"))
+    # the projected source feeds every commit step below (publish,
+    # merge sources, backfill slices) — one scan + cache instead of a
+    # single-split source re-scan per step (guide §1.2)
+    o = _tracked_persist(o)
     root = tempfile.mkdtemp(prefix="bamboo_backfill_")
     t = root + "/t"
     P.atomic_publish(o.where("k % 10 = 6"), t, partition_by=["d"])
@@ -671,6 +700,10 @@ def q_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts"),
         F.expr("cast(round(value * 100, 0) as bigint)").alias("v"),
     )
+    # the projected source feeds every commit step below (publish,
+    # append, the day-overwrite slice) — one scan + cache instead of a
+    # single-split events re-scan per step (guide §1.2)
+    ev = _tracked_persist(ev)
     root = tempfile.mkdtemp(prefix="bamboo_hidden_part_")
     t = root + "/t"
     P.atomic_publish(ev.where("k % 3 < 2"), t, partition_by=["days(ts)"])
