@@ -49,6 +49,15 @@ def get_spark(
             "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
             "true",
         )
+        # whole-stage codegen is silently disabled for any plan stage
+        # wider than this (default 100 fields) — the engine's 128-lane
+        # minhash signature aggregate and the wide flatten projections
+        # sit right past the default and fell back to interpreted
+        # evaluation on their hottest stage (A/B best-of-2:
+        # dedup_funnel_stats 8.1->4.9 s, leakage_safe_split 4.5->3.4,
+        # q_flatten_lineitem_wide 0.8->0.5; no regression outside the
+        # noise band). Codegen width is scale-independent.
+        .config("spark.sql.codegen.maxFields", "256")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         # testdata events.ts is TIMESTAMP(NANOS) parquet, which Spark
         # rejects by default; read as long and convert at load time
