@@ -68,28 +68,26 @@ def cms_build(
     of the same corpus are unconditionally equal cell-for-cell and safe
     to ``cms_merge`` without callers having to pre-filter.
 
-    Scale shape: explode to ``depth`` rows per occurrence, then ONE
-    hash-aggregate on (hash_row, bucket). Partial aggregation bounds
-    every map task's output at depth*width rows, so the shuffle volume
-    is O(partitions * depth * width), independent of corpus size.
+    Scale shape: pre-aggregate occurrences to DISTINCT items first (a
+    wordcount-shaped shuffle, map-combined so a hot item leaves each
+    mapper as one row), hash each distinct item ``depth`` times, then
+    ONE hash-aggregate on (hash_row, bucket). The md5 bucket hash — the
+    compute-dense part — runs once per distinct item instead of once
+    per occurrence (Zipf corpora repeat items thousands of times;
+    cell sums are identical because sum(w) per cell is associative).
+    Partial aggregation bounds the final shuffle at depth*width rows
+    per task, independent of corpus size; the item shuffle doubles as
+    the compute spreader, so no explicit fan-out is needed even on a
+    single-split source.
     """
     if depth < 1 or width < 1:
         raise ValueError("depth/width must be >= 1")
-    from bamboo_spark.operators.scale import fan_out
-
     w = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
-    # keyless fan-out BEFORE the depth-explode: the md5 bucket hash ×
-    # depth is the heavy part and fuses into the scan stage, which on a
-    # single-split source runs on one core (guide §2.5). Round-robin,
-    # not hash-by-item — item streams are Zipf-skewed and hashing would
-    # send every hot token to one partition. No-op on parallel input,
-    # and the shuffle moves 1× rows, not depth×.
     return (
-        fan_out(
-            df.select(F.col(item_col).cast("string").alias("_it"), w.alias("_w")),
-            None,
-        )
+        df.select(F.col(item_col).cast("string").alias("_it"), w.alias("_w"))
         .where(F.col("_it").isNotNull() & (F.col("_it") != ""))
+        .groupBy("_it")
+        .agg(F.sum("_w").alias("_w"))
         .select(
             F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("hash_row"),
             "_it",
