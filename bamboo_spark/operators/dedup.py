@@ -1649,12 +1649,18 @@ def duplicate_spans(
     No suffix array, no global sort, nothing driver-sized."""
     from pyspark.sql import Window
 
+    from bamboo_spark.operators.scale import fan_out
+
     sh = word_shingles_sql("split(%s, ' ')" % text_col, ngram)
     # persisted: grams feeds both the duplicated-gram aggregate and the
     # flag join — unpersisted, the corpus-wide tokenize+shingle+explode
-    # would execute twice
+    # would execute twice. fan_out first: the tokenize+shingle compute
+    # fuses into the scan stage, which on a single-split source runs on
+    # one core (guide §2.5; no-op on already-parallel input).
     grams = tracked_persist(
-        df.selectExpr(id_col, "posexplode(%s) as (pos, g)" % sh)
+        fan_out(df, id_col).selectExpr(
+            id_col, "posexplode(%s) as (pos, g)" % sh
+        )
     )
     hot = (
         grams.groupBy("g")
